@@ -1,0 +1,132 @@
+package graft.config
+
+/** CLI/config surface of the replicator (SURVEY.md §2.3, A1–A5, D8).
+  *
+  * Same parameter grammar as the reference (reference:
+  * FlinkKafkaReplicator.java:45-68): a `--topics <regex>` pattern, eight
+  * options, and arbitrary `consumer.*` / `producer.*` passthrough
+  * properties routed to the respective Kafka client.
+  */
+final case class ReplicatorConfig(
+    topics: String,
+    createTopics: Boolean = false,
+    createPartitions: Boolean = false,
+    syncProperties: Boolean = false,
+    preservePartitioning: Boolean = true,
+    exactlyOnce: Boolean = false,
+    latestOffset: Boolean = false,
+    checkpointIntervalMs: Long = ReplicatorConfig.DefaultCheckpointIntervalMs,
+    transactionTimeoutMs: Long = ReplicatorConfig.DefaultTransactionTimeoutMs,
+    consumerProps: Map[String, String] = Map.empty,
+    producerProps: Map[String, String] = Map.empty) {
+
+  def startingOffsets: String = if (latestOffset) "latest" else "earliest"
+}
+
+object ReplicatorConfig {
+  /** reference: FlinkKafkaReplicator.java:42 */
+  val DefaultCheckpointIntervalMs = 1000L
+  /** reference: FlinkKafkaReplicator.java:43 */
+  val DefaultTransactionTimeoutMs = 870000L
+  /** reference: FlinkKafkaReplicator.java:41 */
+  val DefaultReplicationFactor: Short = 1
+
+  /** The eight options (reference: FlinkKafkaReplicator.java:45-56), in
+    * kebab-case as printed by usage (reference: :58-61).
+    */
+  val BooleanOptions: Set[String] = Set(
+    "create-topics", "create-partitions", "sync-properties",
+    "no-preserve-partitioning", "exactly-once", "latest-offset")
+  val IntOptions: Set[String] = Set(
+    "checkpoint-interval-ms", "transaction-timeout-ms")
+  val Required: Seq[String] = Seq(
+    "topics", "consumer.bootstrap.servers", "consumer.group.id",
+    "producer.bootstrap.servers")
+
+  /** A1 — quote substitution: `<<`/`>>` → `"` in every arg, so users can
+    * pass quoted JAAS strings through shells (reference:
+    * FlinkKafkaReplicator.java:73-74).
+    */
+  def preprocessArgs(args: Seq[String]): Seq[String] =
+    args.map(_.replace("<<", "\"").replace(">>", "\""))
+
+  /** A2 — `--key value` pairs and bare `--flag`s to a string map
+    * (reference: FlinkKafkaReplicator.java:76, ParameterTool semantics:
+    * a `--key` followed by another `--key` is a bare flag).
+    */
+  def parseArgs(args: Seq[String]): Either[String, Map[String, String]] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val a = args.toIndexedSeq
+    while (i < a.length) {
+      if (!a(i).startsWith("--"))
+        return Left(s"unexpected argument: ${a(i)}")
+      val k = a(i).drop(2)
+      if (k.isEmpty) return Left("empty parameter name")
+      if (i + 1 < a.length && !a(i + 1).startsWith("--")) {
+        out += k -> a(i + 1); i += 2
+      } else {
+        out += k -> "true"; i += 1
+      }
+    }
+    Right(out.result())
+  }
+
+  /** A3 — reject unknown params; require the four mandatory ones
+    * (reference: FlinkKafkaReplicator.java:139-152, required list :63-68).
+    */
+  def validate(params: Map[String, String]): Seq[String] = {
+    val known = BooleanOptions ++ IntOptions + "topics"
+    val unknown = params.keys.filterNot { k =>
+      known(k) || k.startsWith("consumer.") || k.startsWith("producer.")
+    }.toSeq.sorted.map(k => s"unknown parameter: --$k")
+    val missing = Required.filterNot(params.contains)
+      .map(k => s"missing required parameter: --$k")
+    unknown ++ missing
+  }
+
+  /** A5 — prefix-scoped property routing (reference:
+    * FlinkKafkaReplicator.java:168-177): strip `consumer.`/`producer.` and
+    * hand each client its own property set; arbitrary configs pass through.
+    */
+  def propsWithPrefix(params: Map[String, String], prefix: String): Map[String, String] =
+    params.collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
+
+  /** Full pipeline: A1 → A2 → A3 → options → D8 constraint. */
+  def fromArgs(args: Seq[String]): Either[Seq[String], ReplicatorConfig] = {
+    parseArgs(preprocessArgs(args)) match {
+      case Left(e) => Left(Seq(e))
+      case Right(params) =>
+        val errs = validate(params)
+        if (errs.nonEmpty) return Left(errs)
+        def flag(k: String) = params.get(k).exists(_ == "true")
+        def long(k: String, d: Long) =
+          params.get(k).map(_.toLong).getOrElse(d)
+        val cfg = ReplicatorConfig(
+          topics = params("topics"),
+          createTopics = flag("create-topics"),
+          createPartitions = flag("create-partitions"),
+          syncProperties = flag("sync-properties"),
+          preservePartitioning = !flag("no-preserve-partitioning"),
+          exactlyOnce = flag("exactly-once"),
+          latestOffset = flag("latest-offset"),
+          checkpointIntervalMs = long("checkpoint-interval-ms", DefaultCheckpointIntervalMs),
+          transactionTimeoutMs = long("transaction-timeout-ms", DefaultTransactionTimeoutMs),
+          consumerProps = propsWithPrefix(params, "consumer."),
+          producerProps = propsWithPrefix(params, "producer."))
+        // D8 — txn timeout must cover at least one checkpoint interval
+        // (reference: FlinkKafkaReplicator.java:92-96).
+        if (cfg.exactlyOnce && cfg.transactionTimeoutMs < cfg.checkpointIntervalMs)
+          Left(Seq("transaction-timeout-ms must be >= checkpoint-interval-ms when --exactly-once is set"))
+        else Right(cfg)
+    }
+  }
+
+  /** A4 — usage text (reference: FlinkKafkaReplicator.java:154-166). */
+  def usage: String =
+    s"""Usage: graft-replicator --topics <regex> --consumer.bootstrap.servers <servers>
+       |         --consumer.group.id <group> --producer.bootstrap.servers <servers>
+       |         [--consumer.<kafka-prop> <value>]... [--producer.<kafka-prop> <value>]...
+       |         [--${(BooleanOptions ++ IntOptions).toSeq.sorted.mkString("] [--")}]
+       |""".stripMargin
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.config.ReplicatorConfig
+
+/** The replication dataflow (SURVEY.md §2.1, D1–D7), Spark-first:
+  * `readStream(kafka) → envelope transform → writeStream(kafka)`.
+  *
+  * The transform itself is pure DataFrame → DataFrame so it can be driven
+  * by any source (MemoryStream in tests, Kafka in production) — the
+  * reference couples them (reference: FlinkKafkaReplicator.java:126-134).
+  *
+  * Scale note: the plan is a narrow source→project→sink pipeline — no
+  * wide operator, so Catalyst inserts no exchange; each Kafka partition
+  * streams through one task regardless of cluster size.
+  */
+object Pipeline {
+
+  /** D4 + D5 — the whole "query": identity over the envelope, with
+    * partition routing preserved or dropped. Keeping the `partition`
+    * column means the Kafka sink writes each record back to its source
+    * partition (reference: KafkaMessageSerializationSchema.java:19);
+    * dropping it delegates to the producer's DefaultPartitioner exactly
+    * like `--no-preserve-partitioning` (reference: :9-13).
+    */
+  def transform(df: DataFrame, preservePartitioning: Boolean): DataFrame =
+    if (preservePartitioning) df else df.drop("partition")
+
+  /** D1 + D2 + D3 — Kafka source wiring: regex subscription, header
+    * propagation, offset-reset policy, and `consumer.*` passthrough
+    * (reference: FlinkKafkaReplicator.java:110-118). Spark likewise
+    * ignores `startingOffsets` when resuming from a checkpoint.
+    *
+    * String-typed configuration only: the kafka connector jar binds at
+    * deploy time (`spark-sql-kafka-0-10`); nothing here links against it.
+    */
+  def kafkaSource(spark: SparkSession, cfg: ReplicatorConfig): DataStreamReader = {
+    val reader = spark.readStream
+      .format("kafka")
+      .option("subscribePattern", cfg.topics)
+      .option("includeHeaders", "true")
+      .option("startingOffsets", cfg.startingOffsets)
+    // A5 — consumer passthrough; Spark scopes raw client configs as kafka.*
+    cfg.consumerProps.foldLeft(reader) { case (r, (k, v)) =>
+      r.option(s"kafka.$k", v)
+    }
+  }
+
+  /** D6 + D7 — Kafka sink wiring: at-least-once transactional-batch write
+    * with checkpointing; the trigger period mirrors the reference's
+    * checkpoint interval (reference: FlinkKafkaReplicator.java:99-102).
+    */
+  def kafkaSink(
+      df: DataFrame,
+      cfg: ReplicatorConfig,
+      checkpointLocation: String): DataStreamWriter[Row] = {
+    val writer = df.writeStream
+      .format("kafka")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
+    cfg.producerProps.foldLeft(writer) { case (w, (k, v)) =>
+      w.option(s"kafka.$k", v)
+    }
+  }
+
+  /** D6 exactly-once path — Spark's Kafka sink is at-least-once; the
+    * reference's `Semantic.EXACTLY_ONCE` (reference:
+    * FlinkKafkaReplicator.java:120-124) maps to idempotent batch commit:
+    * `foreachBatch` keyed by `batchId`, skipping batches already marked
+    * committed. The marker write must land only after `write` succeeds,
+    * giving effectively-once output for any idempotent/transactional
+    * `write` (a transactional KafkaProducer in production; any sink in
+    * tests).
+    */
+  def idempotentForeachBatch(
+      commitDir: String,
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val dir = new java.io.File(commitDir)
+    dir.mkdirs()
+    (df: DataFrame, batchId: Long) => {
+      val marker = new java.io.File(dir, s"batch-$batchId.committed")
+      if (!marker.exists()) {
+        write(df, batchId)
+        marker.createNewFile()
+      }
+    }
+  }
+
+  /** Whole pipeline, Kafka to Kafka. Returns the started query. */
+  def start(spark: SparkSession, cfg: ReplicatorConfig, checkpointLocation: String): StreamingQuery = {
+    val src = kafkaSource(spark, cfg).load()
+    kafkaSink(transform(src, cfg.preservePartitioning), cfg, checkpointLocation).start()
+  }
+
+  /** D7 restart analog — fixed-delay retry around `awaitTermination`
+    * (reference: FlinkKafkaReplicator.java:99 — 4 attempts / 10 s).
+    */
+  def runWithRestarts(
+      attempts: Int = 4,
+      delayMs: Long = 10000L)(run: () => StreamingQuery): Unit = {
+    var remaining = attempts
+    var done = false
+    while (!done) {
+      val q = run()
+      try {
+        q.awaitTermination()
+        done = true
+      } catch {
+        case e: Exception if remaining > 0 =>
+          remaining -= 1
+          Thread.sleep(delayMs)
+        case e: Exception => throw e
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.ReplicatorConfig
+
+/** A1–A5 + D8 against the FIXTURES.md §4 table. */
+class ConfigSpec extends AnyFunSuite {
+
+  private val minimal = Seq(
+    "--topics", "^mytopic$",
+    "--consumer.bootstrap.servers", "h:9092",
+    "--consumer.group.id", "g",
+    "--producer.bootstrap.servers", "h2:9092")
+
+  test("minimal valid argv parses with defaults") {
+    val cfg = ReplicatorConfig.fromArgs(minimal).toOption.get
+    assert(cfg.topics == "^mytopic$")
+    assert(cfg.checkpointIntervalMs == 1000L)
+    assert(cfg.transactionTimeoutMs == 870000L)
+    assert(cfg.preservePartitioning)
+    assert(!cfg.exactlyOnce && !cfg.latestOffset && !cfg.createTopics)
+    assert(cfg.startingOffsets == "earliest")
+  }
+
+  test("each required param omitted fails") {
+    ReplicatorConfig.Required.foreach { req =>
+      val args = minimal.grouped(2).filterNot(_.head == s"--$req").flatten.toSeq
+      val res = ReplicatorConfig.fromArgs(args)
+      assert(res.isLeft, s"expected failure without --$req")
+      assert(res.left.toOption.get.exists(_.contains(req)))
+    }
+  }
+
+  test("unknown option rejected") {
+    val res = ReplicatorConfig.fromArgs(minimal ++ Seq("--bogus", "x"))
+    assert(res.left.toOption.get.exists(_.contains("--bogus")))
+  }
+
+  test("quote substitution << >> in JAAS strings") {
+    val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule required username=<<user>> password=<<pw>>;"
+    val args = minimal ++ Seq("--consumer.sasl.jaas.config", jaas)
+    val cfg = ReplicatorConfig.fromArgs(args).toOption.get
+    assert(cfg.consumerProps("sasl.jaas.config") ==
+      "org.apache.kafka.common.security.plain.PlainLoginModule required username=\"user\" password=\"pw\";")
+  }
+
+  test("D8: exactly-once with txn timeout below checkpoint interval fails") {
+    val args = minimal ++ Seq("--exactly-once",
+      "--transaction-timeout-ms", "500", "--checkpoint-interval-ms", "1000")
+    assert(ReplicatorConfig.fromArgs(args).isLeft)
+  }
+
+  test("D8 passes when timeout covers the interval") {
+    val args = minimal ++ Seq("--exactly-once",
+      "--transaction-timeout-ms", "2000", "--checkpoint-interval-ms", "1000")
+    val cfg = ReplicatorConfig.fromArgs(args).toOption.get
+    assert(cfg.exactlyOnce && cfg.transactionTimeoutMs == 2000L)
+  }
+
+  test("prefix routing: consumer props never leak into producer props") {
+    val args = minimal ++ Seq(
+      "--consumer.security.protocol", "PLAINTEXT",
+      "--producer.sasl.mechanism", "PLAIN")
+    val cfg = ReplicatorConfig.fromArgs(args).toOption.get
+    assert(cfg.consumerProps("security.protocol") == "PLAINTEXT")
+    assert(!cfg.producerProps.contains("security.protocol"))
+    assert(cfg.producerProps("sasl.mechanism") == "PLAIN")
+    assert(!cfg.consumerProps.contains("sasl.mechanism"))
+  }
+
+  test("bare flags and latest-offset") {
+    val cfg = ReplicatorConfig.fromArgs(minimal ++ Seq("--latest-offset",
+      "--no-preserve-partitioning")).toOption.get
+    assert(cfg.startingOffsets == "latest")
+    assert(!cfg.preservePartitioning)
+  }
+}

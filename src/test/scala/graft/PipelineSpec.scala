@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{KafkaMessage, MessageHeader}
+import graft.streaming.Pipeline
+
+/** D1–D7 streaming semantics over MemoryStream (no broker, SURVEY.md §5.3). */
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+
+  private def msg(
+      topic: String, partition: Int, offset: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Array[MessageHeader] = Array.empty) =
+    KafkaMessage(topic, partition, offset,
+      new java.sql.Timestamp(1700000000000L + offset), key, value, headers)
+
+  private val fixtures = Seq(
+    msg("mytopic", 0, 0L, "k1".getBytes, "v1".getBytes,
+      Array(MessageHeader("h", Array[Byte](1, 2)), MessageHeader("h", Array.empty))),
+    msg("mytopic", 1, 1L, null, "v2".getBytes),
+    msg("foo", 0, 2L, "k3".getBytes, null),
+    msg("foo", 0, 3L, Array.empty[Byte], Array.empty[Byte]))
+
+  test("identity transform preserves the envelope byte-exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(fixtures)
+    val q = Pipeline.transform(stream.toDF(), preservePartitioning = true)
+      .writeStream.format("memory").queryName("identity_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("identity_out")
+    assert(got.columns.toSeq == KafkaMessage.columns)
+    val rows = KafkaMessage.toDS(got).collect().sortBy(_.offset)
+    fixtures.zip(rows).foreach { case (exp, act) =>
+      assert(act.topic == exp.topic && act.partition == exp.partition)
+      assert(java.util.Arrays.equals(act.key, exp.key), s"key of ${exp.offset}")
+      assert(java.util.Arrays.equals(act.value, exp.value), s"value of ${exp.offset}")
+      assert(act.timestamp == exp.timestamp)
+      assert(act.headers.length == exp.headers.length)
+      act.headers.zip(exp.headers).foreach { case (a, e) =>
+        assert(a.key == e.key && java.util.Arrays.equals(a.value, e.value))
+      }
+    }
+  }
+
+  test("no-preserve-partitioning drops only the partition column") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(fixtures)
+    val q = Pipeline.transform(stream.toDF(), preservePartitioning = false)
+      .writeStream.format("memory").queryName("nopreserve_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("nopreserve_out")
+    assert(got.columns.toSeq == KafkaMessage.columns.filterNot(_ == "partition"))
+    assert(got.count() == fixtures.size)
+  }
+
+  test("checkpoint resume: no loss across stop/restart (at-least-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(fixtures.take(2))
+    def start() = Pipeline.transform(stream.toDF(), preservePartitioning = true)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    stream.addData(fixtures.drop(2))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val offsets = spark.read.parquet(out).select("offset")
+      .as[Long].collect().sorted
+    assert(offsets.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("idempotent foreachBatch skips replayed batches (exactly-once commit)") {
+    import spark.implicits._
+    val commits = Files.createTempDirectory("graft-commits").toString
+    var writes = Vector.empty[(Long, Long)] // (batchId, rowCount)
+    val write = Pipeline.idempotentForeachBatch(commits,
+      (df, id) => writes :+= (id, df.count()))
+    val batch = KafkaMessage.toDF(spark, fixtures)
+    write(batch, 7L)
+    write(batch, 7L) // replay of the same batch must be a no-op
+    write(batch, 8L)
+    assert(writes == Vector((7L, 4L), (8L, 4L)))
+  }
+}
