@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Replication
+import graft.operators.{Dedup, Multimodal, Payload, Replication, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -9,6 +9,12 @@ import graft.operators.Replication
   * each `oracleSql` entry is the ANSI SQL DuckDB runs over the same parquet
   * tables to hash-check it. Column names/aliases match pairwise — the
   * driver sorts columns by name before hashing.
+  *
+  * Oracle-exactness ground rules used throughout:
+  *  - hashes are md5/sha256 hex strings (identical in both engines);
+  *  - floating-point results come only from single IEEE divisions or
+  *    identically-ordered left folds (never engine-ordered double sums);
+  *  - ties are always broken by an explicit deterministic key.
   */
 object SparkEntry {
 
@@ -28,7 +34,44 @@ object SparkEntry {
       val (src, dst) = Replication.configFixtures(s)
       Replication.configDiff(src, dst)
     }),
+    // --- §2b extended surface: dedup family ---
+    "x1_exact_dedup" -> ((s, dir) => Dedup.exact(s, dir)),
+    "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "x3_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "x4_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    // --- similarity search ---
+    "x5_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
+    "x14_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
+    // --- text analysis ---
+    "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
+    "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
+    "x9_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "x10_token_topn" -> ((s, dir) => TextAnalysis.topTokens(s, dir)),
+    // --- payload decode + event-time windows ---
+    "x11_json_decode" -> ((s, dir) => Payload.jsonDecode(s, dir)),
+    "x12_event_windows" -> ((s, dir) => Payload.eventWindows(s, dir)),
+    // --- multimodal plumbing ---
+    "x13_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
   )
+
+  /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
+    * stays readable — each oracle string is standalone).
+    */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+      |               inter::DOUBLE / (s1.n + s2.n - inter) AS jaccard
+      |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
+
+  private val dotCte = // identical left-fold order as Similarity.dot
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b)"
 
   def oracleSql: Map[String, String] = Map(
     "d1_regex_subscribe" ->
@@ -50,5 +93,121 @@ object SparkEntry {
         |       CASE WHEN a.v IS NULL THEN 'target_only' WHEN b.v IS NULL THEN 'source_only' ELSE 'differs' END AS action
         |FROM src a FULL OUTER JOIN dst b ON a.k = b.k
         |WHERE a.v IS DISTINCT FROM b.v ORDER BY k""".stripMargin,
+
+    "x1_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY sha256(text) ORDER BY doc_id",
+
+    "x2_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |               max(mh) FILTER (seed % 4 = 0) || ',' || max(mh) FILTER (seed % 4 = 1) || ',' ||
+         |               max(mh) FILTER (seed % 4 = 2) || ',' || max(mh) FILTER (seed % 4 = 3) AS sig
+         |        FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT c.d1, c.d2, j.jaccard
+         |FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
+         |WHERE j.jaccard >= 0.8 ORDER BY c.d1, c.d2""".stripMargin,
+
+    "x3_ngram_jaccard" ->
+      s"""WITH $shinglesCte
+         |SELECT d1, d2, inter, n1, n2, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin,
+
+    "x4_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
+        |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+        |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2)
+        |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x5_topk_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    "x6_ann_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         |  (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "x14_cosine_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT v1, v2, round(sim, 4) AS sim4 FROM s WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin,
+
+    "x7_text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(ts)::BIGINT AS n_tokens,
+        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_tok_len,
+        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ttr, avg_tok_len, stop_ratio,
+        |       ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x8_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(ts, ['the','a','of','to','and']))::BIGINT AS s_en,
+        |  len(list_intersect(ts, ['der','die','das','und','ist']))::BIGINT AS s_de,
+        |  len(list_intersect(ts, ['el','la','de','y','es']))::BIGINT AS s_es,
+        |  len(list_intersect(ts, ['le','la','de','et','est']))::BIGINT AS s_fr,
+        |  len(list_intersect(ts, ['的','是','在','有','我']))::BIGINT AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x9_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_token_topn" ->
+      """SELECT tok AS token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "x11_json_decode" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+
+    "x12_event_windows" ->
+      """SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s, event_type,
+        |       count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x13_media_features" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, sha256(text) AS sha256,
+        |       16 * (1 + ascii(substr(text, 1, 1)) % 64) AS width,
+        |       16 * (1 + ascii(substr(text, 2, 1)) % 64) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

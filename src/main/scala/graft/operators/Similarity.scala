@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2b):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * approximate variant as the scale path.
+  *
+  * The vectors are unit-normalized (verified against the corpus), so
+  * cosine similarity is the plain dot product. All arithmetic is done in
+  * Double with a left-to-right fold (`zip_with` + `aggregate`) so the
+  * DuckDB oracle (`list_dot_product` over DOUBLE[]) computes the same
+  * IEEE sum in the same order.
+  */
+object Similarity {
+
+  /** Left-fold double dot product, fully inside codegen-capable
+    * higher-order functions — no UDF, no row-by-row JVM boundary.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** EXT-S1 — exact top-k neighbors by brute force for a query subset
+    * (`vec_id % queryMod == 0`). The query side is broadcast; the corpus
+    * streams through a nested-loop join, so the plan is a single narrow
+    * scan of the corpus at any scale — no shuffle of the big side. Cost
+    * is O(|queries|·|corpus|·dim): exact, and the honest baseline an ANN
+    * variant must beat.
+    *
+    * Output: (vec_id, rank, neighbor_id, sim4) with sim rounded to 4 dp
+    * (both engines round half-away-from-zero).
+    */
+  def bruteForceTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      queryMod: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = broadcast(queries)
+      .join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim4"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Sign-bucket LSH signature: one bit per leading dimension
+    * (random-hyperplane LSH with axis-aligned hyperplanes — deterministic
+    * and oracle-expressible). 2^bits buckets.
+    */
+  def signBucket(embedding: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(embedding, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** EXT-S2 — LSH-bucketed approximate top-k: vectors are hashed into
+    * sign buckets and each vector searches only its own bucket. The
+    * all-pairs nested loop becomes a shuffle join on `bucket`, so cost
+    * scales with Σ|bucket|² instead of |corpus|² — the standard ANN
+    * recall/cost trade. At 100 TB this is the template for IVF: replace
+    * the signature with a nearest-centroid id and broadcast the
+    * centroids.
+    */
+  def bucketedTopK(spark: SparkSession, dir: String, k: Int = 3, bits: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), bits).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qe"))
+    val b = emb.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim4"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
+    * restricted to bucket-colliding pairs (same LSH design as
+    * [[bucketedTopK]]). Returns (v1, v2, sim4) with v1 < v2.
+    */
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), bits).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = emb.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), dot(col("e1"), col("e2")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim4"))
+      .orderBy("v1", "v2")
+  }
+}

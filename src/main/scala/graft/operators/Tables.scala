@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the harness tables used by the extended (§2b) operators.
+  *
+  * All readers are plain parquet scans so Catalyst pushdown applies: any
+  * filter/projection an operator adds reaches the scan (`PushedFilters` /
+  * pruned `ReadSchema` in `.explain("formatted")`). At 100 TB these tables
+  * would be partitioned (e.g. `documents` by `source`, `events` by day);
+  * the operators below only ever add single-column filters and prunable
+  * projections, so partition pruning composes for free.
+  */
+object Tables {
+
+  /** `documents(doc_id, text, lang, source, n_chars)` — the corpus for
+    * dedup / text analysis. Opaque LLM-training-style rows.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** `embeddings(vec_id, embedding: array<float>, label)` — 64-dim unit
+    * vectors for similarity search.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Whitespace tokenizer shared by every text operator. Must stay
+    * byte-for-byte equivalent to the oracle's `string_split(text, ' ')`:
+    * single-space split, no trimming, no lowercasing (the corpus is
+    * already normalized).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct k-token shingles (default k=3), the unit of near-dup
+    * comparison. `transform` over an index `sequence` keeps the whole
+    * computation inside codegen — no UDF, no shuffle.
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*)))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY.md §2b): per-document
+  * statistics + quality score, stopword-list language ID, polynomial
+  * rolling-hash fingerprinting, and corpus-level token frequency.
+  *
+  * Everything is per-document narrow computation (codegen'd higher-order
+  * functions — zero UDFs, zero shuffles) except the token-frequency
+  * aggregation, which is a single partial-agg-friendly groupBy. All
+  * arithmetic is integer or single-step double division so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the language-ID heuristic. Real curation would
+    * load per-language frequency tables; the heuristic shape (set
+    * intersection rate, argmax with deterministic tie-break) is what
+    * scales — it is one `array_intersect` per language per row.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "有", "我"))
+
+  /** EXT-T1 — per-document stats + quality score: token count, type-token
+    * ratio, mean token length, stopword ratio (duplicates counted), and a
+    * deterministic linear quality score. One projection, no shuffle.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+        (sumLen.cast("double") / nTok).as("avg_tok_len"),
+        (stopHits.cast("double") / nTok).as("stop_ratio"))
+      .withColumn("quality",
+        col("ttr") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** EXT-T2 — stopword-list language ID: per-language distinct-hit score,
+    * argmax with fixed priority order (en, de, es, fr, zh) as the
+    * tie-break. Purely row-local.
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.tokens(col("text"))
+    val scored = stopwords.foldLeft(Tables.documents(spark, dir).select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long"))
+    }
+    val langs = stopwords.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, el) =>
+      val others = langs.filter(_ != lang).map(l => col(s"s_$l"))
+      when(col(s"s_$lang") >= greatest(others: _*), lit(lang)).otherwise(el)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .withColumn("score", greatest(langs.map(l => col(s"s_$l")): _*))
+      .select("doc_id", "predicted_lang", "score")
+      .orderBy("doc_id")
+  }
+
+  /** EXT-T3 — document fingerprint: polynomial rolling hash
+    * `acc ← (acc·31 + codepoint) mod (2^31−1)` over the character
+    * stream, as a codegen'd left fold. Identical to the oracle's
+    * `list_reduce`. (Empty-string guard: Spark's `split(text, "")`
+    * yields a trailing "" which `ascii` maps to 0 — filtered out.)
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 2147483647L).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-T4 — corpus token frequency, top N by count (count desc, token
+    * asc). Map-side partial aggregation collapses the per-partition
+    * token stream before the single shuffle; the top-N sort runs on the
+    * (tiny) aggregated relation.
+    */
+  def topTokens(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(n)
+}
