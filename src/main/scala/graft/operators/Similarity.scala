@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold double dot product, fully inside codegen-capable
-    * higher-order functions — no UDF, no row-by-row JVM boundary.
+  /** Left-fold double dot product as a native codegen'd Catalyst
+    * expression ([[graft.functions.DotProductExpression]]) — a primitive
+    * double loop inside whole-stage codegen. The declarative spelling
+    * (`aggregate(zip_with(...))`) computes the identical sum but
+    * evaluates its lambdas interpretively, which measured ~10× slower on
+    * the 2.5M-pair bench hot path.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot_f(a, b)
 
   /** EXT-S1 — exact top-k neighbors by brute force for a query subset
     * (`vec_id % queryMod == 0`). The query side is broadcast; the corpus

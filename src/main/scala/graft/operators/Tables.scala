@@ -34,12 +34,11 @@ object Tables {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct k-token shingles (default k=3), the unit of near-dup
-    * comparison. `transform` over an index `sequence` keeps the whole
-    * computation inside codegen — no UDF, no shuffle.
+    * comparison — a native codegen'd expression
+    * ([[graft.functions.ShinglesExpression]]): one compiled pass per row.
+    * (The declarative `array_distinct(transform(sequence(...)))` spelling
+    * computes the same thing ~100× slower; see the expression's docs.)
     */
   def shingles(toks: Column, k: Int = 3): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o))): _*)))
+    graft.functions.Shingles.shingles(toks, k)
 }

@@ -32,11 +32,14 @@ object TextAnalysis {
     * deterministic linear quality score. One projection, no shuffle.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.tokens(col("text"))
+    val toks = col("toks")
     val nTok = size(toks).cast("long")
     val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("long")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
     Tables.documents(spark, dir)
+      // tokens materialized once; inlining the split into its four
+      // consumers would re-tokenize every row per consumer
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
