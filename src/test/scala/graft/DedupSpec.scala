@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ShingleUtil
+import graft.operators.{Dedup, Tables}
+
+/** SURVEY.md §2b dedup family: exact, n-gram Jaccard (PPJoin), MinHash
+  * LSH, SimHash.
+  */
+class DedupSpec extends AnyFunSuite with SparkSuite {
+
+  // corpus with one exact-duplicate pair (1,2), one near-dup pair (3,4)
+  // differing in a single trailing token, and unrelated docs
+  private lazy val dir = TestTables.documentsDir(spark, Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again and again today",
+    2L -> "the quick brown fox jumps over the lazy dog again and again today",
+    3L -> "pack my box with five dozen liquor jugs before noon on monday ok",
+    4L -> "pack my box with five dozen liquor jugs before noon on monday no",
+    5L -> "sphinx of black quartz judge my vow while the band plays on",
+    6L -> "a completely different document about nothing in particular at all"))
+
+  test("shingles expression: k-grams, distinct, first-occurrence order") {
+    import spark.implicits._
+    val got = Seq("a b c d", "x x x x x", "a b").toDF("text")
+      .select(Tables.shingles(Tables.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x x x")) // duplicates collapsed
+    assert(got(2) == Seq.empty) // shorter than k
+  }
+
+  test("ShingleUtil matches the declarative spelling on harness data") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+    val native = docs.select(col("doc_id"), Tables.shingles(col("toks")).as("sh"))
+    val declarative = docs.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - lit(2)),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("sh"))
+    assert(native.except(declarative).count() == 0 && declarative.except(native).count() == 0)
+  }
+
+  test("exact dedup groups identical texts under the smallest doc_id") {
+    val rows = Dedup.exact(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 2L) // two copies
+  }
+
+  test("ngramJaccard finds exact and near duplicates at 0.8, nothing else") {
+    val rows = Dedup.ngramJaccard(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (3L, 4L)))
+    val exact = rows.find(_.getLong(0) == 1L).get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    val near = rows.find(_.getLong(0) == 3L).get
+    assert(near.getAs[Double]("jaccard") > 0.8 && near.getAs[Double]("jaccard") < 1.0)
+  }
+
+  test("prefix filtering is lossless vs naive all-pairs join (harness data)") {
+    // naive exact reference: explode + full inverted-index join
+    val sfDir = "/root/testdata/sf0.001"
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.8)
+      .select("d1", "d2")
+    val ppjoin = Dedup.ngramJaccard(spark, sfDir).select("d1", "d2")
+    assert(ppjoin.except(naive).count() == 0 && naive.except(ppjoin).count() == 0)
+  }
+
+  test("minhashLsh candidates are verified: subset of exact result, catches exact dups") {
+    val lsh = Dedup.minhashLsh(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh.toSet.subsetOf(exact.toSet))
+    assert(lsh.contains((1L, 2L))) // identical shingle sets always collide
+  }
+
+  test("simhash: identical texts agree, disjoint texts differ, 60-bit range") {
+    val fps = Dedup.simhash(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(6L))
+    fps.values.foreach(v => assert(v >= 0L && v < (1L << 60)))
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val fps = Dedup.simhash(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(3L), fps(4L)) < hamming(fps(3L), fps(6L)))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Payload}
+
+/** SURVEY.md §2b multimodal plumbing + payload decode/windows. */
+class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
+
+  test("media features: byte length, sha256, stubbed decode dims") {
+    val dir = TestTables.documentsDir(spark, Seq(1L -> "abc", 2L -> "héllo"))
+    val byId = Multimodal.mediaFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getLong(1) == 3L)
+    assert(r1.getString(2) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r1.getInt(3) == 16 * (1 + 'a' % 64) && r1.getInt(4) == 16 * (1 + 'b' % 64))
+    assert(byId(2L).getLong(1) == 6L) // é is 2 bytes in UTF-8
+  }
+
+  test("FakeDecode is deterministic and total on edge inputs") {
+    assert(Multimodal.FakeDecode.decode(Array.empty) == (16, 16))
+    assert(Multimodal.FakeDecode.decode(Array(0xff.toByte)) ==
+      (16 * (1 + 255 % 64), 16))
+  }
+
+  test("jsonDecode extracts k for every event (sf0.001)") {
+    val df = Payload.jsonDecode(spark, "/root/testdata/sf0.001")
+    val total = df.count()
+    assert(total > 0 && df.filter("k IS NULL").count() == 0)
+  }
+
+  test("eventWindows partitions all events into 10-minute buckets") {
+    val sfDir = "/root/testdata/sf0.001"
+    val win = Payload.eventWindows(spark, sfDir)
+    val total = graft.operators.Replication.events(spark, sfDir).count()
+    assert(win.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == total)
+    win.collect().foreach(r => assert(r.getLong(0) % 600 == 0))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DotProduct
+import graft.operators.Similarity
+
+/** SURVEY.md §2b similarity search: codegen dot product, brute-force
+  * top-k, LSH-bucketed ANN, cosine near-dup.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  test("dot_f equals a strict left-to-right double fold") {
+    import spark.implicits._
+    val a = Seq(0.1f, -0.2f, 0.3f, 1e-8f)
+    val b = Seq(0.7f, 0.5f, -0.25f, 1e8f)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(DotProduct.dot_f(col("a"), col("b")).as("d")).as[Double].head()
+    assert(got == expected) // bit-exact, not approx
+  }
+
+  // unit-ish vectors in 4-d: 10/11 near-identical, 12 orthogonal, 13 opposite
+  private lazy val dir = TestTables.embeddingsDir(spark, Seq(
+    10L -> Seq(1f, 0f, 0f, 0f),
+    11L -> Seq(0.999f, 0.04f, 0f, 0f),
+    12L -> Seq(0f, 1f, 0f, 0f),
+    13L -> Seq(-1f, 0f, 0f, 0f)))
+
+  test("bruteForceTopK ranks by similarity with deterministic tie-break") {
+    val rows = Similarity.bruteForceTopK(spark, dir, k = 3, queryMod = 10).collect()
+    val forQ10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
+    assert(forQ10.map(_.getLong(2)).toSeq == Seq(11L, 12L, 13L)) // near, orthogonal, opposite
+    assert(forQ10.head.getDouble(3) > 0.99)
+    assert(forQ10.last.getDouble(3) == -1.0)
+  }
+
+  test("bucketedTopK only pairs vectors in the same sign bucket") {
+    val rows = Similarity.bucketedTopK(spark, dir, k = 3, bits = 4).collect()
+    // vec 13 (negative first dim) shares no bucket with 10/11; 12 differs in dims 1-2 signs?
+    // sign(+)=1 for dim>=0: 10,11 -> bucket 1111...; 12 -> also all >= 0; 13 -> dim1 negative
+    val qids = rows.map(_.getLong(0)).toSet
+    assert(!qids.contains(13L)) // alone in its bucket => no neighbors
+    val n10 = rows.filter(_.getLong(0) == 10L).map(_.getLong(2)).toSet
+    assert(n10 == Set(11L, 12L)) // same bucket (all non-negative dims)
+  }
+
+  test("cosineNearDup returns ordered pairs above threshold") {
+    val rows = Similarity.cosineNearDup(spark, dir, threshold = 0.9, bits = 2).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((10L, 11L)))
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("brute force on harness data: ranks strictly ordered, self excluded") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Similarity.bruteForceTopK(spark, sfDir, k = 5, queryMod = 50).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
+      g.foreach(r => assert(r.getLong(2) != qid))
+      // sims non-increasing by rank
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}

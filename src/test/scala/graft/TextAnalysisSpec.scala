@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** SURVEY.md §2b text analysis: stats/quality, lang-id, fingerprint,
+  * token frequency.
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
+
+  private lazy val dir = TestTables.documentsDir(spark, Seq(
+    1L -> "the cat sat on the mat", // 6 tokens, 'the' x2
+    2L -> "uno dos tres cuatro",
+    3L -> "a a a a")) // degenerate: one distinct token, all stopwords
+
+  test("stats: token counts, ttr, stopword ratio, quality formula") {
+    val byId = TextAnalysis.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getLong(1) == 6L)
+    assert(r1.getDouble(2) == 5.0 / 6.0) // 'the' repeats
+    assert(r1.getDouble(4) == 2.0 / 6.0) // stop_ratio counts duplicates
+    val r3 = byId(3L)
+    assert(r3.getDouble(2) == 0.25 && r3.getDouble(4) == 1.0)
+    // quality = ttr*0.5 + (1-stop)*0.3 + min(n/100,1)*0.2 exactly
+    assert(r3.getDouble(5) == 0.25 * 0.5 + (1.0 - 1.0) * 0.3 + (4.0 / 100.0) * 0.2)
+  }
+
+  test("languageId: stopword hits pick the language, en wins ties") {
+    val preds = TextAnalysis.languageId(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(preds(1L) == ("en", 1L)) // distinct stopword hits: {'the'}
+    assert(preds(2L)._1 == "en") // zero everywhere -> priority order
+    assert(preds(2L)._2 == 0L)
+  }
+
+  test("fingerprint matches a reference Scala implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
+    val fps = TextAnalysis.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == ref("the cat sat on the mat"))
+    assert(fps(2L) == ref("uno dos tres cuatro"))
+  }
+
+  test("topTokens: frequency order with lexicographic tie-break") {
+    val rows = TextAnalysis.topTokens(spark, dir, n = 3).collect()
+    assert(rows.head.getString(0) == "a" && rows.head.getLong(1) == 4L)
+    assert(rows(1).getString(0) == "the" && rows(1).getLong(1) == 2L)
+    // counts non-increasing; ties broken by token
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    pairs.zip(pairs.tail).foreach { case ((n1, t1), (n2, t2)) =>
+      assert(n1 > n2 || (n1 == n2 && t1 < t2))
+    }
+  }
+}
