@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch §2b operators (SURVEY.md EXT-6), built on
+  * Structured Streaming: event-time windowed aggregation, watermarked
+  * streaming dedup, and stateful sessionization via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale notes: every operator here is keyed state over a shuffle by key
+  * — the same partitioning story as the batch ops. Watermarks bound state
+  * size (Spark drops window/dedup state older than the watermark), which
+  * is what makes these viable on unbounded 100 TB/day streams; without
+  * them state grows without bound.
+  */
+object StreamOps {
+
+  /** One event of the `events` stream shape (TESTDATA.md). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** An emitted user session. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Internal open-session state (public: the state encoder's generated
+    * code must construct it).
+    */
+  case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** EXT-6a — event-time tumbling windows with order-insensitive
+    * aggregates; the streaming twin of
+    * [[graft.operators.Payload.eventWindows]]. The watermark finalizes
+    * (and garbage-collects) a window once event time passes its end +
+    * delay, so results in Append mode are emitted exactly once per
+    * window.
+    */
+  def windowedCounts(df: DataFrame, windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("min_v"), col("max_v"))
+
+  /** EXT-6b — streaming exact dedup on key columns within the watermark
+    * horizon: the streaming twin of [[graft.operators.Dedup.exact]].
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    * evicts it once the watermark passes — bounded state on an unbounded
+    * stream, without needing the event-time column in the key.
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** EXT-6c — sessionization: group events per user into sessions closed
+    * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with
+    * an event-time timeout. Sessions are emitted when the watermark
+    * passes the gap after their last event — deterministic in event
+    * time, independent of arrival order within a batch.
+    */
+  def sessionize(ds: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
+          } else {
+            // fold the batch's events into the open session, emitting any
+            // session closed by a gap within the (event-time-sorted) batch
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

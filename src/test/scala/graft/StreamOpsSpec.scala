@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+
+/** Streaming §2b ops over MemoryStream: windowed aggregation, watermarked
+  * dedup, sessionization (SURVEY.md §5.3 — no broker needed).
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkSuite {
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+  private def ev(id: Long, min: Int, user: Long, typ: String = "click", v: Double = 1.0) =
+    Event(id, ts(min), user, typ, v)
+
+  test("windowedCounts finalizes a window once the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 10), ev(2, 3, 11, v = 5.0), ev(3, 14, 10))
+      q.processAllAvailable()
+      // watermark still at max(ts)-10min — first window not finalized yet
+      stream.addData(ev(4, 40, 12)) // pushes watermark to min 30 after this batch
+      q.processAllAvailable()
+      stream.addData(ev(5, 41, 12)) // next batch emits windows finalized by that watermark
+      q.processAllAvailable()
+      // tumbling windows align to the epoch, not to the first event
+      def wstart(min: Int) = { val t = ts(min).getTime; t - t % 600000L }
+      val rows = spark.table("win_out").collect()
+      val first = rows.filter(_.getTimestamp(0).getTime == wstart(1))
+      assert(first.length == 1 && first.head.getLong(2) == 2L)
+      assert(first.head.getDouble(3) == 1.0 && first.head.getDouble(4) == 5.0)
+      val second = rows.filter(_.getTimestamp(0).getTime == wstart(14))
+      assert(second.length == 1 && second.head.getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 10), ev(1, 1, 10), ev(2, 2, 11))
+      q.processAllAvailable()
+      stream.addData(ev(1, 1, 10), ev(3, 3, 12)) // replayed duplicate across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on event-time gaps and watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 10 * 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 10: events at min 1,5 (one session), then min 30 (new session)
+      stream.addData(ev(1, 1, 10), ev(2, 5, 10))
+      q.processAllAvailable()
+      stream.addData(ev(3, 30, 10)) // in-batch gap is > 10min, watermark moves to 30
+      q.processAllAvailable()
+      stream.addData(ev(4, 60, 99)) // push watermark past 30+10 -> times out session 2
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect().sortBy(_.session_start.getTime)
+      val u10 = sessions.filter(_.user_id == 10L)
+      assert(u10.length == 2)
+      assert(u10(0).session_start == ts(1) && u10(0).session_end == ts(5) && u10(0).n_events == 2L)
+      assert(u10(1).session_start == ts(30) && u10(1).session_end == ts(30) && u10(1).n_events == 1L)
+    } finally q.stop()
+  }
+}
