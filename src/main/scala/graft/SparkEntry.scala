@@ -158,14 +158,15 @@ object SparkEntry {
          |SELECT v1, v2, round(sim, 4) AS sim4 FROM s WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin,
 
     "x7_text_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
         |s AS (SELECT doc_id,
         |  len(ts)::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_subtokens,
         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_tok_len,
         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
         |  FROM t)
-        |SELECT doc_id, n_tokens, ttr, avg_tok_len, stop_ratio,
+        |SELECT doc_id, n_tokens, n_subtokens, ttr, avg_tok_len, stop_ratio,
         |       ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
 

@@ -72,4 +72,48 @@ object Multimodal {
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMedia(spark, dir)).toDF().orderBy("doc_id")
+
+  /** A "resized" media record: payload re-encoded at target dimensions. */
+  case class ResizedRecord(doc_id: Long, payload: Array[Byte], media_type: String,
+      width: Int, height: Int)
+
+  /** EXT-M2 — STUB resize: a real implementation decodes, scales, and
+    * re-encodes each payload; the deterministic fake truncates the
+    * payload proportionally to the area ratio so output sizes behave
+    * like a real downscale. Batch shape identical to [[extractFeatures]]
+    * — swap the body for a codec call and nothing else changes.
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[ResizedRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { rec =>
+        val (w, h) = FakeDecode.decode(rec.payload)
+        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+        val outLen = math.max(1, (rec.payload.length * ratio).toInt)
+        ResizedRecord(rec.doc_id, rec.payload.take(outLen), rec.media_type, targetW, targetH)
+      }
+    }
+  }
+
+  /** One sampled "frame" of a video-like payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
+
+  /** EXT-M3 — STUB frame sampling: treats the payload as `frameSize`-byte
+    * frames and emits every `stride`-th one — the plumbing (one-to-many
+    * flatMap per record, bounded output, deterministic offsets) of real
+    * video frame extraction without a codec.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int = 16, stride: Int = 4,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { rec =>
+        val nFrames = rec.payload.length / frameSize
+        (0 until nFrames by stride).take(maxFrames).iterator.map { i =>
+          Frame(rec.doc_id, i, i * frameSize,
+            java.util.Arrays.copyOfRange(rec.payload, i * frameSize, (i + 1) * frameSize))
+        }
+      }
+    }
+  }
 }

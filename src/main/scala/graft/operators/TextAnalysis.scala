@@ -27,9 +27,16 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("的", "是", "在", "有", "我"))
 
-  /** EXT-T1 — per-document stats + quality score: token count, type-token
-    * ratio, mean token length, stopword ratio (duplicates counted), and a
-    * deterministic linear quality score. One projection, no shuffle.
+  /** A BPE-ish pre-tokenization regex (letter runs / digit runs /
+    * single punctuation), the usual first pass of subword tokenizers.
+    * Mirrored verbatim in the oracle's `regexp_extract_all`.
+    */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** EXT-T1 — per-document stats + quality score: whitespace and BPE-ish
+    * regex token counts, type-token ratio, mean token length, stopword
+    * ratio (duplicates counted), and a deterministic linear quality
+    * score. One projection, no shuffle.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
@@ -39,10 +46,11 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       // tokens materialized once; inlining the split into its four
       // consumers would re-tokenize every row per consumer
-      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), Tables.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
+        regexp_count(col("text"), lit(subtokenPattern)).cast("long").as("n_subtokens"),
         (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
         (sumLen.cast("double") / nTok).as("avg_tok_len"),
         (stopHits.cast("double") / nTok).as("stop_ratio"))

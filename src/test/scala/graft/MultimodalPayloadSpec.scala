@@ -25,6 +25,25 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
       (16 * (1 + 255 % 64), 16))
   }
 
+  test("resize stub: bounded output size, metadata carried") {
+    val dir = TestTables.documentsDir(spark, Seq(1L -> ("x" * 100)))
+    val out = Multimodal.resize(Multimodal.asMedia(spark, dir), 16, 16).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.width == 16 && r.height == 16)
+    assert(r.payload.length <= 100 && r.payload.length >= 1)
+  }
+
+  test("frame sampling stub: stride, offsets, bounded frame count") {
+    val dir = TestTables.documentsDir(spark, Seq(1L -> ("abcd" * 64))) // 256 bytes
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(spark, dir)).collect()
+    assert(frames.length == 4) // 16 frames, stride 4
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8, 12))
+    frames.foreach { f =>
+      assert(f.offset == f.frame_idx * 16 && f.frame.length == 16)
+    }
+  }
+
   test("jsonDecode extracts k for every event (sf0.001)") {
     val df = Payload.jsonDecode(spark, "/root/testdata/sf0.001")
     val total = df.count()

@@ -18,13 +18,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     val byId = TextAnalysis.stats(spark, dir).collect()
       .map(r => r.getLong(0) -> r).toMap
     val r1 = byId(1L)
-    assert(r1.getLong(1) == 6L)
-    assert(r1.getDouble(2) == 5.0 / 6.0) // 'the' repeats
-    assert(r1.getDouble(4) == 2.0 / 6.0) // stop_ratio counts duplicates
+    assert(r1.getAs[Long]("n_tokens") == 6L)
+    assert(r1.getAs[Long]("n_subtokens") == 6L) // plain words: same as whitespace
+    assert(r1.getAs[Double]("ttr") == 5.0 / 6.0) // 'the' repeats
+    assert(r1.getAs[Double]("stop_ratio") == 2.0 / 6.0) // stop_ratio counts duplicates
     val r3 = byId(3L)
-    assert(r3.getDouble(2) == 0.25 && r3.getDouble(4) == 1.0)
+    assert(r3.getAs[Double]("ttr") == 0.25 && r3.getAs[Double]("stop_ratio") == 1.0)
     // quality = ttr*0.5 + (1-stop)*0.3 + min(n/100,1)*0.2 exactly
-    assert(r3.getDouble(5) == 0.25 * 0.5 + (1.0 - 1.0) * 0.3 + (4.0 / 100.0) * 0.2)
+    assert(r3.getAs[Double]("quality") == 0.25 * 0.5 + (1.0 - 1.0) * 0.3 + (4.0 / 100.0) * 0.2)
+  }
+
+  test("n_subtokens: BPE-ish regex splits digit runs and punctuation") {
+    val d2 = TestTables.documentsDir(spark, Seq(1L -> "ab12 c-d  e"))
+    val r = TextAnalysis.stats(spark, d2).collect().head
+    assert(r.getAs[Long]("n_subtokens") == 6L) // ab|12|c|-|d|e
   }
 
   test("languageId: stopword hits pick the language, en wins ties") {
