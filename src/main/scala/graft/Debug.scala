@@ -21,6 +21,9 @@ object Debug {
       val n = df.count()
       println(s"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}s")
     }
+    df.collect()
+    println("=== executed plan (post-AQE) ===")
+    println(df.queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }
 }

@@ -86,13 +86,24 @@ object Dedup {
     val prefLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
     val pref = arr.select(col("doc_id"), col("n"),
       explode(slice(sort_array(col("shs")), lit(1), prefLen)).as("shingle"))
-    val a = pref.select(col("doc_id").as("d1"), col("n").as("na"), col("shingle").as("sh_a"))
-    val b = pref.select(col("doc_id").as("d2"), col("n").as("nb"), col("shingle").as("sh_b"))
-    val candidates = a.hint("merge")
-      .join(b.hint("merge"),
-        col("sh_a") === col("sh_b") && col("d1") < col("d2") &&
-          col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
-      .select("d1", "d2")
+    // inverted-index candidate generation WITHOUT a self-join: group the
+    // prefix postings by shingle and emit ordered pairs within each
+    // posting list. A self-join spelling computes the whole upstream
+    // pipeline once per side (exchange reuse does not fire across
+    // self-join sides here); this shape computes it once. Posting lists
+    // are short by construction (prefixes only), so the in-group pair
+    // expansion is row-local and skew-safe.
+    val candidates = pref
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        s"""filter(
+           |  flatten(transform(ds, x -> transform(ds, y ->
+           |    named_struct('d1', x.doc_id, 'na', x.n, 'd2', y.doc_id, 'nb', y.n)))),
+           |  p -> p.d1 < p.d2 AND p.na >= ceil(p.nb * $threshold)
+           |               AND p.nb >= ceil(p.na * $threshold))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
@@ -118,7 +129,14 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val arr = shingleArrays(spark, dir)
+    // repartition the shingle postings BEFORE the numHashes× explode:
+    // the seeded-md5 work downstream dwarfs this skinny shuffle, and on
+    // a single-split scan (harness files = one row group) it would
+    // otherwise all run on one core. The groupBy below shuffles by
+    // (doc_id, seed) anyway — this just moves the md5 evaluation to the
+    // parallel side of a shuffle that was already being paid.
     val sh = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .repartition(col("doc_id"))
     // one row per (doc, seed): the seeded min-hash. The hash value is the
     // top 60 bits of md5 as a BIGINT — a fixed-width aggregation buffer,
     // so `min` runs in HashAggregate with map-side partial aggregation
@@ -140,11 +158,16 @@ object Dedup {
         max(when(pmod(col("seed"), lit(rowsPerBand)) === 0, col("mh"))).as("m0"),
         (1 until rowsPerBand).map(r =>
           max(when(pmod(col("seed"), lit(rowsPerBand)) === r, col("mh"))).as(s"m$r")): _*)
-    val candidates = sig.as("a").hint("merge")
-      .join(sig.as("b").hint("merge"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id") &&
-          (0 until rowsPerBand).map(r => col(s"a.m$r") === col(s"b.m$r")).reduce(_ && _))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // same inverted-index shape as ngramJaccard: bucket by full band
+    // signature, emit ordered pairs within each bucket — the minhash
+    // pipeline is computed once (a self-join would compute it per side)
+    val candidates = sig
+      .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ds, x -> transform(ds, y -> named_struct('d1', x, 'd2', y)))), p -> p.d1 < p.d2)")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "jaccard")

@@ -16,6 +16,12 @@ object Tables {
 
   /** `documents(doc_id, text, lang, source, n_chars)` — the corpus for
     * dedup / text analysis. Opaque LLM-training-style rows.
+    *
+    * Bare scans on purpose: a blanket repartition-after-scan was measured
+    * to cost more (one extra shuffle per query) than single-split scans
+    * cost on these small inputs. Operators that EXPAND rows by a large
+    * factor before their first shuffle (minhash's 16×) repartition
+    * explicitly at their expansion point instead.
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
