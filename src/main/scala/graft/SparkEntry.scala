@@ -43,6 +43,7 @@ object SparkEntry {
     "x5_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
     "x14_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
+    "x15_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -156,6 +157,23 @@ object SparkEntry {
          |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT v1, v2, round(sim, 4) AS sim4 FROM s WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin,
+
+    "x15_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |asg AS (SELECT e.vec_id, c.ccid,
+         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+         |                 c.ccid) AS rn
+         |        FROM e CROSS JOIN c),
+         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
+         |s AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
+         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
+         |      FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
+         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

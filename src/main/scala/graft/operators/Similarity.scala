@@ -89,6 +89,48 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** EXT-S3 — IVF (inverted-file) approximate top-k: every vector is
+    * assigned to its nearest CENTROID cell and searches only that cell
+    * (nprobe=1). Centroids here are deterministically seeded (the first
+    * `nCentroids` vectors by id) so the correctness oracle can reproduce
+    * the assignment; production swaps in k-means centroids — the
+    * plumbing (broadcast centroids, row-local argmax assignment, cell
+    * join) is identical and is what scales: assignment is one narrow
+    * pass over the corpus with the centroid table broadcast, and search
+    * cost drops from |corpus|² to Σ|cell|².
+    *
+    * Cell assignment is a row-local argmax over the broadcast centroid
+    * dot products (struct-max trick, ties to the lowest centroid id) —
+    * no shuffle, no window, no UDF.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nCentroids: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    // argmax via array_max over (score, inverted-id): ties pick the
+    // highest inverted id = lowest centroid id, matching the oracle's
+    // ORDER BY score DESC, cid ASC
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    val withCell = emb.select(col("vec_id"), col("embedding"),
+      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+    val a = withCell.select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qe"))
+    val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim4"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
     * restricted to bucket-colliding pairs (same LSH design as
     * [[bucketedTopK]]). Returns (v1, v2, sim4) with v1 < v2.

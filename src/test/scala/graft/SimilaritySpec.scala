@@ -53,6 +53,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("ivfTopK on harness data: ranks ordered, self excluded, nonempty") {
+    val rows = Similarity.ivfTopK(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
+      g.foreach(r => assert(r.getLong(2) != qid))
+    }
+  }
+
   test("brute force on harness data: ranks strictly ordered, self excluded") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Similarity.bruteForceTopK(spark, sfDir, k = 5, queryMod = 50).collect()
