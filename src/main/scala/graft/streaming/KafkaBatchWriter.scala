@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The record-complete produce surface — closes the two gaps Spark's
+  * built-in Kafka sink leaves against the reference (SURVEY.md §7.4):
+  *
+  *  1. **Timestamp preservation (D5)**: the built-in sink ignores any
+  *     timestamp column; the reference forwards the record timestamp
+  *     (reference: KafkaMessageSerializationSchema.java:20). A
+  *     [[RecordSender]] receives it explicitly.
+  *  2. **Exactly-once (D6)**: the built-in sink is at-least-once; the
+  *     reference's transactional 2PC (reference:
+  *     FlinkKafkaReplicator.java:120-124) maps to `foreachBatch` with a
+  *     transactional producer whose commit is tied to the batch id —
+  *     compose [[write]] with [[Pipeline.idempotentForeachBatch]].
+  *
+  * The production sender wraps a transactional
+  * `org.apache.kafka.clients.KafkaProducer` and binds at deploy time
+  * (kafka-clients is not on this build's classpath); specs use an
+  * in-memory sender to assert byte-exact envelope delivery.
+  */
+trait RecordSender extends Serializable {
+  /** One record, envelope-complete. `partition == None` delegates to the
+    * producer's DefaultPartitioner (murmur2 of key — see
+    * [[graft.functions.KafkaMurmur2]]), exactly the reference's
+    * `--no-preserve-partitioning` behavior (reference:
+    * KafkaMessageSerializationSchema.java:19).
+    */
+  def send(topic: String, partition: Option[Int], timestampMs: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Unit
+
+  /** Commit barrier: flush (at-least-once) or commit the transaction
+    * (exactly-once). Called once per task after its rows are sent.
+    */
+  def flush(): Unit
+}
+
+object KafkaBatchWriter {
+
+  /** A `foreachBatch` body: stream the batch's envelope rows through a
+    * per-task [[RecordSender]]. No shuffle — each task drains its own
+    * partition of the microbatch; `senderFactory` runs on the executor
+    * (one sender per task, flushed at task end).
+    */
+  def write(senderFactory: () => RecordSender, preservePartitioning: Boolean)(
+      df: DataFrame, batchId: Long): Unit = {
+    val cols = df.select(
+      col("topic"), col("partition"), col("timestamp").as("ts"),
+      col("key"), col("value"), col("headers"))
+    cols.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val sender = senderFactory()
+        rows.foreach { r =>
+          val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
+            .getOrElse(Seq.empty)
+            .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
+          sender.send(
+            r.getString(r.fieldIndex("topic")),
+            if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
+            r.getTimestamp(r.fieldIndex("ts")).getTime,
+            r.getAs[Array[Byte]]("key"),
+            r.getAs[Array[Byte]]("value"),
+            headers)
+        }
+        sender.flush()
+      }
+    }
+  }
+
+  /** The full exactly-once sink: record-complete produce + idempotent
+    * batch commit. Replayed microbatches (failure/restart) are skipped
+    * once marked committed, so a transactional sender yields
+    * effectively-once delivery.
+    */
+  def exactlyOnceSink(
+      senderFactory: () => RecordSender,
+      preservePartitioning: Boolean,
+      commitDir: String): (DataFrame, Long) => Unit =
+    Pipeline.idempotentForeachBatch(commitDir, write(senderFactory, preservePartitioning))
+}

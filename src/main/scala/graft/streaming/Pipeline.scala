@@ -89,11 +89,35 @@ object Pipeline {
     }
   }
 
-  /** Whole pipeline, Kafka to Kafka. Returns the started query. */
+  /** Whole pipeline, Kafka to Kafka (at-least-once, built-in sink — the
+    * reference's default semantic). Returns the started query.
+    */
   def start(spark: SparkSession, cfg: ReplicatorConfig, checkpointLocation: String): StreamingQuery = {
     val src = kafkaSource(spark, cfg).load()
     kafkaSink(transform(src, cfg.preservePartitioning), cfg, checkpointLocation).start()
   }
+
+  /** The `--exactly-once` pipeline: same source, but the sink is
+    * [[KafkaBatchWriter.exactlyOnceSink]] — record-complete produce
+    * (timestamp + partition/DefaultPartitioner routing handled by the
+    * sender, so the envelope keeps its `partition` column here) with
+    * idempotent per-batch commit. With a transactional sender this is
+    * the reference's `Semantic.EXACTLY_ONCE` (reference:
+    * FlinkKafkaReplicator.java:120-124) on Spark's microbatch model.
+    */
+  def startExactlyOnce(
+      spark: SparkSession,
+      cfg: ReplicatorConfig,
+      checkpointLocation: String,
+      commitDir: String,
+      senderFactory: () => RecordSender): StreamingQuery =
+    kafkaSource(spark, cfg).load()
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
+      .foreachBatch(KafkaBatchWriter.exactlyOnceSink(
+        senderFactory, cfg.preservePartitioning, commitDir))
+      .start()
 
   /** D7 restart analog — fixed-delay retry around `awaitTermination`
     * (reference: FlinkKafkaReplicator.java:99 — 4 attempts / 10 s).

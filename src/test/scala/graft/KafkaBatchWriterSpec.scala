@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{KafkaMessage, MessageHeader}
+import graft.streaming.{KafkaBatchWriter, RecordSender}
+
+/** The record-complete sink path (SURVEY.md §7.4 hard parts 1+2):
+  * timestamp preservation and exactly-once batch commit, asserted through
+  * an in-memory sender.
+  */
+class KafkaBatchWriterSpec extends AnyFunSuite with SparkSuite {
+
+  private def newSender(): () => RecordSender = {
+    CollectingSender.clear()
+    () => new CollectingSender
+  }
+
+  private def msg(offset: Long, partition: Int, tsMs: Long) =
+    KafkaMessage("t", partition, offset, new java.sql.Timestamp(tsMs),
+      s"k$offset".getBytes, s"v$offset".getBytes,
+      Array(MessageHeader("h", Array[Byte](1)), MessageHeader("h", Array.empty)))
+
+  test("write preserves the full envelope including the record timestamp") {
+    val msgs = Seq(msg(0, 3, 1700000000123L), msg(1, 5, 1700000000456L))
+    KafkaBatchWriter.write(newSender(), preservePartitioning = true)(
+      KafkaMessage.toDF(spark, msgs), 0L)
+    val sent = CollectingSender.snapshot().sortBy(_.tsMs)
+    assert(sent.length == 2)
+    assert(sent(0).tsMs == 1700000000123L) // D5: timestamp forwarded, not dropped
+    assert(sent(0).partition.contains(3))
+    assert(new String(sent(0).key) == "k0" && new String(sent(0).value) == "v0")
+    assert(sent(0).headers.map(_._1) == Seq("h", "h")) // dup keys, order kept
+    assert(CollectingSender.flushes() >= 1) // commit barrier ran
+  }
+
+  test("no-preserve-partitioning delegates partition choice to the producer") {
+    KafkaBatchWriter.write(newSender(), preservePartitioning = false)(
+      KafkaMessage.toDF(spark, Seq(msg(0, 3, 1L))), 0L)
+    assert(CollectingSender.snapshot().head.partition.isEmpty)
+  }
+
+  test("exactlyOnceSink skips a replayed batch id end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val commitDir = Files.createTempDirectory("graft-eo").toString
+    val sink = KafkaBatchWriter.exactlyOnceSink(newSender(), preservePartitioning = true, commitDir)
+    val df = KafkaMessage.toDF(spark, Seq(msg(0, 0, 10L), msg(1, 0, 20L)))
+    sink(df, 42L)
+    sink(df, 42L) // replay after simulated failure: must not double-produce
+    sink(df, 43L)
+    assert(CollectingSender.snapshot().length == 4) // 2 batches x 2 records
+  }
+
+  test("streaming end-to-end: MemoryStream through foreachBatch sender") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val commitDir = Files.createTempDirectory("graft-eo2").toString
+    CollectingSender.clear()
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(msg(0, 1, 100L), msg(1, 2, 200L))
+    val q = stream.toDF().writeStream
+      .foreachBatch(KafkaBatchWriter.exactlyOnceSink(
+        () => new CollectingSender, preservePartitioning = true, commitDir))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sent = CollectingSender.snapshot().sortBy(_.tsMs)
+    assert(sent.map(_.tsMs) == Seq(100L, 200L))
+    assert(sent.map(_.partition) == Seq(Some(1), Some(2)))
+  }
+
+}
+
+/** Records land in a JVM-static sink (executors share the JVM in local
+  * mode). flush() marks the commit barrier. Top-level on purpose: the
+  * sender factory closure must not capture the spec instance.
+  */
+case class Sent(topic: String, partition: Option[Int], tsMs: Long,
+    key: Array[Byte], value: Array[Byte], headers: Seq[(String, Array[Byte])])
+
+class CollectingSender extends RecordSender {
+  override def send(topic: String, partition: Option[Int], timestampMs: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Unit =
+    CollectingSender.add(Sent(topic, partition, timestampMs, key, value, headers))
+  override def flush(): Unit = CollectingSender.bumpFlush()
+}
+
+object CollectingSender {
+  private val records = new java.util.concurrent.ConcurrentLinkedQueue[Sent]()
+  private val nFlush = new java.util.concurrent.atomic.AtomicInteger(0)
+  def add(s: Sent): Unit = records.add(s)
+  def bumpFlush(): Unit = nFlush.incrementAndGet()
+  def flushes(): Int = nFlush.get()
+  def clear(): Unit = { records.clear(); nFlush.set(0) }
+  def snapshot(): Seq[Sent] = {
+    import scala.jdk.CollectionConverters._
+    records.asScala.toSeq
+  }
+}
