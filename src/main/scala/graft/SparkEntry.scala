@@ -39,6 +39,7 @@ object SparkEntry {
     "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "x3_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x4_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "x16_simhash_near_dup" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     // --- similarity search ---
     "x5_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
@@ -128,6 +129,23 @@ object SparkEntry {
         |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2)
         |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x16_simhash_near_dup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
+        |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+        |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b2, (simhash >> (b2 * 12)::INT) & 4095 AS band_val
+        |           FROM sh, unnest(range(0, 5)) AS t2(b2)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT c.d1, c.d2, bit_count(xor(s1.simhash::BIT, s2.simhash::BIT))::BIGINT AS hamming
+        |FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
+        |WHERE bit_count(xor(s1.simhash::BIT, s2.simhash::BIT)) <= 4
+        |ORDER BY c.d1, c.d2""".stripMargin,
 
     "x5_topk_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),

@@ -189,7 +189,11 @@ object Dedup {
     * accumulates +w/−w by token weight (occurrence count); the fingerprint
     * sets bits with positive sums. Two keyed aggregations, no joins.
     */
-  def simhash(spark: SparkSession, dir: String, bits: Int = 60): DataFrame = {
+  def simhash(spark: SparkSession, dir: String, bits: Int = 60): DataFrame =
+    simhashes(spark, dir, bits).orderBy("doc_id")
+
+  /** The (doc_id, simhash) relation without the presentation sort. */
+  private def simhashes(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val tokenWeights = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
@@ -204,6 +208,42 @@ object Dedup {
       .withColumn("bitval", when(col("s") > 0, expr("shiftleft(1L, int(b))")).otherwise(lit(0L)))
       .groupBy("doc_id")
       .agg(sum("bitval").as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** EXT-D6 — SimHash near-dup pairs at a Hamming-distance threshold via
+    * banded bucketing: the 60-bit fingerprint splits into `bands`
+    * equal-width bands; pairs colliding on any band become candidates;
+    * candidates are filtered by exact Hamming distance. EXACT for
+    * `maxHamming ≤ bands − 1` by pigeonhole (≤ bands−1 differing bits
+    * cannot dirty all `bands` bands, so some band matches). Same
+    * bucket-local pair generation as the LSH operators — the fingerprint
+    * relation is computed once and never self-joined.
+    */
+  def simhashNearDup(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      bits: Int = 60): DataFrame = {
+    require(maxHamming <= bands - 1, "banding is only exact for maxHamming <= bands - 1")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = simhashes(spark, dir, bits)
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("band_val", expr(s"shiftright(simhash, int(b * $bandBits)) & $mask"))
+    banded
+      .groupBy("b", "band_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ds, x -> transform(ds, y ->
+          |    named_struct('d1', x.doc_id, 'h1', x.simhash, 'd2', y.doc_id, 'h2', y.simhash)))),
+          |  p -> p.d1 < p.d2)""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        expr("CAST(bit_count(p.h1 ^ p.h2) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("d1", "d2")
   }
 }

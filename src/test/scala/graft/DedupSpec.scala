@@ -92,6 +92,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     fps.values.foreach(v => assert(v >= 0L && v < (1L << 60)))
   }
 
+  test("simhashNearDup: banded join finds exactly the pairs within the threshold") {
+    // brute-force reference over collected fingerprints
+    val fps = Dedup.simhash(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      (d1, h1) <- fps; (d2, h2) <- fps
+      if d1 < d2 && ham(h1, h2) <= 4
+    } yield (d1, d2, ham(h1, h2).toLong)).sorted.toSeq
+    val got = Dedup.simhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expected) // pigeonhole: exact for maxHamming <= bands-1
+    assert(got.exists { case (d1, d2, h) => d1 == 1L && d2 == 2L && h == 0L })
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val fps = Dedup.simhash(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
