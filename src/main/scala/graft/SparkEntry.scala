@@ -48,6 +48,7 @@ object SparkEntry {
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
+    "x17_lang_id_ngram" -> ((s, dir) => TextAnalysis.languageIdNgram(s, dir)),
     "x9_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "x10_token_topn" -> ((s, dir) => TextAnalysis.topTokens(s, dir)),
     // --- payload decode + event-time windows ---
@@ -222,6 +223,24 @@ object SparkEntry {
         |       WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
         |       ELSE 'zh' END AS predicted_lang,
         |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x17_lang_id_ngram" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text)), i -> substr(text, i::INT, 2))) AS grams FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(grams, ['th','he','in','er','an','re','on','at']))::BIGINT AS g_en,
+        |  len(list_intersect(grams, ['en','er','ch','de','ei','nd','te','ie']))::BIGINT AS g_de,
+        |  len(list_intersect(grams, ['de','en','el','la','os','es','ar','ue']))::BIGINT AS g_es,
+        |  len(list_intersect(grams, ['es','le','de','en','re','nt','on','ou']))::BIGINT AS g_fr,
+        |  len(list_intersect(grams, ['的是','是在','在有','有我','我的','的一','一是','是了']))::BIGINT AS g_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN g_en >= greatest(g_de, g_es, g_fr, g_zh) THEN 'en'
+        |       WHEN g_de >= greatest(g_en, g_es, g_fr, g_zh) THEN 'de'
+        |       WHEN g_es >= greatest(g_en, g_de, g_fr, g_zh) THEN 'es'
+        |       WHEN g_fr >= greatest(g_en, g_de, g_es, g_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  greatest(g_en, g_de, g_es, g_fr, g_zh) AS score
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "x9_fingerprint" ->

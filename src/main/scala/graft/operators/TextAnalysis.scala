@@ -83,6 +83,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-bigram profiles for the n-gram language-ID heuristic —
+    * the most frequent bigrams of each language's common function words.
+    * Tiny on purpose (real systems ship a few hundred per language; the
+    * operator shape — distinct-ngram intersection + argmax — is the
+    * same at any profile size).
+    */
+  val bigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "nd", "te", "ie"),
+    "es" -> Seq("de", "en", "el", "la", "os", "es", "ar", "ue"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "ou"),
+    "zh" -> Seq("的是", "是在", "在有", "有我", "我的", "的一", "一是", "是了"))
+
+  /** EXT-T2b — character-n-gram language ID: score each language by how
+    * many of its profile bigrams occur among the document's distinct
+    * character bigrams; argmax with the same fixed priority tie-break as
+    * [[languageId]]. Row-local (one `transform` + K intersections); the
+    * heavier machinery (weighted profiles, trigrams) drops in without
+    * changing the plan shape.
+    */
+  def languageIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = array_distinct(expr(
+      "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+    val scored = bigramProfiles.foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), grams.as("grams"))) {
+      case (df, (lang, gs)) =>
+        df.withColumn(s"g_$lang",
+          size(array_intersect(col("grams"), array(gs.map(lit): _*))).cast("long"))
+    }
+    val langs = bigramProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, el) =>
+      val others = langs.filter(_ != lang).map(l => col(s"g_$l"))
+      when(col(s"g_$lang") >= greatest(others: _*), lit(lang)).otherwise(el)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .withColumn("score", greatest(langs.map(l => col(s"g_$l")): _*))
+      .select("doc_id", "predicted_lang", "score")
+      .orderBy("doc_id")
+  }
+
   /** EXT-T3 — document fingerprint: polynomial rolling hash
     * `acc ← (acc·31 + codepoint) mod (2^31−1)` over the character
     * stream, as a codegen'd left fold. Identical to the oracle's

@@ -42,6 +42,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(preds(2L)._2 == 0L)
   }
 
+  test("languageIdNgram: bigram profiles discriminate real-language samples") {
+    val d2 = TestTables.documentsDir(spark, Seq(
+      1L -> "the weather here and there in the north",
+      2L -> "die kinder spielen in dem schoenen garten",
+      3L -> "los ninos juegan en el parque de la ciudad"))
+    val preds = TextAnalysis.languageIdNgram(spark, d2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "es")
+  }
+
   test("fingerprint matches a reference Scala implementation") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
