@@ -56,6 +56,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    val stream = MemoryStream[Event]
+    // file sink: the memory sink does not support checkpoint recovery
+    def start() = StreamOps.sessionize(stream.toDS(), gapMs = 10 * 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      stream.addData(ev(1, 1, 7), ev(2, 5, 7)) // open session for user 7
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart from checkpoint: open-session state must be restored
+    try {
+      stream.addData(ev(3, 30, 7)) // gap > 10min closes the restored session
+      q2.processAllAvailable()
+      stream.addData(ev(4, 60, 99))
+      q2.processAllAvailable()
+      val sessions = spark.read.parquet(out).as[Session].collect()
+        .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+      assert(sessions.nonEmpty)
+      // the pre-restart events form one session spanning min 1..5
+      assert(sessions.head.session_start == ts(1) && sessions.head.session_end == ts(5)
+        && sessions.head.n_events == 2L)
+    } finally q2.stop()
+  }
+
   test("sessionize closes sessions on event-time gaps and watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
