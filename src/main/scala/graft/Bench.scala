@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: exercises codegen/JIT and parquet reader init so the
-    // first timed query doesn't absorb session startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // untimed warmup ON THE BENCH DATASET: initializes its parquet
+    // footers and the scan machinery so the first timed query doesn't
+    // absorb session startup
+    try SparkEntry.queries("d4_identity")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // two passes, best-of per query: single-run times vary ±30% in this
     // shared environment (GC, JIT, page cache); min is the stable signal
     def pass(): Seq[(String, Double)] =

@@ -67,7 +67,12 @@ object Main {
       Class.forName("graft.admin.AdminClientMetadataClient")
         .getConstructor(classOf[Map[String, String]])
         .newInstance(props).asInstanceOf[TopicMetadataClient]
-    run(args, spark, clientFor, checkpoint) match {
+    val outcome =
+      try run(args, spark, clientFor, checkpoint)
+      catch { // e.g. missing deploy-time admin binding, unreachable brokers
+        case e: Throwable => Left(Seq(s"fatal: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    outcome match {
       case Left(errors) =>
         errors.foreach(System.err.println)
         System.err.println(ReplicatorConfig.usage)

@@ -25,7 +25,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, DoubleType, F
 case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; getFloat below fails loudly otherwise
+  // Analysis-time type check is load-bearing: getFloat over an
+  // array<double> UnsafeArrayData would silently read half of each slot
+  // and return garbage, not throw.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_f expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

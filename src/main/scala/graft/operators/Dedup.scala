@@ -103,17 +103,19 @@ object Dedup {
     // self-join sides here); this shape computes it once. Posting lists
     // are short by construction (prefixes only), so the in-group pair
     // expansion is row-local and skew-safe.
+    // pair expansion as two chained explodes: |bucket|² pairs STREAM
+    // through the Generate operators row by row — never materialized as
+    // one |bucket|²-element array in a single row (which is what OOMs on
+    // a hot posting at scale; per-row memory here is O(|bucket|))
     val candidates = pref
       .groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        s"""filter(
-           |  flatten(transform(ds, x -> transform(ds, y ->
-           |    named_struct('d1', x.doc_id, 'na', x.n, 'd2', y.doc_id, 'nb', y.n)))),
-           |  p -> p.d1 < p.d2 AND p.na >= ceil(p.nb * $threshold)
-           |               AND p.nb >= ceil(p.na * $threshold))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.n") >= ceil(col("y.n") * threshold) && col("y.n") >= ceil(col("x.n") * threshold))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
@@ -171,13 +173,16 @@ object Dedup {
     // same inverted-index shape as ngramJaccard: bucket by full band
     // signature, emit ordered pairs within each bucket — the minhash
     // pipeline is computed once (a self-join would compute it per side)
+    // streaming pair expansion (see ngramJaccard) — per-row memory stays
+    // O(|bucket|) even on a degenerate band signature
     val candidates = sig
       .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "filter(flatten(transform(ds, x -> transform(ds, y -> named_struct('d1', x, 'd2', y)))), p -> p.d1 < p.d2)")).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("ds"), explode(col("ds")).as("d1"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
       .distinct()
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "jaccard")
@@ -231,17 +236,19 @@ object Dedup {
     val banded = simhashes(spark, dir, bits)
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("band_val", expr(s"shiftright(simhash, int(b * $bandBits)) & $mask"))
+    // streaming pair expansion (see ngramJaccard). Scale note: 12-bit
+    // bands saturate as the corpus approaches 4096·|avg bucket| docs —
+    // widen bandBits (fewer, wider bands) with the corpus, keeping
+    // maxHamming ≤ bands−1 for exactness.
     banded
       .groupBy("b", "band_val")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(ds, x -> transform(ds, y ->
-          |    named_struct('d1', x.doc_id, 'h1', x.simhash, 'd2', y.doc_id, 'h2', y.simhash)))),
-          |  p -> p.d1 < p.d2)""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        expr("CAST(bit_count(p.h1 ^ p.h2) AS BIGINT)").as("hamming"))
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("d1", "d2")

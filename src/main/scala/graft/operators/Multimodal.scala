@@ -28,14 +28,21 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, byte_len: Long, sha256: String, width: Int, height: Int)
 
   /** STUB decoder — deterministic fake in place of a real image/audio
-    * codec (none available in this environment). Derives fake dimensions
-    * from the first two payload bytes, mimicking a header parse.
+    * codec (none available in this environment). Parses the payload's
+    * "header" as the first two UTF-8 code points (replacement char for
+    * invalid sequences — still total and deterministic), so the oracle's
+    * character functions (`ascii(substr(text, i, 1))`) compute the
+    * identical values for any text, not only ASCII.
     */
   object FakeDecode {
     def decode(payload: Array[Byte]): (Int, Int) = {
-      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-      (16 * (1 + b0 % 64), 16 * (1 + b1 % 64)) // fake width × height
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val c0 = if (s.nonEmpty) s.codePointAt(0) else 0
+      val c1 = {
+        val next = if (s.nonEmpty) Character.charCount(c0) else 0
+        if (s.length > next) s.codePointAt(next) else 0
+      }
+      (16 * (1 + c0 % 64), 16 * (1 + c1 % 64)) // fake width × height
     }
   }
 

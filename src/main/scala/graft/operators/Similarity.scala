@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * approximate variant as the scale path.
   *
   * The vectors are unit-normalized (verified against the corpus), so
-  * cosine similarity is the plain dot product. All arithmetic is done in
-  * Double with a left-to-right fold (`zip_with` + `aggregate`) so the
-  * DuckDB oracle (`list_dot_product` over DOUBLE[]) computes the same
+  * cosine similarity is the plain dot product. All arithmetic is Double
+  * with a strict left-to-right fold ([[graft.functions.DotProductExpression]])
+  * so the DuckDB oracle's explicit `list_reduce` fold computes the same
   * IEEE sum in the same order.
   */
 object Similarity {
@@ -24,6 +24,21 @@ object Similarity {
     * the 2.5M-pair bench hot path.
     */
   def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot_f(a, b)
+
+  /** Shared top-k presentation: rank per query by (sim desc, cid), keep
+    * the first k, round sims to 4 dp. One definition — the DuckDB
+    * oracles mirror this contract (tie-break + rounding) exactly, so it
+    * must change in exactly one place.
+    */
+  private def presentTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
+        round(col("sim"), 4).as("sim4"))
+      .orderBy("vec_id", "rank")
+  }
 
   /** EXT-S1 — exact top-k neighbors by brute force for a query subset
     * (`vec_id % queryMod == 0`). The query side is broadcast; the corpus
@@ -47,13 +62,7 @@ object Similarity {
     val scored = broadcast(queries)
       .join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim4"))
-      .orderBy("vec_id", "rank")
+    presentTopK(scored, k)
   }
 
   /** Sign-bucket LSH signature: one bit per leading dimension
@@ -80,13 +89,7 @@ object Similarity {
     val b = emb.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim4"))
-      .orderBy("vec_id", "rank")
+    presentTopK(scored, k)
   }
 
   /** EXT-S3 — IVF (inverted-file) approximate top-k: every vector is
@@ -122,13 +125,7 @@ object Similarity {
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim4"))
-      .orderBy("vec_id", "rank")
+    presentTopK(scored, k)
   }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,

@@ -33,6 +33,19 @@ object TextAnalysis {
     */
   val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Shared language argmax: first language (in declaration order) whose
+    * score is >= every other — fixed priority order as the tie-break,
+    * mirrored verbatim by the oracles' CASE chains. Returns
+    * (predicted, best score).
+    */
+  private def argmaxByPriority(langs: Seq[String], score: String => Column): (Column, Column) = {
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, el) =>
+      val others = langs.filter(_ != lang).map(score)
+      when(score(lang) >= greatest(others: _*), lit(lang)).otherwise(el)
+    }
+    (pred, greatest(langs.map(score): _*))
+  }
+
   /** EXT-T1 — per-document stats + quality score: whitespace and BPE-ish
     * regex token counts, type-token ratio, mean token length, stopword
     * ratio (duplicates counted), and a deterministic linear quality
@@ -71,14 +84,10 @@ object TextAnalysis {
         df.withColumn(s"s_$lang",
           size(array_intersect(col("toks"), array(words.map(lit): _*))).cast("long"))
     }
-    val langs = stopwords.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, el) =>
-      val others = langs.filter(_ != lang).map(l => col(s"s_$l"))
-      when(col(s"s_$lang") >= greatest(others: _*), lit(lang)).otherwise(el)
-    }
+    val (pred, best) = argmaxByPriority(stopwords.map(_._1), l => col(s"s_$l"))
     scored
       .withColumn("predicted_lang", pred)
-      .withColumn("score", greatest(langs.map(l => col(s"s_$l")): _*))
+      .withColumn("score", best)
       .select("doc_id", "predicted_lang", "score")
       .orderBy("doc_id")
   }
@@ -112,14 +121,10 @@ object TextAnalysis {
         df.withColumn(s"g_$lang",
           size(array_intersect(col("grams"), array(gs.map(lit): _*))).cast("long"))
     }
-    val langs = bigramProfiles.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, el) =>
-      val others = langs.filter(_ != lang).map(l => col(s"g_$l"))
-      when(col(s"g_$lang") >= greatest(others: _*), lit(lang)).otherwise(el)
-    }
+    val (pred, best) = argmaxByPriority(bigramProfiles.map(_._1), l => col(s"g_$l"))
     scored
       .withColumn("predicted_lang", pred)
-      .withColumn("score", greatest(langs.map(l => col(s"g_$l")): _*))
+      .withColumn("score", best)
       .select("doc_id", "predicted_lang", "score")
       .orderBy("doc_id")
   }

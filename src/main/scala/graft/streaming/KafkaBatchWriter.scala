@@ -72,8 +72,18 @@ object KafkaBatchWriter {
 
   /** The full exactly-once sink: record-complete produce + idempotent
     * batch commit. Replayed microbatches (failure/restart) are skipped
-    * once marked committed, so a transactional sender yields
-    * effectively-once delivery.
+    * once marked committed.
+    *
+    * Precise guarantee: the batch marker makes a FULLY-committed batch
+    * replay a no-op. Within a failing batch, each task commits its own
+    * sender in `flush()`, so a batch that dies after some tasks flushed
+    * will re-produce those tasks' records on retry — per-task atomicity,
+    * not per-batch. Closing that window needs what Kafka transactions
+    * provide to Flink-style 2PC: deterministic `transactional.id` per
+    * (sink, partition) so a retrying task zombie-fences its previous
+    * attempt, plus `read_committed` consumers. The production sender
+    * should configure exactly that; with the in-memory test sender the
+    * property is per-task + replayed-batch idempotence.
     */
   def exactlyOnceSink(
       senderFactory: () => RecordSender,

@@ -21,8 +21,12 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
 
   test("FakeDecode is deterministic and total on edge inputs") {
     assert(Multimodal.FakeDecode.decode(Array.empty) == (16, 16))
-    assert(Multimodal.FakeDecode.decode(Array(0xff.toByte)) ==
-      (16 * (1 + 255 % 64), 16))
+    // invalid UTF-8 maps to the replacement char (U+FFFD) — total, stable
+    val repl = 16 * (1 + 0xfffd % 64)
+    assert(Multimodal.FakeDecode.decode(Array(0xff.toByte)) == (repl, 16))
+    // multi-byte first char: width from the CODEPOINT (matches the oracle)
+    assert(Multimodal.FakeDecode.decode("é!".getBytes("UTF-8")) ==
+      (16 * (1 + 0xe9 % 64), 16 * (1 + '!' % 64)))
   }
 
   test("resize stub: bounded output size, metadata carried") {

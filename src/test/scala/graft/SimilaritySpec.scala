@@ -11,6 +11,16 @@ import graft.operators.Similarity
   */
 class SimilaritySpec extends AnyFunSuite with SparkSuite {
 
+  test("dot_f rejects non-float arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    // array<double> would silently read garbage via getFloat without the
+    // type check — must fail analysis instead
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(DotProduct.dot_f(col("a"), col("b"))).collect()
+    }
+  }
+
   test("dot_f equals a strict left-to-right double fold") {
     import spark.implicits._
     val a = Seq(0.1f, -0.2f, 0.3f, 1e-8f)

@@ -56,6 +56,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late event within the gap extends the session backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 10 * 60000L, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("sess_late_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 20, 7), ev(2, 22, 7)) // open session [20, 22]
+      q.processAllAvailable()
+      stream.addData(ev(3, 15, 7)) // late, 5 min before start: within gap
+      q.processAllAvailable()
+      stream.addData(ev(4, 120, 99)) // advance watermark far past the session
+      q.processAllAvailable()
+      stream.addData(ev(5, 121, 99)) // extra batch so the timeout fires post-watermark
+      q.processAllAvailable()
+      val u7 = spark.table("sess_late_out").as[Session].collect().filter(_.user_id == 7L)
+      assert(u7.length == 1)
+      assert(u7.head.session_start == ts(15)) // extended backward, not inflated
+      assert(u7.head.session_end == ts(22) && u7.head.n_events == 3L)
+    } finally q.stop()
+  }
+
   test("sessionize state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
