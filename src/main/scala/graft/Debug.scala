@@ -16,9 +16,11 @@ object Debug {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
+    // rebuild per run: iterative operators (x22) do their work at build
+    // time, not inside the final count
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(s"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}s")
     }
     df.collect()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Payload, Replication, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,13 @@ object SparkEntry {
     "x12_event_windows" -> ((s, dir) => Payload.eventWindows(s, dir)),
     // --- multimodal plumbing ---
     "x13_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+    // --- corpus curation ---
+    "x18_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
+    "x19_quality_gate" -> ((s, dir) => Curation.qualityGate(s, dir)),
+    "x20_repetition" -> ((s, dir) => Curation.repetition(s, dir)),
+    "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
+    "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
+    "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -75,6 +82,26 @@ object SparkEntry {
 
   private val dotCte = // identical left-fold order as Similarity.dot
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b)"
+
+  /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
+    * x16 and the x22 cluster oracle; ends in relation `nd_pairs(d1, d2,
+    * hamming)`).
+    */
+  private val simhashPairsCte =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
+      |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+      |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |       FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, simhash, b2, (simhash >> (b2 * 12)::INT) & 4095 AS band_val
+      |           FROM sh, unnest(range(0, 5)) AS t2(b2)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |nd_pairs AS (SELECT c.d1, c.d2, bit_count(xor(s1.simhash::BIT, s2.simhash::BIT))::BIGINT AS hamming
+      |             FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
+      |             WHERE bit_count(xor(s1.simhash::BIT, s2.simhash::BIT)) <= 4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d1_regex_subscribe" ->
@@ -132,21 +159,8 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x16_simhash_near_dup" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
-        |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
-        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
-        |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2),
-        |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |       FROM bits GROUP BY doc_id),
-        |banded AS (SELECT doc_id, simhash, b2, (simhash >> (b2 * 12)::INT) & 4095 AS band_val
-        |           FROM sh, unnest(range(0, 5)) AS t2(b2)),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-        |SELECT c.d1, c.d2, bit_count(xor(s1.simhash::BIT, s2.simhash::BIT))::BIGINT AS hamming
-        |FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
-        |WHERE bit_count(xor(s1.simhash::BIT, s2.simhash::BIT)) <= 4
-        |ORDER BY c.d1, c.d2""".stripMargin,
+      s"""WITH $simhashPairsCte
+         |SELECT d1, d2, hamming FROM nd_pairs ORDER BY d1, d2""".stripMargin,
 
     "x5_topk_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
@@ -267,5 +281,65 @@ object SparkEntry {
         |       16 * (1 + ascii(substr(text, 1, 1)) % 64) AS width,
         |       16 * (1 + ascii(substr(text, 2, 1)) % 64) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x18_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+        |       FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
+        |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (gram)
+        |WHERE doc_id % 20 != 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x19_quality_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(ts)::BIGINT AS n_tokens,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
+        |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
+        |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
+        |  FROM t)
+        |SELECT doc_id, n_tokens, avg_len, stop_hits, top_tok_frac,
+        |  n_tokens BETWEEN 20 AND 80 AS r_len,
+        |  avg_len BETWEEN 3.0 AND 8.0 AS r_avg,
+        |  stop_hits >= 2 AS r_stop,
+        |  top_tok_frac <= 0.125 AS r_rep,
+        |  (n_tokens BETWEEN 20 AND 80) AND (avg_len BETWEEN 3.0 AND 8.0)
+        |    AND stop_hits >= 2 AND top_tok_frac <= 0.125 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x20_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg FROM t),
+        |s AS (SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+        |  len(list_distinct(bg))::DOUBLE / len(bg) AS distinct_ratio,
+        |  list_aggregate(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g))::BIGINT), 'max')::DOUBLE / len(bg) AS top_bigram_frac
+        |  FROM b WHERE len(bg) > 0)
+        |SELECT doc_id, n_bigrams, distinct_ratio, top_bigram_frac FROM s ORDER BY doc_id""".stripMargin,
+
+    "x21_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x22_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "x23_corpus_stats" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |       sum(n_chars)::DOUBLE / count(*) AS mean_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** SURVEY.md §2b corpus curation: decontamination, quality gate,
+  * repetition, hash split, dedup clusters, corpus stats.
+  */
+class CurationSpec extends AnyFunSuite with SparkSuite {
+
+  test("decontaminate: flags docs sharing a 5-gram with the benchmark subset") {
+    // doc 0 and 20 are benchmark (id % 20 == 0); doc 1 copies doc 0's
+    // phrase, doc 2 shares two distinct 5-gram windows (6 shared tokens
+    // in a row = two 5-grams), doc 3 is clean
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "x alpha beta gamma delta epsilon y",
+      2L -> "alpha beta gamma delta epsilon zeta tail",
+      3L -> "one two three four five six seven"))
+    val got = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L)) // benchmark docs never flagged
+  }
+
+  test("qualityGate: each rule fires independently; keep is their conjunction") {
+    val longDoc = (1 to 30).map(i => s"tok$i").mkString(" ") + " the a of"
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> longDoc, // passes everything
+      2L -> "short the a", // fails r_len (3 tokens) and r_rep
+      3L -> ((1 to 25).map(_ => "spam").mkString(" ") + " the a of to and"))) // fails r_rep
+    val rows = Curation.qualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    val r2 = rows(2L)
+    assert(!r2.getAs[Boolean]("r_len") && !r2.getAs[Boolean]("keep"))
+    assert(r2.getAs[Long]("stop_hits") == 2L)
+    val r3 = rows(3L)
+    assert(r3.getAs[Boolean]("r_len") && r3.getAs[Boolean]("r_stop"))
+    assert(!r3.getAs[Boolean]("r_rep") && !r3.getAs[Boolean]("keep"))
+    assert(r3.getAs[Double]("top_tok_frac") == 25.0 / 30.0)
+  }
+
+  test("repetition: distinct ratio and top-bigram fraction; <2-token docs excluded") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "a b a b a b", // bigrams: ab ba ab ba ab -> top 'a b' 3/5
+      2L -> "w x y z", // all distinct
+      3L -> "solo"))
+    val rows = Curation.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(3L))
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 5L)
+    assert(r1.getAs[Double]("distinct_ratio") == 2.0 / 5.0)
+    assert(r1.getAs[Double]("top_bigram_frac") == 3.0 / 5.0)
+    assert(rows(2L).getAs[Double]("distinct_ratio") == 1.0)
+  }
+
+  test("hashSplit: deterministic, total, and ~80/10/10 at modest n") {
+    val dir = TestTables.documentsDir(spark,
+      (0L until 200L).map(i => i -> s"doc number $i"))
+    val a = Curation.hashSplit(spark, dir).collect().map(r => (r.getLong(0), r.getString(2)))
+    val b = Curation.hashSplit(spark, dir).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(a.sameElements(b)) // content-stable across runs
+    val counts = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.values.sum == 200)
+    assert(counts("train") > 140 && counts("val") > 5 && counts("test") > 5)
+  }
+
+  test("dedupClusters: transitive closure assigns the component-min id") {
+    // near-identical chain 1~2~3 (pairwise simhash-close) + far doc 9.
+    // 1 and 3 may differ by > the band threshold directly, but the chain
+    // must still place all three in cluster 1.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> base,
+      2L -> base.replace("w7", "q7"),
+      3L -> base.replace("w7", "q7").replace("w13", "q13"),
+      9L -> (41 to 80).map(i => s"v$i").mkString(" ")))
+    val got = Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet.contains(1L) && got.keySet.contains(2L) && got.keySet.contains(3L))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(!got.contains(9L)) // unpaired docs are not clustered
+  }
+
+  test("corpusStats: exact integer sums and one-division mean") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "a b c", 2L -> "d e")) // same lang/source fixture
+    val r = Curation.corpusStats(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("total_chars") == 5L + 3L)
+    assert(r.getAs[Long]("total_tokens") == 5L)
+    assert(r.getAs[Double]("mean_chars") == 8.0 / 2.0)
+  }
+}
