@@ -63,6 +63,8 @@ object SparkEntry {
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
+    "x24_incremental_dedup" -> ((s, dir) => Curation.incrementalDedup(s, dir)),
+    "x25_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -341,5 +343,19 @@ object SparkEntry {
         |       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
         |       sum(n_chars)::DOUBLE / count(*) AS mean_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x24_incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, sha256(text) AS digest FROM documents
+        |WHERE doc_id % 2 = 1 AND sha256(text) NOT IN (SELECT digest FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x25_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  (('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -72,16 +72,18 @@ object Curation {
     val toks = col("toks")
     val nTok = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
-    val topTokN = array_max(transform(array_distinct(toks),
-      g => size(filter(toks, t => t === g)).cast("long")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      // one compiled hash-count pass for the mode; the declarative
+      // distinct×filter spelling is O(n²)-ish interpreted lambdas
+      .select(col("doc_id"), col("toks"),
+        graft.functions.NgramStats.ngramStats(toks, 1).as("st"))
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         (sumLen.cast("double") / nTok).as("avg_len"),
         size(filter(toks, t => t.isin(enStop: _*))).cast("long").as("stop_hits"),
-        (topTokN.cast("double") / nTok).as("top_tok_frac"))
+        (col("st.max_count").cast("double") / nTok).as("top_tok_frac"))
       .withColumn("r_len", col("n_tokens") >= 20 && col("n_tokens") <= 80)
       .withColumn("r_avg", col("avg_len") >= 3.0 && col("avg_len") <= 8.0)
       .withColumn("r_stop", col("stop_hits") >= 2)
@@ -92,33 +94,23 @@ object Curation {
 
   /** EXT-C3 — repetition measurement: distinct-bigram ratio and the
     * most-frequent-bigram fraction (the "duplicate n-gram fraction"
-    * family of repetition filters). Row-local: the per-document bigram
-    * mode is computed inside one codegen'd projection (O(n·distinct) per
-    * row on ≤100-token documents), never via a corpus-wide shuffle.
-    * Documents with < 2 tokens have no bigrams and are excluded.
+    * family of repetition filters). Row-local and shuffle-free: one
+    * compiled hash-count pass over each document's bigram multiset
+    * ([[graft.functions.NgramStatsExpression]]; the declarative
+    * distinct×filter spelling was ~10× slower, see its docs). Documents
+    * with < 2 tokens have no bigrams and are excluded.
     */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val bg = col("bg")
-    val nBg = size(bg).cast("long")
-    val topBgN = array_max(transform(array_distinct(bg),
-      g => size(filter(bg, t => t === g)).cast("long")))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
-      // non-distinct bigrams: shingle dedup would hide the repetition
-      // being measured, so this uses the declarative spelling (k=2 concat
-      // over an index sequence), materialized once per row. The size
-      // guard matters: sequence(1, 0) counts DOWN in Spark.
-      .select(col("doc_id"), expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(toks[i - 1], ' ', toks[i])) ELSE CAST(array() AS array<string>) END").as("bg"))
-      .filter(size(bg) > 0)
+      .select(col("doc_id"), graft.functions.NgramStats.ngramStats(col("toks"), 2).as("st"))
+      .filter(col("st.n_grams") > 0)
       .select(
         col("doc_id"),
-        nBg.as("n_bigrams"),
-        (size(array_distinct(bg)).cast("double") / nBg).as("distinct_ratio"),
-        (topBgN.cast("double") / nBg).as("top_bigram_frac"))
+        col("st.n_grams").as("n_bigrams"),
+        (col("st.n_distinct").cast("double") / col("st.n_grams")).as("distinct_ratio"),
+        (col("st.max_count").cast("double") / col("st.n_grams")).as("top_bigram_frac"))
       .orderBy("doc_id")
-  }
 
   /** EXT-C4 — deterministic train/val/test split: bucket = the first 8
     * hex chars of `md5("split:" + doc_id)` mod 100; train < 80, val < 90,
@@ -200,6 +192,42 @@ object Curation {
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** EXT-C7 — incremental (cross-batch) exact dedup: treat odd doc_ids as
+    * the newly-ingested batch and even doc_ids as the existing corpus;
+    * keep only new documents whose content digest does not already exist
+    * — the production shape for deduping a fresh crawl against an
+    * accumulated corpus. One LEFT ANTI join on a 32-byte digest; the
+    * existing-corpus side reduces to its distinct digests (map-side
+    * partial agg), and at 100 TB the join shuffles by digest — or goes
+    * broadcast/bloom when the digest set fits.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("digest").distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .join(corpus, Seq("digest"), "left_anti")
+      .select("doc_id", "digest")
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C8 — stratified deterministic sampling: per-language keep rates
+    * (en 10%, everything else 25%) decided by a content-stable hash
+    * bucket, never by `rand()` — reruns select the same rows, and the
+    * sample composition is auditable. One narrow filter over the scan
+    * (predicate reaches the parquet scan; no shuffle).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(100L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 10L).otherwise(25L))
+      .orderBy("doc_id")
   }
 
   /** EXT-C6 — dataset-card aggregates: per (lang, source) document count,

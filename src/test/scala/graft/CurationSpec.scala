@@ -84,6 +84,31 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!got.contains(9L)) // unpaired docs are not clustered
   }
 
+  test("incrementalDedup: new-batch docs with digests already in the corpus are dropped") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> "existing corpus doc",
+      2L -> "another existing doc",
+      1L -> "existing corpus doc", // dup of corpus doc 0 -> dropped
+      3L -> "genuinely new doc")) // survives
+    val got = Curation.incrementalDedup(spark, dir).collect().map(_.getLong(0))
+    assert(got.sameElements(Array(3L)))
+  }
+
+  test("stratifiedSample: content-stable buckets with per-language rates") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s"samp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val dir = TestTables.documentsDir(spark, (0L until 300L).map(i => i -> s"doc $i"))
+    val got = Curation.stratifiedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val expected = (0L until 300L).filter(bucket(_) < 10) // fixture is all-en
+    assert(got.keySet == expected.toSet)
+    got.foreach { case (id, b) => assert(b == bucket(id) && b < 10) }
+  }
+
   test("corpusStats: exact integer sums and one-division mean") {
     val dir = TestTables.documentsDir(spark, Seq(
       1L -> "a b c", 2L -> "d e")) // same lang/source fixture
