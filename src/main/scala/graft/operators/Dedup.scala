@@ -47,12 +47,23 @@ object Dedup {
 
   /** Per-document distinct shingle sets as arrays: (doc_id, shs, n).
     * Tokens and shingles each get their own projection (see class note).
+    *
+    * Eagerly materialized (`localCheckpoint`): every consumer fans out to
+    * 3–4 plan branches (postings, document frequencies, both verify join
+    * sides) and Spark reuses no common subtree across branches — without
+    * this, the scan + tokenize + shingle pass runs once per branch. The
+    * relation is one row per document (narrow arrays), orders of
+    * magnitude smaller than the postings it generates; at 100 TB this is
+    * the classic "materialize the shingle table once" step of a dedup
+    * pipeline (a persisted table / cache, not a per-query recompute).
     */
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Tables.shingles(col("toks")).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
 
   /** Row-local exact verification of candidate pairs (d1 < d2) against
     * the shingle arrays: Jaccard via `array_intersect`, keeping pairs at
@@ -140,36 +151,24 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val arr = shingleArrays(spark, dir)
-    // repartition the shingle postings BEFORE the numHashes× explode:
-    // the seeded-md5 work downstream dwarfs this skinny shuffle, and on
-    // a single-split scan (harness files = one row group) it would
-    // otherwise all run on one core. The groupBy below shuffles by
-    // (doc_id, seed) anyway — this just moves the md5 evaluation to the
-    // parallel side of a shuffle that was already being paid.
-    val sh = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
-      .repartition(col("doc_id"))
-    // one row per (doc, seed): the seeded min-hash. The hash value is the
-    // top 60 bits of md5 as a BIGINT — a fixed-width aggregation buffer,
-    // so `min` runs in HashAggregate with map-side partial aggregation
-    // (min over the hex STRING would force SortAggregate: var-length agg
-    // buffers don't fit UnsafeRow — measured ~8× slower here). The oracle
-    // computes the identical truncation.
-    val mh = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("shingle"))
-      .groupBy("doc_id", "seed")
-      .agg(min(
-        conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))), 1, 15), 16, 10)
-          .cast("long")).as("mh"))
-    // band signature: the rowsPerBand min-hashes of a band as columns in
-    // fixed seed order via conditional aggregation (deterministic, no
-    // collect_list ordering hazard); the band join matches on all of them
-    val sig = mh
-      .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast("int").as("band"))
-      .agg(
-        max(when(pmod(col("seed"), lit(rowsPerBand)) === 0, col("mh"))).as("m0"),
-        (1 until rowsPerBand).map(r =>
-          max(when(pmod(col("seed"), lit(rowsPerBand)) === r, col("mh"))).as(s"m$r")): _*)
+    // docs with no shingles (< k tokens) never enter the oracle's
+    // exploded relation; drop them before the signature pass
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    // all numHashes seeded min-hashes in one compiled row-local pass
+    // ([[graft.functions.MinHashesExpression]]): the whole signature
+    // computation is a narrow projection — the previous spelling
+    // exploded numHashes rows per shingle (16× the posting stream,
+    // 4.2M rows at sf0.1) through two keyed shuffles before bucketing.
+    // (shingleArrays is already repartitioned + materialized, so the md5
+    // work runs spread across cores, not on the scan's single split.)
+    val sig = arr
+      .select(col("doc_id"),
+        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
+          col("mh")(b * rowsPerBand + r).as(s"m$r")): _*)): _*)).as("bs"))
+      .select(col("doc_id") +: (col("bs.band").as("band") +:
+        (0 until rowsPerBand).map(r => col(s"bs.m$r").as(s"m$r"))): _*)
     // same inverted-index shape as ngramJaccard: bucket by full band
     // signature, emit ordered pairs within each bucket — the minhash
     // pipeline is computed once (a self-join would compute it per side)
@@ -191,28 +190,36 @@ object Dedup {
 
   /** EXT-D4 — 60-bit SimHash fingerprint per document. Token hash = the
     * top 15 hex chars of md5 (60 bits, sign-safe in a BIGINT); each bit
-    * accumulates +w/−w by token weight (occurrence count); the fingerprint
-    * sets bits with positive sums. Two keyed aggregations, no joins.
+    * accumulates ±1 per token INSTANCE (equivalent to ±weight per
+    * distinct token — the sum is linear); the fingerprint sets bits with
+    * positive sums.
     */
   def simhash(spark: SparkSession, dir: String, bits: Int = 60): DataFrame =
     simhashes(spark, dir, bits).orderBy("doc_id")
 
-  /** The (doc_id, simhash) relation without the presentation sort. */
+  /** The (doc_id, simhash) relation without the presentation sort.
+    *
+    * Shape matters at scale: the per-bit sums are `bits` conditional
+    * `sum` aggregates in ONE HashAggregate keyed by doc_id — a fixed
+    * 8·bits-byte buffer with map-side partial aggregation. The previous
+    * spelling exploded one row per (distinct token, bit) — 60× the token
+    * stream (16M rows at sf0.1, measured ~3× slower end-to-end) — and
+    * needed two extra keyed shuffles. Integer sums are order-insensitive,
+    * so the oracle (which still aggregates per distinct token with
+    * weights) matches bit-for-bit.
+    */
   private def simhashes(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val tokenWeights = Tables.documents(spark, dir)
+    val th = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    tokenWeights
-      .select(col("doc_id"), col("w"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("v", when(expr("shiftright(h, int(b)) & 1") === 1, col("w")).otherwise(-col("w")))
-      .groupBy("doc_id", "b")
-      .agg(sum("v").as("s"))
-      .withColumn("bitval", when(col("s") > 0, expr("shiftleft(1L, int(b))")).otherwise(lit(0L)))
-      .groupBy("doc_id")
-      .agg(sum("bitval").as("simhash"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = th.groupBy("doc_id").agg(
+      sum(when(expr("shiftright(h, 0) & 1") === 1, 1L).otherwise(-1L)).as("s0"),
+      (1 until bits).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** EXT-D6 — SimHash near-dup pairs at a Hamming-distance threshold via
