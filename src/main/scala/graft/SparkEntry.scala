@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,10 @@ object SparkEntry {
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
     "x24_incremental_dedup" -> ((s, dir) => Curation.incrementalDedup(s, dir)),
     "x25_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    // --- temporal: sessionization, as-of join, range join ---
+    "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
+    "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
+    "x28_range_join" -> ((s, dir) => Temporal.rangeJoin(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -357,5 +361,31 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
+
+    "x26_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, ts,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM w)
+        |SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x27_asof_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.ts AS view_ts
+        |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "x28_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id AS e1, b.event_id AS e2, (b.us - a.us) / 1000000.0 AS delta_s
+        |FROM ev a JOIN ev b ON a.event_id < b.event_id AND abs(a.us - b.us) <= 5000000
+        |ORDER BY e1, e2""".stripMargin,
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the event stream (SURVEY.md §2b): batch
+  * sessionization (the oracle-checkable twin of
+  * [[graft.streaming.StreamOps.sessionize]]), as-of join, and range join
+  * — the two join shapes Spark has no native operator for, composed from
+  * built-ins in their standard scalable spellings.
+  *
+  * All timestamp arithmetic is in exact integer microseconds
+  * (`unix_micros`) so the DuckDB oracle reproduces every comparison.
+  */
+object Temporal {
+
+  /** EXT-X1 — gap-based sessionization in batch: events of a user belong
+    * to one session while consecutive gaps are ≤ `gapSec`. Session id =
+    * running count of gap-breaks (two analytic functions over one
+    * (user, ts) window), then one aggregation per session.
+    *
+    * Scale: one shuffle by user_id (the partition key of both window
+    * functions and the session aggregation — Catalyst reuses the single
+    * sort); per-user data streams through the running sum without
+    * materializing sessions. Skewed users are bounded by their own event
+    * counts, never by the corpus.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Replication.events(spark, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(w) > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("brk").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** EXT-X2 — as-of join: each left-side event (`click`) is matched to
+    * the LATEST right-side event (`view`) of the same user with
+    * `view.ts <= click.ts`; clicks with no prior view are dropped (inner
+    * as-of, DuckDB `ASOF JOIN` semantics).
+    *
+    * Spelling: union both sides with a side tag, one (user, ts, side)
+    * sort, carry the last view forward with `last(_, ignoreNulls)` —
+    * the single-pass merge idiom. This is ONE shuffle by user; a naive
+    * inequality join would be a per-user cross product followed by a
+    * max, and Spark would plan it as a nested-loop. Ties (a view and a
+    * click at the same timestamp) order the view first, so an
+    * equal-timestamp view is visible to the click — `ts >= ts` matches
+    * the oracle's predicate.
+    */
+  def asofJoin(
+      spark: SparkSession,
+      dir: String,
+      leftType: String = "click",
+      rightType: String = "view"): DataFrame = {
+    val ev = Replication.events(spark, dir)
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("view_event_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("view_event_id").isNotNull)
+      .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+      .orderBy("event_id")
+  }
+
+  /** EXT-X3 — range (band) join: all event pairs within `bandSec` of each
+    * other (`e1 < e2`, any user). The scalable spelling turns the
+    * inequality predicate into an equi-join on a time bucket of width
+    * `bandSec`: a pair within the band sits in the same or adjacent
+    * buckets, so one side joins buckets {b, b+1}, the exact band
+    * predicate filters row-locally, and a distinct collapses the double
+    * hit same-bucket pairs get (one per orientation). Cost scales with
+    * events per bucket, not n² — a naive `|t1 − t2| ≤ band` join is a
+    * nested-loop cross product.
+    */
+  def rangeJoin(spark: SparkSession, dir: String, bandSec: Long = 5): DataFrame = {
+    val bandUs = bandSec * 1000000L
+    val ev = Replication.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("b", expr(s"us div ${bandUs}L"))
+    val left = ev.select(col("event_id").as("e1"), col("us").as("us1"),
+      explode(array(col("b"), col("b") + 1)).as("bucket"))
+    val right = ev.select(col("event_id").as("e2"), col("us").as("us2"),
+      col("b").as("bucket"))
+    left.join(right, "bucket")
+      .filter(col("e1") < col("e2") && abs(col("us1") - col("us2")) <= bandUs)
+      .select(col("e1"), col("e2"), ((col("us2") - col("us1")) / 1000000.0).as("delta_s"))
+      .distinct()
+      .orderBy("e1", "e2")
+  }
+}

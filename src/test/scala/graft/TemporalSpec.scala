@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** SURVEY.md §2b temporal operators: batch sessionization, as-of join,
+  * range join.
+  */
+class TemporalSpec extends AnyFunSuite with SparkSuite {
+
+  private def us(s: Long): Long = s * 1000000L
+
+  test("sessionize: gap > threshold starts a new session") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(0), 1L, "click"),
+      (1L, us(10), 1L, "click"),
+      (2L, us(2000), 1L, "click"), // 1990s gap > 1800s -> new session
+      (3L, us(5), 2L, "view"))) // other user: own session numbering
+    val got = Temporal.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.sameElements(Array((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L))))
+  }
+
+  test("asofJoin: latest prior view per user; equal timestamps match; no-view clicks drop") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(5), 1L, "click"), // before any view -> dropped
+      (1L, us(10), 1L, "view"),
+      (2L, us(15), 1L, "click"), // -> view 1
+      (3L, us(20), 1L, "view"),
+      (4L, us(20), 1L, "click"), // tie: equal-ts view 3 is visible
+      (5L, us(30), 2L, "click"))) // other user, no views -> dropped
+    val got = Temporal.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(2L -> 1L, 4L -> 3L))
+  }
+
+  test("rangeJoin: pairs within the band, including across adjacent buckets") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(0), 1L, "click"),
+      (1L, us(3), 1L, "click"), // pair (0,1): 3s
+      (2L, us(8), 1L, "click"), // pair (1,2): 5s exactly, crosses bucket 0|1
+      (3L, us(20), 1L, "click"))) // isolated
+    val got = Temporal.rangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(Array((0L, 1L, 3.0), (1L, 2L, 5.0))))
+  }
+}

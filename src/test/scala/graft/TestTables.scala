@@ -20,6 +20,20 @@ object TestTables {
     dir
   }
 
+  /** events(event_id, ts, user_id, event_type, value, props) from
+    * (event_id, ts micros, user_id, event_type). The ts column is written
+    * as a raw nanosecond LONG — the shape `Replication.events` expects
+    * from the harness's TIMESTAMP(NANOS) parquet under `nanosAsLong`.
+    */
+  def eventsDir(spark: SparkSession, rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-events").toString
+    rows.map { case (id, tsUs, uid, et) => (id, tsUs * 1000L, uid, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** embeddings(vec_id, embedding, label) from (id, vector). */
   def embeddingsDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float])]): String = {
     import spark.implicits._
