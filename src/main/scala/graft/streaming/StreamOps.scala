@@ -56,6 +56,40 @@ object StreamOps {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** EXT-6d — stream-static enrichment: every microbatch of the stream
+    * joins the static dimension relation on `key`. The static side is
+    * re-planned per microbatch (so a dim-table refresh is picked up) and
+    * explicitly broadcast: enrichment never shuffles the stream — the
+    * essential property when the stream is the 100 TB/day side. Left
+    * join: events without a dimension row pass through with nulls rather
+    * than silently dropping.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** EXT-6e — stream-stream interval join: each left event (`click`)
+    * pairs with the right events (`view`) of the same user at most
+    * `intervalMin` minutes BEFORE it. Both sides are watermarked and the
+    * event-time range condition is what lets Spark bound the join state:
+    * a buffered view is dropped once the watermark says no future click
+    * can reach back to it. Without the range predicate this is an
+    * unbounded-state join and Structured Streaming rejects it in Append
+    * mode.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      intervalMin: Int = 10, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+    l.join(r,
+      l("user_id") === r("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $intervalMin MINUTES"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** EXT-6c — sessionization: group events per user into sessions closed
     * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with
     * an event-time timeout. Sessions are emitted when the watermark

@@ -129,4 +129,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(u10(1).session_start == ts(30) && u10(1).session_end == ts(30) && u10(1).n_events == 1L)
     } finally q.stop()
   }
+
+  test("enrich: stream-static left join broadcasts the dim and keeps unmatched events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "emea"), (11L, "apac")).toDF("user_id", "region")
+    val stream = MemoryStream[Event]
+    val q = StreamOps.enrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 10), ev(2, 2, 99)) // 99 has no dim row
+      q.processAllAvailable()
+      val byId = spark.table("enrich_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("region")).toMap
+      assert(byId == Map(1L -> "emea", 2L -> null))
+    } finally q.stop()
+  }
+
+  test("intervalJoin pairs clicks with same-user views within the lookback interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = StreamOps.intervalJoin(clicks.toDF(), views.toDF(), intervalMin = 10)
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      views.addData(ev(100, 1, 10), ev(101, 5, 10), ev(102, 3, 11))
+      clicks.addData(ev(1, 8, 10), ev(2, 30, 10)) // click 2: both views > 10min back
+      q.processAllAvailable()
+      // push both watermarks far enough to flush matched results
+      // (distinct users so the flush events don't join each other)
+      views.addData(ev(103, 60, 98))
+      clicks.addData(ev(3, 60, 99))
+      q.processAllAvailable()
+      val pairs = spark.table("ij_out").collect()
+        .map(r => r.getAs[Long]("click_id") -> r.getAs[Long]("view_id")).toSet
+      assert(pairs == Set(1L -> 100L, 1L -> 101L))
+    } finally q.stop()
+  }
 }
