@@ -65,6 +65,7 @@ object SparkEntry {
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
     "x24_incremental_dedup" -> ((s, dir) => Curation.incrementalDedup(s, dir)),
     "x25_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    "x29_curated_corpus" -> ((s, dir) => Curation.curatedCorpus(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -361,6 +362,32 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
+
+    "x29_curated_corpus" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
+         |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
+         |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
+         |  FROM t),
+         |keepq AS (SELECT doc_id FROM q
+         |          WHERE n_tokens BETWEEN 20 AND 80 AND avg_len BETWEEN 3.0 AND 8.0
+         |            AND stop_hits >= 2 AND top_tok_frac <= 0.125),
+         |spl AS (SELECT doc_id FROM documents
+         |        WHERE (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 80)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN keepq k ON k.doc_id = d.doc_id
+         |LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |JOIN spl s ON s.doc_id = d.doc_id
+         |WHERE c.cluster IS NULL OR c.cluster = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

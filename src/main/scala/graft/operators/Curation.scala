@@ -158,8 +158,12 @@ object Curation {
     * closure the oracle's recursive CTE computes.
     */
   def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 25): DataFrame = {
+    // materialize the pair relation BEFORE the symmetric union: the two
+    // union branches would otherwise each recompute the entire SimHash
+    // near-dup pipeline (Spark shares no common subtree across branches)
     val pairs = Dedup.simhashNearDup(spark, dir)
       .select(col("d1"), col("d2"))
+      .localCheckpoint()
     var edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint()
@@ -227,6 +231,28 @@ object Curation {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .filter(col("bucket") < when(col("lang") === "en", 10L).otherwise(25L))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C9 — the end-to-end curated corpus: the composition a training
+    * run actually consumes. A document survives iff it (1) passes the
+    * quality gate, (2) is its near-dup cluster's canonical representative
+    * (or is unclustered), and (3) hashes into the train split. Each leg
+    * is the operator defined above; the composition is three joins on
+    * doc_id — quality and split semi-joins, cluster anti-join — all
+    * narrow-keyed and AQE-broadcastable, so the corpus is scanned once
+    * per leg and never self-joined.
+    */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val quality = qualityGate(spark, dir).filter(col("keep")).select("doc_id")
+    val nonCanonical = dedupClusters(spark, dir)
+      .filter(col("cluster") =!= col("doc_id")).select("doc_id")
+    val train = hashSplit(spark, dir).filter(col("split") === "train").select("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .join(train, "doc_id")
       .orderBy("doc_id")
   }
 

@@ -109,6 +109,19 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     got.foreach { case (id, b) => assert(b == bucket(id) && b < 10) }
   }
 
+  test("curatedCorpus composes quality ∩ canonical ∩ train exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val keep = Curation.qualityGate(spark, dir).filter("keep")
+      .collect().map(_.getLong(0)).toSet
+    val nonCanonical = Curation.dedupClusters(spark, dir)
+      .filter("cluster != doc_id").collect().map(_.getLong(0)).toSet
+    val train = Curation.hashSplit(spark, dir).filter("split = 'train'")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (keep -- nonCanonical) intersect train
+    val got = Curation.curatedCorpus(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("corpusStats: exact integer sums and one-division mean") {
     val dir = TestTables.documentsDir(spark, Seq(
       1L -> "a b c", 2L -> "d e")) // same lang/source fixture
