@@ -106,7 +106,7 @@ object Dedup {
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= prefLen)
-      .select("doc_id", "n", "shingle")
+      .select(col("doc_id"), col("n"), col("rn").as("pos"), col("shingle"))
     // inverted-index candidate generation WITHOUT a self-join: group the
     // prefix postings by shingle and emit ordered pairs within each
     // posting list. A self-join spelling computes the whole upstream
@@ -118,14 +118,25 @@ object Dedup {
     // through the Generate operators row by row — never materialized as
     // one |bucket|²-element array in a single row (which is what OOMs on
     // a hot posting at scale; per-row memory here is O(|bucket|))
+    // positional filter (lossless, PPJoin): a collision at prefix
+    // positions (px, py) can lead to at most 1 + min(nx−px, ny−py) total
+    // overlap, and J ≥ t needs overlap ≥ t·(nx+ny)/(1+t); collisions
+    // whose bound cannot reach that are dropped BEFORE the distinct. The
+    // ε admits (never prunes) boundary cases under double rounding —
+    // verification is exact regardless.
+    val overlapBound =
+      lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
+    val overlapNeed =
+      (col("x.n") + col("y.n")) * (threshold / (1 + threshold)) - lit(1e-9)
     val candidates = pref
       .groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("pos"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), explode(col("ds")).as("x"))
       .select(col("x"), explode(col("ds")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
-        col("x.n") >= ceil(col("y.n") * threshold) && col("y.n") >= ceil(col("x.n") * threshold))
+        col("x.n") >= ceil(col("y.n") * threshold) && col("y.n") >= ceil(col("x.n") * threshold) &&
+        overlapBound >= overlapNeed)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     verifyJaccard(candidates, arr, threshold)
