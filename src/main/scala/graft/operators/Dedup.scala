@@ -210,28 +210,21 @@ object Dedup {
 
   /** The (doc_id, simhash) relation without the presentation sort.
     *
-    * Shape matters at scale: the per-bit sums are `bits` conditional
-    * `sum` aggregates in ONE HashAggregate keyed by doc_id — a fixed
-    * 8·bits-byte buffer with map-side partial aggregation. The previous
-    * spelling exploded one row per (distinct token, bit) — 60× the token
-    * stream (16M rows at sf0.1, measured ~3× slower end-to-end) — and
-    * needed two extra keyed shuffles. Integer sums are order-insensitive,
-    * so the oracle (which still aggregates per distinct token with
-    * weights) matches bit-for-bit.
+    * One narrow projection: the fingerprint is computed row-locally by
+    * [[graft.functions.SimHashExpression]] (md5 per token instance + bit
+    * sums in a single compiled pass), so NO shuffle touches the token
+    * stream at all — banding starts from a doc-count-sized relation.
+    * (Two earlier spellings each paid keyed shuffles: a per-(token, bit)
+    * explode, then a 60-conditional-sum aggregate.) The repartition
+    * spreads the md5 work across cores — the harness file is a single
+    * parquet split — at the price of one skinny shuffle of the raw rows;
+    * at 100 TB the scan has thousands of splits and it would be dropped.
     */
-  private def simhashes(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val th = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitSums = th.groupBy("doc_id").agg(
-      sum(when(expr("shiftright(h, 0) & 1") === 1, 1L).otherwise(-1L)).as("s0"),
-      (1 until bits).map(b =>
-        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b")): _*)
-    bitSums.select(col("doc_id"),
-      (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-  }
+  private def simhashes(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.functions.SimHash.simhash(col("toks"), bits).as("simhash"))
 
   /** EXT-D6 — SimHash near-dup pairs at a Hamming-distance threshold via
     * banded bucketing: the 60-bit fingerprint splits into `bands`
