@@ -119,8 +119,14 @@ object Similarity {
       struct(dot(col("embedding"), typedlit(c)).as("s"),
         lit(nCentroids - 1 - i).as("nk"))
     }: _*)
+    // materialized once: both join sides consume the assignment, and
+    // Spark would otherwise evaluate the nCentroids-dot argmax per side
+    // (at 100 TB the assignment is the expensive corpus pass — it is
+    // written out once, exactly like a real IVF index build)
     val withCell = emb.select(col("vec_id"), col("embedding"),
       (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      .repartition(col("cell"))
+      .localCheckpoint()
     val a = withCell.select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qe"))
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
