@@ -1,0 +1,86 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHashUtil, NgramStatsUtil, ShingleUtil, SimHashUtil}
+
+/** Property tests pinning the custom codegen expressions against
+  * independent straight-Scala reference implementations — the expression
+  * utils are the highest-risk code in the library (hand-rolled byte/bit
+  * arithmetic on the dedup hot path), and the DuckDB oracle only
+  * exercises them on the harness corpus' value distribution.
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genTok: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("的"),
+      Gen.oneOf("the", "a", "data", "spark", "w7"))
+  private val genToks: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, genTok))
+
+  private def arr(toks: Seq[String]): GenericArrayData =
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Reference for the oracle's top-60-bit truncation:
+    * `('0x' || substr(md5(x), 1, 15))::UBIGINT`.
+    */
+  private def top60(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  test("SimHashUtil matches a per-distinct-token weighted reference") {
+    check(Prop.forAll(genToks) { toks =>
+      val weights = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val sums = new Array[Long](60)
+      for ((tok, w) <- weights; b <- 0 until 60)
+        sums(b) += (if (((top60(tok) >> b) & 1L) == 1L) w else -w)
+      val expected = (0 until 60).map(b => if (sums(b) > 0) 1L << b else 0L).sum
+      SimHashUtil.simhash(arr(toks), 60) == expected
+    })
+  }
+
+  test("MinHashUtil matches a per-seed min over md5-hex reference") {
+    check(Prop.forAll(genToks) { toks =>
+      val got = MinHashUtil.minhashes(arr(toks), 16)
+      (0 until 16).forall { seed =>
+        val expected =
+          if (toks.isEmpty) Long.MaxValue
+          else toks.map(t => top60(s"$seed:$t")).min
+        got.getLong(seed) == expected
+      }
+    })
+  }
+
+  test("NgramStatsUtil matches naive k-gram multiset statistics") {
+    val genK = Gen.chooseNum(1, 4)
+    check(Prop.forAll(genToks, genK) { (toks, k) =>
+      val grams = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toList
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val row = NgramStatsUtil.stats(arr(toks), k)
+      row.getLong(0) == grams.size.toLong &&
+        row.getLong(1) == counts.size.toLong &&
+        row.getLong(2) == (if (grams.isEmpty) 0L else counts.values.max.toLong)
+    })
+  }
+
+  test("ShingleUtil matches naive distinct shingles in first-occurrence order") {
+    check(Prop.forAll(genToks) { toks =>
+      val expected = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toList.distinct
+      val got = ShingleUtil.shingles(arr(toks), 3)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString).toList == expected
+    })
+  }
+}
