@@ -110,6 +110,33 @@ object SparkEntry {
       |             FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
       |             WHERE bit_count(xor(s1.simhash::BIT, s2.simhash::BIT)) <= 4)""".stripMargin
 
+  /** Connected-component closure over `nd_pairs` (shared by x22 and x29;
+    * requires WITH RECURSIVE; ends in `comp(doc_id, cluster)`).
+    */
+  private val clusterCte =
+    """edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+      |reach(u, v) AS (SELECT u, v FROM edges
+      |                UNION
+      |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)""".stripMargin
+
+  /** Quality measurements per document (shared by x19 and x29; ends in
+    * `q(doc_id, n_tokens, avg_len, stop_hits, top_tok_frac)`), and the
+    * single definition of the gate predicate over them.
+    */
+  private val qualityCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |q AS (SELECT doc_id,
+      |  len(ts)::BIGINT AS n_tokens,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
+      |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
+      |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
+      |  FROM t)""".stripMargin
+
+  private val qualityKeepPred =
+    "n_tokens BETWEEN 20 AND 80 AND avg_len BETWEEN 3.0 AND 8.0 " +
+      "AND stop_hits >= 2 AND top_tok_frac <= 0.125"
+
   def oracleSql: Map[String, String] = Map(
     "d1_regex_subscribe" ->
       "SELECT * FROM events WHERE regexp_matches(event_type, '^[^_].*') ORDER BY event_id",
@@ -301,21 +328,14 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x19_quality_gate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(ts)::BIGINT AS n_tokens,
-        |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
-        |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
-        |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
-        |  FROM t)
-        |SELECT doc_id, n_tokens, avg_len, stop_hits, top_tok_frac,
-        |  n_tokens BETWEEN 20 AND 80 AS r_len,
-        |  avg_len BETWEEN 3.0 AND 8.0 AS r_avg,
-        |  stop_hits >= 2 AS r_stop,
-        |  top_tok_frac <= 0.125 AS r_rep,
-        |  (n_tokens BETWEEN 20 AND 80) AND (avg_len BETWEEN 3.0 AND 8.0)
-        |    AND stop_hits >= 2 AND top_tok_frac <= 0.125 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCte
+         |SELECT doc_id, n_tokens, avg_len, stop_hits, top_tok_frac,
+         |  n_tokens BETWEEN 20 AND 80 AS r_len,
+         |  avg_len BETWEEN 3.0 AND 8.0 AS r_avg,
+         |  stop_hits >= 2 AS r_stop,
+         |  top_tok_frac <= 0.125 AS r_rep,
+         |  ($qualityKeepPred) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "x20_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -336,12 +356,8 @@ object SparkEntry {
 
     "x22_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairsCte,
-         |edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |reach(u, v) AS (SELECT u, v FROM edges
-         |                UNION
-         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS doc_id, least(u, min(v)) AS cluster
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+         |$clusterCte
+         |SELECT doc_id, cluster FROM comp ORDER BY doc_id""".stripMargin,
 
     "x23_corpus_stats" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
@@ -365,21 +381,9 @@ object SparkEntry {
 
     "x29_curated_corpus" ->
       s"""WITH RECURSIVE $simhashPairsCte,
-         |edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |reach(u, v) AS (SELECT u, v FROM edges
-         |                UNION
-         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |q AS (SELECT doc_id,
-         |  len(ts)::BIGINT AS n_tokens,
-         |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
-         |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
-         |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
-         |  FROM t),
-         |keepq AS (SELECT doc_id FROM q
-         |          WHERE n_tokens BETWEEN 20 AND 80 AND avg_len BETWEEN 3.0 AND 8.0
-         |            AND stop_hits >= 2 AND top_tok_frac <= 0.125),
+         |$clusterCte,
+         |$qualityCte,
+         |keepq AS (SELECT doc_id FROM q WHERE $qualityKeepPred),
          |spl AS (SELECT doc_id FROM documents
          |        WHERE (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 80)
          |SELECT d.doc_id, d.lang FROM documents d

@@ -59,6 +59,17 @@ object Curation {
   /** English stopword list used by the quality gate's stop-hit rule. */
   private val enStop = Seq("the", "a", "of", "to", "and")
 
+  /** Content-stable bucket in [0, 100): the first 8 hex chars of
+    * `md5(prefix + doc_id)` mod 100. One definition shared by the split
+    * and sampling operators — the seed prefix is the only difference, and
+    * the formula must never drift between them (the oracles spell the
+    * identical derivation).
+    */
+  private def md5Bucket(prefix: String): Column = pmod(
+    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long"),
+    lit(100L))
+
   /** EXT-C2 — Gopher-style quality gate: per-document boolean rules +
     * the aggregate keep flag. Rules (thresholds tuned to the harness
     * corpus; production values are config):
@@ -120,12 +131,8 @@ object Curation {
     * row-local projection.
     */
   def hashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(100L))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), md5Bucket("split:").as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .orderBy("doc_id")
@@ -137,64 +144,80 @@ object Curation {
     * doc_id as the canonical id — the step that turns pairwise near-dup
     * evidence into "keep one per cluster".
     *
-    * Star contraction: each round (1) contracts the edge list through the
-    * current labels and drops intra-label self-loops, (2) takes, per
-    * label, the min over its contracted neighborhood, (3) relabels every
-    * node through that map. Propagating on the CONTRACTED graph — not the
-    * original — makes whole stars collapse per round, so rounds grow with
-    * log(component size), not component diameter (naive min-propagation
-    * measured 14 rounds / 82 s on sf0.1's 639-node giant component; this
-    * converges in 4 rounds / ~8 s including the pair generation). The
-    * contracted edge relation also SHRINKS geometrically, so later
-    * rounds get cheaper; its emptiness is the convergence test — one
-    * count() per round on a relation already orders of magnitude smaller
-    * than the corpus. Per-round relations are eagerly
-    * `localCheckpoint`ed: lineage stays O(1) across iterations and the
-    * plans stay AQE-eligible (a `persist` would pin pre-AQE shuffle
-    * partitioning on every reuse).
+    * Min-label contraction with pointer jumping: each round (1) rewrites
+    * the ORIGINAL edge list through the current labels and drops
+    * intra-label self-loops — emptiness of this contracted relation is
+    * the exact convergence test; (2) takes, per label, the min over its
+    * contracted neighborhood; (3) relabels every node through that map;
+    * (4) pointer-jumps (`label ← label(label)`). The jump is what makes
+    * chain-shaped components converge in O(log n) rounds — star steps
+    * alone advance a chain one hop per round, O(diameter) (a simulated
+    * 30-doc near-dup chain: 29 rounds without the jump, 6 with it; dense
+    * components like sf0.1's 639-node cluster converge in ≤4 either
+    * way). Per-round relations are eagerly `localCheckpoint`ed: lineage
+    * stays O(1) across iterations and every consumer branch reads the
+    * materialized relation instead of recomputing its plan.
     *
-    * The min label is a fixpoint of the contraction map, so the final
-    * label of every node is exactly its component minimum — the same
-    * closure the oracle's recursive CTE computes.
+    * The component minimum is a fixpoint of both the min step and the
+    * jump, labels are monotonically non-increasing, and an inter-label
+    * edge forces a strict decrease somewhere — so the loop reaches the
+    * oracle's recursive-CTE closure exactly; if `maxRounds` is ever hit
+    * first (pathological beyond ~2^maxRounds-node components), it
+    * THROWS rather than returning silently wrong canonical ids.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 25): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
+    connectedComponents(
+      Dedup.simhashNearDup(spark, dir).select(col("d1"), col("d2")), maxRounds)
+
+  /** Connected components over an arbitrary pair relation `(d1, d2)` —
+    * the algorithm behind [[dedupClusters]], exposed separately so any
+    * near-dup pair stream (MinHash, embedding-cosine, …) can be resolved
+    * to canonical ids, and so the iteration is testable on synthetic
+    * graph shapes (chains, stars) independent of fingerprinting.
+    */
+  def connectedComponents(pairRelation: DataFrame, maxRounds: Int = 30): DataFrame = {
     // materialize the pair relation BEFORE the symmetric union: the two
-    // union branches would otherwise each recompute the entire SimHash
-    // near-dup pipeline (Spark shares no common subtree across branches)
-    val pairs = Dedup.simhashNearDup(spark, dir)
-      .select(col("d1"), col("d2"))
-      .localCheckpoint()
-    var edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+    // union branches would otherwise each recompute the entire upstream
+    // pair pipeline (Spark shares no common subtree across branches)
+    val pairs = pairRelation.localCheckpoint()
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    var converged = false
     var round = 0
-    while (round < maxRounds && !edges.isEmpty) {
-      // the round's contraction map f(l) = least(l, min neighbor of l),
-      // defined on every current edge endpoint (the edge list is
-      // symmetric, so grouping on u covers them all). Node labels and
-      // edge endpoints are BOTH composed through this same f — they stay
-      // consistent by construction (final labels = f_r∘…∘f_0(node), and
-      // an edge self-loops exactly when its endpoints' compositions
-      // agree), which is what makes "edges empty" equivalent to "every
-      // component fully labeled with its minimum".
-      val f = edges.groupBy(col("u").as("old")).agg(min("v").as("m"))
-        .select(col("old"), least(col("old"), col("m")).as("nw"))
-      labels = labels
-        .join(f, labels("label") === f("old"), "left")
-        .select(col("node"), coalesce(col("nw"), col("label")).as("label"))
-        .localCheckpoint()
-      edges = edges
-        .join(f.select(col("old").as("u"), col("nw").as("lu")), "u")
-        .join(f.select(col("old").as("v"), col("nw").as("lv")), "v")
+    while (!converged && round < maxRounds) {
+      // contracted graph: the fixed original edges with both endpoints
+      // rewritten to their current labels (joining the ORIGINAL list
+      // every round keeps edges and labels consistent by construction)
+      val ledges = edges
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
         .filter(col("lu") =!= col("lv"))
         .select(col("lu").as("u"), col("lv").as("v"))
         .distinct()
         .localCheckpoint()
-      round += 1
+      if (ledges.isEmpty) converged = true
+      else {
+        val f = ledges.groupBy(col("u").as("old")).agg(min("v").as("m"))
+          .select(col("old"), least(col("old"), col("m")).as("nw"))
+        val stepped = labels
+          .join(f, labels("label") === f("old"), "left")
+          .select(col("node"), coalesce(col("nw"), col("label")).as("label"))
+          .localCheckpoint() // consumed by both sides of the jump join
+        labels = stepped
+          .join(stepped.select(col("node").as("jn"), col("label").as("jl")),
+            stepped("label") === col("jn"), "left")
+          .select(stepped("node"), coalesce(col("jl"), stepped("label")).as("label"))
+          .localCheckpoint()
+        round += 1
+      }
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxRounds rounds — labels would be wrong")
     labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
@@ -224,12 +247,8 @@ object Curation {
     * (predicate reaches the parquet scan; no shuffle).
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(100L))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"), md5Bucket("samp:").as("bucket"))
       .filter(col("bucket") < when(col("lang") === "en", 10L).otherwise(25L))
       .orderBy("doc_id")
   }

@@ -67,7 +67,12 @@ object Temporal {
       .select(
         col("event_id"), col("user_id"), col("ts"),
         when(col("event_type") === rightType, 0).otherwise(1).as("side"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+    // event_id as the final sort key: two views with equal (user, ts)
+    // must yield a DETERMINISTIC pick (the highest event_id — "latest
+    // ingested"), not whichever row the partitioning happened to order
+    // last. (The harness data has no (user, ts) collisions, so oracle
+    // parity is unaffected; DuckDB's ASOF makes an arbitrary pick there.)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
       .withColumn("view_event_id",
@@ -94,8 +99,12 @@ object Temporal {
     val ev = Replication.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("b", expr(s"us div ${bandUs}L"))
+    // the left side must explode ALL of {b−1, b, b+1}: the e1 < e2 filter
+    // is on event_id, not time, so the in-band partner of a given left
+    // row can sit in the earlier OR later adjacent bucket — covering only
+    // {b, b+1} silently drops pairs whose lower-id event is later in time
     val left = ev.select(col("event_id").as("e1"), col("us").as("us1"),
-      explode(array(col("b"), col("b") + 1)).as("bucket"))
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
     val right = ev.select(col("event_id").as("e2"), col("us").as("us2"),
       col("b").as("bucket"))
     left.join(right, "bucket")

@@ -57,12 +57,15 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** EXT-6d — stream-static enrichment: every microbatch of the stream
-    * joins the static dimension relation on `key`. The static side is
-    * re-planned per microbatch (so a dim-table refresh is picked up) and
-    * explicitly broadcast: enrichment never shuffles the stream — the
-    * essential property when the stream is the 100 TB/day side. Left
-    * join: events without a dimension row pass through with nulls rather
-    * than silently dropping.
+    * joins the static dimension relation on `key`. The static plan is
+    * re-executed per microbatch, but note file-based sources cache their
+    * file listing in the DataFrame — a rewritten dim table is only picked
+    * up by sources that re-resolve per batch (e.g. Delta) or by
+    * rebuilding the dim DataFrame. The dim is explicitly broadcast:
+    * enrichment never shuffles the stream — the essential property when
+    * the stream is the 100 TB/day side. Left join: events without a
+    * dimension row pass through with nulls rather than silently
+    * dropping.
     */
   def enrich(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")

@@ -10,7 +10,7 @@ import graft.operators.Curation
 class CurationSpec extends AnyFunSuite with SparkSuite {
 
   test("decontaminate: flags docs sharing a 5-gram with the benchmark subset") {
-    // doc 0 and 20 are benchmark (id % 20 == 0); doc 1 copies doc 0's
+    // doc 0 is the benchmark subset (id % 20 == 0); doc 1 copies doc 0's
     // phrase, doc 2 shares two distinct 5-gram windows (6 shared tokens
     // in a row = two 5-grams), doc 3 is clean
     val dir = TestTables.documentsDir(spark, Seq(
@@ -107,6 +107,22 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val expected = (0L until 300L).filter(bucket(_) < 10) // fixture is all-en
     assert(got.keySet == expected.toSet)
     got.foreach { case (id, b) => assert(b == bucket(id) && b < 10) }
+  }
+
+  test("connectedComponents: long chains converge (pointer jumping) to the component min") {
+    import spark.implicits._
+    // a 32-node chain needs 31 rounds under plain min-propagation — well
+    // past what any O(diameter) scheme does in the default round budget
+    // comfortably; the pointer jump must close it in ~log2(32) rounds
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = graft.operators.Curation.connectedComponents(chain, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 32 && got.values.forall(_ == 1L))
+    // two components + id order reversed inside the pairs
+    val two = Seq((5L, 3L), (3L, 9L), (20L, 18L)).toDF("d1", "d2")
+    val got2 = graft.operators.Curation.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 18L -> 18L, 20L -> 18L))
   }
 
   test("curatedCorpus composes quality ∩ canonical ∩ train exactly") {

@@ -35,6 +35,18 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(2L -> 1L, 4L -> 3L))
   }
 
+  test("rangeJoin: in-band pair found when the lower-id event is LATER and straddles a bucket") {
+    // id 1 sits just past the 5s bucket boundary, id 2 just before it:
+    // bucket(1)=1, bucket(2)=0, and the only e1<e2 orientation has the
+    // partner in the EARLIER adjacent bucket — the {b-1} explode case
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, 5000001L, 1L, "click"),
+      (2L, 4999999L, 1L, "click")))
+    val got = Temporal.rangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(Array((1L, 2L, -0.000002))))
+  }
+
   test("rangeJoin: pairs within the band, including across adjacent buckets") {
     val dir = TestTables.eventsDir(spark, Seq(
       (0L, us(0), 1L, "click"),
