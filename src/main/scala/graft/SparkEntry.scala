@@ -66,6 +66,8 @@ object SparkEntry {
     "x24_incremental_dedup" -> ((s, dir) => Curation.incrementalDedup(s, dir)),
     "x25_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "x29_curated_corpus" -> ((s, dir) => Curation.curatedCorpus(s, dir)),
+    "x30_length_histogram" -> ((s, dir) => Curation.lengthHistogram(s, dir)),
+    "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -392,6 +394,24 @@ object SparkEntry {
          |JOIN spl s ON s.doc_id = d.doc_id
          |WHERE c.cluster IS NULL OR c.cluster = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "x30_length_histogram" ->
+      """SELECT n_chars // 50 AS bucket, (n_chars // 50) * 50 AS bucket_lo,
+        |       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "x31_top_docs_per_lang" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
+        |q AS (SELECT doc_id,
+        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |  FROM s),
+        |r AS (SELECT d.lang, q.doc_id, q.quality,
+        |        row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS rank
+        |      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+        |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -275,6 +275,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** EXT-C10 — document-length histogram: counts per fixed-width
+    * `n_chars` bucket. The scalable shape for distribution analysis at
+    * corpus scale — one partial-agg groupBy on a derived integer key
+    * (an exact-quantile sort would be a global sort; a histogram gives
+    * the same curation signal for a shuffle of |buckets| rows).
+    */
+  def lengthHistogram(spark: SparkSession, dir: String, bucketWidth: Long = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(expr(s"n_chars div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .withColumn("bucket_lo", col("bucket") * bucketWidth)
+      .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
+      .orderBy("bucket")
+
+  /** EXT-C11 — grouped top-k: the `k` highest-quality documents per
+    * language (quality = the x19 measurements' score formula from
+    * [[TextAnalysis.stats]]). Window top-k over a low-cardinality
+    * partition key: one shuffle by lang, rank computed streamingly in
+    * each partition — the standard "best examples per stratum" shape for
+    * curriculum/eval-set selection.
+    */
+  def topDocsPerLang(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.stats(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+  }
+
   /** EXT-C6 — dataset-card aggregates: per (lang, source) document count,
     * total characters, total whitespace tokens, and mean characters per
     * document (one IEEE division over exact integer sums). One

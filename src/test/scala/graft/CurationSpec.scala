@@ -138,6 +138,26 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("lengthHistogram: fixed-width buckets with exact bounds") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "x" * 10, 2L -> "y" * 49, 3L -> "z" * 50, 4L -> "w" * 120))
+    val got = Curation.lengthHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sameElements(Array((0L, 2L, 10L, 49L), (1L, 1L, 50L, 50L), (2L, 1L, 120L, 120L))))
+  }
+
+  test("topDocsPerLang: rank by quality desc with doc_id tie-break, k bound") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near a river bank today",
+      2L -> "a a a a a a a a", // low quality: all stopwords, low ttr
+      3L -> "many distinct interesting tokens compose an unusually varied document here"))
+    val got = Curation.topDocsPerLang(spark, dir, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == 2 && got.forall(_._1 == "en"))
+    assert(got.map(_._2).sameElements(Array(1, 2)))
+    assert(!got.map(_._3).contains(2L)) // the degenerate doc never ranks
+  }
+
   test("corpusStats: exact integer sums and one-division mean") {
     val dir = TestTables.documentsDir(spark, Seq(
       1L -> "a b c", 2L -> "d e")) // same lang/source fixture
