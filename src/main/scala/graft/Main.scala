@@ -27,19 +27,32 @@ object Main {
 
   /** Phases A+B: parse/validate args and reconcile topics. Returns the
     * config if the stream is safe to start, or the error lines to print.
+    * (`fromArgs` runs the `<<`/`>>` preprocessing itself — no outer call.)
     */
   def preflight(
       args: Array[String],
       clientFor: Map[String, String] => TopicMetadataClient): Either[Seq[String], ReplicatorConfig] =
-    ReplicatorConfig.fromArgs(ReplicatorConfig.preprocessArgs(args.toSeq)).flatMap { cfg =>
+    ReplicatorConfig.fromArgs(args.toSeq).flatMap { cfg =>
       val failures = TopicAdmin.reconcile(
         clientFor(cfg.consumerProps), clientFor(cfg.producerProps), cfg)
       if (failures.isEmpty) Right(cfg) else Left(failures)
     }
 
-  /** Phase C: start the replication stream (D1–D7). */
-  def startStream(spark: SparkSession, cfg: ReplicatorConfig, checkpointLocation: String): StreamingQuery =
-    Pipeline.start(spark, cfg, checkpointLocation)
+  /** Phase C: start the replication stream (D1–D7) — the built-in
+    * at-least-once sink by default, or the transactional
+    * record-complete path when `--exactly-once` was requested (D6,
+    * reference: FlinkKafkaReplicator.java:120-124).
+    */
+  def startStream(
+      spark: SparkSession,
+      cfg: ReplicatorConfig,
+      checkpointLocation: String,
+      senderFor: ReplicatorConfig => () => graft.streaming.RecordSender): StreamingQuery =
+    if (cfg.exactlyOnce)
+      Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
+        s"$checkpointLocation/graft-commits", senderFor(cfg))
+    else
+      Pipeline.start(spark, cfg, checkpointLocation)
 
   /** Full lifecycle with the reference's fixed-delay restart policy
     * (4 attempts / 10 s, reference: FlinkKafkaReplicator.java:99).
@@ -48,10 +61,23 @@ object Main {
       args: Array[String],
       spark: SparkSession,
       clientFor: Map[String, String] => TopicMetadataClient,
-      checkpointLocation: String): Either[Seq[String], Unit] =
+      checkpointLocation: String,
+      senderFor: ReplicatorConfig => () => graft.streaming.RecordSender = reflectiveSender): Either[Seq[String], Unit] =
     preflight(args, clientFor).map { cfg =>
-      Pipeline.runWithRestarts()(() => startStream(spark, cfg, checkpointLocation))
+      Pipeline.runWithRestarts()(() => startStream(spark, cfg, checkpointLocation, senderFor))
     }
+
+  /** Deploy-time transactional-producer binding, loaded reflectively like
+    * the admin client (kafka-clients is absent at build time). Receives
+    * the producer props WITH `transaction.timeout.ms` injected — the
+    * reference does the same unconditionally (reference:
+    * FlinkKafkaReplicator.java:106).
+    */
+  def reflectiveSender(cfg: ReplicatorConfig): () => graft.streaming.RecordSender = () =>
+    Class.forName("graft.streaming.KafkaProducerRecordSender")
+      .getConstructor(classOf[Map[String, String]])
+      .newInstance(cfg.effectiveProducerProps)
+      .asInstanceOf[graft.streaming.RecordSender]
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

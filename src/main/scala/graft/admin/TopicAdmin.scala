@@ -134,9 +134,13 @@ object TopicAdmin {
 
   /** C7 — execute the plan; aggregate failures and throw after the full
     * loop, never mid-way (reference: FlinkKafkaReplicator.java:207,274-275).
+    * Warn actions are the reference's log-only outcomes (reference:
+    * FlinkKafkaReplicator.java:228-229,243-245,253-257) — they must reach
+    * the operator's console, not be silently discarded.
     */
   def execute(client: TopicMetadataClient, actions: Seq[AdminAction]): Seq[String] = {
     import AdminAction._
+    actions.foreach { case Warn(m) => System.err.println(s"[graft] WARN: $m"); case _ => () }
     val failures = actions.collect { case Fail(m) => m }
     if (failures.isEmpty) actions.foreach {
       case CreateTopic(spec, rf) => client.createTopic(spec, rf)

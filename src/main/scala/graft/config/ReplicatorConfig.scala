@@ -21,6 +21,15 @@ final case class ReplicatorConfig(
     producerProps: Map[String, String] = Map.empty) {
 
   def startingOffsets: String = if (latestOffset) "latest" else "earliest"
+
+  /** Producer props with `transaction.timeout.ms` injected from the
+    * validated option — the reference does this unconditionally
+    * (reference: FlinkKafkaReplicator.java:106); without it the D8
+    * constraint validates a value the producer never receives. An
+    * explicit `--producer.transaction.timeout.ms` passthrough wins.
+    */
+  def effectiveProducerProps: Map[String, String] =
+    Map("transaction.timeout.ms" -> transactionTimeoutMs.toString) ++ producerProps
 }
 
 object ReplicatorConfig {
@@ -100,8 +109,17 @@ object ReplicatorConfig {
         val errs = validate(params)
         if (errs.nonEmpty) return Left(errs)
         def flag(k: String) = params.get(k).exists(_ == "true")
-        def long(k: String, d: Long) =
-          params.get(k).map(_.toLong).getOrElse(d)
+        // numeric options must fail through the Either channel, not with
+        // a NumberFormatException: a bare `--checkpoint-interval-ms`
+        // parses as the flag value "true"
+        def long(k: String, d: Long): Either[String, Long] = params.get(k) match {
+          case None => Right(d)
+          case Some(s) => s.toLongOption.toRight(s"--$k requires an integer value, got '$s'")
+        }
+        val ckptE = long("checkpoint-interval-ms", DefaultCheckpointIntervalMs)
+        val txnE = long("transaction-timeout-ms", DefaultTransactionTimeoutMs)
+        val numErrs = Seq(ckptE, txnE).collect { case Left(e) => e }
+        if (numErrs.nonEmpty) return Left(numErrs)
         val cfg = ReplicatorConfig(
           topics = params("topics"),
           createTopics = flag("create-topics"),
@@ -110,8 +128,8 @@ object ReplicatorConfig {
           preservePartitioning = !flag("no-preserve-partitioning"),
           exactlyOnce = flag("exactly-once"),
           latestOffset = flag("latest-offset"),
-          checkpointIntervalMs = long("checkpoint-interval-ms", DefaultCheckpointIntervalMs),
-          transactionTimeoutMs = long("transaction-timeout-ms", DefaultTransactionTimeoutMs),
+          checkpointIntervalMs = ckptE.toOption.get,
+          transactionTimeoutMs = txnE.toOption.get,
           consumerProps = propsWithPrefix(params, "consumer."),
           producerProps = propsWithPrefix(params, "producer."))
         // D8 — txn timeout must cover at least one checkpoint interval

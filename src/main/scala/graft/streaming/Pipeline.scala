@@ -61,7 +61,7 @@ object Pipeline {
       .format("kafka")
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
-    cfg.producerProps.foldLeft(writer) { case (w, (k, v)) =>
+    cfg.effectiveProducerProps.foldLeft(writer) { case (w, (k, v)) =>
       w.option(s"kafka.$k", v)
     }
   }
@@ -77,17 +77,21 @@ object Pipeline {
     */
   def idempotentForeachBatch(
       commitDir: String,
-      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    val dir = new java.io.File(commitDir)
-    dir.mkdirs()
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
-      val marker = new java.io.File(dir, s"batch-$batchId.committed")
-      if (!marker.exists()) {
+      // markers go through the Hadoop FS API so they land on the same
+      // fault-tolerant filesystem as the checkpoint — a java.io.File
+      // marker on the driver's local disk is lost when the driver is
+      // replaced, which is exactly the replay window it must close
+      val dir = new org.apache.hadoop.fs.Path(commitDir)
+      val fs = dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs.mkdirs(dir)
+      val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId.committed")
+      if (!fs.exists(marker)) {
         write(df, batchId)
-        marker.createNewFile()
+        fs.create(marker, false).close()
       }
     }
-  }
 
   /** Whole pipeline, Kafka to Kafka (at-least-once, built-in sink — the
     * reference's default semantic). Returns the started query.
@@ -128,9 +132,11 @@ object Pipeline {
     var remaining = attempts
     var done = false
     while (!done) {
-      val q = run()
+      // run() stays INSIDE the try: a failure while (re)starting the
+      // query — e.g. the broker still unreachable on the retry — must
+      // consume an attempt and wait, not escape the restart loop
       try {
-        q.awaitTermination()
+        run().awaitTermination()
         done = true
       } catch {
         case e: Exception if remaining > 0 =>

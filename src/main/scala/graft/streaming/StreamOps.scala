@@ -113,34 +113,29 @@ object StreamOps {
             Iterator.single(Session(userId,
               new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
           } else {
-            // fold the batch's events into the open session, emitting any
-            // session closed by a gap within the (event-time-sorted) batch.
-            // Cross-batch disorder: a late event may precede the open
-            // session (earlier batches saw later event times) — it extends
-            // the session backward when within the gap, or is emitted as
-            // its own stray session when older than that; it must NEVER
-            // silently inflate the open session's count with a wrong span.
-            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            // classic interval merge over (open session + batch events),
+            // sorted by start: adjacent items within the gap coalesce;
+            // a gap closes the earlier session. This handles cross-batch
+            // disorder uniformly — a late event within the gap extends
+            // the open session backward, and multiple strays older than
+            // the gap merge WITH EACH OTHER when they are gap-adjacent
+            // (an ad-hoc per-event fold emitted each stray as its own
+            // singleton session, diverging from the batch sessionizer).
+            val items = (state.getOption.toList ++
+              events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+              .sortBy(_.startMs)
             var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            var cur = Option.empty[SessionState]
+            items.foreach { it =>
               cur match {
-                case Some(s) if t > s.endMs =>
-                  if (t - s.endMs <= gapMs) cur = Some(s.copy(endMs = t, n = s.n + 1))
-                  else {
-                    closed ::= Session(userId,
-                      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
-                    cur = Some(SessionState(t, t, 1))
-                  }
-                case Some(s) if t >= s.startMs => // inside the open span
-                  cur = Some(s.copy(n = s.n + 1))
-                case Some(s) => // late event before the open session
-                  if (s.startMs - t <= gapMs) cur = Some(s.copy(startMs = t, n = s.n + 1))
-                  else closed ::= Session(userId, // stray, older than gap
-                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
+                case Some(s) if it.startMs - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, it.endMs), s.n + it.n))
+                case Some(s) =>
+                  closed ::= Session(userId,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(it)
               }
             }
             cur.foreach { s =>

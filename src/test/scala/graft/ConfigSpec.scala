@@ -44,6 +44,22 @@ class ConfigSpec extends AnyFunSuite {
       "org.apache.kafka.common.security.plain.PlainLoginModule required username=\"user\" password=\"pw\";")
   }
 
+  test("malformed numeric options fail through Either, not with an exception") {
+    // bare flag: parseArgs maps it to "true"
+    val bare = ReplicatorConfig.fromArgs(minimal ++ Seq("--checkpoint-interval-ms"))
+    assert(bare.isLeft && bare.left.exists(_.exists(_.contains("integer value"))))
+    val junk = ReplicatorConfig.fromArgs(minimal ++ Seq("--transaction-timeout-ms", "5s"))
+    assert(junk.isLeft && junk.left.exists(_.exists(_.contains("'5s'"))))
+  }
+
+  test("effectiveProducerProps injects transaction.timeout.ms; explicit passthrough wins") {
+    val cfg = ReplicatorConfig.fromArgs(minimal).toOption.get
+    assert(cfg.effectiveProducerProps("transaction.timeout.ms") == "870000")
+    val explicit = ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--producer.transaction.timeout.ms", "123")).toOption.get
+    assert(explicit.effectiveProducerProps("transaction.timeout.ms") == "123")
+  }
+
   test("D8: exactly-once with txn timeout below checkpoint interval fails") {
     val args = minimal ++ Seq("--exactly-once",
       "--transaction-timeout-ms", "500", "--checkpoint-interval-ms", "1000")

@@ -82,6 +82,24 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(offsets.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("runWithRestarts consumes an attempt when (re)starting the query itself fails") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var calls = 0
+    Pipeline.runWithRestarts(attempts = 2, delayMs = 10L) { () =>
+      calls += 1
+      // first (re)start fails synchronously — e.g. broker still down —
+      // and must be retried, not escape the restart loop
+      if (calls == 1) throw new RuntimeException("broker down")
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = stream.toDF().writeStream.format("memory")
+        .queryName("rwr_out").outputMode("append").start()
+      new Thread(() => { Thread.sleep(300); q.stop() }).start()
+      q
+    }
+    assert(calls == 2)
+  }
+
   test("idempotent foreachBatch skips replayed batches (exactly-once commit)") {
     import spark.implicits._
     val commits = Files.createTempDirectory("graft-commits").toString

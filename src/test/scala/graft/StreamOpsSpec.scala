@@ -130,6 +130,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize: gap-adjacent late strays merge into ONE session, matching batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // huge watermark delay: late events stay in-scope so the merge logic
+    // (not watermark dropping) is what's under test
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 10 * 60000L, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_merge_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 50, 7), ev(2, 52, 7)) // open session [50, 52]
+      q.processAllAvailable()
+      // two strays: both > gap before the open session, but within the
+      // gap of EACH OTHER -> must close as one session (10, 15, n=2)
+      stream.addData(ev(3, 10, 7), ev(4, 15, 7))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_merge_out").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(sessions.length == 1)
+      assert(sessions.head.session_start == ts(10) && sessions.head.session_end == ts(15)
+        && sessions.head.n_events == 2L)
+    } finally q.stop()
+  }
+
   test("enrich: stream-static left join broadcasts the dim and keeps unmatched events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
