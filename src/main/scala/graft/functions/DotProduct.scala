@@ -29,6 +29,11 @@ case class DotProductExpression(left: Expression, right: Expression)
   // array<double> UnsafeArrayData would silently read half of each slot
   // and return garbage, not throw.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull=true must be ACCEPTED (Spark's parquet reader reports
+    // it for all list columns); null ELEMENTS are rejected at runtime in
+    // both eval paths instead — silently reading 0.0f from a nulled
+    // UnsafeArrayData slot is the failure mode this expression exists to
+    // avoid
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
@@ -43,10 +48,17 @@ case class DotProductExpression(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch must FAIL, not silently truncate to the shorter
+    // vector — a partial dot product looks like a valid similarity
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_f: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_f: null element at index $i")
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,9 +71,16 @@ case class DotProductExpression(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_f: dimension mismatch (" +
+         |    $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException("dot_f: null element at index " + $i);
+         |  }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;

@@ -58,8 +58,10 @@ object KafkaMurmur2 {
   }
 
   /** DefaultPartitioner routing for a keyed record. */
-  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     (hash(key) & 0x7fffffff) % numPartitions
+  }
 }
 
 /** `kafka_partition(key, numPartitions)` as a codegen'd Catalyst expression
@@ -67,6 +69,18 @@ object KafkaMurmur2 {
   */
 case class KafkaPartitionExpression(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // analysis-time check (same rationale as DotProductExpression): a
+  // mistyped key column must fail the query at analysis, not throw
+  // ClassCastException per row inside a task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kafka_partition expects (binary, int), got (${l.sql}, ${r.sql})")
+    }
 
   override def dataType: DataType = IntegerType
 

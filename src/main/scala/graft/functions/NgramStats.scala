@@ -49,6 +49,7 @@ object NgramStatsUtil {
 }
 
 case class NgramStatsExpression(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"ngram width k must be >= 1, got $k") // k=0 would count n+1 empty grams
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),

@@ -44,6 +44,7 @@ object ShingleUtil {
 }
 
 case class ShinglesExpression(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle width k must be >= 1, got $k") // k=0 would emit a phantom "" shingle
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -56,8 +56,12 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** English stopword list used by the quality gate's stop-hit rule. */
-  private val enStop = Seq("the", "a", "of", "to", "and")
+  /** English stopword list used by the quality gate's stop-hit rule —
+    * THE canonical list from [[TextAnalysis.stopwords]], never a copy
+    * (the two operators and their oracles must agree on it forever).
+    */
+  private val enStop: Seq[String] =
+    TextAnalysis.stopwords.find(_._1 == "en").get._2
 
   /** Content-stable bucket in [0, 100): the first 8 hex chars of
     * `md5(prefix + doc_id)` mod 100. One definition shared by the split

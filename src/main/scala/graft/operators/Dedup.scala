@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md §2b):
@@ -101,7 +101,13 @@ object Dedup {
     val arr = shingleArrays(spark, dir)
     val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("shingle"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    // every ceil(n·t) below subtracts ε first: double rounding can push
+    // n·t just above its exact rational value, and an over-estimated
+    // ceil SHORTENS the prefix / tightens the length filter — the lossy
+    // direction. ε only ever admits borderline candidates (verification
+    // is exact), mirroring the positional filter's guard.
+    def ceilEps(c: Column): Column = ceil(c - 1e-9)
+    val prefLen = (col("n") - ceilEps(col("n") * threshold) + 1).cast("int")
     val pref = sh.join(freq, "shingle")
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
@@ -135,7 +141,8 @@ object Dedup {
       .select(col("ds"), explode(col("ds")).as("x"))
       .select(col("x"), explode(col("ds")).as("y"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
-        col("x.n") >= ceil(col("y.n") * threshold) && col("y.n") >= ceil(col("x.n") * threshold) &&
+        col("x.n") >= ceil(col("y.n") * threshold - 1e-9) &&
+        col("y.n") >= ceil(col("x.n") * threshold - 1e-9) &&
         overlapBound >= overlapNeed)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
@@ -161,6 +168,12 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0 — every document shares
+    // every (empty) band signature and the "sub-quadratic path" silently
+    // runs a full quadratic verify; non-divisible values silently discard
+    // trailing hashes
+    require(numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
     // docs with no shingles (< k tokens) never enter the oracle's
     // exploded relation; drop them before the signature pass

@@ -21,6 +21,10 @@ object Replication {
     * truncation DuckDB applies, so oracle comparisons agree bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // SESSION-WIDE side effect, deliberate: this legacy flag has no
+    // per-read form, and every TIMESTAMP(NANOS) parquet in this harness
+    // wants the same treatment. Any reader of ns-timestamp parquet in the
+    // same session sees longs — go through this function, which converts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

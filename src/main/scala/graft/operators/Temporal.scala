@@ -88,11 +88,12 @@ object Temporal {
     * other (`e1 < e2`, any user). The scalable spelling turns the
     * inequality predicate into an equi-join on a time bucket of width
     * `bandSec`: a pair within the band sits in the same or adjacent
-    * buckets, so one side joins buckets {b, b+1}, the exact band
-    * predicate filters row-locally, and a distinct collapses the double
-    * hit same-bucket pairs get (one per orientation). Cost scales with
-    * events per bucket, not n² — a naive `|t1 − t2| ≤ band` join is a
-    * nested-loop cross product.
+    * buckets, so the left side joins buckets {b−1, b, b+1} and the exact
+    * band predicate filters row-locally. Each qualifying (left, right)
+    * combination matches exactly one bucket value and the `e1 < e2`
+    * filter keeps one orientation, so the output needs no dedup pass.
+    * Cost scales with events per bucket, not n² — a naive
+    * `|t1 − t2| ≤ band` join is a nested-loop cross product.
     */
   def rangeJoin(spark: SparkSession, dir: String, bandSec: Long = 5): DataFrame = {
     val bandUs = bandSec * 1000000L
@@ -110,7 +111,6 @@ object Temporal {
     left.join(right, "bucket")
       .filter(col("e1") < col("e2") && abs(col("us1") - col("us2")) <= bandUs)
       .select(col("e1"), col("e2"), ((col("us2") - col("us1")) / 1000000.0).as("delta_s"))
-      .distinct()
       .orderBy("e1", "e2")
   }
 }

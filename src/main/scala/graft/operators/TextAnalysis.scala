@@ -113,8 +113,11 @@ object TextAnalysis {
     * changing the plan shape.
     */
   def languageIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    // the size guard matters: sequence(1, 0) counts DOWN in Spark, so a
+    // 0/1-char text would otherwise yield phantom "grams"
     val grams = array_distinct(expr(
-      "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+      "CASE WHEN length(text) >= 2 THEN transform(sequence(1, length(text) - 1), " +
+        "i -> substring(text, i, 2)) ELSE CAST(array() AS array<string>) END"))
     val scored = bigramProfiles.foldLeft(
       Tables.documents(spark, dir).select(col("doc_id"), grams.as("grams"))) {
       case (df, (lang, gs)) =>
