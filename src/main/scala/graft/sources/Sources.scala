@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** File-format ingestion beyond parquet (SURVEY.md §2b): JSONL and CSV
+  * readers for the harness table shapes, and the partitioned training-set
+  * writer.
+  *
+  * Every reader takes an EXPLICIT schema — schema inference is a full
+  * extra pass over the data at 100 TB (and nondeterministic under
+  * malformed rows), so it is never used. Malformed records fail loudly
+  * (`FAILFAST`) rather than becoming silent nulls: ingestion is the one
+  * place where dropping data must be a decision, not an accident.
+  */
+object Sources {
+
+  /** `documents` schema (TESTDATA.md / FIXTURES.md §1). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  /** `events` schema with epoch-micros timestamps (ingest form). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = true)))
+
+  /** One JSON document per line — the lingua franca of text-corpus
+    * interchange. Line-splittable, so a 100 TB corpus parallelizes by
+    * input split with no coordination.
+    */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).option("mode", "FAILFAST").json(path)
+
+  /** CSV events with explicit schema and header. */
+  def eventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventsSchema)
+      .option("header", "true").option("mode", "FAILFAST").csv(path)
+
+  /** Write a curated corpus partitioned by `lang` — the layout downstream
+    * training jobs want: language selection becomes partition PRUNING (a
+    * directory skip) instead of a full-corpus filter scan. Parquet +
+    * snappy, the standard analytical layout.
+    */
+  def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String] = Seq("lang")): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+}

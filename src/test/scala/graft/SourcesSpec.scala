@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+/** File-format ingestion: explicit-schema JSONL/CSV readers and the
+  * lang-partitioned corpus writer.
+  */
+class SourcesSpec extends AnyFunSuite with SparkSuite {
+
+  test("documentsJsonl: explicit schema, round-trips the documents shape") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}
+        |{"doc_id": 2, "text": "hola mundo", "lang": "es", "source": "s1", "n_chars": 10}
+        |""".stripMargin)
+    val df = Sources.documentsJsonl(spark, f.toString)
+    // JSON sources force nullable=true on every field; names/types must hold
+    assert(df.schema.fields.map(f2 => (f2.name, f2.dataType))
+      .sameElements(Sources.documentsSchema.fields.map(f2 => (f2.name, f2.dataType))))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.sameElements(Array((1L, "hello world", "en"), (2L, "hola mundo", "es"))))
+  }
+
+  test("documentsJsonl: malformed rows fail loudly, never become silent nulls") {
+    val dir = Files.createTempDirectory("graft-jsonl-bad")
+    val f = dir.resolve("bad.jsonl")
+    Files.writeString(f, """{"doc_id": "not-a-number", "text": 7}""" + "\n")
+    val e = intercept[Exception](Sources.documentsJsonl(spark, f.toString).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("eventsCsv: header + explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("events.csv")
+    Files.writeString(f,
+      """event_id,ts_us,user_id,event_type,value,props
+        |1,1000000,7,click,2.5,"{""k"": 1}"
+        |2,2000000,8,view,0.0,
+        |""".stripMargin)
+    val rows = Sources.eventsCsv(spark, f.toString).collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 1000000L && rows(0).getString(3) == "click")
+    assert(rows(1).isNullAt(5)) // empty props -> null, by schema nullability
+  }
+
+  test("writePartitioned: lang partitions materialize as prunable directories") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-part").toString + "/corpus"
+    val df = Seq((1L, "a", "en"), (2L, "b", "es"), (3L, "c", "en"))
+      .toDF("doc_id", "text", "lang")
+    Sources.writePartitioned(df, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("lang=en", "lang=es")))
+    // partition filter prunes at plan time: only the en directory is read
+    val back = spark.read.parquet(out).filter($"lang" === "en")
+    assert(back.collect().map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 3L)))
+    val scanned = back.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(lang"), scanned)
+  }
+}
