@@ -67,6 +67,7 @@ object SparkEntry {
     "x25_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "x29_curated_corpus" -> ((s, dir) => Curation.curatedCorpus(s, dir)),
     "x30_length_histogram" -> ((s, dir) => Curation.lengthHistogram(s, dir)),
+    "x32_quantize_embeddings" -> ((s, dir) => Similarity.quantize(s, dir)),
     "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
@@ -399,6 +400,13 @@ object SparkEntry {
       """SELECT n_chars // 50 AS bucket, (n_chars // 50) * 50 AS bucket_lo,
         |       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "x32_quantize_embeddings" ->
+      """SELECT vec_id,
+        |  list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)::INT) AS q,
+        |  list_aggregate(list_transform(embedding,
+        |    x -> abs(x::DOUBLE - floor(x::DOUBLE * 127.0 + 0.5) / 127.0)), 'max') AS max_err
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "x31_top_docs_per_lang" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

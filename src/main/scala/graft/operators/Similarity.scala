@@ -134,6 +134,24 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S4 — int8 embedding quantization: `q_i = floor(127·x_i + 0.5)`
+    * (explicit half-up — spelled as floor so no engine rounding-mode
+    * ambiguity exists), plus the per-vector max reconstruction error.
+    * The standard 4× memory compression before ANN serving at scale;
+    * row-local projection, no shuffle. Max is order-insensitive, so the
+    * error is oracle-exact despite float arithmetic.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))")
+          .as("q"),
+        expr("array_max(transform(sequence(1, size(embedding)), i -> " +
+          "abs(CAST(embedding[i - 1] AS DOUBLE) - " +
+          "CAST(floor(CAST(embedding[i - 1] AS DOUBLE) * 127.0 + 0.5) AS DOUBLE) / 127.0)))")
+          .as("max_err"))
+      .orderBy("vec_id")
+
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
     * restricted to bucket-colliding pairs (same LSH design as
     * [[bucketedTopK]]). Returns (v1, v2, sim4) with v1 < v2.
