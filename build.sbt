@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked output goes straight to stdout/stderr, NOT through sbt's
+// logger: the harness parses Bench's one-line JSON from stdout, and the
+// logger's "[info] " prefix broke that parse (BENCH_r01.json: parsed=null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
