@@ -187,8 +187,11 @@ object Curation {
     val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // seed labels with least(node, min neighbor) — the first star step
+    // comes free with the aggregation that enumerates the nodes, saving
+    // one full round of the loop below
+    var labels = edges.groupBy(col("u").as("node")).agg(min("v").as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
       .localCheckpoint()
     var converged = false
     var round = 0

@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Window".r.findAllIn(p).length >= 1)
   }
 
+  test("incremental dedup: anti-join against the digest set, corpus scanned narrowly") {
+    val p = plan(Curation.incrementalDedup(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("length histogram: one partial-agg shuffle + the presentation sort") {
+    val p = plan(Curation.lengthHistogram(spark, dir))
+    assert(countShuffles(p) == 2, s"unexpected shuffle count in:\n$p")
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"), p)
+  }
+
   test("sessionize: both windows and the session agg share one user_id partitioning") {
     val p = plan(Temporal.sessionize(spark, dir))
     // lag window, running-sum window, and groupBy(user_id, session_id)
