@@ -102,6 +102,41 @@ object Multimodal {
     }
   }
 
+  /** One embedded media record; `batch_size` records how many payloads
+    * shared its model call (observable, so tests can pin the batching).
+    */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float], batch_size: Int)
+
+  /** STUB embedding "model": one deterministic vector per payload.
+    * Signature is the real contract — a BATCH of payloads in, a batch of
+    * vectors out — because that is what a GPU forward pass needs.
+    */
+  object FakeModel {
+    def forward(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+      payloads.map { p =>
+        val h = java.util.Arrays.hashCode(p)
+        Array.tabulate(dim)(i => ((math.abs(h.toLong * 31 + i) % 1000) / 1000.0).toFloat)
+      }
+  }
+
+  /** EXT-M4 — batched embedding inference: the GPU-inference plumbing.
+    * `iterator.grouped(batchSize)` accumulates records so the (stubbed)
+    * model runs ONE forward pass per micro-batch, not per row — per-row
+    * model calls are the classic 100× inference slowdown. Still one JVM
+    * crossing per partition, no shuffle; batch assembly is bounded memory
+    * (`batchSize` payloads, not the partition).
+    */
+  def embedBatched(media: Dataset[MediaRecord], dim: Int = 8,
+      batchSize: Int = 32): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val out = FakeModel.forward(batch.map(_.payload), dim)
+        batch.lazyZip(out).map { (rec, emb) => MediaEmbedding(rec.doc_id, emb, batch.size) }
+      }
+    }
+  }
+
   /** One sampled "frame" of a video-like payload. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Int, frame: Array[Byte])
 

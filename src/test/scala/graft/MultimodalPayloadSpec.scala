@@ -48,6 +48,21 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("embedBatched: one model call per micro-batch, deterministic vectors") {
+    import graft.operators.Multimodal
+    val dir = TestTables.documentsDir(spark, (1L to 5L).map(i => i -> s"payload $i"))
+    val media = Multimodal.asMedia(spark, dir).coalesce(1)
+    val got = Multimodal.embedBatched(media, dim = 4, batchSize = 2).collect()
+      .sortBy(_.doc_id)
+    assert(got.length == 5 && got.forall(_.embedding.length == 4))
+    // 5 records through batchSize=2 on one partition: batches of 2, 2, 1
+    assert(got.map(_.batch_size).sorted.sameElements(Array(1, 2, 2, 2, 2)))
+    // deterministic: a second run produces identical vectors
+    val again = Multimodal.embedBatched(media, dim = 4, batchSize = 2).collect()
+      .sortBy(_.doc_id)
+    got.zip(again).foreach { case (a, b) => assert(a.embedding.sameElements(b.embedding)) }
+  }
+
   test("jsonDecode extracts k for every event (sf0.001)") {
     val df = Payload.jsonDecode(spark, "/root/testdata/sf0.001")
     val total = df.count()
