@@ -16,12 +16,13 @@ object Debug {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    // rebuild per run: iterative operators (x22) do their work at build
-    // time, not inside the final count
+    // rebuild per run (iterative operators do their work at build time)
+    // and execute via the noop sink — count() would prune projection-only
+    // bodies to a bare scan and time nothing (same fix as Bench)
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(s"run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}s")
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(s"run$i: executed in ${(System.nanoTime() - t0) / 1e9}s")
     }
     df.collect()
     println("=== executed plan (post-AQE) ===")

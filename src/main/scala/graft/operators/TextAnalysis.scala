@@ -113,11 +113,11 @@ object TextAnalysis {
     * changing the plan shape.
     */
   def languageIdNgram(spark: SparkSession, dir: String): DataFrame = {
-    // the size guard matters: sequence(1, 0) counts DOWN in Spark, so a
-    // 0/1-char text would otherwise yield phantom "grams"
-    val grams = array_distinct(expr(
-      "CASE WHEN length(text) >= 2 THEN transform(sequence(1, length(text) - 1), " +
-        "i -> substring(text, i, 2)) ELSE CAST(array() AS array<string>) END"))
+    // native one-pass extraction ([[graft.functions.CharNgramsExpression]]):
+    // the declarative transform-over-sequence spelling evaluates
+    // interpreted lambdas per character (measured 3.9 s vs ~0.3 s at
+    // sf0.1) and needed its own empty-text guard
+    val grams = graft.functions.CharNgrams.charNgrams(col("text"), 2)
     val scored = bigramProfiles.foldLeft(
       Tables.documents(spark, dir).select(col("doc_id"), grams.as("grams"))) {
       case (df, (lang, gs)) =>

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{assert_true, col, lit}
 import org.apache.spark.sql.types._
 
 /** File-format ingestion beyond parquet (SURVEY.md §2b): JSONL and CSV
@@ -32,17 +33,33 @@ object Sources {
     StructField("value", DoubleType, nullable = false),
     StructField("props", StringType, nullable = true)))
 
+  /** FAILFAST only rejects syntactically malformed records; a well-formed
+    * row that simply OMITS a required field loads as null (file sources
+    * force the schema nullable). This filter makes those fail loudly too:
+    * `assert_true` throws on any null in a non-nullable field, and living
+    * in a Filter it cannot be pruned away like an unused projection.
+    */
+  private def enforceNonNull(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.filterNot(_.nullable).foldLeft(df) { (d, f) =>
+      d.filter(assert_true(col(f.name).isNotNull,
+        lit(s"ingest: null ${f.name} in a record (field is required)")).isNull)
+    }
+
   /** One JSON document per line — the lingua franca of text-corpus
     * interchange. Line-splittable, so a 100 TB corpus parallelizes by
     * input split with no coordination.
     */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(documentsSchema).option("mode", "FAILFAST").json(path)
+    enforceNonNull(
+      spark.read.schema(documentsSchema).option("mode", "FAILFAST").json(path),
+      documentsSchema)
 
   /** CSV events with explicit schema and header. */
   def eventsCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(eventsSchema)
-      .option("header", "true").option("mode", "FAILFAST").csv(path)
+    enforceNonNull(
+      spark.read.schema(eventsSchema)
+        .option("header", "true").option("mode", "FAILFAST").csv(path),
+      eventsSchema)
 
   /** Write a curated corpus partitioned by `lang` — the layout downstream
     * training jobs want: language selection becomes partition PRUNING (a

@@ -76,6 +76,20 @@ class ExpressionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CharNgramUtil matches naive distinct code-point bigrams") {
+    val genText = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(30)), Gen.const(""), Gen.const("a"),
+      Gen.const("的是在有我"), Gen.const("mixed 的 ascii"),
+      Gen.const(new String(Array(0x1F600, 0x61, 0x1F601), 0, 3))) // astral plane
+    check(Prop.forAll(genText) { text =>
+      val cps = text.codePoints().toArray
+      val expected = (0 to cps.length - 2).map(i => new String(cps, i, 2)).distinct
+      val got = graft.functions.CharNgramUtil.distinctGrams(
+        UTF8String.fromString(text), 2)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+    })
+  }
+
   test("ShingleUtil matches naive distinct shingles in first-occurrence order") {
     check(Prop.forAll(genToks) { toks =>
       val expected = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toList.distinct

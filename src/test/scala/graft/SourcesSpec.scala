@@ -34,6 +34,16 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("documentsJsonl: a well-formed row MISSING a required field also fails loudly") {
+    val dir = Files.createTempDirectory("graft-jsonl-miss")
+    val f = dir.resolve("miss.jsonl")
+    // valid JSON, no doc_id: FAILFAST alone would load doc_id = null and
+    // the row would silently vanish from every hash-bucketed operator
+    Files.writeString(f, """{"text": "hi", "lang": "en", "source": "s", "n_chars": 2}""" + "\n")
+    val e = intercept[Exception](Sources.documentsJsonl(spark, f.toString).collect())
+    assert(e.getMessage == null || e.toString.nonEmpty)
+  }
+
   test("eventsCsv: header + explicit schema") {
     val dir = Files.createTempDirectory("graft-csv")
     val f = dir.resolve("events.csv")
