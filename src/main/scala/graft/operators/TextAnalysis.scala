@@ -55,7 +55,10 @@ object TextAnalysis {
     val toks = col("toks")
     val nTok = size(toks).cast("long")
     val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("long")
-    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
+    // splitting on single spaces removes exactly (n_tokens − 1)
+    // separator characters, so the token-length sum is pure arithmetic —
+    // the interpreted transform+fold it replaces touched every token
+    val sumLen = length(col("text")).cast("long") - (nTok - 1)
     Tables.documents(spark, dir)
       // tokens materialized once; inlining the split into its four
       // consumers would re-tokenize every row per consumer
@@ -134,18 +137,15 @@ object TextAnalysis {
 
   /** EXT-T3 — document fingerprint: polynomial rolling hash
     * `acc ← (acc·31 + codepoint) mod (2^31−1)` over the character
-    * stream, as a codegen'd left fold. Identical to the oracle's
-    * `list_reduce`. (Empty-string guard: Spark's `split(text, "")`
-    * yields a trailing "" which `ascii` maps to 0 — filtered out.)
+    * stream, as one compiled pass
+    * ([[graft.functions.RollingHashExpression]] — the higher-order
+    * `aggregate(split(...))` fold it replaces ran interpreted lambdas
+    * per character). Identical to the oracle's `list_reduce`.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(split(col("text"), ""), c => c =!= "")
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 2147483647L).as("fp"))
+      .select(col("doc_id"), graft.functions.RollingHash.rollingHash(col("text")).as("fp"))
       .orderBy("doc_id")
-  }
 
   /** EXT-T4 — corpus token frequency, top N by count (count desc, token
     * asc). Map-side partial aggregation collapses the per-partition

@@ -90,6 +90,17 @@ class ExpressionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RollingHashUtil matches the naive code-point fold") {
+    val genText = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(50)), Gen.const(""), Gen.const("的是在"),
+      Gen.const(new String(Array(0x1F600, 0x62), 0, 2)))
+    check(Prop.forAll(genText) { text =>
+      val expected = text.codePoints().toArray
+        .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 2147483647L)
+      graft.functions.RollingHashUtil.hash(UTF8String.fromString(text)) == expected
+    })
+  }
+
   test("ShingleUtil matches naive distinct shingles in first-occurrence order") {
     check(Prop.forAll(genToks) { toks =>
       val expected = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toList.distinct
