@@ -77,7 +77,10 @@ object Dedup {
     candidates
       .join(arrays.select(col("doc_id").as("d1"), col("shs").as("sh1"), col("n").as("sz1")), "d1")
       .join(arrays.select(col("doc_id").as("d2"), col("shs").as("sh2"), col("n").as("sz2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      // native count — size(array_intersect(...)) materializes the
+      // intersection array per pair before sizing it
+      .withColumn("inter",
+        graft.functions.IntersectSize.intersectSize(col("sh1"), col("sh2")))
       .withColumn("n1", col("sz1").cast("long"))
       .withColumn("n2", col("sz2").cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))

@@ -90,6 +90,13 @@ class ExpressionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("IntersectSizeUtil matches distinct-intersection cardinality") {
+    check(Prop.forAll(genToks, genToks) { (a, b) =>
+      val expected = (a.distinct intersect b.distinct).size.toLong
+      graft.functions.IntersectSizeUtil.intersectSize(arr(a), arr(b)) == expected
+    })
+  }
+
   test("RollingHashUtil matches the naive code-point fold") {
     val genText = Gen.oneOf(
       Gen.alphaNumStr.map(_.take(50)), Gen.const(""), Gen.const("的是在"),
