@@ -38,7 +38,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // any failed query poisons the total: summing the -1 sentinels would
+    // LOWER it, making a breakage read as a performance win
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

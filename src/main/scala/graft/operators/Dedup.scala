@@ -180,7 +180,7 @@ object Dedup {
     // every (empty) band signature and the "sub-quadratic path" silently
     // runs a full quadratic verify; non-divisible values silently discard
     // trailing hashes
-    require(numHashes >= bands && numHashes % bands == 0,
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
     // docs with no shingles (< k tokens) never enter the oracle's

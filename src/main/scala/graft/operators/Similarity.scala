@@ -146,9 +146,12 @@ object Similarity {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))")
           .as("q"),
-        expr("array_max(transform(sequence(1, size(embedding)), i -> " +
-          "abs(CAST(embedding[i - 1] AS DOUBLE) - " +
-          "CAST(floor(CAST(embedding[i - 1] AS DOUBLE) * 127.0 + 0.5) AS DOUBLE) / 127.0)))")
+        // direct element transform: no index arithmetic (sequence(1, 0)
+        // counts down on an empty array, and ANSI mode makes the
+        // resulting out-of-bounds access a query-killing error)
+        expr("array_max(transform(embedding, x -> " +
+          "abs(CAST(x AS DOUBLE) - " +
+          "CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS DOUBLE) / 127.0)))")
           .as("max_err"))
       .orderBy("vec_id")
 

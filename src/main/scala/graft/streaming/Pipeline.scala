@@ -77,21 +77,27 @@ object Pipeline {
     */
   def idempotentForeachBatch(
       commitDir: String,
-      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    // markers go through the Hadoop FS API so they land on the same
+    // fault-tolerant filesystem as the checkpoint — a java.io.File
+    // marker on the driver's local disk is lost when the driver is
+    // replaced, which is exactly the replay window it must close.
+    // FS resolution + mkdirs run once (on the first batch, where a
+    // session is in hand), not per second-cadence microbatch.
+    val dir = new org.apache.hadoop.fs.Path(commitDir)
+    var fs: org.apache.hadoop.fs.FileSystem = null
     (df: DataFrame, batchId: Long) => {
-      // markers go through the Hadoop FS API so they land on the same
-      // fault-tolerant filesystem as the checkpoint — a java.io.File
-      // marker on the driver's local disk is lost when the driver is
-      // replaced, which is exactly the replay window it must close
-      val dir = new org.apache.hadoop.fs.Path(commitDir)
-      val fs = dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      fs.mkdirs(dir)
+      if (fs == null) {
+        fs = dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        fs.mkdirs(dir)
+      }
       val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId.committed")
       if (!fs.exists(marker)) {
         write(df, batchId)
         fs.create(marker, false).close()
       }
     }
+  }
 
   /** Whole pipeline, Kafka to Kafka (at-least-once, built-in sink — the
     * reference's default semantic). Returns the started query.

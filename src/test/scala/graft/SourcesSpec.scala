@@ -41,7 +41,9 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     // the row would silently vanish from every hash-bucketed operator
     Files.writeString(f, """{"text": "hi", "lang": "en", "source": "s", "n_chars": 2}""" + "\n")
     val e = intercept[Exception](Sources.documentsJsonl(spark, f.toString).collect())
-    assert(e.getMessage == null || e.toString.nonEmpty)
+    // the failure must come from the enforceNonNull guard naming the field
+    assert(e.toString.contains("doc_id") ||
+      Option(e.getCause).exists(_.toString.contains("doc_id")), e.toString)
   }
 
   test("eventsCsv: header + explicit schema") {
