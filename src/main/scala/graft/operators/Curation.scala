@@ -171,7 +171,7 @@ object Curation {
     */
   def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
     connectedComponents(
-      Dedup.simhashNearDup(spark, dir).select(col("d1"), col("d2")), maxRounds)
+      Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), maxRounds)
 
   /** Connected components over an arbitrary pair relation `(d1, d2)` —
     * the algorithm behind [[dedupClusters]], exposed separately so any

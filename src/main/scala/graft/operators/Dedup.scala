@@ -261,6 +261,18 @@ object Dedup {
       dir: String,
       maxHamming: Int = 4,
       bands: Int = 5,
+      bits: Int = 60): DataFrame =
+    simhashNearDupPairs(spark, dir, maxHamming, bands, bits).orderBy("d1", "d2")
+
+  /** The near-dup pair relation WITHOUT the presentation sort — consumers
+    * that aggregate or join the pairs (cluster resolution) skip the
+    * global sort exchange entirely.
+    */
+  private[operators] def simhashNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 4,
+      bands: Int = 5,
       bits: Int = 60): DataFrame = {
     require(maxHamming <= bands - 1, "banding is only exact for maxHamming <= bands - 1")
     val bandBits = bits / bands
@@ -283,6 +295,5 @@ object Dedup {
         expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("d1", "d2")
   }
 }
