@@ -68,6 +68,7 @@ object SparkEntry {
     "x29_curated_corpus" -> ((s, dir) => Curation.curatedCorpus(s, dir)),
     "x30_length_histogram" -> ((s, dir) => Curation.lengthHistogram(s, dir)),
     "x32_quantize_embeddings" -> ((s, dir) => Similarity.quantize(s, dir)),
+    "x33_median_chars" -> ((s, dir) => Curation.medianChars(s, dir)),
     "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
@@ -420,6 +421,14 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS rank
         |      FROM q JOIN documents d ON d.doc_id = q.doc_id)
         |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "x33_median_chars" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS cnt
+        |      FROM documents)
+        |SELECT lang, n_chars AS median_chars, cnt AS n_docs
+        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -315,6 +315,28 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  /** EXT-C12 — exact per-language median document length (lower median
+    * for even counts, ties broken by doc_id): windowed rank + count over
+    * the stratum key, keep the middle row. Exact order statistics on a
+    * grouped relation — the shuffle is by the low-cardinality stratum
+    * key, and each group sorts only its own rows (contrast the
+    * histogram, which avoids even that when approximation suffices).
+    */
+  def medianChars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      // Column `/` is double division — cast back to the integer rank
+      // ((cnt+1)/2 truncated = lower median, same as the oracle's `//`)
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
+      .select(col("lang"), col("n_chars").as("median_chars"), col("cnt").as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** EXT-C6 — dataset-card aggregates: per (lang, source) document count,
     * total characters, total whitespace tokens, and mean characters per
     * document (one IEEE division over exact integer sums). One

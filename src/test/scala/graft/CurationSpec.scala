@@ -158,6 +158,14 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(!got.map(_._3).contains(2L)) // the degenerate doc never ranks
   }
 
+  test("medianChars: lower median with deterministic tie-break") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "aa", 2L -> "bbbb", 3L -> "cccccc", 4L -> "dddddddd")) // lengths 2,4,6,8
+    val r = Curation.medianChars(spark, dir).collect()
+    assert(r.length == 1) // single-lang fixture
+    assert(r.head.getLong(1) == 4L && r.head.getLong(2) == 4L) // lower median of even count
+  }
+
   test("corpusStats: exact integer sums and one-division mean") {
     val dir = TestTables.documentsDir(spark, Seq(
       1L -> "a b c", 2L -> "d e")) // same lang/source fixture
