@@ -129,6 +129,23 @@ object Pipeline {
         senderFactory, cfg.preservePartitioning, commitDir))
       .start()
 
+  /** Backfill mode — beyond the reference's surface (Flink's unbounded
+    * source can't do this without cancellation): `Trigger.AvailableNow`
+    * drains everything currently in the subscribed topics in rate-limited
+    * microbatches, commits the checkpoint, and STOPS. The operational
+    * "replicate what exists, then cut over" shape; restarting later (any
+    * mode) resumes from the committed offsets.
+    */
+  def startBackfill(
+      spark: SparkSession,
+      cfg: ReplicatorConfig,
+      checkpointLocation: String): StreamingQuery = {
+    val src = kafkaSource(spark, cfg).load()
+    kafkaSink(transform(src, cfg.preservePartitioning), cfg, checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** D7 restart analog — fixed-delay retry around `awaitTermination`
     * (reference: FlinkKafkaReplicator.java:99 — 4 attempts / 10 s).
     */

@@ -82,6 +82,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(offsets.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("backfill trigger drains available data and terminates on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaMessage]
+    stream.addData(fixtures: _*)
+    // same transform as the Kafka pipeline; AvailableNow = drain + stop
+    val q = Pipeline.transform(stream.toDF(), preservePartitioning = true)
+      .writeStream.format("memory").queryName("backfill_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(30000), "backfill query must self-terminate")
+    assert(spark.table("backfill_out").count() == fixtures.length.toLong)
+  }
+
   test("runWithRestarts consumes an attempt when (re)starting the query itself fails") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
