@@ -69,6 +69,7 @@ object SparkEntry {
     "x30_length_histogram" -> ((s, dir) => Curation.lengthHistogram(s, dir)),
     "x32_quantize_embeddings" -> ((s, dir) => Similarity.quantize(s, dir)),
     "x33_median_chars" -> ((s, dir) => Curation.medianChars(s, dir)),
+    "x34_normalize_text" -> ((s, dir) => TextAnalysis.normalize(s, dir)),
     "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
@@ -429,6 +430,13 @@ object SparkEntry {
         |      FROM documents)
         |SELECT lang, n_chars AS median_chars, cnt AS n_docs
         |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
+
+    "x34_normalize_text" ->
+      """WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+        |           FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_digest,
+        |       (length(text) - length(norm))::BIGINT AS chars_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -147,6 +147,22 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.RollingHash.rollingHash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** EXT-T5 — text normalization: lowercase, collapse space runs, trim —
+    * the canonical cleanup BEFORE exact dedup (near-identical whitespace
+    * variants must collapse to one digest). Returns the normalized
+    * content digest plus how many characters normalization removed
+    * (an audit signal: high removal = messy source). Row-local.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(norm).as("norm_digest"),
+        (length(col("text")) - length(norm)).cast("long").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-T4 — corpus token frequency, top N by count (count desc, token
     * asc). Map-side partial aggregation collapses the per-partition
     * token stream before the single shuffle; the top-N sort runs on the

@@ -63,6 +63,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(fps(2L) == ref("uno dos tres cuatro"))
   }
 
+  test("normalize: whitespace variants collapse to one digest") {
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "The  quick   fox ",
+      2L -> "the quick fox",
+      3L -> "a different doc"))
+    val rows = TextAnalysis.normalize(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == rows(2L)._1) // same digest after normalization
+    assert(rows(1L)._2 == 4L && rows(2L)._2 == 0L) // 3 collapsed + 1 trimmed
+    assert(rows(3L)._1 != rows(1L)._1)
+  }
+
   test("topTokens: frequency order with lexicographic tie-break") {
     val rows = TextAnalysis.topTokens(spark, dir, n = 3).collect()
     assert(rows.head.getString(0) == "a" && rows.head.getLong(1) == 4L)
