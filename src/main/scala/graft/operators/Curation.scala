@@ -83,15 +83,27 @@ object Curation {
     *  - `r_rep`: most-frequent-token fraction ≤ 0.125
     * Pure row-local projection — no shuffle, codegen end to end.
     */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityProjection(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The quality gate as a relation-to-relation transform over any input
+    * with (doc_id, text) — row-local, so THE SAME definition runs on the
+    * batch table and on an unbounded document stream
+    * (structured streaming executes it per microbatch unchanged; see
+    * the streaming spec). One definition means the batch gate, the
+    * streaming gate, and the oracle can never drift apart.
+    */
+  def qualityProjection(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast("long")
-    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, v) => acc + v)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+    // splitting on single spaces removes exactly (n_tokens − 1)
+    // separators, so the token-length sum is arithmetic on lengths
+    val sumLen = length(col("text")).cast("long") - (nTok - 1)
+    docs
+      .select(col("doc_id"), col("text"), Tables.tokens(col("text")).as("toks"))
       // one compiled hash-count pass for the mode; the declarative
       // distinct×filter spelling is O(n²)-ish interpreted lambdas
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("text"), col("toks"),
         graft.functions.NgramStats.ngramStats(toks, 1).as("st"))
       .select(
         col("doc_id"),
@@ -104,7 +116,6 @@ object Curation {
       .withColumn("r_stop", col("stop_hits") >= 2)
       .withColumn("r_rep", col("top_tok_frac") <= 0.125)
       .withColumn("keep", col("r_len") && col("r_avg") && col("r_stop") && col("r_rep"))
-      .orderBy("doc_id")
   }
 
   /** EXT-C3 — repetition measurement: distinct-bigram ratio and the

@@ -153,6 +153,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("qualityProjection runs unchanged on an unbounded document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ") + " the a of"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.qualityProjection(
+        stream.toDF().toDF("doc_id", "text"))
+      .filter("keep")
+      .writeStream.format("memory").queryName("qgate_out").outputMode("append").start()
+    try {
+      stream.addData(1L -> good, 2L -> "too short")
+      q.processAllAvailable()
+      stream.addData(3L -> good.replace("tok", "word"))
+      q.processAllAvailable()
+      val kept = spark.table("qgate_out").collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(1L, 3L))) // same gate as the batch operator
+    } finally q.stop()
+  }
+
   test("enrich: stream-static left join broadcasts the dim and keeps unmatched events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
