@@ -39,16 +39,20 @@ object Main {
     }
 
   /** Phase C: start the replication stream (D1–D7) — the built-in
-    * at-least-once sink by default, or the transactional
-    * record-complete path when `--exactly-once` was requested (D6,
-    * reference: FlinkKafkaReplicator.java:120-124).
+    * at-least-once sink by default; the transactional record-complete
+    * path when `--exactly-once` was requested (D6, reference:
+    * FlinkKafkaReplicator.java:120-124); drain-and-stop when
+    * `--backfill` was requested (extension — takes precedence, and
+    * uses the at-least-once sink).
     */
   def startStream(
       spark: SparkSession,
       cfg: ReplicatorConfig,
       checkpointLocation: String,
       senderFor: ReplicatorConfig => () => graft.streaming.RecordSender): StreamingQuery =
-    if (cfg.exactlyOnce)
+    if (cfg.backfill)
+      Pipeline.startBackfill(spark, cfg, checkpointLocation)
+    else if (cfg.exactlyOnce)
       Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
         s"$checkpointLocation/graft-commits", senderFor(cfg))
     else

@@ -69,7 +69,13 @@ object SparkEntry {
     "x30_length_histogram" -> ((s, dir) => Curation.lengthHistogram(s, dir)),
     "x32_quantize_embeddings" -> ((s, dir) => Similarity.quantize(s, dir)),
     "x33_median_chars" -> ((s, dir) => Curation.medianChars(s, dir)),
-    "x34_normalize_text" -> ((s, dir) => TextAnalysis.normalize(s, dir)),
+    // driven with a deterministically-MESSIED input (upper-case + doubled
+    // spaces + padding): the harness corpus is already normalized, so
+    // normalizing it directly would oracle-check an identity transform
+    "x34_normalize_text" -> ((s, dir) => TextAnalysis.normalizeProjection(
+      graft.operators.Tables.documents(s, dir).selectExpr(
+        "doc_id", "concat(' ', upper(replace(text, ' ', '  ')), '  ') AS text"))
+      .orderBy("doc_id")),
     "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
@@ -432,8 +438,10 @@ object SparkEntry {
         |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
 
     "x34_normalize_text" ->
-      """WITH n AS (SELECT doc_id, text, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
-        |           FROM documents)
+      """WITH m AS (SELECT doc_id, ' ' || upper(replace(text, ' ', '  ')) || '  ' AS text
+        |           FROM documents),
+        |n AS (SELECT doc_id, text, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+        |      FROM m)
         |SELECT doc_id, md5(norm) AS norm_digest,
         |       (length(text) - length(norm))::BIGINT AS chars_removed
         |FROM n ORDER BY doc_id""".stripMargin,

@@ -15,6 +15,7 @@ final case class ReplicatorConfig(
     preservePartitioning: Boolean = true,
     exactlyOnce: Boolean = false,
     latestOffset: Boolean = false,
+    backfill: Boolean = false,
     checkpointIntervalMs: Long = ReplicatorConfig.DefaultCheckpointIntervalMs,
     transactionTimeoutMs: Long = ReplicatorConfig.DefaultTransactionTimeoutMs,
     consumerProps: Map[String, String] = Map.empty,
@@ -45,7 +46,9 @@ object ReplicatorConfig {
     */
   val BooleanOptions: Set[String] = Set(
     "create-topics", "create-partitions", "sync-properties",
-    "no-preserve-partitioning", "exactly-once", "latest-offset")
+    "no-preserve-partitioning", "exactly-once", "latest-offset",
+    // extension beyond the reference's eight: drain-and-stop replication
+    "backfill")
   val IntOptions: Set[String] = Set(
     "checkpoint-interval-ms", "transaction-timeout-ms")
   val Required: Seq[String] = Seq(
@@ -128,6 +131,7 @@ object ReplicatorConfig {
           preservePartitioning = !flag("no-preserve-partitioning"),
           exactlyOnce = flag("exactly-once"),
           latestOffset = flag("latest-offset"),
+          backfill = flag("backfill"),
           checkpointIntervalMs = ckptE.toOption.get,
           transactionTimeoutMs = txnE.toOption.get,
           consumerProps = propsWithPrefix(params, "consumer."),

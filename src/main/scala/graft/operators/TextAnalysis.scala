@@ -150,17 +150,24 @@ object TextAnalysis {
   /** EXT-T5 — text normalization: lowercase, collapse space runs, trim —
     * the canonical cleanup BEFORE exact dedup (near-identical whitespace
     * variants must collapse to one digest). Returns the normalized
-    * content digest plus how many characters normalization removed
-    * (an audit signal: high removal = messy source). Row-local.
+    * content digest plus the net character delta (an audit signal: high
+    * removal = messy source; NB the delta can go negative under
+    * length-changing Unicode case mappings like İ → i̇). Row-local.
     */
-  def normalize(spark: SparkSession, dir: String): DataFrame = {
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    normalizeProjection(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The normalization transform over any (doc_id, text) relation —
+    * exposed so the oracle query can drive it with a deliberately
+    * messied input (the harness corpus is already normalized, which
+    * would make an identity-transform check vacuous).
+    */
+  def normalizeProjection(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), " +", " "))
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        md5(norm).as("norm_digest"),
-        (length(col("text")) - length(norm)).cast("long").as("chars_removed"))
-      .orderBy("doc_id")
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("norm_digest"),
+      (length(col("text")) - length(norm)).cast("long").as("chars_removed"))
   }
 
   /** EXT-T4 — corpus token frequency, top N by count (count desc, token

@@ -56,11 +56,14 @@ object Pipeline {
   def kafkaSink(
       df: DataFrame,
       cfg: ReplicatorConfig,
-      checkpointLocation: String): DataStreamWriter[Row] = {
+      checkpointLocation: String,
+      trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
     val writer = df.writeStream
       .format("kafka")
       .option("checkpointLocation", checkpointLocation)
-      .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
+      // explicit trigger parameter — callers must not rely on a second
+      // .trigger() call's last-write-wins to override this one
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(cfg.checkpointIntervalMs)))
     cfg.effectiveProducerProps.foldLeft(writer) { case (w, (k, v)) =>
       w.option(s"kafka.$k", v)
     }
@@ -129,20 +132,21 @@ object Pipeline {
         senderFactory, cfg.preservePartitioning, commitDir))
       .start()
 
-  /** Backfill mode — beyond the reference's surface (Flink's unbounded
-    * source can't do this without cancellation): `Trigger.AvailableNow`
-    * drains everything currently in the subscribed topics in rate-limited
-    * microbatches, commits the checkpoint, and STOPS. The operational
-    * "replicate what exists, then cut over" shape; restarting later (any
-    * mode) resumes from the committed offsets.
+  /** `--backfill` mode — beyond the reference's surface (Flink's
+    * unbounded source can't do this without cancellation):
+    * `Trigger.AvailableNow` drains everything currently in the subscribed
+    * topics in rate-limited microbatches, commits the checkpoint, and
+    * STOPS. The operational "replicate what exists, then cut over"
+    * shape; restarting later (any mode) resumes from the committed
+    * offsets.
     */
   def startBackfill(
       spark: SparkSession,
       cfg: ReplicatorConfig,
       checkpointLocation: String): StreamingQuery = {
     val src = kafkaSource(spark, cfg).load()
-    kafkaSink(transform(src, cfg.preservePartitioning), cfg, checkpointLocation)
-      .trigger(Trigger.AvailableNow())
+    kafkaSink(transform(src, cfg.preservePartitioning), cfg, checkpointLocation,
+      trigger = Some(Trigger.AvailableNow()))
       .start()
   }
 
