@@ -84,6 +84,11 @@ class ConfigSpec extends AnyFunSuite {
     assert(!cfg.consumerProps.contains("sasl.mechanism"))
   }
 
+  test("--backfill parses and defaults off") {
+    assert(!ReplicatorConfig.fromArgs(minimal).toOption.get.backfill)
+    assert(ReplicatorConfig.fromArgs(minimal :+ "--backfill").toOption.get.backfill)
+  }
+
   test("bare flags and latest-offset") {
     val cfg = ReplicatorConfig.fromArgs(minimal ++ Seq("--latest-offset",
       "--no-preserve-partitioning")).toOption.get
