@@ -42,8 +42,10 @@ object Main {
     * at-least-once sink by default; the transactional record-complete
     * path when `--exactly-once` was requested (D6, reference:
     * FlinkKafkaReplicator.java:120-124); drain-and-stop when
-    * `--backfill` was requested (extension — takes precedence, and
-    * uses the at-least-once sink).
+    * `--backfill` was requested (extension — uses the at-least-once
+    * sink; the `--backfill --exactly-once` combination is rejected by
+    * [[ReplicatorConfig.fromArgs]], so no silent downgrade can occur
+    * here).
     */
   def startStream(
       spark: SparkSession,

@@ -411,7 +411,7 @@ object SparkEntry {
 
     "x32_quantize_embeddings" ->
       """SELECT vec_id,
-        |  list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)::INT) AS q,
+        |  array_to_string(list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)::INT), ',') AS q_csv,
         |  list_aggregate(list_transform(embedding,
         |    x -> abs(x::DOUBLE - floor(x::DOUBLE * 127.0 + 0.5) / 127.0)), 'max') AS max_err
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -137,10 +137,18 @@ object ReplicatorConfig {
           consumerProps = propsWithPrefix(params, "consumer."),
           producerProps = propsWithPrefix(params, "producer."))
         // D8 — txn timeout must cover at least one checkpoint interval
-        // (reference: FlinkKafkaReplicator.java:92-96).
-        if (cfg.exactlyOnce && cfg.transactionTimeoutMs < cfg.checkpointIntervalMs)
-          Left(Seq("transaction-timeout-ms must be >= checkpoint-interval-ms when --exactly-once is set"))
-        else Right(cfg)
+        // (reference: FlinkKafkaReplicator.java:92-96) — and the backfill
+        // drain has no transactional path (it uses the at-least-once
+        // AvailableNow sink), so combining it with --exactly-once would be
+        // a silent delivery-guarantee downgrade: reject, don't downgrade.
+        val crossErrs = Seq(
+          Option.when(cfg.exactlyOnce && cfg.transactionTimeoutMs < cfg.checkpointIntervalMs)(
+            "transaction-timeout-ms must be >= checkpoint-interval-ms when --exactly-once is set"),
+          Option.when(cfg.backfill && cfg.exactlyOnce)(
+            "--backfill cannot be combined with --exactly-once: the backfill drain " +
+              "uses the at-least-once sink (run the backfill at-least-once, " +
+              "then restart with --exactly-once from the same checkpoint)")).flatten
+        if (crossErrs.nonEmpty) Left(crossErrs) else Right(cfg)
     }
   }
 

@@ -42,9 +42,14 @@ object Curation {
     * (doc_id, n_shared) per contaminated non-benchmark document.
     */
   def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // materialized once: the benchmark and corpus branches both derive
+    // from this relation, and Spark shares no common subtree across plan
+    // branches — without the checkpoint the scan→tokenize→shingle→explode
+    // pipeline runs twice (same pattern as Dedup.shingleArrays)
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Tables.shingles(col("toks"), k)).as("gram"))
+      .localCheckpoint()
     val benchGrams = grams.filter(col("doc_id") % 20 === 0)
       .select("gram").distinct()
     grams.filter(col("doc_id") % 20 =!= 0)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2b):
@@ -29,14 +28,25 @@ object Similarity {
     * the first k, round sims to 4 dp. One definition — the DuckDB
     * oracles mirror this contract (tie-break + rounding) exactly, so it
     * must change in exactly one place.
+    *
+    * Spelled as a map-side bounded aggregate
+    * ([[graft.functions.TopKAggregator]]), NOT a `row_number` window: a
+    * window over the scored stream would shuffle every scored pair by
+    * qid before discarding any (for brute force that is the full n·m
+    * relation — the one plan shape here that would NOT survive a 100×
+    * scale-up). The aggregate folds each map partition down to ≤ k
+    * candidates per query before the exchange, so the shuffle carries
+    * |queries|·k rows per partition regardless of corpus size; ranks
+    * fall out of the sorted buffer by position.
     */
   private def presentTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val agg = graft.functions.TopK.topk(k)
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neighbor_id"),
-        round(col("sim"), 4).as("sim4"))
+      .groupBy(col("qid"))
+      .agg(agg(col("sim"), col("cid")).as("nb"))
+      .select(col("qid").as("vec_id"), posexplode(col("nb.entries")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("neighbor_id"), round(col("col.sim"), 4).as("sim4"))
       .orderBy("vec_id", "rank")
   }
 
@@ -140,12 +150,18 @@ object Similarity {
     * The standard 4× memory compression before ANN serving at scale;
     * row-local projection, no shuffle. Max is order-insensitive, so the
     * error is oracle-exact despite float arithmetic.
+    *
+    * The quantized vector is emitted as its comma-joined string (`q_csv`)
+    * rather than a raw `array<int>` column: the comparison harness hashes
+    * result cells, and an array cell is unhashable there — serializing to
+    * a scalar in BOTH engines keeps the check exact and executable.
     */
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))")
-          .as("q"),
+        concat_ws(",",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))"))
+          .as("q_csv"),
         // direct element transform: no index arithmetic (sequence(1, 0)
         // counts down on an empty array, and ANSI mode makes the
         // resulting out-of-bounds access a query-killing error)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{assert_true, col, lit}
 import org.apache.spark.sql.types._
 
@@ -65,7 +65,16 @@ object Sources {
     * training jobs want: language selection becomes partition PRUNING (a
     * directory skip) instead of a full-corpus filter scan. Parquet +
     * snappy, the standard analytical layout.
+    *
+    * The default mode ERRORS on an existing output directory: destroying
+    * a previous corpus must be an explicit caller decision
+    * (`SaveMode.Overwrite`), never a silent default — the same
+    * dropping-data-is-a-decision philosophy as the FAILFAST readers.
     */
-  def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String] = Seq("lang")): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+  def writePartitioned(
+      df: DataFrame,
+      outDir: String,
+      partitionCols: Seq[String] = Seq("lang"),
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(outDir)
 }

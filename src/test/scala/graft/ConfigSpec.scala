@@ -89,6 +89,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(ReplicatorConfig.fromArgs(minimal :+ "--backfill").toOption.get.backfill)
   }
 
+  test("--backfill with --exactly-once is rejected, never silently downgraded") {
+    val res = ReplicatorConfig.fromArgs(minimal ++ Seq("--backfill", "--exactly-once"))
+    assert(res.isLeft)
+    assert(res.left.toOption.get.exists(m =>
+      m.contains("--backfill") && m.contains("--exactly-once")))
+  }
+
   test("bare flags and latest-offset") {
     val cfg = ReplicatorConfig.fromArgs(minimal ++ Seq("--latest-offset",
       "--no-preserve-partitioning")).toOption.get

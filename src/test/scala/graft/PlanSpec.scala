@@ -1,5 +1,11 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Curation, Dedup, Similarity, Temporal}
@@ -9,71 +15,110 @@ import graft.operators.{Curation, Dedup, Similarity, Temporal}
   * These are the "would it survive 100×" invariants; a regression here
   * usually means an accidental extra shuffle or a lost broadcast, which
   * small-data correctness tests would never catch.
+  *
+  * Robustness rules: match plan NODE CLASSES via `plan.collect`, never
+  * `toString` rendering (which drifts across Spark minors), and assert
+  * shuffle counts as UPPER bounds — fewer exchanges (e.g. from exchange
+  * reuse) is an improvement, not a failure.
   */
 class PlanSpec extends AnyFunSuite with SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  /** Physical plan with AQE disabled for this one query's planning:
+    * adaptive execution wraps the plan in AdaptiveSparkPlanExec, whose
+    * final shape depends on runtime statistics — exactly the brittleness
+    * these structural assertions must not inherit. The production plans
+    * still run WITH AQE (it only ever removes/rewrites exchanges these
+    * bounds already allow).
+    */
+  private def plan(df: => DataFrame): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 
-  private def countShuffles(p: String): Int =
-    "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+  private def shuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeExec => e }.length
 
-  test("exact dedup: one hash shuffle (partial agg) + the presentation sort only") {
+  /** Scan-level column pruning — ReadSchema is scan metadata, stable in
+    * string form (and has no class-level accessor across v1/v2 scans).
+    */
+  private def prunesTo(p: SparkPlan, schema: String): Boolean =
+    p.toString.contains(s"ReadSchema: struct<$schema>")
+
+  test("exact dedup: at most one hash shuffle (partial agg) + the presentation sort") {
     val p = plan(Dedup.exact(spark, dir))
-    assert(countShuffles(p) == 2, s"unexpected shuffle count in:\n$p")
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
     // partial aggregation: map-side and final HashAggregate around the exchange
-    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2, p.toString)
   }
 
   test("exact dedup: scan prunes to (doc_id, text)") {
     val p = plan(Dedup.exact(spark, dir))
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(prunesTo(p, "doc_id:bigint,text:string"), p.toString)
   }
 
   test("stratified sample: narrow filter — no shuffle before the presentation sort") {
     val p = plan(Curation.stratifiedSample(spark, dir))
-    assert(countShuffles(p) == 1, s"expected only the final range exchange:\n$p")
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    assert(shuffles(p) <= 1, s"expected only the final range exchange:\n$p")
+    assert(prunesTo(p, "doc_id:bigint,lang:string"), p.toString)
   }
 
-  test("brute-force top-k: query side broadcast, corpus side never shuffled pre-join") {
+  test("brute-force top-k: query side broadcast; top-k folded map-side before the exchange") {
     val p = plan(Similarity.bruteForceTopK(spark, dir))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    // the only hash shuffle partitions the scored stream for the per-query
-    // window top-k; the corpus scan itself must feed the join directly
-    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(p.collect { case b: BroadcastExchangeExec => b }.nonEmpty, p.toString)
+    // the scale invariant: a partial ObjectHashAggregate (the bounded
+    // top-k buffer) must sit BELOW a shuffle, so the exchange carries
+    // |queries|·k rows per partition, not the n·m scored stream
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("bucketed ANN top-k: same map-side partial top-k shape") {
+    val p = plan(Similarity.bucketedTopK(spark, dir))
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
   }
 
   test("decontamination: benchmark gram set is the broadcast side") {
     val p = plan(Curation.decontaminate(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty, p.toString)
   }
 
   test("as-of join: one user_id shuffle feeds the single-pass merge window") {
     val p = plan(Temporal.asofJoin(spark, dir))
-    // user_id window exchange + final presentation sort — nothing else
-    assert(countShuffles(p) == 2, s"unexpected shuffle count in:\n$p")
-    assert("Window".r.findAllIn(p).length >= 1)
+    // user_id window exchange + final presentation sort — nothing more
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.nonEmpty, p.toString)
   }
 
   test("incremental dedup: anti-join against the digest set, corpus scanned narrowly") {
     val p = plan(Curation.incrementalDedup(spark, dir))
-    assert(p.contains("LeftAnti"), p)
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }.nonEmpty, p.toString)
+    assert(prunesTo(p, "doc_id:bigint,text:string"), p.toString)
   }
 
-  test("length histogram: one partial-agg shuffle + the presentation sort") {
+  test("length histogram: at most one partial-agg shuffle + the presentation sort") {
     val p = plan(Curation.lengthHistogram(spark, dir))
-    assert(countShuffles(p) == 2, s"unexpected shuffle count in:\n$p")
-    assert(p.contains("ReadSchema: struct<n_chars:bigint>"), p)
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+    assert(prunesTo(p, "n_chars:bigint"), p.toString)
   }
 
   test("sessionize: both windows and the session agg share one user_id partitioning") {
     val p = plan(Temporal.sessionize(spark, dir))
     // lag window, running-sum window, and groupBy(user_id, session_id)
-    // must all reuse the user_id exchange: expect user shuffle + final sort
-    assert(countShuffles(p) == 2, s"unexpected shuffle count in:\n$p")
+    // must all reuse the user_id exchange: user shuffle + final sort only
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
   }
 }

@@ -74,4 +74,17 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     val scanned = back.queryExecution.executedPlan.toString
     assert(scanned.contains("PartitionFilters: [isnotnull(lang"), scanned)
   }
+
+  test("writePartitioned: default refuses to clobber an existing corpus; Overwrite is opt-in") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-part-clobber").toString + "/corpus"
+    val df = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    Sources.writePartitioned(df, out)
+    // same default call again: the existing output must survive untouched
+    intercept[Exception](Sources.writePartitioned(df, out))
+    assert(spark.read.parquet(out).count() == 1)
+    val df2 = Seq((2L, "b", "en"), (3L, "c", "es")).toDF("doc_id", "text", "lang")
+    Sources.writePartitioned(df2, out, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(spark.read.parquet(out).count() == 2)
+  }
 }
