@@ -168,22 +168,35 @@ object Curation {
     * the ORIGINAL edge list through the current labels and drops
     * intra-label self-loops — emptiness of this contracted relation is
     * the exact convergence test; (2) takes, per label, the min over its
-    * contracted neighborhood; (3) relabels every node through that map;
-    * (4) pointer-jumps (`label ← label(label)`). The jump is what makes
-    * chain-shaped components converge in O(log n) rounds — star steps
-    * alone advance a chain one hop per round, O(diameter) (a simulated
-    * 30-doc near-dup chain: 29 rounds without the jump, 6 with it; dense
-    * components like sf0.1's 639-node cluster converge in ≤4 either
-    * way). Per-round relations are eagerly `localCheckpoint`ed: lineage
-    * stays O(1) across iterations and every consumer branch reads the
-    * materialized relation instead of recomputing its plan.
+    * contracted neighborhood (`f`); (3) composes the min-step and the
+    * pointer jump into ONE label-level map `g(a) = f(labels(f(a)))`
+    * (each hop falling back to identity where undefined) and relabels
+    * every node through it. The node-level `labels` lookup in the middle
+    * of `g` is what preserves hop DOUBLING — on a chain the covered
+    * distance follows D ← 2·D + 2, so chain-shaped components converge
+    * in O(log n) rounds where star steps alone advance one hop per
+    * round, O(diameter) (a simulated 32-doc near-dup chain: 31 rounds
+    * without the jump, 5 with it; dense components like sf0.1's 639-node
+    * cluster converge in ≤4 either way). Because `g` is built on the
+    * tiny label-level relation (broadcast-joined through `labels`), each
+    * round materializes only TWO big relations — the contracted edges
+    * and the new labels — via eager `localCheckpoint`: lineage stays
+    * O(1) across iterations and every consumer branch reads
+    * materialized data instead of recomputing its plan.
     *
-    * The component minimum is a fixpoint of both the min step and the
-    * jump, labels are monotonically non-increasing, and an inter-label
-    * edge forces a strict decrease somewhere — so the loop reaches the
-    * oracle's recursive-CTE closure exactly; if `maxRounds` is ever hit
-    * first (pathological beyond ~2^maxRounds-node components), it
-    * THROWS rather than returning silently wrong canonical ids.
+    * Correctness: every hop of `g` maps a label to a value that is ≤ it
+    * and still a member of the same component (`f(a) ≤ a` by
+    * construction, `labels(y) ≤ y` by induction from the seeding), so
+    * labels are monotonically non-increasing and bounded by the
+    * component minimum — which is a fixpoint of every hop. An
+    * inter-label edge forces `f` to strictly decrease the larger
+    * endpoint's label, so progress is guaranteed while any exists; at
+    * convergence (contracted relation empty) all labels in a component
+    * equal some member id L with L = labels(min) ≤ min, hence L IS the
+    * minimum — the oracle's recursive-CTE closure exactly. If
+    * `maxRounds` is ever hit first (pathological beyond ~2^maxRounds-
+    * node components), it THROWS rather than returning silently wrong
+    * canonical ids.
     */
   def dedupClusters(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
     connectedComponents(
@@ -224,16 +237,25 @@ object Curation {
         .localCheckpoint()
       if (ledges.isEmpty) converged = true
       else {
-        val f = ledges.groupBy(col("u").as("old")).agg(min("v").as("m"))
+        // label-level min-step over the contracted neighborhood; both
+        // uses below re-derive it from the MATERIALIZED ledges (one
+        // small groupBy each — cheaper than another checkpoint job)
+        def f = ledges.groupBy(col("u").as("old")).agg(min("v").as("m"))
           .select(col("old"), least(col("old"), col("m")).as("nw"))
-        val stepped = labels
-          .join(f, labels("label") === f("old"), "left")
-          .select(col("node"), coalesce(col("nw"), col("label")).as("label"))
-          .localCheckpoint() // consumed by both sides of the jump join
-        labels = stepped
-          .join(stepped.select(col("node").as("jn"), col("label").as("jl")),
-            stepped("label") === col("jn"), "left")
-          .select(stepped("node"), coalesce(col("jl"), stepped("label")).as("label"))
+        // g(a) = f(labels(f(a))) — min-step, node-level jump, min-step,
+        // fused into one tiny label-keyed map (each hop falls back to
+        // identity where undefined); the labels join broadcasts the f
+        // side, so the node table is scanned, never shuffled
+        val g = f
+          .join(labels.select(col("node").as("h1n"), col("label").as("h2")),
+            col("nw") === col("h1n"), "left")
+          .select(col("old"), coalesce(col("h2"), col("nw")).as("h2v"))
+          .join(f.select(col("old").as("fo"), col("nw").as("h3")),
+            col("h2v") === col("fo"), "left")
+          .select(col("old"), coalesce(col("h3"), col("h2v")).as("nw"))
+        labels = labels
+          .join(g, labels("label") === g("old"), "left")
+          .select(labels("node"), coalesce(g("nw"), labels("label")).as("label"))
           .localCheckpoint()
         round += 1
       }
