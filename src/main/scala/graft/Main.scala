@@ -51,7 +51,7 @@ object Main {
       spark: SparkSession,
       cfg: ReplicatorConfig,
       checkpointLocation: String,
-      senderFor: ReplicatorConfig => () => graft.streaming.RecordSender): StreamingQuery =
+      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory): StreamingQuery =
     if (cfg.backfill)
       Pipeline.startBackfill(spark, cfg, checkpointLocation)
     else if (cfg.exactlyOnce)
@@ -68,22 +68,60 @@ object Main {
       spark: SparkSession,
       clientFor: Map[String, String] => TopicMetadataClient,
       checkpointLocation: String,
-      senderFor: ReplicatorConfig => () => graft.streaming.RecordSender = reflectiveSender): Either[Seq[String], Unit] =
+      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory =
+        reflectiveSenderFactory(_)): Either[Seq[String], Unit] =
     preflight(args, clientFor).map { cfg =>
       Pipeline.runWithRestarts()(() => startStream(spark, cfg, checkpointLocation, senderFor))
     }
 
-  /** Deploy-time transactional-producer binding, loaded reflectively like
-    * the admin client (kafka-clients is absent at build time). Receives
-    * the producer props WITH `transaction.timeout.ms` injected — the
-    * reference does the same unconditionally (reference:
-    * FlinkKafkaReplicator.java:106).
+  /** The reflective deploy-time contract: these exact class names, each
+    * with a single `Map[String, String]` constructor, implemented under
+    * `deploy/src/main/scala` and compiled into the deploy artifact where
+    * kafka-clients is on the classpath (this build environment ships
+    * neither Kafka jars nor brokers). Pinned by ReflectiveBindingSpec
+    * against the deploy sources AND exercised through in-memory fixture
+    * classes loaded via the same helpers below.
     */
-  def reflectiveSender(cfg: ReplicatorConfig): () => graft.streaming.RecordSender = () =>
-    Class.forName("graft.streaming.KafkaProducerRecordSender")
+  val AdminBindingClass = "graft.admin.AdminClientMetadataClient"
+  val SenderBindingClass = "graft.streaming.KafkaProducerRecordSender"
+
+  /** Load a [[TopicMetadataClient]] binding reflectively. */
+  def loadMetadataClient(className: String)(props: Map[String, String]): TopicMetadataClient =
+    Class.forName(className)
       .getConstructor(classOf[Map[String, String]])
-      .newInstance(cfg.effectiveProducerProps)
+      .newInstance(props)
+      .asInstanceOf[TopicMetadataClient]
+
+  /** Load a [[graft.streaming.RecordSender]] binding reflectively. */
+  def loadSender(className: String)(props: Map[String, String]): graft.streaming.RecordSender =
+    Class.forName(className)
+      .getConstructor(classOf[Map[String, String]])
+      .newInstance(props)
       .asInstanceOf[graft.streaming.RecordSender]
+
+  /** Deploy-time transactional-producer binding, loaded reflectively like
+    * the admin client (kafka-clients is absent at build time). Each task's
+    * sender receives the producer props WITH `transaction.timeout.ms`
+    * injected — the reference does the same unconditionally (reference:
+    * FlinkKafkaReplicator.java:106) — and, under `--exactly-once`, a
+    * DETERMINISTIC `transactional.id` derived from the sink base and the
+    * task's partition id, so a retrying task fences its zombie
+    * predecessor ([[graft.streaming.RecordSenderFactory]]).
+    */
+  def reflectiveSenderFactory(
+      cfg: ReplicatorConfig,
+      className: String = SenderBindingClass): graft.streaming.RecordSenderFactory =
+    new graft.streaming.RecordSenderFactory {
+      override def senderFor(partitionId: Int): graft.streaming.RecordSender = {
+        val base = cfg.effectiveProducerProps
+        val props =
+          if (cfg.exactlyOnce)
+            base + ("transactional.id" -> graft.streaming.KafkaBatchWriter.transactionalId(
+              base.getOrElse("transactional.id", "graft-replicator"), partitionId))
+          else base
+        loadSender(className)(props)
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -94,11 +132,10 @@ object Main {
     val checkpoint = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/tmp/graft-checkpoint")
     // Production metadata binding is injected via reflection so this
     // module never links against kafka-clients (absent in this build
-    // environment); deployments place graft-kafka-admin on the classpath.
-    val clientFor: Map[String, String] => TopicMetadataClient = props =>
-      Class.forName("graft.admin.AdminClientMetadataClient")
-        .getConstructor(classOf[Map[String, String]])
-        .newInstance(props).asInstanceOf[TopicMetadataClient]
+    // environment); deployments compile deploy/src (the graft-kafka
+    // bindings) onto the classpath.
+    val clientFor: Map[String, String] => TopicMetadataClient =
+      loadMetadataClient(AdminBindingClass)
     val outcome =
       try run(args, spark, clientFor, checkpoint)
       catch { // e.g. missing deploy-time admin binding, unreachable brokers

@@ -33,26 +33,65 @@ trait RecordSender extends Serializable {
       headers: Seq[(String, Array[Byte])]): Unit
 
   /** Commit barrier: flush (at-least-once) or commit the transaction
-    * (exactly-once). Called once per task after its rows are sent.
+    * (exactly-once). Called once per task after its rows are sent; a
+    * sender is single-use — one task attempt, one commit.
     */
   def flush(): Unit
 }
 
+/** Per-task sender creation, keyed by the task's batch partition id —
+  * the zombie-fencing hook for exactly-once delivery.
+  *
+  * A transactional producer's `transactional.id` must be DETERMINISTIC
+  * per (sink, partition) across attempts: when a task retries, its new
+  * producer calls `initTransactions()` under the same id, which bumps
+  * the epoch and FENCES the previous attempt's producer — the zombie can
+  * no longer commit, and its open transaction is aborted. Combined with
+  * `read_committed` consumers downstream, this closes the
+  * some-tasks-flushed replay window that per-task atomicity leaves open
+  * (see [[KafkaBatchWriter.exactlyOnceSink]]). Derive the id with
+  * [[KafkaBatchWriter.transactionalId]]; never use a random or
+  * per-attempt id, which would make every retry a new producer identity
+  * with nothing to fence.
+  */
+trait RecordSenderFactory extends Serializable {
+  def senderFor(partitionId: Int): RecordSender
+}
+
+object RecordSenderFactory {
+  /** Lift a partition-oblivious factory (at-least-once senders don't
+    * need the fencing key).
+    */
+  def uniform(f: () => RecordSender): RecordSenderFactory =
+    new RecordSenderFactory {
+      override def senderFor(partitionId: Int): RecordSender = f()
+    }
+}
+
 object KafkaBatchWriter {
+
+  /** Deterministic `transactional.id` for a sink task: `base` names the
+    * sink (one replication pipeline = one base), the partition id pins
+    * the task — same task on retry ⇒ same id ⇒ `initTransactions()`
+    * fences the zombie attempt (see [[RecordSenderFactory]]).
+    */
+  def transactionalId(base: String, partitionId: Int): String =
+    s"$base-p$partitionId"
 
   /** A `foreachBatch` body: stream the batch's envelope rows through a
     * per-task [[RecordSender]]. No shuffle — each task drains its own
-    * partition of the microbatch; `senderFactory` runs on the executor
-    * (one sender per task, flushed at task end).
+    * partition of the microbatch; `senders` runs on the executor (one
+    * sender per task attempt, keyed by the task's partition id so a
+    * transactional sender can zombie-fence, flushed at task end).
     */
-  def write(senderFactory: () => RecordSender, preservePartitioning: Boolean)(
+  def write(senders: RecordSenderFactory, preservePartitioning: Boolean)(
       df: DataFrame, batchId: Long): Unit = {
     val cols = df.select(
       col("topic"), col("partition"), col("timestamp").as("ts"),
       col("key"), col("value"), col("headers"))
     cols.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val sender = senderFactory()
+        val sender = senders.senderFor(org.apache.spark.TaskContext.getPartitionId())
         rows.foreach { r =>
           val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
             .getOrElse(Seq.empty)
@@ -78,16 +117,20 @@ object KafkaBatchWriter {
     * replay a no-op. Within a failing batch, each task commits its own
     * sender in `flush()`, so a batch that dies after some tasks flushed
     * will re-produce those tasks' records on retry — per-task atomicity,
-    * not per-batch. Closing that window needs what Kafka transactions
-    * provide to Flink-style 2PC: deterministic `transactional.id` per
-    * (sink, partition) so a retrying task zombie-fences its previous
-    * attempt, plus `read_committed` consumers. The production sender
-    * should configure exactly that; with the in-memory test sender the
-    * property is per-task + replayed-batch idempotence.
+    * not per-batch. Closing that window is exactly what the
+    * [[RecordSenderFactory]] contract provides: deterministic
+    * `transactional.id` per (sink, partition) so a retrying task
+    * zombie-fences its previous attempt, plus `read_committed` consumers
+    * downstream. The production sender
+    * (`graft.streaming.KafkaProducerRecordSender`, deploy-time binding)
+    * configures exactly that; with the in-memory test sender the
+    * asserted property is per-task atomicity + replayed-batch
+    * idempotence + deterministic fencing ids (PipelineSpec's
+    * partial-batch replay case).
     */
   def exactlyOnceSink(
-      senderFactory: () => RecordSender,
+      senders: RecordSenderFactory,
       preservePartitioning: Boolean,
       commitDir: String): (DataFrame, Long) => Unit =
-    Pipeline.idempotentForeachBatch(commitDir, write(senderFactory, preservePartitioning))
+    Pipeline.idempotentForeachBatch(commitDir, write(senders, preservePartitioning))
 }

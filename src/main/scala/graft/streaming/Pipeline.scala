@@ -123,13 +123,13 @@ object Pipeline {
       cfg: ReplicatorConfig,
       checkpointLocation: String,
       commitDir: String,
-      senderFactory: () => RecordSender): StreamingQuery =
+      senders: RecordSenderFactory): StreamingQuery =
     kafkaSource(spark, cfg).load()
       .writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
       .foreachBatch(KafkaBatchWriter.exactlyOnceSink(
-        senderFactory, cfg.preservePartitioning, commitDir))
+        senders, cfg.preservePartitioning, commitDir))
       .start()
 
   /** `--backfill` mode — beyond the reference's surface (Flink's

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{KafkaMessage, MessageHeader}
-import graft.streaming.{KafkaBatchWriter, RecordSender}
+import graft.streaming.{KafkaBatchWriter, RecordSender, RecordSenderFactory}
 
 /** The record-complete sink path (SURVEY.md §7.4 hard parts 1+2):
   * timestamp preservation and exactly-once batch commit, asserted through
@@ -14,9 +14,9 @@ import graft.streaming.{KafkaBatchWriter, RecordSender}
   */
 class KafkaBatchWriterSpec extends AnyFunSuite with SparkSuite {
 
-  private def newSender(): () => RecordSender = {
+  private def newSender(): RecordSenderFactory = {
     CollectingSender.clear()
-    () => new CollectingSender
+    RecordSenderFactory.uniform(() => new CollectingSender)
   }
 
   private def msg(offset: Long, partition: Int, tsMs: Long) =
@@ -64,7 +64,8 @@ class KafkaBatchWriterSpec extends AnyFunSuite with SparkSuite {
     stream.addData(msg(0, 1, 100L), msg(1, 2, 200L))
     val q = stream.toDF().writeStream
       .foreachBatch(KafkaBatchWriter.exactlyOnceSink(
-        () => new CollectingSender, preservePartitioning = true, commitDir))
+        RecordSenderFactory.uniform(() => new CollectingSender),
+        preservePartitioning = true, commitDir))
       .start()
     try q.processAllAvailable() finally q.stop()
     val sent = CollectingSender.snapshot().sortBy(_.tsMs)

@@ -96,6 +96,36 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(spark.table("backfill_out").count() == fixtures.length.toLong)
   }
 
+  test("backfill → continuous cutover from one checkpoint: no loss, no duplication") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-cutover-ckpt").toString
+    val out = Files.createTempDirectory("graft-cutover-out").toString
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(fixtures.take(2))
+    // phase 1 — the --backfill shape: AvailableNow drains what exists,
+    // commits the checkpoint, and self-terminates (Pipeline.startBackfill
+    // with the memory source standing in for the Kafka reader)
+    val q1 = Pipeline.transform(stream.toDF(), preservePartitioning = true)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q1.awaitTermination(30000), "backfill must self-terminate")
+    // data that arrives between the drain and the cutover
+    stream.addData(fixtures.drop(2))
+    // phase 2 — continuous mode restarted from the SAME checkpoint
+    // (Pipeline.start's default processing-time trigger shape)
+    val q2 = Pipeline.transform(stream.toDF(), preservePartitioning = true)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    // every offset exactly once across the mode switch
+    val offsets = spark.read.parquet(out).select("offset").as[Long].collect().sorted.toSeq
+    assert(offsets == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("runWithRestarts consumes an attempt when (re)starting the query itself fails") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -114,6 +144,32 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(calls == 2)
   }
 
+  test("partial-batch replay: flushed tasks re-produce on retry; marker makes full batch a no-op") {
+    import graft.streaming.{KafkaBatchWriter, RecordSenderFactory}
+    val commitDir = Files.createTempDirectory("graft-partial").toString
+    PartialFailSender.reset()
+    val factory = new RecordSenderFactory {
+      override def senderFor(pid: Int) = new PartialFailSender(pid)
+    }
+    val sink = KafkaBatchWriter.exactlyOnceSink(factory, preservePartitioning = true, commitDir)
+    // deterministic 2-task batch: 2 fixtures per partition
+    val twoPart = spark.createDataset(
+      spark.sparkContext.parallelize(fixtures, 2))(graft.model.KafkaMessage.encoder).toDF()
+    // attempt 1: partition 1's task dies at its commit barrier AFTER
+    // partition 0's task committed — "some tasks flushed, marker absent"
+    intercept[Exception](sink(twoPart, 5L))
+    assert(PartialFailSender.visible().size == 2, "only the flushed task's records are visible")
+    // marker absent => the replay re-runs EVERY task: the flushed task's
+    // records are produced again (the per-task atomicity window the
+    // deterministic transactional.id closes in production by fencing),
+    // and the failed task's records land for the first time
+    sink(twoPart, 5L)
+    assert(PartialFailSender.visible().size == 6) // 2 (attempt 1) + 4 (attempt 2)
+    // marker present => a further replay of the batch is a no-op
+    sink(twoPart, 5L)
+    assert(PartialFailSender.visible().size == 6)
+  }
+
   test("idempotent foreachBatch skips replayed batches (exactly-once commit)") {
     import spark.implicits._
     val commits = Files.createTempDirectory("graft-commits").toString
@@ -125,5 +181,43 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     write(batch, 7L) // replay of the same batch must be a no-op
     write(batch, 8L)
     assert(writes == Vector((7L, 4L), (8L, 4L)))
+  }
+}
+
+/** A sender that buffers its sends and publishes them only at the
+  * `flush()` commit barrier — mimicking a transactional producer's
+  * read_committed visibility. The partition-1 instance dies at its
+  * barrier on the FIRST batch attempt, after waiting for partition 0 to
+  * commit, simulating a batch that fails with some tasks flushed.
+  * Top-level on purpose: the factory closure must not capture the spec.
+  */
+class PartialFailSender(pid: Int) extends graft.streaming.RecordSender {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+  override def send(topic: String, partition: Option[Int], timestampMs: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Unit =
+    buf += ((pid, timestampMs))
+  override def flush(): Unit = {
+    if (pid == 1 && PartialFailSender.failFirst.compareAndSet(true, false)) {
+      // ensure the sibling really committed first (deterministic
+      // "some tasks flushed" state), then die uncommitted
+      val deadline = System.currentTimeMillis() + 10000
+      while (!PartialFailSender.flushedPids.contains(0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+      throw new RuntimeException("task died at the commit barrier")
+    }
+    buf.foreach(PartialFailSender.committed.add)
+    PartialFailSender.flushedPids.add(pid)
+  }
+}
+
+object PartialFailSender {
+  val failFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+  val flushedPids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  val committed = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+  def reset(): Unit = { failFirst.set(true); flushedPids.clear(); committed.clear() }
+  def visible(): Seq[(Int, Long)] = {
+    import scala.jdk.CollectionConverters._
+    committed.asScala.toSeq
   }
 }
