@@ -25,10 +25,18 @@ object StreamOps {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
-  /** Internal open-session state (public: the state encoder's generated
-    * code must construct it).
+  /** One merged event-time interval (public: the state encoder's
+    * generated code must construct it).
     */
   case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Per-user session state: ALL intervals the watermark has not sealed
+    * yet — the open session and any closed-but-still-amendable ones. A
+    * session leaves state only when no in-scope event can still merge
+    * with it (watermark past its end + gap), so late events within the
+    * watermark horizon can never produce overlapping/duplicate sessions.
+    */
+  case class SessionsState(open: List[SessionState])
 
   /** EXT-6a — event-time tumbling windows with order-insensitive
     * aggregates; the streaming twin of
@@ -95,55 +103,48 @@ object StreamOps {
 
   /** EXT-6c — sessionization: group events per user into sessions closed
     * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with
-    * an event-time timeout. Sessions are emitted when the watermark
-    * passes the gap after their last event — deterministic in event
-    * time, independent of arrival order within a batch.
+    * an event-time timeout. A session is emitted ONLY once the watermark
+    * passes its end + gap — i.e. only when no event still in scope could
+    * merge with or extend it — so the emitted sessions are exactly what
+    * the batch sessionizer ([[graft.operators.Temporal.sessionize]])
+    * computes over any arrival order within the watermark horizon. (An
+    * earlier version emitted gap-closed sessions immediately; a later
+    * batch's gap-adjacent late event then produced an overlapping second
+    * session the batch twin would have merged.)
     */
   def sessionize(ds: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import ds.sparkSession.implicits._
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId,
-              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
-          } else {
-            // classic interval merge over (open session + batch events),
-            // sorted by start: adjacent items within the gap coalesce;
-            // a gap closes the earlier session. This handles cross-batch
-            // disorder uniformly — a late event within the gap extends
-            // the open session backward, and multiple strays older than
-            // the gap merge WITH EACH OTHER when they are gap-adjacent
-            // (an ad-hoc per-event fold emitted each stray as its own
-            // singleton session, diverging from the batch sessionizer).
-            val items = (state.getOption.toList ++
-              events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
-              .sortBy(_.startMs)
-            var closed = List.empty[Session]
-            var cur = Option.empty[SessionState]
-            items.foreach { it =>
-              cur match {
-                case Some(s) if it.startMs - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, it.endMs), s.n + it.n))
-                case Some(s) =>
-                  closed ::= Session(userId,
-                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
-                  cur = Some(it)
-                case None =>
-                  cur = Some(it)
-              }
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionsState]) =>
+          // one uniform path for new-data and timeout invocations:
+          // interval-merge (state ∪ batch events) sorted by start —
+          // adjacent items within the gap coalesce, late events extend
+          // sessions backward, gap-adjacent strays merge with each other
+          val items = (state.getOption.map(_.open).getOrElse(Nil) ++
+            events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+            .sortBy(_.startMs)
+          val merged = items.foldLeft(List.empty[SessionState]) { (acc, it) =>
+            acc match {
+              case h :: t if it.startMs - h.endMs <= gapMs =>
+                SessionState(h.startMs, math.max(h.endMs, it.endMs), h.n + it.n) :: t
+              case _ => it :: acc
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.reverseIterator
+          }.reverse
+          // emit only watermark-sealed sessions; keep the rest in state
+          // with the timeout at the earliest possible next seal point
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, live) = merged.partition(_.endMs + gapMs <= wm)
+          if (live.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionsState(live))
+            state.setTimeoutTimestamp(live.map(_.endMs).min + gapMs)
           }
+          expired.iterator.map(s => Session(userId,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
       }
   }
 }

@@ -142,14 +142,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       stream.addData(ev(1, 50, 7), ev(2, 52, 7)) // open session [50, 52]
       q.processAllAvailable()
       // two strays: both > gap before the open session, but within the
-      // gap of EACH OTHER -> must close as one session (10, 15, n=2)
+      // gap of EACH OTHER -> one session (10, 15, n=2)
       stream.addData(ev(3, 10, 7), ev(4, 15, 7))
       q.processAllAvailable()
+      // still amendable (watermark 2h behind): nothing may be emitted yet
+      assert(spark.table("sess_merge_out").as[Session].collect().isEmpty)
+      // a THIRD batch's late event gap-adjacent to the stray pair: must
+      // extend that same held session, never spawn an overlapping one
+      // (the divergence the old emit-immediately version had)
+      stream.addData(ev(5, 20, 7))
+      q.processAllAvailable()
+      stream.addData(ev(6, 600, 99)) // watermark far past everything
+      q.processAllAvailable()
       val sessions = spark.table("sess_merge_out").as[Session].collect()
-        .filter(_.user_id == 7L)
-      assert(sessions.length == 1)
-      assert(sessions.head.session_start == ts(10) && sessions.head.session_end == ts(15)
-        && sessions.head.n_events == 2L)
+        .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).session_start == ts(10) && sessions(0).session_end == ts(20)
+        && sessions(0).n_events == 3L)
+      assert(sessions(1).session_start == ts(50) && sessions(1).session_end == ts(52)
+        && sessions(1).n_events == 2L)
     } finally q.stop()
   }
 
