@@ -45,6 +45,7 @@ object SparkEntry {
     "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
     "x14_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
     "x15_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "x35_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -148,7 +149,35 @@ object SparkEntry {
     "n_tokens BETWEEN 20 AND 80 AND avg_len BETWEEN 3.0 AND 8.0 " +
       "AND stop_hits >= 2 AND top_tok_frac <= 0.125"
 
+  /** Unrolled Lloyd iterations for the x35 oracle — one CTE block per
+    * iteration, mirroring [[graft.operators.Similarity.kmeansCentroids]]
+    * hop for hop (same fold orders, same tie-breaks, same empty-cell
+    * fallback) over 64-dim embeddings.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |c0 AS (SELECT vec_id::BIGINT AS cid, ed AS cd FROM e WHERE vec_id < $k)""".stripMargin
+    val iterations = (1 to iters).map { t =>
+      val p = t - 1
+      s"""n$t AS (SELECT cid, list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> cd[i] * cd[i])), (a, b) -> a + b) AS nrm FROM c$p),
+         |s$t AS (SELECT e.vec_id, c.cid,
+         |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b) - n$t.nrm / 2 AS score
+         |        FROM e CROSS JOIN c$p c JOIN n$t ON n$t.cid = c.cid),
+         |a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM s$t) r WHERE rn = 1),
+         |m$t AS (SELECT a.cid, t.dim,
+         |        list_reduce(list_prepend(0.0::DOUBLE, list(e.ed[t.dim] ORDER BY e.vec_id)), (a2, b2) -> a2 + b2) / count(*) AS val
+         |        FROM a$t a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) AS t(dim)
+         |        GROUP BY a.cid, t.dim),
+         |c$t AS (SELECT c$p.cid, coalesce(m.cd, c$p.cd) AS cd
+         |        FROM c$p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cd FROM m$t GROUP BY cid) m ON m.cid = c$p.cid)""".stripMargin
+    }
+    (Seq(s"WITH $init") ++ iterations).mkString(",\n") +
+      s"\nSELECT cid, t.dim::BIGINT AS dim, cd[t.dim] AS val FROM c$iters, unnest(range(1, 65)) AS t(dim) ORDER BY cid, dim"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "x35_kmeans_centroids" -> kmeansOracle(k = 8, iters = 2),
     "d1_regex_subscribe" ->
       "SELECT * FROM events WHERE regexp_matches(event_type, '^[^_].*') ORDER BY event_id",
     "d2_envelope_projection" ->

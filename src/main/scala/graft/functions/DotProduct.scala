@@ -7,8 +7,11 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, DoubleType, FloatType}
 
-/** `dot_f(a, b)` — dot product of two float vectors, accumulated in Double
-  * with a strict left-to-right fold: `Σ_i (double)a[i] · (double)b[i]`.
+/** `dot_f(a, b)` — dot product of two float and/or double vectors,
+  * accumulated in Double with a strict left-to-right fold:
+  * `Σ_i (double)a[i] · (double)b[i]`. Mixed element types are legal per
+  * side (a float corpus against double k-means centroids is the standard
+  * ANN-serving shape); each float element widens exactly.
   *
   * Exists because the declarative spelling (`aggregate(zip_with(...))`)
   * evaluates its lambdas interpretively — per element, per row — which
@@ -35,12 +38,18 @@ case class DotProductExpression(left: Expression, right: Expression)
     // UnsafeArrayData slot is the failure mode this expression exists to
     // avoid
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"dot_f expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+      s"dot_f expects float/double arrays, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  /** Per-side element accessor, resolved once from the child type. */
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -54,12 +63,16 @@ case class DotProductExpression(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"dot_f: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
     val n = x.numElements()
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i))
         throw new IllegalArgumentException(s"dot_f: null element at index $i")
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -70,6 +83,8 @@ case class DotProductExpression(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val aGet = if (isFloat(left)) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
+      val bGet = if (isFloat(right)) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException("dot_f: dimension mismatch (" +
@@ -81,7 +96,7 @@ case class DotProductExpression(left: Expression, right: Expression)
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    throw new IllegalArgumentException("dot_f: null element at index " + $i);
          |  }
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += $aGet * $bGet;
          |}
          |${ev.value} = $acc;
        """.stripMargin

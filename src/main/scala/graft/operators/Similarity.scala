@@ -171,6 +171,63 @@ object Similarity {
           .as("max_err"))
       .orderBy("vec_id")
 
+  /** EXT-S5 — deterministic k-means centroid training (Lloyd iterations
+    * with a fixed seed and a fixed iteration count): the drop-in producer
+    * of the centroid table [[ivfTopK]] promises. Returns the trained
+    * centroids in long form `(cid, dim, val)` — 1-based dims, exactly
+    * `k · dim` rows.
+    *
+    * Determinism/oracle contract (every step bit-reproducible in DuckDB):
+    *  - seed: the first `k` vectors by id;
+    *  - assignment: row-local argmax of `x·c − ‖c‖²/2` (the L2-nearest
+    *    form that stays correct once centroids are no longer unit
+    *    vectors), ties to the lowest centroid id — the same struct-max
+    *    trick as [[ivfTopK]], with the dot product a strict left fold
+    *    ([[dot]]) and `‖c‖²` the same left fold driver-side;
+    *  - update: per-cell per-dimension mean as a vec_id-ORDERED left-fold
+    *    sum over one `sort_array(collect_list(...))` pass, then a single
+    *    IEEE division; empty cells keep their previous centroid.
+    *
+    * Scale shape: centroids are k·dim driver-side doubles broadcast as
+    * literals — each iteration is ONE narrow pass over the (materialized)
+    * corpus plus a k-group aggregate; nothing big ever shuffles. The
+    * ordered-fold mean is the oracle-exactness spelling: production at
+    * 100 TB would use plain `sum` per dimension (order-free at FP
+    * tolerance, no per-cell list), with everything else unchanged.
+    */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+      .localCheckpoint() // scanned 2·iters times below; materialize once
+    var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("ed"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map { case (i, c) => (i, c.toArray) }
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val scoredCells = array(cents.map { case (i, cd) =>
+        val nrm = cd.foldLeft(0.0)((a, v) => a + v * v) // oracle's fold order
+        struct((dot(col("ed"), typedlit(cd.toSeq)) - lit(nrm / 2)).as("s"),
+          lit(k - 1 - i).as("nk"))
+      }: _*)
+      val assigned = e.select(col("vec_id"), col("ed"),
+        (lit(k - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      val updated = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("cnt"),
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"), col("ed")))),
+            array_repeat(lit(0.0), dim),
+            (acc, s) => zip_with(acc, s.getField("ed"), (a, x) => a + x)).as("sums"))
+        .select(col("cell"), transform(col("sums"), _ / col("cnt")).as("mean"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.map { case (i, old) => (i, updated.get(i).map(_.toArray).getOrElse(old)) }
+    }
+    val rows = cents.flatMap { case (i, cd) =>
+      cd.zipWithIndex.map { case (v, d) => (i.toLong, (d + 1).toLong, v) }
+    }
+    spark.createDataset(rows).toDF("cid", "dim", "val").orderBy("cid", "dim")
+  }
+
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
     * restricted to bucket-colliding pairs (same LSH design as
     * [[bucketedTopK]]). Returns (v1, v2, sim4) with v1 < v2.

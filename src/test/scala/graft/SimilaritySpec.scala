@@ -11,14 +11,27 @@ import graft.operators.Similarity
   */
 class SimilaritySpec extends AnyFunSuite with SparkSuite {
 
-  test("dot_f rejects non-float arrays at analysis time") {
+  test("dot_f rejects non-numeric-vector arrays at analysis time") {
     import spark.implicits._
-    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
-    // array<double> would silently read garbage via getFloat without the
-    // type check — must fail analysis instead
+    val df = Seq((Seq(1L, 2L), Seq("x", "y"))).toDF("a", "b")
+    // the wrong element width would silently read garbage from
+    // UnsafeArrayData without the type check — must fail analysis instead
     intercept[org.apache.spark.sql.AnalysisException] {
-      df.select(DotProduct.dot_f(col("a"), col("b"))).collect()
+      df.select(DotProduct.dot_f(col("a"), col("a"))).collect()
     }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(DotProduct.dot_f(col("b"), col("b"))).collect()
+    }
+  }
+
+  test("dot_f on mixed float/double sides widens floats exactly") {
+    import spark.implicits._
+    val a = Seq(0.1f, -0.2f, 0.3f)
+    val c = Seq(0.7, 0.5, -0.25) // a double centroid, as in k-means serving
+    val expected = a.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y }
+    val got = Seq((a, c)).toDF("a", "c")
+      .select(DotProduct.dot_f(col("a"), col("c")).as("d")).as[Double].head()
+    assert(got == expected)
   }
 
   test("dot_f equals a strict left-to-right double fold") {
@@ -69,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
       assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
       g.foreach(r => assert(r.getLong(2) != qid))
+    }
+  }
+
+  test("kmeansCentroids: two Lloyd iterations reach the analytic fixpoint") {
+    // 4-d corpus: ids 0,1 seed the centroids; 2 is near 0; 3 is opposite 0
+    val kdir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f)))
+    val got = Similarity.kmeansCentroids(spark, kdir, k = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 2 * 4)
+    // iteration 1: cells {0,2} and {1,3}; iteration 2 re-derives the same
+    // cells from the new centroids, so the means are the fixpoint
+    val c0 = Seq((1f.toDouble + 0.9f.toDouble) / 2, (0f.toDouble + 0.1f.toDouble) / 2, 0.0, 0.0)
+    val c1 = Seq(-0.5, 0.5, 0.0, 0.0)
+    (1 to 4).foreach { d =>
+      assert(got((0L, d.toLong)) == c0(d - 1), s"c0 dim $d")
+      assert(got((1L, d.toLong)) == c1(d - 1), s"c1 dim $d")
     }
   }
 
