@@ -106,11 +106,11 @@ object Similarity {
     * assigned to its nearest CENTROID cell and searches only that cell
     * (nprobe=1). Centroids here are deterministically seeded (the first
     * `nCentroids` vectors by id) so the correctness oracle can reproduce
-    * the assignment; production swaps in k-means centroids — the
-    * plumbing (broadcast centroids, row-local argmax assignment, cell
-    * join) is identical and is what scales: assignment is one narrow
-    * pass over the corpus with the centroid table broadcast, and search
-    * cost drops from |corpus|² to Σ|cell|².
+    * the assignment; production swaps in trained centroids from
+    * [[kmeansCentroids]] — the plumbing (broadcast centroids, row-local
+    * argmax assignment, cell join) is identical and is what scales:
+    * assignment is one narrow pass over the corpus with the centroid
+    * table broadcast, and search cost drops from |corpus|² to Σ|cell|².
     *
     * Cell assignment is a row-local argmax over the broadcast centroid
     * dot products (struct-max trick, ties to the lowest centroid id) —
