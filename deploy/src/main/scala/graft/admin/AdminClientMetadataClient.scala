@@ -80,5 +80,5 @@ final class AdminClientMetadataClient(props: Map[String, String]) extends TopicM
       .all().get(requestTimeoutMs, TimeUnit.MILLISECONDS)
   }
 
-  def close(): Unit = admin.close()
+  override def close(): Unit = admin.close()
 }

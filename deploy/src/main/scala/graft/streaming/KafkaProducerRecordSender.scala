@@ -44,6 +44,17 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
 
   private var inTransaction = false
 
+  /** First asynchronous delivery failure, surfaced at the commit
+    * barrier: `producer.flush()` waits for outstanding sends but does
+    * NOT throw for records that exhausted their delivery attempts — a
+    * task that ignored the send futures would "succeed", commit the
+    * batch marker, and silently drop records. (The transactional path
+    * needs no such latch: `commitTransaction` itself throws if any send
+    * in the transaction failed.)
+    */
+  private val firstSendFailure =
+    new java.util.concurrent.atomic.AtomicReference[Exception](null)
+
   override def send(topic: String, partition: Option[Int], timestampMs: Long,
       key: Array[Byte], value: Array[Byte],
       headers: Seq[(String, Array[Byte])]): Unit = {
@@ -57,7 +68,8 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
     val record = new ProducerRecord[Array[Byte], Array[Byte]](
       topic, partition.map(Int.box).orNull, java.lang.Long.valueOf(timestampMs), key, value)
     headers.foreach { case (k, v) => record.headers().add(new RecordHeader(k, v)) }
-    producer.send(record)
+    producer.send(record, (_, exception) =>
+      if (exception != null) firstSendFailure.compareAndSet(null, exception))
     ()
   }
 
@@ -70,6 +82,11 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
         }
       } else {
         producer.flush()
+        val failure = firstSendFailure.get()
+        if (failure != null)
+          throw new RuntimeException(
+            "at-least-once delivery failed for at least one record; failing the task so the batch retries",
+            failure)
       }
     } finally {
       producer.close()

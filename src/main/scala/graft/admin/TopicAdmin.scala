@@ -49,6 +49,12 @@ trait TopicMetadataClient {
   def createTopic(spec: TopicSpec, replicationFactor: Short): Unit
   def growPartitions(topic: String, increaseTo: Int): Unit
   def alterConfig(topic: String, key: String, value: String): Unit
+  /** Release broker connections/threads. The pre-flight is the only
+    * consumer and closes both clients once reconciliation ends — a
+    * production AdminClient would otherwise leak its network threads for
+    * the whole stream lifetime. No-op default for in-memory clients.
+    */
+  def close(): Unit = ()
 }
 
 final class InMemoryMetadataClient(initial: Seq[TopicSpec]) extends TopicMetadataClient {
@@ -157,9 +163,13 @@ object TopicAdmin {
   def reconcile(
       source: TopicMetadataClient,
       target: TopicMetadataClient,
-      cfg: ReplicatorConfig): Seq[String] = {
-    val src = discover(source, cfg.topics)
-    val dst = discover(target, cfg.topics)
-    execute(target, plan(src, dst, cfg))
-  }
+      cfg: ReplicatorConfig): Seq[String] =
+    try {
+      val src = discover(source, cfg.topics)
+      val dst = discover(target, cfg.topics)
+      execute(target, plan(src, dst, cfg))
+    } finally {
+      source.close()
+      target.close()
+    }
 }

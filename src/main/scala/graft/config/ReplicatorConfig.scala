@@ -147,7 +147,14 @@ object ReplicatorConfig {
           Option.when(cfg.backfill && cfg.exactlyOnce)(
             "--backfill cannot be combined with --exactly-once: the backfill drain " +
               "uses the at-least-once sink (run the backfill at-least-once, " +
-              "then restart with --exactly-once from the same checkpoint)")).flatten
+              "then restart with --exactly-once from the same checkpoint)"),
+          // a single shared transactional.id across all sink tasks would
+          // make every task's initTransactions() fence the others — the
+          // id is only meaningful as the per-partition base the
+          // exactly-once sender factory derives from it
+          Option.when(!cfg.exactlyOnce && cfg.producerProps.contains("transactional.id"))(
+            "--producer.transactional.id requires --exactly-once: without it every " +
+              "sink task would share one transactional id and mutually fence")).flatten
         if (crossErrs.nonEmpty) Left(crossErrs) else Right(cfg)
     }
   }

@@ -46,7 +46,11 @@ case class DotProductExpression(left: Expression, right: Expression)
       s"dot_f expects float/double arrays, got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
-  /** Per-side element accessor, resolved once from the child type. */
+  /** Per-side element width, resolved once from the child type (lazy:
+    * children may be unresolved at construction).
+    */
+  private lazy val leftIsFloat: Boolean = isFloat(left)
+  private lazy val rightIsFloat: Boolean = isFloat(right)
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -63,8 +67,8 @@ case class DotProductExpression(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"dot_f: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
     val n = x.numElements()
-    val lf = isFloat(left)
-    val rf = isFloat(right)
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -83,8 +87,8 @@ case class DotProductExpression(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val aGet = if (isFloat(left)) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
-      val bGet = if (isFloat(right)) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
+      val aGet = if (leftIsFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
+      val bGet = if (rightIsFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException("dot_f: dimension mismatch (" +

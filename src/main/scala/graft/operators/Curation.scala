@@ -244,12 +244,18 @@ object Curation {
           .select(col("old"), least(col("old"), col("m")).as("nw"))
         // g(a) = f(labels(f(a))) — min-step, node-level jump, min-step,
         // fused into one tiny label-keyed map (each hop falls back to
-        // identity where undefined); the labels join broadcasts the f
-        // side, so the node table is scanned, never shuffled
+        // identity where undefined). The node-level hop is an INNER join
+        // so the planner can build/broadcast whichever side is small
+        // (usually f) and stream the other — a left join here would
+        // force building the full node table, which is exactly the
+        // per-round exchange this fusion exists to avoid; the left-join
+        // fallback then runs on the tiny (f ⋈ mid) relations only.
+        val mid = labels.select(col("node").as("h1n"), col("label").as("h2"))
+          .join(f.select(col("old"), col("nw")), col("h1n") === col("nw"))
+          .select(col("old"), col("h2"))
         val g = f
-          .join(labels.select(col("node").as("h1n"), col("label").as("h2")),
-            col("nw") === col("h1n"), "left")
-          .select(col("old"), coalesce(col("h2"), col("nw")).as("h2v"))
+          .join(mid.withColumnRenamed("h2", "h2m"), Seq("old"), "left")
+          .select(col("old"), coalesce(col("h2m"), col("nw")).as("h2v"))
           .join(f.select(col("old").as("fo"), col("nw").as("h3")),
             col("h2v") === col("fo"), "left")
           .select(col("old"), coalesce(col("h3"), col("h2v")).as("nw"))

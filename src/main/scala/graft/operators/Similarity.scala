@@ -203,6 +203,10 @@ object Similarity {
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("ed"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map { case (i, c) => (i, c.toArray) }
+    // fail loudly, not head-of-empty-list (and never silently train
+    // fewer than k centroids on sparse/re-keyed corpora)
+    require(cents.length == k,
+      s"kmeansCentroids: seeding needs vectors with vec_id 0..${k - 1}, found ${cents.length} of $k")
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val scoredCells = array(cents.map { case (i, cd) =>

@@ -135,13 +135,20 @@ object StreamOps {
             }
           }.reverse
           // emit only watermark-sealed sessions; keep the rest in state
-          // with the timeout at the earliest possible next seal point
+          // with the timeout at the earliest possible next seal point.
+          // STRICTLY past the watermark: an on-time event may still
+          // arrive with ts == wm, and ts == end + gap merges under the
+          // batch twin's `<= gap` rule — sealing at equality would emit
+          // a session that event must still extend
           val wm = state.getCurrentWatermarkMs()
-          val (expired, live) = merged.partition(_.endMs + gapMs <= wm)
+          val (expired, live) = merged.partition(_.endMs + gapMs < wm)
           if (live.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(SessionsState(live))
-            state.setTimeoutTimestamp(live.map(_.endMs).min + gapMs)
+            // wm + 1 when a live session's seal point is AT the current
+            // watermark (timeouts must be set strictly beyond it); the
+            // next watermark advance then seals it
+            state.setTimeoutTimestamp(math.max(live.map(_.endMs).min + gapMs, wm + 1))
           }
           expired.iterator.map(s => Session(userId,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))

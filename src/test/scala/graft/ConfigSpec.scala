@@ -89,6 +89,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(ReplicatorConfig.fromArgs(minimal :+ "--backfill").toOption.get.backfill)
   }
 
+  test("--producer.transactional.id without --exactly-once is rejected (shared-id fencing)") {
+    val res = ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--producer.transactional.id", "myrepl"))
+    assert(res.isLeft)
+    assert(res.left.toOption.get.exists(_.contains("transactional.id")))
+    // with --exactly-once it is the per-partition fencing-id base: legal
+    assert(ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--exactly-once", "--producer.transactional.id", "myrepl")).isRight)
+  }
+
   test("--backfill with --exactly-once is rejected, never silently downgraded") {
     val res = ReplicatorConfig.fromArgs(minimal ++ Seq("--backfill", "--exactly-once"))
     assert(res.isLeft)

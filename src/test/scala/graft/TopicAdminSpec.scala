@@ -90,4 +90,26 @@ class TopicAdminSpec extends AnyFunSuite {
     assert(target.snapshot("t2").partitions == 8)
     assert(target.snapshot("t2").config("cleanup.policy") == "compact")
   }
+
+  test("reconcile closes both metadata clients, even when the plan fails") {
+    class ClosingClient(ts: Seq[TopicSpec]) extends TopicMetadataClient {
+      private val inner = new InMemoryMetadataClient(ts)
+      var closed = false
+      override def listTopicNames(): Seq[String] = inner.listTopicNames()
+      override def describe(names: Seq[String]): Map[String, TopicSpec] = inner.describe(names)
+      override def createTopic(spec: TopicSpec, rf: Short): Unit = inner.createTopic(spec, rf)
+      override def growPartitions(topic: String, n: Int): Unit = inner.growPartitions(topic, n)
+      override def alterConfig(topic: String, k: String, v: String): Unit = inner.alterConfig(topic, k, v)
+      override def close(): Unit = closed = true
+    }
+    val okSrc = new ClosingClient(Seq(TopicSpec("t1", 4)))
+    val okDst = new ClosingClient(Seq(TopicSpec("t1", 4)))
+    assert(TopicAdmin.reconcile(okSrc, okDst, cfg()).isEmpty)
+    assert(okSrc.closed && okDst.closed)
+    // failing path (missing target topic, no --create-topics): still closed
+    val failSrc = new ClosingClient(Seq(TopicSpec("t1", 4)))
+    val failDst = new ClosingClient(Seq.empty)
+    assert(TopicAdmin.reconcile(failSrc, failDst, cfg()).nonEmpty)
+    assert(failSrc.closed && failDst.closed)
+  }
 }
