@@ -40,6 +40,7 @@ object SparkEntry {
     "x3_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "x4_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "x16_simhash_near_dup" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
+    "x36_incremental_minhash" -> ((s, dir) => Dedup.incrementalMinhash(s, dir)),
     // --- similarity search ---
     "x5_topk_cosine" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
@@ -235,6 +236,39 @@ object SparkEntry {
     "x16_simhash_near_dup" ->
       s"""WITH $simhashPairsCte
          |SELECT d1, d2, hamming FROM nd_pairs ORDER BY d1, d2""".stripMargin,
+
+    "x36_incremental_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |mh AS (SELECT doc_id, seed,
+        |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+        |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
+        |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+        |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+        |        FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_old
+        |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+        |                              AND a.m2 = b.m2 AND a.m3 = b.m3
+        |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        |inter AS (SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |          GROUP BY 1, 2),
+        |jacx AS (SELECT i.d_new, i.d_old,
+        |                i.inter::DOUBLE / (s1.n + s2.n - i.inter) AS jaccard
+        |         FROM inter i JOIN sizes s1 ON s1.doc_id = i.d_new
+        |                      JOIN sizes s2 ON s2.doc_id = i.d_old),
+        |matched AS (SELECT c.d_new, c.d_old, j.jaccard
+        |            FROM cand c JOIN jacx j ON j.d_new = c.d_new AND j.d_old = c.d_old
+        |            WHERE j.jaccard >= 0.8),
+        |best AS (SELECT d_new, d_old, jaccard,
+        |                row_number() OVER (PARTITION BY d_new ORDER BY jaccard DESC, d_old) AS rn
+        |         FROM matched)
+        |SELECT d_new AS doc_id, d_old AS dup_of, jaccard FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x5_topk_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),

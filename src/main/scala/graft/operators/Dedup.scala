@@ -193,14 +193,10 @@ object Dedup {
     // 4.2M rows at sf0.1) through two keyed shuffles before bucketing.
     // (shingleArrays is already repartitioned + materialized, so the md5
     // work runs spread across cores, not on the scan's single split.)
-    val sig = arr
-      .select(col("doc_id"),
-        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
-      .select(col("doc_id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
-          col("mh")(b * rowsPerBand + r).as(s"m$r")): _*)): _*)).as("bs"))
-      .select(col("doc_id") +: (col("bs.band").as("band") +:
-        (0 until rowsPerBand).map(r => col(s"bs.m$r").as(s"m$r"))): _*)
+    val sig = bandedSignatures(
+      arr.select(col("doc_id"),
+        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
+      bands, rowsPerBand)
     // same inverted-index shape as ngramJaccard: bucket by full band
     // signature, emit ordered pairs within each bucket — the minhash
     // pipeline is computed once (a self-join would compute it per side)
@@ -218,6 +214,65 @@ object Dedup {
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
+  }
+
+  /** Band-explode a `(doc_id, mh: array<bigint>)` relation into one row
+    * per (doc, band) with the band's hashes as columns `m0..m{r-1}` —
+    * the LSH bucketing key shared by [[minhashLsh]] (self-collision) and
+    * [[incrementalMinhash]] (batch-vs-index collision).
+    */
+  private def bandedSignatures(mh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    mh
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band") +: (0 until rowsPerBand).map(r =>
+          col("mh")(b * rowsPerBand + r).as(s"m$r")): _*)): _*)).as("bs"))
+      .select(col("doc_id") +: (col("bs.band").as("band") +:
+        (0 until rowsPerBand).map(r => col(s"bs.m$r").as(s"m$r"))): _*)
+
+  /** EXT-D7 — cross-batch NEAR-dup dedup: treat odd doc_ids as the fresh
+    * crawl and even doc_ids as the existing (already-deduped) corpus, and
+    * report each new document that is a near-duplicate (shingle Jaccard ≥
+    * `threshold`) of some corpus document — the document to DROP, its best
+    * corpus match (highest Jaccard, ties to the lowest doc_id), and the
+    * score. The near-dup twin of [[Curation.incrementalDedup]]'s exact
+    * digest check.
+    *
+    * Scale shape — this is the operator an ingest pipeline actually runs:
+    * the corpus band signatures are the persisted LSH INDEX (computed once
+    * per corpus, not per ingest); the batch computes its own signatures in
+    * one narrow pass and equi-joins the index on the band key. The corpus
+    * is never self-joined and never re-shingled; candidate verification
+    * and the per-new-doc argmax are bounded by collisions, not corpus
+    * size.
+    */
+  def incrementalMinhash(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    // materialized once: both parity branches consume the signature pass
+    // (the md5 minhash computation is the expensive row-local step)
+    val mh = arr.select(col("doc_id"),
+      graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
+      .localCheckpoint()
+    val sig = bandedSignatures(mh, bands, rowsPerBand)
+    val bandKey = Seq("band") ++ (0 until rowsPerBand).map(r => s"m$r")
+    val index = sig.filter(col("doc_id") % 2 === 0).withColumnRenamed("doc_id", "d2")
+    val fresh = sig.filter(col("doc_id") % 2 === 1).withColumnRenamed("doc_id", "d1")
+    val candidates = fresh.join(index, bandKey)
+      .select("d1", "d2").distinct()
+    verifyJaccard(candidates, arr, threshold)
+      .groupBy(col("d1").as("doc_id"))
+      // best match row-locally: max struct = highest jaccard, then
+      // highest -d2 = lowest corpus doc id
+      .agg(max(struct(col("jaccard"), (-col("d2")).as("neg"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("dup_of"), col("best.jaccard").as("jaccard"))
+      .orderBy("doc_id")
   }
 
   /** EXT-D4 — 60-bit SimHash fingerprint per document. Token hash = the

@@ -111,4 +111,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(fps(3L), fps(4L)) < hamming(fps(3L), fps(6L)))
   }
+
+  test("incrementalMinhash: fresh odd docs match their best even-corpus near-dup only") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val variant = base.replace("w9", "z9") // 1-token variant of base
+    val idir = TestTables.documentsDir(spark, Seq(
+      2L -> base,                           // corpus
+      4L -> variant,                        // corpus
+      6L -> (31 to 60).map(i => s"u$i").mkString(" "), // corpus, unrelated
+      1L -> variant,                        // fresh: = 4 exactly, near-dup of 2
+      3L -> (61 to 90).map(i => s"q$i").mkString(" "), // fresh: novel
+      5L -> base))                          // fresh: = 2 exactly, near-dup of 4
+    val got = Dedup.incrementalMinhash(spark, idir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byDoc = got.map(t => t._1 -> t).toMap
+    // novel doc 3 must NOT appear; identical docs collide on EVERY band,
+    // so their presence is deterministic (a J≈0.8 pair colliding on some
+    // band is the probabilistic part of LSH and not asserted here)
+    assert(!byDoc.contains(3L))
+    // argmax: each fresh doc also near-matches the OTHER corpus doc
+    // (J≈0.8 if its bands collide) but the exact copy must win
+    assert(byDoc(5L)._2 == 2L && byDoc(5L)._3 == 1.0)
+    assert(byDoc(1L)._2 == 4L && byDoc(1L)._3 == 1.0)
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // presentation order
+  }
 }
