@@ -98,29 +98,38 @@ object Curation {
     * the streaming spec). One definition means the batch gate, the
     * streaming gate, and the oracle can never drift apart.
     */
-  def qualityProjection(docs: DataFrame): DataFrame = {
-    val toks = col("toks")
+  def qualityProjection(docs: DataFrame): DataFrame =
+    qualityAnnotated(docs).select("doc_id", "n_tokens", "avg_len", "stop_hits",
+      "top_tok_frac", "r_len", "r_avg", "r_stop", "r_rep", "keep")
+
+  /** [[qualityProjection]]'s measurements APPENDED to the input relation
+    * (every input column preserved) — the form a linear streaming
+    * pipeline needs, where a later stage still wants `text` and joining
+    * the stream back to itself is not an option (stream-stream
+    * self-joins are unsupported). Row-local, same single compiled
+    * hash-count pass.
+    */
+  def qualityAnnotated(docs: DataFrame): DataFrame = {
+    val toks = col("__toks")
     val nTok = size(toks).cast("long")
     // splitting on single spaces removes exactly (n_tokens − 1)
     // separators, so the token-length sum is arithmetic on lengths
     val sumLen = length(col("text")).cast("long") - (nTok - 1)
     docs
-      .select(col("doc_id"), col("text"), Tables.tokens(col("text")).as("toks"))
+      .withColumn("__toks", Tables.tokens(col("text")))
       // one compiled hash-count pass for the mode; the declarative
       // distinct×filter spelling is O(n²)-ish interpreted lambdas
-      .select(col("doc_id"), col("text"), col("toks"),
-        graft.functions.NgramStats.ngramStats(toks, 1).as("st"))
-      .select(
-        col("doc_id"),
-        nTok.as("n_tokens"),
-        (sumLen.cast("double") / nTok).as("avg_len"),
-        size(filter(toks, t => t.isin(enStop: _*))).cast("long").as("stop_hits"),
-        (col("st.max_count").cast("double") / nTok).as("top_tok_frac"))
+      .withColumn("__st", graft.functions.NgramStats.ngramStats(toks, 1))
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_len", sumLen.cast("double") / nTok)
+      .withColumn("stop_hits", size(filter(toks, t => t.isin(enStop: _*))).cast("long"))
+      .withColumn("top_tok_frac", col("__st.max_count").cast("double") / nTok)
       .withColumn("r_len", col("n_tokens") >= 20 && col("n_tokens") <= 80)
       .withColumn("r_avg", col("avg_len") >= 3.0 && col("avg_len") <= 8.0)
       .withColumn("r_stop", col("stop_hits") >= 2)
       .withColumn("r_rep", col("top_tok_frac") <= 0.125)
       .withColumn("keep", col("r_len") && col("r_avg") && col("r_stop") && col("r_rep"))
+      .drop("__toks", "__st")
   }
 
   /** EXT-C3 — repetition measurement: distinct-bigram ratio and the

@@ -101,6 +101,46 @@ object StreamOps {
       .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
   }
 
+  /** EXT-6f — the streaming ingest-curation pipeline: the composition a
+    * crawl ingest actually runs, as ONE unbounded query — the streaming
+    * twin of the batch curation legs, applied at ingest time instead of
+    * corpus-rebuild time. Deliberately LINEAR (no joins back to the
+    * stream — stream-stream self-joins are unsupported, and a staged
+    * pipeline would lose the single-pass shape anyway):
+    *
+    *  1. quality gate — THE batch rule set
+    *     ([[graft.operators.Curation.qualityAnnotated]], row-local), so
+    *     batch and stream can never drift;
+    *  2. exact dedup on the content digest within the watermark horizon
+    *     (`dropDuplicatesWithinWatermark`: bounded state; cross-horizon
+    *     and near-dup dedup are the batch incremental passes, x24/x36);
+    *  3. decontamination — row-local k-gram intersection against the
+    *     benchmark's distinct gram set, carried to every task as a plan
+    *     literal (the streaming analog of the batch operator's broadcast
+    *     join: benchmark gram sets are MBs by construction, and the
+    *     stream side never shuffles for it).
+    *
+    * Input schema: (doc_id, text, ingest_ts). Output: surviving
+    * documents with their quality measurements and digest — the rows a
+    * sink appends to the training corpus.
+    */
+  def curateStream(
+      docs: DataFrame,
+      benchGrams: Seq[String],
+      gramK: Int = 5,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Curation.qualityAnnotated(docs)
+      .filter(col("keep"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+      .withColumn("__grams", graft.operators.Tables.shingles(
+        graft.operators.Tables.tokens(col("text")), gramK))
+      .withColumn("n_contaminated",
+        graft.functions.IntersectSize.intersectSize(col("__grams"), typedlit(benchGrams)))
+      .filter(col("n_contaminated") === 0)
+      .drop("__grams", "text", "n_contaminated")
+
   /** EXT-6c — sessionization: group events per user into sessions closed
     * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with
     * an event-time timeout. A session is emitted ONLY once the watermark

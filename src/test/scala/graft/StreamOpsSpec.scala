@@ -183,6 +183,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("curateStream: quality gate + watermarked dedup + decontamination, one linear stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ") + " the a of"
+    val good2 = (1 to 30).map(i => s"word$i").mkString(" ") + " the a of"
+    // passes every quality rule but opens with a benchmark 5-gram
+    val contaminated = "c1 c2 c3 c4 c5 " + (6 to 30).map(i => s"word$i").mkString(" ") + " the a of"
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.curateStream(
+        stream.toDF().toDF("doc_id", "text", "ingest_ts"), benchGrams = Seq("c1 c2 c3 c4 c5"))
+      .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      stream.addData((1L, good, ts(1)), (2L, "too short", ts(2)), (3L, contaminated, ts(3)))
+      q.processAllAvailable()
+      stream.addData((4L, good, ts(4)), (5L, good2, ts(5))) // 4 = exact dup of 1, in horizon
+      q.processAllAvailable()
+      val rows = spark.table("curate_out").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 5L))
+      // measurements and digest ride along for the corpus sink
+      assert(rows.head.schema.fieldNames.contains("digest"))
+      assert(rows.forall(_.getAs[Boolean]("keep")))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static left join broadcasts the dim and keeps unmatched events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
