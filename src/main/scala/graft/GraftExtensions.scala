@@ -34,7 +34,10 @@ object GraftExtensions {
   private def fn(name: String, arity: Int, usage: String)(
       build: Seq[Expression] => Expression): FunctionDescription = (
     FunctionIdentifier(name),
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+    // 5-arg constructor: (className, db, NAME, usage, extended) — the
+    // 3-arg one is (className, db, name) and would register the usage
+    // text as the function name
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
     (args: Seq[Expression]) => {
       if (args.length != arity)
         throw new IllegalArgumentException(

@@ -108,8 +108,18 @@ object Curation {
     * the stream back to itself is not an option (stream-stream
     * self-joins are unsupported). Row-local, same single compiled
     * hash-count pass.
+    *
+    * The measurement names are RESERVED: `withColumn` would silently
+    * overwrite a same-named input column (plausible for upstream ingest
+    * metadata like `keep`), so collisions are rejected loudly instead.
     */
   def qualityAnnotated(docs: DataFrame): DataFrame = {
+    val reserved = Seq("__toks", "__st", "n_tokens", "avg_len", "stop_hits",
+      "top_tok_frac", "r_len", "r_avg", "r_stop", "r_rep", "keep")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"qualityAnnotated: input columns ${clash.mkString(", ")} collide with " +
+        "reserved measurement names — rename them upstream")
     val toks = col("__toks")
     val nTok = size(toks).cast("long")
     // splitting on single spaces removes exactly (n_tokens − 1)

@@ -114,32 +114,34 @@ object StreamOps {
     *  2. exact dedup on the content digest within the watermark horizon
     *     (`dropDuplicatesWithinWatermark`: bounded state; cross-horizon
     *     and near-dup dedup are the batch incremental passes, x24/x36);
-    *  3. decontamination — row-local k-gram intersection against the
-    *     benchmark's distinct gram set, carried to every task as a plan
-    *     literal (the streaming analog of the batch operator's broadcast
-    *     join: benchmark gram sets are MBs by construction, and the
-    *     stream side never shuffles for it).
+    *  3. decontamination — per-document probe of the benchmark's gram
+    *     set, shipped once per executor as a Spark broadcast variable
+    *     (the streaming analog of the batch operator's broadcast join).
+    *     This stage is a Scala UDF deliberately: a `typedlit` spelling
+    *     would re-scan the whole MB-scale gram literal for EVERY
+    *     document, while the broadcast set is hashed once and probed
+    *     O(|doc grams|) per row — the one shape here where a UDF beats
+    *     every codegen spelling. The stream never shuffles for it.
     *
     * Input schema: (doc_id, text, ingest_ts). Output: surviving
-    * documents with their quality measurements and digest — the rows a
-    * sink appends to the training corpus.
+    * documents (text included — they are the rows a sink appends to the
+    * training corpus) with their quality measurements and digest.
     */
   def curateStream(
       docs: DataFrame,
       benchGrams: Seq[String],
       gramK: Int = 5,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val benchSet = docs.sparkSession.sparkContext.broadcast(benchGrams.toSet)
+    val contaminated = udf((grams: Seq[String]) => grams.exists(benchSet.value.contains))
     graft.operators.Curation.qualityAnnotated(docs)
       .filter(col("keep"))
       .withColumn("digest", sha2(col("text"), 256))
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("digest")
-      .withColumn("__grams", graft.operators.Tables.shingles(
-        graft.operators.Tables.tokens(col("text")), gramK))
-      .withColumn("n_contaminated",
-        graft.functions.IntersectSize.intersectSize(col("__grams"), typedlit(benchGrams)))
-      .filter(col("n_contaminated") === 0)
-      .drop("__grams", "text", "n_contaminated")
+      .filter(!contaminated(graft.operators.Tables.shingles(
+        graft.operators.Tables.tokens(col("text")), gramK)))
+  }
 
   /** EXT-6c — sessionization: group events per user into sessions closed
     * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with

@@ -201,8 +201,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       q.processAllAvailable()
       val rows = spark.table("curate_out").collect()
       assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 5L))
-      // measurements and digest ride along for the corpus sink
+      // text, measurements, and digest ride along for the corpus sink
       assert(rows.head.schema.fieldNames.contains("digest"))
+      assert(rows.head.getAs[String]("text").nonEmpty)
       assert(rows.forall(_.getAs[Boolean]("keep")))
     } finally q.stop()
   }
