@@ -65,6 +65,21 @@ object Dedup {
       .repartition(col("doc_id"))
       .localCheckpoint()
 
+  /** Saturation guard for bucket-grouped pair generation: the pair
+    * EXPANSION streams (chained explodes, O(|bucket|) per row), but the
+    * grouped bucket itself is one `collect_list` row — a degenerate hot
+    * bucket (a band signature shared by millions of near-empty documents)
+    * would OOM an executor opaquely. This converts that into an
+    * actionable failure naming the knob to turn; the cap is far above
+    * anything a healthy banding produces (saturation means the banding
+    * is mis-sized for the corpus, not that more memory is needed).
+    * Spelled as `assert_true` inside a Filter so it cannot be pruned.
+    */
+  private def guardBucketSize(grouped: DataFrame, cap: Int, knob: String): DataFrame =
+    grouped.filter(assert_true(size(col("ds")) <= cap,
+      concat(lit(s"LSH bucket saturated (> $cap docs share one signature) — $knob")))
+      .isNull)
+
   /** Row-local exact verification of candidate pairs (d1 < d2) against
     * the shingle arrays: Jaccard via `array_intersect`, keeping pairs at
     * `threshold`. The arrays relation is per-doc (small relative to any
@@ -99,7 +114,11 @@ object Dedup {
     * prefixes are exploded and joined; full sets are only compared for
     * surviving candidates.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccard(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val arr = shingleArrays(spark, dir)
     val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("shingle"))
@@ -142,9 +161,12 @@ object Dedup {
       lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
     val overlapNeed =
       (col("x.n") + col("y.n")) * (threshold / (1 + threshold)) - lit(1e-9)
-    val candidates = pref
-      .groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("n"), col("pos"))).as("ds"))
+    val candidates = guardBucketSize(
+      pref
+        .groupBy("shingle")
+        .agg(collect_list(struct(col("doc_id"), col("n"), col("pos"))).as("ds")),
+      maxBucket, "a posting list this hot means a near-universal shingle — " +
+        "raise the threshold or maxBucket")
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), explode(col("ds")).as("x"))
       .select(col("x"), explode(col("ds")).as("y"))
@@ -175,7 +197,8 @@ object Dedup {
       dir: String,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 1 << 20): DataFrame = {
     // bands > numHashes would make rowsPerBand 0 — every document shares
     // every (empty) band signature and the "sub-quadratic path" silently
     // runs a full quadratic verify; non-divisible values silently discard
@@ -202,9 +225,11 @@ object Dedup {
     // pipeline is computed once (a self-join would compute it per side)
     // streaming pair expansion (see ngramJaccard) — per-row memory stays
     // O(|bucket|) even on a degenerate band signature
-    val candidates = sig
-      .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
-      .agg(collect_list(col("doc_id")).as("ds"))
+    val candidates = guardBucketSize(
+      sig
+        .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
+        .agg(collect_list(col("doc_id")).as("ds")),
+      maxBucket, "widen the bands (more hashes per band) or raise maxBucket")
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), explode(col("ds")).as("d1"))
       .select(col("d1"), explode(col("ds")).as("d2"))
@@ -316,8 +341,9 @@ object Dedup {
       dir: String,
       maxHamming: Int = 4,
       bands: Int = 5,
-      bits: Int = 60): DataFrame =
-    simhashNearDupPairs(spark, dir, maxHamming, bands, bits).orderBy("d1", "d2")
+      bits: Int = 60,
+      maxBucket: Int = 1 << 20): DataFrame =
+    simhashNearDupPairs(spark, dir, maxHamming, bands, bits, maxBucket).orderBy("d1", "d2")
 
   /** The near-dup pair relation WITHOUT the presentation sort — consumers
     * that aggregate or join the pairs (cluster resolution) skip the
@@ -328,7 +354,8 @@ object Dedup {
       dir: String,
       maxHamming: Int = 4,
       bands: Int = 5,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60,
+      maxBucket: Int = 1 << 20): DataFrame = {
     require(maxHamming <= bands - 1, "banding is only exact for maxHamming <= bands - 1")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
@@ -339,9 +366,11 @@ object Dedup {
     // bands saturate as the corpus approaches 4096·|avg bucket| docs —
     // widen bandBits (fewer, wider bands) with the corpus, keeping
     // maxHamming ≤ bands−1 for exactness.
-    banded
-      .groupBy("b", "band_val")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+    guardBucketSize(
+      banded
+        .groupBy("b", "band_val")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds")),
+      maxBucket, "widen bandBits (fewer, wider bands) or raise maxBucket")
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), explode(col("ds")).as("x"))
       .select(col("x"), explode(col("ds")).as("y"))

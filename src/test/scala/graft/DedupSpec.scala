@@ -112,6 +112,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(hamming(fps(3L), fps(4L)) < hamming(fps(3L), fps(6L)))
   }
 
+  test("bucket saturation guard: a hot band bucket fails loudly, not with an executor OOM") {
+    val same = (1 to 30).map(i => s"s$i").mkString(" ")
+    // three identical docs share every band signature: bucket size 3 > cap 2
+    val sdir = TestTables.documentsDir(spark, Seq(1L -> same, 2L -> same, 3L -> same))
+    val e = intercept[Exception] {
+      Dedup.minhashLsh(spark, sdir, maxBucket = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("saturated")), e.toString)
+    // the default cap leaves healthy corpora untouched
+    assert(Dedup.minhashLsh(spark, sdir).collect().nonEmpty)
+  }
+
   test("incrementalMinhash: fresh odd docs match their best even-corpus near-dup only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val variant = base.replace("w9", "z9") // 1-token variant of base
