@@ -79,6 +79,16 @@ object SparkEntry {
         "doc_id", "concat(' ', upper(replace(text, ' ', '  ')), '  ') AS text"))
       .orderBy("doc_id")),
     "x31_top_docs_per_lang" -> ((s, dir) => Curation.topDocsPerLang(s, dir)),
+    // driven with deterministically-INJECTED PII (the harness corpus has
+    // none, which would make the redaction check vacuous)
+    "x37_redact_pii" -> ((s, dir) => TextAnalysis.redactPii(
+      graft.operators.Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', doc_id, '@example.com or +1-555-', doc_id) AS text"))
+      .orderBy("doc_id")),
+    "x38_chunk_documents" -> ((s, dir) => graft.operators.Packing.chunkDocuments(s, dir)),
+    "x39_pack_sequences" -> ((s, dir) => graft.operators.Packing.packSequences(s, dir)),
+    "x40_boilerplate_ngrams" -> ((s, dir) => Curation.boilerplateNgrams(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -508,6 +518,48 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS norm_digest,
         |       (length(text) - length(norm))::BIGINT AS chars_removed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x37_redact_pii" ->
+      """WITH m AS (SELECT doc_id,
+        |             text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' || doc_id::VARCHAR AS text
+        |           FROM documents),
+        |e AS (SELECT doc_id, text,
+        |        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS no_email
+        |      FROM m)
+        |SELECT doc_id, n_emails,
+        |       len(regexp_extract_all(no_email, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]+'))::INT AS n_phones,
+        |       md5(regexp_replace(no_email, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_digest
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x38_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, len(ts)::BIGINT AS n, ts, unnest(range(1, len(ts) + 1, 10)) AS chunk_start
+        |      FROM t)
+        |SELECT doc_id, chunk_start::BIGINT AS chunk_start,
+        |       least(20, n - chunk_start + 1)::BIGINT AS n_chunk_tokens,
+        |       md5(array_to_string(list_slice(ts, chunk_start, chunk_start + 19), ' ')) AS chunk_digest
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "x39_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+        |w AS (SELECT lang, doc_id, tok,
+        |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT lang, ((cum - tok) // 512)::BIGINT AS bin_id,
+        |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
+        |FROM w GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
+
+    "x40_boilerplate_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3)
+        |SELECT s.doc_id, count(*) AS n_boiler,
+        |       count(*)::DOUBLE / any_value(z.n) AS boiler_frac
+        |FROM sh s JOIN hot h ON h.shingle = s.shingle JOIN sizes z ON z.doc_id = s.doc_id
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

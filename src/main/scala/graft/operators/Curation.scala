@@ -400,6 +400,36 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** EXT-C13 — boilerplate n-gram measurement (the CCNet-style
+    * repeated-content signal, at shingle granularity since the corpus
+    * is single-line): flag, per document, how many of its distinct
+    * 3-token shingles occur in at least `minDf` documents corpus-wide,
+    * and the fraction of the document they cover. High fractions mean
+    * templated/boilerplate content that survives near-dup detection
+    * (shared headers, navigation, license blocks).
+    *
+    * Shape: one partial-agg document-frequency pass over the shingle
+    * postings + one join back keyed by the shingle — both partial-agg
+    * friendly; the per-doc fraction is a single IEEE division. Returns
+    * only documents containing ≥ 1 hot shingle.
+    */
+  def boilerplateNgrams(
+      spark: SparkSession,
+      dir: String,
+      minDf: Int = 3): DataFrame = {
+    val arr = Dedup.shingleArrays(spark, dir)
+    val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("gram"))
+    val hot = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    sh.join(hot, "gram")
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n")).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-C6 — dataset-card aggregates: per (lang, source) document count,
     * total characters, total whitespace tokens, and mean characters per
     * document (one IEEE division over exact integer sums). One

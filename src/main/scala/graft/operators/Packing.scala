@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for LLM training (SURVEY.md §2b): chunking
+  * documents into overlapping token windows, and packing documents into
+  * fixed-token-budget training sequences.
+  *
+  * Same oracle ground rules as the rest of §2b: integer arithmetic
+  * end-to-end (starts, lengths, running sums, bin ids), digests as md5
+  * over explicit joined strings, deterministic ordering keys everywhere.
+  */
+object Packing {
+
+  /** EXT-P3 — overlapping token chunks: one row per (doc, window) with
+    * the window start (1-based), its token count, and a digest of the
+    * joined chunk text. Starts advance by `stride` while they remain
+    * ≤ n_tokens, so a 25-token doc at (20, 10) yields windows at 1, 11,
+    * 21 — the standard 50%-overlap sliding window when stride = size/2.
+    *
+    * Row-local: `sequence` + `explode` + `slice` — the narrow pass that
+    * feeds tokenization/packing; no shuffle except the presentation
+    * sort. At 100 TB chunking is embarrassingly parallel and the explode
+    * multiplies rows by ~n/stride, which is why it must NOT shuffle.
+    */
+  def chunkDocuments(
+      spark: SparkSession,
+      dir: String,
+      chunkSize: Int = 20,
+      stride: Int = 10): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(1L), col("n"), lit(stride.toLong))).as("chunk_start"))
+      .select(
+        col("doc_id"),
+        col("chunk_start"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_start") + 1).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("chunk_start"), lit(chunkSize))))
+          .as("chunk_digest"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  /** EXT-P4 — deterministic sequence packing: documents are concatenated
+    * per language in doc_id order and cut every `budgetTokens` tokens;
+    * a document belongs to the bin where its START offset lands (the
+    * greedy concatenate-and-cut packing used to build training
+    * sequences). Returns per-(lang, bin) document counts and token
+    * totals.
+    *
+    * Shape: ONE running-sum window per language partition (the stratum
+    * key, low cardinality) + a partial-agg groupBy — the same
+    * single-shuffle story as sessionize. At 100 TB exact GLOBAL packing
+    * would be a global sort; per-language (or per-shard) packing is the
+    * shape that parallelizes, and is what this computes.
+    */
+  def packSequences(
+      spark: SparkSession,
+      dir: String,
+      budgetTokens: Long = 512L): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(Tables.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      // integer division on the doc's start offset — exact in both engines
+      .withColumn("bin_id", expr(s"(cum - tok) div $budgetTokens"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
+      .orderBy("lang", "bin_id")
+  }
+}

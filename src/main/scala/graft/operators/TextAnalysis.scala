@@ -170,6 +170,30 @@ object TextAnalysis {
       (length(col("text")) - length(norm)).cast("long").as("chars_removed"))
   }
 
+  /** EXT-T6 — PII redaction over any (doc_id, text) relation: mask email
+    * addresses then phone-shaped numbers, with per-kind match counts as
+    * the audit trail. Exposed as a relation transform (like
+    * [[normalizeProjection]]) so the oracle can drive it with
+    * deterministically injected PII — the harness corpus contains none,
+    * which would make the check vacuous. Phones are counted AFTER email
+    * masking so digits inside an email never double-count.
+    *
+    * Both regexes stay in the portable intersection of Java regex and
+    * RE2 (no backrefs, no lookaround), so the DuckDB oracle matches the
+    * same spans. Row-local projection: zero shuffles — at 100 TB
+    * redaction is a narrow scan that must never cost more than the scan.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]+"
+    val noEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(noEmail, lit(phoneRe)).as("n_phones"),
+      md5(regexp_replace(noEmail, phoneRe, "<PHONE>")).as("redacted_digest"))
+  }
+
   /** EXT-T4 — corpus token frequency, top N by count (count desc, token
     * asc). Map-side partial aggregation collapses the per-partition
     * token stream before the single shuffle; the top-N sort runs on the

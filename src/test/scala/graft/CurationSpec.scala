@@ -109,6 +109,21 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     got.foreach { case (id, b) => assert(b == bucket(id) && b < 10) }
   }
 
+  test("boilerplateNgrams: only shingles hot across >= minDf docs are flagged") {
+    val template = "copyright acme corp all rights reserved"
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> s"$template unique one body text here",
+      2L -> s"$template another body entirely different words",
+      3L -> s"$template third variant of the page content",
+      4L -> "completely unrelated document with no template at all"))
+    val got = graft.operators.Curation.boilerplateNgrams(spark, dir, minDf = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 6-token template contributes 4 shared 3-gram shingles to docs 1-3
+    // (the shingles straddling into the distinct tails differ per doc)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_ == 4L))
+  }
+
   test("connectedComponents: long chains converge (pointer jumping) to the component min") {
     import spark.implicits._
     // a 32-node chain needs 31 rounds under plain min-propagation — well

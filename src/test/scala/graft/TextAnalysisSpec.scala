@@ -85,4 +85,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
       assert(n1 > n2 || (n1 == n2 && t1 < t2))
     }
   }
+
+  test("redactPii: emails masked before phones, digits in emails never double-count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach a@b.co or x@y.io else +1-555-9 bye"),
+      (2L, "only +1-555-1234@mail.com here"), // phone-shaped local part IS the email
+      (3L, "nothing to hide")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.redactPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((2, 1)))
+    assert(got(2L) == ((1, 0))) // consumed by the email mask, not counted again
+    assert(got(3L) == ((0, 0)))
+  }
 }
