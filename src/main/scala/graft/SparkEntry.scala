@@ -550,16 +550,13 @@ object SparkEntry {
         |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
         |FROM w GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
 
-    "x40_boilerplate_ngrams" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3)
-        |SELECT s.doc_id, count(*) AS n_boiler,
-        |       count(*)::DOUBLE / any_value(z.n) AS boiler_frac
-        |FROM sh s JOIN hot h ON h.shingle = s.shingle JOIN sizes z ON z.doc_id = s.doc_id
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "x40_boilerplate_ngrams" -> // reuses the canonical shingle CTEs (pairs/jac unused here)
+      s"""WITH $shinglesCte,
+         |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3)
+         |SELECT s.doc_id, count(*) AS n_boiler,
+         |       count(*)::DOUBLE / any_value(z.n) AS boiler_frac
+         |FROM sh s JOIN hot h ON h.shingle = s.shingle JOIN sizes z ON z.doc_id = s.doc_id
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -77,7 +77,7 @@ object Dedup {
     */
   private def guardBucketSize(grouped: DataFrame, cap: Int, knob: String): DataFrame =
     grouped.filter(assert_true(size(col("ds")) <= cap,
-      concat(lit(s"LSH bucket saturated (> $cap docs share one signature) — $knob")))
+      lit(s"bucket saturated (> $cap rows share one group key) — $knob"))
       .isNull)
 
   /** Row-local exact verification of candidate pairs (d1 < d2) against

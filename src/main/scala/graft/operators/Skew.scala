@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md §2b infrastructure).
+  *
+  * AQE's skew-join handling (OptimizeSkewedJoin) is the FIRST answer to
+  * skew — on by default, it splits an oversized sort-merge partition by
+  * map-output ranges, which spreads even a single hot key across tasks.
+  * Salting is the explicit fallback for the joins AQE leaves alone:
+  * joins inside STREAMING queries (AQE does not re-plan a streaming
+  * microbatch's stateful plan), shuffled-hash joins, downstream
+  * aggregations that inherit the skewed partitioning, and plans that
+  * must be deterministic/rerun-stable rather than runtime-adapted.
+  */
+object Skew {
+
+  /** Salted equi-join: the BIG (skew-prone) side gets a deterministic
+    * per-row salt in [0, salts); the small side is replicated once per
+    * salt; the join key becomes (key, salt), so one hot key spreads over
+    * `salts` shuffle partitions instead of melting one.
+    *
+    * Correct for `inner`, `left_outer`, `left_semi`, and `left_anti`
+    * joins (the replicated side is on the right, and every big-side row
+    * joins the full dim slice for its salt). Right/full joins would
+    * duplicate unmatched dim rows once per salt and are rejected.
+    *
+    * The salt is a hash of the big side's FULL row, not `rand()`: reruns
+    * salt identically (auditable plans, stable tests). Rows that are
+    * byte-identical duplicates share a salt — skew from duplicated whole
+    * rows needs a uid column in the hash, which callers get by adding
+    * one before the join. Cost: |dim| × salts replication — choose
+    * `salts` ≈ the hot key's multiple of a healthy partition, not a
+    * large constant.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val supported = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(supported(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins (dim side is replicated), got $joinType")
+    require(!big.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

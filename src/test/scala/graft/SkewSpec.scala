@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Salted-join equivalence and plan shape. */
+class SkewSpec extends AnyFunSuite with SparkSuite {
+
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val big: DataFrame = {
+    import spark.implicits._
+    // one melting-hot key (90%) + a healthy tail
+    (1 to 2000).map(i => (if (i % 10 != 0) 7L else i.toLong, i.toLong))
+      .toDF("k", "payload")
+  }
+
+  private lazy val dim: DataFrame = {
+    import spark.implicits._
+    (1 to 2000 by 100).map(i => (i.toLong, s"d$i")).toDF("k", "attr")
+      .union(Seq((7L, "hot")).toDF("k", "attr"))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("saltedJoin(inner) equals the plain join row-for-row") {
+    val plain = big.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8)
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("saltedJoin(left_outer) preserves unmatched big-side rows exactly once") {
+    val plain = big.join(dim, Seq("k"), "left_outer")
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8, joinType = "left_outer")
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("saltedJoin(left_semi) equals the plain semi join (no replication duplicates)") {
+    val plain = big.join(dim, Seq("k"), "left_semi")
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8, joinType = "left_semi")
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("saltedJoin(left_anti) equals the plain anti join") {
+    val plain = big.join(dim, Seq("k"), "left_anti")
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8, joinType = "left_anti")
+    assert(sortedRows(salted) == sortedRows(plain))
+  }
+
+  test("the exchange partitions on (key, salt) — the hot key actually spreads") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // disable auto-broadcast so the join SHUFFLES (the scenario salting exists for)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Skew.saltedJoin(big, dim, "k", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), p)
+      assert("hashpartitioning\\(k#\\d+L, __salt".r.findFirstIn(p).isDefined, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("right/full joins and __salt collisions are rejected") {
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, dim, "k", 8, joinType = "right"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big.withColumn("__salt", lit(1)), dim, "k", 8))
+    intercept[IllegalArgumentException](Skew.saltedJoin(big, dim, "k", 0))
+  }
+}
