@@ -77,4 +77,37 @@ object Sources {
       partitionCols: Seq[String] = Seq("lang"),
       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(outDir)
+
+  /** Compact a parquet dataset into ~`targetBytes`-sized files — the
+    * periodic maintenance pass every long-lived ingest pipeline needs:
+    * streaming sinks and incremental batch appends accumulate small
+    * files, and at 100 TB the resulting scan-planning and open-file
+    * overhead dominates reads (the classic small-files problem).
+    *
+    * File count = ceil(current on-disk bytes / targetBytes), clamped to
+    * ≥ 1; the data passes through one round-robin `repartition` (a
+    * single shuffle whose width IS the output layout). Compaction writes
+    * to a NEW directory and never touches the input: swapping compacted
+    * data into place is a rename the caller performs after validating —
+    * dropping the only copy mid-rewrite must stay impossible by
+    * construction.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(inDir).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(outDir).toUri.getPath,
+      "compactParquet writes to a NEW directory; compacting in place would " +
+        "destroy the only copy on failure mid-rewrite")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(in).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+  }
 }

@@ -75,6 +75,28 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(scanned.contains("PartitionFilters: [isnotnull(lang"), scanned)
   }
 
+  test("compactParquet: many small files become few target-sized ones, data intact") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-compact-in").toString + "/data"
+    val out = Files.createTempDirectory("graft-compact-out").toString + "/data"
+    // 64 tiny files
+    (1 to 6400).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(64).write.parquet(in)
+    val smallFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+    val totalBytes = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = ~half the data => expect 2 output files
+    Sources.compactParquet(spark, in, out, targetBytes = (totalBytes + 1) / 2)
+    val bigFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(bigFiles == 2, s"expected 2 compacted files, got $bigFiles")
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq ==
+      (1 to 6400).map(i => (i.toLong, s"row$i")).sorted)
+    // input untouched; in-place compaction rejected
+    assert(new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet")) == 64)
+    intercept[IllegalArgumentException](Sources.compactParquet(spark, in, in))
+  }
+
   test("writePartitioned: default refuses to clobber an existing corpus; Overwrite is opt-in") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-part-clobber").toString + "/corpus"
