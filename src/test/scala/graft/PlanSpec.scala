@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, Similarity, Temporal}
+import graft.operators.{Curation, Dedup, Packing, Similarity, Temporal, TextAnalysis}
 
 /** Physical-plan assertions for the scale-critical properties claimed in
   * SURVEY.md §2b — broadcast choices, shuffle counts, column pruning.
@@ -113,6 +113,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val p = plan(Curation.lengthHistogram(spark, dir))
     assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
     assert(prunesTo(p, "n_chars:bigint"), p.toString)
+  }
+
+  test("PII redaction: pure row-local projection — zero shuffles") {
+    val p = plan(TextAnalysis.redactPii(
+      graft.operators.Tables.documents(spark, dir)))
+    assert(shuffles(p) == 0, s"redaction must never cost more than the scan:\n$p")
+    assert(prunesTo(p, "doc_id:bigint,text:string"), p.toString)
+  }
+
+  test("chunking: the ~n/stride row explosion stays narrow") {
+    val p = plan(Packing.chunkDocuments(spark, dir))
+    assert(shuffles(p) <= 1, s"expected only the presentation sort:\n$p")
+    assert(prunesTo(p, "doc_id:bigint,text:string"), p.toString)
+  }
+
+  test("packing: the bin aggregation reuses the per-lang window partitioning") {
+    val p = plan(Packing.packSequences(spark, dir))
+    // hash(lang) satisfies the (lang, bin_id) clustering, so the groupBy
+    // must NOT add its own exchange: window shuffle + presentation sort
+    assert(shuffles(p) <= 2, s"bin agg re-shuffled despite lang partitioning:\n$p")
   }
 
   test("sessionize: both windows and the session agg share one user_id partitioning") {
