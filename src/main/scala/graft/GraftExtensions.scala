@@ -70,7 +70,28 @@ object GraftExtensions {
     fn("graft_ngram_stats", 2, "graft_ngram_stats(toks, k) - k-gram multiset (count, distinct, mode) in one pass")(
       a => NgramStatsExpression(a(0), intLit(a(1), "graft_ngram_stats", "k"))),
     fn("graft_simhash", 2, "graft_simhash(toks, bits) - SimHash fingerprint")(
-      a => SimHashExpression(a(0), intLit(a(1), "graft_simhash", "bits"))))
+      a => SimHashExpression(a(0), intLit(a(1), "graft_simhash", "bits"))),
+    fn("graft_count_in", 2, "graft_count_in(toks, array(...)) - element instances within a fixed word set")(
+      a => CountInExpression(a(0), stringArrayLit(a(1), "graft_count_in", "words"))))
+
+  /** Foldable array<string> hyper-parameter (evaluated at plan time —
+    * like [[intLit]], the set is compiled into the plan, not per-row).
+    */
+  private def stringArrayLit(e: Expression, fn: String, param: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: $param must be a foldable array<string> (e.g. array('the', 'a')), got $e")
+    e.eval() match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(v => if (v == null) null else v.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param evaluated to unexpected $other")
+    }
+  }
 
   /** Register into an already-built session — the test path (an existing
     * session cannot re-run `spark.sql.extensions`), and the escape hatch

@@ -132,7 +132,7 @@ object Curation {
       .withColumn("__st", graft.functions.NgramStats.ngramStats(toks, 1))
       .withColumn("n_tokens", nTok)
       .withColumn("avg_len", sumLen.cast("double") / nTok)
-      .withColumn("stop_hits", size(filter(toks, t => t.isin(enStop: _*))).cast("long"))
+      .withColumn("stop_hits", graft.functions.CountIn.countIn(toks, enStop))
       .withColumn("top_tok_frac", col("__st.max_count").cast("double") / nTok)
       .withColumn("r_len", col("n_tokens") >= 20 && col("n_tokens") <= 80)
       .withColumn("r_avg", col("avg_len") >= 3.0 && col("avg_len") <= 8.0)

@@ -54,7 +54,10 @@ object TextAnalysis {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast("long")
-    val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    // one hashed-set probe per token ([[graft.functions.CountInExpression]]);
+    // the filter+isin spelling ran an interpreted lambda per token and
+    // materialized the kept tokens just to size them
+    val stopHits = graft.functions.CountIn.countIn(toks, Seq("the", "a"))
     // splitting on single spaces removes exactly (n_tokens − 1)
     // separator characters, so the token-length sum is pure arithmetic —
     // the interpreted transform+fold it replaces touched every token

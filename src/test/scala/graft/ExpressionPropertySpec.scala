@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{MinHashUtil, NgramStatsUtil, ShingleUtil, SimHashUtil}
+import graft.functions.{CountInUtil, MinHashUtil, NgramStatsUtil, ShingleUtil, SimHashUtil}
 
 /** Property tests pinning the custom codegen expressions against
   * independent straight-Scala reference implementations — the expression
@@ -94,6 +94,16 @@ class ExpressionPropertySpec extends AnyFunSuite {
     check(Prop.forAll(genToks, genToks) { (a, b) =>
       val expected = (a.distinct intersect b.distinct).size.toLong
       graft.functions.IntersectSizeUtil.intersectSize(arr(a), arr(b)) == expected
+    })
+  }
+
+  test("CountInUtil matches instance-counting set membership") {
+    val genWords: Gen[List[String]] = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, genTok))
+    check(Prop.forAll(genToks, genWords) { (toks, words) =>
+      val expected = toks.count(words.toSet).toLong
+      val set = new java.util.HashSet[UTF8String]()
+      words.foreach(w => set.add(UTF8String.fromString(w)))
+      CountInUtil.countIn(arr(toks), set) == expected
     })
   }
 

@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
       CharNgrams.charNgrams(col("text"), 2).as("cng"),
       MinHashes.minhashes(Shingles.shingles(col("toks"), 2), 4).as("mh"),
       NgramStats.ngramStats(col("toks"), 2).as("st"),
-      SimHash.simhash(col("toks")).as("simh")).collect()
+      SimHash.simhash(col("toks")).as("simh"),
+      CountIn.countIn(col("toks"), Seq("the", "a")).as("nstop")).collect()
     val sql = spark.sql(
       """SELECT graft_dot(fa, fb) AS dot,
         |       graft_intersect_size(toks, array('the', 'a')) AS isz,
@@ -44,7 +45,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSuite {
         |       graft_char_ngrams(text, 2) AS cng,
         |       graft_minhashes(graft_shingles(toks, 2), 4) AS mh,
         |       graft_ngram_stats(toks, 2) AS st,
-        |       graft_simhash(toks, 60) AS simh
+        |       graft_simhash(toks, 60) AS simh,
+        |       graft_count_in(toks, array('the', 'a')) AS nstop
         |FROM g_docs""".stripMargin).collect()
     assert(api.length == sql.length)
     api.zip(sql).foreach { case (a, s) => assert(a == s) }
