@@ -89,6 +89,11 @@ object SparkEntry {
     "x38_chunk_documents" -> ((s, dir) => graft.operators.Packing.chunkDocuments(s, dir)),
     "x39_pack_sequences" -> ((s, dir) => graft.operators.Packing.packSequences(s, dir)),
     "x40_boilerplate_ngrams" -> ((s, dir) => Curation.boilerplateNgrams(s, dir)),
+    "x41_tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
+    "x42_bloom_prefilter" -> ((s, dir) => Curation.bloomPrefilter(s, dir)),
+    "x43_source_similarity" -> ((s, dir) => Dedup.sourceSimilarity(s, dir)),
+    "x44_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    "x45_weighted_sample" -> ((s, dir) => Curation.weightedSample(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -557,6 +562,78 @@ object SparkEntry {
          |       count(*)::DOUBLE / any_value(z.n) AS boiler_frac
          |FROM sh s JOIN hot h ON h.shingle = s.shingle JOIN sizes z ON z.doc_id = s.doc_id
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "x41_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             (tf.tf * n.n_docs)::DOUBLE / df.df AS score
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
+        |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "x42_bloom_prefilter" ->
+      """WITH cd AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0),
+        |bloom AS (SELECT DISTINCT
+        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
+        |          FROM cd, unnest(range(0, 4)) AS t(i)),
+        |nd AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 2 = 1),
+        |np AS (SELECT doc_id,
+        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
+        |       FROM nd, unnest(range(0, 4)) AS t(i)),
+        |hits AS (SELECT np.doc_id, count(b.pos)::BIGINT AS n_hits
+        |         FROM np LEFT JOIN bloom b ON b.pos = np.pos GROUP BY 1)
+        |SELECT nd.doc_id, h.n_hits, h.n_hits = 4 AS maybe_dup, c.digest IS NOT NULL AS is_dup
+        |FROM nd JOIN hits h ON h.doc_id = nd.doc_id
+        |LEFT JOIN cd c ON c.digest = nd.digest
+        |ORDER BY nd.doc_id""".stripMargin,
+
+    "x43_source_similarity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+        |ssh AS (SELECT DISTINCT d.source, s.shingle
+        |        FROM sh s JOIN documents d USING (doc_id)),
+        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        |mh AS (SELECT source, seed,
+        |              min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+        |       FROM ssh CROSS JOIN seeds GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
+        |      FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_match, n_match::DOUBLE / 16 AS est_jaccard
+        |FROM p ORDER BY source_a, source_b""".stripMargin,
+
+    "x44_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qe
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id AS cid, label AS cl, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT qid, cid, $dotCte AS sim
+         |      FROM q CROSS JOIN c WHERE qid != cid AND ql != cl),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "x45_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(ts)::BIGINT AS n_tokens,
+        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |  FROM s),
+        |b AS (SELECT doc_id, quality,
+        |  (('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u,
+        |  floor((0.3 * quality) * 4294967296.0)::BIGINT AS threshold
+        |  FROM q)
+        |SELECT doc_id, quality, u, threshold, u < threshold AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

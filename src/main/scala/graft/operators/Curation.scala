@@ -447,4 +447,86 @@ object Curation {
         sum("n_toks").as("total_tokens"))
       .withColumn("mean_chars", col("total_chars").cast("double") / col("n_docs"))
       .orderBy("lang", "source")
+
+  /** One Bloom-filter probe position: bits [0, m) derived from the first
+    * 8 hex chars (32 bits — exact through the string→long conv) of
+    * `md5("bf" + i + ":" + digest)`. The oracle spells the identical
+    * derivation; the per-operator seed prefix rule is the same as
+    * [[md5Bucket]]'s.
+    */
+  private def bloomPos(digest: Column, i: Int, m: Int): Column = pmod(
+    conv(substring(md5(concat(lit(s"bf$i:"), digest)), 1, 8), 16, 10).cast("long"),
+    lit(m.toLong))
+
+  /** EXT-C14 — Bloom-filter prefilter for incremental dedup: the scale
+    * path BEFORE the exact anti-join of [[incrementalDedup]]. The corpus
+    * digests are folded into a bit-set of at most `m` positions (`k`
+    * hashes per digest); a new document is a *possible* duplicate only
+    * if all `k` of its positions are set. At 100 TB the corpus digest
+    * set is far too large to broadcast, but the Bloom relation is
+    * BOUNDED BY `m` regardless of corpus size — so the cheap broadcast
+    * probe discards the (typically vast) non-duplicate majority and only
+    * `maybe_dup` survivors pay the shuffled exact anti-join.
+    *
+    * Output keeps both verdicts per new document — `maybe_dup` (Bloom)
+    * and `is_dup` (exact) — so the false-positive behavior is itself
+    * under test: Bloom guarantees `is_dup ⇒ maybe_dup`, never the
+    * converse (also asserted as a law in the spec).
+    */
+  def bloomPrefilter(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 65536,
+      k: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("digest").distinct()
+      .localCheckpoint() // consumed twice: Bloom build + exact check
+    // the "bit-set" as a relation of distinct set positions: ≤ m rows of
+    // one long each — constant-bounded, hence always broadcastable
+    val bloom = corpus
+      .select(explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
+      .distinct()
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val hits = fresh
+      .select(col("doc_id"),
+        explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
+      .join(broadcast(bloom), Seq("pos"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    fresh
+      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("maybe_dup", col("n_hits") === k)
+      // the exact verdict — at scale this join would run over the
+      // maybe_dup survivors only; both verdicts are kept here so the
+      // oracle checks the Bloom semantics themselves
+      .join(corpus.withColumn("in_corpus", lit(true)), Seq("digest"), "left_outer")
+      .withColumn("is_dup", coalesce(col("in_corpus"), lit(false)))
+      .select("doc_id", "n_hits", "maybe_dup", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C15 — quality-weighted deterministic sampling: keep probability
+    * proportional to the document's quality score (`rate · quality`),
+    * decided by the same content-stable md5 bucketing as
+    * [[stratifiedSample]] — never `rand()`. The comparison is spelled in
+    * exact integer space: a 32-bit hash draw `u` against
+    * `floor((rate · quality) · 2³²)` — two IEEE multiplies (the second by
+    * a power of two, hence exact) and a floor, bit-reproducible in the
+    * oracle. The shape every "sample high-quality data more" curriculum
+    * pass uses; one narrow row-local filter, no shuffle.
+    */
+  def weightedSample(spark: SparkSession, dir: String, rate: Double = 0.3): DataFrame = {
+    val u = conv(
+      substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    TextAnalysis.stats(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("u", u)
+      .withColumn("threshold",
+        floor((lit(rate) * col("quality")) * lit(4294967296.0)).cast("long"))
+      .withColumn("keep", col("u") < col("threshold"))
+      .select("doc_id", "quality", "u", "threshold", "keep")
+      .orderBy("doc_id")
+  }
 }

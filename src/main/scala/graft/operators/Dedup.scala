@@ -380,4 +380,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** EXT-D8 — corpus-slice similarity via MinHash SKETCH AGGREGATION:
+    * estimated shingle-set Jaccard between every pair of `source` slices,
+    * from a per-slice sketch of `numHashes` longs. The sketch property
+    * that makes this a constant-state aggregate: min-hash composes under
+    * set union (`minhash(A ∪ B) = min(minhash(A), minhash(B))`), so the
+    * per-slice sketch is a plain `min` aggregation over the per-document
+    * signatures — partial-agg collapses each map partition to one
+    * sketch row per slice before the shuffle, and the final sketch
+    * relation is |slices| × numHashes rows no matter how many documents
+    * (or TB) each slice holds. The pairwise comparison then runs on
+    * sketches alone — the full-fidelity alternative (pairwise distinct-
+    * shingle intersections between slices) is a corpus-sized self-join.
+    *
+    * Estimator: `est_jaccard = matching seeds / numHashes` (one IEEE
+    * division; the textbook unbiased MinHash collision estimate).
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String, numHashes: Int = 16): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"), Tables.shingles(Tables.tokens(col("text"))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("source"),
+        posexplode(graft.functions.MinHashes.minhashes(col("shs"), numHashes)))
+      .select(col("source"), col("pos").as("seed"), col("col").as("mh"))
+    val sketch = perDoc.groupBy("source", "seed").agg(min(col("mh")).as("mh"))
+    val a = sketch.select(col("source").as("source_a"), col("seed"), col("mh").as("mha"))
+    val b = sketch.select(col("source").as("source_b"), col("seed"), col("mh").as("mhb"))
+    a.join(b, Seq("seed")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(when(col("mha") === col("mhb"), lit(1))).as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / numHashes)
+      .orderBy("source_a", "source_b")
+  }
 }

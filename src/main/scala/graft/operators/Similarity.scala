@@ -75,6 +75,32 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S6 — hard-negative mining for contrastive/embedding training:
+    * for each query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label (similar-but-wrong examples — the pairs a trainer
+    * wants in the batch). Identical plan shape to [[bruteForceTopK]]
+    * (broadcast query side, corpus streams through one narrow pass, map-
+    * side bounded top-k), with the label-mismatch predicate evaluated
+    * row-locally inside the join — candidates are discarded BEFORE
+    * scoring ever shuffles, not filtered from a ranked result.
+    *
+    * Output: (vec_id, rank, neighbor_id, sim4) like the other top-k ops.
+    */
+  def hardNegatives(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("clabel"))
+    val scored = broadcast(queries)
+      .join(corpus, col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, k)
+  }
+
   /** Sign-bucket LSH signature: one bit per leading dimension
     * (random-hyperplane LSH with axis-aligned hyperplanes — deterministic
     * and oracle-expressible). 2^bits buckets.

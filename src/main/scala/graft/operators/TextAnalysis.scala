@@ -209,4 +209,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(n)
+
+  /** EXT-T7 — top-N TF-IDF terms per document: term frequency × inverse
+    * document frequency, the classic relevance/keyword-extraction pass of
+    * a corpus pipeline. Scored as `tf · N / df` — one exact integer
+    * product then one IEEE division, the log-free IDF spelling: `log`
+    * is not correctly-rounded in either engine's libm, so `tf·log(N/df)`
+    * could order two close terms differently across engines; the linear
+    * variant is bit-reproducible and keeps the same "rarer ⇒ larger"
+    * direction (swap in log-IDF at deploy time if its damping is wanted —
+    * the plan shape is identical).
+    *
+    * Plan shape, built to survive 100×:
+    *  - `tf` = groupBy(doc_id, token) — partial-agg collapses repeats
+    *    map-side; this is also the distinct (doc, token) relation, so
+    *    `df` = groupBy(token) over `tf` re-aggregates WITHOUT touching
+    *    the raw token stream again (tf is materialized once);
+    *  - `N` (corpus size) is a 1-row aggregate cross-joined in — a
+    *    broadcast of one long, never a driver-side constant baked at
+    *    plan time from a separate count job;
+    *  - the rank window runs over the tf⋈df relation (linear in the
+    *    aggregated term count, NOT a scored cross product), partitioned
+    *    by doc_id with a deterministic (score desc, token) order.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      // consumed by BOTH the df aggregation and the scoring join — without
+      // this, Spark re-runs the explode+groupBy once per consumer
+      .localCheckpoint()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
 }

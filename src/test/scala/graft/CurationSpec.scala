@@ -190,4 +190,35 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("total_tokens") == 5L)
     assert(r.getAs[Double]("mean_chars") == 8.0 / 2.0)
   }
+
+  test("bloomPrefilter: no false negatives (is_dup ⇒ maybe_dup), duplicates flagged") {
+    // even ids = corpus, odd = fresh; doc 1 duplicates corpus doc 2
+    val dir = TestTables.documentsDir(spark, Seq(
+      2L -> "alpha beta gamma", 4L -> "delta epsilon zeta",
+      1L -> "alpha beta gamma",                 // fresh exact dup of 2
+      3L -> "eta theta iota kappa"))            // fresh novel
+    val rows = Curation.bloomPrefilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L) == ((4L, true, true)))      // all k positions set, exact dup
+    // THE Bloom law: a true duplicate can never be missed
+    rows.values.foreach { case (_, maybe, is) => assert(!is || maybe) }
+    // this fixed fixture has no hash coincidence: the novel doc clears the filter
+    assert(rows(3L)._3 == false && rows(3L)._2 == false)
+  }
+
+  test("weightedSample: deterministic across runs, threshold monotone in quality") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Curation.weightedSample(spark, dir).collect()
+    val b = Curation.weightedSample(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // rerun-stable, no rand()
+    val rows = a.map(r => (r.getDouble(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    rows.foreach { case (_, u, thr, keep) => assert(keep == (u < thr)) }
+    // higher quality can never LOWER the acceptance threshold
+    rows.sortBy(_._1).map(_._3).sliding(2).foreach {
+      case Array(t1, t2) => assert(t1 <= t2)
+      case _             => ()
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4)) // the gate actually divides the corpus
+  }
 }

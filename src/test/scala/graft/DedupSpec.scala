@@ -149,4 +149,39 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(byDoc(1L)._2 == 4L && byDoc(1L)._3 == 1.0)
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // presentation order
   }
+
+  test("sourceSimilarity: identical slices sketch to est=1.0, disjoint slices stay low") {
+    val text1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val text2 = (31 to 60).map(i => s"v$i").mkString(" ")
+    val sdir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, text1, "A"), (2L, text1, "B"), // A and B hold the same shingle set
+      (3L, text2, "C")))                  // C is disjoint from both
+    val got = Dedup.sourceSimilarity(spark, sdir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C"))) // ordered pairs only
+    assert(got(("A", "B")) == ((16L, 1.0))) // identical sets: every seed's min collides
+    // disjoint sets share a min-hash only on a hash coincidence — never all 16
+    assert(got(("A", "C"))._1 < 16L)
+    // A and C / B and C compare the SAME two shingle sets -> identical sketch verdicts
+    assert(got(("A", "C")) == got(("B", "C")))
+  }
+
+  test("sourceSimilarity: min-hash composes under union (sketch of A∪B = min of sketches)") {
+    import org.apache.spark.sql.functions._
+    val t1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val t2 = (31 to 60).map(i => s"v$i").mkString(" ")
+    // U holds both docs; A and B hold one each — the per-slice sketch of U
+    // must equal the element-wise min of A's and B's sketches
+    val sdir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, t1, "A"), (2L, t2, "B"), (3L, t1, "U"), (4L, t2, "U")))
+    val sk = graft.operators.Tables.documents(spark, sdir)
+      .select(col("source"), graft.operators.Tables.shingles(
+        graft.operators.Tables.tokens(col("text"))).as("shs"))
+      .select(col("source"), posexplode(graft.functions.MinHashes.minhashes(col("shs"), 16)))
+      .groupBy("source", "pos").agg(min("col").as("mh"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 16).foreach { s =>
+      assert(sk(("U", s)) == math.min(sk(("A", s)), sk(("B", s))), s"seed $s")
+    }
+  }
 }

@@ -141,4 +141,54 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // must all reuse the user_id exchange: user shuffle + final sort only
     assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
   }
+
+  test("bloom prefilter: the bounded position set is the broadcast probe side") {
+    val p = plan(Curation.bloomPrefilter(spark, dir))
+    // the probe join (fresh positions ⋉ bloom set) must be a broadcast
+    // hash join — the bloom relation is ≤ m rows BY CONSTRUCTION, so at
+    // no corpus size may it become the shuffled side
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
+  }
+
+  test("hard negatives: same shape as brute force — corpus never shuffles pre-join") {
+    val p = plan(Similarity.hardNegatives(spark, dir))
+    assert(p.collect { case b: BroadcastExchangeExec => b }.nonEmpty, p.toString)
+    // the label filter must not break the map-side bounded top-k: a
+    // partial ObjectHashAggregate still sits below the one exchange
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("source similarity: sketch is a partial-agg min — map partitions collapse pre-shuffle") {
+    val p = plan(Dedup.sourceSimilarity(spark, dir))
+    // per-slice sketch: partial + final HashAggregate around its exchange
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2, p.toString)
+    // sketch agg + pair join + pair agg + presentation sort
+    assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("weighted sample: row-local gate — no shuffle before the presentation sort") {
+    val p = plan(Curation.weightedSample(spark, dir))
+    assert(shuffles(p) <= 1, s"unexpected shuffle count in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+  }
+
+  test("tfidf: rank window runs over the aggregated term relation, not the token stream") {
+    val p = plan(TextAnalysis.tfidfTerms(spark, dir))
+    // every window input must already be an aggregate/join output: no
+    // Generate (the token explode) may appear under a window — the
+    // explode happens before the materialized tf relation only
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, p.toString)
+    windows.foreach { w =>
+      assert(w.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        s"token explode under the rank window:\n$w")
+    }
+    // tf⋈df join (tf side cached): df agg, join shuffles, rank window, sort
+    assert(shuffles(p) <= 5, s"unexpected shuffle count in:\n$p")
+  }
 }

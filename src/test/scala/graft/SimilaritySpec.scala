@@ -105,6 +105,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("hardNegatives excludes same-label vectors even when they are nearest") {
+    // qid 10 (label 1): its nearest neighbor 11 shares the label and must
+    // never appear; the best DIFFERENT-label vectors are 12 then 13
+    val ldir = TestTables.embeddingsLabeledDir(spark, Seq(
+      (10L, Seq(1f, 0f, 0f, 0f), 1),
+      (11L, Seq(0.999f, 0.04f, 0f, 0f), 1),
+      (12L, Seq(0.9f, 0.1f, 0f, 0f), 2),
+      (13L, Seq(-1f, 0f, 0f, 0f), 2)))
+    val rows = Similarity.hardNegatives(spark, ldir, k = 3, queryMod = 5).collect()
+    val forQ10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
+    assert(forQ10.map(_.getLong(2)).toSeq == Seq(12L, 13L)) // 11 excluded, only 2 negatives exist
+    assert(forQ10.head.getDouble(3) > 0.89)
+  }
+
   test("TopKAggregator matches sort-and-take under any reduce/merge split") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 100) {

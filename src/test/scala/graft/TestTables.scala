@@ -34,12 +34,25 @@ object TestTables {
     dir
   }
 
+  /** documents with explicit per-doc source, from (id, text, source). */
+  def documentsSourcedDir(spark: SparkSession, docs: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** embeddings(vec_id, embedding, label) from (id, vector). */
-  def embeddingsDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float])]): String = {
+  def embeddingsDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float])]): String =
+    embeddingsLabeledDir(spark, vecs.map { case (id, v) => (id, v, 0) })
+
+  /** embeddings with explicit labels, from (id, vector, label). */
+  def embeddingsLabeledDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-embs").toString
-    vecs.map { case (id, v) => (id, v, 0) }
-      .toDF("vec_id", "embedding", "label")
+    vecs.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }

@@ -98,4 +98,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) == ((1, 0))) // consumed by the email mask, not counted again
     assert(got(3L) == ((0, 0)))
   }
+
+  test("tfidfTerms: rare terms outrank common ones, tf scales the score") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "apple apple banana",  // apple: tf=2, df=1; banana: tf=1, df=3
+      2L -> "banana cherry",       // cherry: tf=1, df=1
+      3L -> "banana banana banana"))
+    val rows = graft.operators.TextAnalysis.tfidfTerms(spark, dir, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: apple scores 2·3/1 = 6 over banana's 1·3/3 = 1
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq == Seq("apple", "banana"))
+    assert(byDoc(1L).head._6 == 6.0)
+    // doc 2: the corpus-unique cherry (3.0) outranks the everywhere-banana (1.0)
+    assert(byDoc(2L).sortBy(_._2).map(_._3).toSeq == Seq("cherry", "banana"))
+    // doc 3: one term, tf=3 but df=3 -> score 3·3/3 = 3
+    assert(byDoc(3L).map(t => (t._3, t._4, t._5, t._6)).toSeq == Seq(("banana", 3L, 3L, 3.0)))
+  }
 }
