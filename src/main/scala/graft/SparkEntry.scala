@@ -94,6 +94,7 @@ object SparkEntry {
     "x43_source_similarity" -> ((s, dir) => Dedup.sourceSimilarity(s, dir)),
     "x44_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "x45_weighted_sample" -> ((s, dir) => Curation.weightedSample(s, dir)),
+    "x46_fixed_sample" -> ((s, dir) => Curation.fixedSample(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -634,6 +635,16 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, quality, u, threshold, u < threshold AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x46_fixed_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  (('0x' || substr(md5('fsamp:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, u,
+        |        row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
+        |      FROM b)
+        |SELECT lang, rank, doc_id, u FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
 
     "x26_sessionize" ->
       """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),

@@ -79,6 +79,15 @@ object Curation {
       .cast("long"),
     lit(100L))
 
+  /** Full-width 32-bit content-stable draw in [0, 2³²): the first 8 hex
+    * chars of `md5(prefix + doc_id)` unsigned — [[md5Bucket]] without the
+    * mod, for samplers that compare the draw against a computed threshold
+    * or order by it.
+    */
+  private def md5Draw(prefix: String): Column =
+    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /** EXT-C2 — Gopher-style quality gate: per-document boolean rules +
     * the aggregate keep flag. Rules (thresholds tuned to the harness
     * corpus; production values are config):
@@ -458,6 +467,42 @@ object Curation {
     conv(substring(md5(concat(lit(s"bf$i:"), digest)), 1, 8), 16, 10).cast("long"),
     lit(m.toLong))
 
+  /** JVM twin of [[bloomPos]] for the STREAMING probe (a broadcast
+    * bit-set has no declarative spelling): first 8 hex chars of
+    * `md5("bf" + i + ":" + digest)` = the digest's first 4 bytes
+    * big-endian, unsigned, mod m. The batch/stream equivalence is
+    * asserted in the streaming spec — the two derivations must never
+    * drift.
+    */
+  private[graft] object BloomHash {
+    private val digests: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+    def pos(digest: String, i: Int, m: Int): Int = {
+      val md = digests.get()
+      md.reset()
+      val d = md.digest(s"bf$i:$digest".getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % m).toInt
+    }
+  }
+
+  /** Driver-side Bloom bit-set build from a corpus digest relation — the
+    * persisted-index step of the streaming ingest pipeline. The collect
+    * is BOUNDED BY m bits by construction (the distinct position
+    * relation, not the digests), so it is legitimate at any corpus size —
+    * the same constant-size-broadcast argument as the IVF centroids.
+    */
+  def buildBloomBits(corpusDigests: DataFrame, m: Int = 65536, k: Int = 4): Array[Long] = {
+    val bits = new Array[Long]((m + 63) / 64)
+    corpusDigests
+      .select(explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
+      .distinct().collect()
+      .foreach { r => val p = r.getLong(0).toInt; bits(p >> 6) |= 1L << (p & 63) }
+    bits
+  }
+
   /** EXT-C14 — Bloom-filter prefilter for incremental dedup: the scale
     * path BEFORE the exact anti-join of [[incrementalDedup]]. The corpus
     * digests are folded into a bit-set of at most `m` positions (`k`
@@ -516,13 +561,37 @@ object Curation {
     * oracle. The shape every "sample high-quality data more" curriculum
     * pass uses; one narrow row-local filter, no shuffle.
     */
+  /** EXT-C16 — fixed-BUDGET deterministic sample: exactly `k` documents
+    * per stratum (language), chosen by content-stable hash order — the
+    * complement of the rate-based [[stratifiedSample]] for when the
+    * contract is "give me 10k eval docs per language", not a percentage.
+    *
+    * Spelled as a map-side bounded top-k aggregate
+    * ([[graft.functions.TopKAggregator]] over the NEGATED hash — smallest
+    * draws win), NOT a `row_number` window: the window spelling shuffles
+    * the ENTIRE corpus by stratum before discarding all but k rows per
+    * language; the aggregate folds each map partition down to ≤ k
+    * candidates per stratum first, so the one exchange carries
+    * ≤ |strata|·k rows per partition at any corpus size. The 32-bit draw
+    * is exact through the double negation (and ties break toward the
+    * lower doc_id, mirroring the oracle's `ORDER BY u, doc_id`).
+    */
+  def fixedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val agg = graft.functions.TopK.topk(k)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5Draw("fsamp:").as("u"))
+      .groupBy("lang")
+      .agg(agg(negate(col("u").cast("double")), col("doc_id")).as("sel"))
+      .select(col("lang"), posexplode(col("sel.entries")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), negate(col("col.sim")).cast("long").as("u"))
+      .orderBy("lang", "rank")
+  }
+
   def weightedSample(spark: SparkSession, dir: String, rate: Double = 0.3): DataFrame = {
-    val u = conv(
-      substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long")
     TextAnalysis.stats(spark, dir)
       .select(col("doc_id"), col("quality"))
-      .withColumn("u", u)
+      .withColumn("u", md5Draw("wsamp:"))
       .withColumn("threshold",
         floor((lit(rate) * col("quality")) * lit(4294967296.0)).cast("long"))
       .withColumn("keep", col("u") < col("threshold"))

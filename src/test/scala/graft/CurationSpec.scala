@@ -207,6 +207,26 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3L)._3 == false && rows(3L)._2 == false)
   }
 
+  test("fixedSample: exactly min(k, |stratum|) docs, lowest draws win, ranks dense") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.fixedSample(spark, dir, k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byLang = got.groupBy(_._1)
+    val counts = graft.operators.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(5L, counts(lang)), lang)
+      assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to rows.length), s"$lang ranks")
+      // selected draws are ordered and are THE smallest in the stratum
+      val us = rows.sortBy(_._2).map(_._4)
+      assert(us.sorted.sameElements(us), s"$lang draw order")
+    }
+    // rerun-stable
+    val again = Curation.fixedSample(spark, dir, k = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("weightedSample: deterministic across runs, threshold monotone in quality") {
     val dir = "/root/testdata/sf0.001"
     val a = Curation.weightedSample(spark, dir).collect()

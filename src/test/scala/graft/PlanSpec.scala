@@ -171,6 +171,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
   }
 
+  test("fixed sample: per-stratum budget folded map-side before the exchange") {
+    val p = plan(Curation.fixedSample(spark, dir))
+    // the scale invariant that distinguishes this from the row_number
+    // spelling: a partial bounded top-k below the stratum shuffle
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+  }
+
   test("weighted sample: row-local gate — no shuffle before the presentation sort") {
     val p = plan(Curation.weightedSample(spark, dir))
     assert(shuffles(p) <= 1, s"unexpected shuffle count in:\n$p")

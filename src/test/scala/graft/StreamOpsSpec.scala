@@ -245,4 +245,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(pairs == Set(1L -> 100L, 1L -> 101L))
     } finally q.stop()
   }
+
+  test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sha2}
+    implicit val sqlCtx = spark.sqlContext
+    // same corpus/fresh split as the batch operator: even = corpus
+    val dir = TestTables.documentsDir(spark, Seq(
+      2L -> "alpha beta gamma", 4L -> "delta epsilon zeta",
+      1L -> "alpha beta gamma",      // fresh exact dup of 2
+      3L -> "eta theta iota kappa")) // fresh novel
+    val corpusDigests = graft.operators.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0).select(sha2(col("text"), 256).as("digest"))
+    val bits = graft.operators.Curation.buildBloomBits(corpusDigests)
+    val batch = graft.operators.Curation.bloomPrefilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.bloomPrefilterStream(
+      stream.toDF().toDF("doc_id", "text"), bits)
+      .writeStream.format("memory").queryName("bloom_out").outputMode("append").start()
+    try {
+      stream.addData((1L, "alpha beta gamma"), (3L, "eta theta iota kappa"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("maybe_dup")).toMap
+      // the streaming probe and the batch relation derivation must agree
+      // bit for bit — this pins the JVM BloomHash against the SQL conv()
+      assert(got == batch)
+      assert(got(1L)) // the true duplicate can never be missed
+    } finally q.stop()
+  }
 }
