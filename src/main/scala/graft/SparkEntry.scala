@@ -95,6 +95,7 @@ object SparkEntry {
     "x44_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "x45_weighted_sample" -> ((s, dir) => Curation.weightedSample(s, dir)),
     "x46_fixed_sample" -> ((s, dir) => Curation.fixedSample(s, dir)),
+    "x47_cluster_reps" -> ((s, dir) => Curation.clusterRepresentatives(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -635,6 +636,23 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, quality, u, threshold, u < threshold AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x47_cluster_reps" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
+         |q AS (SELECT doc_id,
+         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+         |  FROM s),
+         |r AS (SELECT c.cluster, c.doc_id, q.quality,
+         |        row_number() OVER (PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |      FROM comp c JOIN q ON q.doc_id = c.doc_id)
+         |SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "x46_fixed_sample" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -230,6 +230,27 @@ object Curation {
     connectedComponents(
       Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), maxRounds)
 
+  /** EXT-C17 — cluster-representative selection: keep the highest-QUALITY
+    * member of each near-dup cluster (ties to the lowest doc_id), rather
+    * than the lowest-id canonical [[curatedCorpus]] keeps — the curation
+    * policy that retains the best copy of duplicated content instead of
+    * an arbitrary one. One narrow doc_id join (cluster labels ⋈ quality)
+    * and one aggregation; the argmax is a partial-agg-friendly
+    * `max(struct(quality, −doc_id))`, so map partitions collapse to one
+    * candidate per cluster BEFORE the shuffle — no window over the
+    * membership stream.
+    */
+  def clusterRepresentatives(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
+    dedupClusters(spark, dir, maxRounds)
+      .join(TextAnalysis.stats(spark, dir).select("doc_id", "quality"), "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("quality"), negate(col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), negate(col("best.nid")).as("rep_doc_id"),
+        col("best.quality").as("rep_quality"), col("n_members"))
+      .orderBy("cluster")
+
   /** Connected components over an arbitrary pair relation `(d1, d2)` —
     * the algorithm behind [[dedupClusters]], exposed separately so any
     * near-dup pair stream (MinHash, embedding-cosine, …) can be resolved

@@ -207,6 +207,28 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3L)._3 == false && rows(3L)._2 == false)
   }
 
+  test("clusterRepresentatives: per-cluster argmax quality, membership conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val reps = Curation.clusterRepresentatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val members = Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.operators.TextAnalysis.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(reps.nonEmpty)
+    assert(reps.map(_._1).toSeq == members.map(_._2).distinct.sorted.toSeq) // one rep per cluster
+    assert(reps.map(_._4).sum == members.length) // every member counted once
+    reps.foreach { case (cluster, rep, repQ, _) =>
+      val club = members.filter(_._2 == cluster).map(_._1)
+      assert(club.contains(rep))
+      assert(repQ == quality(rep))
+      // the argmax law with the doc_id tie-break
+      club.foreach { d =>
+        assert(quality(d) < repQ || (quality(d) == repQ && d >= rep), s"doc $d beats rep $rep")
+      }
+    }
+  }
+
   test("fixedSample: exactly min(k, |stratum|) docs, lowest draws win, ranks dense") {
     val dir = "/root/testdata/sf0.001"
     val got = Curation.fixedSample(spark, dir, k = 5).collect()
