@@ -74,15 +74,12 @@ object Curation {
     * the formula must never drift between them (the oracles spell the
     * identical derivation).
     */
-  private def md5Bucket(prefix: String): Column = pmod(
-    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long"),
-    lit(100L))
+  private def md5Bucket(prefix: String): Column = pmod(md5Draw(prefix), lit(100L))
 
   /** Full-width 32-bit content-stable draw in [0, 2³²): the first 8 hex
-    * chars of `md5(prefix + doc_id)` unsigned — [[md5Bucket]] without the
-    * mod, for samplers that compare the draw against a computed threshold
-    * or order by it.
+    * chars of `md5(prefix + doc_id)` unsigned — the ONE spelling of the
+    * derivation ([[md5Bucket]] is this mod 100), for samplers that
+    * compare the draw against a computed threshold or order by it.
     */
   private def md5Draw(prefix: String): Column =
     conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -509,19 +506,44 @@ object Curation {
     }
   }
 
-  /** Driver-side Bloom bit-set build from a corpus digest relation — the
+  /** A built Bloom filter: the bit-set TOGETHER with the (m, k) it was
+    * built under. The parameters travel with the bits because probing
+    * with a different m or k silently re-derives different positions —
+    * a true duplicate could then miss a probe and the filter's central
+    * no-false-negative guarantee would break without anything failing.
+    */
+  final case class BloomIndex(bits: Array[Long], m: Int, k: Int) {
+    /** Row-local JVM probe: all k positions set? Null digests (null
+      * document text) are never "maybe duplicates" — matching
+      * [[bloomPrefilter]], where a null digest derives null positions,
+      * matches nothing, and lands at n_hits = 0.
+      */
+    def mightContain(digest: String): Boolean = {
+      if (digest == null) return false
+      var i = 0
+      var all = true
+      while (all && i < k) {
+        val p = BloomHash.pos(digest, i, m)
+        all = ((bits(p >> 6) >>> (p & 63)) & 1L) == 1L
+        i += 1
+      }
+      all
+    }
+  }
+
+  /** Driver-side Bloom index build from a corpus digest relation — the
     * persisted-index step of the streaming ingest pipeline. The collect
     * is BOUNDED BY m bits by construction (the distinct position
     * relation, not the digests), so it is legitimate at any corpus size —
     * the same constant-size-broadcast argument as the IVF centroids.
     */
-  def buildBloomBits(corpusDigests: DataFrame, m: Int = 65536, k: Int = 4): Array[Long] = {
+  def buildBloomIndex(corpusDigests: DataFrame, m: Int = 65536, k: Int = 4): BloomIndex = {
     val bits = new Array[Long]((m + 63) / 64)
     corpusDigests
       .select(explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
       .distinct().collect()
       .foreach { r => val p = r.getLong(0).toInt; bits(p >> 6) |= 1L << (p & 63) }
-    bits
+    BloomIndex(bits, m, k)
   }
 
   /** EXT-C14 — Bloom-filter prefilter for incremental dedup: the scale
@@ -553,7 +575,9 @@ object Curation {
     val bloom = corpus
       .select(explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
       .distinct()
-    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    // consumed by two branches (probe hits + exact-verdict join): without
+    // the materialization the fresh scan and its sha256 run twice
+    val fresh = docs.filter(col("doc_id") % 2 === 1).localCheckpoint()
     val hits = fresh
       .select(col("doc_id"),
         explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
@@ -572,16 +596,6 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** EXT-C15 — quality-weighted deterministic sampling: keep probability
-    * proportional to the document's quality score (`rate · quality`),
-    * decided by the same content-stable md5 bucketing as
-    * [[stratifiedSample]] — never `rand()`. The comparison is spelled in
-    * exact integer space: a 32-bit hash draw `u` against
-    * `floor((rate · quality) · 2³²)` — two IEEE multiplies (the second by
-    * a power of two, hence exact) and a floor, bit-reproducible in the
-    * oracle. The shape every "sample high-quality data more" curriculum
-    * pass uses; one narrow row-local filter, no shuffle.
-    */
   /** EXT-C16 — fixed-BUDGET deterministic sample: exactly `k` documents
     * per stratum (language), chosen by content-stable hash order — the
     * complement of the rate-based [[stratifiedSample]] for when the
@@ -609,6 +623,16 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  /** EXT-C15 — quality-weighted deterministic sampling: keep probability
+    * proportional to the document's quality score (`rate · quality`),
+    * decided by the same content-stable md5 bucketing as
+    * [[stratifiedSample]] — never `rand()`. The comparison is spelled in
+    * exact integer space: a 32-bit hash draw `u` against
+    * `floor((rate · quality) · 2³²)` — two IEEE multiplies (the second by
+    * a power of two, hence exact) and a floor, bit-reproducible in the
+    * oracle. The shape every "sample high-quality data more" curriculum
+    * pass uses; one narrow row-local filter, no shuffle.
+    */
   def weightedSample(spark: SparkSession, dir: String, rate: Double = 0.3): DataFrame = {
     TextAnalysis.stats(spark, dir)
       .select(col("doc_id"), col("quality"))

@@ -144,16 +144,19 @@ object StreamOps {
   }
 
   /** EXT-6g — streaming Bloom dedup prefilter: flags each incoming
-    * document against the corpus Bloom bit-set built by
-    * [[graft.operators.Curation.buildBloomBits]] (the persisted index of
-    * the batch [[graft.operators.Curation.bloomPrefilter]]). The bit-set
-    * (m bits) is broadcast once and the probe is row-local — k md5s
-    * against broadcast memory — so the unbounded stream never shuffles
-    * and holds NO state; contrast [[dedupStream]], whose within-watermark
-    * state grows with the stream. `maybe_dup = false` rows are guaranteed
-    * novel (Bloom admits no false negatives — law asserted in the spec)
-    * and skip the exact check entirely; only `maybe_dup` survivors pay
-    * the corpus anti-join.
+    * document against the corpus Bloom index built by
+    * [[graft.operators.Curation.buildBloomIndex]] (the persisted index of
+    * the batch [[graft.operators.Curation.bloomPrefilter]]). The index
+    * carries its own (m, k) — probing under different parameters than the
+    * build would silently break the no-false-negative guarantee, so the
+    * API leaves no seam for them to diverge. The bit-set (m bits) is
+    * broadcast once and the probe is row-local — k md5s against broadcast
+    * memory — so the unbounded stream never shuffles and holds NO state;
+    * contrast [[dedupStream]], whose within-watermark state grows with
+    * the stream. `maybe_dup = false` rows are guaranteed novel (Bloom
+    * admits no false negatives — law asserted in the spec) and skip the
+    * exact check entirely; only `maybe_dup` survivors pay the corpus
+    * anti-join.
     *
     * A udf is the right tool here, for [[curateStream]]'s reason: the
     * probe consults a broadcast JVM bit-set, which no declarative
@@ -161,23 +164,9 @@ object StreamOps {
     */
   def bloomPrefilterStream(
       docs: DataFrame,
-      bloomBits: Array[Long],
-      m: Int = 65536,
-      k: Int = 4): DataFrame = {
-    require(bloomBits.length == (m + 63) / 64,
-      s"bit-set length ${bloomBits.length} does not match m=$m")
-    val bc = docs.sparkSession.sparkContext.broadcast(bloomBits)
-    val maybe = udf { (digest: String) =>
-      val bits = bc.value
-      var i = 0
-      var all = true
-      while (all && i < k) {
-        val p = graft.operators.Curation.BloomHash.pos(digest, i, m)
-        all = ((bits(p >> 6) >>> (p & 63)) & 1L) == 1L
-        i += 1
-      }
-      all
-    }
+      index: graft.operators.Curation.BloomIndex): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(index)
+    val maybe = udf((digest: String) => bc.value.mightContain(digest))
     docs
       .withColumn("digest", sha2(col("text"), 256))
       .withColumn("maybe_dup", maybe(col("digest")))

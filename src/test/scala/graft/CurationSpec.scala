@@ -236,12 +236,19 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val byLang = got.groupBy(_._1)
     val counts = graft.operators.Tables.documents(spark, dir)
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independently recompute every draw to verify the selection per
+    // stratum, not just the internal ordering of the selected rows
+    val allDraws = graft.operators.Tables.documents(spark, dir)
+      .selectExpr("lang", "doc_id",
+        "CAST(conv(substring(md5(concat('fsamp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) AS u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     byLang.foreach { case (lang, rows) =>
       assert(rows.length == math.min(5L, counts(lang)), lang)
       assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to rows.length), s"$lang ranks")
-      // selected draws are ordered and are THE smallest in the stratum
-      val us = rows.sortBy(_._2).map(_._4)
-      assert(us.sorted.sameElements(us), s"$lang draw order")
+      // selected (u, doc_id) are EXACTLY the stratum's smallest, in order
+      val expected = allDraws.filter(_._1 == lang).map(t => (t._3, t._2))
+        .sorted.take(rows.length).toSeq
+      assert(rows.sortBy(_._2).map(t => (t._4, t._3)).toSeq == expected, s"$lang selection")
     }
     // rerun-stable
     val again = Curation.fixedSample(spark, dir, k = 5).collect()

@@ -257,12 +257,12 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       3L -> "eta theta iota kappa")) // fresh novel
     val corpusDigests = graft.operators.Tables.documents(spark, dir)
       .filter(col("doc_id") % 2 === 0).select(sha2(col("text"), 256).as("digest"))
-    val bits = graft.operators.Curation.buildBloomBits(corpusDigests)
+    val index = graft.operators.Curation.buildBloomIndex(corpusDigests)
     val batch = graft.operators.Curation.bloomPrefilter(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     val stream = MemoryStream[(Long, String)]
     val q = StreamOps.bloomPrefilterStream(
-      stream.toDF().toDF("doc_id", "text"), bits)
+      stream.toDF().toDF("doc_id", "text"), index)
       .writeStream.format("memory").queryName("bloom_out").outputMode("append").start()
     try {
       stream.addData((1L, "alpha beta gamma"), (3L, "eta theta iota kappa"))
