@@ -96,6 +96,9 @@ object SparkEntry {
     "x45_weighted_sample" -> ((s, dir) => Curation.weightedSample(s, dir)),
     "x46_fixed_sample" -> ((s, dir) => Curation.fixedSample(s, dir)),
     "x47_cluster_reps" -> ((s, dir) => Curation.clusterRepresentatives(s, dir)),
+    "x48_mixture_plan" -> ((s, dir) => Curation.mixturePlan(s, dir)),
+    "x49_contamination_score" -> ((s, dir) => Curation.contaminationScore(s, dir)),
+    "x50_dup_degree" -> ((s, dir) => Dedup.dupDegree(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -653,6 +656,38 @@ object SparkEntry {
          |      FROM comp c JOIN q ON q.doc_id = c.doc_id)
          |SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "x48_mixture_plan" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |                  sum(len(string_split(text, ' ')))::BIGINT AS src_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(src_tokens)::BIGINT AS total, count(*)::BIGINT AS n_sources FROM s)
+        |SELECT source, n_docs, src_tokens,
+        |       src_tokens::DOUBLE / total AS natural_share,
+        |       least(1.0, (1.0 / n_sources) / (src_tokens::DOUBLE / total)) AS rate
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "x49_contamination_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+        |      FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY 1),
+        |sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+        |       FROM corpus JOIN bench USING (gram) GROUP BY 1)
+        |SELECT s.doc_id, s.n_grams, coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+        |       coalesce(sh.n_shared, 0)::DOUBLE / s.n_grams AS shared_frac,
+        |       coalesce(sh.n_shared, 0)::DOUBLE / s.n_grams >= 0.1 AS "drop"
+        |FROM sizes s LEFT JOIN sh ON sh.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "x50_dup_degree" ->
+      s"""WITH $simhashPairsCte,
+         |u AS (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)
+         |SELECT doc_id, count(*)::BIGINT AS degree FROM u
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "x46_fixed_sample" ->
       """WITH b AS (SELECT doc_id, lang,

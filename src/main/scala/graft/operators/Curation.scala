@@ -61,6 +61,66 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** EXT-C19 — contamination SCORING: the measurement refinement of
+    * [[decontaminate]] — for every non-benchmark document with at least
+    * one k-gram, its distinct-gram count, how many of those grams appear
+    * in the benchmark set, the shared fraction (one IEEE division), and
+    * the `drop` verdict at `threshold`. Where [[decontaminate]] answers
+    * "which docs overlap at all", this grades HOW MUCH — the knob a real
+    * pipeline tunes (an eval-set quote of 1 gram is noise; 40% is a
+    * leak). Same plan shape: one materialized gram stream, broadcast
+    * benchmark set, zero-overlap docs come back via the left join.
+    */
+  def contaminationScore(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      threshold: Double = 0.1): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Tables.shingles(col("toks"), k)).as("gram"))
+      .localCheckpoint() // three consumers: benchmark set, sizes, overlap
+    val benchGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select("gram").distinct()
+    val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = corpus.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    sizes
+      .join(shared, Seq("doc_id"), "left_outer")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("shared_frac", col("n_shared").cast("double") / col("n_grams"))
+      .withColumn("drop", col("shared_frac") >= threshold)
+      .select("doc_id", "n_grams", "n_shared", "shared_frac", "drop")
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C18 — dataset-mixture planning: per-source token counts, the
+    * natural mixture share, and the deterministic sampling rate that
+    * moves the corpus toward a UNIFORM target mixture (`rate =
+    * min(1, target_share / natural_share)` — under-represented sources
+    * keep everything, over-represented ones downsample). The arithmetic
+    * every mixture config ("20% code, 40% web, …") starts from; the
+    * uniform target keeps the oracle parameter-free while exercising the
+    * identical plan. Two partial-agg-friendly aggregations and a 1-row
+    * broadcast of the corpus totals — nothing scales with document count.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("src_tokens"))
+    val totals = perSource.agg(
+      sum("src_tokens").as("total"), count(lit(1)).as("n_sources"))
+    perSource
+      .crossJoin(broadcast(totals))
+      .withColumn("natural_share", col("src_tokens").cast("double") / col("total"))
+      .withColumn("rate",
+        least(lit(1.0), (lit(1.0) / col("n_sources")) / col("natural_share")))
+      .select("source", "n_docs", "src_tokens", "natural_share", "rate")
+      .orderBy("source")
+  }
+
   /** English stopword list used by the quality gate's stop-hit rule —
     * THE canonical list from [[TextAnalysis.stopwords]], never a copy
     * (the two operators and their oracles must agree on it forever).

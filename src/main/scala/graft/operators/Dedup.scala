@@ -381,6 +381,23 @@ object Dedup {
       .distinct()
   }
 
+  /** EXT-D9 — near-dup DEGREE per document: how many near-duplicate
+    * partners each document has under the SimHash Hamming criterion.
+    * High-degree documents are hubs — templated/boilerplate content
+    * duplicated across many pages that pairwise dedup alone understates
+    * (a 500-copy template is 499 pairs but ONE decision). One symmetric
+    * union of the verified pair relation and a partial-agg count; the
+    * pair pipeline is materialized once, not re-run per direction.
+    */
+  def dupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashNearDupPairs(spark, dir).localCheckpoint()
+    pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-D8 — corpus-slice similarity via MinHash SKETCH AGGREGATION:
     * estimated shingle-set Jaccard between every pair of `source` slices,
     * from a per-slice sketch of `numHashes` longs. The sketch property

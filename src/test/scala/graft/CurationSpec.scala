@@ -207,6 +207,31 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3L)._3 == false && rows(3L)._2 == false)
   }
 
+  test("mixturePlan: over-represented sources downsample, under-represented keep all") {
+    // source A: 6 of 8 tokens (share 0.75), source B: 2 of 8 (share 0.25)
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h", "B")))
+    val got = Curation.mixturePlan(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val shareA = 6.0 / 8.0
+    val shareB = 2.0 / 8.0
+    assert(got("A") == ((2L, 6L, shareA, (1.0 / 2) / shareA))) // downsampled toward 0.5
+    assert(got("B") == ((1L, 2L, shareB, 1.0)))                // min(1, 2.0) — keeps everything
+  }
+
+  test("contaminationScore: graded overlap, zero-overlap docs included, drop at threshold") {
+    val benchText = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> benchText,                                  // benchmark member (id % 20 == 0)
+      1L -> benchText,                                  // full overlap -> frac 1.0
+      2L -> (11 to 20).map(i => s"c$i").mkString(" "))) // disjoint -> frac 0.0, still present
+    val got = Curation.contaminationScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(1L, 2L)) // benchmark rows excluded, zero-overlap retained
+    assert(got(1L) == ((6L, 6L, 1.0, true)))  // 10 tokens -> 6 distinct 5-grams, all shared
+    assert(got(2L) == ((6L, 0L, 0.0, false)))
+  }
+
   test("clusterRepresentatives: per-cluster argmax quality, membership conserved") {
     val dir = "/root/testdata/sf0.001"
     val reps = Curation.clusterRepresentatives(spark, dir).collect()

@@ -150,6 +150,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // presentation order
   }
 
+  test("dupDegree: hub documents count every partner once, loners absent") {
+    val t = (1 to 30).map(i => s"h$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> t, 2L -> t, 3L -> t, // identical triple: a 3-clique, degree 2 each
+      4L -> (31 to 60).map(i => s"z$i").mkString(" "))) // unrelated
+    val got = Dedup.dupDegree(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("sourceSimilarity: identical slices sketch to est=1.0, disjoint slices stay low") {
     val text1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val text2 = (31 to 60).map(i => s"v$i").mkString(" ")
