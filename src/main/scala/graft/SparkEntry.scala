@@ -99,6 +99,8 @@ object SparkEntry {
     "x48_mixture_plan" -> ((s, dir) => Curation.mixturePlan(s, dir)),
     "x49_contamination_score" -> ((s, dir) => Curation.contaminationScore(s, dir)),
     "x50_dup_degree" -> ((s, dir) => Dedup.dupDegree(s, dir)),
+    "x51_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "x52_lsh_calibration" -> ((s, dir) => Dedup.lshCalibration(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -656,6 +658,54 @@ object SparkEntry {
          |      FROM comp c JOIN q ON q.doc_id = c.doc_id)
          |SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "x51_ann_recall" ->
+      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |asg AS (SELECT e.vec_id, c.ccid,
+         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+         |                 c.ccid) AS rn
+         |        FROM e CROSS JOIN c),
+         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
+         |s_ann AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
+         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
+         |      FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
+         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
+         |r_ann AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ann),
+         |ann AS (SELECT qid, cid FROM r_ann WHERE rank <= 3 AND qid % 10 = 0),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN cc WHERE qid != cid),
+         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
+         |hits AS (SELECT ex.qid, count(ann.cid)::BIGINT AS hits
+         |         FROM ex LEFT JOIN ann ON ann.qid = ex.qid AND ann.cid = ex.cid
+         |         GROUP BY 1)
+         |SELECT qid AS vec_id, hits, hits::DOUBLE / 3 AS recall
+         |FROM hits ORDER BY vec_id""".stripMargin,
+
+    "x52_lsh_calibration" ->
+      s"""WITH $shinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (SELECT doc_id, seed,
+         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+         |        FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+         |nm AS (SELECT c.d1, c.d2, count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
+         |       FROM cand c JOIN mh a ON a.doc_id = c.d1
+         |                   JOIN mh b ON b.doc_id = c.d2 AND b.seed = a.seed
+         |       GROUP BY 1, 2)
+         |SELECT n.d1, n.d2, n.n_match, n.n_match::DOUBLE / 16 AS est_jaccard, j.jaccard,
+         |       abs(n.n_match::DOUBLE / 16 - j.jaccard) AS abs_err
+         |FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2
+         |ORDER BY n.d1, n.d2""".stripMargin,
 
     "x48_mixture_plan" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,

@@ -381,6 +381,62 @@ object Dedup {
       .distinct()
   }
 
+  /** EXT-D10 — LSH estimator calibration: for every band-colliding
+    * candidate pair, the MinHash collision estimate (`matching seeds /
+    * numHashes`) next to the EXACT shingle Jaccard and the absolute
+    * error. This is how the banding is tuned on real corpora — the
+    * estimator's error distribution on actual candidates (not the
+    * textbook variance) decides whether 16 hashes suffice or 64 are
+    * needed — and it reuses the production relations: signatures
+    * materialized once feed the banding and both sides of the seed-match
+    * count; exact Jaccard is verified on candidates only, the same
+    * candidates-only discipline as [[minhashLsh]] itself. Pairs whose
+    * shingle sets share nothing (possible only via a raw md5 value
+    * collision) are excluded — both engines derive pairs from shared
+    * content.
+    *
+    * The seed-match count is an interpreted `zip_with` lambda ON
+    * CANDIDATE PAIRS ONLY — a 16-element array op per surviving pair,
+    * not a per-token hot path (the codegen-expression rule targets the
+    * latter).
+    */
+  def lshCalibration(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    val sigs = arr
+      .select(col("doc_id"), graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
+      .localCheckpoint() // consumed by the banding and twice by the match join
+    val candidates = guardBucketSize(
+      bandedSignatures(sigs, bands, rowsPerBand)
+        .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
+        .agg(collect_list(col("doc_id")).as("ds")),
+      maxBucket, "widen the bands (more hashes per band) or raise maxBucket")
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), explode(col("ds")).as("d1"))
+      .select(col("d1"), explode(col("ds")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+      .join(sigs.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
+      .withColumn("n_match",
+        expr("aggregate(zip_with(mh1, mh2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+      .select("d1", "d2", "n_match")
+    verifyJaccard(candidates, arr, threshold = 0.0)
+      .filter(col("inter") >= 1)
+      .withColumn("est_jaccard", col("n_match").cast("double") / numHashes)
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("d1", "d2", "n_match", "est_jaccard", "jaccard", "abs_err")
+      .orderBy("d1", "d2")
+  }
+
   /** EXT-D9 — near-dup DEGREE per document: how many near-duplicate
     * partners each document has under the SimHash Hamming criterion.
     * High-degree documents are hubs — templated/boilerplate content

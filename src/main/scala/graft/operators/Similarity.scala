@@ -101,6 +101,40 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S7 — ANN recall measurement: per query vector, how many of the
+    * EXACT top-k neighbors ([[bruteForceTopK]]) the IVF index
+    * ([[ivfTopK]]) actually returned — `recall@k`, the metric every
+    * approximate index is tuned by (nprobe/centroid-count trades recall
+    * for cost; without this measurement the trade is blind). Evaluated
+    * on the deterministic query subset, the production shape: ground
+    * truth is brute-forced for a SAMPLE of queries only — the full-corpus
+    * exact top-k is exactly the quadratic cost ANN exists to avoid.
+    *
+    * Queries where the index returned nothing (alone in their cell) come
+    * back with hits = 0 via the left join rather than vanishing. One
+    * semi-join on (vec_id, neighbor_id) + one count; recall = hits / k
+    * is a single IEEE division.
+    */
+  def annRecall(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed by the query list AND the hit join
+    val ann = ivfTopK(spark, dir, k)
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("hits"))
+    exact.select("vec_id").distinct()
+      .join(hits, Seq("vec_id"), "left_outer")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / k)
+      .orderBy("vec_id")
+  }
+
   /** Sign-bucket LSH signature: one bit per leading dimension
     * (random-hyperplane LSH with axis-aligned hyperplanes — deterministic
     * and oracle-expressible). 2^bits buckets.

@@ -150,6 +150,22 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // presentation order
   }
 
+  test("lshCalibration: exact copies calibrate to zero error, bounds hold") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> base, 2L -> base, // identical: every seed collides, J = 1
+      3L -> (31 to 60).map(i => s"v$i").mkString(" ")))
+    val rows = Dedup.lshCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val ident = rows.find(t => t._1 == 1L && t._2 == 2L)
+    assert(ident.contains((1L, 2L, 16L, 1.0, 1.0, 0.0)))
+    rows.foreach { case (_, _, nm, est, jac, err) =>
+      assert(nm >= 0L && nm <= 16L)
+      assert(est >= 0.0 && est <= 1.0 && jac > 0.0 && jac <= 1.0)
+      assert(err == math.abs(est - jac))
+    }
+  }
+
   test("dupDegree: hub documents count every partner once, loners absent") {
     val t = (1 to 30).map(i => s"h$i").mkString(" ")
     val dir = TestTables.documentsDir(spark, Seq(

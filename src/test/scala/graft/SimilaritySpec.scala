@@ -105,6 +105,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("annRecall: queries the index returns nothing for survive with recall 0") {
+    // ids < 16 are all centroids -> every vector is alone in its own
+    // cell -> the IVF index returns NO neighbors; exact top-k exists, so
+    // the left-join zero path must report the query with hits = 0
+    val rows = Similarity.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((10L, 0L, 0.0)))
+  }
+
   test("hardNegatives excludes same-label vectors even when they are nearest") {
     // qid 10 (label 1): its nearest neighbor 11 shares the label and must
     // never appear; the best DIFFERENT-label vectors are 12 then 13
