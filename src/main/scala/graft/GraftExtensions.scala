@@ -34,10 +34,12 @@ object GraftExtensions {
   private def fn(name: String, arity: Int, usage: String)(
       build: Seq[Expression] => Expression): FunctionDescription = (
     FunctionIdentifier(name),
-    // 5-arg constructor: (className, db, NAME, usage, extended) — the
+    // the full (non-deprecated) constructor: (className, db, NAME, usage,
+    // arguments, examples, note, group, since, deprecated, source) — the
     // 3-arg one is (className, db, name) and would register the usage
     // text as the function name
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in"),
     (args: Seq[Expression]) => {
       if (args.length != arity)
         throw new IllegalArgumentException(

@@ -181,7 +181,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
     // argmax via array_max over (score, inverted-id): ties pick the
     // highest inverted id = lowest centroid id, matching the oracle's
     // ORDER BY score DESC, cid ASC
@@ -262,7 +262,7 @@ object Similarity {
       .localCheckpoint() // scanned 2·iters times below; materialize once
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("ed"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map { case (i, c) => (i, c.toArray) }
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map { case (i, c) => (i, c.toArray) }.toSeq
     // fail loudly, not head-of-empty-list (and never silently train
     // fewer than k centroids on sparse/re-keyed corpora)
     require(cents.length == k,

@@ -73,7 +73,7 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     val sfDir = "/root/testdata/sf0.001"
     val win = Payload.eventWindows(spark, sfDir)
     val total = graft.operators.Replication.events(spark, sfDir).count()
-    assert(win.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == total)
+    assert(win.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == total)
     win.collect().foreach(r => assert(r.getLong(0) % 600 == 0))
   }
 }
