@@ -125,4 +125,20 @@ class ExpressionPropertySpec extends AnyFunSuite {
       (0 until got.numElements()).map(got.getUTF8String(_).toString).toList == expected
     })
   }
+
+  test("BloomHash.pos matches the SQL first-8-hex-chars derivation for any digest") {
+    // the streaming probe's JVM spelling vs the batch operator's
+    // conv(substring(md5("bf<i>:"+digest),1,8),16,10) % m — one drifted
+    // bit here and a true duplicate could slip the streaming prefilter
+    val genDigest = Gen.oneOf(
+      Gen.listOfN(64, Gen.hexChar).map(_.mkString.toLowerCase),
+      Gen.alphaNumStr.map(_.take(20)), Gen.const(""))
+    val genI = Gen.chooseNum(0, 7)
+    val genM = Gen.oneOf(64, 1024, 65536, 1 << 20)
+    check(Prop.forAll(genDigest, genI, genM) { (digest, i, m) =>
+      val expected = (java.lang.Long.parseLong(
+        md5hex(s"bf$i:$digest").take(8), 16) % m).toInt
+      graft.operators.Curation.BloomHash.pos(digest, i, m) == expected
+    })
+  }
 }
