@@ -381,6 +381,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Band signatures for ANY (doc_id, text) relation — the row unit of
+    * the persisted LSH INDEX that [[incrementalMinhash]] probes and the
+    * streaming maintainer appends per microbatch. One narrow projection
+    * (shingles → 16 minhashes → band structs); documents with no
+    * shingles (< k tokens) are excluded, exactly as the batch pipeline
+    * excludes them.
+    */
+  def bandSignatures(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val arr = docs
+      .select(col("doc_id"), Tables.shingles(Tables.tokens(col("text"))).as("shs"))
+      .filter(size(col("shs")) > 0)
+    bandedSignatures(
+      arr.select(col("doc_id"),
+        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
+      bands, numHashes / bands)
+  }
+
   /** EXT-D10 — LSH estimator calibration: for every band-colliding
     * candidate pair, the MinHash collision estimate (`matching seeds /
     * numHashes`) next to the EXACT shingle Jaccard and the absolute

@@ -143,6 +143,34 @@ object StreamOps {
         graft.operators.Tables.tokens(col("text")), gramK)))
   }
 
+  /** EXT-6h — streaming LSH-index maintenance: append each microbatch's
+    * band signatures ([[graft.operators.Dedup.bandSignatures]] — the
+    * BATCH definition, run per microbatch unchanged) to the persisted
+    * index that [[graft.operators.Dedup.incrementalMinhash]] probes.
+    * This is the missing half of the ingest loop: the batch operator
+    * documents that the corpus index is "built once per corpus, not per
+    * ingest" — this is what keeps it current as documents stream in.
+    *
+    * `foreachBatch` + parquet APPEND is the right delivery contract
+    * here: a replayed microbatch can only append DUPLICATE signature
+    * rows, and a duplicate signature row only causes a repeated
+    * candidate probe downstream — near-dup candidates are exactly
+    * verified after the index join, so correctness is replay-immune and
+    * the exactly-once machinery (and its latency) is not needed.
+    */
+  def maintainLshIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.bandSignatures(batch)
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+
   /** EXT-6g — streaming Bloom dedup prefilter: flags each incoming
     * document against the corpus Bloom index built by
     * [[graft.operators.Curation.buildBloomIndex]] (the persisted index of

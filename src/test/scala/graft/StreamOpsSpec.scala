@@ -246,6 +246,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("maintainLshIndex: streamed index equals the batch signature relation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = (1 to 25).map(i => s"s$i").mkString(" ")
+    val t2 = (26 to 50).map(i => s"t$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.maintainLshIndex(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/ckpt")
+    try {
+      stream.addData((2L, t1))
+      q.processAllAvailable()
+      stream.addData((4L, t2)) // second microbatch appends, never rewrites
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/index").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val batch = graft.operators.Dedup.bandSignatures(
+      Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq) // same rows, built incrementally
+  }
+
   test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, sha2}
