@@ -42,23 +42,33 @@ object Curation {
     * (doc_id, n_shared) per contaminated non-benchmark document.
     */
   def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    // materialized once: the benchmark and corpus branches both derive
-    // from this relation, and Spark shares no common subtree across plan
-    // branches — without the checkpoint the scan→tokenize→shingle→explode
-    // pipeline runs twice (same pattern as Dedup.shingleArrays)
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Tables.shingles(col("toks"), k)).as("gram"))
-      .localCheckpoint()
-    val benchGrams = grams.filter(col("doc_id") % 20 === 0)
-      .select("gram").distinct()
-    grams.filter(col("doc_id") % 20 =!= 0)
+    val (corpus, benchGrams) = contaminationRelations(spark, dir, k)
+    corpus
       .join(broadcast(benchGrams), "gram")
       .groupBy("doc_id")
       // grams are distinct per doc (Shingles dedups), so plain count is
       // the distinct shared-gram count — no count(distinct) shuffle pair
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
+  }
+
+  /** THE decontamination inputs — (corpus gram stream, distinct benchmark
+    * gram set) — shared by [[decontaminate]] and [[contaminationScore]]:
+    * the gram derivation and the benchmark-membership rule (`doc_id % 20
+    * == 0`, the stand-in for an external eval set) must never drift
+    * between the detector and the scorer. The underlying gram stream is
+    * materialized once: both returned relations (and both of the
+    * scorer's aggregations) derive from it, and Spark shares no common
+    * subtree across plan branches.
+    */
+  private def contaminationRelations(
+      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Tables.shingles(col("toks"), k)).as("gram"))
+      .localCheckpoint()
+    (grams.filter(col("doc_id") % 20 =!= 0),
+      grams.filter(col("doc_id") % 20 === 0).select("gram").distinct())
   }
 
   /** EXT-C19 — contamination SCORING: the measurement refinement of
@@ -76,13 +86,7 @@ object Curation {
       dir: String,
       k: Int = 5,
       threshold: Double = 0.1): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Tables.shingles(col("toks"), k)).as("gram"))
-      .localCheckpoint() // three consumers: benchmark set, sizes, overlap
-    val benchGrams = grams.filter(col("doc_id") % 20 === 0)
-      .select("gram").distinct()
-    val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+    val (corpus, benchGrams) = contaminationRelations(spark, dir, k)
     val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val shared = corpus.join(broadcast(benchGrams), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -220,12 +220,23 @@ object Dedup {
       arr.select(col("doc_id"),
         graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
       bands, rowsPerBand)
-    // same inverted-index shape as ngramJaccard: bucket by full band
-    // signature, emit ordered pairs within each bucket — the minhash
-    // pipeline is computed once (a self-join would compute it per side)
-    // streaming pair expansion (see ngramJaccard) — per-row memory stays
-    // O(|bucket|) even on a degenerate band signature
-    val candidates = guardBucketSize(
+    verifyJaccard(bandCandidates(sig, rowsPerBand, maxBucket), arr, threshold)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** Ordered candidate pairs (d1 < d2, distinct) from a banded signature
+    * relation — the ONE spelling of LSH self-collision bucketing, shared
+    * by [[minhashLsh]] and [[lshCalibration]] (a drifting copy would
+    * silently change which candidates one operator sees). Same
+    * inverted-index shape as ngramJaccard: bucket by full band
+    * signature, then STREAMING pair expansion (chained explodes —
+    * per-row memory stays O(|bucket|) even on a degenerate band
+    * signature), with the saturation guard converting a mis-sized
+    * banding into an actionable failure.
+    */
+  private def bandCandidates(sig: DataFrame, rowsPerBand: Int, maxBucket: Int): DataFrame =
+    guardBucketSize(
       sig
         .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
         .agg(collect_list(col("doc_id")).as("ds")),
@@ -236,10 +247,6 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .distinct()
-    verifyJaccard(candidates, arr, threshold)
-      .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
-  }
 
   /** Band-explode a `(doc_id, mh: array<bigint>)` relation into one row
     * per (doc, band) with the band's hashes as columns `m0..m{r-1}` —
@@ -400,6 +407,33 @@ object Dedup {
       bands, numHashes / bands)
   }
 
+  /** The READ half of the persisted-index loop: probe the LSH index with
+    * a fresh batch, returning the candidate pairs (`d1` = fresh doc,
+    * `d2` = indexed doc) whose band signatures collide. `index` is the
+    * relation [[bandSignatures]] emits and
+    * [[graft.streaming.StreamOps.maintainLshIndex]] keeps current — the
+    * indexed side's signatures are never recomputed, which is the entire
+    * point of persisting them. Exact verification of the candidates
+    * (shingle Jaccard, fetching text by `d2` from the corpus store) is
+    * the caller's downstream step, exactly as [[incrementalMinhash]]
+    * verifies its parity-derived candidates. Duplicate index rows (the
+    * at-least-once maintenance contract) only repeat collisions — the
+    * final `distinct` absorbs them.
+    */
+  def indexCandidates(
+      freshDocs: DataFrame,
+      index: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val bandKey = Seq("band") ++ (0 until numHashes / bands).map(r => s"m$r")
+    bandSignatures(freshDocs, numHashes, bands).withColumnRenamed("doc_id", "d1")
+      .join(index.withColumnRenamed("doc_id", "d2"), bandKey)
+      .select("d1", "d2")
+      .distinct()
+  }
+
   /** EXT-D10 — LSH estimator calibration: for every band-colliding
     * candidate pair, the MinHash collision estimate (`matching seeds /
     * numHashes`) next to the EXACT shingle Jaccard and the absolute
@@ -432,17 +466,8 @@ object Dedup {
     val sigs = arr
       .select(col("doc_id"), graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
       .localCheckpoint() // consumed by the banding and twice by the match join
-    val candidates = guardBucketSize(
-      bandedSignatures(sigs, bands, rowsPerBand)
-        .groupBy(col("band") +: (0 until rowsPerBand).map(r => col(s"m$r")): _*)
-        .agg(collect_list(col("doc_id")).as("ds")),
-      maxBucket, "widen the bands (more hashes per band) or raise maxBucket")
-      .filter(size(col("ds")) >= 2)
-      .select(col("ds"), explode(col("ds")).as("d1"))
-      .select(col("d1"), explode(col("ds")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2")
-      .distinct()
+    val candidates = bandCandidates(
+      bandedSignatures(sigs, bands, rowsPerBand), rowsPerBand, maxBucket)
       .join(sigs.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
       .withColumn("n_match",

@@ -123,8 +123,10 @@ object Similarity {
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint() // consumed by the query list AND the hit join
-    val ann = ivfTopK(spark, dir, k)
-      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+    // queryMod pushed INTO the cell join: the index side stays full, but
+    // unsampled queries are never scored (a post-hoc filter would pay
+    // the whole-corpus top-k first and discard ~90% of it)
+    val ann = ivfTopK(spark, dir, k, queryMod = Some(queryMod))
       .select(col("vec_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("hits"))
@@ -176,7 +178,12 @@ object Similarity {
     * dot products (struct-max trick, ties to the lowest centroid id) —
     * no shuffle, no window, no UDF.
     */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nCentroids: Int = 16): DataFrame = {
+  def ivfTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      nCentroids: Int = 16,
+      queryMod: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < nCentroids)
@@ -197,7 +204,12 @@ object Similarity {
       (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
       .repartition(col("cell"))
       .localCheckpoint()
-    val a = withCell.select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qe"))
+    // evaluation callers sample the query side; the filter lands BEFORE
+    // the cell join so unsampled queries are never scored (the corpus/
+    // candidate side always stays full — recall is against the whole
+    // index)
+    val allQ = withCell.select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qe"))
+    val a = queryMod.fold(allQ)(m => allQ.filter(pmod(col("qid"), lit(m)) === 0))
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))

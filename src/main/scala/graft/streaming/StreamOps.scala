@@ -146,10 +146,11 @@ object StreamOps {
   /** EXT-6h — streaming LSH-index maintenance: append each microbatch's
     * band signatures ([[graft.operators.Dedup.bandSignatures]] — the
     * BATCH definition, run per microbatch unchanged) to the persisted
-    * index that [[graft.operators.Dedup.incrementalMinhash]] probes.
-    * This is the missing half of the ingest loop: the batch operator
-    * documents that the corpus index is "built once per corpus, not per
-    * ingest" — this is what keeps it current as documents stream in.
+    * index that [[graft.operators.Dedup.indexCandidates]] probes (the
+    * read half of the loop: fresh batches band-join the index relation
+    * directly — indexed documents are never re-shingled). Together they
+    * close the ingest cycle the batch operator's "built once per corpus,
+    * not per ingest" contract describes.
     *
     * `foreachBatch` + parquet APPEND is the right delivery contract
     * here: a replayed microbatch can only append DUPLICATE signature

@@ -267,6 +267,13 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")).collect()
       .map(_.toSeq).sortBy(_.toString)
     assert(streamed.toSeq == batch.toSeq) // same rows, built incrementally
+    // the read half: a fresh exact copy of an indexed doc band-collides
+    // with it (and only it) when probing the maintained index
+    val cands = graft.operators.Dedup.indexCandidates(
+      Seq((5L, t1)).toDF("doc_id", "text"),
+      spark.read.parquet(s"$tmp/index")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set(5L -> 2L))
   }
 
   test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
