@@ -101,6 +101,7 @@ object SparkEntry {
     "x50_dup_degree" -> ((s, dir) => Dedup.dupDegree(s, dir)),
     "x51_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "x52_lsh_calibration" -> ((s, dir) => Dedup.lshCalibration(s, dir)),
+    "x53_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     // --- temporal: sessionization, as-of join, range join ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -706,6 +707,25 @@ object SparkEntry {
          |       abs(n.n_match::DOUBLE / 16 - j.jaccard) AS abs_err
          |FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2
          |ORDER BY n.d1, n.d2""".stripMargin,
+
+    "x53_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, i::BIGINT AS p,
+        |             md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS h
+        |      FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
+        |      WHERE len(ts) >= 8),
+        |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, p FROM w JOIN hot USING (h)),
+        |m AS (SELECT doc_id, p,
+        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM d),
+        |s AS (SELECT doc_id, p,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
+        |      FROM m)
+        |SELECT doc_id, span_id::BIGINT AS span_id, min(p)::BIGINT AS start_pos,
+        |       (max(p) - min(p) + 8)::BIGINT AS span_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY doc_id, span_id""".stripMargin,
 
     "x48_mixture_plan" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,

@@ -407,6 +407,47 @@ object Dedup {
       bands, numHashes / bands)
   }
 
+  /** EXT-D11 — duplicated-SPAN detection: per document, the maximal
+    * token spans whose every k-token window also occurs elsewhere in the
+    * corpus (or again in the same document) — the distributed
+    * approximation of suffix-array exact-substring dedup: fixed-length
+    * window fingerprints, corpus frequency, then adjacent duplicated
+    * positions merged into maximal spans. Document-level near-dup misses
+    * these (a unique page quoting three boilerplate paragraphs is not a
+    * near-dup of anything); span-level detection finds the paragraphs.
+    *
+    * Plan: one window-fingerprint stream (position-preserving, so the
+    * distinct-shingle expression does not apply — the md5 transform runs
+    * per position; linear in corpus tokens), materialized once for the
+    * frequency pass and the join back; then the sessionize trick merges
+    * adjacent positions — gap flag → running sum → span agg — all three
+    * sharing ONE doc_id shuffle. Output: (doc_id, span_id, start_pos,
+    * span_tokens), 1-based token positions.
+    */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 8, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minDf >= 2, s"need k >= 1 (got $k) and minDf >= 2 (got $minDf)")
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k) // sequence(1, n-k+1) must ascend
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), p -> md5(concat_ws(' ', slice(ts, p, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+      .localCheckpoint() // consumed by the frequency pass AND the join back
+    val hot = w.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val win = Window.partitionBy("doc_id").orderBy("p")
+    val run = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(hot, "h")
+      .select("doc_id", "p")
+      .withColumn("brk", when(col("p") - lag("p", 1).over(win) === 1, 0L).otherwise(1L))
+      .withColumn("span_id", sum("brk").over(run))
+      .groupBy("doc_id", "span_id")
+      .agg(min("p").as("start_pos"), (max(col("p")) - min(col("p")) + k).as("span_tokens"))
+      .orderBy("doc_id", "span_id")
+  }
+
   /** The READ half of the persisted-index loop: probe the LSH index with
     * a fresh batch, returning the candidate pairs (`d1` = fresh doc,
     * `d2` = indexed doc) whose band signatures collide. `index` is the

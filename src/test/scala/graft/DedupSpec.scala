@@ -150,6 +150,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq) // presentation order
   }
 
+  test("dupSpans: shared runs merge to maximal spans; separated repeats stay separate") {
+    val R = (1 to 12).map(i => s"r$i").mkString(" ")  // 12-token shared run
+    val E = (1 to 8).map(i => s"e$i").mkString(" ")   // 8-token repeated run
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> s"a1 a2 a3 $R b1 b2",   // R at positions 4..15
+      2L -> s"c1 $R d1 d2 d3",      // R at positions 2..13
+      3L -> s"$E x1 x2 x3 x4 x5 $E", // E at 1..8 and 14..21 (self-repeat)
+      4L -> E))                      // E alone
+    val got = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // adjacent duplicated windows merge into ONE maximal span per run;
+    // the two copies inside doc 3 are separated, so they stay two spans
+    assert(got.toSet == Set(
+      (1L, 1L, 4L, 12L), (2L, 1L, 2L, 12L),
+      (3L, 1L, 1L, 8L), (3L, 2L, 14L, 8L), (4L, 1L, 1L, 8L)))
+  }
+
   test("lshCalibration: exact copies calibrate to zero error, bounds hold") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val dir = TestTables.documentsDir(spark, Seq(
