@@ -74,7 +74,9 @@ object GraftExtensions {
     fn("graft_simhash", 2, "graft_simhash(toks, bits) - SimHash fingerprint")(
       a => SimHashExpression(a(0), intLit(a(1), "graft_simhash", "bits"))),
     fn("graft_count_in", 2, "graft_count_in(toks, array(...)) - element instances within a fixed word set")(
-      a => CountInExpression(a(0), stringArrayLit(a(1), "graft_count_in", "words"))))
+      a => CountInExpression(a(0), stringArrayLit(a(1), "graft_count_in", "words"))),
+    fn("graft_window_hashes", 2, "graft_window_hashes(toks, k) - 60-bit hash of every k-token window, position order")(
+      a => WindowHashesExpression(a(0), intLit(a(1), "graft_window_hashes", "k"))))
 
   /** Foldable array<string> hyper-parameter (evaluated at plan time —
     * like [[intLit]], the set is compiled into the plan, not per-row).

@@ -711,7 +711,7 @@ object SparkEntry {
     "x53_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |w AS (SELECT doc_id, i::BIGINT AS p,
-        |             md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS h
+        |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
         |      FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
         |      WHERE len(ts) >= 8),
         |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),

@@ -417,21 +417,21 @@ object Dedup {
     * near-dup of anything); span-level detection finds the paragraphs.
     *
     * Plan: one window-fingerprint stream (position-preserving, so the
-    * distinct-shingle expression does not apply — the md5 transform runs
-    * per position; linear in corpus tokens), materialized once for the
-    * frequency pass and the join back; then the sessionize trick merges
-    * adjacent positions — gap flag → running sum → span agg — all three
-    * sharing ONE doc_id shuffle. Output: (doc_id, span_id, start_pos,
-    * span_tokens), 1-based token positions.
+    * distinct-shingle expression does not apply —
+    * [[graft.functions.WindowHashesExpression]] compiles the per-position
+    * md5 pass and emits 60-bit longs; linear in corpus tokens),
+    * materialized once for the frequency pass and the join back; then
+    * the sessionize trick merges adjacent positions — gap flag → running
+    * sum → span agg — all three sharing ONE doc_id shuffle. Output:
+    * (doc_id, span_id, start_pos, span_tokens), 1-based token positions.
     */
   def dupSpans(spark: SparkSession, dir: String, k: Int = 8, minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minDf >= 2, s"need k >= 1 (got $k) and minDf >= 2 (got $minDf)")
     val w = Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= k) // sequence(1, n-k+1) must ascend
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), p -> md5(concat_ws(' ', slice(ts, p, $k))))")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.windowHashes(col("ts"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
       .localCheckpoint() // consumed by the frequency pass AND the join back
     val hot = w.groupBy("h").agg(count(lit(1)).as("df"))

@@ -126,6 +126,15 @@ class ExpressionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WindowHashUtil matches per-window joined-string md5 top-60-bit reference") {
+    check(Prop.forAll(genToks, Gen.chooseNum(1, 6)) { (toks, k) =>
+      val expected = toks.sliding(k).filter(_.size == k)
+        .map(w => top60(w.mkString(" "))).toList
+      val got = graft.functions.WindowHashUtil.windowHashes(arr(toks), k)
+      (0 until got.numElements()).map(got.getLong).toList == expected
+    })
+  }
+
   test("BloomHash.pos matches the SQL first-8-hex-chars derivation for any digest") {
     // the streaming probe's JVM spelling vs the batch operator's
     // conv(substring(md5("bf<i>:"+digest),1,8),16,10) % m — one drifted
