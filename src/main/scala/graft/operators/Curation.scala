@@ -600,10 +600,14 @@ object Curation {
     * is BOUNDED BY m bits by construction (the distinct position
     * relation, not the digests), so it is legitimate at any corpus size —
     * the same constant-size-broadcast argument as the IVF centroids.
+    * Null digests (null document text) derive null positions and are
+    * dropped here, matching both probe paths ([[BloomIndex.mightContain]]
+    * and [[bloomPrefilter]]), which treat null as never-duplicate.
     */
   def buildBloomIndex(corpusDigests: DataFrame, m: Int = 65536, k: Int = 4): BloomIndex = {
     val bits = new Array[Long]((m + 63) / 64)
     corpusDigests
+      .filter(col("digest").isNotNull)
       .select(explode(array((0 until k).map(bloomPos(col("digest"), _, m)): _*)).as("pos"))
       .distinct().collect()
       .foreach { r => val p = r.getLong(0).toInt; bits(p >> 6) |= 1L << (p & 63) }

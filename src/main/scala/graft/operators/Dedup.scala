@@ -394,6 +394,13 @@ object Dedup {
     * (shingles → 16 minhashes → band structs); documents with no
     * shingles (< k tokens) are excluded, exactly as the batch pipeline
     * excludes them.
+    *
+    * The rows CARRY their (num_hashes, bands) parameters — the same
+    * bundling contract as [[Curation.BloomIndex]]'s (m, k): signatures
+    * from different parameter choices can share a column-compatible
+    * shape (any pair with equal rowsPerBand) while comparing hashes from
+    * different seed ranges, which would silently drop true candidates.
+    * [[indexCandidates]] validates them at probe time.
     */
   def bandSignatures(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
@@ -405,6 +412,8 @@ object Dedup {
       arr.select(col("doc_id"),
         graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
       bands, numHashes / bands)
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
   }
 
   /** EXT-D11 — duplicated-SPAN detection: per document, the maximal
@@ -460,6 +469,16 @@ object Dedup {
     * verifies its parity-derived candidates. Duplicate index rows (the
     * at-least-once maintenance contract) only repeat collisions — the
     * final `distinct` absorbs them.
+    *
+    * The probe VALIDATES the index's bundled (num_hashes, bands) against
+    * its own before joining: an index built under different parameters
+    * can be column-compatible with the probe (equal rowsPerBand, e.g.
+    * 8/2 vs 16/4) while its hashes come from different seed ranges —
+    * collisions would then be md5-coincidence only, silently dropping
+    * true candidates. That is a false-NEGATIVE hazard, so it must fail
+    * loudly, mirroring [[Curation.BloomIndex]]'s (m, k) bundling. The
+    * validation scan is metadata-scale (a distinct over two constant
+    * columns, partial-aggregated to ≤ one row per partition).
     */
   def indexCandidates(
       freshDocs: DataFrame,
@@ -468,9 +487,17 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    require(index.columns.contains("num_hashes") && index.columns.contains("bands"),
+      "index does not carry its (num_hashes, bands) parameters — rebuild it with bandSignatures")
+    val params = index.select("num_hashes", "bands").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    require(params.isEmpty || params.sameElements(Array((numHashes, bands))),
+      s"index was built with (num_hashes, bands) = ${params.mkString(", ")}; " +
+        s"probing with ($numHashes, $bands) would silently drop true candidates")
     val bandKey = Seq("band") ++ (0 until numHashes / bands).map(r => s"m$r")
     bandSignatures(freshDocs, numHashes, bands).withColumnRenamed("doc_id", "d1")
-      .join(index.withColumnRenamed("doc_id", "d2"), bandKey)
+      .drop("num_hashes", "bands")
+      .join(index.withColumnRenamed("doc_id", "d2").drop("num_hashes", "bands"), bandKey)
       .select("d1", "d2")
       .distinct()
   }

@@ -207,6 +207,20 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3L)._3 == false && rows(3L)._2 == false)
   }
 
+  test("buildBloomIndex: null digests are dropped, matching the probes' null handling") {
+    import spark.implicits._
+    // null text -> null sha2 digest; the build must survive it AND the
+    // resulting index must behave as if the null row were absent
+    import org.apache.spark.sql.functions.{col, sha2}
+    val digests = Seq(Some("alpha beta gamma"), None).toDF("text")
+      .select(sha2(col("text"), 256).as("digest"))
+    val idx = Curation.buildBloomIndex(digests)
+    val alphaDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("alpha beta gamma".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(idx.mightContain(alphaDigest))
+    assert(!idx.mightContain(null)) // null probes stay never-duplicate
+  }
+
   test("mixturePlan: over-represented sources downsample, under-represented keep all") {
     // source A: 6 of 8 tokens (share 0.75), source B: 2 of 8 (share 0.25)
     val dir = TestTables.documentsSourcedDir(spark, Seq(

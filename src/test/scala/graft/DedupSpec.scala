@@ -227,4 +227,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       assert(sk(("U", s)) == math.min(sk(("A", s)), sk(("B", s))), s"seed $s")
     }
   }
+
+  test("indexCandidates: rejects an index built under different (num_hashes, bands)") {
+    import spark.implicits._
+    val docs = Seq((2L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    // 8/2 and 16/4 share rowsPerBand = 4 — column-compatible, seed-incompatible:
+    // exactly the silent-false-negative shape the bundled params must catch
+    val index = Dedup.bandSignatures(docs, numHashes = 8, bands = 2)
+    assert(index.columns.contains("num_hashes") && index.columns.contains("bands"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.indexCandidates(docs.withColumn("doc_id", col("doc_id") + 3), index,
+        numHashes = 16, bands = 4)
+    }
+    assert(e.getMessage.contains("(8,2)"))
+    // an unstamped (legacy) index fails fast too, before any join runs
+    val legacy = intercept[IllegalArgumentException] {
+      Dedup.indexCandidates(docs, index.drop("num_hashes", "bands"))
+    }
+    assert(legacy.getMessage.contains("rebuild"))
+    // matching parameters still probe normally
+    val ok = Dedup.indexCandidates(
+      docs.withColumn("doc_id", col("doc_id") + 3), index, numHashes = 8, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set(5L -> 2L))
+  }
 }
