@@ -102,10 +102,15 @@ object SparkEntry {
     "x51_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "x52_lsh_calibration" -> ((s, dir) => Dedup.lshCalibration(s, dir)),
     "x53_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
-    // --- temporal: sessionization, as-of join, range join ---
+    // --- semantic (embedding-space) curation ---
+    "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir)),
+    // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
     "x28_range_join" -> ((s, dir) => Temporal.rangeJoin(s, dir)),
+    "x55_event_funnel" -> ((s, dir) => Temporal.funnel(s, dir)),
+    "x56_retention_cohorts" -> ((s, dir) => Temporal.retentionCohorts(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -178,7 +183,10 @@ object SparkEntry {
     * hop for hop (same fold orders, same tie-breaks, same empty-cell
     * fallback) over 64-dim embeddings.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  /** The shared k-means CTE chain (init + Lloyd iterations, trained
+    * centroids in `c$iters`), mirroring the Spark side's trainCentroids.
+    */
+  private def kmeansCtes(k: Int, iters: Int): Seq[String] = {
     val init =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
          |c0 AS (SELECT vec_id::BIGINT AS cid, ed AS cd FROM e WHERE vec_id < $k)""".stripMargin
@@ -196,8 +204,26 @@ object SparkEntry {
          |c$t AS (SELECT c$p.cid, coalesce(m.cd, c$p.cd) AS cd
          |        FROM c$p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cd FROM m$t GROUP BY cid) m ON m.cid = c$p.cid)""".stripMargin
     }
-    (Seq(s"WITH $init") ++ iterations).mkString(",\n") +
+    Seq(s"WITH $init") ++ iterations
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    kmeansCtes(k, iters).mkString(",\n") +
       s"\nSELECT cid, t.dim::BIGINT AS dim, cd[t.dim] AS val FROM c$iters, unnest(range(1, 65)) AS t(dim) ORDER BY cid, dim"
+
+  /** [[kmeansCtes]] plus a FINAL assignment under the trained centroids
+    * (`af`: vec_id → cid) — the shared prefix of the trained-centroid
+    * consumers (x54 semantic dedup, x57 prototypicality), mirroring the
+    * Spark side's trainCentroids + assignCells split.
+    */
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
+    val finalAssign =
+      s"""nf AS (SELECT cid, list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> cd[i] * cd[i])), (a, b) -> a + b) AS nrm FROM c$iters),
+         |sf AS (SELECT e.vec_id, c.cid,
+         |       list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b) - nf.nrm / 2 AS score
+         |       FROM e CROSS JOIN c$iters c JOIN nf ON nf.cid = c.cid),
+         |af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sf) r WHERE rn = 1)""".stripMargin
+    (kmeansCtes(k, iters) :+ finalAssign).mkString(",\n")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -794,5 +820,46 @@ object SparkEntry {
         |SELECT a.event_id AS e1, b.event_id AS e2, (b.us - a.us) / 1000000.0 AS delta_s
         |FROM ev a JOIN ev b ON a.event_id < b.event_id AND abs(a.us - b.us) <= 5000000
         |ORDER BY e1, e2""".stripMargin,
+
+    "x54_semantic_dedup" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        """,
+          |p AS (SELECT x.vec_id AS v1, count(*) AS n_dups
+          |      FROM af x JOIN af y ON x.cid = y.cid AND y.vec_id < x.vec_id
+          |      JOIN e ex ON ex.vec_id = x.vec_id
+          |      JOIN e ey ON ey.vec_id = y.vec_id
+          |      WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (a, b) -> a + b) >= 0.4
+          |      GROUP BY 1)
+          |SELECT af.vec_id, af.cid AS cell, coalesce(p.n_dups, 0)::BIGINT AS n_dups,
+          |       coalesce(p.n_dups, 0) = 0 AS is_kept
+          |FROM af LEFT JOIN p ON p.v1 = af.vec_id ORDER BY af.vec_id""".stripMargin),
+
+    "x57_centroid_sim" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        """
+          |SELECT af.vec_id, af.cid AS cell,
+          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b), 4) AS cent_sim4
+          |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
+          |ORDER BY af.vec_id""".stripMargin),
+
+    "x55_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY 1)
+        |SELECT 1::BIGINT AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "x56_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) // 86400000000 + 3) // 7 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT c.cohort_wk, ev.wk - c.cohort_wk AS week_offset, count(*) AS n_users
+        |FROM ev JOIN c ON c.user_id = ev.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

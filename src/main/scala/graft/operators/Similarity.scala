@@ -269,25 +269,40 @@ object Similarity {
     */
   def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val cents = trainCentroids(embDouble(spark, dir), k, iters)
+    val rows = cents.flatMap { case (i, cd) =>
+      cd.zipWithIndex.map { case (v, d) => (i.toLong, (d + 1).toLong, v) }
+    }
+    spark.createDataset(rows).toDF("cid", "dim", "val").orderBy("cid", "dim")
+  }
+
+  /** The `(vec_id, ed: array<double>)` training relation, materialized
+    * once — every centroid-based operator scans it several times.
+    */
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-      .localCheckpoint() // scanned 2·iters times below; materialize once
+      .localCheckpoint()
+
+  /** The Lloyd training loop shared by [[kmeansCentroids]],
+    * [[semanticDedup]] and [[centroidSim]] — see [[kmeansCentroids]] for
+    * the determinism/oracle contract. Returns the trained centroids as
+    * driver-side constants (k·dim doubles — the legitimate constant-size
+    * collect, as with the IVF centroids).
+    */
+  private def trainCentroids(
+      e: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    import e.sparkSession.implicits._
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("ed"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map { case (i, c) => (i, c.toArray) }.toSeq
     // fail loudly, not head-of-empty-list (and never silently train
     // fewer than k centroids on sparse/re-keyed corpora)
     require(cents.length == k,
-      s"kmeansCentroids: seeding needs vectors with vec_id 0..${k - 1}, found ${cents.length} of $k")
+      s"kmeans: seeding needs vectors with vec_id 0..${k - 1}, found ${cents.length} of $k")
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val scoredCells = array(cents.map { case (i, cd) =>
-        val nrm = cd.foldLeft(0.0)((a, v) => a + v * v) // oracle's fold order
-        struct((dot(col("ed"), typedlit(cd.toSeq)) - lit(nrm / 2)).as("s"),
-          lit(k - 1 - i).as("nk"))
-      }: _*)
-      val assigned = e.select(col("vec_id"), col("ed"),
-        (lit(k - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      val assigned = assignCells(e, cents)
       val updated = assigned.groupBy("cell")
         .agg(count(lit(1)).as("cnt"),
           aggregate(
@@ -298,10 +313,86 @@ object Similarity {
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.map { case (i, old) => (i, updated.get(i).map(_.toArray).getOrElse(old)) }
     }
-    val rows = cents.flatMap { case (i, cd) =>
-      cd.zipWithIndex.map { case (v, d) => (i.toLong, (d + 1).toLong, v) }
-    }
-    spark.createDataset(rows).toDF("cid", "dim", "val").orderBy("cid", "dim")
+    cents
+  }
+
+  /** Row-local nearest-centroid assignment (argmax of `x·c − ‖c‖²/2`,
+    * ties to the lowest centroid id) — the centroids ride along as plan
+    * literals, so this is a narrow projection with no shuffle and no
+    * join, shared by the training loop and every trained-centroid
+    * consumer.
+    */
+  private def assignCells(e: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val k = cents.length
+    val scoredCells = array(cents.map { case (i, cd) =>
+      val nrm = cd.foldLeft(0.0)((a, v) => a + v * v) // oracle's fold order
+      struct((dot(col("ed"), typedlit(cd.toSeq)) - lit(nrm / 2)).as("s"),
+        lit(k - 1 - i).as("nk"))
+    }: _*)
+    e.select(col("vec_id"), col("ed"),
+      (lit(k - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+  }
+
+  /** EXT-S8 — semantic deduplication (SemDeDup): cluster the embedding
+    * space with deterministic k-means ([[trainCentroids]]), then inside
+    * each cluster drop every vector that has a LOWER-id cluster-mate
+    * with cosine ≥ `threshold` — near-duplicate *meaning*, which
+    * text-level dedup cannot see (a paraphrase shares no shingles).
+    * Output per vector: its cluster, how many lower-id near-duplicate
+    * cluster-mates it has, and the keep verdict (`n_dups == 0` — the
+    * deterministic keep-lowest-id rule, as [[Curation.incrementalDedup]]).
+    *
+    * Scale shape: assignment is a narrow centroid-literal pass (no
+    * shuffle); the pair search equi-joins on the cluster id, so the cost
+    * is Σ|cluster|² — the SemDeDup bargain: k grows WITH the corpus
+    * (k ≈ n/⟨cluster⟩ fixes ⟨cluster⟩, paper-standard), so the quadratic
+    * term is bounded per cluster while the join stays a plain shuffle
+    * join on `cell`. Exactly the [[bucketedTopK]] Σ|bucket|² argument
+    * with learned buckets instead of sign bits.
+    */
+  def semanticDedup(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    val e = embDouble(spark, dir)
+    val asg = assignCells(e, trainCentroids(e, k, iters))
+      .localCheckpoint() // consumed by both pair-join sides and the output
+    val a = asg.select(col("cell"), col("vec_id").as("v1"), col("ed").as("e1"))
+    val b = asg.select(col("cell"), col("vec_id").as("v2"), col("ed").as("e2"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("v2") < col("v1") && dot(col("e1"), col("e2")) >= threshold)
+      .groupBy(col("v1").as("vec_id")).agg(count(lit(1)).as("n_dups"))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** EXT-S9 — prototypicality: each vector's cosine to its OWN trained
+    * centroid. The pruning signal of the SemDeDup/SSL-prototypes line of
+    * work — most-prototypical keeps the cleanest examples, least keeps
+    * the most diverse — and the audit view of cluster tightness. One
+    * narrow assignment pass plus a broadcast join against the k-row
+    * centroid table; nothing big shuffles.
+    */
+  def centroidSim(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, dir)
+    val cents = trainCentroids(e, k, iters)
+    val centDf = spark.createDataset(cents.map { case (i, cd) => (i, cd.toSeq) })
+      .toDF("cell", "cd")
+    assignCells(e, cents)
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(dot(col("ed"), col("cd")), 4).as("cent_sim4"))
+      .orderBy("vec_id")
   }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,

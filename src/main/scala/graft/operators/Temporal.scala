@@ -113,4 +113,77 @@ object Temporal {
       .select(col("e1"), col("e2"), ((col("us2") - col("us1")) / 1000000.0).as("delta_s"))
       .orderBy("e1", "e2")
   }
+
+  /** EXT-X4 — ordered funnel: how many users complete each prefix of the
+    * step sequence IN ORDER — step i counts a user only if some step-i
+    * event strictly follows their earliest qualifying step-(i−1) event.
+    * Earliest-completion semantics: each stage keeps the MINIMUM
+    * qualifying timestamp, the standard funnel definition (a later
+    * re-view never resets progress).
+    *
+    * Scale shape: stage i is computed by joining the step-i event scan
+    * against the PER-USER stage-(i−1) relation — user-level, ≤ one row
+    * per user, strictly shrinking with i — which is explicitly
+    * `broadcast()`: every stage is a narrow pass over the (pre-filtered,
+    * pushed-down) event scan with a map-side hash probe, so the event
+    * relation never shuffles at any stage, and each stage's aggregation
+    * shuffles only the matching step-i events. A collect_list-per-user
+    * fold would carry every user's full history through one shuffle;
+    * this spelling moves only (user, min_ts) pairs.
+    */
+  def funnel(
+      spark: SparkSession,
+      dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = Replication.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // stage 1: earliest step-0 event per user
+    var stage = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stage.agg(lit(1L).as("step"), lit(steps.head).as("step_name"),
+      count(lit(1)).as("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      stage = ev.filter(col("event_type") === s)
+        .join(broadcast(stage), "user_id")
+        .filter(col("us") > col("t"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      counts += stage.agg(lit(i + 1L).as("step"), lit(s).as("step_name"),
+        count(lit(1)).as("n_users"))
+    }
+    counts.result().reduce(_.union(_)).orderBy("step")
+  }
+
+  /** EXT-X5 — weekly retention cohorts: users grouped by the ISO week of
+    * their FIRST event (the cohort), counted as retained in week-offset
+    * `w` if they have any event in cohort_week + w. The
+    * (cohort, offset) → distinct-user triangle every growth dashboard
+    * draws.
+    *
+    * Scale shape: two aggregations sharing the user_id shuffle key — the
+    * first-event pass produces one row per user, then the (user, week)
+    * distinct activity relation joins it BY USER with the tiny cohort
+    * side broadcast, so activity never reshuffles; the final
+    * (cohort, offset) rollup moves one row per (user, active-week).
+    * Weeks are exact integer arithmetic on epoch days (Monday-anchored,
+    * matching DuckDB's date_trunc('week')), not timezone-dependent
+    * truncation.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    // Monday-anchored week index: 1970-01-01 was a Thursday, so shift
+    // epoch days by 3 before dividing — pure integer arithmetic
+    // (`div`, truncating; all operands positive so it equals the
+    // oracle's floor division), identical in both engines
+    val ev = Replication.events(spark, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000 + 3) div 7").as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = ev.distinct() // one row per (user, active-week)
+    active.join(broadcast(cohorts), "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
 }

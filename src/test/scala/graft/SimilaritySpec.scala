@@ -159,4 +159,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("semanticDedup: lowest id per near-dup group kept, cross-cluster dups invisible") {
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),          // seed centroid 0
+      1L -> Seq(0f, 1f, 0f, 0f),          // seed centroid 1
+      2L -> Seq(1f, 0f, 0f, 0f),          // exact dup of 0 -> dropped
+      3L -> Seq(0.995f, 0.0999f, 0f, 0f), // near-dup of 0 AND 2 -> n_dups 2
+      4L -> Seq(0f, 0.995f, 0.0999f, 0f), // near-dup of 1 in cluster 1
+      5L -> Seq(0.7f, 0.7f, 0f, 0f)))     // cluster 0 via tie, similar to nobody
+    val got = Similarity.semanticDedup(spark, dir, k = 2, iters = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((0L, 0L, true)) && got(1L) == ((1L, 0L, true)))
+    assert(got(2L) == ((0L, 1L, false)))  // one lower-id partner (0)
+    assert(got(3L)._2 == 2L && !got(3L)._3) // partners 0 and 2
+    assert(got(4L) == ((1L, 1L, false)))  // partner 1, in the OTHER cluster
+    assert(got(5L) == ((0L, 0L, true)))   // shares a cluster, below threshold
+  }
+
+  test("centroidSim: each vector scored against its own trained centroid") {
+    // iters = 0 keeps the seed centroids: scores are plain dot products
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.6f, 0.8f))) // nearer the y-axis centroid
+    val got = Similarity.centroidSim(spark, dir, k = 2, iters = 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((0L, 1.0)) && got(1L) == ((1L, 1.0)))
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 0.8) < 1e-9)
+  }
 }

@@ -57,4 +57,46 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.sameElements(Array((0L, 1L, 3.0), (1L, 2L, 5.0))))
   }
+
+  test("funnel: steps count only strictly-ordered completions") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      // user 1 completes the whole funnel in order
+      (0L, us(0), 1L, "view"), (1L, us(10), 1L, "click"), (2L, us(20), 1L, "purchase"),
+      // user 2's click PRECEDES their view: step 1 only
+      (3L, us(5), 2L, "click"), (4L, us(10), 2L, "view"),
+      // user 3 views only
+      (5L, us(0), 3L, "view"),
+      // user 4 purchases without ever viewing: no stage at all
+      (6L, us(0), 4L, "purchase"),
+      // user 5's click is SIMULTANEOUS with the view: not strictly after
+      (7L, us(7), 5L, "view"), (8L, us(7), 5L, "click")))
+    val got = Temporal.funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(Array(
+      (1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L))))
+  }
+
+  test("funnel: a later re-view never resets progress (earliest-completion semantics)") {
+    // click sits between the first and second view: counted against the
+    // EARLIEST view, so the funnel completes
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(0), 1L, "view"), (1L, us(10), 1L, "click"),
+      (2L, us(20), 1L, "view"), (3L, us(30), 1L, "purchase")))
+    val got = Temporal.funnel(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L))))
+  }
+
+  test("retentionCohorts: Monday-anchored weeks, offsets from the cohort week") {
+    val day = 86400L
+    // epoch day 0 was a Thursday: days 0-3 are week 0, day 4 starts week 1
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(0), 1L, "view"),            // user 1 cohort week 0
+      (1L, us(11 * day), 1L, "view"),     // day 11 -> week 2: offset 2
+      (2L, us(1 * day), 2L, "view"),      // user 2 cohort week 0, week-0 only
+      (3L, us(4 * day), 3L, "view"),      // user 3 cohort week 1 (Monday boundary)
+      (4L, us(4 * day + 10), 3L, "view"))) // same week: ONE active-week row
+    val got = Temporal.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(Array((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L))))
+  }
 }
