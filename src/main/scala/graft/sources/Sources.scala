@@ -78,6 +78,30 @@ object Sources {
       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(outDir)
 
+  /** ORC documents reader — the other columnar interchange format large
+    * warehouses hand over (Hive/Trino land writes ORC as often as
+    * parquet). Same explicit-schema contract as the other readers; ORC
+    * is natively splittable and predicate-pushdown-capable in Spark, so
+    * the 100 TB properties match the parquet path. ORC stores the
+    * schema per file, so a schema MISMATCH (rather than a malformed
+    * record) surfaces as an analysis/read error without needing
+    * FAILFAST.
+    */
+  def documentsOrc(spark: SparkSession, path: String): DataFrame =
+    enforceNonNull(
+      spark.read.schema(documentsSchema).orc(path),
+      documentsSchema)
+
+  /** ORC writer for any relation — the interchange sink mirroring
+    * [[documentsOrc]], with [[writePartitioned]]'s explicit-overwrite
+    * contract.
+    */
+  def writeOrc(
+      df: DataFrame,
+      outDir: String,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).orc(outDir)
+
   /** Compact a parquet dataset into ~`targetBytes`-sized files — the
     * periodic maintenance pass every long-lived ingest pipeline needs:
     * streaming sinks and incremental batch appends accumulate small

@@ -109,4 +109,22 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     Sources.writePartitioned(df2, out, mode = org.apache.spark.sql.SaveMode.Overwrite)
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("ORC round-trip: writeOrc then documentsOrc preserves rows; pushdown reaches the scan") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = Seq(
+      (1L, "alpha beta", "en", "web", 10L),
+      (2L, "gamma delta", "es", "books", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sources.writeOrc(docs, out)
+    val back = Sources.documentsOrc(spark, out)
+    assert(back.as[(Long, String, String, String, Long)].collect().sorted.toSeq ==
+      Seq((1L, "alpha beta", "en", "web", 10L), (2L, "gamma delta", "es", "books", 11L)))
+    // same explicit-overwrite contract as the parquet writer
+    intercept[Exception](Sources.writeOrc(docs, out))
+    // filters push into the ORC scan (PushedFilters in the physical plan)
+    val plan = back.filter($"doc_id" === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+  }
 }
