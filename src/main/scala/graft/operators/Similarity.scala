@@ -371,29 +371,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Train centroids for external consumers (the streaming twin trains
+    * on the BATCH corpus, then scores the stream against the result).
+    */
+  def trainedCentroids(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2): Seq[(Int, Array[Double])] =
+    trainCentroids(embDouble(spark, dir), k, iters)
+
+  /** Cell assignment + prototypicality over ANY (vec_id, embedding)
+    * relation — batch or unbounded stream: the trained centroids ride
+    * along as plan literals (assignment argmax AND the own-centroid
+    * cosine via `element_at` on a literal array-of-arrays), so this is
+    * a pure row-local projection — no join, no shuffle, no state.
+    * Output: (vec_id, cell, cent_sim4). One definition shared by
+    * [[centroidSim]], the streaming twin, and their specs.
+    */
+  def centroidProjection(
+      relation: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val centArr = typedlit(cents.sortBy(_._1).map(_._2.toSeq))
+    assignCells(
+      relation.select(col("vec_id"), col("embedding").cast("array<double>").as("ed")),
+      cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(dot(col("ed"), element_at(centArr, col("cell") + 1)), 4).as("cent_sim4"))
+  }
+
   /** EXT-S9 — prototypicality: each vector's cosine to its OWN trained
     * centroid. The pruning signal of the SemDeDup/SSL-prototypes line of
     * work — most-prototypical keeps the cleanest examples, least keeps
     * the most diverse — and the audit view of cluster tightness. One
-    * narrow assignment pass plus a broadcast join against the k-row
-    * centroid table; nothing big shuffles.
+    * narrow row-local pass ([[centroidProjection]]); the only exchange
+    * in the whole plan is the presentation sort.
     */
   def centroidSim(
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
-    import spark.implicits._
-    val e = embDouble(spark, dir)
-    val cents = trainCentroids(e, k, iters)
-    val centDf = spark.createDataset(cents.map { case (i, cd) => (i, cd.toSeq) })
-      .toDF("cell", "cd")
-    assignCells(e, cents)
-      .join(broadcast(centDf), "cell")
-      .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        round(dot(col("ed"), col("cd")), 4).as("cent_sim4"))
+      iters: Int = 2): DataFrame =
+    centroidProjection(
+      Tables.embeddings(spark, dir),
+      trainedCentroids(spark, dir, k, iters))
       .orderBy("vec_id")
-  }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
     * restricted to bucket-colliding pairs (same LSH design as

@@ -254,4 +254,19 @@ object StreamOps {
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n))
       }
   }
+
+  /** EXT-6i — streaming semantic-cell assignment: score an unbounded
+    * (vec_id, embedding) stream against centroids trained on the BATCH
+    * corpus ([[graft.operators.Similarity.trainedCentroids]]), emitting
+    * each vector's cell and prototypicality. The projection is the ONE
+    * batch definition ([[graft.operators.Similarity.centroidProjection]])
+    * run per microbatch unchanged — centroids are plan literals, so the
+    * stream never shuffles, never joins, and holds NO state: the
+    * embedding-space twin of the Bloom prefilter's index-probe contract
+    * (train on the corpus once, score arrivals row-locally forever;
+    * retrain is a new query with new literals).
+    */
+  def centroidAssignStream(
+      vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    graft.operators.Similarity.centroidProjection(vecs, cents)
 }

@@ -203,4 +203,38 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // tf⋈df join (tf side cached): df agg, join shuffles, rank window, sort
     assert(shuffles(p) <= 5, s"unexpected shuffle count in:\n$p")
   }
+
+  test("funnel: every stage joins broadcast user-state into the event scan — no merge joins") {
+    val p = plan(Temporal.funnel(spark, dir))
+    // the scale claim: events never shuffle for a join at any stage; the
+    // per-user stage relation is always the broadcast side
+    assert(p.collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      .isEmpty, p.toString)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.length >= 2, p.toString)
+  }
+
+  test("retention cohorts: activity joins the broadcast cohort side, bounded shuffles") {
+    val p = plan(Temporal.retentionCohorts(spark, dir))
+    assert(p.collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+      .isEmpty, p.toString)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
+    // (user, week) distinct + cohort agg + final rollup + presentation sort
+    assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("centroid prototypicality: row-local scoring — only the presentation sort exchanges") {
+    val p = plan(Similarity.centroidSim(spark, dir))
+    assert(shuffles(p) <= 1, s"unexpected shuffle count in:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty, p.toString)
+  }
+
+  test("semantic dedup: pair search is an equi-join on the cell id — never a cross product") {
+    val p = plan(Similarity.semanticDedup(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, p.toString)
+    // cell-key pair join (2 sides) + dup-count agg + verdict join + sort
+    assert(shuffles(p) <= 6, s"unexpected shuffle count in:\n$p")
+  }
 }

@@ -305,4 +305,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(got(1L)) // the true duplicate can never be missed
     } finally q.stop()
   }
+
+  test("centroidAssignStream: streamed cells/prototypicality equal the batch projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val cents = graft.operators.Similarity.trainedCentroids(spark, sfDir, k = 8, iters = 2)
+    val batch = graft.operators.Similarity.centroidSim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sample = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 50)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.centroidAssignStream(
+      stream.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("cells_out").outputMode("append").start()
+    try {
+      stream.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("cells_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty && got.subsetOf(batch)) // same rows, scored on arrival
+    } finally q.stop()
+  }
 }
