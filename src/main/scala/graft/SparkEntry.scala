@@ -105,6 +105,7 @@ object SparkEntry {
     // --- semantic (embedding-space) curation ---
     "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir)),
+    "x58_ann_multiprobe" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -820,6 +821,24 @@ object SparkEntry {
         |SELECT a.event_id AS e1, b.event_id AS e2, (b.us - a.us) / 1000000.0 AS delta_s
         |FROM ev a JOIN ev b ON a.event_id < b.event_id AND abs(a.us - b.us) <= 5000000
         |ORDER BY e1, e2""".stripMargin,
+
+    "x58_ann_multiprobe" ->
+      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |asg AS (SELECT e.vec_id, c.ccid,
+         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+         |                 c.ccid) AS rn
+         |        FROM e CROSS JOIN c),
+         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
+         |probes AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn <= 2),
+         |s AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
+         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
+         |      FROM probes x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
+         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "x54_semantic_dedup" ->
       (kmeansAssignCtes(k = 8, iters = 2) +

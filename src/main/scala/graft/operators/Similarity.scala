@@ -183,8 +183,11 @@ object Similarity {
       dir: String,
       k: Int = 3,
       nCentroids: Int = 16,
-      queryMod: Option[Int] = None): DataFrame = {
+      queryMod: Option[Int] = None,
+      nprobe: Int = 1): DataFrame = {
     import spark.implicits._
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
@@ -196,20 +199,33 @@ object Similarity {
       struct(dot(col("embedding"), typedlit(c)).as("s"),
         lit(nCentroids - 1 - i).as("nk"))
     }: _*)
+    // the query's top-nprobe cells, best first (multi-probe IVF — the
+    // recall/cost knob: each query searches its nprobe nearest cells,
+    // candidates stay indexed under their single argmax cell, so the
+    // query side fans out ×nprobe and the index side never grows).
+    // Sorting ascending then reversing puts (highest score, then lowest
+    // centroid id) first — the same tie-break as the argmax
+    val probeCells = transform(
+      slice(reverse(array_sort(scoredCells)), 1, nprobe),
+      p => lit(nCentroids - 1) - p.getField("nk"))
     // materialized once: both join sides consume the assignment, and
     // Spark would otherwise evaluate the nCentroids-dot argmax per side
     // (at 100 TB the assignment is the expensive corpus pass — it is
     // written out once, exactly like a real IVF index build)
     val withCell = emb.select(col("vec_id"), col("embedding"),
-      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"),
+      probeCells.as("probe_cells"))
       .repartition(col("cell"))
       .localCheckpoint()
     // evaluation callers sample the query side; the filter lands BEFORE
     // the cell join so unsampled queries are never scored (the corpus/
     // candidate side always stays full — recall is against the whole
-    // index)
-    val allQ = withCell.select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qe"))
-    val a = queryMod.fold(allQ)(m => allQ.filter(pmod(col("qid"), lit(m)) === 0))
+    // index). A candidate lives in exactly ONE cell and a query's probe
+    // cells are distinct, so no (qid, cid) pair can repeat — no dedup
+    val qSrc = queryMod.fold(withCell)(m =>
+      withCell.filter(pmod(col("vec_id"), lit(m)) === 0))
+    val a = qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      explode(col("probe_cells")).as("cell"))
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))

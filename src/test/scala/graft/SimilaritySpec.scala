@@ -160,6 +160,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("multi-probe IVF: monotone in nprobe, equals brute force at nprobe = nCentroids") {
+    val sfDir = "/root/testdata/sf0.001"
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hits(Similarity.bruteForceTopK(spark, sfDir, k = 3, queryMod = 25))
+    val p1 = hits(Similarity.ivfTopK(spark, sfDir, k = 3, queryMod = Some(25), nprobe = 1))
+    val p4 = hits(Similarity.ivfTopK(spark, sfDir, k = 3, queryMod = Some(25), nprobe = 4))
+    val pAll = hits(Similarity.ivfTopK(spark, sfDir, k = 3, queryMod = Some(25), nprobe = 16))
+    // probing every cell IS brute force (same scores, same tie-breaks)
+    assert(pAll == exact)
+    // recall against ground truth is monotone in nprobe
+    assert((p1 & exact).size <= (p4 & exact).size)
+    assert((p4 & exact).size <= (pAll & exact).size)
+  }
+
   test("semanticDedup: lowest id per near-dup group kept, cross-cluster dups invisible") {
     val dir = TestTables.embeddingsDir(spark, Seq(
       0L -> Seq(1f, 0f, 0f, 0f),          // seed centroid 0
