@@ -857,7 +857,8 @@ object SparkEntry {
       (kmeansAssignCtes(k = 8, iters = 2) +
         """
           |SELECT af.vec_id, af.cid AS cell,
-          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b), 4) AS cent_sim4
+          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
+          |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
           |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
           |ORDER BY af.vec_id""".stripMargin),
 

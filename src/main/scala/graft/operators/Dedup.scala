@@ -489,10 +489,16 @@ object Dedup {
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     require(index.columns.contains("num_hashes") && index.columns.contains("bands"),
       "index does not carry its (num_hashes, bands) parameters — rebuild it with bandSignatures")
+    // null params = a pre-stamping index file appended to by a stamped
+    // maintainer (mixed parquet schemas): those rows' provenance is
+    // unknowable, which is the same false-negative hazard as a mismatch
     val params = index.select("num_hashes", "bands").distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    require(params.isEmpty || params.sameElements(Array((numHashes, bands))),
-      s"index was built with (num_hashes, bands) = ${params.mkString(", ")}; " +
+      .map(r => if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getInt(0), r.getInt(1))))
+    require(params.forall(_.isDefined),
+      "index mixes parameter-stamped and unstamped rows (legacy files appended to " +
+        "by a stamped maintainer?) — rebuild it with bandSignatures")
+    require(params.isEmpty || params.flatten.sameElements(Array((numHashes, bands))),
+      s"index was built with (num_hashes, bands) = ${params.flatten.mkString(", ")}; " +
         s"probing with ($numHashes, $bands) would silently drop true candidates")
     val bandKey = Seq("band") ++ (0 until numHashes / bands).map(r => s"m$r")
     bandSignatures(freshDocs, numHashes, bands).withColumnRenamed("doc_id", "d1")

@@ -199,22 +199,12 @@ object Similarity {
       struct(dot(col("embedding"), typedlit(c)).as("s"),
         lit(nCentroids - 1 - i).as("nk"))
     }: _*)
-    // the query's top-nprobe cells, best first (multi-probe IVF — the
-    // recall/cost knob: each query searches its nprobe nearest cells,
-    // candidates stay indexed under their single argmax cell, so the
-    // query side fans out ×nprobe and the index side never grows).
-    // Sorting ascending then reversing puts (highest score, then lowest
-    // centroid id) first — the same tie-break as the argmax
-    val probeCells = transform(
-      slice(reverse(array_sort(scoredCells)), 1, nprobe),
-      p => lit(nCentroids - 1) - p.getField("nk"))
     // materialized once: both join sides consume the assignment, and
     // Spark would otherwise evaluate the nCentroids-dot argmax per side
     // (at 100 TB the assignment is the expensive corpus pass — it is
     // written out once, exactly like a real IVF index build)
     val withCell = emb.select(col("vec_id"), col("embedding"),
-      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"),
-      probeCells.as("probe_cells"))
+      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
       .repartition(col("cell"))
       .localCheckpoint()
     // evaluation callers sample the query side; the filter lands BEFORE
@@ -224,8 +214,24 @@ object Similarity {
     // cells are distinct, so no (qid, cid) pair can repeat — no dedup
     val qSrc = queryMod.fold(withCell)(m =>
       withCell.filter(pmod(col("vec_id"), lit(m)) === 0))
-    val a = qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(col("probe_cells")).as("cell"))
+    // the query's top-nprobe cells, best first (multi-probe IVF — the
+    // recall/cost knob: each query searches its nprobe nearest cells,
+    // candidates stay indexed under their single argmax cell, so the
+    // query side fans out ×nprobe and the index side never grows).
+    // Sorting ascending then reversing puts (highest score, then lowest
+    // centroid id) first — the same tie-break as the argmax. Derived on
+    // the (possibly sampled) QUERY side only, AFTER the materialized
+    // index build: corpus rows that are never queries must not pay the
+    // nCentroids-struct sort, and the nprobe=1 plan stays the stored
+    // argmax cell untouched
+    val a =
+      if (nprobe == 1)
+        qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      else
+        qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(
+            slice(reverse(array_sort(scoredCells)), 1, nprobe),
+            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
@@ -404,33 +410,58 @@ object Similarity {
     * a pure row-local projection — no join, no shuffle, no state.
     * Output: (vec_id, cell, cent_sim4). One definition shared by
     * [[centroidSim]], the streaming twin, and their specs.
+    *
+    * `cent_sim4` is the TRUE cosine: trained centroids are means of
+    * unit vectors, so their norms are < 1 and vary per cluster (tight
+    * cluster ≈ 1, diffuse ≈ far below) — a raw dot product would rank
+    * clusters by centroid norm, not vectors by proximity, corrupting
+    * any global "keep most-prototypical" cut. The corpus vectors are
+    * unit-normalized (verified), so dividing by ‖c‖ alone normalizes;
+    * the norms are driver-side constants (sqrt of the same left fold
+    * the oracle spells), one IEEE division per row.
     */
   def centroidProjection(
-      relation: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val centArr = typedlit(cents.sortBy(_._1).map(_._2.toSeq))
-    assignCells(
+      relation: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    project(
       relation.select(col("vec_id"), col("embedding").cast("array<double>").as("ed")),
       cents)
+
+  /** [[centroidProjection]] over an already-cast (vec_id, ed) relation —
+    * the internal form [[centroidSim]] feeds with its materialized
+    * training relation so the corpus is scanned once, not re-read.
+    */
+  private def project(e: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val norms = sorted.map { case (i, cd) =>
+      val n = math.sqrt(cd.foldLeft(0.0)((a, v) => a + v * v)) // oracle's fold
+      require(n > 0, s"centroid $i has zero norm — cosine to it is undefined")
+      n
+    }
+    val centArr = typedlit(sorted.map(_._2.toSeq))
+    val normArr = typedlit(norms)
+    assignCells(e, cents)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        round(dot(col("ed"), element_at(centArr, col("cell") + 1)), 4).as("cent_sim4"))
+        round(dot(col("ed"), element_at(centArr, col("cell") + 1)) /
+          element_at(normArr, col("cell") + 1), 4).as("cent_sim4"))
   }
 
   /** EXT-S9 — prototypicality: each vector's cosine to its OWN trained
     * centroid. The pruning signal of the SemDeDup/SSL-prototypes line of
     * work — most-prototypical keeps the cleanest examples, least keeps
     * the most diverse — and the audit view of cluster tightness. One
-    * narrow row-local pass ([[centroidProjection]]); the only exchange
-    * in the whole plan is the presentation sort.
+    * narrow row-local pass ([[centroidProjection]]) over the SAME
+    * materialized relation the training loop consumed (no second corpus
+    * scan); the only exchange in the whole plan is the presentation
+    * sort.
     */
   def centroidSim(
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      iters: Int = 2): DataFrame =
-    centroidProjection(
-      Tables.embeddings(spark, dir),
-      trainedCentroids(spark, dir, k, iters))
-      .orderBy("vec_id")
+      iters: Int = 2): DataFrame = {
+    val e = embDouble(spark, dir)
+    project(e, trainCentroids(e, k, iters)).orderBy("vec_id")
+  }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,
     * restricted to bucket-colliding pairs (same LSH design as

@@ -123,13 +123,20 @@ object Temporal {
     *
     * Scale shape: stage i is computed by joining the step-i event scan
     * against the PER-USER stage-(i−1) relation — user-level, ≤ one row
-    * per user, strictly shrinking with i — which is explicitly
-    * `broadcast()`: every stage is a narrow pass over the (pre-filtered,
-    * pushed-down) event scan with a map-side hash probe, so the event
-    * relation never shuffles at any stage, and each stage's aggregation
-    * shuffles only the matching step-i events. A collect_list-per-user
-    * fold would carry every user's full history through one shuffle;
-    * this spelling moves only (user, min_ts) pairs.
+    * per user, strictly shrinking with i. The join is a plain equi-join
+    * on user_id with NO broadcast hint: the user-level side is per-user,
+    * which is NOT constant-bounded (a forced broadcast would hit the
+    * 8 GB broadcast wall at billion-user scale — the repo reserves
+    * `broadcast()` for relations bounded by construction), so AQE
+    * promotes it to a map-side hash probe exactly when it measures
+    * small, and the unbounded-safe user_id shuffle join is the fallback.
+    * Each stage's aggregation shuffles only the matching step-i events;
+    * a collect_list-per-user fold would carry every user's full history
+    * through one shuffle — this spelling moves only (user, min_ts)
+    * pairs. Every stage relation is materialized (`localCheckpoint`):
+    * it feeds TWO branches — its count and the next stage — and Spark
+    * shares no common subtree across branches, so without it stage 1's
+    * scan+agg would re-execute once per later stage (O(steps²)).
     */
   def funnel(
       spark: SparkSession,
@@ -141,14 +148,16 @@ object Temporal {
     // stage 1: earliest step-0 event per user
     var stage = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("us").as("t"))
+      .localCheckpoint()
     val counts = Seq.newBuilder[DataFrame]
     counts += stage.agg(lit(1L).as("step"), lit(steps.head).as("step_name"),
       count(lit(1)).as("n_users"))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
       stage = ev.filter(col("event_type") === s)
-        .join(broadcast(stage), "user_id")
+        .join(stage, "user_id")
         .filter(col("us") > col("t"))
         .groupBy("user_id").agg(min("us").as("t"))
+        .localCheckpoint()
       counts += stage.agg(lit(i + 1L).as("step"), lit(s).as("step_name"),
         count(lit(1)).as("n_users"))
     }
@@ -161,26 +170,35 @@ object Temporal {
     * (cohort, offset) → distinct-user triangle every growth dashboard
     * draws.
     *
-    * Scale shape: two aggregations sharing the user_id shuffle key — the
-    * first-event pass produces one row per user, then the (user, week)
-    * distinct activity relation joins it BY USER with the tiny cohort
-    * side broadcast, so activity never reshuffles; the final
-    * (cohort, offset) rollup moves one row per (user, active-week).
-    * Weeks are exact integer arithmetic on epoch days (Monday-anchored,
-    * matching DuckDB's date_trunc('week')), not timezone-dependent
-    * truncation.
+    * Scale shape: the events scan collapses ONCE to the distinct
+    * (user, active-week) relation — materialized, because both the
+    * cohort derivation and the offset join consume it (Spark shares no
+    * common subtree across branches) — and the cohort side is the min
+    * over that same relation (min over distinct weeks = min over all
+    * events), so the full event stream is scanned exactly once and the
+    * per-user cohort relation reuses the shuffle rather than re-reading
+    * the source. The cohort join carries NO broadcast hint: one row per
+    * user is unbounded at the design scale (forced broadcast = the 8 GB
+    * wall at billion-user corpora; `broadcast()` is reserved for
+    * relations bounded by construction) — AQE broadcasts it when it
+    * measures small and the user_id shuffle join is the safe fallback.
+    * The final (cohort, offset) rollup moves one row per
+    * (user, active-week). Weeks are exact integer arithmetic on epoch
+    * days (Monday-anchored, matching DuckDB's date_trunc('week')), not
+    * timezone-dependent truncation.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     // Monday-anchored week index: 1970-01-01 was a Thursday, so shift
     // epoch days by 3 before dividing — pure integer arithmetic
     // (`div`, truncating; all operands positive so it equals the
     // oracle's floor division), identical in both engines
-    val ev = Replication.events(spark, dir)
+    val active = Replication.events(spark, dir)
       .select(col("user_id"),
         expr("(unix_micros(ts) div 86400000000 + 3) div 7").as("wk"))
-    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    val active = ev.distinct() // one row per (user, active-week)
-    active.join(broadcast(cohorts), "user_id")
+      .distinct() // one row per (user, active-week)
+      .localCheckpoint() // consumed by the cohort agg AND the offset join
+    val cohorts = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    active.join(cohorts, "user_id")
       .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .groupBy("cohort_wk", "week_offset")
       .agg(count(lit(1)).as("n_users"))

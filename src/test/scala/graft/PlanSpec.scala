@@ -204,22 +204,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(shuffles(p) <= 5, s"unexpected shuffle count in:\n$p")
   }
 
-  test("funnel: every stage joins broadcast user-state into the event scan — no merge joins") {
+  test("funnel: every stage join is a user_id equi-join — never a nested loop or cross product") {
+    // the per-user stage side is NOT constant-bounded, so no broadcast
+    // is forced (AQE promotes at runtime when it measures small); the
+    // structural invariant is that the plan degrades to an equi-join,
+    // never to a nested loop, and each stage is materialized so its
+    // subtree cannot re-execute per later branch
     val p = plan(Temporal.funnel(spark, dir))
-    // the scale claim: events never shuffle for a join at any stage; the
-    // per-user stage relation is always the broadcast side
-    assert(p.collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
-      .isEmpty, p.toString)
-    assert(p.collect { case b: BroadcastHashJoinExec => b }.length >= 2, p.toString)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, p.toString)
+    // stage relations are checkpointed: the events scan appears at most
+    // once per stage join in the final plan, not once per downstream
+    // branch of every earlier stage
+    val scans = p.toString.split("\n").count(_.contains("events.parquet"))
+    assert(scans <= 2, s"stage subtrees re-executed ($scans event scans):\n$p")
   }
 
-  test("retention cohorts: activity joins the broadcast cohort side, bounded shuffles") {
+  test("retention cohorts: one event scan, cohort derivation reuses the distinct relation") {
     val p = plan(Temporal.retentionCohorts(spark, dir))
-    assert(p.collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
-      .isEmpty, p.toString)
-    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
-    // (user, week) distinct + cohort agg + final rollup + presentation sort
-    assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, p.toString)
+    // the events source is scanned exactly once (the materialized
+    // distinct relation feeds both the cohort agg and the offset join)
+    assert(!p.toString.contains("events.parquet"), p.toString)
+    // cohort agg + join sides + final rollup + presentation sort
+    assert(shuffles(p) <= 6, s"unexpected shuffle count in:\n$p")
   }
 
   test("centroid prototypicality: row-local scoring — only the presentation sort exchanges") {
