@@ -255,6 +255,80 @@ object StreamOps {
       }
   }
 
+  /** Per-user funnel state: events the watermark has not sealed yet,
+    * plus the automaton position — the completed stage count and the
+    * event-time (ms) at which the last stage completed.
+    */
+  case class FunnelState(pendingTs: List[Long], pendingType: List[String],
+      stage: Int, tMs: Long)
+
+  /** One emitted stage advance. */
+  case class StageAdvance(user_id: Long, step: Int, step_name: String,
+      ts: java.sql.Timestamp)
+
+  /** EXT-6j — streaming ordered funnel: the unbounded twin of
+    * [[graft.operators.Temporal.funnel]], emitting a `StageAdvance` the
+    * moment a user's earliest strictly-ordered completion of each step
+    * is SEALED by the watermark. Events are held in per-user state until
+    * `ts < watermark` (an in-scope late event could still be the EARLIER
+    * step-completion the batch definition demands — deciding before the
+    * seal could emit an advance batch semantics would time differently),
+    * then folded in event-time order (ties process the earlier step
+    * first, so a simultaneous view+click advances view only — the batch
+    * twin's strict `>`). Over any arrival order within the watermark
+    * horizon, the advances equal the batch funnel's stage times.
+    *
+    * State is bounded by USERS, not events: sealed events leave state
+    * immediately (only the automaton position and the unsealed tail
+    * remain — the watermark horizon bounds the tail). The position is
+    * kept after the final step — forgetting a completed user would let
+    * later events replay the funnel and re-emit advances the batch twin
+    * counts once. Non-step events are dropped before ever entering
+    * state.
+    */
+  def funnelStream(
+      ds: Dataset[Event],
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      watermarkDelay: String = "10 minutes"): Dataset[StageAdvance] = {
+    import ds.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    ds.filter(e => stepIdx.contains(e.event_type))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Nil, Nil, 0, Long.MinValue))
+          val all = (st.pendingTs.zip(st.pendingType) ++
+            events.map(e => (e.ts.getTime, e.event_type))).distinct
+          val wm = state.getCurrentWatermarkMs()
+          // an event with ts == wm may still arrive; seal strictly below
+          val (sealedEvs, pending) = all.partition(_._1 < wm)
+          var stage = st.stage
+          var tMs = st.tMs
+          val out = List.newBuilder[StageAdvance]
+          for ((ts, typ) <- sealedEvs.sortBy { case (ts, typ) => (ts, stepIdx(typ)) })
+            if (stage < steps.length && typ == steps(stage) &&
+                (stage == 0 || ts > tMs)) {
+              stage += 1
+              tMs = ts
+              out += StageAdvance(userId, stage, typ, new java.sql.Timestamp(ts))
+            }
+          // the automaton position is kept even after the last step:
+          // dropping it would let later events replay the funnel from
+          // stage 0 and re-emit advances for a user the batch twin
+          // counts once — state is bounded by USERS (one small record),
+          // not events, exactly like the batch per-user relation
+          state.update(FunnelState(pending.map(_._1), pending.map(_._2), stage, tMs))
+          if (pending.nonEmpty)
+            // seal point of the earliest pending event, strictly past
+            // the current watermark (timeout timestamps must be > wm)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** EXT-6i — streaming semantic-cell assignment: score an unbounded
     * (vec_id, embedding) stream against centroids trained on the BATCH
     * corpus ([[graft.operators.Similarity.trainedCentroids]]), emitting

@@ -306,6 +306,56 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: advances seal with the watermark, late earlier steps honored, ties strict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // user 10: click arrives FIRST (batch 1), its view arrives LATE
+      // (batch 2) but earlier in event time — the view must still gate
+      // the click, exactly as the batch definition orders them.
+      // user 11: view and click SIMULTANEOUS -> view advances, click no.
+      // user 12: completes all three steps across batches.
+      stream.addData(ev(1, 5, 10), ev(2, 3, 12, "view"), ev(3, 8, 11, "view"),
+        ev(4, 8, 11), ev(5, 6, 12))
+      q.processAllAvailable()
+      stream.addData(ev(6, 4, 10, "view"), ev(7, 9, 12, "purchase"))
+      q.processAllAvailable()
+      // push the watermark far past every event so everything seals
+      stream.addData(ev(8, 60, 99, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9, 61, 99))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3)))
+        .toSet
+      // user 99's events (min 60/61) are still inside the watermark
+      // horizon at the final read — not yet sealed, correctly absent
+      val expect = Set(
+        (10L, 1, "view", ts(4)), (10L, 2, "click", ts(5)),
+        (11L, 1, "view", ts(8)),
+        (12L, 1, "view", ts(3)), (12L, 2, "click", ts(6)), (12L, 3, "purchase", ts(9)))
+      assert(got == expect, s"got $got")
+      // the per-step user counts equal the batch funnel over the same events
+      val dir = TestTables.eventsDir(spark, Seq(
+        (1L, 5L * 60000000L, 10L, "click"), (2L, 3L * 60000000L, 12L, "view"),
+        (3L, 8L * 60000000L, 11L, "view"), (4L, 8L * 60000000L, 11L, "click"),
+        (5L, 6L * 60000000L, 12L, "click"), (6L, 4L * 60000000L, 10L, "view"),
+        (7L, 9L * 60000000L, 12L, "purchase"), (8L, 60L * 60000000L, 99L, "view"),
+        (9L, 61L * 60000000L, 99L, "click")))
+      val batch = graft.operators.Temporal.funnel(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // the stream had not sealed user 99 at the read: its step-1/step-2
+      // completions are the exact gap between the two counts
+      val sealedCounts = got.groupBy(_._2).map { case (s, g) => (s.toLong, g.size.toLong) }
+      assert(sealedCounts(1L) + 1L == batch(1L)) // 99's view unsealed
+      assert(sealedCounts(2L) + 1L == batch(2L)) // 99's click unsealed
+      assert(sealedCounts(3L) == batch(3L))
+    } finally q.stop()
+  }
+
   test("centroidAssignStream: streamed cells/prototypicality equal the batch projection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
