@@ -106,6 +106,9 @@ object SparkEntry {
     "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir)),
     "x58_ann_multiprobe" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
+    // no oracle entry: the HLL++ value is implementation-defined — the
+    // spec pins the rsd error law against the exact count instead
+    "x59_cardinality_sketch" -> ((s, dir) => Curation.cardinalitySketch(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),

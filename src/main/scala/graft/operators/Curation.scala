@@ -539,6 +539,27 @@ object Curation {
       .withColumn("mean_chars", col("total_chars").cast("double") / col("n_docs"))
       .orderBy("lang", "source")
 
+  /** EXT-C20 — vocabulary-cardinality sketch per source: the DISTINCT
+    * token count via HyperLogLog++ (`approx_count_distinct`) next to the
+    * exact total. At 100 TB the exact distinct is a shuffle of every
+    * unique token; the sketch is a partial aggregate — each map
+    * partition folds to one fixed-size HLL register set per source, the
+    * exchange carries |sources| sketches, and the relative error is the
+    * configured `rsd`. The spec pins the error law against the exact
+    * count at test scale (Spark's HLL++ is deterministic for a fixed
+    * input set, so the bound is a stable assertion, but the VALUE is
+    * implementation-defined — deliberately not oracle-compared, the
+    * driver records the rows-only check).
+    */
+  def cardinalitySketch(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Tables.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("source")
+
   /** One Bloom-filter probe position: bits [0, m) derived from the first
     * 8 hex chars (32 bits — exact through the string→long conv) of
     * `md5("bf" + i + ":" + digest)`. The oracle spells the identical

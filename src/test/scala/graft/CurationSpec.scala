@@ -207,6 +207,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3L)._3 == false && rows(3L)._2 == false)
   }
 
+  test("cardinalitySketch: HLL estimate within the rsd error law of the exact distinct") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode}
+    val sfDir = "/root/testdata/sf0.001"
+    val rsd = 0.05
+    val got = Curation.cardinalitySketch(spark, sfDir, rsd).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val toks = graft.operators.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.operators.Tables.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct("tok").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (src, (approx, _)) =>
+      val e = exact(src).toDouble
+      // 4·rsd: comfortably beyond HLL++'s ~3σ while still meaningful
+      assert(math.abs(approx - e) / e <= 4 * rsd,
+        s"$src: approx $approx vs exact $e exceeds the error law")
+    }
+  }
+
   test("buildBloomIndex: null digests are dropped, matching the probes' null handling") {
     import spark.implicits._
     // null text -> null sha2 digest; the build must survive it AND the
