@@ -109,6 +109,8 @@ object SparkEntry {
     // no oracle entry: the HLL++ value is implementation-defined — the
     // spec pins the rsd error law against the exact count instead
     "x59_cardinality_sketch" -> ((s, dir) => Curation.cardinalitySketch(s, dir)),
+    "x60_token_drift" -> ((s, dir) => Curation.tokenDrift(s, dir)),
+    "x61_top_movers" -> ((s, dir) => Curation.topMovers(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -864,6 +866,30 @@ object SparkEntry {
           |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
           |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
           |ORDER BY af.vec_id""".stripMargin),
+
+    "x60_token_drift" ->
+      """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS count_a,
+        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS count_b
+        |      FROM toks GROUP BY tok),
+        |t AS (SELECT sum(count_a)::BIGINT AS na, sum(count_b)::BIGINT AS nb FROM c)
+        |SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b,
+        |       sum(abs(c.count_a * t.nb - c.count_b * t.na))::BIGINT AS tv_numer,
+        |       sum(abs(c.count_a * t.nb - c.count_b * t.na))::DOUBLE / (2.0 * t.na * t.nb) AS tv_distance
+        |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin,
+
+    "x61_top_movers" ->
+      """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS count_a,
+        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS count_b
+        |      FROM toks GROUP BY tok),
+        |t AS (SELECT sum(count_a)::BIGINT AS na, sum(count_b)::BIGINT AS nb FROM c)
+        |SELECT c.tok, c.count_a, c.count_b,
+        |       abs(c.count_a * t.nb - c.count_b * t.na)::BIGINT AS shift_numer
+        |FROM c CROSS JOIN t
+        |ORDER BY shift_numer DESC, tok LIMIT 15""".stripMargin,
 
     "x55_event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

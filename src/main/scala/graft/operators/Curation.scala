@@ -560,6 +560,63 @@ object Curation {
         count(lit(1)).as("n_tokens"))
       .orderBy("source")
 
+  /** The per-token count relation behind [[tokenDrift]] and
+    * [[topMovers]]: (tok, count_a, count_b) across the even/odd snapshot
+    * split, with each side's total carried on every row via a 1-row
+    * broadcast cross join. One partial-agg token shuffle; tokens absent
+    * from one side count 0 there (the conditional sum, not an outer
+    * join).
+    */
+  private def driftCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).as("parity"), explode(Tables.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("parity") === 0, 1L).otherwise(0L)).as("count_a"),
+      sum(when(col("parity") === 1, 1L).otherwise(0L)).as("count_b"))
+    val totals = counts.agg(sum("count_a").as("na"), sum("count_b").as("nb"))
+    counts.crossJoin(broadcast(totals))
+  }
+
+  /** EXT-C21 — corpus drift between two snapshots (even doc_ids = A,
+    * odd = B): total-variation distance between the token frequency
+    * distributions, computed in EXACT integer arithmetic —
+    * `Σ|count_a·N_B − count_b·N_A|` over tokens, one IEEE division by
+    * `2·N_A·N_B` at the end — so the oracle reproduces it bit-for-bit
+    * (Σ|p−q| summed as floats would be order-sensitive). The
+    * distribution-shift monitor a pipeline runs between crawls / before
+    * a mixture change; TV = 0 iff identical relative frequencies,
+    * 1 = disjoint vocabularies.
+    *
+    * Scale: one token-shuffle partial agg + a 1-row totals broadcast +
+    * one global sum — nothing scales beyond the distinct-token relation.
+    * The integer products bound: counts·N fit BIGINT up to ~3·10⁹ tokens
+    * per side; beyond that, move the numerator to DECIMAL(38,0) —
+    * the shape is unchanged.
+    */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame =
+    driftCounts(spark, dir)
+      .agg(
+        max("na").as("n_tokens_a"),
+        max("nb").as("n_tokens_b"),
+        sum(abs(col("count_a") * col("nb") - col("count_b") * col("na"))).as("tv_numer"))
+      .select(col("n_tokens_a"), col("n_tokens_b"), col("tv_numer"),
+        (col("tv_numer").cast("double") /
+          (lit(2.0) * col("n_tokens_a") * col("n_tokens_b"))).as("tv_distance"))
+
+  /** EXT-C22 — the tokens DRIVING the drift: top-N by the exact
+    * integer shift numerator `|count_a·N_B − count_b·N_A|` (ties to the
+    * token, so the cut is deterministic). The diagnostic view read
+    * next to [[tokenDrift]]'s single number — which vocabulary moved.
+    * Top-N via sort-limit over the aggregated token relation only
+    * (TakeOrdered folds map-side; the token stream never re-shuffles).
+    */
+  def topMovers(spark: SparkSession, dir: String, n: Int = 15): DataFrame =
+    driftCounts(spark, dir)
+      .select(col("tok"), col("count_a"), col("count_b"),
+        abs(col("count_a") * col("nb") - col("count_b") * col("na")).as("shift_numer"))
+      .orderBy(col("shift_numer").desc, col("tok"))
+      .limit(n)
+
   /** One Bloom-filter probe position: bits [0, m) derived from the first
     * 8 hex chars (32 bits — exact through the string→long conv) of
     * `md5("bf" + i + ":" + digest)`. The oracle spells the identical

@@ -226,6 +226,21 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("tokenDrift: exact-integer TV distance; zero for identical snapshots") {
+    // even = snapshot A: "a a b" (NA=3); odd = snapshot B: "a b b c" (NB=4)
+    // numer: a |2*4-1*3|=5, b |1*4-2*3|=2, c |0*4-1*3|=3 -> 10; TV = 10/24
+    val dir = TestTables.documentsDir(spark, Seq(2L -> "a a b", 1L -> "a b b c"))
+    val r = Curation.tokenDrift(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 10L)))
+    assert(r.getDouble(3) == 10.0 / 24.0)
+    val movers = Curation.topMovers(spark, dir).collect()
+      .map(r2 => (r2.getString(0), r2.getLong(3)))
+    assert(movers.toSeq == Seq(("a", 5L), ("c", 3L), ("b", 2L)))
+    // identical relative frequencies -> zero drift
+    val same = TestTables.documentsDir(spark, Seq(2L -> "x y", 1L -> "x y"))
+    assert(Curation.tokenDrift(spark, same).collect().head.getDouble(3) == 0.0)
+  }
+
   test("buildBloomIndex: null digests are dropped, matching the probes' null handling") {
     import spark.implicits._
     // null text -> null sha2 digest; the build must survive it AND the
