@@ -111,6 +111,10 @@ object SparkEntry {
     "x59_cardinality_sketch" -> ((s, dir) => Curation.cardinalitySketch(s, dir)),
     "x60_token_drift" -> ((s, dir) => Curation.tokenDrift(s, dir)),
     "x61_top_movers" -> ((s, dir) => Curation.topMovers(s, dir)),
+    // no oracle entry: deflate is not SQL-expressible — the spec pins the
+    // byte count against a reference deflate and the signal's ordering laws
+    "x62_compression_ratio" -> ((s, dir) => TextAnalysis.compressionRatio(
+      graft.operators.Tables.documents(s, dir)).orderBy("doc_id")),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),

@@ -253,4 +253,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** EXT-T8 — compression-ratio quality signal: deflate the UTF-8 text
+    * at a FIXED level and report `compressed_bytes / raw_bytes` — the
+    * Gopher/CCNet-family redundancy filter (highly repetitive or
+    * templated text compresses far below prose; random noise compresses
+    * above it). zlib with fixed level and strategy is deterministic for
+    * a given input, so the measurement is rerun-stable; it is NOT
+    * SQL-expressible, so the driver records the rows-only check and the
+    * spec pins the signal's laws (repetitive < prose < noise, and the
+    * exact byte count against a reference deflate).
+    *
+    * A UDF is the right tool here — the measurement calls a native
+    * codec ([[java.util.zip.Deflater]]), which no Catalyst expression
+    * can spell; it is row-local, so the plan stays a narrow shuffle-free
+    * projection, the same shape (and justification) as the multimodal
+    * decode stubs. One Deflater per call, always `end()`ed — native
+    * memory is not GC-managed.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val deflatedLen = udf { (text: String) =>
+      val bytes = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("raw_bytes"),
+      deflatedLen(col("text")).as("deflated_bytes"))
+      .withColumn("ratio",
+        col("deflated_bytes").cast("double") / col("raw_bytes"))
+  }
 }

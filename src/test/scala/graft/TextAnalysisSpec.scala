@@ -115,4 +115,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     // doc 3: one term, tf=3 but df=3 -> score 3·3/3 = 3
     assert(byDoc(3L).map(t => (t._3, t._4, t._5, t._6)).toSeq == Seq(("banana", 3L, 3L, 3.0)))
   }
+
+  test("compressionRatio: exact reference deflate; repetitive < prose < noise ordering") {
+    import spark.implicits._
+    val repetitive = Seq.fill(60)("spam").mkString(" ")
+    val prose = Seq(
+      "the quick brown fox jumps over the lazy dog and then wanders",
+      "slowly home through the quiet evening streets full of amber light",
+      "where the dog sleeps and the fox waits for the morning to come",
+      "over the hills and through the fields the lazy evening settles",
+      "and the quiet light of morning finds the streets full of foxes").mkString(" ")
+    // sha-256 bytes are computationally incompressible; concatenated
+    // digests give deflate nothing to model
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val noise = java.util.Base64.getEncoder.encodeToString(
+      (1 to 10).flatMap(i => md.digest(s"noise$i".getBytes("UTF-8")).toSeq).toArray)
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, noise)).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bit-for-bit against an independent in-test deflate
+    def ref(s: String): Long = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0L
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    Seq(1L -> repetitive, 2L -> prose, 3L -> noise).foreach { case (id, s) =>
+      assert(got(id)._1 == s.getBytes("UTF-8").length.toLong)
+      assert(got(id)._2 == ref(s), s"doc $id deflate mismatch")
+      assert(got(id)._3 == ref(s).toDouble / s.getBytes("UTF-8").length)
+    }
+    // the quality-signal ordering the filter relies on
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3,
+      s"expected repetitive < prose < noise, got $got")
+  }
 }
