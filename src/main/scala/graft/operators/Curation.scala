@@ -453,19 +453,29 @@ object Curation {
 
   /** EXT-C11 — grouped top-k: the `k` highest-quality documents per
     * language (quality = the x19 measurements' score formula from
-    * [[TextAnalysis.stats]]). Window top-k over a low-cardinality
-    * partition key: one shuffle by lang, rank computed streamingly in
-    * each partition — the standard "best examples per stratum" shape for
-    * curriculum/eval-set selection.
+    * [[TextAnalysis.stats]]) — the standard "best examples per stratum"
+    * shape for curriculum/eval-set selection.
+    *
+    * Spelled as a map-side bounded top-k aggregate
+    * ([[graft.functions.TopKAggregator]]), NOT a `row_number` window —
+    * the same argument as [[fixedSample]]: the window spelling shuffles
+    * the ENTIRE scored corpus by lang before discarding all but k rows
+    * per language; the aggregate folds each map partition down to ≤ k
+    * candidates per stratum first, so the one exchange carries
+    * ≤ |strata|·k rows per partition at any corpus size. The tie-break
+    * (quality desc, doc_id asc) is exactly the aggregator's
+    * (sim desc, cid asc) contract, and ranks fall out of the sorted
+    * buffer by position.
     */
   def topDocsPerLang(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val agg = graft.functions.TopK.topk(k)
     TextAnalysis.stats(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .groupBy("lang")
+      .agg(agg(col("quality"), col("doc_id")).as("sel"))
+      .select(col("lang"), posexplode(col("sel.entries")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), col("col.sim").as("quality"))
       .orderBy("lang", "rank")
   }
 
@@ -588,17 +598,21 @@ object Curation {
     * 1 = disjoint vocabularies.
     *
     * Scale: one token-shuffle partial agg + a 1-row totals broadcast +
-    * one global sum — nothing scales beyond the distinct-token relation.
+    * one grouped sum — nothing scales beyond the distinct-token relation.
     * The integer products bound: counts·N fit BIGINT up to ~3·10⁹ tokens
     * per side; beyond that, move the numerator to DECIMAL(38,0) —
     * the shape is unchanged.
+    *
+    * The final sum GROUPS BY the (constant-per-row) totals rather than
+    * aggregating globally: an empty corpus then yields ZERO rows — the
+    * oracle's `GROUP BY na, nb` contract — instead of Spark's one
+    * all-null global-aggregate row, and no null-total "drift" ever
+    * reaches a monitor.
     */
   def tokenDrift(spark: SparkSession, dir: String): DataFrame =
     driftCounts(spark, dir)
-      .agg(
-        max("na").as("n_tokens_a"),
-        max("nb").as("n_tokens_b"),
-        sum(abs(col("count_a") * col("nb") - col("count_b") * col("na"))).as("tv_numer"))
+      .groupBy(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"))
+      .agg(sum(abs(col("count_a") * col("nb") - col("count_b") * col("na"))).as("tv_numer"))
       .select(col("n_tokens_a"), col("n_tokens_b"), col("tv_numer"),
         (col("tv_numer").cast("double") /
           (lit(2.0) * col("n_tokens_a") * col("n_tokens_b"))).as("tv_distance"))

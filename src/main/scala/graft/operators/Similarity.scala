@@ -51,11 +51,19 @@ object Similarity {
   }
 
   /** EXT-S1 — exact top-k neighbors by brute force for a query subset
-    * (`vec_id % queryMod == 0`). The query side is broadcast; the corpus
-    * streams through a nested-loop join, so the plan is a single narrow
-    * scan of the corpus at any scale — no shuffle of the big side. Cost
-    * is O(|queries|·|corpus|·dim): exact, and the honest baseline an ANN
-    * variant must beat.
+    * (`vec_id % queryMod == 0`). Cost is O(|queries|·|corpus|·dim):
+    * exact, and the honest baseline an ANN variant must beat.
+    *
+    * The query side carries NO broadcast hint: it is a fixed FRACTION of
+    * the corpus, so it grows linearly with it — `broadcast()` here is
+    * reserved for relations bounded by construction (the same rule as
+    * [[Temporal.funnel]]), and a forced hint would hit the executor-
+    * memory/8 GB broadcast wall at scale before the intentional O(n·m)
+    * scoring cost is even paid. Stats/AQE promote the query side to a
+    * broadcast nested-loop at eval scale (where it measures small); past
+    * the threshold the plan degrades to a partitioned cartesian, which
+    * shuffles neither side whole — the correct shape at 100 TB, where a
+    * caller would pass a count-limited query sample anyway.
     *
     * Output: (vec_id, rank, neighbor_id, sim4) with sim rounded to 4 dp
     * (both engines round half-away-from-zero).
@@ -69,7 +77,7 @@ object Similarity {
     val queries = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val scored = broadcast(queries)
+    val scored = queries
       .join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)
@@ -79,10 +87,10 @@ object Similarity {
     * for each query vector, the top-k most similar corpus vectors with a
     * DIFFERENT label (similar-but-wrong examples — the pairs a trainer
     * wants in the batch). Identical plan shape to [[bruteForceTopK]]
-    * (broadcast query side, corpus streams through one narrow pass, map-
-    * side bounded top-k), with the label-mismatch predicate evaluated
-    * row-locally inside the join — candidates are discarded BEFORE
-    * scoring ever shuffles, not filtered from a ranked result.
+    * (un-hinted corpus-fraction query side — see the broadcast rationale
+    * there; map-side bounded top-k), with the label-mismatch predicate
+    * evaluated row-locally inside the join — candidates are discarded
+    * BEFORE scoring ever shuffles, not filtered from a ranked result.
     *
     * Output: (vec_id, rank, neighbor_id, sim4) like the other top-k ops.
     */
@@ -95,7 +103,7 @@ object Similarity {
     val queries = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
     val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("clabel"))
-    val scored = broadcast(queries)
+    val scored = queries
       .join(corpus, col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)

@@ -270,25 +270,37 @@ object TextAnalysis {
     * projection, the same shape (and justification) as the multimodal
     * decode stubs. One Deflater per call, always `end()`ed — native
     * memory is not GC-managed.
+    *
+    * Degenerate-input contract (spec-pinned): null text → every
+    * measurement null (a reference-typed Scala UDF receives the null —
+    * it is guarded explicitly, matching the null propagation every other
+    * text operator gets from Catalyst for free); empty text →
+    * `raw_bytes = 0`, the deflated header bytes reported as measured,
+    * and `ratio` NULL — 0/0 is not a signal, and no fabricated value
+    * (∞, 0, 1) survives a downstream `ratio < threshold` gate silently.
     */
   def compressionRatio(docs: DataFrame): DataFrame = {
     val deflatedLen = udf { (text: String) =>
-      val bytes = text.getBytes("UTF-8")
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
-      try {
-        d.setInput(bytes)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total
-      } finally d.end()
+      if (text == null) null
+      else {
+        val bytes = text.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          java.lang.Long.valueOf(total)
+        } finally d.end()
+      }: java.lang.Long
     }
     docs.select(
       col("doc_id"),
       octet_length(col("text")).cast("long").as("raw_bytes"),
       deflatedLen(col("text")).as("deflated_bytes"))
       .withColumn("ratio",
-        col("deflated_bytes").cast("double") / col("raw_bytes"))
+        when(col("raw_bytes") > 0,
+          col("deflated_bytes").cast("double") / col("raw_bytes")))
   }
 }

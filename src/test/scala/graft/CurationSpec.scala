@@ -239,6 +239,10 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // identical relative frequencies -> zero drift
     val same = TestTables.documentsDir(spark, Seq(2L -> "x y", 1L -> "x y"))
     assert(Curation.tokenDrift(spark, same).collect().head.getDouble(3) == 0.0)
+    // empty corpus: ZERO rows (the oracle's GROUP BY contract), never a
+    // single all-null global-aggregate row
+    val empty = TestTables.documentsDir(spark, Seq.empty)
+    assert(Curation.tokenDrift(spark, empty).collect().isEmpty)
   }
 
   test("buildBloomIndex: null digests are dropped, matching the probes' null handling") {

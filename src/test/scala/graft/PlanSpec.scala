@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -65,9 +65,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(prunesTo(p, "doc_id:bigint,lang:string"), p.toString)
   }
 
-  test("brute-force top-k: query side broadcast; top-k folded map-side before the exchange") {
+  /** The repo-wide broadcast rule ([[Temporal.funnel]], r5): `broadcast()`
+    * is reserved for relations bounded by construction. A corpus-
+    * proportional side must never be HINT-broadcast — the analyzed plan
+    * carries no ResolvedHint; stats/AQE may still promote it at eval
+    * scale, which is allowed (and reversible at 100×).
+    */
+  private def noForcedBroadcast(df: DataFrame): Unit = {
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"corpus-proportional side is hint-broadcast:\n${df.queryExecution.analyzed}")
+  }
+
+  test("brute-force top-k: no forced broadcast; top-k folded map-side before the exchange") {
+    noForcedBroadcast(Similarity.bruteForceTopK(spark, dir))
     val p = plan(Similarity.bruteForceTopK(spark, dir))
-    assert(p.collect { case b: BroadcastExchangeExec => b }.nonEmpty, p.toString)
     // the scale invariant: a partial ObjectHashAggregate (the bounded
     // top-k buffer) must sit BELOW a shuffle, so the exchange carries
     // |queries|·k rows per partition, not the n·m scored stream
@@ -150,9 +163,9 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
   }
 
-  test("hard negatives: same shape as brute force — corpus never shuffles pre-join") {
+  test("hard negatives: same shape as brute force — no forced broadcast, corpus never shuffles pre-join") {
+    noForcedBroadcast(Similarity.hardNegatives(spark, dir))
     val p = plan(Similarity.hardNegatives(spark, dir))
-    assert(p.collect { case b: BroadcastExchangeExec => b }.nonEmpty, p.toString)
     // the label filter must not break the map-side bounded top-k: a
     // partial ObjectHashAggregate still sits below the one exchange
     val partialBelowExchange = p.collect {
@@ -181,6 +194,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }
     assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
     assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("top docs per lang: per-stratum top-k folded map-side before the exchange") {
+    val p = plan(Curation.topDocsPerLang(spark, dir))
+    // the same scale invariant as fixedSample: a partial bounded top-k
+    // below the stratum shuffle, never a whole-corpus rank window
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    // doc_id join (2 sides) + stratum agg + presentation sort
+    assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
   }
 
   test("weighted sample: row-local gate — no shuffle before the presentation sort") {

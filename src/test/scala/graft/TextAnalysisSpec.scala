@@ -152,4 +152,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3,
       s"expected repetitive < prose < noise, got $got")
   }
+
+  test("compressionRatio: null text -> all-null measurements; empty text -> null ratio") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // null text: no byte count exists — every measurement is null, never
+    // an NPE (the corpus model includes null text; see bloomPrefilter)
+    assert(rows(1L).isNullAt(1) && rows(1L).isNullAt(2) && rows(1L).isNullAt(3))
+    // empty text: raw_bytes = 0 is a real measurement, the deflate
+    // header bytes are reported as measured, but 0/0 is NOT a ratio —
+    // null, so no downstream `ratio < t` gate passes it silently
+    assert(rows(2L).getLong(1) == 0L)
+    assert(rows(2L).getLong(2) > 0L)
+    assert(rows(2L).isNullAt(3))
+    // the one-byte control row stays fully populated
+    assert(rows(3L).getLong(1) == 1L && !rows(3L).isNullAt(3))
+  }
 }
