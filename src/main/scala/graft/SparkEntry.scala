@@ -106,14 +106,17 @@ object SparkEntry {
     "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir)),
     "x58_ann_multiprobe" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
-    // no oracle entry: the HLL++ value is implementation-defined — the
-    // spec pins the rsd error law against the exact count instead
-    "x59_cardinality_sketch" -> ((s, dir) => Curation.cardinalitySketch(s, dir)),
+    // the audit view: the sketch VALUE is implementation-defined (spec-
+    // pinned on cardinalitySketch), but the deterministic columns and the
+    // 4·rsd error-law verdict are oracle-checked against DuckDB's
+    // independently-computed exact distinct
+    "x59_cardinality_sketch" -> ((s, dir) => Curation.cardinalityAudit(s, dir)),
     "x60_token_drift" -> ((s, dir) => Curation.tokenDrift(s, dir)),
     "x61_top_movers" -> ((s, dir) => Curation.topMovers(s, dir)),
-    // no oracle entry: deflate is not SQL-expressible — the spec pins the
-    // byte count against a reference deflate and the signal's ordering laws
-    "x62_compression_ratio" -> ((s, dir) => TextAnalysis.compressionRatio(
+    // the audit view: exact deflate bytes are not SQL-expressible (spec-
+    // pinned against an in-test reference deflate), but raw_bytes and the
+    // zlib envelope verdict are oracle-checked
+    "x62_compression_ratio" -> ((s, dir) => TextAnalysis.compressionAudit(
       graft.operators.Tables.documents(s, dir)).orderBy("doc_id")),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
@@ -870,6 +873,23 @@ object SparkEntry {
           |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
           |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
           |ORDER BY af.vec_id""".stripMargin),
+
+    // sketch_ok is asserted as a CONSTANT: DuckDB recomputes the exact
+    // side; the Spark side computes the verdict from its sketch — a
+    // drifting sketch flips the boolean and fails the hash
+    "x59_cardinality_sketch" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_tokens,
+        |       count(DISTINCT tok)::BIGINT AS exact_distinct,
+        |       TRUE AS sketch_ok
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    // deflate_ok is theorem-true for any conforming zlib (envelope law);
+    // raw_bytes is the deterministic byte count both engines can compute
+    "x62_compression_ratio" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS raw_bytes,
+        |       CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS deflate_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x60_token_drift" ->
       """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),

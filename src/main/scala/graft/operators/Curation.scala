@@ -570,6 +570,35 @@ object Curation {
         count(lit(1)).as("n_tokens"))
       .orderBy("source")
 
+  /** Driver-checkable AUDIT view of [[cardinalitySketch]]: the
+    * deterministic measurements (exact `n_tokens`, exact distinct) plus
+    * `sketch_ok` — whether the HLL++ estimate is within the 4·rsd error
+    * law of the exact count (the same bound the spec pins; HLL++ is
+    * deterministic for a fixed input, so the verdict is rerun-stable).
+    * The sketch VALUE stays out of the output because it is
+    * implementation-defined; the LAW is what an oracle can hold both
+    * engines to — DuckDB recomputes the exact side independently and
+    * asserts the verdict is TRUE, so a broken sketch fails the driver's
+    * hash check rather than hiding behind a rows-only record.
+    *
+    * The exact-distinct leg is the audit's price: one distinct-token
+    * shuffle that [[cardinalitySketch]] exists to avoid. That is the
+    * point — the audit runs at eval scale to certify the sketch;
+    * production runs the sketch alone.
+    */
+  def cardinalityAudit(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Tables.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), rsd).as("approx"))
+      .select(col("source"), col("n_tokens"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")).cast("double") <=
+          lit(4 * rsd) * col("exact_distinct")).as("sketch_ok"))
+      .orderBy("source")
+
   /** The per-token count relation behind [[tokenDrift]] and
     * [[topMovers]]: (tok, count_a, count_b) across the even/odd snapshot
     * split, with each side's total carried on every row via a 1-row

@@ -303,4 +303,24 @@ object TextAnalysis {
         when(col("raw_bytes") > 0,
           col("deflated_bytes").cast("double") / col("raw_bytes")))
   }
+
+  /** Driver-checkable AUDIT view of [[compressionRatio]]: the
+    * deterministic column (`raw_bytes`, which the oracle recomputes as
+    * the UTF-8 byte length) plus `deflate_ok` — whether the measured
+    * deflate output sits inside zlib's guaranteed envelope
+    * (≥ 2 bytes of stream framing; ≤ raw + raw/1000 + 16, the stored-
+    * block worst case with headroom). The envelope is theorem-true for
+    * ANY conforming deflate, so the oracle asserts it as a constant —
+    * a corrupted byte count now fails the driver's hash check instead of
+    * hiding behind a rows-only record, while the EXACT byte values stay
+    * spec-pinned against an independent in-test deflate (no SQL engine
+    * can recompute them). Null text propagates to a null verdict on both
+    * sides.
+    */
+  def compressionAudit(docs: DataFrame): DataFrame =
+    compressionRatio(docs).select(
+      col("doc_id"), col("raw_bytes"),
+      (col("deflated_bytes") >= 2L &&
+        col("deflated_bytes") <= col("raw_bytes") + col("raw_bytes") / 1000L + 16L)
+        .as("deflate_ok"))
 }

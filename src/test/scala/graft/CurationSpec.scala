@@ -224,6 +224,14 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(approx - e) / e <= 4 * rsd,
         s"$src: approx $approx vs exact $e exceeds the error law")
     }
+    // the driver-facing audit view encodes the same law as a verdict
+    // column and carries the exact counts the oracle recomputes
+    val audit = Curation.cardinalityAudit(spark, sfDir, rsd).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audit.keySet == exact.keySet)
+    audit.foreach { case (src, (ex, ok)) =>
+      assert(ex == exact(src) && ok, s"$src: audit (exact=$ex, ok=$ok)")
+    }
   }
 
   test("tokenDrift: exact-integer TV distance; zero for identical snapshots") {

@@ -169,5 +169,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2L).isNullAt(3))
     // the one-byte control row stays fully populated
     assert(rows(3L).getLong(1) == 1L && !rows(3L).isNullAt(3))
+    // the audit view: envelope verdict TRUE for real rows (empty text's
+    // header bytes included), NULL through null text
+    val audit = TextAnalysis.compressionAudit(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(audit(1L).isNullAt(2))
+    assert(audit(2L).getBoolean(2) && audit(3L).getBoolean(2))
   }
 }
