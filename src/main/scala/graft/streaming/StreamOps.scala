@@ -262,8 +262,10 @@ object StreamOps {
   case class FunnelState(pendingTs: List[Long], pendingType: List[String],
       stage: Int, tMs: Long)
 
-  /** One emitted stage advance. */
-  case class StageAdvance(user_id: Long, step: Int, step_name: String,
+  /** One emitted stage advance. `step` is Long so the streaming schema
+    * is union-compatible with the batch twin's BIGINT step column.
+    */
+  case class StageAdvance(user_id: Long, step: Long, step_name: String,
       ts: java.sql.Timestamp)
 
   /** EXT-6j — streaming ordered funnel: the unbounded twin of
@@ -313,7 +315,7 @@ object StreamOps {
                 (stage == 0 || ts > tMs)) {
               stage += 1
               tMs = ts
-              out += StageAdvance(userId, stage, typ, new java.sql.Timestamp(ts))
+              out += StageAdvance(userId, stage.toLong, typ, new java.sql.Timestamp(ts))
             }
           // the automaton position is kept even after the last step:
           // dropping it would let later events replay the funnel from

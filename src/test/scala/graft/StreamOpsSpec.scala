@@ -329,14 +329,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       stream.addData(ev(9, 61, 99))
       q.processAllAvailable()
       val got = spark.table("funnel_out").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
         .toSet
       // user 99's events (min 60/61) are still inside the watermark
       // horizon at the final read — not yet sealed, correctly absent
       val expect = Set(
-        (10L, 1, "view", ts(4)), (10L, 2, "click", ts(5)),
-        (11L, 1, "view", ts(8)),
-        (12L, 1, "view", ts(3)), (12L, 2, "click", ts(6)), (12L, 3, "purchase", ts(9)))
+        (10L, 1L, "view", ts(4)), (10L, 2L, "click", ts(5)),
+        (11L, 1L, "view", ts(8)),
+        (12L, 1L, "view", ts(3)), (12L, 2L, "click", ts(6)), (12L, 3L, "purchase", ts(9)))
       assert(got == expect, s"got $got")
       // the per-step user counts equal the batch funnel over the same events
       val dir = TestTables.eventsDir(spark, Seq(
@@ -353,6 +353,74 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(sealedCounts(1L) + 1L == batch(1L)) // 99's view unsealed
       assert(sealedCounts(2L) + 1L == batch(2L)) // 99's click unsealed
       assert(sealedCounts(3L) == batch(3L))
+    } finally q.stop()
+  }
+
+  test("funnelStream property: 120 random event sets and arrival orders within the horizon match the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    // Each generated scenario is an independent USER in one streaming
+    // query — funnel state is keyed by user, so 120 users = 120
+    // independent (event set, arrival order) experiments, while the
+    // clock user pins the shared watermark to exactly 10·b minutes
+    // after batch b. Progressive sealing is therefore real (early
+    // events seal while later ones are still pending), and the batch
+    // bounds keep every arrival INSIDE the horizon: not-late needs
+    // m >= 10(b-1); keeping the clock the max needs m <= 10(b+1).
+    val types = Seq("view", "click", "purchase", "other")
+    val genScenario: Gen[List[(Int, String, Int)]] = for {
+      n <- Gen.choose(3, 8)
+      evs <- Gen.listOfN(n, for {
+        m <- Gen.choose(1, 35)
+        t <- Gen.oneOf(types)
+        b <- Gen.choose(math.max(0, (m + 9) / 10 - 1), math.min(3, m / 10 + 1))
+      } yield (m, t, b))
+    } yield evs
+    val scenarios = (1 to 120).map { i =>
+      (1000L + i) -> genScenario.pureApply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    val clockUser = 888888L
+
+    val stream = MemoryStream[Event]
+    val q = StreamOps.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_prop_out").outputMode("append").start()
+    try {
+      var id = 0L
+      def nid() = { id += 1; id }
+      for (b <- 0 to 3) {
+        val batchEvs = scenarios.flatMap { case (uid, evs) =>
+          evs.filter(_._3 == b).map { case (m, t, _) => ev(nid(), m, uid, t) }
+        } :+ ev(nid(), 10 + 10 * b, clockUser, "view")
+        stream.addData(batchEvs: _*)
+        q.processAllAvailable()
+      }
+      // two flush batches: the first advances the watermark past every
+      // event, the second fires the event-time timeouts that seal them
+      stream.addData(ev(nid(), 120, 999999L, "view")); q.processAllAvailable()
+      stream.addData(ev(nid(), 121, 999999L, "click")); q.processAllAvailable()
+
+      val advances = spark.table("funnel_prop_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the automaton law: a user advances each step at most once, over
+      // ANY arrival order
+      assert(advances.length == advances.distinct.length, "duplicate (user, step) advance")
+      val streamCounts = advances.groupBy(_._2).map { case (s, g) => s -> g.length.toLong }
+
+      // the batch twin over the SAME events (clock user included; the
+      // flush user excluded on both sides — its events never seal)
+      val dir = TestTables.eventsDir(spark,
+        scenarios.flatMap { case (uid, evs) =>
+          evs.map { case (m, t, _) => (nid(), m * 60000000L, uid, t) }
+        } ++ (0 to 3).map(b => (nid(), (10L + 10 * b) * 60000000L, clockUser, "view")))
+      val batch = graft.operators.Temporal.funnel(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (1L to 3L).foreach { s =>
+        assert(streamCounts.getOrElse(s, 0L) == batch.getOrElse(s, 0L),
+          s"step $s: stream ${streamCounts.getOrElse(s, 0L)} vs batch ${batch.getOrElse(s, 0L)}")
+      }
     } finally q.stop()
   }
 
