@@ -118,6 +118,9 @@ object SparkEntry {
     // zlib envelope verdict are oracle-checked
     "x62_compression_ratio" -> ((s, dir) => TextAnalysis.compressionAudit(
       graft.operators.Tables.documents(s, dir)).orderBy("doc_id")),
+    // codec round trip over real events rows: decoded columns must equal
+    // the source, avro_len must equal the wire-format arithmetic
+    "x63_avro_roundtrip" -> ((s, dir) => Payload.avroRoundTrip(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -890,6 +893,23 @@ object SparkEntry {
       """SELECT doc_id, strlen(text)::BIGINT AS raw_bytes,
         |       CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS deflate_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // round-tripped columns must equal the source; avro_len is the Avro
+    // binary-format arithmetic (zigzag varint + length-prefixed UTF-8 +
+    // 8 IEEE bytes) in exact integer CASE rungs — a pass pins the wire
+    // format, not just decode∘encode = id
+    "x63_avro_roundtrip" ->
+      """WITH z AS (SELECT event_id, event_type, value,
+        |  CASE WHEN event_id >= 0 THEN 2*event_id ELSE -2*event_id - 1 END AS zid,
+        |  strlen(event_type)::BIGINT AS tlen FROM events)
+        |SELECT event_id, event_type AS type_rt, value AS value_rt,
+        |  (CASE WHEN zid < 128 THEN 1 WHEN zid < 16384 THEN 2 WHEN zid < 2097152 THEN 3
+        |        WHEN zid < 268435456 THEN 4 WHEN zid < 34359738368 THEN 5
+        |        WHEN zid < 4398046511104 THEN 6 WHEN zid < 562949953421312 THEN 7
+        |        WHEN zid < 72057594037927936 THEN 8 ELSE 9 END
+        |   + CASE WHEN 2*tlen < 128 THEN 1 WHEN 2*tlen < 16384 THEN 2 ELSE 3 END
+        |   + tlen + 8)::BIGINT AS avro_len
+        |FROM z ORDER BY event_id""".stripMargin,
 
     "x60_token_drift" ->
       """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),

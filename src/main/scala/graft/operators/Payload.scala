@@ -1,5 +1,9 @@
 package graft.operators
 
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,4 +42,109 @@ object Payload {
         col("event_type"))
       .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
       .orderBy("window_start_s", "event_type")
+
+  /** The decoded shape of one Avro `EventPayload` record — a named
+    * struct so the decode UDF's output carries field names, not _1/_2.
+    */
+  case class AvroEvent(event_id: Long, event_type: String, value: Double)
+
+  /** Thread-confined Avro binary codec for the `EventPayload` record
+    * schema. Avro readers/writers/coders are reusable but NOT
+    * thread-safe — one set per executor thread, the same lifecycle
+    * pattern as the digest ThreadLocals in [[graft.functions]], so the
+    * hot path allocates only the output buffer and the record holder.
+    *
+    * Field order is part of the wire format (Avro binary carries no
+    * tags — readers resolve strictly by schema position), so the schema
+    * below IS the contract: (event_id long, event_type string,
+    * value double), pinned byte-exact by the spec against hand-built
+    * reference bytes (zigzag varints, length-prefixed UTF-8,
+    * little-endian IEEE double).
+    */
+  private[graft] object AvroCodec {
+    val SchemaJson: String =
+      """{"type":"record","name":"EventPayload","fields":[""" +
+        """{"name":"event_id","type":"long"},""" +
+        """{"name":"event_type","type":"string"},""" +
+        """{"name":"value","type":"double"}]}"""
+
+    private final class PerThread {
+      val schema: Schema = new Schema.Parser().parse(SchemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var encoder: BinaryEncoder = _
+      var decoder: BinaryDecoder = _
+    }
+    private val local = new ThreadLocal[PerThread] {
+      override def initialValue(): PerThread = new PerThread
+    }
+
+    def encode(id: Long, tpe: String, v: Double): Array[Byte] = {
+      val t = local.get()
+      val rec = new GenericData.Record(t.schema)
+      rec.put("event_id", java.lang.Long.valueOf(id))
+      rec.put("event_type", new Utf8(tpe))
+      rec.put("value", java.lang.Double.valueOf(v))
+      val out = new java.io.ByteArrayOutputStream(32)
+      t.encoder = EncoderFactory.get().binaryEncoder(out, t.encoder)
+      t.writer.write(rec, t.encoder)
+      t.encoder.flush()
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): AvroEvent = {
+      val t = local.get()
+      t.decoder = DecoderFactory.get().binaryDecoder(bytes, t.decoder)
+      val rec = t.reader.read(null, t.decoder)
+      AvroEvent(
+        rec.get("event_id").asInstanceOf[java.lang.Long].longValue(),
+        rec.get("event_type").toString,
+        rec.get("value").asInstanceOf[java.lang.Double].doubleValue())
+    }
+  }
+
+  /** EXT-P3 — Avro payload decoding, the binary half of SURVEY.md §2b's
+    * "payload decoding (json/avro columns)" promise and the first thing
+    * a real user does to the reference's opaque-bytes value envelope
+    * (reference: KafkaMessage.java:9-10 carries `byte[] key/value` that
+    * the replicator forwards unparsed). The environment pins the
+    * classpath to /opt/spark/jars, which carries the Apache Avro Java
+    * library (avro-1.12.1) but NOT the spark-avro connector — so
+    * `from_avro` does not exist here and a codec UDF is the honest
+    * spelling, the same justification class as the deflate UDF in
+    * [[TextAnalysis.compressionRatio]]: a native library call with no
+    * Catalyst equivalent, row-local, keeping the plan a narrow
+    * shuffle-free projection.
+    *
+    * Because no harness table ships Avro bytes, the query is the codec
+    * ROUND TRIP over real `events` rows — encode then decode, with the
+    * decoded columns and the encoded byte length in the output. The
+    * oracle recomputes both independently: round-tripped columns must
+    * equal the source columns, and `avro_len` must equal the Avro
+    * binary-format arithmetic (zigzag-varint of `2·event_id`, 1-byte
+    * length prefix + UTF-8 bytes of the type, 8 IEEE bytes) spelled as
+    * exact integer CASE rungs in SQL — so a pass pins the actual wire
+    * format, not just `decode ∘ encode = id`. The spec additionally
+    * pins exact reference bytes for a known record.
+    *
+    * Scale: both UDFs are row-local with thread-confined codec state;
+    * zero shuffles before the presentation sort. At 100 TB this is a
+    * map-only pass, exactly like the reference's own envelope handling.
+    */
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf { (id: Long, tpe: String, v: Double) =>
+      if (tpe == null) null else AvroCodec.encode(id, tpe, v)
+    }
+    val dec = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null else AvroCodec.decode(bytes)
+    }
+    Replication.events(spark, dir)
+      .select(col("event_id"),
+        enc(col("event_id"), col("event_type"), col("value")).as("avro"))
+      .select(col("event_id"), dec(col("avro")).as("d"),
+        length(col("avro")).cast("long").as("avro_len"))
+      .select(col("event_id"), col("d.event_type").as("type_rt"),
+        col("d.value").as("value_rt"), col("avro_len"))
+      .orderBy("event_id")
+  }
 }

@@ -236,18 +236,19 @@ object StreamOps {
           }.reverse
           // emit only watermark-sealed sessions; keep the rest in state
           // with the timeout at the earliest possible next seal point.
-          // STRICTLY past the watermark: an on-time event may still
-          // arrive with ts == wm, and ts == end + gap merges under the
-          // batch twin's `<= gap` rule — sealing at equality would emit
-          // a session that event must still extend
+          // Spark's late filter drops arrivals with ts <= wm
+          // (WatermarkSupport builds LessThanOrEqual), so a session whose
+          // end + gap is AT the watermark can no longer be extended (the
+          // batch twin's `<= gap` merge would need an arrival with
+          // ts <= end + gap == wm) — seal at equality, the engine's own
+          // late boundary
           val wm = state.getCurrentWatermarkMs()
-          val (expired, live) = merged.partition(_.endMs + gapMs < wm)
+          val (expired, live) = merged.partition(_.endMs + gapMs <= wm)
           if (live.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(SessionsState(live))
-            // wm + 1 when a live session's seal point is AT the current
-            // watermark (timeouts must be set strictly beyond it); the
-            // next watermark advance then seals it
+            // every live seal point is > wm after the <=-partition, so
+            // this is always a legal (> wm) timeout
             state.setTimeoutTimestamp(math.max(live.map(_.endMs).min + gapMs, wm + 1))
           }
           expired.iterator.map(s => Session(userId,
@@ -272,9 +273,11 @@ object StreamOps {
     * [[graft.operators.Temporal.funnel]], emitting a `StageAdvance` the
     * moment a user's earliest strictly-ordered completion of each step
     * is SEALED by the watermark. Events are held in per-user state until
-    * `ts < watermark` (an in-scope late event could still be the EARLIER
+    * `ts <= watermark` (an in-scope late event could still be the EARLIER
     * step-completion the batch definition demands — deciding before the
-    * seal could emit an advance batch semantics would time differently),
+    * seal could emit an advance batch semantics would time differently;
+    * Spark itself drops arrivals with `ts <= wm`, so the seal boundary is
+    * exactly the engine's late boundary),
     * then folded in event-time order (ties process the earlier step
     * first, so a simultaneous view+click advances view only — the batch
     * twin's strict `>`). Over any arrival order within the watermark
@@ -305,8 +308,12 @@ object StreamOps {
           val all = (st.pendingTs.zip(st.pendingType) ++
             events.map(e => (e.ts.getTime, e.event_type))).distinct
           val wm = state.getCurrentWatermarkMs()
-          // an event with ts == wm may still arrive; seal strictly below
-          val (sealedEvs, pending) = all.partition(_._1 < wm)
+          // Spark's late filter drops input rows with ts <= wm before the
+          // function sees them (WatermarkSupport.watermarkExpression builds
+          // LessThanOrEqual), so every future arrival has ts > wm — events
+          // at or below the watermark can no longer be preceded or tied and
+          // are safe to seal NOW
+          val (sealedEvs, pending) = all.partition(_._1 <= wm)
           var stage = st.stage
           var tMs = st.tMs
           val out = List.newBuilder[StageAdvance]
@@ -324,9 +331,9 @@ object StreamOps {
           // not events, exactly like the batch per-user relation
           state.update(FunnelState(pending.map(_._1), pending.map(_._2), stage, tMs))
           if (pending.nonEmpty)
-            // seal point of the earliest pending event, strictly past
-            // the current watermark (timeout timestamps must be > wm)
-            state.setTimeoutTimestamp(math.max(pending.map(_._1).min + 1, wm + 1))
+            // earliest pending seal point; every pending ts is > wm after
+            // the <=-partition, so this is always a legal (> wm) timeout
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
           out.result().iterator
       }
   }

@@ -76,4 +76,42 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     assert(win.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == total)
     win.collect().foreach(r => assert(r.getLong(0) % 600 == 0))
   }
+
+  test("AvroCodec: byte-exact wire format pinned against hand-built reference bytes") {
+    // (event_id=1, event_type="click", value=1.5) per the Avro spec:
+    // zigzag(1)=2 -> [0x02]; "click" length 5 -> zigzag 10 -> [0x0A] +
+    // UTF-8 bytes; double 1.5 -> Double.doubleToLongBits little-endian.
+    // An independent hand spelling: field order, varint coding, and
+    // endianness are each pinned — a schema or codec drift breaks this.
+    val expected = Array[Byte](0x02, 0x0A) ++ "click".getBytes("UTF-8") ++ {
+      val bits = java.lang.Double.doubleToLongBits(1.5)
+      (0 until 8).map(i => ((bits >>> (8 * i)) & 0xFF).toByte)
+    }
+    val got = Payload.AvroCodec.encode(1L, "click", 1.5)
+    assert(got.sameElements(expected),
+      s"got ${got.map("%02x".format(_)).mkString(" ")}")
+    // multi-byte varint boundary: zigzag(64) = 128 -> [0x80, 0x01]
+    val big = Payload.AvroCodec.encode(64L, "", 0.0)
+    assert((big(0) & 0xFF) == 0x80 && big(1) == 0x01 && big(2) == 0x00)
+    val rt = Payload.AvroCodec.decode(got)
+    assert(rt == Payload.AvroEvent(1L, "click", 1.5))
+  }
+
+  test("avroRoundTrip: decoded columns equal the source, avro_len matches the format arithmetic (sf0.001)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val src = graft.operators.Replication.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val got = Payload.avroRoundTrip(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == src.size)
+    got.foreach { r =>
+      val (tpe, v) = src(r.getLong(0))
+      assert(r.getString(1) == tpe && r.getDouble(2) == v)
+      // independent JVM-side spelling of the oracle's length arithmetic
+      def varintLen(z: Long): Long = { var n = 1L; var x = z >>> 7; while (x != 0) { n += 1; x >>>= 7 }; n }
+      val tlen = tpe.getBytes("UTF-8").length.toLong
+      val expectLen = varintLen(2 * r.getLong(0)) + varintLen(2 * tlen) + tlen + 8
+      assert(r.getLong(3) == expectLen, s"event ${r.getLong(0)}: ${r.getLong(3)} vs $expectLen")
+    }
+  }
 }

@@ -65,21 +65,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(prunesTo(p, "doc_id:bigint,lang:string"), p.toString)
   }
 
-  /** The repo-wide broadcast rule ([[Temporal.funnel]], r5): `broadcast()`
-    * is reserved for relations bounded by construction. A corpus-
-    * proportional side must never be HINT-broadcast — the analyzed plan
-    * carries no ResolvedHint; stats/AQE may still promote it at eval
-    * scale, which is allowed (and reversible at 100×).
+  /** The repo-wide broadcast rule ([[Temporal.funnel]], r5/r7):
+    * `broadcast()` is reserved for relations BOUNDED — by construction,
+    * or by an actual driver-side measurement taken before the hint is
+    * applied ([[Similarity]]'s measured-size guard). A corpus-
+    * proportional side may therefore carry a hint only when its measured
+    * footprint is under the guard's byte bound, and the SAME call with
+    * the bound disabled must analyze to a hint-free plan — proving the
+    * 100× fallback path exists and is reachable, not just prose.
     */
-  private def noForcedBroadcast(df: DataFrame): Unit = {
-    val hints = df.queryExecution.analyzed.collect {
+  private def countHints(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-    }
-    assert(hints.isEmpty, s"corpus-proportional side is hint-broadcast:\n${df.queryExecution.analyzed}")
-  }
+    }.length
 
-  test("brute-force top-k: no forced broadcast; top-k folded map-side before the exchange") {
-    noForcedBroadcast(Similarity.bruteForceTopK(spark, dir))
+  test("brute-force top-k: broadcast only under the measured-size guard; top-k folded map-side before the exchange") {
+    // eval scale measures under the 64 MiB bound -> the hint is applied
+    assert(countHints(Similarity.bruteForceTopK(spark, dir)) == 1,
+      "measured-small query side should be hint-broadcast")
+    // bound disabled -> the un-hinted 100 TB fallback plan, no hint
+    assert(countHints(Similarity.bruteForceTopK(spark, dir, maxBroadcastBytes = 0)) == 0,
+      "guard disabled must yield the hint-free fallback plan")
     val p = plan(Similarity.bruteForceTopK(spark, dir))
     // the scale invariant: a partial ObjectHashAggregate (the bounded
     // top-k buffer) must sit BELOW a shuffle, so the exchange carries
@@ -163,8 +169,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
   }
 
-  test("hard negatives: same shape as brute force — no forced broadcast, corpus never shuffles pre-join") {
-    noForcedBroadcast(Similarity.hardNegatives(spark, dir))
+  test("hard negatives: same shape as brute force — measured-guard broadcast, corpus never shuffles pre-join") {
+    assert(countHints(Similarity.hardNegatives(spark, dir)) == 1,
+      "measured-small query side should be hint-broadcast")
+    assert(countHints(Similarity.hardNegatives(spark, dir, maxBroadcastBytes = 0)) == 0,
+      "guard disabled must yield the hint-free fallback plan")
     val p = plan(Similarity.hardNegatives(spark, dir))
     // the label filter must not break the map-side bounded top-k: a
     // partial ObjectHashAggregate still sits below the one exchange

@@ -368,15 +368,17 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // clock user pins the shared watermark to exactly 10·b minutes
     // after batch b. Progressive sealing is therefore real (early
     // events seal while later ones are still pending), and the batch
-    // bounds keep every arrival INSIDE the horizon: not-late needs
-    // m >= 10(b-1); keeping the clock the max needs m <= 10(b+1).
+    // bounds keep every arrival INSIDE the horizon: Spark's late filter
+    // drops ts <= wm (WatermarkSupport builds LessThanOrEqual), so
+    // not-late needs STRICTLY m > 10(b-1), i.e. b <= ceil(m/10);
+    // keeping the clock the max needs m <= 10(b+1).
     val types = Seq("view", "click", "purchase", "other")
     val genScenario: Gen[List[(Int, String, Int)]] = for {
       n <- Gen.choose(3, 8)
       evs <- Gen.listOfN(n, for {
         m <- Gen.choose(1, 35)
         t <- Gen.oneOf(types)
-        b <- Gen.choose(math.max(0, (m + 9) / 10 - 1), math.min(3, m / 10 + 1))
+        b <- Gen.choose(math.max(0, (m + 9) / 10 - 1), math.min(3, (m + 9) / 10))
       } yield (m, t, b))
     } yield evs
     val scenarios = (1 to 120).map { i =>
