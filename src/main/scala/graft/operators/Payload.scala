@@ -103,7 +103,7 @@ object Payload {
     }
   }
 
-  /** EXT-P3 — Avro payload decoding, the binary half of SURVEY.md §2b's
+  /** EXT-P5 — Avro payload decoding, the binary half of SURVEY.md §2b's
     * "payload decoding (json/avro columns)" promise and the first thing
     * a real user does to the reference's opaque-bytes value envelope
     * (reference: KafkaMessage.java:9-10 carries `byte[] key/value` that

@@ -344,13 +344,16 @@ object Similarity {
     * Scale shape: centroids are k·dim driver-side doubles broadcast as
     * literals — each iteration is ONE narrow pass over the (materialized)
     * corpus plus a k-group aggregate; nothing big ever shuffles. The
-    * ordered-fold mean is the oracle-exactness spelling: production at
-    * 100 TB would use plain `sum` per dimension (order-free at FP
-    * tolerance, no per-cell list), with everything else unchanged.
+    * ordered-fold mean is the oracle-exactness spelling; the production
+    * spelling is `exactMeans = false` — per-(cell, dim) plain `sum`,
+    * commutative and map-side combined, no cell ever materialized in one
+    * aggregation buffer (the spelling to point at a real corpus; means
+    * differ from the ordered fold only by FP summation order).
     */
-  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      exactMeans: Boolean = true): DataFrame = {
     import spark.implicits._
-    val cents = trainCentroids(embDouble(spark, dir), k, iters)
+    val cents = trainCentroids(embDouble(spark, dir), k, iters, exactMeans)
     val rows = cents.flatMap { case (i, cd) =>
       cd.zipWithIndex.map { case (v, d) => (i.toLong, (d + 1).toLong, v) }
     }
@@ -372,7 +375,7 @@ object Similarity {
     * collect, as with the IVF centroids).
     */
   private def trainCentroids(
-      e: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+      e: DataFrame, k: Int, iters: Int, exactMeans: Boolean = true): Seq[(Int, Array[Double])] = {
     import e.sparkSession.implicits._
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("ed"))
@@ -384,14 +387,31 @@ object Similarity {
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val assigned = assignCells(e, cents)
-      val updated = assigned.groupBy("cell")
-        .agg(count(lit(1)).as("cnt"),
-          aggregate(
-            array_sort(collect_list(struct(col("vec_id"), col("ed")))),
-            array_repeat(lit(0.0), dim),
-            (acc, s) => zip_with(acc, s.getField("ed"), (a, x) => a + x)).as("sums"))
-        .select(col("cell"), transform(col("sums"), _ / col("cnt")).as("mean"))
-        .as[(Int, Seq[Double])].collect().toMap
+      val means =
+        if (exactMeans)
+          // oracle spelling: vec_id-ordered left-fold sum per cell —
+          // bit-reproducible in DuckDB, but the collect_list holds one
+          // whole cell in a single aggregation buffer
+          assigned.groupBy("cell")
+            .agg(count(lit(1)).as("cnt"),
+              aggregate(
+                array_sort(collect_list(struct(col("vec_id"), col("ed")))),
+                array_repeat(lit(0.0), dim),
+                (acc, s) => zip_with(acc, s.getField("ed"), (a, x) => a + x)).as("sums"))
+            .select(col("cell"), transform(col("sums"), _ / col("cnt")).as("mean"))
+        else
+          // production spelling: per-(cell, dim) plain `sum` — commutative
+          // and map-side combined, so no cell is ever materialized in one
+          // buffer; the regroup collects k·dim structs, bounded by
+          // construction. Differs from the ordered fold only by FP
+          // summation order.
+          assigned.select(col("cell"), posexplode(col("ed")).as(Seq("d", "x")))
+            .groupBy(col("cell"), col("d"))
+            .agg((sum(col("x")) / count(lit(1))).as("m"))
+            .groupBy("cell")
+            .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+            .select(col("cell"), transform(col("dm"), _.getField("m")).as("mean"))
+      val updated = means.as[(Int, Seq[Double])].collect().toMap
       cents = cents.map { case (i, old) => (i, updated.get(i).map(_.toArray).getOrElse(old)) }
     }
     cents

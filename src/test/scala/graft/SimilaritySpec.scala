@@ -105,6 +105,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("kmeansCentroids: production sum spelling agrees with the ordered-fold oracle spelling") {
+    // same seeds, same assignment, same cells — the two mean spellings
+    // differ only by FP summation order, so centroids agree to ~1 ulp
+    // per added term; 1e-12 relative is generous for sf0.001 cell sizes
+    val sfDir = "/root/testdata/sf0.001"
+    val exact = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prod = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2, exactMeans = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet == prod.keySet && exact.nonEmpty)
+    exact.foreach { case (key, v) =>
+      assert(math.abs(prod(key) - v) <= 1e-12 * math.max(1.0, math.abs(v)), s"$key: ${prod(key)} vs $v")
+    }
+  }
+
   test("annRecall: queries the index returns nothing for survive with recall 0") {
     // ids < 16 are all centroids -> every vector is alone in its own
     // cell -> the IVF index returns NO neighbors; exact top-k exists, so
