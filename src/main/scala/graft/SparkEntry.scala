@@ -898,16 +898,26 @@ object SparkEntry {
     // binary-format arithmetic (zigzag varint + length-prefixed UTF-8 +
     // 8 IEEE bytes) in exact integer CASE rungs — a pass pins the wire
     // format, not just decode∘encode = id
+    // varint rungs are spelled as ranges of event_id itself (zigzag(id)
+    // < 2^7k iff id in [-2^(7k-1), 2^(7k-1)-1]) — no 2*id product, so
+    // no BIGINT overflow for ids near 2^63, and the ladder reaches the
+    // full 10-byte unsigned-varint range
     "x63_avro_roundtrip" ->
       """WITH z AS (SELECT event_id, event_type, value,
-        |  CASE WHEN event_id >= 0 THEN 2*event_id ELSE -2*event_id - 1 END AS zid,
         |  strlen(event_type)::BIGINT AS tlen FROM events)
         |SELECT event_id, event_type AS type_rt, value AS value_rt,
-        |  (CASE WHEN zid < 128 THEN 1 WHEN zid < 16384 THEN 2 WHEN zid < 2097152 THEN 3
-        |        WHEN zid < 268435456 THEN 4 WHEN zid < 34359738368 THEN 5
-        |        WHEN zid < 4398046511104 THEN 6 WHEN zid < 562949953421312 THEN 7
-        |        WHEN zid < 72057594037927936 THEN 8 ELSE 9 END
-        |   + CASE WHEN 2*tlen < 128 THEN 1 WHEN 2*tlen < 16384 THEN 2 ELSE 3 END
+        |  (CASE WHEN event_id BETWEEN -64 AND 63 THEN 1
+        |        WHEN event_id BETWEEN -8192 AND 8191 THEN 2
+        |        WHEN event_id BETWEEN -1048576 AND 1048575 THEN 3
+        |        WHEN event_id BETWEEN -134217728 AND 134217727 THEN 4
+        |        WHEN event_id BETWEEN -17179869184 AND 17179869183 THEN 5
+        |        WHEN event_id BETWEEN -2199023255552 AND 2199023255551 THEN 6
+        |        WHEN event_id BETWEEN -281474976710656 AND 281474976710655 THEN 7
+        |        WHEN event_id BETWEEN -36028797018963968 AND 36028797018963967 THEN 8
+        |        WHEN event_id BETWEEN -4611686018427387904 AND 4611686018427387903 THEN 9
+        |        ELSE 10 END
+        |   + CASE WHEN tlen < 64 THEN 1 WHEN tlen < 8192 THEN 2
+        |          WHEN tlen < 1048576 THEN 3 ELSE 4 END
         |   + tlen + 8)::BIGINT AS avro_len
         |FROM z ORDER BY event_id""".stripMargin,
 

@@ -80,19 +80,33 @@ object Similarity {
   private def broadcastIfMeasuredUnder(
       df: DataFrame, key: String, estRowBytes: () => Long, maxBytes: Long): DataFrame = {
     if (maxBytes <= 0) return df
-    val bytes = measuredBytes.computeIfAbsent(key, _ => df.count() * estRowBytes())
+    // measure OUTSIDE the map operation: a cluster job must not run
+    // under a ConcurrentHashMap bin lock (computeIfAbsent would hold it
+    // for the scan's duration, blocking concurrent plan builds); a lost
+    // race just measures twice, which is harmless and idempotent
+    val bytes = measuredBytes.get(key) match {
+      case b: java.lang.Long => b.longValue()
+      case null =>
+        val est = estRowBytes()
+        // unknown row width -> fail SAFE: record "too big", never hint
+        val b = if (est < 0) Long.MaxValue else df.count() * est
+        measuredBytes.putIfAbsent(key, b)
+        b
+    }
     if (bytes <= maxBytes) broadcast(df) else df
   }
 
-  /** Estimated broadcast bytes per (id, embedding) row: one row-group
-    * probe for the vector width + fixed UnsafeRow/array overhead.
+  /** Estimated broadcast bytes per (id, embedding) row: MAX vector
+    * width over a bounded sample of the relation to be broadcast (not a
+    * single arbitrary row — a null/short first row must not silently
+    * defeat the guard) + fixed UnsafeRow/array overhead. Embedding
+    * tables are fixed-dim by data model, so the sample max IS the dim;
+    * if the sample yields no usable width (empty/null vectors), returns
+    * -1 and the guard falls back to no-hint.
     */
-  private def embRowBytes(emb: DataFrame): Long = {
-    val dim = emb.select(size(col("embedding")).as("d")).take(1) match {
-      case Array(r) if !r.isNullAt(0) => r.getInt(0)
-      case _ => 0
-    }
-    4L * dim + 64L
+  private def embRowBytes(vecs: DataFrame, vecCol: String): Long = {
+    val d = vecs.select(size(col(vecCol)).as("d")).limit(1024).agg(max(col("d"))).head()
+    if (d.isNullAt(0) || d.getInt(0) <= 0) -1L else 4L * d.getInt(0) + 64L
   }
 
   /** EXT-S1 — exact top-k neighbors by brute force for a query subset
@@ -119,10 +133,10 @@ object Similarity {
       queryMod: Int = 10,
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = broadcastIfMeasuredUnder(
-      emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
-      s"$dir|emb|mod=$queryMod", () => embRowBytes(emb), maxBroadcastBytes)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
     val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = queries
       .join(corpus, col("qid") =!= col("cid"))
@@ -149,10 +163,10 @@ object Similarity {
       queryMod: Int = 5,
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = broadcastIfMeasuredUnder(
-      emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel")),
-      s"$dir|emb+label|mod=$queryMod", () => embRowBytes(emb), maxBroadcastBytes)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb+label|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
     val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("clabel"))
     val scored = queries
       .join(corpus, col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))

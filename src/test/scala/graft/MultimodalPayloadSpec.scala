@@ -107,10 +107,15 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     got.foreach { r =>
       val (tpe, v) = src(r.getLong(0))
       assert(r.getString(1) == tpe && r.getDouble(2) == v)
-      // independent JVM-side spelling of the oracle's length arithmetic
-      def varintLen(z: Long): Long = { var n = 1L; var x = z >>> 7; while (x != 0) { n += 1; x >>>= 7 }; n }
+      // independent JVM-side spelling of the oracle's length arithmetic:
+      // true zigzag ((n << 1) ^ (n >> 63)) then unsigned varint — exact
+      // for negative ids and ids >= 2^62, unlike a bare 2*n product
+      def varintLen(n: Long): Long = {
+        var z = ((n << 1) ^ (n >> 63)) >>> 7; var c = 1L
+        while (z != 0) { c += 1; z >>>= 7 }; c
+      }
       val tlen = tpe.getBytes("UTF-8").length.toLong
-      val expectLen = varintLen(2 * r.getLong(0)) + varintLen(2 * tlen) + tlen + 8
+      val expectLen = varintLen(r.getLong(0)) + varintLen(tlen) + tlen + 8
       assert(r.getLong(3) == expectLen, s"event ${r.getLong(0)}: ${r.getLong(3)} vs $expectLen")
     }
   }
