@@ -102,6 +102,46 @@ object Sources {
       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).orc(outDir)
 
+  /** Write a relation as a BUCKETED, per-bucket-sorted catalog table:
+    * rows are hash-placed into `buckets` files on `bucketCols`, and the
+    * bucket spec lives in table METADATA (a plain directory write cannot
+    * carry it — hence `saveAsTable`, not `parquet(dir)`). A later scan
+    * of the table reports an output partitioning that already satisfies
+    * joins and aggregations on the bucket columns, so every subsequent
+    * join against the same key needs NO exchange on the bucketed
+    * side(s): the layout IS the shuffle, paid once at write time. This
+    * is the standard co-location strategy for relations probed every
+    * ingest batch at 100 TB — e.g. the incremental-dedup digest index
+    * ([[graft.operators.Curation]]), where an unbucketed layout re-pays
+    * a full corpus shuffle per batch forever.
+    *
+    * The pre-write `repartition(buckets, bucketCols)` uses the same
+    * Murmur3 hash as the bucket placement, so each task holds exactly
+    * one bucket and writes exactly ONE file per bucket. The per-bucket
+    * `sortBy` does NOT remove the sort-merge join's SortExec on modern
+    * Spark (scan output-ordering propagation from bucket metadata was
+    * retired as error-prone; the legacy flag still exists but is
+    * legacy) — what it buys is tight per-row-group min/max stats for
+    * key-range pushdown and a near-linear SortExec over already-sorted
+    * runs. The exchange elision is the bucketing win, asserted in
+    * PlanSpec. Same explicit-overwrite contract as the other writers.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int = 32,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    require(buckets > 0, "bucket count must be positive")
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Compact a parquet dataset into ~`targetBytes`-sized files — the
     * periodic maintenance pass every long-lived ingest pipeline needs:
     * streaming sinks and incremental batch appends accumulate small

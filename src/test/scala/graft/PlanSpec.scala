@@ -286,4 +286,46 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // cell-key pair join (2 sides) + dup-count agg + verdict join + sort
     assert(shuffles(p) <= 6, s"unexpected shuffle count in:\n$p")
   }
+
+  test("bucketed digest tables: co-located join runs with zero exchanges") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.{col, sha2}
+    // a table can leak a warehouse DIRECTORY without catalog metadata
+    // (e.g. a prior JVM died mid-write): drop both, or saveAsTable
+    // refuses with LOCATION_ALREADY_EXISTS even under Overwrite
+    Seq("plan_spec_corpus", "plan_spec_index").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    }
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    graft.sources.Sources.writeBucketed(
+      docs, "plan_spec_corpus", Seq("digest"), buckets = 4, mode = SaveMode.Overwrite)
+    graft.sources.Sources.writeBucketed(
+      docs.select(col("digest")), "plan_spec_index", Seq("digest"), buckets = 4,
+      mode = SaveMode.Overwrite)
+    // force the join DOWN the sort-merge path: at eval scale the tables
+    // would broadcast, which makes "no exchange" vacuous — the bucketing
+    // claim is that SMJ itself needs neither an exchange nor a sort,
+    // because the one-file-per-bucket sorted layout already satisfies
+    // both requirements. That is the 100 TB contract (broadcast is off
+    // the table there anyway).
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(spark.table("plan_spec_corpus")
+        .join(spark.table("plan_spec_index"), "digest"))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, s"expected a sort-merge join:\n$p")
+      assert(shuffles(p) == 0, s"bucketed join must not exchange:\n$p")
+      // NOT asserted: sort elision. Spark 4 ignores bucket sort metadata
+      // for scan output ordering by default (the legacy
+      // bucketedTableScan.outputOrdering propagation was retired as
+      // error-prone), so SortExec stays in-plan — but it runs per
+      // single-bucket partition over per-bucket-sorted files, which is
+      // the cheap case. The exchange elision above is the bucketing win.
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
