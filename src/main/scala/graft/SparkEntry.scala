@@ -121,6 +121,7 @@ object SparkEntry {
     // codec round trip over real events rows: decoded columns must equal
     // the source, avro_len must equal the wire-format arithmetic
     "x63_avro_roundtrip" -> ((s, dir) => Payload.avroRoundTrip(s, dir)),
+    "x64_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -920,6 +921,25 @@ object SparkEntry {
         |          WHEN tlen < 1048576 THEN 3 ELSE 4 END
         |   + tlen + 8)::BIGINT AS avro_len
         |FROM z ORDER BY event_id""".stripMargin,
+
+    // exact-integer per-dimension mean shift over the int8 quantization;
+    // same parity-split convention and numerator spelling as x60. The
+    // two same-level unnests zip in DuckDB (list element + its index)
+    "x64_embedding_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS parity,
+        |  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))) AS q,
+        |  unnest(range(1, len(embedding) + 1)) AS dim
+        |FROM embeddings)
+        |SELECT dim, n_a, n_b, sum_a, sum_b,
+        |       (sum_a * n_b - sum_b * n_a) AS shift_numer,
+        |       CAST(sum_a * n_b - sum_b * n_a AS DOUBLE) / (n_a * n_b) AS q_shift
+        |FROM (SELECT dim,
+        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |        sum(CASE WHEN parity = 0 THEN q ELSE 0 END)::BIGINT AS sum_a,
+        |        sum(CASE WHEN parity = 1 THEN q ELSE 0 END)::BIGINT AS sum_b
+        |      FROM e GROUP BY dim)
+        |ORDER BY dim""".stripMargin,
 
     "x60_token_drift" ->
       """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),

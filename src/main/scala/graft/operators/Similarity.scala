@@ -571,4 +571,47 @@ object Similarity {
       .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim4"))
       .orderBy("v1", "v2")
   }
+
+  /** EXT-S11 — embedding-space drift between two corpus snapshots (even
+    * vec_ids = A, odd = B, the same parity convention as the token-drift
+    * monitor [[Curation.tokenDrift]]): per-dimension shift of the mean
+    * embedding, computed in EXACT integer arithmetic over the int8
+    * quantization (`floor(127·x + 0.5)` — [[quantize]]'s formula, the
+    * form a serving index stores anyway). `mean_a − mean_b =
+    * (sum_a·n_b − sum_b·n_a) / (n_a·n_b)` — integer numerator and
+    * denominator, ONE IEEE division per dimension — so the oracle
+    * reproduces it bit-for-bit (an FP mean would be summation-order-
+    * sensitive). The embedding twin of the distribution-shift check a
+    * pipeline runs between crawls: a new scrape or encoder version that
+    * moves the corpus centroid shows up as per-dimension shift before
+    * any downstream metric degrades.
+    *
+    * Scale: one narrow explode (n·dim rows) into a `dim`-keyed partial
+    * agg — map-side combine collapses each partition to `dim` rows
+    * before the only shuffle; output is `dim` rows total. The integer
+    * products bound: `sum·n` fits BIGINT up to ~8·10⁸ vectors per side
+    * (127·n·n ≤ 2⁶³); beyond that, DECIMAL(38,0) numerators — the
+    * shape is unchanged (same note as [[Curation.tokenDrift]]).
+    *
+    * Output: (dim 1-based, n_a, n_b, sum_a, sum_b, shift_numer,
+    * q_shift = numer/(n_a·n_b) in quantized units; divide by 127 for
+    * original units).
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2).as("parity"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))"))
+          .as(Seq("d0", "q")))
+      .groupBy((col("d0") + 1).cast("long").as("dim"))
+      .agg(
+        sum(when(col("parity") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("parity") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("parity") === 0, col("q")).otherwise(0L)).as("sum_a"),
+        sum(when(col("parity") === 1, col("q")).otherwise(0L)).as("sum_b"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        (col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).as("shift_numer"),
+        ((col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).cast("double") /
+          (col("n_a") * col("n_b"))).as("q_shift"))
+      .orderBy("dim")
 }

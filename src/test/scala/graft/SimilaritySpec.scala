@@ -105,6 +105,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("embeddingDrift: hand-computed exact integer shift on a 4-vector parity split") {
+    // A (even ids): q-vectors (127, 0) and (64, -63); B (odd ids):
+    // (0, 127) and (-63, 64). Per dim: sum_a=(191, -63), sum_b=(-63, 191),
+    // n_a = n_b = 2 -> numer = sum_a*2 - sum_b*2.
+    val ddir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1.0f, 0.0f), 2L -> Seq(0.5f, -0.5f),
+      1L -> Seq(0.0f, 1.0f), 3L -> Seq(-0.5f, 0.5f)))
+    val rows = Similarity.embeddingDrift(spark, ddir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // floor(0.5*127 + 0.5) = floor(64) = 64; floor(-63.0) = -63? No:
+    // -0.5*127 + 0.5 = -63.0 exactly -> floor = -63
+    assert(rows(1L) == ((2L, 2L, 191L, -63L, (191L + 63L) * 2, (191.0 + 63.0) * 2 / 4.0)))
+    assert(rows(2L) == ((2L, 2L, -63L, 191L, (-63L - 191L) * 2, (-63.0 - 191.0) * 2 / 4.0)))
+  }
+
   test("kmeansCentroids: production sum spelling agrees with the ordered-fold oracle spelling") {
     // same seeds, same assignment, same cells — the two mean spellings
     // differ only by FP summation order, so centroids agree to ~1 ulp
