@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -122,6 +122,16 @@ object SparkEntry {
     // the source, avro_len must equal the wire-format arithmetic
     "x63_avro_roundtrip" -> ((s, dir) => Payload.avroRoundTrip(s, dir)),
     "x64_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
+    // the measurement that sizes saltedJoin: top-N hot keys, each with
+    // its share of all events and its multiple of the mean per-key load
+    "x65_hot_keys" -> ((s, dir) => Skew.hotKeys(s, dir)),
+    // near-dup pairs that straddle the train/val/test hash split — the
+    // leakage audit a split must pass before it ships
+    "x66_split_leakage" -> ((s, dir) => Curation.splitLeakage(s, dir)),
+    // the audit view: the sketch VALUE is implementation-defined, but
+    // the exact discrete quantiles and the rank-error-law verdicts are
+    // oracle-checked (same contract as x59)
+    "x67_quantile_audit" -> ((s, dir) => Curation.quantileAudit(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -964,6 +974,44 @@ object SparkEntry {
         |       abs(c.count_a * t.nb - c.count_b * t.na)::BIGINT AS shift_numer
         |FROM c CROSS JOIN t
         |ORDER BY shift_numer DESC, tok LIMIT 15""".stripMargin,
+
+    // event_frac is one IEEE division; skew_ratio is one double product
+    // then one division — identical op order in both engines
+    "x65_hot_keys" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
+        |SELECT c.user_id, c.n_events,
+        |       c.n_events::DOUBLE / t.total_events AS event_frac,
+        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio
+        |FROM c CROSS JOIN t
+        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
+
+    "x66_split_leakage" ->
+      s"""WITH $simhashPairsCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS b
+         |    FROM documents))
+         |SELECT p.d1, p.d2, s1.split AS split_1, s2.split AS split_2, p.hamming
+         |FROM nd_pairs p JOIN sp s1 ON s1.doc_id = p.d1 JOIN sp s2 ON s2.doc_id = p.d2
+         |WHERE s1.split <> s2.split
+         |ORDER BY p.d1, p.d2""".stripMargin,
+
+    // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
+    // of the target — x59's contract); exact_p* are the discrete order
+    // statistics both engines compute in pure integer selection
+    "x67_quantile_audit" ->
+      """WITH r AS (SELECT source, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM documents)
+        |SELECT source, max(cnt)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS exact_p50,
+        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS exact_p90,
+        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS exact_p99,
+        |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "x55_event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -239,12 +239,43 @@ object Curation {
     * incremental ingests land every document in the same split. Pure
     * row-local projection.
     */
-  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(spark, dir).orderBy("doc_id")
+
+  /** The split assignment WITHOUT the presentation sort — consumers that
+    * JOIN the splits ([[splitLeakage]]) skip the global sort exchange.
+    */
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5Bucket("split:").as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
-      .orderBy("doc_id")
+
+  /** EXT-C23 — split-leakage audit: near-duplicate pairs that STRADDLE
+    * the [[hashSplit]] boundary. A held-out document with a near-dup in
+    * train is not held out — its eval loss is memorization, not
+    * generalization — so this relation must be EMPTY (or consumed as a
+    * held-out-side drop list) before the split ships. Pairs come from
+    * the same exact banded-SimHash relation the cluster resolver
+    * consumes ([[Dedup.simhashNearDup]]: candidates only from band
+    * collisions, Hamming ≤ 4 exact by pigeonhole).
+    *
+    * Scale: the pair relation is vanishingly small next to the corpus
+    * (it is the near-dup evidence, not the cross product), so both split
+    * lookups are doc_id equi-joins with a tiny probe side — AQE
+    * broadcasts the pairs; the split relation is a row-local projection
+    * of the corpus that is never shuffled. Deterministic presentation
+    * order (d1, d2).
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, dir)
+    val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
+      .filter(col("split_1") =!= col("split_2"))
+      .select(col("d1"), col("d2"), col("split_1"), col("split_2"), col("hamming"))
+      .orderBy("d1", "d2")
   }
 
   /** EXT-C5 — duplicate-cluster resolution: given the near-dup pair
@@ -499,6 +530,60 @@ object Curation {
       .filter(col("rn") === ((col("cnt") + 1) / 2).cast("int"))
       .select(col("lang"), col("n_chars").as("median_chars"), col("cnt").as("n_docs"))
       .orderBy("lang")
+  }
+
+  /** EXT-C24 — quantile-sketch audit: per source, the EXACT discrete
+    * p50/p90/p99 of document length next to a verdict that
+    * `approx_percentile`'s answer respects its rank-error contract
+    * (a KLL/GK-style sketch with accuracy `a` returns a value whose
+    * RANK is within ±n/a of the target — so the verdict brackets the
+    * sketch value between the exact order statistics at ranks
+    * `⌈(p−ε)·n⌉` and `⌈(p+ε)·n⌉`, ε = 1/a, clamped to [1, n]; every
+    * comparison is on integer n_chars, so the law is float-free).
+    * Same audit contract as [[cardinalityAudit]]: the oracle recomputes
+    * the exact columns and asserts the verdicts TRUE — a broken sketch
+    * fails the hash check; the sketch's own (implementation-defined)
+    * value never appears in the output.
+    *
+    * Exact quantile spelling: one (source)-window rank + count pass,
+    * then `max(n_chars) WHERE rn ≤ r` per target rank folded in ONE
+    * aggregation (rows are rank-ordered by n_chars, so the running max
+    * at rank r IS the order statistic) — the same one-sort shape as
+    * [[medianChars]], generalized to any rank set. The sketch runs in
+    * the same aggregation over the same rows. Shuffle is by the
+    * low-cardinality stratum key only.
+    *
+    * Scale: the exact leg is the audit's price (per-group sort), run at
+    * eval scale to certify the sketch; production monitors run the
+    * sketch alone — a fixed-size buffer per (partition, source) folded
+    * map-side, the exchange carries |sources| sketches.
+    */
+  def quantileAudit(spark: SparkSession, dir: String, accuracy: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eps = 1.0 / accuracy
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy("source")
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    def rankAt(p: Double): Column =
+      least(col("cnt"), greatest(lit(1L), ceil(lit(p) * col("cnt")).cast("long")))
+    def valueAt(p: Double): Column = max(when(col("rn") <= rankAt(p), col("n_chars")))
+    def ok(p: Double, approx: Column): Column =
+      approx.between(valueAt(p - eps), valueAt(p + eps))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val sketch = percentile_approx(
+      col("n_chars"), array(ps.map(lit): _*), lit(accuracy))
+    val aggCols =
+      max(col("cnt")).as("n_docs") +:
+        (ps.map(p => valueAt(p).as(s"exact_p${(p * 100).toInt}")) ++
+          ps.zipWithIndex.map { case (p, i) =>
+            ok(p, sketch.getItem(i)).as(s"ok_p${(p * 100).toInt}")
+          })
+    ranked.groupBy("source")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("source")
   }
 
   /** EXT-C13 — boilerplate n-gram measurement (the CCNet-style

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins (SURVEY.md §2b infrastructure).
@@ -51,5 +51,34 @@ object Skew {
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
     val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** EXT-I2 — hot-key skew report over the event stream: the top-N
+    * `user_id`s by event count, each with its share of all events
+    * (`event_frac`) and its multiple of the mean per-key load
+    * (`skew_ratio` = count · n_keys / total — 1.0 is a perfectly even
+    * key). The MEASUREMENT that decides whether a join or aggregation
+    * keyed on `user_id` needs [[saltedJoin]] (and with how many salts:
+    * a healthy `salts` ≈ the hottest key's `skew_ratio` rounded up) or
+    * can be left to AQE's skew split.
+    *
+    * Scale: one partial-agg shuffle on the key (map-side combine folds
+    * each partition to its distinct keys before the exchange), a 1-row
+    * totals broadcast, and a TakeOrdered top-N (per-partition heads
+    * fold map-side; the key relation never re-shuffles). Output is N
+    * rows. Deterministic: ties break to the smaller key.
+    */
+  def hotKeys(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
+    val counts = Replication.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val totals = counts.agg(
+      sum("n_events").as("total_events"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("n_events"),
+        (col("n_events").cast("double") / col("total_events")).as("event_frac"),
+        (col("n_events").cast("double") * col("n_keys") / col("total_events"))
+          .as("skew_ratio"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(n)
   }
 }

@@ -355,4 +355,41 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
     assert(rows.exists(_._4) && rows.exists(!_._4)) // the gate actually divides the corpus
   }
+
+  test("splitLeakage: exactly the cross-split subset of the near-dup pairs, labels intact") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.simhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val split = Curation.hashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val expected = pairs.flatMap { case (d1, d2, h) =>
+      val (s1, s2) = (split(d1), split(d2))
+      if (s1 != s2) Some((d1, d2, s1, s2, h)) else None
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Curation.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.forall(t => t._3 != t._4)) // never reports a same-split pair
+  }
+
+  test("quantileAudit: exact discrete order statistics; every rank-error verdict holds") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Curation.quantileAudit(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val sorted = docs.filter(_._1 == r.getString(0)).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      // the engine's own rank formula, replicated bit-for-bit
+      def at(p: Double) =
+        sorted(math.min(n.toLong, math.max(1L, math.ceil(p * n).toLong)).toInt - 1)
+      assert(r.getLong(2) == at(0.5) && r.getLong(3) == at(0.9) && r.getLong(4) == at(0.99))
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+        s"sketch rank-error law violated for ${r.getString(0)}")
+    }
+  }
 }

@@ -328,4 +328,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       // the cheap case. The exchange elision above is the bucketing win.
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("hot keys: one key shuffle with partial agg, totals broadcast, TakeOrdered top-N") {
+    val p = plan(graft.operators.Skew.hotKeys(spark, dir))
+    // partial + final HashAggregate around the key exchange — the
+    // map-side combine is what keeps the exchange at |keys|, not |events|
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 2, p.toString)
+    // key agg + totals agg feed; never a sort exchange (top-N folds map-side)
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected a TakeOrdered top-N in:\n$p")
+  }
+
+  test("split leakage: both split lookups are equi-joins — never a nested loop") {
+    val p = plan(Curation.splitLeakage(spark, dir))
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec        => c
+    }.isEmpty, s"leakage audit must not cross-product:\n$p")
+    // scan prunes: the split side reads (doc_id), pairs side (doc_id, text)
+    assert(prunesTo(p, "doc_id:bigint"), p.toString)
+  }
+
+  test("quantile audit: window and final agg share one stratum shuffle") {
+    val p = plan(Curation.quantileAudit(spark, dir))
+    // the rank window partitions by source; the groupBy(source) after it
+    // must REUSE that partitioning — one stratum exchange + presentation
+    // sort, never a second hash exchange for the aggregation
+    assert(shuffles(p) <= 2, s"expected window+agg to share the exchange:\n$p")
+    assert(p.collect { case w: WindowExec => w }.nonEmpty, p.toString)
+    assert(prunesTo(p, "doc_id:bigint,source:string,n_chars:bigint"), p.toString)
+  }
 }

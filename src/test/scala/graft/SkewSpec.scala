@@ -72,4 +72,23 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       Skew.saltedJoin(big.withColumn("__salt", lit(1)), dim, "k", 8))
     intercept[IllegalArgumentException](Skew.saltedJoin(big, dim, "k", 0))
   }
+
+  test("hotKeys: top-N by count with deterministic ties; share/ratio arithmetic exact") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = graft.operators.Replication.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val nKeys = counts.length.toLong
+    val expected = counts.sortBy(t => (-t._2, t._1)).take(15).toSeq
+    val got = Skew.hotKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expected)
+    got.foreach { case (_, n, frac, ratio) =>
+      assert(frac == n.toDouble / total) // one IEEE division
+      assert(ratio == n.toDouble * nKeys / total) // one product, one division
+    }
+    // the report orders a salts choice: the hottest key leads
+    assert(got.head._2 == got.map(_._2).max)
+  }
 }
