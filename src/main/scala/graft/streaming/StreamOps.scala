@@ -352,4 +352,95 @@ object StreamOps {
   def centroidAssignStream(
       vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
     graft.operators.Similarity.centroidProjection(vecs, cents)
+
+  /** One timestamped document of the ingest stream (the streaming shape
+    * of the `documents` table plus event time).
+    */
+  case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Per-window drift state: token counts of everything the watermark
+    * has not sealed, plus the window's token total (carried explicitly —
+    * summing the map on every event would be quadratic).
+    */
+  case class DriftState(counts: Map[String, Long], nTokens: Long)
+
+  /** One emitted per-window drift measurement. */
+  case class WindowDrift(window_start: java.sql.Timestamp, n_tokens: Long,
+      tv_numer: Long, tv_distance: Double)
+
+  /** EXT-6k — streaming corpus-drift monitor: the unbounded twin of
+    * [[graft.operators.Curation.tokenDrift]]. Arriving documents are
+    * bucketed into tumbling event-time windows; when the watermark
+    * seals a window (wm ≥ window end ⇒ no in-scope arrival can still
+    * land in it, since Spark admits only ts > wm), the monitor emits
+    * the total-variation distance between that window's token frequency
+    * distribution and a fixed REFERENCE distribution (the accepted
+    * corpus / last crawl) — the "did ingest quality move this window"
+    * alarm, per window, exactly once.
+    *
+    * Same exact-integer spelling as the batch twin: numerator
+    * `Σ_tok |c_tok·N_ref − r_tok·N_win|` over the token union in Long
+    * arithmetic (order-insensitive — safe to fold over an unordered
+    * map), ONE IEEE division by `2·N_win·N_ref` at emission. The spec
+    * asserts stream == batch bit-for-bit on the shared numerator law.
+    *
+    * Scale: state is one token-count map per OPEN window — bounded by
+    * (windows inside the watermark horizon) × (per-window vocabulary),
+    * never by the stream; a sealed window leaves state at emission. The
+    * reference rides the task closure as a plain map (bounded by
+    * construction: a vocabulary, not a corpus — the same bounded-
+    * broadcast rule as the Bloom index). Null-text documents count zero
+    * tokens; empty text contributes ONE empty-string token — exactly
+    * the batch tokenizer's `split` contract ([[graft.operators.Tables
+    * .tokens]]), so stream and batch count the same corpus. A window
+    * with no tokens emits nothing (0/0 is not a drift signal — the
+    * [[graft.operators.TextAnalysis.compressionRatio]] null contract).
+    */
+  def driftStream(
+      docs: Dataset[TimedDoc],
+      reference: Map[String, Long],
+      windowMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[WindowDrift] = {
+    import docs.sparkSession.implicits._
+    require(reference.nonEmpty && reference.valuesIterator.forall(_ > 0),
+      "reference distribution must be non-empty with positive counts")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val nRef = reference.valuesIterator.sum
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => Math.floorDiv(d.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[DriftState, WindowDrift](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, ds: Iterator[TimedDoc], state: GroupState[DriftState]) =>
+          val winEnd = winStart + windowMs
+          if (state.hasTimedOut) {
+            // wm >= winEnd: sealed — no in-scope arrival can precede it
+            val st = state.get
+            state.remove()
+            if (st.nTokens == 0) Iterator.empty
+            else {
+              val numer = (st.counts.keySet ++ reference.keySet).iterator.map { tok =>
+                math.abs(st.counts.getOrElse(tok, 0L) * nRef -
+                  reference.getOrElse(tok, 0L) * st.nTokens)
+              }.sum
+              Iterator.single(WindowDrift(
+                new java.sql.Timestamp(winStart), st.nTokens, numer,
+                numer.toDouble / (2.0 * st.nTokens * nRef)))
+            }
+          } else {
+            val st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+            var counts = st.counts
+            var n = st.nTokens
+            for (d <- ds; if d.text != null; tok <- d.text.split(" ", -1)) {
+              counts = counts.updated(tok, counts.getOrElse(tok, 0L) + 1L)
+              n += 1L
+            }
+            state.update(DriftState(counts, n))
+            // a legal timeout must be > wm; winEnd is the seal point
+            state.setTimeoutTimestamp(
+              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

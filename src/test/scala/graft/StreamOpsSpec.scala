@@ -448,4 +448,106 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(got.nonEmpty && got.subsetOf(batch)) // same rows, scored on arrival
     } finally q.stop()
   }
+
+  test("driftStream seals a window and matches the exact-integer TV spelling") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("a" -> 2L, "b" -> 1L, "c" -> 1L) // nRef = 4
+    val stream = MemoryStream[StreamOps.TimedDoc]
+    val q = StreamOps.driftStream(stream.toDS(), ref,
+      windowMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drift_out").outputMode("append").start()
+    try {
+      // one open window: tokens a,b,a (doc 1) + d (doc 2) — a:2 b:1 d:1, n=4
+      stream.addData(StreamOps.TimedDoc(1, ts(1), "a b a"),
+        StreamOps.TimedDoc(2, ts(5), "d"))
+      q.processAllAvailable()
+      assert(spark.table("drift_out").isEmpty) // watermark has not sealed it
+      stream.addData(StreamOps.TimedDoc(3, ts(21), "a")) // wm -> min 21 after batch
+      q.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(4, ts(22), "b")) // timeout fires this batch
+      q.processAllAvailable()
+      val rows = spark.table("drift_out").collect()
+      val w0 = Math.floorDiv(ts(1).getTime, 600000L) * 600000L
+      assert(rows.length == 1 && rows.head.getTimestamp(0).getTime == w0)
+      // independent spelling of the numerator: ordered fold over the union
+      val win = Map("a" -> 2L, "b" -> 1L, "d" -> 1L)
+      val expectNumer = (win.keySet ++ ref.keySet).toSeq.sorted
+        .map(t => math.abs(win.getOrElse(t, 0L) * 4L - ref.getOrElse(t, 0L) * 4L)).sum
+      assert(rows.head.getLong(1) == 4L)
+      assert(rows.head.getLong(2) == expectNumer) // |4-0|(d) + |0-4|(c) = 8
+      assert(rows.head.getDouble(3) == expectNumer.toDouble / (2.0 * 4L * 4L))
+    } finally q.stop()
+  }
+
+  test("driftStream: null text counts zero tokens; an all-null window emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("a" -> 1L)
+    val stream = MemoryStream[StreamOps.TimedDoc]
+    val q = StreamOps.driftStream(stream.toDS(), ref,
+      windowMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drift_null_out").outputMode("append").start()
+    try {
+      stream.addData(StreamOps.TimedDoc(1, ts(1), null),
+        StreamOps.TimedDoc(2, ts(5), "")) // "" = ONE empty token (split contract)
+      q.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(3, ts(21), null))
+      q.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(4, ts(22), null))
+      q.processAllAvailable()
+      val rows = spark.table("drift_null_out").collect()
+      // the "" token makes the window non-empty: n=1, numer=|1*1-0|+|0-1*1|=2
+      assert(rows.length == 1)
+      assert(rows.head.getLong(1) == 1L && rows.head.getLong(2) == 2L)
+    } finally q.stop()
+  }
+
+  test("driftStream equals the batch tokenDrift numerator law over shuffled arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded generator: 3 windows x random docs over a small vocabulary,
+    // arrival disorder BOUNDED by the watermark horizon: ordering by
+    // ts ± 2 min jitter caps any inversion at 4 min < the 5 min delay,
+    // so every arrival satisfies ts > wm and none is dropped as late
+    // (unbounded shuffling would test Spark's late-row filter, not the
+    // operator — deep-late rows are dropped by contract)
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1 to 60).map { i =>
+      val m = rnd.nextInt(30) // minutes 0..29 — windows 0,1,2
+      val text = Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      StreamOps.TimedDoc(i.toLong, ts(m), text)
+    }
+    val shuffled = docs.sortBy(d => d.ts.getTime + (rnd.nextInt(240001) - 120000))
+    val ref = Map("a" -> 3L, "b" -> 2L, "c" -> 2L, "e" -> 1L) // nRef = 8
+    val nRef = ref.values.sum
+    val stream = MemoryStream[StreamOps.TimedDoc]
+    val q = StreamOps.driftStream(stream.toDS(), ref,
+      windowMs = 600000L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("drift_prop_out").outputMode("append").start()
+    try {
+      shuffled.grouped(7).foreach { batch =>
+        stream.addData(batch); q.processAllAvailable()
+      }
+      // seal every window: push the watermark far past window 2's end
+      stream.addData(StreamOps.TimedDoc(999, ts(120), "a"))
+      q.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(1000, ts(121), "a"))
+      q.processAllAvailable()
+      val got = spark.table("drift_prop_out").collect()
+        .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2))).toMap
+      // batch twin: same windows, same exact-integer numerator
+      val byWindow = docs.groupBy(d => Math.floorDiv(d.ts.getTime, 600000L) * 600000L)
+      for ((w, ds) <- byWindow) {
+        val counts = ds.flatMap(_.text.split(" ", -1)).groupBy(identity)
+          .map { case (t, xs) => t -> xs.size.toLong }
+        val n = counts.values.sum
+        val numer = (counts.keySet ++ ref.keySet).toSeq.sorted
+          .map(t => math.abs(counts.getOrElse(t, 0L) * nRef - ref.getOrElse(t, 0L) * n)).sum
+        assert(got.get(w).contains((n, numer)),
+          s"window $w: stream ${got.get(w)} vs batch ($n, $numer)")
+      }
+    } finally q.stop()
+  }
 }
