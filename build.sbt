@@ -31,6 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 74 queries x whole-stage codegen overflow the default 240m code
+  // cache in one Bench JVM; once full, later queries run interpreted /
+  // re-JIT constantly (measured: trivial queries 4-10x slower in the
+  // full bench session than in a one-query JVM)
+  "-XX:ReservedCodeCacheSize=512m",
 )
 // surface deprecation sites explicitly (kept few and documented)
 scalacOptions += "-deprecation"
