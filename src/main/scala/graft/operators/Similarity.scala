@@ -311,6 +311,97 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S13 — persist the IVF index: the corpus assignment pass of
+    * [[ivfTopK]] (argmax cell per vector, identical expression and
+    * tie-break) written out cell-PARTITIONED, plus the centroid table
+    * stamped with its `n_centroids` parameter — the "train once, probe
+    * forever" layout. The build is the ONE expensive corpus pass; every
+    * later query batch goes through [[ivfTopKFromIndex]] without
+    * rescanning or re-assigning the corpus.
+    *
+    * `partitionBy("cell")` is the 100 TB point: probing reads only the
+    * cells the query batch fans out to — the cell equi-join against a
+    * broadcast query side triggers dynamic partition pruning, so
+    * nprobe/nCentroids of the index FILES are touched, not all of them.
+    * The parameter stamp follows [[Dedup.bandSignatures]]'s bundling
+    * contract: an index probed with the wrong nCentroids would silently
+    * derive wrong probe cells, so the probe validates the stamp instead.
+    */
+  def writeIvfIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      nCentroids: Int = 16): Unit = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    require(cents.length == nCentroids,
+      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    emb.select(col("vec_id"), col("embedding"),
+      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
+    cents.toDF("cid", "embedding")
+      .withColumn("n_centroids", lit(nCentroids))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** EXT-S13 probe path: top-k cosine neighbors for an arbitrary
+    * `(vec_id, embedding)` query relation against a PERSISTED index —
+    * identical results, tie-breaks, and presentation to running
+    * [[ivfTopK]] over the same corpus (spec-asserted), with the corpus
+    * pass replaced by a pruned read of the probed cells.
+    *
+    * The centroid table is collected driver-side — bounded by
+    * CONSTRUCTION (nCentroids rows, validated against the stamp), the
+    * same bounded-broadcast rule as every centroid literal in this
+    * file. Probe cells are derived on the query side only (nprobe
+    * fan-out); the index side is read already partitioned by cell, so
+    * the equi-join shuffles only the query fan-out at most.
+    */
+  def ivfTopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("embedding"), col("n_centroids"))
+      .as[(Int, Seq[Float], Int)].collect()
+    val stamps = centRows.map(_._3).distinct
+    require(stamps.length == 1 && stamps.head == centRows.length,
+      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
+    val nCentroids = stamps.head
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
+    val cents = centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    val q =
+      if (nprobe == 1)
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      else
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(
+            slice(reverse(array_sort(scoredCells)), 1, nprobe),
+            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+    val idx = spark.read.parquet(s"$indexPath/cells")
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, k)
+  }
+
   /** EXT-S4 — int8 embedding quantization: `q_i = floor(127·x_i + 0.5)`
     * (explicit half-up — spelled as floor so no engine rounding-mode
     * ambiguity exists), plus the per-vector max reconstruction error.

@@ -233,4 +233,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got(0L) == ((0L, 1.0)) && got(1L) == ((1L, 1.0)))
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 0.8) < 1e-9)
   }
+
+  test("persisted IVF index: probe equals the in-memory ivfTopK, nprobe 1 and 2") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = "/tmp/graft-test-ivf-index"
+    Similarity.writeIvfIndex(spark, dir, indexPath, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("vec_id", "embedding")
+    for (np <- Seq(1, 2)) {
+      val expect = Similarity.ivfTopK(spark, dir, k = 3, nCentroids = 16,
+        queryMod = Some(7), nprobe = np).collect().map(_.toString).toSeq
+      val got = Similarity.ivfTopKFromIndex(spark, indexPath, queries,
+        k = 3, nprobe = np).collect().map(_.toString).toSeq
+      assert(got == expect, s"nprobe=$np probe diverged from the in-memory index")
+    }
+  }
+
+  test("persisted IVF index: layout is cell-partitioned; a corrupt stamp is rejected") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val indexPath = "/tmp/graft-test-ivf-index" // written by the previous test
+    // cell is a PARTITION column: the probed cells are directory-pruned,
+    // which is the whole point of the layout at scale
+    val cellDirs = new java.io.File(s"$indexPath/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=N partition directories")
+    // a probe against a mis-stamped centroid table must refuse, not
+    // silently derive wrong probe cells
+    val bad = "/tmp/graft-test-ivf-bad"
+    spark.read.parquet(s"$indexPath/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$bad/cells")
+    spark.read.parquet(s"$indexPath/centroids")
+      .withColumn("n_centroids", lit(99))
+      .write.mode("overwrite").parquet(s"$bad/centroids")
+    val queries = spark.read.parquet(s"$indexPath/cells")
+      .select(col("vec_id"), col("embedding")).limit(5)
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromIndex(spark, bad, queries))
+  }
 }
