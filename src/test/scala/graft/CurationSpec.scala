@@ -392,4 +392,20 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
         s"sketch rank-error law violated for ${r.getString(0)}")
     }
   }
+
+  test("quantileAudit: degenerate strata (n=1, n=2) clamp every rank correctly") {
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "x" * 7, "solo"),
+      (2L, "y" * 3, "duo"), (3L, "z" * 9, "duo")))
+    val got = Curation.quantileAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val solo = got("solo") // every rank clamps to 1 → the single value
+    assert(solo.getLong(1) == 1L && (2 to 4).forall(solo.getLong(_) == 7L))
+    assert((5 to 7).forall(solo.getBoolean))
+    val duo = got("duo") // sorted lengths [3, 9]
+    assert(duo.getLong(1) == 2L)
+    assert(duo.getLong(2) == 3L) // p50: rank ceil(0.5·2)=1 → lower value
+    assert(duo.getLong(3) == 9L && duo.getLong(4) == 9L) // p90/p99: rank 2
+    assert((5 to 7).forall(duo.getBoolean))
+  }
 }

@@ -91,4 +91,18 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     // the report orders a salts choice: the hottest key leads
     assert(got.head._2 == got.map(_._2).max)
   }
+
+  test("hotKeys: a synthetic hot key reports its share and skew multiple exactly") {
+    // key 7 takes 90 of 100 events; keys 91..100 take 1 each → 11 keys
+    val rows = (1L to 90L).map(i => (i, i * 1000L, 7L, "click")) ++
+      (91L to 100L).map(i => (i, i * 1000L, i, "click"))
+    val dir = TestTables.eventsDir(spark, rows)
+    val got = Skew.hotKeys(spark, dir, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 3)
+    assert(got.head == ((7L, 90L, 0.9, 90.0 * 11 / 100))) // skew_ratio 9.9
+    // the tail ties (1 event each) break to the smaller key
+    assert(got(1)._1 == 91L && got(2)._1 == 92L)
+    assert(got(1)._4 == 1.0 * 11 / 100 * 1) // 1·n_keys/total = 0.11
+  }
 }
