@@ -503,6 +503,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("driftStream survives a checkpoint restart: state restored, one emission per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map("a" -> 2L, "b" -> 1L, "c" -> 1L) // nRef = 4
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-drift-out").toString
+    val stream = MemoryStream[StreamOps.TimedDoc]
+    // file sink: the memory sink does not support checkpoint recovery
+    def start() = StreamOps.driftStream(stream.toDS(), ref,
+      windowMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      stream.addData(StreamOps.TimedDoc(1, ts(1), "a b a")) // open window, partial counts
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: the open window's counts must be restored
+    try {
+      stream.addData(StreamOps.TimedDoc(2, ts(5), "d")) // same window, post-restart
+      q2.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(3, ts(21), "a")) // wm past window end
+      q2.processAllAvailable()
+      stream.addData(StreamOps.TimedDoc(4, ts(22), "b")) // timeout fires
+      q2.processAllAvailable()
+      val w0 = Math.floorDiv(ts(1).getTime, 600000L) * 600000L
+      val rows = spark.read.parquet(out).collect()
+        .filter(_.getTimestamp(0).getTime == w0)
+      // exactly ONE emission, counting pre- AND post-restart tokens:
+      // a:2 b:1 d:1 (n=4) vs ref a:2 b:1 c:1 → numer |4-0|+|0-4| = 8
+      assert(rows.length == 1)
+      assert(rows.head.getLong(1) == 4L && rows.head.getLong(2) == 8L)
+    } finally q2.stop()
+  }
+
   test("driftStream equals the batch tokenDrift numerator law over shuffled arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
