@@ -132,6 +132,12 @@ object SparkEntry {
     // the exact discrete quantiles and the rank-error-law verdicts are
     // oracle-checked (same contract as x59)
     "x67_quantile_audit" -> ((s, dir) => Curation.quantileAudit(s, dir)),
+    // executes x48's plan: content-stable per-source downsampling gate
+    "x68_mixture_sample" -> ((s, dir) => Curation.mixtureSample(s, dir)),
+    // lexical retrieval: top-k docs per probe term under log-free BM25
+    "x69_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
+    // integer idf-mass quality gate: Σ tf·(N−df) per document
+    "x70_rarity_score" -> ((s, dir) => TextAnalysis.rarityScore(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -1012,6 +1018,60 @@ object SparkEntry {
         |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS exact_p99,
         |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // x48's rate CTE verbatim, then the gate: u < floor(rate·2^32) —
+    // the weightedSample threshold spelling, all exactly-rounded IEEE ops
+    "x68_mixture_sample" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |                  sum(len(string_split(text, ' ')))::BIGINT AS src_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(src_tokens)::BIGINT AS total, count(*)::BIGINT AS n_sources FROM s),
+        |p AS (SELECT source,
+        |        least(1.0, (1.0 / n_sources) / (src_tokens::DOUBLE / total)) AS rate
+        |      FROM s CROSS JOIN t),
+        |b AS (SELECT doc_id, source,
+        |        (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u
+        |      FROM documents)
+        |SELECT b.doc_id, b.source, b.u FROM b JOIN p USING (source)
+        |WHERE b.u < floor(p.rate * 4294967296.0)::BIGINT
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // probe terms are the 10 highest-df tokens of length >= 6; idf is the
+    // log-free rational (N-df+0.5)/(df+0.5); every arithmetic step is
+    // spelled in the same order as the Spark plan (exactly-rounded IEEE
+    // ops are bit-reproducible only when the expression tree matches)
+    "x69_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |q AS (SELECT token, df FROM dfr WHERE length(token) >= 6
+        |      ORDER BY df DESC, token LIMIT 10),
+        |dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+        |st AS (SELECT count(*)::BIGINT AS n_docs,
+        |              sum(len(string_split(text, ' ')))::BIGINT AS total_toks FROM documents),
+        |sc AS (SELECT tf.token, tf.doc_id,
+        |         ((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5)) *
+        |         ((tf::DOUBLE * (1.2 + 1.0)) /
+        |          (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 *
+        |             (dl::DOUBLE / (total_toks::DOUBLE / n_docs))))) AS score
+        |       FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |r AS (SELECT token, doc_id, score,
+        |        row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT token, rank, doc_id, score FROM r WHERE rank <= 5
+        |ORDER BY token, rank""".stripMargin,
+
+    // pure BIGINT sums (order-insensitive), one IEEE division at the end
+    "x70_rarity_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_toks,
+        |       sum(tf.tf * (n_docs - df))::BIGINT AS rarity_sum,
+        |       sum(tf.tf * (n_docs - df))::DOUBLE / sum(tf.tf) AS mean_rarity
+        |FROM tf JOIN dfr USING (token) CROSS JOIN n
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     "x55_event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

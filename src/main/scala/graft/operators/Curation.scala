@@ -109,7 +109,18 @@ object Curation {
     * identical plan. Two partial-agg-friendly aggregations and a 1-row
     * broadcast of the corpus totals — nothing scales with document count.
     */
-  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixtureRates(spark, dir)
+      .select("source", "n_docs", "src_tokens", "natural_share", "rate")
+      .orderBy("source")
+
+  /** The |sources|-row rate relation behind [[mixturePlan]] and
+    * [[mixtureSample]] — the plan WITHOUT its presentation sort, so the
+    * sampler's broadcast join never inherits an unnecessary sort
+    * exchange. The rate formula lives here exactly once: the plan a
+    * user audits and the gate the sampler applies can never drift.
+    */
+  private def mixtureRates(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy("source")
@@ -121,9 +132,29 @@ object Curation {
       .withColumn("natural_share", col("src_tokens").cast("double") / col("total"))
       .withColumn("rate",
         least(lit(1.0), (lit(1.0) / col("n_sources")) / col("natural_share")))
-      .select("source", "n_docs", "src_tokens", "natural_share", "rate")
-      .orderBy("source")
   }
+
+  /** EXT-C25 — mixture-plan EXECUTION: materialize the sampled corpus
+    * [[mixturePlan]] (x48) prescribes. A document keeps iff its
+    * content-stable draw clears its source's planned rate — `u <
+    * ⌊rate·2³²⌋`, [[weightedSample]]'s threshold spelling (one IEEE
+    * multiply + floor, bit-reproducible; rate = 1 keeps everything
+    * because u < 2³² always). No `rand()`: reruns and incremental
+    * ingests keep exactly the same rows, which is what makes the
+    * mixture auditable and the op idempotent under replay.
+    *
+    * Scale: the rate relation is |sources| rows BROADCAST into a
+    * row-local gate over one corpus scan — the corpus never shuffles;
+    * the expected output mass per source is `rate·src_tokens ≈
+    * total/n_sources`, i.e. the uniform target by construction.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5Draw("mix:").as("u"))
+      .join(broadcast(mixtureRates(spark, dir).select("source", "rate")), "source")
+      .filter(col("u") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      .select("doc_id", "source", "u")
+      .orderBy("doc_id")
 
   /** English stopword list used by the quality gate's stop-hit rule —
     * THE canonical list from [[TextAnalysis.stopwords]], never a copy

@@ -235,13 +235,7 @@ object TextAnalysis {
   def tfidfTerms(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-      // consumed by BOTH the df aggregation and the scoring join — without
-      // this, Spark re-runs the explode+groupBy once per consumer
-      .localCheckpoint()
+    val tf = termFreq(docs)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -252,6 +246,128 @@ object TextAnalysis {
       .filter(col("rank") <= topN)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** The term-frequency backbone shared by [[tfidfTerms]], [[bm25TopK]]
+    * and [[rarityScore]]: `(doc_id, token, tf)` — one explode + one
+    * partial-agg groupBy, then `localCheckpoint`ed because every
+    * consumer reads it at least twice (the `df` aggregation re-aggregates
+    * THIS relation, never the raw token stream, and the scoring join
+    * reads it again — without the checkpoint Spark re-runs the
+    * explode+groupBy once per consumer).
+    */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  /** EXT-T9 — BM25 top-k retrieval: the k most relevant documents per
+    * probe term, under the BM25 weighting `idf · tf·(k1+1) / (tf + k1·(1
+    * − b + b·dl/avgdl))`. The retrieval pass behind eval-set mining,
+    * "find me training docs about X", and hard-negative sourcing when
+    * the probe is lexical rather than an embedding ([[Similarity]]'s
+    * x44 is the dense twin). Probe terms are data-derived here (the
+    * `nQueries` highest-df tokens of length ≥ `minTokenLen` — content
+    * words, deterministic ties by token) so the oracle is parameter-free;
+    * production passes its own term list, same plan.
+    *
+    * IDF is the log-free rational spelling `(N − df + 0.5)/(df + 0.5)`
+    * — [[tfidfTerms]]'s argument: `log` is not correctly rounded in
+    * either engine's libm, while +,−,×,÷ are exactly rounded IEEE ops,
+    * so this variant is bit-reproducible across engines; `log` of it is
+    * monotone, so per-term rankings are unchanged if the damped form is
+    * swapped in at deploy time.
+    *
+    * Plan shape, built to survive 100×:
+    *  - the corpus is touched through [[termFreq]] once; `df` and the
+    *    probe-term selection aggregate that relation, not the stream;
+    *  - probe terms are a driver-bounded TakeOrdered (`nQueries` rows)
+    *    BROADCAST into the tf join — the corpus-sized side never
+    *    shuffles for the probe filter;
+    *  - doc lengths join AFTER the probe filter, so the equi-join keys
+    *    only the ≤ |probes|·|matching docs| candidate rows, and the
+    *    1-row corpus stats ride a broadcast cross join;
+    *  - per-term top-k is the map-side bounded aggregate
+    *    ([[graft.functions.TopKAggregator]]), not a `row_number`
+    *    window: the exchange carries ≤ |probes|·k rows per partition,
+    *    not every scored candidate.
+    */
+  def bm25TopK(
+      spark: SparkSession,
+      dir: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nQueries: Int = 10,
+      k: Int = 5,
+      minTokenLen: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = termFreq(docs)
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val probes = dfr
+      .filter(length(col("token")) >= minTokenLen)
+      .orderBy(col("df").desc, col("token"))
+      .limit(nQueries)
+    val dl = docs.select(col("doc_id"), size(Tables.tokens(col("text"))).cast("long").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(Tables.tokens(col("text"))).cast("long")).as("total_toks"))
+    val scored = tf
+      .join(broadcast(probes), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tf_norm",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") / (col("total_toks").cast("double") / col("n_docs"))))))
+      .withColumn("score", col("idf") * col("tf_norm"))
+    val agg = graft.functions.TopK.topk(k)
+    scored
+      .groupBy("token")
+      .agg(agg(col("score"), col("doc_id")).as("sel"))
+      .select(col("token"), posexplode(col("sel.entries")))
+      .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), col("col.sim").as("score"))
+      .orderBy("token", "rank")
+  }
+
+  /** EXT-T10 — idf-mass rarity score per document: each token occurrence
+    * contributes its integer document-count complement `N − df`, so
+    * `rarity_sum = Σ tf·(N − df)` and `mean_rarity = rarity_sum /
+    * n_toks`. A document of corpus-ubiquitous tokens scores near 0; one
+    * built of tokens few other documents contain scores near N — the
+    * doc-level rarity/quality gate (CCNet-style LM filtering's cheap
+    * exact cousin: high mean rarity ⇔ high self-perplexity under the
+    * corpus unigram model, with the transcendental log traded for
+    * integer arithmetic the oracle reproduces bit-for-bit; only the
+    * final mean is one IEEE division).
+    *
+    * Plan: [[termFreq]] once, `df` re-aggregated from it, a token
+    * equi-join back (both sides already keyed by token), one 1-row
+    * broadcast for N, one doc_id partial agg. Every sum is a BIGINT —
+    * order-insensitive — and `tf·(N−df) ≤ n_toks·N` bounds the numerator
+    * well inside BIGINT until ~10⁹ docs × 10⁹ tokens; DECIMAL(38,0)
+    * beyond, same shape.
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = termFreq(docs)
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfr, "token")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_toks"),
+        sum(col("tf") * (col("n_docs") - col("df"))).as("rarity_sum"))
+      .withColumn("mean_rarity", col("rarity_sum").cast("double") / col("n_toks"))
+      .select("doc_id", "n_toks", "rarity_sum", "mean_rarity")
+      .orderBy("doc_id")
   }
 
   /** EXT-T8 — compression-ratio quality signal: deflate the UTF-8 text

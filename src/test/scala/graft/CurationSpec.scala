@@ -279,6 +279,31 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got("B") == ((1L, 2L, shareB, 1.0)))                // min(1, 2.0) — keeps everything
   }
 
+  test("mixtureSample: executes the plan's rates — keep-all sources intact, gates exact") {
+    // the mixturePlan fixture: A at share 0.75 -> rate 2/3, B -> rate 1.0
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h", "B")))
+    val got = Curation.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // recompute every draw + threshold independently and apply the gate
+    val rates = Curation.mixturePlan(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val expected = graft.operators.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source",
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) AS u")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter { case (_, src, u) =>
+        u < math.floor(rates(src) * 4294967296.0).toLong
+      }.sortBy(_._1).toSeq
+    assert(got.toSeq == expected)
+    // a rate-1.0 source can never lose a document (u < 2^32 always)
+    assert(got.count(_._2 == "B") == 1)
+    // rerun-stable: no rand() anywhere in the gate
+    val again = Curation.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("contaminationScore: graded overlap, zero-overlap docs included, drop at threshold") {
     val benchText = (1 to 10).map(i => s"b$i").mkString(" ")
     val dir = TestTables.documentsDir(spark, Seq(

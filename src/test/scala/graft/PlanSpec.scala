@@ -225,6 +225,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("mixture sample: rate relation broadcast into a row-local gate — no window, no SMJ") {
+    val p = plan(Curation.mixtureSample(spark, dir))
+    // the |sources|-row rate relation must ride a broadcast; the corpus
+    // side shuffles only inside the rate aggregation legs + final sort
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    assert(shuffles(p) <= 4, s"unexpected shuffle count in:\n$p")
+  }
+
+  test("bm25: probes broadcast; per-term top-k folded map-side; no rank window") {
+    val p = plan(TextAnalysis.bm25TopK(spark, dir))
+    // the driver-bounded probe list joins the tf relation by broadcast —
+    // the corpus-sized side never shuffles to meet 10 rows
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
+    // scale invariant shared with fixedSample/topDocsPerLang: a partial
+    // bounded top-k below the term exchange, never a row_number window
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+  }
+
+  test("rarity score: partial aggs around every exchange; no window anywhere") {
+    val p = plan(TextAnalysis.rarityScore(spark, dir))
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    // tf, df and the per-doc sums are all partial-agg HashAggregates
+    assert(p.collect { case a: HashAggregateExec => a }.length >= 4, p.toString)
+  }
+
   test("tfidf: rank window runs over the aggregated term relation, not the token stream") {
     val p = plan(TextAnalysis.tfidfTerms(spark, dir))
     // every window input must already be an aggregate/join output: no

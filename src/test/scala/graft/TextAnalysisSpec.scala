@@ -176,4 +176,57 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(audit(1L).isNullAt(2))
     assert(audit(2L).getBoolean(2) && audit(3L).getBoolean(2))
   }
+
+  test("bm25TopK: probe selection, exact scores, rank order, short tokens never probe") {
+    // df: elephant=2, giraffe=2, zebra=1; probes (len>=6, df desc, token
+    // asc) = {elephant, giraffe} — zebra is 5 chars; N=4, total_toks=12,
+    // avgdl=3.0
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "elephant elephant giraffe",
+      2L -> "elephant zebra zebra",
+      3L -> "giraffe giraffe giraffe giraffe",
+      4L -> "cat dog"))
+    val got = TextAnalysis.bm25TopK(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the test recomputes the formula with the plan's exact operation
+    // order — the assertions are bit-exact, not approximate
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = (4.0 - df + 0.5) / (df.toDouble + 0.5)
+      idf * ((tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (dl.toDouble / (12.0 / 4L)))))
+    }
+    assert(got.toSeq == Seq(
+      ("elephant", 1, 1L, score(2, 2, 3)), // tf=2 beats tf=1
+      ("elephant", 2, 2L, score(1, 2, 3)),
+      ("giraffe", 1, 3L, score(4, 2, 4)),  // high-tf long doc still wins
+      ("giraffe", 2, 1L, score(1, 2, 3))))
+    // zebra (5 chars) matched documents but is not a probe
+    assert(!got.exists(_._1 == "zebra"))
+  }
+
+  test("bm25TopK: k bounds each probe's list; ties break to the lower doc_id") {
+    // four docs identical under the formula for token 'mirror' (same tf,
+    // same dl): ranks must come out 1..k by doc_id
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "mirrors mirrors", 2L -> "mirrors mirrors",
+      3L -> "mirrors mirrors", 4L -> "mirrors mirrors"))
+    val got = TextAnalysis.bm25TopK(spark, d, k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L))) // k=3 of 4 equal scores
+  }
+
+  test("rarityScore: exact integer idf-mass, ubiquitous tokens contribute zero") {
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "common common rare",
+      2L -> "common unique",
+      3L -> "")) // degenerate: one empty-string token
+    val got = TextAnalysis.rarityScore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // N=3; df: common=2, rare=1, unique=1, ""=1; each occurrence
+    // contributes N−df, so doc1 = 2·(3−2) + 1·(3−1) = 4 over 3 tokens
+    assert(got.toSeq == Seq(
+      (1L, 3L, 4L, 4.0 / 3.0),
+      (2L, 2L, 3L, 3.0 / 2.0),
+      (3L, 1L, 2L, 2.0)))
+  }
 }
