@@ -138,6 +138,9 @@ object SparkEntry {
     "x69_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     // integer idf-mass quality gate: Σ tf·(N−df) per document
     "x70_rarity_score" -> ((s, dir) => TextAnalysis.rarityScore(s, dir)),
+    // x66's fix-up: drop the lower-priority member of every leaking
+    // pair (train > val > test) — the shippable repaired assignment
+    "x71_leakage_repair" -> ((s, dir) => Curation.leakageRepair(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -1003,6 +1006,27 @@ object SparkEntry {
          |FROM nd_pairs p JOIN sp s1 ON s1.doc_id = p.d1 JOIN sp s2 ON s2.doc_id = p.d2
          |WHERE s1.split <> s2.split
          |ORDER BY p.d1, p.d2""".stripMargin,
+
+    // x66's pair relation feeding a drop set: the lower-priority member
+    // (train=2 > val=1 > test=0) of each leaking pair loses its row
+    "x71_leakage_repair" ->
+      s"""WITH $simhashPairsCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS b
+         |    FROM documents)),
+         |lk AS (SELECT p.d1, p.d2, s1.split AS split_1, s2.split AS split_2
+         |       FROM nd_pairs p JOIN sp s1 ON s1.doc_id = p.d1 JOIN sp s2 ON s2.doc_id = p.d2
+         |       WHERE s1.split <> s2.split),
+         |pr AS (SELECT *,
+         |         CASE split_1 WHEN 'train' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS p1,
+         |         CASE split_2 WHEN 'train' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS p2
+         |       FROM lk),
+         |drops AS (SELECT DISTINCT CASE WHEN p1 < p2 THEN d1 ELSE d2 END AS doc_id FROM pr)
+         |SELECT sp.doc_id, sp.split, drops.doc_id IS NULL AS kept
+         |FROM sp LEFT JOIN drops ON drops.doc_id = sp.doc_id
+         |ORDER BY sp.doc_id""".stripMargin,
 
     // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
     // of the target — x59's contract); exact_p* are the discrete order

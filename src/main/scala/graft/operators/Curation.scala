@@ -298,15 +298,56 @@ object Curation {
     * of the corpus that is never shuffled. Deterministic presentation
     * order (d1, d2).
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    leakPairs(spark, dir)
+      .select(col("d1"), col("d2"), col("split_1"), col("split_2"), col("hamming"))
+      .orderBy("d1", "d2")
+
+  /** The cross-split near-dup pair relation behind [[splitLeakage]] and
+    * [[leakageRepair]] — the audit view minus its presentation sort, so
+    * the repair's drop-set derivation never inherits a sort exchange.
+    */
+  private def leakPairs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, dir)
     val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
     pairs
       .join(splits.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
       .join(splits.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
       .filter(col("split_1") =!= col("split_2"))
-      .select(col("d1"), col("d2"), col("split_1"), col("split_2"), col("hamming"))
-      .orderBy("d1", "d2")
+  }
+
+  /** EXT-C26 — split-leakage REPAIR: the fixed split assignment after
+    * [[splitLeakage]]'s audit. For every cross-split near-dup pair the
+    * lower-priority member is dropped under the fixed precedence
+    * train > val > test — train keeps its document (dropping train
+    * rows would shrink the corpus to protect an eval set that is being
+    * discarded anyway), and a val↔test pair drops the test copy, so
+    * eval sets never share near-dups with ANY other split. The rule is
+    * well-defined because a leaking pair's splits differ by
+    * construction and the precedence is injective per split. Output is
+    * the full assignment with a `kept` verdict per document — the
+    * auditable form; `filter(kept)` is the shippable split.
+    *
+    * Scale: the drop set is a projection of the (tiny) leak-pair
+    * relation, distinct-ed at |drops| cost, then LEFT-joined to the
+    * row-local split projection — AQE broadcasts it; the corpus is
+    * scanned once and never shuffled (the presentation sort is the
+    * only corpus-sized exchange).
+    */
+  def leakageRepair(spark: SparkSession, dir: String): DataFrame = {
+    def prio(s: Column): Column =
+      when(s === "train", 2).when(s === "val", 1).otherwise(0)
+    val drops = leakPairs(spark, dir)
+      .select(when(prio(col("split_1")) < prio(col("split_2")), col("d1"))
+        .otherwise(col("d2")).as("doc_id"))
+      .distinct()
+      .withColumn("leaked", lit(true))
+    splitAssign(spark, dir)
+      .select(col("doc_id"), col("split"))
+      .join(drops, Seq("doc_id"), "left_outer")
+      .withColumn("kept", coalesce(col("leaked"), lit(false)) === lit(false))
+      .select("doc_id", "split", "kept")
+      .orderBy("doc_id")
   }
 
   /** EXT-C5 — duplicate-cluster resolution: given the near-dup pair

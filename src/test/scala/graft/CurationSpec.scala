@@ -398,6 +398,34 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(t => t._3 != t._4)) // never reports a same-split pair
   }
 
+  test("leakageRepair: lower-priority members dropped, kept subset audits leak-free") {
+    val dir = "/root/testdata/sf0.001"
+    val leaks = Curation.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val got = Curation.leakageRepair(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val kept = got.filter(_._3).map(_._1).toSet
+    val split = got.map(t => t._1 -> t._2).toMap
+    // the full corpus appears exactly once, splits unchanged from x21
+    val orig = Curation.hashSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.map(_._1).toSeq == got.map(_._1).distinct.sorted.toSeq)
+    assert(split == orig)
+    val prio = Map("train" -> 2, "val" -> 1, "test" -> 0)
+    // exactly the losers are dropped: every leak pair keeps its higher-
+    // priority member, and nothing outside a leak pair is dropped
+    val losers = leaks.map { case (d1, d2, s1, s2) =>
+      if (prio(s1) < prio(s2)) d1 else d2
+    }.toSet
+    assert(got.filterNot(_._3).map(_._1).toSet == losers)
+    // the shippable invariant: no leak pair survives within kept docs
+    leaks.foreach { case (d1, d2, _, _) =>
+      assert(!(kept(d1) && kept(d2)), s"pair ($d1,$d2) still straddles the split")
+    }
+    // train never loses documents to the repair
+    assert(got.filter(_._2 == "train").forall(_._3))
+  }
+
   test("quantileAudit: exact discrete order statistics; every rank-error verdict holds") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.operators.Tables.documents(spark, dir)

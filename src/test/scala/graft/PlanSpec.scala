@@ -382,6 +382,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(prunesTo(p, "doc_id:bigint"), p.toString)
   }
 
+  test("leakage repair: drop-set derivation and split join stay equi — never a nested loop") {
+    val p = plan(Curation.leakageRepair(spark, dir))
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec        => c
+    }.isEmpty, s"repair must not cross-product:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+  }
+
   test("quantile audit: window and final agg share one stratum shuffle") {
     val p = plan(Curation.quantileAudit(spark, dir))
     // the rank window partitions by source; the groupBy(source) after it
