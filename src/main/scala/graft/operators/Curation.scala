@@ -149,12 +149,25 @@ object Curation {
     * total/n_sources`, i.e. the uniform target by construction.
     */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), md5Draw("mix:").as("u"))
-      .join(broadcast(mixtureRates(spark, dir).select("source", "rate")), "source")
-      .filter(col("u") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+    mixtureGate(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      mixtureRates(spark, dir).select("source", "rate"))
       .select("doc_id", "source", "u")
       .orderBy("doc_id")
+
+  /** The mixture gate as a relation-to-relation transform over any input
+    * with (doc_id, source): the bounded per-source rate relation joins by
+    * broadcast, and a row keeps iff its content-stable draw clears the
+    * source's threshold. Row-local apart from the broadcast, so THE SAME
+    * definition runs on a streaming DataFrame
+    * ([[graft.streaming.StreamOps.mixtureGateStream]]) — ingest-time
+    * enforcement and corpus-rebuild sampling can never drift.
+    */
+  def mixtureGate(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .withColumn("u", md5Draw("mix:"))
+      .join(broadcast(rates), "source")
+      .filter(col("u") < floor(col("rate") * lit(4294967296.0)).cast("long"))
 
   /** English stopword list used by the quality gate's stop-hit rule —
     * THE canonical list from [[TextAnalysis.stopwords]], never a copy

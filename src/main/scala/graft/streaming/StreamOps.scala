@@ -353,6 +353,24 @@ object StreamOps {
       vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
     graft.operators.Similarity.centroidProjection(vecs, cents)
 
+  /** EXT-6l — streaming ingest mixture gate: enforce a dataset-mixture
+    * plan AT INGEST TIME. The rate relation comes from the batch planner
+    * ([[graft.operators.Curation.mixturePlan]] over the last corpus
+    * snapshot — |sources| rows, bounded by construction) and the gate is
+    * the ONE batch definition
+    * ([[graft.operators.Curation.mixtureGate]]) run on the unbounded
+    * stream: broadcast join + row-local content-stable threshold. The
+    * stream never shuffles and the query holds NO state, so it needs no
+    * watermark and survives any replay — the draw is content-stable
+    * (`md5('mix:'||doc_id)`), so a reprocessed microbatch admits exactly
+    * the rows it admitted the first time, which is what makes the gate
+    * safe under at-least-once delivery. Re-planning a new mixture is a
+    * new query with a new broadcast, exactly like EXT-6i's retrain
+    * contract.
+    */
+  def mixtureGateStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    graft.operators.Curation.mixtureGate(docs, rates)
+
   /** One timestamped document of the ingest stream (the streaming shape
     * of the `documents` table plus event time).
     */

@@ -306,6 +306,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("mixtureGateStream: admits exactly the batch sample, replay decides identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the mixturePlan fixture: A over-represented (rate 2/3), B keep-all
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h", "B")))
+    val rates = graft.operators.Curation.mixturePlan(spark, dir)
+      .select("source", "rate")
+    val batch = graft.operators.Curation.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.mixtureGateStream(
+      stream.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      stream.addData((1L, "A"), (2L, "A"), (3L, "B"))
+      q.processAllAvailable()
+      val first = spark.table("mix_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      // the gate and the batch sampler are one definition — identical rows
+      assert(first.toSet == batch && first.length == batch.size)
+      // at-least-once replay: the SAME microbatch again admits the SAME
+      // rows (content-stable draw), never different ones
+      stream.addData((1L, "A"), (2L, "A"), (3L, "B"))
+      q.processAllAvailable()
+      val all = spark.table("mix_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      assert(all.toSet == batch && all.length == 2 * batch.size)
+    } finally q.stop()
+    // stateless: no watermark, no state store — the plan is a broadcast
+    // join + filter only (a stateful op would refuse this query shape
+    // without a watermark in append mode anyway; this pins it)
+    assert(spark.table("mix_out").schema.fieldNames.contains("u"))
+  }
+
   test("funnelStream: advances seal with the watermark, late earlier steps honored, ties strict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
