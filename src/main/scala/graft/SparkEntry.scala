@@ -141,6 +141,8 @@ object SparkEntry {
     // x66's fix-up: drop the lower-priority member of every leaking
     // pair (train > val > test) — the shippable repaired assignment
     "x71_leakage_repair" -> ((s, dir) => Curation.leakageRepair(s, dir)),
+    // largest-remainder apportionment: per-source doc quotas, Σ = budget
+    "x72_budget_allocation" -> ((s, dir) => Curation.budgetAllocation(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -1027,6 +1029,21 @@ object SparkEntry {
          |SELECT sp.doc_id, sp.split, drops.doc_id IS NULL AS kept
          |FROM sp LEFT JOIN drops ON drops.doc_id = sp.doc_id
          |ORDER BY sp.doc_id""".stripMargin,
+
+    // Hamilton apportionment in pure BIGINT: floor quotas + the largest
+    // division remainders take the leftover seats (ties to source asc)
+    "x72_budget_allocation" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total FROM s),
+        |b AS (SELECT source, n_docs,
+        |        (100::BIGINT * n_docs) // total AS base,
+        |        (100::BIGINT * n_docs) % total AS rem
+        |      FROM s CROSS JOIN t),
+        |l AS (SELECT (100::BIGINT - sum(base))::BIGINT AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT source, n_docs, base, rem,
+        |       base + CASE WHEN rk <= leftover THEN 1::BIGINT ELSE 0::BIGINT END AS quota
+        |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
 
     // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
     // of the target — x59's contract); exact_p* are the discrete order

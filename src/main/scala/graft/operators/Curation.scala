@@ -155,6 +155,43 @@ object Curation {
       .select("doc_id", "source", "u")
       .orderBy("doc_id")
 
+  /** EXT-C27 — per-source budget apportionment by largest remainder
+    * (Hamilton's method): split a document budget `B` across sources
+    * proportionally to their sizes, in EXACT integer arithmetic —
+    * `base = ⌊B·n_src/total⌋`, then the `B − Σbase` leftover seats go to
+    * the largest division remainders (ties to the lexicographically
+    * first source). The count-based complement of [[mixturePlan]]'s
+    * rates: "how many documents from each source", with `Σquota = B`
+    * EXACTLY — the invariant rate-rounding cannot give. Quotas are
+    * apportionment targets: the classic method assumes `B ≤ total`
+    * (callers clamp per-source at `n_docs` only if they over-budget).
+    *
+    * Scale: one corpus scan folds to the |sources|-row relation
+    * (partial-agg count), materialized once (`localCheckpoint`) and
+    * reused by the totals/leftover broadcasts; the rank window and the
+    * presentation sort order |sources| rows, not documents — nothing
+    * downstream of the first aggregation scales with the corpus.
+    */
+  def budgetAllocation(spark: SparkSession, dir: String, budget: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val totals = perSource.agg(sum("n_docs").as("total"))
+    val based = perSource.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"($budget * n_docs) div total"))
+      .withColumn("rem", expr(s"($budget * n_docs) % total"))
+      .localCheckpoint()
+    val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(leftover))
+      .withColumn("quota", col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select("source", "n_docs", "base", "rem", "quota")
+      .orderBy("source")
+  }
+
   /** The mixture gate as a relation-to-relation transform over any input
     * with (doc_id, source): the bounded per-source rate relation joins by
     * broadcast, and a row keeps iff its content-stable draw clears the

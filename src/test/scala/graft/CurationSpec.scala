@@ -398,6 +398,30 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.forall(t => t._3 != t._4)) // never reports a same-split pair
   }
 
+  test("budgetAllocation: Hamilton invariants — sum(quota) = budget, largest remainder wins") {
+    // sizes 5/3/2, budget 7: exact shares 3.5/2.1/1.4 -> bases 3/2/1
+    // (sum 6); the one leftover seat goes to A (remainder 5 of 10)
+    val dir = TestTables.documentsSourcedDir(spark,
+      (1 to 5).map(i => (i.toLong, s"a$i", "A")) ++
+        (6 to 8).map(i => (i.toLong, s"b$i", "B")) ++
+        (9 to 10).map(i => (i.toLong, s"c$i", "C")))
+    val got = Curation.budgetAllocation(spark, dir, budget = 7L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((5L, 3L, 5L, 4L)))
+    assert(got("B") == ((3L, 2L, 1L, 2L)))
+    assert(got("C") == ((2L, 1L, 4L, 1L)))
+    assert(got.values.map(_._4).sum == 7L) // the invariant rates can't give
+    assert(got.values.forall(v => v._4 - v._2 == 0L || v._4 - v._2 == 1L))
+    // equal remainders: the lexicographically first source takes the seat
+    val tieDir = TestTables.documentsSourcedDir(spark,
+      (1 to 3).map(i => (i.toLong, s"x$i", "A")) ++
+        (4 to 6).map(i => (i.toLong, s"y$i", "B")))
+    val tie = Curation.budgetAllocation(spark, tieDir, budget = 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(tie == Map("A" -> 2L, "B" -> 1L))
+  }
+
   test("leakageRepair: lower-priority members dropped, kept subset audits leak-free") {
     val dir = "/root/testdata/sf0.001"
     val leaks = Curation.splitLeakage(spark, dir).collect()

@@ -391,6 +391,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("budget allocation: rank window sees the |sources| aggregate, never the corpus scan") {
+    val p = plan(Curation.budgetAllocation(spark, dir))
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, p.toString)
+    // the window input is the localCheckpoint-materialized source
+    // relation (an RDD scan) — a documents file scan under the window
+    // would mean the corpus is being globally sorted
+    windows.foreach { w =>
+      assert(w.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.isEmpty,
+        s"documents scan under the rank window:\n$w")
+    }
+  }
+
   test("quantile audit: window and final agg share one stratum shuffle") {
     val p = plan(Curation.quantileAudit(spark, dir))
     // the rank window partitions by source; the groupBy(source) after it
