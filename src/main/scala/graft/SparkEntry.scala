@@ -143,6 +143,8 @@ object SparkEntry {
     "x71_leakage_repair" -> ((s, dir) => Curation.leakageRepair(s, dir)),
     // largest-remainder apportionment: per-source doc quotas, Σ = budget
     "x72_budget_allocation" -> ((s, dir) => Curation.budgetAllocation(s, dir)),
+    // the sketch-audit trilogy's frequency leg: CMS laws vs exact counts
+    "x73_freq_sketch_audit" -> ((s, dir) => Skew.freqSketchAudit(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -1044,6 +1046,19 @@ object SparkEntry {
         |SELECT source, n_docs, base, rem,
         |       base + CASE WHEN rk <= leftover THEN 1::BIGINT ELSE 0::BIGINT END AS quota
         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
+
+    // x65's exact relation + the CMS law verdicts (x59's audit contract:
+    // the oracle recomputes the deterministic columns and asserts the
+    // verdicts TRUE; the sketch estimate never leaves the plan)
+    "x73_freq_sketch_audit" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
+        |SELECT c.user_id, c.n_events,
+        |       c.n_events::DOUBLE / t.total_events AS event_frac,
+        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio,
+        |       TRUE AS ok_never_under, TRUE AS ok_within_eps
+        |FROM c CROSS JOIN t
+        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
 
     // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
     // of the target — x59's contract); exact_p* are the discrete order

@@ -81,4 +81,51 @@ object Skew {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(n)
   }
+
+  /** EXT-I3 — frequency-sketch audit: Count-Min estimates for the hot
+    * keys, bracketed by their exact counts. Completes the sketch-audit
+    * trilogy (x59 cardinality/HLL++, x67 quantiles/`approx_percentile`):
+    * at 100 TB the per-key frequency monitor runs the SKETCH (the
+    * `count_min_sketch` aggregate is partial-mergeable — every map
+    * partition folds to one fixed-size `depth×width` table, the exchange
+    * carries sketches, never keys), and this audit proves on eval-scale
+    * data that the sketch respects its laws against [[hotKeys]]' exact
+    * relation:
+    *  - `ok_never_under`: CMS can only OVERcount (each row of the table
+    *    is truth + collisions) — a hard guarantee, never probabilistic;
+    *  - `ok_within_eps`: estimate ≤ truth + ⌈ε·total⌉ — the ε-bound,
+    *    held with probability ≥ `confidence` per key; with a fixed seed
+    *    and fixed data the verdict is deterministic, so the oracle can
+    *    assert it (x59's contract: deterministic columns + law verdicts
+    *    are oracle-checked; the implementation-defined estimate itself
+    *    never leaves the plan).
+    *
+    * The one driver `head` collects a single sketch bounded by
+    * (ε, confidence) — ~depth·width longs, a few hundred KB at
+    * ε=0.001 — the bounded-by-construction pattern of the centroid
+    * tables and Bloom index; the probe side is the N-row hot-key
+    * relation with the sketch broadcast in the UDF closure
+    * (CountMinSketchImpl is Serializable). A UDF is the right tool:
+    * probing a serialized sketch has no Catalyst spelling.
+    */
+  def freqSketchAudit(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 15,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val bytes = Replication.events(spark, dir)
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, $seed)").as("cms"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val est = udf { (uid: Long) => cms.estimateCount(java.lang.Long.valueOf(uid)) }
+    hotKeys(spark, dir, n)
+      .withColumn("cms_est", est(col("user_id")))
+      .withColumn("ok_never_under", col("cms_est") >= col("n_events"))
+      .withColumn("ok_within_eps", col("cms_est") <= col("n_events") + lit(slack))
+      .select("user_id", "n_events", "event_frac", "skew_ratio",
+        "ok_never_under", "ok_within_eps")
+  }
 }

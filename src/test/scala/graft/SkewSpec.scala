@@ -105,4 +105,26 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(got(1)._1 == 91L && got(2)._1 == 92L)
     assert(got(1)._4 == 1.0 * 11 / 100 * 1) // 1·n_keys/total = 0.11
   }
+
+  test("freqSketchAudit: deterministic columns match hotKeys; both CMS laws hold") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Skew.freqSketchAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val exact = Skew.hotKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the audit view is the exact report plus verdicts — nothing drifts
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == exact.toSeq)
+    assert(got.forall(_._5), "CMS undercounted — impossible by construction")
+    assert(got.forall(_._6), "eps bound violated at fixed seed on fixed data")
+    // white-box: an independently built sketch with the same parameters
+    // yields estimates obeying the never-under law for every hot key
+    val events = graft.operators.Replication.events(spark, dir)
+      .select("user_id").collect().map(_.getLong(0))
+    val ref = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    events.foreach(ref.addLong)
+    exact.foreach { case (uid, n, _, _) =>
+      assert(ref.estimateCount(java.lang.Long.valueOf(uid)) >= n)
+    }
+  }
 }
