@@ -422,6 +422,62 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(tie == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("budgetAllocation: degenerate shapes — one source, zero budget, budget = total") {
+    val dir = TestTables.documentsSourcedDir(spark,
+      (1 to 4).map(i => (i.toLong, s"d$i", "only")))
+    // a single source takes the whole budget
+    val solo = Curation.budgetAllocation(spark, dir, budget = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(solo.toSeq == Seq(("only", 3L)))
+    // zero budget allocates zero everywhere (base 0, rem 0, no seats)
+    val two = TestTables.documentsSourcedDir(spark,
+      Seq((1L, "a", "A"), (2L, "b", "B")))
+    val zero = Curation.budgetAllocation(spark, two, budget = 0L).collect()
+      .map(r => r.getLong(4))
+    assert(zero.toSeq == Seq(0L, 0L))
+    // budget = corpus size: every source gets exactly its document count
+    // (bases are exact, every remainder 0, no leftover seats)
+    val full = Curation.budgetAllocation(spark, dir, budget = 4L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(full.toSeq == Seq((4L, 4L, 0L, 4L)))
+  }
+
+  test("budgetAllocation: invariants hold across seeded random size/budget mixes") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val nSources = 2 + rng.nextInt(4)
+      val sizes = (0 until nSources).map(_ => 1 + rng.nextInt(6))
+      var id = 0L
+      val docs = sizes.zipWithIndex.flatMap { case (sz, s) =>
+        (1 to sz).map { _ => id += 1; (id, s"t$id", f"s$s%02d") }
+      }
+      val total = sizes.sum
+      val budget = rng.nextInt(total + 1).toLong
+      val dir = TestTables.documentsSourcedDir(spark, docs)
+      val got = Curation.budgetAllocation(spark, dir, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      assert(got.map(_._4).sum == budget, s"sum(quota) != $budget in ${got.toSeq}")
+      assert(got.forall(t => t._4 - t._3 == 0L || t._4 - t._3 == 1L))
+      // fixed-B monotonicity: a strictly larger source never gets less
+      for (a <- got; b <- got if a._2 > b._2)
+        assert(a._4 >= b._4, s"${a._1}(${a._2} docs) < ${b._1}(${b._2} docs): ${got.toSeq}")
+    }
+  }
+
+  test("mixtureSample/leakageRepair: balanced sources keep all; no pairs -> all kept") {
+    // perfectly balanced sources: every rate is exactly 1.0 -> identity
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "a b", "A"), (2L, "c d", "B")))
+    val sampled = Curation.mixtureSample(spark, dir).collect().map(_.getLong(0))
+    assert(sampled.sorted.toSeq == Seq(1L, 2L))
+    // a corpus with no near-dup pairs repairs to itself
+    val distinctDir = TestTables.documentsDir(spark, Seq(
+      1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta",
+      3L -> "iota kappa lambda mu"))
+    val rep = Curation.leakageRepair(spark, distinctDir).collect()
+    assert(rep.length == 3 && rep.forall(_.getBoolean(2)))
+  }
+
   test("leakageRepair: lower-priority members dropped, kept subset audits leak-free") {
     val dir = "/root/testdata/sf0.001"
     val leaks = Curation.splitLeakage(spark, dir).collect()

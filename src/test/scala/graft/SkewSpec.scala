@@ -127,4 +127,12 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       assert(ref.estimateCount(java.lang.Long.valueOf(uid)) >= n)
     }
   }
+
+  test("freqSketchAudit: a single-key stream is exact — no collisions possible") {
+    val dir = TestTables.eventsDir(spark,
+      (1L to 5L).map(i => (i, i * 1000L, 42L, "click")))
+    val got = Skew.freqSketchAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq((42L, 5L, 1.0, true, true)))
+  }
 }

@@ -215,6 +215,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L))) // k=3 of 4 equal scores
   }
 
+  test("bm25TopK: no token reaches the probe length -> empty result, not a failure") {
+    val d = TestTables.documentsDir(spark, Seq(1L -> "cat dog", 2L -> "fish bird"))
+    assert(TextAnalysis.bm25TopK(spark, d).collect().isEmpty)
+  }
+
+  test("rarityScore: a doc of corpus-ubiquitous tokens scores exactly zero") {
+    // every token appears in every doc -> N - df = 0 for all of them
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "same words here", 2L -> "same words here", 3L -> "same words here"))
+    val got = TextAnalysis.rarityScore(spark, d).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 0.0), (0L, 0.0), (0L, 0.0)))
+  }
+
   test("rarityScore: exact integer idf-mass, ubiquitous tokens contribute zero") {
     val d = TestTables.documentsDir(spark, Seq(
       1L -> "common common rare",
