@@ -371,6 +371,58 @@ object StreamOps {
   def mixtureGateStream(docs: DataFrame, rates: DataFrame): DataFrame =
     graft.operators.Curation.mixtureGate(docs, rates)
 
+  /** Per-source quota state: the admitted doc_ids, bounded by the
+    * source's quota (never grows past it).
+    */
+  case class QuotaState(admitted: Set[Long])
+
+  /** One admitted document of the quota-gated ingest stream. */
+  case class Admit(doc_id: Long, source: String)
+
+  /** EXT-6m — streaming per-source QUOTA enforcement: admit documents
+    * until each source's count-exact budget is spent, then reject. The
+    * count-based enforcement arm of the mixture family — the batch
+    * allocator ([[graft.operators.Curation.budgetAllocation]], x72)
+    * decides `quota_s` with `Σquota = B` exactly; this gate spends it at
+    * ingest time, where the RATE gate (EXT-6l) can only hit a budget in
+    * expectation.
+    *
+    * Semantics: within a microbatch, candidates are admitted in doc_id
+    * order (deterministic regardless of partition arrival order);
+    * across batches, first-arrival-wins. Replay-IDEMPOTENT VERDICTS: an
+    * already-admitted doc_id is re-emitted as admitted (at-least-once
+    * output for an idempotent/dedup sink) and can never be double-
+    * counted against the quota, and a rejected doc_id can never flip to
+    * admitted later, because the admitted SET — not a counter — is the
+    * state: a replayed batch re-derives exactly the same verdicts.
+    *
+    * State is bounded by `Σ quota` doc_ids total (each source's set
+    * stops growing at its quota — the budget is the state bound, the
+    * stream length never matters), held for the query lifetime
+    * (NoTimeout: a quota is spent, not windowed; re-budgeting is a new
+    * query with new quotas, EXT-6i's retrain contract).
+    */
+  def quotaGateStream(docs: DataFrame, quotas: Map[String, Long]): Dataset[Admit] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("source")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaState, Admit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String)], state: GroupState[QuotaState]) =>
+          val quota = quotas.getOrElse(source, 0L)
+          var admitted = state.getOption.getOrElse(QuotaState(Set.empty)).admitted
+          val out = List.newBuilder[Admit]
+          for ((id, _) <- rows.toSeq.sortBy(_._1))
+            if (admitted.contains(id)) out += Admit(id, source) // replayed verdict
+            else if (admitted.size < quota) {
+              admitted += id
+              out += Admit(id, source)
+            }
+          state.update(QuotaState(admitted))
+          out.result().iterator
+      }
+  }
+
   /** One timestamped document of the ingest stream (the streaming shape
     * of the `documents` table plus event time).
     */

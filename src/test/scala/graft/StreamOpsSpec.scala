@@ -342,6 +342,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(spark.table("mix_out").schema.fieldNames.contains("u"))
   }
 
+  test("quotaGateStream: count-exact admission, in-batch doc_id order, replay re-derives verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.quotaGateStream(
+      stream.toDF().toDF("doc_id", "source"), Map("A" -> 2L, "B" -> 5L))
+      .writeStream.format("memory").queryName("quota_out").outputMode("append").start()
+    try {
+      // batch 1: A sends 3 candidates — doc_id order admits 1 and 3,
+      // rejects 7 (quota 2 spent); an unbudgeted source admits nothing
+      stream.addData((3L, "A"), (7L, "A"), (1L, "A"), (4L, "C"))
+      q.processAllAvailable()
+      def rows() = spark.table("quota_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows().sorted == Seq((1L, "A"), (3L, "A")))
+      // batch 2: A is full — 2 stays rejected forever; B starts spending
+      stream.addData((2L, "A"), (10L, "B"))
+      q.processAllAvailable()
+      assert(rows().sorted == Seq((1L, "A"), (3L, "A"), (10L, "B")))
+      // batch 3 replays batch 1: admitted docs re-emit (at-least-once for
+      // an idempotent sink), the rejected doc can never flip to admitted
+      stream.addData((3L, "A"), (7L, "A"), (1L, "A"))
+      q.processAllAvailable()
+      val all = rows()
+      assert(all.sorted == Seq((1L, "A"), (1L, "A"), (3L, "A"), (3L, "A"), (10L, "B")))
+      assert(!all.contains((7L, "A")) && !all.contains((2L, "A")) && !all.contains((4L, "C")))
+    } finally q.stop()
+  }
+
   test("funnelStream: advances seal with the watermark, late earlier steps honored, ties strict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
