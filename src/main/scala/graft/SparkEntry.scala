@@ -145,6 +145,8 @@ object SparkEntry {
     "x72_budget_allocation" -> ((s, dir) => Curation.budgetAllocation(s, dir)),
     // the sketch-audit trilogy's frequency leg: CMS laws vs exact counts
     "x73_freq_sketch_audit" -> ((s, dir) => Skew.freqSketchAudit(s, dir)),
+    // trainer pack order: content-stable shard, best-first within shard
+    "x74_curriculum_shards" -> ((s, dir) => Curation.curriculumShards(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -1059,6 +1061,25 @@ object SparkEntry {
         |       TRUE AS ok_never_under, TRUE AS ok_within_eps
         |FROM c CROSS JOIN t
         |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
+
+    // x31's quality formula + the split/sampler md5 derivation mod 8,
+    // then best-first rank within each shard
+    "x74_curriculum_shards" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
+        |q AS (SELECT doc_id,
+        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+        |  FROM s),
+        |b AS (SELECT doc_id, quality,
+        |  (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::BIGINT AS shard
+        |  FROM q),
+        |r AS (SELECT doc_id, shard, quality,
+        |        row_number() OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS position
+        |      FROM b)
+        |SELECT doc_id, shard, position, quality FROM r
+        |ORDER BY shard, position""".stripMargin,
 
     // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
     // of the target — x59's contract); exact_p* are the discrete order

@@ -192,6 +192,37 @@ object Curation {
       .orderBy("source")
   }
 
+  /** EXT-C28 — curriculum shard assignment: the deterministic pack
+    * order a training run consumes. Every document lands in a
+    * content-stable shard (`md5('shard:'||doc_id) mod nShards` — the
+    * split/sampler derivation, so reruns and incremental ingests place
+    * documents identically) and takes its within-shard position by
+    * DESCENDING quality (ties to doc_id): each shard reads best-first,
+    * the quality-curriculum ordering, while the hash sharding keeps
+    * every shard an unbiased sample of the corpus (sequential shard
+    * consumption never drifts the mixture the way a single global
+    * quality sort would — the end of a global sort is all dregs).
+    *
+    * Scale: quality and shard are row-local; the ONE shuffle is the
+    * shard partitioning, and the per-shard rank sort is work a shard
+    * writer does anyway to emit its file in pack order. `nShards` is
+    * sized so a shard fits a writer task (corpus / target shard bytes)
+    * — it GROWS with the corpus, so per-shard sort volume stays
+    * constant at any scale; the harness default is small only because
+    * the eval corpus is.
+    */
+  def curriculumShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy("shard").orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.statsProjection(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("shard", pmod(md5Draw("shard:"), lit(nShards.toLong)))
+      .withColumn("position", row_number().over(w))
+      .select("doc_id", "shard", "position", "quality")
+      .orderBy("shard", "position")
+  }
+
   /** The mixture gate as a relation-to-relation transform over any input
     * with (doc_id, source): the bounded per-source rate relation joins by
     * broadcast, and a row keeps iff its content-stable draw clears the
@@ -456,7 +487,7 @@ object Curation {
     */
   def clusterRepresentatives(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
     dedupClusters(spark, dir, maxRounds)
-      .join(TextAnalysis.stats(spark, dir).select("doc_id", "quality"), "doc_id")
+      .join(TextAnalysis.statsProjection(spark, dir).select("doc_id", "quality"), "doc_id")
       .groupBy("cluster")
       .agg(
         max(struct(col("quality"), negate(col("doc_id")).as("nid"))).as("best"),
@@ -622,7 +653,7 @@ object Curation {
     */
   def topDocsPerLang(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val agg = graft.functions.TopK.topk(k)
-    TextAnalysis.stats(spark, dir)
+    TextAnalysis.statsProjection(spark, dir)
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
       .agg(agg(col("quality"), col("doc_id")).as("sel"))
@@ -1030,7 +1061,7 @@ object Curation {
     * pass uses; one narrow row-local filter, no shuffle.
     */
   def weightedSample(spark: SparkSession, dir: String, rate: Double = 0.3): DataFrame = {
-    TextAnalysis.stats(spark, dir)
+    TextAnalysis.statsProjection(spark, dir)
       .select(col("doc_id"), col("quality"))
       .withColumn("u", md5Draw("wsamp:"))
       .withColumn("threshold",

@@ -51,7 +51,15 @@ object TextAnalysis {
     * ratio (duplicates counted), and a deterministic linear quality
     * score. One projection, no shuffle.
     */
-  def stats(spark: SparkSession, dir: String): DataFrame = {
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    statsProjection(spark, dir).orderBy("doc_id")
+
+  /** [[stats]] WITHOUT its presentation sort — the relation consumers
+    * that JOIN or re-partition the scores ([[graft.operators.Curation]]'s
+    * top-k/sampler/shard passes) should read, so they never inherit a
+    * doc_id sort exchange they immediately destroy.
+    */
+  def statsProjection(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast("long")
     // one hashed-set probe per token ([[graft.functions.CountInExpression]]);
@@ -76,7 +84,6 @@ object TextAnalysis {
       .withColumn("quality",
         col("ttr") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3 +
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2)
-      .orderBy("doc_id")
   }
 
   /** EXT-T2 — stopword-list language ID: per-language distinct-hit score,

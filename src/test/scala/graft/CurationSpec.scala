@@ -422,6 +422,32 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(tie == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("curriculumShards: content-stable shards, best-first dense positions, rerun-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.curriculumShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // shard derivation recomputed independently (the split/sampler spelling)
+    val draws = graft.operators.Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "pmod(CAST(conv(substring(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT), 8L) AS shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, shard, _, _) => draws(id) == shard })
+    // every document exactly once; positions dense 1..n per shard;
+    // quality never increases along a shard's pack order
+    assert(got.map(_._1).distinct.length == draws.size)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val inOrder = rows.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq == (1 to rows.length), s"shard $shard ranks")
+      inOrder.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"shard $shard quality order")
+        case _           => ()
+      }
+    }
+    val again = Curation.curriculumShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("budgetAllocation: degenerate shapes — one source, zero budget, budget = total") {
     val dir = TestTables.documentsSourcedDir(spark,
       (1 to 4).map(i => (i.toLong, s"d$i", "only")))

@@ -391,6 +391,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("curriculum shards: one shard shuffle feeds the rank window + presentation sort") {
+    val p = plan(Curation.curriculumShards(spark, dir))
+    // quality + shard are row-local: the only exchanges are the window's
+    // shard partitioning and the final sort
+    assert(shuffles(p) <= 2, s"unexpected shuffle count in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.nonEmpty, p.toString)
+  }
+
   test("budget allocation: rank window sees the |sources| aggregate, never the corpus scan") {
     val p = plan(Curation.budgetAllocation(spark, dir))
     val windows = p.collect { case w: WindowExec => w }
