@@ -118,6 +118,12 @@ object Skew {
     val bytes = Replication.events(spark, dir)
       .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, $seed)").as("cms"))
       .head.getAs[Array[Byte]](0)
+    // empty input: the aggregate yields a null sketch and hotKeys yields
+    // zero rows — the audit relation is vacuously empty, never an NPE
+    if (bytes == null)
+      return hotKeys(spark, dir, n)
+        .withColumn("ok_never_under", lit(true))
+        .withColumn("ok_within_eps", lit(true))
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
     val slack = math.ceil(eps * cms.totalCount()).toLong
     val est = udf { (uid: Long) => cms.estimateCount(java.lang.Long.valueOf(uid)) }

@@ -128,6 +128,11 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("freqSketchAudit: an empty event stream audits to the empty relation, not an NPE") {
+    val dir = TestTables.eventsDir(spark, Seq.empty[(Long, Long, Long, String)])
+    assert(Skew.freqSketchAudit(spark, dir).collect().isEmpty)
+  }
+
   test("freqSketchAudit: a single-key stream is exact — no collisions possible") {
     val dir = TestTables.eventsDir(spark,
       (1L to 5L).map(i => (i, i * 1000L, 42L, "click")))
