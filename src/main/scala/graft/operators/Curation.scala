@@ -234,8 +234,15 @@ object Curation {
   def mixtureGate(docs: DataFrame, rates: DataFrame): DataFrame =
     docs
       .withColumn("u", md5Draw("mix:"))
-      .join(broadcast(rates), "source")
-      .filter(col("u") < floor(col("rate") * lit(4294967296.0)).cast("long"))
+      // LEFT join, defaulting an unplanned source to rate 1.0: a gate
+      // must FAIL OPEN — in the streaming deployment a source that
+      // appears after planning has no rate row, and silently discarding
+      // 100% of it would be an invisible data loss; it passes whole
+      // until the next re-plan prices it. (In batch the rates derive
+      // from the same corpus, so the default never fires.)
+      .join(broadcast(rates), Seq("source"), "left_outer")
+      .filter(col("u") <
+        floor(coalesce(col("rate"), lit(1.0)) * lit(4294967296.0)).cast("long"))
 
   /** English stopword list used by the quality gate's stop-hit rule —
     * THE canonical list from [[TextAnalysis.stopwords]], never a copy

@@ -316,14 +316,20 @@ object TextAnalysis {
       .filter(length(col("token")) >= minTokenLen)
       .orderBy(col("df").desc, col("token"))
       .limit(nQueries)
-    val dl = docs.select(col("doc_id"), size(Tables.tokens(col("text"))).cast("long").as("dl"))
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(Tables.tokens(col("text"))).cast("long")).as("total_toks"))
+    // dl and the token total FOLD FROM the materialized tf relation —
+    // re-tokenizing the corpus for either would be two more full text
+    // passes for numbers the checkpoint already determines. (Equal even
+    // for empty text: "" splits to [""], so tf carries its 1 token.
+    // n_docs alone comes from documents — count(*) must include any
+    // zero-token rows tf cannot see, and a bare count reads no text.)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val totToks = tf.agg(sum("tf").as("total_toks"))
     val scored = tf
       .join(broadcast(probes), "token")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(totToks))
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))

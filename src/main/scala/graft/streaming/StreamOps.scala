@@ -418,7 +418,12 @@ object StreamOps {
               admitted += id
               out += Admit(id, source)
             }
-          state.update(QuotaState(admitted))
+          // an unbudgeted (or never-admitting) source stores NOTHING —
+          // otherwise every distinct source key would pin a permanent
+          // state entry under NoTimeout and the "budget bounds the
+          // state" contract would silently become "distinct sources
+          // bound the state"
+          if (admitted.nonEmpty) state.update(QuotaState(admitted))
           out.result().iterator
       }
   }

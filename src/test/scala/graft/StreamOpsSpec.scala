@@ -335,6 +335,13 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       val all = spark.table("mix_out").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
       assert(all.toSet == batch && all.length == 2 * batch.size)
+      // fail-open: a source that appears AFTER planning has no rate row
+      // and must pass whole (rate 1.0), never be silently discarded
+      stream.addData((99L, "Z"))
+      q.processAllAvailable()
+      val withNew = spark.table("mix_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      assert(withNew.contains((99L, "Z")))
     } finally q.stop()
     // stateless: no watermark, no state store — the plan is a broadcast
     // join + filter only (a stateful op would refuse this query shape
