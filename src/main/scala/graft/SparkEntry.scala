@@ -147,6 +147,8 @@ object SparkEntry {
     "x73_freq_sketch_audit" -> ((s, dir) => Skew.freqSketchAudit(s, dir)),
     // trainer pack order: content-stable shard, best-first within shard
     "x74_curriculum_shards" -> ((s, dir) => Curation.curriculumShards(s, dir)),
+    // text quality AND embedding prototypicality — the joint keep verdict
+    "x75_crossmodal_curation" -> ((s, dir) => Curation.crossmodalCuration(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
@@ -902,6 +904,27 @@ object SparkEntry {
           |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
           |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
           |ORDER BY af.vec_id""".stripMargin),
+
+    // x57's prototypicality columns joined to x31's quality formula;
+    // keep = both gates (thresholds are the harness medians)
+    "x75_crossmodal_curation" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        """,
+          |xsim AS (SELECT af.vec_id, af.cid AS cell,
+          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
+          |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
+          |       FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid),
+          |xt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |xs AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+          |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+          |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM xt),
+          |xq AS (SELECT doc_id,
+          |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+          |  FROM xs)
+          |SELECT xq.doc_id, xq.quality, xsim.cell, xsim.cent_sim4,
+          |       (xq.quality >= 0.63 AND xsim.cent_sim4 >= 0.25) AS keep
+          |FROM xq JOIN xsim ON xsim.vec_id = xq.doc_id
+          |ORDER BY xq.doc_id""".stripMargin),
 
     // sketch_ok is asserted as a CONSTANT: DuckDB recomputes the exact
     // side; the Spark side computes the verdict from its sketch — a

@@ -223,6 +223,38 @@ object Curation {
       .orderBy("shard", "position")
   }
 
+  /** EXT-C29 — cross-modal curation verdict: the text-quality gate and
+    * the embedding-prototypicality gate composed into one keep decision
+    * per document — `quality ≥ minQuality AND cent_sim4 ≥ minProto`.
+    * The joint filter of the SemDeDup/SSL-prototypes + Gopher-rules
+    * line: lexical quality alone keeps well-formed boilerplate, and
+    * embedding centrality alone keeps fluent off-distribution noise;
+    * the intersection is the trainable core. Thresholds tuned to the
+    * harness corpus (≈ the two medians); production values are config.
+    *
+    * Scale: both legs are row-local projections over their own single
+    * pass (the x7 stats projection; the x57 centroid projection over
+    * the SAME materialized relation its training loop consumed), read
+    * sort-free, composed by ONE 1:1 equi-join on the id — AQE sizes
+    * the exchange; nothing here is quadratic or corpus-shuffling
+    * beyond that join.
+    */
+  def crossmodalCuration(
+      spark: SparkSession,
+      dir: String,
+      minQuality: Double = 0.63,
+      minProto: Double = 0.25): DataFrame =
+    TextAnalysis.statsProjection(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(
+        Similarity.centroidSimProjection(spark, dir)
+          .select(col("vec_id").as("doc_id"), col("cell"), col("cent_sim4")),
+        "doc_id")
+      .withColumn("keep",
+        col("quality") >= minQuality && col("cent_sim4") >= minProto)
+      .select("doc_id", "quality", "cell", "cent_sim4", "keep")
+      .orderBy("doc_id")
+
   /** The mixture gate as a relation-to-relation transform over any input
     * with (doc_id, source): the bounded per-source rate relation joins by
     * broadcast, and a row keeps iff its content-stable draw clears the

@@ -642,9 +642,21 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 8,
+      iters: Int = 2): DataFrame =
+    centroidSimProjection(spark, dir, k, iters).orderBy("vec_id")
+
+  /** [[centroidSim]] WITHOUT its presentation sort — for consumers that
+    * JOIN the prototypicality scores
+    * ([[graft.operators.Curation.crossmodalCuration]]) and would
+    * otherwise inherit a vec_id sort exchange they immediately destroy.
+    */
+  def centroidSimProjection(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
       iters: Int = 2): DataFrame = {
     val e = embDouble(spark, dir)
-    project(e, trainCentroids(e, k, iters)).orderBy("vec_id")
+    project(e, trainCentroids(e, k, iters))
   }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,

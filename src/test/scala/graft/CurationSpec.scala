@@ -422,6 +422,22 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(tie == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("crossmodalCuration: verdict is exactly quality-gate AND proto-gate, columns verbatim") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.crossmodalCuration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val quality = graft.operators.TextAnalysis.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val proto = graft.operators.Similarity.centroidSim(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty && got.length == proto.size)
+    got.foreach { case (id, q, cell, sim, keep) =>
+      // the composition carries BOTH legs' values verbatim — no re-derivation
+      assert(q == quality(id) && (cell, sim) == proto(id))
+      assert(keep == (q >= 0.63 && sim >= 0.25))
+    }
+  }
+
   test("curriculumShards: content-stable shards, best-first dense positions, rerun-stable") {
     val dir = "/root/testdata/sf0.001"
     val got = Curation.curriculumShards(spark, dir).collect()
