@@ -378,6 +378,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("quotaGateStream: spent quota survives a checkpointed stop/restart — no double-spend") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-quota-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-quota-out").toString
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamOps.quotaGateStream(
+      stream.toDF().toDF("doc_id", "source"), Map("A" -> 2L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      stream.addData((1L, "A"), (2L, "A")) // quota fully spent pre-restart
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: the admitted set must be restored
+    try {
+      stream.addData((3L, "A"), (1L, "A")) // 3 must stay rejected; 1 re-admits
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[(Long, String)].collect().map(_._1).sorted
+      // pre-restart admissions + the replayed verdict for doc 1 — never doc 3
+      assert(got.toSeq == Seq(1L, 1L, 2L))
+    } finally q2.stop()
+  }
+
   test("funnelStream: advances seal with the watermark, late earlier steps honored, ties strict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
