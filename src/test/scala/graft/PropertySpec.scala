@@ -104,4 +104,33 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       true
     })
   }
+
+  test("TopKAggregator: any 2-way partition split merges to the sorted-take-k reference") {
+    import graft.functions.{TopKAggregator, TopKEntry}
+    // narrow value ranges FORCE sim ties (exercising the cid tie-break)
+    // and repeated (sim, cid) pairs (duplicates are kept, not deduped)
+    val genEntry = for {
+      sim <- Gen.chooseNum(-30, 30).map(_ / 10.0)
+      cid <- Gen.chooseNum(0L, 20L)
+    } yield TopKEntry(sim, cid)
+    val gen = for {
+      k <- Gen.chooseNum(1, 6)
+      n <- Gen.chooseNum(0, 60)
+      entries <- Gen.listOfN(n, genEntry)
+      cut <- Gen.chooseNum(0, n)
+    } yield (k, entries, cut)
+    check(Prop.forAll(gen) { case (k, entries, cut) =>
+      val agg = new TopKAggregator(k)
+      def fold(es: Seq[TopKEntry]) = es.foldLeft(agg.zero)((b, e) => agg.reduce(b, e))
+      val (l, r) = entries.splitAt(cut)
+      val merged = agg.finish(agg.merge(fold(l), fold(r))).entries
+      val direct = agg.finish(fold(entries)).entries
+      // the law every query relies on: partial-agg over ANY partition
+      // split == the row_number-window (sort + take k) spelling
+      val ref = entries.sortBy(e => (-e.sim, e.cid)).take(k)
+      assert(merged == ref, s"merged=$merged ref=$ref")
+      assert(direct == ref, s"direct=$direct ref=$ref")
+      true
+    }, n = 200)
+  }
 }
