@@ -155,6 +155,9 @@ object SparkEntry {
     "x28_range_join" -> ((s, dir) => Temporal.rangeJoin(s, dir)),
     "x55_event_funnel" -> ((s, dir) => Temporal.funnel(s, dir)),
     "x56_retention_cohorts" -> ((s, dir) => Temporal.retentionCohorts(s, dir)),
+    // windowed heavy hitters: x65's hot keys per tumbling window — skew
+    // is often a burst the global report averages away
+    "x76_trending_keys" -> ((s, dir) => Temporal.trendingKeys(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -1118,6 +1121,17 @@ object SparkEntry {
         |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS exact_p99,
         |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // x12's epoch-aligned window buckets + per-window top-k by (count
+    // desc, user_id) — the row_number spelling of the bounded aggregate
+    "x76_trending_keys" ->
+      """WITH c AS (SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s,
+        |              user_id, count(*)::BIGINT AS n_events
+        |       FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_start_s
+        |                ORDER BY n_events DESC, user_id) AS rank FROM c)
+        |SELECT window_start_s, rank, user_id, n_events FROM r WHERE rank <= 3
+        |ORDER BY window_start_s, rank""".stripMargin,
 
     // x48's rate CTE verbatim, then the gate: u < floor(rate·2^32) —
     // the weightedSample threshold spelling, all exactly-rounded IEEE ops

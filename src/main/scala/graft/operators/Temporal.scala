@@ -204,4 +204,38 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_wk", "week_offset")
   }
+
+  /** EXT-X6 — windowed heavy hitters: the top-k keys per tumbling time
+    * window ("trending users per 10 minutes") — the WINDOWED counterpart
+    * of the global hot-key report ([[Skew.hotKeys]], x65): skew is often
+    * a burst, and the global report averages bursts away. Epoch-aligned
+    * windows spelled exactly as x12's buckets.
+    *
+    * Scale: one (window, key) partial agg — map-side combine folds each
+    * partition's repeats before the exchange — then the per-window top-k
+    * is the map-side bounded aggregate ([[graft.functions
+    * .TopKAggregator]]) over the aggregated relation: the second
+    * exchange carries ≤ |windows|·k rows per partition, never the key
+    * stream; no rank window anywhere. Counts ride the aggregator's
+    * Double score losslessly (exact to 2⁵³) and come back as BIGINT.
+    */
+  def trendingKeys(
+      spark: SparkSession,
+      dir: String,
+      windowSec: Int = 600,
+      k: Int = 3): DataFrame = {
+    val counts = Replication.events(spark, dir)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / windowSec) * windowSec).as("window_start_s"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val agg = graft.functions.TopK.topk(k)
+    counts
+      .groupBy("window_start_s")
+      .agg(agg(col("n_events").cast("double"), col("user_id")).as("sel"))
+      .select(col("window_start_s"), posexplode(col("sel.entries")))
+      .select(col("window_start_s"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("user_id"), col("col.sim").cast("long").as("n_events"))
+      .orderBy("window_start_s", "rank")
+  }
 }

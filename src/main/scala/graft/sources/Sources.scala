@@ -48,6 +48,14 @@ object Sources {
   /** One JSON document per line — the lingua franca of text-corpus
     * interchange. Line-splittable, so a 100 TB corpus parallelizes by
     * input split with no coordination.
+    *
+    * Compressed shards (`.jsonl.gz` etc.) read transparently through
+    * Hadoop's codec resolution — but gzip is NOT splittable: one task
+    * per `.gz` file, however large. At corpus scale either size gzip
+    * shards to the target partition size (the layout public corpora
+    * like C4/Pile ship anyway) or use a splittable codec (bzip2, or
+    * uncompressed behind parquet); this reader needs no change either
+    * way.
     */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame =
     enforceNonNull(

@@ -391,6 +391,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("trending keys: per-window top-k folded map-side; no rank window") {
+    val p = plan(Temporal.trendingKeys(spark, dir))
+    val partialBelowExchange = p.collect {
+      case e: ShuffleExchangeExec
+          if e.child.collect { case o: ObjectHashAggregateExec => o }.nonEmpty => e
+    }
+    assert(partialBelowExchange.nonEmpty, s"no map-side partial top-k in:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    // (window,key) agg + window top-k agg + presentation sort
+    assert(shuffles(p) <= 3, s"unexpected shuffle count in:\n$p")
+  }
+
   test("curriculum shards: one shard shuffle feeds the rank window + presentation sort") {
     val p = plan(Curation.curriculumShards(spark, dir))
     // quality + shard are row-local: the only exchanges are the window's

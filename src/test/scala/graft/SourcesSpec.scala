@@ -26,6 +26,22 @@ class SourcesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.sameElements(Array((1L, "hello world", "en"), (2L, "hola mundo", "es"))))
   }
 
+  test("documentsJsonl: gzip shards read transparently (one task per .gz file)") {
+    val dir = Files.createTempDirectory("graft-jsonl-gz")
+    val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(dir.resolve("part-0.jsonl.gz").toFile)))
+    out.println("""{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0", "n_chars": 10}""")
+    out.println("""{"doc_id": 2, "text": "gamma", "lang": "de", "source": "s1", "n_chars": 5}""")
+    out.close()
+    val df = Sources.documentsJsonl(spark, dir.toString)
+    assert(df.count() == 2L)
+    val en = df.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(en.toSeq == Seq((1L, "alpha beta")))
+    // the non-splittable codec maps the whole shard to ONE partition
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
   test("documentsJsonl: malformed rows fail loudly, never become silent nulls") {
     val dir = Files.createTempDirectory("graft-jsonl-bad")
     val f = dir.resolve("bad.jsonl")

@@ -99,4 +99,23 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.sameElements(Array((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L))))
   }
+
+  test("trendingKeys: per-window top-k by count, ties to the smaller key, epoch-aligned") {
+    // window [0,600): user 1 x3, user 2 x2, users 3/4/5 x1 (tie -> 3)
+    // window [600,1200): users 7/8 x1 each -> under k, ties ordered
+    val rows = Seq(
+      (1L, 10L, 1L), (2L, 20L, 1L), (3L, 30L, 1L),
+      (4L, 40L, 2L), (5L, 50L, 2L),
+      (6L, 60L, 3L), (7L, 70L, 4L), (8L, 80L, 5L),
+      (9L, 700L, 7L), (10L, 710L, 8L)
+    ).map { case (id, sec, uid) => (id, sec * 1000000L, uid, "click") }
+    val dir = TestTables.eventsDir(spark, rows)
+    val got = Temporal.trendingKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.filter(_._1 == 0L).toSeq ==
+      Seq((0L, 1, 1L, 3L), (0L, 2, 2L, 2L), (0L, 3, 3L, 1L)))
+    assert(got.filter(_._1 == 600L).toSeq ==
+      Seq((600L, 1, 7L, 1L), (600L, 2, 8L, 1L)))
+    assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 600L))
+  }
 }
