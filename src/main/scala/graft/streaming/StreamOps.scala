@@ -428,6 +428,67 @@ object StreamOps {
       }
   }
 
+  /** Per-window trending state: event counts per key for an open window. */
+  case class TrendState(counts: Map[Long, Long])
+
+  /** One emitted per-window trending row (the batch x76 shape). */
+  case class TrendingKey(window_start: java.sql.Timestamp, rank: Int,
+      user_id: Long, n_events: Long)
+
+  /** EXT-6n — streaming windowed heavy hitters: the unbounded twin of
+    * [[graft.operators.Temporal.trendingKeys]] (x76). Events bucket
+    * into tumbling event-time windows; when the watermark seals a
+    * window the monitor emits that window's top-k keys by
+    * (count desc, key asc) — the batch tie-break — exactly once. The
+    * "what is hot RIGHT NOW" feed, and the live alarm that decides
+    * whether the next stateful query needs [[graft.operators.Skew
+    * .saltedJoin]] before the burst melts a partition.
+    *
+    * Same seal machinery as the drift monitor (EXT-6k): EventTimeTimeout
+    * at the window end, sealed windows leave state at emission. State is
+    * one count map per OPEN window — bounded by windows inside the
+    * watermark horizon × per-window distinct keys; that exact map is the
+    * audit-grade spelling (emitted counts are exact, matching the batch
+    * relation bit-for-bit) — a SpaceSaving summary is the sub-linear
+    * drop-in if per-window key cardinality ever outgrows state, with
+    * x73's CMS audit as its error monitor.
+    */
+  def trendingStream(
+      events: Dataset[Event],
+      k: Int = 3,
+      windowMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[TrendingKey] = {
+    import events.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[TrendState, TrendingKey](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, es: Iterator[Event], state: GroupState[TrendState]) =>
+          val winEnd = winStart + windowMs
+          if (state.hasTimedOut) {
+            // wm >= winEnd: sealed — no in-scope arrival can still land
+            val st = state.get
+            state.remove()
+            st.counts.toSeq.sortBy { case (uid, n) => (-n, uid) }.take(k)
+              .zipWithIndex.iterator.map { case ((uid, n), i) =>
+                TrendingKey(new java.sql.Timestamp(winStart), i + 1, uid, n)
+              }
+          } else {
+            val st = state.getOption.getOrElse(TrendState(Map.empty))
+            var counts = st.counts
+            for (e <- es)
+              counts = counts.updated(e.user_id, counts.getOrElse(e.user_id, 0L) + 1L)
+            state.update(TrendState(counts))
+            state.setTimeoutTimestamp(
+              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One timestamped document of the ingest stream (the streaming shape
     * of the `documents` table plus event time).
     */

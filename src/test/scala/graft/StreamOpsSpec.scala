@@ -378,6 +378,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("trendingStream: sealed windows emit the exact top-k with batch tie-breaks, once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // 2-min delay: the min-4 straggler below stays in scope (wm after
+    // the first batch is min 5 − 2 = min 3 < 4; a 0s delay would drop it)
+    val q = StreamOps.trendingStream(stream.toDS(), k = 2, watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("trend_out").outputMode("append").start()
+    try {
+      def win(min: Int) = Math.floorDiv(ts(min).getTime, 600000L) * 600000L
+      // window of min 1-5: user 7 x3, users 8/9 x2 — 9 loses rank 2 to 8
+      stream.addData(ev(1, 1, 7), ev(2, 2, 7), ev(3, 3, 7),
+        ev(4, 4, 8), ev(5, 5, 8), ev(6, 1, 9), ev(7, 2, 9))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").collect().isEmpty) // window still open
+      // a late-but-in-scope arrival still counts before the seal
+      stream.addData(ev(8, 4, 9))
+      q.processAllAvailable()
+      // advance the watermark far past the window end -> seal on next batch
+      stream.addData(ev(9, 60, 99))
+      q.processAllAvailable()
+      stream.addData(ev(10, 61, 99))
+      q.processAllAvailable()
+      val got = spark.table("trend_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == win(1))
+      // user 7 leads with 3; users 8 and 9 tie at... 9 reached 3 via the
+      // late event: (7,3) and (9,3) tie -> 7 wins rank 1 by key; 8 has 2
+      assert(got.toSeq == Seq((win(1), 1, 7L, 3L), (win(1), 2, 9L, 3L)))
+      // exactly once: re-draining emits nothing new for the sealed window
+      stream.addData(ev(11, 62, 99))
+      q.processAllAvailable()
+      val again = spark.table("trend_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1))).count(_._1 == win(1))
+      assert(again == 2)
+    } finally q.stop()
+  }
+
   test("quotaGateStream: spent quota survives a checkpointed stop/restart — no double-spend") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
