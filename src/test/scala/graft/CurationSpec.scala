@@ -422,6 +422,23 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(tie == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("split and shard assignments survive corpus growth: stable across scale factors") {
+    // the id-hash contract's point: growing the corpus 10x (sf0.001 ->
+    // sf0.01 shares doc_ids 0..499) must move NO document across splits
+    // or shards — re-crawls and incremental ingests keep placements
+    val smallSplit = Curation.hashSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val bigSplit = Curation.hashSplit(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(smallSplit.nonEmpty)
+    smallSplit.foreach { case (id, s) => assert(bigSplit(id) == s, s"doc $id moved split") }
+    val smallShard = Curation.curriculumShards(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigShard = Curation.curriculumShards(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    smallShard.foreach { case (id, s) => assert(bigShard(id) == s, s"doc $id moved shard") }
+  }
+
   test("crossmodalCuration: verdict is exactly quality-gate AND proto-gate, columns verbatim") {
     val dir = "/root/testdata/sf0.001"
     val got = Curation.crossmodalCuration(spark, dir).collect()
