@@ -391,6 +391,14 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("crossmodal curation: the 1:1 id join stays equi — never a nested loop") {
+    val p = plan(Curation.crossmodalCuration(spark, dir))
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec        => c
+    }.isEmpty, s"crossmodal must not cross-product:\n$p")
+  }
+
   test("trending keys: per-window top-k folded map-side; no rank window") {
     val p = plan(Temporal.trendingKeys(spark, dir))
     val partialBelowExchange = p.collect {
