@@ -147,6 +147,8 @@ object SparkEntry {
     "x73_freq_sketch_audit" -> ((s, dir) => Skew.freqSketchAudit(s, dir)),
     // trainer pack order: content-stable shard, best-first within shard
     "x74_curriculum_shards" -> ((s, dir) => Curation.curriculumShards(s, dir)),
+    // set newness per source between snapshots — the dedup-rate forecast
+    "x77_gram_novelty" -> ((s, dir) => Curation.gramNovelty(s, dir)),
     // text quality AND embedding prototypicality — the joint keep verdict
     "x75_crossmodal_curation" -> ((s, dir) => Curation.crossmodalCuration(s, dir)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
@@ -1121,6 +1123,23 @@ object SparkEntry {
         |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS exact_p99,
         |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // x60's parity-snapshot convention; exact distinct-gram counts, the
+    // anti-join spelling of "unseen in the previous snapshot"
+    "x77_gram_novelty" ->
+      """WITH t77 AS (SELECT source, doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT source, doc_id % 2 AS parity,
+        |        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        |      FROM t77, unnest(range(1, len(ts) - 1)) AS t(i)),
+        |a AS (SELECT source, gram FROM g WHERE parity = 0),
+        |b AS (SELECT source, gram FROM g WHERE parity = 1),
+        |n AS (SELECT source, count(*)::BIGINT AS n_grams_b FROM b GROUP BY 1),
+        |nov AS (SELECT b.source, count(*)::BIGINT AS n_novel
+        |        FROM b ANTI JOIN a USING (source, gram) GROUP BY 1)
+        |SELECT n.source, n.n_grams_b, coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+        |       coalesce(nov.n_novel, 0)::DOUBLE / n.n_grams_b AS novelty
+        |FROM n LEFT JOIN nov ON nov.source = n.source
+        |ORDER BY n.source""".stripMargin,
 
     // x12's epoch-aligned window buckets + per-window top-k by (count
     // desc, user_id) — the row_number spelling of the bounded aggregate

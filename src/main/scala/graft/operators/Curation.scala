@@ -192,6 +192,42 @@ object Curation {
       .orderBy("source")
   }
 
+  /** EXT-C30 — n-gram novelty between snapshots: per source, the
+    * fraction of the NEW snapshot's distinct k-gram set unseen in the
+    * previous one (even doc_ids = previous, odd = new — the x60 parity
+    * convention). The "how much of this crawl is actually new" signal:
+    * [[tokenDrift]] measures frequency SHIFT and EXT-D7 measures
+    * near-dup overlap pairwise; novelty measures set NEWNESS, which
+    * forecasts the dedup rate and the marginal value of ingesting the
+    * snapshot at all. Exact integer counts, one IEEE division. Sources
+    * with no new-snapshot grams do not appear (novelty of nothing is
+    * not a signal — the compressionRatio null philosophy).
+    *
+    * Scale: one gram stream materialized once (`localCheckpoint` — both
+    * sides and both aggregations read it), distinct-ed on
+    * (source, parity, gram) in one partial-agg shuffle; the LEFT ANTI
+    * probe and both counts are (source[, gram])-keyed partial aggs —
+    * nothing is ever pairwise and nothing scales past the distinct-gram
+    * relation.
+    */
+  def gramNovelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 2).as("parity"),
+        explode(Tables.shingles(Tables.tokens(col("text")), k)).as("gram"))
+      .distinct()
+      .localCheckpoint()
+    val prev = grams.filter(col("parity") === 0).select("source", "gram")
+    val fresh = grams.filter(col("parity") === 1).select("source", "gram")
+    val totals = fresh.groupBy("source").agg(count(lit(1)).as("n_grams_b"))
+    val novel = fresh.join(prev, Seq("source", "gram"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("source"), "left_outer")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams_b"))
+      .select("source", "n_grams_b", "n_novel", "novelty")
+      .orderBy("source")
+  }
+
   /** EXT-C28 — curriculum shard assignment: the deterministic pack
     * order a training run consumes. Every document lands in a
     * content-stable shard (`md5('shard:'||doc_id) mod nShards` — the

@@ -422,6 +422,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(tie == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("gramNovelty: exact asymmetric newness — subset 0, disjoint 1, graded between") {
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      // S: prev {a b c, b c d}; fresh {a b c, b c e} -> 1 of 2 novel
+      (0L, "a b c d", "S"), (1L, "a b c e", "S"),
+      // T: fresh {x y z} is a subset of prev {x y z, y z w} -> 0.0
+      (2L, "x y z w", "T"), (3L, "x y z", "T"),
+      // U: fresh only (no previous snapshot) -> everything novel
+      (5L, "p q r s", "U"),
+      // V: previous only -> no fresh grams, source absent from the report
+      (6L, "m n o", "V")))
+    val got = Curation.gramNovelty(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "S" -> ((2L, 1L, 0.5)),
+      "T" -> ((1L, 0L, 0.0)),
+      "U" -> ((2L, 2L, 1.0))))
+  }
+
   test("split and shard assignments survive corpus growth: stable across scale factors") {
     // the id-hash contract's point: growing the corpus 10x (sf0.001 ->
     // sf0.01 shares doc_ids 0..499) must move NO document across splits
