@@ -391,6 +391,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
   }
 
+  test("gram novelty: anti-join stays equi — never a nested loop, no window") {
+    val p = plan(Curation.gramNovelty(spark, dir))
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec        => c
+    }.isEmpty, s"novelty must not cross-product:\n$p")
+  }
+
   test("crossmodal curation: the 1:1 id join stays equi — never a nested loop") {
     val p = plan(Curation.crossmodalCuration(spark, dir))
     assert(p.collect {
