@@ -428,11 +428,55 @@ object StreamOps {
       }
   }
 
+  /** The watermark-seal scaffold shared by every windowed monitor
+    * (EXT-6k drift, EXT-6n trending): bucket rows into tumbling
+    * event-time windows keyed by window start, fold arrivals into
+    * per-window state, and when the watermark seals the window emit
+    * ONCE and leave state. The safety subtleties live here exactly
+    * once: the timeout is `max(winEnd, wm+1)` (always legal — a data
+    * invocation can never observe wm ≥ winEnd for its own window,
+    * since arrivals are admitted only at ts > wm), and state is
+    * removed BEFORE emission so a sealed window can never re-fire.
+    */
+  private def windowSealed[T, S <: Product: org.apache.spark.sql.Encoder,
+      O <: Product: org.apache.spark.sql.Encoder](
+      ds: Dataset[T],
+      tsMs: T => Long,
+      windowMs: Long,
+      watermarkDelay: String,
+      zero: => S)(
+      fold: (S, Iterator[T]) => S)(
+      emit: (Long, S) => Iterator[O]): Dataset[O] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(t => Math.floorDiv(tsMs(t), windowMs) * windowMs)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, items: Iterator[T], state: GroupState[S]) =>
+          val winEnd = winStart + windowMs
+          if (state.hasTimedOut) {
+            // wm >= winEnd: sealed — no in-scope arrival can still land
+            val st = state.get
+            state.remove()
+            emit(winStart, st)
+          } else {
+            state.update(fold(state.getOption.getOrElse(zero), items))
+            state.setTimeoutTimestamp(
+              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-window trending state: event counts per key for an open window. */
   case class TrendState(counts: Map[Long, Long])
 
-  /** One emitted per-window trending row (the batch x76 shape). */
-  case class TrendingKey(window_start: java.sql.Timestamp, rank: Int,
+  /** One emitted per-window trending row — the batch x76 SCHEMA
+    * (`window_start_s` in epoch seconds, BIGINT), so the stream output
+    * unions/joins against [[graft.operators.Temporal.trendingKeys]]
+    * with no conversion.
+    */
+  case class TrendingKey(window_start_s: Long, rank: Int,
       user_id: Long, n_events: Long)
 
   /** EXT-6n — streaming windowed heavy hitters: the unbounded twin of
@@ -461,32 +505,19 @@ object StreamOps {
     import events.sparkSession.implicits._
     require(k > 0, s"k must be positive, got $k")
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
-      .flatMapGroupsWithState[TrendState, TrendingKey](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (winStart: Long, es: Iterator[Event], state: GroupState[TrendState]) =>
-          val winEnd = winStart + windowMs
-          if (state.hasTimedOut) {
-            // wm >= winEnd: sealed — no in-scope arrival can still land
-            val st = state.get
-            state.remove()
-            st.counts.toSeq.sortBy { case (uid, n) => (-n, uid) }.take(k)
-              .zipWithIndex.iterator.map { case ((uid, n), i) =>
-                TrendingKey(new java.sql.Timestamp(winStart), i + 1, uid, n)
-              }
-          } else {
-            val st = state.getOption.getOrElse(TrendState(Map.empty))
-            var counts = st.counts
-            for (e <- es)
-              counts = counts.updated(e.user_id, counts.getOrElse(e.user_id, 0L) + 1L)
-            state.update(TrendState(counts))
-            state.setTimeoutTimestamp(
-              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
-          }
-      }
+    windowSealed[Event, TrendState, TrendingKey](
+      events, _.ts.getTime, windowMs, watermarkDelay, TrendState(Map.empty)) {
+      (st, es) =>
+        var counts = st.counts
+        for (e <- es)
+          counts = counts.updated(e.user_id, counts.getOrElse(e.user_id, 0L) + 1L)
+        TrendState(counts)
+    } { (winStart, st) =>
+      st.counts.toSeq.sortBy { case (uid, n) => (-n, uid) }.take(k)
+        .zipWithIndex.iterator.map { case ((uid, n), i) =>
+          TrendingKey(winStart / 1000L, i + 1, uid, n)
+        }
+    }
   }
 
   /** One timestamped document of the ingest stream (the streaming shape
@@ -542,41 +573,27 @@ object StreamOps {
       "reference distribution must be non-empty with positive counts")
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val nRef = reference.valuesIterator.sum
-    docs
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(d => Math.floorDiv(d.ts.getTime, windowMs) * windowMs)
-      .flatMapGroupsWithState[DriftState, WindowDrift](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (winStart: Long, ds: Iterator[TimedDoc], state: GroupState[DriftState]) =>
-          val winEnd = winStart + windowMs
-          if (state.hasTimedOut) {
-            // wm >= winEnd: sealed — no in-scope arrival can precede it
-            val st = state.get
-            state.remove()
-            if (st.nTokens == 0) Iterator.empty
-            else {
-              val numer = (st.counts.keySet ++ reference.keySet).iterator.map { tok =>
-                math.abs(st.counts.getOrElse(tok, 0L) * nRef -
-                  reference.getOrElse(tok, 0L) * st.nTokens)
-              }.sum
-              Iterator.single(WindowDrift(
-                new java.sql.Timestamp(winStart), st.nTokens, numer,
-                numer.toDouble / (2.0 * st.nTokens * nRef)))
-            }
-          } else {
-            val st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
-            var counts = st.counts
-            var n = st.nTokens
-            for (d <- ds; if d.text != null; tok <- d.text.split(" ", -1)) {
-              counts = counts.updated(tok, counts.getOrElse(tok, 0L) + 1L)
-              n += 1L
-            }
-            state.update(DriftState(counts, n))
-            // a legal timeout must be > wm; winEnd is the seal point
-            state.setTimeoutTimestamp(
-              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
-          }
+    windowSealed[TimedDoc, DriftState, WindowDrift](
+      docs, _.ts.getTime, windowMs, watermarkDelay, DriftState(Map.empty, 0L)) {
+      (st, ds) =>
+        var counts = st.counts
+        var n = st.nTokens
+        for (d <- ds; if d.text != null; tok <- d.text.split(" ", -1)) {
+          counts = counts.updated(tok, counts.getOrElse(tok, 0L) + 1L)
+          n += 1L
+        }
+        DriftState(counts, n)
+    } { (winStart, st) =>
+      if (st.nTokens == 0) Iterator.empty
+      else {
+        val numer = (st.counts.keySet ++ reference.keySet).iterator.map { tok =>
+          math.abs(st.counts.getOrElse(tok, 0L) * nRef -
+            reference.getOrElse(tok, 0L) * st.nTokens)
+        }.sum
+        Iterator.single(WindowDrift(
+          new java.sql.Timestamp(winStart), st.nTokens, numer,
+          numer.toDouble / (2.0 * st.nTokens * nRef)))
       }
+    }
   }
 }

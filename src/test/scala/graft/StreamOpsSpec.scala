@@ -387,7 +387,8 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     val q = StreamOps.trendingStream(stream.toDS(), k = 2, watermarkDelay = "2 minutes")
       .writeStream.format("memory").queryName("trend_out").outputMode("append").start()
     try {
-      def win(min: Int) = Math.floorDiv(ts(min).getTime, 600000L) * 600000L
+      // the batch x76 schema: window start in epoch SECONDS
+      def win(min: Int) = Math.floorDiv(ts(min).getTime, 600000L) * 600000L / 1000L
       // window of min 1-5: user 7 x3, users 8/9 x2 — 9 loses rank 2 to 8
       stream.addData(ev(1, 1, 7), ev(2, 2, 7), ev(3, 3, 7),
         ev(4, 4, 8), ev(5, 5, 8), ev(6, 1, 9), ev(7, 2, 9))
@@ -402,7 +403,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       stream.addData(ev(10, 61, 99))
       q.processAllAvailable()
       val got = spark.table("trend_out").collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .filter(_._1 == win(1))
       // user 7 leads with 3; users 8 and 9 tie at... 9 reached 3 via the
       // late event: (7,3) and (9,3) tie -> 7 wins rank 1 by key; 8 has 2
@@ -411,7 +412,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       stream.addData(ev(11, 62, 99))
       q.processAllAvailable()
       val again = spark.table("trend_out").collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getInt(1))).count(_._1 == win(1))
+        .map(r => (r.getLong(0), r.getInt(1))).count(_._1 == win(1))
       assert(again == 2)
     } finally q.stop()
   }
