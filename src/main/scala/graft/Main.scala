@@ -33,8 +33,14 @@ object Main {
       args: Array[String],
       clientFor: Map[String, String] => TopicMetadataClient): Either[Seq[String], ReplicatorConfig] =
     ReplicatorConfig.fromArgs(args.toSeq).flatMap { cfg =>
-      val failures = TopicAdmin.reconcile(
-        clientFor(cfg.consumerProps), clientFor(cfg.producerProps), cfg)
+      val source = clientFor(cfg.consumerProps)
+      // if the TARGET client fails to construct, the source client must
+      // not leak — reconcile's own finally only covers clients it was
+      // handed (Main.run is a library surface; callers repeat)
+      val target =
+        try clientFor(cfg.producerProps)
+        catch { case e: Throwable => source.close(); throw e }
+      val failures = TopicAdmin.reconcile(source, target, cfg)
       if (failures.isEmpty) Right(cfg) else Left(failures)
     }
 

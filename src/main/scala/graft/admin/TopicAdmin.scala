@@ -169,7 +169,9 @@ object TopicAdmin {
       val dst = discover(target, cfg.topics)
       execute(target, plan(src, dst, cfg))
     } finally {
-      source.close()
-      target.close()
+      // a client close() may itself throw (pending-call interruption);
+      // the other client must still be closed
+      try source.close()
+      finally target.close()
     }
 }

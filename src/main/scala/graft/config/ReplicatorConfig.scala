@@ -87,6 +87,21 @@ object ReplicatorConfig {
   /** A3 — reject unknown params; require the four mandatory ones
     * (reference: FlinkKafkaReplicator.java:139-152, required list :63-68).
     */
+  /** Passthrough keys Spark's Kafka connector REJECTS at stream start
+    * (KafkaSourceProvider validates and throws) — each with the flag or
+    * behavior that replaces it. Catching them here turns an opaque
+    * post-reconciliation crash (the admin side effects are already
+    * applied by then) into an A3 validation error.
+    */
+  private val UnsupportedPassthrough: Map[String, String] = Map(
+    "consumer.auto.offset.reset" -> "use --earliest-offset / --latest-offset",
+    "consumer.enable.auto.commit" -> "Spark manages offsets via the checkpoint",
+    "consumer.key.deserializer" -> "the source always reads raw bytes",
+    "consumer.value.deserializer" -> "the source always reads raw bytes",
+    "consumer.interceptor.classes" -> "not supported by Spark's Kafka source",
+    "producer.key.serializer" -> "the sink always writes raw bytes",
+    "producer.value.serializer" -> "the sink always writes raw bytes")
+
   def validate(params: Map[String, String]): Seq[String] = {
     val known = BooleanOptions ++ IntOptions + "topics"
     val unknown = params.keys.filterNot { k =>
@@ -94,7 +109,18 @@ object ReplicatorConfig {
     }.toSeq.sorted.map(k => s"unknown parameter: --$k")
     val missing = Required.filterNot(params.contains)
       .map(k => s"missing required parameter: --$k")
-    unknown ++ missing
+    val unsupported = params.keys.filter(UnsupportedPassthrough.contains)
+      .toSeq.sorted.map(k => s"unsupported passthrough --$k: ${UnsupportedPassthrough(k)}")
+    // an invalid regex must surface through THIS error channel, not as a
+    // PatternSyntaxException mid-reconciliation
+    val badRegex = params.get("topics").toSeq.flatMap { t =>
+      try { java.util.regex.Pattern.compile(t); Nil }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          Seq(s"--topics is not a valid regex: ${e.getDescription}")
+      }
+    }
+    unknown ++ missing ++ unsupported ++ badRegex
   }
 
   /** A5 — prefix-scoped property routing (reference:

@@ -45,14 +45,21 @@ trait RecordSender extends Serializable {
   * A transactional producer's `transactional.id` must be DETERMINISTIC
   * per (sink, partition) across attempts: when a task retries, its new
   * producer calls `initTransactions()` under the same id, which bumps
-  * the epoch and FENCES the previous attempt's producer — the zombie can
-  * no longer commit, and its open transaction is aborted. Combined with
-  * `read_committed` consumers downstream, this closes the
-  * some-tasks-flushed replay window that per-task atomicity leaves open
-  * (see [[KafkaBatchWriter.exactlyOnceSink]]). Derive the id with
+  * the epoch and FENCES the previous attempt's producer — a zombie
+  * still holding an OPEN transaction can no longer commit, and that
+  * transaction is aborted (invisible under `read_committed`). Fencing
+  * is the concurrent-zombie defense ONLY: it cannot revoke a
+  * transaction the first attempt already COMMITTED — that replay
+  * window is closed by the per-partition commit markers in
+  * [[KafkaBatchWriter.write]] (see [[KafkaBatchWriter.exactlyOnceSink]]
+  * for how the two compose). Derive the id with
   * [[KafkaBatchWriter.transactionalId]]; never use a random or
   * per-attempt id, which would make every retry a new producer identity
-  * with nothing to fence.
+  * with nothing to fence. Production deployments should also POOL one
+  * producer per transactional.id per executor across batches (begin a
+  * new transaction per batch) — constructing and `initTransactions()`ing
+  * a fresh producer per task per 1 s microbatch is multiple coordinator
+  * round trips per partition per second.
   */
 trait RecordSenderFactory extends Serializable {
   def senderFor(partitionId: Int): RecordSender
@@ -83,54 +90,93 @@ object KafkaBatchWriter {
     * partition of the microbatch; `senders` runs on the executor (one
     * sender per task attempt, keyed by the task's partition id so a
     * transactional sender can zombie-fence, flushed at task end).
+    *
+    * With `commitDir` set, each task also keeps a PER-PARTITION commit
+    * marker (`batch-<id>/p<partition>.committed`, written only after
+    * its `flush()` commit barrier returns): when a batch fails after
+    * some tasks committed and replays, the committed partitions SKIP —
+    * they are not re-produced. Fencing alone cannot give this: a
+    * deterministic `transactional.id` aborts a zombie's OPEN
+    * transaction, but a transaction that already COMMITTED on the first
+    * attempt is beyond revoking, so without the marker every committed
+    * task would duplicate on replay. Residual window: a crash BETWEEN
+    * the transaction commit and the marker write replays that one
+    * partition — closing it entirely requires storing the source
+    * offsets inside the Kafka transaction itself (the Kafka Streams
+    * EOS design), which a file-marker protocol cannot express. The
+    * marker path must be resolvable from EXECUTORS (same requirement
+    * as any checkpoint location).
     */
-  def write(senders: RecordSenderFactory, preservePartitioning: Boolean)(
+  def write(
+      senders: RecordSenderFactory,
+      preservePartitioning: Boolean,
+      commitDir: Option[String] = None)(
       df: DataFrame, batchId: Long): Unit = {
     val cols = df.select(
       col("topic"), col("partition"), col("timestamp").as("ts"),
       col("key"), col("value"), col("headers"))
     cols.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val sender = senders.senderFor(org.apache.spark.TaskContext.getPartitionId())
-        rows.foreach { r =>
-          val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
-            .getOrElse(Seq.empty)
-            .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
-          sender.send(
-            r.getString(r.fieldIndex("topic")),
-            if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
-            r.getTimestamp(r.fieldIndex("ts")).getTime,
-            r.getAs[Array[Byte]]("key"),
-            r.getAs[Array[Byte]]("value"),
-            headers)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val marker = commitDir.map { d =>
+          val p = new org.apache.hadoop.fs.Path(d, s"batch-$batchId/p$pid.committed")
+          (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
         }
-        sender.flush()
+        val alreadyCommitted = marker.exists { case (fs, p) => fs.exists(p) }
+        if (!alreadyCommitted) {
+          val sender = senders.senderFor(pid)
+          rows.foreach { r =>
+            val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
+              .getOrElse(Seq.empty)
+              .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
+            sender.send(
+              r.getString(r.fieldIndex("topic")),
+              if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
+              r.getTimestamp(r.fieldIndex("ts")).getTime,
+              r.getAs[Array[Byte]]("key"),
+              r.getAs[Array[Byte]]("value"),
+              headers)
+          }
+          sender.flush()
+          // AFTER the commit barrier: the marker records "this
+          // partition's transaction committed for this batch"
+          marker.foreach { case (fs, p) =>
+            fs.mkdirs(p.getParent)
+            fs.create(p, true).close()
+          }
+        }
       }
     }
   }
 
-  /** The full exactly-once sink: record-complete produce + idempotent
-    * batch commit. Replayed microbatches (failure/restart) are skipped
-    * once marked committed.
+  /** The full exactly-once sink: record-complete produce + two-level
+    * idempotent commit.
     *
-    * Precise guarantee: the batch marker makes a FULLY-committed batch
-    * replay a no-op. Within a failing batch, each task commits its own
-    * sender in `flush()`, so a batch that dies after some tasks flushed
-    * will re-produce those tasks' records on retry — per-task atomicity,
-    * not per-batch. Closing that window is exactly what the
-    * [[RecordSenderFactory]] contract provides: deterministic
-    * `transactional.id` per (sink, partition) so a retrying task
-    * zombie-fences its previous attempt, plus `read_committed` consumers
-    * downstream. The production sender
-    * (`graft.streaming.KafkaProducerRecordSender`, deploy-time binding)
-    * configures exactly that; with the in-memory test sender the
-    * asserted property is per-task atomicity + replayed-batch
-    * idempotence + deterministic fencing ids (PipelineSpec's
-    * partial-batch replay case).
+    * Precise guarantee, per level:
+    *  - the BATCH marker ([[Pipeline.idempotentForeachBatch]]) makes a
+    *    fully-committed batch replay a no-op without touching executors;
+    *  - the PER-PARTITION markers ([[write]]) make a PARTIALLY-committed
+    *    batch replay re-produce only the partitions that never
+    *    committed — committed partitions skip, so a mid-batch failure
+    *    no longer duplicates the tasks that had already flushed;
+    *  - the deterministic `transactional.id` ([[RecordSenderFactory]])
+    *    fences CONCURRENT zombies: a hung first attempt still holding an
+    *    open transaction is aborted the moment its retry calls
+    *    `initTransactions()` — fencing handles the still-running
+    *    attempt, the markers handle the already-committed one; the two
+    *    mechanisms close different windows and both are needed.
+    *
+    * Residual window (documented, not hidden): a crash between a task's
+    * transaction commit and its marker write replays that single
+    * partition; full closure requires offsets-inside-the-transaction
+    * (the Kafka Streams EOS design). PipelineSpec's partial-batch
+    * replay case pins the strengthened behavior: committed partitions
+    * do NOT re-produce on replay.
     */
   def exactlyOnceSink(
       senders: RecordSenderFactory,
       preservePartitioning: Boolean,
       commitDir: String): (DataFrame, Long) => Unit =
-    Pipeline.idempotentForeachBatch(commitDir, write(senders, preservePartitioning))
+    Pipeline.idempotentForeachBatch(
+      commitDir, write(senders, preservePartitioning, Some(commitDir)))
 }

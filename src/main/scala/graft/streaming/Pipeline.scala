@@ -78,6 +78,16 @@ object Pipeline {
     * `write` (a transactional KafkaProducer in production; any sink in
     * tests).
     */
+  /** How many sealed batches' marker directories are retained before
+    * [[idempotentForeachBatch]] prunes them. A replay can only reach
+    * back as far as the checkpoint's own recovery horizon (the last
+    * uncommitted batch), so anything this far behind is dead weight —
+    * without pruning, a 1 s trigger writes ~86 400 markers per DAY into
+    * one directory, which is sustained namenode/object-store pressure
+    * for files that can never be read again.
+    */
+  val CommitMarkerRetention: Long = 64L
+
   def idempotentForeachBatch(
       commitDir: String,
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
@@ -87,6 +97,9 @@ object Pipeline {
     // replaced, which is exactly the replay window it must close.
     // FS resolution + mkdirs run once (on the first batch, where a
     // session is in hand), not per second-cadence microbatch.
+    // Layout: one DIRECTORY per batch (batch-<id>/_batch.committed,
+    // plus the per-partition markers the exactly-once writer adds) so
+    // pruning is one named recursive delete, never a directory listing.
     val dir = new org.apache.hadoop.fs.Path(commitDir)
     var fs: org.apache.hadoop.fs.FileSystem = null
     (df: DataFrame, batchId: Long) => {
@@ -94,10 +107,15 @@ object Pipeline {
         fs = dir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
         fs.mkdirs(dir)
       }
-      val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId.committed")
+      val marker = new org.apache.hadoop.fs.Path(
+        dir, s"batch-$batchId/_batch.committed")
       if (!fs.exists(marker)) {
         write(df, batchId)
+        fs.mkdirs(marker.getParent)
         fs.create(marker, false).close()
+        val expired = new org.apache.hadoop.fs.Path(
+          dir, s"batch-${batchId - CommitMarkerRetention}")
+        if (batchId >= CommitMarkerRetention) fs.delete(expired, true)
       }
     }
   }
@@ -168,6 +186,11 @@ object Pipeline {
       } catch {
         case e: Exception if remaining > 0 =>
           remaining -= 1
+          // each failure is surfaced as it happens — four silent restarts
+          // followed by only the FIFTH cause is undiagnosable, and the
+          // earlier causes may differ (reference logs every restart too)
+          System.err.println(
+            s"[graft] stream failed ($remaining restart(s) left, retrying in ${delayMs}ms): $e")
           Thread.sleep(delayMs)
         case e: Exception => throw e
       }

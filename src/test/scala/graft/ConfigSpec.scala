@@ -36,6 +36,29 @@ class ConfigSpec extends AnyFunSuite {
     assert(res.left.toOption.get.exists(_.contains("--bogus")))
   }
 
+  test("Spark-rejected passthrough keys fail validation with the replacement flag named") {
+    // these crash KafkaSourceProvider AFTER reconciliation has mutated
+    // the target cluster — they must die in the A3 error channel instead
+    val res = ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--consumer.auto.offset.reset", "latest"))
+    assert(res.isLeft)
+    assert(res.left.toOption.get.exists(e =>
+      e.contains("auto.offset.reset") && e.contains("--latest-offset")))
+    val res2 = ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--producer.value.serializer", "x.Y"))
+    assert(res2.left.toOption.get.exists(_.contains("value.serializer")))
+    // arbitrary OTHER passthrough keys still flow (the A5 contract)
+    assert(ReplicatorConfig.fromArgs(
+      minimal ++ Seq("--consumer.fetch.min.bytes", "1024")).isRight)
+  }
+
+  test("an invalid --topics regex fails validation, never escapes as an exception") {
+    val res = ReplicatorConfig.fromArgs(
+      minimal.map(a => if (a == "^mytopic$") "events-[" else a))
+    assert(res.isLeft)
+    assert(res.left.toOption.get.exists(_.contains("valid regex")))
+  }
+
   test("quote substitution << >> in JAAS strings") {
     val jaas = "org.apache.kafka.common.security.plain.PlainLoginModule required username=<<user>> password=<<pw>>;"
     val args = minimal ++ Seq("--consumer.sasl.jaas.config", jaas)

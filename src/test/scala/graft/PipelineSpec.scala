@@ -144,7 +144,7 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(calls == 2)
   }
 
-  test("partial-batch replay: flushed tasks re-produce on retry; marker makes full batch a no-op") {
+  test("partial-batch replay: committed partitions SKIP on retry — no duplicates") {
     import graft.streaming.{KafkaBatchWriter, RecordSenderFactory}
     val commitDir = Files.createTempDirectory("graft-partial").toString
     PartialFailSender.reset()
@@ -156,18 +156,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val twoPart = spark.createDataset(
       spark.sparkContext.parallelize(fixtures, 2))(graft.model.KafkaMessage.encoder).toDF()
     // attempt 1: partition 1's task dies at its commit barrier AFTER
-    // partition 0's task committed — "some tasks flushed, marker absent"
+    // partition 0's task committed — "some tasks flushed, batch marker
+    // absent, p0's PARTITION marker present"
     intercept[Exception](sink(twoPart, 5L))
     assert(PartialFailSender.visible().size == 2, "only the flushed task's records are visible")
-    // marker absent => the replay re-runs EVERY task: the flushed task's
-    // records are produced again (the per-task atomicity window the
-    // deterministic transactional.id closes in production by fencing),
-    // and the failed task's records land for the first time
+    // the replay re-runs the batch, but p0's partition marker makes its
+    // task a no-op — a committed transaction cannot be revoked by
+    // fencing, so WITHOUT the marker these records would duplicate;
+    // p1's records land for the first time
     sink(twoPart, 5L)
-    assert(PartialFailSender.visible().size == 6) // 2 (attempt 1) + 4 (attempt 2)
-    // marker present => a further replay of the batch is a no-op
+    assert(PartialFailSender.visible().size == 4,
+      "committed partition must not re-produce; failed partition must land")
+    // batch marker present => a further replay is a driver-side no-op
     sink(twoPart, 5L)
-    assert(PartialFailSender.visible().size == 6)
+    assert(PartialFailSender.visible().size == 4)
   }
 
   test("idempotent foreachBatch skips replayed batches (exactly-once commit)") {
