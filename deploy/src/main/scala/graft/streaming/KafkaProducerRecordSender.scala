@@ -73,23 +73,38 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
     ()
   }
 
-  override def flush(): Unit = {
-    try {
-      if (transactional) {
-        if (inTransaction) {
-          producer.commitTransaction()
-          inTransaction = false
-        }
-      } else {
-        producer.flush()
-        val failure = firstSendFailure.get()
-        if (failure != null)
-          throw new RuntimeException(
-            "at-least-once delivery failed for at least one record; failing the task so the batch retries",
-            failure)
+  /** Commit barrier. The producer stays OPEN on success — the sender is
+    * reusable across batches (the next `send` begins a fresh
+    * transaction), which is what lets [[PooledSenderFactory]] amortize
+    * the producer bootstrap + `initTransactions` round trips across the
+    * 1-second microbatch cadence. Unpooled callers get the old
+    * single-use behavior from [[KafkaBatchWriter.write]]'s task-end
+    * `close()`.
+    */
+  override def flush(): Unit =
+    if (transactional) {
+      if (inTransaction) {
+        producer.commitTransaction()
+        inTransaction = false
       }
-    } finally {
-      producer.close()
+    } else {
+      producer.flush()
+      val failure = firstSendFailure.getAndSet(null) // reset for reuse
+      if (failure != null)
+        throw new RuntimeException(
+          "at-least-once delivery failed for at least one record; failing the task so the batch retries",
+          failure)
     }
+
+  override def close(): Unit = {
+    // abort rather than leak an open transaction: close() without an
+    // explicit abort leaves the transaction to time out server-side,
+    // stalling read_committed consumers for transaction.timeout.ms
+    if (transactional && inTransaction) {
+      try producer.abortTransaction()
+      catch { case _: Throwable => () } // fenced/failed: broker aborts it
+      inTransaction = false
+    }
+    producer.close()
   }
 }

@@ -116,18 +116,26 @@ object Main {
     */
   def reflectiveSenderFactory(
       cfg: ReplicatorConfig,
-      className: String = SenderBindingClass): graft.streaming.RecordSenderFactory =
-    new graft.streaming.RecordSenderFactory {
+      className: String = SenderBindingClass): graft.streaming.RecordSenderFactory = {
+    val sinkBase = cfg.effectiveProducerProps
+      .getOrElse("transactional.id", "graft-replicator")
+    val raw = new graft.streaming.RecordSenderFactory {
       override def senderFor(partitionId: Int): graft.streaming.RecordSender = {
         val base = cfg.effectiveProducerProps
         val props =
           if (cfg.exactlyOnce)
             base + ("transactional.id" -> graft.streaming.KafkaBatchWriter.transactionalId(
-              base.getOrElse("transactional.id", "graft-replicator"), partitionId))
+              sinkBase, partitionId))
           else base
         loadSender(className)(props)
       }
     }
+    // pool producers per (sink, partition) per executor: a fresh
+    // transactional producer per task per 1 s microbatch is a bootstrap
+    // + initTransactions (multiple coordinator round trips) every
+    // second per partition, forever (see PooledSenderFactory)
+    new graft.streaming.PooledSenderFactory(s"graft-sink-$sinkBase", raw)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

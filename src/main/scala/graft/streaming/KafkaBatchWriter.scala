@@ -33,10 +33,20 @@ trait RecordSender extends Serializable {
       headers: Seq[(String, Array[Byte])]): Unit
 
   /** Commit barrier: flush (at-least-once) or commit the transaction
-    * (exactly-once). Called once per task after its rows are sent; a
-    * sender is single-use — one task attempt, one commit.
+    * (exactly-once). Called once per task after its rows are sent. The
+    * sender stays USABLE after a successful flush — the next batch may
+    * reuse it (a transactional implementation begins a fresh
+    * transaction on the next `send`).
     */
   def flush(): Unit
+
+  /** Release the underlying resources (abort any open transaction,
+    * close the producer). [[KafkaBatchWriter.write]] calls this at task
+    * end for unpooled senders; [[PooledSenderFactory]]'s wrappers
+    * intercept it so pooled producers survive across batches. Default
+    * no-op for stateless test senders.
+    */
+  def close(): Unit = ()
 }
 
 /** Per-task sender creation, keyed by the task's batch partition id —
@@ -73,6 +83,79 @@ object RecordSenderFactory {
     new RecordSenderFactory {
       override def senderFor(partitionId: Int): RecordSender = f()
     }
+}
+
+/** Executor-lifetime sender pooling: one underlying sender per
+  * (pool token, partition) per JVM, reused across microbatches.
+  *
+  * Why: a transactional producer costs a bootstrap + `initTransactions`
+  * (multiple transaction-coordinator round trips) — paying that per
+  * task per 1-second microbatch floors batch latency and churns broker
+  * connections forever. The [[RecordSender]] contract already permits
+  * reuse (a successful `flush()` leaves the sender usable; the next
+  * `send` begins a fresh transaction), so the pool simply keeps the
+  * sender alive between batches.
+  *
+  * Fencing is unchanged: the pool key preserves the deterministic
+  * (sink, partition) → `transactional.id` mapping, so a retry scheduled
+  * on ANOTHER executor creates its own producer under the same id and
+  * fences this one; the next use here then fails, which EVICTS and
+  * closes the fenced producer (see below) — exactly the hand-off
+  * fencing is for.
+  *
+  * Failure protocol: any exception from `send`/`flush` marks the
+  * wrapper failed; its task-end `close()` then evicts the pool entry
+  * and closes the underlying sender (aborting any open transaction), so
+  * the retry builds a fresh producer. On success `close()` is a no-op
+  * and the producer survives for the next batch.
+  *
+  * The pool is JVM-global keyed by `token` (Spark deserializes a new
+  * factory instance per task — an instance field would never be shared),
+  * so one `token` names one logical sink across all its tasks in an
+  * executor.
+  */
+final class PooledSenderFactory(
+    token: String,
+    underlying: RecordSenderFactory) extends RecordSenderFactory {
+
+  override def senderFor(partitionId: Int): RecordSender = {
+    val key = (token, partitionId)
+    val base = PooledSenderFactory.pool.computeIfAbsent(
+      key, _ => underlying.senderFor(partitionId))
+    new RecordSender {
+      private var failed = false
+      private def guarded[A](op: => A): A =
+        try op
+        catch { case e: Throwable => failed = true; throw e }
+      override def send(topic: String, partition: Option[Int], timestampMs: Long,
+          key2: Array[Byte], value: Array[Byte],
+          headers: Seq[(String, Array[Byte])]): Unit =
+        guarded(base.send(topic, partition, timestampMs, key2, value, headers))
+      override def flush(): Unit = guarded(base.flush())
+      override def close(): Unit =
+        if (failed) {
+          PooledSenderFactory.pool.remove(key, base)
+          try base.close() catch { case _: Throwable => () }
+        }
+    }
+  }
+}
+
+object PooledSenderFactory {
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), RecordSender]()
+
+  /** Test/shutdown hook: close and drop every pooled sender for a token. */
+  def shutdown(token: String): Unit = {
+    val it = pool.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == token) {
+        try e.getValue.close() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 }
 
 object KafkaBatchWriter {
@@ -125,25 +208,27 @@ object KafkaBatchWriter {
         val alreadyCommitted = marker.exists { case (fs, p) => fs.exists(p) }
         if (!alreadyCommitted) {
           val sender = senders.senderFor(pid)
-          rows.foreach { r =>
-            val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
-              .getOrElse(Seq.empty)
-              .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
-            sender.send(
-              r.getString(r.fieldIndex("topic")),
-              if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
-              r.getTimestamp(r.fieldIndex("ts")).getTime,
-              r.getAs[Array[Byte]]("key"),
-              r.getAs[Array[Byte]]("value"),
-              headers)
-          }
-          sender.flush()
-          // AFTER the commit barrier: the marker records "this
-          // partition's transaction committed for this batch"
-          marker.foreach { case (fs, p) =>
-            fs.mkdirs(p.getParent)
-            fs.create(p, true).close()
-          }
+          try {
+            rows.foreach { r =>
+              val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
+                .getOrElse(Seq.empty)
+                .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
+              sender.send(
+                r.getString(r.fieldIndex("topic")),
+                if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
+                r.getTimestamp(r.fieldIndex("ts")).getTime,
+                r.getAs[Array[Byte]]("key"),
+                r.getAs[Array[Byte]]("value"),
+                headers)
+            }
+            sender.flush()
+            // AFTER the commit barrier: the marker records "this
+            // partition's transaction committed for this batch"
+            marker.foreach { case (fs, p) =>
+              fs.mkdirs(p.getParent)
+              fs.create(p, true).close()
+            }
+          } finally sender.close() // no-op for pooled wrappers
         }
       }
     }

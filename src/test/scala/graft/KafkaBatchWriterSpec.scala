@@ -73,6 +73,45 @@ class KafkaBatchWriterSpec extends AnyFunSuite with SparkSuite {
     assert(sent.map(_.partition) == Seq(Some(1), Some(2)))
   }
 
+  test("PooledSenderFactory: one producer per partition across batches; failure evicts") {
+    import graft.streaming.{PooledSenderFactory, RecordSender, RecordSenderFactory}
+    class Probe extends RecordSender {
+      var flushes = 0
+      var closed = false
+      var failNextSend = false
+      override def send(topic: String, partition: Option[Int], timestampMs: Long,
+          key: Array[Byte], value: Array[Byte],
+          headers: Seq[(String, Array[Byte])]): Unit =
+        if (failNextSend) throw new RuntimeException("broker hiccup")
+      override def flush(): Unit = flushes += 1
+      override def close(): Unit = closed = true
+    }
+    val made = scala.collection.mutable.ArrayBuffer.empty[Probe]
+    val pool = new PooledSenderFactory("spec-pool",
+      RecordSenderFactory.uniform(() => { val p = new Probe; made += p; p }))
+    try {
+      // two "batches" on the same partition reuse ONE underlying sender
+      val b1 = pool.senderFor(0)
+      b1.send("t", None, 1L, null, null, Nil); b1.flush(); b1.close()
+      val b2 = pool.senderFor(0)
+      b2.flush(); b2.close()
+      assert(made.length == 1 && made.head.flushes == 2)
+      assert(!made.head.closed, "pooled sender must survive task-end close()")
+      // a distinct partition gets its own pooled sender
+      pool.senderFor(1).close()
+      assert(made.length == 2)
+      // a failure marks the wrapper: its close() evicts AND closes the
+      // underlying sender, and the next batch builds a fresh one
+      made.head.failNextSend = true
+      val b3 = pool.senderFor(0)
+      intercept[RuntimeException](b3.send("t", None, 2L, null, null, Nil))
+      b3.close()
+      assert(made.head.closed, "failed sender must be closed on eviction")
+      pool.senderFor(0).close()
+      assert(made.length == 3, "eviction must force a fresh underlying sender")
+    } finally PooledSenderFactory.shutdown("spec-pool")
+  }
+
 }
 
 /** Records land in a JVM-static sink (executors share the JVM in local

@@ -33,19 +33,28 @@ class ReflectiveBindingSpec extends AnyFunSuite {
   }
 
   test("reflectiveSenderFactory derives deterministic per-partition fencing ids under --exactly-once") {
+    import graft.streaming.PooledSenderFactory
+    val token = "graft-sink-graft-replicator"
+    PooledSenderFactory.shutdown(token) // isolate from other specs
     FixtureSender.constructed.clear()
     val cfg = ReplicatorConfig.fromArgs(minimal :+ "--exactly-once").toOption.get
     val factory = Main.reflectiveSenderFactory(cfg, classOf[FixtureSender].getName)
-    factory.senderFor(3)
-    factory.senderFor(3) // a retry of the same task
-    factory.senderFor(4)
-    val ids = FixtureSender.snapshot().map(_("transactional.id"))
-    assert(ids(0) == "graft-replicator-p3")
-    assert(ids(1) == ids(0)) // SAME id on retry => initTransactions fences the zombie
-    assert(ids(2) == "graft-replicator-p4") // distinct task, distinct producer identity
-    // the injected transaction.timeout.ms rides along (reference:
-    // FlinkKafkaReplicator.java:106)
-    assert(FixtureSender.snapshot().head("transaction.timeout.ms") == "870000")
+    try {
+      factory.senderFor(3)
+      factory.senderFor(3) // a same-JVM retry REUSES the pooled producer
+      factory.senderFor(4)
+      val ids = FixtureSender.snapshot().map(_("transactional.id"))
+      assert(ids == Seq("graft-replicator-p3", "graft-replicator-p4"),
+        "one producer per partition — the pool must not rebuild on a same-JVM retry")
+      // a rebuild (eviction / another executor) derives the SAME id, so
+      // initTransactions fences whatever producer held it before
+      PooledSenderFactory.shutdown(token)
+      factory.senderFor(3)
+      assert(FixtureSender.snapshot().last("transactional.id") == "graft-replicator-p3")
+      // the injected transaction.timeout.ms rides along (reference:
+      // FlinkKafkaReplicator.java:106)
+      assert(FixtureSender.snapshot().head("transaction.timeout.ms") == "870000")
+    } finally PooledSenderFactory.shutdown(token)
   }
 
   test("an explicit --producer.transactional.id passthrough becomes the fencing-id base") {
