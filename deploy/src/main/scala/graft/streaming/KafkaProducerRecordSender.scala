@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.util.Properties
 
+import org.apache.kafka.clients.consumer.KafkaConsumer
 import org.apache.kafka.clients.producer.{KafkaProducer, ProducerRecord}
+import org.apache.kafka.common.TopicPartition
 import org.apache.kafka.common.header.internals.RecordHeader
 
 /** Production [[RecordSender]] over a kafka-clients `KafkaProducer` —
@@ -25,21 +27,86 @@ import org.apache.kafka.common.header.internals.RecordHeader
   *    and `flush()` commits the transaction;
   *  - absent (at-least-once, the reference's default): `flush()` is a
   *    plain producer flush.
-  * A sender is single-use per task attempt; `flush()` closes the
-  * producer.
+  *
+  * [[OffsetCommittingSender]] capability (transactional path only):
+  * per-(batch, partition) progress commits INSIDE the produce
+  * transaction — the Kafka-Streams EOS shape, matching the atomicity of
+  * the reference's Flink 2PC (offsets and records commit together;
+  * reference: FlinkKafkaReplicator.java:120-124). Progress lives on a
+  * COMPACTED side topic (`graft.progress.topic` prop, default
+  * `__graft_progress`), keyed by this sender's `transactional.id` (which
+  * is already (sink, partition)-unique), value = the batch id as a
+  * decimal string. `stageProgress` sends that record into the open
+  * transaction; `progressCommitted` answers from a local high-water
+  * cache seeded by ONE `read_committed` scan of the compacted topic at
+  * construction — an aborted transaction leaves no visible progress,
+  * exactly the required atomicity. Cache staleness is covered by
+  * fencing: if another producer instance committed progress we cannot
+  * see, our epoch is necessarily stale and the broker fences this
+  * producer before its transaction can commit — the stale re-send is
+  * aborted, never visible. Per-microbatch cost after construction: zero
+  * network for `progressCommitted`, one extra in-transaction record for
+  * `stageProgress`.
   */
-final class KafkaProducerRecordSender(props: Map[String, String]) extends RecordSender {
+final class KafkaProducerRecordSender(props: Map[String, String]) extends OffsetCommittingSender {
 
   private val transactional = props.contains("transactional.id")
+
+  /** Compacted progress topic; create it with `cleanup.policy=compact`.
+    * Non-producer props are stripped before the producer sees them.
+    */
+  private val progressTopic =
+    props.getOrElse("graft.progress.topic", "__graft_progress")
+  private val producerProps = props - "graft.progress.topic"
 
   private val producer: KafkaProducer[Array[Byte], Array[Byte]] = {
     val p = new Properties()
     p.put("key.serializer", "org.apache.kafka.common.serialization.ByteArraySerializer")
     p.put("value.serializer", "org.apache.kafka.common.serialization.ByteArraySerializer")
-    props.foreach { case (k, v) => p.put(k, v) }
+    producerProps.foreach { case (k, v) => p.put(k, v) }
     val kp = new KafkaProducer[Array[Byte], Array[Byte]](p)
     if (transactional) kp.initTransactions() // epoch bump = zombie fence
     kp
+  }
+
+  private val progressKey: Array[Byte] =
+    props.getOrElse("transactional.id", "").getBytes("UTF-8")
+
+  /** Highest batch id known COMMITTED for this (sink, partition), seeded
+    * once from the compacted topic under `read_committed` (bounded by
+    * compaction: ~one record per (sink, partition) key), then maintained
+    * locally after each of our own commits.
+    */
+  private var committedHighWater: Long =
+    if (transactional) scanCommittedHighWater() else -1L
+
+  private def scanCommittedHighWater(): Long = {
+    val p = new Properties()
+    p.put("key.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
+    p.put("value.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
+    p.put("isolation.level", "read_committed") // aborted progress is invisible
+    p.put("enable.auto.commit", "false")
+    producerProps.get("bootstrap.servers").foreach(p.put("bootstrap.servers", _))
+    val consumer = new KafkaConsumer[Array[Byte], Array[Byte]](p)
+    try {
+      import scala.jdk.CollectionConverters._
+      val parts = Option(consumer.partitionsFor(progressTopic))
+        .map(_.asScala.toSeq).getOrElse(Seq.empty)
+        .map(pi => new TopicPartition(pi.topic(), pi.partition()))
+      if (parts.isEmpty) return -1L
+      consumer.assign(parts.asJava)
+      consumer.seekToBeginning(parts.asJava)
+      val end = consumer.endOffsets(parts.asJava).asScala.map { case (tp, o) => tp -> o.longValue() }
+      var high = -1L
+      val keyStr = new String(progressKey, "UTF-8")
+      while (parts.exists(tp => consumer.position(tp) < end(tp))) {
+        consumer.poll(java.time.Duration.ofMillis(500)).asScala.foreach { rec =>
+          if (rec.key != null && new String(rec.key, "UTF-8") == keyStr && rec.value != null)
+            high = math.max(high, new String(rec.value, "UTF-8").toLong)
+        }
+      }
+      high
+    } finally consumer.close()
   }
 
   private var inTransaction = false
@@ -55,13 +122,16 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
   private val firstSendFailure =
     new java.util.concurrent.atomic.AtomicReference[Exception](null)
 
-  override def send(topic: String, partition: Option[Int], timestampMs: Long,
-      key: Array[Byte], value: Array[Byte],
-      headers: Seq[(String, Array[Byte])]): Unit = {
+  private def beginIfNeeded(): Unit =
     if (transactional && !inTransaction) {
       producer.beginTransaction()
       inTransaction = true
     }
+
+  override def send(topic: String, partition: Option[Int], timestampMs: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]): Unit = {
+    beginIfNeeded()
     // envelope-complete ProducerRecord: partition=null delegates to the
     // DefaultPartitioner, timestamp is forwarded — the reference's exact
     // serialize shape (reference: KafkaMessageSerializationSchema.java:16-24)
@@ -72,6 +142,23 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
       if (exception != null) firstSendFailure.compareAndSet(null, exception))
     ()
   }
+
+  /** Stage the (batch, partition) progress record into the OPEN
+    * transaction: it becomes visible under `read_committed` if and only
+    * if the batch's records do.
+    */
+  override def stageProgress(batchId: Long, partitionId: Int): Unit = {
+    require(transactional, "stageProgress requires a transactional.id")
+    beginIfNeeded()
+    producer.send(new ProducerRecord[Array[Byte], Array[Byte]](
+      progressTopic, null, progressKey, batchId.toString.getBytes("UTF-8")))
+    stagedBatchId = batchId
+  }
+
+  private var stagedBatchId = -1L
+
+  override def progressCommitted(batchId: Long, partitionId: Int): Boolean =
+    transactional && batchId <= committedHighWater
 
   /** Commit barrier. The producer stays OPEN on success — the sender is
     * reusable across batches (the next `send` begins a fresh
@@ -86,6 +173,10 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
       if (inTransaction) {
         producer.commitTransaction()
         inTransaction = false
+        if (stagedBatchId >= 0) { // progress committed with the records
+          committedHighWater = math.max(committedHighWater, stagedBatchId)
+          stagedBatchId = -1L
+        }
       }
     } else {
       producer.flush()
@@ -104,6 +195,7 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Record
       try producer.abortTransaction()
       catch { case _: Throwable => () } // fenced/failed: broker aborts it
       inTransaction = false
+      stagedBatchId = -1L
     }
     producer.close()
   }

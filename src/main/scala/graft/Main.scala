@@ -134,7 +134,26 @@ object Main {
     // transactional producer per task per 1 s microbatch is a bootstrap
     // + initTransactions (multiple coordinator round trips) every
     // second per partition, forever (see PooledSenderFactory)
-    new graft.streaming.PooledSenderFactory(s"graft-sink-$sinkBase", raw)
+    new graft.streaming.PooledSenderFactory(poolToken(cfg), raw)
+  }
+
+  /** Pool token for a sink: the transactional.id base PLUS a digest of
+    * the full effective producer props. Two pipelines in one JVM
+    * targeting different clusters but both leaving the base at its
+    * default must NOT share pooled producers per partition — that would
+    * send one sink's records to the other's brokers. The digest makes
+    * the token injective in everything that shapes the producer
+    * (bootstrap.servers above all).
+    */
+  def poolToken(cfg: ReplicatorConfig): String = {
+    val sinkBase = cfg.effectiveProducerProps
+      .getOrElse("transactional.id", "graft-replicator")
+    val canonical = cfg.effectiveProducerProps.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(canonical.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    s"graft-sink-$sinkBase-$digest"
   }
 
   def main(args: Array[String]): Unit = {

@@ -49,6 +49,41 @@ trait RecordSender extends Serializable {
   def close(): Unit = ()
 }
 
+/** Optional [[RecordSender]] capability: commit the task's source-offset
+  * progress INSIDE the produce transaction — the Kafka-Streams EOS shape
+  * (and the semantic of the reference's Flink 2PC, where offsets commit
+  * atomically with the sink transaction; reference:
+  * FlinkKafkaReplicator.java:120-124). This closes the file-marker
+  * protocol's documented residual window: a crash BETWEEN a task's
+  * `flush()` (transaction commit) and its marker write can no longer
+  * replay that partition, because the committed transaction itself
+  * carries the (batch, partition) progress record and
+  * [[KafkaBatchWriter.write]] consults [[progressCommitted]] before
+  * re-producing. The filesystem marker degrades to a CACHE (it saves the
+  * progress lookup on the common path and is healed when found missing);
+  * the transaction is the source of truth.
+  *
+  * Production shape (see deploy/ `KafkaProducerRecordSender`): a
+  * compacted side topic keyed by (sink, partition) whose value is the
+  * highest committed batch id; `stageProgress` sends that record inside
+  * the open transaction, `progressCommitted` reads the key's latest
+  * committed value under `read_committed` — a transaction that aborted
+  * leaves no visible progress, exactly the atomicity required.
+  */
+trait OffsetCommittingSender extends RecordSender {
+  /** Stage this task's (batch, partition) progress record into the OPEN
+    * transaction so it commits atomically with the batch's records.
+    * Must be called after the rows are sent and BEFORE `flush()`.
+    */
+  def stageProgress(batchId: Long, partitionId: Int): Unit
+
+  /** True iff a prior attempt's transaction for this (batch, partition)
+    * COMMITTED — i.e. the records are already visible under
+    * `read_committed` and a replay must skip, not re-produce.
+    */
+  def progressCommitted(batchId: Long, partitionId: Int): Boolean
+}
+
 /** Per-task sender creation, keyed by the task's batch partition id —
   * the zombie-fencing hook for exactly-once delivery.
   *
@@ -103,11 +138,23 @@ object RecordSenderFactory {
   * closes the fenced producer (see below) — exactly the hand-off
   * fencing is for.
   *
-  * Failure protocol: any exception from `send`/`flush` marks the
-  * wrapper failed; its task-end `close()` then evicts the pool entry
-  * and closes the underlying sender (aborting any open transaction), so
-  * the retry builds a fresh producer. On success `close()` is a no-op
-  * and the producer survives for the next batch.
+  * Failure protocol: the wrapper is evicted (and the underlying sender
+  * closed, aborting any open transaction) at task-end `close()` unless
+  * the attempt ended CLEAN — every `send` was followed by a successful
+  * `flush`. Two dirty shapes exist and both must evict:
+  *  1. `send`/`flush` itself threw (broker error) — tracked by `failed`;
+  *  2. the task died OUTSIDE the sender calls (a row-decoding error in
+  *     the caller's iteration, a task kill when a sibling partition
+  *     fails) AFTER some sends succeeded — tracked by
+  *     `unflushedSends`. Without this, the pooled producer keeps the
+  *     aborted attempt's partial sends buffered in its OPEN
+  *     transaction; a retry on the same executor would reuse it (same
+  *     producer, no `initTransactions`, so no fence), append the full
+  *     row set into the SAME transaction, and commit stale partials +
+  *     the retry's copy — duplicates visible even under
+  *     `read_committed`.
+  * On a clean attempt `close()` is a no-op and the producer survives
+  * for the next batch.
   *
   * The pool is JVM-global keyed by `token` (Spark deserializes a new
   * factory instance per task — an instance field would never be shared),
@@ -122,21 +169,20 @@ final class PooledSenderFactory(
     val key = (token, partitionId)
     val base = PooledSenderFactory.pool.computeIfAbsent(
       key, _ => underlying.senderFor(partitionId))
-    new RecordSender {
-      private var failed = false
-      private def guarded[A](op: => A): A =
-        try op
-        catch { case e: Throwable => failed = true; throw e }
-      override def send(topic: String, partition: Option[Int], timestampMs: Long,
-          key2: Array[Byte], value: Array[Byte],
-          headers: Seq[(String, Array[Byte])]): Unit =
-        guarded(base.send(topic, partition, timestampMs, key2, value, headers))
-      override def flush(): Unit = guarded(base.flush())
-      override def close(): Unit =
-        if (failed) {
-          PooledSenderFactory.pool.remove(key, base)
-          try base.close() catch { case _: Throwable => () }
+    // the wrapper must preserve the base's transactional-progress
+    // capability: KafkaBatchWriter.write pattern-matches the sender it
+    // is handed, and a pooled OffsetCommittingSender that lost the
+    // trait would silently fall back to marker-only replay protection
+    base match {
+      case oc: OffsetCommittingSender =>
+        new PooledSenderFactory.PooledWrapper(key, base)
+            with OffsetCommittingSender {
+          override def stageProgress(batchId: Long, partitionId2: Int): Unit =
+            dirtyGuarded(oc.stageProgress(batchId, partitionId2))
+          override def progressCommitted(batchId: Long, partitionId2: Int): Boolean =
+            guarded(oc.progressCommitted(batchId, partitionId2))
         }
+      case _ => new PooledSenderFactory.PooledWrapper(key, base)
     }
   }
 }
@@ -144,6 +190,43 @@ final class PooledSenderFactory(
 object PooledSenderFactory {
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), RecordSender]()
+
+  /** Task-attempt view of a pooled sender (see [[PooledSenderFactory]]'s
+    * failure protocol). `guarded` trips `failed` on any thrown base call;
+    * `dirtyGuarded` additionally counts a transaction-mutating call that
+    * succeeded but has not yet been sealed by a successful `flush` — the
+    * signal that a task death OUTSIDE the sender left the pooled
+    * producer's transaction open and dirty.
+    */
+  private[streaming] class PooledWrapper(
+      key: (String, Int), protected val base: RecordSender) extends RecordSender {
+    private var failed = false
+    private var unflushedSends = 0
+    protected final def guarded[A](op: => A): A =
+      try op
+      catch { case e: Throwable => failed = true; throw e }
+    protected final def dirtyGuarded[A](op: => A): A = {
+      val out = guarded(op)
+      unflushedSends += 1
+      out
+    }
+    override def send(topic: String, partition: Option[Int], timestampMs: Long,
+        key2: Array[Byte], value: Array[Byte],
+        headers: Seq[(String, Array[Byte])]): Unit =
+      dirtyGuarded(base.send(topic, partition, timestampMs, key2, value, headers))
+    override def flush(): Unit = {
+      guarded(base.flush())
+      unflushedSends = 0
+    }
+    override def close(): Unit =
+      // evict unless the attempt ended clean: dirty-but-unfailed means
+      // the task died outside the sender with sends buffered in an open
+      // transaction — a retry must NOT inherit that producer
+      if (failed || unflushedSends > 0) {
+        PooledSenderFactory.pool.remove(key, base)
+        try base.close() catch { case _: Throwable => () }
+      }
+  }
 
   /** Test/shutdown hook: close and drop every pooled sender for a token. */
   def shutdown(token: String): Unit = {
@@ -155,6 +238,29 @@ object PooledSenderFactory {
         it.remove()
       }
     }
+  }
+}
+
+/** Serializable carrier for a Hadoop `Configuration` (which is not
+  * `java.io.Serializable` itself but IS a `Writable`). Executor-side
+  * filesystem resolution MUST use the session's conf, not
+  * `new Configuration()`: `spark.hadoop.*` settings, object-store
+  * credentials, and `fs.defaultFS` live only in the session conf — with
+  * a bare conf an s3a/hdfs commit dir fails outright on executors, and a
+  * non-scheme-qualified path silently resolves to each executor's LOCAL
+  * `file://`, where a replayed partition on a different executor sees no
+  * marker and re-produces.
+  */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -182,13 +288,19 @@ object KafkaBatchWriter {
     * deterministic `transactional.id` aborts a zombie's OPEN
     * transaction, but a transaction that already COMMITTED on the first
     * attempt is beyond revoking, so without the marker every committed
-    * task would duplicate on replay. Residual window: a crash BETWEEN
-    * the transaction commit and the marker write replays that one
-    * partition — closing it entirely requires storing the source
-    * offsets inside the Kafka transaction itself (the Kafka Streams
-    * EOS design), which a file-marker protocol cannot express. The
-    * marker path must be resolvable from EXECUTORS (same requirement
-    * as any checkpoint location).
+    * task would duplicate on replay.
+    *
+    * With an [[OffsetCommittingSender]] the protocol is complete: the
+    * task stages its (batch, partition) progress INSIDE the transaction
+    * before the `flush()` commit barrier, so progress and records commit
+    * atomically. A crash between the commit and the marker write — the
+    * file-marker protocol's one residual window — is then recovered by
+    * the `progressCommitted` check on replay: the partition skips and
+    * the missing marker is healed. With a plain sender the marker is
+    * the only record and that window remains (documented, not hidden).
+    * The marker path is resolved through the SESSION's Hadoop conf
+    * (serialized into the closure), never a bare `new Configuration()`
+    * — see [[SerializableHadoopConf]].
     */
   def write(
       senders: RecordSenderFactory,
@@ -198,35 +310,56 @@ object KafkaBatchWriter {
     val cols = df.select(
       col("topic"), col("partition"), col("timestamp").as("ts"),
       col("key"), col("value"), col("headers"))
+    // driver-side: capture the session conf for executor FS resolution
+    val hadoopConf = commitDir.map(_ =>
+      new SerializableHadoopConf(df.sparkSession.sessionState.newHadoopConf()))
     cols.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val marker = commitDir.map { d =>
           val p = new org.apache.hadoop.fs.Path(d, s"batch-$batchId/p$pid.committed")
-          (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+          (p.getFileSystem(hadoopConf.get.value), p)
         }
-        val alreadyCommitted = marker.exists { case (fs, p) => fs.exists(p) }
-        if (!alreadyCommitted) {
+        def writeMarker(): Unit = marker.foreach { case (fs, p) =>
+          fs.mkdirs(p.getParent)
+          fs.create(p, true).close()
+        }
+        val alreadyMarked = marker.exists { case (fs, p) => fs.exists(p) }
+        if (!alreadyMarked) {
           val sender = senders.senderFor(pid)
           try {
-            rows.foreach { r =>
-              val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
-                .getOrElse(Seq.empty)
-                .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
-              sender.send(
-                r.getString(r.fieldIndex("topic")),
-                if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
-                r.getTimestamp(r.fieldIndex("ts")).getTime,
-                r.getAs[Array[Byte]]("key"),
-                r.getAs[Array[Byte]]("value"),
-                headers)
+            val committedInTxn = sender match {
+              case s: OffsetCommittingSender => s.progressCommitted(batchId, pid)
+              case _ => false
             }
-            sender.flush()
-            // AFTER the commit barrier: the marker records "this
-            // partition's transaction committed for this batch"
-            marker.foreach { case (fs, p) =>
-              fs.mkdirs(p.getParent)
-              fs.create(p, true).close()
+            if (committedInTxn) {
+              // crash landed between a prior attempt's transaction
+              // commit and its marker write: records are already
+              // visible — skip, and heal the missing cache marker
+              writeMarker()
+            } else {
+              rows.foreach { r =>
+                val headers = Option(r.getSeq[Row](r.fieldIndex("headers")))
+                  .getOrElse(Seq.empty)
+                  .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
+                sender.send(
+                  r.getString(r.fieldIndex("topic")),
+                  if (preservePartitioning) Some(r.getInt(r.fieldIndex("partition"))) else None,
+                  r.getTimestamp(r.fieldIndex("ts")).getTime,
+                  r.getAs[Array[Byte]]("key"),
+                  r.getAs[Array[Byte]]("value"),
+                  headers)
+              }
+              // progress joins the records in the SAME transaction —
+              // after this, commit-vs-marker ordering no longer matters
+              sender match {
+                case s: OffsetCommittingSender => s.stageProgress(batchId, pid)
+                case _ => ()
+              }
+              sender.flush()
+              // AFTER the commit barrier: the marker records "this
+              // partition's transaction committed for this batch"
+              writeMarker()
             }
           } finally sender.close() // no-op for pooled wrappers
         }
@@ -251,12 +384,15 @@ object KafkaBatchWriter {
     *    attempt, the markers handle the already-committed one; the two
     *    mechanisms close different windows and both are needed.
     *
-    * Residual window (documented, not hidden): a crash between a task's
-    * transaction commit and its marker write replays that single
-    * partition; full closure requires offsets-inside-the-transaction
-    * (the Kafka Streams EOS design). PipelineSpec's partial-batch
-    * replay case pins the strengthened behavior: committed partitions
-    * do NOT re-produce on replay.
+    * With an [[OffsetCommittingSender]] (the production deploy binding)
+    * there is NO residual window: the (batch, partition) progress record
+    * commits inside the produce transaction, so a crash between the
+    * transaction commit and the marker write is recovered by the
+    * `progressCommitted` check — the replay skips and heals the marker.
+    * With a plain sender, that single window remains (documented above).
+    * PipelineSpec's partial-batch replay case pins committed partitions
+    * not re-producing; KafkaBatchWriterSpec's kill-between-commit-and-
+    * marker case pins the zero-duplicate recovery.
     */
   def exactlyOnceSink(
       senders: RecordSenderFactory,

@@ -109,13 +109,24 @@ object Pipeline {
       }
       val marker = new org.apache.hadoop.fs.Path(
         dir, s"batch-$batchId/_batch.committed")
-      if (!fs.exists(marker)) {
+      // legacy fallback: pre-directory layouts wrote a FLAT
+      // `batch-<id>.committed` file; a restart against an existing
+      // commitDir must honor those markers or it re-produces every
+      // previously committed in-horizon batch
+      val legacy = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId.committed")
+      if (!fs.exists(marker) && !fs.exists(legacy)) {
         write(df, batchId)
         fs.mkdirs(marker.getParent)
         fs.create(marker, false).close()
         val expired = new org.apache.hadoop.fs.Path(
           dir, s"batch-${batchId - CommitMarkerRetention}")
-        if (batchId >= CommitMarkerRetention) fs.delete(expired, true)
+        if (batchId >= CommitMarkerRetention) {
+          fs.delete(expired, true)
+          // prune the legacy flat layout too, or an upgraded deployment
+          // keeps its pre-upgrade markers forever
+          fs.delete(new org.apache.hadoop.fs.Path(
+            dir, s"batch-${batchId - CommitMarkerRetention}.committed"), false)
+        }
       }
     }
   }

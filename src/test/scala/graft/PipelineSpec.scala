@@ -184,6 +184,20 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     write(batch, 8L)
     assert(writes == Vector((7L, 4L), (8L, 4L)))
   }
+
+  test("idempotent foreachBatch honors LEGACY flat batch markers from a pre-upgrade commitDir") {
+    import spark.implicits._
+    val commits = Files.createTempDirectory("graft-legacy").toString
+    // a pre-directory-layout deployment left `batch-<id>.committed` FILES
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(commits, "batch-3.committed"))
+    var writes = Vector.empty[Long]
+    val write = Pipeline.idempotentForeachBatch(commits, (_, id) => writes :+= id)
+    val batch = KafkaMessage.toDF(spark, fixtures)
+    write(batch, 3L) // committed before the upgrade: must NOT re-produce
+    write(batch, 4L)
+    assert(writes == Vector(4L),
+      "restart against an old commitDir must honor flat legacy markers")
+  }
 }
 
 /** A sender that buffers its sends and publishes them only at the

@@ -34,10 +34,12 @@ class ReflectiveBindingSpec extends AnyFunSuite {
 
   test("reflectiveSenderFactory derives deterministic per-partition fencing ids under --exactly-once") {
     import graft.streaming.PooledSenderFactory
-    val token = "graft-sink-graft-replicator"
+    val cfg = ReplicatorConfig.fromArgs(minimal :+ "--exactly-once").toOption.get
+    val token = Main.poolToken(cfg) // base + producer-props digest
+    assert(token.startsWith("graft-sink-graft-replicator-"),
+      "token must carry the base plus a props digest")
     PooledSenderFactory.shutdown(token) // isolate from other specs
     FixtureSender.constructed.clear()
-    val cfg = ReplicatorConfig.fromArgs(minimal :+ "--exactly-once").toOption.get
     val factory = Main.reflectiveSenderFactory(cfg, classOf[FixtureSender].getName)
     try {
       factory.senderFor(3)
@@ -63,6 +65,19 @@ class ReflectiveBindingSpec extends AnyFunSuite {
       minimal ++ Seq("--exactly-once", "--producer.transactional.id", "myrepl")).toOption.get
     Main.reflectiveSenderFactory(cfg, classOf[FixtureSender].getName).senderFor(0)
     assert(FixtureSender.snapshot().head("transactional.id") == "myrepl-p0")
+  }
+
+  test("poolToken separates sinks that differ only in producer props") {
+    val a = ReplicatorConfig.fromArgs(minimal :+ "--exactly-once").toOption.get
+    val b = ReplicatorConfig.fromArgs(Seq(
+      "--topics", "t",
+      "--consumer.bootstrap.servers", "s:9092",
+      "--consumer.group.id", "g",
+      "--producer.bootstrap.servers", "other:9092",
+      "--exactly-once")).toOption.get
+    assert(Main.poolToken(a) != Main.poolToken(b),
+      "two sinks on different clusters must never share pooled producers")
+    assert(Main.poolToken(a) == Main.poolToken(a), "token must be deterministic")
   }
 
   test("at-least-once senders get no transactional.id injected") {
@@ -109,7 +124,10 @@ class ReflectiveBindingSpec extends AnyFunSuite {
   }
 
   test("deploy source pins: KafkaProducerRecordSender") {
-    pinDeploySource(Main.SenderBindingClass, "RecordSender")
+    // OffsetCommittingSender extends RecordSender: the production sender
+    // carries the offsets-in-transaction capability (stageProgress /
+    // progressCommitted) that closes the marker protocol's residual window
+    pinDeploySource(Main.SenderBindingClass, "OffsetCommittingSender")
   }
 }
 
