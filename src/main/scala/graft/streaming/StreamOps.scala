@@ -158,19 +158,109 @@ object StreamOps {
     * candidate probe downstream — near-dup candidates are exactly
     * verified after the index join, so correctness is replay-immune and
     * the exactly-once machinery (and its latency) is not needed.
+    *
+    * **Compaction is built in** — one appended file set per microbatch
+    * at a 1 s cadence is ~86k file sets/day, and at that point scan
+    * planning (not scanning) dominates every probe. The index lives in
+    * GENERATION directories under `indexDir`:
+    * {{{
+    *   indexDir/gen-<n>/...parquet    appends land in the live generation
+    *   indexDir/gen-<n>/_live         marker: this generation is probe-able
+    * }}}
+    * Every `compactEvery` microbatches the maintainer rolls the live
+    * generation through [[graft.sources.Sources.compactParquet]]'s
+    * new-directory contract into `gen-<n+1>` and cuts over by CREATING
+    * `gen-<n+1>/_live` (a single atomic file create) before retiring
+    * `gen-<n>`'s marker. Probers resolve the live generation at read
+    * time via [[lshIndex]]; mid-compaction they see either the old or
+    * the new generation — both complete, same distinct signature rows —
+    * never a partial directory. Retention lags one generation: `gen-<n>`
+    * keeps its DATA until `gen-<n+2>` exists, so a reader that resolved
+    * it just before cutover has a full compaction period to finish its
+    * scan. Crash safety: a generation directory without `_live` is an
+    * incomplete compaction and is deleted and redone on the next
+    * trigger; a crash between the two marker operations leaves TWO live
+    * markers, and resolution picks the highest (the compacted superset)
+    * and retires the stale one.
     */
   def maintainLshIndex(
       docs: DataFrame,
       indexDir: String,
-      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery > 0, "compactEvery must be positive")
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val (gen, genPath) = liveGeneration(fs, root).getOrElse {
+          val p = new org.apache.hadoop.fs.Path(root, "gen-0")
+          fs.mkdirs(p)
+          fs.create(new org.apache.hadoop.fs.Path(p, "_live"), true).close()
+          (0L, p)
+        }
         graft.operators.Dedup.bandSignatures(batch)
-          .write.mode("append").parquet(indexDir)
+          .write.mode("append").parquet(genPath.toString)
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val next = new org.apache.hadoop.fs.Path(root, s"gen-${gen + 1}")
+          // a next-gen dir can only pre-exist from a compaction that
+          // crashed before its _live marker: incomplete, redo from scratch
+          if (fs.exists(next)) fs.delete(next, true)
+          graft.sources.Sources.compactParquet(
+            spark, genPath.toString, next.toString, targetBytes)
+          // cutover: one atomic create, then retire the old marker
+          fs.create(new org.apache.hadoop.fs.Path(next, "_live"), true).close()
+          fs.delete(new org.apache.hadoop.fs.Path(genPath, "_live"), false)
+          // lag-1 retention: no new reader can resolve gen-(n-1), and its
+          // in-flight readers have had a full compaction period to finish
+          if (gen > 0)
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"gen-${gen - 1}"), true)
+        }
         ()
       }
       .start()
+  }
+
+  /** The probe-side resolver for a [[maintainLshIndex]] index: the LIVE
+    * generation's signature relation, suitable for
+    * [[graft.operators.Dedup.indexCandidates]]. Resolution is a single
+    * directory listing; if a crash left two live markers the highest
+    * generation (the compacted superset) wins and the stale marker is
+    * retired here.
+    */
+  def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = liveGeneration(fs, root).getOrElse(
+      sys.error(s"no live LSH index generation under $indexDir — " +
+        "has maintainLshIndex processed a batch yet?"))
+    spark.read.parquet(live._2.toString)
+  }
+
+  /** Highest `gen-<n>` under `root` bearing a `_live` marker; stale
+    * extra markers (a crash between cutover creates) are retired.
+    */
+  private def liveGeneration(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("gen-")) name.drop(4).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .filter { case (_, p) => fs.exists(new org.apache.hadoop.fs.Path(p, "_live")) }
+      .sortBy(_._1)
+    gens.dropRight(1).foreach { case (_, p) => // stale markers from a cutover crash
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_live"), false)
+    }
+    gens.lastOption
+  }
 
   /** EXT-6g — streaming Bloom dedup prefilter: flags each incoming
     * document against the corpus Bloom index built by
@@ -516,6 +606,62 @@ object StreamOps {
       st.counts.toSeq.sortBy { case (uid, n) => (-n, uid) }.take(k)
         .zipWithIndex.iterator.map { case ((uid, n), i) =>
           TrendingKey(winStart / 1000L, i + 1, uid, n)
+        }
+    }
+  }
+
+  /** Persisted SpaceSaving entry / state for [[trendingStreamApprox]]. */
+  case class SSEntry(key: Long, count: Long, err: Long)
+  case class SSState(entries: Seq[SSEntry])
+
+  /** One emitted approximate trending row: `count_est` overestimates the
+    * true count by at most `err` (true ∈ [count_est − err, count_est]);
+    * `err == 0` means the count is EXACT (the key was never displaced).
+    */
+  case class TrendingKeyApprox(window_start_s: Long, rank: Int,
+      user_id: Long, count_est: Long, err: Long)
+
+  /** EXT-6n (sub-linear spelling) — SpaceSaving windowed heavy hitters:
+    * [[trendingStream]] with per-window state bounded by `capacity`
+    * counters instead of one exact entry per distinct key. The exact
+    * operator's map is audit-grade but its state grows with per-window
+    * key cardinality; a burst of unique keys (bot sweep, id-spray) melts
+    * exactly the window the monitor exists to protect. SpaceSaving caps
+    * it: state is `windows inside the watermark horizon × capacity`,
+    * INDEPENDENT of distinct keys, and on the skewed distributions where
+    * trending matters the emitted top-k is the exact operator's
+    * ([[graft.operators.SpaceSavingSummary]]'s no-missing-heavy-hitter
+    * guarantee, spec-pinned on a skewed drive). Each row carries its
+    * per-key error bound; x73's CMS sketch is the independent audit when
+    * estimates need cross-checking.
+    *
+    * Same seal machinery as the exact twin (tumbling event-time windows,
+    * watermark seal, emit exactly once, state removed at emission). The
+    * fold rebuilds the summary from persisted entries — O(capacity·log
+    * capacity) per (window, microbatch), paid once per fold, not per
+    * event.
+    */
+  def trendingStreamApprox(
+      events: Dataset[Event],
+      k: Int = 3,
+      capacity: Int = 256,
+      windowMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[TrendingKeyApprox] = {
+    import events.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be at least k ($k)")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    windowSealed[Event, SSState, TrendingKeyApprox](
+      events, _.ts.getTime, windowMs, watermarkDelay, SSState(Seq.empty)) {
+      (st, es) =>
+        val s = graft.operators.SpaceSavingSummary.fromEntries(
+          capacity, st.entries.map(e => (e.key, e.count, e.err)))
+        for (e <- es) s.offer(e.user_id)
+        SSState(s.entries.map { case (key, c, err) => SSEntry(key, c, err) })
+    } { (winStart, st) =>
+      st.entries.sortBy(e => (-e.count, e.key)).take(k)
+        .zipWithIndex.iterator.map { case (e, i) =>
+          TrendingKeyApprox(winStart / 1000L, i + 1, e.key, e.count, e.err)
         }
     }
   }

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpaceSavingSummary
+
+/** The SpaceSaving laws (Metwally et al. 2005) the streaming heavy-hitter
+  * operator leans on — pinned directly on the summary so a regression
+  * names the broken law, not a downstream rank mismatch.
+  */
+class SpaceSavingSpec extends AnyFunSuite {
+
+  /** Deterministic skewed drive: heavy keys with given counts plus
+    * `nSingles` distinct one-shot keys, interleaved by a seeded shuffle.
+    */
+  private def skewedDrive(heavy: Map[Long, Int], nSingles: Int): Seq[Long] = {
+    val arrivals =
+      heavy.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) } ++
+        (1000L until (1000L + nSingles))
+    new scala.util.Random(42).shuffle(arrivals)
+  }
+
+  test("estimates bracket the true count: true ∈ [count − err, count]") {
+    val heavy = Map(1L -> 100, 2L -> 50, 3L -> 30)
+    val drive = skewedDrive(heavy, nSingles = 400)
+    val trueCounts = drive.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val s = new SpaceSavingSummary(32)
+    drive.foreach(s.offer(_))
+    assert(s.size <= 32)
+    s.entries.foreach { case (key, count, err) =>
+      val t = trueCounts(key)
+      assert(t <= count, s"key $key: estimate $count undercounts true $t")
+      assert(count - err <= t, s"key $key: err bound violated ($count - $err > $t)")
+    }
+  }
+
+  test("no heavy hitter goes missing: every key above the summary minimum is monitored") {
+    val heavy = Map(1L -> 100, 2L -> 50, 3L -> 30, 4L -> 20)
+    val drive = skewedDrive(heavy, nSingles = 500)
+    val s = new SpaceSavingSummary(64)
+    drive.foreach(s.offer(_))
+    val minCount = s.entries.map(_._2).min
+    val monitored = s.entries.map(_._1).toSet
+    val trueCounts = drive.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    trueCounts.foreach { case (key, t) =>
+      if (t > minCount)
+        assert(monitored.contains(key),
+          s"key $key (true $t > min $minCount) must be monitored")
+    }
+    // and the top-k on this skewed drive is EXACT
+    assert(s.topK(4).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("state is bounded by capacity regardless of distinct arrivals") {
+    val s = new SpaceSavingSummary(64)
+    (1L to 10000L).foreach(s.offer(_)) // 10k distinct keys
+    assert(s.size == 64)
+    assert(s.entries.length == 64)
+  }
+
+  test("fromEntries restore is exact: interrupted run equals uninterrupted run") {
+    val drive = skewedDrive(Map(1L -> 40, 2L -> 25), nSingles = 200)
+    val (a, b) = drive.splitAt(drive.length / 2)
+    val whole = new SpaceSavingSummary(32)
+    drive.foreach(whole.offer(_))
+    val partial = new SpaceSavingSummary(32)
+    a.foreach(partial.offer(_))
+    val resumed = SpaceSavingSummary.fromEntries(32, partial.entries) // the state round-trip
+    b.foreach(resumed.offer(_))
+    assert(resumed.entries.sorted == whole.entries.sorted,
+      "state persistence must not change what the summary computes")
+  }
+
+  test("eviction is deterministic: same drive, same summary") {
+    val drive = skewedDrive(Map(1L -> 10), nSingles = 300)
+    val s1 = new SpaceSavingSummary(16)
+    val s2 = new SpaceSavingSummary(16)
+    drive.foreach { k => s1.offer(k); s2.offer(k) }
+    assert(s1.entries.sorted == s2.entries.sorted)
+  }
+
+  test("weighted offers accumulate like repeated singles") {
+    val s1 = new SpaceSavingSummary(8)
+    val s2 = new SpaceSavingSummary(8)
+    Seq(5L, 5L, 5L, 6L).foreach(s1.offer(_))
+    s2.offer(5L, 3L); s2.offer(6L)
+    assert(s1.entries.sorted == s2.entries.sorted)
+  }
+}

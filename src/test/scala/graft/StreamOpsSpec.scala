@@ -261,7 +261,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       stream.addData((4L, t2)) // second microbatch appends, never rewrites
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.read.parquet(s"$tmp/index").collect()
+    val streamed = StreamOps.lshIndex(spark, s"$tmp/index").collect()
       .map(_.toSeq).sortBy(_.toString)
     val batch = graft.operators.Dedup.bandSignatures(
       Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")).collect()
@@ -271,9 +271,57 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // with it (and only it) when probing the maintained index
     val cands = graft.operators.Dedup.indexCandidates(
       Seq((5L, t1)).toDF("doc_id", "text"),
-      spark.read.parquet(s"$tmp/index")).collect()
+      StreamOps.lshIndex(spark, s"$tmp/index")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands == Set(5L -> 2L))
+  }
+
+  test("maintainLshIndex compaction: file count stays bounded; probe relation unchanged across generations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshcmp").toString
+    val stream = MemoryStream[(Long, String)]
+    // compact every 5 microbatches; 128 MB target → each compaction
+    // rewrites the whole (tiny) generation into ONE file
+    val q = StreamOps.maintainLshIndex(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 5L)
+    val docs = (1L to 23L).map(i =>
+      i -> (i * 100 until i * 100 + 30).map(w => s"w$w").mkString(" "))
+    try {
+      docs.foreach { d => // one microbatch per document
+        stream.addData(d)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // exactly one live generation; lag-1 retention keeps at most one
+    // retired generation's data alongside it
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/index"))
+      .filter(_.isDirectory).map(_.getPath).toSeq
+    val liveGens = gens.filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_live")))
+    assert(liveGens.length == 1, s"expected one live generation, got $liveGens")
+    assert(gens.length <= 2, s"retention must reclaim old generations, got $gens")
+    // the live generation holds the last compaction's single file plus
+    // at most compactEvery post-compaction appends — NOT one file set
+    // per microbatch since the start of the stream
+    val liveFiles = fs.listStatus(liveGens.head)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(liveFiles <= 6, s"file count must be bounded by compaction, got $liveFiles")
+    // compaction is lossless: the probe relation equals the batch build
+    val streamed = StreamOps.lshIndex(spark, s"$tmp/index").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val batch = graft.operators.Dedup.bandSignatures(
+      docs.toDF("doc_id", "text")).collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+    // and indexCandidates probes it unchanged (param stamps survive)
+    val cands = graft.operators.Dedup.indexCandidates(
+      Seq((99L, docs.head._2)).toDF("doc_id", "text"),
+      StreamOps.lshIndex(spark, s"$tmp/index")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set(99L -> 1L))
   }
 
   test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
@@ -414,6 +462,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       val again = spark.table("trend_out").collect()
         .map(r => (r.getLong(0), r.getInt(1))).count(_._1 == win(1))
       assert(again == 2)
+    } finally q.stop()
+  }
+
+  test("trendingStreamApprox: bounded state agrees with the exact operator on a skewed drive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one window (min 1-5): heavy users 7/8/9 with 12/9/7 events, plus 30
+    // one-shot users — 33 distinct keys against capacity 16, so the state
+    // CANNOT hold the exact map and eviction genuinely exercises
+    val heavy = Seq.fill(12)(7L) ++ Seq.fill(9)(8L) ++ Seq.fill(7)(9L)
+    val singles = (100L until 130L).toSeq
+    val users = new scala.util.Random(7).shuffle(heavy ++ singles)
+    val events = users.zipWithIndex.map { case (u, i) =>
+      ev(i.toLong, 1 + i % 5, u)
+    }
+    val exactCounts = users.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val stream = MemoryStream[Event]
+    val q = StreamOps.trendingStreamApprox(
+      stream.toDS(), k = 3, capacity = 16, watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("trend_approx_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(ev(999, 60, 999)) // advance the watermark
+      q.processAllAvailable()
+      stream.addData(ev(1000, 61, 999)) // seal the window
+      q.processAllAvailable()
+      def win(min: Int) = Math.floorDiv(ts(min).getTime, 600000L) * 600000L / 1000L
+      val got = spark.table("trend_approx_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 == win(1)).sortBy(_._2)
+      // identity + rank agreement with the exact operator's verdict
+      assert(got.map(_._3).toSeq == Seq(7L, 8L, 9L),
+        s"top-3 must be the true heavy hitters, got $got")
+      // each estimate brackets the true count
+      got.foreach { case (_, _, user, est, err) =>
+        val t = exactCounts(user)
+        assert(t <= est && est - err <= t,
+          s"user $user: true $t outside [${est - err}, $est]")
+      }
     } finally q.stop()
   }
 
