@@ -46,7 +46,7 @@ object SparkEntry {
     "x6_ann_bucketed" -> ((s, dir) => Similarity.bucketedTopK(s, dir)),
     "x14_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
     "x15_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
-    "x35_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(s, dir)),
+    "x35_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(s, dir, exactMeans = true)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -103,8 +103,8 @@ object SparkEntry {
     "x52_lsh_calibration" -> ((s, dir) => Dedup.lshCalibration(s, dir)),
     "x53_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     // --- semantic (embedding-space) curation ---
-    "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
-    "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir)),
+    "x54_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir, exactMeans = true)),
+    "x57_centroid_sim" -> ((s, dir) => Similarity.centroidSim(s, dir, exactMeans = true)),
     "x58_ann_multiprobe" -> ((s, dir) => Similarity.ivfTopK(s, dir, nprobe = 2)),
     // the audit view: the sketch VALUE is implementation-defined (spec-
     // pinned on cardinalitySketch), but the deterministic columns and the
@@ -150,7 +150,7 @@ object SparkEntry {
     // set newness per source between snapshots — the dedup-rate forecast
     "x77_gram_novelty" -> ((s, dir) => Curation.gramNovelty(s, dir)),
     // text quality AND embedding prototypicality — the joint keep verdict
-    "x75_crossmodal_curation" -> ((s, dir) => Curation.crossmodalCuration(s, dir)),
+    "x75_crossmodal_curation" -> ((s, dir) => Curation.crossmodalCuration(s, dir, exactMeans = true)),
     // --- temporal: sessionization, as-of join, range join, event analytics ---
     "x26_sessionize" -> ((s, dir) => Temporal.sessionize(s, dir)),
     "x27_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),

@@ -279,11 +279,12 @@ object Curation {
       spark: SparkSession,
       dir: String,
       minQuality: Double = 0.63,
-      minProto: Double = 0.25): DataFrame =
+      minProto: Double = 0.25,
+      exactMeans: Boolean = false): DataFrame =
     TextAnalysis.statsProjection(spark, dir)
       .select(col("doc_id"), col("quality"))
       .join(
-        Similarity.centroidSimProjection(spark, dir)
+        Similarity.centroidSimProjection(spark, dir, exactMeans = exactMeans)
           .select(col("vec_id").as("doc_id"), col("cell"), col("cent_sim4")),
         "doc_id")
       .withColumn("keep",

@@ -449,14 +449,16 @@ object Similarity {
     * Scale shape: centroids are k·dim driver-side doubles broadcast as
     * literals — each iteration is ONE narrow pass over the (materialized)
     * corpus plus a k-group aggregate; nothing big ever shuffles. The
-    * ordered-fold mean is the oracle-exactness spelling; the production
-    * spelling is `exactMeans = false` — per-(cell, dim) plain `sum`,
-    * commutative and map-side combined, no cell ever materialized in one
-    * aggregation buffer (the spelling to point at a real corpus; means
-    * differ from the ordered fold only by FP summation order).
+    * production spelling is the DEFAULT (`exactMeans = false`) —
+    * per-(cell, dim) plain `sum`, commutative and map-side combined, no
+    * cell ever materialized in one aggregation buffer. The ordered-fold
+    * mean (`exactMeans = true`) is the explicit ORACLE mode, selected
+    * only where bit-agreement with the DuckDB oracle is the contract
+    * (the SparkEntry bindings); means differ between the two only by FP
+    * summation order.
     */
   def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
-      exactMeans: Boolean = true): DataFrame = {
+      exactMeans: Boolean = false): DataFrame = {
     import spark.implicits._
     val cents = trainCentroids(embDouble(spark, dir), k, iters, exactMeans)
     val rows = cents.flatMap { case (i, cd) =>
@@ -480,7 +482,7 @@ object Similarity {
     * collect, as with the IVF centroids).
     */
   private def trainCentroids(
-      e: DataFrame, k: Int, iters: Int, exactMeans: Boolean = true): Seq[(Int, Array[Double])] = {
+      e: DataFrame, k: Int, iters: Int, exactMeans: Boolean = false): Seq[(Int, Array[Double])] = {
     import e.sparkSession.implicits._
     var cents: Seq[(Int, Array[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("ed"))
@@ -491,36 +493,45 @@ object Similarity {
       s"kmeans: seeding needs vectors with vec_id 0..${k - 1}, found ${cents.length} of $k")
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val assigned = assignCells(e, cents)
-      val means =
-        if (exactMeans)
-          // oracle spelling: vec_id-ordered left-fold sum per cell —
-          // bit-reproducible in DuckDB, but the collect_list holds one
-          // whole cell in a single aggregation buffer
-          assigned.groupBy("cell")
-            .agg(count(lit(1)).as("cnt"),
-              aggregate(
-                array_sort(collect_list(struct(col("vec_id"), col("ed")))),
-                array_repeat(lit(0.0), dim),
-                (acc, s) => zip_with(acc, s.getField("ed"), (a, x) => a + x)).as("sums"))
-            .select(col("cell"), transform(col("sums"), _ / col("cnt")).as("mean"))
-        else
-          // production spelling: per-(cell, dim) plain `sum` — commutative
-          // and map-side combined, so no cell is ever materialized in one
-          // buffer; the regroup collects k·dim structs, bounded by
-          // construction. Differs from the ordered fold only by FP
-          // summation order.
-          assigned.select(col("cell"), posexplode(col("ed")).as(Seq("d", "x")))
-            .groupBy(col("cell"), col("d"))
-            .agg((sum(col("x")) / count(lit(1))).as("m"))
-            .groupBy("cell")
-            .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-            .select(col("cell"), transform(col("dm"), _.getField("m")).as("mean"))
+      val means = cellMeans(assignCells(e, cents), dim, exactMeans)
       val updated = means.as[(Int, Seq[Double])].collect().toMap
       cents = cents.map { case (i, old) => (i, updated.get(i).map(_.toArray).getOrElse(old)) }
     }
     cents
   }
+
+  /** One Lloyd update's per-cell means over an `(vec_id, ed, cell)`
+    * assignment relation. The DEFAULT (`exactMeans = false`) is the
+    * production spelling — a caller taking defaults gets the scale path;
+    * the ordered fold is the explicit oracle mode the SparkEntry
+    * bindings opt into. Factored out of [[trainCentroids]] so the plan
+    * spec can pin that contract.
+    */
+  private[graft] def cellMeans(
+      assigned: DataFrame, dim: Int, exactMeans: Boolean): DataFrame =
+    if (exactMeans)
+      // oracle spelling: vec_id-ordered left-fold sum per cell —
+      // bit-reproducible in DuckDB, but the collect_list holds one
+      // whole cell in a single aggregation buffer
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("cnt"),
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"), col("ed")))),
+            array_repeat(lit(0.0), dim),
+            (acc, s) => zip_with(acc, s.getField("ed"), (a, x) => a + x)).as("sums"))
+        .select(col("cell"), transform(col("sums"), _ / col("cnt")).as("mean"))
+    else
+      // production spelling: per-(cell, dim) plain `sum` — commutative
+      // and map-side combined, so no cell is ever materialized in one
+      // buffer; the regroup collects k·dim structs, bounded by
+      // construction. Differs from the ordered fold only by FP
+      // summation order.
+      assigned.select(col("cell"), posexplode(col("ed")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), _.getField("m")).as("mean"))
 
   /** Row-local nearest-centroid assignment (argmax of `x·c − ‖c‖²/2`,
     * ties to the lowest centroid id) — the centroids ride along as plan
@@ -561,9 +572,10 @@ object Similarity {
       dir: String,
       k: Int = 8,
       iters: Int = 2,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4,
+      exactMeans: Boolean = false): DataFrame = {
     val e = embDouble(spark, dir)
-    val asg = assignCells(e, trainCentroids(e, k, iters))
+    val asg = assignCells(e, trainCentroids(e, k, iters, exactMeans))
       .localCheckpoint() // consumed by both pair-join sides and the output
     val a = asg.select(col("cell"), col("vec_id").as("v1"), col("ed").as("e1"))
     val b = asg.select(col("cell"), col("vec_id").as("v2"), col("ed").as("e2"))
@@ -584,8 +596,9 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      iters: Int = 2): Seq[(Int, Array[Double])] =
-    trainCentroids(embDouble(spark, dir), k, iters)
+      iters: Int = 2,
+      exactMeans: Boolean = false): Seq[(Int, Array[Double])] =
+    trainCentroids(embDouble(spark, dir), k, iters, exactMeans)
 
   /** Cell assignment + prototypicality over ANY (vec_id, embedding)
     * relation — batch or unbounded stream: the trained centroids ride
@@ -642,8 +655,9 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      iters: Int = 2): DataFrame =
-    centroidSimProjection(spark, dir, k, iters).orderBy("vec_id")
+      iters: Int = 2,
+      exactMeans: Boolean = false): DataFrame =
+    centroidSimProjection(spark, dir, k, iters, exactMeans).orderBy("vec_id")
 
   /** [[centroidSim]] WITHOUT its presentation sort — for consumers that
     * JOIN the prototypicality scores
@@ -654,9 +668,10 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      exactMeans: Boolean = false): DataFrame = {
     val e = embDouble(spark, dir)
-    project(e, trainCentroids(e, k, iters))
+    project(e, trainCentroids(e, k, iters, exactMeans))
   }
 
   /** EXT-D5 — embedding-cosine near-duplicate pairs above a threshold,

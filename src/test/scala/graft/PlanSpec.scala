@@ -308,6 +308,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty, p.toString)
   }
 
+  test("Lloyd update: the DEFAULT mean spelling never materializes a cell in one aggregation buffer") {
+    import spark.implicits._
+    val asg = Seq((0L, Seq(1.0, 2.0), 0), (1L, Seq(3.0, 4.0), 0), (2L, Seq(5.0, 6.0), 1))
+      .toDF("vec_id", "ed", "cell")
+    val prod = Similarity.cellMeans(asg, dim = 2, exactMeans = false)
+    val exact = Similarity.cellMeans(asg, dim = 2, exactMeans = true)
+    // the whole-cell fold is a collect_list over the embedding column —
+    // one cluster's vectors in ONE buffer, the eval-scale-only shape
+    def wholeCellCollect(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("collect_list(struct(vec_id")
+    assert(wholeCellCollect(exact), "control: the explicit oracle mode IS the whole-cell fold")
+    assert(!wholeCellCollect(prod),
+      "a default-path caller must get the per-(cell, dim) sum, never a whole cell in one buffer")
+    // the production sums are plain declarative aggregates — map-side
+    // combinable HashAggregates (partial + final), not object aggregation
+    // buffers over the embedding arrays
+    val sumAggs = plan(Similarity.cellMeans(asg, dim = 2, exactMeans = false)).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if h.aggregateExpressions.exists(_.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum]) => h
+    }
+    assert(sumAggs.length >= 2, // partial on the map side, final after the exchange
+      s"per-dim sums must map-side combine:\n${prod.queryExecution.executedPlan}")
+    // both spellings compute the same means on integer-exact data
+    val p = prod.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val e = exact.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(p == e)
+  }
+
   test("semantic dedup: pair search is an equi-join on the cell id — never a cross product") {
     val p = plan(Similarity.semanticDedup(spark, dir))
     assert(p.collect {

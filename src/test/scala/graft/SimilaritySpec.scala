@@ -124,11 +124,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   test("kmeansCentroids: production sum spelling agrees with the ordered-fold oracle spelling") {
     // same seeds, same assignment, same cells — the two mean spellings
     // differ only by FP summation order, so centroids agree to ~1 ulp
-    // per added term; 1e-12 relative is generous for sf0.001 cell sizes
+    // per added term; 1e-12 relative is generous for sf0.001 cell sizes.
+    // the ORACLE mode is the explicit opt-in; the default is production
     val sfDir = "/root/testdata/sf0.001"
-    val exact = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val prod = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2, exactMeans = false)
+    val exact = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2, exactMeans = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prod = Similarity.kmeansCentroids(spark, sfDir, k = 4, iters = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(exact.keySet == prod.keySet && exact.nonEmpty)
     exact.foreach { case (key, v) =>
