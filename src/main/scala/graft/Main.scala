@@ -57,14 +57,39 @@ object Main {
       spark: SparkSession,
       cfg: ReplicatorConfig,
       checkpointLocation: String,
-      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory): StreamingQuery =
-    if (cfg.backfill)
-      Pipeline.startBackfill(spark, cfg, checkpointLocation)
-    else if (cfg.exactlyOnce)
-      Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
-        s"$checkpointLocation/graft-commits", senderFor(cfg))
-    else
-      Pipeline.start(spark, cfg, checkpointLocation)
+      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory,
+      sourceOverride: Option[org.apache.spark.sql.DataFrame] = None): StreamingQuery =
+    sourceOverride match {
+      case None =>
+        if (cfg.backfill)
+          Pipeline.startBackfill(spark, cfg, checkpointLocation)
+        else if (cfg.exactlyOnce)
+          Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
+            s"$checkpointLocation/graft-commits", senderFor(cfg))
+        else
+          Pipeline.start(spark, cfg, checkpointLocation)
+      case Some(src) =>
+        // broker-free edge (MemoryStream in specs — this build has no
+        // Kafka connector or brokers): the SAME mode dispatch, with the
+        // built-in kafka sink replaced by the record-complete sender
+        // sink, so argv → reconcile → stream → rows composes end-to-end
+        if (cfg.exactlyOnce)
+          Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
+            s"$checkpointLocation/graft-commits", senderFor(cfg), Some(src))
+        else {
+          val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+            graft.streaming.KafkaBatchWriter.write(
+              senderFor(cfg), cfg.preservePartitioning)
+          src.writeStream
+            .option("checkpointLocation", checkpointLocation)
+            .trigger(
+              if (cfg.backfill) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+              else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+                cfg.checkpointIntervalMs))
+            .foreachBatch(sinkFn)
+            .start()
+        }
+    }
 
   /** Full lifecycle with the reference's fixed-delay restart policy
     * (4 attempts / 10 s, reference: FlinkKafkaReplicator.java:99).
@@ -75,9 +100,11 @@ object Main {
       clientFor: Map[String, String] => TopicMetadataClient,
       checkpointLocation: String,
       senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory =
-        reflectiveSenderFactory(_)): Either[Seq[String], Unit] =
+        reflectiveSenderFactory(_),
+      sourceOverride: Option[org.apache.spark.sql.DataFrame] = None): Either[Seq[String], Unit] =
     preflight(args, clientFor).map { cfg =>
-      Pipeline.runWithRestarts()(() => startStream(spark, cfg, checkpointLocation, senderFor))
+      Pipeline.runWithRestarts()(() =>
+        startStream(spark, cfg, checkpointLocation, senderFor, sourceOverride))
     }
 
   /** The reflective deploy-time contract: these exact class names, each

@@ -364,13 +364,27 @@ object Similarity {
     * file. Probe cells are derived on the query side only (nprobe
     * fan-out); the index side is read already partitioned by cell, so
     * the equi-join shuffles only the query fan-out at most.
+    *
+    * `staticPrune` (default ON) pins the batch's DISTINCT probe cells —
+    * at most nCentroids values by construction, the legitimate bounded
+    * collect — as a literal partition filter on the index read, so the
+    * pruned scan is guaranteed by the PLANNER (`PartitionFilters` with
+    * `selectedPartitions` resolved before execution), not left to the
+    * dynamic-partition-pruning heuristic (which does not consider an
+    * unfiltered query batch "selective" and would scan every cell).
+    * Cost: one extra narrow pass over the query side to derive the cell
+    * set — for any index big enough to matter, reading
+    * nprobe/nCentroids of the FILES repays it immediately. This is the
+    * per-microbatch serving shape (EXT-6i): train once, probe each
+    * arriving query batch against only the cells it fans out to.
     */
   def ivfTopKFromIndex(
       spark: SparkSession,
       indexPath: String,
       queries: DataFrame,
       k: Int = 3,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      staticPrune: Boolean = true): DataFrame = {
     import spark.implicits._
     val centRows = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cid"), col("embedding"), col("n_centroids"))
@@ -395,7 +409,16 @@ object Similarity {
           explode(transform(
             slice(reverse(array_sort(scoredCells)), 1, nprobe),
             p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
-    val idx = spark.read.parquet(s"$indexPath/cells")
+    val idxRaw = spark.read.parquet(s"$indexPath/cells")
+    val idxPruned =
+      if (staticPrune) {
+        // distinct probe cells of THIS batch: ≤ nCentroids values by
+        // construction (cells are 0..nCentroids−1), so the collect is
+        // bounded no matter how large the query relation is
+        val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq
+        idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
+      } else idxRaw
+    val idx = idxPruned
       .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))

@@ -152,8 +152,9 @@ object Pipeline {
       cfg: ReplicatorConfig,
       checkpointLocation: String,
       commitDir: String,
-      senders: RecordSenderFactory): StreamingQuery =
-    kafkaSource(spark, cfg).load()
+      senders: RecordSenderFactory,
+      sourceOverride: Option[DataFrame] = None): StreamingQuery =
+    sourceOverride.getOrElse(kafkaSource(spark, cfg).load())
       .writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
