@@ -354,9 +354,10 @@ object Dedup {
 
   /** The near-dup pair relation WITHOUT the presentation sort — consumers
     * that aggregate or join the pairs (cluster resolution) skip the
-    * global sort exchange entirely.
+    * global sort exchange entirely. `private[graft]` so the scale-stress
+    * suite can pin its plan shape at 10× bench scale.
     */
-  private[operators] def simhashNearDupPairs(
+  private[graft] def simhashNearDupPairs(
       spark: SparkSession,
       dir: String,
       maxHamming: Int = 4,
