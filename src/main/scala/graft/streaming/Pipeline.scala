@@ -162,6 +162,36 @@ object Pipeline {
         senders, cfg.preservePartitioning, commitDir))
       .start()
 
+  /** At-least-once RECORD-COMPLETE pipeline: the reference forwards the
+    * record timestamp in BOTH delivery modes (reference:
+    * KafkaMessageSerializationSchema.java:20), but Spark's built-in
+    * kafka sink has no timestamp column in its write schema — records
+    * replicated through [[start]] are re-stamped at produce time. Where
+    * that fidelity matters (log-compaction retention, time-indexed
+    * consumers), this variant routes the SAME source through the
+    * [[KafkaBatchWriter]] sender sink with a plain flush barrier:
+    * at-least-once delivery, full envelope including the timestamp. The
+    * trade is explicit: [[start]] keeps the connector's own batching and
+    * needs no sender binding; this path needs the deploy-time
+    * kafka-clients binding (like `--exactly-once`) and buys envelope
+    * completeness.
+    */
+  def startAtLeastOnceComplete(
+      spark: SparkSession,
+      cfg: ReplicatorConfig,
+      checkpointLocation: String,
+      senders: RecordSenderFactory,
+      sourceOverride: Option[DataFrame] = None): StreamingQuery = {
+    val sinkFn: (DataFrame, Long) => Unit =
+      KafkaBatchWriter.write(senders, cfg.preservePartitioning)
+    sourceOverride.getOrElse(kafkaSource(spark, cfg).load())
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
+      .foreachBatch(sinkFn)
+      .start()
+  }
+
   /** `--backfill` mode — beyond the reference's surface (Flink's
     * unbounded source can't do this without cancellation):
     * `Trigger.AvailableNow` drains everything currently in the subscribed

@@ -185,6 +185,31 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(writes == Vector((7L, 4L), (8L, 4L)))
   }
 
+  test("record-complete at-least-once: timestamps forwarded where the built-in sink would re-stamp") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RecordSenderFactory
+    CollectingSender.clear()
+    val cfg = graft.config.ReplicatorConfig.fromArgs(Seq(
+      "--topics", "t",
+      "--consumer.bootstrap.servers", "s:9092",
+      "--consumer.group.id", "g",
+      "--producer.bootstrap.servers", "d:9092")).toOption.get
+    val ckpt = Files.createTempDirectory("graft-alo").toString
+    val stream = MemoryStream[KafkaMessage]
+    stream.addData(fixtures.take(2))
+    val q = Pipeline.startAtLeastOnceComplete(spark, cfg, ckpt,
+      RecordSenderFactory.uniform(() => new CollectingSender),
+      sourceOverride = Some(stream.toDF()))
+    try q.processAllAvailable() finally q.stop()
+    val sent = CollectingSender.snapshot().sortBy(_.tsMs)
+    // D5 in the DEFAULT delivery mode: the record timestamp rides the
+    // envelope (reference: KafkaMessageSerializationSchema.java:20)
+    assert(sent.map(_.tsMs) == Seq(1700000000000L, 1700000000001L))
+    assert(sent.map(_.partition) == Seq(Some(0), Some(1)))
+    assert(CollectingSender.flushes() >= 1) // the plain at-least-once barrier
+  }
+
   test("idempotent foreachBatch honors LEGACY flat batch markers from a pre-upgrade commitDir") {
     import spark.implicits._
     val commits = Files.createTempDirectory("graft-legacy").toString
