@@ -145,6 +145,9 @@ object SparkEntry {
     "x72_budget_allocation" -> ((s, dir) => Curation.budgetAllocation(s, dir)),
     // the sketch-audit trilogy's frequency leg: CMS laws vs exact counts
     "x73_freq_sketch_audit" -> ((s, dir) => Skew.freqSketchAudit(s, dir)),
+    // SpaceSaving heavy hitters audited against the exact hot keys - the
+    // top-k-structure sketch completing the audit quartet (x59/x67/x73)
+    "x78_heavy_hitter_audit" -> ((s, dir) => Skew.heavyHitterAudit(s, dir)),
     // trainer pack order: content-stable shard, best-first within shard
     "x74_curriculum_shards" -> ((s, dir) => Curation.curriculumShards(s, dir)),
     // set newness per source between snapshots — the dedup-rate forecast
@@ -1087,6 +1090,18 @@ object SparkEntry {
         |       c.n_events::DOUBLE / t.total_events AS event_frac,
         |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio,
         |       TRUE AS ok_never_under, TRUE AS ok_within_eps
+        |FROM c CROSS JOIN t
+        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
+
+    // x78: the law verdicts are theorem-true (see Skew.heavyHitterAudit);
+    // the deterministic columns are exactly the hot-key relation
+    "x78_heavy_hitter_audit" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
+        |SELECT c.user_id, c.n_events,
+        |       c.n_events::DOUBLE / t.total_events AS event_frac,
+        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio,
+        |       TRUE AS ok_never_under, TRUE AS ok_within_err
         |FROM c CROSS JOIN t
         |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
 

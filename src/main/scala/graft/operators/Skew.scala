@@ -108,6 +108,60 @@ object Skew {
     * (CountMinSketchImpl is Serializable). A UDF is the right tool:
     * probing a serialized sketch has no Catalyst spelling.
     */
+  /** EXT-I4 — SpaceSaving heavy-hitter audit: completes the sketch-audit
+    * QUARTET (x59 cardinality/HLL++, x67 quantiles, x73 frequency/CMS)
+    * with the top-k-structure sketch — the batch twin of the streaming
+    * `trendingStreamApprox` state, under the same oracle contract as
+    * x73: deterministic columns (the exact hot-key relation) plus LAW
+    * verdicts that are theorem-true, while the implementation-defined
+    * estimates never leave the plan (monitored-key sets and exact
+    * estimate values depend on partition layout; the laws do not).
+    *
+    * Laws audited per hot key, against [[SpaceSavingSummary]]'s merged
+    * relation (see its scaladoc for why they survive the distributed
+    * merge):
+    *  - `ok_never_under`: estimate ≥ true count. For a hot key ABSENT
+    *    from the truncated summary, the implied estimate is the
+    *    summary's minimum kept count m* (a dropped or evicted key's true
+    *    count never exceeds the minimum it lost to), so the law still
+    *    closes — and an UNSATURATED summary has no absent keys at all.
+    *  - `ok_within_err`: estimate − err ≤ true count (err = m* for
+    *    implied estimates, where the bound is immediate).
+    *
+    * Scale shape: the aggregate is partial-merged (one ≤-capacity entry
+    * list per map partition crosses the exchange — the key stream never
+    * shuffles, exactly the `count_min_sketch` shape x73 uses); the probe
+    * side is the N-row hot-key relation; the 1-row m* relation rides a
+    * bounded broadcast like hotKeys' totals.
+    */
+  def heavyHitterAudit(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 15,
+      capacity: Int = 256): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new SpaceSavingAggregator(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hh = Replication.events(spark, dir)
+      .agg(agg(col("user_id")).as("hh"))
+      .select(explode(col("hh.entries")).as("e"))
+      .select(col("e.key").as("user_id"),
+        col("e.count").as("ss_est"), col("e.err").as("ss_err"))
+    // m*: the minimum kept count — the implied (estimate, err) for any
+    // hot key the truncation dropped; 1 row, bounded broadcast
+    val minKept = hh.agg(min(col("ss_est")).as("m_star"))
+    hotKeys(spark, dir, n)
+      .join(hh, Seq("user_id"), "left")
+      .crossJoin(broadcast(minKept))
+      .withColumn("est", coalesce(col("ss_est"), col("m_star")))
+      .withColumn("err", coalesce(col("ss_err"), col("m_star")))
+      .withColumn("ok_never_under", col("est") >= col("n_events"))
+      .withColumn("ok_within_err", col("est") - col("err") <= col("n_events"))
+      .select("user_id", "n_events", "event_frac", "skew_ratio",
+        "ok_never_under", "ok_within_err")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   def freqSketchAudit(
       spark: SparkSession,
       dir: String,

@@ -23,7 +23,7 @@ package graft.operators
   * is the smallest key in the minimum-count bucket, so replays rebuild
   * byte-identical state.
   */
-final class SpaceSavingSummary(val capacity: Int) {
+final class SpaceSavingSummary(val capacity: Int) extends Serializable {
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
   // key -> (estimated count, max overestimate)
@@ -94,4 +94,77 @@ object SpaceSavingSummary {
     }
     s
   }
+
+  /** Merge per-partition summaries into one (the parallel-SpaceSaving
+    * shape: each map partition folds its rows into a local summary, the
+    * driver merges the bounded per-partition entry lists). A key absent
+    * from a partition's summary may still have occurred up to that
+    * partition's MINIMUM count there (the no-missing-heavy-hitter law in
+    * contrapositive), so the merge charges `min_p` to both the estimate
+    * and the error for every absent partition:
+    *
+    *   count(k) = Σ_p (count_p(k) if monitored else min_p)
+    *   err(k)   = Σ_p (err_p(k)   if monitored else min_p)
+    *
+    * Both laws survive: per partition `true_p ≤ contributed count` and
+    * `contributed (count − err) ≤ true_p`, and sums preserve both. The
+    * result is truncated back to `capacity` keys by (count desc, key
+    * asc); a dropped key's estimate was ≤ every kept key's, so the kept
+    * top-k ordering is unchanged. An EMPTY partition list merges to an
+    * empty summary (min 0 — it saw nothing and charges nothing).
+    */
+  def merge(
+      capacity: Int,
+      parts: Seq[Seq[(Long, Long, Long)]]): Seq[(Long, Long, Long)] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val mins = parts.map(p => if (p.size < capacity) 0L else p.map(_._2).min)
+    val keys = parts.flatten.map(_._1).distinct
+    keys.map { k =>
+      var count = 0L
+      var err = 0L
+      parts.zip(mins).foreach { case (p, m) =>
+        p.find(_._1 == k) match {
+          case Some((_, c, e)) => count += c; err += e
+          case None => count += m; err += m
+        }
+      }
+      (k, count, err)
+    }.sortBy { case (k, c, _) => (-c, k) }.take(capacity)
+  }
+}
+
+/** One monitored key of a finished summary. */
+final case class HeavyHitterEntry(key: Long, count: Long, err: Long)
+
+/** Aggregate output wrapper (a bare `Seq` has no product encoder). */
+final case class HeavyHitters(entries: Seq[HeavyHitterEntry])
+
+/** SpaceSaving as a typed Spark aggregate — the [[graft.functions
+  * .TopKAggregator]] shape: the buffer is the live summary object
+  * (ObjectHashAggregate keeps it unserialized within a partition), so
+  * every map partition folds its keys locally and the exchange carries
+  * one ≤-capacity entry list per partition, never the key stream. The
+  * partial merge is [[SpaceSavingSummary.merge]]'s law-preserving union;
+  * merged minimums only grow, so the absent-key charge stays an upper
+  * bound through any merge order (spec-pinned under shuffled partition
+  * layouts).
+  */
+final class SpaceSavingAggregator(capacity: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, SpaceSavingSummary, HeavyHitters] {
+  override def zero: SpaceSavingSummary = new SpaceSavingSummary(capacity)
+  override def reduce(b: SpaceSavingSummary, key: Long): SpaceSavingSummary = {
+    b.offer(key); b
+  }
+  override def merge(
+      a: SpaceSavingSummary, b: SpaceSavingSummary): SpaceSavingSummary =
+    SpaceSavingSummary.fromEntries(capacity,
+      SpaceSavingSummary.merge(capacity, Seq(a.entries, b.entries)))
+  override def finish(b: SpaceSavingSummary): HeavyHitters =
+    HeavyHitters(b.entries.sortBy { case (k, c, _) => (-c, k) }
+      .map { case (k, c, e) => HeavyHitterEntry(k, c, e) })
+  override def bufferEncoder: org.apache.spark.sql.Encoder[SpaceSavingSummary] =
+    org.apache.spark.sql.Encoders.kryo[SpaceSavingSummary]
+  override def outputEncoder: org.apache.spark.sql.Encoder[HeavyHitters] =
+    org.apache.spark.sql.Encoders.product[HeavyHitters]
 }

@@ -133,6 +133,30 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(Skew.freqSketchAudit(spark, dir).collect().isEmpty)
   }
 
+  test("heavyHitterAudit: deterministic columns match hotKeys; SpaceSaving laws hold at full and tiny capacity") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Skew.hotKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // default capacity (unsaturated or mildly saturated) AND a capacity
+    // small enough that truncation/absent-key implied estimates engage —
+    // the LAW verdicts must be true in both regimes; the estimates
+    // themselves are implementation-defined and never leave the plan
+    for (cap <- Seq(256, 4)) {
+      val got = Skew.heavyHitterAudit(spark, dir, capacity = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5)))
+      assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == exact.toSeq,
+        s"cap=$cap: the audit view must be the exact report plus verdicts")
+      assert(got.forall(_._5), s"cap=$cap: SpaceSaving undercounted — impossible by its laws")
+      assert(got.forall(_._6), s"cap=$cap: err bracket violated")
+    }
+  }
+
+  test("heavyHitterAudit: empty events audit to the empty relation") {
+    val dir = TestTables.eventsDir(spark, Seq.empty[(Long, Long, Long, String)])
+    assert(Skew.heavyHitterAudit(spark, dir).collect().isEmpty)
+  }
+
   test("freqSketchAudit: a single-key stream is exact — no collisions possible") {
     val dir = TestTables.eventsDir(spark,
       (1L to 5L).map(i => (i, i * 1000L, 42L, "click")))

@@ -79,6 +79,45 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(s1.entries.sorted == s2.entries.sorted)
   }
 
+  test("merge: laws survive ANY partitioning of the drive (flat and pairwise)") {
+    val heavy = Map(1L -> 100, 2L -> 60, 3L -> 30)
+    val drive = skewedDrive(heavy, nSingles = 300)
+    val trueCounts = drive.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val nParts = 1 + rng.nextInt(8)
+      val parts = drive.grouped(math.max(1, drive.length / nParts)).toSeq
+      val partEntries = parts.map { p =>
+        val s = new SpaceSavingSummary(32); p.foreach(s.offer(_)); s.entries
+      }
+      // flat merge (all parts at once) AND pairwise left fold — the
+      // order Spark's final aggregate actually applies
+      val flat = SpaceSavingSummary.merge(32, partEntries)
+      val pairwise = partEntries.foldLeft(Seq.empty[(Long, Long, Long)]) {
+        (acc, e) => SpaceSavingSummary.merge(32, Seq(acc, e))
+      }
+      for ((label, merged) <- Seq("flat" -> flat, "pairwise" -> pairwise)) {
+        assert(merged.size <= 32)
+        merged.foreach { case (k, c, e) =>
+          val t = trueCounts.getOrElse(k, 0L)
+          assert(t <= c && c - e <= t,
+            s"trial $trial $label key $k: true $t outside [${c - e}, $c]")
+        }
+        // the implied-estimate law the batch audit leans on: a key the
+        // truncation dropped has true count ≤ the minimum kept count
+        val minKept = merged.map(_._2).min
+        val kept = merged.map(_._1).toSet
+        trueCounts.foreach { case (k, t) =>
+          if (!kept.contains(k))
+            assert(t <= minKept, s"trial $trial $label: dropped $k true $t > m* $minKept")
+        }
+        // the true heavy hitters head the merged summary
+        assert(merged.sortBy { case (k, c, _) => (-c, k) }
+          .take(2).map(_._1).toSet == Set(1L, 2L), s"trial $trial $label")
+      }
+    }
+  }
+
   test("weighted offers accumulate like repeated singles") {
     val s1 = new SpaceSavingSummary(8)
     val s2 = new SpaceSavingSummary(8)
