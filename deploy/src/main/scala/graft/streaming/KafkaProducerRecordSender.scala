@@ -34,19 +34,35 @@ import org.apache.kafka.common.header.internals.RecordHeader
   * the reference's Flink 2PC (offsets and records commit together;
   * reference: FlinkKafkaReplicator.java:120-124). Progress lives on a
   * COMPACTED side topic (`graft.progress.topic` prop, default
-  * `__graft_progress`), keyed by this sender's `transactional.id` (which
-  * is already (sink, partition)-unique), value = the batch id as a
-  * decimal string. `stageProgress` sends that record into the open
-  * transaction; `progressCommitted` answers from a local high-water
-  * cache seeded by ONE `read_committed` scan of the compacted topic at
-  * construction — an aborted transaction leaves no visible progress,
-  * exactly the required atomicity. Cache staleness is covered by
-  * fencing: if another producer instance committed progress we cannot
-  * see, our epoch is necessarily stale and the broker fences this
-  * producer before its transaction can commit — the stale re-send is
-  * aborted, never visible. Per-microbatch cost after construction: zero
-  * network for `progressCommitted`, one extra in-transaction record for
+  * `__graft_progress`), keyed by `<scope>/<transactional.id>` — the
+  * scope (`graft.progress.scope` prop) is the checkpoint's identity
+  * marker `graft.Main` mints under the commit dir, so WIPING a
+  * checkpoint to reprocess mints a fresh scope and the old high-waters
+  * can never mask the new run's batch ids (without the scope, a
+  * checkpoint reset would silently SKIP batches 0..N against the
+  * surviving compacted topic — data loss, the one failure direction
+  * worse than duplicates). Value = the batch id as a decimal string.
+  * `stageProgress` sends that record into the open transaction;
+  * `progressCommitted` answers from a local high-water cache seeded by
+  * ONE `read_committed` scan of the compacted topic at construction —
+  * an aborted transaction leaves no visible progress, exactly the
+  * required atomicity. Cache staleness is covered by fencing: if
+  * another producer instance committed progress we cannot see, our
+  * epoch is necessarily stale and the broker fences this producer
+  * before its transaction can commit — the stale re-send is aborted,
+  * never visible. Per-microbatch cost after construction: zero network
+  * for `progressCommitted`, one extra in-transaction record for
   * `stageProgress`.
+  *
+  * Residual (documented, fails toward DUPLICATES, never loss): the
+  * construction scan reads up to the partition's read_committed LSO —
+  * another sink partition's in-flight transaction parked below our own
+  * later committed progress record hides it from the scan. The window
+  * needs a lost marker AND an in-flight foreign transaction at scan
+  * time simultaneously; the marker cache is consulted first, so the
+  * scan only decides at all when the marker is already gone. The
+  * Kafka-Streams design sidesteps this via the group coordinator,
+  * which a sink-side protocol cannot reach.
   */
 final class KafkaProducerRecordSender(props: Map[String, String]) extends OffsetCommittingSender {
 
@@ -57,7 +73,9 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
     */
   private val progressTopic =
     props.getOrElse("graft.progress.topic", "__graft_progress")
-  private val producerProps = props - "graft.progress.topic"
+  private val progressScope = props.getOrElse("graft.progress.scope", "")
+  private val producerProps =
+    props - "graft.progress.topic" - "graft.progress.scope"
 
   private val producer: KafkaProducer[Array[Byte], Array[Byte]] = {
     val p = new Properties()
@@ -70,7 +88,7 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
   }
 
   private val progressKey: Array[Byte] =
-    props.getOrElse("transactional.id", "").getBytes("UTF-8")
+    (progressScope + "/" + props.getOrElse("transactional.id", "")).getBytes("UTF-8")
 
   /** Highest batch id known COMMITTED for this (sink, partition), seeded
     * once from the compacted topic under `read_committed` (bounded by
@@ -82,11 +100,21 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
 
   private def scanCommittedHighWater(): Long = {
     val p = new Properties()
+    // the consumer INHERITS the producer's client props (minus the
+    // producer-only ones) so security configs — security.protocol,
+    // sasl.*, ssl.* — ride along; a bootstrap-only consumer would fail
+    // to even connect on a secured cluster. Consumers WARN on unknown
+    // producer tunables rather than fail.
+    val producerOnly = Set(
+      "transactional.id", "transaction.timeout.ms", "enable.idempotence",
+      "key.serializer", "value.serializer", "acks", "linger.ms",
+      "batch.size", "buffer.memory", "delivery.timeout.ms",
+      "max.in.flight.requests.per.connection", "compression.type")
+    producerProps.foreach { case (k, v) => if (!producerOnly(k)) p.put(k, v) }
     p.put("key.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
     p.put("value.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
     p.put("isolation.level", "read_committed") // aborted progress is invisible
     p.put("enable.auto.commit", "false")
-    producerProps.get("bootstrap.servers").foreach(p.put("bootstrap.servers", _))
     val consumer = new KafkaConsumer[Array[Byte], Array[Byte]](p)
     try {
       import scala.jdk.CollectionConverters._

@@ -76,20 +76,56 @@ object Main {
         if (cfg.exactlyOnce)
           Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
             s"$checkpointLocation/graft-commits", senderFor(cfg), Some(src))
-        else {
-          val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
-            graft.streaming.KafkaBatchWriter.write(
-              senderFor(cfg), cfg.preservePartitioning)
-          src.writeStream
-            .option("checkpointLocation", checkpointLocation)
-            .trigger(
-              if (cfg.backfill) org.apache.spark.sql.streaming.Trigger.AvailableNow()
-              else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-                cfg.checkpointIntervalMs))
-            .foreachBatch(sinkFn)
-            .start()
-        }
+        else
+          Pipeline.startAtLeastOnceComplete(spark, cfg, checkpointLocation,
+            senderFor(cfg), Some(src),
+            trigger =
+              if (cfg.backfill)
+                Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              else None)
     }
+
+  /** Checkpoint-identity scope for the transactional progress keyspace:
+    * read-or-mint a UUID at `<commitDir>/_scope`. The compacted progress
+    * topic OUTLIVES the checkpoint, so without a scope an operator who
+    * wipes the checkpoint to reprocess would find the OLD run's
+    * high-water masking the new run's batch ids — every batch up to the
+    * stale high-water would silently SKIP producing (data loss, strictly
+    * worse than the duplicates the reset risked before). Wiping the
+    * checkpoint deletes `_scope` too (the commit dir lives inside it),
+    * so a fresh run mints a fresh keyspace; resuming the same checkpoint
+    * keeps the scope and the skip semantics it exists for.
+    */
+  def progressScope(spark: SparkSession, checkpointLocation: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointLocation/graft-commits")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = new org.apache.hadoop.fs.Path(dir, "_scope")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    } else {
+      val scope = java.util.UUID.randomUUID().toString
+      fs.mkdirs(dir)
+      val out = fs.create(f, false) // one driver mints once; a race fails loudly
+      try out.write(scope.getBytes("UTF-8")) finally out.close()
+      scope
+    }
+  }
+
+  /** The production sender factory `run` defaults to: the reflective
+    * deploy binding, with the progress keyspace scoped to the checkpoint
+    * under `--exactly-once` (see [[progressScope]]).
+    */
+  def defaultSenderFactory(
+      spark: SparkSession,
+      checkpointLocation: String): ReplicatorConfig => graft.streaming.RecordSenderFactory =
+    cfg => reflectiveSenderFactory(cfg,
+      extraProps =
+        if (cfg.exactlyOnce)
+          Map("graft.progress.scope" -> progressScope(spark, checkpointLocation))
+        else Map.empty)
 
   /** Full lifecycle with the reference's fixed-delay restart policy
     * (4 attempts / 10 s, reference: FlinkKafkaReplicator.java:99).
@@ -99,12 +135,13 @@ object Main {
       spark: SparkSession,
       clientFor: Map[String, String] => TopicMetadataClient,
       checkpointLocation: String,
-      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory =
-        reflectiveSenderFactory(_),
+      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory = null,
       sourceOverride: Option[org.apache.spark.sql.DataFrame] = None): Either[Seq[String], Unit] =
     preflight(args, clientFor).map { cfg =>
+      val senders = Option(senderFor)
+        .getOrElse(defaultSenderFactory(spark, checkpointLocation))
       Pipeline.runWithRestarts()(() =>
-        startStream(spark, cfg, checkpointLocation, senderFor, sourceOverride))
+        startStream(spark, cfg, checkpointLocation, senders, sourceOverride))
     }
 
   /** The reflective deploy-time contract: these exact class names, each
@@ -143,12 +180,13 @@ object Main {
     */
   def reflectiveSenderFactory(
       cfg: ReplicatorConfig,
-      className: String = SenderBindingClass): graft.streaming.RecordSenderFactory = {
+      className: String = SenderBindingClass,
+      extraProps: Map[String, String] = Map.empty): graft.streaming.RecordSenderFactory = {
     val sinkBase = cfg.effectiveProducerProps
       .getOrElse("transactional.id", "graft-replicator")
     val raw = new graft.streaming.RecordSenderFactory {
       override def senderFor(partitionId: Int): graft.streaming.RecordSender = {
-        val base = cfg.effectiveProducerProps
+        val base = cfg.effectiveProducerProps ++ extraProps
         val props =
           if (cfg.exactlyOnce)
             base + ("transactional.id" -> graft.streaming.KafkaBatchWriter.transactionalId(
@@ -161,7 +199,7 @@ object Main {
     // transactional producer per task per 1 s microbatch is a bootstrap
     // + initTransactions (multiple coordinator round trips) every
     // second per partition, forever (see PooledSenderFactory)
-    new graft.streaming.PooledSenderFactory(poolToken(cfg), raw)
+    new graft.streaming.PooledSenderFactory(poolToken(cfg, extraProps), raw)
   }
 
   /** Pool token for a sink: the transactional.id base PLUS a digest of
@@ -172,10 +210,12 @@ object Main {
     * the token injective in everything that shapes the producer
     * (bootstrap.servers above all).
     */
-  def poolToken(cfg: ReplicatorConfig): String = {
+  def poolToken(cfg: ReplicatorConfig, extraProps: Map[String, String] = Map.empty): String = {
     val sinkBase = cfg.effectiveProducerProps
       .getOrElse("transactional.id", "graft-replicator")
-    val canonical = cfg.effectiveProducerProps.toSeq.sorted
+    // extraProps join the digest: two pipelines that differ only in
+    // progress scope (different checkpoints) must not share producers
+    val canonical = (cfg.effectiveProducerProps ++ extraProps).toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("\n")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val digest = md.digest(canonical.getBytes("UTF-8")).take(8)

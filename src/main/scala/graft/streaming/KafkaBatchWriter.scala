@@ -327,11 +327,20 @@ object KafkaBatchWriter {
         val alreadyMarked = marker.exists { case (fs, p) => fs.exists(p) }
         if (!alreadyMarked) {
           val sender = senders.senderFor(pid)
-          try {
-            val committedInTxn = sender match {
-              case s: OffsetCommittingSender => s.progressCommitted(batchId, pid)
-              case _ => false
+          // the progress protocol belongs to the EXACTLY-ONCE path only
+          // (commitDir present): an at-least-once caller may still hand
+          // us an OffsetCommittingSender (the production binding carries
+          // the trait unconditionally), and staging progress there would
+          // throw — a non-transactional sender has no transaction to
+          // stage into
+          val progress = commitDir.flatMap { _ =>
+            sender match {
+              case s: OffsetCommittingSender => Some(s)
+              case _ => None
             }
+          }
+          try {
+            val committedInTxn = progress.exists(_.progressCommitted(batchId, pid))
             if (committedInTxn) {
               // crash landed between a prior attempt's transaction
               // commit and its marker write: records are already
@@ -352,10 +361,7 @@ object KafkaBatchWriter {
               }
               // progress joins the records in the SAME transaction —
               // after this, commit-vs-marker ordering no longer matters
-              sender match {
-                case s: OffsetCommittingSender => s.stageProgress(batchId, pid)
-                case _ => ()
-              }
+              progress.foreach(_.stageProgress(batchId, pid))
               sender.flush()
               // AFTER the commit barrier: the marker records "this
               // partition's transaction committed for this batch"

@@ -181,13 +181,14 @@ object Pipeline {
       cfg: ReplicatorConfig,
       checkpointLocation: String,
       senders: RecordSenderFactory,
-      sourceOverride: Option[DataFrame] = None): StreamingQuery = {
+      sourceOverride: Option[DataFrame] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
     val sinkFn: (DataFrame, Long) => Unit =
       KafkaBatchWriter.write(senders, cfg.preservePartitioning)
     sourceOverride.getOrElse(kafkaSource(spark, cfg).load())
       .writeStream
       .option("checkpointLocation", checkpointLocation)
-      .trigger(Trigger.ProcessingTime(cfg.checkpointIntervalMs))
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(cfg.checkpointIntervalMs)))
       .foreachBatch(sinkFn)
       .start()
   }

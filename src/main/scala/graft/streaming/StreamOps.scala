@@ -196,14 +196,18 @@ object StreamOps {
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val (gen, genPath) = liveGeneration(fs, root).getOrElse {
-          val p = new org.apache.hadoop.fs.Path(root, "gen-0")
-          fs.mkdirs(p)
-          fs.create(new org.apache.hadoop.fs.Path(p, "_live"), true).close()
-          (0L, p)
+        val (gen, genPath) = liveGeneration(fs, root, retireStale = true).getOrElse {
+          (0L, new org.apache.hadoop.fs.Path(root, "gen-0"))
         }
         graft.operators.Dedup.bandSignatures(batch)
           .write.mode("append").parquet(genPath.toString)
+        // the marker lands AFTER the generation has data (and heals a
+        // crash between a first append and its marker): a reader must
+        // never resolve a live generation whose directory holds zero
+        // parquet files — spark.read would fail on schema inference
+        // instead of giving the guided "no live generation" error
+        val live = new org.apache.hadoop.fs.Path(genPath, "_live")
+        if (!fs.exists(live)) fs.create(live, true).close()
         if (batchId > 0 && batchId % compactEvery == 0) {
           val next = new org.apache.hadoop.fs.Path(root, s"gen-${gen + 1}")
           // a next-gen dir can only pre-exist from a compaction that
@@ -226,26 +230,42 @@ object StreamOps {
 
   /** The probe-side resolver for a [[maintainLshIndex]] index: the LIVE
     * generation's signature relation, suitable for
-    * [[graft.operators.Dedup.indexCandidates]]. Resolution is a single
-    * directory listing; if a crash left two live markers the highest
-    * generation (the compacted superset) wins and the stale marker is
-    * retired here.
+    * [[graft.operators.Dedup.indexCandidates]]. A reader racing the
+    * cutover's two marker operations (new `_live` created, then old one
+    * retired) can observe a listing where NEITHER marker is visible yet
+    * — existence checks are per-directory, not atomic over the listing —
+    * so resolution retries a few times before declaring the index
+    * absent; the maintainer's invariant (never zero live markers except
+    * before the first batch) makes one retry sufficient in practice.
+    * Read-only: stale-marker retirement belongs to the MAINTAINER
+    * (racing it from the read path would have two actors deleting
+    * markers concurrently).
     */
   def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = liveGeneration(fs, root).getOrElse(
+    var attempt = 0
+    var live = liveGeneration(fs, root, retireStale = false)
+    while (live.isEmpty && attempt < 3) {
+      Thread.sleep(50L << attempt) // 50/100/200 ms: outwait a cutover
+      live = liveGeneration(fs, root, retireStale = false)
+      attempt += 1
+    }
+    val resolved = live.getOrElse(
       sys.error(s"no live LSH index generation under $indexDir — " +
         "has maintainLshIndex processed a batch yet?"))
-    spark.read.parquet(live._2.toString)
+    spark.read.parquet(resolved._2.toString)
   }
 
-  /** Highest `gen-<n>` under `root` bearing a `_live` marker; stale
-    * extra markers (a crash between cutover creates) are retired.
+  /** Highest `gen-<n>` under `root` bearing a `_live` marker. With
+    * `retireStale` (maintainer only), extra markers left by a cutover
+    * crash are deleted; the highest (the compacted superset) wins either
+    * way.
     */
   private def liveGeneration(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] = {
+      root: org.apache.hadoop.fs.Path,
+      retireStale: Boolean): Option[(Long, org.apache.hadoop.fs.Path)] = {
     if (!fs.exists(root)) return None
     val gens = fs.listStatus(root).toSeq
       .filter(_.isDirectory)
@@ -254,11 +274,12 @@ object StreamOps {
         if (name.startsWith("gen-")) name.drop(4).toLongOption.map(_ -> st.getPath)
         else None
       }
-      .filter { case (_, p) => fs.exists(new org.apache.hadoop.fs.Path(p, "_live")) }
       .sortBy(_._1)
-    gens.dropRight(1).foreach { case (_, p) => // stale markers from a cutover crash
-      fs.delete(new org.apache.hadoop.fs.Path(p, "_live"), false)
-    }
+      .filter { case (_, p) => fs.exists(new org.apache.hadoop.fs.Path(p, "_live")) }
+    if (retireStale)
+      gens.dropRight(1).foreach { case (_, p) => // stale markers from a cutover crash
+        fs.delete(new org.apache.hadoop.fs.Path(p, "_live"), false)
+      }
     gens.lastOption
   }
 

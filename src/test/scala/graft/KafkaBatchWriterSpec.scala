@@ -190,6 +190,29 @@ class KafkaBatchWriterSpec extends AnyFunSuite with SparkSuite {
       "replay must heal the missing cache marker")
   }
 
+  test("at-least-once write never touches the progress protocol on a capability sender") {
+    // the production binding carries OffsetCommittingSender
+    // unconditionally, but a NON-transactional instance throws on
+    // stageProgress — the at-least-once path (no commitDir) must never
+    // call into the capability, or every task would fail and the
+    // record-complete default-mode pipeline could not run at all
+    class AloProbe extends OffsetCommittingSender {
+      override def send(topic: String, partition: Option[Int], timestampMs: Long,
+          key: Array[Byte], value: Array[Byte],
+          headers: Seq[(String, Array[Byte])]): Unit = ()
+      override def flush(): Unit = ()
+      override def stageProgress(batchId: Long, partitionId: Int): Unit =
+        throw new IllegalStateException("stageProgress requires a transactional.id")
+      override def progressCommitted(batchId: Long, partitionId: Int): Boolean =
+        throw new IllegalStateException("no transaction to consult")
+    }
+    KafkaBatchWriter.write(
+      RecordSenderFactory.uniform(() => new AloProbe),
+      preservePartitioning = true)( // commitDir = None: the ALO path
+      KafkaMessage.toDF(spark, Seq(msg(0, 0, 10L), msg(1, 1, 20L))), 0L)
+    // reaching here IS the assertion: no capability call was made
+  }
+
   test("without the capability the marker window remains (the documented residual), proving the capability is what closes it") {
     CollectingSender.clear()
     val factory = RecordSenderFactory.uniform(() => new CollectingSender)
