@@ -322,6 +322,17 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       StreamOps.lshIndex(spark, s"$tmp/index")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands == Set(99L -> 1L))
+    // the mid-compaction reader guarantee: the RETIRED generation (lag-1
+    // retention) is still a complete, readable relation — a prober that
+    // resolved it just before the cutover finishes its scan against
+    // intact files, and everything it sees is (a prefix of) the live set
+    val retired = gens.filterNot(liveGens.contains)
+    retired.foreach { p =>
+      val old = spark.read.parquet(p.toString).collect().map(_.toSeq).toSet
+      val live = StreamOps.lshIndex(spark, s"$tmp/index").collect().map(_.toSeq).toSet
+      assert(old.nonEmpty && old.subsetOf(live),
+        "a retired generation must remain a readable subset of the live relation")
+    }
   }
 
   test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
@@ -798,6 +809,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(rows.length == 1)
       assert(rows.head.getLong(1) == 1L && rows.head.getLong(2) == 2L)
     } finally q.stop()
+  }
+
+  test("trendingStreamApprox survives a checkpoint restart: summary state restored, one emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssr-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ssr-out").toString
+    val stream = MemoryStream[Event]
+    def start() = StreamOps.trendingStreamApprox(
+      stream.toDS(), k = 2, capacity = 8, watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      // open window: user 7 x2, user 8 x1 — the SSState round-trips
+      // through the state store across the stop
+      stream.addData(ev(1, 1, 7), ev(2, 2, 7), ev(3, 3, 8))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart: summary counts must be restored, not reset
+    try {
+      stream.addData(ev(4, 4, 8), ev(5, 5, 8)) // same window: 8 overtakes? 7:2, 8:3
+      q2.processAllAvailable()
+      stream.addData(ev(6, 60, 99)) // advance watermark
+      q2.processAllAvailable()
+      stream.addData(ev(7, 61, 99)) // seal
+      q2.processAllAvailable()
+      def win(min: Int) = Math.floorDiv(ts(min).getTime, 600000L) * 600000L / 1000L
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._1 == win(1)).sortBy(_._2)
+      // one emission, counting pre- AND post-restart arrivals exactly
+      // (capacity 8 > 3 distinct keys: no eviction, err 0, counts exact)
+      assert(rows.toSeq == Seq(
+        (win(1), 1, 8L, 3L, 0L),
+        (win(1), 2, 7L, 2L, 0L)))
+    } finally q2.stop()
   }
 
   test("driftStream survives a checkpoint restart: state restored, one emission per window") {
