@@ -65,6 +65,21 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     assert(r.isLeft)
   }
 
+  test("progressScope: minted once per checkpoint, stable across resumes, re-minted after a wipe") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scope").toString
+    val a = Main.progressScope(spark, ckpt)
+    val b = Main.progressScope(spark, ckpt)
+    assert(a == b, "resuming the same checkpoint must keep the progress keyspace")
+    assert(a.nonEmpty)
+    // wiping the checkpoint (commit dir included) must mint a FRESH
+    // scope — the stale compacted-topic high-water can then never mask
+    // the new run's batch ids
+    val dir = new java.io.File(s"$ckpt/graft-commits")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    val c = Main.progressScope(spark, ckpt)
+    assert(c != a, "a wiped checkpoint must get a fresh progress keyspace")
+  }
+
   // ——— end-to-end lifecycle: one run() call composing A → B → C ———
 
   private def e2eMsg(offset: Long, partition: Int) =

@@ -44,9 +44,10 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
 
   private lazy val dir10 = ScaleStress.ensure(spark)
 
-  test("10x slice: generated scale is 6M events / 50k documents") {
+  test("10x slice: generated scale is 6M events / 50k documents / 60k embeddings") {
     assert(graft.operators.Replication.events(spark, dir10).count() == 6000000L)
     assert(graft.operators.Tables.documents(spark, dir10).count() == 50000L)
+    assert(graft.operators.Tables.embeddings(spark, dir10).count() == 60000L)
   }
 
   test("x65 hot keys at 10x: plan shape holds and the report is scale-invariant") {
@@ -114,6 +115,85 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(joins.nonEmpty && joins.forall(identity), p.toString)
   }
 
+  test("x5 family at 10x: the measured broadcast guard holds on BOTH sides of the wall") {
+    // the r6 regression class, pinned at 60k vectors: the pmod query
+    // side has no selectivity estimate, so Catalyst alone would fall to
+    // the cartesian even when the measured side is broadcastable
+    val under = plan(graft.operators.Similarity.bruteForceTopK(spark, dir10))
+    assert(under.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty,
+      s"measured-under-threshold query side must broadcast, not cartesian:\n$under")
+    assert(under.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, under.toString)
+    // past the wall (threshold 1 byte) the guard's HINT must be off: any
+    // remaining broadcast is Catalyst's own stats-bounded choice (here
+    // the ~24 MB corpus side under the planner's threshold — itself a
+    // bounded side, so still scale-safe), never the guard hinting the
+    // query side it measured as too big
+    val over = plan(graft.operators.Similarity.bruteForceTopK(
+      spark, dir10, maxBroadcastBytes = 1L))
+    over.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.foreach { b =>
+      val buildPlan = (if (b.buildSide.toString.contains("Right")) b.right else b.left).toString
+      assert(!buildPlan.contains("pmod"),
+        s"the guard must not hint the measured-too-big query side:\n$over")
+    }
+    // and with stats-based broadcast ALSO off (the true 100 TB regime,
+    // where no side fits), the same code degrades to the partitioned
+    // cartesian — the correct fallback that replicates neither side whole
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val atScale = plan(graft.operators.Similarity.bruteForceTopK(
+        spark, dir10, maxBroadcastBytes = 1L))
+      assert(atScale.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.nonEmpty, s"with no broadcastable side the plan must be the cartesian:\n$atScale")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("persisted IVF index at 10x: probe scans a strict minority of the 60k-vector index files") {
+    import spark.implicits._
+    val indexPath = s"$dir10/ivf-index"
+    if (!new java.io.File(s"$indexPath/centroids").exists())
+      graft.operators.Similarity.writeIvfIndex(spark, dir10, indexPath, nCentroids = 16)
+    def parquetFilesUnder(dir: java.io.File): Int = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetFilesUnder).sum
+    }
+    val total = parquetFilesUnder(new java.io.File(s"$indexPath/cells"))
+    assert(total >= 16)
+    val queries = graft.operators.Tables.embeddings(spark, dir10)
+      .filter(col("vec_id") % 9973 === 0).select("vec_id", "embedding")
+    val probe = graft.operators.Similarity.ivfTopKFromIndex(
+      spark, indexPath, queries, k = 3, nprobe = 1)
+    assert(probe.collect().nonEmpty)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scanned = fileScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+      .map(_.metrics("numFiles").value).sum
+    // the principled bound: at nprobe=1 the probe touches at most one
+    // cell per query (≤ #queries files here at one file per cell), and
+    // always a strict minority of the index
+    val nQueries = queries.count()
+    assert(scanned > 0 && scanned <= nQueries && scanned < total,
+      s"probe scanned $scanned of $total index files for $nQueries queries — pruning must survive the scale-up")
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
@@ -145,7 +225,9 @@ object ScaleStress {
   val root = "/tmp/graft-scale10"
 
   def ensure(spark: SparkSession): String = synchronized {
-    val marker = new java.io.File(root, "_READY")
+    // versioned marker: adding a table to the slice must regenerate it
+    // on machines that carry an older generation in /tmp
+    val marker = new java.io.File(root, "_READY_V3")
     if (!marker.exists()) {
       // events ×60 (6M rows): ts is TIMESTAMP(NANOS) parquet — read as
       // long (the session-wide legacy flag Replication.events also sets)
@@ -169,6 +251,16 @@ object ScaleStress {
                 t => concat(lit("r"), col("rep"), t)), " ")))
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$root/documents.parquet")
+      // embeddings ×30 (60k vectors): BLOCK id remap (id + rep·|base|)
+      // keeps vec_id 0..k-1 the ORIGINAL distinct base vectors — an
+      // interleaved remap would make every centroid seed a replica of
+      // base vector 0 and collapse the whole corpus into one cell
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val nBase = emb.count()
+      emb.crossJoin(spark.range(30).select(col("id").as("rep")))
+        .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
       marker.createNewFile()
       ()
     }
