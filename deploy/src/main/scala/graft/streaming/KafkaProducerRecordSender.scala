@@ -74,8 +74,20 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
   private val progressTopic =
     props.getOrElse("graft.progress.topic", "__graft_progress")
   private val progressScope = props.getOrElse("graft.progress.scope", "")
+  /** Honor pre-scope (bare `<transactional.id>`) progress keys too —
+    * set by graft.Main ONLY when the scope was freshly minted over a
+    * commit dir that already carries batch markers (an in-flight
+    * deployment upgrading mid-stream: same stream identity, so ignoring
+    * the legacy high-water would re-open the commit-vs-marker window
+    * for the batch in flight at upgrade time). A wiped commit dir never
+    * sets this: legacy keys there are stale history and honoring them
+    * is the data-loss direction the scope exists to prevent.
+    */
+  private val includeLegacyKeys =
+    props.getOrElse("graft.progress.include.legacy", "false").toBoolean
   private val producerProps =
-    props - "graft.progress.topic" - "graft.progress.scope"
+    props - "graft.progress.topic" - "graft.progress.scope" -
+      "graft.progress.include.legacy"
 
   private val producer: KafkaProducer[Array[Byte], Array[Byte]] = {
     val p = new Properties()
@@ -109,7 +121,11 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
       "transactional.id", "transaction.timeout.ms", "enable.idempotence",
       "key.serializer", "value.serializer", "acks", "linger.ms",
       "batch.size", "buffer.memory", "delivery.timeout.ms",
-      "max.in.flight.requests.per.connection", "compression.type")
+      "max.in.flight.requests.per.connection", "compression.type",
+      // SHARED-NAME configs with producer-typed values: a consumer does
+      // not merely warn on these — interceptor.classes naming a
+      // ProducerInterceptor makes KafkaConsumer construction THROW
+      "interceptor.classes", "partitioner.class")
     producerProps.foreach { case (k, v) => if (!producerOnly(k)) p.put(k, v) }
     p.put("key.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
     p.put("value.deserializer", "org.apache.kafka.common.serialization.ByteArrayDeserializer")
@@ -127,10 +143,15 @@ final class KafkaProducerRecordSender(props: Map[String, String]) extends Offset
       val end = consumer.endOffsets(parts.asJava).asScala.map { case (tp, o) => tp -> o.longValue() }
       var high = -1L
       val keyStr = new String(progressKey, "UTF-8")
+      // legacy (pre-scope) key, honored only on an in-flight upgrade
+      val legacyKey = props.getOrElse("transactional.id", "")
       while (parts.exists(tp => consumer.position(tp) < end(tp))) {
         consumer.poll(java.time.Duration.ofMillis(500)).asScala.foreach { rec =>
-          if (rec.key != null && new String(rec.key, "UTF-8") == keyStr && rec.value != null)
-            high = math.max(high, new String(rec.value, "UTF-8").toLong)
+          if (rec.key != null && rec.value != null) {
+            val k = new String(rec.key, "UTF-8")
+            if (k == keyStr || (includeLegacyKeys && k == legacyKey))
+              high = math.max(high, new String(rec.value, "UTF-8").toLong)
+          }
         }
       }
       high

@@ -65,7 +65,7 @@ object Main {
           Pipeline.startBackfill(spark, cfg, checkpointLocation)
         else if (cfg.exactlyOnce)
           Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
-            s"$checkpointLocation/graft-commits", senderFor(cfg))
+            commitDir(checkpointLocation), senderFor(cfg))
         else
           Pipeline.start(spark, cfg, checkpointLocation)
       case Some(src) =>
@@ -75,7 +75,7 @@ object Main {
         // sink, so argv → reconcile → stream → rows composes end-to-end
         if (cfg.exactlyOnce)
           Pipeline.startExactlyOnce(spark, cfg, checkpointLocation,
-            s"$checkpointLocation/graft-commits", senderFor(cfg), Some(src))
+            commitDir(checkpointLocation), senderFor(cfg), Some(src))
         else
           Pipeline.startAtLeastOnceComplete(spark, cfg, checkpointLocation,
             senderFor(cfg), Some(src),
@@ -84,6 +84,15 @@ object Main {
                 Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               else None)
     }
+
+  /** The exactly-once commit directory for a checkpoint — ONE derivation
+    * shared by the scope minting and both `startStream` dispatch sites:
+    * [[progressScope]]'s lifecycle contract ("the scope dies with a
+    * checkpoint wipe") holds only because `_scope` lives in the same
+    * directory the markers do.
+    */
+  def commitDir(checkpointLocation: String): String =
+    s"$checkpointLocation/graft-commits"
 
   /** Checkpoint-identity scope for the transactional progress keyspace:
     * read-or-mint a UUID at `<commitDir>/_scope`. The compacted progress
@@ -97,15 +106,24 @@ object Main {
     * keeps the scope and the skip semantics it exists for.
     */
   def progressScope(spark: SparkSession, checkpointLocation: String): String = {
-    val dir = new org.apache.hadoop.fs.Path(s"$checkpointLocation/graft-commits")
+    val dir = new org.apache.hadoop.fs.Path(commitDir(checkpointLocation))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val f = new org.apache.hadoop.fs.Path(dir, "_scope")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8")).readLine()
-      finally in.close()
-    } else {
+    val existing =
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val line =
+          try new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+          finally in.close()
+        // a torn file (crash between create and close) must not become
+        // the literal "null" scope shared by every torn checkpoint —
+        // delete and re-mint; the direction is duplicates, never loss
+        Option(line).map(_.trim).filter(_.nonEmpty)
+      }
+    existing.getOrElse {
+      fs.delete(f, false) // remove a torn zero-length file if present
       val scope = java.util.UUID.randomUUID().toString
       fs.mkdirs(dir)
       val out = fs.create(f, false) // one driver mints once; a race fails loudly
@@ -113,6 +131,21 @@ object Main {
       scope
     }
   }
+
+  /** Whether the UNSCOPED legacy progress keys (pre-scope deployments
+    * wrote bare `<transactional.id>`) should be honored: yes only when
+    * the scope is being minted over a commit dir that ALREADY carries
+    * batch markers — i.e. this is an in-flight deployment upgrading, the
+    * same stream identity, where ignoring legacy high-waters would
+    * re-open the commit-vs-marker window for the batch in flight at
+    * upgrade time. A wiped (empty) commit dir is a NEW stream: legacy
+    * keys there are stale history and honoring them is the data-loss
+    * direction the scope exists to prevent.
+    */
+  private def legacyProgressOk(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch-"))
 
   /** The production sender factory `run` defaults to: the reflective
     * deploy binding, with the progress keyspace scoped to the checkpoint
@@ -123,25 +156,42 @@ object Main {
       checkpointLocation: String): ReplicatorConfig => graft.streaming.RecordSenderFactory =
     cfg => reflectiveSenderFactory(cfg,
       extraProps =
-        if (cfg.exactlyOnce)
-          Map("graft.progress.scope" -> progressScope(spark, checkpointLocation))
-        else Map.empty)
+        if (cfg.exactlyOnce) {
+          val dir = new org.apache.hadoop.fs.Path(commitDir(checkpointLocation))
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          val legacy = !fs.exists(new org.apache.hadoop.fs.Path(dir, "_scope")) &&
+            legacyProgressOk(fs, dir)
+          Map(
+            "graft.progress.scope" -> progressScope(spark, checkpointLocation),
+            "graft.progress.include.legacy" -> legacy.toString)
+        } else Map.empty)
 
   /** Full lifecycle with the reference's fixed-delay restart policy
     * (4 attempts / 10 s, reference: FlinkKafkaReplicator.java:99).
+    * When no `senderFor` is injected, the default factory's pooled
+    * producers are SHUT DOWN once the stream terminates for good —
+    * without this, a wipe-and-rerun in one long-lived JVM strands the
+    * old token's producers (fenced by the rerun, never closed).
     */
   def run(
       args: Array[String],
       spark: SparkSession,
       clientFor: Map[String, String] => TopicMetadataClient,
       checkpointLocation: String,
-      senderFor: ReplicatorConfig => graft.streaming.RecordSenderFactory = null,
+      senderFor: Option[ReplicatorConfig => graft.streaming.RecordSenderFactory] = None,
       sourceOverride: Option[org.apache.spark.sql.DataFrame] = None): Either[Seq[String], Unit] =
     preflight(args, clientFor).map { cfg =>
-      val senders = Option(senderFor)
+      val senders = senderFor
         .getOrElse(defaultSenderFactory(spark, checkpointLocation))
-      Pipeline.runWithRestarts()(() =>
-        startStream(spark, cfg, checkpointLocation, senders, sourceOverride))
+      try
+        Pipeline.runWithRestarts()(() =>
+          startStream(spark, cfg, checkpointLocation, senders, sourceOverride))
+      finally if (senderFor.isEmpty) { // injected factories are caller-owned
+        senders(cfg) match {
+          case p: graft.streaming.PooledSenderFactory => p.shutdownAll()
+          case _ => ()
+        }
+      }
     }
 
   /** The reflective deploy-time contract: these exact class names, each

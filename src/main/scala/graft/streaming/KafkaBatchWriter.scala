@@ -165,6 +165,14 @@ final class PooledSenderFactory(
     token: String,
     underlying: RecordSenderFactory) extends RecordSenderFactory {
 
+  /** Close and drop every pooled sender created under THIS factory's
+    * token — the end-of-run cleanup hook (a long-lived JVM that re-runs
+    * a pipeline under a new token must not strand the old token's
+    * producers: the rerun fences them, but nothing else ever closes
+    * them).
+    */
+  def shutdownAll(): Unit = PooledSenderFactory.shutdown(token)
+
   override def senderFor(partitionId: Int): RecordSender = {
     val key = (token, partitionId)
     val base = PooledSenderFactory.pool.computeIfAbsent(

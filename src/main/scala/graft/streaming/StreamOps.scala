@@ -244,9 +244,15 @@ object StreamOps {
   def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    var attempt = 0
+    def genDirsExist: Boolean =
+      fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("gen-"))
     var live = liveGeneration(fs, root, retireStale = false)
-    while (live.isEmpty && attempt < 3) {
+    var attempt = 0
+    // retry ONLY the actual race (generation directories present but no
+    // marker visible mid-cutover) — a legitimately absent index fails
+    // immediately, without paying the backoff just to raise the error
+    while (live.isEmpty && genDirsExist && attempt < 3) {
       Thread.sleep(50L << attempt) // 50/100/200 ms: outwait a cutover
       live = liveGeneration(fs, root, retireStale = false)
       attempt += 1

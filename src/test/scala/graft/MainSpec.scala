@@ -112,7 +112,7 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     // from a thread, exactly like a deployment's main thread
     val outcome = new java.util.concurrent.atomic.AtomicReference[Either[Seq[String], Unit]]()
     val t = new Thread(() => outcome.set(Main.run(args, spark, c, ckpt,
-      senderFor = _ => graft.streaming.RecordSenderFactory.uniform(() => new E2ESender),
+      senderFor = Some(_ => graft.streaming.RecordSenderFactory.uniform(() => new E2ESender)),
       sourceOverride = Some(stream.toDF()))))
     t.start()
     try {
@@ -146,7 +146,7 @@ class MainSpec extends AnyFunSuite with SparkSuite {
     // NO external stop: AvailableNow must drain and self-terminate,
     // returning control to run() and then to the caller
     val r = Main.run(baseArgs :+ "--backfill", spark, c, ckpt,
-      senderFor = _ => graft.streaming.RecordSenderFactory.uniform(() => new E2ESender),
+      senderFor = Some(_ => graft.streaming.RecordSenderFactory.uniform(() => new E2ESender)),
       sourceOverride = Some(stream.toDF()))
     assert(r == Right(()))
     assert(E2ESender.snapshot().length == 4, "backfill must drain everything that existed")
