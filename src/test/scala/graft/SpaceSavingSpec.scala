@@ -118,6 +118,40 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("property sweep: laws hold for arbitrary drives, capacities, and partitionings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDrive: Gen[(Int, Int, Seq[Long])] = for {
+      capacity <- Gen.chooseNum(1, 64)
+      nParts <- Gen.chooseNum(1, 6)
+      // Zipf-flavored arrivals: small keys frequent, long tail of singles
+      keys <- Gen.nonEmptyListOf(Gen.frequency(
+        5 -> Gen.chooseNum(1L, 5L),
+        3 -> Gen.chooseNum(6L, 30L),
+        2 -> Gen.chooseNum(31L, 500L)))
+    } yield (capacity, nParts, keys)
+    val prop = Prop.forAll(genDrive) { case (capacity, nParts, drive) =>
+      val trueCounts = drive.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = drive.grouped(math.max(1, drive.length / nParts)).toSeq
+      val partEntries = parts.map { p =>
+        val s = new SpaceSavingSummary(capacity); p.foreach(s.offer(_)); s.entries
+      }
+      val merged = SpaceSavingSummary.merge(capacity, partEntries)
+      val bracketing = merged.forall { case (k, c, e) =>
+        val t = trueCounts.getOrElse(k, 0L)
+        t <= c && c - e <= t
+      }
+      val bounded = merged.size <= capacity
+      val kept = merged.map(_._1).toSet
+      val minKept = if (merged.isEmpty) 0L else merged.map(_._2).min
+      val droppedLaw = trueCounts.forall { case (k, t) =>
+        kept.contains(k) || t <= minKept
+      }
+      bracketing && bounded && droppedLaw
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("weighted offers accumulate like repeated singles") {
     val s1 = new SpaceSavingSummary(8)
     val s2 = new SpaceSavingSummary(8)
