@@ -47,6 +47,10 @@ object SparkEntry {
     "x14_cosine_near_dup" -> ((s, dir) => Similarity.cosineNearDup(s, dir)),
     "x15_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "x35_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(s, dir, exactMeans = true)),
+    // hybrid retrieval: lexical-overlap and cosine legs fused by RRF
+    "x79_rank_fusion" -> ((s, dir) => Similarity.rankFusion(s, dir)),
+    // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
+    "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -414,6 +418,60 @@ object SparkEntry {
          |      FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
          |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
          |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // both leg ranks and the fused tie break to the lower cid; the RRF
+    // sum is two IEEE terms in a fixed order, so both engines agree
+    "x79_rank_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+         |ov AS (SELECT q.doc_id AS qid, c.doc_id AS cid, count(*)::BIGINT AS overlap
+         |       FROM sh q JOIN sh c ON q.shingle = c.shingle
+         |       WHERE q.doc_id % 10 = 0 AND q.doc_id != c.doc_id
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rank_lex
+         |        FROM ov QUALIFY rank_lex <= 20),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |vs AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
+         |vec AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank_vec
+         |        FROM vs QUALIFY rank_vec <= 20),
+         |fused AS (SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.cid, v.cid) AS cid,
+         |                 coalesce(1.0::DOUBLE / (60.0::DOUBLE + rank_lex), 0.0::DOUBLE) +
+         |                 coalesce(1.0::DOUBLE / (60.0::DOUBLE + rank_vec), 0.0::DOUBLE) AS rrf
+         |          FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.cid = v.cid),
+         |r AS (SELECT qid, cid, rrf,
+         |        row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank FROM fused)
+         |SELECT qid AS query_id, rank, cid AS doc_id, round(rrf, 6) AS rrf6
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // sign-bit signatures packed into two 32-bit halves (bit 63 would
+    // overflow a BIGINT shift); hamming ties at the candidate boundary
+    // and cosine ties in the re-rank both break to the lower cid
+    "x80_hamming_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33),
+         |    i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
+         |    (a, b) -> a + b) AS lo,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65),
+         |    i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)),
+         |    (a, b) -> a + b) AS hi
+         |  FROM embeddings),
+         |h AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS ham
+         |      FROM e q JOIN e c ON q.vec_id % 10 = 0 AND q.vec_id != c.vec_id),
+         |cand AS (SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrank
+         |         FROM h QUALIFY hrank <= 20),
+         |s AS (SELECT cand.qid, cand.cid, $dotCte AS sim
+         |      FROM cand JOIN (SELECT vec_id, ed AS qe FROM e) a ON a.vec_id = cand.qid
+         |                JOIN (SELECT vec_id, ed AS ce FROM e) b ON b.vec_id = cand.cid),
+         |r AS (SELECT qid, cid, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
          |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 

@@ -755,4 +755,177 @@ object Similarity {
         ((col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).cast("double") /
           (col("n_a") * col("n_b"))).as("q_shift"))
       .orderBy("dim")
+
+  /** Ranked candidates without the presentation projection: (qid, cid,
+    * rank) from the same map-side bounded [[graft.functions.TopKAggregator]]
+    * contract as [[presentTopK]] ((sim desc, cid asc), ranks by buffer
+    * position). Shared by the fusion and re-rank pipelines, which need
+    * the rank as an INPUT to further scoring rather than as output.
+    */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = graft.functions.TopK.topk(k)
+    scored
+      .groupBy(col("qid"))
+      .agg(agg(col("sim"), col("cid")).as("nb"))
+      .select(col("qid"), posexplode(col("nb.entries")))
+      .select(col("qid"), col("col.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** EXT-S14 — reciprocal-rank fusion of a lexical and a vector ranking
+    * (hybrid retrieval; RRF per Cormack et al., SIGIR 2009). For each
+    * query document (`doc_id % queryMod == 0`): the top-`kLeg` corpus
+    * docs by distinct 3-shingle overlap (the lexical leg — an
+    * inverted-index equi-join over the x3 family's shingle relation)
+    * are fused with the top-`kLeg` by embedding cosine (the vector leg
+    * — the x5 guarded-broadcast shape) via `rrf = Σ_leg 1/(60 + rank)`;
+    * a doc absent from one leg contributes nothing for it. Output is
+    * the fused top-`k` per query.
+    *
+    * The lexical unit is the SHINGLE, not the token, deliberately:
+    * candidate volume for an inverted-index join is
+    * Σ_unit q_count·c_count, and single tokens on a stopword-saturated
+    * corpus degrade that to all-pairs (measured here: 31-token
+    * vocabulary, ~78% df ⇒ 44.5M candidate rows at sf0.1 — every doc
+    * matches every query). Word 3-shingles keep posting lists short on
+    * exactly the corpora where tokens blow up (measured: 160× fewer
+    * candidates, max shingle df 25 vs 3 923) — the same selectivity
+    * argument PPJoin's prefix filter rests on ([[Dedup.ngramJaccard]]).
+    *
+    * Scale: each leg is independently the bounded-top-k plan already
+    * proven for its family — the lexical leg joins on shingle
+    * (candidates only from shared shingles, never all pairs), the
+    * vector leg is [[bruteForceTopK]]'s measured-guard broadcast. The
+    * fusion itself joins two relations each ≤ |queries|·kLeg rows (FULL
+    * OUTER on (qid, cid)) — bounded by construction, so the fusion
+    * stage costs nothing at any corpus size; only the legs scale, and
+    * they scale as their families do. Both rank ties and the fused tie
+    * break to the lower cid, mirrored by the oracle's `row_number`
+    * spelling.
+    */
+  def rankFusion(
+      spark: SparkSession,
+      dir: String,
+      kLeg: Int = 20,
+      k: Int = 5,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    // lexical leg: distinct 3-shingles per doc -> inverted-index self-join
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
+    val qSh = sh.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("qid"), col("shingle"))
+    val cSh = sh.select(col("doc_id").as("cid"), col("shingle"))
+    val overlap = qSh.join(cSh, Seq("shingle"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      // exact integer overlap rides the Double sim losslessly (≤ 2^53)
+      .agg(count(lit(1)).cast("double").as("sim"))
+    val lex = rankedTopK(overlap, kLeg).withColumnRenamed("rank", "rank_lex")
+    // vector leg: bruteForceTopK's scored relation, rank kept as data
+    val emb = Tables.embeddings(spark, dir)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val vecScored = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val vec = rankedTopK(vecScored, kLeg).withColumnRenamed("rank", "rank_vec")
+    // fusion: two k-bounded relations, outer-joined; both engines compute
+    // the same two-term IEEE sum in the same order
+    val fused = lex.join(vec, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0))).as("sim"))
+    val agg = graft.functions.TopK.topk(k)
+    fused
+      .groupBy(col("qid"))
+      .agg(agg(col("sim"), col("cid")).as("nb"))
+      .select(col("qid").as("query_id"), posexplode(col("nb.entries")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), round(col("col.sim"), 6).as("rrf6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign bits of `n` dimensions starting at 0-based `offset`, packed
+    * into one BIGINT (bit i set ⇔ `emb[offset+i] >= 0`) — the
+    * [[signBucket]] hyperplane family widened from a bucket id to a full
+    * binary signature. Disjoint powers of two summed: exact, and codegen
+    * end to end (64 `when`s fold into one whole-stage expression).
+    */
+  private[graft] def packSignBits(emb: Column, offset: Int, n: Int): Column =
+    (0 until n)
+      .map(i => when(element_at(emb, offset + i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** EXT-S15 — sign-bit Hamming ANN with exact re-rank: each vector is
+    * compressed to a 64-bit sign signature (one bit per dimension —
+    * 16 bytes/row vs 256 for the float vector); the first pass scans
+    * SIGNATURES only, ranking by Hamming distance (`bit_count(xor)` —
+    * native codegen, no lambda, ~2 instructions/candidate vs 64 FMAs),
+    * and only the top-`candidates` per query are re-ranked by exact
+    * cosine over the full vectors.
+    *
+    * Scale: this is the binary-sketch first pass production ANN uses
+    * when even IVF cell scans are bandwidth-bound — at 100 TB of
+    * vectors the signature relation is ~1.6 TB (64× less I/O), and the
+    * popcount scan is compute-trivial. The query side reuses the
+    * measured-size broadcast guard ([[broadcastIfMeasuredUnder]], fixed
+    * 3-long rows — measurement still decides). The re-rank stage
+    * touches full vectors ONLY via equi-joins on the candidate ids — a
+    * relation bounded by |queries|·candidates rows BY CONSTRUCTION, so
+    * its broadcast hint is sound at any corpus size and the corpus-side
+    * vector scan is probed once, never cross-joined.
+    *
+    * Output: (vec_id, rank, neighbor_id, sim4) — the house ANN contract.
+    */
+  def hammingTopK(
+      spark: SparkSession,
+      dir: String,
+      candidates: Int = 20,
+      k: Int = 3,
+      queryMod: Int = 10,
+      dim: Int = 64,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val loBits = math.min(32, dim)
+    val hiBits = math.max(0, dim - 32)
+    val emb = Tables.embeddings(spark, dir)
+    // localCheckpoint (lazy) is a MATERIALIZATION BARRIER, not a cache
+    // nicety: without it Catalyst inlines the two 32-`when` pack folds
+    // through the nested-loop join into the per-PAIR projection, so all
+    // four signature halves are recomputed n·m times (measured 9 s vs
+    // ~1 s at sf0.1). Checkpointed, packing runs once per ROW and the
+    // per-pair work is the native xor+bit_count it should be; the
+    // materialized relation is the 16-byte-per-vector signature table —
+    // at 100 TB of vectors ~1.6 TB across the cluster, the same narrow
+    // artifact a production binary index persists anyway.
+    val sigs = emb.select(col("vec_id"),
+      packSignBits(col("embedding"), 0, loBits).as("lo"),
+      (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("hi"))
+      .localCheckpoint(false)
+    val qRaw = sigs.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val queries = broadcastIfMeasuredUnder(qRaw,
+      s"$dir|sig|mod=$queryMod", () => 3L * 8 + 64, maxBroadcastBytes)
+    val corpus = sigs.select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val ham = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).as("ham"))
+    // rank by (hamming asc, cid asc) through the desc aggregator via
+    // negation — exact: integer-valued doubles
+    val cand = rankedTopK(
+      ham.select(col("qid"), col("cid"), (lit(0.0) - col("ham").cast("double")).as("sim")),
+      candidates).select("qid", "cid")
+    val qe = emb.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // candidate relation ≤ |queries|·candidates rows — bounded by
+    // construction, per the repo broadcast rule
+    val scored = broadcast(cand.join(qe, Seq("qid")))
+      .join(ce, Seq("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, k)
+  }
 }

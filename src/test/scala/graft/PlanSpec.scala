@@ -401,6 +401,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     }.nonEmpty, s"expected a TakeOrdered top-N in:\n$p")
   }
 
+  test("hamming ANN: no cartesian anywhere; re-rank probes vectors via equi-joins; no rank window") {
+    val p = plan(Similarity.hammingTopK(spark, dir))
+    // the signature pass may BroadcastNestedLoopJoin under the measured
+    // guard (16-byte rows — the guard fires at any realistic query
+    // count), but a CartesianProduct would mean the guard failed open
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"hamming first pass must not cross-product:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    // the re-rank touches full vectors only through broadcast id probes
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.length >= 2, p.toString)
+  }
+
+  test("rank fusion: no cartesian; both legs and the fusion fold map-side — no rank window") {
+    val p = plan(Similarity.rankFusion(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"fusion must not cross-product:\n$p")
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+    // three bounded TopK aggregates (two legs + fused) run partial-mode
+    assert(p.collect { case o: ObjectHashAggregateExec => o }.length >= 3, p.toString)
+  }
+
   test("split leakage: both split lookups are equi-joins — never a nested loop") {
     val p = plan(Curation.splitLeakage(spark, dir))
     assert(p.collect {

@@ -69,6 +69,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(n10 == Set(11L, 12L)) // same bucket (all non-negative dims)
   }
 
+  test("rankFusion fuses lexical and vector ranks by RRF; missing-leg docs keep their one term") {
+    // shingles: 10 = {a b c, b c d}; 11 shares both; 12 shares {b c d}; 13 none
+    val fdir = TestTables.corpusDir(spark,
+      docs = Seq(10L -> "a b c d", 11L -> "a b c d e", 12L -> "b c d f", 13L -> "p q r s"),
+      vecs = Seq(
+        10L -> Seq(1f, 0f, 0f, 0f),
+        11L -> Seq(0f, 1f, 0f, 0f),
+        12L -> Seq(0.7f, 0.7f, 0f, 0f),
+        13L -> Seq(1f, 0f, 0f, 0f)))
+    val rows = Similarity.rankFusion(spark, fdir, kLeg = 3, k = 3, queryMod = 10).collect()
+    val q10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
+    // lexical ranks for q10: 11 (overlap 2), 12 (overlap 1); 13 shares no shingle
+    // vector ranks for q10: 13 (sim 1.0), 12 (0.7), 11 (0.0)
+    // rrf: 11 = 1/61 + 1/63; 12 = 1/62 + 1/62; 13 = 1/61 (vector term only)
+    assert(q10.map(_.getLong(2)).toSeq == Seq(11L, 12L, 13L))
+    assert(q10.map(_.getDouble(3)).toSeq == Seq(0.032266, 0.032258, 0.016393))
+  }
+
+  test("hammingTopK: signature pass prunes to Hamming candidates; exact re-rank orders them") {
+    val hdir = TestTables.embeddingsDir(spark, Seq(
+      10L -> Seq(1f, -1f, 1f, -1f), // signature 0101 = 5
+      11L -> Seq(1f, -1f, 1f, 1f),  // 1101 = 13, hamming 1
+      12L -> Seq(-1f, 1f, -1f, 1f), // 1010 = 10, hamming 4 — pruned
+      13L -> Seq(1f, 1f, 1f, -1f))) // 0111 = 7,  hamming 1
+    val rows = Similarity.hammingTopK(
+      spark, hdir, candidates = 2, k = 2, queryMod = 10, dim = 4).collect()
+    val q10 = rows.filter(_.getLong(0) == 10L).sortBy(_.getInt(1))
+    // candidates are 11 and 13 (distance 1 each); 12 never reaches re-rank
+    // exact re-rank: dot(10,11) == dot(10,13) == 2.0 — tie to the lower cid
+    assert(q10.map(_.getLong(2)).toSeq == Seq(11L, 13L))
+    assert(q10.map(_.getDouble(3)).toSeq == Seq(2.0, 2.0))
+  }
+
   test("cosineNearDup returns ordered pairs above threshold") {
     val rows = Similarity.cosineNearDup(spark, dir, threshold = 0.9, bits = 2).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -48,6 +48,22 @@ object TestTables {
   def embeddingsDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float])]): String =
     embeddingsLabeledDir(spark, vecs.map { case (id, v) => (id, v, 0) })
 
+  /** documents AND embeddings in one dir, for cross-table operators
+    * (rank fusion, cross-modal curation).
+    */
+  def corpusDir(spark: SparkSession,
+      docs: Seq[(Long, String)], vecs: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   /** embeddings with explicit labels, from (id, vector, label). */
   def embeddingsLabeledDir(spark: SparkSession, vecs: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
