@@ -155,6 +155,33 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("x80 hamming ANN at 10x: signature pass broadcasts under the guard; re-rank stays equi") {
+    val p = plan(graft.operators.Similarity.hammingTopK(spark, dir10))
+    // 60k signatures: the 6k-query side measures ~0.5 MB — the guard
+    // must broadcast it (a cartesian here would mean it failed open)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"signature pass fell to a cartesian at 10x:\n$p")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, p.toString)
+    // full vectors are still only probed by id — the 10x corpus must
+    // not flip the re-rank to anything non-equi
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.length >= 2, p.toString)
+  }
+
+  test("x79 rank fusion at 10x: shingle leg stays an inverted-index equi-join; no rank window") {
+    val p = plan(graft.operators.Similarity.rankFusion(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"fusion must not cross-product at 10x:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
   test("persisted IVF index at 10x: probe scans a strict minority of the 60k-vector index files") {
     import spark.implicits._
     val indexPath = s"$dir10/ivf-index"
