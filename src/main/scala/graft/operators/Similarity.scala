@@ -928,4 +928,89 @@ object Similarity {
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)
   }
+
+  /** EXT-S15b build — persist the sign-signature relation: ONE corpus
+    * pass packs each vector's sign bits ([[packSignBits]]) and writes
+    * the 16-byte-per-vector table plus a one-row `meta` stamp carrying
+    * the packed dimension (the [[writeIvfIndex]] parameter-bundling
+    * contract: an index must refuse probes built with different
+    * parameters, here a different dim → different bit layout).
+    *
+    * Scale: the build is the one full-vector pass; every later query
+    * batch scans 16 bytes/vector instead of 4·dim — the 64× first-pass
+    * I/O reduction [[hammingTopK]] computes inline, made durable.
+    */
+  def writeSignIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      dim: Int = 64): Unit = {
+    val loBits = math.min(32, dim)
+    val hiBits = math.max(0, dim - 32)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        packSignBits(col("embedding"), 0, loBits).as("lo"),
+        (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("hi"))
+      .write.mode("overwrite").parquet(s"$indexPath/signatures")
+    spark.range(1).select(lit(dim).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** EXT-S15b probe — top-k neighbors for an arbitrary
+    * `(vec_id, embedding)` query relation against a PERSISTED signature
+    * index: identical results, tie-breaks, and presentation to running
+    * [[hammingTopK]] over the same corpus (spec-asserted). The first
+    * pass reads SIGNATURES only (never the vector table); full vectors
+    * are touched exclusively by the candidate-id equi-joins — query
+    * vectors from the passed relation, corpus vectors from `corpusDir`
+    * — keeping the index itself 16 bytes/row (production keeps the
+    * primary vector store separate from the sketch, fetched by id).
+    *
+    * The dim stamp is validated against the measured query width
+    * (bounded sample, the [[embRowBytes]] discipline): a query batch
+    * whose vectors do not match the index's packed layout is REFUSED,
+    * not silently mis-ranked.
+    */
+  def hammingTopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      corpusDir: String,
+      queries: DataFrame,
+      candidates: Int = 20,
+      k: Int = 3,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    import spark.implicits._
+    val metaRows = spark.read.parquet(s"$indexPath/meta").select("dim").as[Int].collect()
+    require(metaRows.length == 1, s"corrupt index: ${metaRows.length} meta rows")
+    val dim = metaRows.head
+    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
+      .agg(max(col("d"))).head()
+    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
+      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
+        s"does not match the index's packed dim $dim")
+    val loBits = math.min(32, dim)
+    val hiBits = math.max(0, dim - 32)
+    val qRaw = queries.select(col("vec_id").as("qid"),
+      packSignBits(col("embedding"), 0, loBits).as("qlo"),
+      (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("qhi"))
+    val qSig = broadcastIfMeasuredUnder(qRaw,
+      s"$indexPath|qsig|${System.identityHashCode(queries)}",
+      () => 3L * 8 + 64, maxBroadcastBytes)
+    val idx = spark.read.parquet(s"$indexPath/signatures")
+      .select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val ham = qSig.join(idx, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).as("ham"))
+    val cand = rankedTopK(
+      ham.select(col("qid"), col("cid"), (lit(0.0) - col("ham").cast("double")).as("sim")),
+      candidates).select("qid", "cid")
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = Tables.embeddings(spark, corpusDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = broadcast(cand.join(qe, Seq("qid")))
+      .join(ce, Seq("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, k)
+  }
 }

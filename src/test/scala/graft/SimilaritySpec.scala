@@ -102,6 +102,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(q10.map(_.getDouble(3)).toSeq == Seq(2.0, 2.0))
   }
 
+  test("persisted sign index: probe equals in-memory hammingTopK; wrong-width queries refused") {
+    val hdir = TestTables.embeddingsDir(spark, Seq(
+      10L -> Seq(1f, -1f, 1f, -1f),
+      11L -> Seq(1f, -1f, 1f, 1f),
+      12L -> Seq(-1f, 1f, -1f, 1f),
+      13L -> Seq(1f, 1f, 1f, -1f)))
+    val idxPath = s"$hdir/sign-index"
+    Similarity.writeSignIndex(spark, hdir, idxPath, dim = 4)
+    val queries = graft.operators.Tables.embeddings(spark, hdir)
+      .filter(col("vec_id") % 10 === 0)
+    val fromIndex = Similarity.hammingTopKFromIndex(
+      spark, idxPath, hdir, queries, candidates = 2, k = 2).collect()
+    val inMemory = Similarity.hammingTopK(
+      spark, hdir, candidates = 2, k = 2, queryMod = 10, dim = 4).collect()
+    assert(fromIndex.map(_.toSeq).toSeq == inMemory.map(_.toSeq).toSeq)
+    // a query batch whose vectors do not match the packed layout is
+    // refused, not silently mis-ranked against the wrong bit positions
+    val wide = graft.operators.Tables.embeddings(spark,
+      TestTables.embeddingsDir(spark, Seq(10L -> Seq.fill(8)(1f))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hammingTopKFromIndex(spark, idxPath, hdir, wide)
+    }
+    assert(e.getMessage.contains("does not match the index's packed dim"))
+  }
+
   test("cosineNearDup returns ordered pairs above threshold") {
     val rows = Similarity.cosineNearDup(spark, dir, threshold = 0.9, bits = 2).collect()
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
