@@ -349,6 +349,114 @@ object TextAnalysis {
       .orderBy("token", "rank")
   }
 
+  /** EXT-T9b build — persist the BM25 inverted index: [[termFreq]]'s
+    * postings `(token, doc_id, tf)` written PARTITIONED by a murmur3
+    * token bucket, the per-token `df` lexicon partitioned the same way,
+    * the per-document length table, and a one-row `stats` stamp carrying
+    * `(n_docs, total_toks, n_buckets)` — the lexical twin of
+    * [[Similarity.writeIvfIndex]]'s "train once, probe forever" layout.
+    *
+    * Bucketing by `pmod(hash(token), nBuckets)` rather than by raw token
+    * is the 100 TB point: a token-per-directory layout would create one
+    * partition per vocabulary entry (millions of tiny directories — a
+    * metastore/list-files pathology), while a fixed bucket count keeps
+    * directory fan-out bounded and lets a probe pin its terms' buckets
+    * as a LITERAL partition filter ([[Similarity.ivfTopKFromIndex]]'s
+    * staticPrune discipline — the planner prunes before execution, no
+    * DPP heuristic involved). The `n_buckets` stamp follows
+    * [[Dedup.bandSignatures]]'s parameter-bundling contract: a probe
+    * hashing terms with a different bucket count would silently read the
+    * wrong partitions, so the probe derives buckets from the stamp, and
+    * refuses a corrupt stats table outright.
+    */
+  def writeBm25Index(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be positive")
+    val docs = Tables.documents(spark, dir)
+    val tf = termFreq(docs)
+    tf.withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/lexicon")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/doclens")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum("tf").as("total_toks")))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** EXT-T9b probe — BM25 top-k documents for a caller-supplied term
+    * list against a PERSISTED index: identical scores, tie-breaks, and
+    * presentation to [[bm25TopK]] over the same corpus for the same
+    * terms (spec-asserted bit-exact), with the corpus pass replaced by a
+    * bucket-pruned read.
+    *
+    * Plan: the probe terms' buckets are computed through the SAME
+    * `pmod(hash(…))` expression the build used (a |terms|-bounded local
+    * relation — the legitimate bounded collect), pinned as a literal
+    * partition filter on both the postings and lexicon reads; the
+    * pruned lexicon join bounds the scoring relation to the probed
+    * terms' postings; doc lengths join AFTER that filter so the
+    * doc_id equi-join keys only candidate rows. Corpus-level stats ride
+    * in as literals from the one-row stamp. Per-term top-k is the same
+    * map-side bounded [[graft.functions.TopK]] aggregate. A term absent
+    * from the lexicon simply contributes no rows — same as never having
+    * been selected as a probe.
+    */
+  def bm25TopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "probe term list must be non-empty")
+    val statsRows = spark.read.parquet(s"$indexPath/stats")
+      .select("n_docs", "total_toks", "n_buckets").collect()
+    require(statsRows.length == 1, s"corrupt index: ${statsRows.length} stats rows")
+    val nDocs = statsRows.head.getLong(0)
+    val totToks = statsRows.head.getLong(1)
+    val nBuckets = statsRows.head.getInt(2)
+    require(nBuckets >= 1, s"corrupt index: n_buckets stamp $nBuckets")
+    val probeRel = terms.distinct.toDF("token")
+      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+    val buckets = probeRel.select("bucket").distinct().as[Int].collect().toSeq
+    val lexicon = spark.read.parquet(s"$indexPath/lexicon")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+    val probes = lexicon.join(broadcast(probeRel.select("token")), "token")
+      .select("token", "df")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .select("token", "doc_id", "tf")
+    val dl = spark.read.parquet(s"$indexPath/doclens")
+    val scored = postings
+      .join(broadcast(probes), "token")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        (lit(nDocs).cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tf_norm",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") / (lit(totToks).cast("double") / lit(nDocs))))))
+      .withColumn("score", col("idf") * col("tf_norm"))
+    val agg = graft.functions.TopK.topk(k)
+    scored
+      .groupBy("token")
+      .agg(agg(col("score"), col("doc_id")).as("sel"))
+      .select(col("token"), posexplode(col("sel.entries")))
+      .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), col("col.sim").as("score"))
+      .orderBy("token", "rank")
+  }
+
   /** EXT-T10 — idf-mass rarity score per document: each token occurrence
     * contributes its integer document-count complement `N − df`, so
     * `rarity_sum = Σ tf·(N − df)` and `mean_rarity = rarity_sum /

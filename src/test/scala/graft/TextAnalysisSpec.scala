@@ -220,6 +220,59 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(TextAnalysis.bm25TopK(spark, d).collect().isEmpty)
   }
 
+  test("persisted BM25 index: probe equals bm25TopK bit-exact; buckets prune; corrupt stats refused") {
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "elephant elephant giraffe",
+      2L -> "elephant zebra zebra",
+      3L -> "giraffe giraffe giraffe giraffe",
+      4L -> "cat dog"))
+    val idx = s"$d/bm25-index"
+    TextAnalysis.writeBm25Index(spark, d, idx, nBuckets = 16)
+    val expected = TextAnalysis.bm25TopK(spark, d).collect()
+    assert(expected.nonEmpty)
+    val terms = expected.map(_.getString(0)).distinct.toSeq
+    val probe = TextAnalysis.bm25TopKFromIndex(spark, idx, terms)
+    assert(probe.collect().map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // the postings read is pruned to the probed terms' buckets — a
+    // strict minority of the index's bucket directories
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scanned = fileScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .map(_.metrics("numFiles").value).sum
+    def parquetFilesUnder(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.count(p => p.isFile && p.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetFilesUnder).sum
+    }
+    val total = parquetFilesUnder(new java.io.File(s"$idx/postings"))
+    assert(scanned > 0 && scanned < total,
+      s"probe scanned $scanned of $total postings files — pruning must hold")
+    // a term absent from the lexicon contributes no rows — same output
+    val withGhost = TextAnalysis.bm25TopKFromIndex(spark, idx, terms :+ "nonexistent7")
+    assert(withGhost.collect().map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    // refusal contracts: empty probe list; a corrupt (two-row) stamp
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromIndex(spark, idx, Seq.empty)
+    }
+    val bad = s"$d/bm25-bad"
+    val stats = spark.read.parquet(s"$idx/stats")
+    stats.union(stats).write.mode("overwrite").parquet(s"$bad/stats")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromIndex(spark, bad, Seq("elephant"))
+    }
+    assert(e.getMessage.contains("corrupt index"))
+  }
+
   test("rarityScore: a doc of corpus-ubiquitous tokens scores exactly zero") {
     // every token appears in every doc -> N - df = 0 for all of them
     val d = TestTables.documentsDir(spark, Seq(
