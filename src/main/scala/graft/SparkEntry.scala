@@ -51,6 +51,8 @@ object SparkEntry {
     "x79_rank_fusion" -> ((s, dir) => Similarity.rankFusion(s, dir)),
     // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
+    // MOSS winnowing: window-min fingerprint sample, shared-count pairs
+    "x81_winnow_matches" -> ((s, dir) => Dedup.winnowMatches(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -474,6 +476,22 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
          |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "x81_winnow_matches" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, i::BIGINT AS p,
+        |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
+        |      FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
+        |      WHERE len(ts) >= 8),
+        |s AS (SELECT doc_id, p,
+        |        max(p) OVER (PARTITION BY doc_id) AS maxp,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+        |      FROM w),
+        |f AS (SELECT DISTINCT doc_id, minh AS h FROM s WHERE p <= maxp - 3)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
+        |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

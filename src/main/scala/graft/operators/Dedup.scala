@@ -458,6 +458,73 @@ object Dedup {
       .orderBy("doc_id", "span_id")
   }
 
+  /** EXT-D12 — winnowed document fingerprints (Schleimer/Wilkerson/Aiken's
+    * MOSS winnowing): per document, the k-gram hash stream of [[dupSpans]]
+    * reduced to the MINIMUM hash of every sliding window of `wWin`
+    * consecutive grams, deduplicated — a fingerprint set whose density is
+    * ~2/(wWin+1) of the gram stream yet GUARANTEES that any copied span
+    * of ≥ k+wWin−1 tokens shares at least one fingerprint between the
+    * copies (the winnowing theorem: every window of the copy selects the
+    * same local minimum). The storage/recall dial that x53's full
+    * hot-gram pass does not have: x53 keeps every duplicated position,
+    * winnowing keeps a guaranteed-coverage sample.
+    *
+    * Plan: one [[graft.functions.WindowHashesExpression]] pass (linear in
+    * corpus tokens), then two window functions over the SAME
+    * doc_id-partitioned sort — the per-doc gram count and the frame
+    * minimum — so the whole selection rides one doc_id shuffle; documents
+    * are bounded-length, so per-doc windows never concentrate data. The
+    * final distinct is a fingerprint-keyed partial agg.
+    */
+  def winnowFingerprints(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      wWin: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && wWin >= 1, s"need k >= 1 (got $k) and wWin >= 1 (got $wWin)")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.windowHashes(col("ts"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, wWin - 1L)
+    val perDoc = Window.partitionBy("doc_id")
+    grams
+      .withColumn("maxp", max("p").over(perDoc))
+      .withColumn("minh", min("h").over(frame))
+      // only full windows select: starts beyond maxp−(wWin−1) would
+      // re-select a suffix minimum the last full window already took
+      .filter(col("p") <= col("maxp") - (wWin - 1L))
+      .select(col("doc_id"), col("minh").as("h"))
+      .distinct()
+  }
+
+  /** EXT-D12 match step — candidate document pairs by shared winnowed
+    * fingerprints, with the shared-fingerprint count as the match
+    * strength (the MOSS report relation). Sub-quadratic by the same
+    * argument as every band join in this file: pairs arise only from an
+    * equi-join on selected fingerprints, never from doc×doc; a pair's
+    * count is bounded by its fingerprint sets, and the guarantee above
+    * means no copy of ≥ k+wWin−1 tokens can be missed. Downstream exact
+    * verification (fetch both texts, extend the span) is the caller's
+    * step, as with [[indexCandidates]].
+    */
+  def winnowMatches(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      wWin: Int = 4): DataFrame = {
+    val fp = winnowFingerprints(spark, dir, k, wWin).localCheckpoint()
+    fp.select(col("doc_id").as("d1"), col("h"))
+      .join(fp.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("d1", "d2")
+  }
+
   /** The READ half of the persisted-index loop: probe the LSH index with
     * a fresh batch, returning the candidate pairs (`d1` = fresh doc,
     * `d2` = indexed doc) whose band signatures collide. `index` is the

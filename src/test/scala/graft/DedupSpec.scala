@@ -167,6 +167,44 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       (3L, 1L, 1L, 8L), (3L, 2L, 14L, 8L), (4L, 1L, 1L, 8L)))
   }
 
+  test("winnowing: copy guarantee, density bound, disjoint docs never pair") {
+    // with k=2, wWin=2 the winnowing theorem guarantees a shared
+    // fingerprint for any copied span of >= k+wWin-1 = 3 tokens
+    val S = "s1 s2 s3" // the 3-token copied span
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> s"a1 a2 $S a3 a4",
+      2L -> s"b1 $S b2 b3 b4",
+      3L -> "z1 z2 z3 z4 z5 z6")) // no 2-gram shared with anyone
+    val fp = Dedup.winnowFingerprints(spark, dir, k = 2, wWin = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // density: a 7-token doc has 6 grams and 5 full windows; the
+    // fingerprint set is distinct window minima, so 1..5 of them
+    fp.values.foreach(s => assert(s.nonEmpty && s.size <= 5))
+    // the guarantee: docs 1 and 2 share >= 1 selected fingerprint
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    val pairs = Dedup.winnowMatches(spark, dir, k = 2, wWin = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == (fp(1L) & fp(2L)).size.toLong)
+  }
+
+  test("winnowing: identical docs select identical fingerprint sets; short docs select none") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> t, 2L -> t,
+      3L -> "only seven tokens here not eight yet")) // 7 tokens < k=8: no grams
+    val fp = Dedup.winnowFingerprints(spark, dir).collect() // k=8, wWin=4
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fp(1L) == fp(2L) && fp(1L).nonEmpty)
+    // 20 tokens -> 13 grams -> 10 full windows; minima dedup below that
+    assert(fp(1L).size <= 10)
+    assert(!fp.contains(3L))
+    val pairs = Dedup.winnowMatches(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, fp(1L).size.toLong)))
+  }
+
   test("lshCalibration: exact copies calibrate to zero error, bounds hold") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val dir = TestTables.documentsDir(spark, Seq(

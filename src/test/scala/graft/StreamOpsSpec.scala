@@ -685,6 +685,69 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-S15b serving path: streamed query batches probe the PERSISTED sign index; first pass never reads vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-sign-serve").toString
+    // pack ONCE; every microbatch below probes the 16-byte/row signatures
+    graft.operators.Similarity.writeSignIndex(spark, sfDir, indexPath)
+    val qvecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(qvecs.length >= 4)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sigScanReadsVectors = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sigScansSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = graft.operators.Similarity.hammingTopKFromIndex(
+          spark, indexPath, sfDir, batch, candidates = 20, k = 3)
+        out.collect().foreach(r => results.add(r.toString))
+        def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            fileScans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            fileScans(s.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            fileScans(r.child)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(fileScans)
+        }
+        // the signature-side scans must read only (vec_id, lo, hi) — the
+        // whole point of the persisted sketch is that the Hamming first
+        // pass never touches the 4·dim-byte vector column
+        fileScans(out.queryExecution.executedPlan)
+          .filter(_.metadata.get("Location").exists(_.contains("signatures")))
+          .foreach { s =>
+            sigScansSeen.incrementAndGet()
+            if (s.schema.fieldNames.contains("embedding")) sigScanReadsVectors.set(true)
+          }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(qvecs.take(2).toIndexedSeq) // microbatch 1
+      q.processAllAvailable()
+      stream.addData(qvecs.slice(2, 4).toIndexedSeq) // microbatch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    // pack-once/probe-forever equivalence: the union of per-microbatch
+    // probes equals the one-shot batch probe over the same queries
+    val expect = graft.operators.Similarity.hammingTopKFromIndex(
+      spark, indexPath, sfDir, qvecs.take(4).toDF("vec_id", "embedding"),
+      candidates = 20, k = 3)
+      .collect().map(_.toString).toSet
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == expect && expect.nonEmpty)
+    assert(sigScansSeen.get() >= 2, "expected a signatures scan per microbatch")
+    assert(!sigScanReadsVectors.get(),
+      "the Hamming first pass read the embedding column — the 16-byte/row contract is broken")
+  }
+
   test("EXT-6i serving path: streamed query batches probe the PERSISTED IVF index with pruned file scans") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
