@@ -53,6 +53,8 @@ object SparkEntry {
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     // MOSS winnowing: window-min fingerprint sample, shared-count pairs
     "x81_winnow_matches" -> ((s, dir) => Dedup.winnowMatches(s, dir)),
+    // bigram-LM fluency: exact conditional-probability scoring
+    "x82_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -492,6 +494,21 @@ object SparkEntry {
         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
         |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+
+    "x82_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id,
+        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT AS h1,
+        |        (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 15))::UBIGINT)::BIGINT AS h2
+        |      FROM t, unnest(range(1, len(ts))) AS r(i)
+        |      WHERE len(ts) >= 2),
+        |bc AS (SELECT h2, count(*)::BIGINT AS cb FROM s GROUP BY 1),
+        |uc AS (SELECT h1, count(*)::BIGINT AS cu FROM s GROUP BY 1),
+        |sc AS (SELECT doc_id, cb, cu, cb::DOUBLE / cu AS condp
+        |       FROM s JOIN bc USING (h2) JOIN uc USING (h1))
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams, min(condp) AS min_condp,
+        |       sum(cb)::DOUBLE / sum(cu) AS pooled_condp
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

@@ -491,6 +491,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** EXT-T11 — bigram-LM fluency scoring: each document scored by the
+    * conditional probabilities of its own bigrams under the corpus
+    * bigram model, `P(w_i | w_{i−1}) = C(w_{i−1} w_i) / C(w_{i−1}·)` —
+    * KenLM-style perplexity filtering's exact-arithmetic cousin
+    * ([[rarityScore]] is the unigram rung of the same ladder; this rung
+    * sees word-ORDER fluency a bag-of-words score cannot: scrambled
+    * text keeps its rarity but its bigrams crater). Per document:
+    * `n_bigrams`, `min_condp` (the weakest transition — one impossible
+    * bigram flags garbage), and `pooled_condp = Σcb / Σcu` (the
+    * pooled-count fluency mass).
+    *
+    * No transcendentals and no order-sensitive float sums — the house
+    * oracle discipline: counts are BIGINTs, `min` over exactly-computed
+    * quotients is order-insensitive, and the pooled ratio is ONE IEEE
+    * division of two BIGINT sums, so DuckDB reproduces every value
+    * bit-for-bit (the mean-of-logs spelling would be neither
+    * order-stable nor libm-portable).
+    *
+    * Plan: ONE position stream (the k=1 prefix hash and k=2 bigram hash
+    * of [[graft.functions.WindowHashesExpression]] zipped per position,
+    * so prefix/bigram alignment is structural, not a join), materialized
+    * once and consumed three times: the two corpus count aggregations —
+    * each a partial-agg groupBy on a 60-bit hash, vocabulary-sized
+    * output, broadcast-or-shuffle by AQE's choice — and the scoring
+    * join back, followed by one doc_id partial agg. Linear in corpus
+    * tokens; nothing pairs documents.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        slice(graft.functions.WindowHashes.windowHashes(col("ts"), 1),
+          lit(1), size(col("ts")) - 1).as("u"),
+        graft.functions.WindowHashes.windowHashes(col("ts"), 2).as("b"))
+    val stream = arr
+      .select(col("doc_id"), posexplode(arrays_zip(col("u"), col("b"))))
+      .select(col("doc_id"), col("col.u").as("h1"), col("col.b").as("h2"))
+      .localCheckpoint()
+    val bc = stream.groupBy("h2").agg(count(lit(1)).as("cb"))
+    val uc = stream.groupBy("h1").agg(count(lit(1)).as("cu"))
+    stream
+      .join(bc, "h2")
+      .join(uc, "h1")
+      .withColumn("condp", col("cb").cast("double") / col("cu"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        min("condp").as("min_condp"),
+        sum("cb").as("sum_cb"),
+        sum("cu").as("sum_cu"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_condp"),
+        (col("sum_cb").cast("double") / col("sum_cu")).as("pooled_condp"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-T8 — compression-ratio quality signal: deflate the UTF-8 text
     * at a FIXED level and report `compressed_bytes / raw_bytes` — the
     * Gopher/CCNet-family redundancy filter (highly repetitive or

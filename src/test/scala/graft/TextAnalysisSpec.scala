@@ -273,6 +273,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("corrupt index"))
   }
 
+  test("bigramLm: hand-computed conditional probabilities; short docs excluded") {
+    // corpus bigram counts: ab=3 (d1 twice, d2 once), ba=1, bc=1;
+    // prefix counts over bigram-start positions: a=3, b=2
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "a b a b", // bigrams ab, ba, ab -> condp 3/3, 1/2, 3/3
+      2L -> "a b c",   // bigrams ab, bc    -> condp 3/3, 1/2
+      3L -> "z"))      // one token: no bigrams, excluded
+    val got = TextAnalysis.bigramLm(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0.5, 7.0 / 8.0),  // pooled = (3+1+3)/(3+2+3)
+      (2L, 2L, 0.5, 4.0 / 5.0))) // pooled = (3+1)/(3+2)
+  }
+
+  test("bigramLm: scrambled text keeps unigram rarity but craters the bigram signal") {
+    // fluent docs share the ordered phrase; the scrambled doc has the
+    // same token multiset (identical bag-of-words rarity) but its
+    // bigrams appear nowhere else in the corpus
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "the quick brown fox jumps high",
+      2L -> "the quick brown fox jumps far",
+      3L -> "fox the jumps quick high brown"))
+    val lm = TextAnalysis.bigramLm(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(lm(3L) < lm(1L) && lm(3L) < lm(2L))
+    val rarity = TextAnalysis.rarityScore(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_rarity")).toMap
+    assert(rarity(3L) == rarity(1L)) // rarity is blind to the scramble
+  }
+
   test("rarityScore: a doc of corpus-ubiquitous tokens scores exactly zero") {
     // every token appears in every doc -> N - df = 0 for all of them
     val d = TestTables.documentsDir(spark, Seq(
