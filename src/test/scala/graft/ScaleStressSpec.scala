@@ -182,6 +182,27 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, p.toString)
   }
 
+  test("x81 winnowing at 10x: match pairs arise only from fingerprint equi-joins; no window on the match side") {
+    val p = plan(graft.operators.Dedup.winnowMatches(spark, dir10))
+    noNestedLoops(p)
+    // the winnow selection runs two window functions per doc (count +
+    // frame min) BEFORE the distinct; the match join itself must carry
+    // none — pairs come from the hash equi-join, never a ranked sweep
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"expected an equi-join for the fingerprint match:\n$p")
+  }
+
+  test("x82 bigram LM at 10x: linear token pipeline — no cartesian, no per-doc window, equi-joins only") {
+    val p = plan(graft.operators.TextAnalysis.bigramLm(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"bigram scoring must not sort-window the position stream:\n$p")
+  }
+
   test("persisted IVF index at 10x: probe scans a strict minority of the 60k-vector index files") {
     import spark.implicits._
     val indexPath = s"$dir10/ivf-index"
