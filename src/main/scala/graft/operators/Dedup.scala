@@ -480,10 +480,21 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       k: Int = 8,
-      wWin: Int = 4): DataFrame = {
+      wWin: Int = 4): DataFrame =
+    winnowSignatures(Tables.documents(spark, dir), k, wWin).select("doc_id", "h")
+
+  /** The relation form of [[winnowFingerprints]], stamped with its
+    * `(win_k, win_w)` parameters — the [[bandSignatures]] bundling
+    * contract: winnowed fingerprints selected under different (k, wWin)
+    * hash DIFFERENT gram strings, so matching across parameterizations
+    * silently drops true copies (a false-negative hazard, same as a
+    * mis-parameterized LSH index). This is the unit the streaming index
+    * maintainer appends and [[winnowCandidates]] validates.
+    */
+  def winnowSignatures(docs: DataFrame, k: Int = 8, wWin: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && wWin >= 1, s"need k >= 1 (got $k) and wWin >= 1 (got $wWin)")
-    val grams = Tables.documents(spark, dir)
+    val grams = docs
       .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHashes.windowHashes(col("ts"), k)))
@@ -499,6 +510,44 @@ object Dedup {
       .filter(col("p") <= col("maxp") - (wWin - 1L))
       .select(col("doc_id"), col("minh").as("h"))
       .distinct()
+      .withColumn("win_k", lit(k))
+      .withColumn("win_w", lit(wWin))
+  }
+
+  /** EXT-D12 probe — fresh documents against a PERSISTED winnow index
+    * (the relation [[winnowSignatures]] emits and
+    * [[graft.streaming.StreamOps.maintainWinnowIndex]] keeps current):
+    * candidate pairs `(d1 = fresh doc, d2 = indexed doc, n_shared)` by
+    * shared winnowed fingerprints — [[indexCandidates]]'s span-level
+    * twin, with the same stamp validation (a mismatched or null-stamped
+    * index is REFUSED — false-negative hazard, must fail loudly).
+    *
+    * Because `n_shared` is a COUNT, the at-least-once maintenance
+    * contract (replayed appends duplicate index rows) is absorbed by a
+    * distinct on the indexed side BEFORE counting — without it a replay
+    * would inflate match strengths; with it the output is replay-
+    * immune, not merely replay-tolerant.
+    */
+  def winnowCandidates(
+      freshDocs: DataFrame,
+      index: DataFrame,
+      k: Int = 8,
+      wWin: Int = 4): DataFrame = {
+    require(index.columns.contains("win_k") && index.columns.contains("win_w"),
+      "index does not carry its (win_k, win_w) parameters — rebuild it with winnowSignatures")
+    val params = index.select("win_k", "win_w").distinct().collect()
+      .map(r => if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getInt(0), r.getInt(1))))
+    require(params.forall(_.isDefined),
+      "index contains null (win_k, win_w) stamps — provenance unknowable, rebuild it")
+    require(params.flatten.toSet == Set((k, wWin)),
+      s"index was winnowed under ${params.flatten.mkString(",")}, probe expects ($k,$wWin)")
+    val fresh = winnowSignatures(freshDocs, k, wWin).select(col("doc_id").as("d1"), col("h"))
+    val indexed = index.select(col("doc_id").as("d2"), col("h")).distinct()
+    fresh.join(indexed, "h")
+      .filter(col("d1") =!= col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("d1", "d2")
   }
 
   /** EXT-D12 match step — candidate document pairs by shared winnowed

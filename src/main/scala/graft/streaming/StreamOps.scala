@@ -188,7 +188,42 @@ object StreamOps {
       indexDir: String,
       checkpointLocation: String,
       compactEvery: Long = 16L,
-      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.bandSignatures(batch))
+
+  /** EXT-6o — streaming WINNOW-index maintenance: [[maintainLshIndex]]'s
+    * generation lifecycle (append to the live generation, periodic
+    * compaction, atomic `_live` cutover, lag-1 retention — every
+    * property above holds unchanged) applied to
+    * [[graft.operators.Dedup.winnowSignatures]], the span-level
+    * fingerprint unit. Closes the span-copy ingest loop the way EXT-6h
+    * closes the document-near-dup one: arriving documents' winnowed
+    * fingerprints accumulate once, and fresh batches probe via
+    * [[graft.operators.Dedup.winnowCandidates]] without re-winnowing the
+    * corpus. The same at-least-once append contract applies — and the
+    * probe is replay-IMMUNE (not merely tolerant) because
+    * winnowCandidates distincts the indexed side before counting.
+    */
+  def maintainWinnowIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024,
+      k: Int = 8,
+      wWin: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.winnowSignatures(batch, k, wWin))
+
+  private def maintainGenerationalIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long,
+      targetBytes: Long)(
+      signaturesOf: Dataset[org.apache.spark.sql.Row] => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, "compactEvery must be positive")
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
@@ -199,7 +234,7 @@ object StreamOps {
         val (gen, genPath) = liveGeneration(fs, root, retireStale = true).getOrElse {
           (0L, new org.apache.hadoop.fs.Path(root, "gen-0"))
         }
-        graft.operators.Dedup.bandSignatures(batch)
+        signaturesOf(batch)
           .write.mode("append").parquet(genPath.toString)
         // the marker lands AFTER the generation has data (and heals a
         // crash between a first append and its marker): a reader must
@@ -241,7 +276,21 @@ object StreamOps {
     * (racing it from the read path would have two actors deleting
     * markers concurrently).
     */
-  def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+  def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "LSH")
+
+  /** The probe-side resolver for a [[maintainWinnowIndex]] index — the
+    * live generation's stamped fingerprint relation, suitable for
+    * [[graft.operators.Dedup.winnowCandidates]]. Same resolution (and
+    * cutover-race retry) as [[lshIndex]].
+    */
+  def winnowIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "winnow")
+
+  private def liveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      what: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def genDirsExist: Boolean =
@@ -258,8 +307,8 @@ object StreamOps {
       attempt += 1
     }
     val resolved = live.getOrElse(
-      sys.error(s"no live LSH index generation under $indexDir — " +
-        "has maintainLshIndex processed a batch yet?"))
+      sys.error(s"no live $what index generation under $indexDir — " +
+        "has the index maintainer processed a batch yet?"))
     spark.read.parquet(resolved._2.toString)
   }
 

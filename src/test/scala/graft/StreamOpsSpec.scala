@@ -276,6 +276,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(cands == Set(5L -> 2L))
   }
 
+  test("maintainWinnowIndex: streamed index equals the batch relation; counts replay-immune; stamps enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val span = (1 to 15).map(i => s"c$i").mkString(" ") // >= k+wWin-1 = 11: guaranteed shared fingerprint
+    val t1 = s"a1 a2 $span a3"
+    val t2 = (26 to 50).map(i => s"t$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winidx").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.maintainWinnowIndex(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/ckpt")
+    try {
+      stream.addData((2L, t1))
+      q.processAllAvailable()
+      stream.addData((4L, t2))
+      q.processAllAvailable()
+      stream.addData((2L, t1)) // an at-least-once replay duplicates index rows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamOps.winnowIndex(spark, s"$tmp/index")
+    // distinct view equals the batch winnowSignatures relation
+    assert(streamed.distinct().collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      graft.operators.Dedup.winnowSignatures(
+        Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq)
+    // the probe: a fresh doc copying the span matches doc 2 only, and
+    // the replayed append must NOT inflate its match count
+    val fresh = Seq((100L, s"z1 $span z2")).toDF("doc_id", "text")
+    val cands = graft.operators.Dedup.winnowCandidates(fresh, streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cands.map(c => (c._1, c._2)).toSeq == Seq((100L, 2L)))
+    val cleanCount = graft.operators.Dedup.winnowCandidates(
+      fresh, graft.operators.Dedup.winnowSignatures(Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(2)).head
+    assert(cands.head._3 == cleanCount, "replayed appends inflated the match count")
+    // stamp enforcement: probing under different winnow parameters is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.winnowCandidates(fresh, streamed, k = 4, wWin = 4).collect()
+    }
+    assert(e.getMessage.contains("winnowed under"))
+  }
+
   test("maintainLshIndex compaction: file count stays bounded; probe relation unchanged across generations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
