@@ -205,6 +205,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L, fp(1L).size.toLong)))
   }
 
+  test("winnowing: Spark pipeline equals the independent reference on a seeded random corpus") {
+    // 40 docs of random tokens (seeded — deterministic run-to-run),
+    // lengths straddling every edge: < k, = k, < k+wWin-1, and long
+    val rnd = new scala.util.Random(0xD12L)
+    val docs = (1L to 40L).map { id =>
+      val n = rnd.nextInt(41) // 0..40 tokens
+      id -> (1 to n).map(_ => s"t${rnd.nextInt(12)}").mkString(" ")
+    }
+    val dir = TestTables.documentsDir(spark, docs)
+    val got = Dedup.winnowFingerprints(spark, dir).collect() // k=8, wWin=4
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val want = docs.map { case (id, text) =>
+      id -> RefWinnow.fingerprints(
+        if (text.isEmpty) Seq("") else text.split(" ").toSeq, 8, 4)
+    }.filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
   test("lshCalibration: exact copies calibrate to zero error, bounds hold") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val dir = TestTables.documentsDir(spark, Seq(

@@ -133,4 +133,32 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       true
     }, n = 200)
   }
+
+  test("winnowing laws: planted-copy guarantee, subset of gram hashes, density bound") {
+    val genTok = Gen.chooseNum(0, 25).map(i => s"t$i")
+    val gen = for {
+      k <- Gen.chooseNum(1, 5)
+      w <- Gen.chooseNum(1, 5)
+      a <- Gen.listOfN(30, genTok) // host docs
+      b <- Gen.listOfN(30, genTok)
+      span <- Gen.listOfN(k + w - 1, Gen.chooseNum(0, 25).map(i => s"s$i")) // the copy, distinct alphabet
+      pa <- Gen.chooseNum(0, 30)
+      pb <- Gen.chooseNum(0, 30)
+    } yield (k, w, a.patch(pa, span, 0), b.patch(pb, span, 0), span)
+    check(Prop.forAll(gen) { case (k, w, docA, docB, span) =>
+      val fa = RefWinnow.fingerprints(docA, k, w)
+      val fb = RefWinnow.fingerprints(docB, k, w)
+      // the winnowing theorem: a copied span of >= k+w-1 tokens always
+      // shares at least one selected fingerprint between the copies
+      assert((fa & fb).nonEmpty, s"no shared fingerprint for planted span $span (k=$k w=$w)")
+      // selection is a SAMPLE: subset of the doc's gram hashes, at most
+      // one selection per full window
+      Seq(docA -> fa, docB -> fb).foreach { case (doc, f) =>
+        val grams = doc.sliding(k).map(RefWinnow.gramHash).toVector
+        assert(f.subsetOf(grams.toSet))
+        assert(f.size <= math.max(0, grams.length - w + 1))
+      }
+      true
+    }, n = 200)
+  }
 }

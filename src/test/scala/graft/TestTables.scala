@@ -8,6 +8,29 @@ import org.apache.spark.sql.SparkSession
   * `embeddings` parquet files shaped exactly like the harness tables
   * (TESTDATA.md) into a temp dir usable as an operator `dir` argument.
   */
+/** An independently-spelled reference winnow (Schleimer et al.): md5
+  * top-60-bit gram hashes via `sliding`, window minima via `sliding`
+  * again — shares no code with the production WindowHashesExpression /
+  * window-function pipeline, so differential tests catch either side.
+  */
+object RefWinnow {
+  def gramHash(gram: Seq[String]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.mkString(" ").getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def fingerprints(tokens: Seq[String], k: Int, wWin: Int): Set[Long] = {
+    if (tokens.length < k) return Set.empty
+    val grams = tokens.sliding(k).map(gramHash).toVector
+    if (grams.length < wWin) Set.empty
+    else grams.sliding(wWin).map(_.min).toSet
+  }
+}
+
 object TestTables {
 
   /** documents(doc_id, text, lang, source, n_chars) from (id, text). */
