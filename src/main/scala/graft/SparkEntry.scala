@@ -55,6 +55,8 @@ object SparkEntry {
     "x81_winnow_matches" -> ((s, dir) => Dedup.winnowMatches(s, dir)),
     // bigram-LM fluency: exact conditional-probability scoring
     "x82_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
+    // collocation mining: log-free PMI over adjacent token pairs
+    "x83_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -509,6 +511,21 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams, min(condp) AS min_condp,
         |       sum(cb)::DOUBLE / sum(cu) AS pooled_condp
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "x83_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |b AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(ts))) AS r(i)
+        |      WHERE len(ts) >= 2),
+        |n AS (SELECT count(*)::BIGINT AS nb FROM b),
+        |cxy AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM b GROUP BY 1, 2),
+        |cx AS (SELECT w1, count(*)::BIGINT AS c_x FROM b GROUP BY 1),
+        |cy AS (SELECT w2, count(*)::BIGINT AS c_y FROM b GROUP BY 1)
+        |SELECT w1, w2, c_xy,
+        |       (c_xy::DOUBLE * nb) / (c_x::DOUBLE * c_y) AS assoc
+        |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+        |WHERE c_xy >= 5
+        |ORDER BY assoc DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

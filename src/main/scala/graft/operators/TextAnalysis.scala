@@ -547,6 +547,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** EXT-T12 — collocation mining: the corpus's top adjacent token
+    * pairs by pointwise-mutual-information association, `assoc(x,y) =
+    * c_xy·N / (c_x·c_y)` over bigram positions (directional marginals:
+    * `c_x` = bigrams starting with x, `c_y` = bigrams ending with y) —
+    * exp(PMI), the log-free rational spelling ([[tfidfTerms]]'s libm
+    * argument: rankings are unchanged, bits are reproducible). The
+    * phrase-detection / tokenizer-merge-candidate pass: the pairs a
+    * BPE-style merge step would fuse first are exactly the high-PMI
+    * high-count pairs, and `minCount` is the classic guard against the
+    * hapax pathology (c_xy = c_x = c_y = 1 scores N — statistically
+    * meaningless).
+    *
+    * Plan: one raw-token bigram stream (tokens zipped with their
+    * successors — alignment structural, not a join), three partial-agg
+    * counts over it (pair and both marginals — vocabulary-sized
+    * outputs), equi-joins back keyed by token, a 1-row broadcast N, and
+    * a driver-bounded TakeOrdered for the top-k presentation. The
+    * multiplications are spelled `(c_xy·N) / (c_x·c_y)` in DOUBLE — at
+    * petabyte N the BIGINT product `c_xy·N` could overflow, the double
+    * spelling cannot, and both engines round it identically.
+    */
+  def collocations(
+      spark: SparkSession,
+      dir: String,
+      minCount: Long = 5L,
+      topN: Int = 20): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(Tables.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("a"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("b"))
+      .select(posexplode(arrays_zip(col("a"), col("b"))))
+      .select(col("col.a").as("w1"), col("col.b").as("w2"))
+      .localCheckpoint() // consumed by N and all three count aggregations
+    val n = pairs.agg(count(lit(1)).as("nb"))
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = pairs.groupBy("w1").agg(count(lit(1)).as("c_x"))
+    val cy = pairs.groupBy("w2").agg(count(lit(1)).as("c_y"))
+    cxy
+      .filter(col("c_xy") >= minCount)
+      .join(cx, "w1")
+      .join(cy, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("assoc",
+        (col("c_xy").cast("double") * col("nb")) /
+          (col("c_x").cast("double") * col("c_y")))
+      .select("w1", "w2", "c_xy", "assoc")
+      .orderBy(col("assoc").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** EXT-T8 — compression-ratio quality signal: deflate the UTF-8 text
     * at a FIXED level and report `compressed_bytes / raw_bytes` — the
     * Gopher/CCNet-family redundancy filter (highly repetitive or

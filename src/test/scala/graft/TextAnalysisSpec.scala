@@ -303,6 +303,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(rarity(3L) == rarity(1L)) // rarity is blind to the scramble
   }
 
+  test("collocations: exact PMI arithmetic, minCount guards hapax pairs, presentation order") {
+    // bigrams: "new york" x3 always adjacent; "big data" x2; "of the" x4
+    // but 'of' and 'the' roam (high marginals -> low association);
+    // "rare pair" occurs once -> filtered by minCount=2
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "new york of the big data of the rare pair",
+      2L -> "new york big data of the of of the the",
+      3L -> "new york"))
+    val got = TextAnalysis.collocations(spark, d, minCount = 2L, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    assert(!byPair.contains(("rare", "pair")))
+    val nb = 9L + 9L + 1L // bigram positions per doc (n-1 each)
+    val ny = byPair(("new", "york")) // c_xy=3, c_x("new" starts)=3, c_y=3
+    assert(ny._3 == 3L && ny._4 == (3.0 * nb) / (3.0 * 3.0))
+    val ot = byPair(("of", "the")) // c_xy=4; 'of' starts 5 bigrams, 'the' ends 5
+    assert(ot._3 == 4L && ot._4 == (4.0 * nb) / (5.0 * 5.0))
+    // the tight pair must out-associate the promiscuous one
+    assert(ny._4 > ot._4)
+    // presentation: assoc desc, then (w1, w2)
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("rarityScore: a doc of corpus-ubiquitous tokens scores exactly zero") {
     // every token appears in every doc -> N - df = 0 for all of them
     val d = TestTables.documentsDir(spark, Seq(
