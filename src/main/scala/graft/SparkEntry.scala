@@ -57,6 +57,10 @@ object SparkEntry {
     "x82_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
     // collocation mining: log-free PMI over adjacent token pairs
     "x83_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
+    // segment-level dedup repair: RefinedWeb line-dedup, docs rebuilt
+    "x84_segment_repair" -> ((s, dir) => Dedup.segmentRepair(s, dir)),
+    // CCNet perplexity buckets: per-lang head/middle/tail off sampled cutoffs
+    "x85_ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -526,6 +530,54 @@ object SparkEntry {
         |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
         |WHERE c_xy >= 5
         |ORDER BY assoc DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "x84_segment_repair" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, i::BIGINT AS s,
+        |        array_to_string(list_slice(ts, i, i + 9), ' ') AS seg
+        |      FROM t, unnest(range(1, len(ts) + 1, 10)) AS r(i)),
+        |gh AS (SELECT doc_id, s, seg, md5(seg) AS h FROM g),
+        |boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |                          FROM gh GROUP BY 1) WHERE nd >= 2),
+        |kept AS (SELECT * FROM gh WHERE h NOT IN (SELECT h FROM boiler)),
+        |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |        string_agg(seg, ' ' ORDER BY s) AS repaired
+        |      FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM gh GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_seg,
+        |       (tot.n_seg - coalesce(r.n_kept, 0))::BIGINT AS n_dropped,
+        |       md5(coalesce(r.repaired, '')) AS repaired_digest
+        |FROM tot LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x85_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT AS h1,
+        |        (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 15))::UBIGINT)::BIGINT AS h2
+        |      FROM t, unnest(range(1, len(ts))) AS r(i)
+        |      WHERE len(ts) >= 2),
+        |bc AS (SELECT h2, count(*)::BIGINT AS cb FROM s GROUP BY 1),
+        |uc AS (SELECT h1, count(*)::BIGINT AS cu FROM s GROUP BY 1),
+        |sc AS (SELECT doc_id, lang, cb, cu FROM s JOIN bc USING (h2) JOIN uc USING (h1)),
+        |scored AS (SELECT doc_id, lang, sum(cb)::DOUBLE / sum(cu) AS pooled_condp
+        |           FROM sc GROUP BY 1, 2),
+        |samp AS (SELECT * FROM scored
+        |         WHERE (('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT < 40),
+        |rk AS (SELECT lang, pooled_condp,
+        |         row_number() OVER (PARTITION BY lang ORDER BY pooled_condp DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS ns
+        |       FROM samp),
+        |cuts AS (SELECT lang,
+        |           max(CASE WHEN rn = (ns + 2) // 3 THEN pooled_condp END) AS head_min,
+        |           max(CASE WHEN rn = (2 * ns + 2) // 3 THEN pooled_condp END) AS mid_min
+        |         FROM rk GROUP BY 1)
+        |SELECT scored.doc_id, scored.lang, scored.pooled_condp,
+        |       CASE WHEN pooled_condp >= head_min THEN 'head'
+        |            WHEN pooled_condp >= mid_min THEN 'middle'
+        |            ELSE 'tail' END AS ppl_bucket
+        |FROM scored JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

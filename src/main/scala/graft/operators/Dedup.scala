@@ -721,4 +721,69 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match").cast("double") / numHashes)
       .orderBy("source_a", "source_b")
   }
+
+  /** EXT-D13 — segment-level dedup REPAIR (the RefinedWeb/CCNet
+    * line-dedup pass, adapted to this corpus's single-line documents):
+    * cut each document into non-overlapping `segTokens`-token segments,
+    * census segment content across the corpus, and REBUILD every
+    * document with the segments that appear in ≥ `minDocs` DISTINCT
+    * documents removed. Unlike the pair-producing dedup family this one
+    * returns the corpus fixed, not diagnosed — the x71 repair idea at
+    * sub-document granularity (boilerplate headers/footers/navigation
+    * are segment-level duplicates inside otherwise-unique pages, so
+    * whole-document dedup never sees them).
+    *
+    * `minDocs` counts DISTINCT documents on purpose: a segment repeated
+    * within ONE document is self-repetition (x20's signal, a quality
+    * matter), not cross-document boilerplate, and survives the repair.
+    *
+    * Shape: one segment stream (row-local `sequence`+`explode`+`slice`,
+    * the x38 chunker at stride = size), materialized once for its three
+    * consumers; the boilerplate census is a hash-partitioned agg on the
+    * segment digest (x1's shape at segment granularity — partial agg
+    * collapses repeats map-side); repair is a LEFT ANTI against the
+    * census survivors plus one doc_id-keyed rebuild whose
+    * `collect_list` buffer is bounded by segments-per-document, never
+    * corpus-sized. Nothing pairs documents; every shuffle is keyed by
+    * digest or doc_id. The rebuild's order key is the segment start —
+    * `array_sort` on (start, text) structs makes the concatenation
+    * deterministic under any shuffle order.
+    */
+  def segmentRepair(
+      spark: SparkSession,
+      dir: String,
+      segTokens: Int = 10,
+      minDocs: Long = 2L): DataFrame = {
+    require(segTokens > 0 && minDocs >= 2, "segTokens > 0, minDocs >= 2")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1L), col("n"), lit(segTokens.toLong))).as("s"))
+      .select(col("doc_id"), col("s"),
+        concat_ws(" ", slice(col("toks"), col("s"), lit(segTokens))).as("seg"))
+      .withColumn("h", md5(col("seg")))
+      .localCheckpoint() // census + both repair sides re-read it
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val rebuilt = segs.join(boiler, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("s"), col("seg")))),
+            x => x.getField("seg")),
+          " ").as("repaired"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_seg"),
+        (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("repaired"), lit(""))).as("repaired_digest"))
+      .orderBy("doc_id")
+  }
 }

@@ -518,17 +518,28 @@ object TextAnalysis {
     * join back, followed by one doc_id partial agg. Linear in corpus
     * tokens; nothing pairs documents.
     */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramScored(spark, dir)
+      .select("doc_id", "n_bigrams", "min_condp", "pooled_condp")
+      .orderBy("doc_id")
+
+  /** The x82 scoring pipeline with the document's `lang` carried
+    * through — the shared core of [[bigramLm]] (which drops lang for its
+    * declared schema) and [[perplexityBuckets]] (which stratifies by
+    * it). Documents with fewer than two tokens have no bigram and no
+    * row. Unordered: each caller applies its own presentation sort.
+    */
+  private[operators] def bigramScored(spark: SparkSession, dir: String): DataFrame = {
     val arr = Tables.documents(spark, dir)
-      .select(col("doc_id"), Tables.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"), Tables.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         slice(graft.functions.WindowHashes.windowHashes(col("ts"), 1),
           lit(1), size(col("ts")) - 1).as("u"),
         graft.functions.WindowHashes.windowHashes(col("ts"), 2).as("b"))
     val stream = arr
-      .select(col("doc_id"), posexplode(arrays_zip(col("u"), col("b"))))
-      .select(col("doc_id"), col("col.u").as("h1"), col("col.b").as("h2"))
+      .select(col("doc_id"), col("lang"), posexplode(arrays_zip(col("u"), col("b"))))
+      .select(col("doc_id"), col("lang"), col("col.u").as("h1"), col("col.b").as("h2"))
       .localCheckpoint()
     val bc = stream.groupBy("h2").agg(count(lit(1)).as("cb"))
     val uc = stream.groupBy("h1").agg(count(lit(1)).as("cu"))
@@ -536,14 +547,72 @@ object TextAnalysis {
       .join(bc, "h2")
       .join(uc, "h1")
       .withColumn("condp", col("cb").cast("double") / col("cu"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_bigrams"),
         min("condp").as("min_condp"),
         sum("cb").as("sum_cb"),
         sum("cu").as("sum_cu"))
-      .select(col("doc_id"), col("n_bigrams"), col("min_condp"),
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("min_condp"),
         (col("sum_cb").cast("double") / col("sum_cu")).as("pooled_condp"))
+  }
+
+  /** EXT-T13 — CCNet-style perplexity buckets: every document labeled
+    * head / middle / tail by where its bigram-LM fluency
+    * (`pooled_condp`, [[bigramLm]]'s bit-reproducible signal — higher =
+    * more fluent) falls WITHIN ITS LANGUAGE, with the tertile cutoffs
+    * CALIBRATED ON A DETERMINISTIC SAMPLE rather than by ranking the
+    * full corpus. That is CCNet's actual shape (Wenzek et al. 2020
+    * §4.3: per-language thresholds from a held-out slice, corpus then
+    * bucketed by comparison) and also the 100 TB shape: an `ntile` over
+    * the whole corpus is a total sort within each of a handful of
+    * language partitions — the classic few-giant-partitions skew — while
+    * threshold calibration sorts only the sample and the corpus pass is
+    * a broadcast-join comparison, linear and shuffle-free.
+    *
+    * Sampling is content-stable (`md5("ppl:" + doc_id) mod 100 <
+    * samplePct` — the x21/x25 derivation; replay-idempotent, no
+    * `rand()`). Cutoffs: with the sample's language slice sorted by
+    * (pooled_condp DESC, doc_id), `head_min` is the score at row
+    * ⌈n/3⌉ and `mid_min` at ⌈2n/3⌉; bucket = head if score ≥ head_min,
+    * middle if ≥ mid_min, else tail — pure value comparisons on exact
+    * doubles, so ties land deterministically in the better bucket in
+    * both engines. A language with no sampled scored documents has no
+    * calibration and is absent from the output (CCNet likewise needs a
+    * per-language model); sub-2-token documents have no score and are
+    * likewise absent.
+    */
+  def perplexityBuckets(
+      spark: SparkSession,
+      dir: String,
+      samplePct: Int = 40): DataFrame = {
+    require(samplePct > 0 && samplePct <= 100, "samplePct in (0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramScored(spark, dir)
+      .select("doc_id", "lang", "pooled_condp")
+      .localCheckpoint() // calibration and bucketing both re-read it
+    val draw = pmod(
+      conv(substring(md5(concat(lit("ppl:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(100L))
+    val sample = scored.filter(draw < samplePct)
+    val rn = row_number().over(
+      Window.partitionBy("lang").orderBy(col("pooled_condp").desc, col("doc_id")))
+    val cuts = sample
+      .withColumn("rn", rn)
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("rn1", expr("(ns + 2) div 3"))
+      .withColumn("rn2", expr("(2 * ns + 2) div 3"))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === col("rn1"), col("pooled_condp"))).as("head_min"),
+        max(when(col("rn") === col("rn2"), col("pooled_condp"))).as("mid_min"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("pooled_condp"),
+        when(col("pooled_condp") >= col("head_min"), lit("head"))
+          .when(col("pooled_condp") >= col("mid_min"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
       .orderBy("doc_id")
   }
 

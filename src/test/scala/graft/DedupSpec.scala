@@ -307,4 +307,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ok == Set(5L -> 2L))
   }
+
+  test("segmentRepair: cross-doc boilerplate cut, within-doc repeats kept, order preserved") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "a b c x y z p q r", // segments: "a b c" | "x y z" | "p q r"
+      2L -> "a b c d e f",       // shares "a b c" with doc 1 -> both lose it
+      3L -> "u v w u v w",       // same segment TWICE in one doc: self-repetition, kept
+      4L -> "a b c",             // entirely boilerplate -> repaired to the empty doc
+      5L -> "m n o p"))          // short tail segment "p" survives intact
+    val got = Dedup.segmentRepair(spark, d, segTokens = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 1L, md5hex("x y z p q r")))) // remaining order intact
+    assert(got(2L) == ((2L, 1L, md5hex("d e f"))))
+    assert(got(3L) == ((2L, 0L, md5hex("u v w u v w")))) // countDistinct, not count
+    assert(got(4L) == ((1L, 1L, md5hex(""))))            // repaired-to-empty still a row
+    assert(got(5L) == ((2L, 0L, md5hex("m n o p"))))
+  }
 }

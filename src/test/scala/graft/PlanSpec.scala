@@ -502,4 +502,45 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.collect { case w: WindowExec => w }.nonEmpty, p.toString)
     assert(prunesTo(p, "doc_id:bigint,source:string,n_chars:bigint"), p.toString)
   }
+
+  test("collocations: equi-joins only, 1-row N broadcast, bounded top-k — no rank window") {
+    val p = plan(TextAnalysis.collocations(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"count joins must stay equi:\n$p")
+    // the only nested-loop is the 1-row corpus-total broadcast
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 1, p.toString)
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+  }
+
+  test("segment repair: census + rebuild keyed shuffles only; anti-join stays equi") {
+    val p = plan(Dedup.segmentRepair(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, s"nothing may pair documents:\n$p")
+    // (no prunesTo here: the segment stream is localCheckpoint'd, so this
+    // plan starts at Scan ExistingRDD — the parquet scan lives upstream)
+    assert(p.collect { case w: WindowExec => w }.isEmpty, p.toString)
+  }
+
+  test("perplexity buckets: calibration windows see only the sample; corpus pass is a broadcast compare") {
+    val p = plan(TextAnalysis.perplexityBuckets(spark, dir))
+    // the 5-row cutoff table joins the corpus by broadcast, never shuffled
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty, p.toString)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // row_number/count windows exist for calibration only — they hang off
+    // the sample filter, not the full scored relation: every WindowExec
+    // descendant must carry the sample's draw filter
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, p.toString)
+    wins.foreach { w =>
+      assert(w.toString.contains("ppl:"),
+        s"calibration window must sort the SAMPLE (draw filter below it):\n$w")
+    }
+  }
 }

@@ -57,6 +57,16 @@ object TestTables {
     dir
   }
 
+  /** documents with explicit per-doc lang, from (id, text, lang). */
+  def documentsLangDir(spark: SparkSession, docs: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    docs.map { case (id, t, lang) => (id, t, lang, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   /** documents with explicit per-doc source, from (id, text, source). */
   def documentsSourcedDir(spark: SparkSession, docs: Seq[(Long, String, String)]): String = {
     import spark.implicits._

@@ -326,6 +326,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
   }
 
+  private def pplDraw(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ppl:$id".getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100L
+  }
+
+  test("perplexityBuckets: tertile rule recomputed independently, ties share the better bucket") {
+    // two identical fluent docs (every bigram repeated -> high pooled_condp,
+    // EXACTLY equal scores) + four distinct word salads
+    // salads share ONE vocabulary in clashing orders (unique tokens would
+    // score cb/cu = 1/1 — the classic unseen-word maximal-fluency quirk)
+    val fluent = "the cat sat on the mat the cat sat on the mat"
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> fluent, 2L -> fluent,
+      3L -> "a b c d e f g h",
+      4L -> "b d f h a c e g",
+      5L -> "c g b f a e d h",
+      6L -> "h f d b g e c a"))
+    val got = TextAnalysis.perplexityBuckets(spark, d, samplePct = 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.length == 6)
+    // recompute the cutoff rule from the returned scores, independently
+    val ranked = got.sortBy(t => (-t._3, t._1))
+    val ns = ranked.length
+    val headMin = ranked((ns + 2) / 3 - 1)._3
+    val midMin = ranked((2 * ns + 2) / 3 - 1)._3
+    got.foreach { case (_, _, p, b) =>
+      val want = if (p >= headMin) "head" else if (p >= midMin) "middle" else "tail"
+      assert(b == want)
+    }
+    // the identical pair ties exactly and lands together in head
+    val pair = got.filter(t => t._1 <= 2L)
+    assert(pair.map(_._3).distinct.length == 1 && pair.forall(_._4 == "head"))
+    assert(got.count(_._4 == "head") >= 2 && got.count(_._4 == "tail") >= 1)
+  }
+
+  test("perplexityBuckets: stratified per language; unsampled langs and sub-2-token docs absent") {
+    // ids whose content-stable draw keeps them in / out of a 40% sample
+    val in = (1L to 400L).filter(pplDraw(_) < 40L)
+    val out = (1L to 400L).filter(pplDraw(_) >= 40L)
+    assert(in.length >= 4 && out.nonEmpty)
+    val fluent = "a b a b a b a b a b"
+    val docs =
+      in.take(4).map(id => (id, s"u$id v$id w$id x$id", "low")) :+ // distinct salads
+        ((in(4), fluent, "hi")) :+ ((in(5), fluent, "hi")) :+
+        ((out.head, "m n o p q r", "zz")) :+ // lang zz never sampled -> no calibration
+        ((in(6), "solo", "en")) // 1 token -> no bigram -> no score
+    val d = TestTables.documentsLangDir(spark, docs)
+    val got = TextAnalysis.perplexityBuckets(spark, d, samplePct = 40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(!got.exists(_._2 == "zz")) // no sampled doc -> lang excluded
+    assert(!got.exists(_._1 == in(6))) // unscoreable doc absent
+    // every calibrated language gets its own head — even the all-salad one
+    assert(got.exists(t => t._2 == "low" && t._3 == "head"))
+    assert(got.exists(t => t._2 == "hi" && t._3 == "head"))
+  }
+
   test("rarityScore: a doc of corpus-ubiquitous tokens scores exactly zero") {
     // every token appears in every doc -> N - df = 0 for all of them
     val d = TestTables.documentsDir(spark, Seq(
