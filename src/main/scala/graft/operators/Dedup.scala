@@ -754,8 +754,28 @@ object Dedup {
       dir: String,
       segTokens: Int = 10,
       minDocs: Long = 2L): DataFrame = {
-    require(segTokens > 0 && minDocs >= 2, "segTokens > 0, minDocs >= 2")
-    val segs = Tables.documents(spark, dir)
+    require(minDocs >= 2, "minDocs >= 2")
+    val segs = segmentStream(Tables.documents(spark, dir), segTokens)
+      .localCheckpoint() // census + both repair sides re-read it
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    rebuildWithout(segs, boiler)
+      .select(
+        col("doc_id"), col("n_seg"), col("n_dropped"),
+        md5(col("repaired")).as("repaired_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** The (doc_id, s, seg, h) segment stream shared by [[segmentRepair]]
+    * and the index builders: non-overlapping `segTokens`-token segments
+    * with 1-based starts, segment text, and its md5. Row-local
+    * `sequence`+`explode`+`slice` — no shuffle.
+    */
+  private[operators] def segmentStream(docs: DataFrame, segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens > 0")
+    docs
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
       .select(col("doc_id"), col("toks"),
@@ -763,12 +783,17 @@ object Dedup {
       .select(col("doc_id"), col("s"),
         concat_ws(" ", slice(col("toks"), col("s"), lit(segTokens))).as("seg"))
       .withColumn("h", md5(col("seg")))
-      .localCheckpoint() // census + both repair sides re-read it
-    val boiler = segs.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("h")
-    val rebuilt = segs.join(boiler, Seq("h"), "left_anti")
+  }
+
+  /** Rebuild each document from `segs` minus the segments whose hash is
+    * in `boiler(h)`: per doc, `n_seg`, `n_dropped`, and the repaired
+    * text (segments re-concatenated in start order — `array_sort` on
+    * (start, text) structs makes the order shuffle-independent; the
+    * `collect_list` buffer is bounded by segments-per-document).
+    * Documents losing every segment repair to the empty string.
+    */
+  private def rebuildWithout(segs: DataFrame, boiler: DataFrame): DataFrame = {
+    val rebuilt = segs.join(boiler.select("h"), Seq("h"), "left_anti")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_kept"),
@@ -780,10 +805,57 @@ object Dedup {
     segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(
-        col("doc_id"),
-        col("n_seg"),
+        col("doc_id"), col("n_seg"),
         (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(coalesce(col("repaired"), lit(""))).as("repaired_digest"))
+        coalesce(col("repaired"), lit("")).as("repaired"))
+  }
+
+  /** The per-document segment-hash relation a streaming maintainer
+    * appends (EXT-6p): `(doc_id, h)` distinct per document, stamped with
+    * its `seg_tokens` so a probe under different segmentation is refused
+    * rather than silently wrong — the [[winnowSignatures]] /
+    * [[bandSignatures]] stamp contract. Distinct-per-doc keeps the index
+    * minimal; the census downstream counts DISTINCT doc_ids anyway, so
+    * at-least-once replay appends change nothing (replay-IMMUNE, not
+    * merely tolerant).
+    */
+  def segmentSignatures(docs: DataFrame, segTokens: Int = 10): DataFrame =
+    segmentStream(docs, segTokens)
+      .select("doc_id", "h")
+      .distinct()
+      .withColumn("seg_tokens", lit(segTokens))
+
+  /** The probe half of EXT-6p: repair `docs` against a maintained
+    * segment index — a segment is boilerplate when the INDEX has seen it
+    * in ≥ `minDocs` distinct documents. Returns (doc_id, n_seg,
+    * n_dropped, repaired) with the repaired TEXT (the streaming consumer
+    * wants the fixed document, not a digest).
+    *
+    * At-ingest semantics, same as every index probe in this family: the
+    * census is as of the last maintained batch, so a segment that only
+    * BECOMES boilerplate later repairs later arrivals, not documents
+    * already emitted. The probing batch's own segments are not counted
+    * unless the maintainer has already consumed that batch.
+    */
+  def repairAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      segTokens: Int = 10,
+      minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2")
+    require(index.columns.contains("seg_tokens"),
+      "index does not carry its seg_tokens parameter — rebuild it with segmentSignatures")
+    val params = index.select("seg_tokens").distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    require(params.forall(_.isDefined),
+      "index contains null seg_tokens stamps — provenance unknowable, rebuild it")
+    require(params.flatten.toSet == Set(segTokens),
+      s"index was segmented under ${params.flatten.mkString(",")}, probe expects $segTokens")
+    val boiler = index.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    rebuildWithout(segmentStream(docs, segTokens).localCheckpoint(), boiler)
       .orderBy("doc_id")
   }
 }

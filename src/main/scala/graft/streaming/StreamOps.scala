@@ -216,6 +216,26 @@ object StreamOps {
     maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
       batch => graft.operators.Dedup.winnowSignatures(batch, k, wWin))
 
+  /** EXT-6p — streaming SEGMENT-index maintenance: the same generation
+    * lifecycle applied to [[graft.operators.Dedup.segmentSignatures]],
+    * the unit of x84's segment-level dedup repair. Closes the
+    * boilerplate-repair ingest loop: arriving documents' segment hashes
+    * accumulate once, and fresh batches are REPAIRED against the
+    * accumulated census via [[graft.operators.Dedup.repairAgainstIndex]]
+    * without rescanning the corpus. The probe's census counts DISTINCT
+    * doc_ids, so the at-least-once append contract needs no
+    * exactly-once machinery — replays are census-invisible.
+    */
+  def maintainSegmentIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024,
+      segTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.segmentSignatures(batch, segTokens))
+
   private def maintainGenerationalIndex(
       docs: DataFrame,
       indexDir: String,
@@ -286,6 +306,14 @@ object StreamOps {
     */
   def winnowIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
     liveIndex(spark, indexDir, "winnow")
+
+  /** The probe-side resolver for a [[maintainSegmentIndex]] index — the
+    * live generation's stamped segment-hash relation, suitable for
+    * [[graft.operators.Dedup.repairAgainstIndex]]. Same resolution (and
+    * cutover-race retry) as [[lshIndex]].
+    */
+  def segmentIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "segment")
 
   private def liveIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -317,6 +317,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("winnowed under"))
   }
 
+  test("maintainSegmentIndex: probe repairs against the accumulated census; replay-immune; stamps enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-segidx").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.maintainSegmentIndex(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/ckpt",
+      segTokens = 3)
+    try {
+      stream.addData((1L, "a b c x y z"), (2L, "a b c d e f"))
+      q.processAllAvailable()
+      stream.addData((1L, "a b c x y z")) // at-least-once replay appends
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = StreamOps.segmentIndex(spark, s"$tmp/index")
+    // "a b c" has been seen in docs 1 and 2 -> boilerplate; a fresh doc
+    // carrying it is repaired at ingest, and the replayed append of doc 1
+    // must NOT have promoted any doc-1-only segment ("x y z") to boilerplate
+    val got = graft.operators.Dedup.repairAgainstIndex(
+      Seq((9L, "a b c x y z q r s")).toDF("doc_id", "text"), idx, segTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((9L, 3L, 1L, "x y z q r s")))
+    // a segment the index has seen only once is not boilerplate yet:
+    // at-ingest semantics, the census is as of the last maintained batch
+    val solo = graft.operators.Dedup.repairAgainstIndex(
+      Seq((10L, "d e f p q r")).toDF("doc_id", "text"), idx, segTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(solo.toSeq == Seq((10L, 0L, "d e f p q r")))
+    // stamp enforcement: probing under a different segmentation is refused
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.repairAgainstIndex(
+        Seq((11L, "a b c")).toDF("doc_id", "text"), idx, segTokens = 5).collect()
+    }
+    assert(e.getMessage.contains("segmented under"))
+    val legacy = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.repairAgainstIndex(
+        Seq((11L, "a b c")).toDF("doc_id", "text"), idx.drop("seg_tokens"), segTokens = 3)
+    }
+    assert(legacy.getMessage.contains("rebuild"))
+  }
+
   test("maintainLshIndex compaction: file count stays bounded; probe relation unchanged across generations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
