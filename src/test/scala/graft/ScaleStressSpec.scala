@@ -252,6 +252,42 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         s"(≤$filesPerCellMax files/cell) — pruning must survive the scale-up")
   }
 
+  test("x83 collocations at 10x: count joins stay equi; only the 1-row N broadcast nests; no window") {
+    val p = plan(graft.operators.TextAnalysis.collocations(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"marginal-count joins must stay equi at 10x:\n$p")
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 1, s"only the 1-row corpus total may nest:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
+  test("x84 segment repair at 10x: nothing pairs documents; census anti-join stays equi") {
+    val p = plan(graft.operators.Dedup.segmentRepair(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
+  test("x85 ppl buckets at 10x: calibration windows stay on the sample; corpus join stays broadcast") {
+    val p = plan(graft.operators.TextAnalysis.perplexityBuckets(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // 10x more documents must NOT flip the 5-row cutoff table off the
+    // broadcast path (that flip would shuffle the whole scored corpus)
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"cutoff join must stay broadcast at 10x:\n$p")
+    p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach(w => assert(w.toString.contains("ppl:"),
+        s"calibration window must sit above the sample filter:\n$w"))
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
