@@ -61,6 +61,8 @@ object SparkEntry {
     "x84_segment_repair" -> ((s, dir) => Dedup.segmentRepair(s, dir)),
     // CCNet perplexity buckets: per-lang head/middle/tail off sampled cutoffs
     "x85_ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(s, dir)),
+    // user-journey Markov transitions: first-order event-type matrix
+    "x86_event_transitions" -> ((s, dir) => Temporal.transitions(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -578,6 +580,18 @@ object SparkEntry {
         |            ELSE 'tail' END AS ppl_bucket
         |FROM scored JOIN cuts USING (lang)
         |ORDER BY doc_id""".stripMargin,
+
+    "x86_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+        |      FROM events),
+        |p AS (SELECT event_type AS from_type, nxt AS to_type FROM o WHERE nxt IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_trans FROM p GROUP BY 1, 2),
+        |m AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n_trans,
+        |       n_trans::DOUBLE / n_from AS p_trans
+        |FROM c JOIN m USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

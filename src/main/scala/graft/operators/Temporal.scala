@@ -238,4 +238,43 @@ object Temporal {
         col("col.cid").as("user_id"), col("col.sim").cast("long").as("n_events"))
       .orderBy("window_start_s", "rank")
   }
+
+  /** EXT-X7 — user-journey Markov transitions: the first-order
+    * transition matrix over per-user event sequences — for each ordered
+    * event-type pair, how many times one immediately followed the other
+    * in some user's timeline, and the conditional probability
+    * `p(to | from) = n_trans / n_from`. The journey-analysis primitive
+    * the funnel (x55) fixes a path for: the funnel asks "how many made
+    * it through THIS sequence", the transition matrix surfaces which
+    * sequences exist at all (and feeds next-step prediction / anomaly
+    * flags on event streams).
+    *
+    * Adjacency is per user, ordered by (event time in µs, event_id) —
+    * the tie-break makes the sequence a total order, so the matrix is
+    * replay-deterministic in both engines even when a user has
+    * same-timestamp events.
+    *
+    * Scale: ONE window shuffle keyed by user_id (sessionize's exact
+    * story — per-user state is the user's own events, never corpus-
+    * sized), collapsed immediately to the |types|² count matrix by a
+    * partial agg; the marginal is RE-aggregated from that tiny matrix
+    * (sum over its rows), never by a second pass over the event stream,
+    * and the final join runs on |types|² rows — broadcast territory at
+    * any corpus size. One IEEE division at the end.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = Replication.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("from_type"), col("nxt").as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val marginal = counts.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+    counts.join(marginal, "from_type")
+      .withColumn("p_trans", col("n_trans").cast("double") / col("n_from"))
+      .select("from_type", "to_type", "n_trans", "p_trans")
+      .orderBy("from_type", "to_type")
+  }
 }

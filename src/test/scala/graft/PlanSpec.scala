@@ -503,6 +503,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(prunesTo(p, "doc_id:bigint,source:string,n_chars:bigint"), p.toString)
   }
 
+  test("event transitions: one user window shuffle; marginal re-aggregates the matrix, not the stream") {
+    val p = plan(Temporal.transitions(spark, dir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, p.toString)
+    // exactly one WindowExec (the per-user lead); a second would mean the
+    // marginal went back to the event stream instead of the count matrix
+    assert(p.collect { case w: WindowExec => w }.length == 1, p.toString)
+    assert(prunesTo(p, "event_id:bigint,ts:bigint,user_id:bigint,event_type:string"),
+      p.toString)
+  }
+
   test("collocations: equi-joins only, 1-row N broadcast, bounded top-k — no rank window") {
     val p = plan(TextAnalysis.collocations(spark, dir))
     assert(p.collect {

@@ -118,4 +118,24 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       Seq((600L, 1, 7L, 1L), (600L, 2, 8L, 1L)))
     assert(got.map(_._1).distinct.sorted.toSeq == Seq(0L, 600L))
   }
+
+  test("transitions: per-user adjacency, exact conditionals, event_id breaks timestamp ties") {
+    // user 1: view -> click -> view ; user 2: view -> purchase, where the
+    // purchase shares its timestamp with the view — only the event_id
+    // tie-break makes (view -> purchase) the sequence, not the reverse
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, 1000000L, 1L, "view"),
+      (2L, 2000000L, 1L, "click"),
+      (3L, 3000000L, 1L, "view"),
+      (4L, 5000000L, 2L, "view"),
+      (5L, 5000000L, 2L, "purchase")))
+    val got = Temporal.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "purchase", 1L, 0.5)))
+    // conditionals per from_type sum to exactly 1
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.map(_._4).sum == 1.0) }
+  }
 }
