@@ -532,6 +532,71 @@ object StreamOps {
       }
   }
 
+  /** Per-user transition-chain state: the last SEALED event's (ms, type)
+    * — the chain anchor, one small record kept for the user's lifetime —
+    * plus the in-horizon pending events the watermark has not sealed.
+    */
+  case class TransState(lastMs: Long, lastType: String,
+      pendMs: List[Long], pendId: List[Long], pendType: List[String])
+
+  /** One emitted journey step: `ts` is the LATER event's time. */
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      ts: java.sql.Timestamp)
+
+  /** EXT-6q — streaming user-journey transitions: the unbounded twin of
+    * [[graft.operators.Temporal.transitions]]'s pair stream, emitting
+    * each (from_type → to_type) adjacency the moment its LATER event is
+    * sealed by the watermark. Events are held in per-user state until
+    * `ts <= watermark` (an in-scope late event could still sequence
+    * BETWEEN two already-seen events); sealed events sort by
+    * (ts, event_id) — the batch twin's exact tie-break — and chain off
+    * the last previously-sealed event, which is safe across batches
+    * because every future arrival must carry ts > watermark ≥ sealed ts
+    * (Spark's late filter is `LessThanOrEqual`, the same boundary the
+    * sessionize/funnel seals lean on).
+    *
+    * State is bounded by USERS: one chain anchor forever (dropping it
+    * would let the next batch re-emit the user's first transition) plus
+    * the in-horizon pending list. Source-side at-least-once duplicates
+    * in-horizon are collapsed by the (ts, id, type) `distinct`, the
+    * funnel's discipline. Aggregation to the transition MATRIX is a
+    * downstream `groupBy(from_type, to_type).count()` — this operator
+    * stays the pair stream so consumers can also window it, join a
+    * baseline matrix for anomaly flags, or feed next-step prediction.
+    */
+  def transitionsStream(
+      ds: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(
+            TransState(Long.MinValue, null, Nil, Nil, Nil))
+          val all = (st.pendMs.lazyZip(st.pendId).lazyZip(st.pendType).toList ++
+            events.map(e => (e.ts.getTime, e.event_id, e.event_type))).distinct
+          val wm = state.getCurrentWatermarkMs()
+          val (sealedEvs, pending) = all.partition(_._1 <= wm)
+          var lastMs = st.lastMs
+          var lastType = st.lastType
+          val out = List.newBuilder[Transition]
+          for ((ms, _, typ) <- sealedEvs.sortBy(t => (t._1, t._2))) {
+            if (lastType != null)
+              out += Transition(userId, lastType, typ, new java.sql.Timestamp(ms))
+            lastMs = ms
+            lastType = typ
+          }
+          state.update(TransState(lastMs, lastType,
+            pending.map(_._1), pending.map(_._2), pending.map(_._3)))
+          if (pending.nonEmpty)
+            // every pending ts is > wm after the <=-partition: legal timeout
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** EXT-6i — streaming semantic-cell assignment: score an unbounded
     * (vec_id, embedding) stream against centroids trained on the BATCH
     * corpus ([[graft.operators.Similarity.trainedCentroids]]), emitting

@@ -317,6 +317,60 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(e.getMessage.contains("winnowed under"))
   }
 
+  test("transitionsStream: watermark-sealed adjacency, late events sequence in, ties by event_id, chain survives batches, replays collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.transitionsStream(stream.toDS())
+      .writeStream.format("memory").queryName("trans_out").outputMode("append").start()
+    try {
+      // user 10: click arrives first; its view arrives in a LATER batch
+      // but EARLIER in event time — it must sequence before the click.
+      // user 11: view and click share a timestamp — event_id orders them.
+      // user 12: single view now; its click arrives much later (chain
+      // anchor must survive the batches in between).
+      stream.addData(ev(1, 5, 10), ev(20, 2, 12, "view"),
+        ev(3, 8, 11, "view"), ev(4, 8, 11))
+      q.processAllAvailable()
+      stream.addData(ev(2, 3, 10, "view"), ev(5, 7, 10, "purchase"),
+        ev(8, 60, 99, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9, 61, 99)) // wm -> 50: seals users 10/11/12
+      q.processAllAvailable()
+      stream.addData(ev(21, 55, 12), ev(10, 100, 99, "purchase"))
+      q.processAllAvailable()
+      // in-horizon at-least-once replay of the pending purchase
+      stream.addData(ev(10, 100, 99, "purchase"), ev(11, 101, 99, "view"))
+      q.processAllAvailable() // wm -> 91: seals 12's click, 99's view+click
+      stream.addData(ev(12, 115, 99))
+      q.processAllAvailable()
+      stream.addData(ev(13, 116, 99, "view")) // wm -> 105: seals the purchase
+      q.processAllAvailable()
+      val got = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getTimestamp(3)))
+        .toSet
+      val expect = Set(
+        (10L, "view", "click", ts(5)), (10L, "click", "purchase", ts(7)),
+        (11L, "view", "click", ts(8)),
+        (12L, "view", "click", ts(55)),
+        (99L, "view", "click", ts(61)),
+        (99L, "click", "purchase", ts(100)), // exactly once despite the replay
+        (99L, "purchase", "view", ts(101)))
+      assert(got == expect, s"got $got")
+      // sealed pair counts agree with the batch matrix over the same events
+      val dir = TestTables.eventsDir(spark, Seq(
+        (1L, 5L * 60000000L, 10L, "click"), (20L, 2L * 60000000L, 12L, "view"),
+        (3L, 8L * 60000000L, 11L, "view"), (4L, 8L * 60000000L, 11L, "click"),
+        (2L, 3L * 60000000L, 10L, "view"), (5L, 7L * 60000000L, 10L, "purchase"),
+        (21L, 55L * 60000000L, 12L, "click")))
+      val batch = graft.operators.Temporal.transitions(spark, dir).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val sealedPairs = got.filter(_._1 < 99L)
+        .groupBy(t => (t._2, t._3)).map { case (k, g) => (k, g.size.toLong) }
+      assert(sealedPairs == batch, s"stream $sealedPairs vs batch $batch")
+    } finally q.stop()
+  }
+
   test("maintainSegmentIndex: probe repairs against the accumulated census; replay-immune; stamps enforced") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
