@@ -63,6 +63,8 @@ object SparkEntry {
     "x85_ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(s, dir)),
     // user-journey Markov transitions: first-order event-type matrix
     "x86_event_transitions" -> ((s, dir) => Temporal.transitions(s, dir)),
+    // DSIR hashed importance weights: target-vs-raw bucket-mass ratio
+    "x87_importance_weights" -> ((s, dir) => Curation.importanceWeights(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -592,6 +594,24 @@ object SparkEntry {
         |       n_trans::DOUBLE / n_from AS p_trans
         |FROM c JOIN m USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "x87_importance_weights" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT % 65536 AS b
+        |      FROM t, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |rc AS (SELECT b, count(*)::BIGINT AS rc FROM s GROUP BY 1),
+        |tc AS (SELECT b, count(*)::BIGINT AS tc FROM s WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS nr,
+        |               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS nt
+        |        FROM s),
+        |d AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
+        |             sum(coalesce(tc, 0))::BIGINT AS t_mass,
+        |             sum(rc)::BIGINT AS r_mass
+        |      FROM s JOIN rc USING (b) LEFT JOIN tc USING (b) GROUP BY 1)
+        |SELECT doc_id, n_toks, t_mass, r_mass,
+        |       (t_mass::DOUBLE * nr) / (r_mass::DOUBLE * nt) AS importance
+        |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
 
     "x7_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

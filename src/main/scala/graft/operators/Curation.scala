@@ -1146,4 +1146,68 @@ object Curation {
       .select("doc_id", "quality", "u", "threshold", "keep")
       .orderBy("doc_id")
   }
+
+  /** EXT-C28 — DSIR-style hashed importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much its token distribution looks
+    * like a designated TARGET slice (here the `targetSource` documents —
+    * the stand-in for "quality domain we want more of"), using hashed
+    * unigram BUCKETS so the feature space is fixed-width no matter the
+    * vocabulary — DSIR's actual trick, and the 100 TB one: `numBuckets`
+    * bounds both count relations regardless of corpus size.
+    *
+    * Exact-arithmetic cousin of DSIR's log-likelihood ratio, the same
+    * substitution [[TextAnalysis.bigramLm]] makes for KenLM perplexity:
+    * instead of `Σ log(p_target(b)/p_raw(b))` (order-sensitive float
+    * sum, libm-dependent), each document pools BIGINT count masses —
+    * `t_mass = Σ tc(b)`, `r_mass = Σ rc(b)` over its token positions —
+    * and `importance = (t_mass · N_raw) / (r_mass · N_target)` is two
+    * IEEE multiplies and one division on exact integers, > 1 iff the
+    * document's buckets are disproportionately target-mass. Downstream
+    * resampling composes with the house samplers (x45's weighted gate,
+    * x46's budgeted top-k) rather than being baked in here.
+    *
+    * Plan: ONE hashed-token stream (compiled
+    * [[graft.functions.WindowHashes]] k=1, bucketed by `pmod`),
+    * materialized once and consumed four ways: the two bucket-count
+    * aggregations (partial-agg groupBys, output ≤ numBuckets rows — AQE
+    * broadcasts them back), the two scalar totals (one row), and the
+    * scoring join + one doc_id partial agg. Linear in corpus tokens;
+    * nothing pairs documents; no global sort (presentation `orderBy`
+    * aside). A bucket absent from the target LEFT-joins to tc=0 —
+    * smoothing is the caller's choice via the importance floor, not
+    * hidden arithmetic.
+    */
+  def importanceWeights(
+      spark: SparkSession,
+      dir: String,
+      targetSource: String = "src0",
+      numBuckets: Long = 65536L): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val isTarget = col("source") === targetSource
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.WindowHashes.windowHashes(
+          Tables.tokens(col("text")), 1)).as("h"))
+      .select(col("doc_id"), col("source"),
+        pmod(col("h"), lit(numBuckets)).as("b"))
+      .localCheckpoint() // four consumers of one linear token pass
+    val rc = s.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = s.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = s.agg(
+      count(lit(1)).as("nr"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("nt"))
+    s.join(rc, "b")
+      .join(tc, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("tc"), lit(0L))).as("t_mass"),
+        sum(col("rc")).as("r_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"), col("t_mass"), col("r_mass"),
+        ((col("t_mass").cast("double") * col("nr")) /
+          (col("r_mass").cast("double") * col("nt"))).as("importance"))
+      .orderBy("doc_id")
+  }
 }

@@ -603,6 +603,44 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("importanceWeights: exact agreement with an independent brute-force reference") {
+    val docs = Seq(
+      (1L, "wiki facts wiki science", "src0"),   // the target slice
+      (2L, "wiki science facts", "src0"),
+      (3L, "wiki facts spam", "src1"),           // mostly target-mass tokens
+      (4L, "spam spam buy now", "src1"),         // tokens absent from target
+      (5L, "science wiki", "src2"))
+    val dir = TestTables.documentsSourcedDir(spark, docs)
+    val nBuckets = 65536L
+
+    // independent reference: same md5-top-60-bit token hash as RefWinnow's
+    // k=1 gram, bucketed, pooled target/raw masses
+    val toks = docs.map { case (id, t, s) => (id, s, t.split(" ").toSeq) }
+    val stream = toks.flatMap { case (id, s, ts) =>
+      ts.map(w => (id, s, RefWinnow.gramHash(Seq(w)) % nBuckets))
+    }
+    val rc = stream.groupBy(_._3).map { case (b, g) => b -> g.size.toLong }
+    val tc = stream.filter(_._2 == "src0").groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val nr = stream.size.toLong
+    val nt = stream.count(_._2 == "src0").toLong
+    val expect = toks.map { case (id, _, ts) =>
+      val bs = ts.map(w => RefWinnow.gramHash(Seq(w)) % nBuckets)
+      val tMass = bs.map(b => tc.getOrElse(b, 0L)).sum
+      val rMass = bs.map(rc).sum
+      id -> ((ts.size.toLong, tMass, rMass,
+        (tMass.toDouble * nr) / (rMass.toDouble * nt)))
+    }.toMap
+
+    val got = Curation.importanceWeights(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // direction: the all-foreign doc 4 scores 0; target docs score > 1
+    assert(got(4L)._4 == 0.0)
+    assert(got(1L)._4 > 1.0 && got(2L)._4 > 1.0)
+  }
+
   test("quantileAudit: degenerate strata (n=1, n=2) clamp every rank correctly") {
     val dir = TestTables.documentsSourcedDir(spark, Seq(
       (1L, "x" * 7, "solo"),
