@@ -1210,4 +1210,73 @@ object Curation {
           (col("r_mass").cast("double") * col("nt"))).as("importance"))
       .orderBy("doc_id")
   }
+
+  /** The trained artifact of [[importanceWeights]], packaged for the
+    * streaming ingest gate ([[graft.streaming.StreamOps.importanceGateStream]])
+    * — the same train-batch/serve-stream contract as the k-means
+    * centroids (EXT-6i): the model is fitted once on the batch corpus
+    * and shipped to executors as a broadcast. Both count maps are
+    * bounded by `numBuckets` REGARDLESS of corpus size (DSIR's hashing
+    * trick is exactly what makes the model broadcastable), so the
+    * driver-side collect is bounded by construction, not by data.
+    */
+  case class ImportanceModel(
+      targetSource: String,
+      numBuckets: Long,
+      nRaw: Long,
+      nTarget: Long,
+      rawCounts: Map[Long, Long],
+      targetCounts: Map[Long, Long]) {
+    require(numBuckets > 0, "numBuckets must be positive")
+
+    /** Score one document's bucket ids — the exact arithmetic of
+      * [[importanceWeights]] (pooled BIGINT masses, one IEEE ratio).
+      * Buckets the training corpus never saw contribute no mass; a
+      * document with zero raw mass (entirely unseen vocabulary) scores
+      * 0.0 — the training distribution offers no evidence for it.
+      */
+    def score(buckets: Seq[Long]): (Long, Long, Double) = {
+      var t = 0L
+      var r = 0L
+      buckets.foreach { b =>
+        t += targetCounts.getOrElse(b, 0L)
+        r += rawCounts.getOrElse(b, 0L)
+      }
+      val imp =
+        if (r == 0L) 0.0 else (t.toDouble * nRaw) / (r.toDouble * nTarget)
+      (t, r, imp)
+    }
+  }
+
+  /** Fit the [[ImportanceModel]] on the batch corpus: ONE hashed-token
+    * pass folded to the ≤ `numBuckets`-row (bucket, rc, tc) relation by
+    * partial agg, collected driver-side (bounded by `numBuckets` — see
+    * the ImportanceModel scaladoc for why that bound is structural).
+    * Same hash, same bucketing, same counts as [[importanceWeights]] —
+    * exact integers, so the two spellings cannot drift.
+    */
+  def trainImportanceModel(
+      spark: SparkSession,
+      dir: String,
+      targetSource: String = "src0",
+      numBuckets: Long = 65536L): ImportanceModel = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val isTarget = col("source") === targetSource
+    val rows = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.WindowHashes.windowHashes(
+          Tables.tokens(col("text")), 1)).as("h"))
+      .select(col("source"), pmod(col("h"), lit(numBuckets)).as("b"))
+      .groupBy("b")
+      .agg(
+        count(lit(1)).as("rc"),
+        sum(when(isTarget, 1L).otherwise(0L)).as("tc"))
+      .collect() // ≤ numBuckets rows by construction
+    val rc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = rows.collect {
+      case r if r.getLong(2) > 0L => r.getLong(0) -> r.getLong(2)
+    }.toMap
+    ImportanceModel(targetSource, numBuckets,
+      rc.values.sum, tc.values.sum, rc, tc)
+  }
 }

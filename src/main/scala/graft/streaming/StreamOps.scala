@@ -395,6 +395,52 @@ object StreamOps {
       .withColumn("maybe_dup", maybe(col("digest")))
   }
 
+  /** EXT-6r — streaming DSIR importance gate: score every arriving
+    * document against the batch-trained
+    * [[graft.operators.Curation.ImportanceModel]] (x87's artifact) and
+    * admit those at least `minImportance` target-like — the ingest-time
+    * twin of batch importance resampling, under EXT-6i's
+    * train-batch/serve-stream contract (the model is FIT on the corpus,
+    * never updated by the stream; refreshing it is a new batch train,
+    * exactly like centroid retrain).
+    *
+    * Stateless and shuffle-free: bucket ids come from the same compiled
+    * [[graft.functions.WindowHashes]] k=1 + `pmod` spelling as the batch
+    * operator (hash drift structurally impossible), and the mass lookup
+    * probes the broadcast count maps row-locally — a UDF for
+    * [[curateStream]]'s reason: no declarative expression can address a
+    * broadcast JVM map, and the model is ≤ numBuckets entries by
+    * construction (DSIR's hashing trick is what makes it fit). The
+    * scoring arithmetic is `ImportanceModel.score` — the batch
+    * operator's exact pooled-mass ratio, so a doc scores IDENTICALLY in
+    * both engines (spec-pinned). Documents of entirely unseen
+    * vocabulary have zero raw mass and score 0.0 — never admitted, the
+    * conservative default for a distribution the model has no evidence
+    * about.
+    */
+  def importanceGateStream(
+      docs: DataFrame,
+      model: graft.operators.Curation.ImportanceModel,
+      minImportance: Double = 1.0): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val mass = udf((bs: Seq[Long]) => {
+      val (t, r, imp) = bc.value.score(bs)
+      (t, r, imp)
+    })
+    docs
+      .withColumn("bs", transform(
+        graft.functions.WindowHashes.windowHashes(
+          graft.operators.Tables.tokens(col("text")), 1),
+        h => pmod(h, lit(model.numBuckets))))
+      .withColumn("m", mass(col("bs")))
+      .select(docs.columns.toIndexedSeq.map(col) :+
+        size(col("bs")).cast("long").as("n_toks") :+
+        col("m._1").as("t_mass") :+
+        col("m._2").as("r_mass") :+
+        col("m._3").as("importance") :+
+        (col("m._3") >= minImportance).as("admitted"): _*)
+  }
+
   /** EXT-6c — sessionization: group events per user into sessions closed
     * by `gap` of event-time inactivity, via `flatMapGroupsWithState` with
     * an event-time timeout. A session is emitted ONLY once the watermark

@@ -501,6 +501,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("importanceGateStream: scores equal the batch x87 weights; unseen vocab scores 0 and is rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, "wiki facts wiki science", "src0"),
+      (2L, "wiki science facts", "src0"),
+      (3L, "wiki facts spam", "src1"),
+      (4L, "spam spam buy now", "src1"),
+      (5L, "science wiki", "src2")))
+    val model = graft.operators.Curation.trainImportanceModel(spark, dir)
+    val batch = graft.operators.Curation.importanceWeights(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.importanceGateStream(
+      stream.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("imp_out").outputMode("append").start()
+    try {
+      stream.addData((1L, "wiki facts wiki science"), (4L, "spam spam buy now"))
+      q.processAllAvailable()
+      stream.addData((3L, "wiki facts spam"),
+        (9L, "quantum entanglement")) // vocabulary the model never saw
+      q.processAllAvailable()
+      val got = spark.table("imp_out").collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("t_mass"),
+            r.getAs[Long]("r_mass"), r.getAs[Double]("importance"),
+            r.getAs[Boolean]("admitted")))).toMap
+      // in-corpus docs score bit-identically to the batch operator
+      for (id <- Seq(1L, 3L, 4L)) {
+        val (n, t, rm, imp) = batch(id)
+        assert(got(id) == ((n, t, rm, imp, imp >= 1.0)),
+          s"doc $id: stream ${got(id)} vs batch ${batch(id)}")
+      }
+      assert(got(1L)._5) // target-heavy doc admitted at the default threshold
+      assert(!got(4L)._5) // foreign-token doc has t_mass 0
+      assert(got(9L) == ((2L, 0L, 0L, 0.0, false))) // unseen vocab: 0, rejected
+    } finally q.stop()
+  }
+
   test("mixtureGateStream: admits exactly the batch sample, replay decides identically") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
