@@ -288,6 +288,33 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         s"calibration window must sit above the sample filter:\n$w"))
   }
 
+  test("x86 transitions at 10x: one per-user window; matrix joins never touch the event stream again") {
+    val p = plan(graft.operators.Temporal.transitions(spark, dir10))
+    noNestedLoops(p)
+    // the ONLY window is the per-user lead() — 10x events must not grow
+    // a second event-stream pass (the marginal re-aggregates the tiny
+    // |types|^2 matrix, never the stream)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, p.toString)
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length == 1, s"events must be scanned exactly once:\n$p")
+  }
+
+  test("x87 importance weights at 10x: count joins stay equi; only the 1-row totals broadcast nests") {
+    val p = plan(graft.operators.Curation.importanceWeights(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"bucket-count joins must stay equi at 10x:\n$p")
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 1, s"only the 1-row totals row may nest:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
