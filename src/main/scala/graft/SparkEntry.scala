@@ -65,6 +65,8 @@ object SparkEntry {
     "x86_event_transitions" -> ((s, dir) => Temporal.transitions(s, dir)),
     // DSIR hashed importance weights: target-vs-raw bucket-mass ratio
     "x87_importance_weights" -> ((s, dir) => Curation.importanceWeights(s, dir)),
+    // per-user journey anomaly scores vs the corpus Markov baseline
+    "x88_journey_scores" -> ((s, dir) => Temporal.journeyScores(s, dir)),
     // --- text analysis ---
     "x7_text_stats" -> ((s, dir) => TextAnalysis.stats(s, dir)),
     "x8_lang_id" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
@@ -594,6 +596,19 @@ object SparkEntry {
         |       n_trans::DOUBLE / n_from AS p_trans
         |FROM c JOIN m USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "x88_journey_scores" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+        |      FROM events),
+        |p AS (SELECT user_id, event_type AS from_type, nxt AS to_type FROM o WHERE nxt IS NOT NULL),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_trans FROM p GROUP BY 1, 2),
+        |m AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM c GROUP BY 1),
+        |j AS (SELECT user_id, n_trans, n_from, n_trans::DOUBLE / n_from AS pr
+        |      FROM p JOIN c USING (from_type, to_type) JOIN m USING (from_type))
+        |SELECT user_id, count(*)::BIGINT AS n_steps, min(pr) AS min_p,
+        |       sum(n_trans)::DOUBLE / sum(n_from)::DOUBLE AS pooled_p
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "x87_importance_weights" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),

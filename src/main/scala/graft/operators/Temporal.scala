@@ -263,18 +263,68 @@ object Temporal {
     * any corpus size. One IEEE division at the end.
     */
   def transitions(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val pairs = Replication.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("nxt", lead("event_type", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("event_type").as("from_type"), col("nxt").as("to_type"))
-    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val counts = transitionPairs(spark, dir)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
     val marginal = counts.groupBy("from_type").agg(sum("n_trans").as("n_from"))
     counts.join(marginal, "from_type")
       .withColumn("p_trans", col("n_trans").cast("double") / col("n_from"))
       .select("from_type", "to_type", "n_trans", "p_trans")
       .orderBy("from_type", "to_type")
+  }
+
+  /** The per-user adjacency stream `(user_id, from_type, to_type)` —
+    * the shared core of [[transitions]] (which collapses it to the
+    * matrix) and [[journeyScores]] (which scores each user's path
+    * against that matrix). One window shuffle keyed by user_id, ordered
+    * by (µs, event_id) — the tie-break both consumers inherit.
+    */
+  private[operators] def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Replication.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("nxt").as("to_type"))
+  }
+
+  /** EXT-X8 — per-user journey anomaly scores: every user's event path
+    * scored against the corpus's own first-order Markov baseline
+    * ([[transitions]]' matrix) — the behavioral-anomaly primitive
+    * (bot/fraud triage, broken-client detection): a journey whose every
+    * step is common scores near the corpus norm; one improbable
+    * transition craters `min_p`. The event-stream twin of
+    * [[TextAnalysis.bigramLm]], under the same exact-arithmetic
+    * contract: per user, `n_steps` (BIGINT), `min_p` (min over exact
+    * per-pair IEEE quotients `n_trans/n_from` — order-insensitive), and
+    * `pooled_p = Σn_trans / Σn_from` (ONE division of two BIGINT sums)
+    * — no transcendentals, no order-sensitive float sums, bit-exact in
+    * both engines.
+    *
+    * Plan: the pair stream is materialized ONCE (`localCheckpoint` —
+    * x82's discipline) and consumed twice: the matrix aggregation
+    * (|types|² partial agg) and the scoring join back — the matrix is
+    * broadcast (|types|² rows at any corpus size), then one user_id
+    * partial agg. The only unbounded shuffle is the per-user window the
+    * pair stream already paid; nothing re-scans events.
+    */
+  def journeyScores(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transitionPairs(spark, dir).localCheckpoint()
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val marginal = counts.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+    val matrix = counts.join(marginal, "from_type")
+    pairs.join(broadcast(matrix), Seq("from_type", "to_type"))
+      .withColumn("pr", col("n_trans").cast("double") / col("n_from"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_steps"),
+        min("pr").as("min_p"),
+        sum("n_trans").as("sum_nt"),
+        sum("n_from").as("sum_nf"))
+      .select(col("user_id"), col("n_steps"), col("min_p"),
+        (col("sum_nt").cast("double") / col("sum_nf")).as("pooled_p"))
+      .orderBy("user_id")
   }
 }

@@ -138,4 +138,35 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // conditionals per from_type sum to exactly 1
     got.groupBy(_._1).foreach { case (_, rows) => assert(rows.map(_._4).sum == 1.0) }
   }
+
+  test("journeyScores: per-user min/pooled vs the corpus matrix, exact quotients") {
+    // same drive as transitions: matrix is (click->view)=1/1,
+    // (view->click)=1/2, (view->purchase)=1/2
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, 1000000L, 1L, "view"),
+      (2L, 2000000L, 1L, "click"),
+      (3L, 3000000L, 1L, "view"),
+      (4L, 5000000L, 2L, "view"),
+      (5L, 5000000L, 2L, "purchase")))
+    val got = Temporal.journeyScores(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // user 1: steps view->click (1/2) and click->view (1/1):
+    //   min_p = 0.5, pooled = (1+1)/(2+1) = 2/3 exactly
+    // user 2: one step view->purchase (1/2): min = pooled = 0.5
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0.5, 2.0 / 3.0),
+      (2L, 1L, 0.5, 0.5)))
+  }
+
+  test("journeyScores: single-event users emit no row; every pr is a matrix entry") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, 1000000L, 1L, "view"),
+      (2L, 2000000L, 2L, "view"),
+      (3L, 3000000L, 2L, "click")))
+    val got = Temporal.journeyScores(spark, dir).collect()
+    // user 1 has one event -> no transition -> absent from the output
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(got.head.getLong(1) == 1L && got.head.getDouble(2) == 1.0 &&
+      got.head.getDouble(3) == 1.0)
+  }
 }
