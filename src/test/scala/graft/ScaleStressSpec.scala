@@ -315,6 +315,25 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, p.toString)
   }
 
+  test("x88 journey scores at 10x: matrix stays broadcast; nothing re-scans events") {
+    // journeyScores materializes the pair stream ONCE (localCheckpoint —
+    // the per-user window executes here, over 6M events) and the final
+    // plan consumes only that checkpoint: the |types|^2 matrix must stay
+    // on the broadcast side of the scoring join at 60x-hotter users, and
+    // no file scan (= no second event-stream pass) may appear above it
+    val p = plan(graft.operators.Temporal.journeyScores(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"matrix join must stay broadcast at 10x:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"the scored plan must read only the checkpointed pairs:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
