@@ -327,4 +327,43 @@ object Temporal {
         (col("sum_nt").cast("double") / col("sum_nf")).as("pooled_p"))
       .orderBy("user_id")
   }
+
+  /** The batch-trained Markov baseline as a serving artifact — the
+    * journey twin of [[Curation.ImportanceModel]]: the [[transitions]]
+    * matrix collapsed to two exact-integer maps, bounded by |event
+    * types|² entries regardless of corpus size (the structural bound
+    * that makes broadcasting it to a stream free). `score` is the exact
+    * arithmetic of [[journeyScores]]' per-step quotient: one IEEE
+    * division of two BIGINTs, so a step scores IDENTICALLY in both
+    * engines. A transition the corpus never saw has zero mass and
+    * scores 0.0 — maximally anomalous, the conservative default
+    * ([[graft.streaming.StreamOps.importanceGateStream]]'s discipline).
+    */
+  case class TransitionModel(
+      counts: Map[(String, String), Long],
+      marginals: Map[String, Long]) {
+
+    /** (n_trans, n_from, step_p) for one sealed step. */
+    def score(fromType: String, toType: String): (Long, Long, Double) = {
+      val nt = counts.getOrElse((fromType, toType), 0L)
+      val nf = marginals.getOrElse(fromType, 0L)
+      (nt, nf, if (nf == 0L) 0.0 else nt.toDouble / nf)
+    }
+  }
+
+  /** Fit the [[TransitionModel]] on the batch corpus: [[transitions]]'
+    * own matrix (same window, same tie-break, same integers — drift
+    * between train and serve is structurally impossible), collected
+    * driver-side under the |types|² bound.
+    */
+  def trainTransitionModel(spark: SparkSession, dir: String): TransitionModel = {
+    val rows = transitions(spark, dir)
+      .select("from_type", "to_type", "n_trans").collect()
+    val counts = rows.map(r =>
+      ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val marginals = counts.groupBy(_._1._1).map { case (f, g) =>
+      (f, g.values.sum)
+    }
+    TransitionModel(counts, marginals)
+  }
 }

@@ -643,6 +643,42 @@ object StreamOps {
       }
   }
 
+  /** EXT-6s — streaming journey-anomaly gate: score each watermark-
+    * sealed transition from [[transitionsStream]] against the batch-
+    * trained [[graft.operators.Temporal.TransitionModel]] (x88's
+    * baseline) and flag steps below `minP` — ingest-time bot/fraud
+    * triage under EXT-6i/6r's train-batch/serve-stream contract (the
+    * matrix is FIT on the corpus, never updated by the stream; refresh
+    * is a new batch train).
+    *
+    * Stateless and shuffle-free ABOVE the pair stream: EXT-6q already
+    * holds the only state (bounded by users), and this gate probes the
+    * broadcast |types|²-entry model row-locally — a UDF for
+    * [[importanceGateStream]]'s reason (no declarative expression can
+    * address a broadcast JVM map, and the model's size bound is
+    * structural). `step_p` is `TransitionModel.score`'s exact quotient,
+    * the same IEEE division [[graft.operators.Temporal.journeyScores]]
+    * takes its `min_p` over — a flagged stream step is exactly a step
+    * that would crater the batch score. A transition the corpus never
+    * saw scores 0.0: always flagged, the conservative default.
+    */
+  def journeyGateStream(
+      trans: Dataset[Transition],
+      model: graft.operators.Temporal.TransitionModel,
+      minP: Double = 0.01): DataFrame = {
+    val bc = trans.sparkSession.sparkContext.broadcast(model)
+    val score = udf((f: String, t: String) => {
+      val (nt, nf, p) = bc.value.score(f, t)
+      (nt, nf, p)
+    })
+    trans.toDF()
+      .withColumn("m", score(col("from_type"), col("to_type")))
+      .select(col("user_id"), col("from_type"), col("to_type"), col("ts"),
+        col("m._1").as("n_trans"), col("m._2").as("n_from"),
+        col("m._3").as("step_p"),
+        (col("m._3") < minP).as("flagged"))
+  }
+
   /** EXT-6i — streaming semantic-cell assignment: score an unbounded
     * (vec_id, embedding) stream against centroids trained on the BATCH
     * corpus ([[graft.operators.Similarity.trainedCentroids]]), emitting

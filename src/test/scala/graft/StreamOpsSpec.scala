@@ -371,6 +371,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("journeyGateStream: sealed steps score the batch model's exact quotient; unseen transitions flag at 0.0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline corpus: matrix (click->view)=1/1, (view->click)=1/2,
+    // (view->purchase)=1/2 — the x88 spec's drive
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, 1000000L, 1L, "view"), (2L, 2000000L, 1L, "click"),
+      (3L, 3000000L, 1L, "view"), (4L, 5000000L, 2L, "view"),
+      (5L, 5000000L, 2L, "purchase")))
+    val model = graft.operators.Temporal.trainTransitionModel(spark, dir)
+    assert(model.score("view", "click") == ((1L, 2L, 0.5)))
+    assert(model.score("click", "refund") == ((0L, 1L, 0.0))) // unseen to_type
+    assert(model.score("refund", "view") == ((0L, 0L, 0.0))) // unseen from_type
+    val stream = MemoryStream[Event]
+    val q = StreamOps.journeyGateStream(
+      StreamOps.transitionsStream(stream.toDS()), model, minP = 0.4)
+      .writeStream.format("memory").queryName("jgate_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 1, 50, "view"), ev(2, 2, 50), ev(3, 3, 50, "refund"),
+        ev(8, 60, 99, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9, 61, 99)) // wm -> 50: seals user 50's journey
+      q.processAllAvailable()
+      val got = spark.table("jgate_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+        .toSet
+      assert(got == Set(
+        (50L, "view", "click", 1L, 2L, 0.5, false),
+        (50L, "click", "refund", 0L, 1L, 0.0, true)), s"got $got")
+    } finally q.stop()
+  }
+
   test("maintainSegmentIndex: probe repairs against the accumulated census; replay-immune; stamps enforced") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
