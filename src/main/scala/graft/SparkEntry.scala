@@ -108,6 +108,8 @@ object SparkEntry {
       .orderBy("doc_id")),
     "x38_chunk_documents" -> ((s, dir) => graft.operators.Packing.chunkDocuments(s, dir)),
     "x39_pack_sequences" -> ((s, dir) => graft.operators.Packing.packSequences(s, dir)),
+    // context-budget sweep: pad/truncate vs concat-cut cost per length
+    "x89_budget_sweep" -> ((s, dir) => graft.operators.Packing.budgetSweep(s, dir)),
     "x40_boilerplate_ngrams" -> ((s, dir) => Curation.boilerplateNgrams(s, dir)),
     "x41_tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
     "x42_bloom_prefilter" -> ((s, dir) => Curation.bloomPrefilter(s, dir)),
@@ -851,6 +853,32 @@ object SparkEntry {
         |SELECT lang, ((cum - tok) // 512)::BIGINT AS bin_id,
         |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
         |FROM w GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
+
+    "x89_budget_sweep" ->
+      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+        |w AS (SELECT lang, doc_id, tok,
+        |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |      FROM t),
+        |s AS (SELECT budget, lang, tok, cum
+        |      FROM w CROSS JOIN (SELECT unnest([32, 64, 128, 256])::BIGINT AS budget)),
+        |dagg AS (SELECT budget, count(*)::BIGINT AS n_docs,
+        |        sum(greatest(budget - tok, 0))::BIGINT AS pad_waste,
+        |        sum(greatest(tok - budget, 0))::BIGINT AS trunc_tokens,
+        |        sum(least(tok, budget))::BIGINT AS used,
+        |        sum(CASE WHEN (cum - tok) // budget != (cum - 1) // budget
+        |                 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+        |      FROM s GROUP BY 1),
+        |lagg AS (SELECT budget, lang, sum(tok)::BIGINT AS tot FROM s GROUP BY 1, 2),
+        |pagg AS (SELECT budget,
+        |        sum((tot + budget - 1) // budget)::BIGINT AS n_bins,
+        |        sum(((tot + budget - 1) // budget) * budget - tot)::BIGINT AS tail_waste,
+        |        sum(tot)::BIGINT AS tot_all
+        |      FROM lagg GROUP BY 1)
+        |SELECT budget, n_docs, pad_waste, trunc_tokens,
+        |       used::DOUBLE / (n_docs * budget)::DOUBLE AS util_1doc,
+        |       n_split_docs, n_bins, tail_waste,
+        |       tot_all::DOUBLE / (n_bins * budget)::DOUBLE AS util_packed
+        |FROM dagg JOIN pagg USING (budget) ORDER BY budget""".stripMargin,
 
     "x40_boilerplate_ngrams" -> // reuses the canonical shingle CTEs (pairs/jac unused here)
       s"""WITH $shinglesCte,

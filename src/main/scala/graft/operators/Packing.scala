@@ -75,4 +75,64 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
       .orderBy("lang", "bin_id")
   }
+
+  /** EXT-P5 — context-budget sweep: for each candidate sequence length,
+    * the exact cost of BOTH packing regimes at once — the relation a
+    * team reads to pick a training context length. Per budget L:
+    *  - one-doc-per-sequence (pad-to-L, truncate overlong): `pad_waste`
+    *    = Σ max(L − tok, 0), `trunc_tokens` = Σ max(tok − L, 0), and
+    *    `util_1doc` = Σ min(tok, L) / (n_docs · L);
+    *  - greedy concat-and-cut (= [[packSequences]]' regime, per lang):
+    *    `n_split_docs` = docs whose span crosses a bin boundary (each
+    *    becomes ≥2 training fragments), `n_bins` = Σ_lang ⌈Σtok_l / L⌉,
+    *    `tail_waste` = the final partial bin's padding per lang, and
+    *    `util_packed` = Σtok / (n_bins · L).
+    * All counts are BIGINT arithmetic (`greatest`/`least`/`div` on
+    * exact running sums); the two utilizations are single IEEE
+    * divisions of BIGINT aggregates — bit-exact in both engines.
+    *
+    * Plan: ONE corpus scan, ONE per-lang running-sum window (the
+    * packSequences shuffle, reused for the boundary test), then a
+    * row-local `explode` of the |budgets| literal array — no join
+    * multiplies the corpus. Both aggregations collapse map-side to
+    * |budgets| (× |langs|) rows, and the final join is |budgets| rows
+    * against |budgets| rows. At 100 TB the sweep costs one token-count
+    * pass regardless of how many candidate lengths are swept.
+    */
+  def budgetSweep(
+      spark: SparkSession,
+      dir: String,
+      budgets: Seq[Long] = Seq(32L, 64L, 128L, 256L)): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(Tables.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .select(col("lang"), col("tok"), col("cum"),
+        explode(array(budgets.map(lit): _*)).as("budget"))
+    val perDoc = swept.groupBy("budget").agg(
+      count(lit(1)).as("n_docs"),
+      sum(greatest(col("budget") - col("tok"), lit(0L))).as("pad_waste"),
+      sum(greatest(col("tok") - col("budget"), lit(0L))).as("trunc_tokens"),
+      sum(least(col("tok"), col("budget"))).as("used"),
+      sum(when(expr("(cum - tok) div budget") =!= expr("(cum - 1) div budget"), 1L)
+        .otherwise(0L)).as("n_split_docs"))
+    val perLang = swept.groupBy("budget", "lang")
+      .agg(sum("tok").as("tot"))
+      .withColumn("bins", expr("(tot + budget - 1) div budget"))
+      .groupBy("budget").agg(
+        sum("bins").as("n_bins"),
+        sum(col("bins") * col("budget") - col("tot")).as("tail_waste"),
+        sum("tot").as("tot_all"))
+    perDoc.join(perLang, "budget")
+      .select(col("budget"), col("n_docs"), col("pad_waste"), col("trunc_tokens"),
+        (col("used").cast("double") / (col("n_docs") * col("budget")).cast("double"))
+          .as("util_1doc"),
+        col("n_split_docs"), col("n_bins"), col("tail_waste"),
+        (col("tot_all").cast("double") / (col("n_bins") * col("budget")).cast("double"))
+          .as("util_packed"))
+      .orderBy("budget")
+  }
 }

@@ -36,4 +36,30 @@ class PackingSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(bins.toSeq == Seq(("en", 0L, 2L, 600L), ("en", 1L, 1L, 300L)))
   }
+
+  test("budgetSweep: exact pad/truncate and concat-cut costs at one budget") {
+    // toks 5, 10, 3 (one lang); budget 8. Start offsets 0, 5, 15.
+    // doc2 spans bins 0|1, doc3 spans bins 1|2 -> 2 split docs.
+    // Pads: 3 + 0 + 5 = 8; truncs: 0 + 2 + 0 = 2; used: 5 + 8 + 3 = 16.
+    // tot 18 -> 3 bins of 8, tail waste 6; util_packed 18/24.
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> toks(5, "a"), 2L -> toks(10, "b"), 3L -> toks(3, "c")))
+    val got = Packing.budgetSweep(spark, dir, budgets = Seq(8L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+    assert(got.toSeq == Seq((8L, 3L, 8L, 2L, 16.0 / 24.0, 2L, 3L, 6L, 18.0 / 24.0)))
+  }
+
+  test("budgetSweep: per-lang packing never splits across langs; sweep rows are per budget") {
+    // two langs of 6 tokens each at budget 4: each lang packs alone into
+    // 2 bins (tail 2), so n_bins = 4, tail_waste = 4 — a cross-lang
+    // concat (12 tokens -> 3 bins) would report 3/0 instead
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = TestTables.documentsLangDir(spark, Seq(
+      (1L, toks(6, "a"), "en"), (2L, toks(6, "b"), "de")))
+    val got = Packing.budgetSweep(spark, dir, budgets = Seq(4L, 16L)).collect()
+      .map(r => (r.getLong(0), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq((4L, 4L, 4L), (16L, 2L, 20L)))
+  }
 }
