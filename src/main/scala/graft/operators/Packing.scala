@@ -94,10 +94,13 @@ object Packing {
     * Plan: ONE corpus scan, ONE per-lang running-sum window (the
     * packSequences shuffle, reused for the boundary test), then a
     * row-local `explode` of the |budgets| literal array — no join
-    * multiplies the corpus. Both aggregations collapse map-side to
-    * |budgets| (× |langs|) rows, and the final join is |budgets| rows
-    * against |budgets| rows. At 100 TB the sweep costs one token-count
-    * pass regardless of how many candidate lengths are swept.
+    * multiplies the corpus. Every metric flows through a SINGLE
+    * aggregation tree keyed (budget, lang) — collapsing map-side to
+    * |budgets|·|langs| rows — then re-aggregated to |budgets| rows (a
+    * two-branch doc-agg/lang-agg spelling would re-scan the corpus:
+    * Catalyst does not share subtrees across join inputs). At 100 TB
+    * the sweep costs one token-count pass regardless of how many
+    * candidate lengths are swept.
     */
   def budgetSweep(
       spark: SparkSession,
@@ -112,21 +115,24 @@ object Packing {
       .withColumn("cum", sum("tok").over(w))
       .select(col("lang"), col("tok"), col("cum"),
         explode(array(budgets.map(lit): _*)).as("budget"))
-    val perDoc = swept.groupBy("budget").agg(
-      count(lit(1)).as("n_docs"),
-      sum(greatest(col("budget") - col("tok"), lit(0L))).as("pad_waste"),
-      sum(greatest(col("tok") - col("budget"), lit(0L))).as("trunc_tokens"),
-      sum(least(col("tok"), col("budget"))).as("used"),
+    swept.groupBy("budget", "lang").agg(
+      count(lit(1)).as("l_docs"),
+      sum(greatest(col("budget") - col("tok"), lit(0L))).as("l_pad"),
+      sum(greatest(col("tok") - col("budget"), lit(0L))).as("l_trunc"),
+      sum(least(col("tok"), col("budget"))).as("l_used"),
       sum(when(expr("(cum - tok) div budget") =!= expr("(cum - 1) div budget"), 1L)
-        .otherwise(0L)).as("n_split_docs"))
-    val perLang = swept.groupBy("budget", "lang")
-      .agg(sum("tok").as("tot"))
+        .otherwise(0L)).as("l_split"),
+      sum("tok").as("tot"))
       .withColumn("bins", expr("(tot + budget - 1) div budget"))
       .groupBy("budget").agg(
+        sum("l_docs").as("n_docs"),
+        sum("l_pad").as("pad_waste"),
+        sum("l_trunc").as("trunc_tokens"),
+        sum("l_used").as("used"),
+        sum("l_split").as("n_split_docs"),
         sum("bins").as("n_bins"),
         sum(col("bins") * col("budget") - col("tot")).as("tail_waste"),
         sum("tot").as("tot_all"))
-    perDoc.join(perLang, "budget")
       .select(col("budget"), col("n_docs"), col("pad_waste"), col("trunc_tokens"),
         (col("used").cast("double") / (col("n_docs") * col("budget")).cast("double"))
           .as("util_1doc"),

@@ -334,6 +334,20 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, p.toString)
   }
 
+  test("x89 budget sweep at 10x: one scan, one per-lang window; the sweep explode never joins the corpus") {
+    val p = plan(graft.operators.Packing.budgetSweep(spark, dir10))
+    noNestedLoops(p)
+    // the |budgets| multiplier is a row-local explode of a literal
+    // array — 10x more documents must not surface it as a join, and the
+    // running-sum window must stay the single per-lang pass
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length == 1, s"documents must be scanned exactly once:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, p.toString)
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
