@@ -110,6 +110,8 @@ object SparkEntry {
     "x39_pack_sequences" -> ((s, dir) => graft.operators.Packing.packSequences(s, dir)),
     // context-budget sweep: pad/truncate vs concat-cut cost per length
     "x89_budget_sweep" -> ((s, dir) => graft.operators.Packing.budgetSweep(s, dir)),
+    // BPE merge-pair stats: vocab-collapsed adjacent char-pair counts
+    "x90_bpe_pairs" -> ((s, dir) => graft.operators.TextAnalysis.bpePairStats(s, dir)),
     "x40_boilerplate_ngrams" -> ((s, dir) => Curation.boilerplateNgrams(s, dir)),
     "x41_tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(s, dir)),
     "x42_bloom_prefilter" -> ((s, dir) => Curation.bloomPrefilter(s, dir)),
@@ -879,6 +881,16 @@ object SparkEntry {
         |       n_split_docs, n_bins, tail_waste,
         |       tot_all::DOUBLE / (n_bins * budget)::DOUBLE AS util_packed
         |FROM dagg JOIN pagg USING (budget) ORDER BY budget""".stripMargin,
+
+    "x90_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*)::BIGINT AS n_word FROM w
+        |      WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, n_word
+        |      FROM v, unnest(range(1, length(word))) AS r(i))
+        |SELECT left_sym, right_sym, sum(n_word)::BIGINT AS n_pairs
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 50""".stripMargin,
 
     "x40_boilerplate_ngrams" -> // reuses the canonical shingle CTEs (pairs/jac unused here)
       s"""WITH $shinglesCte,

@@ -737,4 +737,100 @@ object TextAnalysis {
       (col("deflated_bytes") >= 2L &&
         col("deflated_bytes") <= col("raw_bytes") + col("raw_bytes") / 1000L + 16L)
         .as("deflate_ok"))
+
+  /** EXT-T12 — BPE merge-pair statistics (tokenizer vocab induction,
+    * step 1): adjacent character-pair frequencies over the corpus,
+    * weighted by word frequency — the relation whose argmax is the
+    * first BPE merge. The corpus collapses to its VOCABULARY first
+    * (word → n_word, map-side combinable), so the char-pair explode
+    * runs on |vocab| rows, not corpus rows — the same trick real BPE
+    * trainers use: at 100 TB the only corpus-sized pass is the word
+    * count, and every later stage is bounded by |vocab| then
+    * |alphabet|². Exact BIGINT counts; ties at the top-N boundary break
+    * on (left_sym, right_sym) in both engines. Single-char words carry
+    * no pairs and are filtered BEFORE the explode — Spark's `sequence`
+    * would otherwise count DOWN from 1 to 0 and fabricate indices.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+      .select(col("word"), col("n_word"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substr(word, i, 1)").as("left_sym"),
+        expr("substr(word, i + 1, 1)").as("right_sym"), col("n_word"))
+      .groupBy("left_sym", "right_sym").agg(sum("n_word").as("n_pairs"))
+      .orderBy(desc("n_pairs"), col("left_sym"), col("right_sym"))
+      .limit(topN)
+
+  /** EXT-T13 — iterative BPE merge training: `nMerges` rounds of
+    * count-pairs → pick the argmax → apply it to the vocabulary, the
+    * actual BPE training loop (Sennrich et al. 2016) under the repo's
+    * bounded-driver-loop contract ([[Similarity.trainCentroids]]'
+    * shape): each round collects exactly ONE (left, right, count) row,
+    * and the re-segmented vocabulary is `localCheckpoint`ed so round
+    * r+1 never replays rounds 1..r. All per-round relations are
+    * |vocab|-bounded — the corpus is scanned once, for the initial word
+    * count.
+    *
+    * Merge application is a Scala UDF over the word's symbol array: the
+    * left-to-right skip-after-merge scan ("aaaa" + (a,a) → [aa, aa],
+    * NOT [aa, a] twice) is inherently sequential per word — no
+    * declarative spelling exists — and word-local, so the UDF never
+    * breaks a shuffle boundary. Ties rank by (count DESC, left, right),
+    * the [[bpePairStats]] order, making the whole training run
+    * deterministic; rounds stop early once no pair remains.
+    */
+  def trainBpeMerges(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = 10): Seq[(Int, String, String, Long)] = {
+    val applyMerge = udf { (syms: Seq[String], l: String, r: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r
+          i += 2
+        } else {
+          out += syms(i)
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+      .select(
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"),
+        col("n_word"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"), col("n_word"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n_word").as("n"))
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        vocab = vocab
+          .withColumn("syms", applyMerge(col("syms"), lit(l), lit(r)))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
 }

@@ -406,4 +406,58 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
       (2L, 2L, 3L, 3.0 / 2.0),
       (3L, 1L, 2L, 2.0)))
   }
+
+  test("bpePairStats: frequency-weighted adjacent char pairs, ties break on the pair") {
+    // words: low x2, lower x1 -> (l,o)=3, (o,w)=3, (e,r)=1, (w,e)=1
+    val d = TestTables.documentsDir(spark, Seq(1L -> "low low", 2L -> "lower"))
+    val got = TextAnalysis.bpePairStats(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("l", "o", 3L), ("o", "w", 3L), ("e", "r", 1L), ("w", "e", 1L)))
+  }
+
+  test("trainBpeMerges: skip-after-merge on overlapping runs; stops when no pair remains") {
+    // "aaaa": round 1 counts (a,a)=3 but applies left-to-right with
+    // skip -> [aa, aa]; round 2 merges (aa,aa)=1 -> [aaaa]; round 3
+    // finds no pair and stops early
+    val d = TestTables.documentsDir(spark, Seq(1L -> "aaaa"))
+    val got = TextAnalysis.trainBpeMerges(spark, d, nMerges = 5)
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("trainBpeMerges: differential against an independent naive reference") {
+    val words = Seq("low", "low", "low", "lower", "newest", "newest", "widest")
+    def naive(ws: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[List[String], Long] =
+        ws.groupBy(identity).map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var done = false
+      while (rank <= n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += ((rank, l, r, c))
+          vocab = vocab.map { case (syms, cnt) =>
+            val b = List.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val d = TestTables.documentsDir(spark, Seq(1L -> words.mkString(" ")))
+    assert(TextAnalysis.trainBpeMerges(spark, d, nMerges = 6) == naive(words, 6))
+  }
 }
