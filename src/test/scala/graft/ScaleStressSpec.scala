@@ -348,6 +348,20 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.length == 1, p.toString)
   }
 
+  test("x90 bpe pairs at 10x: join-free agg pipeline; top-N stays TakeOrdered, never a global sort") {
+    val p = plan(graft.operators.TextAnalysis.bpePairStats(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"the vocab-collapse pipeline must not join:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length == 1, s"documents must be scanned exactly once:\n$p")
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-N must be TakeOrdered at 10x, not a sort exchange:\n$p")
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
