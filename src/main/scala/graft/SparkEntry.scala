@@ -124,6 +124,8 @@ object SparkEntry {
     "x49_contamination_score" -> ((s, dir) => Curation.contaminationScore(s, dir)),
     "x50_dup_degree" -> ((s, dir) => Dedup.dupDegree(s, dir)),
     "x51_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    // int8-search recall: exact-integer quantized ranking vs float truth
+    "x91_quantized_recall" -> ((s, dir) => Similarity.quantizedRecall(s, dir)),
     "x52_lsh_calibration" -> ((s, dir) => Dedup.lshCalibration(s, dir)),
     "x53_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     // --- semantic (embedding-space) curation ---
@@ -881,6 +883,27 @@ object SparkEntry {
         |       n_split_docs, n_bins, tail_waste,
         |       tot_all::DOUBLE / (n_bins * budget)::DOUBLE AS util_packed
         |FROM dagg JOIN pagg USING (budget) ORDER BY budget""".stripMargin,
+
+    "x91_quantized_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(ed, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
+         |qq AS (SELECT vec_id AS qid, qv AS qe FROM qz WHERE vec_id % 10 = 0),
+         |qc AS (SELECT vec_id AS cid, qv AS ce FROM qz),
+         |s_q AS (SELECT qid, cid,
+         |      list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b) AS sim
+         |      FROM qq CROSS JOIN qc WHERE qid != cid),
+         |r_q AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_q),
+         |qn AS (SELECT qid, cid FROM r_q WHERE rank <= 3),
+         |fq AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id % 10 = 0),
+         |fc AS (SELECT vec_id AS cid, ed AS ce FROM e),
+         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
+         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
+         |hits AS (SELECT ex.qid, count(qn.cid)::BIGINT AS hits
+         |         FROM ex LEFT JOIN qn ON qn.qid = ex.qid AND qn.cid = ex.cid
+         |         GROUP BY 1)
+         |SELECT qid AS vec_id, hits, hits::DOUBLE / 3 AS recall
+         |FROM hits ORDER BY vec_id""".stripMargin,
 
     "x90_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -76,7 +76,7 @@ object Packing {
       .orderBy("lang", "bin_id")
   }
 
-  /** EXT-P5 — context-budget sweep: for each candidate sequence length,
+  /** EXT-P6 — context-budget sweep: for each candidate sequence length,
     * the exact cost of BOTH packing regimes at once — the relation a
     * team reads to pick a training context length. Per budget L:
     *  - one-doc-per-sequence (pad-to-L, truncate overlong): `pad_waste`

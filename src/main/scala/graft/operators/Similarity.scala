@@ -210,6 +210,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** EXT-S16 — quantized-search recall audit: rank neighbors by the
+    * EXACT INTEGER dot product of the int8-quantized vectors ([[quantize]]'s
+    * `floor(127x + 0.5)` codes) and measure top-k overlap against the
+    * float brute-force truth — the audit that says whether serving the
+    * 4×-smaller int8 index ([[quantize]]'s point: at 100 TB the
+    * quantized scan reads a quarter of the bytes) costs recall. Integer
+    * dots are exact BIGINTs (|q| ≤ 127, dim 64 → |dot| ≤ 127²·64, far
+    * inside both BIGINT and the double mantissa), so the quantized
+    * ranking — unlike a float ANN score — is bit-identical in any
+    * engine; ties break on cid via [[presentTopK]]'s shared contract.
+    *
+    * Plan: two brute-force passes (float truth + int candidates) with
+    * the same measured-size broadcast guard and map-side bounded top-k
+    * as [[bruteForceTopK]], then [[annRecall]]'s semi-join/hit-count
+    * tail. The quantization itself is a row-local projection.
+    */
+  def quantizedRecall(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed by the query list AND the hit join
+    val qz = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val queriesRaw = qz.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    // distinct memo key: the int64 codes are 2× the float payload
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|embq|mod=$queryMod",
+      () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
+      maxBroadcastBytes)
+    val corpus = qz.select(col("vec_id").as("cid"), col("qv").as("ce"))
+    val scored = queries
+      .join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("CAST(aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)")
+          .as("sim"))
+    val quant = presentTopK(scored, k).select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(quant, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("hits"))
+    exact.select("vec_id").distinct()
+      .join(hits, Seq("vec_id"), "left_outer")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / k)
+      .orderBy("vec_id")
+  }
+
   /** Sign-bucket LSH signature: one bit per leading dimension
     * (random-hyperplane LSH with axis-aligned hyperplanes — deterministic
     * and oracle-expressible). 2^bits buckets.

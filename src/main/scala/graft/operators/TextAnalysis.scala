@@ -738,7 +738,7 @@ object TextAnalysis {
         col("deflated_bytes") <= col("raw_bytes") + col("raw_bytes") / 1000L + 16L)
         .as("deflate_ok"))
 
-  /** EXT-T12 — BPE merge-pair statistics (tokenizer vocab induction,
+  /** EXT-T14 — BPE merge-pair statistics (tokenizer vocab induction,
     * step 1): adjacent character-pair frequencies over the corpus,
     * weighted by word frequency — the relation whose argmax is the
     * first BPE merge. The corpus collapses to its VOCABULARY first
@@ -764,7 +764,7 @@ object TextAnalysis {
       .orderBy(desc("n_pairs"), col("left_sym"), col("right_sym"))
       .limit(topN)
 
-  /** EXT-T13 — iterative BPE merge training: `nMerges` rounds of
+  /** EXT-T15 — iterative BPE merge training: `nMerges` rounds of
     * count-pairs → pick the argmax → apply it to the vocabulary, the
     * actual BPE training loop (Sennrich et al. 2016) under the repo's
     * bounded-driver-loop contract ([[Similarity.trainCentroids]]'

@@ -331,4 +331,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](
       Similarity.ivfTopKFromIndex(spark, bad, queries))
   }
+
+  test("quantizedRecall: int8 rounding loss that reorders neighbors is reported as recall < 1") {
+    // query 0 = (1, 0). Float dots: A(id 3) 0.004 > B(id 4) 0.002 > C(id 2) 0.
+    // int8 codes: A -> (1, 114) dot 127; B -> (0, -114) dot 0; C -> (0, 64)
+    // dot 0 — quantization collapses B and C to a tie, and the cid
+    // tie-break seats C in the top-2: quantized {A, C} vs true {A, B}.
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1.0f, 0.0f),
+      2L -> Seq(0.0f, 0.5f),
+      3L -> Seq(0.004f, 0.9f),
+      4L -> Seq(0.002f, -0.9f)))
+    val got = Similarity.quantizedRecall(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 0.5)))
+  }
+
+  test("quantizedRecall: rankings the codes preserve score recall 1") {
+    // well-separated candidates: int8 cannot reorder a 0.3 gap at dim 2
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1.0f, 0.0f),
+      1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(0.6f, 0.4f),
+      3L -> Seq(0.3f, 0.7f),
+      4L -> Seq(-0.5f, 0.5f)))
+    val got = Similarity.quantizedRecall(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 3L, 1.0)))
+  }
 }
