@@ -362,6 +362,24 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.nonEmpty, s"top-N must be TakeOrdered at 10x, not a sort exchange:\n$p")
   }
 
+  test("x91 quantized recall at 10x: int leg under the same guard; no rank window on either leg") {
+    // the quantized candidate leg inherits the x5-family guard contract:
+    // at 60k vectors the measured int64-code query side still broadcasts
+    // (never a cartesian), and both top-k legs stay the map-side bounded
+    // aggregate — a rank window here would shuffle the full n·m relation.
+    // queryMod = 1000: the exact leg EXECUTES during plan build (its
+    // localCheckpoint), so the sparser sample keeps this a plan-shape
+    // test (~60 queries), not a 13-minute brute-force benchmark — the
+    // pmod filter and guard path are identical at any mod
+    val p = plan(graft.operators.Similarity.quantizedRecall(spark, dir10, queryMod = 1000))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"guarded query sides must broadcast at 10x:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
