@@ -111,8 +111,86 @@ case class DotProductExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dot_l(a, b)` — dot product of two BIGINT vectors accumulated in
+  * Long: `Σ_i a[i] · b[i]`, exact integer arithmetic (int8-quantized
+  * codes at dim 64 peak at 127²·64 ≈ 2²⁰ — nowhere near overflow, and
+  * integer addition is order-insensitive, so unlike [[DotProductExpression]]
+  * no fold-order contract is needed for oracle agreement). Exists for
+  * the same measured reason: the declarative
+  * `aggregate(zip_with(...))` spelling evaluates interpreted lambdas
+  * per element on the quantized-search hot path; this generates a
+  * primitive long loop inside whole-stage codegen.
+  *
+  * Same load-bearing guards as the float variant: analysis-time element
+  * type check (getLong over a mis-typed slot reads garbage, not an
+  * error), runtime dimension-mismatch and null-element failures.
+  */
+case class LongDotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DataTypes.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_l expects bigint arrays, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DataTypes.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_l: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_l: null element at index $i")
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_l: dimension mismatch (" +
+         |    $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException("dot_l: null element at index " + $i);
+         |  }
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProductExpression =
+    copy(left = newLeft, right = newRight)
+}
+
 object DotProduct {
   /** Double-accumulated float-vector dot product (codegen'd). */
   def dot_f(a: Column, b: Column): Column =
     shim.column(DotProductExpression(shim.expression(a), shim.expression(b)))
+
+  /** Exact long-vector dot product (codegen'd). */
+  def dot_l(a: Column, b: Column): Column =
+    shim.column(LongDotProductExpression(shim.expression(a), shim.expression(b)))
 }

@@ -247,11 +247,14 @@ object Similarity {
       () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
       maxBroadcastBytes)
     val corpus = qz.select(col("vec_id").as("cid"), col("qv").as("ce"))
+    // codegen'd integer dot ([[graft.functions.LongDotProductExpression]])
+    // — the declarative aggregate(zip_with(...)) spelling ran interpreted
+    // lambdas per element on this n·m hot path (whole audit at sf0.1,
+    // Debug best-of-3: 4.8 s → 2.1 s); exact long sum either way
     val scored = queries
       .join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr("CAST(aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)")
-          .as("sim"))
+        graft.functions.DotProduct.dot_l(col("qe"), col("ce")).cast("double").as("sim"))
     val quant = presentTopK(scored, k).select(col("vec_id"), col("neighbor_id"))
     val hits = exact.join(quant, Seq("vec_id", "neighbor_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("hits"))

@@ -44,6 +44,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got == expected) // bit-exact, not approx
   }
 
+  test("dot_l: exact integer dot; rejects non-bigint arrays; agrees with the declarative fold") {
+    import spark.implicits._
+    val a = Seq(127L, -114L, 0L, 63L)
+    val b = Seq(127L, 114L, -5L, 2L)
+    val df = Seq((a, b)).toDF("a", "b")
+    assert(df.select(DotProduct.dot_l(col("a"), col("b")).as("d")).as[Long].head()
+      == a.zip(b).map { case (x, y) => x * y }.sum)
+    // same value as the interpreted spelling it replaces
+    assert(df.select(DotProduct.dot_l(col("a"), col("b")).as("d")).as[Long].head()
+      == df.select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)").as("d"))
+        .as[Long].head())
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(0.5, 1.0), 1)).toDF("c", "z")
+        .select(DotProduct.dot_l(col("c"), col("c"))).collect()
+    }
+    intercept[Exception] { // dimension mismatch must fail, not truncate
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(DotProduct.dot_l(col("a"), col("b"))).collect()
+    }
+  }
+
   // unit-ish vectors in 4-d: 10/11 near-identical, 12 orthogonal, 13 opposite
   private lazy val dir = TestTables.embeddingsDir(spark, Seq(
     10L -> Seq(1f, 0f, 0f, 0f),
