@@ -82,6 +82,8 @@ object SparkEntry {
     "x18_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "x19_quality_gate" -> ((s, dir) => Curation.qualityGate(s, dir)),
     "x20_repetition" -> ((s, dir) => Curation.repetition(s, dir)),
+    // Gopher positional repetition: tokens inside duplicated trigrams
+    "x92_dup_gram_coverage" -> ((s, dir) => Curation.dupGramCoverage(s, dir)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -737,6 +739,19 @@ object SparkEntry {
         |  list_aggregate(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g))::BIGINT), 'max')::DOUBLE / len(bg) AS top_bigram_frac
         |  FROM b WHERE len(bg) > 0)
         |SELECT doc_id, n_bigrams, distinct_ratio, top_bigram_frac FROM s ORDER BY doc_id""".stripMargin,
+
+    "x92_dup_gram_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |      FROM t, unnest(range(1, len(ts) - 1)) AS r(i)),
+        |d AS (SELECT doc_id, g, list(i) AS starts FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+        |c1 AS (SELECT doc_id, unnest(starts) AS s FROM d),
+        |c2 AS (SELECT DISTINCT doc_id, s + o AS pos FROM c1, unnest([0, 1, 2]) AS u(o)),
+        |cv AS (SELECT doc_id, count(*)::BIGINT AS n_cov FROM c2 GROUP BY 1)
+        |SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+        |       coalesce(n_cov, 0)::BIGINT AS n_cov,
+        |       coalesce(n_cov, 0)::DOUBLE / len(ts) AS cov_frac
+        |FROM t LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

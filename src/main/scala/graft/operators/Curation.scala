@@ -420,6 +420,30 @@ object Curation {
         (col("st.max_count").cast("double") / col("st.n_grams")).as("top_bigram_frac"))
       .orderBy("doc_id")
 
+  /** EXT-C31 — duplicated-n-gram coverage (Gopher/MassiveText, Rae et
+    * al. 2021 §A1.1): per document, the fraction of token POSITIONS
+    * lying inside some trigram that repeats within the same document —
+    * the positional repetition filter [[repetition]]'s multiset ratios
+    * cannot express (ten scattered repeats of one gram vs one ten-fold
+    * run score identically there, very differently here). The published
+    * filter drops docs past a coverage threshold; this emits the score
+    * so thresholds stay a downstream `filter`.
+    *
+    * One compiled row-local pass
+    * ([[graft.functions.DupGramCoverageExpression]]: hash-count the
+    * gram multiset, mark covered slots) — zero shuffle at any corpus
+    * size except the presentation sort; exact integer `n_cov`, one IEEE
+    * division.
+    */
+  def dupGramCoverage(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.DupGramCoverage.dupGramCov(col("toks"), n).as("n_cov"))
+      .withColumn("cov_frac", col("n_cov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+
   /** EXT-C4 — deterministic train/val/test split: bucket = the first 8
     * hex chars of `md5("split:" + doc_id)` mod 100; train < 80, val < 90,
     * test otherwise. Content-stable hashing is THE way to split at 100 TB

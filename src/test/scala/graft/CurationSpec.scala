@@ -56,6 +56,21 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2L).getAs[Double]("distinct_ratio") == 1.0)
   }
 
+  test("dupGramCoverage: positions under repeated trigrams; short and clean docs score 0") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "a b c a b c d", // "a b c" repeats at 1 and 4 -> covers 6 of 7
+      2L -> "x y x y x",     // "x y x" at 1 and 3 -> covers all 5
+      3L -> "p q r s",       // no repeated trigram
+      4L -> "t u"))          // shorter than one trigram
+    val got = Curation.dupGramCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 6L, 6.0 / 7.0),
+      (2L, 5L, 5L, 1.0),
+      (3L, 4L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0)))
+  }
+
   test("hashSplit: deterministic, total, and ~80/10/10 at modest n") {
     val dir = TestTables.documentsDir(spark,
       (0L until 200L).map(i => i -> s"doc number $i"))

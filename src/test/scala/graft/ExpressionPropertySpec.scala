@@ -64,6 +64,19 @@ class ExpressionPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DupGramCoverageUtil matches a naive covered-position reference") {
+    val genK = Gen.chooseNum(1, 4)
+    check(Prop.forAll(genToks, genK) { (toks, k) =>
+      val grams = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toList
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val covered = Array.fill(toks.size)(false)
+      for ((g, i) <- grams.zipWithIndex if counts(g) >= 2; j <- i until i + k)
+        covered(j) = true
+      graft.functions.DupGramCoverageUtil.cov(arr(toks), k) ==
+        covered.count(identity).toLong
+    })
+  }
+
   test("NgramStatsUtil matches naive k-gram multiset statistics") {
     val genK = Gen.chooseNum(1, 4)
     check(Prop.forAll(genToks, genK) { (toks, k) =>
