@@ -380,6 +380,21 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, p.toString)
   }
 
+  test("x92 dup-gram coverage at 10x: a pure projection — no join, no agg exchange, no window") {
+    val p = plan(graft.operators.Curation.dupGramCoverage(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, p.toString)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+    // the only exchange the score may pay is the presentation sort
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 1, p.toString)
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
