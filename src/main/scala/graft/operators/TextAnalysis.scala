@@ -833,4 +833,55 @@ object TextAnalysis {
     }
     merges.result()
   }
+
+  /** EXT-T16 — tokenizer fertility: apply a trained merge list
+    * ([[trainBpeMerges]]' artifact) to the corpus and report, per
+    * language, subword tokens per word occurrence — the standard metric
+    * for how well a vocabulary fits a corpus (a tokenizer trained on
+    * English typically shows fertility ≫ 1 on unseen scripts; teams
+    * read this table to size per-language vocab budgets).
+    *
+    * The corpus collapses to (lang, word, n_word) FIRST, so the
+    * sequential merge application (a word-local UDF — the same
+    * skip-after-merge scan as training, no declarative spelling exists)
+    * runs once per DISTINCT word per language, never per occurrence —
+    * [[bpePairStats]]' vocabulary trick again; at 100 TB the only
+    * corpus-sized pass is the word count. `fertility` is
+    * Σ n_word·|bpe(word)| / Σ n_word: two exact BIGINT sums, ONE IEEE
+    * division. Empty merge list ⇒ every word splits to its characters
+    * (fertility = weighted mean word length), the law the spec pins.
+    */
+  def bpeFertility(
+      spark: SparkSession,
+      dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val nSub = udf { (word: String) =>
+      var syms: Seq[String] = word.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r
+            i += 2
+          } else {
+            out += syms(i)
+            i += 1
+          }
+        }
+        syms = out.toSeq
+      }
+      syms.length.toLong
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(Tables.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n_word"))
+      .withColumn("n_sub", nSub(col("word")))
+      .groupBy("lang").agg(
+        sum("n_word").as("n_words"),
+        sum(col("n_word") * col("n_sub")).as("n_subtokens"))
+      .withColumn("fertility",
+        col("n_subtokens").cast("double") / col("n_words"))
+      .orderBy("lang")
+  }
 }

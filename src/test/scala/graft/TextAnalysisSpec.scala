@@ -460,4 +460,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     val d = TestTables.documentsDir(spark, Seq(1L -> words.mkString(" ")))
     assert(TextAnalysis.trainBpeMerges(spark, d, nMerges = 6) == naive(words, 6))
   }
+
+  test("bpeFertility: empty merges give weighted mean word length; merges reduce it per lang") {
+    // en: ab x2, abc x1 -> chars: (2*2 + 3)/3; de: xy x1 -> 2/1
+    val d = TestTables.documentsLangDir(spark, Seq(
+      (1L, "ab abc ab", "en"), (2L, "xy", "de")))
+    val base = TextAnalysis.bpeFertility(spark, d, merges = Nil).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(base.toSeq == Seq(("de", 1L, 2L, 2.0), ("en", 3L, 7L, 7.0 / 3.0)))
+    // merge (a,b): ab -> 1 symbol, abc -> [ab, c] = 2; de untouched
+    val merged = TextAnalysis.bpeFertility(spark, d, merges = Seq(("a", "b"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.toSeq == Seq(("de", 1L, 2L, 2.0), ("en", 3L, 4L, 4.0 / 3.0)))
+    // a trained merge list applies in rank order: (a,a) then (aa,aa)
+    val d2 = TestTables.documentsDir(spark, Seq(1L -> "aaaa aaaa aa"))
+    val trained = TextAnalysis.trainBpeMerges(spark, d2, nMerges = 2)
+      .map(m => (m._2, m._3))
+    val f2 = TextAnalysis.bpeFertility(spark, d2, trained).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // aaaa -> [aaaa] (1 sym) x2; aa -> [aa] (1 sym) x1 -> fertility 1.0
+    assert(f2.toSeq == Seq((3L, 3L, 1.0)))
+  }
 }
