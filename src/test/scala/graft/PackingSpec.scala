@@ -62,4 +62,36 @@ class PackingSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(6), r.getLong(7)))
     assert(got.toSeq == Seq((4L, 4L, 4L), (16L, 2L, 20L)))
   }
+
+  test("budgetSweep: conservation laws hold on a generated corpus at every budget") {
+    // deterministic pseudo-random corpus: 60 docs, 3 langs, 1-40 tokens
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { id =>
+      val lang = Seq("en", "de", "zh")(rnd.nextInt(3))
+      (id, (1 to 1 + rnd.nextInt(40)).map(i => s"t$i").mkString(" "), lang)
+    }
+    val dir = TestTables.documentsLangDir(spark, docs)
+    val rows = Packing.budgetSweep(spark, dir, budgets = Seq(1L, 7L, 32L, 1000L)).collect()
+    assert(rows.length == 4)
+    val totalTok = docs.map(_._2.split(" ").length.toLong).sum
+    rows.foreach { r =>
+      val (budget, nDocs, pad, trunc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (util1, nSplit, nBins, tail, utilP) =
+        (r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))
+      assert(nDocs == 60L)
+      // one-doc regime: used = Σ min(tok,L) ⇒ pad + used = n_docs·L and
+      // used + trunc = Σtok — both recoverable from the emitted columns
+      val used = nDocs * budget - pad
+      assert(used + trunc == totalTok, s"budget $budget")
+      assert(util1 == used.toDouble / (nDocs * budget))
+      // packed regime: bins cover exactly Σtok + tail_waste tokens
+      assert(nBins * budget == totalTok + tail, s"budget $budget")
+      assert(utilP == totalTok.toDouble / (nBins * budget))
+      assert(nSplit >= 0L && nSplit <= nDocs)
+      // degenerate budgets: L=1 pads nothing and splits every doc with
+      // tok ≥ 2; L=1000 holds every lang in one bin and splits nothing
+      if (budget == 1L) assert(pad == 0L && trunc == totalTok - nDocs)
+      if (budget == 1000L) assert(nSplit == 0L && trunc == 0L && nBins == 3L)
+    }
+  }
 }
