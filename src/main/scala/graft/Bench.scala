@@ -1,9 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Contract (driver): prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The stdout line is additionally written IN FULL to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_full.json` in the working
+  * directory) together with per-pass times — the driver's log capture
+  * keeps only the tail of stdout, which truncated the per-query head of
+  * BENCH_r06–r08 beyond recovery (`"parsed": null` three rounds
+  * running). The file is the lossless record; the stdout line remains
+  * the driver contract.
+  *
+  * A LOADED session is flagged, not silently recorded: five canary
+  * queries (stable, ≥1 s, code-untouched for rounds) run after warm-up
+  * and their median ratio against the recorded BASELINE.md driver
+  * column is reported as `load_ratio`; `"loaded": true` when it
+  * exceeds 1.3× — BASELINE.md's own regression threshold. Cross-session
+  * machine load moves the whole pack together (measured in r03/r06/r08),
+  * so a loaded session must not become the round's performance record
+  * without the flag saying so.
+  */
 object Bench {
+  /** sf0.1 driver-session seconds from BASELINE.md's per-query table
+    * (r05 driver column — the column VERDICT r8 names as "the actual
+    * bar"). Canaries are ≥0.8 s (sub-0.5 s rows are noise-dominated by
+    * BASELINE.md's rule) and their operator code has been untouched
+    * since r05. Used only to FLAG load, never to alter measurements.
+    */
+  private val canaryBaseline: Map[String, Double] = Map(
+    "x40_boilerplate_ngrams" -> 1.04,
+    "x41_tfidf_terms" -> 1.04,
+    "x43_source_similarity" -> 1.28,
+    "x52_lsh_calibration" -> 1.24,
+    "x53_dup_spans" -> 1.12)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,32 +52,74 @@ object Bench {
     // were being "benchmarked" as parquet scans.
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
     // untimed warmup ON THE BENCH DATASET: initializes its parquet
     // footers and the scan machinery so the first timed query doesn't
     // absorb session startup
     try exec(SparkEntry.queries("d4_identity")(spark, sfDir))
     catch { case _: Throwable => () }
+    // canary pass: best-of-2 on the five stable queries, ratio'd against
+    // the recorded BASELINE driver column → the session's load verdict
+    val canaries = canaryBaseline.toSeq.sortBy(_._1).flatMap { case (name, base) =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t = try math.min(time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+                catch { case _: Throwable => -1.0 }
+        (name, t, base, if (t > 0) t / base else -1.0)
+      }
+    }
+    val ratios = canaries.map(_._4).filter(_ > 0).sorted
+    val loadRatio = if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
+    val loaded = loadRatio > 1.3
     // two passes, best-of per query: single-run times vary ±30% in this
     // shared environment (GC, JIT, page cache); min is the stable signal.
     // A failed query records -1 — a breakage must never read as a
     // performance win.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)); name -> (System.nanoTime() - t0) / 1e9 }
+        try name -> time(exec(fn(spark, sfDir)))
         catch { case _: Throwable => name -> -1.0 }
       }
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      (n, a, b, if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // any failed query poisons the total: summing the -1 sentinels would
     // LOWER it, making a breakage read as a performance win
     val total =
-      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      if (results.exists(_._4 < 0)) -1.0 else results.map(_._4).sum
+    val loadavg1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // lossless artifact: every per-pass time, the canary table, and the
+    // load verdict — machine-readable regardless of stdout truncation
+    val fileJson = {
+      val canaryJson = canaries.map { case (n, t, b, r) =>
+        s"""    "$n": {"sec": $t, "baseline": $b, "ratio": $r}"""
+      }.mkString("{\n", ",\n", "\n  }")
+      val perQuery = results.map { case (n, a, b, best) =>
+        s"""    "$n": {"p1": $a, "p2": $b, "best": $best}"""
+      }.mkString("{\n", ",\n", "\n  }")
+      s"""{
+  "sf": "$sfDir",
+  "cpus": $cpus,
+  "epoch_ms": ${System.currentTimeMillis()},
+  "loadavg1": $loadavg1,
+  "load_ratio": $loadRatio,
+  "loaded": $loaded,
+  "canaries": $canaryJson,
+  "total_best": $total,
+  "queries": $perQuery
+}
+"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      fileJson.getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ratio":$loadRatio,"loaded":$loaded,"out":"$outPath"}""")
     spark.stop()
   }
 }

@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Replication {
 
-  /** The `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
-    * which Spark 4 refuses by default; read it as a long (legacy conf) and
-    * truncate to microseconds with integer division — the same ns→µs
-    * truncation DuckDB applies, so oracle comparisons agree bit-for-bit.
+  /** The `events` table, with `ts` normalized to a session-TZ TIMESTAMP
+    * regardless of the fixture generation's physical type. Two shapes
+    * exist in the wild:
+    *  - parquet TIMESTAMP(NANOS) (fixtures through r8), which Spark 4
+    *    refuses by default — read as long (legacy conf) and truncate to
+    *    microseconds, the same ns→µs truncation DuckDB applies;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (r9 fixtures),
+    *    which Spark loads as TIMESTAMP_NTZ — cast to TIMESTAMP (an
+    *    identity on the wall-clock under the UTC session TZ every graft
+    *    entrypoint sets), so downstream `unix_millis`/window arithmetic
+    *    keeps one type to reason about.
+    * Downstream operators and DuckDB oracles agree bit-for-bit on both.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // SESSION-WIDE side effect, deliberate: this legacy flag has no
@@ -26,8 +34,14 @@ object Replication {
     // wants the same treatment. Any reader of ns-timestamp parquet in the
     // same session sees longs — go through this function, which converts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** D1/C1 — regex topic subscription (reference:
