@@ -834,6 +834,143 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** EXT-T15b — BPE merge training at PRODUCTION merge counts: the same
+    * training loop as [[trainBpeMerges]], but run in driver memory over
+    * the collected vocabulary. A real tokenizer is 32k–100k merges;
+    * the relational loop is one Spark job (pair agg + `limit(1).collect()`
+    * + `localCheckpoint`) PER MERGE — that many driver round trips over a
+    * cluster makes the relational spelling unusable at its production
+    * parameterization. The (word, n_word) vocab relation is bounded by
+    * construction (distinct tokens, not corpus size — the Heaps'-law
+    * ceiling the whole text family leans on), so ONE corpus-sized Spark
+    * job collects it and the merge loop never touches the cluster again.
+    *
+    * Exact-equality contract with [[trainBpeMerges]], pinned by spec:
+    *  - words split to symbols by CODE POINT (the relational `substr`
+    *    semantics), never UTF-16 code units — a supplementary character
+    *    is one symbol in both spellings;
+    *  - ties rank by (count DESC, left, right) with strings compared as
+    *    UTF-8 BYTES — Spark's binary string ordering — so the merge list
+    *    is bit-identical to the relational loop on any input;
+    *  - pair counts weight every adjacent POSITION by n_word (the
+    *    relational explode counts overlaps: [a,a,a] holds (a,a) twice);
+    *  - merge application is the same left-to-right skip-after-merge
+    *    scan.
+    * Per round, only the words CONTAINING the merged pair are
+    * re-segmented (an inverted pair→words index, the subword-nmt
+    * optimization) — the cost of a round is proportional to the pair's
+    * support, not the vocabulary.
+    */
+  def trainBpeMergesLocal(
+      spark: SparkSession,
+      dir: String,
+      nMerges: Int = 10): Seq[(Int, String, String, Long)] = {
+    val vocabRows = Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+      .collect()
+    def codePoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    trainBpeMergesInMemory(
+      vocabRows.map(r => (codePoints(r.getString(0)), r.getLong(1))), nMerges)
+  }
+
+  /** The in-memory BPE loop over a pre-segmented weighted vocabulary —
+    * separated from the Spark collect so specs can drive it on exact
+    * fixtures. See [[trainBpeMergesLocal]] for the equality contract.
+    */
+  private[graft] def trainBpeMergesInMemory(
+      vocab: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    // Spark's string ordering is unsigned UTF-8 byte order; Java's
+    // String.compareTo is UTF-16 code-unit order and DISAGREES for
+    // supplementary vs [U+E000, U+FFFF] characters — compare bytes.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val counts: Array[Long] = vocab.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def tally(wi: Int, sign: Long): Unit = {
+      val syms = words(wi)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val next = pairCount.getOrElse(p, 0L) + sign * counts(wi)
+        if (next == 0L) pairCount.remove(p) else pairCount.update(p, next)
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(tally(_, 1L))
+    def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r
+          i += 2
+        } else {
+          out += syms(i)
+          i += 1
+        }
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges && pairCount.nonEmpty) {
+      var best: ((String, String), Long) = null
+      pairCount.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+            (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+          best = e
+      }
+      val ((l, r), n) = best
+      merges += ((rank, l, r, n))
+      // stale-tolerant inverted index: a word listed here may no longer
+      // contain the pair (its counts were already backed out) — re-check
+      val affected = pairWords.getOrElse((l, r), mutable.Set.empty[Int])
+      affected.foreach { wi =>
+        val syms = words(wi)
+        var has = false
+        var i = 0
+        while (!has && i + 1 < syms.length) {
+          has = syms(i) == l && syms(i + 1) == r
+          i += 1
+        }
+        if (has) {
+          tally(wi, -1L)
+          words(wi) = applyMerge(syms, l, r)
+          tally(wi, 1L)
+        }
+      }
+      pairWords.remove((l, r))
+      rank += 1
+    }
+    merges.result()
+  }
+
   /** EXT-T16 — tokenizer fertility: apply a trained merge list
     * ([[trainBpeMerges]]' artifact) to the corpus and report, per
     * language, subword tokens per word occurrence — the standard metric

@@ -428,16 +428,17 @@ object ScaleStress {
   def ensure(spark: SparkSession): String = synchronized {
     // versioned marker: adding a table to the slice must regenerate it
     // on machines that carry an older generation in /tmp
-    val marker = new java.io.File(root, "_READY_V3")
+    val marker = new java.io.File(root, "_READY_V4")
     if (!marker.exists()) {
-      // events ×60 (6M rows): ts is TIMESTAMP(NANOS) parquet — read as
-      // long (the session-wide legacy flag Replication.events also sets)
-      // and written back as long, which the reader path handles the same
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      // events ×60 (6M rows): go through Replication.events, which
+      // normalizes the fixture's physical ts type (ns-as-long through
+      // r8, µs TIMESTAMP_NTZ from r9) to a session-TZ TIMESTAMP; each
+      // replica is offset by `rep` microseconds so timestamps stay
+      // near-distinct without changing any window bucketing
+      val ev = graft.operators.Replication.events(spark, "/root/testdata/sf0.1")
       ev.crossJoin(spark.range(60).select(col("id").as("rep")))
         .withColumn("event_id", col("event_id") * 60 + col("rep"))
-        .withColumn("ts", col("ts") + col("rep"))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("rep")))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$root/events.parquet")
       // documents ×10 (50k docs): replica-PREFIXED tokens keep replica

@@ -461,6 +461,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(TextAnalysis.trainBpeMerges(spark, d, nMerges = 6) == naive(words, 6))
   }
 
+  test("trainBpeMergesLocal: bit-identical to the relational loop (overlaps, ties, multi-doc)") {
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "low low low lower newest newest", 2L -> "widest aaaa abab"))
+    assert(TextAnalysis.trainBpeMergesLocal(spark, d, nMerges = 12) ==
+      TextAnalysis.trainBpeMerges(spark, d, nMerges = 12))
+  }
+
+  test("trainBpeMergesLocal: UTF-8 byte tie-break agrees with Spark's binary string order on supplementary chars") {
+    // count tie between pairs led by U+E000 and U+10000: Java's UTF-16
+    // String.compareTo orders the supplementary char FIRST, Spark's
+    // binary UTF8String order puts it LAST — the in-memory comparator
+    // must agree with Spark, not with Java
+    val hi = "\uE000" // UTF-8: EE 80 80
+    val supp = new String(Character.toChars(0x10000)) // UTF-8: F0 90 80 80
+    val d = TestTables.documentsDir(spark, Seq(1L -> s"${hi}x ${supp}x"))
+    val local = TextAnalysis.trainBpeMergesLocal(spark, d, nMerges = 2)
+    assert(local == TextAnalysis.trainBpeMerges(spark, d, nMerges = 2))
+    assert(local.head._2 == hi, "UTF-8 byte order ranks U+E000 before U+10000")
+  }
+
+  test("trainBpeMergesLocal: equals the relational loop on the sf0.001 corpus; 1k merges run in driver memory") {
+    val dir = "/root/testdata/sf0.001"
+    assert(TextAnalysis.trainBpeMergesLocal(spark, dir, nMerges = 20) ==
+      TextAnalysis.trainBpeMerges(spark, dir, nMerges = 20))
+    // the synthetic corpus holds only 31 distinct tokens, so training
+    // exhausts well before production merge counts — the local loop must
+    // stop exactly where the relational loop would, with dense ranks
+    val big = TextAnalysis.trainBpeMergesLocal(spark, dir, nMerges = 1000)
+    assert(big.nonEmpty && big.length <= 1000)
+    assert(big.map(_._1) == (1 to big.length), "ranks are dense from 1")
+  }
+
+  test("trainBpeMergesInMemory: production merge counts (2k) complete in driver memory in seconds") {
+    // a 20k-word Zipf-ish vocabulary (deterministic LCG): the corpus
+    // shape the driver-memory loop exists for — the relational loop at
+    // this parameterization would be 2 000 Spark jobs
+    var seed = 42L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val vocab = Array.tabulate(20000) { i =>
+      val len = 3 + nextInt(12)
+      val w = Array.fill(len)(('a' + nextInt(26)).toChar.toString)
+      (w, (20000L / (i + 1)) + 1L) // Zipf-ish weight
+    }
+    val t0 = System.nanoTime()
+    val merges = TextAnalysis.trainBpeMergesInMemory(vocab, nMerges = 2000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"2000 merges over 20k words (driver-memory): $sec%.2f s, ${merges.length} emitted")
+    assert(merges.length == 2000, s"vocab supports 2k merges, got ${merges.length}")
+    assert(sec < 60.0, f"driver-memory loop must stay interactive, took $sec%.1f s")
+    // counts never negative and ranks dense — loop invariants at scale
+    assert(merges.forall(_._4 > 0L))
+    assert(merges.map(_._1) == (1 to 2000))
+  }
+
   test("bpeFertility: empty merges give weighted mean word length; merges reduce it per lang") {
     // en: ab x2, abc x1 -> chars: (2*2 + 3)/3; de: xy x1 -> 2/1
     val d = TestTables.documentsLangDir(spark, Seq(
