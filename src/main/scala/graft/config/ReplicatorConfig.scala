@@ -18,6 +18,7 @@ final case class ReplicatorConfig(
     backfill: Boolean = false,
     checkpointIntervalMs: Long = ReplicatorConfig.DefaultCheckpointIntervalMs,
     transactionTimeoutMs: Long = ReplicatorConfig.DefaultTransactionTimeoutMs,
+    maxOffsetsPerTrigger: Option[Long] = None,
     consumerProps: Map[String, String] = Map.empty,
     producerProps: Map[String, String] = Map.empty) {
 
@@ -50,7 +51,14 @@ object ReplicatorConfig {
     // extension beyond the reference's eight: drain-and-stop replication
     "backfill")
   val IntOptions: Set[String] = Set(
-    "checkpoint-interval-ms", "transaction-timeout-ms")
+    "checkpoint-interval-ms", "transaction-timeout-ms",
+    // extension beyond the reference's options: ingestion rate cap.
+    // Flink gives the reference natural backpressure (records flow at
+    // sink speed; reference: FlinkKafkaReplicator.java:110-136); Spark
+    // microbatching does NOT — a user starting from `earliest` on a
+    // large topic gets ONE unbounded first microbatch unless the source
+    // is capped. Routed to the Kafka source's maxOffsetsPerTrigger.
+    "max-offsets-per-trigger")
   val Required: Seq[String] = Seq(
     "topics", "consumer.bootstrap.servers", "consumer.group.id",
     "producer.bootstrap.servers")
@@ -147,7 +155,14 @@ object ReplicatorConfig {
         }
         val ckptE = long("checkpoint-interval-ms", DefaultCheckpointIntervalMs)
         val txnE = long("transaction-timeout-ms", DefaultTransactionTimeoutMs)
-        val numErrs = Seq(ckptE, txnE).collect { case Left(e) => e }
+        // optional positive long: absent -> None; present -> must parse
+        // and be >= 1 (a zero/negative cap would stall the stream)
+        val rateE: Either[String, Option[Long]] = params.get("max-offsets-per-trigger") match {
+          case None => Right(None)
+          case Some(s) => s.toLongOption.filter(_ >= 1L).map(Some(_))
+            .toRight(s"--max-offsets-per-trigger requires a positive integer value, got '$s'")
+        }
+        val numErrs = Seq(ckptE, txnE, rateE).collect { case Left(e) => e }
         if (numErrs.nonEmpty) return Left(numErrs)
         val cfg = ReplicatorConfig(
           topics = params("topics"),
@@ -160,6 +175,7 @@ object ReplicatorConfig {
           backfill = flag("backfill"),
           checkpointIntervalMs = ckptE.toOption.get,
           transactionTimeoutMs = txnE.toOption.get,
+          maxOffsetsPerTrigger = rateE.toOption.get,
           consumerProps = propsWithPrefix(params, "consumer."),
           producerProps = propsWithPrefix(params, "producer."))
         // D8 — txn timeout must cover at least one checkpoint interval

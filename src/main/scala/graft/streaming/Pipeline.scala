@@ -43,10 +43,43 @@ object Pipeline {
       .option("subscribePattern", cfg.topics)
       .option("includeHeaders", "true")
       .option("startingOffsets", cfg.startingOffsets)
+    // Ingestion rate cap — the Spark substitute for Flink's natural
+    // backpressure (the reference's records flow at sink speed;
+    // reference: FlinkKafkaReplicator.java:110-136). Without it, a
+    // start from `earliest` on a large topic makes the FIRST microbatch
+    // unbounded: every existing offset lands in one batch whose tasks
+    // must complete before anything commits — executor OOM / shuffle
+    // spill at backfill scale, and hours of work lost on any task
+    // failure. `--max-offsets-per-trigger` bounds every microbatch
+    // (including each AvailableNow backfill batch, which honors it).
+    val limited = cfg.maxOffsetsPerTrigger.foldLeft(reader) { (r, n) =>
+      r.option("maxOffsetsPerTrigger", n.toString)
+    }
     // A5 — consumer passthrough; Spark scopes raw client configs as kafka.*
-    cfg.consumerProps.foldLeft(reader) { case (r, (k, v)) =>
+    cfg.consumerProps.foldLeft(limited) { case (r, (k, v)) =>
       r.option(s"kafka.$k", v)
     }
+  }
+
+  /** Broker-free source analog for specs and soaks: a file-backed stream
+    * of envelope rows, with [[ReplicatorConfig.maxOffsetsPerTrigger]]
+    * mapped to the file source's `maxFilesPerTrigger` (ceil-divided by
+    * `rowsPerFile`, the fixture's uniform file size) — the same
+    * bounded-first-batch semantics the Kafka option buys, drivable
+    * without a broker. On uniform fixtures the per-batch row cap is
+    * exact; at worst it overshoots by one file.
+    */
+  def fileSource(
+      spark: SparkSession,
+      cfg: ReplicatorConfig,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowsPerFile: Long = 1L): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    cfg.maxOffsetsPerTrigger
+      .map(n => math.max(1L, (n + rowsPerFile - 1) / rowsPerFile))
+      .foldLeft(reader)((r, files) => r.option("maxFilesPerTrigger", files.toString))
+      .parquet(dir)
   }
 
   /** D6 + D7 — Kafka sink wiring: at-least-once transactional-batch write

@@ -75,6 +75,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(junk.isLeft && junk.left.exists(_.exists(_.contains("'5s'"))))
   }
 
+  test("--max-offsets-per-trigger: absent -> None, value parses, non-positive and bare rejected") {
+    assert(ReplicatorConfig.fromArgs(minimal).toOption.get.maxOffsetsPerTrigger.isEmpty)
+    val set = ReplicatorConfig.fromArgs(minimal ++ Seq("--max-offsets-per-trigger", "50000"))
+    assert(set.toOption.get.maxOffsetsPerTrigger.contains(50000L))
+    // a zero/negative cap would stall the stream; a bare flag parses as
+    // the value "true" — all three fail through the Either channel
+    Seq(Seq("--max-offsets-per-trigger", "0"),
+      Seq("--max-offsets-per-trigger", "-5"),
+      Seq("--max-offsets-per-trigger")).foreach { extra =>
+      val res = ReplicatorConfig.fromArgs(minimal ++ extra)
+      assert(res.isLeft && res.left.exists(_.exists(_.contains("positive integer"))),
+        s"expected rejection for $extra")
+    }
+  }
+
   test("effectiveProducerProps injects transaction.timeout.ms; explicit passthrough wins") {
     val cfg = ReplicatorConfig.fromArgs(minimal).toOption.get
     assert(cfg.effectiveProducerProps("transaction.timeout.ms") == "870000")

@@ -223,6 +223,58 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(writes == Vector(4L),
       "restart against an old commitDir must honor flat legacy markers")
   }
+
+  test("max-offsets-per-trigger reaches the Kafka reader; absent leaves it unset") {
+    import graft.config.ReplicatorConfig
+    // keep the CaseInsensitiveMap interface: its iterator lower-cases
+    // keys, so a .toMap would hide the camelCase option names
+    def opts(cfg: ReplicatorConfig): scala.collection.Map[String, String] = {
+      val r = Pipeline.kafkaSource(spark, cfg)
+      val f = r.getClass.getDeclaredField("extraOptions")
+      f.setAccessible(true)
+      f.get(r).asInstanceOf[scala.collection.Map[String, String]]
+    }
+    val base = ReplicatorConfig(topics = "t.*",
+      consumerProps = Map("bootstrap.servers" -> "h:9092"))
+    assert(!opts(base).contains("maxOffsetsPerTrigger"),
+      "no cap configured -> the option must not be set at all")
+    val capped = opts(base.copy(maxOffsetsPerTrigger = Some(12345L)))
+    assert(capped.get("maxOffsetsPerTrigger").contains("12345"))
+    // sibling source options survive the rate-limit fold
+    assert(capped.get("subscribePattern").contains("t.*"))
+    assert(capped.get("kafka.bootstrap.servers").contains("h:9092"))
+  }
+
+  test("backfill-first-batch hazard: uncapped drains ALL history into one batch; the cap bounds every microbatch") {
+    import graft.config.ReplicatorConfig
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("graft-rate-src").toString
+    // "a large topic": 10 uniform files x 100 rows of history
+    (0 until 10).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("event_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    def batchSizes(cfg: ReplicatorConfig): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = Pipeline.fileSource(spark, cfg, dir, schema, rowsPerFile = 100L)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rate-ck").toString)
+        .foreachBatch((df: DataFrame, _: Long) => { sizes += df.count(); () })
+        .start()
+      q.awaitTermination()
+      sizes.toSeq
+    }
+    val base = ReplicatorConfig(topics = "t.*")
+    // without the cap the whole history is ONE microbatch — the day-one
+    // backfill hazard Flink's backpressure never exposes users to
+    assert(batchSizes(base) == Seq(1000L))
+    val capped = batchSizes(base.copy(maxOffsetsPerTrigger = Some(100L)))
+    assert(capped.forall(_ <= 100L), s"every microbatch bounded by the cap: $capped")
+    assert(capped.sum == 1000L && capped.length == 10)
+  }
 }
 
 /** A sender that buffers its sends and publishes them only at the
