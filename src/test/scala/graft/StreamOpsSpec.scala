@@ -504,6 +504,72 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("generational cutover chaos: both crash points heal on replay; the resolver never sees zero live generations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshchaos").toString
+    val index = s"$tmp/index"
+    val stream = MemoryStream[(Long, String)]
+    def start() = StreamOps.maintainLshIndex(
+      stream.toDF().toDF("doc_id", "text"), index, s"$tmp/ckpt", compactEvery = 5L)
+    def doc(i: Long): (Long, String) =
+      i -> (i * 100 until i * 100 + 30).map(w => s"w$w").mkString(" ")
+    var fed = Vector.empty[(Long, String)]
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery, ids: Range): Unit =
+      ids.foreach { i => fed :+= doc(i.toLong); stream.addData(doc(i.toLong)); q.processAllAvailable() }
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def liveGens: Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(index))
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_live")))
+      .map(_.getPath.getName).toSeq.sorted
+    def probe(): Seq[Seq[Any]] = StreamOps.lshIndex(spark, index).collect()
+      .map(_.toSeq.toVector: Seq[Any]).toVector.sortBy(_.toString)
+    def batchRelation(): Seq[Seq[Any]] = graft.operators.Dedup.bandSignatures(
+      fed.toDF("doc_id", "text")).collect()
+      .map(_.toSeq.toVector: Seq[Any]).toVector.sortBy(_.toString)
+
+    // steady state past one compaction: batches 0..6, cutover at batch 5
+    val q1 = start()
+    try feed(q1, 1 to 7) finally q1.stop()
+    assert(liveGens.length == 1)
+    val liveGen = liveGens.head.drop(4).toLong
+
+    // CRASH POINT A — compaction wrote gen-(n+1) completely but died
+    // BEFORE creating its _live marker: exactly what the maintainer's
+    // crash leaves on disk (an unmarked, fully-written next generation)
+    val livePath = new org.apache.hadoop.fs.Path(index, s"gen-$liveGen")
+    val nextPath = new org.apache.hadoop.fs.Path(index, s"gen-${liveGen + 1}")
+    graft.sources.Sources.compactParquet(spark, livePath.toString, nextPath.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(nextPath, "_live")))
+    // resolver: the unmarked generation is invisible — never zero live,
+    // probe identical to the pre-crash relation
+    assert(liveGens == Seq(s"gen-$liveGen"))
+    assert(probe() == batchRelation())
+    // replay heals: the restarted maintainer redoes the compaction from
+    // scratch at its next trigger (batches 8..10, cutover at batch 10)
+    val q2 = start()
+    try feed(q2, 8 to 11) finally q2.stop()
+    assert(liveGens == Seq(s"gen-${liveGen + 1}"),
+      s"the redone compaction must cut over atomically, got $liveGens")
+    assert(probe() == batchRelation(), "no append lost, none duplicated")
+
+    // CRASH POINT B — cutover died BETWEEN the new _live create and the
+    // old marker's delete: two live markers visible at once
+    val stale = new org.apache.hadoop.fs.Path(index, s"gen-$liveGen/_live")
+    fs.create(stale, true).close()
+    assert(liveGens.length == 2)
+    // resolver: the HIGHEST live generation (the compacted superset)
+    // wins — probe unchanged, never zero
+    assert(probe() == batchRelation())
+    // replay heals: the maintainer's next batch retires the stale marker
+    val q3 = start()
+    try feed(q3, 12 to 12) finally q3.stop()
+    assert(liveGens == Seq(s"gen-${liveGen + 1}"),
+      s"the stale marker must be retired on replay, got $liveGens")
+    assert(probe() == batchRelation())
+  }
+
   test("bloomPrefilterStream matches the batch Bloom verdicts — no false negatives") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, sha2}
@@ -1027,6 +1093,83 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     perBatch.foreach { n =>
       assert(n > 0 && n <= totalIndexFiles / 4,
         s"probe scanned $n of $totalIndexFiles index files — partition pruning did not engage")
+    }
+  }
+
+  test("EXT-T9b serving path: streamed query batches probe the PERSISTED BM25 index with bucket-pruned scans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-bm25-serve").toString
+    // build ONCE; every microbatch below probes the bucketed layout
+    graft.operators.TextAnalysis.writeBm25Index(spark, sfDir, indexPath, nBuckets = 64)
+    def parquetFilesUnder(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFilesUnder)
+    }
+    val totalPostingFiles = parquetFilesUnder(new java.io.File(s"$indexPath/postings")).length
+    assert(totalPostingFiles >= 8, s"expected a spread bucket layout, got $totalPostingFiles")
+    // four corpus terms, each from a different posting bucket if possible
+    val terms = graft.operators.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.Tables.tokens(org.apache.spark.sql.functions.col("text"))).as("token"))
+      .filter(org.apache.spark.sql.functions.length($"token") > 0)
+      .select("token").distinct().orderBy("token").as[String].collect().take(4).toSeq
+    assert(terms.length == 4)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val scannedFiles = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("term").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // a query batch is |queries|-bounded by definition — collecting
+        // it is the serving tier's legitimate bounded collect
+        val batchTerms = batch.select("term").as[String](spark.implicits.newStringEncoder)
+          .collect().toSeq
+        val out = graft.operators.TextAnalysis.bm25TopKFromIndex(
+          spark, indexPath, batchTerms, k = 3)
+        out.collect().foreach(r => results.add(r.toString))
+        def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            fileScans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            fileScans(s.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            fileScans(r.child)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(fileScans)
+        }
+        val scanned = fileScans(out.queryExecution.executedPlan)
+          .filter(_.metadata.get("Location").exists(l =>
+            l.contains("postings") || l.contains("lexicon")))
+          .map(_.metrics("numFiles").value).sum
+        scannedFiles.add(scanned)
+        ()
+      }
+      .start()
+    try {
+      stream.addData(terms.take(2).toIndexedSeq) // microbatch 1
+      q.processAllAvailable()
+      stream.addData(terms.drop(2).toIndexedSeq) // microbatch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    // build-once/probe-forever equivalence: per-term scoring is
+    // independent, so the union of per-microbatch probes equals the
+    // one-shot probe over all four terms
+    val expect = graft.operators.TextAnalysis.bm25TopKFromIndex(
+      spark, indexPath, terms, k = 3)
+      .collect().map(_.toString).toSet
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == expect && expect.nonEmpty)
+    // the bucket-pruned scan: each 2-term microbatch pins ≤2 of 64
+    // buckets as a literal partition filter on postings AND lexicon —
+    // never the whole token layout
+    val perBatch = scannedFiles.asScala.toSeq
+    assert(perBatch.length == 2)
+    perBatch.foreach { n =>
+      assert(n > 0 && n <= totalPostingFiles / 2,
+        s"probe scanned $n of ≥$totalPostingFiles index files — bucket pruning did not engage")
     }
   }
 
