@@ -84,6 +84,18 @@ object SparkEntry {
     "x20_repetition" -> ((s, dir) => Curation.repetition(s, dir)),
     // Gopher positional repetition: tokens inside duplicated trigrams
     "x92_dup_gram_coverage" -> ((s, dir) => Curation.dupGramCoverage(s, dir)),
+    // corpus snapshot diff: digest-compare under a full-outer doc_id join
+    "x93_corpus_diff" -> ((s, dir) => Curation.corpusDiff(s, dir)),
+    // embedding dimension-health audit: per-dim counts + exact min/max
+    "x94_dim_audit" -> ((s, dir) => Similarity.dimAudit(s, dir)),
+    // quality-gate attrition funnel + sole-blocker counts
+    "x95_gate_attrition" -> ((s, dir) => Curation.gateAttrition(s, dir)),
+    // corpus diversity: distinct-n ratios per source, n in {1,2,3}
+    "x96_distinct_ngrams" -> ((s, dir) => TextAnalysis.distinctNgrams(s, dir)),
+    // sublinear per-source caps: thresholded sqrt-law domain balancing
+    "x97_domain_caps" -> ((s, dir) => Curation.domainCaps(s, dir)),
+    // dedup survivor-bias audit: kept-vs-removed quality profile
+    "x98_survivor_bias" -> ((s, dir) => Curation.survivorBias(s, dir)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -752,6 +764,109 @@ object SparkEntry {
         |       coalesce(n_cov, 0)::BIGINT AS n_cov,
         |       coalesce(n_cov, 0)::DOUBLE / len(ts) AS cov_frac
         |FROM t LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x93_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, source, n_chars, sha256(text) AS digest
+        |             FROM documents WHERE doc_id % 3 <> 0),
+        |neu AS (SELECT doc_id, source, n_chars,
+        |        sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS digest
+        |        FROM documents WHERE doc_id % 3 <> 1)
+        |SELECT coalesce(o.source, n.source) AS source,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.digest <> n.digest THEN 'changed'
+        |            ELSE 'same' END AS status,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(coalesce(n.n_chars, o.n_chars))::BIGINT AS total_chars
+        |FROM old o FULL JOIN neu n ON o.doc_id = n.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x94_dim_audit" ->
+      """WITH v AS (SELECT (i - 1)::BIGINT AS dim, embedding[i] AS v
+        |           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT dim, count(*)::BIGINT AS n_vals,
+        |       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |       sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |       sum(CASE WHEN v < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |       min(v)::DOUBLE AS min_v, max(v)::DOUBLE AS max_v,
+        |       (min(v) = max(v)) AS dead
+        |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "x95_gate_attrition" ->
+      s"""WITH $qualityCte,
+         |f AS (SELECT doc_id,
+         |  (n_tokens BETWEEN 20 AND 80) AS r_len,
+         |  (avg_len BETWEEN 3.0 AND 8.0) AS r_avg,
+         |  (stop_hits >= 2) AS r_stop,
+         |  (top_tok_frac <= 0.125) AS r_rep FROM q),
+         |a AS (SELECT count(*)::BIGINT AS n0,
+         |  sum(CASE WHEN r_len THEN 1 ELSE 0 END)::BIGINT AS s1,
+         |  sum(CASE WHEN r_len AND r_avg THEN 1 ELSE 0 END)::BIGINT AS s2,
+         |  sum(CASE WHEN r_len AND r_avg AND r_stop THEN 1 ELSE 0 END)::BIGINT AS s3,
+         |  sum(CASE WHEN r_len AND r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS s4,
+         |  sum(CASE WHEN NOT r_len AND r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b1,
+         |  sum(CASE WHEN r_len AND NOT r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b2,
+         |  sum(CASE WHEN r_len AND r_avg AND NOT r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b3,
+         |  sum(CASE WHEN r_len AND r_avg AND r_stop AND NOT r_rep THEN 1 ELSE 0 END)::BIGINT AS b4
+         |  FROM f)
+         |SELECT * FROM (
+         |  SELECT 1::BIGINT AS gate, 'len' AS rule, n0 AS n_in,
+         |         (n0 - s1)::BIGINT AS n_dropped, s1 AS n_out, b1 AS n_sole_blocker FROM a
+         |  UNION ALL SELECT 2, 'avg', s1, s1 - s2, s2, b2 FROM a
+         |  UNION ALL SELECT 3, 'stop', s2, s2 - s3, s3, b3 FROM a
+         |  UNION ALL SELECT 4, 'rep', s3, s3 - s4, s4, b4 FROM a)
+         |ORDER BY gate""".stripMargin,
+
+    "x96_distinct_ngrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |d1 AS (SELECT source, 1::BIGINT AS n, count(DISTINCT tok)::BIGINT AS n_distinct
+        |       FROM (SELECT source, unnest(ts) AS tok FROM toks) GROUP BY source),
+        |d2 AS (SELECT source, 2::BIGINT AS n, count(DISTINCT g)::BIGINT AS n_distinct
+        |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] AS g
+        |             FROM toks, unnest(range(1, len(ts))) AS t(i)) GROUP BY source),
+        |d3 AS (SELECT source, 3::BIGINT AS n, count(DISTINCT g)::BIGINT AS n_distinct
+        |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |             FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)) GROUP BY source),
+        |tot AS (SELECT source, g.n::BIGINT AS n,
+        |               sum(greatest(len(ts) - g.n + 1, 0))::BIGINT AS n_total
+        |        FROM toks, (VALUES (1), (2), (3)) AS g(n) GROUP BY 1, 2),
+        |d AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |SELECT t.source, t.n, t.n_total,
+        |       coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
+        |       CASE WHEN t.n_total = 0 THEN 0.0
+        |            ELSE coalesce(d.n_distinct, 0)::DOUBLE / t.n_total END AS distinct_frac
+        |FROM tot t LEFT JOIN d ON d.source = t.source AND d.n = t.n
+        |ORDER BY t.source, t.n""".stripMargin,
+
+    "x97_domain_caps" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY 1),
+        |dr AS (SELECT doc_id, source,
+        |       (('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS draw
+        |       FROM documents)
+        |SELECT d.doc_id, d.source, c.n_source
+        |FROM dr d JOIN c USING (source)
+        |WHERE d.draw < floor(4294967296.0 / sqrt(c.n_source::DOUBLE))::BIGINT
+        |ORDER BY doc_id""".stripMargin,
+
+    "x98_survivor_bias" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |$qualityCte,
+         |coh AS (SELECT d.doc_id,
+         |        CASE WHEN c.cluster IS NOT NULL AND c.cluster <> d.doc_id
+         |             THEN 'removed' ELSE 'kept' END AS cohort,
+         |        d.n_chars, qq.n_tokens,
+         |        ($qualityKeepPred) AS keep
+         |        FROM documents d
+         |        JOIN q qq ON qq.doc_id = d.doc_id
+         |        LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT cohort, count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS total_chars,
+         |       sum(n_tokens)::BIGINT AS total_tokens,
+         |       sum(n_chars)::DOUBLE / count(*) AS mean_chars,
+         |       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
+         |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) AS quality_pass_rate
+         |FROM coh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

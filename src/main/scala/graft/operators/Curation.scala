@@ -1272,6 +1272,157 @@ object Curation {
     }
   }
 
+  /** EXT-C32 (x93) — corpus snapshot diff: the incremental-pipeline
+    * audit "what changed between yesterday's corpus and today's?". Two
+    * snapshots (derived deterministically from the harness corpus: OLD
+    * drops doc_id ≡ 0 (mod 3), NEW drops ≡ 1 (mod 3) and rewrites every
+    * doc_id ≡ 0 (mod 5) — so all four statuses occur) are compared by
+    * content digest under a full-outer doc_id join and folded to
+    * per-(source, status) counts with total affected chars.
+    *
+    * Scale: doc_id is unique on both sides, so the full-outer join is a
+    * skew-free equi-shuffle — at 100 TB both snapshots co-partition on
+    * doc_id (bucketed layouts make it shuffle-free) and the comparison
+    * carries only (doc_id, digest, source, n_chars), never text: the
+    * sha2 digest folds each document to 32 bytes AT THE SCAN, so the
+    * exchange is ~50 B/row regardless of document size. Output is
+    * |sources| × 4 rows. The digest-compare beats a text-compare by the
+    * mean document length (~KB → 32 B) and is what a production CDC diff
+    * ships anyway.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0L)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(col("text"), 256).as("digest"))
+    val neu = docs.where(pmod(col("doc_id"), lit(3L)) =!= 1L)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")), 256).as("digest"))
+    old.as("o").join(neu.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(
+        coalesce(col("o.source"), col("n.source")).as("source"),
+        when(col("o.doc_id").isNull, "added")
+          .when(col("n.doc_id").isNull, "removed")
+          .when(col("o.digest") =!= col("n.digest"), "changed")
+          .otherwise("same").as("status"),
+        coalesce(col("n.n_chars"), col("o.n_chars")).as("chars"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("total_chars"))
+      .orderBy("source", "status")
+  }
+
+  /** EXT-C33 (x95) — gate-attrition funnel: the curation-pipeline audit
+    * that says WHICH quality gate is doing the filtering. For the four
+    * [[qualityProjection]] rules applied in their documented order
+    * (len → avg → stop → rep), each output row reports the docs entering
+    * that gate (survivors of the earlier ones), dropped at it, and
+    * surviving it — plus `n_sole_blocker`: docs failing ONLY that gate,
+    * the count that tells a curator "relaxing this one threshold
+    * recovers exactly N documents" (the funnel drop alone can't, because
+    * a doc dropped at gate 2 may also fail gate 4).
+    *
+    * Scale: one row-local measurement pass (the same compiled
+    * hash-count pass x19 runs) folded by conditional partial aggregation
+    * into ONE driver row, restacked to 4 gate rows — no shuffle wider
+    * than a single-row exchange, no second corpus pass, at any corpus
+    * size. This is the cheapest possible spelling: the funnel is
+    * arithmetic over 9 conditional counts.
+    */
+  def gateAttrition(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityProjection(Tables.documents(spark, dir))
+    val agg = q.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("r_len"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("r_len") && col("r_avg"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("r_len") && col("r_avg") && col("r_stop"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("s4"),
+      sum(when(!col("r_len") && col("r_avg") && col("r_stop") && col("r_rep"), 1L)
+        .otherwise(0L)).as("b1"),
+      sum(when(col("r_len") && !col("r_avg") && col("r_stop") && col("r_rep"), 1L)
+        .otherwise(0L)).as("b2"),
+      sum(when(col("r_len") && col("r_avg") && !col("r_stop") && col("r_rep"), 1L)
+        .otherwise(0L)).as("b3"),
+      sum(when(col("r_len") && col("r_avg") && col("r_stop") && !col("r_rep"), 1L)
+        .otherwise(0L)).as("b4"))
+    agg.select(expr(
+      """stack(4,
+        |  1L, 'len',  n0, s1, b1,
+        |  2L, 'avg',  s1, s2, b2,
+        |  3L, 'stop', s2, s3, b3,
+        |  4L, 'rep',  s3, s4, b4
+        |) AS (gate, rule, n_in, n_out, n_sole_blocker)""".stripMargin))
+      .select(col("gate"), col("rule"), col("n_in"), (col("n_in") - col("n_out")).as("n_dropped"),
+        col("n_out"), col("n_sole_blocker"))
+      .orderBy("gate")
+  }
+
+  /** EXT-C34 (x97) — sublinear per-source caps: web-corpus domain
+    * balancing, where a source with n documents keeps only ~√n of them
+    * so no single crawl domain dominates the mixture (the √-law is the
+    * standard web-dedup pick; any concave law slots in).
+    *
+    * The SCALE trick is that the cap needs no per-source ranking: keep
+    * doc iff its content-stable 32-bit draw < ⌊2³² / √n⌋ — an expected
+    * √n survivors per source with zero windows, zero per-source sorts,
+    * and zero skew sensitivity (a 10⁹-doc domain and a 10-doc domain
+    * cost the same row-local compare). The |sources|-row count relation
+    * broadcasts; the corpus side is one filter pass. The exact-quota
+    * spelling (row_number ≤ √n per source) needs a full shuffle+sort by
+    * source — the Zipf-skewed web makes that one hot partition per
+    * mega-domain; the thresholded spelling is how it ships at 100 TB.
+    * Deterministic: the draw is md5 of a seeded doc_id, so replays and
+    * both engines agree exactly.
+    */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    docs.select(col("doc_id"), col("source"), md5Draw("cap:").as("draw"))
+      .join(broadcast(counts), "source")
+      .where(col("draw") < floor(lit(4294967296.0) / sqrt(col("n_source").cast("double"))))
+      .select(col("doc_id"), col("source"), col("n_source"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C35 (x98) — dedup survivor-bias audit: does near-dup removal
+    * (x22's cluster resolution keeping the lowest-id canonical) shift
+    * the quality profile of what remains? Compares kept vs removed
+    * cohorts on exact counts and integer sums (docs, chars, tokens,
+    * quality-gate pass rate) — the audit a curation pipeline runs before
+    * trusting that dedup didn't silently discard its best documents
+    * (duplicated content is often HIGH quality — boilerplate licenses,
+    * canonical references — so the removed cohort's profile matters).
+    *
+    * Scale: the cluster relation is bounded by the near-dup evidence
+    * (vanishingly small next to the corpus), so the membership join is
+    * a broadcast; the cohort fold is a 2-row aggregate over one
+    * row-local measurement pass. Means are single IEEE divisions of
+    * exact integer sums — oracle-stable.
+    */
+  def survivorBias(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+      .where(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("removed"))
+    // qualityAnnotated keeps n_chars alongside the measurements — one
+    // corpus pass, no self-join back for the metadata column
+    qualityAnnotated(Tables.documents(spark, dir))
+      .join(broadcast(clusters), Seq("doc_id"), "left_outer")
+      .select(
+        when(coalesce(col("removed"), lit(false)), "removed").otherwise("kept").as("cohort"),
+        col("n_chars"), col("n_tokens"), col("keep"))
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_pass"))
+      .select(col("cohort"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        (col("n_quality_pass").cast("double") / col("n_docs")).as("quality_pass_rate"))
+      .orderBy("cohort")
+  }
+
   /** Fit the [[ImportanceModel]] on the batch corpus: ONE hashed-token
     * pass folded to the ≤ `numBuckets`-row (bucket, rc, tc) relation by
     * partial agg, collected driver-side (bounded by `numBuckets` — see

@@ -793,6 +793,41 @@ object Similarity {
     * q_shift = numer/(n_a·n_b) in quantized units; divide by 127 for
     * original units).
     */
+  /** EXT-S17 (x94) — embedding dimension-health audit: per-dimension
+    * value-distribution facts (counts of zero/positive/negative, exact
+    * float min/max, and the dead-dimension verdict min == max). Dead or
+    * near-constant dimensions are the standard serving regression after
+    * a bad export / truncated projection / ReLU collapse — they silently
+    * shrink the effective embedding dim while every cosine still
+    * "works". Counts and float min/max are order-independent exacts, so
+    * the audit is oracle-stable without any float-summation hazard (a
+    * mean/std spelling would hash-diverge on engine summation order —
+    * deliberately excluded; rank-based spread proxies live in x67's
+    * quantile machinery).
+    *
+    * Scale: `posexplode` multiplies rows ×dim, but the aggregate is
+    * partial — every map partition folds to ≤ dim rows before the
+    * exchange, so the shuffle carries (partitions × dim) fixed-width
+    * rows no matter how many vectors are scanned; output is dim rows.
+    * This is the same shape as x23's corpus stats: expansion feeding a
+    * bounded-cardinality partial agg is scan-bound, not shuffle-bound.
+    */
+  def dimAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum(when(col("v") === 0.0f, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("v") > 0.0f, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("v") < 0.0f, 1L).otherwise(0L)).as("n_neg"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"))
+      .select(col("dim"), col("n_vals"), col("n_zero"), col("n_pos"), col("n_neg"),
+        col("min_v"), col("max_v"), (col("min_v") === col("max_v")).as("dead"))
+      .orderBy("dim")
+
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select((col("vec_id") % 2).as("parity"),

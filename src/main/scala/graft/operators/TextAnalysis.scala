@@ -751,6 +751,59 @@ object TextAnalysis {
     * no pairs and are filtered BEFORE the explode — Spark's `sequence`
     * would otherwise count DOWN from 1 to 0 and fabricate indices.
     */
+  /** EXT-T17 (x96) — corpus diversity audit: distinct-n ratios per
+    * source for n ∈ {1, 2, 3}. `distinct_frac = |distinct n-grams| /
+    * |total n-grams|` is the standard generation-diversity /
+    * template-detection measure (low bigram–trigram diversity at high
+    * unigram diversity is the signature of boilerplate-templated text —
+    * same slots, same frame). Total counts come from arithmetic
+    * (Σ max(len−n+1, 0), no expansion); only the DISTINCT side explodes,
+    * and it explodes the per-document distinct shingles (the
+    * [[graft.functions.ShinglesExpression]] compiled pass), which is
+    * corpus-distinct-equivalent but pre-shrunk row-locally.
+    *
+    * Scale: the distinct aggregation is the one honest shuffle —
+    * per-partition partial dedup folds each (source, gram) to one row
+    * map-side before the exchange, so the wire carries the per-partition
+    * vocabulary, not the token stream. At 100 TB swap `countDistinct`
+    * for the HLL++ sketch exactly as x59 does (the audit/sketch pairing
+    * documented there); the exact spelling here is the oracle-checkable
+    * law the sketch is certified against. The three n legs share one
+    * tokenized scan via a cached projection; ratios are single IEEE
+    * divisions of exact longs.
+    */
+  def distinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), Tables.tokens(col("text")).as("ts"))
+    // ONE tokenized scan for all three widths on each side (a per-n
+    // union would rescan + re-tokenize the corpus 6×): the distinct leg
+    // explodes (n, per-doc distinct shingles) structs then the grams;
+    // the total leg is pure per-doc arithmetic, no expansion
+    val dist = toks
+      .select(col("source"), explode(array((1 to 3).map(n =>
+        struct(lit(n.toLong).as("n"),
+          Tables.shingles(col("ts"), n).as("g"))): _*)).as("e"))
+      .select(col("source"), col("e.n").as("n"), explode(col("e.g")).as("g"))
+      .groupBy("source", "n")
+      .agg(countDistinct(col("g")).as("n_distinct"))
+    val tot = toks
+      .select(col("source"), explode(array((1 to 3).map(n =>
+        struct(lit(n.toLong).as("n"),
+          greatest(size(col("ts")).cast("long") - (n - 1), lit(0L)).as("t"))): _*)).as("e"))
+      .groupBy(col("source"), col("e.n").as("n"))
+      .agg(sum(col("e.t")).as("n_total"))
+    // left join + coalesce: a source whose every doc is shorter than n
+    // has totals 0 and no distinct row — it must still appear
+    tot.join(dist, Seq("source", "n"), "left_outer")
+      .select(col("source"), col("n"), col("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        // frac of an empty gram set is 0 by definition (ANSI div guard)
+        when(col("n_total") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_distinct"), lit(0L)).cast("double") / col("n_total"))
+          .as("distinct_frac"))
+      .orderBy("source", "n")
+  }
+
   def bpePairStats(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(Tables.tokens(col("text"))).as("word"))
