@@ -694,6 +694,69 @@ object StreamOps {
       vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
     graft.operators.Similarity.centroidProjection(vecs, cents)
 
+  /** One CDC document version: the content digest as-of `seq` (a
+    * monotonically increasing per-doc version number — commit LSN,
+    * kafka offset, snapshot ordinal); a null digest is a DELETE
+    * tombstone. The digest, not the text, is the stream payload — the
+    * same 32-byte fold the batch diff ships (EXT-C32).
+    */
+  case class DocVersion(doc_id: Long, seq: Long, digest: String)
+
+  /** Per-doc diff state: the live digest (null = tombstoned/never-live)
+    * and the highest applied seq (the at-least-once dedup horizon).
+    */
+  case class DiffState(digest: String, lastSeq: Long)
+
+  /** One emitted status transition of the streamed corpus diff. */
+  case class DiffEvent(doc_id: Long, seq: Long, status: String)
+
+  /** EXT-6t — streaming corpus diff: the unbounded CDC twin of
+    * [[graft.operators.Curation.corpusDiff]] (x93). The batch operator
+    * classifies SNAPSHOT PAIRS; this classifies every arriving document
+    * version against the doc's live state the moment it arrives —
+    * `added` (no live version), `changed` / `same` (digest vs the live
+    * one), `removed` (tombstone while live) — so downstream index
+    * maintainers (EXT-6h/6o/6p) and incremental re-dedup can react
+    * per-version instead of per-snapshot. Feeding snapshot A then
+    * snapshot B (tombstones for B's absences) emits exactly the batch
+    * diff's per-doc classification — the twin-agreement law the spec
+    * pins.
+    *
+    * Mechanics: versions sort by `seq` within the group (arrival order
+    * inside a microbatch is not meaningful), and any `seq ≤ lastSeq`
+    * replay is dropped — at-least-once source duplicates cannot
+    * re-emit or mis-order transitions. Tombstones RETAIN their state
+    * entry (digest null, lastSeq kept): dropping it would let a stale
+    * pre-delete duplicate resurrect the doc as `added`. State is
+    * therefore bounded by doc_ids ever seen at ~50 B each — the same
+    * keys-ever-seen bound the quota gate carries, and the price any CDC
+    * materialization pays for replay-safe deletes (a production
+    * deployment ages tombstones out past its replay horizon — a
+    * retention policy, not a semantic change).
+    */
+  def corpusDiffStream(ds: Dataset[DocVersion]): Dataset[DiffEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DiffState, DiffEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, versions: Iterator[DocVersion], state: GroupState[DiffState]) =>
+          var st = state.getOption.getOrElse(DiffState(null, Long.MinValue))
+          val out = List.newBuilder[DiffEvent]
+          for (v <- versions.toList.sortBy(_.seq) if v.seq > st.lastSeq) {
+            val live = st.digest != null
+            val status =
+              if (v.digest == null) { if (live) "removed" else null }
+              else if (!live) "added"
+              else if (v.digest == st.digest) "same"
+              else "changed"
+            if (status != null) out += DiffEvent(docId, v.seq, status)
+            st = DiffState(v.digest, v.seq)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** EXT-6l — streaming ingest mixture gate: enforce a dataset-mixture
     * plan AT INGEST TIME. The rate relation comes from the batch planner
     * ([[graft.operators.Curation.mixturePlan]] over the last corpus

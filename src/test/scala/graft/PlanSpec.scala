@@ -512,7 +512,11 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // exactly one WindowExec (the per-user lead); a second would mean the
     // marginal went back to the event stream instead of the count matrix
     assert(p.collect { case w: WindowExec => w }.length == 1, p.toString)
-    assert(prunesTo(p, "event_id:bigint,ts:bigint,user_id:bigint,event_type:string"),
+    // the fixture's ts physical type varies by generation (TIMESTAMP
+    // NANOS loads as bigint under nanosAsLong; MICROS as timestamp_ntz
+    // — Replication.events normalizes both): accept either pruned form
+    assert(prunesTo(p, "event_id:bigint,ts:bigint,user_id:bigint,event_type:string") ||
+      prunesTo(p, "event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string"),
       p.toString)
   }
 

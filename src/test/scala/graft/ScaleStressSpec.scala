@@ -395,6 +395,74 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.length <= 1, p.toString)
   }
 
+  test("x93 corpus diff at 10x: digest equi-join survives; statuses cover the union exactly") {
+    val p = plan(graft.operators.Curation.corpusDiff(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, s"snapshot compare must stay a doc_id equi-join:\n$p")
+    // executes under AQE: every doc_id lands in exactly one status
+    // (mod-3 partition of the id space: 0→added, 1→removed, 2→same or
+    // changed), so the per-(source, status) counts must sum to 50k
+    val rows = graft.operators.Curation.corpusDiff(spark, dir10).collect()
+    assert(rows.map(_.getLong(2)).sum == 50000L)
+    assert(rows.map(_.getString(1)).toSet == Set("added", "removed", "changed", "same"))
+  }
+
+  test("x94 dim audit at 10x: dim-bounded partial agg — one agg exchange + the presentation sort") {
+    val p = plan(graft.operators.Similarity.dimAudit(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.length >= 2, s"per-dim stats must partial-aggregate map-side:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 2, p.toString)
+    // executes: 64 dims × 60k vectors — n_vals is exact at scale
+    val rows = graft.operators.Similarity.dimAudit(spark, dir10).collect()
+    assert(rows.length == 64 && rows.forall(_.getLong(1) == 60000L))
+  }
+
+  test("x96 distinct n-grams at 10x: disjoint replica token spaces scale BOTH counts exactly 10x") {
+    val p = plan(graft.operators.TextAnalysis.distinctNgrams(spark, dir10))
+    noNestedLoops(p)
+    // replica tokens are r<k>-prefixed, so replica gram spaces are
+    // disjoint from the base and each other: totals AND distincts must
+    // both come back exactly 10× their sf0.1 values — a correctness-at-
+    // scale pin on the aggregation, not just "it ran"
+    val at1 = graft.operators.TextAnalysis.distinctNgrams(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val at10 = graft.operators.TextAnalysis.distinctNgrams(spark, dir10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (k, (tot1, dist1)) =>
+      val (tot10, dist10) = at10(k)
+      assert(tot10 == 10L * tot1, s"$k totals")
+      assert(dist10 == 10L * dist1, s"$k distincts")
+    }
+  }
+
+  test("x97 domain caps at 10x: windowless thresholded sample keeps ~sqrt(n) per source") {
+    val p = plan(graft.operators.Curation.domainCaps(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the cap must never rank per source:\n$p")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"the |sources| count relation must broadcast:\n$p")
+    // executes: per-source kept counts concentrate around sqrt(n) —
+    // deterministic fixture, generous binomial bounds, can never flake
+    val kept = graft.operators.Curation.domainCaps(spark, dir10).collect()
+      .groupBy(_.getString(1)).map { case (s, g) => s -> (g.length.toLong, g.head.getLong(2)) }
+    kept.foreach { case (src, (nKept, nSource)) =>
+      val expect = math.sqrt(nSource.toDouble)
+      assert(nKept >= (expect / 3).floor.toLong && nKept <= (expect * 3).ceil.toLong,
+        s"$src kept $nKept of $nSource (expected ~$expect)")
+    }
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —

@@ -1346,4 +1346,83 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("EXT-6t corpusDiffStream: snapshot-pair drive emits the batch diff classification; replays drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{DiffEvent, DocVersion}
+    val stream = MemoryStream[DocVersion]
+    val q = StreamOps.corpusDiffStream(stream.toDS())
+      .writeStream.format("memory").queryName("diff_out").outputMode("append").start()
+    try {
+      // snapshot A: docs 1..4 live
+      val a = Map(1L -> "da", 2L -> "db", 3L -> "dc", 4L -> "dd")
+      stream.addData(a.toSeq.map { case (id, d) => DocVersion(id, 1L, d) }: _*)
+      q.processAllAvailable()
+      val batch1 = spark.table("diff_out").as[DiffEvent].collect()
+      assert(batch1.length == 4 && batch1.forall(_.status == "added"))
+
+      // snapshot B: 1 unchanged, 2 rewritten, 3 deleted, 5 new — the
+      // exact status vocabulary of batch x93 over the pair (A, B)
+      stream.addData(
+        DocVersion(1L, 2L, "da"), DocVersion(2L, 2L, "db2"),
+        DocVersion(3L, 2L, null), DocVersion(5L, 2L, "de"))
+      q.processAllAvailable()
+      val batch2 = spark.table("diff_out").as[DiffEvent].collect()
+        .filter(_.seq == 2L).map(e => e.doc_id -> e.status).toMap
+      assert(batch2 == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 5L -> "added"))
+
+      // at-least-once replay of already-applied seqs: no emission, no
+      // state corruption (doc 2's old digest must not reclassify)
+      stream.addData(DocVersion(2L, 1L, "db"), DocVersion(2L, 2L, "db2"))
+      q.processAllAvailable()
+      assert(spark.table("diff_out").count() == 8)
+
+      // duplicate tombstone on a dead doc: silent (no phantom 'removed'),
+      // and a RE-ADD after the tombstone is a fresh 'added'
+      stream.addData(DocVersion(3L, 3L, null))
+      q.processAllAvailable()
+      assert(spark.table("diff_out").count() == 8)
+      stream.addData(DocVersion(3L, 4L, "dc3"))
+      q.processAllAvailable()
+      val readd = spark.table("diff_out").as[DiffEvent].collect().filter(_.seq == 4L)
+      assert(readd.toSeq == Seq(DiffEvent(3L, 4L, "added")))
+
+      // intra-batch seq ordering: a change and its revert in ONE batch
+      // apply in seq order regardless of arrival order
+      stream.addData(DocVersion(1L, 9L, "da"), DocVersion(1L, 8L, "dx"))
+      q.processAllAvailable()
+      val ordered = spark.table("diff_out").as[DiffEvent].collect()
+        .filter(e => e.doc_id == 1L && e.seq >= 8L).sortBy(_.seq).map(_.status).toSeq
+      assert(ordered == Seq("changed", "changed"))
+    } finally q.stop()
+  }
+
+  test("EXT-6t corpusDiffStream: live-digest state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{DiffEvent, DocVersion}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-diff-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-diff-out").toString
+    val stream = MemoryStream[DocVersion]
+    def start() = StreamOps.corpusDiffStream(stream.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      stream.addData(DocVersion(7L, 1L, "v1"), DocVersion(8L, 1L, "w1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // restored state must classify against the PRE-restart digests:
+      // same digest -> 'same', tombstone -> 'removed' (a lost state
+      // would mis-emit 'added' for both)
+      stream.addData(DocVersion(7L, 2L, "v1"), DocVersion(8L, 2L, null))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(out).as[DiffEvent].collect()
+        .filter(_.seq == 2L).map(e => e.doc_id -> e.status).toMap
+      assert(after == Map(7L -> "same", 8L -> "removed"))
+    } finally q2.stop()
+  }
 }
