@@ -96,6 +96,8 @@ object SparkEntry {
     "x97_domain_caps" -> ((s, dir) => Curation.domainCaps(s, dir)),
     // dedup survivor-bias audit: kept-vs-removed quality profile
     "x98_survivor_bias" -> ((s, dir) => Curation.survivorBias(s, dir)),
+    // Bloom FPR audit: measured false-positive rate + zero-FN law
+    "x99_bloom_fpr_audit" -> ((s, dir) => Curation.bloomFprAudit(s, dir)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -867,6 +869,31 @@ object SparkEntry {
          |       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
          |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) AS quality_pass_rate
          |FROM coh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x99_bloom_fpr_audit" ->
+      """WITH cd AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0),
+        |bloom AS (SELECT DISTINCT
+        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
+        |          FROM cd, unnest(range(0, 4)) AS t(i)),
+        |nd AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 2 = 1),
+        |np AS (SELECT doc_id,
+        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
+        |       FROM nd, unnest(range(0, 4)) AS t(i)),
+        |hits AS (SELECT np.doc_id, count(b.pos)::BIGINT AS n_hits
+        |         FROM np LEFT JOIN bloom b ON b.pos = np.pos GROUP BY 1),
+        |rel AS (SELECT nd.doc_id, h.n_hits = 4 AS maybe_dup, c.digest IS NOT NULL AS is_dup
+        |        FROM nd JOIN hits h ON h.doc_id = nd.doc_id
+        |        LEFT JOIN cd c ON c.digest = nd.digest)
+        |SELECT count(*)::BIGINT AS n_probes,
+        |       sum(CASE WHEN maybe_dup THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_true_dups,
+        |       sum(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+        |       sum(CASE WHEN is_dup AND NOT maybe_dup THEN 1 ELSE 0 END)::BIGINT AS n_false_neg,
+        |       CASE WHEN count(*) = sum(CASE WHEN is_dup THEN 1 ELSE 0 END) THEN 0.0
+        |            ELSE sum(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END)::DOUBLE /
+        |                 (count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) END AS fpr,
+        |       (sum(CASE WHEN is_dup AND NOT maybe_dup THEN 1 ELSE 0 END) = 0) AS no_false_negatives
+        |FROM rel""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

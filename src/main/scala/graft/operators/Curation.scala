@@ -1423,6 +1423,45 @@ object Curation {
       .orderBy("cohort")
   }
 
+  /** EXT-C36 (x99) — Bloom false-positive-rate audit: the measured-FPR
+    * leg that completes the sketch-audit family (HLL x59, quantiles
+    * x67, CMS x73, SpaceSaving x78 — the Bloom prefilter x42 was the
+    * one sketch without an audit row). Aggregates the x42 relation to
+    * ONE row of exact counts: probes, flagged, true duplicates, false
+    * positives, false NEGATIVES (which the Bloom theorem says must be
+    * zero — emitted so the oracle holds both engines to the law, not
+    * just to each other), and the measured FPR over true negatives as
+    * a single IEEE division. The theoretical (1−e^{−kn/m})^k bound is
+    * deliberately NOT computed here — transcendentals are not
+    * oracle-exact across engines; the spec checks the bound in Scala,
+    * the relation carries the exact measurements.
+    *
+    * Scale: everything the audit adds over x42 is a 1-row conditional
+    * aggregate; the underlying relation keeps x42's shape (≤ m-row
+    * broadcast bit-set relation, never a corpus-side shuffle wider
+    * than the digest agg). Production sizes (m, k) off this audit at
+    * eval scale, then runs the prefilter alone.
+    */
+  def bloomFprAudit(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 65536,
+      k: Int = 4): DataFrame =
+    bloomPrefilter(spark, dir, m, k)
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("maybe_dup"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("maybe_dup") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(col("is_dup") && !col("maybe_dup"), 1L).otherwise(0L)).as("n_false_neg"))
+      .select(
+        col("n_probes"), col("n_flagged"), col("n_true_dups"),
+        col("n_false_pos"), col("n_false_neg"),
+        when(col("n_probes") === col("n_true_dups"), lit(0.0))
+          .otherwise(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_true_dups"))).as("fpr"),
+        (col("n_false_neg") === 0L).as("no_false_negatives"))
+
   /** Fit the [[ImportanceModel]] on the batch corpus: ONE hashed-token
     * pass folded to the ≤ `numBuckets`-row (bucket, rc, tc) relation by
     * partial agg, collected driver-side (bounded by `numBuckets` — see

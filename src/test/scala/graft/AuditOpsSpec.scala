@@ -190,6 +190,47 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), "count relation must broadcast")
   }
 
+  // --- x99 Bloom FPR audit ---
+
+  test("bloomFprAudit: counts reconcile, zero false negatives, FPR inside the theoretical bound") {
+    // even ids form the corpus; odd ids probe — every third probe
+    // duplicates its even sibling's text (is_dup), the rest are fresh
+    val docs = (0L until 120L).map { i =>
+      val base = i / 2
+      val txt =
+        if (i % 2 == 0 || base % 3 == 0) s"corpus body $base with shared content ${base * 13}"
+        else s"fresh probe body $i with novel content ${i * 29}"
+      (i, txt)
+    }
+    val dir = TestTables.documentsDir(spark, docs)
+
+    val r = Curation.bloomFprAudit(spark, dir).collect().head
+    val (nProbes, nFlagged, nTrue, nFp, nFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nProbes == 60L)
+    assert(nTrue == 20L, "every third probe duplicates the corpus")
+    assert(nFn == 0L && r.getBoolean(6), "a Bloom filter can never false-negative")
+    // a flagged probe is either a true dup or a false positive — exactly
+    assert(nFlagged == nTrue + nFp)
+    val fpr = r.getDouble(5)
+    assert(fpr == nFp.toDouble / (nProbes - nTrue))
+    // theoretical bound (1 - e^{-kn/m})^k at m=65536, k=4, n=|corpus
+    // digests|: tiny here — measured FPR may not exceed 3x it plus the
+    // small-sample floor of one miss
+    val n = 60.0 // distinct corpus digests (even ids, all texts distinct)
+    val bound = math.pow(1.0 - math.exp(-4.0 * n / 65536.0), 4)
+    assert(fpr <= 3.0 * bound + 1.0 / (nProbes - nTrue),
+      s"fpr $fpr vs bound $bound")
+
+    // an UNDERSIZED filter must be caught by the same audit: m=64 makes
+    // collisions near-certain, so false positives appear and the FPR
+    // verdict says "resize" — the decision the audit exists to drive
+    val tiny = Curation.bloomFprAudit(spark, dir, m = 64, k = 4).collect().head
+    assert(tiny.getLong(3) > 0L, "m=64 must produce false positives on 60 fresh probes")
+    assert(tiny.getLong(4) == 0L, "false negatives stay impossible at any m")
+    assert(tiny.getDouble(5) > fpr)
+  }
+
   // --- x98 dedup survivor bias ---
 
   test("survivorBias: cohorts partition the corpus and aggregate exactly") {
