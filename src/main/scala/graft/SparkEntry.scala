@@ -98,6 +98,9 @@ object SparkEntry {
     "x98_survivor_bias" -> ((s, dir) => Curation.survivorBias(s, dir)),
     // Bloom FPR audit: measured false-positive rate + zero-FN law
     "x99_bloom_fpr_audit" -> ((s, dir) => Curation.bloomFprAudit(s, dir)),
+    // semantic packing: per-cell concat-cut bins, topic-pure windows
+    "x100_semantic_packing" -> ((s, dir) =>
+      graft.operators.Packing.semanticPacking(s, dir, exactMeans = true)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -894,6 +897,18 @@ object SparkEntry {
         |                 (count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) END AS fpr,
         |       (sum(CASE WHEN is_dup AND NOT maybe_dup THEN 1 ELSE 0 END) = 0) AS no_false_negatives
         |FROM rel""".stripMargin,
+
+    "x100_semantic_packing" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        """,
+          |pt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+          |pj AS (SELECT af.cid AS cell, pt.doc_id, pt.tok FROM pt JOIN af ON af.vec_id = pt.doc_id),
+          |pw AS (SELECT cell, doc_id, tok,
+          |        sum(tok) OVER (PARTITION BY cell ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |      FROM pj)
+          |SELECT cell, ((cum - tok) // 512)::BIGINT AS bin_id,
+          |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
+          |FROM pw GROUP BY 1, 2 ORDER BY cell, bin_id""".stripMargin),
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

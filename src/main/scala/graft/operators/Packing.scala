@@ -141,4 +141,45 @@ object Packing {
           .as("util_packed"))
       .orderBy("budget")
   }
+
+  /** EXT-P7 (x100) — semantic packing: [[packSequences]] partitioned by
+    * the document's trained k-means cell instead of its language, so
+    * every packed context window carries TOPICALLY-COHERENT documents
+    * (in-context-pretraining/retrieval-ordered packing: related
+    * documents in one window let the model attend across them; a
+    * lang-or-random pack wastes the window's cross-document attention
+    * on unrelated text). Cells come from the ONE trained-centroid
+    * projection x54/x57/x75 share (embedding joined by the corpus's
+    * doc_id = vec_id convention); the pack arithmetic — running token
+    * sum, integer bin ids off the start offset — is [[packSequences]]'s
+    * exactly, per cell.
+    *
+    * Scale: one narrow doc_id equi-join (tokens ⋈ cells), then the
+    * per-cell running-sum window. k bounds the partition count, so a
+    * giant cell is the hot-partition hazard — production composes the
+    * cell key with x74's content-stable shard (`PARTITION BY cell,
+    * shard`), which caps any single sort while keeping windows
+    * topic-pure; the eval spelling keeps the bare cell key so the
+    * oracle can mirror the window exactly. The same trade, documented,
+    * as x39's per-lang window.
+    */
+  def semanticPacking(
+      spark: SparkSession,
+      dir: String,
+      budgetTokens: Long = 512L,
+      exactMeans: Boolean = false): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val cells = Similarity.centroidSimProjection(spark, dir, exactMeans = exactMeans)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val w = Window.partitionBy("cell").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Tables.tokens(col("text"))).cast("long").as("tok"))
+      .join(cells, "doc_id")
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("bin_id", expr(s"(cum - tok) div $budgetTokens"))
+      .groupBy("cell", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
+      .orderBy("cell", "bin_id")
+  }
 }

@@ -94,4 +94,49 @@ class PackingSpec extends AnyFunSuite with SparkSuite {
       if (budget == 1000L) assert(nSplit == 0L && trunc == 0L && nBins == 3L)
     }
   }
+
+  test("semanticPacking (x100): per-cell bins match an independent pack model over the trained assignment") {
+    // 24 docs with varying token counts; 24 matching 64-dim vectors
+    val docs = (0L until 24L).map { i =>
+      (i, (0 until (5 + (i % 7)).toInt).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val vecs = (0L until 24L).map { i =>
+      // two loose families so the trained cells are non-trivial
+      val base = Array.fill(64)(0.0f)
+      base((i % 4).toInt) = 1.0f
+      base(((i % 4) + 32).toInt) = if (i % 2 == 0) 0.5f else -0.5f
+      (i, base.toSeq)
+    }
+    val dir = TestTables.corpusDir(spark, docs, vecs)
+    val budget = 16L
+
+    val got = Packing.semanticPacking(spark, dir, budget, exactMeans = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // reference: the production cell assignment (independently specced in
+    // SimilaritySpec) + an independent Scala spelling of the pack
+    val cells = graft.operators.Similarity
+      .centroidSimProjection(spark, dir, exactMeans = true)
+      .selectExpr("CAST(vec_id AS LONG) AS vec_id", "CAST(cell AS LONG) AS cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val ref = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    cells.groupBy(_._2).foreach { case (cell, members) =>
+      var cum = 0L
+      members.keys.toSeq.sorted.foreach { id =>
+        val bin = cum / budget
+        val (n, t) = ref.getOrElse((cell, bin), (0L, 0L))
+        ref((cell, bin)) = (n + 1, t + toks(id))
+        cum += toks(id)
+      }
+    }
+    assert(got == ref.toMap)
+    // structural laws: bins are contiguous from 0 per cell; every doc
+    // with an embedding lands in exactly one bin
+    assert(got.map(_._2._1).sum == 24L)
+    got.keys.groupBy(_._1).foreach { case (_, bins) =>
+      val ids = bins.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length.toLong))
+    }
+  }
 }
