@@ -985,6 +985,52 @@ object StreamOps {
     */
   case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** EXT-6u — streaming gate-attrition monitor: the windowed ingest twin
+    * of [[graft.operators.Curation.gateAttrition]] (x95). Each
+    * watermark-sealed tumbling window emits ONE row of the same nine
+    * conditional counts the batch funnel restacks — docs entering, the
+    * four sequential survivor counts, and the four sole-blocker counts —
+    * so an ingest dashboard watches WHICH gate is eating the stream and
+    * an alert fires when a crawl change moves a gate's drop rate.
+    *
+    * Shape: the ONE row-local measurement projection x19/x95 compile
+    * ([[graft.operators.Curation.qualityAnnotated]] — stream and batch
+    * flags can never drift) feeding a watermarked windowed aggregate;
+    * state is one count row per open window, the smallest state any
+    * windowed operator can hold. Counts are exact conditional sums, so
+    * a replayed microbatch re-derives identical windows. The funnel
+    * stays columnar here (n0, s1–s4, b1–b4 + drops) rather than
+    * restacked to gate rows: a monitor consumes one row per window, and
+    * the restack is a row-local `stack` away for anyone who wants the
+    * batch presentation.
+    */
+  def gateAttritionStream(
+      docs: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Curation.qualityAnnotated(docs)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("r_len"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("r_len") && col("r_avg"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("r_len") && col("r_avg") && col("r_stop"), 1L).otherwise(0L)).as("s3"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("s4"),
+        sum(when(!col("r_len") && col("r_avg") && col("r_stop") && col("r_rep"), 1L)
+          .otherwise(0L)).as("b_len"),
+        sum(when(col("r_len") && !col("r_avg") && col("r_stop") && col("r_rep"), 1L)
+          .otherwise(0L)).as("b_avg"),
+        sum(when(col("r_len") && col("r_avg") && !col("r_stop") && col("r_rep"), 1L)
+          .otherwise(0L)).as("b_stop"),
+        sum(when(col("r_len") && col("r_avg") && col("r_stop") && !col("r_rep"), 1L)
+          .otherwise(0L)).as("b_rep"))
+      .select(col("window.start").as("window_start"), col("n_in"),
+        col("s1"), col("s2"), col("s3"), col("s4"),
+        (col("n_in") - col("s1")).as("d_len"), (col("s1") - col("s2")).as("d_avg"),
+        (col("s2") - col("s3")).as("d_stop"), (col("s3") - col("s4")).as("d_rep"),
+        col("b_len"), col("b_avg"), col("b_stop"), col("b_rep"))
+
   /** Per-window drift state: token counts of everything the watermark
     * has not sealed, plus the window's token total (carried explicitly —
     * summing the map on every event would be quadratic).

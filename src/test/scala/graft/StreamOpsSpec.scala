@@ -1398,6 +1398,50 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6u gateAttritionStream: sealed windows carry the exact batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.TimedDoc
+    val stream = MemoryStream[TimedDoc]
+    val q = StreamOps.gateAttritionStream(stream.toDF(),
+        windowDur = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("gate_out").outputMode("append").start()
+    try {
+      // window 1 (min 0-10): one pass-all doc, one len-only failure, one
+      // multi-gate failure — the x95 fixture shapes on a stream
+      val passAll = "the and " + (0 until 23).map(i => s"word$i").mkString(" ")
+      val lenOnly = "the and " + (0 until 8).map(i => s"tokn$i").mkString(" ")
+      val multi = ("xx " * 40).trim
+      // minutes 1/3/5: all inside one epoch-aligned 10-min window (the
+      // fixture epoch is offset 200s into its window, so minute 7 would
+      // already spill into the next one)
+      stream.addData(
+        TimedDoc(1L, ts(1), passAll), TimedDoc(2L, ts(3), lenOnly),
+        TimedDoc(3L, ts(5), multi))
+      q.processAllAvailable()
+      stream.addData(TimedDoc(4L, ts(25), passAll)) // advances the watermark past window 1
+      q.processAllAvailable()
+      stream.addData(TimedDoc(5L, ts(45), passAll)) // seals window 2 (min 20-30)
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").collect()
+        .map(r => r.getTimestamp(0).getTime -> r).toMap
+      def wstart(min: Int) = { val t = ts(min).getTime; t - t % 600000L }
+      val w1 = rows(wstart(1))
+      // (n_in, s1..s4) = (3, 2, 2, 2, 1): multi fails len too, so s1=2;
+      // lenOnly survives nothing past gate... both lenOnly and multi fail
+      // r_len -> s1 counts only passAll? lenOnly has 10 tokens (<20) and
+      // multi has 40 in-range tokens -> s1 = passAll + multi = 2
+      assert(w1.getLong(1) == 3L && w1.getLong(2) == 2L)
+      assert(w1.getLong(5) == 1L, "only the pass-all doc survives the funnel")
+      // sole blockers in window 1: lenOnly fails ONLY len
+      assert(w1.getLong(10) == 1L && w1.getLong(11) == 0L)
+      val w2 = rows(wstart(25))
+      assert(w2.getLong(1) == 1L && w2.getLong(5) == 1L, "window 2: one pass-all doc")
+      // sealed-once: exactly the two sealed windows are present
+      assert(rows.keySet == Set(wstart(1), wstart(25)))
+    } finally q.stop()
+  }
+
   test("EXT-6t corpusDiffStream: live-digest state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
