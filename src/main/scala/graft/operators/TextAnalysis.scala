@@ -804,6 +804,43 @@ object TextAnalysis {
       .orderBy("source", "n")
   }
 
+  /** EXT-T17b — the 100 TB spelling of [[distinctNgrams]]: the exact
+    * `countDistinct` swapped for HyperLogLog++ (`approx_count_distinct`),
+    * exactly the x59 audit/sketch pairing. Totals stay exact (they were
+    * always arithmetic); only the distinct leg becomes a sketch, so each
+    * map partition folds to one fixed-size register set per (source, n)
+    * and the exchange carries |sources|·3 sketches instead of the
+    * per-partition vocabulary — the wire no longer grows with the
+    * corpus, which is what the measured 0.80 exponent of the exact
+    * spelling buys its way out of. The sketch VALUE is
+    * implementation-defined (no DuckDB oracle; the spec pins the
+    * 4·rsd error law against [[distinctNgrams]] at test scale — HLL++
+    * is deterministic for a fixed input, so the bound is a stable
+    * assertion).
+    */
+  def distinctNgramsSketch(
+      spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), Tables.tokens(col("text")).as("ts"))
+    val dist = toks
+      .select(col("source"), explode(array((1 to 3).map(n =>
+        struct(lit(n.toLong).as("n"),
+          Tables.shingles(col("ts"), n).as("g"))): _*)).as("e"))
+      .select(col("source"), col("e.n").as("n"), explode(col("e.g")).as("g"))
+      .groupBy("source", "n")
+      .agg(approx_count_distinct(col("g"), rsd).as("approx_distinct"))
+    val tot = toks
+      .select(col("source"), explode(array((1 to 3).map(n =>
+        struct(lit(n.toLong).as("n"),
+          greatest(size(col("ts")).cast("long") - (n - 1), lit(0L)).as("t"))): _*)).as("e"))
+      .groupBy(col("source"), col("e.n").as("n"))
+      .agg(sum(col("e.t")).as("n_total"))
+    tot.join(dist, Seq("source", "n"), "left_outer")
+      .select(col("source"), col("n"), col("n_total"),
+        coalesce(col("approx_distinct"), lit(0L)).as("approx_distinct"))
+      .orderBy("source", "n")
+  }
+
   def bpePairStats(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(Tables.tokens(col("text"))).as("word"))

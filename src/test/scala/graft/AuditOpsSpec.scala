@@ -160,6 +160,26 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows((("s1", 2L)))._1 == 0L && rows((("s1", 3L)))._1 == 0L)
   }
 
+  test("distinctNgramsSketch: HLL++ estimates hold the 4-rsd law against the exact spelling") {
+    // a corpus with enough distinct grams for the sketch to be exercised
+    val docs = (0L until 80L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 211}").mkString(" "), s"s${i % 2}")
+    }
+    val dir = TestTables.documentsSourcedDir(spark, docs)
+    val rsd = 0.05
+    val exact = TextAnalysis.distinctNgrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = TextAnalysis.distinctNgramsSketch(spark, dir, rsd).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (tot, dist)) =>
+      val (atot, adist) = approx(k)
+      assert(atot == tot, s"$k: totals are exact in both spellings")
+      assert(math.abs(adist - dist).toDouble <= 4 * rsd * math.max(dist, 1L),
+        s"$k: sketch $adist vs exact $dist breaks the 4·rsd law")
+    }
+  }
+
   // --- x97 sublinear domain caps ---
 
   test("domainCaps: thresholded sqrt-law keep set matches the reference draw exactly") {
