@@ -13,6 +13,16 @@ import graft.operators.{Curation, Similarity, TextAnalysis}
   */
 class AuditOpsSpec extends AnyFunSuite with SparkSuite {
 
+  /** Build the executed plan with AQE off: AdaptiveSparkPlanExec is a
+    * leaf for TreeNode.collect, which would make every shape assertion
+    * below vacuously pass (or spuriously fail) depending on wrap state.
+    */
+  private def plan(df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -51,7 +61,7 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
   test("corpusDiff plan: digest equi-join, no cartesian, no text on the wire") {
     val dir = TestTables.documentsSourcedDir(spark,
       (0L until 20L).map(i => (i, s"t $i", "s0")))
-    val plan = Curation.corpusDiff(spark, dir).queryExecution.executedPlan.toString
+    val plan = this.plan(Curation.corpusDiff(spark, dir)).toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"))
@@ -132,6 +142,37 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
     assert(s4 >= 1 && s4 < n0 && soles.exists(_ > 0))
   }
 
+  test("gateAttrition plan: one row-local pass, no join, only the single-row agg exchange + stack") {
+    val dir = TestTables.documentsDir(spark,
+      (1L to 10L).map(i => (i, s"doc $i the a of body text here")))
+    val p = plan(Curation.gateAttrition(spark, dir))
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"the funnel is arithmetic, never a join:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 1, s"no shuffle wider than the single-row aggregate:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
+  test("bloomFprAudit plan: adds only the 1-row fold over x42's shape — no new corpus shuffle") {
+    val dir = TestTables.documentsDir(spark,
+      (0L until 20L).map(i => (i, s"body $i content")))
+    val audit = plan(Curation.bloomFprAudit(spark, dir))
+    val base = plan(Curation.bloomPrefilter(spark, dir))
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
+    // the base relation ends in a presentation sort the audit never
+    // inherits; the audit's own fold adds at most the single-row exchange
+    assert(shuffles(audit) <= shuffles(base) + 1, s"audit:\n$audit\nbase:\n$base")
+    assert(audit.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, audit.toString)
+  }
+
   // --- x96 distinct n-grams diversity ---
 
   test("distinctNgrams: exact distinct/total per source for n=1,2,3") {
@@ -205,7 +246,7 @@ class AuditOpsSpec extends AnyFunSuite with SparkSuite {
   test("domainCaps plan: no window, no sort before the filter") {
     val dir = TestTables.documentsSourcedDir(spark,
       (0L until 30L).map(i => (i, s"t $i", "s0")))
-    val plan = Curation.domainCaps(spark, dir).queryExecution.executedPlan.toString
+    val plan = this.plan(Curation.domainCaps(spark, dir)).toString
     assert(!plan.contains("Window"), "thresholded cap must not rank per source")
     assert(plan.contains("BroadcastHashJoin"), "count relation must broadcast")
   }

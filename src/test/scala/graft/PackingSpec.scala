@@ -138,5 +138,24 @@ class PackingSpec extends AnyFunSuite with SparkSuite {
       val ids = bins.map(_._2).toSeq.sorted
       assert(ids == (0L until ids.length.toLong))
     }
+
+    // plan: the cell window is partitioned (never a global sort of the
+    // corpus), the token⋈cell join stays equi, nothing goes cartesian
+    // (AQE off for the build: AdaptiveSparkPlanExec hides children from
+    // collect until finalized)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try Packing.semanticPacking(spark, dir, budget, exactMeans = true)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty &&
+      wins.forall(_.partitionSpec.nonEmpty),
+      s"the running sum must window PER CELL, never globally:\n$p")
   }
 }
