@@ -101,6 +101,8 @@ object SparkEntry {
     // semantic packing: per-cell concat-cut bins, topic-pure windows
     "x100_semantic_packing" -> ((s, dir) =>
       graft.operators.Packing.semanticPacking(s, dir, exactMeans = true)),
+    // disorder audit: per-type lateness histogram — watermark sizing
+    "x101_disorder_audit" -> ((s, dir) => Temporal.disorderAudit(s, dir)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -909,6 +911,21 @@ object SparkEntry {
           |SELECT cell, ((cum - tok) // 512)::BIGINT AS bin_id,
           |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
           |FROM pw GROUP BY 1, 2 ORDER BY cell, bin_id""".stripMargin),
+
+    "x101_disorder_audit" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type, ms,
+        |        max(ms) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) - ms AS lag_ms
+        |      FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |       sum(CASE WHEN lag_ms = 0 THEN 1 ELSE 0 END)::BIGINT AS n_in_order,
+        |       sum(CASE WHEN lag_ms > 0 AND lag_ms < 1000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_1s,
+        |       sum(CASE WHEN lag_ms >= 1000 AND lag_ms < 10000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_10s,
+        |       sum(CASE WHEN lag_ms >= 10000 AND lag_ms < 60000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_60s,
+        |       sum(CASE WHEN lag_ms >= 60000 THEN 1 ELSE 0 END)::BIGINT AS late_ge_60s,
+        |       max(lag_ms)::BIGINT AS max_lag_ms,
+        |       (count(*) - sum(CASE WHEN lag_ms = 0 THEN 1 ELSE 0 END))::DOUBLE / count(*) AS frac_late
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

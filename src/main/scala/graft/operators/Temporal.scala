@@ -356,6 +356,51 @@ object Temporal {
     * between train and serve is structurally impossible), collected
     * driver-side under the |types|² bound.
     */
+  /** EXT-X9 (x101) — event-stream disorder audit: per event type, how
+    * far events arrive BEHIND their key's event-time high water, in the
+    * ingest order (`event_id`, the arrival sequence). `lag_ms` = the
+    * per-user running max of event time minus this event's time; a
+    * zero lag is an in-order arrival. The bucketed histogram (0, <1 s,
+    * <10 s, <60 s, ≥60 s) plus the max is exactly the evidence that
+    * sizes a watermark delay: every streaming twin here holds state
+    * until `watermarkDelay` seals it, and a delay chosen blind either
+    * drops the late tail (too short) or holds state for nothing (too
+    * long). This audit is the batch-corpus answer to "what delay does
+    * THIS stream actually need" — run it on a day of history before
+    * deploying the stream.
+    *
+    * Scale: ONE shuffle by user_id (the same key every stateful twin
+    * partitions by) feeding a running-max window, then a
+    * |event types|-bounded partial agg. Disorder is measured per key on
+    * purpose — it is per-key state the watermark evicts, and a global
+    * arrival-order max would serialize the corpus through one
+    * partition. Exact integer milliseconds; `frac_late` is the one
+    * IEEE division.
+    */
+  def disorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Replication.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("lag_ms", max(col("ms")).over(w) - col("ms"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("lag_ms") === 0L, 1L).otherwise(0L)).as("n_in_order"),
+        sum(when(col("lag_ms") > 0L && col("lag_ms") < 1000L, 1L).otherwise(0L))
+          .as("late_lt_1s"),
+        sum(when(col("lag_ms") >= 1000L && col("lag_ms") < 10000L, 1L).otherwise(0L))
+          .as("late_lt_10s"),
+        sum(when(col("lag_ms") >= 10000L && col("lag_ms") < 60000L, 1L).otherwise(0L))
+          .as("late_lt_60s"),
+        sum(when(col("lag_ms") >= 60000L, 1L).otherwise(0L)).as("late_ge_60s"),
+        max("lag_ms").as("max_lag_ms"))
+      .withColumn("frac_late",
+        (col("n_events") - col("n_in_order")).cast("double") / col("n_events"))
+      .orderBy("event_type")
+  }
+
   def trainTransitionModel(spark: SparkSession, dir: String): TransitionModel = {
     val rows = transitions(spark, dir)
       .select("from_type", "to_type", "n_trans").collect()

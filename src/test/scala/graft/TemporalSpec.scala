@@ -169,4 +169,33 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got.head.getLong(1) == 1L && got.head.getDouble(2) == 1.0 &&
       got.head.getDouble(3) == 1.0)
   }
+
+  test("disorderAudit (x101): per-type lateness histogram against hand-computed lags") {
+    def us(ms: Long) = ms * 1000L
+    // user 1 / type A: in-order, 5s-late, in-order, 1s-late, in-order,
+    // 65s-late, 500ms-late — lags 0, 5000, 0, 1000, 0, 65000, 500
+    // user 2 / type B: fully in order
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, us(10000L), 1L, "A"),
+      (2L, us(5000L), 1L, "A"),
+      (3L, us(20000L), 1L, "A"),
+      (4L, us(19000L), 1L, "A"),
+      (5L, us(90000L), 1L, "A"),
+      (6L, us(25000L), 1L, "A"),
+      (7L, us(89500L), 1L, "A"),
+      (10L, us(1000L), 2L, "B"),
+      (11L, us(2000L), 2L, "B"),
+      (12L, us(3000L), 2L, "B")))
+    val rows = graft.operators.Temporal.disorderAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("A")
+    // (n, in_order, lt1s, lt10s, lt60s, ge60s, max, frac)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5), a.getLong(6), a.getLong(7)) ==
+      ((7L, 3L, 1L, 2L, 0L, 1L, 65000L)))
+    assert(a.getDouble(8) == 4.0 / 7.0)
+    val b = rows("B")
+    assert((b.getLong(1), b.getLong(2), b.getLong(7), b.getDouble(8)) ==
+      ((3L, 3L, 0L, 0.0)))
+  }
 }
