@@ -1398,6 +1398,84 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6t→6h composition: the CDC status stream drives incremental LSH re-indexing with live-set filtering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{DiffEvent, DocVersion}
+    import org.apache.spark.sql.functions.col
+    val t2v1 = (1 to 25).map(i => s"s$i").mkString(" ")
+    val t2v2 = (1 to 25).map(i => s"s$i").mkString(" ") + " edited tail"
+    val t4 = (26 to 50).map(i => s"t$i").mkString(" ")
+    val t6 = (51 to 75).map(i => s"u$i").mkString(" ")
+    // the version catalog a CDC consumer resolves text from
+    val texts = Map((2L, 1L) -> t2v1, (2L, 2L) -> t2v2,
+      (4L, 1L) -> t4, (6L, 1L) -> t6)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-lsh").toString
+    val indexDir = s"$tmp/index"
+    val live = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val stream = MemoryStream[DocVersion]
+    // the composition under test: only added/changed versions re-index
+    // (the EXT-6t scaladoc's incremental-maintenance contract); removals
+    // leave stale index rows that the LIVE-SET filter drops at probe time
+    val q = StreamOps.corpusDiffStream(stream.toDS())
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DiffEvent], _: Long) =>
+        val events = df.collect().sortBy(_.seq)
+        events.foreach { e =>
+          e.status match {
+            case "added" | "changed" => live(e.doc_id) = e.seq
+            case "removed" => live.remove(e.doc_id); ()
+            case _ => ()
+          }
+        }
+        val fresh = events.collect {
+          case e if e.status == "added" || e.status == "changed" =>
+            (e.doc_id, texts((e.doc_id, e.seq)))
+        }
+        if (fresh.nonEmpty)
+          graft.operators.Dedup.bandSignatures(fresh.toSeq.toDF("doc_id", "text"))
+            .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+    try {
+      stream.addData(DocVersion(2L, 1L, "d2v1"), DocVersion(4L, 1L, "d4v1"),
+        DocVersion(6L, 1L, "d6v1"))
+      q.processAllAvailable()
+      stream.addData(DocVersion(2L, 2L, "d2v2"), // changed -> re-signed
+        DocVersion(4L, 2L, "d4v1"),              // same -> NOT re-signed
+        DocVersion(6L, 2L, null))                // removed -> stale rows remain
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(live.toMap == Map(2L -> 2L, 4L -> 1L))
+
+    val index = spark.read.parquet(indexDir)
+    // 'same' versions are never re-signed: doc 4 has exactly one
+    // signature generation in the index
+    val batchOnce = graft.operators.Dedup.bandSignatures(
+      Seq((4L, t4)).toDF("doc_id", "text")).count()
+    assert(index.filter(col("doc_id") === 4L).count() == batchOnce)
+
+    // a fresh near-copy of the CHANGED doc finds it via the maintained
+    // index, and the live filter keeps it
+    val liveDf = live.keys.toSeq.toDF("doc_id")
+    def probe(text: String) = graft.operators.Dedup.indexCandidates(
+      Seq((100L, text)).toDF("doc_id", "text"), index).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(probe(t2v2).contains(2L))
+    // a copy of the REMOVED doc's text still hits the stale rows...
+    val rawRemoved = probe(t6)
+    assert(rawRemoved.contains(6L), "append-only index keeps stale rows by design")
+    // ...and the live-set join is what drops them — the CDC probe contract
+    val filtered = graft.operators.Dedup.indexCandidates(
+        Seq((100L, t6)).toDF("doc_id", "text"), index)
+      .join(liveDf.withColumnRenamed("doc_id", "cand"),
+        col("d2") === col("cand"), "left_semi")
+      .collect()
+    assert(filtered.isEmpty, "removed docs must not surface as candidates")
+  }
+
   test("EXT-6u gateAttritionStream: sealed windows carry the exact batch funnel counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
