@@ -103,6 +103,16 @@ object SparkEntry {
       graft.operators.Packing.semanticPacking(s, dir, exactMeans = true)),
     // disorder audit: per-type lateness histogram — watermark sizing
     "x101_disorder_audit" -> ((s, dir) => Temporal.disorderAudit(s, dir)),
+    // payload schema drift: key census between snapshot halves — driven
+    // with deterministically-DRIFTED props (the fixture payload has one
+    // uniform key, which would make the audit vacuous; x34/x37 pattern)
+    "x102_schema_drift" -> ((s, dir) => Payload.schemaDrift(
+      Replication.events(s, dir).selectExpr("event_id",
+        """CASE WHEN event_id % 2 = 0 AND event_id % 7 = 0
+          |       THEN '{"k": 1, "legacy": true}'
+          |     WHEN event_id % 2 = 1 AND event_id % 3 = 0
+          |       THEN '{"v": 1}'
+          |     ELSE props END AS props""".stripMargin))),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -926,6 +936,31 @@ object SparkEntry {
         |       max(lag_ms)::BIGINT AS max_lag_ms,
         |       (count(*) - sum(CASE WHEN lag_ms = 0 THEN 1 ELSE 0 END))::DOUBLE / count(*) AS frac_late
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x102_schema_drift" ->
+      """WITH ev AS (SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 AND event_id % 7 = 0
+        |         THEN '{"k": 1, "legacy": true}'
+        |       WHEN event_id % 2 = 1 AND event_id % 3 = 0
+        |         THEN '{"v": 1}'
+        |       ELSE props END AS props
+        |  FROM events),
+        |k AS (SELECT event_id % 2 AS snap, unnest(json_keys(props)) AS key FROM ev),
+        |c AS (SELECT key,
+        |        sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old,
+        |        sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new
+        |      FROM k GROUP BY 1),
+        |t AS (SELECT sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS t_old,
+        |             sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS t_new
+        |      FROM ev)
+        |SELECT key, n_old, n_new,
+        |       CASE WHEN n_old = 0 THEN 'new'
+        |            WHEN n_new = 0 THEN 'gone'
+        |            ELSE 'stable' END AS status,
+        |       n_old::DOUBLE / t_old AS rate_old,
+        |       n_new::DOUBLE / t_new AS rate_new,
+        |       (n_new::DOUBLE / t_new) - (n_old::DOUBLE / t_old) AS rate_shift
+        |FROM c CROSS JOIN t ORDER BY key""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -131,6 +131,51 @@ object Payload {
     * zero shuffles before the presentation sort. At 100 TB this is a
     * map-only pass, exactly like the reference's own envelope handling.
     */
+  /** EXT-P8 (x102) — JSON payload schema-drift audit: the top-level key
+    * census of two payload snapshots (event_id parity halves) with
+    * per-key presence rates and the new/gone/stable verdict. The CDC
+    * schema-evolution check a consumer runs before trusting `from_json`
+    * with a fixed schema (EXT-P1): a key going `gone` means silent
+    * nulls downstream, a `new` key means data the declared schema
+    * drops, and a stable key's `rate_shift` catches a producer that
+    * stopped populating a field without removing it.
+    *
+    * Exactness: counts are conditional sums; `rate_old`/`rate_new` are
+    * single IEEE divisions of exact longs and `rate_shift` is their
+    * one-operation difference — deterministic in both engines. Input is
+    * any `(event_id, props)` relation: the harness binding drives it
+    * with deterministically-DRIFTED payloads (the x34/x37 pattern —
+    * the fixture corpus has one uniform key, which would make the
+    * audit vacuous).
+    *
+    * Scale: one payload scan exploding top-level keys (bounded per row
+    * by the object's size) into a |keys|-bounded partial agg, plus a
+    * 1-row totals broadcast. Never parses values, never shuffles the
+    * payload bytes.
+    */
+  def schemaDrift(events: DataFrame): DataFrame = {
+    val snap = pmod(col("event_id"), lit(2L))
+    val keys = events
+      .select(snap.as("snap"), explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy("key")
+      .agg(
+        sum(when(col("snap") === 0L, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("snap") === 1L, 1L).otherwise(0L)).as("n_new"))
+    val totals = events.agg(
+      sum(when(snap === 0L, 1L).otherwise(0L)).as("t_old"),
+      sum(when(snap === 1L, 1L).otherwise(0L)).as("t_new"))
+    keys.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_old"), col("n_new"),
+        when(col("n_old") === 0L, "new")
+          .when(col("n_new") === 0L, "gone")
+          .otherwise("stable").as("status"),
+        (col("n_old").cast("double") / col("t_old")).as("rate_old"),
+        (col("n_new").cast("double") / col("t_new")).as("rate_new"),
+        ((col("n_new").cast("double") / col("t_new")) -
+          (col("n_old").cast("double") / col("t_old"))).as("rate_shift"))
+      .orderBy("key")
+  }
+
   def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val enc = udf { (id: Long, tpe: String, v: Double) =>
       if (tpe == null) null else AvroCodec.encode(id, tpe, v)

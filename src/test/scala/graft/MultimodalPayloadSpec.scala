@@ -119,4 +119,29 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
       assert(r.getLong(3) == expectLen, s"event ${r.getLong(0)}: ${r.getLong(3)} vs $expectLen")
     }
   }
+
+  test("schemaDrift (x102): new/gone/stable key census with exact rates") {
+    import spark.implicits._
+    // old snap (even ids): keys a, b; new snap (odd ids): a always,
+    // c on ids 5/7/9 — so a is stable, b gone, c new at rate 0.6
+    val events = (0L until 10L).map { id =>
+      val props =
+        if (id % 2 == 0) """{"a": 1, "b": 2}"""
+        else if (id >= 5) """{"a": 1, "c": 3}"""
+        else """{"a": 1}"""
+      (id, props)
+    }.toDF("event_id", "props")
+    val rows = graft.operators.Payload.schemaDrift(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "c"))
+    val a = rows("a")
+    assert((a.getLong(1), a.getLong(2), a.getString(3)) == ((5L, 5L, "stable")))
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 1.0 && a.getDouble(6) == 0.0)
+    val b = rows("b")
+    assert((b.getLong(1), b.getLong(2), b.getString(3)) == ((5L, 0L, "gone")))
+    assert(b.getDouble(6) == -1.0)
+    val c = rows("c")
+    assert((c.getLong(1), c.getLong(2), c.getString(3)) == ((0L, 3L, "new")))
+    assert(c.getDouble(5) == 0.6 && c.getDouble(6) == 0.6)
+  }
 }
