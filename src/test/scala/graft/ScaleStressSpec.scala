@@ -463,6 +463,25 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x101 disorder audit at 10x: one user-window shuffle, types-bounded agg, no nested loops") {
+    val p = plan(graft.operators.Temporal.disorderAudit(spark, dir10))
+    noNestedLoops(p)
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.length == 1 && wins.forall(_.partitionSpec.nonEmpty),
+      s"the running max must window per user, never globally:\n$p")
+    // executes over 6M events: output stays |event types|-bounded and
+    // every bucket column reconciles with the row count
+    val rows = graft.operators.Temporal.disorderAudit(spark, dir10).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val parts = (2 to 6).map(r.getLong).sum
+      assert(parts == n, s"${r.getString(0)}: buckets $parts must cover all $n events")
+    }
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —
