@@ -1069,6 +1069,90 @@ object StreamOps {
     * with no tokens emits nothing (0/0 is not a drift signal — the
     * [[graft.operators.TextAnalysis.compressionRatio]] null contract).
     */
+  /** One timestamped payload of a CDC/event stream (props = the opaque
+    * JSON value, as in the `events` table).
+    */
+  case class TimedPayload(event_id: Long, ts: java.sql.Timestamp, props: String)
+
+  /** Per-window key-census state: top-level-key presence counts + the
+    * window's event total.
+    */
+  case class KeyCensusState(counts: Map[String, Long], nEvents: Long)
+
+  /** One sealed-window schema-drift row (one per key per window). */
+  case class WindowKeyDrift(window_start: java.sql.Timestamp, key: String,
+      n_events: Long, n_key: Long, rate: Double, ref_rate: Double,
+      rate_shift: Double, status: String)
+
+  /** EXT-6v — streaming schema-drift monitor: the windowed twin of
+    * [[graft.operators.Payload.schemaDrift]] (x102). Each watermark-
+    * sealed tumbling window emits one row per top-level payload key —
+    * presence count, presence rate, the broadcast reference rate, the
+    * shift, and the new/gone/stable verdict — so a schema change in the
+    * producer pages the consumer within one window instead of at the
+    * next batch audit. Keys in the reference but absent from the window
+    * emit as `gone` rows (count 0): silence is exactly the signal.
+    *
+    * Mechanics: [[windowSealed]] (the drift monitor's chassis — state
+    * is one key-count map per OPEN window, bounded by the payload
+    * schema's key vocabulary, not the stream; sealed windows leave
+    * state at emission). Top-level keys come from Jackson's `readTree`
+    * field names — the same top-level-key semantics as the batch
+    * operator's `json_object_keys` (nested keys invisible to both);
+    * unparseable payloads count toward `n_events` but contribute no
+    * keys, so a producer emitting garbage shows up as every key's rate
+    * collapsing rather than as silence. Exact integer counts; rates
+    * are single IEEE divisions, as in the batch twin.
+    */
+  def schemaDriftStream(
+      events: Dataset[TimedPayload],
+      reference: Map[String, Double],
+      windowMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[WindowKeyDrift] = {
+    import events.sparkSession.implicits._
+    require(reference.nonEmpty, "reference census must be non-empty")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    windowSealed[TimedPayload, KeyCensusState, WindowKeyDrift](
+      events, _.ts.getTime, windowMs, watermarkDelay,
+      KeyCensusState(Map.empty, 0L)) { (st, evs) =>
+      var counts = st.counts
+      var n = st.nEvents
+      for (e <- evs) {
+        n += 1L
+        if (e.props != null) {
+          val keys =
+            try {
+              val it = StreamOps.jsonMapper.readTree(e.props).fieldNames()
+              val b = List.newBuilder[String]
+              while (it.hasNext) b += it.next()
+              b.result()
+            } catch { case _: Exception => Nil }
+          for (k <- keys)
+            counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+        }
+      }
+      KeyCensusState(counts, n)
+    } { (winStart, st) =>
+      if (st.nEvents == 0) Iterator.empty
+      else (st.counts.keySet ++ reference.keySet).toSeq.sorted.iterator.map { k =>
+        val nk = st.counts.getOrElse(k, 0L)
+        val rate = nk.toDouble / st.nEvents
+        val ref = reference.getOrElse(k, 0.0)
+        val status =
+          if (!reference.contains(k)) "new"
+          else if (nk == 0L) "gone"
+          else "stable"
+        WindowKeyDrift(new java.sql.Timestamp(winStart), k,
+          st.nEvents, nk, rate, ref, rate - ref, status)
+      }
+    }
+  }
+
+  /** Shared lenient JSON reader for payload-key extraction (thread-safe
+    * for `readTree`).
+    */
+  private[streaming] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def driftStream(
       docs: Dataset[TimedDoc],
       reference: Map[String, Long],

@@ -1520,6 +1520,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6v schemaDriftStream: sealed windows emit per-key census with new/gone/stable verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{TimedPayload, WindowKeyDrift}
+    val reference = Map("a" -> 1.0, "b" -> 0.5)
+    val stream = MemoryStream[TimedPayload]
+    val q = StreamOps.schemaDriftStream(stream.toDS(), reference,
+        windowMs = 10 * 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("schema_out").outputMode("append").start()
+    try {
+      // one window: a on every event, b vanished, c appeared on 1 of 4,
+      // plus one unparseable payload (counts toward n_events, no keys)
+      stream.addData(
+        TimedPayload(1L, ts(1), """{"a": 1}"""),
+        TimedPayload(2L, ts(2), """{"a": 2, "c": true}"""),
+        TimedPayload(3L, ts(3), """{"a": 3}"""),
+        TimedPayload(4L, ts(4), "not json"))
+      q.processAllAvailable()
+      stream.addData(TimedPayload(9L, ts(40), """{"a": 1}""")) // seals the window
+      q.processAllAvailable()
+      val rows = spark.table("schema_out").as[WindowKeyDrift].collect()
+        .filter(_.n_events == 4L).map(r => r.key -> r).toMap
+      assert(rows.keySet == Set("a", "b", "c"))
+      val a = rows("a")
+      assert(a.n_key == 3L && a.rate == 0.75 && a.status == "stable")
+      assert(a.rate_shift == 0.75 - 1.0)
+      val b = rows("b")
+      assert(b.n_key == 0L && b.status == "gone" && b.rate_shift == -0.5)
+      val c = rows("c")
+      assert(c.n_key == 1L && c.status == "new" && c.rate == 0.25 && c.ref_rate == 0.0)
+    } finally q.stop()
+  }
+
   test("EXT-6t corpusDiffStream: live-digest state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
