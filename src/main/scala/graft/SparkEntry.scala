@@ -49,6 +49,8 @@ object SparkEntry {
     "x35_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(s, dir, exactMeans = true)),
     // hybrid retrieval: lexical-overlap and cosine legs fused by RRF
     "x79_rank_fusion" -> ((s, dir) => Similarity.rankFusion(s, dir)),
+    // retriever agreement: lexical∩dense overlap@k — the fusion evidence
+    "x103_retriever_agreement" -> ((s, dir) => Similarity.retrieverAgreement(s, dir)),
     // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     // MOSS winnowing: window-min fingerprint sample, shared-count pairs
@@ -501,6 +503,34 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank FROM fused)
          |SELECT qid AS query_id, rank, cid AS doc_id, round(rrf, 6) AS rrf6
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x79's two leg CTEs truncated at k=5; the agreement join is k-bounded
+    "x103_retriever_agreement" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
+         |ov AS (SELECT q.doc_id AS qid, c.doc_id AS cid, count(*)::BIGINT AS overlap
+         |       FROM sh q JOIN sh c ON q.shingle = c.shingle
+         |       WHERE q.doc_id % 10 = 0 AND q.doc_id != c.doc_id
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rank_lex
+         |        FROM ov QUALIFY rank_lex <= 5),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |vs AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
+         |vec AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank_vec
+         |        FROM vs QUALIFY rank_vec <= 5),
+         |ln AS (SELECT qid, count(*)::BIGINT AS n_lex FROM lex GROUP BY 1),
+         |vn AS (SELECT qid, count(*)::BIGINT AS n_vec FROM vec GROUP BY 1),
+         |cm AS (SELECT l.qid, count(*)::BIGINT AS n_common
+         |       FROM lex l JOIN vec v ON v.qid = l.qid AND v.cid = l.cid GROUP BY 1)
+         |SELECT vn.qid AS query_id, coalesce(n_lex, 0)::BIGINT AS n_lex, n_vec,
+         |       coalesce(n_common, 0)::BIGINT AS n_common,
+         |       coalesce(n_common, 0)::DOUBLE / 5 AS overlap_frac
+         |FROM vn LEFT JOIN ln ON ln.qid = vn.qid LEFT JOIN cm ON cm.qid = vn.qid
+         |ORDER BY query_id""".stripMargin,
 
     // sign-bit signatures packed into two 32-bit halves (bit 63 would
     // overflow a BIGINT shift); hamming ties at the candidate boundary

@@ -893,6 +893,61 @@ object Similarity {
     * break to the lower cid, mirrored by the oracle's `row_number`
     * spelling.
     */
+  /** EXT-S18 (x103) — retriever-agreement audit: per query, how much the
+    * lexical top-k (3-shingle overlap) and the dense top-k (cosine)
+    * AGREE — `n_common` and `overlap_frac = n_common / k`. This is the
+    * diagnostic that justifies (or retires) x79's fusion: high agreement
+    * means one retriever is redundant and fusion buys nothing; low
+    * agreement means the two see different relevance and RRF has
+    * something to combine. Run it before tuning fusion weights — the
+    * overlap distribution is the evidence.
+    *
+    * Same leg construction as [[rankFusion]] (the inverted-index lexical
+    * leg and the measured-guard dense leg), truncated at k instead of
+    * kLeg; the agreement join is over two ≤ |queries|·k relations, so
+    * everything after the legs is bounded by construction. A query with
+    * no lexical candidates (nothing shares a shingle) reports n_lex = 0
+    * honestly — dense always retrieves, which is itself the signal.
+    */
+  def retrieverAgreement(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
+    val qSh = sh.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("qid"), col("shingle"))
+    val cSh = sh.select(col("doc_id").as("cid"), col("shingle"))
+    val overlap = qSh.join(cSh, Seq("shingle"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(count(lit(1)).cast("double").as("sim"))
+    val lex = rankedTopK(overlap, k).localCheckpoint() // two consumers
+    val emb = Tables.embeddings(spark, dir)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val vecScored = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val vec = rankedTopK(vecScored, k).localCheckpoint() // two consumers
+    val lexN = lex.groupBy("qid").agg(count(lit(1)).as("n_lex"))
+    val vecN = vec.groupBy("qid").agg(count(lit(1)).as("n_vec"))
+    val common = lex.join(vec, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    vecN.join(lexN, Seq("qid"), "left_outer")
+      .join(common, Seq("qid"), "left_outer")
+      .select(col("qid").as("query_id"),
+        coalesce(col("n_lex"), lit(0L)).as("n_lex"), col("n_vec"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") / k).as("overlap_frac"))
+      .orderBy("query_id")
+  }
+
   def rankFusion(
       spark: SparkSession,
       dir: String,

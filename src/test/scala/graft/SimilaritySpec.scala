@@ -380,4 +380,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((0L, 3L, 1.0)))
   }
+
+  test("retrieverAgreement (x103): overlap@k matches an independent two-leg model") {
+    // 12 docs: 0-5 share phrase A (lexically close), 6-11 share phrase B;
+    // vectors: 0-5 cluster on axis 0, 6-11 on axis 1 — EXCEPT doc 4,
+    // whose vector sits on axis 1 (lexical and dense disagree about it)
+    val phraseA = "alpha beta gamma delta epsilon"
+    val phraseB = "omega psi chi phi upsilon"
+    val docs = (0L until 12L).map { i =>
+      val phrase = if (i < 6) phraseA else phraseB
+      (i, s"doc$i marker$i $phrase tail$i")
+    }
+    val vecs = (0L until 12L).map { i =>
+      val v = Array.fill(64)(0.0f)
+      val axis = if (i < 6) 0 else 1
+      val flip = if (i == 4L) 1 else axis
+      v(flip) = 1.0f
+      v(32 + (i % 8).toInt) = 0.1f * ((i % 3) + 1)
+      (i, v.toSeq)
+    }
+    val dir = TestTables.corpusDir(spark, docs, vecs)
+    val k = 5
+    val got = graft.operators.Similarity.retrieverAgreement(spark, dir, k = k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+    // independent model of both legs
+    def shingles(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(3).map(_.mkString(" ")).toSet
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val qids = docs.map(_._1).filter(_ % 10 == 0)
+    qids.foreach { qid =>
+      val qSh = shingles(docs(qid.toInt)._2)
+      val lexTop = docs.filter(_._1 != qid)
+        .map { case (cid, t) => (cid, (qSh & shingles(t)).size) }
+        .filter(_._2 > 0)
+        .sortBy { case (cid, ov) => (-ov, cid) }.take(k).map(_._1).toSet
+      val qv = vecs(qid.toInt)._2
+      val vecTop = vecs.filter(_._1 != qid)
+        .map { case (cid, v) => (cid, dot(qv, v)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).map(_._1).toSet
+      val (nLex, nVec, nCommon, frac) = got(qid)
+      assert(nLex == lexTop.size.toLong, s"q$qid n_lex")
+      assert(nVec == vecTop.size.toLong, s"q$qid n_vec")
+      assert(nCommon == (lexTop & vecTop).size.toLong, s"q$qid n_common")
+      assert(frac == (lexTop & vecTop).size.toDouble / k)
+    }
+    // the fixture must exercise DISagreement (doc 4's flipped vector
+    // keeps query 0's legs from fully overlapping)
+    assert(got(0L)._3 < k.toLong)
+  }
 }
