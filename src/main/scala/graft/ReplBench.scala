@@ -130,7 +130,11 @@ object ReplBench {
       s"""{"metric":"repl_rows_per_sec","rows":$total,"payload_mb":${f"$mb1%.1f"},""" +
       s""""uncapped_sec":${f"$uncappedSec%.2f"},"uncapped_rows_per_sec":${f"$uncappedRps%.0f"},""" +
       s""""cap_rows_per_trigger":$capRows,"capped_sec":${f"$cappedSec%.2f"},""" +
-      s""""capped_rows_per_sec":${f"$cappedRps%.0f"},"delivered":[$n1,$n2],"cpus":$cpus}"""
+      s""""capped_rows_per_sec":${f"$cappedRps%.0f"},"delivered":[$n1,$n2],""" +
+      // a deadline-expired partial run must be distinguishable from a
+      // slow-but-complete one: rows/s over a truncated delivery is not
+      // comparable across rounds
+      s""""complete":${n1 == total && n2 == total},"cpus":$cpus}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -50,7 +50,8 @@ object SparkEntry {
     // hybrid retrieval: lexical-overlap and cosine legs fused by RRF
     "x79_rank_fusion" -> ((s, dir) => Similarity.rankFusion(s, dir)),
     // retriever agreement: lexical∩dense overlap@k — the fusion evidence
-    "x103_retriever_agreement" -> ((s, dir) => Similarity.retrieverAgreement(s, dir)),
+    "x103_retriever_agreement" -> ((s, dir) =>
+      Similarity.retrieverAgreement(s, dir, k = agreementK, queryMod = agreementQueryMod)),
     // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     // MOSS winnowing: window-min fingerprint sample, shared-count pairs
@@ -241,6 +242,13 @@ object SparkEntry {
 
   private val dotCte = // identical left-fold order as Similarity.dot
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b)"
+
+  /** x103's k and query-sampling modulus — the SAME constants feed the
+    * Spark call in `queries` and the interpolated oracle SQL, so a
+    * default change on either side cannot silently break agreement.
+    */
+  private val agreementK = 5
+  private val agreementQueryMod = 10
 
   /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
     * x16 and the x22 cluster oracle; ends in relation `nd_pairs(d1, d2,
@@ -504,31 +512,33 @@ object SparkEntry {
          |SELECT qid AS query_id, rank, cid AS doc_id, round(rrf, 6) AS rrf6
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // x79's two leg CTEs truncated at k=5; the agreement join is k-bounded
+    // x79's two leg CTEs truncated at k=agreementK; the agreement join is
+    // k-bounded; k/queryMod interpolated from the SAME constants as the
+    // Spark call so neither side can drift alone
     "x103_retriever_agreement" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
          |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
          |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
          |ov AS (SELECT q.doc_id AS qid, c.doc_id AS cid, count(*)::BIGINT AS overlap
          |       FROM sh q JOIN sh c ON q.shingle = c.shingle
-         |       WHERE q.doc_id % 10 = 0 AND q.doc_id != c.doc_id
+         |       WHERE q.doc_id % $agreementQueryMod = 0 AND q.doc_id != c.doc_id
          |       GROUP BY 1, 2),
          |lex AS (SELECT qid, cid,
          |          row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rank_lex
-         |        FROM ov QUALIFY rank_lex <= 5),
-         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |        FROM ov QUALIFY rank_lex <= $agreementK),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $agreementQueryMod = 0),
          |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
          |vs AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
          |vec AS (SELECT qid, cid,
          |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank_vec
-         |        FROM vs QUALIFY rank_vec <= 5),
+         |        FROM vs QUALIFY rank_vec <= $agreementK),
          |ln AS (SELECT qid, count(*)::BIGINT AS n_lex FROM lex GROUP BY 1),
          |vn AS (SELECT qid, count(*)::BIGINT AS n_vec FROM vec GROUP BY 1),
          |cm AS (SELECT l.qid, count(*)::BIGINT AS n_common
          |       FROM lex l JOIN vec v ON v.qid = l.qid AND v.cid = l.cid GROUP BY 1)
          |SELECT vn.qid AS query_id, coalesce(n_lex, 0)::BIGINT AS n_lex, n_vec,
          |       coalesce(n_common, 0)::BIGINT AS n_common,
-         |       coalesce(n_common, 0)::DOUBLE / 5 AS overlap_frac
+         |       coalesce(n_common, 0)::DOUBLE / $agreementK AS overlap_frac
          |FROM vn LEFT JOIN ln ON ln.qid = vn.qid LEFT JOIN cm ON cm.qid = vn.qid
          |ORDER BY query_id""".stripMargin,
 

@@ -142,7 +142,12 @@ object Payload {
     *
     * Exactness: counts are conditional sums; `rate_old`/`rate_new` are
     * single IEEE divisions of exact longs and `rate_shift` is their
-    * one-operation difference — deterministic in both engines. Input is
+    * one-operation difference — deterministic in both engines. An empty
+    * snapshot half (every event_id one parity) makes the audit itself
+    * meaningless, so its rates are ANSI-guarded to NULL rather than the
+    * silent NaN/Infinity a bare double division would leak (the same
+    * zero-denominator convention as [[TextAnalysis.distinctNgrams]]).
+    * Input is
     * any `(event_id, props)` relation: the harness binding drives it
     * with deterministically-DRIFTED payloads (the x34/x37 pattern —
     * the fixture corpus has one uniform key, which would make the
@@ -164,15 +169,20 @@ object Payload {
     val totals = events.agg(
       sum(when(snap === 0L, 1L).otherwise(0L)).as("t_old"),
       sum(when(snap === 1L, 1L).otherwise(0L)).as("t_new"))
+    // ANSI div guard: an empty snapshot half yields NULL rates, never a
+    // silent NaN/Infinity (matches the distinctNgrams convention)
+    val rateOld = when(col("t_old") === 0L, lit(null).cast("double"))
+      .otherwise(col("n_old").cast("double") / col("t_old"))
+    val rateNew = when(col("t_new") === 0L, lit(null).cast("double"))
+      .otherwise(col("n_new").cast("double") / col("t_new"))
     keys.crossJoin(broadcast(totals))
       .select(col("key"), col("n_old"), col("n_new"),
         when(col("n_old") === 0L, "new")
           .when(col("n_new") === 0L, "gone")
           .otherwise("stable").as("status"),
-        (col("n_old").cast("double") / col("t_old")).as("rate_old"),
-        (col("n_new").cast("double") / col("t_new")).as("rate_new"),
-        ((col("n_new").cast("double") / col("t_new")) -
-          (col("n_old").cast("double") / col("t_old"))).as("rate_shift"))
+        rateOld.as("rate_old"),
+        rateNew.as("rate_new"),
+        (rateNew - rateOld).as("rate_shift"))
       .orderBy("key")
   }
 

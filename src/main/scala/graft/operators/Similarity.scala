@@ -909,23 +909,31 @@ object Similarity {
     * no lexical candidates (nothing shares a shingle) reports n_lex = 0
     * honestly — dense always retrieves, which is itself the signal.
     */
-  def retrieverAgreement(
+  /** Shared leg construction for the retrieval family ([[rankFusion]],
+    * [[retrieverAgreement]], and whatever retrieval audit lands next):
+    * the SCORED `(qid, cid, sim)` relations for the lexical leg
+    * (distinct-3-shingle overlap via the inverted-index equi-join —
+    * never all pairs) and the dense leg (the x5 measured-guard
+    * broadcast cosine). Callers truncate with [[rankedTopK]] at their
+    * own k — truncation is the only thing the two consumers disagree
+    * on, so it stays out of the builder. The lexical `sim` is the exact
+    * integer overlap riding a Double losslessly (≤ 2^53).
+    */
+  private def retrievalLegs(
       spark: SparkSession,
       dir: String,
-      k: Int = 5,
-      queryMod: Int = 10,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+      queryMod: Int,
+      maxBroadcastBytes: Long): (DataFrame, DataFrame) = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
     val qSh = sh.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
       .select(col("doc_id").as("qid"), col("shingle"))
     val cSh = sh.select(col("doc_id").as("cid"), col("shingle"))
-    val overlap = qSh.join(cSh, Seq("shingle"))
+    val lexScored = qSh.join(cSh, Seq("shingle"))
       .filter(col("qid") =!= col("cid"))
       .groupBy("qid", "cid")
       .agg(count(lit(1)).cast("double").as("sim"))
-    val lex = rankedTopK(overlap, k).localCheckpoint() // two consumers
     val emb = Tables.embeddings(spark, dir)
     val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -934,6 +942,18 @@ object Similarity {
     val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val vecScored = queries.join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    (lexScored, vecScored)
+  }
+
+  def retrieverAgreement(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val (lexScored, vecScored) =
+      retrievalLegs(spark, dir, queryMod, maxBroadcastBytes)
+    val lex = rankedTopK(lexScored, k).localCheckpoint() // two consumers
     val vec = rankedTopK(vecScored, k).localCheckpoint() // two consumers
     val lexN = lex.groupBy("qid").agg(count(lit(1)).as("n_lex"))
     val vecN = vec.groupBy("qid").agg(count(lit(1)).as("n_vec"))
@@ -955,28 +975,9 @@ object Similarity {
       k: Int = 5,
       queryMod: Int = 10,
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    // lexical leg: distinct 3-shingles per doc -> inverted-index self-join
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Tables.shingles(Tables.tokens(col("text")))).as("shingle"))
-    val qSh = sh.filter(pmod(col("doc_id"), lit(queryMod)) === 0)
-      .select(col("doc_id").as("qid"), col("shingle"))
-    val cSh = sh.select(col("doc_id").as("cid"), col("shingle"))
-    val overlap = qSh.join(cSh, Seq("shingle"))
-      .filter(col("qid") =!= col("cid"))
-      .groupBy("qid", "cid")
-      // exact integer overlap rides the Double sim losslessly (≤ 2^53)
-      .agg(count(lit(1)).cast("double").as("sim"))
-    val lex = rankedTopK(overlap, kLeg).withColumnRenamed("rank", "rank_lex")
-    // vector leg: bruteForceTopK's scored relation, rank kept as data
-    val emb = Tables.embeddings(spark, dir)
-    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val queries = broadcastIfMeasuredUnder(queriesRaw,
-      s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val vecScored = queries.join(corpus, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    val (lexScored, vecScored) =
+      retrievalLegs(spark, dir, queryMod, maxBroadcastBytes)
+    val lex = rankedTopK(lexScored, kLeg).withColumnRenamed("rank", "rank_lex")
     val vec = rankedTopK(vecScored, kLeg).withColumnRenamed("rank", "rank_vec")
     // fusion: two k-bounded relations, outer-joined; both engines compute
     // the same two-term IEEE sum in the same order

@@ -768,9 +768,13 @@ object TextAnalysis {
     * vocabulary, not the token stream. At 100 TB swap `countDistinct`
     * for the HLL++ sketch exactly as x59 does (the audit/sketch pairing
     * documented there); the exact spelling here is the oracle-checkable
-    * law the sketch is certified against. The three n legs share one
-    * tokenized scan via a cached projection; ratios are single IEEE
-    * divisions of exact longs.
+    * law the sketch is certified against. Each side (distinct, total)
+    * makes ONE tokenized scan covering all three widths — two scans
+    * total, deliberately NOT a cached shared projection: materializing
+    * the tokenized corpus to cache at 100 TB costs more memory/spill
+    * than re-reading the pruned two-column parquet scan, and the total
+    * leg's scan is arithmetic-only (no explode) so it is the cheap one.
+    * Ratios are single IEEE divisions of exact longs.
     */
   def distinctNgrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
