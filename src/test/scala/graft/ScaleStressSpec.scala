@@ -482,6 +482,110 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x100 semantic packing at 10x: cells equi-join + per-cell window survive; pack arithmetic exact") {
+    val df = graft.operators.Packing.semanticPacking(spark, dir10, exactMeans = true)
+    val p = plan(graft.operators.Packing.semanticPacking(spark, dir10, exactMeans = true))
+    noNestedLoops(p)
+    // centroid assignment is row-local (collected k·dim table folded
+    // into literal expressions — x54's shape), so the ONLY join is the
+    // narrow tokens ⋈ cells doc_id equi-join
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, s"tokens must reach cells via a doc_id equi-join:\n$p")
+    // the running sum windows per CELL, never globally — a global sort
+    // at 100 TB is the failure mode this spelling exists to avoid
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.length == 1 && wins.forall(_.partitionSpec.nonEmpty),
+      s"pack running sum must window per cell:\n$p")
+    // executes over the 50k-doc / 60k-vector slice: bins partition the
+    // joined corpus exactly — doc and token totals reconcile
+    val rows = df.collect()
+    val joined = graft.operators.Tables.documents(spark, dir10)
+      .select(col("doc_id"),
+        size(graft.operators.Tables.tokens(col("text"))).cast("long").as("tok"))
+      .join(graft.operators.Similarity.centroidSimProjection(spark, dir10, exactMeans = true)
+        .select(col("vec_id").as("doc_id")), "doc_id")
+    assert(rows.map(_.getLong(2)).sum == joined.count(), "every joined doc lands in exactly one bin")
+    assert(rows.map(_.getLong(3)).sum ==
+      joined.agg(sum("tok")).head.getLong(0), "token mass is conserved across bins")
+    assert(rows.forall(_.getLong(1) >= 0L), "bin ids are offsets, never negative")
+  }
+
+  test("x102 schema drift at 10x: keys-bounded partial agg + 1-row totals broadcast; no rate NaNs") {
+    // the SparkEntry binding's deterministic drift, applied to the 6M slice
+    def drifted = graft.operators.Replication.events(spark, dir10)
+      .selectExpr("event_id",
+        """CASE WHEN event_id % 2 = 0 AND event_id % 7 = 0
+          |       THEN '{"k": 1, "legacy": true}'
+          |     WHEN event_id % 2 = 1 AND event_id % 3 = 0
+          |       THEN '{"v": 1}'
+          |     ELSE props END AS props""".stripMargin)
+    val p = plan(graft.operators.Payload.schemaDrift(drifted))
+    // the ONE BroadcastNestedLoopJoin is the INTENTIONAL 1-row totals
+    // broadcast (bounded by construction); a cartesian of relations is
+    // the regression this pin exists to catch
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    assert(p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.length >= 2, s"the key census must partial-aggregate map-side:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+    // executes over 6M events: output stays |keys|-bounded; both parity
+    // halves are non-empty so the ANSI zero-denominator guard must never
+    // fire — every rate present, in [0,1], and shift = new − old exactly
+    val rows = graft.operators.Payload.schemaDrift(drifted).collect()
+    assert(rows.nonEmpty && rows.length <= 16, s"key census must stay bounded, got ${rows.length}")
+    assert(rows.map(_.getString(3)).toSet.subsetOf(Set("new", "gone", "stable")))
+    rows.foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5), s"${r.getString(0)}: non-empty halves must have rates")
+      val (ro, rn) = (r.getDouble(4), r.getDouble(5))
+      assert(ro >= 0.0 && ro <= 1.0 && rn >= 0.0 && rn <= 1.0)
+      assert(math.abs(r.getDouble(6) - (rn - ro)) < 1e-15)
+    }
+  }
+
+  test("x103/x79 retrieval legs at 10x: lexical stays an inverted-index equi-join, no cartesian, no rank window") {
+    // rankFusion shares the ONE retrieval-leg builder with
+    // retrieverAgreement (r10 refactor), and unlike x103 it builds
+    // lazily (no localCheckpoint), so pinning ITS plan at 10x pins the
+    // legs of both consumers by construction
+    val p = plan(graft.operators.Similarity.rankFusion(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no leg may fall to a cartesian at 10x:\n$p")
+    // lexical candidates come from shared shingles (equi-join), never
+    // all pairs; the 6k-query vector side rides the measured broadcast
+    // guard (its non-equi BNLJ is the x5 family's pinned measured-under
+    // regime, bounded by the measured query-side bytes)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }.exists(identity), s"the lexical leg must join on shingle:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"top-k must stay the bounded map-side agg, never a rank window:\n$p")
+    // executes at 10x corpus (600 queries x 60k vectors via a sparser
+    // queryMod — the agreement stage itself is |queries|·k-bounded):
+    // every query reports a full dense top-k and a lawful overlap
+    val rows = graft.operators.Similarity
+      .retrieverAgreement(spark, dir10, queryMod = 100).collect()
+    assert(rows.length == 600, s"one row per query, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 5L, "dense leg always retrieves k on a 60k corpus")
+      val common = r.getLong(3)
+      assert(common >= 0L && common <= 5L && common <= r.getLong(1).max(common))
+      assert(math.abs(r.getDouble(4) - common / 5.0) < 1e-15)
+    }
+  }
+
   test("x22 pair generation at 10x: banded equi-join shape survives (plan level)") {
     // dedupClusters' connected-components loop EXECUTES per round
     // (localCheckpoint), so the suite asserts the scale-sensitive part —

@@ -181,6 +181,173 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
       if (runThread != null) runThread.join(30000)
     }
   }
+
+  /** The r9 verdict's composed-soak ask: every curation-side streaming
+    * component chained into ONE dataflow — quality gate → watermarked
+    * digest dedup → decontamination ([[StreamOps.curateStream]]) →
+    * mixture gate — feeding the LSH and segment index maintainers, with
+    * the attrition, token-drift, and schema-drift monitors consuming
+    * the same stream, ALL checkpoint-restarted mid-drive. The batch
+    * composition of the same operators over the full fixture is the
+    * oracle: the streamed survivors, both index relations, and every
+    * sealed monitor window must equal it exactly, and sealed windows
+    * must emit exactly once despite the restart.
+    */
+  test("composed soak: gates→indexes→monitors through a checkpointed kill/restart equal the batch composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-composed").toString
+    // base aligned to a 10-minute boundary so minutes 0-9 / 10-19 land in
+    // exactly two tumbling windows (1700000400000 = 22:20:00.000 UTC)
+    def ts(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    val benchGram = "c1 c2 c3 c4 c5"
+    def filler(i: Int) = (1 to 28).map(j => s"u${i}w$j").mkString(" ") + " the a of"
+    // 40 docs over two 10-min event-time windows (2 docs/minute, fed in
+    // doc_id order): per decade — one quality reject (i%10==7), one
+    // contaminated (i%10==9), one exact dup of a 2-min-earlier doc
+    // (i%10==5); doc 21 duplicates doc 18 ACROSS the restart boundary,
+    // so rejecting it requires the dedup state to survive the kill
+    def doc(i: Int): (Long, String, String, java.sql.Timestamp, String) = {
+      val text =
+        if (i == 21) filler(18)
+        else if (i % 10 == 7) "too short"
+        else if (i % 10 == 9) benchGram + " " + filler(i)
+        else if (i % 10 == 5) filler(i - 4)
+        else filler(i)
+      val props = if (i % 3 == 0) """{"v": 1}""" else """{"k": 1, "n": 2}"""
+      (i.toLong, text, if (i % 2 == 0) "A" else "B", ts((i - 1) / 2), props)
+    }
+    val rates = Seq(("A", 0.5), ("B", 1.0)).toDF("source", "rate")
+    val stream = MemoryStream[(Long, String, String, java.sql.Timestamp, String)]
+    def docsDf = stream.toDF().toDF("doc_id", "text", "source", "ingest_ts", "props")
+    // the composed chain; each sink runs it end to end from the source
+    def gatedDf = StreamOps.mixtureGateStream(
+      StreamOps.curateStream(docsDf, Seq(benchGram), watermarkDelay = "5 minutes"), rates)
+    def startAll(): Seq[StreamingQuery] = Seq(
+      gatedDf.select("doc_id", "source").writeStream.format("parquet")
+        .option("path", s"$root/survivors")
+        .option("checkpointLocation", s"$root/ckpt-gate").outputMode("append").start(),
+      StreamOps.maintainLshIndex(
+        gatedDf.select("doc_id", "text"), s"$root/lsh", s"$root/ckpt-lsh"),
+      StreamOps.maintainSegmentIndex(
+        gatedDf.select("doc_id", "text"), s"$root/seg", s"$root/ckpt-seg", segTokens = 5),
+      StreamOps.gateAttritionStream(
+          docsDf.select(col("doc_id"), col("text"), col("ingest_ts").as("ts")),
+          windowDur = "10 minutes", watermarkDelay = "5 minutes")
+        .writeStream.format("parquet").option("path", s"$root/attr")
+        .option("checkpointLocation", s"$root/ckpt-attr").outputMode("append").start(),
+      StreamOps.driftStream(
+          docsDf.select(col("doc_id"), col("ingest_ts").as("ts"), col("text"))
+            .as[StreamOps.TimedDoc],
+          Map("the" -> 2L, "a" -> 1L, "of" -> 1L),
+          windowMs = 600000L, watermarkDelay = "5 minutes")
+        .writeStream.format("parquet").option("path", s"$root/drift")
+        .option("checkpointLocation", s"$root/ckpt-drift").outputMode("append").start(),
+      StreamOps.schemaDriftStream(
+          docsDf.select(col("doc_id").as("event_id"), col("ingest_ts").as("ts"), col("props"))
+            .as[StreamOps.TimedPayload],
+          Map("k" -> 1.0, "n" -> 1.0),
+          windowMs = 600000L, watermarkDelay = "5 minutes")
+        .writeStream.format("parquet").option("path", s"$root/schema")
+        .option("checkpointLocation", s"$root/ckpt-schema").outputMode("append").start())
+
+    var qs = startAll()
+    try {
+      def drain(): Unit = qs.foreach(_.processAllAvailable())
+      // phase 1: window-0 docs, two microbatches, then a hard stop
+      stream.addData((1 to 10).map(doc)); drain()
+      stream.addData((11 to 20).map(doc)); drain()
+      qs.foreach(_.stop())
+      // restart every query from its checkpoint
+      qs = startAll()
+      // phase 2: window-1 docs (doc 21 = the cross-restart duplicate),
+      // then two far-future flushes to seal both windows everywhere
+      stream.addData((21 to 30).map(doc)); drain()
+      stream.addData((31 to 40).map(doc)); drain()
+      stream.addData(Seq((998L, "x", "B", ts(45), null))); drain()
+      stream.addData(Seq((999L, "x", "B", ts(46), null))); drain()
+      qs.foreach(_.stop())
+
+      // ——— the batch composition: same operators, full fixture ———
+      val all = (1 to 40).map(doc).toDF("doc_id", "text", "source", "ingest_ts", "props")
+      val kept = graft.operators.Curation.qualityAnnotated(all)
+        .filter(col("keep")).withColumn("digest", sha2(col("text"), 256))
+      // streaming dedup keeps first arrival = lowest doc_id (docs fed in order)
+      val deduped = kept.join(
+        kept.groupBy("digest").agg(min("doc_id").as("doc_id")), Seq("digest", "doc_id"))
+      val decon = deduped.filter(!col("text").contains(benchGram))
+      val batchSurv = graft.operators.Curation.mixtureGate(decon, rates)
+      val expect = batchSurv.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+      // survivors: multiset equality (file-sink log = exactly-once
+      // delivery through the restart), and the cross-restart duplicate
+      // is rejected — the dedup state was restored
+      val got = spark.read.parquet(s"$root/survivors").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      assert(got.toSet == expect, s"streamed survivors diverge from the batch composition")
+      assert(got.length == expect.size, "file sink must deliver each survivor exactly once")
+      assert(!got.map(_._1).contains(21L), "the cross-restart duplicate must be rejected")
+
+      // both indexes equal the batch build over the SAME survivor corpus
+      // (distinct: the maintainers' documented at-least-once append)
+      val survTexts = all.join(
+        batchSurv.select("doc_id"), "doc_id").select("doc_id", "text")
+      assert(StreamOps.lshIndex(spark, s"$root/lsh").collect().map(_.toSeq).toSet ==
+        graft.operators.Dedup.bandSignatures(survTexts).collect().map(_.toSeq).toSet,
+        "LSH index must equal the batch signature relation over the gated corpus")
+      assert(StreamOps.segmentIndex(spark, s"$root/seg").drop("seg_tokens")
+        .collect().map(_.toSeq).toSet ==
+        graft.operators.Dedup.segmentSignatures(survTexts, 5).drop("seg_tokens")
+          .collect().map(_.toSeq).toSet,
+        "segment index must equal the batch segment relation over the gated corpus")
+
+      // monitors: exactly one emission per sealed window (through the
+      // restart), each equal to the batch law over that window's docs
+      val winDocs = Map(0 -> (1 to 20), 1 -> (21 to 40))
+      val attr = spark.read.parquet(s"$root/attr").collect()
+      assert(attr.length == 2, s"one attrition row per sealed window, got ${attr.length}")
+      winDocs.foreach { case (w, ids) =>
+        val row = attr.find(_.getAs[java.sql.Timestamp]("window_start") == ts(w * 10)).get
+        val qa = graft.operators.Curation.qualityAnnotated(
+          ids.map(doc).toDF("doc_id", "text", "source", "ingest_ts", "props"))
+        assert(row.getAs[Long]("n_in") == ids.size.toLong)
+        assert(row.getAs[Long]("s4") == qa.filter(col("keep")).count())
+        assert(row.getAs[Long]("d_len") + row.getAs[Long]("d_avg") +
+          row.getAs[Long]("d_stop") + row.getAs[Long]("d_rep") ==
+          row.getAs[Long]("n_in") - row.getAs[Long]("s4"), "the funnel must telescope")
+      }
+      val drift = spark.read.parquet(s"$root/drift").collect()
+      assert(drift.length == 2, s"one drift row per sealed window, got ${drift.length}")
+      winDocs.foreach { case (w, ids) =>
+        val row = drift.find(_.getAs[java.sql.Timestamp]("window_start") == ts(w * 10)).get
+        val counts = ids.map(doc).flatMap(_._2.split(" ", -1))
+          .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val ref = Map("the" -> 2L, "a" -> 1L, "of" -> 1L)
+        val nWin = counts.values.sum
+        val numer = (counts.keySet ++ ref.keySet).iterator
+          .map(t => math.abs(counts.getOrElse(t, 0L) * 4L - ref.getOrElse(t, 0L) * nWin)).sum
+        assert(row.getAs[Long]("n_tokens") == nWin)
+        assert(row.getAs[Long]("tv_numer") == numer, s"window $w: exact TV numerator law")
+      }
+      val schema = spark.read.parquet(s"$root/schema").collect()
+      assert(schema.length == 6, s"3 keys per sealed window, got ${schema.length}")
+      winDocs.foreach { case (w, ids) =>
+        val rows = schema.filter(_.getAs[java.sql.Timestamp]("window_start") == ts(w * 10))
+          .map(r => r.getAs[String]("key") -> r).toMap
+        assert(rows.keySet == Set("k", "n", "v"))
+        val nV = ids.count(_ % 3 == 0).toLong
+        assert(rows("v").getAs[String]("status") == "new" &&
+          rows("v").getAs[Long]("n_key") == nV)
+        assert(rows("k").getAs[String]("status") == "stable" &&
+          rows("k").getAs[Long]("n_key") == ids.size - nV)
+        assert(rows("n").getAs[Long]("n_events") == ids.size.toLong)
+      }
+    } finally {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    }
+  }
 }
 
 /** Transactional-visibility sink for the soak: sends buffer per task
