@@ -116,6 +116,12 @@ object SparkEntry {
           |     WHEN event_id % 2 = 1 AND event_id % 3 = 0
           |       THEN '{"v": 1}'
           |     ELSE props END AS props""".stripMargin))),
+    // two-tier blocklist gate: severe zero-tolerance + rate-thresholded
+    // mild category (corpus-vocabulary stand-in lists, x18's pattern)
+    "x107_blocklist_filter" -> ((s, dir) => Curation.blocklistFilter(s, dir)),
+    // inter-arrival burstiness: exact CV² per event type — peak-load
+    // sizing next to x101's watermark sizing
+    "x110_burstiness" -> ((s, dir) => Temporal.burstiness(s, dir)),
     "x21_hash_split" -> ((s, dir) => Curation.hashSplit(s, dir)),
     "x22_dedup_clusters" -> ((s, dir) => Curation.dedupClusters(s, dir)),
     "x23_corpus_stats" -> ((s, dir) => Curation.corpusStats(s, dir)),
@@ -1001,6 +1007,34 @@ object SparkEntry {
         |       n_new::DOUBLE / t_new AS rate_new,
         |       (n_new::DOUBLE / t_new) - (n_old::DOUBLE / t_old) AS rate_shift
         |FROM c CROSS JOIN t ORDER BY key""".stripMargin,
+
+    "x107_blocklist_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |m AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |        len(list_filter(ts, x -> x = 'dup'))::BIGINT AS severe_hits,
+        |        len(list_filter(ts, x -> x IN ('slow', 'big')))::BIGINT AS mild_hits
+        |      FROM t)
+        |SELECT doc_id, n_tokens, severe_hits, mild_hits,
+        |       mild_hits::DOUBLE / n_tokens AS mild_rate,
+        |       (severe_hits = 0 AND mild_hits::DOUBLE / n_tokens <= 0.0625) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x110_burstiness" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS gap_us
+        |      FROM e),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |        sum(gap_us)::BIGINT AS sum_gap_us,
+        |        sum(gap_us::HUGEINT * gap_us)::DECIMAL(38,0) AS sum_gap_sq
+        |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_gap_us, sum_gap_sq,
+        |       sum_gap_us::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
+        |       CASE WHEN sum_gap_us = 0 THEN NULL
+        |            ELSE (n_gaps::DOUBLE * sum_gap_sq::DOUBLE
+        |                  - sum_gap_us::DOUBLE * sum_gap_us::DOUBLE)
+        |                 / (sum_gap_us::DOUBLE * sum_gap_us::DOUBLE) END AS cv2
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "x21_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -400,6 +400,56 @@ object Curation {
       .drop("__toks", "__st")
   }
 
+  /** EXT-C37 — blocklist filter (the C4-style "bad words" gate): per
+    * document, token-instance hit counts against two externally-supplied
+    * word categories — `severe` (zero tolerance: one hit blocks) and
+    * `mild` (rate-thresholded: blocked only past `mildMaxRate` of the
+    * document's tokens) — plus the keep verdict. Real pipelines run
+    * exactly this two-tier shape (hard slurs vs contextual terms); the
+    * harness binding passes corpus-vocabulary stand-in lists the same
+    * way x18's benchmark subset stands in for an external eval set.
+    *
+    * Both counts are one compiled hash-set pass each
+    * ([[graft.functions.CountInExpression]] — the word set is hashed at
+    * plan time, O(1) per token); `mild_rate` is a single IEEE division;
+    * the threshold default 1/16 is exactly representable so the
+    * comparison is unambiguous in both engines. Pure row-local
+    * projection: zero shuffles at any corpus size beyond the
+    * presentation sort — the same cost class as the quality gate it
+    * composes with ([[qualityGate]] ∧ keep).
+    */
+  def blocklistFilter(
+      spark: SparkSession,
+      dir: String,
+      severe: Seq[String] = Seq("dup"),
+      mild: Seq[String] = Seq("slow", "big"),
+      mildMaxRate: Double = 0.0625): DataFrame =
+    blocklistProjection(Tables.documents(spark, dir), severe, mild, mildMaxRate)
+      .orderBy("doc_id")
+
+  /** [[blocklistFilter]] as a relation-to-relation transform over any
+    * input with (doc_id, text) — row-local, so THE SAME definition runs
+    * on the batch table and on an unbounded document stream (the
+    * [[qualityProjection]] contract: batch gate, streaming gate, and
+    * oracle share one definition and can never drift).
+    */
+  def blocklistProjection(
+      docs: DataFrame,
+      severe: Seq[String],
+      mild: Seq[String],
+      mildMaxRate: Double): DataFrame = {
+    val toks = Tables.tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.CountIn.countIn(toks, severe).as("severe_hits"),
+        graft.functions.CountIn.countIn(toks, mild).as("mild_hits"))
+      .withColumn("mild_rate", col("mild_hits").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("severe_hits") === 0L && col("mild_rate") <= lit(mildMaxRate))
+  }
+
   /** EXT-C3 — repetition measurement: distinct-bigram ratio and the
     * most-frequent-bigram fraction (the "duplicate n-gram fraction"
     * family of repetition filters). Row-local and shuffle-free: one

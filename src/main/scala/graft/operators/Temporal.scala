@@ -401,6 +401,65 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** EXT-X10 — inter-arrival burstiness audit (`x110_burstiness`): per
+    * event type, the exact moments of the per-user inter-arrival-gap
+    * distribution — gap count, total, mean, and the squared coefficient
+    * of variation `CV² = (n·Σg² − (Σg)²)/(Σg)²`. CV² ≈ 1 is Poisson
+    * (memoryless) arrivals; CV² ≫ 1 is bursty traffic. This is the
+    * capacity-planning twin of the disorder audit: disorder sizes the
+    * WATERMARK of the streaming twins, burstiness sizes their PEAK LOAD
+    * (a bursty type needs headroom for its bursts, not its mean rate) —
+    * and a CV² that jumps between rounds flags a broken client or a
+    * retry storm before any throughput graph does.
+    *
+    * Gaps are measured per (user, type) in (ts, event_id) order — the
+    * deterministic total order every temporal operator here uses — so a
+    * user's interleaved types don't manufacture phantom gaps. Exactness
+    * contract: gaps are integer µs; `Σg` is a BIGINT; `Σg²` squares in
+    * DECIMAL(19,0)·DECIMAL(19,0) (a multi-day µs gap squared overflows
+    * Long) and sums as DECIMAL(38,0), exact and order-insensitive;
+    * `mean_gap_us` is one IEEE
+    * division and `cv2` is spelled in DOUBLE from the exact sums in a
+    * fixed operation order, so both engines produce bit-identical
+    * floats. An all-equal-gap type reports cv2 = 0; a type whose gaps
+    * are all zero (same-µs replays) has Σg = 0 and reports cv2 = NULL
+    * (the ANSI-div-guard convention), never NaN/Infinity.
+    *
+    * Scale: ONE shuffle keyed by (user_id, event_type) — the lag window
+    * — collapsed immediately to |types| rows by partial agg; window
+    * state is a single previous-row value. The per-key spelling is also
+    * what keeps the window partition bounded by a user's own events
+    * (a global per-type ordering would serialize hot types through one
+    * partition — the disorderAudit argument).
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val gaps = Replication.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val agg = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum("gap_us").as("sum_gap_us"),
+      // square in DECIMAL: a multi-day gap in µs² overflows Long
+      // (observed on the harness events table), and the decimal product
+      // is exact at any representable gap
+      sum(col("gap_us").cast("decimal(19,0)") * col("gap_us").cast("decimal(19,0)"))
+        .as("sum_gap_sq"))
+    val nD = col("n_gaps").cast("double")
+    val sD = col("sum_gap_us").cast("double")
+    val qD = col("sum_gap_sq").cast("double")
+    agg
+      .withColumn("sum_gap_sq", col("sum_gap_sq").cast("decimal(38,0)"))
+      .withColumn("mean_gap_us", sD / nD)
+      .withColumn("cv2",
+        when(col("sum_gap_us") === 0L, lit(null).cast("double"))
+          .otherwise((nD * qD - sD * sD) / (sD * sD)))
+      .orderBy("event_type")
+  }
+
   def trainTransitionModel(spark: SparkSession, dir: String): TransitionModel = {
     val rows = transitions(spark, dir)
       .select("from_type", "to_type", "n_trans").collect()

@@ -671,4 +671,27 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(duo.getLong(3) == 9L && duo.getLong(4) == 9L) // p90/p99: rank 2
     assert((5 to 7).forall(duo.getBoolean))
   }
+
+  test("blocklistFilter: severe blocks at one hit, mild blocks past the rate, instances counted") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      (1L, "clean words only here"),                  // keep
+      (2L, "one bad word inside text"),               // 1 severe hit -> blocked
+      (3L, "meh meh fine fine fine fine fine fine"),  // 2/8 mild = 0.25 > 1/8 -> blocked
+      (4L, "meh fine fine fine fine fine fine fine"), // 1/8 mild = 0.125 <= 1/8 -> keep
+      (5L, "bad meh meh meh")))                       // both tiers trip
+    val got = Curation.blocklistFilter(spark, dir,
+      severe = Seq("bad"), mild = Seq("meh"), mildMaxRate = 0.125)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(got(1L) == ((0L, 0L, true)))
+    assert(got(2L) == ((1L, 0L, false)))
+    assert(got(3L) == ((0L, 2L, false)))
+    assert(got(4L) == ((0L, 1L, true)))
+    assert(got(5L) == ((1L, 3L, false)))
+    // instance counting, not distinct: doc 3's two 'meh' both counted
+    val r3 = Curation.blocklistFilter(spark, dir,
+      severe = Seq("bad"), mild = Seq("meh"), mildMaxRate = 0.125)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 3L).head()
+    assert(r3.getDouble(4) == 0.25)
+  }
 }

@@ -198,4 +198,33 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert((b.getLong(1), b.getLong(2), b.getLong(7), b.getDouble(8)) ==
       ((3L, 3L, 0L, 0.0)))
   }
+
+  test("burstiness (x110): exact CV² per type — constant gaps 0, bursty > 0, zero-sum NULL") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      // user 1 / type A: constant 10 s gaps -> cv2 = 0
+      (1L, us(0L), 1L, "A"), (2L, us(10L), 1L, "A"), (3L, us(20L), 1L, "A"),
+      // user 2 / type A: one more constant-10 gap (pooled across users)
+      (4L, us(100L), 2L, "A"), (5L, us(110L), 2L, "A"),
+      // user 1 / type B: gaps 1 s and 9 s -> mean 5 s, var 16 s² -> cv2 = 0.64
+      (6L, us(0L), 1L, "B"), (7L, us(1L), 1L, "B"), (8L, us(10L), 1L, "B"),
+      // user 3 / type C: two same-µs events -> one zero gap, sum 0 -> cv2 NULL
+      (9L, us(50L), 3L, "C"), (10L, us(50L), 3L, "C"),
+      // user 4 / type D: a single event -> no gaps, type absent
+      (11L, us(0L), 4L, "D")))
+    val got = Temporal.burstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    val a = got("A") // 3 gaps, all 10 s
+    assert((a.getLong(1), a.getLong(2)) == ((3L, us(30L))))
+    assert(a.getDouble(4) == us(10L).toDouble && a.getDouble(5) == 0.0)
+    val b = got("B") // gaps [1 s, 9 s]: cv2 = (2·82e12 − 1e14)/1e14 = 0.64
+    assert((b.getLong(1), b.getLong(2)) == ((2L, us(10L))))
+    assert(b.getDouble(4) == us(5L).toDouble && b.getDouble(5) == 0.64)
+    val c = got("C") // the div-guard row: Σg = 0 -> NULL, not NaN
+    assert((c.getLong(1), c.getLong(2)) == ((1L, 0L)))
+    assert(c.isNullAt(5))
+    // interleaved types on one user never manufacture phantom gaps:
+    // the (user, type) partition means A's count ignores B's events
+    assert(got("A").getLong(1) == 3L)
+  }
 }
