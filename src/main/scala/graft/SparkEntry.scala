@@ -54,6 +54,11 @@ object SparkEntry {
       Similarity.retrieverAgreement(s, dir, k = agreementK, queryMod = agreementQueryMod)),
     // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
+    // product quantization: 8-byte codes + exact reconstruction error
+    "x104_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir, m = pqM, ksub = pqKsub)),
+    // PQ ADC recall vs float truth: the 32×-compression go/no-go
+    "x105_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(s, dir, k = pqK, queryMod = pqQueryMod, m = pqM, ksub = pqKsub)),
     // MOSS winnowing: window-min fingerprint sample, shared-count pairs
     "x81_winnow_matches" -> ((s, dir) => Dedup.winnowMatches(s, dir)),
     // bigram-LM fluency: exact conditional-probability scoring
@@ -255,6 +260,41 @@ object SparkEntry {
     */
   private val agreementK = 5
   private val agreementQueryMod = 10
+
+  /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
+    * and the interpolated oracle CTEs (the x103 no-drift contract).
+    * dim 64 = pqM subspaces × pqDsub dims; pqKsub codes per subspace
+    * seeded from vec_id < pqKsub.
+    */
+  private val pqM = 8
+  private val pqKsub = 16
+  private val pqDsub = 8
+  private val pqK = 3
+  private val pqQueryMod = 10
+
+  /** Shared PQ oracle CTE chain: int8 corpus → seeded codebooks →
+    * per-subspace exact squared distances → argmin assignment (`asg`).
+    * Every arithmetic step is BIGINT; `vs` carries each vector's
+    * subvectors and their norms for reuse by x105's ADC.
+    */
+  private val pqCte = {
+    val sq = (v: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $v[i] * $v[i])), (a, b) -> a + b)"
+    s"""e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+       |sp AS (SELECT unnest(range(0, $pqM))::INT AS s),
+       |cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc
+       |        FROM (SELECT s, vec_id::INT AS code, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS cs
+       |              FROM e8 CROSS JOIN sp WHERE vec_id < $pqKsub) t),
+       |vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
+       |       FROM (SELECT vec_id, s, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS qs
+       |             FROM e8 CROSS JOIN sp) t),
+       |pqd AS (SELECT v.vec_id, v.s, c.code,
+       |        v.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> v.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc AS d
+       |        FROM vs v JOIN cbs c ON c.s = v.s),
+       |asg AS (SELECT vec_id, s, code, d
+       |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pqd) r
+       |        WHERE rn = 1)""".stripMargin
+  }
 
   /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
     * x16 and the x22 cluster oracle; ends in relation `nd_pairs(d1, d2,
@@ -1181,6 +1221,33 @@ object SparkEntry {
         |       n_split_docs, n_bins, tail_waste,
         |       tot_all::DOUBLE / (n_bins * budget)::DOUBLE AS util_packed
         |FROM dagg JOIN pagg USING (budget) ORDER BY budget""".stripMargin,
+
+    "x104_pq_codes" ->
+      s"""WITH $pqCte
+         |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
+         |       sum(d)::BIGINT AS recon_err
+         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "x105_pq_recall" ->
+      s"""WITH $pqCte,
+         |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
+         |adct AS (SELECT q.qid, g.vec_id AS cid,
+         |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> q.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc)::BIGINT AS d
+         |         FROM qq q JOIN asg g ON g.s = q.s AND g.vec_id != q.qid
+         |              JOIN cbs c ON c.s = g.s AND c.code = g.code
+         |         GROUP BY 1, 2),
+         |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank FROM adct),
+         |pqn AS (SELECT qid, cid FROM rq WHERE rank <= $pqK),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
+         |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
+         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
+         |hits AS (SELECT ex.qid, count(pqn.cid)::BIGINT AS hits
+         |         FROM ex LEFT JOIN pqn ON pqn.qid = ex.qid AND pqn.cid = ex.cid
+         |         GROUP BY 1)
+         |SELECT qid AS vec_id, hits, hits::DOUBLE / $pqK AS recall
+         |FROM hits ORDER BY vec_id""".stripMargin,
 
     "x91_quantized_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),

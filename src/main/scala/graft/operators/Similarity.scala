@@ -201,7 +201,18 @@ object Similarity {
     // the whole-corpus top-k first and discard ~90% of it)
     val ann = ivfTopK(spark, dir, k, queryMod = Some(queryMod))
       .select(col("vec_id"), col("neighbor_id"))
-    val hits = exact.join(ann, Seq("vec_id", "neighbor_id"), "left_semi")
+    recallTail(exact, ann, k)
+  }
+
+  /** The recall@k measurement tail shared by every recall audit
+    * ([[annRecall]] x51, [[quantizedRecall]] x91, [[pqRecall]] x105):
+    * semi-join hit count of the approximate (vec_id, neighbor_id) pairs
+    * against the exact truth, zero-hit queries restored by the left
+    * join. One definition — the audits differ only in which candidate
+    * ranking they measure, never in how recall is counted.
+    */
+  private def recallTail(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("hits"))
     exact.select("vec_id").distinct()
       .join(hits, Seq("vec_id"), "left_outer")
@@ -256,13 +267,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         graft.functions.DotProduct.dot_l(col("qe"), col("ce")).cast("double").as("sim"))
     val quant = presentTopK(scored, k).select(col("vec_id"), col("neighbor_id"))
-    val hits = exact.join(quant, Seq("vec_id", "neighbor_id"), "left_semi")
-      .groupBy("vec_id").agg(count(lit(1)).as("hits"))
-    exact.select("vec_id").distinct()
-      .join(hits, Seq("vec_id"), "left_outer")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
-      .withColumn("recall", col("hits").cast("double") / k)
-      .orderBy("vec_id")
+    recallTail(exact, quant, k)
   }
 
   /** Sign-bucket LSH signature: one bit per leading dimension
@@ -1158,5 +1163,268 @@ object Similarity {
       .join(ce, Seq("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)
+  }
+
+  // ===== Product quantization (EXT-S20 x104 / EXT-S21 x105 / EXT-S20b index) =====
+
+  /** The int8 quantization of the corpus (`floor(127x + 0.5)` as BIGINT
+    * — [[quantize]]'s serving-index form), the shared entry point of the
+    * PQ family. One spelling so codes, ADC, and the oracle can never
+    * disagree on the lattice.
+    */
+  private def int8Corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))")
+        .as("qv"))
+
+  /** Product-quantization codebooks: the vector space split into `m`
+    * subspaces of `dim/m` dimensions, each with `ksub` int8 code
+    * vectors seeded from the first `ksub` vectors by id — the
+    * deterministic-seed contract of [[ivfTopK]] applied per subspace,
+    * so the DuckDB oracle reproduces the codebooks from the same rows
+    * (production swaps in per-subspace [[kmeansCentroids]]-trained
+    * codes; the plumbing — driver-literal codebooks, row-local argmin
+    * encode, lookup-table ADC — is identical and is what scales).
+    * Int8 codebook entries make every PQ distance an exact BIGINT:
+    * |q−c|² ≤ dim·254², far inside both BIGINT and the double mantissa,
+    * so the ranking is bit-identical in any engine — the [[quantizedRecall]]
+    * exactness argument extended to the coded domain.
+    *
+    * Driver footprint: m·ksub·(dim/m) = ksub·dim longs — the k·dim
+    * bounded-collect class of the IVF centroid table.
+    */
+  private def pqCodebooks(
+      spark: SparkSession, dir: String, m: Int, ksub: Int): (Array[Array[Array[Long]]], Int) = {
+    import spark.implicits._
+    val seeds = int8Corpus(spark, dir)
+      .filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int"), col("qv"))
+      .as[(Int, Seq[Long])].collect().sortBy(_._1)
+    require(seeds.length == ksub,
+      s"pq: seeding needs vectors with vec_id 0..${ksub - 1}, found ${seeds.length} of $ksub")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"pq: dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c => seeds(c)._2.slice(s * dsub, (s + 1) * dsub).toArray }
+    }
+    (cb, dsub)
+  }
+
+  /** Row-local PQ encoding over any `(vec_id, qv: array<bigint>)`
+    * relation: per subspace, the argmin-distance code (exact integer
+    * `‖q‖² − 2q·c + ‖c‖²`, ties to the lowest code id — the struct-min
+    * twin of [[ivfTopK]]'s struct-max), plus the total squared
+    * reconstruction error. The codebooks ride as plan literals, so this
+    * is a narrow projection — no shuffle, no join, no UDF — and the SAME
+    * definition encodes the batch corpus and an unbounded vector stream
+    * (the [[centroidProjection]] train-once/encode-forever contract).
+    */
+  private[graft] def pqAssign(
+      qv: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int): DataFrame = {
+    val chosen = cb.indices.map { s =>
+      val qsub = slice(col("qv"), s * dsub + 1, dsub)
+      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
+      val cand = array(cb(s).zipWithIndex.map { case (cvec, c) =>
+        val nc = cvec.foldLeft(0L)((a, v) => a + v * v)
+        struct(
+          (nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, typedlit(cvec.toSeq)) + lit(nc))
+            .as("d"),
+          lit(c).as("code"))
+      }: _*)
+      array_min(cand)
+    }
+    qv.select(col("vec_id"), col("qv"),
+      array(chosen.map(_.getField("code")): _*).as("codes"),
+      chosen.map(_.getField("d")).reduce(_ + _).as("recon_err"))
+  }
+
+  /** EXT-S20 (x104) — PQ corpus encoding: every vector compressed to
+    * `m` one-byte codes (m=8 here: 8 bytes/vector vs 256 float bytes —
+    * a 32× compression, 4× beyond int8 and 2× beyond the sign sketch)
+    * plus the exact integer reconstruction error, the quality dial the
+    * (m, ksub) configuration is tuned by. Codes are emitted as their
+    * CSV string so the harness hashes them portably ([[quantize]]'s
+    * x32 convention).
+    *
+    * Scale: ONE narrow corpus pass (the [[pqAssign]] literal-codebook
+    * projection) — zero shuffles beyond the presentation sort at any
+    * corpus size; the codebook build reads `ksub` rows.
+    */
+  def pqCodes(
+      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+    pqAssign(int8Corpus(spark, dir), cb, dsub)
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** The ADC distance expression: for a query's int8 vector `qe` and a
+    * corpus row's code array, `Σ_s ‖q_s − cb[s][code_s]‖²` — spelled
+    * per subspace as `‖q_s‖² − 2·q_s·cb + ‖cb‖²` with the codebook
+    * vectors and their norms indexed out of nested plan literals by the
+    * row's code. Exact BIGINT end to end. This is asymmetric distance
+    * (query NOT quantized to a code): the standard ADC fidelity choice
+    * (Jégou et al., PAMI 2011) — the query side keeps full int8
+    * precision, only the corpus pays the 32× compression.
+    */
+  private def adcDist(cb: Array[Array[Array[Long]]], dsub: Int): Column =
+    cb.indices.map { s =>
+      val qsub = slice(col("qe"), s * dsub + 1, dsub)
+      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
+      val codeS = element_at(col("codes"), s + 1)
+      val cbArr = element_at(typedlit(cb(s).map(_.toSeq).toSeq), codeS + 1)
+      val ncS = element_at(
+        typedlit(cb(s).map(_.foldLeft(0L)((a, v) => a + v * v)).toSeq), codeS + 1)
+      nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, cbArr) + ncS
+    }.reduce(_ + _)
+
+  /** The shared ADC top-k plan: queries `(qid, qe: array<bigint>)` ×
+    * codes `(cid, codes: array<int>)` under the caller's broadcast
+    * decision, ranked by ascending exact ADC distance (ties to the
+    * lowest cid), folded map-side by the bounded [[presentTopK]]
+    * aggregate. Consumed by [[pqTopK]] (in-memory legs) and
+    * [[pqTopKFromIndex]] (persisted legs) — the plan shape lives here
+    * exactly once.
+    */
+  private def adcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      cb: Array[Array[Array[Long]]],
+      dsub: Int,
+      k: Int): DataFrame = {
+    val scored = queries.join(codes, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+    presentTopK(scored, k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
+  }
+
+  /** PQ-coded approximate top-k (ADC serving): the corpus is scanned as
+    * 8-byte code rows — at 100 TB of float vectors the coded relation
+    * is ~3 TB, an order below even the sign-sketch scan — and only the
+    * distance TABLE (ksub·m literal entries) touches real vector
+    * components. The scored stream folds map-side to ≤ |queries|·k rows
+    * per partition before the one exchange ([[presentTopK]]'s plan).
+    * Query side broadcast only under the measured guard.
+    */
+  def pqTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+    val corpus = int8Corpus(spark, dir)
+    val codes = pqAssign(corpus, cb, dsub).select(col("vec_id").as("cid"), col("codes"))
+    val queriesRaw = corpus.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|pqq|mod=$queryMod",
+      () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
+      maxBroadcastBytes)
+    adcTopK(queries, codes, cb, dsub, k)
+  }
+
+  /** EXT-S21 (x105) — PQ recall audit: [[pqTopK]]'s ADC ranking
+    * measured against the float brute-force truth with the shared
+    * [[recallTail]]. THE go/no-go for serving the 32×-compressed code
+    * scan: read next to [[quantizedRecall]] (int8, 4×), the recall-vs-
+    * bytes curve is what picks the serving representation — and because
+    * ADC distances are exact integers, a recall loss here is pure
+    * quantization geometry, never engine float noise.
+    */
+  def pqRecall(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed by the query list AND the hit join
+    val approx = pqTopK(spark, dir, k, queryMod, m, ksub, maxBroadcastBytes)
+      .select(col("vec_id"), col("neighbor_id"))
+    recallTail(exact, approx, k)
+  }
+
+  /** EXT-S20b — persisted PQ index: the one expensive corpus pass
+    * (encode) written once; every later query batch scans 8-byte code
+    * rows plus a ksub·dim codebook table. Layout: `codes/` (vec_id,
+    * codes), `codebook/` (s, code, d, v — the long form of the driver
+    * literals), `meta/` one (m, ksub, dim) stamp row — the
+    * parameter-bundling contract of [[writeIvfIndex]]/[[writeSignIndex]]:
+    * probes read the geometry from the index itself and REFUSE a
+    * mismatched query batch rather than mis-rank.
+    */
+  def writePqIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      m: Int = 8,
+      ksub: Int = 16): Unit = {
+    import spark.implicits._
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+    pqAssign(int8Corpus(spark, dir), cb, dsub)
+      .select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+    val rows = for {
+      s <- cb.indices; c <- cb(s).indices; d <- cb(s)(c).indices
+    } yield (s, c, d, cb(s)(c)(d))
+    rows.toDF("s", "code", "d", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    spark.range(1)
+      .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** EXT-S20b probe — ADC top-k for an arbitrary `(vec_id, embedding)`
+    * query relation against a PERSISTED PQ index: results spec-pinned
+    * identical to [[pqTopK]] over the same corpus. The query batch is
+    * quantized row-locally and checked against the stamped dim (the
+    * measured-width [[hammingTopKFromIndex]] discipline); the codebook
+    * is a bounded read (ksub·dim rows) rebuilt into plan literals, so
+    * the probe plan is exactly [[adcTopK]]'s — the corpus is touched
+    * only through the 8-byte code scan.
+    */
+  def pqTopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 3,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    import spark.implicits._
+    val metaRows = spark.read.parquet(s"$indexPath/meta")
+      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
+    require(metaRows.length == 1, s"corrupt pq index: ${metaRows.length} meta rows")
+    val (m, ksub, dim) = metaRows.head
+    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
+      .agg(max(col("d"))).head()
+    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
+      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
+        s"does not match the index's coded dim $dim")
+    val dsub = dim / m
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
+    require(cbRows.length == ksub * dim,
+      s"corrupt pq index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
+    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
+    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
+    val qRaw = queries
+      .select(col("vec_id").as("qid"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))")
+        .as("qe"))
+    val q = broadcastIfMeasuredUnder(qRaw,
+      s"$indexPath|pqq|${System.identityHashCode(queries)}",
+      () => { val b = embRowBytes(qRaw, "qe"); if (b < 0) b else b * 2 },
+      maxBroadcastBytes)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id").as("cid"), col("codes"))
+    adcTopK(q, codes, cb, dsub, k)
   }
 }

@@ -431,4 +431,103 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // keeps query 0's legs from fully overlapping)
     assert(got(0L)._3 < k.toLong)
   }
+
+  // ---- product quantization (x104 / x105 / persisted index) ----
+
+  /** dim 8 = 2 subspaces × 4; vec_id 0..1 seed both codebooks. */
+  private lazy val pqDir = TestTables.embeddingsDir(spark, Seq(
+    0L -> Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f),
+    1L -> Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f),
+    2L -> Seq(0.9f, 0f, 0f, 0f, 0f, 0.9f, 0f, 0f), // near seed 0 in both
+    3L -> Seq(0f, 0.9f, 0f, 0f, 0.9f, 0.1f, 0f, 0f), // sub0→1, sub1→1
+    4L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))) // sub0→0, sub1→1
+
+  test("pqCodes (x104): seeds reconstruct exactly; mixed vectors pick per-subspace argmins") {
+    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // codebook seeds are their own codes at zero error
+    // (sub0 codebook: c0=[127,0,0,0], c1=[0,127,0,0]; sub1: c0=[0,127,..], c1=[127,0,..])
+    assert(got(0L) == (("0,0", 0L)))
+    assert(got(1L) == (("1,1", 0L)))
+    // int8(0.9f) = 114: vec 2 is seed 0 scaled → (127−114)² per subspace
+    assert(got(2L) == (("0,0", 2L * 13L * 13L)))
+    // vec 3: sub0 [0,114,0,0] → code 1 (d=13²); sub1 [114,13,0,0] →
+    // code 1=[127,0,0,0] (d=13²+13²) beats code 0=[0,127,0,0] (114²+114²)
+    assert(got(3L) == (("1,1", 13L * 13L + (13L * 13L + 13L * 13L))))
+    // vec 4: sub0 [127,0,0,0] = c0; sub1 [127,0,0,0] = c1 → zero error
+    assert(got(4L) == (("0,1", 0L)))
+  }
+
+  test("pqCodes: ADC distance sum equals an independent per-code reconstruction") {
+    // differential: recompute every vector's recon_err naively in Scala
+    val vecs = graft.operators.Tables.embeddings(spark, pqDir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 127.0 + 0.5).toLong)).toMap
+    val cb = Seq(vecs(0L), vecs(1L)) // seeds
+    def sub(v: Seq[Long], s: Int) = v.slice(s * 4, s * 4 + 4)
+    def d2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = vecs.map { case (id, v) =>
+      id -> (0 until 2).map(s => cb.map(c => d2(sub(v, s), sub(c, s))).min).sum
+    }
+    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("pqRecall (x105): coding loss that merges distinct neighbors reports recall < 1") {
+    // vecs 2 and 3 both collapse onto codes "0,0" — their ADC distances
+    // to any query tie exactly, so the lower cid (2) wins the rank-1
+    // slot even though the float truth for query 0 is vec 3 (cos 1.96
+    // vs 1.6): the engineered merge MUST surface as recall < 1
+    val rdir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      2L -> Seq(0.8f, 0.6f, 0f, 0f, 0.8f, 0.6f, 0f, 0f),
+      3L -> Seq(0.98f, 0.1f, 0f, 0f, 0.98f, 0.1f, 0f, 0f)))
+    val rows = Similarity.pqRecall(spark, rdir, k = 1, queryMod = 2, m = 2, ksub = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(0L, 2L))
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows(0L) < 1.0, "engineered coding loss must show up as recall < 1")
+  }
+
+  test("pqRecall: a corpus the codes separate perfectly scores recall 1 everywhere") {
+    val rows = Similarity.pqRecall(spark, pqDir, k = 1, queryMod = 2, m = 2, ksub = 2)
+      .collect()
+    val m = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set(0L, 2L, 4L))
+    // qid 0: truth is 2 (its 0.9-scaled copy, cos 1.8); ADC also picks 2
+    // (codes "0,0" reconstruct to the query itself, dist 0); qid 4's
+    // float tie (v0·v4 = v1·v4 = 1.0) and ADC tie both break to cid 0
+    assert(m == Map(0L -> 1.0, 2L -> 1.0, 4L -> 1.0))
+  }
+
+  test("persisted PQ index: probe equals in-memory pqTopK; mismatched queries refused") {
+    val hdir = TestTables.embeddingsDir(spark,
+      (0L to 19L).map(i => i -> Seq.tabulate(8)(d =>
+        (math.sin(i * 3.7 + d).toFloat))))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    Similarity.writePqIndex(spark, hdir, idxPath, m = 2, ksub = 4)
+    val queries = graft.operators.Tables.embeddings(spark, hdir)
+      .filter(col("vec_id") % 5 === 0)
+    val fromIndex = Similarity.pqTopKFromIndex(spark, idxPath, queries, k = 2).collect()
+    val inMemory = Similarity.pqTopK(spark, hdir, k = 2, queryMod = 5, m = 2, ksub = 4).collect()
+    assert(fromIndex.map(_.toSeq).toSeq == inMemory.map(_.toSeq).toSeq)
+    assert(fromIndex.nonEmpty)
+    // width mismatch → refusal (the stamp contract)
+    val wide = graft.operators.Tables.embeddings(spark,
+      TestTables.embeddingsDir(spark, Seq(10L -> Seq.fill(12)(1f))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(spark, idxPath, wide)
+    }
+    assert(e.getMessage.contains("does not match the index's coded dim"))
+    // corrupt meta (two stamp rows) → refusal
+    import spark.implicits._
+    Seq((2, 4, 8), (2, 4, 8)).toDF("m", "ksub", "dim")
+      .write.mode("overwrite").parquet(s"$idxPath/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(spark, idxPath, queries)
+    }
+    assert(e2.getMessage.contains("corrupt pq index"))
+  }
 }
