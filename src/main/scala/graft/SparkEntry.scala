@@ -124,6 +124,12 @@ object SparkEntry {
     // two-tier blocklist gate: severe zero-tolerance + rate-thresholded
     // mild category (corpus-vocabulary stand-in lists, x18's pattern)
     "x107_blocklist_filter" -> ((s, dir) => Curation.blocklistFilter(s, dir)),
+    // UniMax: epoch-capped equal-share budget waterfilling (BIGINT)
+    "x106_unimax_budget" -> ((s, dir) => Curation.unimaxBudget(s, dir)),
+    // longest consecutive benchmark-gram run per doc — verbatim quotes
+    "x108_contamination_spans" -> ((s, dir) => Curation.contaminationSpans(s, dir)),
+    // exact int8 Gram-matrix audit: top correlated dimension pairs
+    "x109_dim_correlation" -> ((s, dir) => Similarity.dimCorrelation(s, dir)),
     // inter-arrival burstiness: exact CV² per event type — peak-load
     // sizing next to x101's watermark sizing
     "x110_burstiness" -> ((s, dir) => Temporal.burstiness(s, dir)),
@@ -1058,6 +1064,62 @@ object SparkEntry {
         |       mild_hits::DOUBLE / n_tokens AS mild_rate,
         |       (severe_hits = 0 AND mild_hits::DOUBLE / n_tokens <= 0.0625) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x106_unimax_budget" ->
+      """WITH ps AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |            FROM documents GROUP BY 1),
+        |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap_tokens FROM ps),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS i,
+        |        sum(cap_tokens) OVER (ORDER BY cap_tokens, source ROWS UNBOUNDED PRECEDING) AS cum,
+        |        count(*) OVER () AS n_src
+        |      FROM c),
+        |f AS (SELECT *, (cap_tokens * (n_src - i + 1) <= 50000 - (cum - cap_tokens)) AS flag FROM r),
+        |b AS (SELECT min(CASE WHEN NOT flag THEN i END) AS bad FROM f),
+        |g AS (SELECT f.*, b.bad, (b.bad IS NULL OR f.i < b.bad) AS capped FROM f CROSS JOIN b),
+        |m AS (SELECT coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS capped_sum,
+        |             sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS u FROM g),
+        |a AS (SELECT g.source, g.n_tokens, g.cap_tokens, g.capped,
+        |        (CASE WHEN g.capped THEN g.cap_tokens
+        |              ELSE (50000 - m.capped_sum) // m.u
+        |                   + (CASE WHEN g.i - g.bad + 1 <= (50000 - m.capped_sum) % m.u
+        |                      THEN 1 ELSE 0 END)
+        |         END)::BIGINT AS alloc
+        |      FROM g CROSS JOIN m)
+        |SELECT source, n_tokens, cap_tokens, capped, alloc,
+        |       alloc::DOUBLE / n_tokens AS epochs
+        |FROM a ORDER BY source""".stripMargin,
+
+    "x108_contamination_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pg AS (SELECT doc_id, i AS p,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
+        |       FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
+        |bench AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 20 = 0),
+        |hp AS (SELECT doc_id, p FROM pg JOIN bench USING (gram) WHERE doc_id % 20 != 0),
+        |rr AS (SELECT doc_id, p,
+        |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+        |              THEN 0 ELSE 1 END AS brk
+        |       FROM hp),
+        |rs AS (SELECT doc_id, p,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id
+        |       FROM rr),
+        |runs AS (SELECT doc_id, run_id, count(*)::BIGINT AS run_len FROM rs GROUP BY 1, 2)
+        |SELECT doc_id, sum(run_len)::BIGINT AS n_hit_positions, count(*)::BIGINT AS n_runs,
+        |       max(run_len)::BIGINT AS max_run, (max(run_len) + 4)::BIGINT AS max_span_tokens
+        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x109_dim_correlation" ->
+      """WITH qz AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+        |p AS (SELECT i::BIGINT AS d1, j::BIGINT AS d2, sum(qv[i] * qv[j])::BIGINT AS s
+        |      FROM qz, unnest(range(1, 65)) AS a(i), unnest(range(1, 65)) AS b(j)
+        |      WHERE i <= j GROUP BY 1, 2),
+        |d AS (SELECT d1 AS dd, s AS sdd FROM p WHERE d1 = d2)
+        |SELECT p.d1, p.d2, p.s, a.sdd AS s11, b.sdd AS s22,
+        |       CASE WHEN a.sdd::DOUBLE * b.sdd::DOUBLE = 0 THEN NULL
+        |            ELSE (p.s::DOUBLE * p.s::DOUBLE) / (a.sdd::DOUBLE * b.sdd::DOUBLE) END AS r2
+        |FROM p JOIN d a ON a.dd = p.d1 JOIN d b ON b.dd = p.d2
+        |WHERE p.d1 < p.d2
+        |ORDER BY abs(p.s) DESC, p.d1, p.d2 LIMIT 20""".stripMargin,
 
     "x110_burstiness" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),

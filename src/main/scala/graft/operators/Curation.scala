@@ -99,6 +99,66 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** EXT-C39 (x108) — contamination SPAN detection: per contaminated
+    * document, the longest CONSECUTIVE run of benchmark-shared k-gram
+    * positions — the PaLM-style "contiguous overlap" refinement of
+    * [[contaminationScore]]'s set-overlap count. Ten scattered shared
+    * grams are usually vocabulary coincidence; ten CONSECUTIVE positions
+    * are a verbatim quote of the eval set (a run of r k-gram positions
+    * is a copied span of r+k−1 tokens). Output per contaminated
+    * non-benchmark doc: hit-position count, run count, longest run, and
+    * its token-span length — the relation a graded quarantine policy
+    * reads (clean docs are absent: this is the drop-list shape, the
+    * complement of x49's everyone-scored view).
+    *
+    * Spelling: a POSITION-PRESERVING gram stream (the distinct-shingle
+    * relation x18/x49 share cannot carry positions) against the same
+    * benchmark membership rule (`doc_id % 20 == 0`) and gram text; hit
+    * positions then collapse to runs with the sessionize trick — gap
+    * flag → running sum → per-run agg — sharing ONE doc_id shuffle
+    * across both window functions and both aggregations
+    * ([[Temporal.sessionize]]'s plan: hash-partitioning by doc_id
+    * satisfies the (doc_id, run_id) clustering, so no second exchange).
+    *
+    * Scale: the positioned stream is linear in corpus tokens and never
+    * shuffles — the broadcast benchmark join prunes it to HIT positions
+    * (tiny by construction: benchmarks are MBs) before the one keyed
+    * shuffle; nothing is pairwise.
+    */
+  def contaminationSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+    // positions 1..len−k+1; the when-guard keeps ANSI's descending
+    // sequence(1, 0) from firing on short docs (posexplode drops empties)
+    val positioned = docs.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= k,
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
+    val bench = positioned.filter(col("doc_id") % 20 === 0)
+      .select("gram").distinct()
+    val hits = positioned.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "gram")
+      .select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) === 1L, 0L).otherwise(1L))
+      .withColumn("run_id", sum("brk").over(cum))
+      .groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id")
+      .agg(
+        sum("run_len").as("n_hit_positions"),
+        count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"))
+      .withColumn("max_span_tokens", col("max_run") + lit(k - 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-C18 — dataset-mixture planning: per-source token counts, the
     * natural mixture share, and the deterministic sampling rate that
     * moves the corpus toward a UNIFORM target mixture (`rate =
@@ -189,6 +249,74 @@ object Curation {
       .crossJoin(broadcast(leftover))
       .withColumn("quota", col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
       .select("source", "n_docs", "base", "rem", "quota")
+      .orderBy("source")
+  }
+
+  /** EXT-C38 (x106) — UniMax budget allocation (Chung et al., 2023):
+    * apportion a total token budget across sources so every source gets
+    * an EQUAL share except where that would repeat its data more than
+    * `maxEpochs` times — small sources are capped at `maxEpochs ·
+    * n_tokens`, the freed budget waterfills the rest. This is the
+    * modern multilingual-sampling answer to [[budgetAllocation]]'s
+    * proportional split (which starves tail languages) and
+    * [[mixturePlan]]'s uniform target (which over-epochs them): the cap
+    * is exactly the "max N epochs" rule mT5-class mixtures train with.
+    *
+    * Closed-form waterfilling, not a driver loop: sorted by (cap asc,
+    * source asc), a prefix of cap-sorted sources is capped — source i is
+    * capped iff `cap_i · left_i ≤ B − cum_{i−1}` (its cap fits under an
+    * equal split of what remains after capping everything smaller); the
+    * first failing index freezes the prefix, and the remainder splits
+    * `⌊rem/u⌋` with the `rem mod u` leftover units going to the first
+    * uncapped sources in the same order ([[budgetAllocation]]'s
+    * largest-remainder determinism). All BIGINT — `Σ alloc = min(B,
+    * Σ cap)` EXACTLY (under-subscribed corpora allocate every cap and
+    * report the slack honestly); `epochs` is the one IEEE division.
+    *
+    * Scale: one corpus scan folds to the |sources| token relation
+    * (partial-agg sum, `localCheckpoint`ed for its four consumers); the
+    * rank/cum windows order |sources| rows, never documents, and the
+    * three scalar aggregates broadcast — nothing in the plan grows with
+    * the corpus. Overflow note: `cap·left` is BIGINT-safe to ~10¹⁵
+    * tokens per source; past that the same spelling runs in
+    * DECIMAL(38,0).
+    */
+  def unimaxBudget(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 50000L,
+      maxEpochs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum("n_toks").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+      .localCheckpoint()
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = perSource
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cap_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(perSource.agg(count(lit(1)).as("n_src"))))
+      .withColumn("left_n", col("n_src") - col("i") + 1L)
+      .withColumn("flag",
+        col("cap_tokens") * col("left_n") <= lit(budget) - (col("cum") - col("cap_tokens")))
+      .localCheckpoint() // consumed by the bad-index probe AND the result
+    val bad = ranked.agg(min(when(!col("flag"), col("i"))).as("bad"))
+    val g = ranked.crossJoin(broadcast(bad))
+      .withColumn("capped", col("bad").isNull || col("i") < col("bad"))
+      .localCheckpoint() // consumed by the remainder aggregate AND the result
+    val rem = g.agg(
+      (lit(budget) - coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L)))
+        .as("rem_budget"),
+      sum(when(!col("capped"), 1L).otherwise(0L)).as("u"))
+    g.crossJoin(broadcast(rem))
+      .withColumn("alloc",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("rem_budget div u") +
+            when(col("i") - col("bad") + 1L <= expr("rem_budget % u"), 1L).otherwise(0L)))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"), col("capped"),
+        col("alloc"), (col("alloc").cast("double") / col("n_tokens")).as("epochs"))
       .orderBy("source")
   }
 

@@ -833,6 +833,79 @@ object Similarity {
         col("min_v"), col("max_v"), (col("min_v") === col("max_v")).as("dead"))
       .orderBy("dim")
 
+  /** EXT-S22 (x109) — dimension-correlation audit: the top-N most
+    * correlated dimension PAIRS by the exact int8 second moment
+    * `s_ij = Σ q_i·q_j` (the Gram matrix of [[quantize]]'s serving
+    * codes), each with its diagonal context and the squared correlation
+    * `r² = s_ij²/(s_ii·s_jj)`. [[dimAudit]] finds dimensions that died
+    * ALONE; this finds dimensions that collapsed onto EACH OTHER — the
+    * post-distillation/truncated-projection regression where two
+    * coordinates carry one signal, silently halving effective
+    * dimensionality while every per-dim histogram still looks healthy.
+    * High-|r²| pairs are also exactly what PCA/OPQ-style re-rotation
+    * before PQ coding would remove — the evidence read before choosing
+    * [[pqCodes]]' subspace layout.
+    *
+    * Exactness: `s_ij` is an exact BIGINT (|q| ≤ 127 ⇒ safe to ~5·10¹⁴
+    * vectors); `r²` is spelled from the exact sums in fixed double
+    * operation order with the zero-diagonal guard (dead dims report
+    * NULL, never NaN). Ranking ties break on (d1, d2).
+    *
+    * Plan: the per-partition Gram accumulation is a genuine
+    * BLAS-syrk-class kernel — `mapPartitions` accumulates a dim×dim
+    * Long triangle locally and emits it ONCE per partition, so the
+    * exchange carries partitions · dim(dim+1)/2 fixed-width rows no
+    * matter how many vectors are scanned (the declarative spelling
+    * explodes dim²/2 rows PER VECTOR into the shuffle — 2 080× the
+    * wire at dim 64; this is the justified imperative-kernel exception,
+    * like x73's sketch probe). The oracle recomputes via the explode
+    * spelling — an independent differential on every run.
+    */
+  def dimCorrelation(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val q = int8Corpus(spark, dir).select(col("qv")).as[Seq[Long]]
+    val partials = q.mapPartitions { it =>
+      var acc: Array[Array[Long]] = null
+      var dim = -1
+      it.foreach { v =>
+        if (acc == null) { dim = v.length; acc = Array.fill(dim)(new Array[Long](dim)) }
+        require(v.length == dim, s"dimCorrelation: ragged vector (${v.length} vs $dim)")
+        var i = 0
+        while (i < dim) {
+          val vi = v(i)
+          if (vi != 0L) {
+            var j = i
+            while (j < dim) { acc(i)(j) += vi * v(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val d = dim
+        (for { i <- 0 until d; j <- i until d }
+          yield ((i + 1).toLong, (j + 1).toLong, acc(i)(j))).iterator
+      }
+    }
+    val s = partials.toDF("d1", "d2", "sp")
+      .groupBy("d1", "d2").agg(sum("sp").as("s"))
+      .localCheckpoint() // consumed by the pair stream AND both diag probes
+    val diag = s.filter(col("d1") === col("d2"))
+      .select(col("d1").as("dd"), col("s").as("sdd"))
+    val sD = col("s").cast("double")
+    val s11D = col("s11").cast("double")
+    val s22D = col("s22").cast("double")
+    s.filter(col("d1") < col("d2"))
+      .join(broadcast(diag.select(col("dd").as("d1"), col("sdd").as("s11"))), Seq("d1"))
+      .join(broadcast(diag.select(col("dd").as("d2"), col("sdd").as("s22"))), Seq("d2"))
+      .withColumn("r2",
+        when(s11D * s22D === 0.0, lit(null).cast("double"))
+          .otherwise((sD * sD) / (s11D * s22D)))
+      .select("d1", "d2", "s", "s11", "s22", "r2")
+      .orderBy(abs(col("s")).desc, col("d1"), col("d2"))
+      .limit(topN)
+  }
+
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select((col("vec_id") % 2).as("parity"),

@@ -694,4 +694,89 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .filter(org.apache.spark.sql.functions.col("doc_id") === 3L).head()
     assert(r3.getDouble(4) == 0.25)
   }
+
+  test("unimaxBudget (x106): hand case — capped prefix, boundary cap, waterfilled tail") {
+    // tokens: A=10, B=20, C=100; maxEpochs=2 → caps 20/40/200; budget 100:
+    // A capped (20·3 ≤ 100), B capped at the exact boundary (40·2 ≤ 80),
+    // C fails (200 > 40) → waterfills the remaining 40
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, Seq.fill(10)("t").mkString(" "), "A"),
+      (2L, Seq.fill(20)("t").mkString(" "), "B"),
+      (3L, Seq.fill(100)("t").mkString(" "), "C")))
+    val got = Curation.unimaxBudget(spark, dir, budget = 100L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got("A") == ((20L, true, 20L, 2.0)))
+    assert(got("B") == ((40L, true, 40L, 2.0)))
+    assert(got("C") == ((200L, false, 40L, 0.4)))
+  }
+
+  test("unimaxBudget: under-subscribed allocates every cap; tiny budgets split with remainder") {
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, Seq.fill(10)("t").mkString(" "), "A"),
+      (2L, Seq.fill(20)("t").mkString(" "), "B"),
+      (3L, Seq.fill(100)("t").mkString(" "), "C")))
+    // budget above total cap: everyone capped, slack reported by Σalloc < B
+    val full = Curation.unimaxBudget(spark, dir, budget = 1000L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(full == Map("A" -> ((true, 20L)), "B" -> ((true, 40L)), "C" -> ((true, 200L))))
+    // budget below every cap·left: nobody capped; 31 = 10+10+10 with the
+    // +1 unit going to the FIRST source in (cap, source) order
+    val tiny = Curation.unimaxBudget(spark, dir, budget = 31L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(tiny == Map("A" -> ((false, 11L)), "B" -> ((false, 10L)), "C" -> ((false, 10L))))
+  }
+
+  test("unimaxBudget: invariants + exact agreement with a sequential greedy reference") {
+    val rnd = new scala.util.Random(1096)
+    for (trial <- 1 to 4) {
+      val sizes = (0 until 6).map(i => (s"s$i", 1L + rnd.nextInt(50)))
+      val docs = sizes.zipWithIndex.map { case ((src, n), i) =>
+        ((i + 1).toLong, Seq.fill(n.toInt)("t").mkString(" "), src)
+      }
+      val dir = TestTables.documentsSourcedDir(spark, docs)
+      val budget = 1L + rnd.nextInt(200)
+      val e = 1L + rnd.nextInt(3)
+      val got = Curation.unimaxBudget(spark, dir, budget, e)
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+      // independently-spelled sequential waterfilling
+      val caps = sizes.map { case (s, n) => (s, n * e) }.sortBy { case (s, c) => (c, s) }
+      var rem = budget
+      var left = caps.length
+      val ref = scala.collection.mutable.Map[String, Long]()
+      var idx = 0
+      var frozen = false
+      while (idx < caps.length && !frozen) {
+        val (s, c) = caps(idx)
+        if (c * left <= rem) { ref(s) = c; rem -= c; left -= 1; idx += 1 }
+        else frozen = true
+      }
+      val uncapped = caps.drop(idx)
+      uncapped.zipWithIndex.foreach { case ((s, _), j) =>
+        ref(s) = rem / left + (if (j < rem % left) 1L else 0L)
+      }
+      assert(got.map { case (s, (_, a)) => s -> a } == ref.toMap, s"trial $trial")
+      // laws: alloc never exceeds the cap; the budget is conserved exactly
+      got.values.foreach { case (cap, alloc) => assert(alloc <= cap) }
+      val totalCap = caps.map(_._2).sum
+      assert(got.values.map(_._2).sum == math.min(budget, totalCap), s"trial $trial sum")
+    }
+  }
+
+  test("contaminationSpans (x108): consecutive hits merge to runs, gaps split, clean docs absent") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      // doc 0 is the benchmark slice (doc_id % 20 == 0)
+      (0L, "a b c d e f g h"),
+      // hits at positions 3 ("a b c d e") and 4 ("b c d e f"), then a
+      // second isolated hit at 11 ("a b c d e") → runs [2, 1]
+      (1L, "x1 x2 a b c d e f x3 x4 a b c d e x5"),
+      // no benchmark gram → absent from the output
+      (2L, "y1 y2 y3 y4 y5 y6")))
+    val got = Curation.contaminationSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L))
+    // (n_hit_positions, n_runs, max_run, max_span_tokens = max_run + 4)
+    assert(got(1L) == ((3L, 2L, 2L, 6L)))
+  }
 }

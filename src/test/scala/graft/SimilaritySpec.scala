@@ -530,4 +530,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     assert(e2.getMessage.contains("corrupt pq index"))
   }
+
+  test("dimCorrelation (x109): duplicated dims score r²=1, dead dims NULL, hand-exact sums") {
+    // dims 1 and 2 identical; dim 4 dead (all zero)
+    val ddir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 1f, 0.5f, 0f),
+      1L -> Seq(-1f, -1f, 0.25f, 0f),
+      2L -> Seq(0.5f, 0.5f, -1f, 0f)))
+    val rows = Similarity.dimCorrelation(spark, ddir, topN = 20).collect()
+    assert(rows.length == 6) // all C(4,2) pairs
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+    // int8: 1→127, 0.5→64, −1→−127, 0.25→32
+    // s12 = 127² + 127² + 64² = 36354 = s11 = s22 → r² exactly 1
+    assert(byPair((1L, 2L)) == ((36354L, 36354L, 36354L, 1.0)))
+    // s13 = 127·64 − 127·32 − 64·127 = −4064
+    assert(byPair((1L, 3L))._1 == -4064L)
+    assert(byPair((2L, 3L))._1 == -4064L)
+    // dead dim 4: every pair has s = 0 and a NULL r² (never NaN)
+    Seq((1L, 4L), (2L, 4L), (3L, 4L)).foreach { p =>
+      assert(byPair(p)._1 == 0L && byPair(p)._4 == null, s"pair $p")
+    }
+    // presentation: |s| desc, ties by (d1, d2)
+    assert(rows.take(3).map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("dimCorrelation: exact agreement with a naive driver-side Gram computation") {
+    val vecs = graft.operators.Tables.embeddings(spark, pqDir).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 127.0 + 0.5).toLong))
+    val dim = vecs.head.length
+    val naive = (for { i <- 0 until dim; j <- i + 1 until dim } yield
+      ((i + 1).toLong, (j + 1).toLong) ->
+        vecs.map(v => v(i) * v(j)).sum).toMap
+    val got = Similarity.dimCorrelation(spark, pqDir, topN = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == naive.filter { case (k, _) => got.contains(k) } && got.size == naive.size)
+  }
 }
