@@ -1240,16 +1240,18 @@ object Similarity {
 
   // ===== Product quantization (EXT-S20 x104 / EXT-S21 x105 / EXT-S20b index) =====
 
-  /** The int8 quantization of the corpus (`floor(127x + 0.5)` as BIGINT
-    * — [[quantize]]'s serving-index form), the shared entry point of the
-    * PQ family. One spelling so codes, ADC, and the oracle can never
-    * disagree on the lattice.
+  /** The int8 lattice (`floor(127x + 0.5)` as BIGINT — [[quantize]]'s
+    * serving-index form) as a reusable column transform: ONE spelling so
+    * the batch corpus, the index probe's query batches, the streaming
+    * encoder, and the oracle can never disagree on the lattice.
     */
+  private[graft] def int8Quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("long"))
+
+  /** The int8-quantized corpus, the shared entry point of the PQ family. */
   private def int8Corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))")
-        .as("qv"))
+      .select(col("vec_id"), int8Quantize(col("embedding")).as("qv"))
 
   /** Product-quantization codebooks: the vector space split into `m`
     * subspaces of `dim/m` dimensions, each with `ksub` int8 code
@@ -1267,8 +1269,8 @@ object Similarity {
     * Driver footprint: m·ksub·(dim/m) = ksub·dim longs — the k·dim
     * bounded-collect class of the IVF centroid table.
     */
-  private def pqCodebooks(
-      spark: SparkSession, dir: String, m: Int, ksub: Int): (Array[Array[Array[Long]]], Int) = {
+  def pqCodebooks(
+      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): (Array[Array[Array[Long]]], Int) = {
     import spark.implicits._
     val seeds = int8Corpus(spark, dir)
       .filter(col("vec_id") < ksub)
@@ -1489,9 +1491,7 @@ object Similarity {
     val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
     cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
     val qRaw = queries
-      .select(col("vec_id").as("qid"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))")
-        .as("qe"))
+      .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"))
     val q = broadcastIfMeasuredUnder(qRaw,
       s"$indexPath|pqq|${System.identityHashCode(queries)}",
       () => { val b = embRowBytes(qRaw, "qe"); if (b < 0) b else b * 2 },

@@ -694,6 +694,44 @@ object StreamOps {
       vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
     graft.operators.Similarity.centroidProjection(vecs, cents)
 
+  /** EXT-6w — streaming PQ encoding: compress an unbounded
+    * (vec_id, embedding) vector stream to its 8-byte PQ codes (plus the
+    * exact reconstruction error — the live coding-quality monitor)
+    * against codebooks built on the BATCH corpus
+    * ([[graft.operators.Similarity.pqCodebooks]]). Quantization and the
+    * argmin encode are the ONE batch definition
+    * ([[graft.operators.Similarity.pqAssign]]) run per microbatch
+    * unchanged — codebooks ride as plan literals, so the stream never
+    * shuffles, never joins, and holds NO state (EXT-6i's
+    * train-once/encode-forever contract; re-coding after a codebook
+    * retrain is a new query with new literals). This is the ingest arm
+    * of the persisted PQ index: arrivals are coded the moment they
+    * land, so the 32×-compressed serving relation stays current without
+    * ever re-encoding the corpus.
+    */
+  def pqEncodeStream(
+      vecs: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int): DataFrame =
+    graft.operators.Similarity.pqAssign(
+      vecs.select(col("vec_id"),
+        graft.operators.Similarity.int8Quantize(col("embedding")).as("qv")),
+      cb, dsub)
+
+  /** EXT-6x — streaming blocklist gate: the two-tier bad-words verdict
+    * (x107) at ingest time. The measurement is the ONE batch definition
+    * ([[graft.operators.Curation.blocklistProjection]]) — row-local
+    * compiled hash-set counts, zero shuffles, ZERO state, no watermark —
+    * so stream and batch verdicts are bit-identical by construction and
+    * any replay re-derives the same decisions (the EXT-6l statelessness
+    * argument; word lists are plan literals, a policy change is a new
+    * query).
+    */
+  def blocklistGateStream(
+      docs: DataFrame,
+      severe: Seq[String],
+      mild: Seq[String],
+      mildMaxRate: Double): DataFrame =
+    graft.operators.Curation.blocklistProjection(docs, severe, mild, mildMaxRate)
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

@@ -608,6 +608,132 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(p.toString.contains("bucket saturated"),
       "the posting-list saturation guard must survive the scale-up")
   }
+
+  test("x104 pq codes at 10x: row-local encode — no join, one presentation exchange; executes") {
+    val p = plan(graft.operators.Similarity.pqCodes(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"literal-codebook encode must never join:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 1, p.toString)
+    // executes at 60k vectors: every code in range, errors non-negative
+    val rows = graft.operators.Similarity.pqCodes(spark, dir10).limit(2000).collect()
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      assert(r.getString(1).split(",").length == 8 &&
+        r.getString(1).split(",").forall(c => c.toInt >= 0 && c.toInt < 16))
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("x105 pq ADC at 10x: guarded query side broadcasts; no cartesian, no rank window") {
+    // queryMod = 1000 for the same reason as the x91 pin: the float
+    // truth leg executes during plan build; the guard path and ADC
+    // join shape are mod-invariant
+    val p = plan(graft.operators.Similarity.pqRecall(spark, dir10, queryMod = 1000))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"guarded query sides must broadcast at 10x:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+  }
+
+  test("x106 unimax at 10x: windows order |sources| rows — no file scan under any window") {
+    val p = plan(graft.operators.Curation.unimaxBudget(spark, dir10))
+    // the scalar probes (bad index, remainder) broadcast as 1-row
+    // relations — the x87 allowance; nothing corpus-sized may nest
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.foreach { n =>
+      assert(n.collectLeaves().forall(l =>
+        !l.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        s"a corpus-sized side must never nest:\n$p")
+    }
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectLeaves().forall(l =>
+        !l.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        s"a corpus scan under the rank window would sort documents, not sources:\n$p")
+    }
+    // executes: the allocation law holds at 50k docs
+    val rows = graft.operators.Curation.unimaxBudget(spark, dir10).collect()
+    val totalCap = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(4)).sum == math.min(50000L, totalCap))
+  }
+
+  test("x107 blocklist at 10x: a pure projection — no join, no agg, one presentation exchange") {
+    val p = plan(graft.operators.Curation.blocklistFilter(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, p.toString)
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 1, p.toString)
+  }
+
+  test("x108 contamination spans at 10x: hits prune via broadcast BEFORE the one doc shuffle") {
+    val p = plan(graft.operators.Curation.contaminationSpans(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // the benchmark-gram membership join must stay broadcast (the gram
+    // stream never shuffles for it) …
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"benchmark set must broadcast:\n$p")
+    // … and the sessionize trick shares ONE doc-keyed exchange across
+    // both windows and both aggregations (+ the benchmark distinct pair
+    // and the presentation sort)
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 4, p.toString)
+  }
+
+  test("x109 dim correlation at 10x: the wire carries partition-bounded Gram triangles; executes") {
+    val p = plan(graft.operators.Similarity.dimCorrelation(spark, dir10))
+    noNestedLoops(p)
+    // no Generate (explode) anywhere: the declarative spelling would put
+    // 2 080 rows PER VECTOR on the wire — the kernel must emit per
+    // partition instead
+    assert(p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, s"dim² explode would not survive 100×:\n$p")
+    // executes at 60k vectors: s12 of the 10 disjoint replicas is 10×
+    // the sf0.1 corpus value only if accumulation is exact — assert
+    // basic sanity instead (pairs well-formed, r² in [0, 1])
+    val rows = graft.operators.Similarity.dimCorrelation(spark, dir10).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("x110 burstiness at 10x: one keyed window + types-bounded agg; cv2 finite everywhere") {
+    val p = plan(graft.operators.Temporal.burstiness(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, p.toString)
+    // executes over 6M events: per-type moments stay exact (no NaN/Inf
+    // from the guarded divisions)
+    val rows = graft.operators.Temporal.burstiness(spark, dir10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(5)) {
+        val cv2 = r.getDouble(5)
+        assert(!cv2.isNaN && !cv2.isInfinite && cv2 >= 0.0)
+      }
+    }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

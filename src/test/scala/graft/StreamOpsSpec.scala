@@ -961,6 +961,63 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("pqEncodeStream (EXT-6w): streamed codes/recon_err equal the batch encoding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val (cb, dsub) = graft.operators.Similarity.pqCodebooks(spark, sfDir)
+    val batch = graft.operators.Similarity.pqCodes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val sample = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.pqEncodeStream(stream.toDF().toDF("vec_id", "embedding"), cb, dsub)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("codes")).as("codes_csv"),
+        org.apache.spark.sql.functions.col("recon_err"))
+      .writeStream.format("memory").queryName("pq_out").outputMode("append").start()
+    try {
+      // two microbatches, the second replaying half of the first: the
+      // stateless encode re-derives identical rows (at-least-once safe)
+      stream.addData(sample.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(sample.drop(15).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("pq_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.size == 40) // replays collapse to the same (id, codes, err)
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+
+  test("blocklistGateStream (EXT-6x): streamed verdicts equal the batch gate bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "clean words only"),
+      (2L, "one bad word"),
+      (3L, "meh meh fine fine fine fine fine fine"),
+      (4L, "meh fine fine fine fine fine fine fine"))
+    val dir = TestTables.documentsDir(spark, docs)
+    val batch = graft.operators.Curation.blocklistFilter(spark, dir,
+      severe = Seq("bad"), mild = Seq("meh"), mildMaxRate = 0.125).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.blocklistGateStream(
+      stream.toDF().toDF("doc_id", "text"),
+      severe = Seq("bad"), mild = Seq("meh"), mildMaxRate = 0.125)
+      .writeStream.format("memory").queryName("block_out").outputMode("append").start()
+    try {
+      stream.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("block_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("EXT-S15b serving path: streamed query batches probe the PERSISTED sign index; first pass never reads vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
