@@ -240,6 +240,16 @@ object SparkEntry {
     // windowed heavy hitters: x65's hot keys per tumbling window — skew
     // is often a burst the global report averages away
     "x76_trending_keys" -> ((s, dir) => Temporal.trendingKeys(s, dir)),
+    // edit-distance near-dup: LSH candidates re-scored by exact Levenshtein
+    "x111_edit_dedup" -> ((s, dir) => Dedup.editNearDup(s, dir, minSim = editMinSim)),
+    // semantic decontamination: max cosine vs the benchmark slice
+    "x112_semantic_contamination" -> ((s, dir) =>
+      Similarity.semanticContamination(s, dir, tau = contamTau, benchMod = contamBenchMod)),
+    // tokenizer-coverage audit: per-source OOV rate vs the top-N vocab
+    "x113_oov_rate" -> ((s, dir) => TextAnalysis.oovRate(s, dir, vocabSize = oovVocabSize)),
+    // within-cell prototypicality outliers: exact-integer bottom-5% cut
+    "x114_cell_outliers" -> ((s, dir) =>
+      Similarity.cellOutliers(s, dir, pctDen = outlierPctDen)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -266,6 +276,15 @@ object SparkEntry {
     */
   private val agreementK = 5
   private val agreementQueryMod = 10
+
+  /** x111–x114 audit constants — the SAME values feed the Spark calls
+    * and the interpolated oracle SQL (the x103 no-drift contract).
+    */
+  private val editMinSim = 0.5
+  private val contamTau = 0.35
+  private val contamBenchMod = 20
+  private val oovVocabSize = 100
+  private val outlierPctDen = 20
 
   /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
     * and the interpolated oracle CTEs (the x103 no-drift contract).
@@ -1941,5 +1960,76 @@ object SparkEntry {
         |SELECT c.cohort_wk, ev.wk - c.cohort_wk AS week_offset, count(*) AS n_users
         |FROM ev JOIN c ON c.user_id = ev.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // LSH candidates (x2's mh/sig/cand chain) re-scored by DuckDB's
+    // built-in levenshtein — the same dynamic program Spark compiles
+    "x111_edit_dedup" ->
+      s"""WITH $shinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (SELECT doc_id, seed,
+         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+         |        FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+         |d AS (SELECT c.d1, c.d2,
+         |             length(ta.text)::BIGINT AS len1, length(tb.text)::BIGINT AS len2,
+         |             levenshtein(ta.text, tb.text)::BIGINT AS dist
+         |      FROM cand c JOIN documents ta ON ta.doc_id = c.d1
+         |                  JOIN documents tb ON tb.doc_id = c.d2),
+         |r AS (SELECT d1, d2, len1, len2, dist,
+         |             round(CASE WHEN greatest(len1, len2) = 0 THEN 1.0
+         |                        ELSE 1.0 - dist::DOUBLE / greatest(len1, len2) END, 4) AS edit_sim4
+         |      FROM d)
+         |SELECT d1, d2, len1, len2, dist, edit_sim4, edit_sim4 >= $editMinSim AS near_dup
+         |FROM r ORDER BY d1, d2""".stripMargin,
+
+    // max cosine vs the benchmark slice; rank on the UNROUNDED sim with
+    // the lower-cid tie-break (presentTopK's struct-max, x58's spelling)
+    "x112_semantic_contamination" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |b AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id % $contamBenchMod = 0),
+         |c AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id % $contamBenchMod != 0),
+         |s AS (SELECT qid, cid, $dotCte AS sim FROM c CROSS JOIN b),
+         |r AS (SELECT qid, cid, sim,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM s)
+         |SELECT qid AS vec_id, cid AS bench_id, round(sim, 4) AS sim4,
+         |       round(sim, 4) >= $contamTau AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "x113_oov_rate" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tc AS (SELECT source, token, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT token FROM (SELECT token, sum(n) AS tot FROM tc GROUP BY 1
+         |                             ORDER BY tot DESC, token LIMIT $oovVocabSize)),
+         |rates AS (SELECT source, sum(n)::BIGINT AS n_tokens,
+         |                 sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE n END)::BIGINT AS n_oov
+         |          FROM tc GROUP BY 1)
+         |SELECT s.source, coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
+         |       coalesce(r.n_oov, 0)::BIGINT AS n_oov,
+         |       CASE WHEN coalesce(r.n_tokens, 0) = 0 THEN NULL
+         |            ELSE coalesce(r.n_oov, 0)::DOUBLE / r.n_tokens END AS oov_rate
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN rates r ON r.source = s.source
+         |ORDER BY s.source""".stripMargin,
+
+    // within-cell rank on the ROUNDED cent_sim4 (both engines rank the
+    // identical rounded doubles; vec_id breaks ties deterministically)
+    "x114_cell_outliers" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        s""",
+           |cs AS (SELECT af.vec_id, af.cid AS cell,
+           |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
+           |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
+           |       FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid),
+           |r AS (SELECT vec_id, cell, cent_sim4,
+           |             row_number() OVER (PARTITION BY cell ORDER BY cent_sim4, vec_id)::BIGINT AS rn,
+           |             count(*) OVER (PARTITION BY cell)::BIGINT AS n_cell FROM cs)
+           |SELECT vec_id, cell, cent_sim4, rn, n_cell, rn * $outlierPctDen <= n_cell AS outlier
+           |FROM r ORDER BY vec_id""".stripMargin),
   )
 }

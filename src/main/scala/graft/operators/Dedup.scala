@@ -858,4 +858,61 @@ object Dedup {
     rebuildWithout(segmentStream(docs, segTokens).localCheckpoint(), boiler)
       .orderBy("doc_id")
   }
+
+  /** EXT-D14 (`x111_edit_dedup`) — edit-distance near-dup verification:
+    * LSH band candidates re-scored by EXACT character Levenshtein
+    * distance, with the normalized similarity `1 − dist/max(len)` and a
+    * keep/near-dup verdict. Jaccard (x2/x3) treats a document as a
+    * shingle SET — it cannot see a one-character diff from a reordering,
+    * and it under-scores short texts where a single token swap moves the
+    * set a lot; edit distance is the order-sensitive, character-exact
+    * metric real pipelines use for the SHORT-text tail (titles, queries,
+    * table rows) after the set metric has pruned candidates.
+    *
+    * Candidates come from the ONE shared LSH spelling
+    * ([[bandCandidates]] over [[minhashLsh]]'s banded signatures — a
+    * drifting copy would change which pairs get verified); texts join
+    * back by id (the candidate relation is bounded by band selectivity,
+    * so AQE broadcasts it into both probes); `levenshtein` is Spark's
+    * codegen'd expression and DuckDB's built-in — the same dynamic
+    * program in both engines, so distances hash-match exactly. The
+    * `both-empty` corner reports sim 1.0 by the div-guard convention
+    * (dist 0 over max-len 0).
+    *
+    * Scale: nothing here is pairwise beyond the banded candidates; the
+    * Levenshtein itself is row-local O(len²) per PAIR — the honest cost
+    * bound, which is why this belongs after LSH pruning and on
+    * short-text corpora (for book-length docs the span/segment family
+    * x53/x84 is the right tool, documented there).
+    */
+  def editNearDup(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minSim: Double = 0.5,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    val sig = bandedSignatures(
+      arr.select(col("doc_id"),
+        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
+      bands, rowsPerBand)
+    val cand = bandCandidates(sig, rowsPerBand, maxBucket)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+    val g = greatest(col("len1"), col("len2"))
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1"), col("len").as("len1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2"), col("len").as("len2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("len1"), col("len2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
+      .withColumn("edit_sim4",
+        round(when(g === 0L, 1.0)
+          .otherwise(lit(1.0) - col("dist").cast("double") / g), 4))
+      .withColumn("near_dup", col("edit_sim4") >= minSim)
+      .orderBy("d1", "d2")
+  }
 }

@@ -1500,4 +1500,124 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("codes"))
     adcTopK(q, codes, cb, dsub, k)
   }
+
+  /** EXT-S23 (`x112_semantic_contamination`) — SEMANTIC eval-set
+    * decontamination: every non-benchmark vector scored by its maximum
+    * cosine against the benchmark slice (`vec_id % benchMod == 0` — the
+    * same membership rule x18's lexical decontamination uses on doc_id,
+    * and doc_id ≡ vec_id in the data model), with the offending
+    * benchmark id and a `contaminated` verdict past `tau`. Lexical
+    * decontamination (x18/x49/x108) catches verbatim quotes; this
+    * catches the PARAPHRASED eval leak — the reworded GSM8k problem
+    * that shares no 5-gram with the original — which is exactly the
+    * leak class published decontamination pipelines moved to embedding
+    * similarity for.
+    *
+    * Plan shape is [[bruteForceTopK]]'s with k = 1 and the SMALL side
+    * fixed by construction: the benchmark slice is 1/benchMod of the
+    * corpus (eval sets are MBs against corpus TBs in production), so
+    * the measured-size guard broadcasts it and the corpus streams
+    * through a map-side max fold — ≤ 1 row per corpus vector crosses
+    * the one exchange, never the scored pairs. Ties break to the lower
+    * benchmark id via the shared [[presentTopK]] struct-max.
+    */
+  def semanticContamination(
+      spark: SparkSession,
+      dir: String,
+      tau: Double = 0.35,
+      benchMod: Int = 20,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val benchRaw = emb.filter(pmod(col("vec_id"), lit(benchMod)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val bench = broadcastIfMeasuredUnder(benchRaw,
+      s"$dir|emb|bench=$benchMod", () => embRowBytes(benchRaw, "ce"), maxBroadcastBytes)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(benchMod)) =!= 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = corpus.join(bench)
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, 1)
+      .select(col("vec_id"), col("neighbor_id").as("bench_id"), col("sim4"),
+        (col("sim4") >= tau).as("contaminated"))
+  }
+
+  /** Benchmark slice collected for the streaming gate (EXT-6y): the
+    * eval-set vectors as driver-side literals. Bounded by construction —
+    * eval sets are MBs against corpus TBs (the same boundedness argument
+    * as the trained-centroid tables); a benchmark too big to collect is
+    * a benchmark too big to ride a plan as literals, and the BATCH
+    * operator's broadcast join is the right regime for it.
+    */
+  def benchmarkVectors(
+      spark: SparkSession, dir: String, benchMod: Int = 20): Seq[(Long, Array[Float])] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(benchMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Row-local semantic-contamination scoring over ANY
+    * (vec_id, embedding) relation — batch or unbounded stream: the
+    * benchmark vectors ride as plan literals (one struct per benchmark
+    * vector; `array_max` picks max sim, ties to the LOWER benchmark id
+    * via the negated-id struct field — [[presentTopK]]'s ordering), so
+    * this is a pure projection: no join, no shuffle, no state. The dot
+    * runs on the same float arrays and the same compiled left fold as
+    * the batch operator, so stream and batch scores are bit-identical
+    * (spec-pinned).
+    */
+  def contaminationProjection(
+      vecs: DataFrame, bench: Seq[(Long, Array[Float])], tau: Double): DataFrame = {
+    require(bench.nonEmpty, "benchmark slice is empty — nothing to screen against")
+    val cand = array(bench.sortBy(_._1).map { case (bid, bv) =>
+      struct(dot(col("embedding"), typedlit(bv.toSeq)).as("sim"),
+        lit(-bid).as("nid"))
+    }: _*)
+    vecs
+      .select(col("vec_id"), array_max(cand).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("bench_id"),
+        round(col("m.sim"), 4).as("sim4"))
+      .withColumn("contaminated", col("sim4") >= tau)
+  }
+
+  /** EXT-S24 (`x114_cell_outliers`) — within-cell embedding outlier
+    * audit: each vector ranked by prototypicality INSIDE its trained
+    * k-means cell (cent_sim4 asc, vec_id asc — the rounded column both
+    * engines rank identically), with the cell population and a bottom
+    * `1/pctDen` outlier verdict spelled in exact integers
+    * (`rn · pctDen ≤ n_cell` — no float percentile anywhere). x57 says
+    * how prototypical a vector is; this says how prototypical it is
+    * RELATIVE TO ITS OWN TOPIC — the farthest 5% of each cell is where
+    * mislabeled, off-distribution, and adversarial documents
+    * concentrate (the SSL-prototypes pruning tail), and a per-cell cut
+    * can't be starved by one diffuse cluster the way a global
+    * cosine threshold is.
+    *
+    * Plan: the one trained-centroid row-local projection x54/x57/x75
+    * share, then ONE shuffle keyed by cell for the rank window + count.
+    * k bounds the partition count, so a giant cell is the hot-partition
+    * hazard — the SAME hazard x100 documents, with the same production
+    * answer (compose the cell key with a content-stable shard and take
+    * per-shard ranks as the approximation); eval keeps the bare cell
+    * key so the oracle mirrors the window exactly.
+    */
+  def cellOutliers(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2,
+      pctDen: Int = 20): DataFrame = {
+    require(pctDen >= 1, s"pctDen ($pctDen) must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val proj = centroidSimProjection(spark, dir, k, iters)
+    val w = Window.partitionBy("cell").orderBy(col("cent_sim4"), col("vec_id"))
+    val wc = Window.partitionBy("cell")
+    proj
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .withColumn("outlier", col("rn") * pctDen <= col("n_cell"))
+      .select("vec_id", "cell", "cent_sim4", "rn", "n_cell", "outlier")
+      .orderBy("vec_id")
+  }
 }

@@ -1115,4 +1115,49 @@ object TextAnalysis {
         col("n_subtokens").cast("double") / col("n_words"))
       .orderBy("lang")
   }
+
+  /** EXT-T18 (`x113_oov_rate`) — out-of-vocabulary rate per source
+    * against a top-`vocabSize` unigram vocabulary (count desc, token asc
+    * — the deterministic cut every top-N here uses): token instances,
+    * OOV instances, and the rate. The tokenizer-coverage audit run
+    * before committing a vocab: a source whose OOV mass is high will
+    * fragment into subwords (x90/T16's fertility cost) or `<unk>` —
+    * and a rate that JUMPS between snapshots means the incoming
+    * distribution moved away from the trained tokenizer (the vocabulary
+    * twin of x60's drift).
+    *
+    * Plan: ONE tokenized corpus pass folds to the (source, token) count
+    * relation — the wire carries the per-partition vocabulary, never the
+    * token stream (x96's argument) — `localCheckpoint`ed for its two
+    * consumers (the global top-N derivation and the per-source fold);
+    * the vocab is a TakeOrdered over the |vocab|-bounded aggregate and
+    * broadcasts back; the final fold is |sources| rows. Sources whose
+    * every document is empty stay visible with rate NULL (x96's
+    * left-join + div-guard convention). Nothing in the plan beyond the
+    * first fold grows with the corpus.
+    */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize ($vocabSize) must be positive")
+    val docs = Tables.documents(spark, dir)
+    val tc = docs
+      .select(col("source"), explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed by the vocab cut AND the rate fold
+    val vocab = tc.groupBy("token").agg(sum("n").as("tot"))
+      .orderBy(col("tot").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val rates = tc.join(vocab, Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+    docs.select("source").distinct()
+      .join(rates, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")))
+      .orderBy("source")
+  }
 }

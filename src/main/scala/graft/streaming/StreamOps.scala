@@ -732,6 +732,24 @@ object StreamOps {
       mildMaxRate: Double): DataFrame =
     graft.operators.Curation.blocklistProjection(docs, severe, mild, mildMaxRate)
 
+  /** EXT-6y — streaming semantic-contamination gate: every arriving
+    * (vec_id, embedding) scored row-locally against the BENCHMARK slice
+    * riding as plan literals (x112's verdict at ingest time — the
+    * paraphrased-eval-leak filter running where the vectors arrive).
+    * The measurement is the ONE shared definition
+    * ([[graft.operators.Similarity.contaminationProjection]]): same
+    * float arrays, same compiled dot fold, same lower-id tie-break —
+    * so stream and batch verdicts are bit-identical by construction.
+    * Zero shuffles, ZERO state, no watermark; replays re-derive the
+    * same decisions (EXT-6l's statelessness argument). A new benchmark
+    * release is a new query with new literals (EXT-6i's retrain
+    * contract); a benchmark too large for literals belongs to the
+    * batch operator's broadcast regime instead.
+    */
+  def contaminationGateStream(
+      vecs: DataFrame, bench: Seq[(Long, Array[Float])], tau: Double): DataFrame =
+    graft.operators.Similarity.contaminationProjection(vecs, bench, tau)
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

@@ -326,4 +326,49 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got(4L) == ((1L, 1L, md5hex(""))))            // repaired-to-empty still a row
     assert(got(5L) == ((2L, 0L, md5hex("m n o p"))))
   }
+
+  /** Independent reference Levenshtein (classic DP) — shares no code
+    * with Spark's expression, so a semantic drift on either side fails
+    * the differential.
+    */
+  private def refLev(a: String, b: String): Long = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length).toLong
+  }
+
+  test("editNearDup (x111): LSH candidates carry exact Levenshtein + verdict") {
+    // two near-identical long docs (LSH candidates by construction) and
+    // one unrelated doc that must never pair with them
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val oneEdit = base.replace("tok7", "tok7x") // one insertion
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> base, 1L -> oneEdit, 2L -> base,
+      3L -> (1 to 30).map(i => s"other$i").mkString(" ")))
+    val got = Dedup.editNearDup(spark, dir, minSim = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    val texts = Map(0L -> base, 1L -> oneEdit, 2L -> base)
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"unexpected candidate pairs: ${got.keySet}")
+    got.foreach { case ((d1, d2), (len1, len2, dist, sim4, nd)) =>
+      val (t1, t2) = (texts(d1), texts(d2))
+      assert(len1 == t1.length.toLong && len2 == t2.length.toLong)
+      assert(dist == refLev(t1, t2), s"pair ($d1,$d2) distance drifted")
+      val expSim = BigDecimal(1.0 - dist.toDouble / math.max(len1, len2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sim4 == expSim && nd == (sim4 >= 0.5))
+    }
+    assert(got((0L, 2L)) == ((base.length.toLong, base.length.toLong, 0L, 1.0, true)))
+  }
 }

@@ -568,4 +568,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == naive.filter { case (k, _) => got.contains(k) } && got.size == naive.size)
   }
+
+  test("semanticContamination (x112): max-cos vs the benchmark slice, ties to lower id") {
+    // benchMod=2: even ids are the benchmark. Vector 1 is exactly bench
+    // vector 0; vector 3 ties between bench 0 and 2 (must pick 0);
+    // vector 5 is far from every bench vector.
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 4L -> Seq(0f, 0f, 1f),
+      1L -> Seq(1f, 0f, 0f),
+      3L -> Seq(0.5f, 0.5f, 0f),
+      5L -> Seq(-1f, -1f, -1f)))
+    val got = Similarity.semanticContamination(spark, dir, tau = 0.9, benchMod = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L), "exactly the non-benchmark vectors are scored")
+    assert(got(1L) == ((0L, 1.0, true)))
+    assert(got(3L) == ((0L, 0.5, false)), "equal-sim tie must break to the lower bench id")
+    assert(got(5L) == ((0L, -1.0, false)),
+      "a three-way tie at sim -1 breaks to the lowest bench id")
+  }
+
+  test("cellOutliers (x114): within-cell bottom-fraction cut in exact integers") {
+    // iters=0 keeps the axis seeds; cell 0 gets 4 members at distinct
+    // cosines, cell 1 gets 2. pctDen=4 → outlier iff rn*4 <= n_cell:
+    // exactly the single least-prototypical member of cell 0, none of
+    // the 2-member cell (rn*4 = 4 > 2).
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0.2f), 4L -> Seq(0.7f, 0.3f),
+      5L -> Seq(0.1f, 0.9f)))
+    val got = Similarity.cellOutliers(spark, dir, k = 2, iters = 0, pctDen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.values.map(_._1).toSet == Set(0L, 1L))
+    val cell0 = got.filter(_._2._1 == 0L)
+    assert(cell0.keySet == Set(0L, 2L, 3L, 4L) && cell0.values.forall(_._3 == 4L))
+    // ascending prototypicality in cell 0: vec 4 (0.7) < 3 (0.8) < 2 (0.9) < 0 (1.0)
+    assert(cell0(4L)._2 == 1L && cell0(4L)._4, "least-prototypical member is the outlier")
+    assert(Seq(3L, 2L, 0L).map(cell0(_)._2) == Seq(2L, 3L, 4L))
+    assert(!cell0(3L)._4 && !cell0(2L)._4 && !cell0(0L)._4)
+    val cell1 = got.filter(_._2._1 == 1L)
+    assert(cell1.keySet == Set(1L, 5L) && cell1.values.forall(v => v._3 == 2L && !v._4),
+      "a 2-member cell has no bottom-quartile member (rn*4 > 2 for every rn)")
+  }
 }

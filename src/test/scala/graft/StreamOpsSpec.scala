@@ -1018,6 +1018,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("contaminationGateStream (EXT-6y): streamed verdicts equal the batch operator bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // the batch operator's relation: every non-benchmark vector scored
+    val batch = graft.operators.Similarity
+      .semanticContamination(spark, sfDir, tau = 0.35, benchMod = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val bench = graft.operators.Similarity.benchmarkVectors(spark, sfDir, benchMod = 20)
+    val nonBench = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(20)) =!= 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.contaminationGateStream(
+      stream.toDF().toDF("vec_id", "embedding"), bench, tau = 0.35)
+      .writeStream.format("memory").queryName("contam_out").outputMode("append").start()
+    try {
+      // two microbatches: arrival order must not matter for a stateless gate
+      stream.addData(nonBench.take(nonBench.length / 2))
+      q.processAllAvailable()
+      stream.addData(nonBench.drop(nonBench.length / 2))
+      q.processAllAvailable()
+      val got = spark.table("contam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      assert(got == batch,
+        "stream and batch contamination verdicts must be bit-identical")
+      assert(got.exists(_._4) && got.exists(!_._4),
+        "fixture should populate both verdict classes at tau=0.35")
+    } finally q.stop()
+  }
+
   test("EXT-S15b serving path: streamed query batches probe the PERSISTED sign index; first pass never reads vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -538,4 +538,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     // aaaa -> [aaaa] (1 sym) x2; aa -> [aa] (1 sym) x1 -> fertility 1.0
     assert(f2.toSeq == Seq((3L, 3L, 1.0)))
   }
+
+  test("oovRate (x113): top-N vocab cut, per-source instance rates, count-desc/token-asc ties") {
+    // corpus counts: "a"x4, "b"x3, "c"x2, "d"x1 -> vocab(2) = {a, b}
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      0L -> ("a a b c", "s1"),
+      1L -> ("a a b b d", "s2"),
+      2L -> ("c", "s2")).map { case (id, (t, s)) => (id, t, s) })
+    val got = TextAnalysis.oovRate(spark, dir, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("s1") == ((4L, 1L, 0.25)))      // c is OOV
+    assert(got("s2") == ((6L, 2L, 2.0 / 6.0))) // d and the second c doc
+  }
+
+  test("oovRate: ties at the vocab boundary cut by token asc; vocab larger than corpus is total coverage") {
+    // "x" and "y" both count 2: vocabSize=1 must keep "x" (token asc)
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (0L, "y x", "s1"), (1L, "x y", "s1")))
+    val got = TextAnalysis.oovRate(spark, dir, vocabSize = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("s1") == ((4L, 2L)), "the tie must resolve to keeping 'x'")
+    val all = TextAnalysis.oovRate(spark, dir, vocabSize = 10).collect()
+    assert(all.head.getLong(2) == 0L && all.head.getDouble(3) == 0.0)
+  }
 }
