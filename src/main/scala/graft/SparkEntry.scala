@@ -250,6 +250,14 @@ object SparkEntry {
     // within-cell prototypicality outliers: exact-integer bottom-5% cut
     "x114_cell_outliers" -> ((s, dir) =>
       Similarity.cellOutliers(s, dir, pctDen = outlierPctDen)),
+    // per-source Spearman agreement between two quality signals
+    "x115_signal_agreement" -> ((s, dir) => Curation.signalAgreement(s, dir)),
+    // asymmetric set-containment join: the truncated-copy detector
+    "x116_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(s, dir, threshold = containTau)),
+    // packing attention-bleed audit swept over candidate windows
+    "x117_pack_bleed" -> ((s, dir) => graft.operators.Packing.packBleed(
+      s, dir, budgetTokens = bleedBudget, windows = bleedWindows)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -285,6 +293,11 @@ object SparkEntry {
   private val contamBenchMod = 20
   private val oovVocabSize = 100
   private val outlierPctDen = 20
+
+  /** x116/x117 constants — same no-drift contract. */
+  private val containTau = 0.9
+  private val bleedBudget = 512L
+  private val bleedWindows = Seq(4L, 16L, 64L)
 
   /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
     * and the interpolated oracle CTEs (the x103 no-drift contract).
@@ -2031,5 +2044,70 @@ object SparkEntry {
            |             count(*) OVER (PARTITION BY cell)::BIGINT AS n_cell FROM cs)
            |SELECT vec_id, cell, cent_sim4, rn, n_cell, rn * $outlierPctDen <= n_cell AS outlier
            |FROM r ORDER BY vec_id""".stripMargin),
+
+    // both signals ranked on their ROUNDED values with the doc_id
+    // tie-break (each rank a permutation → the classical rho formula);
+    // the denominator keeps the fixed association n*(n*n - 1) in DOUBLE
+    "x115_signal_agreement" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |rar AS (SELECT tf.doc_id,
+        |               round(sum(tf.tf * (n_docs - df))::DOUBLE / sum(tf.tf), 4) AS a4
+        |        FROM tf JOIN dfr USING (token) CROSS JOIN nn GROUP BY tf.doc_id),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bgr AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg FROM t2),
+        |rep AS (SELECT doc_id, round(len(list_distinct(bg))::DOUBLE / len(bg), 4) AS b4
+        |        FROM bgr WHERE len(bg) > 0),
+        |j AS (SELECT d.source, d.doc_id, a4, b4
+        |      FROM documents d JOIN rar ON rar.doc_id = d.doc_id JOIN rep ON rep.doc_id = d.doc_id),
+        |r AS (SELECT source,
+        |             row_number() OVER (PARTITION BY source ORDER BY a4, doc_id)::BIGINT AS ra,
+        |             row_number() OVER (PARTITION BY source ORDER BY b4, doc_id)::BIGINT AS rb
+        |      FROM j),
+        |agg AS (SELECT source, count(*)::BIGINT AS n,
+        |               sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2 FROM r GROUP BY 1)
+        |SELECT source, n, sum_d2,
+        |       CASE WHEN n < 2 THEN NULL
+        |            ELSE 1.0 - 6.0 * sum_d2::DOUBLE / (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0))
+        |       END AS rho
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // the exact all-pairs spelling: DuckDB verifies every pair, the
+    // Spark side's containment-PPJoin prefix filter is lossless for the
+    // c >= t verdict, so the two relations agree exactly
+    "x116_containment" ->
+      s"""WITH $shinglesCte,
+         |c AS (SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
+         |             CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d2 ELSE d1 END AS d_large,
+         |             inter::BIGINT AS inter,
+         |             least(n1, n2)::BIGINT AS n_small, greatest(n1, n2)::BIGINT AS n_large
+         |      FROM jac)
+         |SELECT d_small, d_large, inter, n_small, n_large,
+         |       inter::DOUBLE / n_small AS containment
+         |FROM c WHERE inter::DOUBLE / n_small >= $containTau
+         |ORDER BY d_small, d_large""".stripMargin,
+
+    // per doc only the FIRST bin segment can bleed (later segments start
+    // at in-bin position 0); bleed = min(len1, W-1) iff s_b > 0
+    "x117_pack_bleed" ->
+      s"""WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+         |w AS (SELECT lang, doc_id, tok,
+         |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM t),
+         |g AS (SELECT lang, tok, (cum - tok) % $bleedBudget AS sb,
+         |             least(tok, $bleedBudget - ((cum - tok) % $bleedBudget)) AS len1
+         |      FROM w),
+         |s AS (SELECT lang, tok,
+         |             CASE WHEN sb = 0 THEN 0 ELSE least(len1, win - 1) END AS bleed, win
+         |      FROM g CROSS JOIN (SELECT unnest([${bleedWindows.mkString(", ")}]::BIGINT[]) AS win))
+         |SELECT win, lang, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN bleed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bleed_docs,
+         |       sum(bleed)::BIGINT AS bleed_positions,
+         |       sum(tok)::BIGINT AS n_tokens,
+         |       CASE WHEN sum(tok) = 0 THEN NULL
+         |            ELSE sum(bleed)::DOUBLE / sum(tok) END AS bleed_frac
+         |FROM s GROUP BY 1, 2 ORDER BY win, lang""".stripMargin,
   )
 }

@@ -587,6 +587,13 @@ object Curation {
     * with < 2 tokens have no bigrams and are excluded.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionAssign(spark, dir).orderBy("doc_id")
+
+  /** The repetition relation WITHOUT the presentation sort — consumers
+    * that JOIN it downstream ([[signalAgreement]]) skip the global sort
+    * exchange (the `splitAssign` convention).
+    */
+  private[graft] def repetitionAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
       .select(col("doc_id"), graft.functions.NgramStats.ngramStats(col("toks"), 2).as("st"))
@@ -596,7 +603,6 @@ object Curation {
         col("st.n_grams").as("n_bigrams"),
         (col("st.n_distinct").cast("double") / col("st.n_grams")).as("distinct_ratio"),
         (col("st.max_count").cast("double") / col("st.n_grams")).as("top_bigram_frac"))
-      .orderBy("doc_id")
 
   /** EXT-C31 — duplicated-n-gram coverage (Gopher/MassiveText, Rae et
     * al. 2021 §A1.1): per document, the fraction of token POSITIONS
@@ -1670,5 +1676,59 @@ object Curation {
     }.toMap
     ImportanceModel(targetSource, numBuckets,
       rc.values.sum, tc.values.sum, rc, tc)
+  }
+
+  /** EXT-C40 (`x115_signal_agreement`) — quality-signal agreement audit:
+    * per source, the Spearman rank correlation between two INDEPENDENT
+    * quality signals — idf-mass rarity (x70's `mean_rarity`, the
+    * vocabulary-level signal) and distinct-bigram ratio (x20's
+    * `distinct_ratio`, the word-order-level signal). The audit a
+    * pipeline reads before swapping a cheap gate for an expensive one
+    * (or before stacking both): high agreement means the second signal
+    * is redundant; low agreement means the gates prune DIFFERENT
+    * documents and the funnel (x95) will show compounding attrition.
+    *
+    * Exactness spelling: both signals are ranked on their ROUNDED
+    * 4-decimal values with the doc_id tie-break (x114's convention —
+    * both engines rank the identical doubles identically, and the
+    * tie-break makes each rank a permutation, so the classical
+    * `rho = 1 − 6·Σd² / (n·(n²−1))` applies with Σd² an exact BIGINT;
+    * the denominator is evaluated in double with a fixed association
+    * `n·(n·n − 1)` so both engines run the identical IEEE expression).
+    * Sources with n < 2 report rho NULL (zero denominator), never NaN.
+    *
+    * Plan: the two signal relations are the unsorted `*Assign` variants
+    * (no presentation sorts under the join); the domain is their INNER
+    * join (docs with ≥ 2 tokens — where both signals are defined);
+    * then ONE shuffle keyed by source carries the two rank windows
+    * (same partition key, two in-partition sorts) and the final fold is
+    * |sources| rows. The signal relations are themselves one corpus
+    * pass each (x70's integer backbone, x20's compiled row-local
+    * expression) — nothing in the agreement layer grows past |corpus|
+    * rows, and the rank window keys by source, not globally.
+    */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val a = graft.operators.TextAnalysis.rarityAssign(spark, dir)
+      .select(col("doc_id"), round(col("mean_rarity"), 4).as("a4"))
+    val b = repetitionAssign(spark, dir)
+      .select(col("doc_id"), round(col("distinct_ratio"), 4).as("b4"))
+    val wA = Window.partitionBy("source").orderBy(col("a4"), col("doc_id"))
+    val wB = Window.partitionBy("source").orderBy(col("b4"), col("doc_id"))
+    val nd = col("n").cast("double")
+    docs.join(a, "doc_id").join(b, "doc_id")
+      .withColumn("ra", row_number().over(wA).cast("long"))
+      .withColumn("rb", row_number().over(wB).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            lit(6.0) * col("sum_d2").cast("double") / (nd * (nd * nd - lit(1.0)))))
+      .select("source", "n", "sum_d2", "rho")
+      .orderBy("source")
   }
 }

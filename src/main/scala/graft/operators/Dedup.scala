@@ -915,4 +915,78 @@ object Dedup {
       .withColumn("near_dup", col("edit_sim4") >= minSim)
       .orderBy("d1", "d2")
   }
+
+  /** EXT-D15 (`x116_containment`) — set-CONTAINMENT join: all pairs
+    * where the smaller document's shingle set lies ≥ `threshold` inside
+    * the larger one's (`inter / min(n1, n2) ≥ t`), with the exact
+    * intersection and both sizes. The truncated-copy detector: an
+    * article and its excerpt have containment ~1.0 but Jaccard
+    * ~|A|/|B|, so the symmetric-metric family (x2/x3/x111) structurally
+    * under-scores exactly the duplicates produced by snippet extraction,
+    * pagination, and feed truncation. Published dedup pipelines treat
+    * containment as its own pass for this reason.
+    *
+    * Exactness argument (containment-PPJoin): if `inter ≥ ⌈t·n_s⌉` for
+    * the smaller set A, then A's elements OUTSIDE its first
+    * `n_s − ⌈t·n_s⌉ + 1` elements (under the global df-asc/shingle
+    * order — x3's prefix order) number `⌈t·n_s⌉ − 1 < inter`, so at
+    * least one intersecting shingle lies in A's prefix — and it lies
+    * somewhere in B's FULL set. Hence probing every document's prefix
+    * against the FULL inverted index is lossless for the `c ≥ t`
+    * verdict; verification is exact (`IntersectSize` on the shingle
+    * arrays). Unlike x3 there is no symmetric length filter — that is
+    * the point: the large side may be arbitrarily larger.
+    *
+    * Scale: the full postings relation is the same structure as the
+    * BM25 index (x69) — linear in corpus tokens; pair expansion is
+    * prefix-entries × posting-list per shingle, kept row-local by the
+    * grouped-explode shape, skew-bounded by the df-asc prefix choice
+    * (near-universal shingles land in prefixes only for tiny documents)
+    * plus the same saturation guard as every bucket expansion here.
+    * Smaller-side-probes canonicalization halves the candidate stream.
+    */
+  def containmentJoin(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.9,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = shingleArrays(spark, dir).filter(col("n") > 0)
+    val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    def ceilEps(c: Column): Column = ceil(c - 1e-9)
+    val prefLen = (col("n") - ceilEps(col("n") * threshold) + 1).cast("int")
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .select(col("doc_id"), col("n"), col("shingle"),
+        (col("rn") <= prefLen).as("in_prefix"))
+    // x is the PROBE (the smaller side, ties by id — each unordered pair
+    // is generated in exactly one role); y ranges over the FULL posting
+    // list, so the large side needs no prefix at all
+    val candidates = guardBucketSize(
+      ranked.groupBy("shingle")
+        .agg(collect_list(struct(col("doc_id"), col("n"), col("in_prefix"))).as("ds")),
+      maxBucket, "a posting list this hot means a near-universal shingle — " +
+        "raise the threshold or maxBucket")
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), explode(col("ds")).as("x"))
+      .filter(col("x.in_prefix"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .filter(col("x.n") < col("y.n") ||
+        (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("d_small"), col("y.doc_id").as("d_large"))
+      .distinct()
+    candidates
+      .join(arr.select(col("doc_id").as("d_small"), col("shs").as("sh1"),
+        col("n").cast("long").as("n_small")), "d_small")
+      .join(arr.select(col("doc_id").as("d_large"), col("shs").as("sh2"),
+        col("n").cast("long").as("n_large")), "d_large")
+      .withColumn("inter",
+        graft.functions.IntersectSize.intersectSize(col("sh1"), col("sh2")))
+      .withColumn("containment", col("inter").cast("double") / col("n_small"))
+      .filter(col("containment") >= threshold)
+      .select("d_small", "d_large", "inter", "n_small", "n_large", "containment")
+      .orderBy("d_small", "d_large")
+  }
 }

@@ -182,4 +182,65 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("bin_tokens"))
       .orderBy("cell", "bin_id")
   }
+
+  /** EXT-P7 (`x117_pack_bleed`) — cross-document attention-bleed audit
+    * of the concat-and-cut packing ([[packSequences]]' regime): for each
+    * candidate attention window W, the exact number of token positions
+    * that can attend to a FOREIGN document's tokens inside their packed
+    * sequence — the contamination that doc-boundary attention masking
+    * (attention resets / block-diagonal masks) exists to remove. The
+    * relation a team reads to decide whether masking is worth the
+    * kernel complexity at its W: bleed under full in-sequence causal
+    * attention is the W = L column; tiny W (sliding-window attention)
+    * shrinks bleed linearly.
+    *
+    * Geometry (all BIGINT): per language, a document's tokens start at
+    * global offset `st = cum − tok`; inside its first bin its in-bin
+    * start is `s_b = st mod L`. Foreign tokens occupy in-bin positions
+    * `[0, s_b)`, so the document's positions `p ∈ [s_b, s_b + len_1)`
+    * see foreign context iff `p < s_b + W − 1` — i.e. exactly
+    * `min(len_1, W−1)` positions when `s_b > 0` and ZERO when the doc
+    * starts a fresh bin (`s_b = 0`; continuation segments in later bins
+    * also start at 0, so only the first segment ever bleeds —
+    * `len_1 = min(tok, L − s_b)`). No pair of documents is ever
+    * materialized: bleed is closed-form per document.
+    *
+    * Plan: ONE corpus token-count pass, ONE per-lang running-sum window
+    * (the packSequences shuffle, reused), then a row-local explode of
+    * the |windows| literal array and a (window, lang) partial agg —
+    * |windows|·|langs| rows out. The sweep costs one pass regardless of
+    * how many W are swept (budgetSweep's discipline); `bleed_frac` is
+    * one IEEE division of exact BIGINTs.
+    */
+  def packBleed(
+      spark: SparkSession,
+      dir: String,
+      budgetTokens: Long = 512L,
+      windows: Seq[Long] = Seq(4L, 16L, 64L)): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(windows.nonEmpty && windows.forall(_ > 0), "windows must be positive")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(Tables.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("sb", expr(s"(cum - tok) % $budgetTokens"))
+      .withColumn("len1", least(col("tok"), lit(budgetTokens) - col("sb")))
+      .select(col("lang"), col("tok"), col("sb"), col("len1"),
+        explode(array(windows.map(lit): _*)).as("win"))
+      .withColumn("bleed",
+        when(col("sb") === 0L, 0L)
+          .otherwise(least(col("len1"), col("win") - 1L)))
+      .groupBy("win", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bleed") > 0L, 1L).otherwise(0L)).as("n_bleed_docs"),
+        sum("bleed").as("bleed_positions"),
+        sum("tok").as("n_tokens"))
+      .withColumn("bleed_frac",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("bleed_positions").cast("double") / col("n_tokens")))
+      .orderBy("win", "lang")
+  }
 }

@@ -475,7 +475,15 @@ object TextAnalysis {
     * well inside BIGINT until ~10⁹ docs × 10⁹ tokens; DECIMAL(38,0)
     * beyond, same shape.
     */
-  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityAssign(spark, dir).orderBy("doc_id")
+
+  /** The rarity relation WITHOUT the presentation sort — consumers that
+    * JOIN it downstream ([[graft.operators.Curation.signalAgreement]])
+    * skip the global sort exchange (the [[graft.operators.Curation]]
+    * `splitAssign` convention).
+    */
+  private[graft] def rarityAssign(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = termFreq(docs)
     val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -488,7 +496,6 @@ object TextAnalysis {
         sum(col("tf") * (col("n_docs") - col("df"))).as("rarity_sum"))
       .withColumn("mean_rarity", col("rarity_sum").cast("double") / col("n_toks"))
       .select("doc_id", "n_toks", "rarity_sum", "mean_rarity")
-      .orderBy("doc_id")
   }
 
   /** EXT-T11 — bigram-LM fluency scoring: each document scored by the
@@ -1159,5 +1166,40 @@ object TextAnalysis {
         when(col("n_tokens") === 0L, lit(null).cast("double"))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")))
       .orderBy("source")
+  }
+
+  /** The trained top-`vocabSize` vocabulary as driver-side literals —
+    * the EXACT cut [[oovRate]] derives in-plan (count desc, token asc),
+    * collected for consumers that need it as plan literals (the
+    * streaming monitor EXT-6z). Bounded by construction: vocabSize rows
+    * cross the driver, never the token stream (the trained-centroid
+    * boundedness argument); a vocabulary too large to collect belongs
+    * to the batch operator's in-plan join regime instead.
+    */
+  def vocabTokens(spark: SparkSession, dir: String, vocabSize: Int = 100): Seq[String] = {
+    require(vocabSize >= 1, s"vocabSize ($vocabSize) must be positive")
+    Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tot"))
+      .orderBy(col("tot").desc, col("token")).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Row-local OOV measurement over ANY (source, text, ...) relation —
+    * batch or unbounded stream — against a FIXED vocabulary riding as a
+    * plan-time hash set ([[graft.functions.CountIn]], x107's compiled
+    * expression: O(1) per token, zero shuffles, zero state). This is
+    * the ONE shared definition the streaming vocab-drift monitor
+    * (EXT-6z) and its batch agreement law run, so stream and batch
+    * counts can never drift; [[oovRate]] derives the vocabulary
+    * in-plan instead (the audit that PICKS the vocab), and the spec
+    * pins the two spellings equal on a shared corpus + vocab.
+    */
+  def oovProjection(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabulary is empty — every token would be OOV")
+    val toks = Tables.tokens(col("text"))
+    docs.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_oov",
+        col("n_tokens") - graft.functions.CountIn.countIn(toks, vocab))
   }
 }

@@ -750,6 +750,47 @@ object StreamOps {
       vecs: DataFrame, bench: Seq[(Long, Array[Float])], tau: Double): DataFrame =
     graft.operators.Similarity.contaminationProjection(vecs, bench, tau)
 
+  /** EXT-6z — streaming vocab-drift monitor: the windowed ingest twin
+    * of x113's OOV audit. Arriving (ts, source, text) documents are
+    * measured row-locally against the TRAINED vocabulary riding as a
+    * plan-time hash set (the ONE shared definition,
+    * [[graft.operators.TextAnalysis.oovProjection]] — x107's compiled
+    * CountIn expression, so stream and batch counts are bit-identical
+    * by construction), then folded into watermarked tumbling windows
+    * per (window, source): docs, token instances, OOV instances, and
+    * the window's OOV rate (one IEEE division of exact longs).
+    *
+    * The alarm this feeds: a per-source OOV rate that JUMPS between
+    * windows means the incoming distribution moved away from the
+    * trained tokenizer (x60's drift, at the vocabulary level) — caught
+    * per window at ingest instead of at the next batch audit. A vocab
+    * retrain is a new query with new literals (EXT-6i's contract;
+    * [[graft.operators.TextAnalysis.vocabTokens]] collects the exact
+    * batch cut).
+    *
+    * Scale: the per-row measurement is stateless and shuffle-free; the
+    * windowed fold's state is one count row per (open window × source)
+    * — the same smallest-possible aggregation state as EXT-6u — and
+    * exact integer sums make replayed microbatches re-derive identical
+    * sealed windows.
+    */
+  def oovMonitorStream(
+      docs: DataFrame,
+      vocab: Seq[String],
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.TextAnalysis.oovProjection(docs, vocab)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_oov").as("n_oov"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE
@@ -1040,6 +1081,12 @@ object StreamOps {
     * of the `documents` table plus event time).
     */
   case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** A timestamped document carrying its source — the EXT-6z monitor's
+    * input shape (per-source windowed rates need the source at ingest).
+    */
+  case class TimedSourcedDoc(
+      doc_id: Long, ts: java.sql.Timestamp, source: String, text: String)
 
   /** EXT-6u — streaming gate-attrition monitor: the windowed ingest twin
     * of [[graft.operators.Curation.gateAttrition]] (x95). Each

@@ -779,4 +779,43 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // (n_hit_positions, n_runs, max_run, max_span_tokens = max_run + 4)
     assert(got(1L) == ((3L, 2L, 2L, 6L)))
   }
+
+  test("signalAgreement (x115): per-source Spearman matches an independent local recomputation") {
+    val docs = Seq(
+      (1L, "a a b c d", "s1"), (2L, "a b b a c", "s1"), (3L, "x y z w q", "s1"),
+      (4L, "m n m n m", "s2"), (5L, "p q r s t", "s2"),
+      (6L, "a c e g i", "s2"), (7L, "k k k k k", "s2"),
+      (8L, "u v", "solo"))
+    val dir = TestTables.documentsSourcedDir(spark, docs)
+    val got = Curation.signalAgreement(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // independent local spelling: occurrence-level rarity, bigram
+    // distinct ratio, HALF_UP 4-rounding, (value, id) rank permutations
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = docs.map { case (id, t, s) => (id, s, t.split(" ").toSeq) }
+    val nDocs = docs.length
+    val dfm = toks.flatMap { case (_, _, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val sig = toks.map { case (id, s, ts) =>
+      val a = r4(ts.map(t => (nDocs - dfm(t)).toDouble).sum / ts.length)
+      val bgs = ts.sliding(2).map(_.mkString(" ")).toSeq
+      val b = r4(bgs.distinct.length.toDouble / bgs.length)
+      (id, s, a, b)
+    }
+    val exp = sig.groupBy(_._2).map { case (src, rows) =>
+      val ra = rows.sortBy(r => (r._3, r._1)).map(_._1).zipWithIndex.toMap
+      val rb = rows.sortBy(r => (r._4, r._1)).map(_._1).zipWithIndex.toMap
+      val d2 = rows.map(r => { val d = (ra(r._1) - rb(r._1)).toLong; d * d }).sum
+      val n = rows.length
+      val rho = if (n < 2) None
+        else Some(1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n.toDouble - 1.0)))
+      src -> ((n.toLong, d2, rho))
+    }
+    assert(got == exp)
+    assert(got("solo")._3.isEmpty, "single-doc source reports rho NULL, never NaN")
+    got.values.flatMap(_._3).foreach(r => assert(r >= -1.0 && r <= 1.0))
+  }
 }

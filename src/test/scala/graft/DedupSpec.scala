@@ -371,4 +371,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got((0L, 2L)) == ((base.length.toLong, base.length.toLong, 0L, 1.0, true)))
   }
+
+  test("containmentJoin (x116): finds the truncated copy symmetric Jaccard misses") {
+    val big = (1 to 30).map(i => s"t$i").mkString(" ")   // 28 shingles
+    val small = (1 to 10).map(i => s"t$i").mkString(" ") // 8 shingles, all in big
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(1L -> big, 2L -> small, 3L -> other))
+    val got = Dedup.containmentJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((2L, 1L)), "the excerpt is contained in the article")
+    assert(got((2L, 1L)) == ((8L, 8L, 28L, 1.0)))
+    // the motivating property: the same pair is INVISIBLE to symmetric
+    // Jaccard at 0.8 (J = 8/28), even though containment is 1.0
+    val jac = Dedup.ngramJaccard(spark, dir, threshold = 0.8).collect()
+    assert(!jac.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L)))
+  }
+
+  test("containmentJoin: threshold prunes partial containment; equal sizes tie to the lower id") {
+    val big = (1 to 30).map(i => s"t$i").mkString(" ")
+    // 10 tokens, 8 shingles, 7 shared with big -> containment 7/8 = 0.875
+    val partial = (1 to 9).map(i => s"t$i").mkString(" ") + " q9"
+    val twinA = (1 to 8).map(i => s"w$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark,
+      Seq(1L -> big, 4L -> partial, 5L -> twinA, 6L -> twinA))
+    val at09 = Dedup.containmentJoin(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!at09.contains((4L, 1L)), "0.875 is pruned at 0.9")
+    assert(at09.contains((5L, 6L)), "equal-size exact twins: d_small is the lower id")
+    val at08 = Dedup.containmentJoin(spark, dir, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(at08((4L, 1L)) == ((7L, 8L, 28L, 7.0 / 8.0)), "kept at 0.8 with the exact count")
+  }
 }

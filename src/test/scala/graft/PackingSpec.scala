@@ -158,4 +158,32 @@ class PackingSpec extends AnyFunSuite with SparkSuite {
       wins.forall(_.partitionSpec.nonEmpty),
       s"the running sum must window PER CELL, never globally:\n$p")
   }
+
+  test("packBleed (x117): closed-form per-doc bleed, fresh-bin docs never bleed") {
+    // toks 5, 10, 3 (one lang); budget 8 -> starts 0, 5, 15; s_b 0, 5, 7;
+    // first-segment lengths 5, 3, 1. At W=4: bleed 0, min(3,3)=3, min(1,3)=1;
+    // at W=16 the W-1 cap stops binding: 0, 3, 1 (len1-capped) — same total
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> toks(5, "a"), 2L -> toks(10, "b"), 3L -> toks(3, "c")))
+    val got = Packing.packBleed(spark, dir, budgetTokens = 8L, windows = Seq(4L, 16L))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got((4L, "en")) == ((3L, 2L, 4L, 18L, 4.0 / 18.0)))
+    assert(got((16L, "en")) == ((3L, 2L, 4L, 18L, 4.0 / 18.0)))
+    assert(got.keySet == Set((4L, "en"), (16L, "en")))
+  }
+
+  test("packBleed: W=2 counts one boundary position per packed-against doc; sweep is per window") {
+    // both docs of lang de fit bin 0 (2 + 3 <= 8): doc 5 starts at s_b=2,
+    // so at W=2 exactly its first position sees doc 4's tail
+    val dir = TestTables.documentsLangDir(spark, Seq(
+      (4L, "x1 x2", "de"), (5L, "y1 y2 y3", "de")))
+    val got = Packing.packBleed(spark, dir, budgetTokens = 8L, windows = Seq(2L, 64L))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got((2L, "de")) == ((1L, 1L)), "W=2: one bleeding doc, one position")
+    assert(got((64L, "de")) == ((1L, 3L)), "W past the segment: the whole segment bleeds")
+  }
 }

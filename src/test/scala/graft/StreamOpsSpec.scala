@@ -1670,4 +1670,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(after == Map(7L -> "same", 8L -> "removed"))
     } finally q2.stop()
   }
+
+  test("EXT-6z oovMonitorStream: sealed per-source windows carry the exact batch OOV counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.TimedSourcedDoc
+    val vocab = Seq("the", "and", "of")
+    val stream = MemoryStream[TimedSourcedDoc]
+    val q = StreamOps.oovMonitorStream(stream.toDF(), vocab,
+        windowDur = "10 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("oov_out").outputMode("append").start()
+    try {
+      stream.addData(
+        TimedSourcedDoc(1L, ts(1), "web", "the cat and dog"), // 4 toks, 2 oov
+        TimedSourcedDoc(2L, ts(3), "web", "of the and"),      // 3 toks, 0 oov
+        TimedSourcedDoc(3L, ts(5), "book", "zebra quark"))    // 2 toks, 2 oov
+      q.processAllAvailable()
+      stream.addData(TimedSourcedDoc(4L, ts(25), "web", "the")) // seals window 1
+      q.processAllAvailable()
+      stream.addData(TimedSourcedDoc(5L, ts(45), "web", "the")) // seals window 2
+      q.processAllAvailable()
+      val rows = spark.table("oov_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      def wstart(min: Int) = { val t = ts(min).getTime; t - t % 600000L }
+      assert(rows((wstart(1), "web")) == ((2L, 7L, 2L, 2.0 / 7.0)))
+      assert(rows((wstart(1), "book")) == ((1L, 2L, 2L, 1.0)))
+      assert(rows((wstart(25), "web")) == ((1L, 1L, 0L, 0.0)))
+      assert(rows.keySet == Set((wstart(1), "web"), (wstart(1), "book"), (wstart(25), "web")),
+        "exactly the sealed (window, source) cells are emitted, once each")
+      // the shared-definition law: each sealed cell equals the batch
+      // projection folded over the same documents with the same vocab
+      val batch = graft.operators.TextAnalysis.oovProjection(
+          Seq(("web", "the cat and dog"), ("web", "of the and"), ("book", "zebra quark"))
+            .toDF("source", "text"), vocab)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+          org.apache.spark.sql.functions.sum("n_oov").as("o"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch == Map("web" -> ((7L, 2L)), "book" -> ((2L, 2L))))
+    } finally q.stop()
+  }
 }

@@ -561,4 +561,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     val all = TextAnalysis.oovRate(spark, dir, vocabSize = 10).collect()
     assert(all.head.getLong(2) == 0L && all.head.getDouble(3) == 0.0)
   }
+
+  test("vocabTokens + oovProjection: the literal-vocab spelling equals oovRate's in-plan cut") {
+    val docs = Seq(
+      (1L, "a a a b b c", "s1"), (2L, "b c d d", "s2"), (3L, "e e e e", "s2"))
+    val dir = TestTables.documentsSourcedDir(spark, docs)
+    // counts: e=4, a=3, b=3, c=2, d=2 -> top-3 by (count desc, token asc)
+    assert(TextAnalysis.vocabTokens(spark, dir, 3) == Seq("e", "a", "b"))
+    val batch = TextAnalysis.oovRate(spark, dir, vocabSize = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val proj = TextAnalysis.oovProjection(
+        graft.operators.Tables.documents(spark, dir),
+        TextAnalysis.vocabTokens(spark, dir, 3))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+        org.apache.spark.sql.functions.sum("n_oov").as("o"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch == proj, "in-plan vocab cut and collected-literal cut cannot drift")
+    assert(batch == Map("s1" -> ((6L, 1L)), "s2" -> ((8L, 3L))))
+  }
 }
