@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Payload, Replication, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Linkage, Multimodal, Payload, Replication, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -258,6 +258,23 @@ object SparkEntry {
     // packing attention-bleed audit swept over candidate windows
     "x117_pack_bleed" -> ((s, dir) => graft.operators.Packing.packBleed(
       s, dir, budgetTokens = bleedBudget, windows = bleedWindows)),
+    // blocked best-match record linkage over the part catalog
+    "x118_entity_resolution" -> ((s, dir) => Linkage.entityResolution(s, dir)),
+    // tokenizer-sizing audit: minimal vocab rank per coverage target
+    "x119_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(s, dir, pcts = coveragePcts)),
+    // per-lang Zipf product profile at doubling probe ranks
+    "x120_zipf_profile" -> ((s, dir) =>
+      TextAnalysis.zipfProfile(s, dir, maxRankLog2 = zipfMaxRankLog2)),
+    // near-dup cluster size histogram, singletons included
+    "x121_cluster_sizes" -> ((s, dir) => Curation.clusterSizes(s, dir)),
+    // CUSUM change-point detection on per-type hourly event rates
+    "x122_cusum_drift" -> ((s, dir) => Temporal.cusumDrift(s, dir)),
+    // per-source language-mix purity (majority share + Gini impurity)
+    "x123_lang_purity" -> ((s, dir) => Curation.langPurity(s, dir)),
+    // k-anonymity-style rare-combination suppression over (lang, source)
+    "x124_rare_cell_suppression" -> ((s, dir) =>
+      Curation.rareCellSuppression(s, dir, k = kanonK)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -298,6 +315,11 @@ object SparkEntry {
   private val containTau = 0.9
   private val bleedBudget = 512L
   private val bleedWindows = Seq(4L, 16L, 64L)
+
+  /** x119/x120/x124 constants — same no-drift contract. */
+  private val coveragePcts = Seq(50, 90, 95, 99)
+  private val zipfMaxRankLog2 = 7
+  private val kanonK = 25L
 
   /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
     * and the interpolated oracle CTEs (the x103 no-drift contract).
@@ -2109,5 +2131,125 @@ object SparkEntry {
          |       CASE WHEN sum(tok) = 0 THEN NULL
          |            ELSE sum(bleed)::DOUBLE / sum(tok) END AS bleed_frac
          |FROM s GROUP BY 1, 2 ORDER BY win, lang""".stripMargin,
+
+    // all-pairs inside each (brand, size) block — the exact spelling of
+    // the blocked candidate space; best match by (sim4 desc, cand asc),
+    // the struct-max order; singleton blocks keep their record with NULLs
+    "x118_entity_resolution" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name,
+        |                  length(p_name)::BIGINT AS len FROM part),
+        |scored AS (SELECT a.p_partkey, b.p_partkey AS cand_key,
+        |                  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
+        |                  round(CASE WHEN greatest(a.len, b.len) = 0 THEN 1.0
+        |                             ELSE 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / greatest(a.len, b.len)
+        |                        END, 4) AS sim4
+        |           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |                            AND a.p_partkey <> b.p_partkey),
+        |r AS (SELECT p_partkey, cand_key, dist, sim4,
+        |             row_number() OVER (PARTITION BY p_partkey ORDER BY sim4 DESC, cand_key) AS rn,
+        |             count(*) OVER (PARTITION BY p_partkey)::BIGINT + 1 AS n_block
+        |      FROM scored)
+        |SELECT p.p_partkey, p.p_brand AS block_brand, p.p_size AS block_size,
+        |       coalesce(r.n_block, 1)::BIGINT AS n_block,
+        |       r.cand_key AS match_key, r.dist, r.sim4
+        |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON r.p_partkey = p.p_partkey
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // the NAIVE per-token rank window — the law the Spark side's
+    // count-of-counts contraction must reproduce exactly
+    "x119_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+         |r AS (SELECT row_number() OVER (ORDER BY c DESC, token)::BIGINT AS rnk,
+         |             sum(c) OVER (ORDER BY c DESC, token ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM cnt),
+         |sel AS (SELECT pct, min(rnk)::BIGINT AS vocab_rank
+         |        FROM r CROSS JOIN tot
+         |             CROSS JOIN (SELECT unnest([${coveragePcts.mkString(", ")}]) AS pct)
+         |        WHERE 100 * cum >= pct * total GROUP BY pct)
+         |SELECT sel.pct, sel.vocab_rank, r.cum AS covered_mass, tot.total AS total_mass,
+         |       round(r.cum::DOUBLE / tot.total, 4) AS coverage4
+         |FROM sel JOIN r ON r.rnk = sel.vocab_rank CROSS JOIN tot
+         |ORDER BY sel.pct""".stripMargin,
+
+    "x120_zipf_profile" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT lang, token, count(*)::BIGINT AS freq FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(freq)::BIGINT AS lang_mass FROM cnt GROUP BY 1),
+         |r AS (SELECT lang, token, freq,
+         |             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token)::BIGINT AS rank
+         |      FROM cnt)
+         |SELECT r.lang, rank, token, freq, rank * freq AS zipf_product,
+         |       round(freq::DOUBLE / lang_mass, 4) AS share4
+         |FROM r JOIN tot ON tot.lang = r.lang
+         |WHERE rank IN (${(0 to zipfMaxRankLog2).map(1L << _).mkString(", ")})
+         |ORDER BY r.lang, rank""".stripMargin,
+
+    // x22's component closure + a size histogram; the size-1 bucket is
+    // the unpaired complement (components always have >= 2 members)
+    "x121_cluster_sizes" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1),
+         |hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+         |clustered AS (SELECT count(*)::BIGINT AS n_clustered FROM comp),
+         |all_h AS (SELECT * FROM hist
+         |          UNION ALL
+         |          SELECT 1::BIGINT, n_total - n_clustered FROM tot CROSS JOIN clustered
+         |          WHERE n_total > n_clustered)
+         |SELECT cluster_size, n_clusters,
+         |       cluster_size * n_clusters AS n_docs,
+         |       round((cluster_size * n_clusters)::DOUBLE / n_total, 4) AS docs_share4
+         |FROM all_h CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
+
+    // dense hour grid (absent hours count 0), scaled-integer deviations
+    // dev = H*c - T, cusum in hour order, peak tie to the earliest hour
+    "x122_cusum_drift" ->
+      """WITH ev AS (SELECT event_type,
+        |                   (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s FROM events),
+        |cells AS (SELECT event_type, hour_s, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(hour_s) AS h0, max(hour_s) AS h1 FROM cells),
+        |grid AS (SELECT unnest(range(h0, h1 + 3600, 3600)) AS hour_s FROM span),
+        |types AS (SELECT DISTINCT event_type FROM cells),
+        |dense AS (SELECT t.event_type, g.hour_s, coalesce(c.c, 0)::BIGINT AS c
+        |          FROM types t CROSS JOIN grid g
+        |          LEFT JOIN cells c ON c.event_type = t.event_type AND c.hour_s = g.hour_s),
+        |st AS (SELECT event_type, hour_s, c,
+        |              count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours,
+        |              sum(c) OVER (PARTITION BY event_type)::BIGINT AS n_events
+        |       FROM dense),
+        |cu AS (SELECT event_type, hour_s, n_hours, n_events,
+        |              sum(n_hours * c - n_events) OVER (PARTITION BY event_type ORDER BY hour_s
+        |                ROWS UNBOUNDED PRECEDING)::BIGINT AS cusum
+        |       FROM st),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                 ORDER BY abs(cusum) DESC, hour_s) AS rn FROM cu)
+        |SELECT event_type, n_hours, n_events, hour_s AS peak_hour_s,
+        |       cusum AS peak_cusum, abs(cusum)::BIGINT AS peak_abs
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // majority pick mirrors max(struct(n_l, lang)): count desc, then
+    // the LEXICALLY GREATER language on ties
+    "x123_lang_purity" ->
+      """WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n_l
+        |               FROM documents GROUP BY 1, 2),
+        |agg AS (SELECT source, sum(n_l)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
+        |               sum(n_l * n_l)::BIGINT AS sum_sq FROM cells GROUP BY 1),
+        |mj AS (SELECT source, lang AS majority_lang, n_l AS mj_n,
+        |              row_number() OVER (PARTITION BY source ORDER BY n_l DESC, lang DESC) AS rn
+        |       FROM cells)
+        |SELECT a.source, n_docs, n_langs, majority_lang,
+        |       round(mj_n::DOUBLE / n_docs, 4) AS majority_share4,
+        |       round((n_docs * n_docs - sum_sq)::DOUBLE / (n_docs * n_docs), 4) AS gini4
+        |FROM agg a JOIN mj ON mj.source = a.source AND rn = 1
+        |ORDER BY a.source""".stripMargin,
+
+    "x124_rare_cell_suppression" ->
+      s"""SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |       count(*) < $kanonK AS suppress,
+         |       (CASE WHEN count(*) < $kanonK THEN 0 ELSE count(*) END)::BIGINT AS kept_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

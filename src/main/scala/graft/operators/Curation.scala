@@ -1731,4 +1731,110 @@ object Curation {
       .select("source", "n", "sum_d2", "rho")
       .orderBy("source")
   }
+
+  /** EXT-C41 (`x121_cluster_sizes`) — near-dup cluster DEMOGRAPHICS: the
+    * size histogram of x22's connected components, singletons included
+    * (every document outside any component is its own size-1 cluster —
+    * the left-anti complement, so the histogram's doc mass covers the
+    * corpus exactly). What x22's per-document labels can't show at a
+    * glance: whether duplication lives in a long tail of pairs (benign
+    * — the LEFT-ANTI dedup families handle it linearly) or in a few
+    * giant clusters (the boilerplate/mirror signature — where the
+    * star-contraction round count and the per-cluster rep selection
+    * (x47) start to matter, and where a bucket-saturation guard will
+    * fire first). Published dedup reports lead with exactly this
+    * distribution because its head shape decides the dedup strategy.
+    *
+    * Output: `(cluster_size, n_clusters, n_docs, docs_share4)` ordered
+    * by size; `docs_share4` is one IEEE division of exact BIGINTs.
+    *
+    * Plan: the component labels are x22's (star contraction, plan
+    * contract pinned there); on top of them the histogram is two
+    * |clusters|-bounded folds plus the 1-row corpus total broadcast and
+    * the singleton count derived by difference — nothing here re-scans
+    * text or grows past |clusters| rows.
+    */
+  def clusterSizes(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val labels = dedupClusters(spark, dir, maxRounds)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total")).select("n_total")
+    val nClustered = labels.agg(count(lit(1)).as("n_clustered"))
+    // components have >= 2 members by construction (every member has an
+    // edge), so the size-1 bucket is exactly the unpaired complement
+    val singles = nDocs.crossJoin(nClustered)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+      .filter(col("n_clusters") > 0L)
+    hist.unionByName(singles)
+      .crossJoin(broadcast(nDocs))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        round((col("cluster_size") * col("n_clusters")).cast("double") /
+          col("n_total"), 4).as("docs_share4"))
+      .orderBy("cluster_size")
+  }
+
+  /** EXT-C42 (`x123_lang_purity`) — per-source language-mix purity: the
+    * document count, distinct languages, the majority language and its
+    * share, and the GINI impurity `1 − Σ (n_l/n)²` — spelled as the
+    * exact rational `(n² − Σ n_l²) / n²` so both engines evaluate one
+    * IEEE division of exact BIGINTs (the repo-wide exactness
+    * convention; the entropy spelling would need `ln`, an
+    * engine-specific libm call). The mislabeled-scrape detector: a
+    * "source" is usually one crawl pipeline with one dominant language,
+    * so high impurity either flags boilerplate-heavy multilingual spam
+    * or a language-ID model drifting on that domain (x8/x17's output
+    * feeding back) — and the mixture weights x48/x68 plan with are only
+    * as good as the per-source language labels this audits.
+    *
+    * Plan: one (source, lang) fold — the wire carries |sources|·|langs|
+    * rows, never documents — then a |sources|-row fold where the
+    * majority pick is the partial-agg-friendly `max(struct(n_l, lang))`
+    * (ties to the LEXICALLY GREATER language — struct-max's natural
+    * order, mirrored exactly in the oracle's arg-max spelling).
+    */
+  def langPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_l"))
+    cells.groupBy("source")
+      .agg(
+        sum("n_l").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("n_l"), col("lang"))).as("m"),
+        sum(col("n_l") * col("n_l")).as("sum_sq"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("m.lang").as("majority_lang"),
+        round(col("m.n_l").cast("double") / col("n_docs"), 4).as("majority_share4"),
+        round((col("n_docs") * col("n_docs") - col("sum_sq")).cast("double") /
+          (col("n_docs") * col("n_docs")), 4).as("gini4"))
+      .orderBy("source")
+  }
+
+  /** EXT-C43 (`x124_rare_cell_suppression`) — k-anonymity-style rare-
+    * combination suppression: every `(lang, source)` cell with its
+    * population and a `suppress` verdict for cells below `k`, plus the
+    * kept-document count the release would ship. The privacy-adjacent
+    * curation gate: a cell rare enough to fingerprint its members
+    * (the quasi-identifier argument) is also rare enough to be noise
+    * for mixture planning — so the suppression list doubles as the
+    * "domains too thin to weight" report feeding x48/x72. Generalizes
+    * by key composition: any quasi-identifier tuple in place of
+    * (lang, source), same one-fold plan.
+    *
+    * Plan: ONE (lang, source) fold — |cells| rows on the wire, the
+    * verdict and kept count are row-local arithmetic on the cell
+    * relation. Nothing grows with the corpus past the first partial
+    * aggregation.
+    */
+  def rareCellSuppression(spark: SparkSession, dir: String, k: Long = 25L): DataFrame = {
+    require(k >= 1L, s"k ($k) must be positive")
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("suppress", col("n_docs") < k)
+      .withColumn("kept_docs",
+        when(col("suppress"), 0L).otherwise(col("n_docs")))
+      .orderBy("lang", "source")
+  }
 }

@@ -460,6 +460,68 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** EXT-X11 (`x122_cusum_drift`) — CUSUM change-point detection on
+    * per-type event rates: each type's hourly counts over the DENSE
+    * global hour grid (absent hours count 0 — a type going silent IS
+    * the change CUSUM exists to catch), deviations from the type's own
+    * mean rate accumulated in hour order, and the peak excursion with
+    * the hour it peaks at. The classic sequential-drift detector: a
+    * level shift in a type's rate makes the cumulative sum ramp
+    * monotonically from the shift hour, so `peak_hour_s` IS the change
+    * point estimate and `peak_abs` its magnitude — the audit that
+    * separates "rate moved at hour H" from the global averages x12/x76
+    * smear across the window.
+    *
+    * Exactness: with `H` grid hours and `T` type events, the per-hour
+    * deviation from mean is spelled scaled — `dev = H·c_h − T` — an
+    * exact BIGINT (the rational mean `T/H` never materializes), so the
+    * cusum, its peak, and the end-to-zero telescoping invariant
+    * (Σ dev = H·T − T·H = 0, spec-pinned) are integer-exact in both
+    * engines. Peak ties break to the EARLIEST hour (the struct-max
+    * negated-hour spelling, presentTopK's convention).
+    *
+    * Scale: the corpus-sized work is ONE (type, hour) fold — partial
+    * aggs collapse each partition to its distinct cells before the
+    * exchange. Everything after lives on the |types|·H grid relation,
+    * bounded by calendar time × type cardinality, not data volume (a
+    * year of hours is 8 760 rows per type at any corpus size); the
+    * grid endpoints ride as a 1-row broadcast and the cusum window
+    * partitions by type over grid rows only.
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Replication.events(spark, dir)
+      .select(col("event_type"),
+        // x12's bucketing spelling: integer-second hours, so the grid
+        // arithmetic below stays in exact BIGINTs
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_s"))
+    val cells = ev.groupBy("event_type", "hour_s").agg(count(lit(1)).as("c"))
+    val span = cells.agg(min("hour_s").as("h0"), max("hour_s").as("h1"))
+    val grid = span
+      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_s"))
+    val types = cells.select("event_type").distinct()
+    val dense = types.crossJoin(grid)
+      .join(cells, Seq("event_type", "hour_s"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val perType = Window.partitionBy("event_type")
+    val cum = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("n_hours", count(lit(1)).over(perType))
+      .withColumn("n_events", sum("c").over(perType))
+      .withColumn("cusum",
+        sum(col("n_hours") * col("c") - col("n_events")).over(cum))
+      .groupBy("event_type")
+      .agg(
+        max("n_hours").as("n_hours"),
+        max("n_events").as("n_events"),
+        max(struct(abs(col("cusum")).as("a"), (-col("hour_s")).as("nh"),
+          col("cusum").as("v"))).as("m"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        (-col("m.nh")).as("peak_hour_s"), col("m.v").as("peak_cusum"),
+        col("m.a").as("peak_abs"))
+      .orderBy("event_type")
+  }
+
   def trainTransitionModel(spark: SparkSession, dir: String): TransitionModel = {
     val rows = transitions(spark, dir)
       .select("from_type", "to_type", "n_trans").collect()

@@ -1202,4 +1202,129 @@ object TextAnalysis {
       .withColumn("n_oov",
         col("n_tokens") - graft.functions.CountIn.countIn(toks, vocab))
   }
+
+  /** EXT-T19 (`x119_vocab_coverage`) — vocabulary coverage curve: for
+    * each target percentage the MINIMAL vocabulary size (under the
+    * count-desc/token-asc rank every top-N here uses) whose tokens
+    * cover at least that share of all token instances, with the exact
+    * instance mass covered at that rank. The tokenizer-sizing audit:
+    * "how big must the vocab be for 95% coverage" is the first question
+    * a vocabulary budget answers, and the 50→99 profile is the
+    * heavy-tail signature (a corpus whose 99% rank explodes relative to
+    * its 95% rank is the one BPE subwording exists for — x90/T15).
+    *
+    * Exactness + scale, via the COUNT-OF-COUNTS contraction: the naive
+    * spelling ranks the whole vocabulary under one global window — a
+    * single-partition sort of |vocab| rows that a 100 TB corpus's
+    * ~10⁸-token vocabulary would funnel through one task. But ranks of
+    * tokens INSIDE one frequency class are interchangeable for
+    * cumulative mass (every member adds the same `c`), so the curve
+    * only needs the (frequency → class size) relation: ≤ |distinct
+    * counts| rows — thousands, not hundreds of millions (bounded by
+    * √(2·instances) since distinct positive counts summing to N number
+    * O(√N)). The threshold rank lands inside one class and closes in
+    * exact integers: `rank = ranks_before + ⌈(need − 100·mass_before) /
+    * (100·c)⌉` where `need = pct·total` — ceiling division on BIGINTs,
+    * no float anywhere until the one presentation division. The oracle
+    * spells the naive per-token window; the two agree EXACTLY by the
+    * interchangeability argument — which is the point: the contraction
+    * is a plan optimization, not an approximation.
+    *
+    * Plan: one tokenized corpus pass folds to per-token counts (the
+    * wire carries the per-partition vocabulary — x96's argument), a
+    * second |vocab|-row fold contracts to count classes, and the
+    * cumulative window orders ONLY the class relation. The |pcts|
+    * thresholds ride as one literal explode over the crossing class —
+    * the sweep costs one pass regardless of how many targets are asked
+    * (budgetSweep's discipline).
+    */
+  def vocabCoverage(
+      spark: SparkSession,
+      dir: String,
+      pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts ($pcts) must be percentages in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val classes = Tables.documents(spark, dir)
+      .select(explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_class"))
+    // cumulative over count classes, frequency DESC (the rank order):
+    // ranks_before / mass_before are the totals STRICTLY above class c
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = classes
+      .withColumn("ranks_thru", sum("n_class").over(w))
+      .withColumn("mass_thru", sum(col("n_class") * col("c")).over(w))
+      .withColumn("ranks_before", col("ranks_thru") - col("n_class"))
+      .withColumn("mass_before", col("mass_thru") - col("n_class") * col("c"))
+    // the 1-row totals broadcast (x65's convention — stays in-plan)
+    val total = classes.agg(sum(col("n_class") * col("c")).as("total_mass"))
+    cum.crossJoin(broadcast(total))
+      .select(col("c"), col("ranks_before"), col("mass_before"),
+        col("mass_thru"), col("total_mass"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      // the crossing class: the first (in rank order) whose through-mass
+      // reaches the target — exact integer compare, no division
+      .filter(col("mass_thru") * 100L >= col("pct") * col("total_mass") &&
+        col("mass_before") * 100L < col("pct") * col("total_mass"))
+      // within-class step count: exact BIGINT ceiling division — the
+      // double-division spelling could round a boundary case across ⌈⌉
+      .withColumn("steps", expr(
+        "(pct * total_mass - 100 * mass_before + 100 * c - 1) DIV (100 * c)"))
+      .select(col("pct"),
+        (col("ranks_before") + col("steps")).as("vocab_rank"),
+        (col("mass_before") + col("steps") * col("c")).as("covered_mass"),
+        col("total_mass"),
+        round((col("mass_before") + col("steps") * col("c")).cast("double") /
+          col("total_mass"), 4).as("coverage4"))
+      .orderBy("pct")
+  }
+
+  /** EXT-T20 (`x120_zipf_profile`) — per-language Zipf product profile:
+    * at each probe rank r ∈ {1, 2, 4, …} (under the count-desc/
+    * token-asc rank), the token, its frequency, the Zipf product
+    * `r · freq`, and its share of the language's instances. Under
+    * Zipf's law freq(r) ∝ 1/r, so the product column is CONSTANT — how
+    * far and in which direction it drifts across the doubling ranks is
+    * the head-heaviness profile (machine-generated/boilerplate corpora
+    * bow the curve up at the head; token-diverse corpora decay it),
+    * read per language because the law's constant is
+    * language-specific. Deliberately spelled in exact integers — the
+    * textbook log-log regression slope needs `ln` (an engine-specific
+    * libm call that can round differently at the last ulp), while
+    * `r · freq` is a BIGINT product both engines compute identically;
+    * the one division (`share4`) is a single IEEE op on exact integers
+    * (the repo-wide exactness convention).
+    *
+    * Plan: one tokenized pass to (lang, token) counts — the x96 wire
+    * argument — then the rank window partitions BY LANGUAGE over the
+    * per-language vocabulary (never global, never the token stream),
+    * and the probe-rank filter collapses it to |langs| · |probes| rows
+    * before the totals broadcast joins back. Probe ranks double rather
+    * than step so the profile spans three decades in ~10 rows per
+    * language (the budgetSweep sweep discipline).
+    */
+  def zipfProfile(
+      spark: SparkSession,
+      dir: String,
+      maxRankLog2: Int = 7): DataFrame = {
+    require(maxRankLog2 >= 0 && maxRankLog2 <= 30,
+      s"maxRankLog2 ($maxRankLog2) out of range")
+    import org.apache.spark.sql.expressions.Window
+    val probes = (0 to maxRankLog2).map(1L << _)
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+    val totals = counts.groupBy("lang").agg(sum("freq").as("lang_mass"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank").isInCollection(probes))
+      .join(totals, "lang")
+      .select(col("lang"), col("rank"), col("token"), col("freq"),
+        (col("rank") * col("freq")).as("zipf_product"),
+        round(col("freq").cast("double") / col("lang_mass"), 4).as("share4"))
+      .orderBy("lang", "rank")
+  }
 }

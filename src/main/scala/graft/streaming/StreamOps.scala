@@ -791,6 +791,104 @@ object StreamOps {
         when(col("n_tokens") === 0L, lit(null).cast("double"))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
 
+  /** Per-type CUSUM state: the last watermark-sealed grid hour (epoch
+    * seconds; MinValue before the first seal), the running cusum over
+    * sealed hours, and the unsealed open-hour counts (bounded by the
+    * watermark horizon — hours leave state the moment they seal).
+    */
+  case class CusumState(lastSealedS: Long, cusum: Long, open: Map[Long, Long])
+
+  /** One sealed grid hour of the streaming CUSUM monitor. */
+  case class CusumPoint(event_type: String, hour_s: Long, c: Long,
+      dev: Long, cusum: Long)
+
+  /** EXT-6aa — streaming CUSUM drift monitor: the unbounded twin of
+    * [[graft.operators.Temporal.cusumDrift]] (x122). Arriving events
+    * bucket into grid hours per type; once the watermark seals an hour
+    * (no in-scope arrival can land in it — Spark drops `ts <= wm`, so
+    * an hour is immutable when its end has passed the watermark) the
+    * monitor emits the hour's count, the scaled-integer deviation
+    * `dev = refHours·c − refEvents` against the TRAINED reference rate
+    * (x122 over history — the EXT-6i retrain contract: re-baselining is
+    * a new query with a new `ref`), and the running cusum. Exactly
+    * x122's arithmetic — `dev` compares `c` with the reference mean
+    * `refEvents/refHours` without ever materializing the rational — so
+    * a level shift ramps the emitted cusum monotonically from the
+    * change hour, live.
+    *
+    * The DENSE-grid law (a type going silent IS the change) survives
+    * streaming: sealed hours are emitted CONTIGUOUSLY from
+    * `gridStartS` (the monitor epoch, normally the batch history's
+    * grid end) — empty hours between arrivals, and after the last
+    * arrival, seal by EventTimeTimeout and emit with `c = 0`, so
+    * silence ramps the cusum at `−refEvents` per hour instead of
+    * pausing it. Replays re-derive identical points: counts are exact
+    * integers and the seal boundary is the engine's own late-arrival
+    * boundary.
+    *
+    * Scale/state: one shuffle keyed by event_type; state per type is
+    * the cursor pair + the open-hour counts, bounded by the watermark
+    * horizon in HOURS (not events — counts fold in-place). The spec
+    * pins the twin-agreement law: over a sealed history with
+    * `ref`/`gridStartS` taken from the batch audit, the emitted peak
+    * equals x122's peak row and the cusum telescopes to zero at the
+    * batch grid end.
+    */
+  def cusumMonitorStream(
+      ds: Dataset[Event],
+      ref: Map[String, (Long, Long)], // type -> (refHours, refEvents)
+      gridStartS: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[CusumPoint] = {
+    import ds.sparkSession.implicits._
+    require(gridStartS % 3600 == 0, s"gridStartS ($gridStartS) must be hour-aligned")
+    require(ref.values.forall(_._1 > 0), "reference grids must be non-empty")
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, events: Iterator[Event], state: GroupState[CusumState]) =>
+          ref.get(etype) match {
+            case None =>
+              // an unreferenced type stores nothing (the quota gate's
+              // no-pinned-state discipline) — it belongs to the next
+              // batch re-baseline, not this monitor's grid
+              if (state.exists) state.remove()
+              Iterator.empty
+            case Some((refH, refT)) =>
+              var st = state.getOption.getOrElse(
+                CusumState(gridStartS - 3600L, 0L, Map.empty))
+              val open = events.foldLeft(st.open) { (m, e) =>
+                val h = math.floorDiv(e.ts.getTime, 3600000L) * 3600L
+                if (h <= st.lastSealedS) m // pre-grid / already-sealed: dropped late
+                else m.updated(h, m.getOrElse(h, 0L) + 1L)
+              }
+              // an hour [h, h+3600) is immutable once its end <= wm
+              // (arrivals with ts <= wm are dropped by the engine)
+              val wm = state.getCurrentWatermarkMs()
+              val maxSealable = math.floorDiv(wm, 3600000L) * 3600L - 3600L
+              val out = List.newBuilder[CusumPoint]
+              var cursor = st.lastSealedS
+              var cusum = st.cusum
+              var rest = open
+              while (cursor < maxSealable) {
+                cursor += 3600L
+                val c = rest.getOrElse(cursor, 0L)
+                rest -= cursor
+                val dev = refH * c - refT
+                cusum += dev
+                out += CusumPoint(etype, cursor, c, dev, cusum)
+              }
+              st = CusumState(cursor, cusum, rest)
+              state.update(st)
+              // wake at the next hour's seal point so silent types keep
+              // emitting their empty-hour ramp (must be > wm)
+              state.setTimeoutTimestamp(
+                math.max((cursor + 2L * 3600L) * 1000L, wm + 1L))
+              out.result().iterator
+          }
+      }
+  }
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

@@ -818,4 +818,61 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got("solo")._3.isEmpty, "single-doc source reports rho NULL, never NaN")
     got.values.flatMap(_._3).foreach(r => assert(r >= -1.0 && r <= 1.0))
   }
+
+  test("clusterSizes (x121): histogram covers the corpus — components plus the singleton bucket") {
+    // the dedupClusters chain fixture: 1~2~3 one component, 9 unpaired
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> base,
+      2L -> base.replace("w7", "q7"),
+      3L -> base.replace("w7", "q7").replace("w13", "q13"),
+      9L -> (41 to 80).map(i => s"v$i").mkString(" ")))
+    val got = Curation.clusterSizes(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 0.25)),
+      3L -> ((1L, 3L, 0.75))))
+  }
+
+  test("clusterSizes: an all-unique corpus is one singleton bucket") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> (1 to 30).map(i => s"a$i").mkString(" "),
+      2L -> (31 to 60).map(i => s"b$i").mkString(" ")))
+    val got = Curation.clusterSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1.0)))
+  }
+
+  test("langPurity (x123): exact Gini, majority tie to the lexically greater lang") {
+    val dir = TestTables.documentsLangSourcedDir(spark, Seq(
+      // pure: 3 en
+      (1L, "t", "en", "pure"), (2L, "t", "en", "pure"), (3L, "t", "en", "pure"),
+      // mixed: 2 en + 1 fr + 1 de -> gini = (16 - (4+1+1))/16 = 0.625
+      (4L, "t", "en", "mix"), (5L, "t", "en", "mix"),
+      (6L, "t", "fr", "mix"), (7L, "t", "de", "mix"),
+      // tied: 1 en + 1 fr -> majority must be fr (lexically greater)
+      (8L, "t", "en", "tie"), (9L, "t", "fr", "tie")))
+    val got = Curation.langPurity(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("pure") == ((3L, 1L, "en", 1.0, 0.0)))
+    assert(got("mix") == ((4L, 3L, "en", 0.5, 0.625)))
+    assert(got("tie") == ((2L, 2L, "fr", 0.5, 0.5)),
+      "equal-count majority must break to the lexically greater language (struct-max order)")
+  }
+
+  test("rareCellSuppression (x124): cells below k suppressed, kept mass zeroed") {
+    val docs = (0L until 30L).map(i => (i, "t", "en", "big")) ++
+      Seq((100L, "t", "fr", "big"), (101L, "t", "fr", "big"),
+        (102L, "t", "en", "thin"))
+    val dir = TestTables.documentsLangSourcedDir(spark, docs)
+    val got = Curation.rareCellSuppression(spark, dir, k = 25L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got(("en", "big")) == ((30L, false, 30L)))
+    assert(got(("fr", "big")) == ((2L, true, 0L)))
+    assert(got(("en", "thin")) == ((1L, true, 0L)))
+    // the release invariant: kept mass is exactly the unsuppressed mass
+    assert(got.values.map(_._3).sum == 30L)
+  }
 }

@@ -734,6 +734,138 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("x111 edit dedup at 10x: banded candidates + equi-joins only; guard survives") {
+    // plan-level pin (the Levenshtein verify over the 10x candidate
+    // stream belongs in the bench JVM — BASELINE.md's 10x section
+    // records its measured time, x3's convention for verify families)
+    val p = plan(graft.operators.Dedup.editNearDup(spark, dir10))
+    noNestedLoops(p)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }
+    assert(joins.nonEmpty && joins.forall(identity),
+      s"candidate generation and text join-back must stay equi-joins:\n$p")
+    assert(p.toString.contains("bucket saturated"),
+      "the banded-bucket saturation guard must survive the scale-up")
+  }
+
+  test("x112 semantic contamination at 10x: bench slice broadcasts; no cartesian, no window") {
+    val p = plan(graft.operators.Similarity.semanticContamination(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"the guarded bench slice must broadcast at 60k vectors:\n$p")
+    // the max-sim fold is the presentTopK struct-max aggregate — a rank
+    // window here would sort the scored pairs instead of folding them
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, p.toString)
+    // executes at benchMod 1000 (the x105 queryMod convention: the
+    // guard path and fold shape are mod-invariant; the full 3k-vector
+    // bench slice belongs to the bench JVM): every non-bench vector is
+    // scored exactly once, sims stay in [-1, 1]
+    val rows = graft.operators.Similarity
+      .semanticContamination(spark, dir10, benchMod = 1000).collect()
+    assert(rows.length == 60000 - 60)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("x113 oov rate at 10x: vocab fold bounded; token counts scale exactly with replication") {
+    val p = plan(graft.operators.TextAnalysis.oovRate(spark, dir10))
+    noNestedLoops(p)
+    // executes: disjoint replica token spaces leave every document's
+    // token COUNT unchanged, so per-source instance mass must be
+    // exactly 10x sf0.1's — a correctness-at-scale pin (x65's style)
+    val at10 = graft.operators.TextAnalysis.oovRate(spark, dir10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val at1 = graft.operators.TextAnalysis.oovRate(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at10.keySet == at1.keySet, "source identity must survive scale")
+    at1.foreach { case (src, n) => assert(at10(src) == 10L * n,
+      s"$src: token instances must scale exactly with replication") }
+  }
+
+  test("x114 cell outliers at 10x: one cell-keyed exchange; the integer cut holds exactly") {
+    val p = plan(graft.operators.Similarity.cellOutliers(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"trained centroids ride as literals — the projection must never join:\n$p")
+    // both windows (rank, cell count) share the one cell-keyed exchange
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length <= 2, p.toString)
+    // executes at 60k vectors: the exact-integer bottom-5% law —
+    // outliers per cell == floor(n_cell / 20), no float percentile drift
+    val rows = graft.operators.Similarity.cellOutliers(spark, dir10).collect()
+    assert(rows.map(_.getLong(1)).distinct.length >= 2, "training must keep >= 2 live cells")
+    val perCell = rows.groupBy(_.getLong(1))
+    perCell.foreach { case (_, rs) =>
+      val n = rs.head.getLong(4)
+      assert(rs.count(_.getBoolean(5)) == n / 20)
+    }
+  }
+
+  test("x115 signal agreement at 10x: source-keyed ranks; rho stays a valid correlation") {
+    val p = plan(graft.operators.Curation.signalAgreement(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // no rank window may sort the raw corpus — both windows key by
+    // source over the already-joined signal relation
+    val rows = graft.operators.Curation.signalAgreement(spark, dir10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val rho = r.getDouble(3)
+        assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho out of range: $rho")
+      }
+    }
+  }
+
+  test("x116 containment at 10x: posting-list shape survives — equi-joins, guard, no flip") {
+    // plan-level pin (the exact IntersectSize verify over the 10x
+    // candidate stream runs in the bench JVM — x3's convention)
+    val p = plan(graft.operators.Dedup.containmentJoin(spark, dir10))
+    noNestedLoops(p)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }
+    assert(joins.nonEmpty && joins.forall(identity),
+      s"prefix probe and array join-back must stay equi-joins:\n$p")
+    assert(p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.nonEmpty, "the grouped posting-list explode must survive")
+    assert(p.toString.contains("posting list this hot"),
+      "the posting-list saturation guard must survive the scale-up")
+  }
+
+  test("x117 pack bleed at 10x: one packing window; doc and token mass scale exactly") {
+    val p = plan(graft.operators.Packing.packBleed(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length == 1, s"the sweep must reuse the ONE per-lang running-sum window:\n$p")
+    // executes: replication multiplies per-(win, lang) doc and token
+    // mass exactly 10x (prefixing never changes a token count), and the
+    // bleed law bounds positions by (W-1) per bleeding doc
+    val at10 = graft.operators.Packing.packBleed(spark, dir10).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(5), r.getLong(3), r.getLong(4))).toMap
+    val at1 = graft.operators.Packing.packBleed(spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (k, (nd, nt)) =>
+      val (nd10, nt10, nBleed10, bleedPos10) = at10(k)
+      assert(nd10 == 10L * nd && nt10 == 10L * nt,
+        s"$k: doc/token mass must scale exactly with replication")
+      assert(bleedPos10 <= (k._1 - 1L) * nBleed10,
+        s"$k: bleed positions must respect the per-doc (W-1) bound")
+    }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

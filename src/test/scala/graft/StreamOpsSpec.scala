@@ -1711,4 +1711,72 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(batch == Map("web" -> ((7L, 2L)), "book" -> ((2L, 2L))))
     } finally q.stop()
   }
+
+  test("EXT-6aa cusumMonitorStream: sealed hours carry the batch CUSUM law; silence ramps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hour-aligned epoch base so grid hours land exactly on x122's grid
+    val h0S = 1700000000L - (1700000000L % 3600L)
+    def evh(id: Long, minute: Int, typ: String) =
+      Event(id, new java.sql.Timestamp((h0S + minute * 60L) * 1000L), 1L, typ, 1.0)
+    // the x122 fixture, hour counts over grid h0..h3:
+    //   A [4,0,0,0] -> dev [12,-4,-4,-4], cusum [12,8,4,0]
+    //   B [0,0,0,2] -> dev [-2,-2,-2,6], cusum [-2,-4,-6,0]
+    //   C [1,1,1,1] -> flat zero
+    val hist =
+      (1L to 4L).map(i => evh(i, i.toInt, "A")) ++
+        Seq(evh(5, 181, "B"), evh(6, 182, "B")) ++
+        Seq(evh(7, 5, "C"), evh(8, 65, "C"), evh(9, 125, "C"), evh(10, 185, "C"))
+    // the trained reference IS the batch audit over the same history
+    val dir = TestTables.eventsDir(spark,
+      hist.map(e => (e.event_id, e.ts.getTime * 1000L, e.user_id, e.event_type)))
+    val batch = graft.operators.Temporal.cusumDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ref = batch.map { case (t, (h, n, _, _, _)) => t -> ((h, n)) }
+    val stream = MemoryStream[Event]
+    val q = StreamOps.cusumMonitorStream(stream.toDS(), ref, gridStartS = h0S,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      stream.addData(hist: _*)
+      q.processAllAvailable()
+      // two flushes on an UNREFERENCED type: the first advances the
+      // watermark to hour 6, the second lets the timeouts fire with it
+      stream.addData(evh(98, 360, "zz"))
+      q.processAllAvailable()
+      stream.addData(evh(99, 361, "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(!rows.keySet.exists(_._1 == "zz"), "unreferenced types emit nothing")
+      def h(i: Int) = h0S + i * 3600L
+      // every referenced type seals the CONTIGUOUS grid h0..h5 exactly once
+      for (t <- Seq("A", "B", "C"))
+        assert(rows.keySet.filter(_._1 == t).map(_._2) == (0 to 5).map(h(_)).toSet)
+      // in-grid hours carry exactly the batch law (dev = H*c - T)
+      assert((0 to 3).map(i => rows(("A", h(i)))) ==
+        Seq((4L, 12L, 12L), (0L, -4L, 8L), (0L, -4L, 4L), (0L, -4L, 0L)))
+      assert((0 to 3).map(i => rows(("B", h(i)))) ==
+        Seq((0L, -2L, -2L), (0L, -2L, -4L), (0L, -2L, -6L), (2L, 6L, 0L)))
+      assert((0 to 3).map(i => rows(("C", h(i)))) ==
+        Seq((1L, 0L, 0L), (1L, 0L, 0L), (1L, 0L, 0L), (1L, 0L, 0L)))
+      // the twin-agreement law: the emitted peak over the batch grid
+      // (max abs, tie to the earliest hour) IS x122's peak row
+      for (t <- Seq("A", "B", "C")) {
+        val (ph, pc, pa) = (0 to 3).map { i =>
+          val (_, _, cu) = rows((t, h(i))); (h(i), cu, math.abs(cu))
+        }.maxBy { case (hs, _, a) => (a, -hs) }
+        assert((ph, pc, pa) == ((batch(t)._3, batch(t)._4, batch(t)._5)),
+          s"$t: stream peak must equal the batch audit's")
+      }
+      // past the history, silence ramps at -refEvents per hour — the
+      // dense-grid law live (a type going silent IS the change)
+      for ((t, te) <- Seq(("A", 4L), ("B", 2L), ("C", 4L))) {
+        assert(rows((t, h(4))) == ((0L, -te, -te)))
+        assert(rows((t, h(5))) == ((0L, -te, -2L * te)))
+      }
+    } finally q.stop()
+  }
 }

@@ -227,4 +227,28 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // the (user, type) partition means A's count ignores B's events
     assert(got("A").getLong(1) == 3L)
   }
+
+  test("cusumDrift (x122): dense grid, scaled-integer cusum, peak ties to the earliest hour") {
+    def us(s: Long): Long = s * 1000000L
+    // grid: hours 0..3 (the union span — A alone would end at hour 0).
+    // A: counts [4,0,0,0], T=4 -> dev = 4c-4 = [12,-4,-4,-4], cusum
+    //    [12,8,4,0] -> peak +12 at hour 0 (the burst-then-silence ramp).
+    // B: counts [0,0,0,2], T=2 -> dev = [-2,-2,-2,6], cusum [-2,-4,-6,0]
+    //    -> peak -6 at hour 2: CUSUM flags the silence BEFORE the late
+    //    burst, which is the change-point reading.
+    // C: counts [1,1,1,1] -> dev 0 everywhere -> all-zero cusum; the
+    //    all-tied peak must break to the EARLIEST hour.
+    val dir = TestTables.eventsDir(spark,
+      (1L to 4L).map(i => (i, us(i * 10), 1L, "A")) ++
+        Seq((5L, us(10810), 1L, "B"), (6L, us(10820), 2L, "B")) ++
+        Seq((7L, us(100), 3L, "C"), (8L, us(3700), 3L, "C"),
+          (9L, us(7300), 3L, "C"), (10L, us(10900), 3L, "C")))
+    val got = Temporal.cusumDrift(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") == ((4L, 4L, 0L, 12L, 12L)))
+    assert(got("B") == ((4L, 2L, 7200L, -6L, 6L)))
+    assert(got("C") == ((4L, 4L, 0L, 0L, 0L)),
+      "an all-tied (flat) cusum must report the earliest grid hour")
+  }
 }

@@ -105,4 +105,28 @@ object TestTables {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
+
+  /** documents with explicit lang AND source, from (id, text, lang, source). */
+  def documentsLangSourcedDir(
+      spark: SparkSession, docs: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    docs.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** part(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice) from
+    * (key, name, brand, size) — the harness `part` shape (TESTDATA.md)
+    * with filler type/price, for the linkage specs.
+    */
+  def partDir(spark: SparkSession, rows: Seq[(Long, String, String, Int)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").toString
+    rows.map { case (k, n, b, s) => (k, n, b, "STANDARD", s, 900.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
 }

@@ -580,4 +580,49 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(batch == proj, "in-plan vocab cut and collected-literal cut cannot drift")
     assert(batch == Map("s1" -> ((6L, 1L)), "s2" -> ((8L, 3L))))
   }
+
+  test("vocabCoverage (x119): count-of-counts contraction equals the naive rank law") {
+    // counts: a=6, b=3, d=3, c=1 -> total 13; classes 6->{a}, 3->{b,d},
+    // 1->{c}. Naive ranks (count desc, token asc): a=1, b=2, d=3, c=4.
+    //  50%: need 100*cum >= 650  -> rank 2 (cum 9)
+    //  90%: need >= 1170         -> rank 3 (cum 12)
+    //  95%: need >= 1235         -> rank 4 (cum 13)
+    //  99%: need >= 1287         -> rank 4
+    // 90% exercises the multi-token class (steps = 2 INSIDE class 3).
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "a a a b b d", 2L -> "a a a b d d c"))
+    val got = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(50) == ((2L, 9L, 13L, 0.6923)))
+    assert(got(90) == ((3L, 12L, 13L, 0.9231)))
+    assert(got(95) == ((4L, 13L, 13L, 1.0)))
+    assert(got(99) == ((4L, 13L, 13L, 1.0)))
+  }
+
+  test("vocabCoverage: an exact class boundary needs no extra rank") {
+    // a=5, b=5 -> total 10; 50% is EXACTLY rank 1's mass (100*5 = 50*10)
+    val dir = TestTables.documentsDir(spark, Seq(1L -> "a a a a a b b b b b"))
+    val got = TextAnalysis.vocabCoverage(spark, dir, pcts = Seq(50, 100)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(50) == ((1L, 5L)), "exact equality must not spill into the next rank")
+    assert(got(100) == ((2L, 10L)))
+  }
+
+  test("zipfProfile (x120): doubling probe ranks, exact products, per-lang totals") {
+    // en: a=8, b=4, c=2, d=1 (total 15); fr: x=3, y=1 (total 4).
+    // probes {1, 2, 4}: en rank 3 (c) is skipped; fr has no rank 4.
+    val dir = TestTables.documentsLangDir(spark, Seq(
+      (1L, "a a a a a a a a b b b b c c d", "en"),
+      (2L, "x x x y", "fr")))
+    val got = TextAnalysis.zipfProfile(spark, dir, maxRankLog2 = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("en", 1L), ("en", 2L), ("en", 4L), ("fr", 1L), ("fr", 2L)))
+    assert(got(("en", 1L)) == (("a", 8L, 8L, 0.5333)))
+    assert(got(("en", 2L)) == (("b", 4L, 8L, 0.2667)))
+    assert(got(("en", 4L)) == (("d", 1L, 4L, 0.0667)))
+    assert(got(("fr", 1L)) == (("x", 3L, 3L, 0.75)))
+    assert(got(("fr", 2L)) == (("y", 1L, 2L, 0.25)))
+  }
 }
