@@ -275,6 +275,21 @@ object SparkEntry {
     // k-anonymity-style rare-combination suppression over (lang, source)
     "x124_rare_cell_suppression" -> ((s, dir) =>
       Curation.rareCellSuppression(s, dir, k = kanonK)),
+    // minhash-derived containment estimator vs the exact metric
+    "x125_containment_estimate" -> ((s, dir) => Dedup.containmentEstimate(s, dir)),
+    // content-defined chunk dedup census (edit-stable boundaries)
+    "x126_cdc_chunk_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(s, dir, k = cdcK, divisor = cdcDivisor)),
+    // length-distribution drift between snapshots at exact quantiles
+    "x127_quantile_drift" -> ((s, dir) => Curation.quantileDrift(s, dir)),
+    // directed source-overlap matrix at chunk granularity
+    "x128_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(s, dir, k = cdcK, divisor = cdcDivisor)),
+    // near-dup cluster composition: sources/langs per component
+    "x129_cluster_purity" -> ((s, dir) => Curation.clusterPurity(s, dir)),
+    // per-new-doc chunk novelty vs the corpus side
+    "x130_chunk_novelty" -> ((s, dir) =>
+      Dedup.chunkNovelty(s, dir, k = cdcK, divisor = cdcDivisor)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -320,6 +335,35 @@ object SparkEntry {
   private val coveragePcts = Seq(50, 90, 95, 99)
   private val zipfMaxRankLog2 = 7
   private val kanonK = 25L
+
+  /** x126/x128/x130 CDC geometry — same no-drift contract. */
+  private val cdcK = 4
+  private val cdcDivisor = 16L
+
+  /** Shared CDC chunk CTE (x126/x128/x130): the relational spelling of
+    * the row-local chunker — positioned k-gram hashes (x53's md5
+    * top-60-bit), boundary AFTER token q where hash(q) % divisor = 0,
+    * token→chunk via the cumulative-flag trick. Ends in
+    * `ch(doc_id, source, cid, n_tokens, digest)`.
+    */
+  private lazy val cdcChunksCte =
+    s"""t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |w AS (SELECT doc_id, i::BIGINT AS p,
+       |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + ${cdcK - 1}), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
+       |      FROM t, unnest(range(1, len(ts) - ${cdcK - 2})) AS r(i)
+       |      WHERE len(ts) >= $cdcK),
+       |b AS (SELECT doc_id, p FROM w WHERE h % $cdcDivisor = 0),
+       |tok AS (SELECT doc_id, source, tp::BIGINT AS tp, ts[tp] AS token
+       |        FROM t, unnest(range(1, len(ts) + 1)) AS r(tp)),
+       |f AS (SELECT tok.doc_id, source, tp, token,
+       |             CASE WHEN b.p IS NULL THEN 0 ELSE 1 END AS flag
+       |      FROM tok LEFT JOIN b ON b.doc_id = tok.doc_id AND b.p = tok.tp - 1),
+       |c AS (SELECT doc_id, source, tp, token,
+       |             sum(flag) OVER (PARTITION BY doc_id ORDER BY tp ROWS UNBOUNDED PRECEDING) AS cid
+       |      FROM f),
+       |ch AS (SELECT doc_id, source, cid, count(*)::BIGINT AS n_tokens,
+       |              md5(string_agg(token, ' ' ORDER BY tp)) AS digest
+       |       FROM c GROUP BY 1, 2, 3)""".stripMargin
 
   /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
     * and the interpolated oracle CTEs (the x103 no-drift contract).
@@ -2251,5 +2295,129 @@ object SparkEntry {
          |       count(*) < $kanonK AS suppress,
          |       (CASE WHEN count(*) < $kanonK THEN 0 ELSE count(*) END)::BIGINT AS kept_docs
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x52's signature/candidate CTEs + x116's canonical orientation; the
+    // derived estimator C-hat = m(n1+n2)/((16+m)·n_small) and the exact
+    // containment are each ONE division of exact BIGINTs
+    "x125_containment_estimate" ->
+      s"""WITH $shinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (SELECT doc_id, seed,
+         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+         |        FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+         |nm AS (SELECT c.d1, c.d2, count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
+         |       FROM cand c JOIN mh a ON a.doc_id = c.d1
+         |                   JOIN mh b ON b.doc_id = c.d2 AND b.seed = a.seed
+         |       GROUP BY 1, 2),
+         |e AS (SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND j.d1 < j.d2) THEN j.d1 ELSE j.d2 END AS d_small,
+         |             CASE WHEN n1 < n2 OR (n1 = n2 AND j.d1 < j.d2) THEN j.d2 ELSE j.d1 END AS d_large,
+         |             least(n1, n2)::BIGINT AS n_small, greatest(n1, n2)::BIGINT AS n_large,
+         |             n_match,
+         |             (n_match * (n1 + n2))::DOUBLE / ((16 + n_match) * least(n1, n2)) AS est_containment,
+         |             inter::DOUBLE / least(n1, n2) AS containment
+         |      FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2)
+         |SELECT d_small, d_large, n_small, n_large, n_match,
+         |       est_containment, containment, abs(est_containment - containment) AS abs_err
+         |FROM e ORDER BY d_small, d_large""".stripMargin,
+
+    // the shared CDC chunk CTE + the digest census and per-source fold
+    "x126_cdc_chunk_dedup" ->
+      s"""WITH $cdcChunksCte,
+         |census AS (SELECT digest, count(*)::BIGINT AS n_copies FROM ch GROUP BY 1)
+         |SELECT source, count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS n_chunk_tokens,
+         |       sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |       sum(CASE WHEN n_copies >= 2 THEN n_tokens ELSE 0 END)::BIGINT AS dup_tokens,
+         |       CASE WHEN sum(n_tokens) = 0 THEN NULL
+         |            ELSE round(sum(CASE WHEN n_copies >= 2 THEN n_tokens ELSE 0 END)::DOUBLE / sum(n_tokens), 4)
+         |       END AS dup_frac4
+         |FROM ch JOIN census USING (digest)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // x67's order-statistic rank rule per (side, source); x93's parity
+    // snapshot binding; shifts exact BIGINTs, rel shifts guarded
+    "x127_quantile_drift" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |                  CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
+        |           FROM documents),
+        |r AS (SELECT source, side, n_chars,
+        |             row_number() OVER (PARTITION BY side, source ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY side, source) AS cnt
+        |      FROM d),
+        |a AS (SELECT source,
+        |  max(cnt) FILTER (side = 'old')::BIGINT AS n_old,
+        |  max(cnt) FILTER (side = 'new')::BIGINT AS n_new,
+        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS old_p50,
+        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS new_p50,
+        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS old_p90,
+        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS new_p90,
+        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS old_p99,
+        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS new_p99
+        |  FROM r GROUP BY source)
+        |SELECT source, n_old, n_new, old_p50, new_p50, old_p90, new_p90, old_p99, new_p99,
+        |  new_p50 - old_p50 AS shift_p50,
+        |  CASE WHEN old_p50 IS NULL OR new_p50 IS NULL OR old_p50 = 0 THEN NULL
+        |       ELSE round((new_p50 - old_p50)::DOUBLE / old_p50, 4) END AS rel_shift4_p50,
+        |  new_p90 - old_p90 AS shift_p90,
+        |  CASE WHEN old_p90 IS NULL OR new_p90 IS NULL OR old_p90 = 0 THEN NULL
+        |       ELSE round((new_p90 - old_p90)::DOUBLE / old_p90, 4) END AS rel_shift4_p90,
+        |  new_p99 - old_p99 AS shift_p99,
+        |  CASE WHEN old_p99 IS NULL OR new_p99 IS NULL OR old_p99 = 0 THEN NULL
+        |       ELSE round((new_p99 - old_p99)::DOUBLE / old_p99, 4) END AS rel_shift4_p99
+        |FROM a ORDER BY source""".stripMargin,
+
+    // per-source DISTINCT chunk vocabularies self-joined by digest —
+    // each shared digest contributes exactly one intersection unit
+    "x128_source_overlap" ->
+      s"""WITH $cdcChunksCte,
+         |u AS (SELECT DISTINCT source, digest FROM ch),
+         |sz AS (SELECT source, count(*)::BIGINT AS n_distinct FROM u GROUP BY 1),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS inter
+         |       FROM u a JOIN u b ON a.digest = b.digest AND a.source <> b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n_distinct AS n_a, sb.n_distinct AS n_b, inter,
+         |       round(inter::DOUBLE / sa.n_distinct, 4) AS containment4
+         |FROM pr JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // x22's component closure joined to (source, lang); majority source
+    // mirrors max(struct(n_s, source)) — count desc, then source DESC
+    "x129_cluster_purity" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |m AS (SELECT comp.doc_id, cluster, source, lang
+         |      FROM comp JOIN documents ON documents.doc_id = comp.doc_id),
+         |bs AS (SELECT cluster, source, count(*)::BIGINT AS n_s FROM m GROUP BY 1, 2),
+         |mj AS (SELECT cluster, source AS majority_source, n_s,
+         |              row_number() OVER (PARTITION BY cluster ORDER BY n_s DESC, source DESC) AS rn
+         |       FROM bs),
+         |agg AS (SELECT cluster, count(*)::BIGINT AS n_members,
+         |               count(DISTINCT source)::BIGINT AS n_sources,
+         |               count(DISTINCT lang)::BIGINT AS n_langs
+         |        FROM m GROUP BY 1)
+         |SELECT agg.cluster, n_members, n_sources, n_langs, majority_source,
+         |       round(n_s::DOUBLE / n_members, 4) AS majority_share4,
+         |       n_sources > 1 AS cross_source, n_langs > 1 AS cross_lang
+         |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
+         |ORDER BY agg.cluster""".stripMargin,
+
+    // new (odd) docs' distinct chunk digests probed against the corpus
+    // (even) side's distinct set — x24's membership check, kept as a
+    // LEFT join because the per-doc FRACTION is the output
+    "x130_chunk_novelty" ->
+      s"""WITH $cdcChunksCte,
+         |corp AS (SELECT DISTINCT digest FROM ch WHERE doc_id % 2 = 0),
+         |nw AS (SELECT DISTINCT doc_id, digest FROM ch WHERE doc_id % 2 = 1)
+         |SELECT nw.doc_id, count(*)::BIGINT AS n_chunks,
+         |       sum(CASE WHEN corp.digest IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_known,
+         |       round(sum(CASE WHEN corp.digest IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS known_frac4
+         |FROM nw LEFT JOIN corp ON corp.digest = nw.digest
+         |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin,
   )
 }

@@ -1837,4 +1837,108 @@ object Curation {
         when(col("suppress"), 0L).otherwise(col("n_docs")))
       .orderBy("lang", "source")
   }
+
+  /** EXT-C44 (`x127_quantile_drift`) — length-DISTRIBUTION drift between
+    * snapshots: per source, the exact discrete p50/p90/p99 of document
+    * length on each side (old = even doc_id, new = odd — x93/x102's
+    * deterministic snapshot-pair binding) with the absolute and relative
+    * shift per quantile. The drift family's missing distributional leg:
+    * x60 sees token-frequency shift, x93 content churn, x102 schema
+    * churn — none of them sees "the new crawl's documents are half the
+    * length", which moves chunking (x38), packing (x39/x89), and
+    * quality-gate calibration (x19) before any of those audits fire.
+    * Quantile shifts, not mean shift, because length distributions are
+    * heavy-tailed: a mean can hide a collapsed median under a fatter
+    * tail — the p50/p99 PAIR separates those.
+    *
+    * Exactness: x67's order-statistic spelling verbatim (rank
+    * `min(cnt, max(1, ⌈p·cnt⌉))` per (side, source) partition; the
+    * running `max(n_chars) WHERE rn ≤ r` IS the order statistic), all
+    * integer comparisons; `shift = new − old` exact BIGINT;
+    * `rel_shift4` one guarded IEEE division per quantile. A source
+    * present on one side only keeps NULL columns for the other (the
+    * left-join convention — absence from a snapshot is a finding).
+    *
+    * Plan: ONE shuffle keyed by (side, source) carries the rank window
+    * and the count; the fold is |sources| rows with all six quantiles
+    * and three shifts folded in ONE aggregation (conditional on side —
+    * no self-join of snapshot halves). Scale is x67's argument: the
+    * per-group sort is the exact leg's price at eval scale; production
+    * monitors run the sketch (x67's audit certifies it) with this exact
+    * spelling as the law.
+    */
+  /** EXT-C45 (`x129_cluster_purity`) — near-dup cluster COMPOSITION
+    * audit: every x22 component with its membership count, distinct
+    * sources, distinct languages, the majority source and its share,
+    * and cross-source / cross-lang verdicts. The question x121's size
+    * histogram cannot answer: a size-50 cluster of ONE source is site
+    * boilerplate (drop 49, keep the site), a size-50 cluster spanning
+    * 20 sources is syndication (x128's directed matrix says who feeds
+    * whom) — and a cross-LANG cluster under a same-lang fingerprint is
+    * a mislabel alarm for x8/x17, since near-identical text should not
+    * carry two language labels. Published dedup post-mortems read
+    * exactly this split before deciding cluster-rep policy (x47).
+    *
+    * Plan: x22's labels (plan contract pinned there) under ONE narrow
+    * doc_id join to (source, lang), then one cluster-keyed fold; the
+    * majority pick is the partial-agg `max(struct(n, source))` over the
+    * (cluster, source) sub-fold — |clusters| rows out, nothing pairwise.
+    */
+  def clusterPurity(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val labeled = dedupClusters(spark, dir, maxRounds)
+      .join(Tables.documents(spark, dir).select("doc_id", "source", "lang"), "doc_id")
+      .localCheckpoint() // consumed by the member fold AND the majority sub-fold
+    val bySource = labeled.groupBy("cluster", "source").agg(count(lit(1)).as("n_s"))
+      .groupBy("cluster")
+      .agg(max(struct(col("n_s"), col("source"))).as("mj"))
+    labeled.groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"))
+      .join(bySource, "cluster")
+      .select(col("cluster"), col("n_members"), col("n_sources"), col("n_langs"),
+        col("mj.source").as("majority_source"),
+        round(col("mj.n_s").cast("double") / col("n_members"), 4).as("majority_share4"),
+        (col("n_sources") > 1L).as("cross_source"),
+        (col("n_langs") > 1L).as("cross_lang"))
+      .orderBy("cluster")
+  }
+
+  def quantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("side", "source").orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy("side", "source")
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "old").otherwise("new").as("side"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    def rankAt(p: Double): Column =
+      least(col("cnt"), greatest(lit(1L), ceil(lit(p) * col("cnt")).cast("long")))
+    def valueAt(side: String, p: Double): Column =
+      max(when(col("side") === side && col("rn") <= rankAt(p), col("n_chars")))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val qCols = ps.flatMap { p =>
+      val tag = (p * 100).toInt
+      Seq(valueAt("old", p).as(s"old_p$tag"), valueAt("new", p).as(s"new_p$tag"))
+    }
+    val nCols = Seq(
+      max(when(col("side") === "old", col("cnt"))).as("n_old"),
+      max(when(col("side") === "new", col("cnt"))).as("n_new"))
+    val agg = ranked.groupBy("source").agg((nCols ++ qCols).head, (nCols ++ qCols).tail: _*)
+    val shiftCols = ps.flatMap { p =>
+      val tag = (p * 100).toInt
+      val old = col(s"old_p$tag"); val nw = col(s"new_p$tag")
+      Seq((nw - old).as(s"shift_p$tag"),
+        when(old.isNull || nw.isNull || old === 0L, lit(null).cast("double"))
+          .otherwise(round((nw - old).cast("double") / old, 4)).as(s"rel_shift4_p$tag"))
+    }
+    agg.select(col("source") +: col("n_old") +: col("n_new") +:
+        (ps.flatMap { p =>
+          val tag = (p * 100).toInt
+          Seq(col(s"old_p$tag"), col(s"new_p$tag"))
+        } ++ shiftCols): _*)
+      .orderBy("source")
+  }
 }

@@ -989,4 +989,231 @@ object Dedup {
       .select("d_small", "d_large", "inter", "n_small", "n_large", "containment")
       .orderBy("d_small", "d_large")
   }
+
+  /** EXT-D16 (`x125_containment_estimate`) — MinHash containment
+    * ESTIMATOR calibration: for every LSH band candidate, the
+    * signature-estimated containment against the exact one. Jaccard is
+    * what a MinHash signature estimates directly (`Ĵ = m/H`), but the
+    * asymmetric metric x116 verifies exactly is derivable from it —
+    * `inter = J·(n1+n2)/(1+J)` inverts the Jaccard identity, so
+    * `Ĉ = m·(n1+n2) / ((H+m)·n_small)` — and this audit measures, on
+    * real candidates, whether the derived estimator is sharp enough to
+    * pre-rank the containment-PPJoin's verify queue (x52's question,
+    * asked of x116's metric). The estimate is spelled as ONE IEEE
+    * division of exact BIGINT products, so both engines compute the
+    * identical double; `abs_err` subtracts two such divisions —
+    * deterministic on identical operands. The estimator is NOT clamped
+    * at 1: with sizes far apart, `Ĉ > 1` is the estimator's real bias
+    * for truncated copies, and reporting it raw is the audit's point.
+    *
+    * Pairs present in the x52 convention: band candidates that share at
+    * least one shingle (`inter ≥ 1`), canonicalized to x116's
+    * (d_small, d_large) orientation. Cost discipline is x52's verbatim:
+    * signatures materialized once feed the banding AND both match-count
+    * probes; exact intersection runs on candidates only.
+    */
+  def containmentEstimate(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    val sigs = arr
+      .select(col("doc_id"), graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
+      .localCheckpoint() // consumed by the banding and twice by the match join
+    val candidates = bandCandidates(
+      bandedSignatures(sigs, bands, rowsPerBand), rowsPerBand, maxBucket)
+      .join(sigs.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
+      .withColumn("n_match",
+        expr("aggregate(zip_with(mh1, mh2, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+      .select("d1", "d2", "n_match")
+    val smallFirst = col("n1") < col("n2") ||
+      (col("n1") === col("n2") && col("d1") < col("d2"))
+    verifyJaccard(candidates, arr, threshold = 0.0)
+      .filter(col("inter") >= 1)
+      .select(
+        when(smallFirst, col("d1")).otherwise(col("d2")).as("d_small"),
+        when(smallFirst, col("d2")).otherwise(col("d1")).as("d_large"),
+        least(col("n1"), col("n2")).as("n_small"),
+        greatest(col("n1"), col("n2")).as("n_large"),
+        col("n_match"), col("inter"))
+      .withColumn("est_containment",
+        (col("n_match") * (col("n_small") + col("n_large"))).cast("double") /
+          ((lit(numHashes.toLong) + col("n_match")) * col("n_small")))
+      .withColumn("containment", col("inter").cast("double") / col("n_small"))
+      .withColumn("abs_err", abs(col("est_containment") - col("containment")))
+      .select("d_small", "d_large", "n_small", "n_large", "n_match",
+        "est_containment", "containment", "abs_err")
+      .orderBy("d_small", "d_large")
+  }
+
+  /** Content-defined chunks of every document — the CDC (Rabin/Gear
+    * lineage) boundary rule over the ONE positioned k-gram hash stream
+    * the span family compiles ([[graft.functions.WindowHashesExpression]]
+    * — same 60-bit md5 hash, same 1-based positions as x53/x81): a
+    * chunk boundary falls AFTER token q wherever the k-gram hash at
+    * position q is ≡ 0 (mod `divisor`), so expected chunk length is
+    * ~`divisor` tokens and, crucially, boundaries depend only on LOCAL
+    * content — an edit reshapes only the chunks it touches, and the
+    * boundary stream RESYNCS at the first unaffected boundary (the
+    * property fixed-stride chunking (x38) structurally lacks: one
+    * inserted token shifts every downstream x38 chunk). Entirely
+    * row-local (compiled hash pass + higher-order array functions + one
+    * explode): zero shuffles at any corpus size.
+    *
+    * Output: `(doc_id, source, chunk_idx, start_pos, n_tokens, digest)`
+    * with 1-based token positions; a document shorter than `k` has no
+    * gram hashes and is one whole-document chunk.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      k: Int = 4,
+      divisor: Long = 16L,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2 (a 1-token gram can bound an empty chunk)")
+    require(divisor >= 2, s"divisor ($divisor) must be >= 2")
+    val carryCols = carry.map(col)
+    docs
+      .select(col("doc_id") +: col("source") +: Tables.tokens(col("text")).as("tok_arr") +:
+        carryCols: _*)
+      .withColumn("hs", graft.functions.WindowHashes.windowHashes(col("tok_arr"), k))
+      // boundary gram positions, 1-based (guard: sequence(1, 0) would
+      // count DOWN, so the empty-gram case short-circuits first)
+      .withColumn("bps", expr(
+        s"CASE WHEN size(hs) = 0 THEN array() " +
+          s"ELSE filter(sequence(1, size(hs)), i -> hs[i-1] % $divisor = 0) END"))
+      .withColumn("starts", expr("concat(array(1), transform(bps, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bps, array(size(tok_arr)))"))
+      .select(col("doc_id") +: col("source") +: col("tok_arr") +: carryCols :+
+        posexplode(expr("arrays_zip(starts, ends)")): _*)
+      .select(col("doc_id") +: col("source") +:
+        (col("pos") + 1L).cast("long").as("chunk_idx") +:
+        col("col.starts").cast("long").as("start_pos") +:
+        ((col("col.ends") - col("col.starts") + 1L).cast("long").as("n_tokens")) +:
+        md5(expr("array_join(slice(tok_arr, col.starts, col.ends - col.starts + 1), ' ')"))
+          .as("digest") +: carryCols: _*)
+  }
+
+  /** EXT-D17 (`x126_cdc_chunk_dedup`) — chunk-level dedup census over
+    * [[cdcChunks]]: per source, how much of the corpus is duplicated at
+    * CONTENT-DEFINED chunk granularity — chunk count, token mass, the
+    * chunks whose digest occurs ≥ 2 times in the corpus-wide census,
+    * the duplicated token mass, and its fraction. The storage-dedup
+    * measurement (backup/dedup systems built their economics on exactly
+    * this census) applied to training data: between x1's whole-document
+    * granularity and x53/x84's every-duplicated-position granularity,
+    * CDC chunks are the edit-stable middle — near-identical documents
+    * (boilerplate with one edited sentence) share most chunk digests
+    * even though their fixed-stride segments (x84) all shift.
+    *
+    * Plan: the chunk relation is row-local (one compiled hash pass, one
+    * explode), `localCheckpoint`ed for its two consumers; the census is
+    * a digest-keyed partial agg (x1's shape at chunk granularity); the
+    * final fold is |sources| rows. `dup_frac4` is one IEEE division of
+    * exact BIGINTs under the div-guard convention.
+    */
+  def cdcChunkDedup(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 4,
+      divisor: Long = 16L): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir), k, divisor)
+      .localCheckpoint() // consumed by the census AND the join back
+    val census = chunks.groupBy("digest").agg(count(lit(1)).as("n_copies"))
+    chunks.join(census, "digest")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_chunk_tokens"),
+        sum(when(col("n_copies") >= 2L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("n_copies") >= 2L, col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_frac4",
+        when(col("n_chunk_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("dup_tokens").cast("double") / col("n_chunk_tokens"), 4)))
+      .orderBy("source")
+  }
+
+  /** EXT-D18 (`x128_source_overlap`) — directed source-overlap matrix at
+    * CDC chunk granularity: for every ordered source pair sharing at
+    * least one chunk digest, the distinct-chunk vocabularies, the shared
+    * count, and the directed containment `inter / n_a` — "what fraction
+    * of source A's distinct content also appears in source B". The
+    * provenance audit x43's MinHash slice-similarity estimates,
+    * answered EXACTLY and DIRECTIONALLY: syndication is asymmetric (the
+    * aggregator contains the feed, not vice versa), and the direction
+    * is what decides which source the mixture keeps (x48/x97's weights
+    * double-count whatever this matrix shows shared).
+    *
+    * Scale: the per-source distinct chunk relation is the census fold's
+    * shape; the pairing join is keyed by DIGEST, and each digest's
+    * posting list is bounded by |sources| (distinct per source, by
+    * construction) — so pair expansion is at most |sources|² per
+    * digest-group and the output is |sources|²-bounded regardless of
+    * corpus size. No document is ever paired with a document.
+    */
+  def sourceOverlap(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 4,
+      divisor: Long = 16L): DataFrame = {
+    val ch = cdcChunks(Tables.documents(spark, dir), k, divisor)
+      .select("source", "digest").distinct()
+      .localCheckpoint() // consumed by the sizes fold AND both join sides
+    val sizes = ch.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    ch.select(col("source").as("source_a"), col("digest"))
+      .join(ch.select(col("source").as("source_b"), col("digest")), "digest")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("source_a"), col("n_distinct").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_distinct").as("n_b")), "source_b")
+      .withColumn("containment4",
+        round(col("inter").cast("double") / col("n_a"), 4))
+      .select("source_a", "source_b", "n_a", "n_b", "inter", "containment4")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** EXT-D19 (`x130_chunk_novelty`) — per-document chunk-novelty score
+    * for an incoming batch: each NEW document (odd doc_id — the x93/
+    * x102 snapshot binding) scored by how many of its CDC chunks
+    * already exist in the corpus (even doc_id side), with the known
+    * fraction. The ingest-time dedup SCORE that is robust to edits:
+    * x24's digest check answers only "seen verbatim before"; a
+    * re-crawled page with one edited sentence scores ~0 there but
+    * ~(n−1)/n here, because content-defined boundaries resync around
+    * the edit — so the score separates genuinely-novel documents from
+    * edited duplicates BEFORE any pairwise machinery runs. Chunks are
+    * counted ONCE per (doc, digest) (a within-doc repeated chunk is
+    * repetition, x20's signal, not corpus novelty).
+    *
+    * Scale: both sides are the row-local chunker; the membership check
+    * is a LEFT join keyed by digest against the corpus side's distinct
+    * relation (x24's LEFT ANTI shape, kept as LEFT + flag because the
+    * per-doc FRACTION is the output); the fold is one doc_id-keyed
+    * partial agg. Linear end to end.
+    */
+  def chunkNovelty(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 4,
+      divisor: Long = 16L): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(spark, dir), k, divisor)
+      .localCheckpoint() // consumed by both parity sides
+    val corpus = chunks.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("digest").distinct().withColumn("known", lit(true))
+    chunks.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "digest").distinct()
+      .join(corpus, Seq("digest"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("known"), 1L).otherwise(0L)).as("n_known"))
+      .withColumn("known_frac4",
+        round(col("n_known").cast("double") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
 }

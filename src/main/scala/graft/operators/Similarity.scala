@@ -862,33 +862,7 @@ object Similarity {
     * spelling — an independent differential on every run.
     */
   def dimCorrelation(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    import spark.implicits._
-    val q = int8Corpus(spark, dir).select(col("qv")).as[Seq[Long]]
-    val partials = q.mapPartitions { it =>
-      var acc: Array[Array[Long]] = null
-      var dim = -1
-      it.foreach { v =>
-        if (acc == null) { dim = v.length; acc = Array.fill(dim)(new Array[Long](dim)) }
-        require(v.length == dim, s"dimCorrelation: ragged vector (${v.length} vs $dim)")
-        var i = 0
-        while (i < dim) {
-          val vi = v(i)
-          if (vi != 0L) {
-            var j = i
-            while (j < dim) { acc(i)(j) += vi * v(j); j += 1 }
-          }
-          i += 1
-        }
-      }
-      if (acc == null) Iterator.empty
-      else {
-        val d = dim
-        (for { i <- 0 until d; j <- i until d }
-          yield ((i + 1).toLong, (j + 1).toLong, acc(i)(j))).iterator
-      }
-    }
-    val s = partials.toDF("d1", "d2", "sp")
-      .groupBy("d1", "d2").agg(sum("sp").as("s"))
+    val s = int8GramTriangles(spark, dir)
       .localCheckpoint() // consumed by the pair stream AND both diag probes
     val diag = s.filter(col("d1") === col("d2"))
       .select(col("d1").as("dd"), col("s").as("sdd"))
@@ -1619,5 +1593,134 @@ object Similarity {
       .withColumn("outlier", col("rn") * pctDen <= col("n_cell"))
       .select("vec_id", "cell", "cent_sim4", "rn", "n_cell", "outlier")
       .orderBy("vec_id")
+  }
+
+  /** The embedding corpus's spectral summary (EXT-S25). `eigs` is every
+    * eigenvalue of the int8 second-moment matrix, descending;
+    * `effectiveRank` is the participation ratio `(Σλ)²/Σλ²`.
+    */
+  case class Spectrum(dim: Int, nVectors: Long, trace: Double,
+      eigs: Seq[Double], effectiveRank: Double)
+
+  /** EXT-S25 — embedding covariance SPECTRUM audit: the eigenvalues of
+    * the corpus's (uncentered) int8 second-moment matrix `Σ v·vᵀ` and
+    * the participation-ratio effective rank. The collapse detector the
+    * per-dimension audits cannot be: x94 sees a DEAD dimension
+    * (constant/zero), x109 sees a redundant PAIR — but an embedding
+    * model whose outputs collapse toward a low-dimensional cone (the
+    * classic contrastive-training failure) can keep every dimension
+    * individually alive and every pair only mildly correlated while
+    * the spectrum concentrates in a few eigenvalues. Effective rank ≪
+    * dim is that alarm, and it directly bounds what PQ/IVF/sign
+    * indexes (x104/x15/x80) can do: their cells and codes partition
+    * the space the mass actually occupies.
+    *
+    * Distributed part: the exact integer Gram triangle — the SAME
+    * partition-bounded syrk kernel x109 ships (one emitted triangle
+    * per partition, the exchange never grows with the corpus), folded
+    * to ONE dim×dim matrix. Driver part: a cyclic Jacobi eigen solve
+    * on that dim-bounded object (64×64 here; microseconds, no
+    * distributed iteration to get wrong) — the same bounded-collect
+    * discipline as the trained-centroid tables. Spec-only (no DuckDB
+    * oracle: eigenvalues are not SQL-expressible); the spec pins the
+    * solver against analytically-known spectra, a rotated case, and
+    * the trace/PSD invariants the Gram guarantees.
+    */
+  def covarianceSpectrum(spark: SparkSession, dir: String): Spectrum = {
+    import spark.implicits._
+    val rows = int8GramTriangles(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    require(rows.nonEmpty, "empty embedding corpus — nothing to decompose")
+    val dim = rows.map(_._2).max.toInt
+    val m = Array.fill(dim)(new Array[Double](dim))
+    rows.foreach { case (i, j, s) =>
+      m(i.toInt - 1)(j.toInt - 1) = s.toDouble
+      m(j.toInt - 1)(i.toInt - 1) = s.toDouble
+    }
+    val n = Tables.embeddings(spark, dir).count()
+    val eigs = jacobiEigenvalues(m)
+    val trace = eigs.sum
+    val sumSq = eigs.map(e => e * e).sum
+    Spectrum(dim, n, trace, eigs.sortBy(-_).toSeq,
+      if (sumSq == 0.0) 0.0 else trace * trace / sumSq)
+  }
+
+  /** The summed exact int8 Gram triangle `(d1 <= d2, Σ v_i·v_j)` — the
+    * one partition-bounded kernel shared by x109's correlation view and
+    * the spectral audit.
+    */
+  private[graft] def int8GramTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = int8Corpus(spark, dir).select(col("qv")).as[Seq[Long]]
+    val partials = q.mapPartitions { it =>
+      var acc: Array[Array[Long]] = null
+      var dim = -1
+      it.foreach { v =>
+        if (acc == null) { dim = v.length; acc = Array.fill(dim)(new Array[Long](dim)) }
+        require(v.length == dim, s"gram: ragged vector (${v.length} vs $dim)")
+        var i = 0
+        while (i < dim) {
+          val vi = v(i)
+          if (vi != 0L) {
+            var j = i
+            while (j < dim) { acc(i)(j) += vi * v(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val d = dim
+        (for { i <- 0 until d; j <- i until d }
+          yield ((i + 1).toLong, (j + 1).toLong, acc(i)(j))).iterator
+      }
+    }
+    partials.toDF("d1", "d2", "sp")
+      .groupBy("d1", "d2").agg(sum("sp").as("s"))
+  }
+
+  /** Cyclic Jacobi eigenvalue solve for a symmetric matrix — ~15 sweeps
+    * converge machine-precision at dim 64; deterministic (fixed sweep
+    * order, no pivot search randomness).
+    */
+  private[graft] def jacobiEigenvalues(a0: Array[Array[Double]]): Array[Double] = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    var sweep = 0
+    var off = Double.MaxValue
+    val scale = math.max(1.0, a.indices.map(i => math.abs(a(i)(i))).max)
+    while (sweep < 50 && off > 1e-12 * scale) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            off = math.max(off, math.abs(apq))
+            val theta = 0.5 * math.atan2(2.0 * apq, a(q)(q) - a(p)(p))
+            val c = math.cos(theta); val s = math.sin(theta)
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    Array.tabulate(n)(i => a(i)(i))
   }
 }

@@ -889,6 +889,36 @@ object StreamOps {
       }
   }
 
+  /** EXT-6ab — novel-chunk feed: the streaming face of CDC chunking
+    * (x126). Arriving (ts, doc_id, source, text) documents are chunked
+    * by the ONE batch definition ([[graft.operators.Dedup.cdcChunks]] —
+    * entirely row-local, so it runs UNMODIFIED on the unbounded
+    * relation: same compiled hash pass, same boundaries, same digests
+    * as the batch census, by construction), then
+    * `dropDuplicatesWithinWatermark` on the digest keeps only the
+    * corpus-NOVEL chunks. This is the ingest feed an incremental chunk
+    * index maintains itself from, and the live spelling of the CDC
+    * resync law: a re-crawled page with one edited sentence emits ONLY
+    * the chunks the edit touched — every unchanged chunk digest is
+    * already in state and drops (where a fixed-stride chunker would
+    * re-emit the whole shifted tail, x84's documented contrast).
+    *
+    * State is one digest (~16 B) per novel chunk within the watermark
+    * horizon — `dropDuplicatesWithinWatermark`'s eviction bound, the
+    * 6b discipline; at-least-once replays re-derive identical digests
+    * row-locally and drop against the same state. A permanent (beyond-
+    * horizon) census belongs to the batch operator x126 over the
+    * accumulated corpus — the stream's job is the delta.
+    */
+  def novelChunkStream(
+      docs: DataFrame,
+      k: Int = 4,
+      divisor: Long = 16L,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Dedup.cdcChunks(docs, k, divisor, carry = Seq("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

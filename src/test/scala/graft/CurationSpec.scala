@@ -861,6 +861,54 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       "equal-count majority must break to the lexically greater language (struct-max order)")
   }
 
+  test("clusterPurity (x129): composition per component; majority ties to the greater source") {
+    // the x121 chain (1~2~3) with mixed provenance, plus an exact twin
+    // pair (20~21) split across two sources at one member each
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val twin = (41 to 80).map(i => s"v$i").mkString(" ")
+    val dir = TestTables.documentsLangSourcedDir(spark, Seq(
+      (1L, base, "en", "s1"),
+      (2L, base.replace("w7", "q7"), "en", "s1"),
+      (3L, base.replace("w7", "q7").replace("w13", "q13"), "fr", "s2"),
+      (20L, twin, "en", "sa"), (21L, twin, "en", "sb"),
+      (9L, (81 to 120).map(i => s"z$i").mkString(" "), "en", "s9")))
+    val got = Curation.clusterPurity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got.keySet == Set(1L, 20L), "only components appear — unpaired docs are not clusters")
+    assert(got(1L) == ((3L, 2L, 2L, "s1", 0.6667, true, true)),
+      "the chain cluster is cross-source AND cross-lang with s1 the 2-of-3 majority")
+    assert(got(20L) == ((2L, 2L, 1L, "sb", 0.5, true, false)),
+      "a one-each source tie breaks to the lexically greater source (struct-max order)")
+  }
+
+  test("quantileDrift (x127): exact order statistics per side; one-sided sources keep NULLs") {
+    // s1 old (even ids): lengths 10/20/30/40 -> p50 = rank ceil(2) = 20,
+    //    p90 = rank ceil(3.6) = 4 -> 40, p99 = 40
+    // s1 new (odd ids): lengths 5/10/15 -> p50 = 10, p90 = p99 = 15
+    // s2: old side only -> every new_/shift_ column NULL
+    def doc(n: Int) = "x" * n
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (0L, doc(10), "s1"), (2L, doc(20), "s1"), (4L, doc(30), "s1"), (6L, doc(40), "s1"),
+      (1L, doc(5), "s1"), (3L, doc(10), "s1"), (5L, doc(15), "s1"),
+      (8L, doc(7), "s2"), (10L, doc(9), "s2")))
+    val rows = Curation.quantileDrift(spark, dir).collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert((s1.getLong(1), s1.getLong(2)) == ((4L, 3L)))
+    assert((s1.getLong(3), s1.getLong(4)) == ((20L, 10L)), "p50 old/new")
+    assert((s1.getLong(5), s1.getLong(6)) == ((40L, 15L)), "p90 old/new")
+    assert((s1.getLong(7), s1.getLong(8)) == ((40L, 15L)), "p99 old/new")
+    assert(s1.getLong(9) == -10L && s1.getDouble(10) == -0.5, "p50 shift")
+    assert(s1.getLong(11) == -25L && s1.getDouble(12) == -0.625, "p90 shift")
+    assert(s1.getLong(13) == -25L && s1.getDouble(14) == -0.625, "p99 shift")
+    val s2 = rows.find(_.getString(0) == "s2").get
+    assert(s2.getLong(1) == 2L && s2.isNullAt(2), "one-sided source stays visible")
+    assert(s2.getLong(3) == 7L, "old p50 of lengths 7/9: rank ceil(0.5*2) = 1 -> 7")
+    assert(s2.isNullAt(4) && s2.isNullAt(9) && s2.isNullAt(10),
+      "absent side leaves quantiles and shifts NULL, never NaN")
+  }
+
   test("rareCellSuppression (x124): cells below k suppressed, kept mass zeroed") {
     val docs = (0L until 30L).map(i => (i, "t", "en", "big")) ++
       Seq((100L, "t", "fr", "big"), (101L, "t", "fr", "big"),

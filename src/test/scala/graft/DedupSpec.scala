@@ -404,4 +404,144 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     assert(at08((4L, 1L)) == ((7L, 8L, 28L, 7.0 / 8.0)), "kept at 0.8 with the exact count")
   }
+
+  test("containmentEstimate (x125): exact copies calibrate to zero; the estimator law holds") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w7", "q7")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> base, 2L -> base, // exact copies: m = 16, C-hat = C = 1.0
+      3L -> near))
+    val got = Dedup.containmentEstimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    val twins = got((1L, 2L))
+    assert(twins._3 == 16L && twins._4 == 1.0 && twins._5 == 1.0 && twins._6 == 0.0,
+      "byte-identical documents must calibrate to zero estimator error")
+    got.foreach { case ((dS, dL), (nS, nL, m, est, exact, err)) =>
+      assert(nS <= nL, s"($dS,$dL): canonical orientation")
+      if (nS == nL) assert(dS < dL, "size ties orient to the lower id")
+      // the derived-estimator law, recomputed independently
+      assert(est == (m * (nS + nL)).toDouble / ((16L + m) * nS), s"($dS,$dL)")
+      assert(math.abs(err - math.abs(est - exact)) == 0.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+    // the near-pair is a candidate (38 of 40 shingles shared) and its
+    // exact column agrees with the containment join's verify
+    assert(got.keySet.contains((1L, 3L)) || got.keySet.contains((3L, 1L)))
+  }
+
+  test("cdcChunks (x126): chunks match an independent reference chunker; edits resync") {
+    val k = 4
+    val div = 16L
+    def refChunks(tokens: Seq[String]): Seq[(Long, Long, String)] = {
+      // independent spelling on RefWinnow's gram hash (same md5 top-60)
+      val bps =
+        if (tokens.length < k) Seq.empty
+        else tokens.sliding(k).map(RefWinnow.gramHash).zipWithIndex
+          .collect { case (h, i) if h % div == 0 => (i + 1).toLong }.toSeq
+      val starts = 1L +: bps.map(_ + 1)
+      val ends = bps :+ tokens.length.toLong
+      starts.zip(ends).map { case (s, e) =>
+        val text = tokens.slice(s.toInt - 1, e.toInt).mkString(" ")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (s, e - s + 1, d)
+      }
+    }
+    // enough tokens that the ~1/16 boundary rate all but guarantees
+    // interior boundaries (deterministic either way — same hashes)
+    val tokA = (1 to 120).map(i => s"tok$i")
+    val tokB = "inserted" +: tokA // one token prepended
+    val dir = TestTables.documentsDir(spark,
+      Seq(10L -> tokA.mkString(" "), 11L -> tokB.mkString(" ")))
+    val got = Dedup.cdcChunks(graft.operators.Tables.documents(spark, dir), k, div)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    for ((id, toks) <- Seq(10L -> tokA, 11L -> tokB)) {
+      val ref = refChunks(toks)
+      assert(got.keySet.filter(_._1 == id).map(_._2) == (1 to ref.length).map(_.toLong).toSet)
+      ref.zipWithIndex.foreach { case ((s, n, d), i) =>
+        assert(got((id, i + 1L)) == ((s, n, d)), s"doc $id chunk ${i + 1}")
+      }
+      assert(ref.length >= 3, s"doc $id: fixture must exercise interior boundaries")
+    }
+    // the CDC point: boundaries are content-local, so the single
+    // prepended token changes only the FIRST chunk — every later chunk
+    // digest is shared (fixed-stride chunking would shift them all)
+    val dA = (1 to got.keySet.count(_._1 == 10L)).map(i => got((10L, i.toLong))._3)
+    val dB = (1 to got.keySet.count(_._1 == 11L)).map(i => got((11L, i.toLong))._3)
+    assert(dA.drop(1) == dB.drop(1) && dA.head != dB.head,
+      "an edit before the first boundary must leave every later chunk digest intact")
+  }
+
+  test("sourceOverlap (x128): directed containment at chunk granularity; disjoint pairs absent") {
+    val tA = (1 to 80).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 80).map(i => s"b$i").mkString(" ")
+    val tC = (1 to 80).map(i => s"c$i").mkString(" ")
+    // s1 carries A and B; s2 carries a verbatim copy of A (the feed);
+    // s3 is disjoint — no row may pair it with anything
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, tA, "s1"), (2L, tB, "s1"), (3L, tA, "s2"), (4L, tC, "s3")))
+    val nA = Dedup.cdcChunks(graft.operators.Tables.documents(spark, dir))
+      .filter("doc_id = 1").count()
+    val nB = Dedup.cdcChunks(graft.operators.Tables.documents(spark, dir))
+      .filter("doc_id = 2").count()
+    val got = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("s1", "s2"), ("s2", "s1")), "disjoint sources never pair")
+    assert(got(("s2", "s1")) == ((nA, nA + nB, nA, 1.0)),
+      "the feed is fully contained in the aggregator")
+    val (na1, nb1, i1, c1) = got(("s1", "s2"))
+    assert(na1 == nA + nB && i1 == nA &&
+      c1 == math.rint(nA.toDouble / (nA + nB) * 10000) / 10000,
+      "the aggregator contains the feed only partially — direction matters")
+  }
+
+  test("chunkNovelty (x130): edited re-crawls score high, novel docs zero, copies one") {
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val edited = "inserted " + base
+    val fresh = (1 to 60).map(i => s"new$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> base, // the corpus side (even)
+      1L -> edited, // new: one-token prepend -> all but the head chunk known
+      3L -> fresh, // new: genuinely novel
+      5L -> base)) // new: verbatim re-crawl
+    val nEdited = Dedup.cdcChunks(graft.operators.Tables.documents(spark, dir))
+      .filter("doc_id = 1").count()
+    val got = Dedup.chunkNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L))
+    assert(got(5L)._1 == got(5L)._2 && got(5L)._3 == 1.0,
+      "a verbatim re-crawl is fully known")
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0, "novel content scores zero")
+    val (n1, k1, f1) = got(1L)
+    assert(n1 == nEdited && k1 == n1 - 1,
+      "the CDC resync law: exactly the edited head chunk is unknown")
+    assert(f1 > 0.5, "an edited duplicate scores high — the signal x24's digest check misses")
+  }
+
+  test("cdcChunkDedup (x126): census counts corpus-wide copies; fold is per source") {
+    // sources s1/s2 share one exact duplicate doc; s2 adds a unique one.
+    // Short docs (< k tokens) are whole-doc chunks and census like any.
+    val shared = (1 to 30).map(i => s"c$i").mkString(" ")
+    val dir = TestTables.documentsSourcedDir(spark, Seq(
+      (1L, shared, "s1"),
+      (2L, shared, "s2"),
+      (3L, (1 to 25).map(i => s"u$i").mkString(" "), "s2")))
+    val got = Dedup.cdcChunkDedup(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // duplicate docs chunk identically, so EVERY chunk of doc 1/2 is a
+    // corpus-wide dup; doc 3 shares nothing
+    val (n1, t1, d1, m1, f1) = got("s1")
+    assert(t1 == 30L && d1 == n1 && m1 == 30L && f1 == 1.0,
+      "an exact duplicate's chunks are all corpus-duplicated")
+    val (n2, t2, d2, m2, f2) = got("s2")
+    assert(t2 == 55L && d2 == n1 && m2 == 30L,
+      "s2's dup mass is exactly its copy of the shared doc")
+    assert(f2 == math.rint(30.0 / 55.0 * 10000) / 10000)
+  }
 }

@@ -866,6 +866,214 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         s"$k: bleed positions must respect the per-doc (W-1) bound")
     }
   }
+
+  test("x118 entity resolution at sf0.1: blocked equi-join, struct-max fold — no window, no cartesian") {
+    // the part catalog is not in the 10x slice (it scales with SF, not
+    // with the replicated tables); the plan contract is pinned at the
+    // largest available catalog (20k parts, ~16 records/block)
+    val p = plan(graft.operators.Linkage.entityResolution(spark, "/root/testdata/sf0.1"))
+    noNestedLoops(p)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }
+    assert(joins.nonEmpty && joins.forall(identity),
+      s"the blocking self-join and the left join-back must stay equi-joins:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the best-match argmax must fold map-side, never rank the pair stream:\n$p")
+  }
+
+  test("x119 vocab coverage at 10x: the class window never sorts the corpus; mass scales exactly") {
+    val p = plan(graft.operators.TextAnalysis.vocabCoverage(spark, dir10))
+    // the cumulative window orders the CLASS relation: both count folds
+    // (token counts, then count-of-counts) must sit between any window
+    // and the corpus scan — a window fed raw scan rows would be the
+    // naive |vocab|-row (or worse) single-task sort
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.length >= 2,
+        s"the cumulative window must order aggregated count CLASSES, not the token stream:\n$p")
+    }
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // executes: disjoint replica token spaces multiply instance mass
+    // exactly 10x and every target stays covered
+    val at10 = graft.operators.TextAnalysis.vocabCoverage(spark, dir10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val at1 = graft.operators.TextAnalysis.vocabCoverage(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (pct, (r1, _, t1, _)) =>
+      val (r10, c10, t10, cov10) = at10(pct)
+      assert(t10 == 10L * t1, s"$pct: total mass must scale exactly")
+      assert(r10 <= 10L * r1, s"$pct: replicated classes can only tighten the rank")
+      assert(cov10 >= pct / 100.0 - 5e-5, s"$pct: the target stays covered")
+      assert(c10 * 100L >= pct.toLong * t10, s"$pct: exact-integer coverage law at 10x")
+    }
+  }
+
+  test("x120 zipf profile at 10x: lang-keyed rank window only; head frequency is scale-invariant") {
+    val p = plan(graft.operators.TextAnalysis.zipfProfile(spark, dir10))
+    noNestedLoops(p)
+    // executes: the rank-1 token of each lang keeps its ORIGINAL count
+    // (replica spaces are disjoint — the head token replicates as 10
+    // same-count tokens, it does not merge), so freq(rank 1) is
+    // invariant while lang mass scales 10x
+    val head10 = graft.operators.TextAnalysis.zipfProfile(spark, dir10).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getString(0) -> r.getLong(3)).toMap
+    val head1 = graft.operators.TextAnalysis.zipfProfile(spark, "/root/testdata/sf0.1").collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(head10 == head1, "rank-1 frequency must survive replication unchanged")
+  }
+
+  test("x122 cusum drift at 10x: grid is calendar-bounded; peaks scale exactly 60x, hours invariant") {
+    val p = plan(graft.operators.Temporal.cusumDrift(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // executes over 6M events: replication multiplies every hourly count
+    // 60x on the SAME hour grid (replica ts offsets are micros), so
+    // dev/cusum/peak scale exactly 60x and the change-point HOUR — the
+    // estimate itself — is scale-invariant
+    val at60 = graft.operators.Temporal.cusumDrift(spark, dir10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val at1 = graft.operators.Temporal.cusumDrift(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(at60.keySet == at1.keySet)
+    at1.foreach { case (t, (h1, n1, ph1, pc1, pa1)) =>
+      val (h60, n60, ph60, pc60, pa60) = at60(t)
+      assert(h60 == h1 && n60 == 60L * n1, s"$t: same grid, 60x the events")
+      assert(ph60 == ph1, s"$t: the change-point hour is scale-invariant")
+      assert(pc60 == 60L * pc1 && pa60 == 60L * pa1, s"$t: excursions scale exactly")
+    }
+  }
+
+  test("x123/x124 at 10x: per-cell folds scale exactly; verdicts follow the k law") {
+    val pur10 = graft.operators.Curation.langPurity(spark, dir10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val pur1 = graft.operators.Curation.langPurity(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(pur10.keySet == pur1.keySet)
+    pur1.foreach { case (src, (n1, l1, mj1, sh1, g1)) =>
+      val (n10, l10, mj10, sh10, g10) = pur10(src)
+      assert(n10 == 10L * n1 && l10 == l1 && mj10 == mj1,
+        s"$src: language structure is replication-invariant")
+      assert(sh10 == sh1 && g10 == g1,
+        s"$src: shares and Gini are scale-free (rounded exact rationals)")
+    }
+    val k = 25L
+    val sup = graft.operators.Curation.rareCellSuppression(spark, dir10, k).collect()
+    assert(sup.nonEmpty)
+    sup.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) < k), "the verdict IS the k law")
+      assert(r.getLong(4) == (if (r.getBoolean(3)) 0L else r.getLong(2)))
+    }
+  }
+
+  test("x125 containment estimate at 10x: banded candidates + equi-joins; guard survives") {
+    val p = plan(graft.operators.Dedup.containmentEstimate(spark, dir10))
+    noNestedLoops(p)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }
+    assert(joins.nonEmpty && joins.forall(identity),
+      s"candidate generation and array join-back must stay equi-joins:\n$p")
+    assert(p.toString.contains("bucket saturated"),
+      "the banded-bucket saturation guard must survive the scale-up")
+  }
+
+  test("x96 sketch at 10x: the HLL++ production path holds the 4-rsd law at the stress slice") {
+    // exact(10x) = 10 * exact(sf0.1) is ALREADY pinned (the x96 10x
+    // test: disjoint replica token spaces scale both counts exactly),
+    // so the sketch certifies against the derived exact relation
+    // without paying the 10x countDistinct twice
+    val rsd = 0.05
+    val exact1 = graft.operators.TextAnalysis.distinctNgrams(spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val t0 = System.nanoTime()
+    val approx = graft.operators.TextAnalysis.distinctNgramsSketch(spark, dir10, rsd)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    info(f"sketch at 10x executed in ${(System.nanoTime() - t0) / 1e9}%.2f s (local[4])")
+    assert(approx.keySet == exact1.keySet)
+    exact1.foreach { case (k, (tot1, dist1)) =>
+      val (atot, adist) = approx(k)
+      assert(atot == 10L * tot1, s"$k: totals stay exact in the sketch spelling")
+      assert(math.abs(adist - 10L * dist1).toDouble <= 4 * rsd * math.max(10L * dist1, 1L),
+        s"$k: sketch $adist vs exact ${10L * dist1} breaks the 4-rsd law at 10x")
+    }
+  }
+
+  test("x127 quantile drift at 10x: replica halves are identical distributions — every shift zero") {
+    // the 10x id remap (doc_id*10 + rep) moves the snapshot parity onto
+    // the REPLICA index: each side becomes 5 full copies of the same
+    // per-source length distribution, so the exact order statistics
+    // must agree side-for-side and every shift must be exactly 0 — a
+    // correctness-at-scale pin the operator can only pass if the rank
+    // arithmetic is exact at 25k rows per side
+    val rows = graft.operators.Curation.quantileDrift(spark, dir10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}: equal halves")
+      assert(r.getLong(9) == 0L && r.getLong(11) == 0L && r.getLong(13) == 0L,
+        s"${r.getString(0)}: identical distributions must show zero shift")
+      assert(r.getDouble(10) == 0.0 && r.getDouble(12) == 0.0 && r.getDouble(14) == 0.0)
+    }
+  }
+
+  test("x128 source overlap at 10x: digest-bounded pairing — no flip; replica-0 edges survive") {
+    val p = plan(graft.operators.Dedup.sourceOverlap(spark, dir10))
+    noNestedLoops(p)
+    // executes. Replica prefixes reshape chunk BOUNDARIES per replica
+    // (hashes differ), so counts don't scale exactly — but replica 0 is
+    // the unprefixed original, so every sf0.1 overlap edge exists
+    // verbatim inside the 10x corpus: the edge set is a superset, each
+    // shared edge's intersection can only grow, and vocabularies stay
+    // in the ~10x regime
+    val at10 = graft.operators.Dedup.sourceOverlap(spark, dir10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(4)))).toMap
+    val at1 = graft.operators.Dedup.sourceOverlap(spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(at1.keySet.subsetOf(at10.keySet), "replica-0 carries every sf0.1 edge into 10x")
+    at1.foreach { case (k, (na1, i1)) =>
+      val (na10, i10) = at10(k)
+      assert(i10 >= i1, s"$k: replica-0's shared chunks are still shared")
+      assert(na10 >= 5L * na1 && na10 <= 20L * na1,
+        s"$k: per-source chunk vocabulary stays in the ~10x regime ($na1 -> $na10)")
+    }
+  }
+
+  test("x126 cdc chunks at 10x: row-local chunker — token mass exact, chunk geometry sane") {
+    // the chunk relation localCheckpoints at plan build (row-local, one
+    // compiled hash pass) — execute directly and pin the mass law
+    val at10 = graft.operators.Dedup.cdcChunkDedup(spark, dir10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val at1 = graft.operators.Dedup.cdcChunkDedup(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (src, (_, t1, _)) =>
+      val (n10, t10, _) = at10(src)
+      // prefixed replica tokens reshape boundaries (hashes differ), so
+      // chunk COUNTS drift — but token mass is conserved exactly, and
+      // the mean chunk length stays in the divisor's regime
+      assert(t10 == 10L * t1, s"$src: token mass is conserved under chunking")
+      val mean = t10.toDouble / n10
+      assert(mean > 2.0 && mean < 64.0, s"$src: mean chunk length $mean off the ~divisor regime")
+    }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

@@ -611,4 +611,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(cell1.keySet == Set(1L, 5L) && cell1.values.forall(v => v._3 == 2L && !v._4),
       "a 2-member cell has no bottom-quartile member (rn*4 > 2 for every rn)")
   }
+
+  test("covarianceSpectrum (EXT-S25): known axis spectrum; effective rank reads collapse") {
+    // axis-aligned corpus: 8 copies of e1, 2 of e2 (unit floats -> int8
+    // value 127). Second moment = diag(8*127^2, 2*127^2, 0): eigenvalues
+    // known analytically, effective rank = (10q)^2 / (64+4)q^2 = 100/68.
+    val q = 127.0 * 127.0
+    val dir = TestTables.embeddingsDir(spark,
+      (0L until 8L).map(i => i -> Seq(1f, 0f, 0f)) :+
+        (8L -> Seq(0f, 1f, 0f)) :+ (9L -> Seq(0f, 1f, 0f)))
+    val sp = Similarity.covarianceSpectrum(spark, dir)
+    assert(sp.dim == 3 && sp.nVectors == 10L)
+    assert(sp.eigs.length == 3)
+    assert(math.abs(sp.eigs(0) - 8 * q) < 1e-6 && math.abs(sp.eigs(1) - 2 * q) < 1e-6 &&
+      math.abs(sp.eigs(2)) < 1e-6, s"axis spectrum: ${sp.eigs}")
+    assert(math.abs(sp.trace - 10 * q) < 1e-6)
+    assert(math.abs(sp.effectiveRank - 100.0 / 68.0) < 1e-9)
+  }
+
+  test("covarianceSpectrum: rotation leaves the spectrum fixed; collapse drops effective rank") {
+    // the same two-direction mass, rotated 45 degrees: eigenvalues must
+    // match the axis-aligned spelling up to int8 quantization error
+    val c = (math.sqrt(0.5)).toFloat
+    val dirRot = TestTables.embeddingsDir(spark,
+      (0L until 4L).map(i => i -> Seq(c, c)) ++ (4L until 8L).map(i => i -> Seq(c, -c)))
+    val rot = Similarity.covarianceSpectrum(spark, dirRot)
+    // quantized: 4*(90,90) + 4*(90,-90) -> second moment diag(64800, 64800)
+    val expected = 4.0 * 2 * 90.0 * 90.0
+    rot.eigs.foreach(e => assert(math.abs(e - expected) < 1e-6, s"rotated spectrum: ${rot.eigs}"))
+    assert(rot.effectiveRank > 1.97 && rot.effectiveRank <= 2.0 + 1e-9)
+    // collapse: every vector on ONE direction -> effective rank ~1
+    val dirCol = TestTables.embeddingsDir(spark,
+      (0L until 8L).map(i => i -> Seq(c, c)))
+    val col = Similarity.covarianceSpectrum(spark, dirCol)
+    assert(col.effectiveRank < 1.0 + 1e-9,
+      "a cone-collapsed corpus reads as effective rank ~1 even with every dim alive")
+  }
+
+  test("jacobiEigenvalues: matches the characteristic roots of a hand 2x2; PSD stays nonneg") {
+    // [[2, 1], [1, 2]] -> eigenvalues 3 and 1
+    val e = Similarity.jacobiEigenvalues(Array(Array(2.0, 1.0), Array(1.0, 2.0))).sorted
+    assert(math.abs(e(0) - 1.0) < 1e-12 && math.abs(e(1) - 3.0) < 1e-12)
+  }
 }

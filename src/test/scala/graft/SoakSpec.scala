@@ -219,33 +219,44 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
       (i.toLong, text, if (i % 2 == 0) "A" else "B", ts((i - 1) / 2), props)
     }
     val rates = Seq(("A", 0.5), ("B", 1.0)).toDF("source", "rate")
-    val stream = MemoryStream[(Long, String, String, java.sql.Timestamp, String)]
-    def docsDf = stream.toDF().toDF("doc_id", "text", "source", "ingest_ts", "props")
-    // the composed chain; each sink runs it end to end from the source
-    def gatedDf = StreamOps.mixtureGateStream(
-      StreamOps.curateStream(docsDf, Seq(benchGram), watermarkDelay = "5 minutes"), rates)
+    // ONE MemoryStream PER QUERY, fed identically. Sharing one instance
+    // across checkpointed queries is a recovery hazard in the HARNESS
+    // (not the operators): MemoryStream trims its shared buffer on every
+    // query's commit, so a stop() landing in some query's
+    // offsets-written/commit-missing window makes its restart re-plan
+    // that batch against a buffer the OTHER queries already trimmed —
+    // the replayed batch comes back EMPTY and commits, silently losing
+    // the data (observed once as the LSH maintainer dropping a whole
+    // microbatch while every other query agreed with the batch oracle).
+    // A real replayable source (Kafka, files) retains data; per-query
+    // streams restore that property for MemoryStream.
+    val streams = Seq.fill(6)(MemoryStream[(Long, String, String, java.sql.Timestamp, String)])
+    def docsDf(i: Int) = streams(i).toDF().toDF("doc_id", "text", "source", "ingest_ts", "props")
+    // the composed chain; each sink runs it end to end from its source
+    def gatedDf(i: Int) = StreamOps.mixtureGateStream(
+      StreamOps.curateStream(docsDf(i), Seq(benchGram), watermarkDelay = "5 minutes"), rates)
     def startAll(): Seq[StreamingQuery] = Seq(
-      gatedDf.select("doc_id", "source").writeStream.format("parquet")
+      gatedDf(0).select("doc_id", "source").writeStream.format("parquet")
         .option("path", s"$root/survivors")
         .option("checkpointLocation", s"$root/ckpt-gate").outputMode("append").start(),
       StreamOps.maintainLshIndex(
-        gatedDf.select("doc_id", "text"), s"$root/lsh", s"$root/ckpt-lsh"),
+        gatedDf(1).select("doc_id", "text"), s"$root/lsh", s"$root/ckpt-lsh"),
       StreamOps.maintainSegmentIndex(
-        gatedDf.select("doc_id", "text"), s"$root/seg", s"$root/ckpt-seg", segTokens = 5),
+        gatedDf(2).select("doc_id", "text"), s"$root/seg", s"$root/ckpt-seg", segTokens = 5),
       StreamOps.gateAttritionStream(
-          docsDf.select(col("doc_id"), col("text"), col("ingest_ts").as("ts")),
+          docsDf(3).select(col("doc_id"), col("text"), col("ingest_ts").as("ts")),
           windowDur = "10 minutes", watermarkDelay = "5 minutes")
         .writeStream.format("parquet").option("path", s"$root/attr")
         .option("checkpointLocation", s"$root/ckpt-attr").outputMode("append").start(),
       StreamOps.driftStream(
-          docsDf.select(col("doc_id"), col("ingest_ts").as("ts"), col("text"))
+          docsDf(4).select(col("doc_id"), col("ingest_ts").as("ts"), col("text"))
             .as[StreamOps.TimedDoc],
           Map("the" -> 2L, "a" -> 1L, "of" -> 1L),
           windowMs = 600000L, watermarkDelay = "5 minutes")
         .writeStream.format("parquet").option("path", s"$root/drift")
         .option("checkpointLocation", s"$root/ckpt-drift").outputMode("append").start(),
       StreamOps.schemaDriftStream(
-          docsDf.select(col("doc_id").as("event_id"), col("ingest_ts").as("ts"), col("props"))
+          docsDf(5).select(col("doc_id").as("event_id"), col("ingest_ts").as("ts"), col("props"))
             .as[StreamOps.TimedPayload],
           Map("k" -> 1.0, "n" -> 1.0),
           windowMs = 600000L, watermarkDelay = "5 minutes")
@@ -255,18 +266,20 @@ class SoakSpec extends AnyFunSuite with SparkSuite {
     var qs = startAll()
     try {
       def drain(): Unit = qs.foreach(_.processAllAvailable())
+      def addAll(rows: Seq[(Long, String, String, java.sql.Timestamp, String)]): Unit =
+        streams.foreach(_.addData(rows: _*))
       // phase 1: window-0 docs, two microbatches, then a hard stop
-      stream.addData((1 to 10).map(doc)); drain()
-      stream.addData((11 to 20).map(doc)); drain()
+      addAll((1 to 10).map(doc)); drain()
+      addAll((11 to 20).map(doc)); drain()
       qs.foreach(_.stop())
       // restart every query from its checkpoint
       qs = startAll()
       // phase 2: window-1 docs (doc 21 = the cross-restart duplicate),
       // then two far-future flushes to seal both windows everywhere
-      stream.addData((21 to 30).map(doc)); drain()
-      stream.addData((31 to 40).map(doc)); drain()
-      stream.addData(Seq((998L, "x", "B", ts(45), null))); drain()
-      stream.addData(Seq((999L, "x", "B", ts(46), null))); drain()
+      addAll((21 to 30).map(doc)); drain()
+      addAll((31 to 40).map(doc)); drain()
+      addAll(Seq((998L, "x", "B", ts(45), null))); drain()
+      addAll(Seq((999L, "x", "B", ts(46), null))); drain()
       qs.foreach(_.stop())
 
       // ——— the batch composition: same operators, full fixture ———

@@ -1712,6 +1712,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ab novelChunkStream: re-crawls emit nothing; an edit emits exactly its changed chunk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tokA = (1 to 120).map(i => s"tok$i")
+    val textA = tokA.mkString(" ")
+    val textB = ("inserted" +: tokA).mkString(" ")
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = StreamOps.novelChunkStream(
+        stream.toDF().toDF("doc_id", "ts", "source", "text"))
+      .writeStream.format("memory").queryName("chunks_out").outputMode("append").start()
+    try {
+      // the batch chunker over the same texts IS the expected relation
+      // (the shared-definition law: row-local code runs unmodified)
+      val batchDir = TestTables.documentsDir(spark, Seq(1L -> textA, 3L -> textB))
+      val batch = graft.operators.Dedup.cdcChunks(
+          graft.operators.Tables.documents(spark, batchDir)).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getString(5))
+      val digA = batch.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2)
+      val digB = batch.filter(_._1._1 == 3L).sortBy(_._1._2).map(_._2)
+      assert(digA.length >= 3 && digA.drop(1).sameElements(digB.drop(1)))
+
+      stream.addData((1L, t0, "web", textA))
+      q.processAllAvailable()
+      val afterA = spark.table("chunks_out").collect().map(_.getString(5))
+      assert(afterA.sorted.sameElements(digA.sorted.distinct),
+        "a fresh document's chunks are all novel")
+      // exact re-crawl under a NEW doc_id: every digest already seen
+      stream.addData((2L, t0, "web", textA))
+      q.processAllAvailable()
+      assert(spark.table("chunks_out").count() == digA.length,
+        "a byte-identical re-crawl emits nothing")
+      // the live resync law: one prepended token -> ONLY the first
+      // chunk's digest is new; the unchanged tail drops against state
+      stream.addData((3L, t0, "web", textB))
+      q.processAllAvailable()
+      val afterB = spark.table("chunks_out").collect()
+      assert(afterB.length == digA.length + 1,
+        "an edit before the first boundary emits exactly one novel chunk")
+      val novel = afterB.map(_.getString(5)).diff(digA)
+      assert(novel.toSeq == Seq(digB.head), "the novel chunk is the edited head")
+      // at-least-once replay: identical digests re-derive and drop
+      stream.addData((1L, t0, "web", textA))
+      q.processAllAvailable()
+      assert(spark.table("chunks_out").count() == digA.length + 1)
+    } finally q.stop()
+  }
+
   test("EXT-6aa cusumMonitorStream: sealed hours carry the batch CUSUM law; silence ramps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
