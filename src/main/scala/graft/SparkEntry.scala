@@ -290,6 +290,9 @@ object SparkEntry {
     // per-new-doc chunk novelty vs the corpus side
     "x130_chunk_novelty" -> ((s, dir) =>
       Dedup.chunkNovelty(s, dir, k = cdcK, divisor = cdcDivisor)),
+    // dedup threshold sensitivity: one pair pass, |pcts| verdicts
+    "x131_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(s, dir, pcts = sweepPcts)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -339,6 +342,9 @@ object SparkEntry {
   /** x126/x128/x130 CDC geometry — same no-drift contract. */
   private val cdcK = 4
   private val cdcDivisor = 16L
+
+  /** x131 swept thresholds (percent) — same no-drift contract. */
+  private val sweepPcts = Seq(60, 70, 80, 90)
 
   /** Shared CDC chunk CTE (x126/x128/x130): the relational spelling of
     * the row-local chunker — positioned k-gram hashes (x53's md5
@@ -2406,6 +2412,29 @@ object SparkEntry {
          |       n_sources > 1 AS cross_source, n_langs > 1 AS cross_lang
          |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
          |ORDER BY agg.cluster""".stripMargin,
+
+    // jac holds ALL sharing pairs; per-threshold membership is the
+    // integer predicate 100*inter >= pct*union — no float compare
+    "x131_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+         |p AS (SELECT d1, d2, inter, n1 + n2 - inter AS un FROM jac),
+         |sw AS (SELECT pct, d1, d2 FROM p
+         |       CROSS JOIN (SELECT unnest([${sweepPcts.mkString(", ")}]) AS pct)
+         |       WHERE inter * 100 >= pct * un),
+         |a AS (SELECT pct, count(*)::BIGINT AS n_pairs,
+         |             count(DISTINCT d2)::BIGINT AS n_dropped FROM sw GROUP BY 1),
+         |t2 AS (SELECT pct, count(DISTINCT doc)::BIGINT AS n_docs_paired FROM (
+         |         SELECT pct, d1 AS doc FROM sw UNION ALL SELECT pct, d2 FROM sw) u
+         |       GROUP BY 1)
+         |SELECT base.pct, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+         |       coalesce(n_docs_paired, 0)::BIGINT AS n_docs_paired,
+         |       coalesce(n_dropped, 0)::BIGINT AS n_dropped,
+         |       round(coalesce(n_dropped, 0)::DOUBLE / n_total, 4) AS drop_frac4
+         |FROM (SELECT unnest([${sweepPcts.mkString(", ")}]) AS pct) base
+         |LEFT JOIN a ON a.pct = base.pct
+         |LEFT JOIN t2 ON t2.pct = base.pct
+         |CROSS JOIN tot ORDER BY base.pct""".stripMargin,
 
     // new (odd) docs' distinct chunk digests probed against the corpus
     // (even) side's distinct set — x24's membership check, kept as a

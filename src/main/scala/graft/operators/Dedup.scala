@@ -1196,6 +1196,68 @@ object Dedup {
     * per-doc FRACTION is the output); the fold is one doc_id-keyed
     * partial agg. Linear end to end.
     */
+  /** EXT-D20 (`x131_threshold_sweep`) — near-dup THRESHOLD sensitivity:
+    * the exact-Jaccard pair relation materialized ONCE at the lowest
+    * swept threshold, then per candidate threshold the pair count, the
+    * documents touched, the documents a canonical (keep-lowest-id)
+    * dedup would drop, and the corpus drop fraction. The tuning curve
+    * every dedup deployment needs BEFORE committing a threshold: x3
+    * answers "who is a duplicate at 0.8", this answers "how much
+    * corpus do 0.6/0.7/0.8/0.9 each cost" — and a cliff between two
+    * adjacent thresholds means the corpus has a near-dup band exactly
+    * there (template families), which is precisely where the threshold
+    * should NOT sit. One pass regardless of how many thresholds are
+    * swept (budgetSweep's discipline).
+    *
+    * Exactness: each threshold's membership is the integer predicate
+    * `100·inter ≥ pct·(n1+n2−inter)` — no float threshold compare
+    * anywhere, so both engines classify every pair identically
+    * (x3's own ⌈⌉-guard concern does not arise). "Dropped" is x1's
+    * canonical rule: a doc drops iff it pairs at ≥ t with a LOWER id
+    * (= the distinct d2 side, pairs being d1 < d2).
+    *
+    * Plan: the pair pipeline is x3's (PPJoin contract pinned there) at
+    * `min(pcts)`; the sweep is a row-local |pcts| explode over the
+    * materialized pairs, two pct-keyed partial-agg folds (pairs+drops,
+    * touched docs), and the 1-row corpus total broadcast. Everything
+    * after the pair relation is bounded by |pairs|·|pcts|.
+    */
+  def thresholdSweep(
+      spark: SparkSession,
+      dir: String,
+      pcts: Seq[Int] = Seq(60, 70, 80, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts ($pcts) must be percentages in [1, 100]")
+    val pairs = ngramJaccard(spark, dir, threshold = pcts.min / 100.0)
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("un"))
+      .localCheckpoint() // consumed by both sweep folds
+    val swept = pairs
+      .select(col("d1"), col("d2"), col("inter"), col("un"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("inter") * 100L >= col("pct") * col("un"))
+    val pairStats = swept.groupBy("pct").agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct("d2").as("n_dropped"))
+    val touched = swept.select(col("pct"), col("d1").as("doc"))
+      .union(swept.select(col("pct"), col("d2").as("doc")))
+      .groupBy("pct").agg(countDistinct("doc").as("n_docs_paired"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    // every swept pct stays visible even where no pair survives
+    import spark.implicits._
+    pcts.toDF("pct")
+      .join(pairStats, Seq("pct"), "left")
+      .join(touched, Seq("pct"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_paired"), lit(0L)).as("n_docs_paired"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double") /
+          col("n_total"), 4).as("drop_frac4"))
+      .orderBy("pct")
+  }
+
   def chunkNovelty(
       spark: SparkSession,
       dir: String,

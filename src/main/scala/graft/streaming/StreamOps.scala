@@ -791,6 +791,46 @@ object StreamOps {
         when(col("n_tokens") === 0L, lit(null).cast("double"))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
 
+  /** EXT-6ac — streaming length-quantile monitor: per watermarked
+    * tumbling (window, source), the doc count, exact min/max, and the
+    * KLL/GK-style `percentile_approx` p50/p90/p99 of document length.
+    * The live leg of the length-distribution family: x67 certifies the
+    * sketch against exact order statistics at batch-audit time, x127
+    * reads the quantile DRIFT between snapshots — this emits the same
+    * quantile vector per sealed ingest window, so the x127 alarm
+    * ("the new crawl's documents are half the length") fires mid-crawl
+    * instead of at the next snapshot diff.
+    *
+    * Contract (x59/x67's audit/sketch pairing): the sketch VALUES are
+    * implementation-defined, so the spec pins the rank-error LAW per
+    * sealed window — each reported quantile lies between the exact
+    * order statistics at ranks `⌈(p±ε)·n⌉` (ε = 1/accuracy, clamped) of
+    * the window's own rows — rather than exact numbers; min/max/count
+    * are exact longs. State per open (window × source) is one fixed-size
+    * sketch buffer + three longs — the aggregation-state bound of
+    * EXT-6u/6z, independent of window row count; the buffers are
+    * mergeable, so replays and out-of-order arrivals within the
+    * watermark seal to the same multiset and the law still holds.
+    */
+  def lengthQuantileMonitorStream(
+      docs: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes",
+      accuracy: Int = 100): DataFrame =
+    docs.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        percentile_approx(col("n_chars"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"))
+      .select(col("window.start").as("window_start"), col("source"), col("n_docs"),
+        col("min_chars"), col("max_chars"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+
   /** Per-type CUSUM state: the last watermark-sealed grid hour (epoch
     * seconds; MinValue before the first seal), the running cusum over
     * sealed hours, and the unsealed open-hour counts (bounded by the

@@ -476,6 +476,38 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "an edit before the first boundary must leave every later chunk digest intact")
   }
 
+  test("thresholdSweep (x131): one pair pass, exact integer membership per threshold") {
+    // three disjoint near-dup bands: twins (J = 1.0), a one-token edit
+    // (inter 35 / union 41 = 0.854), a two-token edit (32/44 = 0.727),
+    // plus an unrelated doc. Expected survivors per pct:
+    //   60/70: all three pairs; 80: twins + one-edit; 90: twins only
+    val b1 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b2 = (1 to 40).map(i => s"b$i").mkString(" ")
+    val b3 = (1 to 40).map(i => s"c$i").mkString(" ")
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> b1, 2L -> b1,
+      3L -> b2, 4L -> b2.replace("b20", "x20"),
+      5L -> b3, 6L -> b3.replace("c10", "y10").replace("c30", "y30"),
+      9L -> (1 to 40).map(i => s"z$i").mkString(" ")))
+    val got = Dedup.thresholdSweep(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(60, 70, 80, 90))
+    assert(got(60) == ((3L, 6L, 3L, math.rint(3.0 / 7 * 10000) / 10000)))
+    assert(got(70) == ((3L, 6L, 3L, math.rint(3.0 / 7 * 10000) / 10000)))
+    assert(got(80) == ((2L, 4L, 2L, math.rint(2.0 / 7 * 10000) / 10000)))
+    assert(got(90) == ((1L, 2L, 1L, math.rint(1.0 / 7 * 10000) / 10000)))
+  }
+
+  test("thresholdSweep: a pct with no surviving pair stays visible at zero") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> (1 to 30).map(i => s"a$i").mkString(" "),
+      2L -> (1 to 30).map(i => s"b$i").mkString(" ")))
+    val got = Dedup.thresholdSweep(spark, dir, pcts = Seq(60, 90)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(60 -> ((0L, 0L, 0.0)), 90 -> ((0L, 0L, 0.0))))
+  }
+
   test("sourceOverlap (x128): directed containment at chunk granularity; disjoint pairs absent") {
     val tA = (1 to 80).map(i => s"a$i").mkString(" ")
     val tB = (1 to 80).map(i => s"b$i").mkString(" ")

@@ -1712,6 +1712,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ac lengthQuantileMonitorStream: sealed windows hold the rank-error law; exact min/max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (ts-minute, source, n_chars); window 0 = minutes 0-9, window 1 = 10-19
+    val w0web = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 1000L)
+    val w0book = Seq(5L, 7L)
+    val w1web = Seq(3L, 4L, 5L)
+    val rows =
+      w0web.zipWithIndex.map { case (n, i) => (i, "web", n) } ++
+        w0book.zipWithIndex.map { case (n, i) => (i, "book", n) } ++
+        w1web.zipWithIndex.map { case (n, i) => (10 + i, "web", n) }
+    // 10-minute-ALIGNED base (1700000400000 = :20:00.000), so minutes
+    // 0-9 / 10-19 land in exactly two tumbling windows
+    def tsA(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    def wstart(min: Int) = { val t = tsA(min).getTime; t - t % 600000L }
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamOps.lengthQuantileMonitorStream(
+        stream.toDF().toDF("ts", "source", "n_chars"))
+      .writeStream.format("memory").queryName("quant_out").outputMode("append").start()
+    try {
+      stream.addData(rows.map { case (min, src, n) => (tsA(min), src, n) })
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(45), "flush", 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(46), "flush", 1L)))
+      q.processAllAvailable()
+      val got = spark.table("quant_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            Seq(r.getLong(5), r.getLong(6), r.getLong(7))))).toMap
+      assert(got.keySet == Set(
+        (wstart(0), "web"), (wstart(0), "book"), (wstart(10), "web")),
+        "exactly the sealed (window, source) cells emit, once each")
+      // the x67 rank-error law, recomputed independently per cell
+      val eps = 1.0 / 100
+      def law(vals: Seq[Long], cell: (Long, Long, Long, Seq[Long])): Unit = {
+        val sorted = vals.sorted
+        val n = sorted.length
+        assert(cell._1 == n && cell._2 == sorted.head && cell._3 == sorted.last)
+        Seq(0.5, 0.9, 0.99).zip(cell._4).foreach { case (p, v) =>
+          def at(r: Double): Long =
+            sorted(math.min(n, math.max(1, math.ceil(r * n).toLong)).toInt - 1)
+          assert(v >= at(p - eps) && v <= at(p + eps),
+            s"p$p = $v outside the rank-error bracket of $sorted")
+        }
+      }
+      law(w0web, got((wstart(0), "web")))
+      law(w0book, got((wstart(0), "book")))
+      law(w1web, got((wstart(10), "web")))
+    } finally q.stop()
+  }
+
   test("EXT-6ab novelChunkStream: re-crawls emit nothing; an edit emits exactly its changed chunk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
