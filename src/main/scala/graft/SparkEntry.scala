@@ -293,6 +293,10 @@ object SparkEntry {
     // dedup threshold sensitivity: one pair pass, |pcts| verdicts
     "x131_threshold_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(s, dir, pcts = sweepPcts)),
+    // span-level decontamination repair: excise quoted runs, keep docs
+    "x132_decontamination_repair" -> ((s, dir) =>
+      Curation.decontaminationRepair(s, dir,
+        k = repairK, benchMod = repairBenchMod, minRun = repairMinRun)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -345,6 +349,13 @@ object SparkEntry {
 
   /** x131 swept thresholds (percent) — same no-drift contract. */
   private val sweepPcts = Seq(60, 70, 80, 90)
+
+  /** x132 repair geometry (x108's k and benchmark rule) — same
+    * no-drift contract.
+    */
+  private val repairK = 5
+  private val repairBenchMod = 20
+  private val repairMinRun = 2
 
   /** Shared CDC chunk CTE (x126/x128/x130): the relational spelling of
     * the row-local chunker — positioned k-gram hashes (x53's md5
@@ -2412,6 +2423,46 @@ object SparkEntry {
          |       n_sources > 1 AS cross_source, n_langs > 1 AS cross_lang
          |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
          |ORDER BY agg.cluster""".stripMargin,
+
+    // x108's positioned-gram run detection + a covered-position
+    // expansion and the x84 rebuild (anti join + ordered re-concat)
+    "x132_decontamination_repair" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |pos AS (SELECT doc_id, i::BIGINT AS p,
+         |               array_to_string(list_slice(ts, i, i + ${repairK - 1}), ' ') AS gram
+         |        FROM t, unnest(range(1, len(ts) - ${repairK - 2})) AS r(i)
+         |        WHERE len(ts) >= $repairK),
+         |bench AS (SELECT DISTINCT gram FROM pos WHERE doc_id % $repairBenchMod = 0),
+         |hits AS (SELECT doc_id, p FROM pos JOIN bench USING (gram)
+         |         WHERE doc_id % $repairBenchMod <> 0),
+         |m AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM hits),
+         |s AS (SELECT doc_id, p,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id
+         |      FROM m),
+         |runs AS (SELECT doc_id, run_id, min(p) AS p0, count(*)::BIGINT AS run_len
+         |         FROM s GROUP BY 1, 2 HAVING count(*) >= $repairMinRun),
+         |cov AS (SELECT DISTINCT doc_id, tp
+         |        FROM runs, unnest(range(p0, p0 + run_len + ${repairK - 1})) AS r(tp)),
+         |tok AS (SELECT doc_id, tp::BIGINT AS tp, ts[tp] AS token
+         |        FROM t, unnest(range(1, len(ts) + 1)) AS r(tp)
+         |        WHERE doc_id % $repairBenchMod <> 0),
+         |kept AS (SELECT tok.doc_id, count(*)::BIGINT AS n_kept,
+         |                string_agg(token, ' ' ORDER BY tp) AS text_repaired
+         |         FROM tok ANTI JOIN cov USING (doc_id, tp) GROUP BY 1),
+         |rn AS (SELECT doc_id, count(*)::BIGINT AS n_runs_excised FROM runs GROUP BY 1),
+         |base AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM t
+         |         WHERE doc_id % $repairBenchMod <> 0)
+         |SELECT base.doc_id, n_tokens,
+         |       n_tokens - coalesce(n_kept, 0) AS n_removed,
+         |       coalesce(n_runs_excised, 0)::BIGINT AS n_runs_excised,
+         |       n_tokens = coalesce(n_kept, 0) AS clean,
+         |       coalesce(text_repaired, '') AS text_repaired
+         |FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
+         |          LEFT JOIN rn ON rn.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
 
     // jac holds ALL sharing pairs; per-threshold membership is the
     // integer predicate 100*inter >= pct*union — no float compare

@@ -1867,6 +1867,96 @@ object Curation {
     * monitors run the sketch (x67's audit certifies it) with this exact
     * spelling as the law.
     */
+  /** EXT-C46 (`x132_decontamination_repair`) — span-level
+    * decontamination REPAIR: instead of dropping every document that
+    * quotes the benchmark (x18's verdict), excise exactly the quoted
+    * SPANS — x108's consecutive benchmark-k-gram runs of length ≥
+    * `minRun` (a run of r gram positions covers r+k−1 tokens) — and
+    * rebuild the document from its surviving tokens. The repair x84
+    * performs for boilerplate, applied to eval contamination: a
+    * 10k-token page quoting one GSM8K problem keeps its 9.9k clean
+    * tokens instead of dying whole, which at corpus scale is the
+    * difference between decontamination costing ~0% and ~x18's drop
+    * rate of usable text. `minRun` = 2 means a quote must span ≥ k+1
+    * tokens — a single isolated shared k-gram is vocabulary
+    * coincidence (x49's graded-overlap argument), not a quote.
+    *
+    * Output per NON-benchmark document: token count, removed tokens,
+    * excised runs, a `clean` verdict, and the repaired text (empty when
+    * everything was quoted — x84's convention; documents absent from a
+    * snapshot never are: every non-benchmark doc stays visible).
+    *
+    * Plan: x108's positioned gram stream and run detection verbatim
+    * (broadcast benchmark membership prunes to hit positions BEFORE
+    * the one doc-keyed shuffle); covered token positions expand
+    * row-locally from the |runs| relation (runs closer than k overlap
+    * in token space — the DISTINCT absorbs it); the rebuild is x84's
+    * shape — LEFT ANTI against covered positions, one doc-keyed
+    * `collect_list` bounded by tokens-per-document, `array_sort` for
+    * shuffle-independent order. Linear end to end, nothing pairwise.
+    */
+  def decontaminationRepair(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      benchMod: Int = 20,
+      minRun: Int = 2): DataFrame = {
+    require(k >= 1 && benchMod >= 2 && minRun >= 1,
+      s"bad parameters (k=$k, benchMod=$benchMod, minRun=$minRun)")
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+    val positioned = docs.select(col("doc_id"),
+      posexplode(when(size(col("toks")) >= k,
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
+    val bench = positioned.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select("gram").distinct()
+    val hits = positioned.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .join(broadcast(bench), "gram")
+      .select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = hits
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) === 1L, 0L).otherwise(1L))
+      .withColumn("run_id", sum("brk").over(cum))
+      .groupBy("doc_id", "run_id")
+      .agg(min("p").as("p0"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .localCheckpoint() // consumed by the coverage expansion AND the run count
+    val covered = runs
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p0") + col("run_len") - 1L + lit(k - 1).cast("long")))
+          .as("tp"))
+      .distinct()
+    val toks = docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("tp"), col("col").as("token"))
+    val kept = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tp"), col("token")))),
+            x => x.getField("token")),
+          " ").as("text_repaired"))
+    docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(runs.groupBy("doc_id").agg(count(lit(1)).as("n_runs_excised")),
+        Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_runs_excised"), lit(0L)).as("n_runs_excised"),
+        (col("n_tokens") === coalesce(col("n_kept"), lit(0L))).as("clean"),
+        coalesce(col("text_repaired"), lit("")).as("text_repaired"))
+      .orderBy("doc_id")
+  }
+
   /** EXT-C45 (`x129_cluster_purity`) — near-dup cluster COMPOSITION
     * audit: every x22 component with its membership count, distinct
     * sources, distinct languages, the majority source and its share,

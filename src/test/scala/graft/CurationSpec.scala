@@ -861,6 +861,43 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       "equal-count majority must break to the lexically greater language (struct-max order)")
   }
 
+  test("decontaminationRepair (x132): quoted runs excised exactly; short hits and clean docs pass") {
+    // bench doc 0 (id % 20 == 0) is the 6-token quote "b1..b6" -> its
+    // 5-gram set is {b1..b5, b2..b6}
+    val quote = "b1 b2 b3 b4 b5 b6"
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> quote,
+      21L -> s"u1 u2 $quote u3 u4", // 2-gram run at p 3-4 -> tokens 3-8 excised
+      22L -> "v1 v2 b1 b2 b3 b4 b5 v3", // single gram hit: run_len 1 < minRun -> untouched
+      23L -> "w1 w2 w3 w4 w5 w6", // clean
+      24L -> quote)) // fully quoted -> repaired to the empty string
+    val got = Curation.decontaminationRepair(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5)))).toMap
+    assert(got.keySet == Set(21L, 22L, 23L, 24L), "the benchmark doc never appears")
+    assert(got(21L) == ((10L, 6L, 1L, false, "u1 u2 u3 u4")),
+      "exactly the quoted span is excised, surrounding text survives")
+    assert(got(22L) == ((8L, 0L, 0L, true, "v1 v2 b1 b2 b3 b4 b5 v3")),
+      "an isolated shared k-gram (run < minRun) is coincidence, not a quote")
+    assert(got(23L) == ((6L, 0L, 0L, true, "w1 w2 w3 w4 w5 w6")))
+    assert(got(24L) == ((6L, 6L, 1L, false, "")),
+      "a fully-quoted document repairs to the empty string, never disappears")
+  }
+
+  test("decontaminationRepair: overlapping runs excise a position once; two quotes = two runs") {
+    // bench quotes A = a1..a6 and B = c1..c6; doc 41 carries both with a
+    // 3-token gap — two separate runs, each excised, the gap survives
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> "a1 a2 a3 a4 a5 a6",
+      20L -> "c1 c2 c3 c4 c5 c6",
+      41L -> "a1 a2 a3 a4 a5 a6 g1 g2 g3 c1 c2 c3 c4 c5 c6"))
+    val got = Curation.decontaminationRepair(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4 + 1)))).toMap
+    assert(got(41L) == ((15L, 12L, 2L, "g1 g2 g3")),
+      "two quotes excise independently; the clean gap between them survives")
+  }
+
   test("clusterPurity (x129): composition per component; majority ties to the greater source") {
     // the x121 chain (1~2~3) with mixed provenance, plus an exact twin
     // pair (20~21) split across two sources at one member each
