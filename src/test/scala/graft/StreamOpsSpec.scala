@@ -1764,6 +1764,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ad repairGateStream: ingest repairs equal the batch operator; replays re-derive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val quote = "b1 b2 b3 b4 b5 b6"
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> quote,
+      21L -> s"u1 u2 $quote u3 u4",
+      22L -> "v1 v2 b1 b2 b3 b4 b5 v3",
+      24L -> quote))
+    val grams = graft.operators.Curation.benchmarkGrams(spark, dir)
+    val batch = graft.operators.Curation.decontaminationRepair(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4), r.getString(5)))).toMap
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.repairGateStream(
+        stream.toDF().toDF("doc_id", "text"), grams)
+      .select("doc_id", "n_removed", "clean", "text_repaired")
+      .writeStream.format("memory").queryName("repair_out").outputMode("append").start()
+    try {
+      stream.addData((21L, s"u1 u2 $quote u3 u4"), (22L, "v1 v2 b1 b2 b3 b4 b5 v3"),
+        (24L, quote))
+      q.processAllAvailable()
+      val got = spark.table("repair_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+      assert(got == batch.filter(kv => got.keySet.contains(kv._1)),
+        "ingest-time repairs must equal the batch operator document for document")
+      assert(got(21L)._3 == "u1 u2 u3 u4" && got(24L)._3 == "")
+      // stateless: an at-least-once replay re-derives identical rows
+      stream.addData((21L, s"u1 u2 $quote u3 u4"))
+      q.processAllAvailable()
+      val replayed = spark.table("repair_out").collect()
+        .filter(_.getLong(0) == 21L)
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getString(3)))
+      assert(replayed.length == 2 && replayed.distinct.length == 1,
+        "zero state: the replay emits the bit-identical repair")
+    } finally q.stop()
+  }
+
   test("EXT-6ab novelChunkStream: re-crawls emit nothing; an edit emits exactly its changed chunk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
