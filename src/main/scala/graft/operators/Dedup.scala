@@ -1218,9 +1218,10 @@ object Dedup {
     *
     * Plan: the pair pipeline is x3's (PPJoin contract pinned there) at
     * `min(pcts)`; the sweep is a row-local |pcts| explode over the
-    * materialized pairs, two pct-keyed partial-agg folds (pairs+drops,
-    * touched docs), and the 1-row corpus total broadcast. Everything
-    * after the pair relation is bounded by |pairs|·|pcts|.
+    * materialized pairs, two pct-keyed folds (pairs + the distinct-doc
+    * counts — countDistinct's two-phase shape, first keyed by
+    * (pct, doc) then by pct), and the 1-row corpus total broadcast.
+    * Everything after the pair relation is bounded by |pairs|·|pcts|.
     */
   def thresholdSweep(
       spark: SparkSession,
