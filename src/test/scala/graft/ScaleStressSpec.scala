@@ -1093,6 +1093,26 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rep0.values.count(_._1 == 0L).toDouble / rep0.size > 0.9)
   }
 
+  test("x130 chunk novelty at 10x: digest membership stays a hash join; the disjoint-space law holds") {
+    val p = plan(graft.operators.Dedup.chunkNovelty(spark, dir10))
+    noNestedLoops(p)
+    // executes at 50k docs. The 10x id remap (doc_id*10 + rep) moves the
+    // snapshot parity onto the REPLICA index, and replica token spaces
+    // are disjoint BY CONSTRUCTION — so no odd-replica (new) chunk can
+    // exist in the even-replica (corpus) side: every new doc scores
+    // known_frac exactly 0. A degenerate corpus for the OPERATOR is the
+    // exact fixture law for the SLICE — any nonzero n_known would mean
+    // a digest collision across disjoint token spaces, i.e. a chunker
+    // or census bug the eval-scale spec cannot see
+    val rows = graft.operators.Dedup.chunkNovelty(spark, dir10).collect()
+    assert(rows.length == 25000, "every odd-replica doc stays visible")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0,
+        s"doc ${r.getLong(0)}: disjoint replica spaces admit no known chunk")
+    }
+  }
+
   test("x126 cdc chunks at 10x: row-local chunker — token mass exact, chunk geometry sane") {
     // the chunk relation localCheckpoints at plan build (row-local, one
     // compiled hash pass) — execute directly and pin the mass law
