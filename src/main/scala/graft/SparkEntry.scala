@@ -276,7 +276,8 @@ object SparkEntry {
     "x124_rare_cell_suppression" -> ((s, dir) =>
       Curation.rareCellSuppression(s, dir, k = kanonK)),
     // minhash-derived containment estimator vs the exact metric
-    "x125_containment_estimate" -> ((s, dir) => Dedup.containmentEstimate(s, dir)),
+    "x125_containment_estimate" -> ((s, dir) =>
+      Dedup.containmentEstimate(s, dir, numHashes = mh125Hashes, bands = mh125Bands)),
     // content-defined chunk dedup census (edit-stable boundaries)
     "x126_cdc_chunk_dedup" -> ((s, dir) =>
       Dedup.cdcChunkDedup(s, dir, k = cdcK, divisor = cdcDivisor)),
@@ -346,6 +347,18 @@ object SparkEntry {
   /** x126/x128/x130 CDC geometry — same no-drift contract. */
   private val cdcK = 4
   private val cdcDivisor = 16L
+
+  /** x125 MinHash geometry — same no-drift contract. The oracle's band
+    * CTE spells its per-band minima as four positional columns, so the
+    * rows-per-band ratio is structurally pinned to 4: changing either
+    * constant without rewriting that CTE fails here, loudly, instead of
+    * silently desyncing the engines.
+    */
+  private val mh125Hashes = 16
+  private val mh125Bands = 4
+  require(mh125Hashes / mh125Bands == 4 && mh125Hashes % mh125Bands == 0,
+    s"x125 oracle CTE is spelled for 4 rows per band " +
+      s"(numHashes=$mh125Hashes, bands=$mh125Bands)")
 
   /** x131 swept thresholds (percent) — same no-drift contract. */
   private val sweepPcts = Seq(60, 70, 80, 90)
@@ -1245,7 +1258,8 @@ object SparkEntry {
         |        sum(gap_us)::BIGINT AS sum_gap_us,
         |        sum(gap_us::HUGEINT * gap_us)::DECIMAL(38,0) AS sum_gap_sq
         |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
-        |SELECT event_type, n_gaps, sum_gap_us, sum_gap_sq,
+        |SELECT event_type, n_gaps, sum_gap_us,
+        |       sum_gap_sq::VARCHAR AS sum_gap_sq,
         |       sum_gap_us::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
         |       CASE WHEN sum_gap_us = 0 THEN NULL
         |            ELSE (n_gaps::DOUBLE * sum_gap_sq::DOUBLE
@@ -2318,13 +2332,13 @@ object SparkEntry {
     // containment are each ONE division of exact BIGINTs
     "x125_containment_estimate" ->
       s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |seeds AS (SELECT unnest(range(0, $mh125Hashes)) AS seed),
          |mh AS (SELECT doc_id, seed,
          |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
          |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+         |sig AS (SELECT doc_id, (seed // ${mh125Hashes / mh125Bands})::INT AS band,
+         |               max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 0) AS m0, max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 1) AS m1,
+         |               max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 2) AS m2, max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 3) AS m3
          |        FROM mh GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
@@ -2337,7 +2351,7 @@ object SparkEntry {
          |             CASE WHEN n1 < n2 OR (n1 = n2 AND j.d1 < j.d2) THEN j.d2 ELSE j.d1 END AS d_large,
          |             least(n1, n2)::BIGINT AS n_small, greatest(n1, n2)::BIGINT AS n_large,
          |             n_match,
-         |             (n_match * (n1 + n2))::DOUBLE / ((16 + n_match) * least(n1, n2)) AS est_containment,
+         |             (n_match * (n1 + n2))::DOUBLE / (($mh125Hashes + n_match) * least(n1, n2)) AS est_containment,
          |             inter::DOUBLE / least(n1, n2) AS containment
          |      FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2)
          |SELECT d_small, d_large, n_small, n_large, n_match,

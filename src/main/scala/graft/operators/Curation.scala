@@ -1838,35 +1838,6 @@ object Curation {
       .orderBy("lang", "source")
   }
 
-  /** EXT-C44 (`x127_quantile_drift`) — length-DISTRIBUTION drift between
-    * snapshots: per source, the exact discrete p50/p90/p99 of document
-    * length on each side (old = even doc_id, new = odd — x93/x102's
-    * deterministic snapshot-pair binding) with the absolute and relative
-    * shift per quantile. The drift family's missing distributional leg:
-    * x60 sees token-frequency shift, x93 content churn, x102 schema
-    * churn — none of them sees "the new crawl's documents are half the
-    * length", which moves chunking (x38), packing (x39/x89), and
-    * quality-gate calibration (x19) before any of those audits fire.
-    * Quantile shifts, not mean shift, because length distributions are
-    * heavy-tailed: a mean can hide a collapsed median under a fatter
-    * tail — the p50/p99 PAIR separates those.
-    *
-    * Exactness: x67's order-statistic spelling verbatim (rank
-    * `min(cnt, max(1, ⌈p·cnt⌉))` per (side, source) partition; the
-    * running `max(n_chars) WHERE rn ≤ r` IS the order statistic), all
-    * integer comparisons; `shift = new − old` exact BIGINT;
-    * `rel_shift4` one guarded IEEE division per quantile. A source
-    * present on one side only keeps NULL columns for the other (the
-    * left-join convention — absence from a snapshot is a finding).
-    *
-    * Plan: ONE shuffle keyed by (side, source) carries the rank window
-    * and the count; the fold is |sources| rows with all six quantiles
-    * and three shifts folded in ONE aggregation (conditional on side —
-    * no self-join of snapshot halves). Scale is x67's argument: the
-    * per-group sort is the exact leg's price at eval scale; production
-    * monitors run the sketch (x67's audit certifies it) with this exact
-    * spelling as the law.
-    */
   /** EXT-C46 (`x132_decontamination_repair`) — span-level
     * decontamination REPAIR: instead of dropping every document that
     * quotes the benchmark (x18's verdict), excise exactly the quoted
@@ -2075,6 +2046,35 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** EXT-C44 (`x127_quantile_drift`) — length-DISTRIBUTION drift between
+    * snapshots: per source, the exact discrete p50/p90/p99 of document
+    * length on each side (old = even doc_id, new = odd — x93/x102's
+    * deterministic snapshot-pair binding) with the absolute and relative
+    * shift per quantile. The drift family's missing distributional leg:
+    * x60 sees token-frequency shift, x93 content churn, x102 schema
+    * churn — none of them sees "the new crawl's documents are half the
+    * length", which moves chunking (x38), packing (x39/x89), and
+    * quality-gate calibration (x19) before any of those audits fire.
+    * Quantile shifts, not mean shift, because length distributions are
+    * heavy-tailed: a mean can hide a collapsed median under a fatter
+    * tail — the p50/p99 PAIR separates those.
+    *
+    * Exactness: x67's order-statistic spelling verbatim (rank
+    * `min(cnt, max(1, ⌈p·cnt⌉))` per (side, source) partition; the
+    * running `max(n_chars) WHERE rn ≤ r` IS the order statistic), all
+    * integer comparisons; `shift = new − old` exact BIGINT;
+    * `rel_shift4` one guarded IEEE division per quantile. A source
+    * present on one side only keeps NULL columns for the other (the
+    * left-join convention — absence from a snapshot is a finding).
+    *
+    * Plan: ONE shuffle keyed by (side, source) carries the rank window
+    * and the count; the fold is |sources| rows with all six quantiles
+    * and three shifts folded in ONE aggregation (conditional on side —
+    * no self-join of snapshot halves). Scale is x67's argument: the
+    * per-group sort is the exact leg's price at eval scale; production
+    * monitors run the sketch (x67's audit certifies it) with this exact
+    * spelling as the law.
+    */
   def quantileDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("side", "source").orderBy(col("n_chars"), col("doc_id"))

@@ -417,13 +417,16 @@ object Temporal {
     * user's interleaved types don't manufacture phantom gaps. Exactness
     * contract: gaps are integer µs; `Σg` is a BIGINT; `Σg²` squares in
     * DECIMAL(19,0)·DECIMAL(19,0) (a multi-day µs gap squared overflows
-    * Long) and sums as DECIMAL(38,0), exact and order-insensitive;
-    * `mean_gap_us` is one IEEE
-    * division and `cv2` is spelled in DOUBLE from the exact sums in a
-    * fixed operation order, so both engines produce bit-identical
-    * floats. An all-equal-gap type reports cv2 = 0; a type whose gaps
-    * are all zero (same-µs replays) has Σg = 0 and reports cv2 = NULL
-    * (the ANSI-div-guard convention), never NaN/Infinity.
+    * Long) and sums as DECIMAL(38,0), exact and order-insensitive.
+    * The exact Σg² is EMITTED as its digit STRING (the x32/x104
+    * hash-portability convention — decimal is the one type the
+    * correctness harness serializes differently per engine, the only
+    * red row of round 10), while `mean_gap_us` is one IEEE division and
+    * `cv2` is spelled in DOUBLE from the exact sums in a fixed
+    * operation order, so both engines produce bit-identical floats. An
+    * all-equal-gap type reports cv2 = 0; a type whose gaps are all zero
+    * (same-µs replays) has Σg = 0 and reports cv2 = NULL (the
+    * ANSI-div-guard convention), never NaN/Infinity.
     *
     * Scale: ONE shuffle keyed by (user_id, event_type) — the lag window
     * — collapsed immediately to |types| rows by partial agg; window
@@ -452,11 +455,16 @@ object Temporal {
     val sD = col("sum_gap_us").cast("double")
     val qD = col("sum_gap_sq").cast("double")
     agg
-      .withColumn("sum_gap_sq", col("sum_gap_sq").cast("decimal(38,0)"))
       .withColumn("mean_gap_us", sD / nD)
       .withColumn("cv2",
         when(col("sum_gap_us") === 0L, lit(null).cast("double"))
           .otherwise((nD * qD - sD * sD) / (sD * sD)))
+      // digit-string spelling LAST, after the doubles derive from the
+      // exact decimal: DECIMAL(38,0) is exact but not hash-portable
+      // across the two engines' serializers
+      .withColumn("sum_gap_sq", col("sum_gap_sq").cast("string"))
+      .select("event_type", "n_gaps", "sum_gap_us", "sum_gap_sq",
+        "mean_gap_us", "cv2")
       .orderBy("event_type")
   }
 

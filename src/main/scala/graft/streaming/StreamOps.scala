@@ -898,16 +898,22 @@ object StreamOps {
     * pins the twin-agreement law: over a sealed history with
     * `ref`/`gridStartS` taken from the batch audit, the emitted peak
     * equals x122's peak row and the cusum telescopes to zero at the
-    * batch grid end.
+    * batch grid end. A watermark gap past `maxGapHours` (default one
+    * calendar year) fails loudly instead of flooding the sink — one
+    * corrupt far-future event time advances the watermark permanently,
+    * and the dense-grid law would otherwise emit one point per empty
+    * hour across the whole gap in a single microbatch.
     */
   def cusumMonitorStream(
       ds: Dataset[Event],
       ref: Map[String, (Long, Long)], // type -> (refHours, refEvents)
       gridStartS: Long,
-      watermarkDelay: String = "10 minutes"): Dataset[CusumPoint] = {
+      watermarkDelay: String = "10 minutes",
+      maxGapHours: Long = 8760L): Dataset[CusumPoint] = {
     import ds.sparkSession.implicits._
     require(gridStartS % 3600 == 0, s"gridStartS ($gridStartS) must be hour-aligned")
     require(ref.values.forall(_._1 > 0), "reference grids must be non-empty")
+    require(maxGapHours > 0, s"maxGapHours ($maxGapHours) must be positive")
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumPoint](
@@ -932,6 +938,20 @@ object StreamOps {
               // (arrivals with ts <= wm are dropped by the engine)
               val wm = state.getCurrentWatermarkMs()
               val maxSealable = math.floorDiv(wm, 3600000L) * 3600L - 3600L
+              // corrupt-clock guard (the batch maxRounds discipline): one
+              // far-future event time advances the watermark permanently,
+              // and this loop would then synchronously emit one point per
+              // empty hour across the gap — a year-3000 ts means millions
+              // of rows per type in a single microbatch. A gap past
+              // maxGapHours is a broken producer clock, not drift; fail
+              // loudly instead of flooding the sink.
+              if (maxSealable - st.lastSealedS > maxGapHours * 3600L)
+                throw new IllegalStateException(
+                  s"cusumMonitorStream: watermark demands sealing " +
+                    s"${(maxSealable - st.lastSealedS) / 3600L} hours for " +
+                    s"type '$etype' in one invocation (maxGapHours=" +
+                    s"$maxGapHours) — a far-future event time has corrupted " +
+                    s"the watermark; re-baseline the monitor")
               val out = List.newBuilder[CusumPoint]
               var cursor = st.lastSealedS
               var cusum = st.cusum
