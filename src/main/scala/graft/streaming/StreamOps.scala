@@ -903,6 +903,18 @@ object StreamOps {
     * corrupt far-future event time advances the watermark permanently,
     * and the dense-grid law would otherwise emit one point per empty
     * hour across the whole gap in a single microbatch.
+    *
+    * `maxGapHours` is measured in WHOLE HOURS against the sealing
+    * cursor (never multiplied into seconds, so no overflow at any
+    * legal value), and it also bounds legitimate BACKFILL: replaying
+    * year-old history against a fresh `gridStartS` — or restarting
+    * from a checkpoint whose `lastSealedS` lags live event time by
+    * more than the gap — trips the same guard, and because the state
+    * is checkpointed the throw repeats on every restart. This monitor
+    * is for LIVE drift; to baseline from deep history, run the batch
+    * operator (x122 `cusumDrift`) over the backlog first and start the
+    * stream with `gridStartS` at the backlog's end, or raise
+    * `maxGapHours` to cover the known catch-up window.
     */
   def cusumMonitorStream(
       ds: Dataset[Event],
@@ -945,7 +957,7 @@ object StreamOps {
               // of rows per type in a single microbatch. A gap past
               // maxGapHours is a broken producer clock, not drift; fail
               // loudly instead of flooding the sink.
-              if (maxSealable - st.lastSealedS > maxGapHours * 3600L)
+              if ((maxSealable - st.lastSealedS) / 3600L > maxGapHours)
                 throw new IllegalStateException(
                   s"cusumMonitorStream: watermark demands sealing " +
                     s"${(maxSealable - st.lastSealedS) / 3600L} hours for " +
