@@ -1131,6 +1131,84 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
       assert(mean > 2.0 && mean < 64.0, s"$src: mean chunk length $mean off the ~divisor regime")
     }
   }
+
+  test("x131 threshold sweep at 10x: one pair pass, |pcts|-bounded sweep; counts scale exactly 10x") {
+    // min(pcts) = 80 for the same reason as the x105 queryMod pin: the
+    // PPJoin pair pass executes during plan build (localCheckpoint), and
+    // its 10x cost is x3's measured column (BASELINE 10x section); the
+    // SWEEP structure downstream — explode, two pct-keyed folds, the
+    // 1-row totals broadcast — is pcts-invariant, which is what this
+    // test pins. The default Seq(60,...) sweep's own 10x time is the
+    // x131 BASELINE row, measured in the bench JVM.
+    val pcts = Seq(80, 90)
+    val p = plan(graft.operators.Dedup.thresholdSweep(spark, dir10, pcts))
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the sweep folds must never become a window over pairs:\n$p")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.toString)
+    // ONE pair pass: the only parquet scan left in the final plan is the
+    // corpus total (1-row count). A per-pct re-verify would re-enter the
+    // document pipeline and show up here as extra file scans.
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length <= 1, s"the sweep must consume the materialized pairs, not re-scan the corpus:\n$p")
+    // executes. Replica token prefixes are a per-replica bijection on
+    // n-gram space: within-replica Jaccard equals the original corpus's
+    // pair for pair, and cross-replica intersections are empty — so the
+    // 10x pair relation is exactly 10 disjoint copies, the id remap
+    // (doc_id*10 + rep) preserves within-replica order, and every count
+    // scales EXACTLY 10x with drop_frac4 bit-identical
+    val at10 = graft.operators.Dedup.thresholdSweep(spark, dir10, pcts).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val at1 = graft.operators.Dedup.thresholdSweep(spark, "/root/testdata/sf0.1", pcts).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(at10.keySet == pcts.toSet && at1.keySet == pcts.toSet)
+    pcts.foreach { pct =>
+      val (p10, d10, k10, f10) = at10(pct)
+      val (p1, d1, k1, f1) = at1(pct)
+      assert(p10 == 10L * p1, s"pct $pct: pair count must scale exactly ($p1 -> $p10)")
+      assert(d10 == 10L * d1, s"pct $pct: docs-paired must scale exactly ($d1 -> $d10)")
+      assert(k10 == 10L * k1, s"pct $pct: dropped count must scale exactly ($k1 -> $k10)")
+      assert(f10 == f1, s"pct $pct: drop fraction is scale-invariant ($f1 -> $f10)")
+    }
+  }
+
+  test("x129 cluster purity at 10x: fold reads materialized labels only; replica-0 reproduces sf0.1") {
+    // dedupClusters' contraction loop executes at plan build (the x22
+    // pin's argument — its 10x cost is BASELINE's x22 column); what this
+    // test pins is the PURITY composition: the fold + majority sub-fold
+    // must consume the ONE checkpointed (doc_id, cluster, source, lang)
+    // relation — zero parquet re-scans, no window over the membership
+    // stream, no cartesian
+    val p = plan(graft.operators.Curation.clusterPurity(spark, dir10))
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"majority pick must stay a partial-agg max(struct), never a window:\n$p")
+    noNestedLoops(p)
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"the purity fold must consume the checkpointed labels, not re-scan the corpus:\n$p")
+    // executes. Replica token spaces are disjoint (no cross-replica
+    // simhash pair survives band + Hamming verification), replica 0 is
+    // the unprefixed original, and star contraction labels components by
+    // their MIN id — so every sf0.1 cluster c reappears at 10x as
+    // cluster 10c with identical membership stats: (source, lang) are
+    // replica-invariant columns, hence n_members / n_sources / n_langs /
+    // majority_source / majority_share4 / both flags reproduce verbatim
+    val rep0 = graft.operators.Curation.clusterPurity(spark, dir10).collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    val at1 = graft.operators.Curation.clusterPurity(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(at1.nonEmpty, "sf0.1 must have near-dup clusters for this law to bite")
+    assert(rep0 == at1, "replica-0 purity rows must reproduce sf0.1 verbatim under the id*10 remap")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
