@@ -468,6 +468,50 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** The per-WINDOW spelling of [[burstiness]] (x110) — the batch law
+    * the streaming monitor (EXT-6ae, [[graft.streaming.StreamOps
+    * .burstinessMonitorStream]]) agrees with bit-for-bit: per tumbling
+    * (window, event_type), the exact gap moments of the gaps measured
+    * WITHIN the window per (user, type) in (ts, event_id) order — a
+    * user's last event of one window and first of the next form NO gap
+    * on either side, which is what makes every window's row a closed,
+    * replay-stable fact a monitor can alarm on. Same exactness contract
+    * as x110: integer µs gaps, BIGINT Σg, DECIMAL(38,0) Σg² emitted as
+    * its digit string, doubles derived from the exact sums in the one
+    * fixed operation order. Takes the event RELATION (not a dir) so the
+    * twin-agreement spec feeds one fixture to both faces.
+    *
+    * Scale: identical to x110 with the window joining the lag key —
+    * ONE (win, user, type)-keyed shuffle carrying single-row lag state,
+    * collapsed by partial agg to |windows|·|types| rows.
+    */
+  def windowedBurstiness(events: DataFrame, windowDur: String = "10 minutes"): DataFrame = {
+    val w = Window.partitionBy("win", "user_id", "event_type").orderBy("us", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        window(col("ts"), windowDur).getField("start").as("win"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val agg = gaps.groupBy("win", "event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum("gap_us").as("sum_gap_us"),
+      sum(col("gap_us").cast("decimal(19,0)") * col("gap_us").cast("decimal(19,0)"))
+        .as("sum_gap_sq"))
+    val nD = col("n_gaps").cast("double")
+    val sD = col("sum_gap_us").cast("double")
+    val qD = col("sum_gap_sq").cast("double")
+    agg
+      .withColumn("mean_gap_us", sD / nD)
+      .withColumn("cv2",
+        when(col("sum_gap_us") === 0L, lit(null).cast("double"))
+          .otherwise((nD * qD - sD * sD) / (sD * sD)))
+      .withColumn("sum_gap_sq", col("sum_gap_sq").cast("string"))
+      .select(col("win").as("window_start"), col("event_type"), col("n_gaps"),
+        col("sum_gap_us"), col("sum_gap_sq"), col("mean_gap_us"), col("cv2"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** EXT-X11 (`x122_cusum_drift`) — CUSUM change-point detection on
     * per-type event rates: each type's hourly counts over the DENSE
     * global hour grid (absent hours count 0 — a type going silent IS

@@ -987,6 +987,106 @@ object StreamOps {
       }
   }
 
+  /** Per-open-(window, type) burstiness state: one (user_id, us,
+    * event_id) triple per in-flight event — the price of EXACT gap
+    * moments under out-of-order arrival, since a late event landing
+    * between two already-seen ones replaces one gap with two and only
+    * the full multiset can re-derive that. The batch op (x110 /
+    * [[graft.operators.Temporal.windowedBurstiness]]) is the archival
+    * law over unbounded history; this state is bounded by one window's
+    * events for one type inside the watermark horizon.
+    */
+  case class BurstBuf(rows: Vector[(Long, Long, Long)])
+
+  /** One sealed (window, event_type) burstiness row — the batch
+    * [[graft.operators.Temporal.windowedBurstiness]] SCHEMA, so stream
+    * and batch relations union/compare with no conversion.
+    */
+  case class WindowBurst(window_start: java.sql.Timestamp, event_type: String,
+      n_gaps: Long, sum_gap_us: Long, sum_gap_sq: String,
+      mean_gap_us: Double, cv2: Option[Double])
+
+  /** EXT-6ae — streaming burstiness monitor: the live face of the
+    * inter-arrival audit (x110). Per watermark-sealed tumbling
+    * (window, event_type), the exact gap moments of that window's
+    * per-(user, type) inter-arrival gaps — count, Σg, Σg² (digit
+    * string), mean, CV² — so the retry-storm alarm (CV² jumping ≫ 1)
+    * fires live next to EXT-6aa's CUSUM rate alarm: 6aa sees the RATE
+    * move, this sees the SHAPE move (a client retry loop doubles CV²
+    * before it moves any per-hour count). Twin-agreement law, spec-
+    * pinned like 6u/6v: each sealed row equals the batch
+    * [[graft.operators.Temporal.windowedBurstiness]] row over the same
+    * events, bit for bit — same (ts, event_id) gap order, same exact
+    * integer moments (Σg² in arbitrary precision — a window's µs² sum
+    * overflows Long at plausible gap counts), same fixed double
+    * operation order, same Σg = 0 ⇒ CV² = NULL guard, and a
+    * (window, type) with no gap emits nothing on either face.
+    *
+    * Seal discipline is [[windowSealed]]'s verbatim (EventTimeTimeout
+    * at max(winEnd, wm+1), state removed before emission — exactly
+    * once), with the key widened to (window, event_type) so hot types
+    * don't serialize a window through one task. Replays within the
+    * watermark re-deliver into the buffered multiset idempotently only
+    * if the source deduplicates; at-least-once ingest composes
+    * [[dedupStream]] on event_id in front, the 6b discipline.
+    */
+  def burstinessMonitorStream(
+      events: Dataset[Event],
+      windowMs: Long = 10 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[WindowBurst] = {
+    import events.sparkSession.implicits._
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (Math.floorDiv(e.ts.getTime, windowMs) * windowMs, e.event_type))
+      .flatMapGroupsWithState[BurstBuf, WindowBurst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), items: Iterator[Event], state: GroupState[BurstBuf]) =>
+          val (winStart, etype) = key
+          val winEnd = winStart + windowMs
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // exact micros: ms + the sub-ms part of the nanos field
+            // (Timestamp.getTime already carries the integral ms)
+            var n = 0L
+            var s = 0L
+            var q = BigInt(0)
+            st.rows.groupBy(_._1).valuesIterator.foreach { evs =>
+              val us = evs.map { case (_, u, id) => (u, id) }.sorted
+              var i = 1
+              while (i < us.length) {
+                val g = us(i)._1 - us(i - 1)._1
+                n += 1L; s += g; q += BigInt(g) * BigInt(g)
+                i += 1
+              }
+            }
+            if (n == 0L) Iterator.empty
+            else {
+              // the batch double spelling verbatim: qD is the exact
+              // integer correctly rounded to the nearest double (what
+              // Spark's DECIMAL(38,0)→double cast also produces)
+              val nD = n.toDouble
+              val sD = s.toDouble
+              val qD = q.doubleValue
+              val cv2 =
+                if (s == 0L) None else Some((nD * qD - sD * sD) / (sD * sD))
+              Iterator.single(WindowBurst(new java.sql.Timestamp(winStart), etype,
+                n, s, q.toString, sD / nD, cv2))
+            }
+          } else {
+            val prior = state.getOption.getOrElse(BurstBuf(Vector.empty)).rows
+            val fresh = items.map { e =>
+              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000L
+              (e.user_id, us, e.event_id)
+            }.toVector
+            state.update(BurstBuf(prior ++ fresh))
+            state.setTimeoutTimestamp(
+              math.max(winEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** EXT-6ab — novel-chunk feed: the streaming face of CDC chunking
     * (x126). Arriving (ts, doc_id, source, text) documents are chunked
     * by the ONE batch definition ([[graft.operators.Dedup.cdcChunks]] —

@@ -1916,4 +1916,73 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("EXT-6ae burstinessMonitorStream: sealed windows equal the batch windowedBurstiness rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10-min-aligned base so expected windows are clean multiples
+    val w0Ms = 1700000000000L - (1700000000000L % 600000L)
+    def at(offS: Long, micro: Int = 0): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(w0Ms + offS * 1000L)
+      if (micro != 0) t.setNanos(t.getNanos + micro * 1000)
+      t
+    }
+    // window 0: type A — user 1 gaps (30s, 60s); user 2 gap (10s + 123µs,
+    //   exercising the sub-ms micros path); type B — user 1 same-µs
+    //   replay pair (Σg = 0 ⇒ cv2 NULL); type C — one event, NO row.
+    // window 1: type A — user 1 gap (5s): CV² of a single gap is 0.
+    val fixture = Seq(
+      Event(1L, at(0), 1L, "A", 1.0),
+      Event(2L, at(30), 1L, "A", 1.0),
+      Event(3L, at(90), 1L, "A", 1.0),
+      Event(4L, at(10), 2L, "A", 1.0),
+      Event(5L, at(20, micro = 123), 2L, "A", 1.0),
+      Event(6L, at(40), 1L, "B", 1.0),
+      Event(7L, at(40), 1L, "B", 1.0),
+      Event(8L, at(50), 1L, "C", 1.0),
+      Event(9L, at(610), 1L, "A", 1.0),
+      Event(10L, at(615), 1L, "A", 1.0))
+    val batch = graft.operators.Temporal.windowedBurstiness(
+        fixture.toDF(), windowDur = "10 minutes").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val stream = MemoryStream[Event]
+    // a REAL delay (unlike 6aa's "0 seconds"): event 2 must arrive out
+    // of order yet inside the watermark, or the engine's late filter
+    // would drop it before the buffer ever sees it
+    val q = StreamOps.burstinessMonitorStream(stream.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("burst_out").outputMode("append").start()
+    try {
+      // out-of-order delivery: event 2 (the middle of user 1's window-0
+      // run) arrives AFTER event 3 — the buffered multiset must re-derive
+      // the replaced gap exactly
+      stream.addData(fixture.filter(_.event_id != 2L): _*)
+      q.processAllAvailable()
+      stream.addData(fixture.filter(_.event_id == 2L): _*)
+      q.processAllAvailable()
+      // two flushes: advance the watermark past both windows, then let
+      // the timeouts fire with it (the 6aa discipline)
+      stream.addData(Event(98L, at(2000), 9L, "zz", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(99L, at(2001), 9L, "zz", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("burst_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+      // the twin-agreement law, bit for bit: same sealed keys (no type-C
+      // / no-gap rows on either face), same exact integer moments, same
+      // digit-string Σg², same IEEE doubles
+      assert(got == batch, s"stream:\n$got\nbatch:\n$batch")
+      // and the fixture's own expectations, so the law can't pass vacuously
+      assert(got.keySet == Set((w0Ms, "A"), (w0Ms, "B"), (w0Ms + 600000L, "A")))
+      val (nA, sA, _, _, cvA) = got((w0Ms, "A"))
+      assert(nA == 3L && sA == 30000000L + 60000000L + 10000123L)
+      assert(cvA.exists(_ > 0.0), "mixed gaps must report positive CV²")
+      assert(got((w0Ms, "B"))._5.isEmpty, "all-zero gaps report cv2 NULL")
+      assert(got((w0Ms + 600000L, "A")) == ((1L, 5000000L, "25000000000000",
+        5000000.0, Some(0.0))), "a single gap is exactly CV² = 0")
+    } finally q.stop()
+  }
 }
