@@ -298,6 +298,9 @@ object SparkEntry {
     "x132_decontamination_repair" -> ((s, dir) =>
       Curation.decontaminationRepair(s, dir,
         k = repairK, benchMod = repairBenchMod, minRun = repairMinRun)),
+    // blocked linkage pairs resolved to entity clusters + purity audit
+    "x133_entity_clusters" -> ((s, dir) =>
+      Linkage.entityClusters(s, dir, minSim4 = entityClusterSim)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -362,6 +365,12 @@ object SparkEntry {
 
   /** x131 swept thresholds (percent) — same no-drift contract. */
   private val sweepPcts = Seq(60, 70, 80, 90)
+
+  /** x133 cluster-edge similarity threshold (applied to the rounded
+    * sim4 BOTH engines hash-match on, so the predicate classifies every
+    * pair identically) — same no-drift contract.
+    */
+  private val entityClusterSim = 0.7
 
   /** x132 repair geometry (x108's k and benchmark rule) — same
     * no-drift contract.
@@ -2513,5 +2522,38 @@ object SparkEntry {
          |       round(sum(CASE WHEN corp.digest IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS known_frac4
          |FROM nw LEFT JOIN corp ON corp.digest = nw.digest
          |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin,
+
+    // x118's blocked scoring halved to undirected edges at the rounded
+    // sim4 threshold, the x22/x129 recursive-reach components, then the
+    // x129 purity shape over the attributes the block key does NOT pin
+    "x133_entity_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT p_partkey, p_brand, p_size, p_name,
+         |                  length(p_name)::BIGINT AS len FROM part),
+         |sc AS (SELECT a.p_partkey AS d1, b.p_partkey AS d2
+         |       FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         |                        AND a.p_partkey < b.p_partkey
+         |       WHERE round(CASE WHEN greatest(a.len, b.len) = 0 THEN 1.0
+         |                        ELSE 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / greatest(a.len, b.len)
+         |                   END, 4) >= $entityClusterSim),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM sc UNION ALL SELECT d2, d1 FROM sc),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS p_partkey, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |m AS (SELECT comp.p_partkey, cluster, p_type, p_retailprice
+         |      FROM comp JOIN part ON part.p_partkey = comp.p_partkey),
+         |bt AS (SELECT cluster, p_type, count(*)::BIGINT AS n_t FROM m GROUP BY 1, 2),
+         |mj AS (SELECT cluster, p_type AS majority_type, n_t,
+         |              row_number() OVER (PARTITION BY cluster ORDER BY n_t DESC, p_type DESC) AS rn
+         |       FROM bt),
+         |agg AS (SELECT cluster, count(*)::BIGINT AS n_members,
+         |               count(DISTINCT p_type)::BIGINT AS n_types,
+         |               round(max(p_retailprice) - min(p_retailprice), 2) AS price_span2
+         |        FROM m GROUP BY 1)
+         |SELECT agg.cluster, n_members, n_types, majority_type,
+         |       round(n_t::DOUBLE / n_members, 4) AS majority_share4,
+         |       n_types > 1 AS cross_type, price_span2
+         |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
+         |ORDER BY agg.cluster""".stripMargin,
   )
 }

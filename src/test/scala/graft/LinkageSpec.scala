@@ -51,4 +51,42 @@ class LinkageSpec extends AnyFunSuite with SparkSuite {
       assert(r.getString(1) == "B9" && r.getInt(2) == 3)
     }
   }
+
+  test("entityClusters (x133): transitive closure over thresholded pairs; purity over unblocked attrs") {
+    // block (B1, 10): 1 "abcd" ~ 2 "abcx" (lev 1, sim 0.75 ≥ 0.7) and
+    // 2 "abcx" ~ 3 "abxx" (0.75) but 1 ~ 3 only 0.5 — the CHAIN must
+    // still cluster {1,2,3} (best-match can't see this; the component
+    // can). 4 "qqqq" pairs with nobody ≥ 0.7 → absent (a singleton is
+    // not an entity). block (B1, 20): 5 "abcd" — name-identical to 1
+    // but never compared (blocking decides candidacy). block (B2, 10):
+    // 6/7 "hello" exact (sim 1.0).
+    val dir = TestTables.partDirTyped(spark, Seq(
+      (1L, "abcd", "B1", 10, "T1", 10.0),
+      (2L, "abcx", "B1", 10, "T1", 30.0),
+      (3L, "abxx", "B1", 10, "T2", 25.5),
+      (4L, "qqqq", "B1", 10, "T1", 5.0),
+      (5L, "abcd", "B1", 20, "T1", 10.0),
+      (6L, "hello", "B2", 10, "T3", 10.75),
+      (7L, "hello", "B2", 10, "T3", 12.25)))
+    val got = Linkage.entityClusters(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getBoolean(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(1L, 6L), "components label by min member key; singletons absent")
+    assert(got(1L) == ((3L, 2L, "T1", 0.6667, true, 20.0)),
+      "the chained cluster reads majority type T1 (2 of 3) and the full price span")
+    assert(got(6L) == ((2L, 1L, "T3", 1.0, false, 1.5)))
+  }
+
+  test("entityClusters: a tied type census breaks to the DESC type (the x129 majority spelling)") {
+    val dir = TestTables.partDirTyped(spark, Seq(
+      (10L, "same", "B3", 1, "TA", 1.0),
+      (11L, "same", "B3", 1, "TB", 2.0)))
+    val got = Linkage.entityClusters(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "TB" && r.getDouble(4) == 0.5 && r.getBoolean(5))
+    assert(r.getDouble(6) == 1.0)
+  }
 }

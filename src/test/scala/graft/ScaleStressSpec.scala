@@ -1,8 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
 
 /** 10×-bench-scale stress for the skew/dedup families (r7 task 5): the
   * plan shapes PlanSpec pins at eval scale must SURVIVE a size jump —
@@ -885,6 +888,22 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, s"the best-match argmax must fold map-side, never rank the pair stream:\n$p")
   }
 
+  test("x133 entity clusters at sf0.1: blocked edges, contraction labels; fold reads the checkpoint") {
+    // same catalog note as x118 (part scales with SF, not the slice);
+    // the contraction loop executes at plan build — its cost is x22's
+    // BASELINE column. The pin: edges come from the blocked equi-join
+    // (never a window over pairs), and the purity fold consumes the ONE
+    // checkpointed membership relation — zero parquet re-scans.
+    val p = plan(graft.operators.Linkage.entityClusters(spark, "/root/testdata/sf0.1"))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"majority pick must stay a partial-agg max(struct), never a window:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"the purity fold must consume the checkpointed members, not re-scan the catalog:\n$p")
+  }
+
   test("x119 vocab coverage at 10x: the class window never sorts the corpus; mass scales exactly") {
     val p = plan(graft.operators.TextAnalysis.vocabCoverage(spark, dir10))
     // the cumulative window orders the CLASS relation: both count folds
@@ -1032,6 +1051,71 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         s"${r.getString(0)}: identical distributions must show zero shift")
       assert(r.getDouble(10) == 0.0 && r.getDouble(12) == 0.0 && r.getDouble(14) == 0.0)
     }
+  }
+
+  test("EXT-6ac vs x127 at 10x: the live sketch and the batch exact quantiles agree per window") {
+    // the r10 verdict's twin-agreement ask at stress scale: route the
+    // 10x corpus through the STREAMING monitor with x127's own snapshot
+    // binding as the window key (even doc_id -> window 0 = old, odd ->
+    // window 1 = new), seal both windows, and hold three laws per
+    // (side, source) cell at 25k rows/side:
+    //  1. counts exact: the sealed cell's n_docs == x127's n_old/n_new;
+    //  2. the batch EXACT quantiles re-derive from the raw slice (the
+    //     rank spelling `min(n, max(1, ceil(p*n)))`, independently);
+    //  3. the sketch value lies in the exact ±eps rank bracket — so
+    //     stream and batch quantiles are within 2*eps rank error of
+    //     each other BY the shared bracket, the x59/x67 contract at a
+    //     size where the KLL/GK buffer actually compacts.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.operators.Tables.documents(spark, dir10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val base = 1700000400000L - (1700000400000L % 600000L)
+    def sideTs(docId: Long) = new java.sql.Timestamp(base + (docId % 2L) * 600000L)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamOps.lengthQuantileMonitorStream(
+        stream.toDF().toDF("ts", "source", "n_chars"))
+      .writeStream.format("memory").queryName("quant10_out").outputMode("append").start()
+    try {
+      docs.grouped(10000).foreach { batch =>
+        stream.addData(batch.map { case (id, src, n) => (sideTs(id), src, n) }.toSeq)
+        q.processAllAvailable()
+      }
+      stream.addData(Seq((new java.sql.Timestamp(base + 10 * 600000L), "flush", 1L)))
+      q.processAllAvailable()
+      stream.addData(Seq((new java.sql.Timestamp(base + 10 * 600000L + 1L), "flush", 1L)))
+      q.processAllAvailable()
+      val sealedBySide = spark.table("quant10_out").collect()
+        .filter(_.getString(1) != "flush")
+        .map(r => ((r.getTimestamp(0).getTime - base) / 600000L, r.getString(1)) ->
+          ((r.getLong(2), Seq(r.getLong(5), r.getLong(6), r.getLong(7))))).toMap
+      val batchRows = graft.operators.Curation.quantileDrift(spark, dir10).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Seq(r.getLong(3), r.getLong(5), r.getLong(7)),   // old p50/p90/p99
+            Seq(r.getLong(4), r.getLong(6), r.getLong(8))))).toMap // new
+      val bySideSrc = docs.groupBy { case (id, src, _) => (id % 2L, src) }
+        .map { case (k, vs) => k -> vs.map(_._3).sorted.toIndexedSeq }
+      assert(sealedBySide.keySet == bySideSrc.keySet.map { case (s, src) => (s, src) })
+      val eps = 1.0 / 100
+      for (((side, src), sorted) <- bySideSrc) {
+        val n = sorted.length
+        def at(r: Double): Long =
+          sorted(math.min(n.toLong, math.max(1L, math.ceil(r * n).toLong)).toInt - 1)
+        val (nStream, sketchQs) = sealedBySide((side, src))
+        val (nOld, nNew, oldQs, newQs) = batchRows(src)
+        val (nBatch, exactQs) = if (side == 0L) (nOld, oldQs) else (nNew, newQs)
+        assert(nStream == n && nBatch == n, s"($side, $src): counts must be exact on both faces")
+        Seq(0.5, 0.9, 0.99).zip(exactQs).foreach { case (p, v) =>
+          assert(v == at(p), s"($side, $src): batch p$p=$v must re-derive from the raw slice")
+        }
+        Seq(0.5, 0.9, 0.99).zip(sketchQs).foreach { case (p, v) =>
+          assert(v >= at(p - eps) && v <= at(p + eps),
+            s"($side, $src): sketch p$p=$v outside the exact rank bracket at n=$n")
+        }
+      }
+    } finally q.stop()
   }
 
   test("x128 source overlap at 10x: digest-bounded pairing — no flip; replica-0 edges survive") {

@@ -121,10 +121,19 @@ object TestTables {
     * (key, name, brand, size) — the harness `part` shape (TESTDATA.md)
     * with filler type/price, for the linkage specs.
     */
-  def partDir(spark: SparkSession, rows: Seq[(Long, String, String, Int)]): String = {
+  def partDir(spark: SparkSession, rows: Seq[(Long, String, String, Int)]): String =
+    partDirTyped(spark, rows.map { case (k, n, b, s) => (k, n, b, s, "STANDARD", 900.0) })
+
+  /** Full-width part fixture — (key, name, brand, size, type, price) —
+    * for the linkage purity audit, whose output reads the attributes
+    * the blocking key does NOT pin.
+    */
+  def partDirTyped(
+      spark: SparkSession,
+      rows: Seq[(Long, String, String, Int, String, Double)]): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-part").toString
-    rows.map { case (k, n, b, s) => (k, n, b, "STANDARD", s, 900.0) }
+    rows.map { case (k, n, b, s, t, pr) => (k, n, b, t, s, pr) }
       .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
     dir
