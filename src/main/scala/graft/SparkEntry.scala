@@ -301,6 +301,16 @@ object SparkEntry {
     // blocked linkage pairs resolved to entity clusters + purity audit
     "x133_entity_clusters" -> ((s, dir) =>
       Linkage.entityClusters(s, dir, minSim4 = entityClusterSim)),
+    // exact-integer PageRank over the near-dup graph: template centers
+    "x134_dup_pagerank" -> ((s, dir) => Curation.dupPageRank(s, dir, iters = prIters)),
+    // lag-autocorrelation of hourly rates: daily/weekly seasonality
+    "x135_periodicity" -> ((s, dir) => Temporal.periodicity(s, dir, lags = periodicityLags)),
+    // k-occurrence hubness census incl. the anti-hub (0-hit) class
+    "x136_hubness" -> ((s, dir) => Similarity.hubness(s, dir)),
+    // per-window gap moments + CV²: the oracle face of the 6ae law
+    "x137_windowed_burstiness" -> ((s, dir) => Temporal.windowedBurstinessAudit(s, dir)),
+    // nearest-positive vs hardest-negative margin: label-noise flags
+    "x138_negative_margin" -> ((s, dir) => Similarity.negativeMargin(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -371,6 +381,19 @@ object SparkEntry {
     * pair identically) — same no-drift contract.
     */
   private val entityClusterSim = 0.7
+
+  /** x134 PageRank steps and rank scale — the oracle UNROLLS one CTE
+    * block per step (the x35 Lloyd convention), so `prIters` is
+    * structurally pinned to the generated SQL; `prScale` rides into
+    * both engines' integer arithmetic verbatim.
+    */
+  private val prIters = 5
+  private val prScale = 1000000000L
+
+  /** x135 audit lags in hours (short-range / daily / weekly) — same
+    * no-drift contract.
+    */
+  private val periodicityLags = Seq(1, 24, 168)
 
   /** x132 repair geometry (x108's k and benchmark rule) — same
     * no-drift contract.
@@ -2555,5 +2578,111 @@ object SparkEntry {
          |       n_types > 1 AS cross_type, price_span2
          |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
          |ORDER BY agg.cluster""".stripMargin,
+
+    // x22's pair graph, ranks in scaled BIGINTs, one unrolled CTE block
+    // per damped power step (the x35 Lloyd convention) — `//` is floor
+    // division, matching Spark's `div` on the same non-negative ints
+    "x134_dup_pagerank" -> {
+      val steps = (1 to prIters).map { i =>
+        s"""r$i AS (SELECT e.v AS node,
+           |        ${15L * prScale / 100L}::BIGINT + (85 * sum(r.rank // d.deg)) // 100 AS rank
+           |        FROM r${i - 1} r JOIN deg d ON d.node = r.node
+           |                         JOIN edges e ON e.u = r.node
+           |        GROUP BY e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashPairsCte,
+         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
+         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, $prScale::BIGINT AS rank FROM deg),
+         |$steps
+         |SELECT d.node AS doc_id, d.deg AS degree, r.rank AS rank_scaled,
+         |       round(r.rank::DOUBLE / $prScale, 4) AS rank4
+         |FROM deg d JOIN r$prIters r ON r.node = d.node
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // dense grid (x122's spelling), lag self-join on the shifted hour,
+    // exact BIGINT Pearson moments, ONE guarded double division
+    "x135_periodicity" ->
+      s"""WITH ev AS (SELECT event_type,
+         |                  (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s FROM events),
+         |cells AS (SELECT event_type, hour_s, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(hour_s) AS h0, max(hour_s) AS h1 FROM cells),
+         |grid AS (SELECT unnest(range(h0, h1 + 3600, 3600)) AS hour_s FROM span),
+         |types AS (SELECT DISTINCT event_type FROM cells),
+         |dense AS (SELECT t.event_type, g.hour_s, coalesce(c.c, 0)::BIGINT AS c
+         |          FROM types t CROSS JOIN grid g
+         |          LEFT JOIN cells c ON c.event_type = t.event_type AND c.hour_s = g.hour_s),
+         |j AS (SELECT a.event_type, l.lag_hours::BIGINT AS lag_hours, a.c AS cx, b.c AS cy
+         |      FROM dense a
+         |      CROSS JOIN (SELECT unnest([${periodicityLags.mkString(", ")}]) AS lag_hours) l
+         |      JOIN dense b ON b.event_type = a.event_type
+         |                  AND b.hour_s = a.hour_s + l.lag_hours * 3600),
+         |agg AS (SELECT event_type, lag_hours, count(*)::BIGINT AS n_terms,
+         |               sum(cx)::BIGINT AS sx, sum(cy)::BIGINT AS sy,
+         |               sum(cx * cx)::BIGINT AS sxx, sum(cy * cy)::BIGINT AS syy,
+         |               sum(cx * cy)::BIGINT AS sxy
+         |        FROM j GROUP BY 1, 2)
+         |SELECT event_type, lag_hours, n_terms,
+         |       (n_terms * sxy - sx * sy)::BIGINT AS num,
+         |       (n_terms * sxx - sx * sx)::BIGINT AS var_x,
+         |       (n_terms * syy - sy * sy)::BIGINT AS var_y,
+         |       CASE WHEN n_terms * sxx - sx * sx = 0 OR n_terms * syy - sy * sy = 0 THEN NULL
+         |            ELSE round((n_terms * sxy - sx * sy)::DOUBLE /
+         |                       sqrt((n_terms * sxx - sx * sx)::DOUBLE * (n_terms * syy - sy * sy)::DOUBLE), 4)
+         |       END AS corr4
+         |FROM agg ORDER BY event_type, lag_hours""".stripMargin,
+
+    // x5's exact top-k relation folded to the k-occurrence census, the
+    // corpus left join keeping the n_hits = 0 anti-hub class visible
+    "x136_hubness" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s),
+         |occ AS (SELECT cid, count(*)::BIGINT AS hits FROM r WHERE rank <= 5 GROUP BY 1),
+         |n AS (SELECT coalesce(occ.hits, 0)::BIGINT AS n_hits
+         |      FROM c LEFT JOIN occ ON occ.cid = c.cid)
+         |SELECT n_hits, count(*)::BIGINT AS n_vectors FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x110's moment spelling per 10-minute window (the x12 epoch-second
+    // window convention); gaps never cross a window boundary
+    "x137_windowed_burstiness" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |                  (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s FROM events),
+        |g AS (SELECT window_start_s, event_type,
+        |        us - lag(us) OVER (PARTITION BY window_start_s, user_id, event_type
+        |                           ORDER BY us, event_id) AS gap_us
+        |      FROM e),
+        |a AS (SELECT window_start_s, event_type, count(*)::BIGINT AS n_gaps,
+        |        sum(gap_us)::BIGINT AS sum_gap_us,
+        |        sum(gap_us::HUGEINT * gap_us)::DECIMAL(38,0) AS sum_gap_sq
+        |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2)
+        |SELECT window_start_s, event_type, n_gaps, sum_gap_us,
+        |       sum_gap_sq::VARCHAR AS sum_gap_sq,
+        |       sum_gap_us::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
+        |       CASE WHEN sum_gap_us = 0 THEN NULL
+        |            ELSE (n_gaps::DOUBLE * sum_gap_sq::DOUBLE
+        |                  - sum_gap_us::DOUBLE * sum_gap_us::DOUBLE)
+        |                 / (sum_gap_us::DOUBLE * sum_gap_us::DOUBLE) END AS cv2
+        |FROM a ORDER BY window_start_s, event_type""".stripMargin,
+
+    // one pass, both conditional maxes; NULL pos/margin/noisy for a
+    // query alone in its label (absence is a finding)
+    "x138_negative_margin" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label AS clabel FROM embeddings),
+         |s AS (SELECT qid, qlabel, qlabel = clabel AS same, $dotCte AS sim
+         |      FROM q CROSS JOIN c WHERE qid != cid),
+         |a AS (SELECT qid, qlabel,
+         |             max(CASE WHEN same THEN sim END) AS pos,
+         |             max(CASE WHEN NOT same THEN sim END) AS neg
+         |      FROM s GROUP BY 1, 2)
+         |SELECT qid AS vec_id, qlabel AS label,
+         |       round(pos, 4) AS pos_sim4, round(neg, 4) AS neg_sim4,
+         |       round(pos - neg, 4) AS margin4, neg > pos AS noisy
+         |FROM a ORDER BY vec_id""".stripMargin,
   )
 }

@@ -850,6 +850,76 @@ object Curation {
     labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
+  /** EXACT-integer damped PageRank over an arbitrary undirected pair
+    * relation `(d1, d2)` — the second iterative graph engine next to
+    * [[connectedComponents]], exposed generically for the same reason:
+    * any pair stream (SimHash, MinHash, linkage) can be ranked. Ranks
+    * live in SCALED BIGINTs (initial rank = `scale` per node) and every
+    * update is integer arithmetic — contribution `rank div deg`, damped
+    * update `(15·scale) div 100 + (85·Σ contrib) div 100` — so the fold
+    * is order-insensitive and BOTH engines produce bit-identical ranks
+    * (a float PageRank sums neighbor doubles in shuffle order, which no
+    * hash oracle can pin). Fixed `iters` power steps, not
+    * convergence-tested: an audit wants a deterministic, restartable
+    * cost, and 5 damped steps separate hubs from leaves at any size.
+    *
+    * Overflow bound: per-node incoming mass ≤ total mass = n·scale, so
+    * `85·Σ` needs n·scale ≤ ~1e17 — at the default scale 1e9 that is
+    * 1e8 nodes; beyond, lower `scale` (or the x110 decimal spelling).
+    *
+    * Scale: each step is two equi-joins keyed by node id (contribution
+    * join, incoming-sum shuffle) over the checkpointed symmetric edge
+    * list — the x22 contraction's cost shape with a FIXED round count;
+    * degree and rank relations are |nodes| rows, never pairwise.
+    */
+  def pageRank(
+      pairRelation: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters ($iters) must be in [1, 50]")
+    require(scale >= 100L, s"scale ($scale) must carry the damping hundredths")
+    val pairs = pairRelation.localCheckpoint()
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = 15L * scale / 100L
+    var rank = deg.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(deg, Seq("node"))
+        .select(col("node").as("u"), expr("rank div deg").as("ctr"))
+      // every node has deg >= 1 and a symmetric in-edge, so the node
+      // set is preserved exactly by the incoming fold — no dangling-
+      // node correction term exists in an undirected pair graph
+      rank = sym.join(contrib, Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(sum("ctr").as("in_sum"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * in_sum) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    rank.join(deg, Seq("node"))
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        col("rank").as("rank_scaled"),
+        round(col("rank").cast("double") / scale, 4).as("rank4"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C47 (`x134_dup_pagerank`) — template centrality: [[pageRank]]
+    * over the SimHash near-dup pair graph (x22's edges). Where x22
+    * answers "which docs are one template family" and x129 "what is in
+    * each family", this ranks WITHIN and ACROSS families: the highest-
+    * rank nodes are the template CENTERS (the page everything else is a
+    * near-copy of — rank flows toward high-degree hubs), which is the
+    * principled pick for x47's cluster-representative policy when
+    * quality scores tie, and a round-over-round rank4 jump for a doc
+    * flags a template newly spreading through the crawl (a mirror farm
+    * lighting up) before cluster counts move.
+    */
+  def dupPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    pageRank(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), iters)
+
   /** EXT-C7 — incremental (cross-batch) exact dedup: treat odd doc_ids as
     * the newly-ingested batch and even doc_ids as the existing corpus;
     * keep only new documents whose content digest does not already exist

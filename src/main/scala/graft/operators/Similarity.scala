@@ -174,6 +174,89 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S26 (`x136_hubness`) — k-occurrence hubness audit: how many
+    * times each corpus vector appears in the exact top-k lists of the
+    * query sample ([[bruteForceTopK]]'s relation), folded to the
+    * count-of-counts profile `(n_hits, n_vectors)` — INCLUDING the
+    * `n_hits = 0` anti-hub class via the corpus left join (absence from
+    * every list is the other half of the pathology). Hubness is the
+    * classic high-dimensional failure mode (Radovanović et al.): a few
+    * vectors become "hubs" that appear in everyone's neighbor list
+    * while most become anti-hubs that appear in none, which silently
+    * degrades every downstream consumer — semantic dedup over-merges
+    * around hubs, ANN recall audits look fine while retrieval diversity
+    * collapses, and contrastive sampling over-picks the same negatives.
+    * A right-skewing profile between rounds means the embedding space
+    * (or its normalization) changed, before any recall metric moves.
+    *
+    * Scale: the top-k relation is the guarded x5 machinery verbatim
+    * (map-side bounded top-k, measured broadcast); the fold is x119's
+    * count-of-counts contraction — |queries|·k rows collapse to the
+    * occurrence census, then to ≤ k·|queries| count classes. The spec
+    * pins the mass law Σ n_hits·n_vectors = k·|queries|.
+    */
+  def hubness(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val occ = bruteForceTopK(spark, dir, k, queryMod, maxBroadcastBytes)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("hits"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("n_hits"))
+      .groupBy("n_hits").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("n_hits")
+  }
+
+  /** EXT-S27 (`x138_negative_margin`) — label-noise detection by
+    * margin: per query vector, the best same-label similarity (nearest
+    * positive, self excluded), the best different-label similarity (the
+    * hardest negative — [[hardNegatives]]' top row), and the margin
+    * between them. `noisy = neg > pos` flags vectors whose nearest
+    * neighbor semantics contradict their label — the standard
+    * confident-learning signal: a mislabeled vector sits inside another
+    * label's cluster, so its hardest "negative" is closer than any
+    * "positive". The audit run BEFORE x138's consumers trust labels:
+    * contrastive mining (S6) with noisy anchors manufactures false
+    * hard negatives, and a label-conditioned mixture (x68) inherits
+    * every mislabel. A query alone in its label reports NULL pos /
+    * margin / noisy (the left-fold of absence — no-positive is a
+    * finding, not a zero).
+    *
+    * Scale: ONE guarded join pass (the S6 shape) with BOTH maxes folded
+    * conditionally in the same partial agg — no second corpus pass, no
+    * window; output is |queries| rows.
+    */
+  def negativeMargin(
+      spark: SparkSession,
+      dir: String,
+      queryMod: Int = 5,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb+label|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clabel"))
+    queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("qlabel"),
+        (col("qlabel") === col("clabel")).as("same"),
+        dot(col("qe"), col("ce")).as("sim"))
+      .groupBy("qid", "qlabel")
+      .agg(
+        max(when(col("same"), col("sim"))).as("pos"),
+        max(when(!col("same"), col("sim"))).as("neg"))
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        round(col("pos"), 4).as("pos_sim4"),
+        round(col("neg"), 4).as("neg_sim4"),
+        round(col("pos") - col("neg"), 4).as("margin4"),
+        (col("neg") > col("pos")).as("noisy"))
+      .orderBy("vec_id")
+  }
+
   /** EXT-S7 — ANN recall measurement: per query vector, how many of the
     * EXACT top-k neighbors ([[bruteForceTopK]]) the IVF index
     * ([[ivfTopK]]) actually returned — `recall@k`, the metric every

@@ -546,14 +546,7 @@ object Temporal {
         // x12's bucketing spelling: integer-second hours, so the grid
         // arithmetic below stays in exact BIGINTs
         (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_s"))
-    val cells = ev.groupBy("event_type", "hour_s").agg(count(lit(1)).as("c"))
-    val span = cells.agg(min("hour_s").as("h0"), max("hour_s").as("h1"))
-    val grid = span
-      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_s"))
-    val types = cells.select("event_type").distinct()
-    val dense = types.crossJoin(grid)
-      .join(cells, Seq("event_type", "hour_s"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val dense = denseHourly(ev)
     val perType = Window.partitionBy("event_type")
     val cum = Window.partitionBy("event_type").orderBy("hour_s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -572,6 +565,108 @@ object Temporal {
         (-col("m.nh")).as("peak_hour_s"), col("m.v").as("peak_cusum"),
         col("m.a").as("peak_abs"))
       .orderBy("event_type")
+  }
+
+  /** EXT-X13 (`x137_windowed_burstiness`) — the oracle-keyed face of
+    * the per-window burstiness law ([[windowedBurstiness]] over the
+    * events table, windows presented as epoch seconds — the x12/x76
+    * window-column convention): per (10-minute window, event_type) the
+    * exact gap moments and CV². This is the SAME relation the streaming
+    * monitor (EXT-6ae) emits per sealed window, so the live alarm's
+    * semantics are now pinned THREE ways — batch-vs-stream bit-equality
+    * (StreamOpsSpec), the DuckDB hash oracle here, and x110's unbounded
+    * archival law over the identical moment spelling.
+    */
+  def windowedBurstinessAudit(
+      spark: SparkSession, dir: String, windowDur: String = "10 minutes"): DataFrame =
+    windowedBurstiness(Replication.events(spark, dir), windowDur)
+      .select(unix_timestamp(col("window_start")).as("window_start_s"),
+        col("event_type"), col("n_gaps"), col("sum_gap_us"), col("sum_gap_sq"),
+        col("mean_gap_us"), col("cv2"))
+      .orderBy("window_start_s", "event_type")
+
+  /** The DENSE per-type hourly count grid x122 and x135 share: every
+    * (event_type, hour) cell over the calendar-bounded [min, max] hour
+    * span, absent hours as exact 0 (a silent hour is data to both the
+    * change detector and the periodicity audit). ONE (type, hour) fold
+    * collapses the corpus; everything downstream lives on the
+    * |types|·H grid relation, bounded by calendar time × type
+    * cardinality, not data volume.
+    */
+  private def denseHourly(ev: DataFrame): DataFrame = {
+    val cells = ev.groupBy("event_type", "hour_s").agg(count(lit(1)).as("c"))
+    val span = cells.agg(min("hour_s").as("h0"), max("hour_s").as("h1"))
+    val grid = span
+      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_s"))
+    val types = cells.select("event_type").distinct()
+    types.crossJoin(grid)
+      .join(cells, Seq("event_type", "hour_s"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+  }
+
+  /** EXT-X12 (`x135_periodicity`) — seasonality detection on per-type
+    * event rates: the exact lag-autocorrelation (Pearson, over the
+    * dense hourly grid) of each type's hourly count series at each
+    * audit lag — 1 h (short-range self-similarity), 24 h (daily
+    * rhythm), 168 h (weekly rhythm). The capacity-planning leg x110
+    * and x122 cannot see: burstiness reads the gap SHAPE, CUSUM reads
+    * a level SHIFT, but a diurnal corpus (human-driven traffic) needs
+    * its peak-hour factor known BEFORE either alarm is tuned — a high
+    * corr at 24 h says "provision for the daily peak, don't page on
+    * it", and a daily-periodic type whose 24 h correlation collapses
+    * between rounds has changed its traffic mechanism (bot flood,
+    * region shift) even if volume and CV² held steady.
+    *
+    * Exactness (the x110 moment discipline): counts are exact BIGINTs
+    * on the DENSE grid (absent hours are real zeros — dropping them
+    * would bias every product term), each lag's overlap moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) fold order-insensitively in BIGINT,
+    * the Pearson numerator `n·Σxy − Σx·Σy` and both variance terms
+    * `n·Σq² − (Σq)²` are exact BIGINTs (safe while per-hour counts stay
+    * ≤ ~1e6 over a ≤100k-hour grid — beyond that the x110 decimal
+    * spelling applies), and `corr4` is ONE double division by
+    * `sqrt(vx·vy)` in a fixed operation order. A constant series
+    * (either window variance 0) reports NULL, the ANSI-div-guard
+    * convention — never NaN.
+    *
+    * Scale: the corpus collapses in denseHourly's ONE (type, hour)
+    * fold; the lag self-join is an equi-join of the |types|·H grid
+    * against itself shifted (|lags|·|types|·H rows — calendar-bounded,
+    * corpus-size-free), and the moment fold is |types|·|lags| rows out.
+    */
+  def periodicity(
+      spark: SparkSession,
+      dir: String,
+      lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"lags ($lags) must be positive")
+    val ev = Replication.events(spark, dir)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hour_s"))
+    val dense = denseHourly(ev)
+      .localCheckpoint() // both sides of the lag join re-read the grid
+    val x = dense
+      .withColumn("lag_hours", explode(array(lags.map(l => lit(l.toLong)): _*)))
+      .select(col("event_type"), col("lag_hours"),
+        (col("hour_s") + col("lag_hours") * 3600L).as("y_hour_s"), col("c").as("cx"))
+    val y = dense.select(col("event_type"), col("hour_s").as("y_hour_s"), col("c").as("cy"))
+    val agg = x.join(y, Seq("event_type", "y_hour_s"))
+      .groupBy("event_type", "lag_hours")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("cx").as("sx"), sum("cy").as("sy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"),
+        sum(col("cx") * col("cy")).as("sxy"))
+    val num = col("n_terms") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n_terms") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_terms") * col("syy") - col("sy") * col("sy")
+    agg
+      .select(col("event_type"), col("lag_hours"), col("n_terms"),
+        num.as("num"), vx.as("var_x"), vy.as("var_y"),
+        when(vx === 0L || vy === 0L, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double")), 4)).as("corr4"))
+      .orderBy("event_type", "lag_hours")
   }
 
   def trainTransitionModel(spark: SparkSession, dir: String): TransitionModel = {

@@ -1012,4 +1012,34 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     // the release invariant: kept mass is exactly the unsuppressed mass
     assert(got.values.map(_._3).sum == 30L)
   }
+
+  test("pageRank (x134): exact integer ranks on a star — hand-derived, bit-for-bit") {
+    import spark.implicits._
+    // star 0-{1,2,3}, scale S = 1e9, base = 0.15e9, two steps:
+    //  step 1: contrib c0 = S div 3 = 333333333, leaves S;
+    //    r(0) = base + (85*3S) div 100          = 2700000000
+    //    r(l) = base + (85*333333333) div 100   =  433333333
+    //  step 2: c0 = 2700000000 div 3 = 900000000; cl = 433333333;
+    //    r(0) = base + (85*1299999999) div 100  = 1254999999
+    //    r(l) = base + (85*900000000) div 100   =  915000000
+    // every operation is integer div/floor — any float in the path
+    // would miss these exact values
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    val got = Curation.pageRank(pairs, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((3L, 1254999999L, 1.255)))
+    Seq(1L, 2L, 3L).foreach(l => assert(got(l) == ((1L, 915000000L, 0.915))))
+  }
+
+  test("pageRank: rank mass flows toward hubs and the node set is preserved") {
+    import spark.implicits._
+    // path 1-2-3: the middle node must out-rank the endpoints at any
+    // iteration count, and all three nodes stay visible
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val got = Curation.pageRank(pairs, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) > got(1L) && got(1L) == got(3L),
+      "the hub out-ranks symmetric leaves, which tie exactly")
+  }
 }

@@ -1216,6 +1216,91 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x136/x138 at 10x: the guarded query side holds on the embedding audits (plan level)") {
+    // queryMod = 1000 for the x91/x105 reason: the brute-force leg
+    // would execute at 60k x 60 vectors during collect; the guard path
+    // and fold shapes are mod-invariant, and the quadratic cost itself
+    // is x5's BASELINE column
+    val hub = plan(graft.operators.Similarity.hubness(spark, dir10, queryMod = 1000))
+    assert(hub.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"the measured query side must broadcast, never cartesian:\n$hub")
+    assert(hub.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the census is a count-of-counts fold, never a rank window:\n$hub")
+    val nm = plan(graft.operators.Similarity.negativeMargin(spark, dir10, queryMod = 1000))
+    assert(nm.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, nm.toString)
+    assert(nm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"both conditional maxes fold in ONE partial agg, no window:\n$nm")
+  }
+
+  test("x137 windowed burstiness at 10x: one window shuffle; CV² stays finite on 6M events") {
+    val p = plan(graft.operators.Temporal.windowedBurstinessAudit(spark, dir10))
+    noNestedLoops(p)
+    // executes at 6M events: the replica µs offsets manufacture dense
+    // same-window gap streams (60 replicas 1 µs apart), which is
+    // exactly the stress the NULL-guard and decimal Σg² path must
+    // survive — no NaN/Infinity may ever reach the relation
+    val rows = graft.operators.Temporal.windowedBurstinessAudit(spark, dir10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 0L)
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+      if (!r.isNullAt(6))
+        assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite,
+          s"cv2 must be finite or NULL, got ${r.getDouble(6)}")
+      assert(BigInt(r.getString(4)) >= 0, "the digit-string Σg² parses exactly")
+    }
+  }
+
+  test("x135 periodicity at 10x: grid stays calendar-bounded; correlation is scale-invariant") {
+    // events ×60 with identical timestamps-per-window: every hourly
+    // count scales EXACTLY 60x, so each moment scales by a fixed power
+    // (sums 60x, squares 3600x), the Pearson ratio cancels, and corr4
+    // must be BIT-identical to sf0.1's — while num/var scale exactly
+    // 3600x. n_terms is the calendar, untouched by volume.
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+    val at10 = graft.operators.Temporal.periodicity(spark, dir10).collect()
+      .map(r => key(r) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val at1 = graft.operators.Temporal.periodicity(spark, "/root/testdata/sf0.1").collect()
+      .map(r => key(r) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(at10.keySet == at1.keySet && at1.nonEmpty)
+    at1.foreach { case (k, (n1, num1, vx1, vy1, c1)) =>
+      val (n10, num10, vx10, vy10, c10) = at10(k)
+      assert(n10 == n1, s"$k: the grid is the calendar, not the volume")
+      assert(num10 == 3600L * num1 && vx10 == 3600L * vx1 && vy10 == 3600L * vy1,
+        s"$k: exact moments must scale as 60^2")
+      assert(c10 == c1, s"$k: correlation is scale-invariant ($c1 -> $c10)")
+    }
+  }
+
+  test("x134 pagerank at 10x: rank is component-local — replica 0 reproduces sf0.1 bit-for-bit") {
+    // PageRank here has no global normalization: a node's rank depends
+    // ONLY on its connected component (constant base + neighbor flow),
+    // and replica components are disjoint (no cross-replica simhash
+    // pair survives band + Hamming verification, the x129 argument) —
+    // so the unprefixed replica 0 must reproduce every sf0.1 (degree,
+    // rank_scaled) under the id*10 remap, exactly: any float anywhere
+    // in the rank path would break this bit-equality at 5 iterations
+    val p = plan(graft.operators.Curation.dupPageRank(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"rank folds are keyed aggs, never windows:\n$p")
+    val rep0 = graft.operators.Curation.dupPageRank(spark, dir10).collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1), r.getLong(2)))).toMap
+    val at1 = graft.operators.Curation.dupPageRank(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(at1.nonEmpty, "sf0.1 must have a near-dup graph for this law to bite")
+    assert(rep0 == at1, "replica-0 ranks must reproduce sf0.1 verbatim under the id*10 remap")
+  }
+
   test("x131 threshold sweep at 10x: one pair pass, |pcts|-bounded sweep; counts scale exactly 10x") {
     // min(pcts) = 80 for the same reason as the x105 queryMod pin: the
     // PPJoin pair pass executes during plan build (localCheckpoint), and

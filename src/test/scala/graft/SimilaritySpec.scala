@@ -653,4 +653,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val e = Similarity.jacobiEigenvalues(Array(Array(2.0, 1.0), Array(1.0, 2.0))).sorted
     assert(math.abs(e(0) - 1.0) < 1e-12 && math.abs(e(1) - 3.0) < 1e-12)
   }
+
+  test("hubness (x136): the census carries exactly k hits per query and the whole corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Similarity.hubness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nCorpus = emb.count()
+    val nQueries = emb.filter(org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(10)) === 0).count()
+    // mass law: every query contributes exactly k = 5 list slots, and
+    // every corpus vector lands in exactly one count class
+    assert(rows.map { case (h, n) => h * n }.sum == 5L * nQueries)
+    assert(rows.map(_._2).sum == nCorpus)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("negativeMargin (x138): noisy iff the hardest negative beats the nearest positive") {
+    // dim 2, queryMod 5 -> queries are ids 0, 5, 10.
+    //   id 0 (label 0, [1,0]):   pos = id5 (0.8), neg = id1 (0.9) -> NOISY
+    //   id 5 (label 0, [0.8,0]): pos = id0 (0.8), neg = id1 (0.72) -> clean
+    //   id 10 (label 2, [0,1]):  alone in its label -> NULL pos/margin/noisy
+    val dir = TestTables.embeddingsLabeledDir(spark, Seq(
+      (0L, Seq(1f, 0f), 0), (5L, Seq(0.8f, 0f), 0),
+      (1L, Seq(0.9f, 0f), 1), (10L, Seq(0f, 1f), 2)))
+    val got = Similarity.negativeMargin(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 5L, 10L))
+    def t(id: Long) = {
+      val r = got(id)
+      (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+    }
+    assert(t(0L) == ((0, 0.8, 0.9, -0.1, true)),
+      "a mislabeled-looking anchor reports a negative margin and the noisy flag")
+    assert(t(5L) == ((0, 0.8, 0.72, 0.08, false)))
+    val lone = got(10L)
+    assert(lone.getInt(1) == 2 && lone.isNullAt(2) && lone.isNullAt(4) && lone.isNullAt(5),
+      "a label singleton reports NULL pos/margin/noisy — absence is a finding")
+    assert(lone.getDouble(3) == 0.0, "its hardest negative is still measured")
+  }
 }

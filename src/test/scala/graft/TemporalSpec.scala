@@ -251,4 +251,53 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got("C") == ((4L, 4L, 0L, 0L, 0L)),
       "an all-tied (flat) cusum must report the earliest grid hour")
   }
+
+  test("periodicity (x135): exact Pearson at each lag over the dense grid; constant series NULL") {
+    def us(s: Long): Long = s * 1000000L
+    // 8-hour grid. P alternates [2,0,2,0,2,0,2,0] (events at even hours,
+    // 2 per hour) -> the dense grid must supply the zero hours, giving
+    // lag-1 corr EXACTLY -1 (n=7: num = 7*0 - 8*6 = -48, vx = 7*16-64
+    // = 48, vy = 7*12-36 = 48) and lag-2 corr EXACTLY +1.
+    // C is one event every hour -> both windows constant -> NULL.
+    val pEvents = Seq(0, 2, 4, 6).flatMap { h =>
+      Seq((100L + h * 2, us(h * 3600L + 10), 1L, "P"),
+        (101L + h * 2, us(h * 3600L + 20), 1L, "P"))
+    }
+    val cEvents = (0 to 7).map(h => (200L + h, us(h * 3600L + 30), 2L, "C"))
+    val dir = TestTables.eventsDir(spark, pEvents ++ cEvents)
+    val got = Temporal.periodicity(spark, dir, lags = Seq(1, 2)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(got.keySet == Set(("P", 1L), ("P", 2L), ("C", 1L), ("C", 2L)))
+    assert(got(("P", 1L)) == ((7L, -48L, 48L, 48L, Some(-1.0))),
+      "an alternating series anti-correlates exactly at lag 1")
+    assert(got(("P", 2L)) == ((6L, 36L, 36L, 36L, Some(1.0))),
+      "the period-2 series correlates exactly at its period")
+    assert(got(("C", 1L))._5.isEmpty && got(("C", 2L))._5.isEmpty,
+      "a constant series has zero variance and reports NULL, never NaN")
+  }
+
+  test("windowedBurstinessAudit (x137): gaps never cross a window; moments exact per cell") {
+    def us(s: Long): Long = s * 1000000L
+    // user 1 / A: 0s, 100s (window 0), then 610s, 620s (window 600) —
+    // the 100s -> 610s pair straddles the boundary and must form NO gap
+    // on either side. user 2 / B: a same-µs replay pair -> Σg = 0 ->
+    // cv2 NULL. user 3 / C: one event per window -> no gap, no row.
+    val dir = TestTables.eventsDir(spark, Seq(
+      (1L, us(0), 1L, "A"), (2L, us(100), 1L, "A"),
+      (3L, us(610), 1L, "A"), (4L, us(620), 1L, "A"),
+      (5L, us(50), 2L, "B"), (6L, us(50), 2L, "B"),
+      (7L, us(40), 3L, "C"), (8L, us(640), 3L, "C")))
+    val got = Temporal.windowedBurstinessAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(got.keySet == Set((0L, "A"), (600L, "A"), (0L, "B")),
+      "only (window, type) cells with an in-window gap emit; boundary pairs don't")
+    assert(got((0L, "A")) == ((1L, 100000000L, "10000000000000000", 1.0e8, Some(0.0))))
+    assert(got((600L, "A")) == ((1L, 10000000L, "100000000000000", 1.0e7, Some(0.0))))
+    assert(got((0L, "B")) == ((1L, 0L, "0", 0.0, None)),
+      "an all-zero-gap cell reports cv2 NULL, never NaN")
+  }
 }
