@@ -311,6 +311,9 @@ object SparkEntry {
     "x137_windowed_burstiness" -> ((s, dir) => Temporal.windowedBurstinessAudit(s, dir)),
     // nearest-positive vs hardest-negative margin: label-noise flags
     "x138_negative_margin" -> ((s, dir) => Similarity.negativeMargin(s, dir)),
+    // right-to-be-forgotten blast radius across derived artifacts
+    "x139_deletion_blast" -> ((s, dir) =>
+      Curation.deletionBlastRadius(s, dir, delMod = blastDelMod, k = cdcK, divisor = cdcDivisor)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -394,6 +397,9 @@ object SparkEntry {
     * no-drift contract.
     */
   private val periodicityLags = Seq(1, 24, 168)
+
+  /** x139 takedown-sample modulus — same no-drift contract. */
+  private val blastDelMod = 50L
 
   /** x132 repair geometry (x108's k and benchmark rule) — same
     * no-drift contract.
@@ -2684,5 +2690,50 @@ object SparkEntry {
          |       round(pos, 4) AS pos_sim4, round(neg, 4) AS neg_sim4,
          |       round(pos - neg, 4) AS margin4, neg > pos AS noisy
          |FROM a ORDER BY vec_id""".stripMargin,
+
+    // five exact keyed folds over the shared chunk / cluster / pack
+    // machinery; the pack tail law (everything at/after the first
+    // deleted doc repacks) mirrors the Spark window spelling
+    "x139_deletion_blast" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |$cdcChunksCte,
+         |d AS (SELECT 'doc' AS artifact,
+         |        sum(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+         |        count(*)::BIGINT AS n_total FROM documents),
+         |cf AS (SELECT digest,
+         |         max(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END) AS has_del,
+         |         max(CASE WHEN doc_id % $blastDelMod <> 0 THEN 1 ELSE 0 END) AS has_kept
+         |       FROM ch GROUP BY 1),
+         |cagg AS (SELECT 'chunk_digest' AS artifact,
+         |          sum(CASE WHEN has_del = 1 AND has_kept = 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+         |          count(*)::BIGINT AS n_total FROM cf),
+         |pc AS (SELECT cluster,
+         |         max(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END) AS has_del,
+         |         count(*)::BIGINT AS n_members,
+         |         sum(CASE WHEN doc_id % $blastDelMod <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |       FROM comp GROUP BY 1),
+         |clagg AS (SELECT 'cluster' AS artifact,
+         |           sum(CASE WHEN has_del = 1 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
+         |           count(*)::BIGINT AS n_total FROM pc),
+         |coagg AS (SELECT 'co_clustered_doc' AS artifact,
+         |           sum(CASE WHEN has_del = 1 THEN n_kept ELSE 0 END)::BIGINT AS n_affected,
+         |           sum(n_members)::BIGINT AS n_total FROM pc),
+         |pt AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+         |pw AS (SELECT lang, doc_id, tok,
+         |         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM pt),
+         |pb AS (SELECT lang, max((cum - tok) // 512) AS max_bin,
+         |         min(CASE WHEN doc_id % $blastDelMod = 0 THEN (cum - tok) // 512 END) AS min_del_bin
+         |       FROM pw GROUP BY 1),
+         |pagg AS (SELECT 'pack_bin' AS artifact,
+         |          sum(CASE WHEN min_del_bin IS NULL THEN 0 ELSE max_bin - min_del_bin + 1 END)::BIGINT AS n_affected,
+         |          sum(max_bin + 1)::BIGINT AS n_total FROM pb),
+         |u AS (SELECT * FROM d UNION ALL SELECT * FROM cagg UNION ALL SELECT * FROM clagg
+         |      UNION ALL SELECT * FROM coagg UNION ALL SELECT * FROM pagg)
+         |SELECT artifact, n_affected, n_total,
+         |       CASE WHEN n_total = 0 THEN NULL
+         |            ELSE round(n_affected::DOUBLE / n_total, 4) END AS affected_frac4
+         |FROM u ORDER BY artifact""".stripMargin,
   )
 }

@@ -920,6 +920,101 @@ object Curation {
   def dupPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
     pageRank(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), iters)
 
+  /** EXT-C48 (`x139_deletion_blast`) — right-to-be-forgotten BLAST
+    * RADIUS: given a deletion set (the `doc_id % delMod = 0` sample —
+    * the takedown batch), the exact count of derived artifacts each
+    * curation layer must touch to honor it, one row per artifact class:
+    *
+    *  - `doc` — the deletion set itself over the corpus;
+    *  - `chunk_digest` — CDC chunk digests whose ONLY provenance is
+    *    deleted docs (they must be purged from every chunk index;
+    *    digests shared with surviving docs stay — content the corpus
+    *    still legitimately holds);
+    *  - `cluster` — x22 near-dup clusters losing ≥ 1 member (their
+    *    canonical representative may change);
+    *  - `co_clustered_doc` — SURVIVING docs sharing a cluster with a
+    *    deleted one (each needs re-canonicalization — deletion's reach
+    *    beyond the deleted rows themselves, the number governance
+    *    reviews actually ask for);
+    *  - `pack_bin` — concat-cut bins (x39's geometry) at or after each
+    *    language's first deleted doc: deleting a doc shifts every
+    *    later doc in the lang, so the honest repack cost is the whole
+    *    downstream tail, not one bin.
+    *
+    * Every count is an exact integer fold; `affected_frac4` is one
+    * guarded IEEE division. The point of the relation is the ORDER of
+    * magnitudes: chunk purges are narrow, repacking is broad — which
+    * is why production layouts shard packs by ingest date (bounding
+    * the tail) and key indexes by digest (making purges point lookups).
+    *
+    * Scale: five independent keyed folds (digest / cluster / lang),
+    * each collapsing map-side; the cluster legs re-run the x22
+    * contraction (the self-contained-query convention, x129's note);
+    * nothing pairwise beyond it, output is 5 rows.
+    */
+  def deletionBlastRadius(
+      spark: SparkSession,
+      dir: String,
+      delMod: Long = 50L,
+      k: Int = 4,
+      divisor: Long = 16L,
+      budgetTokens: Long = 512L,
+      maxRounds: Int = 30): DataFrame = {
+    require(delMod >= 2, s"delMod ($delMod) must be >= 2")
+    def isDel(c: Column): Column = pmod(c, lit(delMod)) === 0
+    val docs = Tables.documents(spark, dir)
+    val docAgg = docs.agg(
+        sum(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("doc").as("artifact"), col("n_affected"), col("n_total"))
+    val chunkAgg = Dedup.cdcChunks(docs, k, divisor)
+      .groupBy("digest")
+      .agg(
+        max(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("has_del"),
+        max(when(!isDel(col("doc_id")), 1L).otherwise(0L)).as("has_kept"))
+      .agg(
+        sum(when(col("has_del") === 1L && col("has_kept") === 0L, 1L).otherwise(0L))
+          .as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("chunk_digest").as("artifact"), col("n_affected"), col("n_total"))
+    val clusters = dedupClusters(spark, dir, maxRounds)
+      .localCheckpoint() // consumed by the cluster fold AND the co-member fold
+    val perCluster = clusters.groupBy("cluster")
+      .agg(
+        max(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("has_del"),
+        count(lit(1)).as("n_members"),
+        sum(when(!isDel(col("doc_id")), 1L).otherwise(0L)).as("n_kept"))
+    val clusterAgg = perCluster.agg(
+        sum(when(col("has_del") === 1L, 1L).otherwise(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("cluster").as("artifact"), col("n_affected"), col("n_total"))
+    val coAgg = perCluster.agg(
+        sum(when(col("has_del") === 1L, col("n_kept")).otherwise(0L)).as("n_affected"),
+        sum("n_members").as("n_total"))
+      .select(lit("co_clustered_doc").as("artifact"), col("n_affected"), col("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packAgg = docs
+      .select(col("lang"), col("doc_id"),
+        size(Tables.tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("bin", expr(s"(cum - tok) div $budgetTokens"))
+      .groupBy("lang")
+      .agg(max("bin").as("max_bin"),
+        min(when(isDel(col("doc_id")), col("bin"))).as("min_del_bin"))
+      .agg(
+        sum(when(col("min_del_bin").isNull, 0L)
+          .otherwise(col("max_bin") - col("min_del_bin") + 1L)).as("n_affected"),
+        sum(col("max_bin") + 1L).as("n_total"))
+      .select(lit("pack_bin").as("artifact"), col("n_affected"), col("n_total"))
+    docAgg.unionAll(chunkAgg).unionAll(clusterAgg).unionAll(coAgg).unionAll(packAgg)
+      .withColumn("affected_frac4",
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_affected").cast("double") / col("n_total"), 4)))
+      .orderBy("artifact")
+  }
+
   /** EXT-C7 — incremental (cross-batch) exact dedup: treat odd doc_ids as
     * the newly-ingested batch and even doc_ids as the existing corpus;
     * keep only new documents whose content digest does not already exist

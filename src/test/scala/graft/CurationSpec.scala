@@ -1013,6 +1013,33 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.map(_._3).sum == 30L)
   }
 
+  test("deletionBlastRadius (x139): each artifact class counts its own exact reach") {
+    // delMod 50 -> deleted = {0, 50}. Five docs, one lang:
+    //  - docs 0 and 1 share identical text -> one shared chunk digest
+    //    (NOT exclusive: doc 1 survives) and a near-dup cluster {0, 1}
+    //    (identical simhash) -> 1 affected cluster, doc 1 co-clustered;
+    //  - doc 50's text is unique -> its digest is EXCLUSIVE to the
+    //    deletion set (the purge list);
+    //  - docs 2 / 51 are unique survivors;
+    //  - all five docs fit bin 0 of the one lang -> the whole (single-
+    //    bin) pack tail repacks.
+    val dir = TestTables.documentsLangSourcedDir(spark, Seq(
+      (0L, "a b", "en", "s0"), (1L, "a b", "en", "s0"),
+      (2L, "m n", "en", "s0"),
+      (50L, "x y", "en", "s0"), (51L, "p q r", "en", "s0")))
+    val got = Curation.deletionBlastRadius(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("doc", "chunk_digest", "cluster", "co_clustered_doc", "pack_bin"))
+    assert(got("doc") == ((2L, 5L, 0.4)))
+    assert(got("chunk_digest") == ((1L, 4L, 0.25)),
+      "only the digest with NO surviving provenance joins the purge list")
+    assert(got("cluster") == ((1L, 1L, 1.0)))
+    assert(got("co_clustered_doc") == ((1L, 2L, 0.5)),
+      "the surviving near-copy needs re-canonicalization — deletion reaches past its own rows")
+    assert(got("pack_bin") == ((1L, 1L, 1.0)),
+      "a deletion in bin 0 repacks the whole downstream tail")
+  }
+
   test("pageRank (x134): exact integer ranks on a star — hand-derived, bit-for-bit") {
     import spark.implicits._
     // star 0-{1,2,3}, scale S = 1e9, base = 0.15e9, two steps:

@@ -1216,6 +1216,26 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x139 deletion blast at 10x: five keyed folds, only the pack window; doc law exact") {
+    // the cluster + chunker legs execute at plan build (their 10x cost
+    // is the x22 / x126 BASELINE columns); the pin: no cartesian, and
+    // the ONLY window in the plan is x39's per-lang pack cumsum — every
+    // other leg is a keyed fold
+    val p = plan(graft.operators.Curation.deletionBlastRadius(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.length <= 1, s"only the pack cumsum may window:\n$p")
+    val rows = graft.operators.Curation.deletionBlastRadius(spark, dir10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the id remap (orig*10 + rep) intersects the %50 takedown sample
+    // at exactly (orig%5 == 0, rep == 0): 1000 of 50000 docs
+    assert(rows("doc") == ((1000L, 50000L, 0.02)))
+    rows.values.foreach { case (a, t, f) =>
+      assert(a >= 0L && a <= t && f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("x136/x138 at 10x: the guarded query side holds on the embedding audits (plan level)") {
     // queryMod = 1000 for the x91/x105 reason: the brute-force leg
     // would execute at 60k x 60 vectors during collect; the guard path
