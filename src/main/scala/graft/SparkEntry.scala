@@ -314,6 +314,8 @@ object SparkEntry {
     // right-to-be-forgotten blast radius across derived artifacts
     "x139_deletion_blast" -> ((s, dir) =>
       Curation.deletionBlastRadius(s, dir, delMod = blastDelMod, k = cdcK, divisor = cdcDivisor)),
+    // top-k label composition: exact Simpson concentration per query
+    "x140_topk_diversity" -> ((s, dir) => Similarity.topkDiversity(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2735,5 +2737,23 @@ object SparkEntry {
          |       CASE WHEN n_total = 0 THEN NULL
          |            ELSE round(n_affected::DOUBLE / n_total, 4) END AS affected_frac4
          |FROM u ORDER BY artifact""".stripMargin,
+
+    // x5's exact top-k joined to labels; majority tie to the GREATER
+    // label (the struct-max spelling); Simpson in exact integers
+    "x140_topk_diversity" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
+         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s),
+         |t AS (SELECT r.qid, e.label FROM r JOIN embeddings e ON e.vec_id = r.cid WHERE rank <= 5),
+         |lc AS (SELECT qid, label, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |mj AS (SELECT qid, label, c,
+         |              row_number() OVER (PARTITION BY qid ORDER BY c DESC, label DESC) AS rn FROM lc),
+         |a AS (SELECT qid, count(*)::BIGINT AS n_labels,
+         |             sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS kk FROM lc GROUP BY 1)
+         |SELECT a.qid AS vec_id, n_labels, mj.label AS top_label, mj.c AS top_n,
+         |       round(sq::DOUBLE / (kk * kk), 4) AS simpson4
+         |FROM a JOIN mj ON mj.qid = a.qid AND rn = 1
+         |ORDER BY vec_id""".stripMargin,
   )
 }

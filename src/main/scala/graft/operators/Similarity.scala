@@ -210,6 +210,46 @@ object Similarity {
       .orderBy("n_hits")
   }
 
+  /** EXT-S28 (`x140_topk_diversity`) — retrieval diversity audit: per
+    * query, the label composition of its exact top-k list — distinct
+    * label count, the majority label and its count, and the Simpson
+    * concentration `Σc²/k²` (1/k² = perfectly diverse, 1.0 = one label
+    * owns the list). The complement of [[hubness]]: hubness asks "who
+    * keeps getting retrieved", this asks "how SAME is what each query
+    * gets back" — a diversity collapse at stable recall is the
+    * signature of hub domination or embedding-space anisotropy, and
+    * retrieval-augmented training data built from collapsed lists
+    * over-samples one mode per query. Spelled in EXACT integers
+    * (label counts, Σc² BIGINT) with ONE rounded division — entropy
+    * would sum doubles in shuffle order, which no hash oracle can pin;
+    * Simpson carries the same signal exactly.
+    *
+    * Scale: the x5 guarded machinery + one narrow label join, then two
+    * query-keyed partial folds; |queries| rows out, no window.
+    */
+  def topkDiversity(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      queryMod: Int = 10,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    bruteForceTopK(spark, dir, k, queryMod, maxBroadcastBytes)
+      .join(lab, "neighbor_id")
+      .groupBy("vec_id", "label").agg(count(lit(1)).as("c"))
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_labels"),
+        max(struct(col("c"), col("label"))).as("mj"),
+        sum(col("c") * col("c")).as("sq"),
+        sum("c").as("kk"))
+      .select(col("vec_id"), col("n_labels"),
+        col("mj.label").as("top_label"), col("mj.c").as("top_n"),
+        round(col("sq").cast("double") / (col("kk") * col("kk")), 4).as("simpson4"))
+      .orderBy("vec_id")
+  }
+
   /** EXT-S27 (`x138_negative_margin`) — label-noise detection by
     * margin: per query vector, the best same-label similarity (nearest
     * positive, self excluded), the best different-label similarity (the

@@ -1087,6 +1087,97 @@ object StreamOps {
       }
   }
 
+  /** One arriving catalog record (the `part` shape the linkage family
+    * blocks on).
+    */
+  case class PartRecord(p_partkey: Long, p_brand: String, p_size: Int, p_name: String)
+
+  /** Per-block linkage state: every record seen in the block so far —
+    * bounded by BLOCK size, which is the linkage module's whole design
+    * argument (tens of records by key composition), never the stream.
+    */
+  case class BlockState(recs: Vector[(Long, String)])
+
+  /** One provisional ingest-time match decision. */
+  case class ProvisionalMatch(p_partkey: Long, block_brand: String, block_size: Int,
+      n_prior: Long, match_key: Option[Long], dist: Option[Long], sim4: Option[Double])
+
+  /** EXT-6af — streaming PROVISIONAL linkage gate: arriving catalog
+    * records matched at ingest against every PRIOR record of their
+    * block, with the batch scoring law verbatim — exact Levenshtein,
+    * `sim4 = round(1 − dist/max(len), 4)` (both-empty ⇒ 1.0, x111's
+    * guard), best match by (sim4 desc, key asc). The ingest-time face
+    * of [[graft.operators.Linkage.entityResolution]]: x118 is the
+    * symmetric audit over the settled catalog; this answers "is the
+    * record I am ingesting RIGHT NOW a near-copy of something I
+    * already hold" before it is admitted — the gate in front of the
+    * entity-cluster composition (x133) exactly as 6b's dedup gate
+    * fronts x1.
+    *
+    * Prior-prefix law (spec-pinned): a record's emission equals its
+    * batch `entityResolution` row computed over the catalog prefix up
+    * to and including it — the batch best-match over earlier records
+    * IS the streaming decision, so replaying history through the gate
+    * reproduces the audit. Within a microbatch, arrivals process in
+    * p_partkey order (the deterministic total order every linkage
+    * spelling uses), so a batched replay emits the same decisions as
+    * one-by-one delivery. A record opening its block emits n_prior = 0
+    * with NULL match columns (absence is a finding). State is the
+    * block's records — the Σ_b |b| memory a blocked join holds anyway,
+    * with the same too-coarse-key failure mode (a hot block = a hot
+    * state key; the fix is key composition, not a bigger cluster).
+    */
+  def linkageGateStream(ds: Dataset[PartRecord]): Dataset[ProvisionalMatch] = {
+    import ds.sparkSession.implicits._
+    def lev(a: String, b: String): Long = {
+      val (n, m) = (a.length, b.length)
+      if (n == 0) return m.toLong
+      if (m == 0) return n.toLong
+      var prev = Array.tabulate(m + 1)(identity)
+      var cur = new Array[Int](m + 1)
+      var i = 1
+      while (i <= n) {
+        cur(0) = i
+        var j = 1
+        while (j <= m) {
+          val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(m).toLong
+    }
+    def sim4Of(dist: Long, la: Int, lb: Int): Double = {
+      val g = math.max(la, lb)
+      val v = if (g == 0) 1.0 else 1.0 - dist.toDouble / g
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    ds.groupByKey(r => (r.p_brand, r.p_size))
+      .flatMapGroupsWithState[BlockState, ProvisionalMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), items: Iterator[PartRecord], state: GroupState[BlockState]) =>
+          val (brand, size) = key
+          var st = state.getOption.getOrElse(BlockState(Vector.empty))
+          val out = Vector.newBuilder[ProvisionalMatch]
+          items.toVector.sortBy(_.p_partkey).foreach { r =>
+            val scored = st.recs.map { case (ck, cn) =>
+              val d = lev(r.p_name, cn)
+              (sim4Of(d, r.p_name.length, cn.length), ck, d)
+            }
+            val best =
+              if (scored.isEmpty) None
+              else Some(scored.minBy { case (s, ck, _) => (-s, ck) })
+            out += ProvisionalMatch(r.p_partkey, brand, size, st.recs.length.toLong,
+              best.map(_._2), best.map(_._3), best.map(_._1))
+            st = BlockState(st.recs :+ (r.p_partkey, r.p_name))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** EXT-6ab — novel-chunk feed: the streaming face of CDC chunking
     * (x126). Arriving (ts, doc_id, source, text) documents are chunked
     * by the ONE batch definition ([[graft.operators.Dedup.cdcChunks]] —

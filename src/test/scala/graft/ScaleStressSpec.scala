@@ -1255,6 +1255,13 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(nm.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"both conditional maxes fold in ONE partial agg, no window:\n$nm")
+    val div = plan(graft.operators.Similarity.topkDiversity(spark, dir10, queryMod = 1000))
+    assert(div.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, div.toString)
+    assert(div.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the label census is two keyed folds, never a window:\n$div")
   }
 
   test("x137 windowed burstiness at 10x: one window shuffle; CV² stays finite on 6M events") {

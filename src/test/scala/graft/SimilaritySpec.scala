@@ -670,6 +670,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("topkDiversity (x140): exact label census of the top-k; majority tie to the greater label") {
+    // one query (id 0), five candidates = the whole top-5 list:
+    // labels {1: x2, 2: x2, 7: x1} -> n_labels 3, majority TIE 2-2
+    // breaks to label 2 (struct-max), Σc² = 4+4+1 = 9 -> simpson 0.36
+    val dir = TestTables.embeddingsLabeledDir(spark, Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0f), 1), (2L, Seq(0.8f, 0f), 1),
+      (3L, Seq(0.7f, 0f), 2), (4L, Seq(0.6f, 0f), 2),
+      (5L, Seq(0.5f, 0f), 7)))
+    val got = Similarity.topkDiversity(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)) ==
+      ((0L, 3L, 2, 2L, 0.36)))
+  }
+
   test("negativeMargin (x138): noisy iff the hardest negative beats the nearest positive") {
     // dim 2, queryMod 5 -> queries are ids 0, 5, 10.
     //   id 0 (label 0, [1,0]):   pos = id5 (0.8), neg = id1 (0.9) -> NOISY

@@ -1985,4 +1985,79 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
         5000000.0, Some(0.0))), "a single gap is exactly CV² = 0")
     } finally q.stop()
   }
+
+  test("EXT-6af linkageGateStream: every emission is the batch best-match over its prior prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.PartRecord
+    val recs = Seq(
+      PartRecord(1L, "B1", 10, "abc"), PartRecord(2L, "B1", 10, "abd"),
+      PartRecord(3L, "B1", 10, "xyz"), PartRecord(4L, "B1", 20, "abc"),
+      PartRecord(5L, "B2", 10, "hello"), PartRecord(6L, "B2", 10, "help"))
+    def batchRow(prefix: Seq[PartRecord], id: Long) = {
+      val dir = TestTables.partDir(spark,
+        prefix.map(r => (r.p_partkey, r.p_name, r.p_brand, r.p_size)))
+      val r = graft.operators.Linkage.entityResolution(spark, dir).collect()
+        .find(_.getLong(0) == id).get
+      (r.getLong(3) - 1L,
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+    }
+    val stream = MemoryStream[PartRecord]
+    val q = StreamOps.linkageGateStream(stream.toDS())
+      .writeStream.format("memory").queryName("link_out").outputMode("append").start()
+    try {
+      // one record per microbatch: the pure arrival-order law
+      recs.foreach { r => stream.addData(r); q.processAllAvailable() }
+      val got = spark.table("link_out").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+      assert(got.keySet == recs.map(_.p_partkey).toSet, "every record emits exactly once")
+      // the prior-prefix law: each emission equals the batch x118 row
+      // computed over the catalog up to and including that record —
+      // exact Levenshtein, sim4 rounding, and tie-break included
+      recs.indices.foreach { i =>
+        val id = recs(i).p_partkey
+        assert(got(id) == batchRow(recs.take(i + 1), id),
+          s"record $id must match its prior-prefix batch row")
+      }
+      // n_prior reads the BLOCK, not the stream: record 4 shares a
+      // brand but not a block, so it opened its own
+      assert(got(4L) == ((0L, None, None, None)))
+    } finally q.stop()
+  }
+
+  test("EXT-6af linkageGateStream: a batched replay emits the same decisions as one-by-one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.PartRecord
+    // delivered ALL AT ONCE and deliberately out of id order — the
+    // within-microbatch p_partkey sort must reproduce the one-by-one
+    // decisions exactly
+    val recs = Seq(
+      PartRecord(2L, "B1", 10, "abd"), PartRecord(1L, "B1", 10, "abc"),
+      PartRecord(3L, "B1", 10, "xyz"), PartRecord(6L, "B2", 10, "help"),
+      PartRecord(5L, "B2", 10, "hello"))
+    val stream = MemoryStream[PartRecord]
+    val q = StreamOps.linkageGateStream(stream.toDS())
+      .writeStream.format("memory").queryName("link_out2").outputMode("append").start()
+    try {
+      stream.addData(recs: _*)
+      q.processAllAvailable()
+      val got = spark.table("link_out2").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+      assert(got(1L) == ((0L, None, None)))
+      assert(got(2L) == ((1L, Some(1L), Some(0.6667))), "2 matches 1 (lev 1 over len 3)")
+      assert(got(3L) == ((2L, Some(1L), Some(0.0))), "sim-0 tie breaks to the lower key")
+      assert(got(5L) == ((0L, None, None)))
+      assert(got(6L) == ((1L, Some(5L), Some(0.6))), "help vs hello: lev 2 over len 5")
+    } finally q.stop()
+  }
 }
