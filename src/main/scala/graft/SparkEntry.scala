@@ -316,6 +316,13 @@ object SparkEntry {
       Curation.deletionBlastRadius(s, dir, delMod = blastDelMod, k = cdcK, divisor = cdcDivisor)),
     // top-k label composition: exact Simpson concentration per query
     "x140_topk_diversity" -> ((s, dir) => Similarity.topkDiversity(s, dir)),
+    // snapshot clustering stability: exact Rand cells, merge detection
+    "x141_cluster_stability" -> ((s, dir) => Curation.clusterStability(s, dir)),
+    // dedup-detector agreement: MinHash-LSH vs SimHash pair-set algebra
+    "x142_detector_agreement" -> ((s, dir) => Dedup.detectorAgreement(s, dir)),
+    // LSH banding sweep: per band count, candidates / verified /
+    // precision / true recall vs the exact PPJoin pair set
+    "x143_band_sweep" -> ((s, dir) => Dedup.bandSweep(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2755,5 +2762,114 @@ object SparkEntry {
          |       round(sq::DOUBLE / (kk * kk), 4) AS simpson4
          |FROM a JOIN mj ON mj.qid = a.qid AND rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // per-doc simhash is corpus-independent, so the even-only corpus's
+    // pair relation is exactly nd_pairs with both endpoints even; the
+    // two component closures feed one contingency pair-count
+    "x141_cluster_stability" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |op AS (SELECT d1, d2 FROM nd_pairs WHERE d1 % 2 = 0 AND d2 % 2 = 0),
+         |oedges AS (SELECT d1 AS u, d2 AS v FROM op UNION ALL SELECT d2, d1 FROM op),
+         |oreach(u, v) AS (SELECT u, v FROM oedges
+         |                 UNION
+         |                 SELECT r.u, e.v FROM oreach r JOIN oedges e ON r.v = e.u),
+         |ocomp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM oreach GROUP BY u),
+         |asg AS (SELECT d.doc_id,
+         |               coalesce(o.cluster, d.doc_id) AS c_old,
+         |               coalesce(n.cluster, d.doc_id) AS c_new
+         |        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+         |        LEFT JOIN ocomp o ON o.doc_id = d.doc_id
+         |        LEFT JOIN comp n ON n.doc_id = d.doc_id),
+         |cells AS (SELECT c_old, c_new, count(*)::BIGINT AS nij FROM asg GROUP BY 1, 2),
+         |am AS (SELECT sum(nij * (nij - 1) // 2)::BIGINT AS together_both,
+         |              sum(nij)::BIGINT AS n_docs FROM cells),
+         |rm AS (SELECT sum(ni * (ni - 1) // 2)::BIGINT AS old_together
+         |       FROM (SELECT c_old, sum(nij)::BIGINT AS ni FROM cells GROUP BY 1)),
+         |cm AS (SELECT sum(nj * (nj - 1) // 2)::BIGINT AS new_together
+         |       FROM (SELECT c_new, sum(nij)::BIGINT AS nj FROM cells GROUP BY 1))
+         |SELECT n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS all_pairs,
+         |       together_both,
+         |       (old_together - together_both)::BIGINT AS split_by_new,
+         |       (new_together - together_both)::BIGINT AS merged_by_new,
+         |       (n_docs * (n_docs - 1) // 2 - old_together - new_together + together_both)::BIGINT AS apart_both,
+         |       CASE WHEN n_docs * (n_docs - 1) // 2 = 0 THEN NULL
+         |            ELSE round((together_both + n_docs * (n_docs - 1) // 2 - old_together
+         |                        - new_together + together_both)::DOUBLE
+         |                       / (n_docs * (n_docs - 1) // 2), 4) END AS rand4
+         |FROM am CROSS JOIN rm CROSS JOIN cm""".stripMargin,
+
+    // the minhash leg re-spells x2 under m-prefixed names (the shared
+    // shingles/simhash CTEs collide on toks/sh/cand); set algebra over
+    // the two verified pair relations is one FULL JOIN + count FILTERs
+    "x142_detector_agreement" ->
+      s"""WITH $simhashPairsCte,
+         |mt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |mshg AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |         FROM mt, unnest(range(1, len(ts)-1)) AS t(i)),
+         |msizes AS (SELECT doc_id, count(*) AS n FROM mshg GROUP BY 1),
+         |mpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |           FROM mshg a JOIN mshg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |mjac AS (SELECT d1, d2, inter::DOUBLE / (s1.n + s2.n - inter) AS jaccard
+         |         FROM mpairs JOIN msizes s1 ON s1.doc_id = d1 JOIN msizes s2 ON s2.doc_id = d2),
+         |mseeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mmh AS (SELECT doc_id, seed,
+         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+         |        FROM mshg CROSS JOIN mseeds GROUP BY 1, 2),
+         |msig AS (SELECT doc_id, (seed // 4)::INT AS band,
+         |                max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
+         |                max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
+         |         FROM mmh GROUP BY 1, 2),
+         |mcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM msig a JOIN msig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |                               AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+         |mh_pairs AS (SELECT c.d1, c.d2 FROM mcand c JOIN mjac j ON c.d1 = j.d1 AND c.d2 = j.d2
+         |             WHERE j.jaccard >= 0.8),
+         |lab AS (SELECT (m.d1 IS NOT NULL) AS in_mh, (s.d1 IS NOT NULL) AS in_sh
+         |        FROM mh_pairs m FULL JOIN (SELECT d1, d2 FROM nd_pairs) s
+         |          ON m.d1 = s.d1 AND m.d2 = s.d2),
+         |agg AS (SELECT count(*) FILTER (in_mh)::BIGINT AS n_minhash,
+         |               count(*) FILTER (in_sh)::BIGINT AS n_simhash,
+         |               count(*) FILTER (in_mh AND in_sh)::BIGINT AS n_both,
+         |               count(*) FILTER (in_mh AND NOT in_sh)::BIGINT AS only_minhash,
+         |               count(*) FILTER (NOT in_mh AND in_sh)::BIGINT AS only_simhash,
+         |               count(*)::BIGINT AS n_union FROM lab)
+         |SELECT n_minhash, n_simhash, n_both, only_minhash, only_simhash, n_union,
+         |       CASE WHEN n_union = 0 THEN NULL
+         |            ELSE round(n_both::DOUBLE / n_union, 4) END AS agreement4
+         |FROM agg""".stripMargin,
+
+    // the banding key re-spells x2's fixed 4x4 grouping generically:
+    // band = seed // rowsPerBand, the band tuple string_agg'd in seed
+    // order (injective over BIGINT hash tuples); truth is x3's exact
+    // jac relation at the same threshold
+    "x143_band_sweep" ->
+      s"""WITH $shinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (SELECT doc_id, seed,
+         |              min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
+         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         |bconfs AS (SELECT unnest([2, 4, 8]) AS bands),
+         |bsig AS (SELECT doc_id, bands, (seed // (16 // bands))::INT AS band,
+         |                string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+         |         FROM mh CROSS JOIN bconfs GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bsig a JOIN bsig b ON a.bands = b.bands AND a.band = b.band
+         |                                AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |ver AS (SELECT c.bands, (j.jaccard >= 0.8) AS ok
+         |        FROM cand c LEFT JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2),
+         |per AS (SELECT bands, count(*)::BIGINT AS n_candidates,
+         |               count(*) FILTER (coalesce(ok, false))::BIGINT AS n_verified
+         |        FROM ver GROUP BY 1),
+         |truth AS (SELECT count(*)::BIGINT AS n_true FROM jac WHERE jaccard >= 0.8)
+         |SELECT b.bands, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+         |       coalesce(n_verified, 0)::BIGINT AS n_verified, n_true,
+         |       CASE WHEN coalesce(n_candidates, 0) = 0 THEN NULL
+         |            ELSE round(n_verified::DOUBLE / n_candidates, 4) END AS precision4,
+         |       CASE WHEN n_true = 0 THEN NULL
+         |            ELSE round(coalesce(n_verified, 0)::DOUBLE / n_true, 4) END AS recall4
+         |FROM bconfs b LEFT JOIN per ON per.bands = b.bands CROSS JOIN truth
+         |ORDER BY b.bands""".stripMargin,
   )
 }

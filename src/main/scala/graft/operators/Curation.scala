@@ -920,6 +920,87 @@ object Curation {
   def dupPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
     pageRank(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), iters)
 
+  /** EXT-C49 (`x141_cluster_stability`) — near-dup clustering STABILITY
+    * between snapshots: the even-doc half (x93/x102's snapshot binding)
+    * clustered ALONE vs the full corpus's clustering restricted to the
+    * same docs, compared by exact pair-counting — together-in-both,
+    * split-by-new, merged-by-new, apart-in-both, and the Rand index.
+    * The drift family's clustering leg: x60 sees token drift, x127
+    * length drift, x93 content churn — none of them sees "the new
+    * crawl STITCHED my dedup clusters together" (a template family
+    * spreading across previously-separate sites), which changes every
+    * cluster-rep decision (x47) and drop count (x1/x131) before any
+    * frequency moves. `merged_by_new` is that signal, exactly.
+    *
+    * The containment law (spec-pinned): a doc's SimHash does not
+    * depend on other docs, so the old corpus's candidate pairs are
+    * EXACTLY `nd_pairs` with both endpoints even — the new edge set is
+    * a superset over the shared docs, components can only MERGE, and
+    * `split_by_new` is provably 0. The operator still reports the cell
+    * (it is generic over snapshot pairs; a genuinely re-crawled corpus
+    * with CHANGED text would populate it) — a nonzero value under this
+    * binding is a connected-components bug, which is precisely why the
+    * oracle computes it too.
+    *
+    * Exactness: contingency pair-counting — `a = Σ C(n_ij, 2)` over
+    * (old, new) label cells, marginals likewise, all BIGINT (`n·(n−1)`
+    * is even, so the `div 2` is exact; safe to ~4e9 docs), Rand one
+    * rounded division. Docs in no pair are their own singleton cluster
+    * (labels coalesce to the doc id), so the universe is every shared
+    * doc, not just the paired ones.
+    *
+    * Scale: ONE pair generation (checkpointed, consumed by both
+    * contractions), two x22 contractions, then |cells|-bounded folds —
+    * the contingency relation is bounded by cluster counts, never
+    * pairwise.
+    */
+  def clusterStability(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val pairs = Dedup.simhashNearDupPairs(spark, dir)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val newC = connectedComponents(pairs, maxRounds)
+      .withColumnRenamed("cluster", "c_new")
+    val oldC = connectedComponents(
+        pairs.filter(pmod(col("d1"), lit(2)) === 0 && pmod(col("d2"), lit(2)) === 0),
+        maxRounds)
+      .withColumnRenamed("cluster", "c_old")
+    val asg = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+      .join(oldC, Seq("doc_id"), "left")
+      .join(newC, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c_old"), col("doc_id")).as("c_old"),
+        coalesce(col("c_new"), col("doc_id")).as("c_new"))
+    pairCountingStability(asg)
+  }
+
+  /** The exact contingency pair-count over a `(doc_id, c_old, c_new)`
+    * assignment relation — x141's fold, factored out so the Rand cell
+    * algebra is spec-pinned on hand fixtures independently of the
+    * SimHash pipeline that feeds it. |cells| rows after the first
+    * groupBy; every downstream relation is 1-row. */
+  def pairCountingStability(asg: DataFrame): DataFrame = {
+    val cells = asg.groupBy("c_old", "c_new").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // consumed by the cell fold and both marginals
+    val a = cells.agg(sum(expr("nij * (nij - 1) div 2")).as("together_both"),
+      sum("nij").as("n_docs"))
+    val rowsTog = cells.groupBy("c_old").agg(sum("nij").as("ni"))
+      .agg(sum(expr("ni * (ni - 1) div 2")).as("old_together"))
+    val colsTog = cells.groupBy("c_new").agg(sum("nij").as("nj"))
+      .agg(sum(expr("nj * (nj - 1) div 2")).as("new_together"))
+    a.crossJoin(broadcast(rowsTog)).crossJoin(broadcast(colsTog))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("all_pairs"),
+        col("together_both"),
+        (col("old_together") - col("together_both")).as("split_by_new"),
+        (col("new_together") - col("together_both")).as("merged_by_new"),
+        (expr("n_docs * (n_docs - 1) div 2") - col("old_together")
+          - col("new_together") + col("together_both")).as("apart_both"))
+      .withColumn("rand4",
+        when(col("all_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("together_both") + col("apart_both")).cast("double")
+            / col("all_pairs"), 4)))
+  }
+
   /** EXT-C48 (`x139_deletion_blast`) — right-to-be-forgotten BLAST
     * RADIUS: given a deletion set (the `doc_id % delMod = 0` sample —
     * the takedown batch), the exact count of derived artifacts each

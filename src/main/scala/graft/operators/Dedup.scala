@@ -225,6 +225,117 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** EXT-D20 (`x142_detector_agreement`) — dedup-detector AGREEMENT
+    * audit: the verified MinHash-LSH pair set (x2: shingle Jaccard
+    * ≥ 0.8 on banded candidates) against the SimHash pair set (x16:
+    * Hamming ≤ 4 on the 60-bit token-frequency fingerprint), compared
+    * by exact set algebra — per-detector counts, the intersection,
+    * each side's exclusive pairs, the union, and |∩|/|∪| as
+    * `agreement4`. The two detectors define "near-duplicate"
+    * DIFFERENTLY (set overlap of 3-gram shingles vs weighted-bit
+    * fingerprint distance), so neither is the other's oracle — the
+    * audit quantifies the operational consequence of choosing one:
+    * `only_simhash` is what a Jaccard pipeline would additionally
+    * drop on switch-over, `only_minhash` the reverse, and a
+    * round-over-round `agreement4` drop flags a corpus whose
+    * duplication style migrated (e.g. templated boilerplate with
+    * token substitutions drifts the fingerprint while shingle overlap
+    * collapses much faster).
+    *
+    * Scale: both pair relations are the banded sub-quadratic builders
+    * (never all-pairs); the full-outer join is keyed by (d1, d2) over
+    * two |pairs|-sized relations, then ONE 1-row fold. Exact integers
+    * throughout, one guarded rounded division.
+    */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashLsh(spark, dir).select(col("d1"), col("d2"))
+      .withColumn("in_mh", lit(true))
+    val sh = simhashNearDupPairs(spark, dir).select(col("d1"), col("d2"))
+      .withColumn("in_sh", lit(true))
+    mh.join(sh, Seq("d1", "d2"), "full_outer")
+      .select(coalesce(col("in_mh"), lit(false)).as("in_mh"),
+        coalesce(col("in_sh"), lit(false)).as("in_sh"))
+      .agg(
+        // coalesce: an empty pair universe must read as exact zeros
+        // (the oracle's count FILTER), not a row of NULL sums
+        coalesce(sum(when(col("in_mh"), 1L).otherwise(0L)), lit(0L)).as("n_minhash"),
+        coalesce(sum(when(col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("n_simhash"),
+        coalesce(sum(when(col("in_mh") && col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("n_both"),
+        coalesce(sum(when(col("in_mh") && !col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("only_minhash"),
+        coalesce(sum(when(!col("in_mh") && col("in_sh"), 1L).otherwise(0L)), lit(0L)).as("only_simhash"),
+        count(lit(1)).as("n_union"))
+      .withColumn("agreement4",
+        when(col("n_union") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_both").cast("double") / col("n_union"), 4)))
+  }
+
+  /** EXT-D21 (`x143_band_sweep`) — LSH BANDING sweep: the x131 discipline
+    * applied to MinHash banding instead of the Jaccard threshold. For
+    * each band count b (rows-per-band 16/b), the exact candidate volume,
+    * the verified pairs (shingle Jaccard ≥ threshold), precision
+    * (verification yield — how much verify work the banding wastes) and
+    * TRUE recall against the exhaustive PPJoin pair set (x3's exact
+    * relation, the ground truth this corpus can afford once). This is
+    * the table that TUNES x2 on a real corpus: more bands ⇒ more
+    * candidates ⇒ higher recall, lower precision — the operator measures
+    * where this corpus actually sits on that curve instead of trusting
+    * the 1−(1−J^r)^b textbook estimate (x52 audits the estimator; this
+    * audits the OPERATING POINT).
+    *
+    * Scale: the 16-hash signature relation is computed ONCE
+    * (checkpointed — |docs| rows of 16 longs; re-banding is a row-local
+    * explode per config, the md5 work is never repaid), each banding's
+    * candidates stay bucket-bounded under the saturation guard, and
+    * every distinct candidate pair is verified ONCE (union → distinct →
+    * one verify join, then a per-config membership join). The PPJoin
+    * truth leg is the deliberate x3 cost — the sweep is an offline
+    * tuning query, run when the banding choice is on the table.
+    */
+  def bandSweep(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 16,
+      bandConfigs: Seq[Int] = Seq(2, 4, 8),
+      threshold: Double = 0.8,
+      maxBucket: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
+      b >= 1 && numHashes % b == 0),
+      s"every band count in $bandConfigs must divide numHashes ($numHashes)")
+    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    val mhRel = arr.select(col("doc_id"),
+        graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
+      .localCheckpoint() // one md5 pass feeds every banding
+    val allCands = bandConfigs.map { b =>
+      bandCandidates(bandedSignatures(mhRel, b, numHashes / b), numHashes / b, maxBucket)
+        .withColumn("bands", lit(b))
+    }.reduce(_.unionByName(_))
+    val uniq = allCands.select("d1", "d2").distinct().localCheckpoint()
+    val okPairs = verifyJaccard(uniq, arr, threshold)
+      .select(col("d1"), col("d2")).withColumn("ok", lit(true))
+    val per = allCands.join(okPairs, Seq("d1", "d2"), "left")
+      .groupBy("bands").agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_verified"))
+    // EliminateSorts drops ngramJaccard's presentation sort under the agg
+    val truth = ngramJaccard(spark, dir, threshold)
+      .agg(count(lit(1)).as("n_true"))
+    bandConfigs.toDF("bands")
+      .join(per, Seq("bands"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_true"))
+      .withColumn("precision4",
+        when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_verified").cast("double") / col("n_candidates"), 4)))
+      .withColumn("recall4",
+        when(col("n_true") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_verified").cast("double") / col("n_true"), 4)))
+      .orderBy("bands")
+  }
+
   /** Ordered candidate pairs (d1 < d2, distinct) from a banded signature
     * relation — the ONE spelling of LSH self-collision bucketing, shared
     * by [[minhashLsh]] and [[lshCalibration]] (a drifting copy would

@@ -1069,4 +1069,55 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) > got(1L) && got(1L) == got(3L),
       "the hub out-ranks symmetric leaves, which tie exactly")
   }
+
+  test("pairCountingStability (x141): a pure merge fills merged_by_new, hand-derived") {
+    import spark.implicits._
+    // old {1,2},{3,4},{5}; new {1,2,3,4},{5}:
+    //   cells (A,X):2 (B,X):2 (C,C):1 -> together_both = 1+1+0 = 2
+    //   old marginals 2,2,1 -> old_together = 2 -> split = 0
+    //   new marginals 4,1   -> new_together = 6 -> merged = 4
+    //   apart = 10 - 2 - 6 + 2 = 4; rand = (2+4)/10 = 0.6
+    val asg = Seq((1L, 10L, 90L), (2L, 10L, 90L), (3L, 11L, 90L),
+      (4L, 11L, 90L), (5L, 12L, 92L)).toDF("doc_id", "c_old", "c_new")
+    val r = Curation.pairCountingStability(asg).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ((5L, 10L, 2L, 0L, 4L, 4L, 0.6)))
+  }
+
+  test("pairCountingStability: a split populates split_by_new; singleton world rand is NULL-safe") {
+    import spark.implicits._
+    // old {1,2,3}; new {1,2},{3}: together = 1, old_together = 3 ->
+    // split = 2; new_together = 1 -> merged = 0; apart = 3-3-1+1 = 0;
+    // rand = 1/3 = 0.3333
+    val asg = Seq((1L, 7L, 70L), (2L, 7L, 70L), (3L, 7L, 71L))
+      .toDF("doc_id", "c_old", "c_new")
+    val r = Curation.pairCountingStability(asg).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ((3L, 3L, 1L, 2L, 0L, 0L, 0.3333)))
+    // one doc -> zero pairs -> rand4 must be NULL, not a 0/0 crash
+    val one = Curation.pairCountingStability(
+      Seq((1L, 7L, 70L)).toDF("doc_id", "c_old", "c_new")).collect().head
+    assert(one.getLong(1) == 0L && one.isNullAt(6))
+  }
+
+  test("clusterStability (x141): containment law — per-doc simhash means evens can only merge") {
+    // identical texts form simhash cliques: evens {0,2} pair directly in
+    // BOTH snapshots, so the odd bridge doc 1 changes nothing restricted
+    // to evens; {4,6} likewise; 8 is a singleton. The law the oracle
+    // also encodes: split_by_new = 0, universe = every even doc.
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "one two three four five six seven eight nine",
+      6L -> "one two three four five six seven eight nine",
+      8L -> "lone wolf text with no copy anywhere at all"))
+    val r = Curation.clusterStability(spark, dir).collect().head
+    assert(r.getLong(0) == 5L, "universe is the even docs {0,2,4,6,8}")
+    assert(r.getLong(3) == 0L, "split_by_new must be zero under the snapshot binding")
+    assert(r.getLong(2) == 2L && r.getDouble(6) == 1.0,
+      "both even cliques survive intact: pairs (0,2) and (4,6) together in both, rand 1")
+  }
 }

@@ -576,4 +576,64 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "s2's dup mass is exactly its copy of the shared doc")
     assert(f2 == math.rint(30.0 / 55.0 * 10000) / 10000)
   }
+
+  test("detectorAgreement (x142): reversed word order splits the detectors, hand-derived") {
+    // (1,2) identical -> caught by BOTH (shingle J = 1, hamming 0);
+    // (7,8) same token BAG reversed -> simhash (order-blind token
+    // frequencies) sees hamming 0, while the shingle sets are DISJOINT
+    // (no 3-gram survives reversal) so the minhash side verifies it
+    // away; 9 is unrelated vocabulary on both fingerprints
+    val d = TestTables.documentsDir(spark, Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again today",
+      7L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      8L -> "juliet india hotel golf foxtrot echo delta charlie bravo alpha",
+      9L -> "sphinx of black quartz judge my vow while the band plays on"))
+    val r = Dedup.detectorAgreement(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ((1L, 2L, 1L, 0L, 1L, 2L, 0.5)))
+  }
+
+  test("detectorAgreement: set-algebra identities hold on harness data") {
+    val r = Dedup.detectorAgreement(spark, "/root/testdata/sf0.001").collect().head
+    val (nMh, nSh, nBoth, onlyMh, onlySh, nUnion) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nUnion == nBoth + onlyMh + onlySh)
+    assert(nMh == nBoth + onlyMh && nSh == nBoth + onlySh)
+    assert(nBoth > 0L, "exact duplicates exist in the corpus and both detectors must see them")
+    assert(r.getDouble(6) == math.rint(nBoth.toDouble / nUnion * 10000) / 10000)
+  }
+
+  test("bandSweep (x143): nested band boundaries make candidates monotone in b") {
+    // consecutive-seed banding nests: sharing an 8-hash band implies
+    // sharing both 4-hash halves, which imply their 2-hash halves —
+    // candidates(2) is a subset of candidates(4) is a subset of
+    // candidates(8), so every count is monotone nondecreasing in b
+    val rows = Dedup.bandSweep(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    val cands = rows.map(_.getLong(1)).toSeq
+    val vers = rows.map(_.getLong(2)).toSeq
+    assert(cands == cands.sorted && vers == vers.sorted, "monotone in band count")
+    rows.foreach { r =>
+      val (nc, nv, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt == 2L, "exact truth: the identical pair and the near pair")
+      assert(nv >= 1L && nv <= nc && nv <= nt,
+        "the identical pair collides in EVERY banding; verified is bounded by both sides")
+      assert(r.getDouble(4) == math.rint(nv.toDouble / nc * 10000) / 10000)
+      assert(r.getDouble(5) == math.rint(nv.toDouble / nt * 10000) / 10000)
+    }
+  }
+
+  test("bandSweep: laws hold on harness data; widest banding reaches full recall on exact dups") {
+    val rows = Dedup.bandSweep(spark, "/root/testdata/sf0.001").collect()
+    val cands = rows.map(_.getLong(1)).toSeq
+    val vers = rows.map(_.getLong(2)).toSeq
+    assert(cands == cands.sorted && vers == vers.sorted)
+    val nTrue = rows.head.getLong(3)
+    assert(nTrue ==
+      Dedup.ngramJaccard(spark, "/root/testdata/sf0.001").count(),
+      "truth is x3's exact relation at the same threshold")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
 }

@@ -1405,6 +1405,90 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(at1.nonEmpty, "sf0.1 must have near-dup clusters for this law to bite")
     assert(rep0 == at1, "replica-0 purity rows must reproduce sf0.1 verbatim under the id*10 remap")
   }
+
+  test("x141 cluster stability at 10x: cells-bounded fold off the checkpoint; containment law holds") {
+    // both contractions execute at plan build (x22's BASELINE column,
+    // paid twice — the self-contained-query note); the pin: the
+    // contingency fold consumes the ONE checkpointed cells relation
+    // (zero parquet re-scans), never windows, and the only join nodes
+    // are the two deliberate 1-row-broadcast marginal attachments
+    val p = plan(graft.operators.Curation.clusterStability(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian anywhere:\n$p")
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 2, s"only the two 1-row marginal broadcasts may nest:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"pair counting is pure partial aggs, never a window:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"the fold must consume the checkpointed cells, not re-scan the corpus:\n$p")
+    // executes: the containment law survives the id remap — per-doc
+    // simhash is corpus-independent, so evens-only edges are a subset
+    // of full-corpus edges restricted to evens: split_by_new ≡ 0, the
+    // universe is every even doc (rep parity decides: 25000 of 50000),
+    // and the Rand cells tile all_pairs exactly
+    val r = graft.operators.Curation.clusterStability(spark, dir10).collect().head
+    assert(r.getLong(0) == 25000L && r.getLong(3) == 0L)
+    assert(r.getLong(2) + r.getLong(4) + r.getLong(5) + r.getLong(3) == r.getLong(1),
+      "the four cells must partition all_pairs")
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
+  test("x142 detector agreement at 10x: two banded legs, one keyed full-outer, 1-row fold") {
+    // both pair generations are the pinned banded builders (their 10x
+    // cost is the x2/x16 BASELINE columns); the pin: the set algebra
+    // adds ONE (d1,d2)-keyed equi-join and a single fold — no cartesian,
+    // no window, no re-sort of either pair stream
+    val p = plan(graft.operators.Dedup.detectorAgreement(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"set algebra is count FILTERs, never a window:\n$p")
+    // executes: identities + the replica law. Disjoint replica token
+    // spaces mean every pair is intra-replica on BOTH detectors, and
+    // replica 0 is the unprefixed original — so each count is >= its
+    // sf0.1 value and the identities hold exactly
+    val r = graft.operators.Dedup.detectorAgreement(spark, dir10).collect().head
+    val r1 = graft.operators.Dedup.detectorAgreement(spark, "/root/testdata/sf0.1").collect().head
+    assert(r.getLong(5) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+    assert(r.getLong(0) == r.getLong(2) + r.getLong(3) && r.getLong(1) == r.getLong(2) + r.getLong(4))
+    assert(r.getLong(0) >= r1.getLong(0) && r.getLong(1) >= r1.getLong(1),
+      "replica 0 alone reproduces the sf0.1 pair sets under the id remap")
+  }
+
+  test("x143 band sweep at 10x: one signature pass feeds every banding; nesting law survives") {
+    // the signature checkpoint + PPJoin truth execute at plan build
+    // (x2/x3's BASELINE columns); the pin: no cartesian beyond the
+    // 1-row truth broadcast, no window, and the nesting monotonicity —
+    // the law that makes the sweep trustworthy as a tuning table —
+    // holds at 10x, where a banding saturation would break it loudly
+    val p = plan(graft.operators.Dedup.bandSweep(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n$p")
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 1, s"only the 1-row truth broadcast may nest:\n$p")
+    // the ONLY windows are the truth leg's PPJoin prefix ranks — always
+    // doc_id-partitioned (x3's pinned discipline), never a global sort;
+    // the sweep itself adds none
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"a global (unpartitioned) window appeared in the sweep:\n$p"))
+    val rows = graft.operators.Dedup.bandSweep(spark, dir10).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    val cands = rows.map(_.getLong(1)).toSeq
+    val vers = rows.map(_.getLong(2)).toSeq
+    assert(cands == cands.sorted && vers == vers.sorted,
+      "nested band boundaries keep candidates monotone at 10x")
+    val true1 = graft.operators.Dedup.ngramJaccard(spark, "/root/testdata/sf0.1").count()
+    assert(rows.head.getLong(3) == 10L * true1,
+      "disjoint replica spaces scale the exact pair truth exactly 10x")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
