@@ -323,6 +323,8 @@ object SparkEntry {
     // LSH banding sweep: per band count, candidates / verified /
     // precision / true recall vs the exact PPJoin pair set
     "x143_band_sweep" -> ((s, dir) => Dedup.bandSweep(s, dir)),
+    // per-cell embedding mixture drift between snapshot halves
+    "x144_cell_drift" -> ((s, dir) => Similarity.cellDrift(s, dir, exactMeans = true)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2871,5 +2873,22 @@ object SparkEntry {
          |            ELSE round(coalesce(n_verified, 0)::DOUBLE / n_true, 4) END AS recall4
          |FROM bconfs b LEFT JOIN per ON per.bands = b.bands CROSS JOIN truth
          |ORDER BY b.bands""".stripMargin,
+
+    // af is the shared trained-centroid assignment; the drift fold is
+    // one |k|-bounded census + a 1-row totals attach, the share/shift
+    // spelling identical to the Spark side (two IEEE divisions, one
+    // difference, one round)
+    "x144_cell_drift" ->
+      s"""${kmeansAssignCtes(8, 2)},
+         |per AS (SELECT cid, count(*) FILTER (vec_id % 2 = 0)::BIGINT AS n_even,
+         |               count(*) FILTER (vec_id % 2 = 1)::BIGINT AS n_odd
+         |        FROM af GROUP BY cid),
+         |tot AS (SELECT sum(n_even)::BIGINT AS t_even, sum(n_odd)::BIGINT AS t_odd FROM per)
+         |SELECT cid, n_even, n_odd,
+         |       CASE WHEN t_even = 0 THEN NULL ELSE round(n_even::DOUBLE / t_even, 4) END AS share_even4,
+         |       CASE WHEN t_odd = 0 THEN NULL ELSE round(n_odd::DOUBLE / t_odd, 4) END AS share_odd4,
+         |       CASE WHEN t_even = 0 OR t_odd = 0 THEN NULL
+         |            ELSE round(n_odd::DOUBLE / t_odd - n_even::DOUBLE / t_even, 4) END AS shift4
+         |FROM per CROSS JOIN tot ORDER BY cid""".stripMargin,
   )
 }

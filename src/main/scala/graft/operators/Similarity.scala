@@ -795,6 +795,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** EXT-S29 (`x144_cell_drift`) — per-CELL embedding mixture drift
+    * between snapshots: the corpus (even vec_id) and incoming (odd)
+    * halves assigned to the SAME trained centroids, per cell the exact
+    * membership counts, each side's share of its own total, and the
+    * share shift. The topic-mixture leg of the drift family: x64 sees
+    * the GEOMETRIC mean move per dimension, x127 length quantiles,
+    * x141 dedup-cluster stitching — none answers "did the new crawl
+    * change WHAT the corpus is about", which is the mixture question
+    * (x48's weights are computed against exactly these shares, so a
+    * shifted cell silently rebalances every downstream mixture draw).
+    *
+    * Exactness: counts are BIGINTs from one cell-keyed fold; shares and
+    * the shift are the oracle's own IEEE spelling (two divisions, one
+    * difference, one round) on 1-row-broadcast totals — no per-cell
+    * float state. Fixed trained centroids mean a cell's shift is
+    * attributable to DATA, not to re-training noise (re-training on the
+    * union would move every centroid and dilute the signal).
+    *
+    * Scale: assignment is the shared centroid-literal row-local pass
+    * (no shuffle, no join); one |k|-bounded fold; totals broadcast.
+    */
+  def cellDrift(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2,
+      exactMeans: Boolean = false): DataFrame = {
+    val e = embDouble(spark, dir)
+    val per = assignCells(e, trainCentroids(e, k, iters, exactMeans))
+      .groupBy("cell")
+      .agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_odd"))
+    val tot = per.agg(sum("n_even").as("t_even"), sum("n_odd").as("t_odd"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell").cast("long").as("cid"), col("n_even"), col("n_odd"),
+        when(col("t_even") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_even").cast("double") / col("t_even"), 4)).as("share_even4"),
+        when(col("t_odd") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_odd").cast("double") / col("t_odd"), 4)).as("share_odd4"),
+        when(col("t_even") === 0L || col("t_odd") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_odd").cast("double") / col("t_odd")
+            - col("n_even").cast("double") / col("t_even"), 4)).as("shift4"))
+      .orderBy("cid")
+  }
+
   /** Train centroids for external consumers (the streaming twin trains
     * on the BATCH corpus, then scores the stream against the result).
     */

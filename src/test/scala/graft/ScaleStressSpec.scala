@@ -1489,6 +1489,29 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rows.head.getLong(3) == 10L * true1,
       "disjoint replica spaces scale the exact pair truth exactly 10x")
   }
+
+  test("x144 cell drift at 10x: centroid-literal assignment, k-bounded fold, totals broadcast") {
+    // training is the bounded driver loop (centroids are k x dim plan
+    // literals); the pin: the census is ONE cell-keyed partial agg over
+    // the checkpointed embedding relation — no join except the 1-row
+    // totals broadcast, no window, never a per-vector shuffle by cell
+    val p = plan(graft.operators.Similarity.cellDrift(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n$p")
+    assert(p.collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.length <= 1, s"only the 1-row totals broadcast may nest:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the census is a partial agg, never a window:\n$p")
+    // executes: the census partitions all 60k vectors at 30x the
+    // eval vector count, shares sum to ~1 on both sides
+    val rows = graft.operators.Similarity.cellDrift(spark, dir10).collect()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == 60000L)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 8 * 5e-5)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) <= 8 * 5e-5)
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

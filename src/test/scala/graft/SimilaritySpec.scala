@@ -709,4 +709,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       "a label singleton reports NULL pos/margin/noisy — absence is a finding")
     assert(lone.getDouble(3) == 0.0, "its hardest negative is still measured")
   }
+
+  test("cellDrift (x144): per-cell parity census and share shift, hand-derived") {
+    // iters = 0 keeps the seed centroids (x-axis / y-axis): cell 0 gets
+    // evens {0,2,6} + odd {3}, cell 1 evens {4} + odds {1,5} -> totals
+    // 4 even / 3 odd; shifts are exactly -5/12 and +5/12
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(1f, 0f), 3L -> Seq(0.9f, 0.1f),
+      4L -> Seq(0f, 0.9f), 5L -> Seq(0.1f, 0.9f),
+      6L -> Seq(0.8f, 0.2f)))
+    val got = Similarity.cellDrift(spark, dir, k = 2, iters = 0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0L) == ((3L, 1L, 0.75, 0.3333, -0.4167)))
+    assert(got(1L) == ((1L, 2L, 0.25, 0.6667, 0.4167)))
+  }
+
+  test("cellDrift: census partitions the corpus and shares sum to one on harness data") {
+    val rows = Similarity.cellDrift(spark, "/root/testdata/sf0.001", exactMeans = true).collect()
+    val total = graft.operators.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "every vector lands in exactly one cell")
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 8L))
+    // rounded shares still sum to ~1 on each side (within k half-ulps)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 8 * 5e-5)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) <= 8 * 5e-5)
+    rows.foreach(r => assert(math.abs(
+      r.getDouble(5) - (math.rint((r.getDouble(4) - r.getDouble(3)) * 10000) / 10000)) <= 2e-4,
+      "shift agrees with the share difference up to re-rounding"))
+  }
 }
