@@ -325,6 +325,8 @@ object SparkEntry {
     "x143_band_sweep" -> ((s, dir) => Dedup.bandSweep(s, dir)),
     // per-cell embedding mixture drift between snapshot halves
     "x144_cell_drift" -> ((s, dir) => Similarity.cellDrift(s, dir, exactMeans = true)),
+    // exact triangle census / clustering coefficient on the near-dup graph
+    "x145_triangle_census" -> ((s, dir) => Curation.dupTriangles(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2890,5 +2892,29 @@ object SparkEntry {
          |       CASE WHEN t_even = 0 OR t_odd = 0 THEN NULL
          |            ELSE round(n_odd::DOUBLE / t_odd - n_even::DOUBLE / t_even, 4) END AS shift4
          |FROM per CROSS JOIN tot ORDER BY cid""".stripMargin,
+
+    // degree-ordered orientation makes each triangle {x<y<z} visible
+    // exactly once as the wedge (x->y, x->z) closed by y->z; row-value
+    // comparison mirrors the Spark struct order
+    "x145_triangle_census" ->
+      s"""WITH $simhashPairsCte,
+         |und AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |dg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+         |ore AS (SELECT CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d1 ELSE p.d2 END AS src,
+         |               CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d2 ELSE p.d1 END AS dst
+         |        FROM nd_pairs p JOIN dg g1 ON g1.node = p.d1 JOIN dg g2 ON g2.node = p.d2),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tn AS (SELECT node, count(*)::BIGINT AS n_tri
+         |       FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         |             UNION ALL SELECT c FROM tri)
+         |       GROUP BY 1)
+         |SELECT dg.node AS doc_id, dg.deg AS degree,
+         |       coalesce(tn.n_tri, 0)::BIGINT AS n_triangles,
+         |       CASE WHEN dg.deg < 2 THEN NULL
+         |            ELSE round(2.0 * coalesce(tn.n_tri, 0)::DOUBLE
+         |                       / (dg.deg * (dg.deg - 1))::DOUBLE, 4) END AS cc4
+         |FROM dg LEFT JOIN tn ON tn.node = dg.node ORDER BY doc_id""".stripMargin,
   )
 }

@@ -920,6 +920,72 @@ object Curation {
   def dupPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
     pageRank(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), iters)
 
+  /** EXACT triangle census over an arbitrary undirected pair relation
+    * `(d1, d2)` (d1 < d2, distinct) — the third generic graph engine
+    * next to [[connectedComponents]] and [[pageRank]]. Per node: its
+    * degree, the exact number of triangles through it, and the local
+    * clustering coefficient `2T / (deg·(deg−1))` (NULL below degree 2).
+    *
+    * Algorithm: degree-ordered ORIENTATION (each edge directed from the
+    * lower (deg, id) endpoint to the higher — a total order, so the
+    * oriented graph is acyclic) then one wedge self-join at the low
+    * endpoint closed by an oriented-edge membership join. Each triangle
+    * {x<y<z} is found exactly once, as the wedge (x→y, x→z) closed by
+    * y→z. This is the standard distributed-triangle bound: oriented
+    * out-degree is O(√m) on ANY graph (a node of degree d > √m has all
+    * out-neighbors of degree ≥ d, and there are < √m of those), so the
+    * wedge join materializes Σ outdeg² ≤ O(m^{3/2}) rows REGARDLESS of
+    * hub degree — a raw neighbor self-join would square the hottest
+    * hub's degree instead. All joins are keyed shuffles; counts are
+    * BIGINTs; one guarded rounded division per node.
+    */
+  def triangleCensus(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val lowFirst = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("d1"), col("deg").as("g1")), "d1")
+      .join(deg.select(col("node").as("d2"), col("deg").as("g2")), "d2")
+      .select(when(lowFirst, col("d1")).otherwise(col("d2")).as("src"),
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("dst"))
+      .localCheckpoint() // consumed by the wedge join (twice) and the closure probe
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // of a wedge's two (b, c) orderings exactly one matches an
+      // oriented closure edge — each triangle counted once, no dedup
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("cc4",
+        when(col("degree") < 2L, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("n_triangles").cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double"), 4)))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C50 (`x145_triangle_census`) — near-dup graph COHESION audit:
+    * [[triangleCensus]] over x22's SimHash pair graph. The "should I
+    * trust this cluster" signal the size histogram (x121) and purity
+    * fold (x129) cannot see: a true template family is clique-like
+    * (every copy pairs with every copy — cc ≈ 1), while a cluster
+    * STITCHED by chains of borderline pairs (the x141 merge hazard, an
+    * LSH banding artifact) has cc ≈ 0 at the junction nodes — exactly
+    * the docs whose removal splits the cluster, and the principled
+    * place to re-verify before x47 picks one representative for what
+    * is actually two families.
+    */
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(Dedup.simhashNearDupPairs(spark, dir))
+
   /** EXT-C49 (`x141_cluster_stability`) — near-dup clustering STABILITY
     * between snapshots: the even-doc half (x93/x102's snapshot binding)
     * clustered ALONE vs the full corpus's clustering restricted to the

@@ -745,15 +745,24 @@ object Similarity {
     * join, shared by the training loop and every trained-centroid
     * consumer.
     */
-  private def assignCells(e: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+  private def assignCells(e: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    e.select(col("vec_id"), col("ed"), cellColumn(cents).as("cell"))
+
+  /** The nearest-centroid argmax as a COLUMN over an `ed` (array of
+    * double) column — the ONE spelling of cell assignment, shared by
+    * [[assignCells]] (training loop + every batch consumer) and
+    * streaming consumers that must carry extra columns (event time)
+    * through the projection. A drifting copy would silently assign the
+    * stream to different cells than the batch census it is compared to.
+    */
+  def cellColumn(cents: Seq[(Int, Array[Double])]): Column = {
     val k = cents.length
     val scoredCells = array(cents.map { case (i, cd) =>
       val nrm = cd.foldLeft(0.0)((a, v) => a + v * v) // oracle's fold order
       struct((dot(col("ed"), typedlit(cd.toSeq)) - lit(nrm / 2)).as("s"),
         lit(k - 1 - i).as("nk"))
     }: _*)
-    e.select(col("vec_id"), col("ed"),
-      (lit(k - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+    lit(k - 1) - array_max(scoredCells).getField("nk")
   }
 
   /** EXT-S8 — semantic deduplication (SemDeDup): cluster the embedding

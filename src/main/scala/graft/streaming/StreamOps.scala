@@ -694,6 +694,57 @@ object StreamOps {
       vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
     graft.operators.Similarity.centroidProjection(vecs, cents)
 
+  /** EXT-6ag — streaming cell-MIXTURE monitor: the live face of x144's
+    * per-cell drift census. Per watermark-sealed tumbling window of an
+    * arriving (vec_id, embedding, ts) stream: each trained cell's exact
+    * arrival count, its share of the window, the batch baseline share
+    * (x144's corpus-side column, a plan literal), and the shift — so
+    * "the crawl changed WHAT the corpus is about" fires mid-ingest
+    * instead of at the next snapshot diff (6ac's relationship to x127,
+    * applied to topic mixture). EXT-6i scores each VECTOR as it
+    * arrives; this seals the WINDOW's composition.
+    *
+    * Assignment is [[graft.operators.Similarity.cellColumn]] — the one
+    * batch spelling, carried through with the event time (no shuffle,
+    * no join, no model state). The window fold is k conditional sums in
+    * ONE aggregation: state per open window is k+1 longs, independent
+    * of arrival count, and the k-row output explodes from the sealed
+    * row AFTER aggregation. Share/shift arithmetic is x144's verbatim
+    * (one IEEE division, one difference, one round); a window with no
+    * arrivals emits nothing on either face — the twin-agreement law
+    * the spec pins per sealed window against the batch census of the
+    * same slice.
+    */
+  def cellMixtureMonitorStream(
+      vecs: DataFrame,
+      cents: Seq[(Int, Array[Double])],
+      baselineShares: Seq[Double],
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val k = cents.length
+    require(baselineShares.length == k,
+      s"baselineShares (${baselineShares.length}) must cover every cell ($k)")
+    val counters = (0 until k).map(i =>
+      sum(when(col("cell") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val base = typedlit(baselineShares)
+    vecs
+      .select(col("ts"), col("embedding").cast("array<double>").as("ed"))
+      .withColumn("cell", graft.operators.Similarity.cellColumn(cents))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_window"), counters: _*)
+      .select(col("window.start").as("window_start"), col("n_window"),
+        explode(array((0 until k).map(i =>
+          struct(lit(i.toLong).as("cell"), col(s"c$i").as("n"))): _*)).as("s"))
+      .select(col("window_start"), col("s.cell").as("cell"),
+        col("s.n").as("n_cell"), col("n_window"),
+        round(col("s.n").cast("double") / col("n_window"), 4).as("share4"),
+        element_at(base, (col("s.cell") + 1).cast("int")).as("baseline_share4"))
+      .withColumn("shift4",
+        round(col("n_cell").cast("double") / col("n_window")
+          - col("baseline_share4"), 4))
+  }
+
   /** EXT-6w — streaming PQ encoding: compress an unbounded
     * (vec_id, embedding) vector stream to its 8-byte PQ codes (plus the
     * exact reconstruction error — the live coding-quality monitor)

@@ -1120,4 +1120,47 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(2) == 2L && r.getDouble(6) == 1.0,
       "both even cliques survive intact: pairs (0,2) and (4,6) together in both, rand 1")
   }
+
+  test("triangleCensus (x145): triangle + pendant, hand-derived coefficients") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 on node 3: node 3 has one of its
+    // C(3,2)=3 neighbor pairs connected (cc 1/3), the pendant is NULL
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val got = Curation.triangleCensus(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.3333)))
+    assert(got(4L)._1 == 1L && got(4L)._2 == 0L && got(4L)._3.isNaN)
+  }
+
+  test("triangleCensus: K4 counts every triangle once per node; a cycle has none") {
+    import spark.implicits._
+    // K4: 4 triangles total, each node on C(3,2) = 3 of them, cc = 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("d1", "d2")
+    val gotK4 = Curation.triangleCensus(k4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotK4 == Set((3L, 3L, 1.0)))
+    // 4-cycle: every degree is 2 but NO neighbor pair closes
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("d1", "d2")
+    val gotC4 = Curation.triangleCensus(c4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotC4 == Set((2L, 0L, 0.0)))
+  }
+
+  test("triangleCensus: oriented count equals the brute-force reference on harness data") {
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def connected(a: Long, b: Long) =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val brute = nodes.map { n =>
+      val nbrs = nodes.filter(m => m != n && connected(n, m))
+      n -> nbrs.combinations(2).count { case Seq(x, y) => connected(x, y) }.toLong
+    }.toMap
+    val got = Curation.triangleCensus(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == brute, "per-node triangle counts must match the all-pairs reference")
+  }
 }

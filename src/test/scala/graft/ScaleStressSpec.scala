@@ -1512,6 +1512,34 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 8 * 5e-5)
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) <= 8 * 5e-5)
   }
+
+  test("x145 triangle census at 10x: oriented wedge join only; replica-0 reproduces sf0.1") {
+    // the pin: every join is an equi-join (orientation lookups, the
+    // src-keyed wedge join, the (b,c) closure probe) — no cartesian, no
+    // window, and the wedge join runs on the ORIENTED relation whose
+    // out-degree is O(sqrt(m)) by construction
+    val p = plan(graft.operators.Curation.dupTriangles(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"triangle counting is joins + folds, never a window:\n$p")
+    // executes: triangles are component-local and per-doc simhash is
+    // corpus-independent, so replica 0 reproduces sf0.1's census
+    // verbatim under the id*10 remap — degree, triangle count, cc4
+    val rep0 = graft.operators.Curation.dupTriangles(spark, dir10).collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val at1 = graft.operators.Curation.dupTriangles(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._2 > 0L),
+      "sf0.1 must have triangles for this law to bite")
+    assert(rep0.size == at1.size &&
+      rep0.forall { case (k, (d, t, c)) =>
+        val (d1, t1, c1) = at1(k); d == d1 && t == t1 && (c == c1 || (c.isNaN && c1.isNaN)) },
+      "replica-0 triangle rows must reproduce sf0.1 verbatim under the id remap")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

@@ -1764,6 +1764,60 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ag cellMixtureMonitorStream: sealed windows equal the batch census against baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val cents = graft.operators.Similarity.trainedCentroids(spark, sfDir, k = 8, iters = 2)
+    // baseline = x144's corpus-side shares (cells with no members -> 0)
+    val byCell = graft.operators.Similarity.cellDrift(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(3)).toMap
+    val base = (0 until 8).map(c => byCell.getOrElse(c, 0.0))
+    // batch truth: each sampled vector's cell under the same centroids
+    val cellOf = graft.operators.Similarity
+      .centroidProjection(graft.operators.Tables.embeddings(spark, sfDir), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 60)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def tsA(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    def wstart(min: Int) = { val t = tsA(min).getTime; t - t % 600000L }
+    // vecs 0-29 arrive in window 0 (minutes 0-9), 30-59 in window 1
+    val rows = sample.map { case (id, emb) =>
+      (tsA((if (id < 30) 0 else 10) + (id % 10).toInt), id, emb)
+    }
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val q = StreamOps.cellMixtureMonitorStream(
+        stream.toDF().toDF("ts", "vec_id", "embedding"), cents, base)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      stream.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(45), -1L, sample.head._2)))
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(46), -1L, sample.head._2)))
+      q.processAllAvailable()
+      val got = spark.table("mix_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+      assert(got.keySet == (for (w <- Seq(wstart(0), wstart(10)); c <- 0L until 8L)
+        yield (w, c)).toSet,
+        "each sealed window emits all k cells exactly once; the open flush window emits nothing")
+      // the twin law: every sealed row equals the batch census of that
+      // window's slice under identical share/shift arithmetic
+      for ((w, ids) <- Seq(wstart(0) -> sample.map(_._1).filter(_ < 30),
+                           wstart(10) -> sample.map(_._1).filter(id => id >= 30 && id < 60));
+           c <- 0L until 8L) {
+        val nw = ids.length.toLong
+        val n = ids.count(cellOf(_) == c).toLong
+        val share = math.rint(n.toDouble / nw * 10000) / 10000
+        val shift = math.rint((n.toDouble / nw - base(c.toInt)) * 10000) / 10000
+        assert(got((w, c)) == ((n, nw, share, base(c.toInt), shift)),
+          s"window $w cell $c diverged from the batch census")
+      }
+    } finally q.stop()
+  }
+
   test("EXT-6ad repairGateStream: ingest repairs equal the batch operator; replays re-derive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
