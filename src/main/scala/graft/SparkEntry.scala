@@ -327,6 +327,8 @@ object SparkEntry {
     "x144_cell_drift" -> ((s, dir) => Similarity.cellDrift(s, dir, exactMeans = true)),
     // exact triangle census / clustering coefficient on the near-dup graph
     "x145_triangle_census" -> ((s, dir) => Curation.dupTriangles(s, dir)),
+    // per-edge triangle support: the k-truss trust audit on near-dup pairs
+    "x146_edge_support" -> ((s, dir) => Curation.dupEdgeSupport(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2916,5 +2918,27 @@ object SparkEntry {
          |            ELSE round(2.0 * coalesce(tn.n_tri, 0)::DOUBLE
          |                       / (dg.deg * (dg.deg - 1))::DOUBLE, 4) END AS cc4
          |FROM dg LEFT JOIN tn ON tn.node = dg.node ORDER BY doc_id""".stripMargin,
+
+    // x145's triangle relation re-read per EDGE: each triangle feeds
+    // its three canonical (min, max) edges into one fold; the left
+    // join back keeps zero-support edges visible
+    "x146_edge_support" ->
+      s"""WITH $simhashPairsCte,
+         |und AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |dg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+         |ore AS (SELECT CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d1 ELSE p.d2 END AS src,
+         |               CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d2 ELSE p.d1 END AS dst
+         |        FROM nd_pairs p JOIN dg g1 ON g1.node = p.d1 JOIN dg g2 ON g2.node = p.d2),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |es AS (SELECT least(a, b) AS d1, greatest(a, b) AS d2 FROM tri
+         |       UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+         |       UNION ALL SELECT least(b, c), greatest(b, c) FROM tri),
+         |sup AS (SELECT d1, d2, count(*)::BIGINT AS support FROM es GROUP BY 1, 2)
+         |SELECT p.d1, p.d2, coalesce(s.support, 0)::BIGINT AS support,
+         |       (coalesce(s.support, 0) = 0) AS unsupported
+         |FROM nd_pairs p LEFT JOIN sup s ON s.d1 = p.d1 AND s.d2 = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin,
   )
 }

@@ -941,25 +941,8 @@ object Curation {
     */
   def triangleCensus(pairRelation: DataFrame): DataFrame = {
     val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
-    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val lowFirst = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
-    val oriented = pairs
-      .join(deg.select(col("node").as("d1"), col("deg").as("g1")), "d1")
-      .join(deg.select(col("node").as("d2"), col("deg").as("g2")), "d2")
-      .select(when(lowFirst, col("d1")).otherwise(col("d2")).as("src"),
-        when(lowFirst, col("d2")).otherwise(col("d1")).as("dst"))
-      .localCheckpoint() // consumed by the wedge join (twice) and the closure probe
-    val tris = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-      .filter(col("e1.dst") =!= col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      // of a wedge's two (b, c) orderings exactly one matches an
-      // oriented closure edge — each triangle counted once, no dedup
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-    val perNode = tris
+    val deg = pairDegrees(pairs)
+    val perNode = orientedTriangles(pairs, deg)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")
@@ -971,6 +954,72 @@ object Curation {
             / (col("degree") * (col("degree") - 1L)).cast("double"), 4)))
       .orderBy("doc_id")
   }
+
+  /** Degree per node of an undirected (d1 < d2) pair relation. */
+  private def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+  /** Each triangle exactly once as `(a, b, c)` under the degree-ordered
+    * orientation — the shared core of [[triangleCensus]] (per-node
+    * counts) and [[edgeSupport]] (per-edge counts). See
+    * [[triangleCensus]] for the O(√m) out-degree bound argument.
+    */
+  private def orientedTriangles(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val lowFirst = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("d1"), col("deg").as("g1")), "d1")
+      .join(deg.select(col("node").as("d2"), col("deg").as("g2")), "d2")
+      .select(when(lowFirst, col("d1")).otherwise(col("d2")).as("src"),
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("dst"))
+      .localCheckpoint() // consumed by the wedge join (twice) and the closure probe
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // of a wedge's two (b, c) orderings exactly one matches an
+      // oriented closure edge — each triangle counted once, no dedup
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+  }
+
+  /** EXACT per-EDGE triangle support over an undirected pair relation —
+    * the k-truss level companion to [[triangleCensus]]: for every edge,
+    * how many triangles contain it, and the `unsupported` verdict
+    * (support 0 — the edge shares no common neighbor with its other
+    * endpoint). Each triangle contributes its three canonical
+    * (min, max) edges to one digest-style fold; the full edge list
+    * joins back so zero-support edges stay visible.
+    */
+  def edgeSupport(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val tris = orientedTriangles(pairs, pairDegrees(pairs))
+    val sup = tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2")),
+        struct(least(col("a"), col("c")).as("d1"), greatest(col("a"), col("c")).as("d2")),
+        struct(least(col("b"), col("c")).as("d1"), greatest(col("b"), col("c")).as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("support"))
+    pairs.join(sup, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("unsupported", col("support") === 0L)
+      .orderBy("d1", "d2")
+  }
+
+  /** EXT-C51 (`x146_edge_support`) — near-dup pair TRUST audit:
+    * [[edgeSupport]] over x22's SimHash pair graph. The edge-level
+    * reading of x145: a pair corroborated by many common near-dup
+    * neighbors is template-family INTERIOR (safe to act on), while an
+    * unsupported pair inside a larger component is exactly the stitch
+    * x141's merged_by_new warns about — the single borderline collision
+    * holding two families together, and the cheapest re-verify queue
+    * (re-score |unsupported| pairs, not |pairs|) before x22's clusters
+    * feed x47's representative picks.
+    */
+  def dupEdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    edgeSupport(Dedup.simhashNearDupPairs(spark, dir))
 
   /** EXT-C50 (`x145_triangle_census`) — near-dup graph COHESION audit:
     * [[triangleCensus]] over x22's SimHash pair graph. The "should I

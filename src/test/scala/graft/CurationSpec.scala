@@ -1163,4 +1163,36 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == brute, "per-node triangle counts must match the all-pairs reference")
   }
+
+  test("edgeSupport (x146): interior edges counted per triangle, the stitch edge flagged") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3), pendant (4,5): the shared edge
+    // carries support 2, the four outer edges 1, the pendant 0
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = Curation.edgeSupport(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got((2L, 3L)) == ((2L, false)))
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).foreach(e =>
+      assert(got(e) == ((1L, false)), s"outer edge $e"))
+    assert(got((4L, 5L)) == ((0L, true)), "the pendant is the unsupported stitch")
+  }
+
+  test("edgeSupport: incident-support law against the node census on harness data") {
+    // every triangle through node v contains exactly TWO edges incident
+    // to v, so sum of supports over v's edges = 2 * n_tri(v) — ties the
+    // edge relation to x145's node relation exactly
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2")
+    val edges = Curation.edgeSupport(pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val nodes = Curation.triangleCensus(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(edges.nonEmpty && edges.exists(_._2 > 0L),
+      "the harness graph must carry at least one supported edge")
+    nodes.foreach { case (v, t) =>
+      val incident = edges.filter { case ((a, b), _) => a == v || b == v }.map(_._2).sum
+      assert(incident == 2L * t, s"node $v: incident support $incident vs 2*$t")
+    }
+  }
 }

@@ -1540,6 +1540,22 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         val (d1, t1, c1) = at1(k); d == d1 && t == t1 && (c == c1 || (c.isNaN && c1.isNaN)) },
       "replica-0 triangle rows must reproduce sf0.1 verbatim under the id remap")
   }
+
+  test("x146 edge support at 10x: per-edge fold off the shared triangle core; replica-0 verbatim") {
+    val p = plan(graft.operators.Curation.dupEdgeSupport(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"support is a canonical-edge fold, never a window:\n$p")
+    // executes: same component-local argument as x145, per EDGE
+    val rep0 = graft.operators.Curation.dupEdgeSupport(spark, dir10).collect()
+      .filter(r => r.getLong(0) % 10L == 0L && r.getLong(1) % 10L == 0L)
+      .map(r => (r.getLong(0) / 10L, r.getLong(1) / 10L) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val at1 = graft.operators.Curation.dupEdgeSupport(spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._1 > 0L))
+    assert(rep0 == at1, "replica-0 edge rows must reproduce sf0.1 verbatim under the id remap")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
