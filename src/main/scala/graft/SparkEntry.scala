@@ -329,6 +329,10 @@ object SparkEntry {
     "x145_triangle_census" -> ((s, dir) => Curation.dupTriangles(s, dir)),
     // per-edge triangle support: the k-truss trust audit on near-dup pairs
     "x146_edge_support" -> ((s, dir) => Curation.dupEdgeSupport(s, dir)),
+    // dedup economics: exact tokens reclaimed per layer, one denominator
+    "x147_dedup_savings" -> ((s, dir) => Curation.dedupSavings(s, dir)),
+    // per-day peak session concurrency: exact distributed sweep-line
+    "x148_peak_concurrency" -> ((s, dir) => Temporal.peakConcurrency(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -2940,5 +2944,71 @@ object SparkEntry {
          |       (coalesce(s.support, 0) = 0) AS unsupported
          |FROM nd_pairs p LEFT JOIN sup s ON s.d1 = p.d1 AND s.d2 = p.d2
          |ORDER BY p.d1, p.d2""".stripMargin,
+
+    // three layer folds over the shared digest/chunk/cluster CTEs,
+    // each joined to one totals row; grouping by text = grouping by
+    // its digest (the x1 spelling)
+    "x147_dedup_savings" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |$cdcChunksCte,
+         |dt AS (SELECT doc_id, text, len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS tok_total FROM dt),
+         |dl AS (SELECT sum(cnt - 1)::BIGINT AS n_dropped, sum((cnt - 1) * nt)::BIGINT AS toks_dropped
+         |       FROM (SELECT count(*) AS cnt, min(n_toks) AS nt FROM dt GROUP BY text)),
+         |chu AS (SELECT count(*)::BIGINT AS n_units FROM ch),
+         |cdrop AS (SELECT sum(cnt - 1)::BIGINT AS n_dropped, sum((cnt - 1) * nt)::BIGINT AS toks_dropped
+         |          FROM (SELECT count(*) AS cnt, min(n_tokens) AS nt FROM ch GROUP BY digest)),
+         |cldrop AS (SELECT count(*)::BIGINT AS n_dropped, sum(dt.n_toks)::BIGINT AS toks_dropped
+         |           FROM comp JOIN dt ON dt.doc_id = comp.doc_id
+         |           WHERE comp.doc_id <> comp.cluster)
+         |SELECT 'doc' AS layer, tot.n_docs AS n_units, coalesce(dl.n_dropped, 0)::BIGINT AS n_dropped,
+         |       tot.tok_total, coalesce(dl.toks_dropped, 0)::BIGINT AS toks_dropped,
+         |       CASE WHEN tot.tok_total = 0 THEN NULL
+         |            ELSE round(coalesce(dl.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END AS savings_frac4
+         |FROM tot CROSS JOIN dl
+         |UNION ALL
+         |SELECT 'chunk', chu.n_units, coalesce(cdrop.n_dropped, 0)::BIGINT,
+         |       tot.tok_total, coalesce(cdrop.toks_dropped, 0)::BIGINT,
+         |       CASE WHEN tot.tok_total = 0 THEN NULL
+         |            ELSE round(coalesce(cdrop.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END
+         |FROM tot CROSS JOIN chu CROSS JOIN cdrop
+         |UNION ALL
+         |SELECT 'cluster', tot.n_docs, coalesce(cldrop.n_dropped, 0)::BIGINT,
+         |       tot.tok_total, coalesce(cldrop.toks_dropped, 0)::BIGINT,
+         |       CASE WHEN tot.tok_total = 0 THEN NULL
+         |            ELSE round(coalesce(cldrop.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END
+         |FROM tot CROSS JOIN cldrop
+         |ORDER BY layer""".stripMargin,
+
+    // the oracle affords the single global running sum the Spark side
+    // deliberately decomposes; ties order +1 before -1 (closed
+    // intervals), and the per-day max over equal-(us, delta) groups is
+    // permutation-invariant, so both engines agree exactly
+    "x148_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM w),
+        |sess AS (SELECT user_id, sid, min(us) AS su, max(us) AS eu FROM s GROUP BY 1, 2),
+        |deltas AS (SELECT su AS us, 1::BIGINT AS delta FROM sess
+        |           UNION ALL SELECT eu, -1::BIGINT FROM sess),
+        |run AS (SELECT us, delta, (us // 1000000 // 86400 * 86400)::BIGINT AS day_s,
+        |               sum(delta) OVER (ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
+        |        FROM deltas),
+        |per AS (SELECT day_s, max(conc)::BIGINT AS abs_peak,
+        |               count(*) FILTER (delta = 1)::BIGINT AS n_starts,
+        |               count(*) FILTER (delta = -1)::BIGINT AS n_ends,
+        |               sum(delta)::BIGINT AS net
+        |        FROM run GROUP BY 1)
+        |SELECT day_s, n_starts, n_ends,
+        |       coalesce(sum(net) OVER (ORDER BY day_s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS open_at_start,
+        |       sum(net) OVER (ORDER BY day_s ROWS UNBOUNDED PRECEDING)::BIGINT AS open_at_end,
+        |       abs_peak AS peak_concurrent
+        |FROM per ORDER BY day_s""".stripMargin,
   )
 }

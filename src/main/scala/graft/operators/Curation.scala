@@ -1021,6 +1021,74 @@ object Curation {
   def dupEdgeSupport(spark: SparkSession, dir: String): DataFrame =
     edgeSupport(Dedup.simhashNearDupPairs(spark, dir))
 
+  /** EXT-C52 (`x147_dedup_savings`) — dedup ECONOMICS: the exact tokens
+    * each dedup layer would reclaim, on one shared denominator. Three
+    * rows — `doc` (x1's identical-text groups: every copy beyond the
+    * keeper), `chunk` (x126's CDC digest census: every chunk instance
+    * beyond the first — edit-stable partial duplication), `cluster`
+    * (x22's near-dup components under keep-lowest-id: whole documents
+    * beyond each canonical) — each with its unit count, dropped units,
+    * dropped tokens, and the savings fraction of total corpus tokens.
+    * The CDC chunker PARTITIONS each document's token stream, so the
+    * chunk layer shares the doc layers' denominator exactly, and the
+    * three fractions are directly comparable: this is the table that
+    * decides WHICH dedup a corpus pays for (storage-dedup economics
+    * read against training-data reality: `chunk − doc` is boilerplate
+    * buried in distinct pages, `cluster − doc` is whole-page
+    * templating).
+    *
+    * Laws (spec-pinned): identical texts share all chunks and collide
+    * in SimHash, so `doc ≤ chunk` and `doc ≤ cluster` savings, exactly.
+    *
+    * Scale: three independent keyed folds (text digest / chunk digest /
+    * cluster label) over the shared machinery — x1's, x126's and x22's
+    * own shapes — collapsed to 1-row summaries joined to a 1-row
+    * totals broadcast; nothing pairwise beyond x22's banded pairs.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint() // consumed by all three layers + the totals
+    val totals = withToks.agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tok_total"))
+    def summarize(layer: String, units: DataFrame, dropped: DataFrame): DataFrame =
+      units.crossJoin(broadcast(dropped)).crossJoin(broadcast(totals))
+        .select(lit(layer).as("layer"), col("n_units"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          col("tok_total"),
+          coalesce(col("toks_dropped"), lit(0L)).as("toks_dropped"))
+        .withColumn("savings_frac4",
+          when(col("tok_total") === 0L, lit(null).cast("double"))
+            .otherwise(round(coalesce(col("toks_dropped"), lit(0L)).cast("double")
+              / col("tok_total"), 4)))
+    // doc: identical-text groups — copies beyond the keeper, at the
+    // group's (shared) token count
+    val docLayer = summarize("doc",
+      totals.select(col("n_docs").as("n_units")),
+      withToks.groupBy(sha2(col("text"), 256))
+        .agg(count(lit(1)).as("c"), min("n_toks").as("nt"))
+        .agg(sum(col("c") - 1L).as("n_dropped"),
+          sum((col("c") - 1L) * col("nt")).as("toks_dropped")))
+    // chunk: digest census over CDC chunk instances
+    val chunks = Dedup.cdcChunks(Tables.documents(spark, dir))
+      .select("digest", "n_tokens").localCheckpoint()
+    val chunkLayer = summarize("chunk",
+      chunks.agg(count(lit(1)).as("n_units")),
+      chunks.groupBy("digest")
+        .agg(count(lit(1)).as("c"), min("n_tokens").as("nt"))
+        .agg(sum(col("c") - 1L).as("n_dropped"),
+          sum((col("c") - 1L) * col("nt")).as("toks_dropped")))
+    // cluster: keep-lowest-id per x22 component — non-canonical members
+    // drop at their OWN token counts (near-copies differ in length)
+    val clusterLayer = summarize("cluster",
+      totals.select(col("n_docs").as("n_units")),
+      dedupClusters(spark, dir)
+        .filter(col("doc_id") =!= col("cluster"))
+        .join(withToks.select("doc_id", "n_toks"), "doc_id")
+        .agg(count(lit(1)).as("n_dropped"), sum("n_toks").as("toks_dropped")))
+    docLayer.unionByName(chunkLayer).unionByName(clusterLayer).orderBy("layer")
+  }
+
   /** EXT-C50 (`x145_triangle_census`) — near-dup graph COHESION audit:
     * [[triangleCensus]] over x22's SimHash pair graph. The "should I
     * trust this cluster" signal the size histogram (x121) and purity

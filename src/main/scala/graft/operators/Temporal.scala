@@ -26,7 +26,13 @@ object Temporal {
     * materializing sessions. Skewed users are bounded by their own event
     * counts, never by the corpus.
     */
-  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame =
+    sessions(spark, dir, gapSec).orderBy("user_id", "session_id")
+
+  /** The session relation WITHOUT the presentation sort — aggregating
+    * consumers ([[peakConcurrency]]) skip the global sort exchange.
+    */
+  private def sessions(spark: SparkSession, dir: String, gapSec: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts")
     val cum = Window.partitionBy("user_id").orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -40,7 +46,57 @@ object Temporal {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"))
-      .orderBy("user_id", "session_id")
+  }
+
+  /** EXT-X14 (`x148_peak_concurrency`) — per-DAY peak session
+    * concurrency by exact sweep-line, spelled as a DISTRIBUTED prefix
+    * scan. Each x26 session contributes +1 at its start and −1 at its
+    * end (closed intervals: at an equal instant the +1 processes first,
+    * so touching sessions count as concurrent); per day the output is
+    * the boundary-event counts, the standing open count at day
+    * start/end, and the maximum of the running concurrency over the
+    * day's boundary instants.
+    *
+    * The scan decomposition (the reason this survives 100 TB where a
+    * single global `ORDER BY ts` window cannot): level 1 sorts deltas
+    * only WITHIN (day, hour) partitions — the bounded leaf — computing
+    * each hour's internal running peak and net; level 2 prefixes hour
+    * NETS within each day (≤ 24 aggregated rows per partition); level 3
+    * prefixes day nets globally (ONE unpartitioned window, but over the
+    * |days| aggregated relation — the x119 contraction discipline:
+    * windows order classes, never the event stream). Peak(day) =
+    * carry_in + max over hours of (prefix_before_hour + intra_peak) —
+    * an exact algebraic identity of the global running sum, no
+    * approximation. All integers; no division anywhere.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val sess = sessions(spark, dir, gapSec)
+    val deltas = sess.select(unix_micros(col("session_start")).as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select(unix_micros(col("session_end")).as("us"), lit(-1L).as("delta")))
+      .withColumn("day_s", expr("us div 1000000 div 86400 * 86400"))
+      .withColumn("hour_s", expr("us div 1000000 div 3600 * 3600"))
+    val wH = Window.partitionBy("day_s", "hour_s").orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = deltas.withColumn("r", sum("delta").over(wH))
+      .groupBy("day_s", "hour_s")
+      .agg(max("r").as("intra_peak"), sum("delta").as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("ne"))
+    val wD = Window.partitionBy("day_s").orderBy("hour_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val daily = hourly
+      .withColumn("before", coalesce(sum("net").over(wD), lit(0L)))
+      .groupBy("day_s")
+      .agg(max(col("before") + col("intra_peak")).as("rel_peak"),
+        sum("net").as("net"), sum("ns").as("n_starts"), sum("ne").as("n_ends"))
+    val wG = Window.orderBy("day_s").rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("open_at_start", coalesce(sum("net").over(wG), lit(0L)))
+      .select(col("day_s"), col("n_starts"), col("n_ends"),
+        col("open_at_start"),
+        (col("open_at_start") + col("net")).as("open_at_end"),
+        (col("open_at_start") + col("rel_peak")).as("peak_concurrent"))
+      .orderBy("day_s")
   }
 
   /** EXT-X2 — as-of join: each left-side event (`click`) is matched to

@@ -1195,4 +1195,38 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       assert(incident == 2L * t, s"node $v: incident support $incident vs 2*$t")
     }
   }
+
+  test("dedupSavings (x147): the identical pair is reclaimed by every layer, hand-derived") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f", // exact copy: every layer drops its 6 tokens
+      3L -> "p q r s t u v w"))
+    val got = Curation.dedupSavings(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("doc", "chunk", "cluster"))
+    assert(got("doc") == ((3L, 1L, 20L, 6L, 0.3)))
+    assert(got("cluster") == ((3L, 1L, 20L, 6L, 0.3)),
+      "identical texts collide in SimHash: the cluster layer reclaims the same copy")
+    val (chunkUnits, chunkDropped, chunkTot, chunkToks, chunkFrac) = got("chunk")
+    assert(chunkTot == 20L && chunkUnits >= 3L)
+    assert(chunkToks >= 6L && chunkDropped >= 1L,
+      "an exact copy duplicates every one of its chunks")
+    assert(chunkFrac == math.rint(chunkToks.toDouble / 20 * 10000) / 10000)
+  }
+
+  test("dedupSavings: layer ordering laws and the shared denominator on harness data") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.dedupSavings(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val tokTotal = got("doc")._2
+    assert(got.values.forall(_._2 == tokTotal),
+      "the CDC chunker partitions the token stream: one denominator for all layers")
+    assert(got("doc")._3 <= got("chunk")._3,
+      "identical docs share all chunks — chunk savings dominate doc savings")
+    assert(got("doc")._3 <= got("cluster")._3,
+      "identical texts collide in SimHash — cluster savings dominate doc savings")
+    assert(got("cluster")._3 > 0L,
+      "the corpus carries near-dup clusters, so the cluster layer reclaims something")
+  }
 }

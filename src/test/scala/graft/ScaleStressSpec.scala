@@ -1556,6 +1556,92 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(at1.nonEmpty && at1.values.exists(_._1 > 0L))
     assert(rep0 == at1, "replica-0 edge rows must reproduce sf0.1 verbatim under the id remap")
   }
+
+  test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
+    // the pin: the summary assembly is 1-row broadcasts only (no
+    // partitioned cartesian, no window beyond the chunker's row-local
+    // machinery — cdc chunking windows per doc_id, never globally)
+    val p = plan(graft.operators.Curation.dedupSavings(spark, dir10))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n$p")
+    p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"an unpartitioned window appeared in the savings plan:\n$p"))
+    // executes. The doc layer is exactly replica-invariant (the prefix
+    // map is injective per replica: texts are identical iff their
+    // originals were), so it scales exactly 10x with a bit-identical
+    // fraction. Chunk and cluster layers re-roll their HASHES under the
+    // prefixed tokens (boundaries and simhash pairs move slightly), so
+    // they get the band law: counts within 5% of 10x, fractions within
+    // 0.01 — plus the exact dominance laws at 10x.
+    val at10 = graft.operators.Curation.dedupSavings(spark, dir10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val at1 = graft.operators.Curation.dedupSavings(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(at10.keySet == at1.keySet)
+    val (du, dd, dt, dtd, df) = at1("doc")
+    assert(at10("doc") == ((10L * du, 10L * dd, 10L * dt, 10L * dtd, df)),
+      "the doc layer must scale exactly 10x with an identical fraction")
+    // chunk boundaries re-roll under the prefixed tokens but stay
+    // distributionally stable (expected chunk length is content-free):
+    // tight band. Cluster structure does NOT extrapolate — 12-bit
+    // simhash bands pick up MORE collisions as the corpus grows (the
+    // x22 saturation note), which is exactly why this table is a
+    // measurement, not a formula: pin the denominator and sanity only.
+    val (cu1, _, ct1, ctd1, cf1) = at1("chunk")
+    val (cu10, _, ct10, ctd10, cf10) = at10("chunk")
+    assert(ct10 == 10L * ct1, "chunk: the token denominator is exact")
+    assert(math.abs(cu10 - 10L * cu1) <= cu1 / 2 && math.abs(ctd10 - 10L * ctd1) <= ctd1 / 2 + 5L,
+      s"chunk: units/tokens within the re-hash band of 10x ($cu10 vs ${10 * cu1}, $ctd10 vs ${10 * ctd1})")
+    assert(math.abs(cf10 - cf1) <= 0.01, s"chunk: fraction $cf10 vs $cf1")
+    val (_, cld1, clt1, cltd1, _) = at1("cluster")
+    val (_, cld10, clt10, cltd10, clf10) = at10("cluster")
+    assert(clt10 == 10L * clt1, "cluster: the token denominator is exact")
+    assert(cld10 >= cld1 && cltd10 >= cltd1,
+      "cluster: the grown corpus cannot reclaim less than the base slice")
+    assert(clf10 >= 0.0 && clf10 <= 1.0)
+    assert(at10("doc")._4 <= at10("chunk")._4 && at10("doc")._4 <= at10("cluster")._4,
+      "dominance laws hold at 10x exactly")
+  }
+
+  test("x148 peak concurrency at 60x events: the only global window orders the days relation") {
+    // the pin IS the scan decomposition: the delta stream sorts only
+    // inside (day, hour) partitions; the one unpartitioned window (the
+    // cross-day carry) must sit above at least two aggregations — it
+    // orders |days| rows, never the event stream (x119's contraction
+    // discipline). A naive spelling would be one global ORDER BY over
+    // 12M boundary rows.
+    val p = plan(graft.operators.Temporal.peakConcurrency(spark, dir10))
+    val globals = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.length == 1, s"exactly one global window (the day carry):\n$p")
+    globals.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.length >= 2,
+        s"the global window must order aggregated DAY rows, not the delta stream:\n$p")
+    }
+    noNestedLoops(p)
+    // executes at 6M events: conservation + chain laws
+    val rows = graft.operators.Temporal.peakConcurrency(spark, dir10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._4 == 0L && rows.last._5 == 0L,
+      "nothing is open before the first day or after the last")
+    assert(rows.map(_._2).sum == rows.map(_._3).sum, "every session that starts also ends")
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 == b._4, "each day opens with the previous day's standing count")
+      case _ =>
+    }
+    rows.foreach { case (_, ns, _, openS, openE, peak) =>
+      assert(peak >= openE && peak <= openS + ns)
+    }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

@@ -300,4 +300,52 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got((0L, "B")) == ((1L, 0L, "0", 0.0, None)),
       "an all-zero-gap cell reports cv2 NULL, never NaN")
   }
+
+  test("peakConcurrency (x148): cross-day session carries; touching instants count, hand-derived") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (0L, us(100), 1L, "a"), (1L, us(200), 1L, "a"), // u1 session [100, 200]
+      (2L, us(150), 2L, "a"), // u2 point session [150, 150] inside u1's
+      (3L, us(86000), 4L, "a"), (4L, us(86900), 4L, "a"), // u4 straddles midnight
+      (5L, us(86450), 3L, "a"), (6L, us(86500), 3L, "a"))) // u3 day-2 session
+    // day 1 sweep (+1 first at equal instants): 1, 2, 1, 0, 1 -> peak 2
+    // day 2 enters with u4 open: 2, 1, 0 -> peak 2
+    val got = Temporal.peakConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(0L, 86400L))
+    assert(got(0L) == ((3L, 2L, 0L, 1L, 2L)),
+      "the point session peaks concurrency at 2 and u4 stays open into day 2")
+    assert(got(86400L) == ((1L, 2L, 1L, 0L, 2L)),
+      "day 2 opens with the straddling session standing")
+  }
+
+  test("peakConcurrency: three-level scan equals the single global sweep on harness data") {
+    val dir = "/root/testdata/sf0.001"
+    val sess = Temporal.sessionize(spark, dir).collect()
+      .map(r => (r.getTimestamp(2).getTime * 1000L + (r.getTimestamp(2).getNanos / 1000) % 1000L,
+        r.getTimestamp(3).getTime * 1000L + (r.getTimestamp(3).getNanos / 1000) % 1000L))
+    // reference: one driver-side global sweep, +1 before -1 at ties
+    val deltas = sess.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var conc = 0L
+    val byDay = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long, Long, Long)]()
+    deltas.foreach { case (t, d) =>
+      val day = t / 1000000L / 86400L * 86400L
+      val openAtStart = conc
+      conc += d
+      val cur = byDay.getOrElseUpdate(day, (0L, 0L, openAtStart, 0L, Long.MinValue))
+      byDay(day) = (cur._1 + (if (d > 0) 1L else 0L), cur._2 + (if (d < 0) 1L else 0L),
+        cur._3, conc, math.max(cur._5, conc))
+    }
+    val got = Temporal.peakConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == byDay.toMap, "the decomposed scan must equal the global sweep exactly")
+    // chain law: each day opens with what the previous day left standing
+    val days = got.keys.toSeq.sorted
+    days.sliding(2).foreach {
+      case Seq(a, b) => assert(got(a)._4 == got(b)._3)
+      case _ =>
+    }
+  }
 }
