@@ -333,6 +333,8 @@ object SparkEntry {
     "x147_dedup_savings" -> ((s, dir) => Curation.dedupSavings(s, dir)),
     // per-day peak session concurrency: exact distributed sweep-line
     "x148_peak_concurrency" -> ((s, dir) => Temporal.peakConcurrency(s, dir)),
+    // per-lang Gini of token frequencies: count-of-counts contraction
+    "x149_token_gini" -> ((s, dir) => TextAnalysis.tokenGini(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3010,5 +3012,23 @@ object SparkEntry {
         |       sum(net) OVER (ORDER BY day_s ROWS UNBOUNDED PRECEDING)::BIGINT AS open_at_end,
         |       abs_peak AS peak_concurrent
         |FROM per ORDER BY day_s""".stripMargin,
+
+    // deliberately the NAIVE per-token ascending-rank spelling — the
+    // differential proof of the Spark side's count-of-counts
+    // contraction (x119's convention); rank ties broken by token are
+    // contribution-invariant within a frequency class
+    "x149_token_gini" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT lang, t, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT lang, cnt,
+        |              row_number() OVER (PARTITION BY lang ORDER BY cnt, t) AS i,
+        |              count(*) OVER (PARTITION BY lang) AS n,
+        |              sum(cnt) OVER (PARTITION BY lang) AS tot
+        |       FROM tc)
+        |SELECT lang, max(n)::BIGINT AS n_types, max(tot)::BIGINT AS n_tokens,
+        |       sum((2 * i - n - 1) * cnt)::BIGINT AS gini_num,
+        |       CASE WHEN max(n) = 0 OR max(tot) = 0 THEN NULL
+        |            ELSE round(sum((2 * i - n - 1) * cnt)::DOUBLE / (max(n) * max(tot)), 4) END AS gini4
+        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

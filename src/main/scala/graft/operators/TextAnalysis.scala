@@ -1327,4 +1327,52 @@ object TextAnalysis {
         round(col("freq").cast("double") / col("lang_mass"), 4).as("share4"))
       .orderBy("lang", "rank")
   }
+
+  /** EXT-T21 (`x149_token_gini`) — per-language vocabulary CONCENTRATION:
+    * the exact Gini coefficient of the unigram frequency distribution,
+    * with the exact BIGINT numerator alongside. Complements x120's Zipf
+    * product profile (a curve read at probe ranks) with the single
+    * concentration number a drift monitor thresholds: Gini → 0 is a
+    * uniform vocabulary, → 1 is a few tokens owning the corpus — and a
+    * language whose Gini JUMPS between crawls has been flooded with
+    * templated text before any individual frequency moves enough to
+    * trip x60.
+    *
+    * The spelling is the COUNT-OF-COUNTS contraction (x119's argument,
+    * taken further): for ascending-rank Gini, `Σ (2i − n − 1)·x_i`, all
+    * ranks inside one frequency class are interchangeable — a class of
+    * m tokens at count c occupying ranks (s, s+m] contributes exactly
+    * `c · m·(2s + m − n)` (the closed-form inner sum), so the window
+    * orders ONLY the (count → class size) relation, ≤ |distinct counts|
+    * rows per language, never the vocabulary and never the token
+    * stream. The DuckDB oracle deliberately spells the NAIVE per-token
+    * rank window, so every run differentially proves the contraction
+    * exact. Tie-invariance: equal-count tokens permute only within
+    * their class, and the class contribution depends on (c, m, s, n)
+    * alone. All integers until the single rounded division.
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Tables.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang", "cnt").agg(count(lit(1)).as("m"))
+    val perLang = classes.groupBy("lang")
+      .agg(sum("m").as("n_types"), sum(expr("cnt * m")).as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    classes
+      .withColumn("s", coalesce(sum("m").over(w), lit(0L)))
+      .join(perLang, Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        max("n_types").as("n_types"),
+        max("n_tokens").as("n_tokens"),
+        sum(expr("cnt * (m * (2 * s + m - n_types))")).as("gini_num"))
+      .withColumn("gini4",
+        when(col("n_types") === 0L || col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("gini_num").cast("double")
+            / (col("n_types") * col("n_tokens")).cast("double"), 4)))
+      .orderBy("lang")
+  }
 }

@@ -1642,6 +1642,40 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
       assert(peak >= openE && peak <= openS + ns)
     }
   }
+
+  test("x149 token gini at 10x: the window orders frequency classes; exact x100 numerator law") {
+    // the pin: every window is lang-partitioned AND fed by >= 2
+    // aggregations (the count-of-counts contraction — it orders
+    // frequency CLASSES, never the vocabulary or the token stream)
+    val p = plan(graft.operators.TextAnalysis.tokenGini(spark, dir10))
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"gini must never sort globally:\n$p")
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.length >= 2, s"the window must order count CLASSES, not tokens:\n$p")
+    }
+    noNestedLoops(p)
+    // executes: disjoint replica token spaces scale every class
+    // (c, m) -> (c, 10m), under which s and n scale by 10 — so the
+    // numerator scales EXACTLY x100, types/tokens x10, and gini4 is
+    // bit-identical. Any error in the closed-form class contribution
+    // would break the x100 law loudly.
+    val at10 = graft.operators.TextAnalysis.tokenGini(spark, dir10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val at1 = graft.operators.TextAnalysis.tokenGini(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (lang, (n, tot, num, g)) =>
+      assert(at10(lang) == ((10L * n, 10L * tot, 100L * num, g)),
+        s"$lang: class scaling must carry the numerator exactly x100 with gini4 invariant")
+    }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

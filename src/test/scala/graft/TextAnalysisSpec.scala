@@ -625,4 +625,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got(("fr", 1L)) == (("x", 3L, 3L, 0.75)))
     assert(got(("fr", 2L)) == (("y", 1L, 2L, 0.25)))
   }
+
+  test("tokenGini (x149): hand-derived concentration per language; degenerate cases at zero") {
+    val dir = TestTables.documentsLangDir(spark, Seq(
+      (1L, "a a a b", "en"),  // freqs 1, 3: num = -1 + 3 = 2, gini = 2/8
+      (2L, "x y", "fr"),      // uniform: gini exactly 0
+      (3L, "z z z", "de")))   // single type: gini 0 by convention
+    val got = TextAnalysis.tokenGini(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((2L, 4L, 2L, 0.25)))
+    assert(got("fr") == ((2L, 2L, 0L, 0.0)))
+    assert(got("de") == ((1L, 3L, 0L, 0.0)))
+  }
+
+  test("tokenGini: contraction equals the naive sorted-rank formula on harness data") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val dir = "/root/testdata/sf0.001"
+    val counts = graft.operators.Tables.documents(spark, dir)
+      .select(col("lang"), explode(graft.operators.Tables.tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (lang, rows) =>
+      val xs = rows.map(x => (x._3, x._2)).sorted.map(_._1) // (cnt, token) asc
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val num = xs.zipWithIndex.map { case (x, i0) => (2L * (i0 + 1) - n - 1) * x }.sum
+      lang -> ((n, tot, num, math.rint(num.toDouble / (n * tot) * 10000) / 10000))
+    }
+    val got = TextAnalysis.tokenGini(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected, "class-closed-form contraction must equal per-token ranks exactly")
+    got.values.foreach { case (_, _, _, g) => assert(g >= 0.0 && g < 1.0) }
+  }
 }
