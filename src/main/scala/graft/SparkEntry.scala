@@ -335,6 +335,8 @@ object SparkEntry {
     "x148_peak_concurrency" -> ((s, dir) => Temporal.peakConcurrency(s, dir)),
     // per-lang Gini of token frequencies: count-of-counts contraction
     "x149_token_gini" -> ((s, dir) => TextAnalysis.tokenGini(s, dir)),
+    // exact tie-aware AUC: does the quality score predict the dup label
+    "x150_quality_auc" -> ((s, dir) => Curation.qualityAuc(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3030,5 +3032,34 @@ object SparkEntry {
         |       CASE WHEN max(n) = 0 OR max(tot) = 0 THEN NULL
         |            ELSE round(sum((2 * i - n - 1) * cnt)::DOUBLE / (max(n) * max(tot)), 4) END AS gini4
         |FROM rk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the NAIVE |pos|x|neg| rank-sum comparison — the differential
+    // proof of the Spark side's bucketed two-level class scan; quality
+    // is x7's exact double spelling on both sides, so ties align
+    "x150_quality_auc" ->
+      s"""WITH $simhashPairsCte,
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+         |  FROM s),
+         |dd AS (SELECT DISTINCT doc_id FROM
+         |       (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)),
+         |pos AS (SELECT quality FROM q JOIN dd USING (doc_id)),
+         |neg AS (SELECT quality FROM q ANTI JOIN dd USING (doc_id)),
+         |pn AS (SELECT count(*)::BIGINT AS n_pos FROM pos),
+         |ngn AS (SELECT count(*)::BIGINT AS n_neg FROM neg),
+         |u AS (SELECT coalesce(sum(CASE WHEN p.quality > n.quality THEN 2
+         |                               WHEN p.quality = n.quality THEN 1
+         |                               ELSE 0 END), 0)::BIGINT AS u2
+         |      FROM pos p CROSS JOIN neg n)
+         |SELECT n_pos, n_neg, u2,
+         |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |            ELSE round(u2::DOUBLE / (2.0 * (n_pos * n_neg)), 4) END AS auc4
+         |FROM pn CROSS JOIN ngn CROSS JOIN u""".stripMargin,
   )
 }

@@ -1021,6 +1021,63 @@ object Curation {
   def dupEdgeSupport(spark: SparkSession, dir: String): DataFrame =
     edgeSupport(Dedup.simhashNearDupPairs(spark, dir))
 
+  /** EXT-C53 (`x150_quality_auc`) — quality-signal DISCRIMINATION audit:
+    * the exact tie-aware Mann–Whitney AUC of x7's quality score
+    * separating near-duplicated documents (x50's dup-degree set) from
+    * clean ones. AUC 0.5 = the score is blind to duplication; far from
+    * 0.5 = the gate and the deduper are entangled — x19's threshold is
+    * silently ALSO a dedup policy (it preferentially drops one class),
+    * which decides whether quality filtering before or after dedup
+    * changes the corpus. x115 asks whether two quality signals agree;
+    * this asks whether one signal PREDICTS the dedup label, in the
+    * single number a pipeline review thresholds.
+    *
+    * Exactness: `2U = Σ_pos (2·|neg below| + |neg tied|)` is an exact
+    * BIGINT (ties at identical doubles — both engines compute the x7
+    * quality spelling bit-identically); AUC is one guarded division.
+    * The oracle spells the NAIVE |pos|×|neg| comparison, so every run
+    * differentially proves the scan below.
+    *
+    * Scale (the x148 two-level discipline on a VALUE axis): quality is
+    * bounded in [0, 1], so deltas bucket by `floor(q·B)`; level 1 ranks
+    * (bucket, quality) CLASSES inside each bucket partition, level 2
+    * prefixes per-bucket negative counts in the ONE global window —
+    * over ≤ B aggregated rows, never the document stream. A naive
+    * spelling would globally sort every distinct quality value.
+    */
+  def qualityAuc(spark: SparkSession, dir: String, buckets: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets ($buckets) must be positive")
+    val pos = Dedup.dupDegree(spark, dir).select(col("doc_id")).withColumn("is_dup", lit(true))
+    val classes = TextAnalysis.statsProjection(spark, dir).select("doc_id", "quality")
+      .join(pos, Seq("doc_id"), "left")
+      .select(col("quality"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        least(floor(col("quality") * buckets), lit(buckets - 1)).cast("long").as("bkt"))
+      .groupBy("bkt", "quality")
+      .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("g"))
+      .localCheckpoint() // consumed by both scan levels and the fold
+    val wB = Window.partitionBy("bkt").orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wG = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bktPrefix = classes.groupBy("bkt").agg(sum("g").as("gb"))
+      .withColumn("neg_before", coalesce(sum("gb").over(wG), lit(0L)))
+      .select("bkt", "neg_before")
+    classes
+      .withColumn("neg_below_in", coalesce(sum("g").over(wB), lit(0L)))
+      .join(bktPrefix, Seq("bkt"))
+      .agg(
+        coalesce(sum("p"), lit(0L)).as("n_pos"),
+        coalesce(sum("g"), lit(0L)).as("n_neg"),
+        coalesce(sum(col("p") *
+          (lit(2L) * (col("neg_before") + col("neg_below_in")) + col("g"))), lit(0L)).as("u2"))
+      .withColumn("auc4",
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("u2").cast("double")
+            / (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 4)))
+  }
+
   /** EXT-C52 (`x147_dedup_savings`) — dedup ECONOMICS: the exact tokens
     * each dedup layer would reclaim, on one shared denominator. Three
     * rows — `doc` (x1's identical-text groups: every copy beyond the

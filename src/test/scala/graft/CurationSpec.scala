@@ -1229,4 +1229,37 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got("cluster")._3 > 0L,
       "the corpus carries near-dup clusters, so the cluster layer reclaims something")
   }
+
+  test("qualityAuc (x150): ties credit half; hand-derived from a constructed ordering") {
+    // dup pair {1,2}: identical "p q r s" -> quality 0.808 exactly;
+    // neg 3 "x y z w" has the SAME stats (ttr 1, stop 0, n 4) -> an
+    // exact double tie with every positive; neg 4 "the the the the"
+    // (ttr .25, stop 1) sits strictly below. Per positive:
+    // 2*1 below + 1 tied = 3 -> u2 = 6, auc = 6/(2*2*2) = 0.75
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "p q r s", 2L -> "p q r s",
+      3L -> "x y z w", 4L -> "the the the the"))
+    val r = Curation.qualityAuc(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((2L, 2L, 6L, 0.75)))
+  }
+
+  test("qualityAuc: bucketed scan equals the naive rank-sum on harness data; bucket-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val dup = graft.operators.Dedup.dupDegree(spark, dir).collect().map(_.getLong(0)).toSet
+    val qs = graft.operators.TextAnalysis.statsProjection(spark, dir)
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pos = qs.filter(x => dup.contains(x._1)).map(_._2)
+    val neg = qs.filter(x => !dup.contains(x._1)).map(_._2)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = (pos.length.toLong, neg.length.toLong, u2,
+      math.rint(u2.toDouble / (2.0 * pos.length * neg.length) * 10000) / 10000)
+    val r = Curation.qualityAuc(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == expected,
+      "the two-level class scan must equal the all-pairs comparison exactly")
+    // the bucket count is an internal partitioning choice, never a result knob
+    val coarse = Curation.qualityAuc(spark, dir, buckets = 7).collect().head
+    assert((coarse.getLong(0), coarse.getLong(1), coarse.getLong(2), coarse.getDouble(3)) == expected)
+  }
 }

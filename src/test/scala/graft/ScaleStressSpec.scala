@@ -1676,6 +1676,31 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
         s"$lang: class scaling must carry the numerator exactly x100 with gini4 invariant")
     }
   }
+
+  test("x150 quality AUC at 10x: one global window over bucket rows; universe conserved") {
+    // the pin: the x148 scan discipline on a VALUE axis — the only
+    // unpartitioned window prefixes per-bucket negative counts (<= B
+    // aggregated rows off the checkpointed class relation, never the
+    // document stream); the in-bucket rank window stays partitioned
+    val p = plan(graft.operators.Curation.qualityAuc(spark, dir10))
+    val globals = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.length == 1, s"exactly one global window (the bucket prefix):\n$p")
+    globals.foreach(w => assert(w.child.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty, s"the global window must order aggregated BUCKET rows:\n$p"))
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, s"both scan levels must consume the checkpointed classes, not parquet:\n$p")
+    noNestedLoops(p)
+    // executes at 50k docs: every doc is labeled exactly once and the
+    // rank-sum stays inside its algebraic range
+    val r = graft.operators.Curation.qualityAuc(spark, dir10).collect().head
+    assert(r.getLong(0) + r.getLong(1) == 50000L, "pos + neg must partition the corpus")
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 2L * r.getLong(0) * r.getLong(1))
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
