@@ -337,6 +337,8 @@ object SparkEntry {
     "x149_token_gini" -> ((s, dir) => TextAnalysis.tokenGini(s, dir)),
     // exact tie-aware AUC: does the quality score predict the dup label
     "x150_quality_auc" -> ((s, dir) => Curation.qualityAuc(s, dir)),
+    // media payload dedup census by MIME type: binary-digest economics
+    "x151_media_dedup" -> ((s, dir) => Multimodal.mediaDedupCensus(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3061,5 +3063,23 @@ object SparkEntry {
          |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
          |            ELSE round(u2::DOUBLE / (2.0 * (n_pos * n_neg)), 4) END AS auc4
          |FROM pn CROSS JOIN ngn CROSS JOIN u""".stripMargin,
+
+    // x13's payload binding + the deterministic type assignment; the
+    // census is x1's digest fold per MIME type
+    "x151_media_dedup" ->
+      """WITH m AS (SELECT doc_id, sha256(text) AS dg,
+        |                  octet_length(encode(text))::BIGINT AS len,
+        |                  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                                  WHEN 1 THEN 'audio/wav'
+        |                                  ELSE 'video/mp4' END AS media_type
+        |           FROM documents),
+        |g AS (SELECT media_type, dg, count(*)::BIGINT AS c, min(len) AS len
+        |      FROM m GROUP BY 1, 2)
+        |SELECT media_type, sum(c)::BIGINT AS n_files, count(*)::BIGINT AS n_distinct,
+        |       sum(c - 1)::BIGINT AS n_dup_files, sum(c * len)::BIGINT AS bytes_total,
+        |       sum((c - 1) * len)::BIGINT AS bytes_dup,
+        |       CASE WHEN sum(c * len) = 0 THEN NULL
+        |            ELSE round(sum((c - 1) * len)::DOUBLE / sum(c * len), 4) END AS dup_frac4
+        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin,
   )
 }

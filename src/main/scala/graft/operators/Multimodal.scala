@@ -158,4 +158,54 @@ object Multimodal {
       }
     }
   }
+
+  /** The media table with a deterministic fake TYPE assignment (doc_id
+    * mod 3 → image/audio/video) — the x34/x37 harness-binding pattern:
+    * a production corpus carries real MIME types; the binding makes the
+    * per-type machinery oracle-drivable.
+    */
+  def asTypedMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"))
+      .as[MediaRecord]
+  }
+
+  /** EXT-M5 (`x151_media_dedup`) — media payload DEDUP census by type:
+    * per MIME type the exact file/byte economics of content-hash dedup
+    * — files, distinct payloads, duplicate files, total bytes,
+    * reclaimable bytes, and the duplicated-byte fraction. The x1/x147
+    * question asked of BINARY payloads, where it matters most: media
+    * dominates storage byte-for-byte, a re-hosted image is
+    * bit-identical far more often than re-hosted text (no boilerplate
+    * injection), and per-TYPE economics decide which store pays for
+    * content addressing first.
+    *
+    * Scale: the sha256 runs in [[extractFeatures]]'s mapPartitions
+    * batch loop where the bytes live (no payload ever shuffles); the
+    * census is a digest-keyed partial agg (x1's shape) collapsing to
+    * |types| rows. Exact BIGINTs, one guarded division.
+    */
+  def mediaDedupCensus(spark: SparkSession, dir: String): DataFrame = {
+    val media = asTypedMedia(spark, dir)
+    val types = media.toDF().select(col("doc_id"), col("media_type"))
+    extractFeatures(media).toDF()
+      .join(types, "doc_id") // narrow doc_id join: payloads never reshuffle
+      .groupBy("media_type", "sha256")
+      .agg(count(lit(1)).as("c"), min("byte_len").as("len"))
+      .groupBy("media_type")
+      .agg(
+        sum("c").as("n_files"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1L).as("n_dup_files"),
+        sum(col("c") * col("len")).as("bytes_total"),
+        sum((col("c") - 1L) * col("len")).as("bytes_dup"))
+      .withColumn("dup_frac4",
+        when(col("bytes_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("bytes_dup").cast("double") / col("bytes_total"), 4)))
+      .orderBy("media_type")
+  }
 }

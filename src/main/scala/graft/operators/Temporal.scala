@@ -70,18 +70,7 @@ object Temporal {
     * approximation. All integers; no division anywhere.
     */
   def peakConcurrency(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
-    val sess = sessions(spark, dir, gapSec)
-    val deltas = sess.select(unix_micros(col("session_start")).as("us"), lit(1L).as("delta"))
-      .unionByName(sess.select(unix_micros(col("session_end")).as("us"), lit(-1L).as("delta")))
-      .withColumn("day_s", expr("us div 1000000 div 86400 * 86400"))
-      .withColumn("hour_s", expr("us div 1000000 div 3600 * 3600"))
-    val wH = Window.partitionBy("day_s", "hour_s").orderBy(col("us"), col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hourly = deltas.withColumn("r", sum("delta").over(wH))
-      .groupBy("day_s", "hour_s")
-      .agg(max("r").as("intra_peak"), sum("delta").as("net"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("ns"),
-        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("ne"))
+    val hourly = concurrencyLeaves(sessions(spark, dir, gapSec))
     val wD = Window.partitionBy("day_s").orderBy("hour_s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val daily = hourly
@@ -97,6 +86,29 @@ object Temporal {
         (col("open_at_start") + col("net")).as("open_at_end"),
         (col("open_at_start") + col("rel_peak")).as("peak_concurrent"))
       .orderBy("day_s")
+  }
+
+  /** The (day, hour) sweep LEAVES of [[peakConcurrency]] over ANY
+    * `(session_start, session_end)` relation: per hour the boundary
+    * counts, the net delta, and the intra-hour running peak (relative
+    * to the hour's entry level; +1 before −1 at equal instants — closed
+    * intervals). Exposed `private[graft]` as the ONE leaf definition
+    * shared by the batch scan, the streaming gauge (EXT-6ah), and their
+    * twin-agreement spec — a drifting copy would silently change what
+    * "peak" means on one face.
+    */
+  private[graft] def concurrencyLeaves(sess: DataFrame): DataFrame = {
+    val deltas = sess.select(unix_micros(col("session_start")).as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select(unix_micros(col("session_end")).as("us"), lit(-1L).as("delta")))
+      .withColumn("day_s", expr("us div 1000000 div 86400 * 86400"))
+      .withColumn("hour_s", expr("us div 1000000 div 3600 * 3600"))
+    val wH = Window.partitionBy("day_s", "hour_s").orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("r", sum("delta").over(wH))
+      .groupBy("day_s", "hour_s")
+      .agg(max("r").as("intra_peak"), sum("delta").as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("ne"))
   }
 
   /** EXT-X2 — as-of join: each left-side event (`click`) is matched to

@@ -1138,6 +1138,87 @@ object StreamOps {
       }
   }
 
+  /** One sealed (day, hour) concurrency leaf — EXT-6ah's emission. */
+  case class HourConcurrency(day_s: Long, hour_s: Long, n_starts: Long,
+      n_ends: Long, net: Long, intra_peak: Long)
+
+  /** Buffered (us, delta) boundary events for an open hour cell. */
+  case class ConcBuf(rows: Vector[(Long, Long)])
+
+  /** EXT-6ah — streaming CONCURRENCY gauge: the live face of x148's
+    * sweep-line, emitting its (day, hour) LEAVES. Each arriving sealed
+    * session contributes +1 at its start and −1 at its end (row-local
+    * flatMap); per watermark-sealed hour the gauge emits the boundary
+    * counts, the net delta, and the intra-hour running peak — exactly
+    * the level-1 relation of the batch scan
+    * ([[graft.operators.Temporal.concurrencyLeaves]], the shared
+    * definition the twin-agreement spec pins), so any consumer
+    * assembles absolute concurrency by prefixing leaf NETS (x148's
+    * levels 2–3 verbatim over a \|hours\| relation).
+    *
+    * Seal discipline is [[windowSealed]]'s (EventTimeTimeout at
+    * max(hourEnd, wm+1), state removed before emission); state per open
+    * hour is the buffered boundary multiset — the 6ae price of EXACT
+    * order statistics under out-of-order arrival. Contract: the
+    * watermark delay must cover the longest admissible session — a
+    * session's START delta is delivered when the session seals (at its
+    * end), so a session longer than the delay would target an
+    * already-sealed hour and is DROPPED by the watermark, exactly and
+    * loudly the documented loss mode (6af's horizon note applied to
+    * intervals). At-least-once ingest composes [[dedupStream]] in
+    * front, the 6b discipline.
+    */
+  def concurrencyGaugeStream(
+      sessions: DataFrame,
+      watermarkDelay: String = "1 hour"): Dataset[HourConcurrency] = {
+    import sessions.sparkSession.implicits._
+    val deltas = sessions
+      .select(col("session_start"), col("session_end"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)]
+      .flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .toDF("ts", "delta")
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Long)]
+    deltas
+      .groupByKey { case (ts, _) =>
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L
+        us / 1000000L / 3600L * 3600L
+      }
+      .flatMapGroupsWithState[ConcBuf, HourConcurrency](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hourS: Long, items: Iterator[(java.sql.Timestamp, Long)],
+            state: GroupState[ConcBuf]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // the batch leaf spelling verbatim: (us asc, +1 before -1),
+            // running sum, max
+            val sorted = st.rows.sortBy { case (us, d) => (us, -d) }
+            var run = 0L
+            var peak = Long.MinValue
+            var ns = 0L
+            var ne = 0L
+            sorted.foreach { case (_, d) =>
+              run += d
+              if (run > peak) peak = run
+              if (d > 0) ns += 1L else ne += 1L
+            }
+            if (sorted.isEmpty) Iterator.empty
+            else Iterator.single(HourConcurrency(
+              hourS / 86400L * 86400L, hourS, ns, ne, run, peak))
+          } else {
+            val prior = state.getOption.getOrElse(ConcBuf(Vector.empty)).rows
+            val fresh = items.map { case (ts, d) =>
+              (ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L, d)
+            }.toVector
+            state.update(ConcBuf(prior ++ fresh))
+            state.setTimeoutTimestamp(
+              math.max((hourS + 3600L) * 1000L, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One arriving catalog record (the `part` shape the linkage family
     * blocks on).
     */

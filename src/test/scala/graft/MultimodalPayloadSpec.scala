@@ -144,4 +144,31 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     assert((c.getLong(1), c.getLong(2), c.getString(3)) == ((0L, 3L, "new")))
     assert(c.getDouble(5) == 0.6 && c.getDouble(6) == 0.6)
   }
+
+  test("mediaDedupCensus (x151): per-type byte economics, hand-derived") {
+    // type = doc_id % 3: image {0, 3}, audio {1}, video {2, 5};
+    // the image pair and the video pair are bit-identical payloads
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> "a b", 3L -> "a b",
+      1L -> "xyz",
+      2L -> "qq r", 5L -> "qq r"))
+    val got = Multimodal.mediaDedupCensus(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set("image/png", "audio/wav", "video/mp4"))
+    assert(got("image/png") == ((2L, 1L, 1L, 6L, 3L, 0.5)))
+    assert(got("audio/wav") == ((1L, 1L, 0L, 3L, 0L, 0.0)))
+    assert(got("video/mp4") == ((2L, 1L, 1L, 8L, 4L, 0.5)))
+  }
+
+  test("mediaDedupCensus: identities and the corpus partition on harness data") {
+    val rows = Multimodal.mediaDedupCensus(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = graft.operators.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._1).sum == total, "the three types partition the corpus")
+    rows.foreach { case (files, distinct, dups, bt, bd) =>
+      assert(files - dups == distinct, "dup files are exactly the beyond-first instances")
+      assert(bd <= bt && bd >= 0L)
+    }
+  }
 }

@@ -1701,6 +1701,30 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(2) >= 0L && r.getLong(2) <= 2L * r.getLong(0) * r.getLong(1))
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("x151 media dedup at 10x: digest fold only; partition + byte-mass bound laws") {
+    // the pin: x1's shape on binary digests — two partial aggs, no
+    // window, no cartesian; payload bytes never join or shuffle (the
+    // sha256 runs in the mapPartitions loop, only digests move)
+    val p = plan(graft.operators.Multimodal.mediaDedupCensus(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the census is a keyed fold, never a window:\n$p")
+    // executes: the id remap (orig*10 + rep) RESHUFFLES doc_id % 3
+    // typing across replicas and the replica token PREFIXES add bytes,
+    // so neither per-type rows nor byte mass scale exactly — the pinned
+    // laws are the partition (every doc typed once), the lower bound
+    // (prefixes only ADD bytes over 10x the original mass), and the
+    // per-row census identity
+    val at10 = graft.operators.Multimodal.mediaDedupCensus(spark, dir10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val at1 = graft.operators.Multimodal.mediaDedupCensus(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(4))
+    assert(at10.map(_._1).sum == 50000L, "types partition all docs")
+    assert(at10.map(_._4).sum >= 10L * at1.sum, "replica prefixes only add bytes")
+    at10.foreach { case (files, distinct, dups, _) => assert(files - dups == distinct) }
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and

@@ -1818,6 +1818,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ah concurrencyGaugeStream: sealed hour leaves equal the batch sweep leaves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hour-ALIGNED base; sessions: one inside hour 0, one straddling
+    // hours 0->1 (its deltas land in different hours), one point
+    // session in hour 1 starting at the exact instant another ends
+    val base = 1700000400000L - (1700000400000L % 3600000L)
+    def tsA(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val sess = Seq(
+      (tsA(1), tsA(5)),   // hour 0: +1@1, -1@5
+      (tsA(3), tsA(70)),  // hour 0: +1@3; hour 1: -1@70
+      (tsA(70), tsA(70))) // hour 1: point session touching the end above
+    val batch = graft.operators.Temporal.concurrencyLeaves(
+        sess.toDF("session_start", "session_end")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(3), r.getLong(2)))).toMap
+    val stream = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp)]
+    val q = StreamOps.concurrencyGaugeStream(
+        stream.toDF().toDF("session_start", "session_end"))
+      .writeStream.format("memory").queryName("conc_out").outputMode("append").start()
+    try {
+      stream.addData(sess)
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(300), tsA(300))))
+      q.processAllAvailable()
+      stream.addData(Seq((tsA(301), tsA(301))))
+      q.processAllAvailable()
+      val got = spark.table("conc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got.keySet == batch.keySet,
+        "exactly the sealed hours emit; the open flush hour stays silent")
+      batch.foreach { case (k, (ns, ne, net, peak)) =>
+        assert(got(k) == ((ns, ne, net, peak)),
+          s"hour $k diverged from the batch leaf")
+      }
+      // the hand numbers, for the reader: hour 0 sweeps 1,2,1 (peak 2,
+      // net +1); hour 1 sweeps +1@70 first (touching sessions count:
+      // 1, 0, -1 with the straddler's end) -> peak 1, net -1
+      assert(got.values.map(_._3).sum == 0L, "every start is matched by an end across hours")
+    } finally q.stop()
+  }
+
   test("EXT-6ad repairGateStream: ingest repairs equal the batch operator; replays re-derive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
