@@ -68,6 +68,12 @@ object Temporal {
     * carry_in + max over hours of (prefix_before_hour + intra_peak) —
     * an exact algebraic identity of the global running sum, no
     * approximation. All integers; no division anywhere.
+    *
+    * Domain note: day/hour bucketing uses truncating `div` on the epoch
+    * microseconds, which floors only for NON-NEGATIVE timestamps —
+    * pre-1970 sessions would bucket one cell high. Event time in this
+    * engine is ingest time, so the bound is structural, not practical;
+    * a corpus with historical timestamps would switch to floor-div.
     */
   def peakConcurrency(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
     val hourly = concurrencyLeaves(sessions(spark, dir, gapSec))

@@ -1350,6 +1350,13 @@ object TextAnalysis {
     * exact. Tie-invariance: equal-count tokens permute only within
     * their class, and the class contribution depends on (c, m, s, n)
     * alone. All integers until the single rounded division.
+    *
+    * Overflow bound (the pageRank-note discipline): every class term is
+    * ≤ c·m·n ≤ instances·types in magnitude and the numerator is
+    * ≤ types·instances, so the fold is exact while
+    * `n_types · n_tokens < 2⁶³` — ~10⁸ types over ~10¹⁰ instances per
+    * language; beyond that, lift the numerator to the x110 decimal
+    * digit-string spelling.
     */
   def tokenGini(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
