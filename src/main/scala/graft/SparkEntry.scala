@@ -339,6 +339,8 @@ object SparkEntry {
     "x150_quality_auc" -> ((s, dir) => Curation.qualityAuc(s, dir)),
     // media payload dedup census by MIME type: binary-digest economics
     "x151_media_dedup" -> ((s, dir) => Multimodal.mediaDedupCensus(s, dir)),
+    // representative-policy A/B: lowest-id canonical vs quality pick
+    "x152_rep_divergence" -> ((s, dir) => Curation.repPolicyDivergence(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3081,5 +3083,33 @@ object SparkEntry {
         |       CASE WHEN sum(c * len) = 0 THEN NULL
         |            ELSE round(sum((c - 1) * len)::DOUBLE / sum(c * len), 4) END AS dup_frac4
         |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+    // x47's quality-argmax CTEs; the canonical rep is the cluster label
+    // itself (comp labels components by their MIN member id), so both
+    // rep lookups are plain doc_id joins
+    "x152_rep_divergence" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
+         |q AS (SELECT doc_id,
+         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+         |  FROM s),
+         |r AS (SELECT c.cluster, c.doc_id, q.quality,
+         |        row_number() OVER (PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |      FROM comp c JOIN q ON q.doc_id = c.doc_id),
+         |rep AS (SELECT cluster, n_members, doc_id AS rep_quality_pick, quality AS q_pick
+         |        FROM r WHERE rn = 1)
+         |SELECT rep.cluster, rep.n_members, rep.rep_quality_pick,
+         |       (rep.rep_quality_pick = rep.cluster) AS same,
+         |       round(rep.q_pick - ql.quality, 4) AS q_gap4,
+         |       (sp.n_tokens - sl.n_tokens)::BIGINT AS tok_delta
+         |FROM rep JOIN q ql ON ql.doc_id = rep.cluster
+         |         JOIN s sl ON sl.doc_id = rep.cluster
+         |         JOIN s sp ON sp.doc_id = rep.rep_quality_pick
+         |ORDER BY rep.cluster""".stripMargin,
   )
 }

@@ -780,6 +780,49 @@ object Curation {
         col("best.quality").as("rep_quality"), col("n_members"))
       .orderBy("cluster")
 
+  /** EXT-C54 (`x152_rep_divergence`) — representative-POLICY divergence
+    * audit: per multi-policy-relevant cluster, the lowest-id canonical
+    * (x29's keep rule — the cluster label itself) against x47's
+    * highest-quality pick, with the exact consequence of choosing one
+    * over the other: whether they agree, the quality the id policy
+    * leaves on the table (`q_gap4 ≥ 0` by the argmax), and the signed
+    * token-mass delta a switch would move. The A/B table behind a real
+    * pipeline decision: the id policy is replay-stable (a re-crawl
+    * never flips it) while the quality policy maximizes kept value but
+    * flips whenever quality scores drift — this relation prices the
+    * difference cluster by cluster instead of arguing it in the
+    * abstract.
+    *
+    * Scale: the one checkpointed (cluster, quality, tokens) membership
+    * relation feeds the partial-agg struct-max (x47's windowless
+    * argmax); both rep attribute lookups are narrow doc_id equi-joins;
+    * |clusters| rows out, nothing pairwise past x22's banded pairs.
+    */
+  def repPolicyDivergence(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
+    val q = TextAnalysis.statsProjection(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .localCheckpoint() // consumed by the member join and both rep lookups
+    val picks = dedupClusters(spark, dir, maxRounds)
+      .join(q.select("doc_id", "quality"), "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("quality"), negate(col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("n_members"),
+        negate(col("best.nid")).as("rep_quality_pick"),
+        col("best.quality").as("q_pick"))
+    picks
+      .join(q.select(col("doc_id").as("cluster"),
+        col("quality").as("q_low"), col("n_tokens").as("tok_low")), "cluster")
+      .join(q.select(col("doc_id").as("rep_quality_pick"),
+        col("n_tokens").as("tok_pick")), "rep_quality_pick")
+      .select(col("cluster"), col("n_members"), col("rep_quality_pick"),
+        (col("rep_quality_pick") === col("cluster")).as("same"),
+        round(col("q_pick") - col("q_low"), 4).as("q_gap4"),
+        (col("tok_pick") - col("tok_low")).as("tok_delta"))
+      .orderBy("cluster")
+  }
+
   /** Connected components over an arbitrary pair relation `(d1, d2)` —
     * the algorithm behind [[dedupClusters]], exposed separately so any
     * near-dup pair stream (MinHash, embedding-cosine, …) can be resolved

@@ -1262,4 +1262,43 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val coarse = Curation.qualityAuc(spark, dir, buckets = 7).collect().head
     assert((coarse.getLong(0), coarse.getLong(1), coarse.getLong(2), coarse.getDouble(3)) == expected)
   }
+
+  test("repPolicyDivergence (x152): identical copies tie both policies to the canonical") {
+    // identical texts -> identical quality -> the quality argmax tie
+    // breaks to the LOWEST id, which IS the canonical: policies agree
+    // with zero gap and zero mass delta
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again today",
+      3L -> "completely unrelated content about something else entirely"))
+    val rows = Curation.repPolicyDivergence(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+      r.getDouble(4), r.getLong(5)) == ((1L, 2L, 1L, true, 0.0, 0L)))
+  }
+
+  test("repPolicyDivergence: equals the driver-side argmax on harness data; gap never negative") {
+    val dir = "/root/testdata/sf0.001"
+    val members = Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val q = graft.operators.TextAnalysis.statsProjection(spark, dir)
+      .select("doc_id", "quality", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val expected = members.groupBy(_._2).map { case (cluster, ms) =>
+      val ids = ms.map(_._1)
+      val pick = ids.maxBy(id => (q(id)._1, -id))
+      cluster -> ((ids.length.toLong, pick, pick == cluster,
+        math.rint((q(pick)._1 - q(cluster)._1) * 10000) / 10000,
+        q(pick)._2 - q(cluster)._2))
+    }
+    val got = Curation.repPolicyDivergence(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(got == expected, "the struct-max must equal the per-cluster argmax exactly")
+    got.values.foreach { case (_, _, same, gap, delta) =>
+      assert(gap >= 0.0, "the quality pick can never be worse than the canonical")
+      if (same) assert(gap == 0.0 && delta == 0L)
+    }
+  }
 }

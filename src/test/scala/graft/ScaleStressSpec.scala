@@ -1725,6 +1725,30 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(at10.map(_._4).sum >= 10L * at1.sum, "replica prefixes only add bytes")
     at10.foreach { case (files, distinct, dups, _) => assert(files - dups == distinct) }
   }
+
+  test("x152 rep divergence at 10x: argmax stays a partial-agg struct-max off the checkpoint") {
+    // the contraction executes at plan build (x22's column); the pin:
+    // the policy comparison adds only the windowless struct-max + two
+    // narrow doc_id equi-joins against the checkpointed quality relation
+    val p = plan(graft.operators.Curation.repPolicyDivergence(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the pick must fold map-side, never rank the membership stream:\n$p")
+    // executes: the q_gap law is structural and the id remap preserves
+    // within-replica order, so replica 0 reproduces sf0.1's divergence
+    // rows verbatim (quality and token counts are content functions of
+    // the UNPREFIXED replica-0 texts)
+    val rep0 = graft.operators.Curation.repPolicyDivergence(spark, dir10).collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1), r.getLong(2) / 10L, r.getBoolean(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    val at1 = graft.operators.Curation.repPolicyDivergence(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(at1.nonEmpty)
+    assert(rep0 == at1, "replica-0 divergence rows must reproduce sf0.1 under the id remap")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
