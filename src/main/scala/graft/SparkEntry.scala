@@ -341,6 +341,8 @@ object SparkEntry {
     "x151_media_dedup" -> ((s, dir) => Multimodal.mediaDedupCensus(s, dir)),
     // representative-policy A/B: lowest-id canonical vs quality pick
     "x152_rep_divergence" -> ((s, dir) => Curation.repPolicyDivergence(s, dir)),
+    // JSON text envelope roundtrip with the exact wire-length law
+    "x153_json_envelope" -> ((s, dir) => Payload.jsonEnvelope(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3111,5 +3113,14 @@ object SparkEntry {
          |         JOIN s sl ON sl.doc_id = rep.cluster
          |         JOIN s sp ON sp.doc_id = rep.rep_quality_pick
          |ORDER BY rep.cluster""".stripMargin,
+
+    // the wire-length law computed ARITHMETICALLY: 29 scaffolding chars
+    // ({"event_id":  ,"event_type":"  "}) + the id's digits + the type
+    // — certifying Spark's to_json byte-for-byte; an escaped character
+    // in a future corpus breaks this row loudly, by design
+    "x153_json_envelope" ->
+      """SELECT event_id, event_id AS id_rt, event_type AS type_rt,
+        |       (29 + strlen(event_id::VARCHAR) + strlen(event_type))::BIGINT AS line_len
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -202,4 +202,37 @@ object Payload {
         col("d.value").as("value_rt"), col("avro_len"))
       .orderBy("event_id")
   }
+
+  /** EXT-P9 (`x153_json_envelope`) — JSON text-envelope roundtrip with
+    * an EXACT wire-length law: each event's (event_id, event_type)
+    * serialized by `to_json`, parsed back by `from_json`, and the
+    * serialized byte length emitted per row. The oracle computes the
+    * length ARITHMETICALLY (`29 + digits(event_id) + strlen(type)` —
+    * the fixed JSON scaffolding plus the variable fields), so every
+    * driver run certifies Spark's Jackson formatting byte-for-byte
+    * against the cost model — and a corpus whose types ever need JSON
+    * escaping breaks the law LOUDLY, which is the audit working (the
+    * envelope cost model no longer prices the wire). The text half of
+    * x63's pairing: Avro carries the full record (doubles included,
+    * whose text formatting no two engines agree on) in the varint law;
+    * this prices the human-readable envelope integration points
+    * actually ship.
+    *
+    * Scale: entirely row-local codegen (`to_json`/`from_json` are
+    * Catalyst expressions — no UDF, no shuffle before the presentation
+    * sort); the length column is what a Kafka JSON sink budget
+    * multiplies by events/sec.
+    */
+  def jsonEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id BIGINT, event_type STRING"
+    Replication.events(spark, dir)
+      .select(col("event_id"), col("event_type"))
+      .withColumn("line", to_json(struct(col("event_id"), col("event_type"))))
+      .select(col("event_id"),
+        from_json(col("line"), schema, Map.empty[String, String]).as("d"),
+        length(col("line")).cast("long").as("line_len"))
+      .select(col("event_id"), col("d.event_id").as("id_rt"),
+        col("d.event_type").as("type_rt"), col("line_len"))
+      .orderBy("event_id")
+  }
 }

@@ -161,6 +161,28 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     assert(got("video/mp4") == ((2L, 1L, 1L, 8L, 4L, 0.5)))
   }
 
+  test("jsonEnvelope (x153): roundtrip identity and the hand-computed wire lengths") {
+    val dir = TestTables.eventsDir(spark, Seq(
+      (7L, 1000000L, 1L, "click"),   // 29 + 1 digit + 5 = 35
+      (1234L, 2000000L, 1L, "view"))) // 29 + 4 + 4 = 37
+    val got = Payload.jsonEnvelope(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got(7L) == ((7L, "click", 35L)))
+    assert(got(1234L) == ((1234L, "view", 37L)))
+  }
+
+  test("jsonEnvelope: escaping breaks the arithmetic law by exactly the escape bytes") {
+    // the law's domain, pinned precisely: a quote in the type still
+    // roundtrips exactly, but costs one extra wire byte (the backslash)
+    // — the loud divergence the oracle is designed to raise on a corpus
+    // that needs escaping
+    val dir = TestTables.eventsDir(spark, Seq((1L, 1000000L, 1L, "a\"b")))
+    val r = Payload.jsonEnvelope(spark, dir).collect().head
+    assert(r.getString(2) == "a\"b", "roundtrip is exact regardless of escaping")
+    assert(r.getLong(3) == 29L + 1L + 3L + 1L,
+      "one escaped quote costs exactly one extra byte over the clean-law length")
+  }
+
   test("mediaDedupCensus: identities and the corpus partition on harness data") {
     val rows = Multimodal.mediaDedupCensus(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

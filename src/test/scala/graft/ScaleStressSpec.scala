@@ -1749,6 +1749,20 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(at1.nonEmpty)
     assert(rep0 == at1, "replica-0 divergence rows must reproduce sf0.1 under the id remap")
   }
+
+  test("x153 json envelope at 60x events: pure row-local codegen before the presentation sort") {
+    val p = plan(graft.operators.Payload.jsonEnvelope(spark, dir10))
+    noNestedLoops(p)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"serialization is a narrow projection — no join, no window:\n$p")
+    // executes at 6M events: the roundtrip is lossless for every row
+    val bad = graft.operators.Payload.jsonEnvelope(spark, dir10)
+      .filter(col("id_rt") =!= col("event_id") || col("type_rt").isNull)
+      .count()
+    assert(bad == 0L, "roundtrip must be exact across all 6M envelopes")
+  }
 }
 
 /** One-time 10× slice generator (marker-gated; safe across suites and
