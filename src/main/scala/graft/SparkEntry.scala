@@ -2620,7 +2620,7 @@ object SparkEntry {
     "x134_dup_pagerank" -> {
       val steps = (1 to prIters).map { i =>
         s"""r$i AS (SELECT e.v AS node,
-           |        ${15L * prScale / 100L}::BIGINT + (85 * sum(r.rank // d.deg)) // 100 AS rank
+           |        (${15L * prScale / 100L}::BIGINT + (85 * sum(r.rank // d.deg)) // 100)::BIGINT AS rank
            |        FROM r${i - 1} r JOIN deg d ON d.node = r.node
            |                         JOIN edges e ON e.u = r.node
            |        GROUP BY e.v)""".stripMargin
@@ -2631,7 +2631,7 @@ object SparkEntry {
          |deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT node, $prScale::BIGINT AS rank FROM deg),
          |$steps
-         |SELECT d.node AS doc_id, d.deg AS degree, r.rank AS rank_scaled,
+         |SELECT d.node AS doc_id, d.deg AS degree, r.rank::BIGINT AS rank_scaled,
          |       round(r.rank::DOUBLE / $prScale, 4) AS rank4
          |FROM deg d JOIN r$prIters r ON r.node = d.node
          |ORDER BY doc_id""".stripMargin

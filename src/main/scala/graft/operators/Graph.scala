@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic graph engines over an undirected pair relation `(d1, d2)`
+  * (d1 < d2, distinct) — the module behind every near-dup-graph query:
+  * connected components (x22/x29/x133's contraction), exact-integer
+  * damped PageRank (x134), the degree-ordered triangle census (x145)
+  * and per-edge truss support (x146). Moved out of [[Curation]] verbatim
+  * (VERDICT r12 task 7) — the engines are load-bearing for seven
+  * queries and pair streams from ANY detector (SimHash, MinHash,
+  * embedding-cosine, linkage) resolve through them.
+  *
+  * Scale design (the 100 TB story): every engine is keyed shuffles over
+  * a checkpointed edge list — components contract in O(diameter) label
+  * rounds, PageRank runs a FIXED number of node-keyed power steps in
+  * scaled BIGINTs (bit-identical under any fold order), and the
+  * triangle engines orient edges by (degree, id) so the wedge join
+  * materializes O(m^1.5) rows regardless of hub degree. Nothing is
+  * ever pairwise beyond the input pair stream itself.
+  */
+object Graph {
+
+  /** Connected components over an arbitrary pair relation `(d1, d2)` —
+    * the algorithm behind [[Curation.dedupClusters]], exposed separately so any
+    * near-dup pair stream (MinHash, embedding-cosine, …) can be resolved
+    * to canonical ids, and so the iteration is testable on synthetic
+    * graph shapes (chains, stars) independent of fingerprinting.
+    */
+  def connectedComponents(pairRelation: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // materialize the pair relation BEFORE the symmetric union: the two
+    // union branches would otherwise each recompute the entire upstream
+    // pair pipeline (Spark shares no common subtree across branches)
+    val pairs = pairRelation.localCheckpoint()
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    // seed labels with least(node, min neighbor) — the first star step
+    // comes free with the aggregation that enumerates the nodes, saving
+    // one full round of the loop below
+    var labels = edges.groupBy(col("u").as("node")).agg(min("v").as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // contracted graph: the fixed original edges with both endpoints
+      // rewritten to their current labels (joining the ORIGINAL list
+      // every round keeps edges and labels consistent by construction)
+      val ledges = edges
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") =!= col("lv"))
+        .select(col("lu").as("u"), col("lv").as("v"))
+        .distinct()
+        .localCheckpoint()
+      if (ledges.isEmpty) converged = true
+      else {
+        // label-level min-step over the contracted neighborhood; both
+        // uses below re-derive it from the MATERIALIZED ledges (one
+        // small groupBy each — cheaper than another checkpoint job)
+        def f = ledges.groupBy(col("u").as("old")).agg(min("v").as("m"))
+          .select(col("old"), least(col("old"), col("m")).as("nw"))
+        // g(a) = f(labels(f(a))) — min-step, node-level jump, min-step,
+        // fused into one tiny label-keyed map (each hop falls back to
+        // identity where undefined). The node-level hop is an INNER join
+        // so the planner can build/broadcast whichever side is small
+        // (usually f) and stream the other — a left join here would
+        // force building the full node table, which is exactly the
+        // per-round exchange this fusion exists to avoid; the left-join
+        // fallback then runs on the tiny (f ⋈ mid) relations only.
+        val mid = labels.select(col("node").as("h1n"), col("label").as("h2"))
+          .join(f.select(col("old"), col("nw")), col("h1n") === col("nw"))
+          .select(col("old"), col("h2"))
+        val g = f
+          .join(mid.withColumnRenamed("h2", "h2m"), Seq("old"), "left")
+          .select(col("old"), coalesce(col("h2m"), col("nw")).as("h2v"))
+          .join(f.select(col("old").as("fo"), col("nw").as("h3")),
+            col("h2v") === col("fo"), "left")
+          .select(col("old"), coalesce(col("h3"), col("h2v")).as("nw"))
+        labels = labels
+          .join(g, labels("label") === g("old"), "left")
+          .select(labels("node"), coalesce(g("nw"), labels("label")).as("label"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxRounds rounds — labels would be wrong")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** EXACT-integer damped PageRank over an arbitrary undirected pair
+    * relation `(d1, d2)` — the second iterative graph engine next to
+    * [[connectedComponents]], exposed generically for the same reason:
+    * any pair stream (SimHash, MinHash, linkage) can be ranked. Ranks
+    * live in SCALED BIGINTs (initial rank = `scale` per node) and every
+    * update is integer arithmetic — contribution `rank div deg`, damped
+    * update `(15·scale) div 100 + (85·Σ contrib) div 100` — so the fold
+    * is order-insensitive and BOTH engines produce bit-identical ranks
+    * (a float PageRank sums neighbor doubles in shuffle order, which no
+    * hash oracle can pin). Fixed `iters` power steps, not
+    * convergence-tested: an audit wants a deterministic, restartable
+    * cost, and 5 damped steps separate hubs from leaves at any size.
+    *
+    * Overflow bound: per-node incoming mass ≤ total mass = n·scale, so
+    * `85·Σ` needs n·scale ≤ ~1e17 — at the default scale 1e9 that is
+    * 1e8 nodes; beyond, lower `scale` (or the x110 decimal spelling).
+    *
+    * Scale: each step is two equi-joins keyed by node id (contribution
+    * join, incoming-sum shuffle) over the checkpointed symmetric edge
+    * list — the x22 contraction's cost shape with a FIXED round count;
+    * degree and rank relations are |nodes| rows, never pairwise.
+    */
+  def pageRank(
+      pairRelation: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters ($iters) must be in [1, 50]")
+    require(scale >= 100L, s"scale ($scale) must carry the damping hundredths")
+    val pairs = pairRelation.localCheckpoint()
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // enforce the documented overflow bound LOUDLY (the repo's other
+    // saturation guards' convention): per-node incoming mass ≤ n·scale,
+    // so the damped fold needs 85·n·scale to fit a BIGINT. deg is
+    // already checkpointed, so the count is one cheap |nodes| job.
+    val nNodes = deg.count()
+    require(nNodes <= Long.MaxValue / 85L / scale,
+      s"pageRank overflow: $nNodes nodes at scale=$scale breaks the BIGINT bound " +
+        s"(needs nodes <= ${Long.MaxValue / 85L / scale}) — lower `scale`")
+    val base = 15L * scale / 100L
+    var rank = deg.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(deg, Seq("node"))
+        .select(col("node").as("u"), expr("rank div deg").as("ctr"))
+      // every node has deg >= 1 and a symmetric in-edge, so the node
+      // set is preserved exactly by the incoming fold — no dangling-
+      // node correction term exists in an undirected pair graph
+      rank = sym.join(contrib, Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(sum("ctr").as("in_sum"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * in_sum) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    rank.join(deg, Seq("node"))
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        col("rank").as("rank_scaled"),
+        round(col("rank").cast("double") / scale, 4).as("rank4"))
+      .orderBy("doc_id")
+  }
+
+  /** EXACT triangle census over an arbitrary undirected pair relation
+    * `(d1, d2)` (d1 < d2, distinct) — the third generic graph engine
+    * next to [[connectedComponents]] and [[pageRank]]. Per node: its
+    * degree, the exact number of triangles through it, and the local
+    * clustering coefficient `2T / (deg·(deg−1))` (NULL below degree 2).
+    *
+    * Algorithm: degree-ordered ORIENTATION (each edge directed from the
+    * lower (deg, id) endpoint to the higher — a total order, so the
+    * oriented graph is acyclic) then one wedge self-join at the low
+    * endpoint closed by an oriented-edge membership join. Each triangle
+    * {x<y<z} is found exactly once, as the wedge (x→y, x→z) closed by
+    * y→z. This is the standard distributed-triangle bound: oriented
+    * out-degree is O(√m) on ANY graph (a node of degree d > √m has all
+    * out-neighbors of degree ≥ d, and there are < √m of those), so the
+    * wedge join materializes Σ outdeg² ≤ O(m^{3/2}) rows REGARDLESS of
+    * hub degree — a raw neighbor self-join would square the hottest
+    * hub's degree instead. All joins are keyed shuffles; counts are
+    * BIGINTs; one guarded rounded division per node.
+    */
+  def triangleCensus(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val deg = pairDegrees(pairs)
+    val perNode = orientedTriangles(pairs, deg)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("cc4",
+        when(col("degree") < 2L, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("n_triangles").cast("double")
+            / (col("degree") * (col("degree") - 1L)).cast("double"), 4)))
+      .orderBy("doc_id")
+  }
+
+  /** Degree per node of an undirected (d1 < d2) pair relation. */
+  private def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+
+  /** Each triangle exactly once as `(a, b, c)` under the degree-ordered
+    * orientation — the shared core of [[triangleCensus]] (per-node
+    * counts) and [[edgeSupport]] (per-edge counts). See
+    * [[triangleCensus]] for the O(√m) out-degree bound argument.
+    */
+  private def orientedTriangles(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val lowFirst = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("d1"), col("deg").as("g1")), "d1")
+      .join(deg.select(col("node").as("d2"), col("deg").as("g2")), "d2")
+      .select(when(lowFirst, col("d1")).otherwise(col("d2")).as("src"),
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("dst"))
+      .localCheckpoint() // consumed by the wedge join (twice) and the closure probe
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      // of a wedge's two (b, c) orderings exactly one matches an
+      // oriented closure edge — each triangle counted once, no dedup
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+  }
+
+  /** EXACT per-EDGE triangle support over an undirected pair relation —
+    * the k-truss level companion to [[triangleCensus]]: for every edge,
+    * how many triangles contain it, and the `unsupported` verdict
+    * (support 0 — the edge shares no common neighbor with its other
+    * endpoint). Each triangle contributes its three canonical
+    * (min, max) edges to one digest-style fold; the full edge list
+    * joins back so zero-support edges stay visible.
+    */
+  def edgeSupport(pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val tris = orientedTriangles(pairs, pairDegrees(pairs))
+    val sup = tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2")),
+        struct(least(col("a"), col("c")).as("d1"), greatest(col("a"), col("c")).as("d2")),
+        struct(least(col("b"), col("c")).as("d1"), greatest(col("b"), col("c")).as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("support"))
+    pairs.join(sup, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("unsupported", col("support") === 0L)
+      .orderBy("d1", "d2")
+  }
+}

@@ -101,7 +101,7 @@ object Linkage {
   /** EXT-L2 (`x133_entity_clusters`) — the Fellegi–Sunter loop CLOSED:
     * the blocked pair relation, thresholded at `minSim4`, resolved to
     * ENTITY clusters by the one connected-components engine every pair
-    * stream here reuses ([[Curation.connectedComponents]] — x22's star
+    * stream here reuses ([[Graph.connectedComponents]] — x22's star
     * contraction, labels = component min id), then audited with x129's
     * purity shape over the catalog attributes the blocking key does NOT
     * pin: member count, distinct `p_type` count, the majority type and
@@ -128,7 +128,7 @@ object Linkage {
     val edges = scoredPairs(spark, dir)
       .filter(col("p_partkey") < col("cand_key") && col("sim4") >= minSim4)
       .select(col("p_partkey").as("d1"), col("cand_key").as("d2"))
-    val members = Curation.connectedComponents(edges, maxRounds)
+    val members = Graph.connectedComponents(edges, maxRounds)
       .select(col("doc_id").as("p_partkey"), col("cluster"))
       .join(part(spark, dir).select("p_partkey", "p_type", "p_retailprice"), "p_partkey")
       .localCheckpoint() // consumed by the member fold AND the majority sub-fold

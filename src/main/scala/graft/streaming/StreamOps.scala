@@ -1258,8 +1258,14 @@ object StreamOps {
     * block's records — the Σ_b |b| memory a blocked join holds anyway,
     * with the same too-coarse-key failure mode (a hot block = a hot
     * state key; the fix is key composition, not a bigger cluster).
+    * Unlike the batch path's `guardBucketSize`, `NoTimeout` state
+    * would grow a mis-keyed hot block's Vector silently forever, so
+    * the same loud-failure contract applies here: `maxBlock` caps the
+    * per-block state and a saturated block THROWS with the key-
+    * composition guidance instead of creeping toward an executor OOM.
     */
-  def linkageGateStream(ds: Dataset[PartRecord]): Dataset[ProvisionalMatch] = {
+  def linkageGateStream(
+      ds: Dataset[PartRecord], maxBlock: Int = 100000): Dataset[ProvisionalMatch] = {
     import ds.sparkSession.implicits._
     def lev(a: String, b: String): Long = {
       val (n, m) = (a.length, b.length)
@@ -1303,6 +1309,10 @@ object StreamOps {
               else Some(scored.minBy { case (s, ck, _) => (-s, ck) })
             out += ProvisionalMatch(r.p_partkey, brand, size, st.recs.length.toLong,
               best.map(_._2), best.map(_._3), best.map(_._1))
+            require(st.recs.length < maxBlock,
+              s"linkage block ($brand, $size) saturated (>= $maxBlock records in state) — " +
+                "the blocking key is too coarse; fix by key composition (add a second " +
+                "attribute), not a bigger cluster")
             st = BlockState(st.recs :+ (r.p_partkey, r.p_name))
           }
           state.update(st)

@@ -139,22 +139,6 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.forall(_ == 4L))
   }
 
-  test("connectedComponents: long chains converge (pointer jumping) to the component min") {
-    import spark.implicits._
-    // a 32-node chain needs 31 rounds under plain min-propagation — well
-    // past what any O(diameter) scheme does in the default round budget
-    // comfortably; the pointer jump must close it in ~log2(32) rounds
-    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = graft.operators.Curation.connectedComponents(chain, maxRounds = 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 32 && got.values.forall(_ == 1L))
-    // two components + id order reversed inside the pairs
-    val two = Seq((5L, 3L), (3L, 9L), (20L, 18L)).toDF("d1", "d2")
-    val got2 = graft.operators.Curation.connectedComponents(two)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got2 == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 18L -> 18L, 20L -> 18L))
-  }
-
   test("curatedCorpus composes quality ∩ canonical ∩ train exactly") {
     val dir = "/root/testdata/sf0.001"
     val keep = Curation.qualityGate(spark, dir).filter("keep")
@@ -1040,36 +1024,6 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       "a deletion in bin 0 repacks the whole downstream tail")
   }
 
-  test("pageRank (x134): exact integer ranks on a star — hand-derived, bit-for-bit") {
-    import spark.implicits._
-    // star 0-{1,2,3}, scale S = 1e9, base = 0.15e9, two steps:
-    //  step 1: contrib c0 = S div 3 = 333333333, leaves S;
-    //    r(0) = base + (85*3S) div 100          = 2700000000
-    //    r(l) = base + (85*333333333) div 100   =  433333333
-    //  step 2: c0 = 2700000000 div 3 = 900000000; cl = 433333333;
-    //    r(0) = base + (85*1299999999) div 100  = 1254999999
-    //    r(l) = base + (85*900000000) div 100   =  915000000
-    // every operation is integer div/floor — any float in the path
-    // would miss these exact values
-    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
-    val got = Curation.pageRank(pairs, iters = 2).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got(0L) == ((3L, 1254999999L, 1.255)))
-    Seq(1L, 2L, 3L).foreach(l => assert(got(l) == ((1L, 915000000L, 0.915))))
-  }
-
-  test("pageRank: rank mass flows toward hubs and the node set is preserved") {
-    import spark.implicits._
-    // path 1-2-3: the middle node must out-rank the endpoints at any
-    // iteration count, and all three nodes stay visible
-    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
-    val got = Curation.pageRank(pairs, iters = 5).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(got.keySet == Set(1L, 2L, 3L))
-    assert(got(2L) > got(1L) && got(1L) == got(3L),
-      "the hub out-ranks symmetric leaves, which tie exactly")
-  }
-
   test("pairCountingStability (x141): a pure merge fills merged_by_new, hand-derived") {
     import spark.implicits._
     // old {1,2},{3,4},{5}; new {1,2,3,4},{5}:
@@ -1119,81 +1073,6 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r.getLong(3) == 0L, "split_by_new must be zero under the snapshot binding")
     assert(r.getLong(2) == 2L && r.getDouble(6) == 1.0,
       "both even cliques survive intact: pairs (0,2) and (4,6) together in both, rand 1")
-  }
-
-  test("triangleCensus (x145): triangle + pendant, hand-derived coefficients") {
-    import spark.implicits._
-    // triangle {1,2,3} with pendant 4 on node 3: node 3 has one of its
-    // C(3,2)=3 neighbor pairs connected (cc 1/3), the pendant is NULL
-    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
-    val got = Curation.triangleCensus(pairs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
-    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)))
-    assert(got(3L) == ((3L, 1L, 0.3333)))
-    assert(got(4L)._1 == 1L && got(4L)._2 == 0L && got(4L)._3.isNaN)
-  }
-
-  test("triangleCensus: K4 counts every triangle once per node; a cycle has none") {
-    import spark.implicits._
-    // K4: 4 triangles total, each node on C(3,2) = 3 of them, cc = 1
-    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("d1", "d2")
-    val gotK4 = Curation.triangleCensus(k4).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(gotK4 == Set((3L, 3L, 1.0)))
-    // 4-cycle: every degree is 2 but NO neighbor pair closes
-    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("d1", "d2")
-    val gotC4 = Curation.triangleCensus(c4).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(gotC4 == Set((2L, 0L, 0.0)))
-  }
-
-  test("triangleCensus: oriented count equals the brute-force reference on harness data") {
-    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
-      .select("d1", "d2")
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
-    def connected(a: Long, b: Long) =
-      edges.contains((math.min(a, b), math.max(a, b)))
-    val brute = nodes.map { n =>
-      val nbrs = nodes.filter(m => m != n && connected(n, m))
-      n -> nbrs.combinations(2).count { case Seq(x, y) => connected(x, y) }.toLong
-    }.toMap
-    val got = Curation.triangleCensus(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(got == brute, "per-node triangle counts must match the all-pairs reference")
-  }
-
-  test("edgeSupport (x146): interior edges counted per triangle, the stitch edge flagged") {
-    import spark.implicits._
-    // two triangles sharing edge (2,3), pendant (4,5): the shared edge
-    // carries support 2, the four outer edges 1, the pendant 0
-    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
-      .toDF("d1", "d2")
-    val got = Curation.edgeSupport(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
-    assert(got((2L, 3L)) == ((2L, false)))
-    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).foreach(e =>
-      assert(got(e) == ((1L, false)), s"outer edge $e"))
-    assert(got((4L, 5L)) == ((0L, true)), "the pendant is the unsupported stitch")
-  }
-
-  test("edgeSupport: incident-support law against the node census on harness data") {
-    // every triangle through node v contains exactly TWO edges incident
-    // to v, so sum of supports over v's edges = 2 * n_tri(v) — ties the
-    // edge relation to x145's node relation exactly
-    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
-      .select("d1", "d2")
-    val edges = Curation.edgeSupport(pairs).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-    val nodes = Curation.triangleCensus(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(edges.nonEmpty && edges.exists(_._2 > 0L),
-      "the harness graph must carry at least one supported edge")
-    nodes.foreach { case (v, t) =>
-      val incident = edges.filter { case ((a, b), _) => a == v || b == v }.map(_._2).sum
-      assert(incident == 2L * t, s"node $v: incident support $incident vs 2*$t")
-    }
   }
 
   test("dedupSavings (x147): the identical pair is reclaimed by every layer, hand-derived") {

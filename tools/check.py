@@ -24,11 +24,39 @@ def norm(v):
     return v
 
 
+# Driver-hasher portability (VERDICT r10 task 2 / r12 task 2): the driver
+# canonicalizes wide integers and decimals differently between parquet and
+# DuckDB's native serializer — x110 (DECIMAL(38,0), Spark side, r10) and
+# x134 (HUGEINT, oracle side, r12) were both value-exact rows that hashed
+# apart on type alone. SchemaConventionSpec pins the Spark side; this pins
+# the oracle side: DESCRIBE every oracle and fail on any non-portable
+# result column type. Exact wide arithmetic INSIDE a query is fine — only
+# the result schema must land in the portable set.
+NON_PORTABLE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def audit_oracle_types(con, oracle):
+    offenders = []
+    for name in sorted(oracle):
+        try:
+            cols = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            offenders.append((name, "<describe failed>", str(e)))
+            continue
+        for cname, ctype, *_ in cols:
+            if any(t in ctype.upper() for t in NON_PORTABLE):
+                offenders.append((name, cname, ctype))
+    for name, cname, ctype in offenders:
+        print(f"TYPEFAIL {name}: column {cname} has non-portable oracle type {ctype}")
+    return offenders
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    type_offenders = audit_oracle_types(con, oracle)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -62,8 +90,8 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(g)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass, {n_fail} fail, {len(type_offenders)} oracle type offenders ==")
+    return 1 if (n_fail or type_offenders) else 0
 
 
 if __name__ == "__main__":
