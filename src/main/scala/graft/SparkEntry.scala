@@ -343,6 +343,15 @@ object SparkEntry {
     "x152_rep_divergence" -> ((s, dir) => Curation.repPolicyDivergence(s, dir)),
     // JSON text envelope roundtrip with the exact wire-length law
     "x153_json_envelope" -> ((s, dir) => Payload.jsonEnvelope(s, dir)),
+    // k-truss peel over the near-dup graph: the clique-like trust core
+    "x154_k_truss" -> ((s, dir) =>
+      Curation.dupTruss(s, dir, k = trussK, maxRounds = trussRounds)),
+    // incremental cluster merge: tight labels + delta == one-shot batch
+    "x155_incremental_clusters" -> ((s, dir) =>
+      Curation.incrementalClusters(s, dir, tightHamming = incTight)),
+    // k-core peel: the dense interior of the near-dup graph, per node
+    "x156_k_core" -> ((s, dir) =>
+      Curation.dupKCore(s, dir, k = coreK, maxRounds = coreRounds)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -421,6 +430,27 @@ object SparkEntry {
     */
   private val prIters = 5
   private val prScale = 1000000000L
+
+  /** x154 truss level and peel-round budget — the oracle UNROLLS one
+    * peel block per round (the x134 convention), so `trussRounds` is
+    * structurally pinned to the generated SQL; the Spark loop THROWS
+    * past `trussRounds` removal rounds, so a green row proves the
+    * fixpoint was reached and the oracle's extra identity blocks are
+    * exactly that.
+    */
+  private val trussK = 4
+  private val trussRounds = 6
+
+  /** x155 tight threshold (the delta is hamming in (incTight, 4]) —
+    * same no-drift contract.
+    */
+  private val incTight = 2
+
+  /** x156 core level and peel-round budget — the x154 unroll/throw
+    * contract, at node granularity.
+    */
+  private val coreK = 3
+  private val coreRounds = 6
 
   /** x135 audit lags in hours (short-range / daily / weekly) — same
     * no-drift contract.
@@ -3122,5 +3152,82 @@ object SparkEntry {
       """SELECT event_id, event_id AS id_rt, event_type AS type_rt,
         |       (29 + strlen(event_id::VARCHAR) + strlen(event_type))::BIGINT AS line_len
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // one unrolled peel block per round (the x134 convention): support
+    // via the naive common-neighbor count (the differential oracle of
+    // the Spark side's oriented wedge join), filter at k-2, repeat —
+    // blocks past the fixpoint are identities, and the Spark loop
+    // throws if the fixpoint needs more removal rounds than unrolled
+    "x154_k_truss" -> {
+      val peel = (1 to trussRounds).map { i =>
+        s"""u$i AS (SELECT d1 AS a, d2 AS b FROM e${i - 1} UNION ALL SELECT d2, d1 FROM e${i - 1}),
+           |s$i AS (SELECT e.d1, e.d2, count(*)::BIGINT AS sup
+           |        FROM e${i - 1} e JOIN u$i x ON x.a = e.d1
+           |                         JOIN u$i y ON y.a = e.d2 AND y.b = x.b
+           |        GROUP BY e.d1, e.d2),
+           |e$i AS MATERIALIZED (SELECT d1, d2 FROM s$i WHERE sup >= ${trussK - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashPairsCte,
+         |e0 AS MATERIALIZED (SELECT d1, d2 FROM nd_pairs),
+         |u0 AS (SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0),
+         |s0 AS (SELECT e.d1, e.d2, count(*)::BIGINT AS sup
+         |       FROM e0 e JOIN u0 x ON x.a = e.d1
+         |                 JOIN u0 y ON y.a = e.d2 AND y.b = x.b
+         |       GROUP BY e.d1, e.d2),
+         |$peel
+         |SELECT p.d1, p.d2, coalesce(s0.sup, 0)::BIGINT AS support,
+         |       (t.d1 IS NOT NULL) AS in_truss
+         |FROM nd_pairs p
+         |LEFT JOIN s0 ON s0.d1 = p.d1 AND s0.d2 = p.d2
+         |LEFT JOIN e$trussRounds t ON t.d1 = p.d1 AND t.d2 = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin
+    },
+
+    // the ONE-SHOT <=4 clustering plus the tight sub-clustering — the
+    // differential proof that the Spark side's incremental merge
+    // (star(tight labels) ∪ delta pairs, re-contracted) reproduces the
+    // batch answer; nd_pairs carries hamming, so both closures read one
+    // pair relation
+    "x155_incremental_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |edges4 AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |reach4(u, v) AS (SELECT u, v FROM edges4
+         |                 UNION
+         |                 SELECT r.u, e.v FROM reach4 r JOIN edges4 e ON r.v = e.u),
+         |comp4 AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach4 GROUP BY u),
+         |tp AS (SELECT d1, d2 FROM nd_pairs WHERE hamming <= $incTight),
+         |edgest AS (SELECT d1 AS u, d2 AS v FROM tp UNION ALL SELECT d2, d1 FROM tp),
+         |reacht(u, v) AS (SELECT u, v FROM edgest
+         |                 UNION
+         |                 SELECT r.u, e.v FROM reacht r JOIN edgest e ON r.v = e.u),
+         |compt AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_tight FROM reacht GROUP BY u)
+         |SELECT c4.doc_id, c4.cluster, ct.cluster_tight,
+         |       (ct.doc_id IS NULL) AS newly_clustered,
+         |       (coalesce(ct.cluster_tight, c4.doc_id) <> c4.cluster) AS relabeled
+         |FROM comp4 c4 LEFT JOIN compt ct ON ct.doc_id = c4.doc_id
+         |ORDER BY c4.doc_id""".stripMargin,
+
+    // one unrolled node-peel block per round (x154's convention, degree
+    // folds instead of triangle counts): nodes below k fall with their
+    // edges, blocks past the fixpoint are identities, the Spark loop
+    // throws if the fixpoint needs more rounds than unrolled
+    "x156_k_core" -> {
+      val peel = (1 to coreRounds).map { i =>
+        s"""u$i AS (SELECT d1 AS a, d2 AS b FROM e${i - 1} UNION ALL SELECT d2, d1 FROM e${i - 1}),
+           |n$i AS (SELECT a AS node FROM u$i GROUP BY a HAVING count(*) >= $coreK),
+           |e$i AS MATERIALIZED (SELECT e.d1, e.d2 FROM e${i - 1} e
+           |                     JOIN n$i x ON x.node = e.d1 JOIN n$i y ON y.node = e.d2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashPairsCte,
+         |e0 AS MATERIALIZED (SELECT d1, d2 FROM nd_pairs),
+         |u0 AS (SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0),
+         |d0 AS (SELECT a AS node, count(*)::BIGINT AS degree FROM u0 GROUP BY a),
+         |$peel,
+         |core AS (SELECT DISTINCT a AS node
+         |         FROM (SELECT d1 AS a FROM e$coreRounds UNION ALL SELECT d2 FROM e$coreRounds))
+         |SELECT d0.node AS doc_id, d0.degree, (c.node IS NOT NULL) AS in_kcore
+         |FROM d0 LEFT JOIN core c ON c.node = d0.node
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -770,7 +770,14 @@ object Curation {
     * membership stream.
     */
   def clusterRepresentatives(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
-    dedupClusters(spark, dir, maxRounds)
+    representativesOf(dedupClusters(spark, dir, maxRounds), spark, dir)
+
+  /** The x47 argmax over an arbitrary `(doc_id, cluster)` label relation
+    * — shared by the in-memory path and [[clusterRepresentativesFromIndex]]
+    * so the persisted form is the SAME aggregation by construction.
+    */
+  private def representativesOf(labels: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    labels
       .join(TextAnalysis.statsProjection(spark, dir).select("doc_id", "quality"), "doc_id")
       .groupBy("cluster")
       .agg(
@@ -779,6 +786,147 @@ object Curation {
       .select(col("cluster"), negate(col("best.nid")).as("rep_doc_id"),
         col("best.quality").as("rep_quality"), col("n_members"))
       .orderBy("cluster")
+
+  /** EXT-C55 — persist the near-dup cluster labels: the x22 contraction
+    * run ONCE and written as an index, closing the one place the repo
+    * documented the 100 TB materialize-once pattern instead of shipping
+    * it (nine queries re-pay the contraction per run as self-contained
+    * oracles — production consumers read THIS). Follows the IVF/sign/
+    * PQ/BM25 layout exactly: `labels/` is the (doc_id, cluster) relation
+    * partitioned by a doc_id bucket so membership probes prune FILES,
+    * `meta/` is one stamp row carrying the full parameter bundle
+    * (SimHash banding geometry) plus the corpus identity (doc count AND
+    * the order-insensitive doc_id XOR) — labels from a different banding
+    * or a drifted corpus are not comparable, so the probes REFUSE a
+    * mismatched stamp instead of silently answering from stale clusters
+    * (the [[Dedup.bandSignatures]] bundling contract).
+    */
+  def writeClusterIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      bits: Int = 60,
+      nBuckets: Int = 16,
+      maxRounds: Int = 30): Unit = {
+    import spark.implicits._
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be positive")
+    val (nDocs, docXor) = corpusStamp(spark, dir)
+    Graph.connectedComponents(
+        Dedup.simhashNearDupPairs(spark, dir, maxHamming, bands, bits), maxRounds)
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/labels")
+    Seq((maxHamming, bands, bits, nBuckets, nDocs, docXor))
+      .toDF("max_hamming", "bands", "bits", "n_buckets", "n_docs", "doc_xor")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Corpus identity for the stamp: count + order-insensitive doc_id
+    * XOR — one single-column scan; any add/remove/substitute of a doc
+    * flips it (up to XOR collisions, which the count also guards).
+    */
+  private def corpusStamp(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Validated stamp read: refuses a parameter-bundle mismatch. Returns
+    * (labels relation UNSORTED, nBuckets, stamped nDocs, stamped docXor).
+    */
+  private def readClusterIndex(
+      spark: SparkSession,
+      indexPath: String,
+      maxHamming: Int,
+      bands: Int,
+      bits: Int): (DataFrame, Int, Long, Long) = {
+    val rows = spark.read.parquet(s"$indexPath/meta")
+      .select("max_hamming", "bands", "bits", "n_buckets", "n_docs", "doc_xor").collect()
+    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    val m = rows(0)
+    require(m.getInt(0) == maxHamming && m.getInt(1) == bands && m.getInt(2) == bits,
+      s"cluster index stamped (maxHamming=${m.getInt(0)}, bands=${m.getInt(1)}, " +
+        s"bits=${m.getInt(2)}) but probed with ($maxHamming, $bands, $bits) — " +
+        "labels from a different banding are not comparable; rebuild the index")
+    (spark.read.parquet(s"$indexPath/labels").select("doc_id", "cluster"),
+      m.getInt(3), m.getLong(4), m.getLong(5))
+  }
+
+  /** EXT-C55 probe: the full label relation from the PERSISTED index —
+    * bit-equal to [[dedupClusters]] over the same corpus (spec-asserted)
+    * with the contraction loop replaced by one pruned-column read. The
+    * corpus-identity stamp is re-derived from `dir` and must match:
+    * clusters answered from an index built on a DIFFERENT corpus are
+    * wrong silently, so this refuses loudly instead.
+    */
+  def clustersFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      dir: String,
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      bits: Int = 60): DataFrame = {
+    val (labels, _, nDocs, docXor) = readClusterIndex(spark, indexPath, maxHamming, bands, bits)
+    val (curN, curX) = corpusStamp(spark, dir)
+    require(curN == nDocs && curX == docXor,
+      s"cluster index stamped for a corpus of $nDocs docs (xor=$docXor) but " +
+        s"$dir holds $curN (xor=$curX) — corpus drifted since the build; rebuild the index")
+    labels.orderBy("doc_id")
+  }
+
+  /** EXT-C55 membership probe: canonical cluster id for an arbitrary
+    * `doc_id` query relation — `cluster` falls back to the doc's own id
+    * (a never-clustered doc is its own canonical), `clustered` says
+    * which. The 100 TB point, [[Similarity.ivfTopKFromIndex]]'s
+    * staticPrune discipline verbatim: the batch's DISTINCT buckets — at
+    * most `n_buckets` values by construction, the legitimate bounded
+    * collect — pin a LITERAL partition filter on the label read, so the
+    * probe touches buckets/n_buckets of the index FILES by the PLANNER,
+    * not the pruning heuristic.
+    */
+  def lookupClustersFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      docIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
+    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    val nBuckets = rows(0).getInt(0)
+    val q = docIds.select(col("doc_id")).distinct()
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint() // consumed by the bucket collect AND the join
+    val buckets = q.select("bucket").distinct().as[Int].collect().toSeq
+    val labels = spark.read.parquet(s"$indexPath/labels")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .select(col("doc_id"), col("cluster"))
+    q.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("cluster").isNotNull.as("clustered"))
+      .orderBy("doc_id")
+  }
+
+  /** EXT-C55 heavy consumer: x47's representative pick served from the
+    * persisted labels — the SAME argmax aggregation as
+    * [[clusterRepresentatives]] by construction ([[representativesOf]]),
+    * with the contraction loop replaced by the index read (stamp- and
+    * corpus-validated via [[clustersFromIndex]]).
+    */
+  def clusterRepresentativesFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      dir: String,
+      maxHamming: Int = 4,
+      bands: Int = 5,
+      bits: Int = 60): DataFrame = {
+    val (labels, _, nDocs, docXor) = readClusterIndex(spark, indexPath, maxHamming, bands, bits)
+    val (curN, curX) = corpusStamp(spark, dir)
+    require(curN == nDocs && curX == docXor,
+      s"cluster index stamped for a corpus of $nDocs docs (xor=$docXor) but " +
+        s"$dir holds $curN (xor=$curX) — corpus drifted since the build; rebuild the index")
+    representativesOf(labels, spark, dir)
+  }
 
   /** EXT-C54 (`x152_rep_divergence`) — representative-POLICY divergence
     * audit: per multi-policy-relevant cluster, the lowest-id canonical
@@ -849,6 +997,83 @@ object Curation {
     */
   def dupEdgeSupport(spark: SparkSession, dir: String): DataFrame =
     Graph.edgeSupport(Dedup.simhashNearDupPairs(spark, dir))
+
+  /** EXT-C56 (`x154_k_truss`) — the peeling fixpoint x146 is one loop
+    * short of: [[Graph.kTruss]] over x22's SimHash pair graph. x146
+    * reports raw per-edge support; this peels CASCADES — an edge with
+    * healthy support can still fall when the borderline edges propping
+    * up its triangles are peeled first, so the k-truss, not the raw
+    * support threshold, is the principled "clique-like core" verdict.
+    * The surviving edges are the cluster-trust core (x145/x146's story
+    * completed); the peeled ones are the re-verify queue before x22's
+    * clusters feed x47's representative picks.
+    */
+  def dupTruss(spark: SparkSession, dir: String, k: Int = 4, maxRounds: Int = 6): DataFrame =
+    Graph.kTruss(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
+      k, maxRounds)
+
+  /** EXT-C58 (`x156_k_core`) — [[Graph.kCore]] over x22's SimHash pair
+    * graph: the hub/periphery split of the near-dup graph at node
+    * granularity. Where x154's truss asks "which EDGES are clique-like
+    * evidence", the core asks "which DOCS sit densely inside template
+    * families" — core members are the families' interiors (safe bulk
+    * drops), peripheral nodes are the one-or-two-collision attachments
+    * worth re-verifying before x47 picks representatives. Cheaper than
+    * the truss by construction (degree folds, no triangle enumeration),
+    * so it is the first-pass screen at 100 TB; the truss refines the
+    * edges inside the surviving core.
+    */
+  def dupKCore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 6): DataFrame =
+    Graph.kCore(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
+      k, maxRounds)
+
+  /** EXT-C57 (`x155_incremental_clusters`) — incremental cluster MERGE:
+    * fold a DELTA of new near-dup evidence into already-resolved labels
+    * without re-clustering the corpus — the nightly-maintenance pattern
+    * behind [[writeClusterIndex]]'s persisted labels. The delta here is
+    * the threshold WIDENING from `tightHamming` to x22's 4: the tight
+    * pass clusters the obvious near-identicals, then the borderline
+    * pairs (hamming in (tight, 4]) merge in over the tight labels' STAR
+    * EDGES — `CC(star(labels_tight) ∪ delta) == CC(pairs ≤ 4)` EXACTLY,
+    * because each tight component's star edges connect exactly its
+    * vertex set, so connectivity (and the min label) is preserved. The
+    * oracle computes the ONE-SHOT ≤4 clustering, so every run proves the
+    * incremental path reproduces the batch answer bit-for-bit.
+    *
+    * Output per doc clustered at ≤4: the merged label (≡ x22's), the
+    * tight label (NULL if invisible at the tight threshold), and the two
+    * flags a production merge reports — docs entering clustering for the
+    * first time and docs whose canonical id changed.
+    *
+    * Scale: ONE banded pair pass feeds both thresholds (the split is a
+    * row-local filter on the pair relation's hamming column); the merge
+    * contraction runs over a star FOREST plus the delta — |clustered
+    * docs| + |new pairs| edges, not a corpus re-pairing, which is the
+    * entire point at a nightly cadence.
+    */
+  def incrementalClusters(
+      spark: SparkSession,
+      dir: String,
+      tightHamming: Int = 2,
+      maxRounds: Int = 30): DataFrame = {
+    require(tightHamming >= 0 && tightHamming < 4,
+      s"tightHamming ($tightHamming) must sit strictly inside [0, 4) to leave a delta")
+    val pairs = Dedup.simhashNearDupPairs(spark, dir).localCheckpoint()
+    val tight = Graph.connectedComponents(
+      pairs.filter(col("hamming") <= tightHamming).select("d1", "d2"), maxRounds)
+      .localCheckpoint() // consumed as star edges AND the report join
+    val delta = pairs.filter(col("hamming") > tightHamming).select("d1", "d2")
+    val merged = Graph.connectedComponents(
+      tight.filter(col("doc_id") =!= col("cluster"))
+        .select(col("cluster").as("d1"), col("doc_id").as("d2"))
+        .union(delta), maxRounds)
+    merged
+      .join(tight.select(col("doc_id"), col("cluster").as("cluster_tight")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"), col("cluster_tight"),
+        col("cluster_tight").isNull.as("newly_clustered"),
+        (coalesce(col("cluster_tight"), col("doc_id")) =!= col("cluster")).as("relabeled"))
+      .orderBy("doc_id")
+  }
 
   /** EXT-C53 (`x150_quality_auc`) — quality-signal DISCRIMINATION audit:
     * the exact tie-aware Mann–Whitney AUC of x7's quality score

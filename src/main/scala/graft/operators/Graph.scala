@@ -230,6 +230,18 @@ object Graph {
     */
   def edgeSupport(pairRelation: DataFrame): DataFrame = {
     val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    supportOf(pairs)
+      .withColumn("unsupported", col("support") === 0L)
+      .orderBy("d1", "d2")
+  }
+
+  /** Per-edge triangle support of an ALREADY-MATERIALIZED (d1 < d2)
+    * pair relation — the shared unit of [[edgeSupport]] (one pass) and
+    * [[kTruss]] (one pass per peel round). Left join keeps zero-support
+    * edges visible; the triangle core is the oriented O(m^1.5)-bounded
+    * wedge join of [[triangleCensus]].
+    */
+  private def supportOf(pairs: DataFrame): DataFrame = {
     val tris = orientedTriangles(pairs, pairDegrees(pairs))
     val sup = tris.select(explode(array(
         struct(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2")),
@@ -240,7 +252,113 @@ object Graph {
     pairs.join(sup, Seq("d1", "d2"), "left")
       .select(col("d1"), col("d2"),
         coalesce(col("support"), lit(0L)).as("support"))
-      .withColumn("unsupported", col("support") === 0L)
+  }
+
+  /** EXACT k-truss membership per edge — the peeling fixpoint
+    * [[edgeSupport]] is one round short of: repeatedly delete every
+    * edge whose support (triangles containing it) in the SURVIVING
+    * subgraph is below k−2, until a round deletes nothing. The maximal
+    * subgraph in which every edge closes ≥ k−2 triangles — the
+    * principled "clique-like core vs stitched chain" verdict per edge
+    * (a near-dup cluster's truss edges are the trustworthy ones; edges
+    * outside it were glued by one or two accidental collisions).
+    *
+    * Returns every ORIGINAL edge with its original support and the
+    * `in_truss` verdict, so consumers see what was peeled and why.
+    *
+    * Contract: the bounded driver-loop convention of
+    * [[connectedComponents]] — each round recomputes support over the
+    * checkpointed surviving edge list (the oriented wedge join keeps
+    * every round O(m'^1.5) in the CURRENT edge count m', which only
+    * shrinks) and the loop THROWS if `maxRounds` removal rounds did
+    * not reach the fixpoint, rather than returning a half-peeled
+    * subgraph. Convergence is the exact `|keep| == |edges|` test on
+    * materialized relations; peeling is monotone (edges only leave),
+    * so ≤ m rounds always terminate in principle and real graphs
+    * cascade in a handful.
+    *
+    * Scale: the per-round cost unit is exactly [[edgeSupport]]'s —
+    * keyed shuffles over the surviving edges, nothing pairwise beyond
+    * the input pair stream; the driver holds only two edge COUNTS.
+    */
+  def kTruss(pairRelation: DataFrame, k: Int = 4, maxRounds: Int = 10): DataFrame = {
+    require(k >= 3, s"k ($k) must be >= 3 — a 2-truss is every edge")
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    // original support, reported alongside the verdict (and serving as
+    // round 0's peel input — the first filter below reuses it)
+    val sup0 = supportOf(pairs).localCheckpoint()
+    var edges = pairs
+    var nEdges = edges.count()
+    var support = sup0
+    var converged = false
+    var round = 0
+    while (!converged) {
+      val keep = support.filter(col("support") >= k - 2)
+        .select("d1", "d2").localCheckpoint()
+      val nKeep = keep.count()
+      if (nKeep == nEdges) converged = true
+      else if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"kTruss(k=$k) did not reach the peel fixpoint within $maxRounds rounds " +
+            s"($nEdges -> $nKeep edges still falling) — raise maxRounds")
+      else {
+        edges = keep
+        nEdges = nKeep
+        support = supportOf(edges)
+        round += 1
+      }
+    }
+    sup0.join(edges.withColumn("in_truss", lit(true)), Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("support"),
+        coalesce(col("in_truss"), lit(false)).as("in_truss"))
       .orderBy("d1", "d2")
+  }
+
+  /** EXACT k-core membership per node — [[kTruss]]'s node-level sibling:
+    * repeatedly delete every node whose degree in the SURVIVING subgraph
+    * is below k (and the edges it carried), until a round deletes
+    * nothing. The maximal subgraph of minimum degree ≥ k — the densely-
+    * embedded nodes a hub/periphery split wants, at a fraction of the
+    * truss's cost: each peel round is ONE degree fold + one node-keyed
+    * edge restriction, no triangle enumeration at all.
+    *
+    * Returns every ORIGINAL node with its original degree and the
+    * `in_kcore` verdict. Same bounded driver-loop contract as
+    * [[kTruss]]: converges when `|keep| == |nodes|` on materialized
+    * relations, THROWS past `maxRounds` removal rounds; the node count
+    * strictly decreases every non-converged round, so termination is
+    * structural.
+    */
+  def kCore(pairRelation: DataFrame, k: Int = 3, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val deg0 = pairDegrees(pairs)
+    var edges = pairs
+    var deg = deg0
+    var nNodes = deg.count()
+    var converged = false
+    var round = 0
+    while (!converged) {
+      val keep = deg.filter(col("deg") >= k).select("node").localCheckpoint()
+      val nKeep = keep.count()
+      if (nKeep == nNodes) converged = true
+      else if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not reach the peel fixpoint within $maxRounds rounds " +
+            s"($nNodes -> $nKeep nodes still falling) — raise maxRounds")
+      else {
+        edges = edges
+          .join(keep.select(col("node").as("d1")), "d1")
+          .join(keep.select(col("node").as("d2")), "d2")
+          .localCheckpoint()
+        deg = pairDegrees(edges)
+        nNodes = deg.count()
+        round += 1
+      }
+    }
+    deg0.join(deg.select(col("node")).withColumn("in_kcore", lit(true)), Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("in_kcore"), lit(false)).as("in_kcore"))
+      .orderBy("doc_id")
   }
 }

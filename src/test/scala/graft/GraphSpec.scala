@@ -132,4 +132,102 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       assert(incident == 2L * t, s"node $v: incident support $incident vs 2*$t")
     }
   }
+
+  test("kTruss (x154): a 4-clique survives k=4 whole; a triangle+pendant does not") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("d1", "d2")
+    val gotK4 = Graph.kTruss(k4, k = 4).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3))).toSet
+    assert(gotK4 == Set((2L, true)), "every K4 edge has support 2 and survives")
+    // triangle {1,2,3} + pendant (3,4): at k=3 the triangle core survives
+    // and the pendant is peeled; at k=4 everything falls
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val got3 = Graph.kTruss(tri, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(got3 == Map((1L, 2L) -> true, (1L, 3L) -> true, (2L, 3L) -> true,
+      (3L, 4L) -> false))
+    val got4 = Graph.kTruss(tri, k = 4).collect().map(_.getBoolean(3))
+    assert(got4.length == 4 && got4.forall(_ == false))
+  }
+
+  test("kTruss: peel CASCADES — an edge with threshold support falls when its props are peeled") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3): (2,3) has support 2 (>= k-2 at
+    // k=4) on the ORIGINAL graph, but every outer edge has support 1 and
+    // peels in round 1, leaving (2,3) naked — a raw support >= 2 filter
+    // would WRONGLY keep it; only the fixpoint removes it
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("d1", "d2")
+    val got = Graph.kTruss(pairs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got((2L, 3L)) == ((2L, false)), "the stitched edge reports its original support but falls")
+    assert(got.values.forall(!_._2) && got.size == 5)
+  }
+
+  test("kTruss: throws past the round budget instead of returning a half-peeled graph") {
+    import spark.implicits._
+    // a chain of stitched triangles peels one layer per round — budget 1
+    // cannot reach the (empty) fixpoint at k=4
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException](Graph.kTruss(pairs, k = 4, maxRounds = 1))
+    assert(e.getMessage.contains("peel fixpoint"))
+    // and the k >= 3 contract is loud
+    intercept[IllegalArgumentException](Graph.kTruss(pairs, k = 2))
+  }
+
+  test("kTruss: truss edges are a subset of raw-support survivors; monotone in k (harness data)") {
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2")
+    val sup = Graph.edgeSupport(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val t3 = Graph.kTruss(pairs, k = 3).collect()
+      .filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t4 = Graph.kTruss(pairs, k = 4).collect()
+      .filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4.subsetOf(t3), "a k-truss is contained in the (k-1)-truss")
+    // every truss edge had original support >= k-2 (peeling only removes)
+    assert(t3.forall(e => sup(e) >= 1L) && t4.forall(e => sup(e) >= 2L))
+    assert(t3.nonEmpty, "the harness near-dup graph carries a 3-truss core")
+  }
+
+  test("kCore (x156): K4 plus pendant — the clique survives k=3, the pendant falls") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("d1", "d2")
+    val got = Graph.kCore(pairs, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((4L, true)), "node 1 reports its ORIGINAL degree incl. the pendant")
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, true))))
+    assert(got(5L) == ((1L, false)))
+  }
+
+  test("kCore: peel CASCADES — a path has no 2-core, a cycle IS its own 2-core") {
+    import spark.implicits._
+    // 5-path at k=2: endpoints fall, exposing new endpoints — three
+    // removal rounds to empty; a single degree filter would keep 2,3,4
+    val path = (1L until 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val gotPath = Graph.kCore(path, k = 2).collect().map(_.getBoolean(2))
+    assert(gotPath.length == 5 && gotPath.forall(_ == false))
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("d1", "d2")
+    val gotC4 = Graph.kCore(c4, k = 2).collect().map(r => (r.getLong(1), r.getBoolean(2))).toSet
+    assert(gotC4 == Set((2L, true)))
+    // round budget: the 5-path needs 3 removal rounds; budget 1 throws
+    val e = intercept[IllegalStateException](Graph.kCore(path, k = 2, maxRounds = 1))
+    assert(e.getMessage.contains("peel fixpoint"))
+  }
+
+  test("kCore: truss endpoints live in the (k-1)-core; core is degree-bounded (harness data)") {
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, "/root/testdata/sf0.001")
+      .select("d1", "d2")
+    val core3 = Graph.kCore(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // original-degree bound: peeling only removes, so every core member
+    // had original degree >= k
+    core3.filter(_._3).foreach { case (n, d, _) => assert(d >= 3L, s"core node $n degree $d") }
+    // cross-engine law: a 4-truss edge has support >= 2, so each endpoint
+    // keeps >= 3 truss neighbors — truss endpoints are 3-core members
+    val coreSet = core3.filter(_._3).map(_._1).toSet
+    val t4ends = Graph.kTruss(pairs, k = 4).collect()
+      .filter(_.getBoolean(3)).flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(t4ends.subsetOf(coreSet), "4-truss endpoints must sit inside the 3-core")
+  }
 }

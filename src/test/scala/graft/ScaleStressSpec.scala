@@ -206,6 +206,51 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }.isEmpty, s"bigram scoring must not sort-window the position stream:\n$p")
   }
 
+  test("persisted cluster index at 10x: membership probe prunes label FILES by bucket") {
+    import spark.implicits._
+    val indexPath = s"$dir10/cluster-index"
+    // rebuild unconditionally (the IVF test's staleness argument): the
+    // 50k-doc pair generation + contraction is the ONE expensive pass
+    // the index exists to amortize — paid here once, in-suite
+    graft.operators.Curation.writeClusterIndex(spark, dir10, indexPath, nBuckets = 16)
+    def parquetFilesUnder(dir: java.io.File): Int = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetFilesUnder).sum
+    }
+    val total = parquetFilesUnder(new java.io.File(s"$indexPath/labels"))
+    assert(total >= 16, s"expected at least one file per bucket, saw $total")
+    // a probe batch confined to ONE bucket (doc_id ≡ 3 mod 16): the
+    // static prune must touch only that bucket's files
+    val members = graft.operators.Curation.clustersFromIndex(spark, indexPath, dir10)
+      .filter(col("doc_id") % 16 === 3).limit(50).localCheckpoint()
+    val want = members.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+    val probe = graft.operators.Curation.lookupClustersFromIndex(
+      spark, indexPath, members.select("doc_id"))
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.forall(_._3) && got.map(t => t._1 -> t._2).toMap == want,
+      "probe answers must match the full label relation")
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val bucketFiles = parquetFilesUnder(new java.io.File(s"$indexPath/labels/bucket=3"))
+    val scanned = fileScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("labels")))
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned <= bucketFiles && scanned < total,
+      s"probe scanned $scanned of $total label files for a 1-bucket batch " +
+        s"(bucket=3 holds $bucketFiles) — the literal bucket filter must prune by the PLANNER")
+  }
+
   test("persisted IVF index at 10x: probe scans a strict minority of the 60k-vector index files") {
     import spark.implicits._
     val indexPath = s"$dir10/ivf-index"
@@ -1555,6 +1600,47 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
     assert(at1.nonEmpty && at1.values.exists(_._1 > 0L))
     assert(rep0 == at1, "replica-0 edge rows must reproduce sf0.1 verbatim under the id remap")
+  }
+
+  test("x154 k-truss at 10x: peel rounds hold the oriented bound; replica-0 verbatim") {
+    // the loop executes at build time (localCheckpoint rounds), so the
+    // pin is the RESULT plan (final report join of materialized
+    // relations) plus the law: the k-truss of a disjoint union is the
+    // union of k-trusses, so replica 0 must reproduce sf0.1's verdicts
+    // verbatim under the id remap — any cross-replica wedge would break it
+    val df = graft.operators.Curation.dupTruss(spark, dir10)
+    noNestedLoops(plan(df))
+    val rep0 = df.collect()
+      .filter(r => r.getLong(0) % 10L == 0L && r.getLong(1) % 10L == 0L)
+      .map(r => (r.getLong(0) / 10L, r.getLong(1) / 10L) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val at1 = graft.operators.Curation.dupTruss(spark, "/root/testdata/sf0.1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._2), "sf0.1 must carry a truss core")
+    assert(at1.values.exists(!_._2), "and at least one peeled edge, or the test is vacuous")
+    assert(rep0 == at1, "replica-0 truss verdicts must reproduce sf0.1 verbatim under the id remap")
+  }
+
+  test("x155 incremental clusters at 10x: the merge law holds against the one-shot batch answer") {
+    // the pin IS the law: star(tight) ∪ delta re-contracted must equal
+    // x22's one-shot clustering at 50k docs — any scale-dependent
+    // divergence (a dropped delta pair, a star edge miscast) breaks it
+    val got = graft.operators.Curation.incrementalClusters(spark, dir10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val full = graft.operators.Curation.dedupClusters(spark, dir10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.toSeq == full.toSeq)
+  }
+
+  test("x156 k-core at 10x: degree-fold peel only (no wedge join); replica-0 verbatim") {
+    val df = graft.operators.Curation.dupKCore(spark, dir10)
+    noNestedLoops(plan(df))
+    val rep0 = df.collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val at1 = graft.operators.Curation.dupKCore(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(at1.nonEmpty, "sf0.1 must carry near-dup nodes")
+    assert(rep0 == at1, "replica-0 core verdicts must reproduce sf0.1 verbatim under the id remap")
   }
 
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
