@@ -352,6 +352,9 @@ object SparkEntry {
     // k-core peel: the dense interior of the near-dup graph, per node
     "x156_k_core" -> ((s, dir) =>
       Curation.dupKCore(s, dir, k = coreK, maxRounds = coreRounds)),
+    // BFS hops from each near-dup cluster's canonical: chain-stitch depth
+    "x157_canonical_distance" -> ((s, dir) =>
+      Curation.canonicalDistance(s, dir, maxHops = bfsHops)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -447,10 +450,20 @@ object SparkEntry {
   private val incTight = 2
 
   /** x156 core level and peel-round budget — the x154 unroll/throw
-    * contract, at node granularity.
+    * contract, at node granularity. The budget is wider than the
+    * truss's because node-peel cascades run deeper (measured: 5 removal
+    * rounds at sf0.1, 9 at the 10× slice — geometric shedding with a
+    * shallow tail); identity blocks past the fixpoint cost the oracle
+    * nothing at the gate scale.
     */
   private val coreK = 3
-  private val coreRounds = 6
+  private val coreRounds = 12
+
+  /** x157 BFS expansion budget — the oracle unrolls one frontier block
+    * per hop (the x154 convention); the Spark loop throws if any node
+    * is still unreached past it.
+    */
+  private val bfsHops = 24
 
   /** x135 audit lags in hours (short-range / daily / weekly) — same
     * no-drift contract.
@@ -3228,6 +3241,26 @@ object SparkEntry {
          |SELECT d0.node AS doc_id, d0.degree, (c.node IS NOT NULL) AS in_kcore
          |FROM d0 LEFT JOIN core c ON c.node = d0.node
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // frontier expansion unrolled one block per hop (x154's convention):
+    // sources are the cluster canonicals, block i settles exactly the
+    // hop-i ring; blocks past every family's eccentricity are identities
+    "x157_canonical_distance" -> {
+      val blocks = (1 to bfsHops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.v AS node
+           |        FROM d${i - 1} d JOIN edges e ON e.u = d.node AND d.hops = ${i - 1}
+           |        WHERE e.v NOT IN (SELECT node FROM d${i - 1})),
+           |d$i AS MATERIALIZED (SELECT node, hops FROM d${i - 1}
+           |                     UNION ALL SELECT node, ${i}::BIGINT FROM n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |d0 AS (SELECT DISTINCT cluster AS node, 0::BIGINT AS hops FROM comp),
+         |$blocks
+         |SELECT c.doc_id, c.cluster, d.hops
+         |FROM comp c JOIN d$bfsHops d ON d.node = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
     },
   )
 }

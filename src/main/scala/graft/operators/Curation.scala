@@ -1023,9 +1023,36 @@ object Curation {
     * so it is the first-pass screen at 100 TB; the truss refines the
     * edges inside the surviving core.
     */
-  def dupKCore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 6): DataFrame =
+  def dupKCore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 12): DataFrame =
     Graph.kCore(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
       k, maxRounds)
+
+  /** EXT-C59 (`x157_canonical_distance`) — per clustered doc, the BFS
+    * hop distance to its cluster's canonical (the component-min doc)
+    * through the near-dup graph: [[Graph.hopsFrom]] seeded with the
+    * cluster labels themselves. Hops 1 = directly near-dup to the
+    * canonical (safe drop); hops ≥ 2 = CHAIN-stitched into the family —
+    * the member is a near-dup of a near-dup, the transitive-closure risk
+    * x141's merge audit and x154's truss flag at cluster/edge level, now
+    * priced per MEMBER (the re-verify queue ordered by how indirect the
+    * duplication evidence is). Every clustered doc is reachable from its
+    * own canonical by construction, so the report is total over x22's
+    * membership.
+    *
+    * Scale: the pair relation is computed ONCE and shared by the
+    * contraction and the BFS; rounds = the family eccentricity (the
+    * O(log n)-ish handful every contraction round count already
+    * demonstrates), each round one edge-keyed join + anti-join.
+    */
+  def canonicalDistance(spark: SparkSession, dir: String, maxHops: Int = 24): DataFrame = {
+    val pairs = Dedup.simhashNearDupPairs(spark, dir)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val labels = Graph.connectedComponents(pairs).localCheckpoint()
+    val hops = Graph.hopsFrom(pairs, labels.select(col("cluster").as("node")), maxHops)
+    labels.join(hops, labels("doc_id") === hops("node"))
+      .select(col("doc_id"), col("cluster"), col("hops"))
+      .orderBy("doc_id")
+  }
 
   /** EXT-C57 (`x155_incremental_clusters`) — incremental cluster MERGE:
     * fold a DELTA of new near-dup evidence into already-resolved labels

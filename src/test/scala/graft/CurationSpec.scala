@@ -1211,6 +1211,36 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.exists(v => !v._3), "some doc was already tight-clustered")
   }
 
+  test("canonicalDistance (x157): hops match a driver-side BFS; canonicals at 0, members total") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val labels = Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: BFS from each canonical over the collected adjacency
+    val expected = labels.values.toSeq.distinct.flatMap { canon =>
+      var dist = Map(canon -> 0L)
+      var frontier = Set(canon)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> (dist(frontier.head) + 1L)) // frontier is one ring: all equal
+        frontier = next
+      }
+      dist
+    }.toMap
+    val got = Curation.canonicalDistance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == labels.keySet, "one row per clustered doc, none lost")
+    got.foreach { case (d, c, h) =>
+      assert(c == labels(d))
+      assert(h == expected(d), s"doc $d hops $h vs reference ${expected(d)}")
+      if (d == c) assert(h == 0L)
+    }
+    assert(got.exists(_._3 >= 2L), "the fixture must carry at least one chain-stitched member")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

@@ -230,4 +230,25 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       .filter(_.getBoolean(3)).flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(t4ends.subsetOf(coreSet), "4-truss endpoints must sit inside the 3-core")
   }
+
+  test("hopsFrom (x157): chain distances, multi-source min, unreachable nodes absent") {
+    import spark.implicits._
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+    def src(ids: Long*) = ids.toDF("node")
+    val one = Graph.hopsFrom(chain, src(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 5L))
+    // two sources: each node settles at the NEARER one
+    val two = Graph.hopsFrom(chain, src(1L, 6L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+    // disconnected component: absent from the result, not an error
+    val twoComp = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val got = Graph.hopsFrom(twoComp, src(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+    // budget: the 6-chain needs 5 expansions; 4 throws
+    val e = intercept[IllegalStateException](Graph.hopsFrom(chain, src(1L), maxHops = 4))
+    assert(e.getMessage.contains("expansion rounds"))
+  }
 }

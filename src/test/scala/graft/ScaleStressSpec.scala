@@ -1643,6 +1643,19 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rep0 == at1, "replica-0 core verdicts must reproduce sf0.1 verbatim under the id remap")
   }
 
+  test("x157 canonical distance at 10x: frontier rounds settle; replica-0 verbatim") {
+    val df = graft.operators.Curation.canonicalDistance(spark, dir10)
+    noNestedLoops(plan(df))
+    val rep0 = df.collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1) / 10L, r.getLong(2)))).toMap
+    val at1 = graft.operators.Curation.canonicalDistance(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._2 >= 2L),
+      "sf0.1 must carry a chain-stitched member or the depth audit is vacuous")
+    assert(rep0 == at1, "replica-0 hop distances must reproduce sf0.1 verbatim under the id remap")
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local
