@@ -355,6 +355,17 @@ object SparkEntry {
     // BFS hops from each near-dup cluster's canonical: chain-stitch depth
     "x157_canonical_distance" -> ((s, dir) =>
       Curation.canonicalDistance(s, dir, maxHops = bfsHops)),
+    // MMR diversified re-ranking over the brute top-m candidates
+    "x158_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(s, dir, queryMod = mmrQueryMod, m = mmrM, k = mmrK,
+        lambdaPct = mmrLambdaPct)),
+    // personalized PageRank seeded at quality keepers: trust propagation
+    "x159_trust_rank" -> ((s, dir) => Curation.trustRank(s, dir, iters = prIters)),
+    // cluster-keyed split vs per-doc split: leakage prevention audit
+    "x160_cluster_split" -> ((s, dir) => Curation.clusterSplit(s, dir)),
+    // synchronous label propagation seeded by source: provenance by graph vote
+    "x161_source_communities" -> ((s, dir) =>
+      Curation.sourceCommunities(s, dir, iters = lpIters)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -464,6 +475,22 @@ object SparkEntry {
     * is still unreached past it.
     */
   private val bfsHops = 24
+
+  /** x158 MMR geometry — the oracle unrolls one greedy block per pick
+    * (the x35 Lloyd convention) and spells λ as the same integer
+    * percent, so the score arithmetic is the identical IEEE expression
+    * on both faces. Same no-drift contract.
+    */
+  private val mmrQueryMod = 50
+  private val mmrM = 8
+  private val mmrK = 4
+  private val mmrLambdaPct = 70
+
+  /** x161 synchronous label-propagation round count — part of the
+    * operator contract (the oracle unrolls exactly this many vote
+    * blocks). Same no-drift contract.
+    */
+  private val lpIters = 4
 
   /** x135 audit lags in hours (short-range / daily / weekly) — same
     * no-drift contract.
@@ -3261,6 +3288,148 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster, d.hops
          |FROM comp c JOIN d$bfsHops d ON d.node = c.doc_id
          |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // one unrolled greedy block per pick (the x35 Lloyd convention):
+    // candidate top-m by (rel desc, cid), then each round folds the
+    // max-sim-to-selected, scores (λ·rel − (100−λ)·msim)/100 in the
+    // identical IEEE expression, and argmaxes by (score, rel, −cid) —
+    // the row_number spelling of the Spark side's struct-max
+    "x158_mmr_rerank" -> {
+      def dotAb(ae: String, be: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+          s"i -> $ae[i] * $be[i])), (x, y) -> x + y)"
+      val lam = mmrLambdaPct
+      val steps = (2 to mmrK).map { r =>
+        s"""m$r AS (SELECT p.qid, p.c1 AS cid, max(p.s) AS msim
+           |        FROM ps p JOIN sel${r - 1} s ON s.qid = p.qid AND s.cid = p.c2
+           |        GROUP BY 1, 2),
+           |sc$r AS (SELECT c.qid, c.cid, c.rel,
+           |                ($lam * c.rel - ${100 - lam} * m$r.msim) / 100 AS score
+           |         FROM cand c JOIN m$r ON m$r.qid = c.qid AND m$r.cid = c.cid
+           |         WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+           |                           WHERE z.qid = c.qid AND z.cid = c.cid)),
+           |s$r AS (SELECT qid, cid, rel, $r::INT AS mmr_rank, score
+           |        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |                ORDER BY score DESC, rel DESC, cid) AS rn FROM sc$r)
+           |        WHERE rn = 1),
+           |sel$r AS (SELECT qid, cid FROM sel${r - 1} UNION ALL SELECT qid, cid FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id % $mmrQueryMod = 0),
+         |c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |scored AS (SELECT qid, cid, $dotCte AS rel FROM q JOIN c0 ON cid <> qid),
+         |cand AS (SELECT s.qid, s.cid, s.rel, c0.ce
+         |         FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+         |                 ORDER BY rel DESC, cid) AS rn FROM scored) s
+         |         JOIN c0 ON c0.cid = s.cid
+         |         WHERE s.rn <= $mmrM),
+         |ps AS (SELECT a.qid, a.cid AS c1, b.cid AS c2, ${dotAb("a.ce", "b.ce")} AS s
+         |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+         |s1 AS (SELECT qid, cid, rel, 1::INT AS mmr_rank, ($lam * rel) / 100 AS score
+         |       FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+         |               ORDER BY rel DESC, cid) AS rn FROM cand)
+         |       WHERE rn = 1),
+         |sel1 AS (SELECT qid, cid FROM s1),
+         |$steps
+         |SELECT qid AS vec_id, mmr_rank, cid AS neighbor_id,
+         |       round(rel, 4) AS rel4, round(score, 4) AS score4
+         |FROM (${(1 to mmrK).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+         |ORDER BY vec_id, mmr_rank""".stripMargin
+    },
+
+    // x134's unrolled power steps with the teleport confined to x19's
+    // quality keepers: seeds re-receive the damping base each step,
+    // non-seeds only propagated mass; same scaled-BIGINT arithmetic
+    "x159_trust_rank" -> {
+      val base = 15L * prScale / 100L
+      val steps = (1 to prIters).map { i =>
+        s"""r$i AS (SELECT x.node,
+           |        (CASE WHEN sn.is_seed THEN $base::BIGINT ELSE 0::BIGINT END
+           |         + (85 * x.inc) // 100)::BIGINT AS rank
+           |        FROM (SELECT e.v AS node, sum(r.rank // d.deg) AS inc
+           |              FROM r${i - 1} r JOIN deg d ON d.node = r.node
+           |                               JOIN edges e ON e.u = r.node
+           |              GROUP BY e.v) x JOIN sn ON sn.node = x.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashPairsCte,
+         |$qualityCte,
+         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
+         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT doc_id FROM q WHERE $qualityKeepPred),
+         |sn AS MATERIALIZED (SELECT d.node, d.deg, (s.doc_id IS NOT NULL) AS is_seed
+         |                    FROM deg d LEFT JOIN seeds s ON s.doc_id = d.node),
+         |r0 AS (SELECT node, CASE WHEN is_seed THEN $prScale::BIGINT ELSE 0::BIGINT END AS rank
+         |       FROM sn),
+         |$steps
+         |SELECT sn.node AS doc_id, sn.deg AS degree, sn.is_seed,
+         |       r.rank::BIGINT AS rank_scaled,
+         |       round(r.rank::DOUBLE / $prScale, 4) AS rank4
+         |FROM sn JOIN r$prIters r ON r.node = sn.node
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // x21's bucket derivation keyed twice — by doc_id and by the
+    // component canonical — then both policies audited over the SAME
+    // pair relation; the cluster rows' leak_pairs = 0 IS the output law
+    "x160_cluster_split" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |assign AS MATERIALIZED (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val' ELSE 'test' END AS doc_split,
+         |    CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS clu_split
+         |  FROM (SELECT dd.doc_id, dd.n_chars,
+         |          (('0x' || substr(md5('split:' || dd.doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS db,
+         |          (('0x' || substr(md5('split:' || coalesce(c.cluster, dd.doc_id)::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS cb
+         |        FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id)),
+         |per AS (SELECT 'doc' AS policy, doc_split AS split, count(*)::BIGINT AS n_docs,
+         |               sum(n_chars)::BIGINT AS n_chars,
+         |               sum(CASE WHEN doc_split <> clu_split THEN 1 ELSE 0 END)::BIGINT AS moved_docs
+         |        FROM assign GROUP BY 2
+         |        UNION ALL
+         |        SELECT 'cluster', clu_split, count(*)::BIGINT, sum(n_chars)::BIGINT,
+         |               sum(CASE WHEN doc_split <> clu_split THEN 1 ELSE 0 END)::BIGINT
+         |        FROM assign GROUP BY 2),
+         |straddle AS (SELECT a1.doc_split AS s1d, a2.doc_split AS s2d,
+         |                    a1.clu_split AS s1c, a2.clu_split AS s2c
+         |             FROM nd_pairs p JOIN assign a1 ON a1.doc_id = p.d1
+         |                             JOIN assign a2 ON a2.doc_id = p.d2),
+         |leaks AS (SELECT policy, split, count(*)::BIGINT AS leak_pairs FROM (
+         |            SELECT 'doc' AS policy, s1d AS split FROM straddle WHERE s1d <> s2d
+         |            UNION ALL SELECT 'doc', s2d FROM straddle WHERE s1d <> s2d
+         |            UNION ALL SELECT 'cluster', s1c FROM straddle WHERE s1c <> s2c
+         |            UNION ALL SELECT 'cluster', s2c FROM straddle WHERE s1c <> s2c)
+         |          GROUP BY 1, 2)
+         |SELECT per.policy, per.split, per.n_docs, per.n_chars, per.moved_docs,
+         |       coalesce(l.leak_pairs, 0)::BIGINT AS leak_pairs
+         |FROM per LEFT JOIN leaks l ON l.policy = per.policy AND l.split = per.split
+         |ORDER BY policy, split""".stripMargin,
+
+    // one unrolled synchronous vote block per round (x134's convention):
+    // each round counts neighbor labels per node and argmins
+    // (−count, label) — the row_number spelling of the struct-min
+    "x161_source_communities" -> {
+      val rounds = (1 to lpIters).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT u AS node, label FROM (
+           |  SELECT e.u, l.label, row_number() OVER (PARTITION BY e.u
+           |           ORDER BY count(*) DESC, l.label) AS rn
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.v GROUP BY e.u, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $simhashPairsCte,
+         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
+         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
+         |seeds AS MATERIALIZED (SELECT d.doc_id AS node, d.source AS label
+         |                       FROM documents d JOIN (SELECT DISTINCT u FROM edges) n
+         |                         ON n.u = d.doc_id),
+         |l0 AS (SELECT node, label FROM seeds),
+         |$rounds
+         |SELECT s.node AS doc_id, s.label AS seed_label, l.label AS community,
+         |       (l.label <> s.label) AS changed
+         |FROM seeds s JOIN l$lpIters l ON l.node = s.node
+         |ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -456,6 +456,15 @@ object Curation {
     */
   private def md5Bucket(prefix: String): Column = pmod(md5Draw(prefix), lit(100L))
 
+  /** [[md5Bucket]] over an arbitrary id column — the identical
+    * derivation keyed by something other than the row's own `doc_id`
+    * ([[clusterSplit]] keys it by the cluster canonical, so every
+    * member of a near-dup family draws the same bucket).
+    */
+  private def md5BucketOf(prefix: String, id: Column): Column =
+    pmod(conv(substring(md5(concat(lit(prefix), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+
   /** Full-width 32-bit content-stable draw in [0, 2³²): the first 8 hex
     * chars of `md5(prefix + doc_id)` unsigned — the ONE spelling of the
     * derivation ([[md5Bucket]] is this mod 100), for samplers that
@@ -1026,6 +1035,99 @@ object Curation {
   def dupKCore(spark: SparkSession, dir: String, k: Int = 3, maxRounds: Int = 12): DataFrame =
     Graph.kCore(Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
       k, maxRounds)
+
+  /** EXT-C60 (`x159_trust_rank`) — TrustRank over the near-dup graph:
+    * [[Graph.personalizedPageRank]] seeded at the x19 quality-gate
+    * KEEPERS. Where x134 ranks template centrality blind to content,
+    * this reads off how much vetted-content proximity reaches each
+    * member: a non-seed with high trust rank is a near-copy of quality
+    * content (keep-adjacent — likely a mirror of something good), while
+    * a whole cluster at rank ≈ 0 is a template family with no vetted
+    * member anywhere — the spam-farm signature, and a better bulk-drop
+    * signal than per-doc quality alone because the JOINT structure
+    * (quality × graph) decides. Seeds confined to graph nodes; the
+    * quality predicate is x19's exact gate, so both engines classify
+    * every seed identically.
+    */
+  def trustRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    Graph.personalizedPageRank(
+      Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
+      qualityProjection(Tables.documents(spark, dir))
+        .filter(col("keep")).select(col("doc_id").as("node")),
+      iters)
+
+  /** EXT-C61 (`x160_cluster_split`) — cluster-keyed train/val/test
+    * split, audited against the per-document policy: assignment keys
+    * the [[hashSplit]] bucket derivation by the near-dup CLUSTER
+    * canonical (`coalesce(cluster, doc_id)` — unclustered documents
+    * draw exactly their x21 bucket), so a whole near-dup family lands
+    * in one split and cross-split leakage is zero BY CONSTRUCTION —
+    * prevention, where [[leakageRepair]] is the cure (drop documents
+    * after the fact). Output: one row per (policy, split) with the doc
+    * and char mass, `moved_docs` (documents whose split differs under
+    * the other policy — the price of co-assignment), and `leak_pairs`
+    * (near-dup pairs straddling OUT of this split under this policy; a
+    * straddling pair counts once at each end, so the global leak count
+    * is the column sum halved). The audited law, visible in the
+    * output: every `cluster`-policy row has `leak_pairs = 0`.
+    *
+    * Scale: the banded pair relation is paid ONCE (checkpointed, then
+    * contracted for labels and probed for leaks — not the
+    * self-contained double-pay); the assignment is a row-local
+    * projection after one left join to the (tiny) label relation, and
+    * both policy audits are doc_id equi-joins with the pair relation
+    * as the probe side. The report is 6 rows.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val pairs = Dedup.simhashNearDupPairs(spark, dir)
+      .select(col("d1"), col("d2")).localCheckpoint()
+    val labels = Graph.connectedComponents(pairs, maxRounds = 30)
+    val assign = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        splitOf(md5BucketOf("split:", col("doc_id"))).as("doc_split"),
+        splitOf(md5BucketOf("split:", coalesce(col("cluster"), col("doc_id"))))
+          .as("clu_split"))
+      .localCheckpoint() // consumed by both policy views and both leak probes
+    def policyView(policy: String, mine: String, other: String): DataFrame = {
+      val per = assign.groupBy(col(mine).as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          sum(when(col(mine) =!= col(other), 1L).otherwise(0L)).as("moved_docs"))
+      val straddle = pairs
+        .join(assign.select(col("doc_id").as("d1"), col(mine).as("s1")), "d1")
+        .join(assign.select(col("doc_id").as("d2"), col(mine).as("s2")), "d2")
+        .filter(col("s1") =!= col("s2"))
+      val leaks = straddle.select(col("s1").as("split"))
+        .unionAll(straddle.select(col("s2").as("split")))
+        .groupBy("split").agg(count(lit(1)).as("leak_pairs"))
+      per.join(leaks, Seq("split"), "left")
+        .select(lit(policy).as("policy"), col("split"), col("n_docs"), col("n_chars"),
+          col("moved_docs"), coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"))
+    }
+    policyView("doc", "doc_split", "clu_split")
+      .unionByName(policyView("cluster", "clu_split", "doc_split"))
+      .orderBy("policy", "split")
+  }
+
+  /** EXT-C62 (`x161_source_communities`) — source-community detection
+    * over the near-dup graph: [[Graph.labelPropagation]] seeded with
+    * each document's SOURCE. After the fixed synchronous rounds, a
+    * node's community is the source whose content dominates its graph
+    * neighborhood — `changed` marks documents whose near-dup evidence
+    * pulls them into ANOTHER source's family (a mirror or scrape: the
+    * content's provenance, by graph vote, is not the ingest label). A
+    * cluster that converges to one community across sources is a
+    * cross-source template family — x128 measures that overlap by
+    * token mass; this reads it off the pair evidence itself, per doc.
+    */
+  def sourceCommunities(spark: SparkSession, dir: String, iters: Int = 4): DataFrame =
+    Graph.labelPropagation(
+      Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")),
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("node"), col("source").as("label")),
+      iters)
 
   /** EXT-C59 (`x157_canonical_distance`) — per clustered doc, the BFS
     * hop distance to its cluster's canonical (the component-min doc)

@@ -156,6 +156,66 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** EXACT-integer PERSONALIZED PageRank — [[pageRank]] with the
+    * teleport mass confined to a seed set: seeds start at `scale` and
+    * re-receive the damping base every step, non-seeds start at 0 and
+    * receive only propagated mass. Rank then measures proximity to the
+    * seeds through the graph (TrustRank's shape: seed the walk at
+    * vetted nodes, read off how much trust reaches everything else),
+    * instead of [[pageRank]]'s global centrality. Same scaled-BIGINT
+    * arithmetic — `rank div deg` contributions, `(85·Σ) div 100`
+    * damping — so both engines are bit-identical under any fold order;
+    * same fixed `iters`, same overflow bound (total mass only shrinks
+    * from the seeded n·scale ceiling). Seeds outside the graph are
+    * ignored (trust propagates only along pair evidence).
+    *
+    * Scale: identical cost shape to [[pageRank]] — two node-keyed
+    * equi-joins per step over the checkpointed symmetric edge list,
+    * plus one |nodes| seed-flag join per step.
+    */
+  def personalizedPageRank(
+      pairRelation: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters ($iters) must be in [1, 50]")
+    require(scale >= 100L, s"scale ($scale) must carry the damping hundredths")
+    val pairs = pairRelation.localCheckpoint()
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val seeded = deg
+      .join(seeds.select(col("node")).distinct().withColumn("is_seed", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint() // consumed every step (base term) and in the report
+    val nNodes = seeded.count()
+    require(nNodes <= Long.MaxValue / 85L / scale,
+      s"personalizedPageRank overflow: $nNodes nodes at scale=$scale breaks the BIGINT " +
+        s"bound (needs nodes <= ${Long.MaxValue / 85L / scale}) — lower `scale`")
+    val base = 15L * scale / 100L
+    var rank = seeded.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(seeded.select("node", "deg"), Seq("node"))
+        .select(col("node").as("u"), expr("rank div deg").as("ctr"))
+      rank = sym.join(contrib, Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(sum("ctr").as("in_sum"))
+        .join(seeded.select("node", "is_seed"), Seq("node"))
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+            + expr("(85 * in_sum) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    rank.join(seeded, Seq("node"))
+      .select(col("node").as("doc_id"), col("deg").as("degree"), col("is_seed"),
+        col("rank").as("rank_scaled"),
+        round(col("rank").cast("double") / scale, 4).as("rank4"))
+      .orderBy("doc_id")
+  }
+
   /** EXACT triangle census over an arbitrary undirected pair relation
     * `(d1, d2)` (d1 < d2, distinct) — the third generic graph engine
     * next to [[connectedComponents]] and [[pageRank]]. Per node: its
@@ -407,5 +467,59 @@ object Graph {
       }
     }
     dist
+  }
+
+  /** SYNCHRONOUS label propagation — the fourth generic engine shape:
+    * every node starts with a seed label, and each of the FIXED `iters`
+    * rounds simultaneously replaces every node's label with the MODE of
+    * its neighbors' previous-round labels (each neighbor votes once;
+    * ties break to the lexically smallest label). Fixed synchronous
+    * rounds make the result deterministic by construction — asynchronous
+    * LPA's order-dependence and the bipartite oscillation hazard are
+    * both definitional non-issues because the round count IS part of the
+    * operator's contract (x134's convention: unrollable, so the oracle
+    * can spell the identical computation).
+    *
+    * Nodes are the pair endpoints; seeds must cover every node (enforced
+    * — a node without a seed label has no round-0 vote to give, which
+    * would make the mode ill-defined). Seeds for non-nodes are ignored.
+    *
+    * Scale: per round, one edge-keyed equi-join (labels onto the
+    * checkpointed symmetric edge list) and two keyed aggregations —
+    * `(node, label)` count then a per-node struct-argmin fold
+    * ((−count, label) min = largest count, smallest label), which
+    * partial-aggregates map-side: no window over the neighbor stream,
+    * no cartesian, fixed plan depth.
+    */
+  def labelPropagation(
+      pairRelation: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters ($iters) must be in [1, 50]")
+    val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
+    val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    val seeded = nodes
+      .join(seeds.select(col("node"), col("label").as("seed_label")), Seq("node"), "left")
+      .localCheckpoint()
+    val unseeded = seeded.filter(col("seed_label").isNull).count()
+    require(unseeded == 0L,
+      s"labelPropagation: $unseeded graph node(s) carry no seed label — " +
+        "every pair endpoint must appear in `seeds`")
+    var lab = seeded.select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      lab = sym.join(lab.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("node"))
+        .agg(min(struct(negate(col("c")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("label"))
+        .localCheckpoint()
+    }
+    seeded.join(lab, Seq("node"))
+      .select(col("node").as("doc_id"), col("seed_label"), col("label").as("community"),
+        (col("label") =!= col("seed_label")).as("changed"))
+      .orderBy("doc_id")
   }
 }

@@ -144,6 +144,88 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** EXT-S30 (`x158_mmr_rerank`) — Maximal Marginal Relevance
+    * diversified re-ranking: per query, greedily select `k` of the top
+    * `m` relevance candidates, each pick maximizing
+    * `λ·rel − (1−λ)·max sim to the already-selected` — the standard
+    * redundancy-suppressing serving layer over any ANN leg (a near-dup
+    * pair in the top-k wastes a slot; MMR spends it on the next family).
+    * λ rides as an integer percent so both engines spell the score as
+    * `(λ·rel − (100−λ)·msim) / 100` — identical IEEE operations, no
+    * float-literal drift. Ties break (score desc, rel desc, cid asc),
+    * deterministically on both faces.
+    *
+    * Plan shape: the corpus pass is exactly [[bruteForceTopK]]'s
+    * measured-broadcast map-side top-m (the ONE corpus-sized cost);
+    * everything after runs on relations bounded by construction —
+    * candidates are m rows per query, the pairwise diversity sims m²,
+    * and each of the k−1 greedy rounds is an anti-join + max-fold over
+    * those bounded relations with a windowless struct-argmax. The round
+    * count is the FIXED k, so the plan has fixed depth: no convergence
+    * loop, no driver action until the sink.
+    */
+  def mmrRerank(
+      spark: SparkSession,
+      dir: String,
+      queryMod: Int = 50,
+      m: Int = 8,
+      k: Int = 4,
+      lambdaPct: Int = 70,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    require(k >= 1 && m >= k, s"need m ($m) >= k ($k) >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct ($lambdaPct) is a percent")
+    val emb = Tables.embeddings(spark, dir)
+    val queriesRaw = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val rel = queries.join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("rel"))
+    // top-m relevance candidates via the bounded map-side fold (the
+    // presentTopK machinery: rank by rel desc, cid asc), embeddings
+    // joined BACK by cid — narrow, m rows per query — so the diversity
+    // sims never rescan the corpus
+    val cand = rel.groupBy(col("qid"))
+      .agg(graft.functions.TopK.topk(m)(col("rel"), col("cid")).as("nb"))
+      .select(col("qid"), explode(col("nb.entries")).as("e"))
+      .select(col("qid"), col("e.cid").as("cid"), col("e.sim").as("rel"))
+      .join(corpus, Seq("cid"))
+      .localCheckpoint() // consumed by the pair sims and every greedy round
+    val candSim = cand.as("a")
+      .join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("c1"), col("b.cid").as("c2"),
+        dot(col("a.ce"), col("b.ce")).as("s"))
+      .localCheckpoint() // m² rows per query, bounded by construction
+    var all = cand.groupBy("qid")
+      .agg(max(struct(col("rel"), negate(col("cid")).as("nc"))).as("b"))
+      .select(col("qid"), negate(col("b.nc")).as("cid"), col("b.rel").as("rel"),
+        lit(1).cast("int").as("mmr_rank"),
+        (lit(lambdaPct) * col("b.rel") / lit(100)).as("score"))
+    for (r <- 2 to k) {
+      val sel = all.select(col("qid"), col("cid"))
+      val msim = candSim
+        .join(sel.withColumnRenamed("cid", "c2"), Seq("qid", "c2"))
+        .groupBy(col("qid"), col("c1").as("cid"))
+        .agg(max(col("s")).as("msim"))
+      val pick = cand.select("qid", "cid", "rel")
+        .join(sel, Seq("qid", "cid"), "left_anti")
+        .join(msim, Seq("qid", "cid"))
+        .select(col("qid"), col("cid"), col("rel"),
+          ((lit(lambdaPct) * col("rel") - lit(100 - lambdaPct) * col("msim")) / lit(100))
+            .as("score"))
+        .groupBy("qid")
+        .agg(max(struct(col("score"), col("rel"), negate(col("cid")).as("nc"))).as("b"))
+        .select(col("qid"), negate(col("b.nc")).as("cid"), col("b.rel").as("rel"),
+          lit(r).cast("int").as("mmr_rank"), col("b.score").as("score"))
+      all = all.unionByName(pick)
+    }
+    all.select(col("qid").as("vec_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
+        round(col("rel"), 4).as("rel4"), round(col("score"), 4).as("score4"))
+      .orderBy("vec_id", "mmr_rank")
+  }
+
   /** EXT-S6 — hard-negative mining for contrastive/embedding training:
     * for each query vector, the top-k most similar corpus vectors with a
     * DIFFERENT label (similar-but-wrong examples — the pairs a trainer

@@ -1241,6 +1241,83 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists(_._3 >= 2L), "the fixture must carry at least one chain-stitched member")
   }
 
+  test("trustRank (x159): seeds are the quality keepers in-graph; seedless clusters rank zero") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.trustRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    val keep = Curation.qualityGate(spark, dir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val labels = Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == labels.keySet, "rank covers exactly the graph nodes")
+    got.foreach { case (d, (isSeed, rank)) =>
+      assert(isSeed == keep.contains(d), s"doc $d seed flag")
+      assert(rank >= 0L)
+    }
+    assert(got.values.exists(_._1) && got.values.exists(!_._1),
+      "the fixture must carry a seed/non-seed mix")
+    // trust is conserved within components: a cluster with no seed holds
+    // rank 0 everywhere; a cluster with any seed holds positive mass
+    labels.groupBy(_._2).foreach { case (cluster, ms) =>
+      val members = ms.keys.toSeq
+      val hasSeed = members.exists(keep.contains)
+      val mass = members.map(d => got(d)._2).sum
+      if (hasSeed) assert(mass > 0L, s"seeded cluster $cluster must carry trust mass")
+      else assert(members.forall(d => got(d)._2 == 0L),
+        s"seedless cluster $cluster must rank 0 — trust cannot teleport in")
+    }
+  }
+
+  test("clusterSplit (x160): cluster policy leaks zero; doc policy agrees with x21/x66") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.clusterSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (doc, clu) = (rows.filter(_._1._1 == "doc"), rows.filter(_._1._1 == "cluster"))
+    // the output law: cluster-keyed assignment cannot straddle a pair
+    clu.foreach { case ((_, s), (_, _, _, leaks)) =>
+      assert(leaks == 0L, s"cluster policy must leak zero in split $s")
+    }
+    // doc-policy totals reconcile with the independent x66 audit (each
+    // straddling pair counts once at each end) and the x21 distribution
+    val leakPairs = Curation.splitLeakage(spark, dir).count()
+    assert(doc.values.map(_._4).sum == 2L * leakPairs)
+    val x21 = Curation.hashSplit(spark, dir).collect()
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    doc.foreach { case ((_, s), (n, _, _, _)) => assert(n == x21(s), s"split $s docs") }
+    // both policies partition the same corpus; the moved set is shared
+    val total = Curation.qualityGate(spark, dir).count()
+    assert(doc.values.map(_._1).sum == total && clu.values.map(_._1).sum == total)
+    assert(doc.values.map(_._3).sum == clu.values.map(_._3).sum,
+      "moved docs are the same set counted under either policy's splits")
+    assert(doc.values.map(_._3).sum > 0L,
+      "the fixture must carry at least one co-assignment move or the audit is vacuous")
+  }
+
+  test("sourceCommunities (x161): matches a driver-side synchronous LPA reference") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    val src = graft.operators.Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lab = nbrs.keys.map(n => n -> src(n)).toMap
+    for (_ <- 1 to 4) lab = nbrs.map { case (n, vs) =>
+      n -> vs.groupBy(lab).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    val got = Curation.sourceCommunities(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == nbrs.keySet, "communities cover exactly the graph nodes")
+    got.foreach { case (d, (seed, community, changed)) =>
+      assert(seed == src(d))
+      assert(community == lab(d), s"doc $d community")
+      assert(changed == (community != seed))
+    }
+    assert(got.values.exists(_._3), "the fixture must carry at least one flipped doc")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

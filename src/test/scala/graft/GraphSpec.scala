@@ -231,6 +231,66 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(t4ends.subsetOf(coreSet), "4-truss endpoints must sit inside the 3-core")
   }
 
+  test("personalizedPageRank (x159): exact integer ranks on a seeded star — hand-derived") {
+    import spark.implicits._
+    // star 0-{1,2,3}, seed {1}, scale S = 1e9, base = 0.15e9:
+    //  r0: node1 = S, others 0
+    //  step 1: node1 sends S div 1 to 0; node0 sends 0 div 3 = 0
+    //    r1(0) = 0 + (85·S) div 100                  = 850000000
+    //    r1(1) = base + 0                            = 150000000
+    //    r1(2) = r1(3) = 0
+    //  step 2: node0 sends 850000000 div 3 = 283333333 to each leaf;
+    //          node1 sends 150000000 to 0
+    //    r2(0) = 0 + (85·150000000) div 100          = 127500000
+    //    r2(1) = base + (85·283333333) div 100       = 390833333
+    //    r2(2) = r2(3) = 0 + 240833333               = 240833333
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    val got = Graph.personalizedPageRank(pairs, Seq(1L).toDF("node"), iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((false, 127500000L)))
+    assert(got(1L) == ((true, 390833333L)))
+    assert(got(2L) == ((false, 240833333L)) && got(3L) == ((false, 240833333L)))
+    // seeds outside the graph are ignored, not invented as nodes
+    val got2 = Graph.personalizedPageRank(pairs, Seq(1L, 99L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got2.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got2 == got.view.mapValues(_._2).toMap)
+  }
+
+  test("personalizedPageRank: seeding every node degenerates to the global pageRank") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L)).toDF("d1", "d2")
+    val global = Graph.pageRank(pairs, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val allSeeded = Graph.personalizedPageRank(
+      pairs, Seq(1L, 2L, 3L, 4L).toDF("node"), iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(allSeeded == global, "uniform teleport over all nodes IS PageRank, bit-for-bit")
+  }
+
+  test("labelPropagation (x161): synchronous votes with lex tie-break — hand-derived") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4-1; seeds 1→b, 2→a, 3→a, 4→a
+    //  round 1: node1 sees {a,a,a}→a; node2 sees {b,a} tie→a (lex);
+    //           node3 sees {b,a} tie→a; node4 sees {b}→b
+    //  round 2: node1 {a,a,b}→a; node2 {a,a}→a; node3 {a,a}→a; node4 {a}→a
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("d1", "d2")
+    val seeds = Seq((1L, "b"), (2L, "a"), (3L, "a"), (4L, "a")).toDF("node", "label")
+    val got = Graph.labelPropagation(pairs, seeds, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> (("b", "a", true)), 2L -> (("a", "a", false)),
+      3L -> (("a", "a", false)), 4L -> (("a", "a", false))))
+    // seeds for non-nodes are ignored; a missing node seed throws loudly
+    val got2 = Graph.labelPropagation(pairs,
+      seeds.union(Seq((99L, "z")).toDF("node", "label")), iters = 2).collect()
+    assert(got2.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(pairs, Seq((1L, "a")).toDF("node", "label"), iters = 1)
+    }
+    assert(e.getMessage.contains("no seed label"))
+  }
+
   test("hopsFrom (x157): chain distances, multi-source min, unreachable nodes absent") {
     import spark.implicits._
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")

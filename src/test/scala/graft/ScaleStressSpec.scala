@@ -1656,6 +1656,47 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rep0 == at1, "replica-0 hop distances must reproduce sf0.1 verbatim under the id remap")
   }
 
+  test("x158 MMR at 10x: one corpus pass then bounded rounds; structure laws hold") {
+    // plan: the only corpus-sized cost is the brute relevance pass (the
+    // x5 shape); every greedy round is equi-joins over m-bounded
+    // relations — no cartesian, no window anywhere (TopK agg + struct-max)
+    val df = graft.operators.Similarity.mmrRerank(spark, dir10)
+    val p = plan(df)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian at 60k vectors:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"top-m is the bounded TopK fold, never a corpus window:\n$p")
+    // executes at 60k vectors / 1200 queries; the greedy structure laws
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.map(_._2).sorted.toSeq == (1 to 4), s"query $q ranks")
+      assert(picks.map(_._3).distinct.length == 4, s"query $q picks distinct neighbors")
+      val first = picks.find(_._2 == 1).get
+      assert(picks.forall(_._4 <= first._4), s"query $q: rank 1 is the relevance argmax")
+      // (no score-monotonicity assertion: with signed cosines the
+      // diversity term can RAISE a later pick's score — a far-from-
+      // everything candidate earns a negative-msim bonus, legitimately)
+    }
+  }
+
+  test("x159 trust rank at 10x: the x134 step shape; replica-0 verbatim") {
+    val df = graft.operators.Curation.trustRank(spark, dir10)
+    noNestedLoops(plan(df))
+    val rep0 = df.collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    val at1 = graft.operators.Curation.trustRank(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._3 > 0L) && at1.values.exists(_._3 == 0L),
+      "sf0.1 must carry both trusted and trustless regions or the audit is vacuous")
+    assert(rep0 == at1, "replica-0 trust ranks must reproduce sf0.1 verbatim under the id remap")
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local

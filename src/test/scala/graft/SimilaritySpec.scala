@@ -739,4 +739,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       r.getDouble(5) - (math.rint((r.getDouble(4) - r.getDouble(3)) * 10000) / 10000)) <= 2e-4,
       "shift agrees with the share difference up to re-rounding"))
   }
+
+  test("mmrRerank (x158): greedy picks match a driver-side MMR reference exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val m = 8; val k = 4; val lam = 70
+    val expected = emb.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+      val cand = emb.keys.filter(_ != qid).toSeq
+        .map(c => (c, dot(emb(qid), emb(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(m)
+      var selected = Vector.empty[(Long, Double, Double)] // (cid, rel, score)
+      for (_ <- 1 to k) {
+        val scored = cand.filterNot(c => selected.exists(_._1 == c._1)).map { case (c, rel) =>
+          val ms = selected.map(s => dot(emb(c), emb(s._1))).maxOption
+          val score = ms match {
+            case None => (lam * rel) / 100
+            case Some(x) => (lam * rel - (100 - lam) * x) / 100
+          }
+          (c, rel, score)
+        }
+        selected :+= scored.maxBy { case (c, rel, sc) => (sc, rel, -c) }
+      }
+      selected.zipWithIndex.map { case ((c, rel, sc), i) =>
+        (qid, i + 1, c, math.rint(rel * 10000) / 10000, math.rint(sc * 10000) / 10000)
+      }
+    }
+    val got = graft.operators.Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected, "the distributed greedy must equal the reference pick-for-pick")
+    // non-vacuity: diversification must actually reorder something —
+    // some pick differs from the pure-relevance order
+    val relOrder = emb.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+      emb.keys.filter(_ != qid).toSeq.map(c => (c, dot(emb(qid), emb(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(k).zipWithIndex
+        .map { case ((c, _), i) => (qid, i + 1, c) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)) != relOrder,
+      "λ=0.7 must diverge from pure relevance somewhere, or the fixture is vacuous")
+  }
+
+  test("mmrRerank: λ=100 degenerates to the pure relevance ranking over the candidate pool") {
+    val dir = "/root/testdata/sf0.001"
+    val pure = graft.operators.Similarity.mmrRerank(spark, dir, lambdaPct = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = graft.operators.Similarity.bruteForceTopK(spark, dir, k = 4, queryMod = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pure.toSeq == brute.toSeq,
+      "with no diversity term the greedy IS the relevance top-k (same tie-breaks)")
+  }
 }
