@@ -3405,7 +3405,7 @@ object SparkEntry {
          |SELECT per.policy, per.split, per.n_docs, per.n_chars, per.moved_docs,
          |       coalesce(l.leak_pairs, 0)::BIGINT AS leak_pairs
          |FROM per LEFT JOIN leaks l ON l.policy = per.policy AND l.split = per.split
-         |ORDER BY policy, split""".stripMargin,
+         |ORDER BY per.policy, per.split""".stripMargin,
 
     // one unrolled synchronous vote block per round (x134's convention):
     // each round counts neighbor labels per node and argmins

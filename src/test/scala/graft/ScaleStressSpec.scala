@@ -1697,6 +1697,39 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rep0 == at1, "replica-0 trust ranks must reproduce sf0.1 verbatim under the id remap")
   }
 
+  test("x160 cluster split at 10x: one pair pass; cluster rows leak zero") {
+    // the pin: pairs are paid once (checkpointed) then contracted and
+    // probed — equi-joins throughout, the report is 6 rows
+    val df = graft.operators.Curation.clusterSplit(spark, dir10)
+    noNestedLoops(plan(df))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size == 6, "both policies cover all three splits at 10x")
+    rows.filter(_._1._1 == "cluster").foreach { case ((_, s), (_, _, leaks)) =>
+      assert(leaks == 0L, s"cluster policy leaks in split $s at 10x")
+    }
+    Seq("doc", "cluster").foreach { p =>
+      assert(rows.filter(_._1._1 == p).values.map(_._1).sum == 50000L, s"$p covers the corpus")
+    }
+    assert(rows.filter(_._1._1 == "doc").values.map(_._3).sum > 0L,
+      "the 10x corpus must exercise the doc-policy leak path")
+  }
+
+  test("x161 source communities at 10x: fixed vote rounds; replica-0 verbatim") {
+    val df = graft.operators.Curation.sourceCommunities(spark, dir10)
+    noNestedLoops(plan(df))
+    val rep0 = df.collect()
+      .filter(_.getLong(0) % 10L == 0L)
+      .map(r => r.getLong(0) / 10L -> ((r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    val at1 = graft.operators.Curation.sourceCommunities(spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(at1.nonEmpty && at1.values.exists(_._3),
+      "sf0.1 must carry at least one community flip or the audit is vacuous")
+    assert(rep0 == at1, "replica-0 communities must reproduce sf0.1 verbatim under the id remap")
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local
