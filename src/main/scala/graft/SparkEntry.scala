@@ -366,6 +366,10 @@ object SparkEntry {
     // synchronous label propagation seeded by source: provenance by graph vote
     "x161_source_communities" -> ((s, dir) =>
       Curation.sourceCommunities(s, dir, iters = lpIters)),
+    // connected components over the embedding-cosine graph: label census
+    "x162_semantic_clusters" -> ((s, dir) => Curation.semanticClusters(s, dir)),
+    // doc/token mass surviving each cumulative curation stage
+    "x163_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3431,5 +3435,59 @@ object SparkEntry {
          |FROM seeds s JOIN l$lpIters l ON l.node = s.node
          |ORDER BY doc_id""".stripMargin
     },
+
+    // x14's bucketed cosine pairs closed transitively (x22's recursive
+    // spelling over vec ids), then a label census with the row_number
+    // spelling of the struct-argmin (count desc, label asc)
+    "x162_semantic_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS ed, label,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |p AS MATERIALIZED (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |     WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) >= 0.4),
+         |edges AS (SELECT d1 AS u, d2 AS v FROM p UNION ALL SELECT d2, d1 FROM p),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION
+         |                SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |bl AS (SELECT c.cluster, e.label, count(*)::BIGINT AS cnt
+         |       FROM comp c JOIN e ON e.vec_id = c.doc_id GROUP BY 1, 2),
+         |ag AS (SELECT cluster, sum(cnt)::BIGINT AS n_members, count(*)::BIGINT AS n_labels
+         |       FROM bl GROUP BY 1),
+         |mj AS (SELECT cluster, label AS maj_label, cnt FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY cluster
+         |           ORDER BY cnt DESC, label) AS rn FROM bl) WHERE rn = 1)
+         |SELECT ag.cluster, ag.n_members, ag.n_labels, mj.maj_label,
+         |       round(mj.cnt::DOUBLE / ag.n_members, 4) AS maj_frac4
+         |FROM ag JOIN mj ON mj.cluster = ag.cluster
+         |ORDER BY ag.cluster""".stripMargin,
+
+    // the x29 predicates applied cumulatively, folded to one row of
+    // 8 conditional sums, exploded to the 4-stage report
+    "x163_curation_funnel" ->
+      s"""WITH RECURSIVE $simhashPairsCte,
+         |$clusterCte,
+         |$qualityCte,
+         |fl AS (SELECT q.doc_id, q.n_tokens, ($qualityKeepPred) AS keep,
+         |         (c.doc_id IS NOT NULL AND c.cluster <> c.doc_id) AS dup,
+         |         ((('0x' || substr(md5('split:' || q.doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 80) AS train
+         |       FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id),
+         |ag AS (SELECT count(*)::BIGINT AS d1, sum(n_tokens)::BIGINT AS t1,
+         |         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS d2,
+         |         sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS t2,
+         |         sum(CASE WHEN keep AND NOT dup THEN 1 ELSE 0 END)::BIGINT AS d3,
+         |         sum(CASE WHEN keep AND NOT dup THEN n_tokens ELSE 0 END)::BIGINT AS t3,
+         |         sum(CASE WHEN keep AND NOT dup AND train THEN 1 ELSE 0 END)::BIGINT AS d4,
+         |         sum(CASE WHEN keep AND NOT dup AND train THEN n_tokens ELSE 0 END)::BIGINT AS t4
+         |       FROM fl),
+         |st AS (SELECT 1::INT AS stage_ord, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens, d1 AS rd, t1 AS rt FROM ag
+         |       UNION ALL SELECT 2::INT, 'quality', d2, t2, d1, t1 FROM ag
+         |       UNION ALL SELECT 3::INT, 'dedup', d3, t3, d1, t1 FROM ag
+         |       UNION ALL SELECT 4::INT, 'train', d4, t4, d1, t1 FROM ag)
+         |SELECT stage_ord, stage, n_docs, n_tokens,
+         |       round(n_docs::DOUBLE / rd, 4) AS doc_frac4,
+         |       round(n_tokens::DOUBLE / rt, 4) AS tok_frac4
+         |FROM st ORDER BY stage_ord""".stripMargin,
   )
 }

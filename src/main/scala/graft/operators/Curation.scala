@@ -1129,6 +1129,89 @@ object Curation {
         .select(col("doc_id").as("node"), col("source").as("label")),
       iters)
 
+  /** EXT-C63 (`x162_semantic_clusters`) — SEMANTIC near-dup clusters:
+    * [[Graph.connectedComponents]] over the embedding-cosine pair
+    * relation (x14's LSH-bucketed evidence — sign-bucket collision then
+    * exact cosine ≥ τ), where x22 contracts the LEXICAL (SimHash)
+    * graph. Text dedup misses paraphrases and translations; the
+    * embedding graph is the standard second layer that catches them.
+    * Per cluster: member count, how many distinct training LABELS it
+    * spans, and the majority label with its fraction (ties to the
+    * smallest label) — a semantic cluster straddling labels is either a
+    * labeling error or a genuinely ambiguous family; both are exactly
+    * what a training-data audit wants surfaced before sampling weights
+    * are assigned.
+    *
+    * Scale: pair generation is x14's bucketed shape (never all-pairs),
+    * the contraction x22's O(log n) pointer-halving engine; the census
+    * is two keyed partial aggs on the (tiny) label relation — the
+    * struct-argmin collapses map-side, no window over members.
+    */
+  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val labels = Graph.connectedComponents(
+      Similarity.cosineNearDupPairs(spark, dir, threshold)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+    val byLabel = labels
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+    byLabel.groupBy("cluster")
+      .agg(sum("c").as("n_members"), count(lit(1)).as("n_labels"),
+        min(struct(negate(col("c")).as("nc"), col("label").as("l"))).as("b"))
+      .select(col("cluster"), col("n_members"), col("n_labels"),
+        col("b.l").as("maj_label"),
+        round(negate(col("b.nc")).cast("double") / col("n_members"), 4).as("maj_frac4"))
+      .orderBy("cluster")
+  }
+
+  /** EXT-C64 (`x163_curation_funnel`) — the pipeline FUNNEL: doc and
+    * token mass surviving each cumulative curation stage —
+    * 1 raw → 2 quality keepers (x19's exact gate) → 3 dedup survivors
+    * (drop non-canonical cluster members, x29's rule) → 4 the train
+    * split (x21's bucket) — with each stage's fraction of raw. x29 IS
+    * stage 4 as a per-doc relation; this is the capacity-planning
+    * summary over the identical predicates (spec-pinned: the stage-4
+    * doc count equals `curatedCorpus.count()`), answering the question
+    * every 100 TB ingest starts with: how many training tokens does
+    * this crawl actually yield, and which stage eats them.
+    *
+    * Scale: ONE corpus scan computes tokens + the quality flags
+    * row-locally; the cluster labels (tiny) and split flag join on
+    * doc_id; everything then collapses through a SINGLE 1-row partial
+    * agg (8 conditional sums) exploded to the 4-row report — no
+    * window, no second scan, shuffle carries one row per partition.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nonCanon = dedupClusters(spark, dir)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("dup"))
+    val flags = qualityProjection(docs)
+      .select(col("doc_id"), col("keep"), col("n_tokens"))
+      .join(nonCanon, Seq("doc_id"), "left")
+      .join(splitAssign(spark, dir).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("n_tokens"), col("keep"),
+        (col("keep") && col("dup").isNull).as("s3"),
+        (col("keep") && col("dup").isNull && col("split") === "train").as("s4"))
+    flags.agg(
+        count(lit(1)).as("d1"), sum("n_tokens").as("t1"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+        sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"))
+      .select(expr(
+        "stack(4, 1, 'raw', d1, t1, 2, 'quality', d2, t2, " +
+          "3, 'dedup', d3, t3, 4, 'train', d4, t4) AS (stage_ord, stage, n_docs, n_tokens)"),
+        col("d1").as("rd"), col("t1").as("rt"))
+      .select(col("stage_ord").cast("int").as("stage_ord"), col("stage"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("rd"), 4).as("doc_frac4"),
+        round(col("n_tokens").cast("double") / col("rt"), 4).as("tok_frac4"))
+      .orderBy("stage_ord")
+  }
+
   /** EXT-C59 (`x157_canonical_distance`) — per clustered doc, the BFS
     * hop distance to its cluster's canonical (the component-min doc)
     * through the near-dup graph: [[Graph.hopsFrom]] seeded with the

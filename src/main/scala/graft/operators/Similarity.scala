@@ -96,6 +96,23 @@ object Similarity {
     if (bytes <= maxBytes) broadcast(df) else df
   }
 
+  /** Decouple a row-EXPANSION's parallelism from its input's SCAN
+    * granularity: a corpus parquet a few MB wide arrives as ONE scan
+    * partition, and a broadcast-joined expansion (queries × corpus)
+    * then runs single-threaded regardless of core count — measured at
+    * the 10× slice: x158's brute pass ground 12+ minutes on one task
+    * while 31 threads idled (the small-file twin of the r6 broadcast-
+    * guard regression class). When the scan carries fewer partitions
+    * than the session's parallelism, redistribute BEFORE the expansion
+    * — the shuffle moves only the narrow input, never the expanded
+    * rows. At production scale the scan already carries ≥ parallelism
+    * partitions and this is the identity (no exchange added).
+    */
+  private def expansionPartitioned(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Estimated broadcast bytes per (id, embedding) row: MAX vector
     * width over a bounded sample of the relation to be broadcast (not a
     * single arbitrary row — a null/short first row must not silently
@@ -137,7 +154,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val queries = broadcastIfMeasuredUnder(queriesRaw,
       s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val corpus = expansionPartitioned(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val scored = queries
       .join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
@@ -179,7 +197,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val queries = broadcastIfMeasuredUnder(queriesRaw,
       s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val corpus = expansionPartitioned(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val rel = queries.join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("rel"))
     // top-m relevance candidates via the bounded map-side fold (the
@@ -249,7 +268,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
     val queries = broadcastIfMeasuredUnder(queriesRaw,
       s"$dir|emb+label|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("clabel"))
+    val corpus = expansionPartitioned(emb.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("label").as("clabel")))
     val scored = queries
       .join(corpus, col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
@@ -361,8 +381,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
     val queries = broadcastIfMeasuredUnder(queriesRaw,
       s"$dir|emb+label|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("label").as("clabel"))
+    val corpus = expansionPartitioned(emb.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("label").as("clabel")))
     queries.join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("qlabel"),
         (col("qlabel") === col("clabel")).as("same"),
@@ -462,7 +482,8 @@ object Similarity {
       s"$dir|embq|mod=$queryMod",
       () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
       maxBroadcastBytes)
-    val corpus = qz.select(col("vec_id").as("cid"), col("qv").as("ce"))
+    val corpus = expansionPartitioned(
+      qz.select(col("vec_id").as("cid"), col("qv").as("ce")))
     // codegen'd integer dot ([[graft.functions.LongDotProductExpression]])
     // — the declarative aggregate(zip_with(...)) spelling ran interpreted
     // lambdas per element on this n·m hot path (whole audit at sf0.1,
@@ -1021,7 +1042,17 @@ object Similarity {
     * restricted to bucket-colliding pairs (same LSH design as
     * [[bucketedTopK]]). Returns (v1, v2, sim4) with v1 < v2.
     */
-  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 2): DataFrame = {
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 2): DataFrame =
+    cosineNearDupPairs(spark, dir, threshold, bits)
+      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim4"))
+      .orderBy("v1", "v2")
+
+  /** [[cosineNearDup]] WITHOUT its presentation rounding/sort — the
+    * (v1, v2, sim) pair relation consumers contract over
+    * ([[graft.operators.Curation.semanticClusters]]) without inheriting
+    * a sort exchange they immediately destroy.
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), bits).as("bucket"))
     val a = emb.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
@@ -1029,8 +1060,6 @@ object Similarity {
     a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"), dot(col("e1"), col("e2")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim4"))
-      .orderBy("v1", "v2")
   }
 
   /** EXT-S11 — embedding-space drift between two corpus snapshots (even

@@ -1318,6 +1318,71 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(got.values.exists(_._3), "the fixture must carry at least one flipped doc")
   }
 
+  test("semanticClusters (x162): census matches a driver-side union-find reference") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def bucket(e: Array[Float]): Int =
+      (if (e(0) >= 0) 1 else 0) + (if (e(1) >= 0) 2 else 0)
+    val pairs = for {
+      a <- emb; b <- emb
+      if a._1 < b._1 && bucket(a._2) == bucket(b._2) && dot(a._2, b._2) >= 0.4
+    } yield (a._1, b._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    val expected = nodes.groupBy(find).map { case (root, ms) =>
+      val byLabel = ms.groupBy(labelOf).view.mapValues(_.length).toMap
+      val (majL, majC) = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      root -> ((ms.length.toLong, byLabel.size.toLong, majL,
+        math.rint(majC.toDouble / ms.length * 10000) / 10000))
+    }
+    val got = Curation.semanticClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_._1 >= 2L),
+      "the fixture must carry at least one multi-member semantic cluster")
+  }
+
+  test("curationFunnel (x163): stage masses reconcile with x19/x29; fractions exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.curationFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(s => (s._1, s._2)).toSeq ==
+      Seq((1, "raw"), (2, "quality"), (3, "dedup"), (4, "train")))
+    // cumulative stages only shed mass
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage ${b._2} must not grow")
+    }
+    // reconciliation against the per-doc relations the stages are built from
+    val gate = Curation.qualityGate(spark, dir).collect()
+    assert(rows(0)._3 == gate.length)
+    assert(rows(1)._3 == gate.count(_.getAs[Boolean]("keep")))
+    assert(rows(3)._3 == Curation.curatedCorpus(spark, dir).count(),
+      "stage 4 IS x29 as a count")
+    // fraction arithmetic is the stated rounding of the stage ratios
+    rows.foreach { r =>
+      assert(r._5 == math.rint(r._3.toDouble / rows(0)._3 * 10000) / 10000)
+      assert(r._6 == math.rint(r._4.toDouble / rows(0)._4 * 10000) / 10000)
+    }
+    assert(rows(3)._3 > 0L, "the fixture must yield a non-empty train stage")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

@@ -1730,6 +1730,70 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rep0 == at1, "replica-0 communities must reproduce sf0.1 verbatim under the id remap")
   }
 
+  test("x162 semantic clusters at 10x: replica projection law — roots, labels, fracs") {
+    // block id remap (vec_id + rep·|base|) copies the base pair graph
+    // into each replica verbatim; cross-replica edges only link replica
+    // copies of the SAME base component (a cross pair (i, j+r·n) needs
+    // the same bucket + cosine that the base pair (i, j) needs), so the
+    // 10x components project exactly onto the sf0.1 components with
+    // replica-0 holding the smallest ids: every cluster root is a base
+    // root, members arrive in whole replica copies (multiples of the
+    // base size), and the label census is replica-invariant
+    val df = graft.operators.Curation.semanticClusters(spark, dir10)
+    noNestedLoops(plan(df))
+    val at10 = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    val at1 = graft.operators.Curation.semanticClusters(spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(at1.nonEmpty)
+    assert(at1.keySet.subsetOf(at10.keySet), "every base root survives as a 10x root")
+    at1.foreach { case (root, (n1, nl1, maj1, frac1)) =>
+      val (n10, nl10, maj10, frac10) = at10(root)
+      assert(n10 >= n1 && n10 % n1 == 0L && n10 <= 30L * n1,
+        s"cluster $root members arrive in whole replica copies: $n10 vs base $n1")
+      assert(nl10 == nl1 && maj10 == maj1 && frac10 == frac1,
+        s"cluster $root label census must be replica-invariant")
+    }
+    // roots NEW at 10x are base SINGLETONS whose identical replica
+    // copies self-pair (dot(v, v) = |v|² ≥ τ): a full 30-clique of one
+    // vector — 30 members, one label, purity 1. Two distinct base
+    // singletons cannot merge (their cross pair would have been a base
+    // pair). This is the slice's designed self-similarity, and a useful
+    // canary: semantic dedup MUST catch exact replicas.
+    val newRoots = at10.keySet -- at1.keySet
+    assert(newRoots.nonEmpty, "the slice must surface replica self-cliques")
+    newRoots.foreach { root =>
+      val (n10, nl10, _, frac10) = at10(root)
+      assert(n10 == 30L && nl10 == 1L && frac10 == 1.0,
+        s"new root $root must be one base singleton's 30-replica clique, got ($n10, $nl10, $frac10)")
+    }
+  }
+
+  test("x163 curation funnel at 10x: raw mass exact; stages only shed") {
+    // the pin: one corpus scan into a 1-row fold — no window, no
+    // cartesian; raw doc/token mass is exact under the id remap (the
+    // replica prefix changes token LENGTHS, so later gate stages are
+    // legitimately replica-dependent — only ordering laws bind there)
+    val df = graft.operators.Curation.curationFunnel(spark, dir10)
+    noNestedLoops(plan(df))
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "the funnel fold carries no window")
+    val rows10 = df.collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    val rows1 = graft.operators.Curation.curationFunnel(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows10.head._2 == 50000L && rows10.head._2 == 10L * rows1.head._2)
+    assert(rows10.head._3 == 10L * rows1.head._3, "raw token mass is exactly x10")
+    rows10.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"stage ${b._1} must not grow at 10x")
+    }
+    assert(rows10.last._2 > 0L, "the 10x train stage must be non-empty")
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local
