@@ -370,6 +370,8 @@ object SparkEntry {
     "x162_semantic_clusters" -> ((s, dir) => Curation.semanticClusters(s, dir)),
     // doc/token mass surviving each cumulative curation stage
     "x163_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
+    // per-source sampling weights under share^alpha temperature flattening
+    "x164_mixture_temperature" -> ((s, dir) => Curation.mixtureTemperature(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3489,5 +3491,25 @@ object SparkEntry {
          |       round(n_docs::DOUBLE / rd, 4) AS doc_frac4,
          |       round(n_tokens::DOUBLE / rt, 4) AS tok_frac4
          |FROM st ORDER BY stage_ord""".stripMargin,
+
+    // share^alpha spelled as NESTED sqrt (IEEE correctly-rounded, so
+    // the un-normalized weights are bit-identical across engines);
+    // per-alpha normalizer over the |sources|-row relation
+    "x164_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
+        |s AS (SELECT c.source, c.n_docs, c.n_tokens, c.n_tokens::DOUBLE / t.tot AS share FROM c, t),
+        |pa AS (SELECT 100 AS alpha_pct, source, n_docs, n_tokens, share, share AS w_raw FROM s
+        |       UNION ALL SELECT 50, source, n_docs, n_tokens, share, sqrt(share) FROM s
+        |       UNION ALL SELECT 25, source, n_docs, n_tokens, share, sqrt(sqrt(share)) FROM s),
+        |z AS (SELECT alpha_pct, sum(w_raw) AS zn FROM pa GROUP BY 1)
+        |SELECT pa.alpha_pct::INT AS alpha_pct, pa.source, pa.n_docs, pa.n_tokens,
+        |       round(pa.share, 4) AS share4,
+        |       round(pa.w_raw / z.zn, 4) AS weight4,
+        |       round(pa.w_raw / z.zn / pa.share, 4) AS boost4
+        |FROM pa JOIN z ON z.alpha_pct = pa.alpha_pct
+        |ORDER BY alpha_pct, source""".stripMargin,
   )
 }

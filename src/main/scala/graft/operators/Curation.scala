@@ -1164,6 +1164,59 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** EXT-C65 (`x164_mixture_temperature`) — training-mixture
+    * temperature sweep: per source, the sampling weight under
+    * `w_s ∝ share_s^α` for α ∈ {1, ½, ¼} — the standard knob that
+    * flattens a web-dominated mixture toward rare-but-valuable sources
+    * (α=1 is natural proportions; smaller α boosts the tail). α is
+    * restricted to the halving ladder so the power spells as NESTED
+    * `sqrt` on both faces — IEEE-754 requires sqrt correctly rounded,
+    * so the un-normalized weights are BIT-identical across engines (a
+    * `pow(x, 0.25)` spelling would be library-dependent). Output per
+    * (α%, source): the census, natural share, normalized weight, and
+    * the boost factor weight/share — the number a sampler multiplies
+    * into its per-source rate.
+    *
+    * Scale: ONE corpus scan collapses to the |sources|-row census via
+    * a partial agg; everything after (shares, powers, the per-α
+    * normalizer) runs on |sources|·|α| rows — invisible at any corpus
+    * size. The report is |sources|·|α| rows.
+    */
+  def mixtureTemperature(
+      spark: SparkSession,
+      dir: String,
+      alphaPcts: Seq[Int] = Seq(100, 50, 25)): DataFrame = {
+    require(alphaPcts.nonEmpty && alphaPcts.forall(Set(100, 50, 25)),
+      s"alphaPcts (${alphaPcts.mkString(",")}) must come from {100, 50, 25} — " +
+        "the exact nested-sqrt spellings")
+    val census = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Tables.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .localCheckpoint() // |sources| rows, consumed once per alpha
+    val total = census.agg(sum("n_tokens").as("tot"))
+    val shares = census.crossJoin(broadcast(total)) // 1-row totals join
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot")).as("share"))
+    val perAlpha = alphaPcts.map { a =>
+      val w = a match {
+        case 100 => col("share")
+        case 50  => sqrt(col("share"))
+        case 25  => sqrt(sqrt(col("share")))
+      }
+      shares.select(lit(a).as("alpha_pct"), col("source"), col("n_docs"),
+        col("n_tokens"), col("share"), w.as("w_raw"))
+    }.reduce(_ unionByName _)
+    val norm = perAlpha.groupBy("alpha_pct").agg(sum("w_raw").as("z"))
+    perAlpha.join(norm, Seq("alpha_pct"))
+      .select(col("alpha_pct").cast("int").as("alpha_pct"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        round(col("share"), 4).as("share4"),
+        round(col("w_raw") / col("z"), 4).as("weight4"),
+        round(col("w_raw") / col("z") / col("share"), 4).as("boost4"))
+      .orderBy("alpha_pct", "source")
+  }
+
   /** EXT-C64 (`x163_curation_funnel`) — the pipeline FUNNEL: doc and
     * token mass surviving each cumulative curation stage —
     * 1 raw → 2 quality keepers (x19's exact gate) → 3 dedup survivors

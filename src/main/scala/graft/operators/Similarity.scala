@@ -238,7 +238,11 @@ object Similarity {
         .agg(max(struct(col("score"), col("rel"), negate(col("cid")).as("nc"))).as("b"))
         .select(col("qid"), negate(col("b.nc")).as("cid"), col("b.rel").as("rel"),
           lit(r).cast("int").as("mmr_rank"), col("b.score").as("score"))
-      all = all.unionByName(pick)
+      // checkpoint per round (x134's convention): round r's anti-join
+      // reads `all`, so an un-materialized union would re-execute every
+      // earlier round's subplan inside each later one — plan work
+      // doubling per pick. The relation is ≤ r·|queries| rows.
+      all = all.unionByName(pick).localCheckpoint()
     }
     all.select(col("qid").as("vec_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
         round(col("rel"), 4).as("rel4"), round(col("score"), 4).as("score4"))
@@ -1052,12 +1056,29 @@ object Similarity {
     * ([[graft.operators.Curation.semanticClusters]]) without inheriting
     * a sort exchange they immediately destroy.
     */
-  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 2): DataFrame = {
+  /** The candidate join is SALTED: `bits=2` means FOUR distinct join
+    * keys, so the pair expansion's parallelism is capped at 4 tasks no
+    * matter the cluster — measured at the 10× slice (60k vectors,
+    * ~450M candidate pairs): 59 s/run at 4-way vs the machine's 32
+    * threads. Salting splits the probe side by `pmod(v2, S)` and
+    * replicates the tiny build side ×S (S·|emb| narrow rows — the
+    * classic skew remedy from [[graft.operators.Skew.saltedJoin]]),
+    * for an identical pair set at (2^bits)·S-way parallelism. This is
+    * the LSH regime where few-bucket designs land at ANY scale: recall
+    * wants few buckets, parallelism wants many keys — salt decouples
+    * them.
+    */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      bits: Int = 2, saltParts: Int = 8): DataFrame = {
+    require(saltParts >= 1, s"saltParts ($saltParts) must be positive")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), bits).as("bucket"))
     val a = emb.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = emb.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .crossJoin(broadcast(
+        spark.range(saltParts).select(col("id").cast("int").as("__salt"))))
+    val b = emb.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"),
+      pmod(col("vec_id"), lit(saltParts)).cast("int").as("__salt"))
+    a.join(b, Seq("bucket", "__salt")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"), dot(col("e1"), col("e2")).as("sim"))
       .filter(col("sim") >= threshold)
   }

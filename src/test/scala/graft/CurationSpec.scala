@@ -1383,6 +1383,53 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(rows(3)._3 > 0L, "the fixture must yield a non-empty train stage")
   }
 
+  test("mixtureTemperature (x164): matches a driver-side reference; flattening laws") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ").length.toLong))
+    val census = docs.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val tot = census.values.map(_._2).sum.toDouble
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val expected = Seq(100, 50, 25).flatMap { a =>
+      val ws = census.toSeq.sortBy(_._1).map { case (src, (_, nt)) =>
+        val share = nt / tot
+        val w = a match {
+          case 100 => share
+          case 50  => math.sqrt(share)
+          case 25  => math.sqrt(math.sqrt(share))
+        }
+        (src, share, w)
+      }
+      val z = ws.map(_._3).sum
+      ws.map { case (src, share, w) =>
+        (a, src) -> ((census(src)._1, census(src)._2, r4(share), r4(w / z), r4(w / z / share)))
+      }
+    }.toMap
+    val got = Curation.mixtureTemperature(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (nd, nt, sh, w, b)) =>
+      val (end, ent, esh, ew, eb) = expected(k)
+      assert(nd == end && nt == ent, s"$k census")
+      assert(sh == esh, s"$k share")
+      // the normalizer is a float sum whose fold order the engines don't
+      // share — allow one rounding quantum on the two normalized columns
+      assert(math.abs(w - ew) <= 1e-4 + 1e-12, s"$k weight: $w vs $ew")
+      assert(math.abs(b - eb) <= 2e-4 + 1e-12, s"$k boost")
+    }
+    // at alpha=100 the weight IS the share; lower alpha boosts the tail
+    got.filter(_._1._1 == 100).foreach { case (k, v) =>
+      assert(math.abs(v._4 - v._3) <= 1e-4, s"$k natural weight equals share")
+    }
+    val minSrc = census.minBy(_._2._2)._1
+    val boosts = Seq(100, 50, 25).map(a => got((a, minSrc))._5)
+    assert(boosts == boosts.sorted,
+      s"the rarest source's boost must grow as alpha falls: $boosts")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

@@ -1794,6 +1794,29 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     assert(rows10.last._2 > 0L, "the 10x train stage must be non-empty")
   }
 
+  test("x164 mixture temperature at 10x: census x10 exact; weights bit-invariant") {
+    // the replica prefix changes token LENGTHS, never counts, and the
+    // source column replicates — so the census scales exactly x10 and
+    // share = (10·nt)/(10·tot) rounds to the IDENTICAL double (same
+    // real quotient), making every float column bit-equal to sf0.1
+    val df = graft.operators.Curation.mixtureTemperature(spark, dir10)
+    // the deliberate 1-row totals crossJoin is a BroadcastNestedLoop by
+    // construction (x147's convention) — pin only the partitioned form
+    assert(plan(df).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n${plan(df)}")
+    val at10 = df.collect().map(r => (r.getInt(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val at1 = graft.operators.Curation.mixtureTemperature(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(at10.keySet == at1.keySet)
+    at1.foreach { case (k, (nd, nt, sh, w, b)) =>
+      assert(at10(k) == ((10L * nd, 10L * nt, sh, w, b)),
+        s"$k: 10x row must be the base row with the census x10")
+    }
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local
