@@ -372,6 +372,8 @@ object SparkEntry {
     "x163_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     // per-source sampling weights under share^alpha temperature flattening
     "x164_mixture_temperature" -> ((s, dir) => Curation.mixtureTemperature(s, dir)),
+    // near-dup pair evidence folded to unordered source-pair cells
+    "x165_source_pair_matrix" -> ((s, dir) => Curation.sourcePairMatrix(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3511,5 +3513,22 @@ object SparkEntry {
         |       round(pa.w_raw / z.zn / pa.share, 4) AS boost4
         |FROM pa JOIN z ON z.alpha_pct = pa.alpha_pct
         |ORDER BY alpha_pct, source""".stripMargin,
+
+    // the banded pair evidence tagged with both endpoints' sources,
+    // folded to unordered cells with exact Hamming mass
+    "x165_source_pair_matrix" ->
+      s"""WITH $simhashPairsCte,
+         |tagged AS (SELECT least(a.source, b.source) AS source_a,
+         |                  greatest(a.source, b.source) AS source_b, p.hamming
+         |           FROM nd_pairs p JOIN documents a ON a.doc_id = p.d1
+         |                           JOIN documents b ON b.doc_id = p.d2),
+         |cells AS (SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+         |                 sum(hamming)::BIGINT AS sum_hamming
+         |          FROM tagged GROUP BY 1, 2),
+         |t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM cells)
+         |SELECT c.source_a, c.source_b, c.n_pairs, c.sum_hamming,
+         |       round(c.n_pairs::DOUBLE / t.tot, 4) AS pair_share4
+         |FROM cells c, t
+         |ORDER BY source_a, source_b""".stripMargin,
   )
 }

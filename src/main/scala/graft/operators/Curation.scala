@@ -1164,6 +1164,38 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** EXT-C66 (`x165_source_pair_matrix`) — the near-dup SOURCE matrix:
+    * banded-SimHash pair evidence folded to unordered (source, source)
+    * cells — which ingests mirror which, counted in PAIRS (x128
+    * measures the same phenomenon in shared token mass via chunk
+    * digests; this is the direct pair-evidence view, with exact Hamming
+    * mass per cell). The diagonal is within-source duplication (crawl
+    * revisit s, boilerplate); off-diagonal cells are cross-source
+    * mirrors — the cells a dedup-aware sampler has to treat as ONE
+    * provenance pool. `pair_share4` situates each cell against the
+    * corpus-wide pair total.
+    *
+    * Scale: the pair relation is the (tiny) banded evidence, never a
+    * cross product; two doc_id equi-joins tag sources (AQE broadcasts
+    * the pair side), one |sources|²-bounded fold, one 1-row totals
+    * broadcast. The report is ≤ |sources|² rows.
+    */
+  def sourcePairMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tagged = Dedup.simhashNearDupPairs(spark, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"), col("hamming"))
+    val cells = tagged.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("hamming").as("sum_hamming"))
+    val total = cells.agg(sum("n_pairs").as("tot"))
+    cells.crossJoin(broadcast(total)) // 1-row totals join
+      .select(col("source_a"), col("source_b"), col("n_pairs"), col("sum_hamming"),
+        round(col("n_pairs").cast("double") / col("tot"), 4).as("pair_share4"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** EXT-C65 (`x164_mixture_temperature`) — training-mixture
     * temperature sweep: per source, the sampling weight under
     * `w_s ∝ share_s^α` for α ∈ {1, ½, ¼} — the standard knob that

@@ -1073,9 +1073,16 @@ object Similarity {
     require(saltParts >= 1, s"saltParts ($saltParts) must be positive")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), bits).as("bucket"))
-    val a = emb.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
-      .crossJoin(broadcast(
-        spark.range(saltParts).select(col("id").cast("int").as("__salt"))))
+    // expansionPartitioned on the replicated side: if Catalyst picks a
+    // BROADCAST join for the candidate pairing (it will — the corpus is
+    // small enough), there is no shuffle and parallelism rides THIS
+    // side's partitioning, which a narrow parquet delivers as one scan
+    // partition (measured: the salt alone left the 10× pairing on a
+    // single 250 s task under broadcast)
+    val a = expansionPartitioned(
+      emb.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+        .crossJoin(broadcast(
+          spark.range(saltParts).select(col("id").cast("int").as("__salt")))))
     val b = emb.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"),
       pmod(col("vec_id"), lit(saltParts)).cast("int").as("__salt"))
     a.join(b, Seq("bucket", "__salt")).filter(col("v1") < col("v2"))

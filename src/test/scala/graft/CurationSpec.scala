@@ -1430,6 +1430,29 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       s"the rarest source's boost must grow as alpha falls: $boosts")
   }
 
+  test("sourcePairMatrix (x165): cells reconcile with the raw pair relation exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val src = graft.operators.Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = graft.operators.Dedup.simhashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("hamming")))
+    val expected = pairs.groupBy { case (d1, d2, _) =>
+      val (s1, s2) = (src(d1), src(d2))
+      (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+    }.view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val got = Curation.sourcePairMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    val tot = pairs.length.toDouble
+    got.foreach { case (k, (n, h, share)) =>
+      assert((n, h) == expected(k), s"cell $k")
+      assert(share == math.rint(n / tot * 10000) / 10000, s"cell $k share")
+    }
+    assert(got.keys.exists(k => k._1 == k._2) && got.keys.exists(k => k._1 != k._2),
+      "the fixture must carry both within-source and cross-source cells")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

@@ -1817,6 +1817,25 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x165 source pair matrix at 10x: replica-0 cells survive as lower bounds") {
+    // the pin: no partitioned cartesian (the totals crossJoin is the
+    // 1-row broadcast convention); replica token spaces are disjoint so
+    // the 10x cells aggregate per-replica evidence — replica 0
+    // contributes exactly the sf0.1 cells, making them lower bounds
+    val df = graft.operators.Curation.sourcePairMatrix(spark, dir10)
+    assert(plan(df).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n${plan(df)}")
+    val at10 = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val at1 = graft.operators.Curation.sourcePairMatrix(spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(at1.nonEmpty && at1.keySet.subsetOf(at10.keySet))
+    at1.foreach { case (k, n1) =>
+      assert(at10(k) >= n1, s"cell $k lost replica-0 evidence at 10x")
+    }
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local
