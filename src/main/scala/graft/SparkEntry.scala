@@ -374,6 +374,9 @@ object SparkEntry {
     "x164_mixture_temperature" -> ((s, dir) => Curation.mixtureTemperature(s, dir)),
     // near-dup pair evidence folded to unordered source-pair cells
     "x165_source_pair_matrix" -> ((s, dir) => Curation.sourcePairMatrix(s, dir)),
+    // one cosine pairing pass re-thresholded per tau: label coherence curve
+    "x166_semantic_threshold_sweep" -> ((s, dir) =>
+      Curation.semanticThresholdSweep(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3530,5 +3533,29 @@ object SparkEntry {
          |       round(c.n_pairs::DOUBLE / t.tot, 4) AS pair_share4
          |FROM cells c, t
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // x14's pair CTE at the loosest tau, labels tagged, then one
+    // row-local re-threshold per tau (sim >= tau/100.0 — the identical
+    // IEEE division/comparison); the tau-list left join keeps
+    // zero-pair thresholds visible
+    "x166_semantic_threshold_sweep" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed, label,
+         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |p AS MATERIALIZED (SELECT a.label AS l1, b.label AS l2,
+         |     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
+         |     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT sim, (l1 = l2) AS same FROM p WHERE sim >= 40 / 100.0),
+         |taus AS (SELECT unnest([40, 50, 60, 70]) AS tau_pct),
+         |folded AS (SELECT t.tau_pct, count(*)::BIGINT AS n_pairs,
+         |                  sum(CASE WHEN same THEN 1 ELSE 0 END)::BIGINT AS n_same
+         |           FROM pairs p2 JOIN taus t ON p2.sim >= t.tau_pct::DOUBLE / 100.0
+         |           GROUP BY 1)
+         |SELECT t.tau_pct::INT AS tau_pct,
+         |       coalesce(f.n_pairs, 0)::BIGINT AS n_pairs,
+         |       coalesce(f.n_same, 0)::BIGINT AS n_same,
+         |       round(f.n_same::DOUBLE / f.n_pairs, 4) AS coherence4
+         |FROM taus t LEFT JOIN folded f ON f.tau_pct = t.tau_pct
+         |ORDER BY tau_pct""".stripMargin,
   )
 }

@@ -656,6 +656,15 @@ object Curation {
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
 
+  /** The x21 split verdict as a COLUMN over an arbitrary id — the ONE
+    * derivation (`md5("split:"+id)` bucket, 80/10/10) shared with the
+    * streaming funnel gauge so the two faces cannot drift.
+    */
+  private[graft] def splitVerdict(id: Column): Column = {
+    val b = md5BucketOf("split:", id)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** EXT-C23 — split-leakage audit: near-duplicate pairs that STRADDLE
     * the [[hashSplit]] boundary. A held-out document with a near-dup in
     * train is not held out — its eval loss is memorization, not
@@ -1079,17 +1088,14 @@ object Curation {
     * as the probe side. The report is 6 rows.
     */
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(b: Column): Column =
-      when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val pairs = Dedup.simhashNearDupPairs(spark, dir)
       .select(col("d1"), col("d2")).localCheckpoint()
     val labels = Graph.connectedComponents(pairs, maxRounds = 30)
     val assign = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
-        splitOf(md5BucketOf("split:", col("doc_id"))).as("doc_split"),
-        splitOf(md5BucketOf("split:", coalesce(col("cluster"), col("doc_id"))))
-          .as("clu_split"))
+        splitVerdict(col("doc_id")).as("doc_split"),
+        splitVerdict(coalesce(col("cluster"), col("doc_id"))).as("clu_split"))
       .localCheckpoint() // consumed by both policy views and both leak probes
     def policyView(policy: String, mine: String, other: String): DataFrame = {
       val per = assign.groupBy(col(mine).as("split"))
@@ -1162,6 +1168,54 @@ object Curation {
         col("b.l").as("maj_label"),
         round(negate(col("b.nc")).cast("double") / col("n_members"), 4).as("maj_frac4"))
       .orderBy("cluster")
+  }
+
+  /** EXT-C67 (`x166_semantic_threshold_sweep`) — semantic-dedup
+    * threshold CALIBRATION by label coherence: the cosine pair relation
+    * is generated ONCE at the loosest candidate threshold (x143's
+    * sweep convention — never one pass per τ), tagged with whether the
+    * endpoints share a training label, then re-thresholded ROW-LOCALLY
+    * per τ. Per τ: surviving pairs, same-label pairs, and coherence
+    * (the fraction of "duplicates" that are at least label-consistent).
+    * Coherence rising with τ says tighter thresholds trade recall for
+    * precision exactly as intended; a FLAT curve says the similarity
+    * axis is not capturing the label structure and no threshold is
+    * safe — the calibration question answered from one relation.
+    * τ rides as an integer percent; both engines spell the cut as
+    * `sim >= τ/100.0` — the identical IEEE division and comparison.
+    *
+    * Scale: ONE salted-LSH pairing pass at min(τ) (the x14/x162
+    * machinery), two vec_id equi-joins for labels, then a
+    * |pairs|·|τ| row-local explode into a |τ|-bounded fold. The τ list
+    * join keeps zero-pair thresholds visible (NULL coherence, never a
+    * dropped row).
+    */
+  def semanticThresholdSweep(
+      spark: SparkSession,
+      dir: String,
+      tauPcts: Seq[Int] = Seq(40, 50, 60, 70)): DataFrame = {
+    require(tauPcts.nonEmpty && tauPcts.forall(t => t >= 1 && t <= 100),
+      s"tauPcts (${tauPcts.mkString(",")}) must be percents in [1, 100]")
+    import spark.implicits._
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val pairs = Similarity
+      .cosineNearDupPairs(spark, dir, threshold = tauPcts.min / 100.0)
+      .join(lab.select(col("vec_id").as("v1"), col("label").as("l1")), "v1")
+      .join(lab.select(col("vec_id").as("v2"), col("label").as("l2")), "v2")
+      .select(col("sim"), (col("l1") === col("l2")).as("same"))
+      .localCheckpoint() // one pairing pass feeds every threshold
+    val taus = tauPcts.sorted.toDF("tau_pct")
+    val folded = pairs.crossJoin(broadcast(taus)) // |taus|-row broadcast
+      .filter(col("sim") >= col("tau_pct").cast("double") / lit(100.0))
+      .groupBy("tau_pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("same"), 1L).otherwise(0L)).as("n_same"))
+    broadcast(taus).join(folded, Seq("tau_pct"), "left")
+      .select(col("tau_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        round(col("n_same").cast("double") / col("n_pairs"), 4).as("coherence4"))
+      .orderBy("tau_pct")
   }
 
   /** EXT-C66 (`x165_source_pair_matrix`) — the near-dup SOURCE matrix:

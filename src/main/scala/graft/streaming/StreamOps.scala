@@ -745,6 +745,62 @@ object StreamOps {
           - col("baseline_share4"), 4))
   }
 
+  /** EXT-6ai — streaming curation-FUNNEL gauge: the live face of
+    * x163. Each arriving (ts, doc_id, text) is flagged ROW-LOCALLY by
+    * the ONE batch quality projection
+    * ([[graft.operators.Curation.qualityAnnotated]]), marked a dedup
+    * survivor by a stream-STATIC left join against the near-dup
+    * cluster labels (the EXT-C55 persisted index is exactly this
+    * relation — canonical or unclustered docs survive, x29's rule),
+    * and split by the one x21 derivation
+    * ([[graft.operators.Curation.splitVerdict]]). Per watermark-sealed
+    * tumbling window: the four cumulative stage masses (docs + tokens)
+    * with fractions of the window's raw — x163's capacity question
+    * ("how many training tokens does this crawl yield, and which stage
+    * eats them") answered per ingest window, mid-crawl, instead of at
+    * the next batch census.
+    *
+    * State per open window is 8 longs (one aggregation of conditional
+    * sums — 6ag's shape); the 4-row report explodes from the sealed
+    * row AFTER aggregation. The label join is static and narrow
+    * (doc_id → cluster), so the stream never shuffles before the
+    * window fold. Twin law (spec-pinned): a sealed window's rows equal
+    * `curationFunnel`'s masses over the same document slice when the
+    * labels come from the same contraction.
+    */
+  def funnelGaugeStream(
+      docs: DataFrame,
+      labels: DataFrame,
+      windowDur: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val flagged = graft.operators.Curation.qualityAnnotated(docs)
+      .join(labels.select(col("doc_id"),
+        (col("cluster") =!= col("doc_id")).as("dup")), Seq("doc_id"), "left")
+      .select(col("ts"), col("n_tokens"), col("keep"),
+        (col("keep") && !coalesce(col("dup"), lit(false))).as("s3"),
+        (col("keep") && !coalesce(col("dup"), lit(false))
+          && graft.operators.Curation.splitVerdict(col("doc_id")) === "train").as("s4"))
+    flagged
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("d1"), sum("n_tokens").as("t1"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+        sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"))
+      .select(col("window.start").as("window_start"),
+        expr("stack(4, 1, 'raw', d1, t1, 2, 'quality', d2, t2, " +
+          "3, 'dedup', d3, t3, 4, 'train', d4, t4) AS (stage_ord, stage, n_docs, n_tokens)"),
+        col("d1").as("rd"), col("t1").as("rt"))
+      .select(col("window_start"), col("stage_ord").cast("int").as("stage_ord"),
+        col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("rd"), 4).as("doc_frac4"),
+        round(col("n_tokens").cast("double") / col("rt"), 4).as("tok_frac4"))
+  }
+
   /** EXT-6w — streaming PQ encoding: compress an unbounded
     * (vec_id, embedding) vector stream to its 8-byte PQ codes (plus the
     * exact reconstruction error — the live coding-quality monitor)

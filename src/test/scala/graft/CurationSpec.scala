@@ -1453,6 +1453,38 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       "the fixture must carry both within-source and cross-source cells")
   }
 
+  test("semanticThresholdSweep (x166): matches a driver-side sweep; recall only falls") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def bucket(e: Array[Float]): Int =
+      (if (e(0) >= 0) 1 else 0) + (if (e(1) >= 0) 2 else 0)
+    val pairs = for {
+      a <- emb; b <- emb
+      if a._1 < b._1 && bucket(a._2) == bucket(b._2)
+      s = dot(a._2, b._2) if s >= 0.4
+    } yield (s, a._3 == b._3)
+    val expected = Seq(40, 50, 60, 70).map { t =>
+      val surv = pairs.filter(_._1 >= t / 100.0)
+      val same = surv.count(_._2).toLong
+      t -> ((surv.length.toLong, same,
+        if (surv.isEmpty) null
+        else java.lang.Double.valueOf(math.rint(same.toDouble / surv.length * 10000) / 10000)))
+    }.toMap
+    val got = Curation.semanticThresholdSweep(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))).toMap
+    assert(got == expected)
+    val ns = Seq(40, 50, 60, 70).map(got(_)._1)
+    assert(ns == ns.sorted.reverse, s"surviving pairs must fall as tau rises: $ns")
+    assert(ns.head > 0L, "the fixture must carry pairs at the loosest threshold")
+  }
+
   test("cluster index (EXT-C55): persisted labels bit-equal to the in-memory contraction") {
     val dir = "/root/testdata/sf0.001"
     val idx = "/tmp/graft-test-cluster-index"

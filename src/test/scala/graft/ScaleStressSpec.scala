@@ -1836,6 +1836,32 @@ class ScaleStressSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("x166 threshold sweep at 10x: exact replica-combinatorics law per tau") {
+    // block remap ⇒ every base pair (i, j) yields 30·30 = 900 distinct
+    // unordered replica pairs with the IDENTICAL sim, and each base
+    // vector v with |v|² ≥ τ yields C(30,2) = 435 self pairs — so
+    // n10(τ) = 900·n1(τ) + 435·|{v : |v|² ≥ τ}| EXACTLY (same-label
+    // mass follows the same algebra: self pairs share labels)
+    val df = graft.operators.Curation.semanticThresholdSweep(spark, dir10)
+    assert(plan(df).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no partitioned cartesian:\n${plan(df)}")
+    val at10 = df.collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val at1 = graft.operators.Curation
+      .semanticThresholdSweep(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val norms = graft.operators.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .collect().map { r =>
+        val e = r.getSeq[Float](1); e.map(x => x.toDouble * x.toDouble).sum
+      }
+    Seq(40, 50, 60, 70).foreach { t =>
+      val selfable = norms.count(_ >= t / 100.0).toLong
+      assert(at10(t)._1 == 900L * at1(t)._1 + 435L * selfable, s"tau $t pair law")
+      assert(at10(t)._2 == 900L * at1(t)._2 + 435L * selfable, s"tau $t same-label law")
+    }
+    assert(at1(40)._1 > 0L, "the base corpus must carry pairs at the loosest threshold")
+  }
+
   test("x147 dedup savings at 10x: three keyed folds; doc layer and denominator exact") {
     // the pin: the summary assembly is 1-row broadcasts only (no
     // partitioned cartesian, no window beyond the chunker's row-local

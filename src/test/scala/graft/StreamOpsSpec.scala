@@ -2014,6 +2014,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6ai funnelGaugeStream: a sealed window equals the batch funnel over its slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val labels = graft.operators.Curation.dedupClusters(spark, sfDir)
+    // window 0 carries the WHOLE corpus -> its rows must equal x163's
+    // batch masses verbatim; window 1 carries the even docs only
+    val docs = graft.operators.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val w0Ms = 1700000000000L - (1700000000000L % 600000L)
+    def at(min: Int) = new java.sql.Timestamp(w0Ms + min * 60000L)
+    val rows = docs.map { case (id, text) => (at((id % 10).toInt), id, text) } ++
+      docs.filter(_._1 % 2 == 0).map { case (id, text) =>
+        (at(10 + (id % 10).toInt), id, text)
+      }
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamOps.funnelGaugeStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), labels)
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      stream.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(Seq((at(45), -1L, "flush one"), (at(46), -1L, "flush two")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+        .toMap
+      assert(got.keySet == (for (w <- Seq(w0Ms, w0Ms + 600000L); s <- 1 to 4)
+        yield (w, s)).toSet,
+        "each sealed window emits the 4 stages exactly once; the open window stays silent")
+      // twin law, window 0: the batch funnel verbatim (same labels, same
+      // gate, same split derivation — the whole corpus is in the window)
+      val batch = graft.operators.Curation.curationFunnel(spark, sfDir).collect()
+        .map(r => r.getInt(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      (1 to 4).foreach { s =>
+        assert(got((w0Ms, s)) == batch(s), s"window-0 stage $s diverged from x163")
+      }
+      // window 1 (even docs): masses are bounded by window 0's and raw
+      // equals the even-doc count — the windowing actually sliced
+      assert(got((w0Ms + 600000L, 1))._2 == docs.count(_._1 % 2 == 0).toLong)
+      (1 to 4).foreach { s =>
+        assert(got((w0Ms + 600000L, s))._2 <= got((w0Ms, s))._2)
+      }
+    } finally q.stop()
+  }
+
   test("EXT-6ae burstinessMonitorStream: sealed windows equal the batch windowedBurstiness rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
