@@ -27,13 +27,26 @@ object Bench {
     * bar"). Canaries are ≥0.8 s (sub-0.5 s rows are noise-dominated by
     * BASELINE.md's rule) and their operator code has been untouched
     * since r05. Used only to FLAG load, never to alter measurements.
+    *
+    * r14 additions (the r13 canary blind spot: scan-shaped canaries
+    * read 1.22× while the contraction-family x161 moved 13.9× in the
+    * hot driver session): one CONTRACTION-family canary (x121 — the
+    * x22 localCheckpoint-loop regime, the class that amplifies load
+    * worst) and one BRUTE-family canary (x91 — the n·m integer scan
+    * regime). Their columns are the medians of the named quiet local
+    * sessions in BASELINE.md §r14L (x105 was the verdict's suggestion
+    * for the brute slot but its code gained codebook training in r14 —
+    * a canary must be code-stable, so x91, untouched since r8 and the
+    * same regime, holds the slot).
     */
   private val canaryBaseline: Map[String, Double] = Map(
     "x40_boilerplate_ngrams" -> 1.04,
     "x41_tfidf_terms" -> 1.04,
     "x43_source_similarity" -> 1.28,
     "x52_lsh_calibration" -> 1.24,
-    "x53_dup_spans" -> 1.12)
+    "x53_dup_spans" -> 1.12,
+    "x91_quantized_recall" -> 1.7,
+    "x121_cluster_sizes" -> 2.6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +109,22 @@ object Bench {
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
       (n, a, b, if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    // MID-RUN canary re-probe (r14): the pre-run canary table cannot see
+    // load that arrives DURING the ~2×100-query main passes (the r13 hot
+    // session read canaries 1.22× while x161 moved 13.9× mid-run). Two
+    // re-probes after the main passes — one scan-shaped, one
+    // contraction-shaped — flag a session that went hot after the
+    // canaries cleared it. Single-query noise band is wider than the
+    // 5-canary median's, so the flag line is 1.5×, not 1.3×.
+    val midProbes = Seq("x41_tfidf_terms", "x121_cluster_sizes").flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t = try math.min(time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+                catch { case _: Throwable => -1.0 }
+        (name, t, if (t > 0) t / canaryBaseline(name) else -1.0)
+      }
+    }
+    val midRatios = midProbes.map(_._3).filter(_ > 0)
+    val midHot = midRatios.nonEmpty && midRatios.max > 1.5
     val qs = results.map { case (k, _, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // any failed query poisons the total: summing the -1 sentinels would
@@ -107,9 +136,16 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     // lossless artifact: every per-pass time, the canary table, and the
     // load verdict — machine-readable regardless of stdout truncation
+    // the session's record verdict: pre-run canary median AND the
+    // mid-run re-probes must both sit under their flag lines, or this
+    // session must not become the round's performance record
+    val recordOk = !loaded && !midHot
     val fileJson = {
       val canaryJson = canaries.map { case (n, t, b, r) =>
         s"""    "$n": {"sec": $t, "baseline": $b, "ratio": $r}"""
+      }.mkString("{\n", ",\n", "\n  }")
+      val midJson = midProbes.map { case (n, t, r) =>
+        s"""    "$n": {"sec": $t, "ratio": $r}"""
       }.mkString("{\n", ",\n", "\n  }")
       val perQuery = results.map { case (n, a, b, best) =>
         s"""    "$n": {"p1": $a, "p2": $b, "best": $best}"""
@@ -121,6 +157,9 @@ object Bench {
   "loadavg1": $loadavg1,
   "load_ratio": $loadRatio,
   "loaded": $loaded,
+  "mid_probes": $midJson,
+  "mid_hot": $midHot,
+  "record_ok": $recordOk,
   "canaries": $canaryJson,
   "total_best": $total,
   "queries": $perQuery
@@ -130,7 +169,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       fileJson.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ratio":$loadRatio,"loaded":$loaded,"out":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ratio":$loadRatio,"loaded":$loaded,"mid_hot":$midHot,"record_ok":$recordOk,"out":"$outPath"}""")
     spark.stop()
   }
 }

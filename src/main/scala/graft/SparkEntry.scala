@@ -55,10 +55,11 @@ object SparkEntry {
     // binary-sketch first pass: sign-bit Hamming scan, exact re-rank
     "x80_hamming_ann" -> ((s, dir) => Similarity.hammingTopK(s, dir)),
     // product quantization: 8-byte codes + exact reconstruction error
-    "x104_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir, m = pqM, ksub = pqKsub)),
+    "x104_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir, m = pqM, ksub = pqKsub, iters = pqIters)),
     // PQ ADC recall vs float truth: the 32×-compression go/no-go
     "x105_pq_recall" -> ((s, dir) =>
-      Similarity.pqRecall(s, dir, k = pqK, queryMod = pqQueryMod, m = pqM, ksub = pqKsub)),
+      Similarity.pqRecall(s, dir, k = pqK, queryMod = pqQueryMod, m = pqM, ksub = pqKsub,
+        iters = pqIters)),
     // MOSS winnowing: window-min fingerprint sample, shared-count pairs
     "x81_winnow_matches" -> ((s, dir) => Dedup.winnowMatches(s, dir)),
     // bigram-LM fluency: exact conditional-probability scoring
@@ -377,6 +378,14 @@ object SparkEntry {
     // one cosine pairing pass re-thresholded per tau: label coherence curve
     "x166_semantic_threshold_sweep" -> ((s, dir) =>
       Curation.semanticThresholdSweep(s, dir)),
+    // repetition epochs under a fixed token budget (data-constrained scaling)
+    "x167_epoch_allocation" -> ((s, dir) => Curation.epochAllocation(s, dir)),
+    // decontamination gram-length sensitivity: the k tuning table
+    "x168_contamination_k_sweep" -> ((s, dir) => Curation.contaminationKSweep(s, dir)),
+    // quality-score reliability bins vs the dup label (x150's threshold table)
+    "x169_quality_calibration" -> ((s, dir) => Curation.qualityCalibration(s, dir)),
+    // IVF recall/cost sweep over the multi-probe knob (the ANN tuning table)
+    "x170_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeSweep(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -553,29 +562,53 @@ object SparkEntry {
   private val pqDsub = 8
   private val pqK = 3
   private val pqQueryMod = 10
+  private val pqIters = 2
 
   /** Shared PQ oracle CTE chain: int8 corpus → seeded codebooks →
-    * per-subspace exact squared distances → argmin assignment (`asg`).
-    * Every arithmetic step is BIGINT; `vs` carries each vector's
-    * subvectors and their norms for reuse by x105's ADC.
+    * `pqIters` unrolled Lloyd rounds (the x35 unrolling pattern, in
+    * exact BIGINT: order-free integer group sums, one IEEE division +
+    * floor(x+0.5) per component, empty cells keep their previous
+    * entry) → per-subspace exact squared distances → argmin assignment
+    * (`asg`). `vs` carries each vector's subvectors and their norms
+    * for reuse by x105's ADC.
     */
   private val pqCte = {
     val sq = (v: String) =>
       s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $v[i] * $v[i])), (a, b) -> a + b)"
-    s"""e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-       |sp AS (SELECT unnest(range(0, $pqM))::INT AS s),
-       |cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc
-       |        FROM (SELECT s, vec_id::INT AS code, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS cs
-       |              FROM e8 CROSS JOIN sp WHERE vec_id < $pqKsub) t),
-       |vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
-       |       FROM (SELECT vec_id, s, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS qs
-       |             FROM e8 CROSS JOIN sp) t),
-       |pqd AS (SELECT v.vec_id, v.s, c.code,
-       |        v.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> v.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc AS d
-       |        FROM vs v JOIN cbs c ON c.s = v.s),
-       |asg AS (SELECT vec_id, s, code, d
-       |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pqd) r
-       |        WHERE rn = 1)""".stripMargin
+    val dotl = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    val init =
+      s"""e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+         |sp AS (SELECT unnest(range(0, $pqM))::INT AS s),
+         |cb0 AS (SELECT s, vec_id::INT AS code, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS cs
+         |        FROM e8 CROSS JOIN sp WHERE vec_id < $pqKsub),
+         |vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
+         |       FROM (SELECT vec_id, s, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS qs
+         |             FROM e8 CROSS JOIN sp) t)""".stripMargin
+    val rounds = (1 to pqIters).map { t =>
+      val p = t - 1
+      s"""tn$t AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$p),
+         |td$t AS (SELECT v.vec_id, v.s, c.code, v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
+         |         FROM vs v JOIN tn$t c ON c.s = v.s),
+         |ta$t AS (SELECT vec_id, s, code
+         |         FROM (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM td$t) r
+         |         WHERE rn = 1),
+         |tm$t AS (SELECT a.s, a.code, t.dim, CAST(floor(sum(v.qs[t.dim])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
+         |         FROM ta$t a JOIN vs v ON v.vec_id = a.vec_id AND v.s = a.s, unnest(range(1, ${pqDsub + 1})) AS t(dim)
+         |         GROUP BY 1, 2, 3),
+         |cb$t AS (SELECT p.s, p.code, coalesce(m.cs, p.cs) AS cs
+         |         FROM cb$p p LEFT JOIN (SELECT s, code, list(val ORDER BY dim) AS cs FROM tm$t GROUP BY 1, 2) m
+         |           ON m.s = p.s AND m.code = p.code)""".stripMargin
+    }
+    val fin =
+      s"""cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$pqIters),
+         |pqd AS (SELECT v.vec_id, v.s, c.code,
+         |        v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
+         |        FROM vs v JOIN cbs c ON c.s = v.s),
+         |asg AS (SELECT vec_id, s, code, d
+         |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pqd) r
+         |        WHERE rn = 1)""".stripMargin
+    (Seq(init) ++ rounds :+ fin).mkString(",\n")
   }
 
   /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
@@ -3557,5 +3590,113 @@ object SparkEntry {
          |       round(f.n_same::DOUBLE / f.n_pairs, 4) AS coherence4
          |FROM taus t LEFT JOIN folded f ON f.tau_pct = t.tau_pct
          |ORDER BY tau_pct""".stripMargin,
+
+    // x164's census + exact-BIGINT budget arithmetic; the only floats
+    // are floor((budget*n)/tot) and the two round(…, 4) divisions
+    "x167_epoch_allocation" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
+        |a AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor((4000000 * n_tokens)::DOUBLE / tot) AS BIGINT) AS alloc
+        |      FROM c, t),
+        |b AS (SELECT *, least(alloc // n_tokens, 4)::BIGINT AS epochs_full,
+        |        least(alloc, 4 * n_tokens)::BIGINT AS effective_tokens FROM a)
+        |SELECT source, n_docs, n_tokens, alloc, epochs_full, effective_tokens,
+        |       (alloc - effective_tokens)::BIGINT AS leftover,
+        |       round(effective_tokens::DOUBLE / n_tokens, 4) AS epochs4,
+        |       CASE WHEN alloc = 0 THEN 1.0
+        |            ELSE round(effective_tokens::DOUBLE / alloc, 4) END AS util4
+        |FROM b ORDER BY source""".stripMargin,
+
+    // x49's gram/benchmark relations re-derived per k, folded to the
+    // |ks|-row tuning table (UNION ALL of one block per gram length)
+    "x168_contamination_k_sweep" -> {
+      def block(k: Int): String = {
+        val gram = (0 until k).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+        s"""(WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |g AS (SELECT DISTINCT doc_id, $gram AS gram
+           |      FROM toks, unnest(range(1, len(ts) - ${k - 2})) AS t(i)),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+           |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY 1),
+           |sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+           |       FROM corpus JOIN bench USING (gram) GROUP BY 1),
+           |scored AS (SELECT s.doc_id, s.n_grams, coalesce(sh.n_shared, 0)::BIGINT AS n_shared
+           |           FROM sizes s LEFT JOIN sh ON sh.doc_id = s.doc_id)
+           |SELECT $k::INT AS k, count(*)::BIGINT AS n_docs,
+           |       sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           |       sum(CASE WHEN n_shared::DOUBLE / n_grams >= 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           |       sum(n_grams)::BIGINT AS sum_grams,
+           |       sum(n_shared)::BIGINT AS sum_shared,
+           |       round(sum(CASE WHEN n_shared::DOUBLE / n_grams >= 0.1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS flag_rate4
+           |FROM scored)""".stripMargin
+      }
+      Seq(3, 5, 7).map(block).mkString("", "\nUNION ALL\n", "\nORDER BY k")
+    },
+
+    // x150's quality + dup-label relations, folded to the exact bucket
+    // spelling least(floor(q·10), 9) — the reliability-diagram bins
+    "x169_quality_calibration" ->
+      s"""WITH $simhashPairsCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
+         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
+         |  FROM s),
+         |dd AS (SELECT DISTINCT doc_id FROM
+         |       (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)),
+         |binned AS (SELECT least(floor(q.quality * 10), 9)::BIGINT AS bin,
+         |                  (dd.doc_id IS NOT NULL) AS is_dup
+         |           FROM q LEFT JOIN dd ON dd.doc_id = q.doc_id)
+         |SELECT bin, round(bin::DOUBLE / 10, 4) AS bin_lo4,
+         |       count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_rate4
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // x51's IVF relations with the multi-probe generalization: per
+    // query the top-nprobe cells by the same (dot DESC, ccid ASC)
+    // order, candidates under their single argmax cell, recall folded
+    // against the shared brute truth — one block per nprobe, UNION ALL
+    "x170_ann_nprobe_sweep" -> {
+      val shared =
+        s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+           |asg AS (SELECT e.vec_id, c.ccid,
+           |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+           |                 c.ccid) AS rn
+           |        FROM e CROSS JOIN c),
+           |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
+           |cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+           |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN cc WHERE qid != cid),
+           |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+           |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
+           |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex)""".stripMargin
+      def block(np: Int): String =
+        s"""(SELECT $np::INT AS nprobe, nq.n_queries,
+           |  coalesce((SELECT sum(h)::BIGINT FROM (
+           |    SELECT count(*) AS h
+           |    FROM ex JOIN (
+           |      SELECT x.vec_id AS qid, y.vec_id AS cid,
+           |             row_number() OVER (PARTITION BY x.vec_id ORDER BY
+           |               list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex2.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) DESC,
+           |               y.vec_id) AS rank
+           |      FROM (SELECT vec_id, ccid FROM asg WHERE rn <= $np AND vec_id % 10 = 0) x
+           |      JOIN cells y ON y.cell = x.ccid AND y.vec_id != x.vec_id
+           |      JOIN e ex2 ON ex2.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id
+           |    ) ann ON ann.qid = ex.qid AND ann.cid = ex.cid AND ann.rank <= 3
+           |    GROUP BY ex.qid) hh), 0)::BIGINT AS n_hits
+           |  FROM nq)""".stripMargin
+      shared + "\n,res AS (" + Seq(1, 2, 4, 8).map(block).mkString("\nUNION ALL\n") +
+        ")\nSELECT nprobe, n_queries, n_hits, round(n_hits::DOUBLE / (n_queries * 3), 4) AS recall4 FROM res ORDER BY nprobe"
+    },
   )
 }

@@ -459,7 +459,8 @@ object Graph {
       else if (hops >= maxHops)
         throw new IllegalStateException(
           s"hopsFrom did not settle within $maxHops expansion rounds " +
-            "(the frontier is still growing) — raise maxHops")
+            s"(${next.count()} nodes still unsettled after $maxHops rings) — " +
+            "raise maxHops")
       else {
         hops += 1
         dist = dist.union(next.withColumn("hops", lit(hops))).localCheckpoint()

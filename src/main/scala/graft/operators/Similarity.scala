@@ -668,6 +668,46 @@ object Similarity {
     * per-microbatch serving shape (EXT-6i): train once, probe each
     * arriving query batch against only the cells it fans out to.
     */
+  /** EXT-S27 (`x170_ann_nprobe_sweep`) — the IVF RECALL/COST tuning
+    * table: [[ivfTopK]]'s multi-probe knob swept over `nprobes`, each
+    * setting's top-k measured against the float brute-force truth
+    * (computed ONCE and reused across the sweep). Per nprobe: the query
+    * census, exact BIGINT hit mass, and mean recall@k as one IEEE
+    * division — the offline table read before fixing a serving
+    * configuration (x143's band-sweep contract for the ANN side:
+    * recall rises monotonically in nprobe BY CONSTRUCTION — each probe
+    * set contains the previous one — and the knee picks the setting;
+    * the monotonicity is the spec's law).
+    *
+    * Scale: the truth leg is the x5 brute audit paid once (its
+    * deliberate n·m cost, fixed-|queries| in production); each sweep
+    * point pays one cell-equi-join probe (|queries|·nprobe fan-out,
+    * index side never grows). The report is |nprobes| rows.
+    */
+  def annNprobeSweep(
+      spark: SparkSession,
+      dir: String,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      k: Int = 3,
+      nCentroids: Int = 16,
+      queryMod: Int = 10): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= nCentroids),
+      s"nprobes (${nprobes.mkString(",")}) must be in [1, nCentroids=$nCentroids]")
+    require(nprobes.distinct.size == nprobes.size,
+      s"nprobes (${nprobes.mkString(",")}) contains duplicates")
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // the one expensive truth leg, shared by every sweep point
+    nprobes.map { np =>
+      val approx = ivfTopK(spark, dir, k, nCentroids, Some(queryMod), np)
+        .select(col("vec_id"), col("neighbor_id"))
+      recallTail(exact, approx, k)
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_queries"), col("n_hits"),
+          round(col("n_hits").cast("double") / (col("n_queries") * k), 4).as("recall4"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   def ivfTopKFromIndex(
       spark: SparkSession,
       indexPath: String,
@@ -1546,24 +1586,36 @@ object Similarity {
 
   /** Product-quantization codebooks: the vector space split into `m`
     * subspaces of `dim/m` dimensions, each with `ksub` int8 code
-    * vectors seeded from the first `ksub` vectors by id — the
-    * deterministic-seed contract of [[ivfTopK]] applied per subspace,
-    * so the DuckDB oracle reproduces the codebooks from the same rows
-    * (production swaps in per-subspace [[kmeansCentroids]]-trained
-    * codes; the plumbing — driver-literal codebooks, row-local argmin
-    * encode, lookup-table ADC — is identical and is what scales).
-    * Int8 codebook entries make every PQ distance an exact BIGINT:
-    * |q−c|² ≤ dim·254², far inside both BIGINT and the double mantissa,
-    * so the ranking is bit-identical in any engine — the [[quantizedRecall]]
-    * exactness argument extended to the coded domain.
+    * vectors — seeded from the first `ksub` vectors by id (the
+    * deterministic-seed contract of [[ivfTopK]] applied per subspace)
+    * and then TRAINED with `iters` bounded Lloyd rounds over the int8
+    * sub-vectors. The per-cell mean is the exact-integer twin of
+    * [[kmeansCentroids]]'s `exactMeans` convention: group sums over
+    * BIGINT sub-vector components are order-free and exact, so the
+    * update is one IEEE division + `floor(x + 0.5)` per component —
+    * the DuckDB oracle reproduces the trained codebooks bit-for-bit
+    * (empty cells keep their previous entry, [[trainCentroids]]'s
+    * fallback). `iters = 0` gives the raw seeds.
+    * Int8-lattice codebook entries make every PQ distance an exact
+    * BIGINT: |q−c|² ≤ dim·254², far inside both BIGINT and the double
+    * mantissa, so the ranking is bit-identical in any engine — the
+    * [[quantizedRecall]] exactness argument extended to the coded
+    * domain (the trained means stay on the lattice by the floor).
     *
     * Driver footprint: m·ksub·(dim/m) = ksub·dim longs — the k·dim
-    * bounded-collect class of the IVF centroid table.
+    * bounded-collect class of the IVF centroid table. Each Lloyd round
+    * is ONE corpus pass: the row-local [[pqAssign]] argmin (codebooks
+    * as plan literals) into a (s, code, dim)-keyed partial agg that
+    * collapses map-side to ≤ ksub·dim rows per partition — nothing
+    * data-sized shuffles or reaches the driver at any corpus size.
     */
   def pqCodebooks(
-      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): (Array[Array[Array[Long]]], Int) = {
+      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): (Array[Array[Array[Long]]], Int) = {
     import spark.implicits._
-    val seeds = int8Corpus(spark, dir)
+    require(iters >= 0, s"pq: iters ($iters) must be >= 0")
+    val corpus = int8Corpus(spark, dir).localCheckpoint() // seeds + one scan per round
+    val seeds = corpus
       .filter(col("vec_id") < ksub)
       .select(col("vec_id").cast("int"), col("qv"))
       .as[(Int, Seq[Long])].collect().sortBy(_._1)
@@ -1572,8 +1624,25 @@ object Similarity {
     val dim = seeds.head._2.length
     require(dim % m == 0, s"pq: dim $dim is not divisible by m=$m subspaces")
     val dsub = dim / m
-    val cb = Array.tabulate(m) { s =>
+    var cb = Array.tabulate(m) { s =>
       Array.tabulate(ksub) { c => seeds(c)._2.slice(s * dsub, (s + 1) * dsub).toArray }
+    }
+    for (_ <- 1 to iters) {
+      val perDim = pqAssign(corpus, cb, dsub)
+        .select(col("vec_id"), posexplode(array(cb.indices.map { s =>
+          struct(slice(col("qv"), s * dsub + 1, dsub).as("qs"),
+            element_at(col("codes"), s + 1).as("code"))
+        }: _*)).as(Seq("s", "sc")))
+        .select(col("s"), col("sc.code").as("code"),
+          posexplode(col("sc.qs")).as(Seq("d0", "v")))
+      val means = perDim.groupBy("s", "code", "d0")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .select(col("s"), col("code"), col("d0"),
+          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long").as("cv"))
+        .as[(Int, Int, Int, Long)].collect() // ≤ m·ksub·dsub = ksub·dim rows
+        .map { case (s, c, d, v) => (s, c, d) -> v }.toMap
+      cb = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+        Array.tabulate(dsub)(d => means.getOrElse((s, c, d), cb(s)(c)(d)))))
     }
     (cb, dsub)
   }
@@ -1619,8 +1688,9 @@ object Similarity {
     * corpus size; the codebook build reads `ksub` rows.
     */
   def pqCodes(
-      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): DataFrame = {
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
     pqAssign(int8Corpus(spark, dir), cb, dsub)
       .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("recon_err"))
       .orderBy("vec_id")
@@ -1682,8 +1752,9 @@ object Similarity {
       queryMod: Int = 10,
       m: Int = 8,
       ksub: Int = 16,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+      maxBroadcastBytes: Long = 64L << 20,
+      iters: Int = 2): DataFrame = {
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
     val corpus = int8Corpus(spark, dir)
     val codes = pqAssign(corpus, cb, dsub).select(col("vec_id").as("cid"), col("codes"))
     val queriesRaw = corpus.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
@@ -1710,11 +1781,12 @@ object Similarity {
       queryMod: Int = 10,
       m: Int = 8,
       ksub: Int = 16,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+      maxBroadcastBytes: Long = 64L << 20,
+      iters: Int = 2): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint() // consumed by the query list AND the hit join
-    val approx = pqTopK(spark, dir, k, queryMod, m, ksub, maxBroadcastBytes)
+    val approx = pqTopK(spark, dir, k, queryMod, m, ksub, maxBroadcastBytes, iters)
       .select(col("vec_id"), col("neighbor_id"))
     recallTail(exact, approx, k)
   }
@@ -1733,9 +1805,10 @@ object Similarity {
       dir: String,
       indexPath: String,
       m: Int = 8,
-      ksub: Int = 16): Unit = {
+      ksub: Int = 16,
+      iters: Int = 2): Unit = {
     import spark.implicits._
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub)
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
     pqAssign(int8Corpus(spark, dir), cb, dsub)
       .select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$indexPath/codes")

@@ -1406,6 +1406,42 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** EXT-6aj — ingest-time cluster gate: which persisted near-dup
+    * cluster does each arriving document land in? The streaming face of
+    * [[graft.operators.Curation.lookupClustersFromIndex]] over the
+    * cluster index [[graft.operators.Curation.writeClusterIndex]]
+    * maintains: a stream-static LEFT join against the index's label
+    * relation on `doc_id`, with the SAME presentation —
+    * `coalesce(cluster, doc_id)` (a never-clustered doc is its own
+    * canonical) and the `clustered` flag — so an arriving doc resolves
+    * exactly as the batch probe resolves it (the twin-agreement law the
+    * spec pins). The gate a curation pipeline puts in front of re-crawl
+    * ingest: `clustered = true` means this doc_id already belongs to a
+    * known template family and the doc can route to the family's
+    * representative instead of re-paying dedup.
+    *
+    * Stateless: no watermark, no streaming aggregation — each
+    * microbatch pays one doc_id-keyed hash join against the static
+    * label read. The batch probe's bucket-level file pruning (its
+    * DISTINCT-buckets literal filter) needs the batch's bounded key set
+    * and is not expressible on an unbounded relation — a production
+    * deployment that wants per-microbatch pruning runs the batch probe
+    * inside `foreachBatch`, which IS `lookupClustersFromIndex` verbatim;
+    * this declarative form is the simple always-on spelling.
+    */
+  def clusterGateStream(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
+    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    val labels = spark.read.schema("doc_id LONG, cluster LONG, bucket INT")
+      .parquet(s"$indexPath/labels")
+      .select(col("doc_id"), col("cluster").as("_idx_cluster"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("_idx_cluster"), col("doc_id")))
+      .withColumn("clustered", col("_idx_cluster").isNotNull)
+      .drop("_idx_cluster")
+  }
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

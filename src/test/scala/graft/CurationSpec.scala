@@ -1428,6 +1428,11 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val boosts = Seq(100, 50, 25).map(a => got((a, minSrc))._5)
     assert(boosts == boosts.sorted,
       s"the rarest source's boost must grow as alpha falls: $boosts")
+    // a duplicated alpha would double its rows into the normalizer z,
+    // silently halving weight/boost — refused loudly instead
+    val dupErr = intercept[IllegalArgumentException](
+      Curation.mixtureTemperature(spark, dir, Seq(50, 50)))
+    assert(dupErr.getMessage.contains("duplicates"))
   }
 
   test("sourcePairMatrix (x165): cells reconcile with the raw pair relation exactly") {
@@ -1500,6 +1505,14 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val gotReps = Curation.clusterRepresentativesFromIndex(spark, idx, dir)
       .collect().map(_.toSeq).toSeq
     assert(gotReps == wantReps)
+    // two more heavy consumers adopted (r13 verdict ask #3): the size
+    // histogram (x121) and the purity audit (x129) served from the index
+    val wantSizes = Curation.clusterSizes(spark, dir).collect().map(_.toSeq).toSeq
+    val gotSizes = Curation.clusterSizesFromIndex(spark, idx, dir).collect().map(_.toSeq).toSeq
+    assert(gotSizes == wantSizes && wantSizes.nonEmpty)
+    val wantPurity = Curation.clusterPurity(spark, dir).collect().map(_.toSeq).toSeq
+    val gotPurity = Curation.clusterPurityFromIndex(spark, idx, dir).collect().map(_.toSeq).toSeq
+    assert(gotPurity == wantPurity && wantPurity.nonEmpty)
   }
 
   test("cluster index: membership probe resolves canonical ids, unclustered docs to themselves") {
@@ -1534,5 +1547,104 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val repsErr = intercept[IllegalArgumentException](
       Curation.clusterRepresentativesFromIndex(spark, idx, other))
     assert(repsErr.getMessage.contains("corpus drifted"))
+    val sizesErr = intercept[IllegalArgumentException](
+      Curation.clusterSizesFromIndex(spark, idx, other))
+    assert(sizesErr.getMessage.contains("corpus drifted"))
+    val purityErr = intercept[IllegalArgumentException](
+      Curation.clusterPurityFromIndex(spark, idx, other))
+    assert(purityErr.getMessage.contains("corpus drifted"))
+    // CONTENT drift under STABLE doc_ids (a re-crawl that edits text —
+    // which moves the SimHash clusters): same count, same id xor, but the
+    // content term of the stamp must refuse
+    def corpus(secondDoc: String) = Seq(
+      1L -> (1 to 40).map(i => s"a$i").mkString(" "),
+      2L -> secondDoc)
+    val base = TestTables.documentsDir(spark, corpus((1 to 40).map(i => s"b$i").mkString(" ")))
+    val idx2 = "/tmp/graft-test-cluster-index-content"
+    Curation.writeClusterIndex(spark, base, idx2)
+    val edited = TestTables.documentsDir(spark, corpus((1 to 40).map(i => s"c$i").mkString(" ")))
+    val contentErr = intercept[IllegalArgumentException](
+      Curation.clustersFromIndex(spark, idx2, edited))
+    assert(contentErr.getMessage.contains("corpus drifted"))
+    // and the unedited corpus still reads back fine
+    assert(Curation.clustersFromIndex(spark, idx2, base).collect() != null)
   }
+
+  test("epochAllocation (x167): matches a driver-side reference; budget laws hold") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 4000000L
+    val docs = graft.operators.Tables.documents(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ").length.toLong))
+    val census = docs.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val tot = census.values.map(_._2).sum
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val got = Curation.epochAllocation(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got.keySet == census.keySet)
+    got.foreach { case (src, (nd, nt, alloc, epF, eff, left, ep4, util4)) =>
+      val (end, ent) = census(src)
+      assert(nd == end && nt == ent, s"$src census")
+      assert(alloc == math.floor((budget * ent).toDouble / tot).toLong, s"$src alloc")
+      assert(epF == math.min(alloc / ent, 4L), s"$src epochs_full")
+      assert(eff == math.min(alloc, 4L * ent), s"$src effective")
+      assert(left == alloc - eff && left >= 0L, s"$src leftover")
+      assert(ep4 == r4(eff.toDouble / ent), s"$src epochs4")
+      assert(util4 == (if (alloc == 0) 1.0 else r4(eff.toDouble / alloc)), s"$src util")
+    }
+    // the allocation never exceeds the budget (floor rounding only sheds)
+    assert(got.values.map(_._3).sum <= budget)
+    // a budget smaller than any source's mass allocates zero full epochs
+    val tiny = Curation.epochAllocation(spark, dir, budget = census.size.toLong)
+      .collect().map(_.getLong(4))
+    assert(tiny.forall(_ == 0L))
+  }
+
+  test("contaminationKSweep (x168): k=5 row reconciles with contaminationScore; hits shrink as k grows") {
+    val dir = "/root/testdata/sf0.001"
+    val ref = Curation.contaminationScore(spark, dir, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val got = Curation.contaminationKSweep(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(3, 5, 7))
+    val (nDocs, nHit, nFlag, sumG, sumS, rate) = got(5)
+    assert(nDocs == ref.length)
+    assert(nHit == ref.count(_._2 > 0))
+    assert(nFlag == ref.count(_._3))
+    assert(sumG == ref.map(_._1).sum && sumS == ref.map(_._2).sum)
+    assert(rate == math.rint(nFlag.toDouble / nDocs * 10000) / 10000)
+    // a shared k-gram contains shared (k-2)-grams, so the hit set can
+    // only shrink as k grows (the law that makes the sweep a curve)
+    assert(got(3)._2 >= got(5)._2 && got(5)._2 >= got(7)._2)
+    assert(intercept[IllegalArgumentException](
+      Curation.contaminationKSweep(spark, dir, ks = Seq(5, 5))).getMessage.contains("duplicates"))
+  }
+
+  test("qualityCalibration (x169): bins partition the corpus; dup mass reconciles with the label") {
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = graft.operators.Tables.documents(spark, dir).count()
+    val nDup = graft.operators.Dedup.dupDegree(spark, dir).count()
+    val rows = Curation.qualityCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).forall(b => b >= 0L && b <= 9L))
+    assert(rows.map(_._3).sum == nDocs, "bins must partition the corpus")
+    assert(rows.map(_._4).sum == nDup, "dup mass must reconcile with the label")
+    rows.foreach { case (bin, lo, n, d, rate) =>
+      assert(lo == bin / 10.0)
+      assert(d <= n)
+      assert(rate == math.rint(d.toDouble / n * 10000) / 10000)
+    }
+    // differential: one bin recomputed from the raw projections
+    val q = graft.operators.TextAnalysis.statsProjection(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val dup = graft.operators.Dedup.dupDegree(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val someBin = rows.head._1
+    val inBin = q.filter { case (_, qu) => math.min(math.floor(qu * 10), 9.0).toLong == someBin }
+    assert(rows.head._3 == inBin.size)
+    assert(rows.head._4 == inBin.keys.count(dup))
+  }
+
 }

@@ -443,7 +443,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     4L -> Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))) // sub0→0, sub1→1
 
   test("pqCodes (x104): seeds reconstruct exactly; mixed vectors pick per-subspace argmins") {
-    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2).collect()
+    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2, iters = 0).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     // codebook seeds are their own codes at zero error
     // (sub0 codebook: c0=[127,0,0,0], c1=[0,127,0,0]; sub1: c0=[0,127,..], c1=[127,0,..])
@@ -469,7 +469,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val expect = vecs.map { case (id, v) =>
       id -> (0 until 2).map(s => cb.map(c => d2(sub(v, s), sub(c, s))).min).sum
     }
-    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2).collect()
+    val got = Similarity.pqCodes(spark, pqDir, m = 2, ksub = 2, iters = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == expect)
   }
@@ -484,7 +484,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       1L -> Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
       2L -> Seq(0.8f, 0.6f, 0f, 0f, 0.8f, 0.6f, 0f, 0f),
       3L -> Seq(0.98f, 0.1f, 0f, 0f, 0.98f, 0.1f, 0f, 0f)))
-    val rows = Similarity.pqRecall(spark, rdir, k = 1, queryMod = 2, m = 2, ksub = 2)
+    val rows = Similarity.pqRecall(spark, rdir, k = 1, queryMod = 2, m = 2, ksub = 2, iters = 0)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(rows.keySet == Set(0L, 2L))
     assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
@@ -492,7 +492,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   }
 
   test("pqRecall: a corpus the codes separate perfectly scores recall 1 everywhere") {
-    val rows = Similarity.pqRecall(spark, pqDir, k = 1, queryMod = 2, m = 2, ksub = 2)
+    val rows = Similarity.pqRecall(spark, pqDir, k = 1, queryMod = 2, m = 2, ksub = 2, iters = 0)
       .collect()
     val m = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(m.keySet == Set(0L, 2L, 4L))
@@ -500,6 +500,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // (codes "0,0" reconstruct to the query itself, dist 0); qid 4's
     // float tie (v0·v4 = v1·v4 = 1.0) and ADC tie both break to cid 0
     assert(m == Map(0L -> 1.0, 2L -> 1.0, 4L -> 1.0))
+  }
+
+  test("pqCodebooks training: matches a driver-side Lloyd reference; recall does not regress") {
+    val dir = "/root/testdata/sf0.001"
+    val (m, ksub, iters) = (8, 16, 2)
+    // independent driver-side re-derivation of the SAME training rounds
+    val qvs = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 127.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val dim = qvs.head._2.length
+    val dsub = dim / m
+    def subv(v: Array[Long], s: Int) = v.slice(s * dsub, (s + 1) * dsub)
+    var ref = Array.tabulate(m)(s => Array.tabulate(ksub)(c => subv(qvs(c)._2, s)))
+    for (_ <- 1 to iters) {
+      val assign = qvs.map { case (_, v) =>
+        (0 until m).map { s =>
+          val q = subv(v, s)
+          ref(s).zipWithIndex.map { case (c, ci) =>
+            (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, ci)
+          }.min._2
+        }
+      }
+      ref = Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          val members = qvs.indices.filter(i => assign(i)(s) == c)
+          if (members.isEmpty) ref(s)(c)
+          else Array.tabulate(dsub) { d =>
+            val sum = members.map(i => subv(qvs(i)._2, s)(d)).sum
+            math.floor(sum.toDouble / members.length + 0.5).toLong
+          }
+        }
+      }
+    }
+    val (got, gotDsub) = Similarity.pqCodebooks(spark, dir, m, ksub, iters)
+    assert(gotDsub == dsub)
+    assert(got.map(_.map(_.toSeq).toSeq).toSeq == ref.map(_.map(_.toSeq).toSeq).toSeq,
+      "trained codebooks must equal the independent Lloyd reference")
+    // the point of training: ADC recall on the harness corpus must not
+    // regress vs the raw seeds (x105 is the production measurement)
+    def meanRecall(it: Int): Double = {
+      val rows = Similarity.pqRecall(spark, dir, k = 3, queryMod = 10, m = m, ksub = ksub,
+        iters = it).collect()
+      rows.map(_.getDouble(2)).sum / rows.length
+    }
+    val (seeded, trained) = (meanRecall(0), meanRecall(iters))
+    assert(trained >= seeded,
+      s"trained recall ($trained) must be >= seeded recall ($seeded)")
   }
 
   test("persisted PQ index: probe equals in-memory pqTopK; mismatched queries refused") {
@@ -794,4 +842,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(pure.toSeq == brute.toSeq,
       "with no diversity term the greedy IS the relevance top-k (same tie-breaks)")
   }
+
+  test("annNprobeSweep (x170): recall is monotone in nprobe and exact at full probe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.annNprobeSweep(spark, dir, nprobes = Seq(1, 2, 4, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    // each probe set contains the previous one, so hits can only grow
+    val hits = rows.map(_._3)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${rows.mkString(", ")}")
+    // probing every cell IS the brute-force scan: recall exactly 1
+    assert(rows.last._4 == 1.0, s"full probe must recover the truth: ${rows.last}")
+    // the query census is the same at every sweep point
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(intercept[IllegalArgumentException](
+      Similarity.annNprobeSweep(spark, dir, nprobes = Seq(0))).getMessage.contains("nprobes"))
+  }
+
 }

@@ -1898,6 +1898,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("EXT-6aj clusterGateStream: arriving docs resolve exactly as the batch index probe; corrupt index refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft-clidx-stream").toString
+    graft.operators.Curation.writeClusterIndex(spark, dir, idx)
+    // probe ids: three clustered + one certainly-unclustered
+    val members = graft.operators.Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val someClustered = members.keys.toSeq.sorted.take(3)
+    val unclustered = (0L until 500000L).find(d => !members.contains(d)).get
+    val ids = someClustered :+ unclustered
+    // the twin: the batch membership probe over the same ids
+    val want = graft.operators.Curation.lookupClustersFromIndex(
+        spark, idx, ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val stream = MemoryStream[Long]
+    val q = StreamOps.clusterGateStream(stream.toDF().toDF("doc_id"), idx)
+      .writeStream.format("memory").queryName("clgate_out").outputMode("append").start()
+    try {
+      stream.addData(ids: _*)
+      q.processAllAvailable()
+      val got = spark.table("clgate_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cluster"), r.getAs[Boolean]("clustered")))).toMap
+      assert(got == want, "stream gate must resolve exactly as the batch probe")
+      assert(got(unclustered) == ((unclustered, false)))
+      someClustered.foreach(d => assert(got(d) == ((members(d), true))))
+    } finally q.stop()
+    // the guard: a corrupt (multi-meta) index is refused before any join
+    val bad = java.nio.file.Files.createTempDirectory("graft-clidx-bad").toString
+    spark.read.parquet(s"$idx/meta").unionAll(spark.read.parquet(s"$idx/meta"))
+      .write.mode("overwrite").parquet(s"$bad/meta")
+    val err = intercept[IllegalArgumentException](
+      StreamOps.clusterGateStream(stream.toDF().toDF("doc_id"), bad))
+    assert(err.getMessage.contains("corrupt cluster index"))
+  }
+
   test("EXT-6ab novelChunkStream: re-crawls emit nothing; an edit emits exactly its changed chunk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
