@@ -1348,7 +1348,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val queries = broadcastIfMeasuredUnder(queriesRaw,
       s"$dir|emb|mod=$queryMod", () => embRowBytes(queriesRaw, "qe"), maxBroadcastBytes)
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val corpus = expansionPartitioned(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val vecScored = queries.join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     (lexScored, vecScored)
@@ -1464,7 +1465,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
     val queries = broadcastIfMeasuredUnder(qRaw,
       s"$dir|sig|mod=$queryMod", () => 3L * 8 + 64, maxBroadcastBytes)
-    val corpus = sigs.select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val corpus = expansionPartitioned(
+      sigs.select(col("vec_id").as("cid"), col("lo"), col("hi")))
     val ham = queries.join(corpus, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
@@ -1551,8 +1553,8 @@ object Similarity {
     val qSig = broadcastIfMeasuredUnder(qRaw,
       s"$indexPath|qsig|${System.identityHashCode(queries)}",
       () => 3L * 8 + 64, maxBroadcastBytes)
-    val idx = spark.read.parquet(s"$indexPath/signatures")
-      .select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val idx = expansionPartitioned(spark.read.parquet(s"$indexPath/signatures")
+      .select(col("vec_id").as("cid"), col("lo"), col("hi")))
     val ham = qSig.join(idx, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
@@ -1730,7 +1732,10 @@ object Similarity {
       cb: Array[Array[Array[Long]]],
       dsub: Int,
       k: Int): DataFrame = {
-    val scored = queries.join(codes, col("qid") =!= col("cid"))
+    // the broadcast expansion must not run in the scan's task count (one
+    // task for a single code file): the same single-task fix as the x5
+    // family — measured 1038 s -> (see BASELINE r14L) at the 10x slice
+    val scored = queries.join(expansionPartitioned(codes), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
     presentTopK(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
@@ -1896,8 +1901,9 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val bench = broadcastIfMeasuredUnder(benchRaw,
       s"$dir|emb|bench=$benchMod", () => embRowBytes(benchRaw, "ce"), maxBroadcastBytes)
-    val corpus = emb.filter(pmod(col("vec_id"), lit(benchMod)) =!= 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = expansionPartitioned(
+      emb.filter(pmod(col("vec_id"), lit(benchMod)) =!= 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val scored = corpus.join(bench)
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, 1)
