@@ -1614,8 +1614,34 @@ object Similarity {
   def pqCodebooks(
       spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): (Array[Array[Array[Long]]], Int) = {
-    import spark.implicits._
     require(iters >= 0, s"pq: iters ($iters) must be >= 0")
+    // train-once-per-corpus: the codebooks are a pure deterministic
+    // function of (dir, m, ksub, iters), so every consumer in a session
+    // (encode, topK, recall's two legs, the index writer) shares ONE
+    // training run — the production train/serve split, and the same
+    // path-keyed staleness contract as the measured-size cache (a
+    // corpus REWRITTEN in place at the same path must start a new
+    // session or call trainPqCodebooks directly)
+    val key = s"$dir|pq|$m|$ksub|$iters"
+    trainedCodebooks.get(key) match {
+      case cached: ((Array[Array[Array[Long]]], Int) @unchecked) if cached != null => cached
+      case _ =>
+        val trained = trainPqCodebooks(spark, dir, m, ksub, iters)
+        trainedCodebooks.putIfAbsent(key, trained)
+        trained
+    }
+  }
+
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Array[Long]]], Int)]()
+
+  /** The uncached training run behind [[pqCodebooks]] — see there for
+    * the algorithm contract.
+    */
+  private[graft] def trainPqCodebooks(
+      spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int): (Array[Array[Array[Long]]], Int) = {
+    import spark.implicits._
     val corpus = int8Corpus(spark, dir).localCheckpoint() // seeds + one scan per round
     val seeds = corpus
       .filter(col("vec_id") < ksub)
