@@ -386,6 +386,8 @@ object SparkEntry {
     "x169_quality_calibration" -> ((s, dir) => Curation.qualityCalibration(s, dir)),
     // IVF recall/cost sweep over the multi-probe knob (the ANN tuning table)
     "x170_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeSweep(s, dir)),
+    // paraphrased train/eval leakage: cosine pairs crossing the split boundary
+    "x171_semantic_split_leakage" -> ((s, dir) => Curation.semanticSplitLeakage(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3698,5 +3700,24 @@ object SparkEntry {
       shared + "\n,res AS (" + Seq(1, 2, 4, 8).map(block).mkString("\nUNION ALL\n") +
         ")\nSELECT nprobe, n_queries, n_hits, round(n_hits::DOUBLE / (n_queries * 3), 4) AS recall4 FROM res ORDER BY nprobe"
     },
+
+    // x14's bucketed cosine pairs + x21's split derivation, leak = the
+    // cross-split subset (doc_id and vec_id are the same key space)
+    "x171_semantic_split_leakage" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
+        |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT p.v1, p.v2, s1.split AS split_1, s2.split AS split_2, round(p.sim, 4) AS sim4
+        |FROM p JOIN sp s1 ON s1.doc_id = p.v1 JOIN sp s2 ON s2.doc_id = p.v2
+        |WHERE p.sim >= 0.4 AND s1.split != s2.split
+        |ORDER BY p.v1, p.v2""".stripMargin,
   )
 }

@@ -457,6 +457,37 @@ object Curation extends CurationClusters {
       .filter(col("split_1") =!= col("split_2"))
   }
 
+  /** EXT-C64 (`x171_semantic_split_leakage`) — SEMANTIC train/eval
+    * leakage: embedding-cosine near-dup pairs that CROSS the hash-split
+    * boundary. [[splitLeakage]] (x20's family) catches the verbatim
+    * copy via SimHash; this catches the PARAPHRASED leak — the reworded
+    * eval document that shares no lexical fingerprint with its train
+    * twin — which is exactly the class published decontamination
+    * pipelines moved to embedding similarity for (x112's argument,
+    * applied to the split boundary instead of the benchmark set).
+    * Output per leaking pair: both ids, both splits, the cosine (4dp).
+    * An empty relation is the PASS verdict.
+    *
+    * Scale: the pair relation is [[Similarity.cosineNearDupPairs]]'s
+    * salted bucketed pairing (its scale notes apply verbatim); the
+    * split tags are two narrow doc_id equi-joins against the row-local
+    * split projection — nothing new shuffles at corpus size.
+    */
+  def semanticSplitLeakage(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      bits: Int = 2): DataFrame = {
+    val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    Similarity.cosineNearDupPairs(spark, dir, threshold, bits)
+      .join(splits.select(col("doc_id").as("v1"), col("split").as("split_1")), "v1")
+      .join(splits.select(col("doc_id").as("v2"), col("split").as("split_2")), "v2")
+      .filter(col("split_1") =!= col("split_2"))
+      .select(col("v1"), col("v2"), col("split_1"), col("split_2"),
+        round(col("sim"), 4).as("sim4"))
+      .orderBy("v1", "v2")
+  }
+
   /** EXT-C26 — split-leakage REPAIR: the fixed split assignment after
     * [[splitLeakage]]'s audit. For every cross-split near-dup pair the
     * lower-priority member is dropped under the fixed precedence

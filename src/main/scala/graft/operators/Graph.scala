@@ -463,6 +463,11 @@ object Graph {
             "raise maxHops")
       else {
         hops += 1
+        // the accumulator IS checkpointed each ring: the tempting
+        // union-of-checkpointed-legs alternative (skip this one) was
+        // MEASURED SLOWER at sf0.1 (8.6 s vs 5.9 s on x157) — the
+        // per-round anti-join then re-plans and re-exchanges the whole
+        // k-way union, costing more than the one materialization saved
         dist = dist.union(next.withColumn("hops", lit(hops))).localCheckpoint()
         frontier = next
       }

@@ -1622,6 +1622,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Curation.contaminationKSweep(spark, dir, ks = Seq(5, 5))).getMessage.contains("duplicates"))
   }
 
+  test("semanticSplitLeakage (x171): exactly the cross-split subset of the cosine pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val splits = Curation.hashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = graft.operators.Similarity.cosineNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.flatMap { case (v1, v2, sim4) =>
+      val (s1, s2) = (splits(v1), splits(v2))
+      if (s1 != s2) Some((v1, v2, s1, s2, sim4)) else None
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.semanticSplitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expected.toSeq)
+    assert(got.nonEmpty, "the harness corpus must exercise the leak relation")
+    assert(got.forall { case (_, _, s1, s2, sim) => s1 != s2 && sim >= 0.4 })
+  }
+
   test("qualityCalibration (x169): bins partition the corpus; dup mass reconciles with the label") {
     val dir = "/root/testdata/sf0.001"
     val nDocs = graft.operators.Tables.documents(spark, dir).count()
