@@ -388,6 +388,10 @@ object SparkEntry {
     "x170_ann_nprobe_sweep" -> ((s, dir) => Similarity.annNprobeSweep(s, dir)),
     // paraphrased train/eval leakage: cosine pairs crossing the split boundary
     "x171_semantic_split_leakage" -> ((s, dir) => Curation.semanticSplitLeakage(s, dir)),
+    // IVF index health: per-cell population census (dead/hot cells)
+    "x172_ivf_cell_balance" -> ((s, dir) => Similarity.ivfCellBalance(s, dir)),
+    // mixed-batch detector: squared-norm census over the int8 lattice
+    "x173_embedding_norm_audit" -> ((s, dir) => Similarity.embeddingNormAudit(s, dir)),
   )
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
@@ -3719,5 +3723,35 @@ object SparkEntry {
         |FROM p JOIN sp s1 ON s1.doc_id = p.v1 JOIN sp s2 ON s2.doc_id = p.v2
         |WHERE p.sim >= 0.4 AND s1.split != s2.split
         |ORDER BY p.v1, p.v2""".stripMargin,
+
+    // x51's cell assignment folded to the census; the range frame keeps
+    // dead cells visible as zero rows
+    "x172_ivf_cell_balance" ->
+      """WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+        |asg AS (SELECT e.vec_id, c.ccid,
+        |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+        |                 c.ccid) AS rn
+        |        FROM e CROSS JOIN c),
+        |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
+        |census AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM cells GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM e),
+        |frame AS (SELECT unnest(range(0, 16))::INT AS cell)
+        |SELECT f.cell, coalesce(c.n_vectors, 0)::BIGINT AS n_vectors,
+        |       round(coalesce(c.n_vectors, 0)::DOUBLE / t.n_total, 4) AS share4
+        |FROM frame f LEFT JOIN census c ON c.cell = f.cell CROSS JOIN tot t
+        |ORDER BY f.cell""".stripMargin,
+
+    // the int8 lattice self-dot is exact BIGINT; bin_lo = nq - nq % width
+    "x173_embedding_norm_audit" ->
+      """WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> qv[i] * qv[i])), (a, b) -> a + b) AS nq FROM q),
+        |b AS (SELECT (nq - (nq % 2048))::BIGINT AS bin_lo FROM n),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM q)
+        |SELECT bin_lo, count(*)::BIGINT AS n_vectors,
+        |       round(count(*)::DOUBLE / any_value(t.n_total), 4) AS share4
+        |FROM b CROSS JOIN tot t GROUP BY bin_lo
+        |ORDER BY bin_lo""".stripMargin,
   )
 }

@@ -668,6 +668,77 @@ object Similarity {
     * per-microbatch serving shape (EXT-6i): train once, probe each
     * arriving query batch against only the cells it fans out to.
     */
+  /** EXT-S28 (`x172_ivf_cell_balance`) — IVF index HEALTH census: the
+    * population of every cell under [[ivfTopK]]'s assignment (same
+    * seeded centroids, same argmax, same tie-break), with each cell's
+    * corpus share. The audit read BEFORE tuning nprobe (x170): a hot
+    * cell means every query probing it re-ranks a corpus-sized
+    * candidate list (the recall/cost table lies when one cell holds
+    * half the index), and an EMPTY cell is a dead centroid — wasted
+    * probe budget and the signal to retrain ([[kmeansCentroids]]).
+    * Cells with zero members are present with n_vectors = 0 — absence
+    * is the finding, so it must be a row, not a missing row.
+    *
+    * Scale: the one corpus pass is the nCentroids-literal argmax
+    * projection; the census folds map-side to ≤ nCentroids rows, and
+    * the centroid-id frame (a range literal) left-joins it so dead
+    * cells surface. Report is nCentroids rows.
+    */
+  def ivfCellBalance(
+      spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    require(cents.length == nCentroids,
+      s"ivf: seeding needs vectors with vec_id 0..${nCentroids - 1}, found ${cents.length}")
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    val census = emb
+      .select((lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    spark.range(nCentroids).select(col("id").cast("int").as("cell"))
+      .join(census, Seq("cell"), "left")
+      .crossJoin(broadcast(total)) // 1-row totals join
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        round(coalesce(col("n_vectors"), lit(0L)).cast("double") / col("n_total"), 4)
+          .as("share4"))
+      .orderBy("cell")
+  }
+
+  /** EXT-S29 (`x173_embedding_norm_audit`) — norm-distribution census
+    * over the int8 lattice: per squared-norm bin (`‖q‖² div binWidth` —
+    * exact BIGINT, [[quantize]]'s lattice so the norm is engine-exact),
+    * the vector count and corpus share. The mixed-batch detector: a
+    * corpus that is SUPPOSED to be L2-normalized lives in one narrow
+    * band around 127² — a second mode at another norm means an
+    * unnormalized (or differently-scaled) embedding batch slipped in,
+    * which silently breaks every dot-as-cosine consumer (x5/x14/x54)
+    * BEFORE any recall metric notices. x94 audits dimensions one at a
+    * time; this audits the vector length the dot products actually see.
+    *
+    * Scale: one narrow corpus pass (row-local int8 quantize + exact
+    * integer self-dot), folded map-side to ≤ dim·254²/binWidth bins.
+    */
+  def embeddingNormAudit(
+      spark: SparkSession, dir: String, binWidth: Long = 2048L): DataFrame = {
+    require(binWidth >= 1, s"binWidth ($binWidth) must be positive")
+    val nq = graft.functions.DotProduct.dot_l(col("qv"), col("qv"))
+    int8Corpus(spark, dir)
+      .select((nq - pmod(nq, lit(binWidth))).as("bin_lo"))
+      .groupBy("bin_lo").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_total"))))
+      .select(col("bin_lo"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("n_total"), 4).as("share4"))
+      .orderBy("bin_lo")
+  }
+
   /** EXT-S27 (`x170_ann_nprobe_sweep`) — the IVF RECALL/COST tuning
     * table: [[ivfTopK]]'s multi-probe knob swept over `nprobes`, each
     * setting's top-k measured against the float brute-force truth

@@ -860,4 +860,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       Similarity.annNprobeSweep(spark, dir, nprobes = Seq(0))).getMessage.contains("nprobes"))
   }
 
+
+  test("ivfCellBalance (x172): census partitions the corpus; dead cells surface as zero rows") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    val cents = emb.take(16).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val assign = emb.map { case (_, v) =>
+      cents.zipWithIndex.map { case (c, i) => (-dot(v, c), i) }.min._2
+    }
+    val expected = (0 until 16).map(c => c -> assign.count(_ == c).toLong).toMap
+    val rows = Similarity.ivfCellBalance(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0 until 16))
+    rows.foreach { case (c, n, sh) =>
+      assert(n == expected(c), s"cell $c")
+      assert(sh == math.rint(n.toDouble / emb.length * 10000) / 10000)
+    }
+    assert(rows.map(_._2).sum == emb.length, "census must partition the corpus")
+  }
+
+  test("embeddingNormAudit (x173): bins are width-aligned and partition the corpus; unit vectors one band") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.operators.Tables.embeddings(spark, dir).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 127.0 + 0.5).toLong))
+    val norms = emb.map(v => v.map(x => x * x).sum)
+    val expected = norms.groupBy(n => n - (n % 2048L)).view.mapValues(_.length.toLong).toMap
+    val rows = Similarity.embeddingNormAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => t._1 -> t._2).toMap == expected)
+    assert(rows.forall(_._1 % 2048L == 0L))
+    assert(rows.map(_._2).sum == emb.length)
+    // the harness embeddings are L2-normalized: everything lands within
+    // a narrow band around 127^2 = 16129
+    assert(rows.map(_._1).forall(lo => lo >= 8192L && lo <= 24576L),
+      s"unexpected norm bands: ${rows.map(_._1).mkString(",")}")
+  }
+
 }
