@@ -12,14 +12,21 @@ import org.apache.spark.sql.SparkSession
   * running). The file is the lossless record; the stdout line remains
   * the driver contract.
   *
-  * A LOADED session is flagged, not silently recorded: five canary
+  * A LOADED session is flagged, not silently recorded: seven canary
   * queries (stable, ≥1 s, code-untouched for rounds) run after warm-up
   * and their median ratio against the recorded BASELINE.md driver
   * column is reported as `load_ratio`; `"loaded": true` when it
   * exceeds 1.3× — BASELINE.md's own regression threshold. Cross-session
   * machine load moves the whole pack together (measured in r03/r06/r08),
   * so a loaded session must not become the round's performance record
-  * without the flag saying so.
+  * without the flag saying so. Three further gates (r14/r15, each one
+  * closing a way a polluted session certified itself): ANY single
+  * pre-run canary above 1.5× (or failed) flips `canary_hot`; a canary
+  * probe re-runs INSIDE the main passes every ~25 queries and any probe
+  * above 1.5× (or failed, or none run) flips `mid_hot`; and every
+  * per-query row records the 1-min loadavg at its finish so a hot row
+  * is adjudicable load-vs-regression from the artifact alone.
+  * `record_ok` requires all three gates clean.
   */
 object Bench {
   /** sf0.1 driver-session seconds from BASELINE.md's per-query table
@@ -99,59 +106,82 @@ object Bench {
     val ratios = canaries.map(_._4).filter(_ > 0).sorted
     val loadRatio = if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
     val loaded = loadRatio > 1.3
+    // r15: the median alone CERTIFIED a polluted session in r14 — the
+    // pre-run median read 1.21 while two individual canaries sat at
+    // 1.71× and 1.62×, above the very 1.5× line the mid-probes enforce,
+    // and 22 main-pass rows then read >2× their quiet columns. A single
+    // canary above 1.5× (or a canary that fails outright) now
+    // disqualifies the record on its own.
+    val canaryHot = canaries.exists(c => c._4 > 1.5 || c._4 <= 0)
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // MID-RUN canary re-probes (r14, widened r15): the pre-run canary
+    // table cannot see load that arrives DURING the ~2×180-query main
+    // passes (the r13 hot session read canaries 1.22× while x161 moved
+    // 13.9× mid-run; the r14 hot session's TWO post-pass probes landed
+    // in a quiet burst and cleared it). A probe now runs INSIDE the
+    // passes every ~25 queries — alternating one scan-shaped and one
+    // contraction-shaped canary — so bursty load has ~14 chances to be
+    // seen, not 2. Single-query noise band is wider than the 5-canary
+    // median's, so the flag line is 1.5×, not 1.3×. A probe that FAILS
+    // is disqualifying, not filtered: a gate whose probes all crashed
+    // has not probed anything.
+    val probeNames = Seq("x41_tfidf_terms", "x121_cluster_sizes")
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    var probeIdx = 0
+    def midProbe(): Unit = {
+      val name = probeNames(probeIdx % probeNames.length)
+      probeIdx += 1
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t = try math.min(time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
+                catch { case _: Throwable => -1.0 }
+        midProbes += ((name, t, if (t > 0) t / canaryBaseline(name) else -1.0))
+      }
+    }
     // two passes, best-of per query: single-run times vary ±30% in this
     // shared environment (GC, JIT, page cache); min is the stable signal.
     // A failed query records -1 — a breakage must never read as a
-    // performance win.
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        try name -> time(exec(fn(spark, sfDir)))
-        catch { case _: Throwable => name -> -1.0 }
+    // performance win. Each query also records the 1-min loadavg at its
+    // finish, so load-vs-regression on any single row is adjudicable
+    // from the artifact without a re-run.
+    def pass(): Seq[(String, Double, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % 25 == 0) midProbe()
+        val t = try time(exec(fn(spark, sfDir)))
+        catch { case _: Throwable => -1.0 }
+        (name, t, loadavg())
       }
     val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      (n, a, b, if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val results = p1.zip(p2).map { case ((n, a, la), (_, b, lb)) =>
+      (n, a, b, if (a < 0 || b < 0) -1.0 else math.min(a, b), la, lb)
     }
-    // MID-RUN canary re-probe (r14): the pre-run canary table cannot see
-    // load that arrives DURING the ~2×100-query main passes (the r13 hot
-    // session read canaries 1.22× while x161 moved 13.9× mid-run). Two
-    // re-probes after the main passes — one scan-shaped, one
-    // contraction-shaped — flag a session that went hot after the
-    // canaries cleared it. Single-query noise band is wider than the
-    // 5-canary median's, so the flag line is 1.5×, not 1.3×.
-    val midProbes = Seq("x41_tfidf_terms", "x121_cluster_sizes").flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t = try math.min(time(exec(fn(spark, sfDir))), time(exec(fn(spark, sfDir))))
-                catch { case _: Throwable => -1.0 }
-        (name, t, if (t > 0) t / canaryBaseline(name) else -1.0)
-      }
-    }
-    val midRatios = midProbes.map(_._3).filter(_ > 0)
-    val midHot = midRatios.nonEmpty && midRatios.max > 1.5
-    val qs = results.map { case (k, _, _, v) => s"\"" + k + "\":" + v }
+    val midHot =
+      midProbes.isEmpty || midProbes.exists(p => p._3 > 1.5 || p._2 <= 0)
+    val qs = results.map { case (k, _, _, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // any failed query poisons the total: summing the -1 sentinels would
     // LOWER it, making a breakage read as a performance win
     val total =
       if (results.exists(_._4 < 0)) -1.0 else results.map(_._4).sum
-    val loadavg1 =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    // lossless artifact: every per-pass time, the canary table, and the
-    // load verdict — machine-readable regardless of stdout truncation
-    // the session's record verdict: pre-run canary median AND the
-    // mid-run re-probes must both sit under their flag lines, or this
-    // session must not become the round's performance record
-    val recordOk = !loaded && !midHot
+    val loadavg1 = loadavg()
+    // lossless artifact: every per-pass time (with its loadavg), the
+    // canary table, every mid-run probe, and the load verdict —
+    // machine-readable regardless of stdout truncation.
+    // the session's record verdict: the pre-run canary median AND every
+    // individual canary AND every mid-run probe must sit under their
+    // flag lines — and the probes must have actually run and succeeded —
+    // or this session must not become the round's performance record
+    val recordOk = !loaded && !canaryHot && !midHot
     val fileJson = {
       val canaryJson = canaries.map { case (n, t, b, r) =>
         s"""    "$n": {"sec": $t, "baseline": $b, "ratio": $r}"""
       }.mkString("{\n", ",\n", "\n  }")
-      val midJson = midProbes.map { case (n, t, r) =>
-        s"""    "$n": {"sec": $t, "ratio": $r}"""
+      val midJson = midProbes.zipWithIndex.map { case ((n, t, r), i) =>
+        s"""    "probe$i": {"name": "$n", "sec": $t, "ratio": $r}"""
       }.mkString("{\n", ",\n", "\n  }")
-      val perQuery = results.map { case (n, a, b, best) =>
-        s"""    "$n": {"p1": $a, "p2": $b, "best": $best}"""
+      val perQuery = results.map { case (n, a, b, best, la, lb) =>
+        s"""    "$n": {"p1": $a, "p2": $b, "best": $best, "load1": $la, "load2": $lb}"""
       }.mkString("{\n", ",\n", "\n  }")
       s"""{
   "sf": "$sfDir",
@@ -160,6 +190,7 @@ object Bench {
   "loadavg1": $loadavg1,
   "load_ratio": $loadRatio,
   "loaded": $loaded,
+  "canary_hot": $canaryHot,
   "mid_probes": $midJson,
   "mid_hot": $midHot,
   "record_ok": $recordOk,
@@ -172,7 +203,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       fileJson.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ratio":$loadRatio,"loaded":$loaded,"mid_hot":$midHot,"record_ok":$recordOk,"out":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_ratio":$loadRatio,"loaded":$loaded,"canary_hot":$canaryHot,"mid_hot":$midHot,"record_ok":$recordOk,"out":"$outPath"}""")
     spark.stop()
   }
 }

@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, Tables, TextAnalysis}
+import graft.operators.{Curation, Similarity, Tables, TextAnalysis}
 
-/** Serving-latency benchmark for the four persisted indexes (VERDICT r9
-  * task 7): IVF, sign-signature, BM25, and PQ. The correctness specs
+/** Serving-latency benchmark for the five persisted indexes (VERDICT r9
+  * task 7; cluster rows added per VERDICT r14 task 7): IVF,
+  * sign-signature, BM25, PQ, and the near-dup cluster index (the
+  * EXT-6aj gate's batch face plus its report consumers). The correctness specs
   * already pin probe results and pruning; this records the missing SLO
   * number — per-probe-BATCH wall time against an index built once —
   * next to the build cost, because "train once, probe forever" is only
@@ -85,6 +87,19 @@ object ServeBench {
     builds("pq") = time(Similarity.writePqIndex(spark, sfDir, s"$root/pq"))
     probes("pq_adc") = medianProbe(() =>
       Similarity.pqTopKFromIndex(spark, s"$root/pq", queries))
+
+    // the cluster index (EXT-6aj's batch face): the gate's membership
+    // lookup over a doc_id batch (bucket-pruned), plus the two
+    // report-every-run consumers the FromIndex adoption serves
+    val docProbe = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"))
+      .localCheckpoint() // time the INDEX probe, not the id-batch read
+    builds("cluster") = time(Curation.writeClusterIndex(spark, sfDir, s"$root/cluster"))
+    probes("cluster_gate") = medianProbe(() =>
+      Curation.lookupClustersFromIndex(spark, s"$root/cluster", docProbe))
+    probes("cluster_sizes") = medianProbe(() =>
+      Curation.clusterSizesFromIndex(spark, s"$root/cluster", sfDir))
 
     def js(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }.mkString("{", ",", "}")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Linkage, Multimodal, Payload, Replication, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Linkage, Multimodal, Payload, Replication, Similarity, Skew, Tables, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -392,7 +392,40 @@ object SparkEntry {
     "x172_ivf_cell_balance" -> ((s, dir) => Similarity.ivfCellBalance(s, dir)),
     // mixed-batch detector: squared-norm census over the int8 lattice
     "x173_embedding_norm_audit" -> ((s, dir) => Similarity.embeddingNormAudit(s, dir)),
+    // persisted-index probe paths AS oracle keys: build (once per JVM)
+    // → stamp-validate → probe, hash-checked against the in-memory
+    // twin's oracle — so a regression anywhere in the write→stamp→probe
+    // path surfaces in the per-round DuckDB check, not only in a spec
+    "x174_cluster_sizes_indexed" -> ((s, dir) =>
+      Curation.clusterSizesFromIndex(s, ensureClusterIndex(s, dir), dir)),
+    "x175_ivf_topk_indexed" -> ((s, dir) =>
+      Similarity.ivfTopKFromIndex(s, ensureIvfIndex(s, dir), Tables.embeddings(s, dir))),
   )
+
+  /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.
+    * The FIRST touch in a JVM REBUILDS the index from the corpus into a
+    * fresh temp directory — every correctness/bench session therefore
+    * exercises the full write→stamp→probe path (and can never read a
+    * stale on-disk index from an earlier corpus) — and later touches in
+    * the same JVM go straight to the probe: the train-once
+    * serve-forever split the index exists for, and what the bench then
+    * measures per pass.
+    */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureIndex(kind: String, dir: String)(build: String => Unit): String =
+    builtIndexes.computeIfAbsent(s"$kind|$dir", { _ =>
+      val path = java.nio.file.Files.createTempDirectory(s"graft-$kind-idx-").toString
+      build(path)
+      path
+    })
+
+  private def ensureClusterIndex(s: SparkSession, dir: String): String =
+    ensureIndex("cluster", dir)(p => Curation.writeClusterIndex(s, dir, p))
+
+  private def ensureIvfIndex(s: SparkSession, dir: String): String =
+    ensureIndex("ivf", dir)(p => Similarity.writeIvfIndex(s, dir, p))
 
   /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
     * stays readable — each oracle string is standalone).
@@ -712,7 +745,7 @@ object SparkEntry {
     (kmeansCtes(k, iters) :+ finalAssign).mkString(",\n")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private def oracleBase: Map[String, String] = Map(
     "x35_kmeans_centroids" -> kmeansOracle(k = 8, iters = 2),
     "d1_regex_subscribe" ->
       "SELECT * FROM events WHERE regexp_matches(event_type, '^[^_].*') ORDER BY event_id",
@@ -3754,4 +3787,13 @@ object SparkEntry {
         |FROM b CROSS JOIN tot t GROUP BY bin_lo
         |ORDER BY bin_lo""".stripMargin,
   )
+
+  /** The `*_indexed` keys are spec-pinned bit-equal to their in-memory
+    * twins, so each reuses its twin's oracle VERBATIM — one SQL
+    * spelling per result shape, and the persisted path is held to the
+    * exact same hash.
+    */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "x174_cluster_sizes_indexed" -> oracleBase("x121_cluster_sizes"),
+    "x175_ivf_topk_indexed" -> oracleBase("x15_ann_ivf"))
 }

@@ -579,23 +579,6 @@ object Curation extends CurationClusters {
       .orderBy("alpha_pct", "source")
   }
 
-  /** EXT-C64 (`x163_curation_funnel`) — the pipeline FUNNEL: doc and
-    * token mass surviving each cumulative curation stage —
-    * 1 raw → 2 quality keepers (x19's exact gate) → 3 dedup survivors
-    * (drop non-canonical cluster members, x29's rule) → 4 the train
-    * split (x21's bucket) — with each stage's fraction of raw. x29 IS
-    * stage 4 as a per-doc relation; this is the capacity-planning
-    * summary over the identical predicates (spec-pinned: the stage-4
-    * doc count equals `curatedCorpus.count()`), answering the question
-    * every 100 TB ingest starts with: how many training tokens does
-    * this crawl actually yield, and which stage eats them.
-    *
-    * Scale: ONE corpus scan computes tokens + the quality flags
-    * row-locally; the cluster labels (tiny) and split flag join on
-    * doc_id; everything then collapses through a SINGLE 1-row partial
-    * agg (8 conditional sums) exploded to the 4-row report — no
-    * window, no second scan, shuffle carries one row per partition.
-    */
   /** EXT-C61 (`x167_epoch_allocation`) — repetition epochs under a fixed
     * training-token budget: the data-constrained-scaling planner (the
     * question Muennighoff et al. 2023 answer empirically — repeating a
@@ -678,6 +661,23 @@ object Curation extends CurationClusters {
     }.reduce(_ unionByName _).orderBy("k")
   }
 
+  /** EXT-C64 (`x163_curation_funnel`) — the pipeline FUNNEL: doc and
+    * token mass surviving each cumulative curation stage —
+    * 1 raw → 2 quality keepers (x19's exact gate) → 3 dedup survivors
+    * (drop non-canonical cluster members, x29's rule) → 4 the train
+    * split (x21's bucket) — with each stage's fraction of raw. x29 IS
+    * stage 4 as a per-doc relation; this is the capacity-planning
+    * summary over the identical predicates (spec-pinned: the stage-4
+    * doc count equals `curatedCorpus.count()`), answering the question
+    * every 100 TB ingest starts with: how many training tokens does
+    * this crawl actually yield, and which stage eats them.
+    *
+    * Scale: ONE corpus scan computes tokens + the quality flags
+    * row-locally; the cluster labels (tiny) and split flag join on
+    * doc_id; everything then collapses through a SINGLE 1-row partial
+    * agg (8 conditional sums) exploded to the 4-row report — no
+    * window, no second scan, shuffle carries one row per partition.
+    */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nonCanon = dedupClusters(spark, dir)

@@ -432,7 +432,10 @@ object Graph {
     * uses — each round is ONE edge-keyed equi-join (frontier ⋈ edges),
     * a distinct, and an anti-join against the settled set; rounds =
     * eccentricity, not node count (measured on the harness near-dup
-    * graph: 19 rings at the 10× slice's 17k clustered docs). Same bounded driver-loop contract as the peel
+    * graph: 19 rings at the 10× slice's 17k clustered docs — which is
+    * why the default budget is 24, x157's round budget, not a
+    * round-number 8 that the first realistic graph would blow through).
+    * Same bounded driver-loop contract as the peel
     * engines: converges when the frontier empties, THROWS past
     * `maxHops` expansion rounds instead of silently truncating
     * distances.
@@ -440,7 +443,7 @@ object Graph {
     * `sources` is a `node` relation; unreachable nodes are absent from
     * the result (callers decide whether absence is an error).
     */
-  def hopsFrom(pairRelation: DataFrame, sources: DataFrame, maxHops: Int = 8): DataFrame = {
+  def hopsFrom(pairRelation: DataFrame, sources: DataFrame, maxHops: Int = 24): DataFrame = {
     val pairs = pairRelation.select(col("d1"), col("d2")).localCheckpoint()
     val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))

@@ -548,9 +548,20 @@ object Similarity {
       nCentroids: Int = 16,
       queryMod: Option[Int] = None,
       nprobe: Int = 1): DataFrame = {
-    import spark.implicits._
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
+    val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
+    ivfProbe(withCell, scoredCells, nCentroids, k, queryMod, nprobe)
+  }
+
+  /** The ONE expensive IVF corpus pass of [[ivfTopK]], shared with
+    * [[annNprobeSweep]] so a sweep pays it once: the cell-labeled,
+    * cell-partitioned, materialized corpus plus the argmax expression
+    * the query side reuses for multi-probe fan-out.
+    */
+  private def ivfAssignment(
+      spark: SparkSession, dir: String, nCentroids: Int): (DataFrame, Column) = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int"), col("embedding"))
@@ -570,6 +581,20 @@ object Similarity {
       (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
       .repartition(col("cell"))
       .localCheckpoint()
+    (withCell, scoredCells)
+  }
+
+  /** The probe half of [[ivfTopK]] over an already-materialized
+    * assignment: query-side sampling + nprobe fan-out + the cell
+    * equi-join. Never touches the corpus beyond `withCell`.
+    */
+  private def ivfProbe(
+      withCell: DataFrame,
+      scoredCells: Column,
+      nCentroids: Int,
+      k: Int,
+      queryMod: Option[Int],
+      nprobe: Int): DataFrame = {
     // evaluation callers sample the query side; the filter lands BEFORE
     // the cell join so unsampled queries are never scored (the corpus/
     // candidate side always stays full — recall is against the whole
@@ -751,9 +776,11 @@ object Similarity {
     * the monotonicity is the spec's law).
     *
     * Scale: the truth leg is the x5 brute audit paid once (its
-    * deliberate n·m cost, fixed-|queries| in production); each sweep
-    * point pays one cell-equi-join probe (|queries|·nprobe fan-out,
-    * index side never grows). The report is |nprobes| rows.
+    * deliberate n·m cost, fixed-|queries| in production); the IVF
+    * corpus cell-assignment pass ([[ivfAssignment]]) is ALSO paid once
+    * and shared across the sweep — each sweep point pays only the
+    * query-side probe fan-out + cell equi-join (|queries|·nprobe
+    * rows, index side never grows). The report is |nprobes| rows.
     */
   def annNprobeSweep(
       spark: SparkSession,
@@ -769,8 +796,11 @@ object Similarity {
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint() // the one expensive truth leg, shared by every sweep point
+    // the cell assignment is the OTHER shared expensive pass: built once
+    // here, each sweep point varies only the query-side probe fan-out
+    val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
     nprobes.map { np =>
-      val approx = ivfTopK(spark, dir, k, nCentroids, Some(queryMod), np)
+      val approx = ivfProbe(withCell, scoredCells, nCentroids, k, Some(queryMod), np)
         .select(col("vec_id"), col("neighbor_id"))
       recallTail(exact, approx, k)
         .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
@@ -1687,24 +1717,43 @@ object Similarity {
       iters: Int = 2): (Array[Array[Array[Long]]], Int) = {
     require(iters >= 0, s"pq: iters ($iters) must be >= 0")
     // train-once-per-corpus: the codebooks are a pure deterministic
-    // function of (dir, m, ksub, iters), so every consumer in a session
-    // (encode, topK, recall's two legs, the index writer) shares ONE
-    // training run — the production train/serve split, and the same
-    // path-keyed staleness contract as the measured-size cache (a
-    // corpus REWRITTEN in place at the same path must start a new
-    // session or call trainPqCodebooks directly)
+    // function of (corpus content, m, ksub, iters), so every consumer
+    // in a session (encode, topK, recall's two legs, the index writer)
+    // shares ONE training run — the production train/serve split. The
+    // cache is validated against a CONTENT stamp (count +
+    // order-insensitive xxhash64 XOR — the writeClusterIndex contract),
+    // not just the path, so a corpus rewritten in place at the same
+    // path retrains instead of silently serving stale codebooks. The
+    // stamp is one narrow two-column scan per call — the price of the
+    // staleness guarantee, and trivially amortized against the
+    // iters-round training pass it guards.
     val key = s"$dir|pq|$m|$ksub|$iters"
-    trainedCodebooks.get(key) match {
-      case cached: ((Array[Array[Array[Long]]], Int) @unchecked) if cached != null => cached
-      case _ =>
-        val trained = trainPqCodebooks(spark, dir, m, ksub, iters)
-        trainedCodebooks.putIfAbsent(key, trained)
-        trained
+    val stamp = embStamp(spark, dir)
+    val cached = trainedCodebooks.get(key)
+    if (cached != null && cached._2 == stamp) cached._1
+    else {
+      val trained = trainPqCodebooks(spark, dir, m, ksub, iters)
+      trainedCodebooks.put(key, (trained, stamp))
+      trained
     }
   }
 
   private val trainedCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Array[Long]]], Int)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Array[Array[Array[Long]]], Int), (Long, Long))]()
+
+  /** Embedding-corpus identity for the codebook cache: count +
+    * order-insensitive `xxhash64(vec_id, embedding)` XOR — one narrow
+    * scan. Any add/remove/substitute of a vector flips the XOR (up to
+    * collisions, which the count also guards), the same contract as
+    * `CurationClusters.corpusStamp` for the persisted cluster index.
+    */
+  private def embStamp(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(vec_id, embedding))").as("x")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   /** The uncached training run behind [[pqCodebooks]] — see there for
     * the algorithm contract.

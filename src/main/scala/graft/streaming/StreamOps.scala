@@ -1442,6 +1442,59 @@ object StreamOps {
       .drop("_idx_cluster")
   }
 
+  /** EXT-6ak — ingest-time SPLIT-LEAKAGE gate: does this arriving
+    * document near-dup a member of ANOTHER split? The composition of
+    * [[clusterGateStream]] (the persisted cluster index resolves the
+    * doc's near-dup family) with the x66/x171 split-leakage law (a
+    * cross-split near-dup means the eval side is memorized, not held
+    * out): each arriving doc gets its x21 split verdict ROW-LOCALLY
+    * (the ONE md5 derivation,
+    * [[graft.operators.Curation.splitVerdict]], so the stream and the
+    * batch split can never drift), its cluster from the index, and
+    * `cross_split = true` when its family contains a member assigned
+    * to a DIFFERENT split. This is the gate a training shard-writer
+    * puts in front of ingest: a train doc whose family holds a
+    * val/test member must not ship (x71's precedence rule decides who
+    * yields; this gate is the live detector).
+    *
+    * The verdict is deliberately the TRANSITIVE form — the family
+    * spans ≥ 2 splits — not merely "has a direct cross-split pair":
+    * chain-stitched leakage (a near-dup of a near-dup, the distance
+    * x157 prices) leaks the same eval content, so every direct x66
+    * pair member is flagged (the containment law the spec pins) plus
+    * the chain-stitched tail.
+    *
+    * Stateless: the per-cluster split census is a static relation
+    * (the label read + the row-local verdict, folded to |clusters|
+    * rows); the stream pays one doc_id-keyed left join to the labels
+    * and one cluster-keyed left join to that census — no watermark, no
+    * streaming state, and at-least-once replays re-derive the
+    * identical verdict. The census asks only SET-membership questions
+    * of `collect_set` (never order), so its engine-chosen array order
+    * cannot leak into the verdict.
+    */
+  def splitLeakGateStream(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
+    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    val labels = spark.read.schema("doc_id LONG, cluster LONG, bucket INT")
+      .parquet(s"$indexPath/labels")
+      .select(col("doc_id"), col("cluster"))
+    val famSplits = labels
+      .select(col("cluster").as("_fam"),
+        graft.operators.Curation.splitVerdict(col("doc_id")).as("_msplit"))
+      .groupBy("_fam").agg(collect_set(col("_msplit")).as("_splits"))
+    docs
+      .withColumn("split", graft.operators.Curation.splitVerdict(col("doc_id")))
+      .join(labels.withColumnRenamed("cluster", "_idx_cluster"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("_idx_cluster"), col("doc_id")))
+      .withColumn("clustered", col("_idx_cluster").isNotNull)
+      .join(famSplits, col("cluster") === col("_fam"), "left")
+      .withColumn("cross_split",
+        coalesce(size(array_remove(col("_splits"), col("split"))) > 0, lit(false)))
+      .drop("_idx_cluster", "_fam", "_splits")
+  }
+
   /** One CDC document version: the content digest as-of `seq` (a
     * monotonically increasing per-doc version number — commit LSN,
     * kafka offset, snapshot ordinal); a null digest is a DELETE

@@ -1936,6 +1936,69 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("corrupt cluster index"))
   }
 
+  test("EXT-6ak splitLeakGateStream: gate equals the batch family-span law; x66 members flagged; corrupt index refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // controlled fixture: ids 0 (val) / 1 (train) / 4 (train) share one
+    // near-dup family (cross-split); 5 / 6 (both train) share a pure
+    // same-split family; 2 (test) is an unclustered singleton. The
+    // split verdicts are md5-determined by doc_id — computed offline
+    // and pinned below.
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine ten"
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> famA, 1L -> famA, 4L -> famA,
+      5L -> famB, 6L -> famB,
+      2L -> "wholly unrelated singleton text with unique tokens qq ww ee rr"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-leakidx").toString
+    graft.operators.Curation.writeClusterIndex(spark, dir, idx)
+    // the batch face of the law: family-span over the same labels + split
+    val members = graft.operators.Curation.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(members.keySet == Set(0L, 1L, 4L, 5L, 6L))
+    val splits = Map(0L -> "val", 1L -> "train", 2L -> "test",
+      4L -> "train", 5L -> "train", 6L -> "train")
+    val famSplits = members.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.keys.map(splits).toSet }
+    def batchVerdict(d: Long): Boolean =
+      members.get(d).exists(c => (famSplits(c) - splits(d)).nonEmpty)
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L)
+    val stream = MemoryStream[Long]
+    val q = StreamOps.splitLeakGateStream(stream.toDF().toDF("doc_id"), idx)
+      .writeStream.format("memory").queryName("leakgate_out").outputMode("append").start()
+    try {
+      stream.addData(ids: _*)
+      q.processAllAvailable()
+      val got = spark.table("leakgate_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("split"),
+          r.getAs[Long]("cluster"), r.getAs[Boolean]("clustered"),
+          r.getAs[Boolean]("cross_split")))).toMap
+      ids.foreach { d =>
+        val (s, c, cl, x) = got(d)
+        assert(s == splits(d), s"doc $d: stream split must be the one md5 derivation")
+        assert(c == members.getOrElse(d, d) && cl == members.contains(d),
+          s"doc $d: the cluster face must resolve exactly as EXT-6aj")
+        assert(x == batchVerdict(d),
+          s"doc $d: gate verdict must equal the batch family-span law")
+      }
+      // the cross-split family is flagged in FULL (train members
+      // included); the pure family and the singleton pass
+      assert(Seq(0L, 1L, 4L).forall(got(_)._4) &&
+        !got(5L)._4 && !got(6L)._4 && !got(2L)._4)
+      // containment: every direct x66 pair member is gate-flagged
+      val x66 = graft.operators.Curation.splitLeakage(spark, dir).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      assert(x66.nonEmpty && x66.forall(got(_)._4))
+    } finally q.stop()
+    // the guard: a corrupt (multi-meta) index is refused before any join
+    val bad = java.nio.file.Files.createTempDirectory("graft-leakidx-bad").toString
+    spark.read.parquet(s"$idx/meta").unionAll(spark.read.parquet(s"$idx/meta"))
+      .write.mode("overwrite").parquet(s"$bad/meta")
+    val err = intercept[IllegalArgumentException](
+      StreamOps.splitLeakGateStream(stream.toDF().toDF("doc_id"), bad))
+    assert(err.getMessage.contains("corrupt cluster index"))
+  }
+
   test("EXT-6ab novelChunkStream: re-crawls emit nothing; an edit emits exactly its changed chunk") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
