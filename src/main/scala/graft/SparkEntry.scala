@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Curation, Dedup, Linkage, Multimodal, Payload, Replication, Similarity, Skew, Tables, Temporal, TextAnalysis}
+import graft.entries.OracleCtes._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,14 @@ import graft.operators.{Curation, Dedup, Linkage, Multimodal, Payload, Replicati
   *    identically-ordered left folds (never engine-ordered double sums);
   *  - ties are always broken by an explicit deterministic key.
   */
-object SparkEntry {
+object SparkEntry
+    extends graft.entries.ParityOracles
+    with graft.entries.DedupOracles
+    with graft.entries.SimilarityOracles
+    with graft.entries.TextOracles
+    with graft.entries.CurationOracles
+    with graft.entries.TemporalOracles
+    with graft.entries.MiscOracles {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -427,3366 +435,14 @@ object SparkEntry {
   private def ensureIvfIndex(s: SparkSession, dir: String): String =
     ensureIndex("ivf", dir)(p => Similarity.writeIvfIndex(s, dir, p))
 
-  /** Shared DuckDB CTE fragments (kept as constants so the per-query SQL
-    * stays readable — each oracle string is standalone).
+  /** The per-family oracle maps live in `graft.entries` (split at r15:
+    * 182 bindings + oracles in one file hit the maintainability wall);
+    * this aggregation is still ONE map with the same keys as
+    * [[queries]] — `VerifySpec`-style key-set equality is unchanged.
     */
-  private val shinglesCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-      |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |jac AS (SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
-      |               inter::DOUBLE / (s1.n + s2.n - inter) AS jaccard
-      |        FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)""".stripMargin
-
-  private val dotCte = // identical left-fold order as Similarity.dot
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b)"
-
-  /** x103's k and query-sampling modulus — the SAME constants feed the
-    * Spark call in `queries` and the interpolated oracle SQL, so a
-    * default change on either side cannot silently break agreement.
-    */
-  private val agreementK = 5
-  private val agreementQueryMod = 10
-
-  /** x111–x114 audit constants — the SAME values feed the Spark calls
-    * and the interpolated oracle SQL (the x103 no-drift contract).
-    */
-  private val editMinSim = 0.5
-  private val contamTau = 0.35
-  private val contamBenchMod = 20
-  private val oovVocabSize = 100
-  private val outlierPctDen = 20
-
-  /** x116/x117 constants — same no-drift contract. */
-  private val containTau = 0.9
-  private val bleedBudget = 512L
-  private val bleedWindows = Seq(4L, 16L, 64L)
-
-  /** x119/x120/x124 constants — same no-drift contract. */
-  private val coveragePcts = Seq(50, 90, 95, 99)
-  private val zipfMaxRankLog2 = 7
-  private val kanonK = 25L
-
-  /** x126/x128/x130 CDC geometry — same no-drift contract. */
-  private val cdcK = 4
-  private val cdcDivisor = 16L
-
-  /** x125 MinHash geometry — same no-drift contract. The oracle's band
-    * CTE spells its per-band minima as four positional columns, so the
-    * rows-per-band ratio is structurally pinned to 4: changing either
-    * constant without rewriting that CTE fails here, loudly, instead of
-    * silently desyncing the engines.
-    */
-  private val mh125Hashes = 16
-  private val mh125Bands = 4
-  require(mh125Hashes / mh125Bands == 4 && mh125Hashes % mh125Bands == 0,
-    s"x125 oracle CTE is spelled for 4 rows per band " +
-      s"(numHashes=$mh125Hashes, bands=$mh125Bands)")
-
-  /** x131 swept thresholds (percent) — same no-drift contract. */
-  private val sweepPcts = Seq(60, 70, 80, 90)
-
-  /** x133 cluster-edge similarity threshold (applied to the rounded
-    * sim4 BOTH engines hash-match on, so the predicate classifies every
-    * pair identically) — same no-drift contract.
-    */
-  private val entityClusterSim = 0.7
-
-  /** x134 PageRank steps and rank scale — the oracle UNROLLS one CTE
-    * block per step (the x35 Lloyd convention), so `prIters` is
-    * structurally pinned to the generated SQL; `prScale` rides into
-    * both engines' integer arithmetic verbatim.
-    */
-  private val prIters = 5
-  private val prScale = 1000000000L
-
-  /** x154 truss level and peel-round budget — the oracle UNROLLS one
-    * peel block per round (the x134 convention), so `trussRounds` is
-    * structurally pinned to the generated SQL; the Spark loop THROWS
-    * past `trussRounds` removal rounds, so a green row proves the
-    * fixpoint was reached and the oracle's extra identity blocks are
-    * exactly that.
-    */
-  private val trussK = 4
-  private val trussRounds = 6
-
-  /** x155 tight threshold (the delta is hamming in (incTight, 4]) —
-    * same no-drift contract.
-    */
-  private val incTight = 2
-
-  /** x156 core level and peel-round budget — the x154 unroll/throw
-    * contract, at node granularity. The budget is wider than the
-    * truss's because node-peel cascades run deeper (measured: 5 removal
-    * rounds at sf0.1, 9 at the 10× slice — geometric shedding with a
-    * shallow tail); identity blocks past the fixpoint cost the oracle
-    * nothing at the gate scale.
-    */
-  private val coreK = 3
-  private val coreRounds = 12
-
-  /** x157 BFS expansion budget — the oracle unrolls one frontier block
-    * per hop (the x154 convention); the Spark loop throws if any node
-    * is still unreached past it.
-    */
-  private val bfsHops = 24
-
-  /** x158 MMR geometry — the oracle unrolls one greedy block per pick
-    * (the x35 Lloyd convention) and spells λ as the same integer
-    * percent, so the score arithmetic is the identical IEEE expression
-    * on both faces. Same no-drift contract.
-    */
-  private val mmrQueryMod = 50
-  private val mmrM = 8
-  private val mmrK = 4
-  private val mmrLambdaPct = 70
-
-  /** x161 synchronous label-propagation round count — part of the
-    * operator contract (the oracle unrolls exactly this many vote
-    * blocks). Same no-drift contract.
-    */
-  private val lpIters = 4
-
-  /** x135 audit lags in hours (short-range / daily / weekly) — same
-    * no-drift contract.
-    */
-  private val periodicityLags = Seq(1, 24, 168)
-
-  /** x139 takedown-sample modulus — same no-drift contract. */
-  private val blastDelMod = 50L
-
-  /** x132 repair geometry (x108's k and benchmark rule) — same
-    * no-drift contract.
-    */
-  private val repairK = 5
-  private val repairBenchMod = 20
-  private val repairMinRun = 2
-
-  /** Shared CDC chunk CTE (x126/x128/x130): the relational spelling of
-    * the row-local chunker — positioned k-gram hashes (x53's md5
-    * top-60-bit), boundary AFTER token q where hash(q) % divisor = 0,
-    * token→chunk via the cumulative-flag trick. Ends in
-    * `ch(doc_id, source, cid, n_tokens, digest)`.
-    */
-  private lazy val cdcChunksCte =
-    s"""t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
-       |w AS (SELECT doc_id, i::BIGINT AS p,
-       |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + ${cdcK - 1}), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
-       |      FROM t, unnest(range(1, len(ts) - ${cdcK - 2})) AS r(i)
-       |      WHERE len(ts) >= $cdcK),
-       |b AS (SELECT doc_id, p FROM w WHERE h % $cdcDivisor = 0),
-       |tok AS (SELECT doc_id, source, tp::BIGINT AS tp, ts[tp] AS token
-       |        FROM t, unnest(range(1, len(ts) + 1)) AS r(tp)),
-       |f AS (SELECT tok.doc_id, source, tp, token,
-       |             CASE WHEN b.p IS NULL THEN 0 ELSE 1 END AS flag
-       |      FROM tok LEFT JOIN b ON b.doc_id = tok.doc_id AND b.p = tok.tp - 1),
-       |c AS (SELECT doc_id, source, tp, token,
-       |             sum(flag) OVER (PARTITION BY doc_id ORDER BY tp ROWS UNBOUNDED PRECEDING) AS cid
-       |      FROM f),
-       |ch AS (SELECT doc_id, source, cid, count(*)::BIGINT AS n_tokens,
-       |              md5(string_agg(token, ' ' ORDER BY tp)) AS digest
-       |       FROM c GROUP BY 1, 2, 3)""".stripMargin
-
-  /** PQ geometry (x104/x105): the SAME constants feed the Spark calls
-    * and the interpolated oracle CTEs (the x103 no-drift contract).
-    * dim 64 = pqM subspaces × pqDsub dims; pqKsub codes per subspace
-    * seeded from vec_id < pqKsub.
-    */
-  private val pqM = 8
-  private val pqKsub = 16
-  private val pqDsub = 8
-  private val pqK = 3
-  private val pqQueryMod = 10
-  private val pqIters = 2
-
-  /** Shared PQ oracle CTE chain: int8 corpus → seeded codebooks →
-    * `pqIters` unrolled Lloyd rounds (the x35 unrolling pattern, in
-    * exact BIGINT: order-free integer group sums, one IEEE division +
-    * floor(x+0.5) per component, empty cells keep their previous
-    * entry) → per-subspace exact squared distances → argmin assignment
-    * (`asg`). `vs` carries each vector's subvectors and their norms
-    * for reuse by x105's ADC.
-    */
-  private val pqCte = {
-    val sq = (v: String) =>
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $v[i] * $v[i])), (a, b) -> a + b)"
-    val dotl = (a: String, b: String) =>
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-    val init =
-      s"""e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-         |sp AS (SELECT unnest(range(0, $pqM))::INT AS s),
-         |cb0 AS (SELECT s, vec_id::INT AS code, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS cs
-         |        FROM e8 CROSS JOIN sp WHERE vec_id < $pqKsub),
-         |vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
-         |       FROM (SELECT vec_id, s, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS qs
-         |             FROM e8 CROSS JOIN sp) t)""".stripMargin
-    val rounds = (1 to pqIters).map { t =>
-      val p = t - 1
-      s"""tn$t AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$p),
-         |td$t AS (SELECT v.vec_id, v.s, c.code, v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
-         |         FROM vs v JOIN tn$t c ON c.s = v.s),
-         |ta$t AS (SELECT vec_id, s, code
-         |         FROM (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM td$t) r
-         |         WHERE rn = 1),
-         |tm$t AS (SELECT a.s, a.code, t.dim, CAST(floor(sum(v.qs[t.dim])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
-         |         FROM ta$t a JOIN vs v ON v.vec_id = a.vec_id AND v.s = a.s, unnest(range(1, ${pqDsub + 1})) AS t(dim)
-         |         GROUP BY 1, 2, 3),
-         |cb$t AS (SELECT p.s, p.code, coalesce(m.cs, p.cs) AS cs
-         |         FROM cb$p p LEFT JOIN (SELECT s, code, list(val ORDER BY dim) AS cs FROM tm$t GROUP BY 1, 2) m
-         |           ON m.s = p.s AND m.code = p.code)""".stripMargin
-    }
-    val fin =
-      s"""cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$pqIters),
-         |pqd AS (SELECT v.vec_id, v.s, c.code,
-         |        v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
-         |        FROM vs v JOIN cbs c ON c.s = v.s),
-         |asg AS (SELECT vec_id, s, code, d
-         |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pqd) r
-         |        WHERE rn = 1)""".stripMargin
-    (Seq(init) ++ rounds :+ fin).mkString(",\n")
-  }
-
-  /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
-    * x16 and the x22 cluster oracle; ends in relation `nd_pairs(d1, d2,
-    * hamming)`).
-    */
-  private val simhashPairsCte =
-    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
-      |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
-      |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
-      |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2),
-      |sh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-      |       FROM bits GROUP BY doc_id),
-      |banded AS (SELECT doc_id, simhash, b2, (simhash >> (b2 * 12)::INT) & 4095 AS band_val
-      |           FROM sh, unnest(range(0, 5)) AS t2(b2)),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |         FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-      |nd_pairs AS (SELECT c.d1, c.d2, bit_count(xor(s1.simhash::BIT, s2.simhash::BIT))::BIGINT AS hamming
-      |             FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
-      |             WHERE bit_count(xor(s1.simhash::BIT, s2.simhash::BIT)) <= 4)""".stripMargin
-
-  /** Connected-component closure over `nd_pairs` (shared by x22 and x29;
-    * requires WITH RECURSIVE; ends in `comp(doc_id, cluster)`).
-    */
-  private val clusterCte =
-    """edges AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-      |reach(u, v) AS (SELECT u, v FROM edges
-      |                UNION
-      |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)""".stripMargin
-
-  /** Quality measurements per document (shared by x19 and x29; ends in
-    * `q(doc_id, n_tokens, avg_len, stop_hits, top_tok_frac)`), and the
-    * single definition of the gate predicate over them.
-    */
-  private val qualityCte =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |q AS (SELECT doc_id,
-      |  len(ts)::BIGINT AS n_tokens,
-      |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_len,
-      |  len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'to', 'and')))::BIGINT AS stop_hits,
-      |  list_aggregate(list_transform(list_distinct(ts), g -> len(list_filter(ts, t2 -> t2 = g))::BIGINT), 'max')::DOUBLE / len(ts) AS top_tok_frac
-      |  FROM t)""".stripMargin
-
-  private val qualityKeepPred =
-    "n_tokens BETWEEN 20 AND 80 AND avg_len BETWEEN 3.0 AND 8.0 " +
-      "AND stop_hits >= 2 AND top_tok_frac <= 0.125"
-
-  /** Unrolled Lloyd iterations for the x35 oracle — one CTE block per
-    * iteration, mirroring [[graft.operators.Similarity.kmeansCentroids]]
-    * hop for hop (same fold orders, same tie-breaks, same empty-cell
-    * fallback) over 64-dim embeddings.
-    */
-  /** The shared k-means CTE chain (init + Lloyd iterations, trained
-    * centroids in `c$iters`), mirroring the Spark side's trainCentroids.
-    */
-  private def kmeansCtes(k: Int, iters: Int): Seq[String] = {
-    val init =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |c0 AS (SELECT vec_id::BIGINT AS cid, ed AS cd FROM e WHERE vec_id < $k)""".stripMargin
-    val iterations = (1 to iters).map { t =>
-      val p = t - 1
-      s"""n$t AS (SELECT cid, list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> cd[i] * cd[i])), (a, b) -> a + b) AS nrm FROM c$p),
-         |s$t AS (SELECT e.vec_id, c.cid,
-         |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b) - n$t.nrm / 2 AS score
-         |        FROM e CROSS JOIN c$p c JOIN n$t ON n$t.cid = c.cid),
-         |a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM s$t) r WHERE rn = 1),
-         |m$t AS (SELECT a.cid, t.dim,
-         |        list_reduce(list_prepend(0.0::DOUBLE, list(e.ed[t.dim] ORDER BY e.vec_id)), (a2, b2) -> a2 + b2) / count(*) AS val
-         |        FROM a$t a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) AS t(dim)
-         |        GROUP BY a.cid, t.dim),
-         |c$t AS (SELECT c$p.cid, coalesce(m.cd, c$p.cd) AS cd
-         |        FROM c$p LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cd FROM m$t GROUP BY cid) m ON m.cid = c$p.cid)""".stripMargin
-    }
-    Seq(s"WITH $init") ++ iterations
-  }
-
-  private def kmeansOracle(k: Int, iters: Int): String =
-    kmeansCtes(k, iters).mkString(",\n") +
-      s"\nSELECT cid, t.dim::BIGINT AS dim, cd[t.dim] AS val FROM c$iters, unnest(range(1, 65)) AS t(dim) ORDER BY cid, dim"
-
-  /** [[kmeansCtes]] plus a FINAL assignment under the trained centroids
-    * (`af`: vec_id → cid) — the shared prefix of the trained-centroid
-    * consumers (x54 semantic dedup, x57 prototypicality), mirroring the
-    * Spark side's trainCentroids + assignCells split.
-    */
-  private def kmeansAssignCtes(k: Int, iters: Int): String = {
-    val finalAssign =
-      s"""nf AS (SELECT cid, list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> cd[i] * cd[i])), (a, b) -> a + b) AS nrm FROM c$iters),
-         |sf AS (SELECT e.vec_id, c.cid,
-         |       list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b) - nf.nrm / 2 AS score
-         |       FROM e CROSS JOIN c$iters c JOIN nf ON nf.cid = c.cid),
-         |af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sf) r WHERE rn = 1)""".stripMargin
-    (kmeansCtes(k, iters) :+ finalAssign).mkString(",\n")
-  }
-
-  private def oracleBase: Map[String, String] = Map(
-    "x35_kmeans_centroids" -> kmeansOracle(k = 8, iters = 2),
-    "d1_regex_subscribe" ->
-      "SELECT * FROM events WHERE regexp_matches(event_type, '^[^_].*') ORDER BY event_id",
-    "d2_envelope_projection" ->
-      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
-    "d3_offset_earliest" ->
-      "SELECT count(*) AS n FROM events",
-    "d3_offset_latest" ->
-      "SELECT count(*) AS n FROM events WHERE false",
-    "d4_identity" ->
-      "SELECT * FROM events ORDER BY event_id",
-    "d5_partition_routing" ->
-      "SELECT user_id, CAST(1 AS BIGINT) AS n_parts FROM events GROUP BY user_id ORDER BY user_id",
-    "c2_config_diff" ->
-      """WITH src(k, v) AS (VALUES ('retention.ms','100'), ('cleanup.policy','compact'), ('segment.bytes','1048576')),
-        |     dst(k, v) AS (VALUES ('retention.ms','200'), ('max.message.bytes','1048576'), ('segment.bytes','1048576'))
-        |SELECT coalesce(a.k, b.k) AS k, a.v AS src_v, b.v AS dst_v,
-        |       CASE WHEN a.v IS NULL THEN 'target_only' WHEN b.v IS NULL THEN 'source_only' ELSE 'differs' END AS action
-        |FROM src a FULL OUTER JOIN dst b ON a.k = b.k
-        |WHERE a.v IS DISTINCT FROM b.v ORDER BY k""".stripMargin,
-
-    "x1_exact_dedup" ->
-      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY sha256(text) ORDER BY doc_id",
-
-    "x2_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mh AS (SELECT doc_id, seed,
-         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
-         |        FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id)
-         |SELECT c.d1, c.d2, j.jaccard
-         |FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
-         |WHERE j.jaccard >= 0.8 ORDER BY c.d1, c.d2""".stripMargin,
-
-    "x3_ngram_jaccard" ->
-      s"""WITH $shinglesCte
-         |SELECT d1, d2, inter, n1, n2, jaccard FROM jac
-         |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin,
-
-    "x4_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
-        |th AS (SELECT doc_id, w, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tc),
-        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
-        |         FROM th, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2)
-        |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "x16_simhash_near_dup" ->
-      s"""WITH $simhashPairsCte
-         |SELECT d1, d2, hamming FROM nd_pairs ORDER BY d1, d2""".stripMargin,
-
-    "x36_incremental_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-        |mh AS (SELECT doc_id, seed,
-        |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-        |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-        |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-        |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
-        |        FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS d_new, b.doc_id AS d_old
-        |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-        |                              AND a.m2 = b.m2 AND a.m3 = b.m3
-        |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
-        |inter AS (SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
-        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-        |          GROUP BY 1, 2),
-        |jacx AS (SELECT i.d_new, i.d_old,
-        |                i.inter::DOUBLE / (s1.n + s2.n - i.inter) AS jaccard
-        |         FROM inter i JOIN sizes s1 ON s1.doc_id = i.d_new
-        |                      JOIN sizes s2 ON s2.doc_id = i.d_old),
-        |matched AS (SELECT c.d_new, c.d_old, j.jaccard
-        |            FROM cand c JOIN jacx j ON j.d_new = c.d_new AND j.d_old = c.d_old
-        |            WHERE j.jaccard >= 0.8),
-        |best AS (SELECT d_new, d_old, jaccard,
-        |                row_number() OVER (PARTITION BY d_new ORDER BY jaccard DESC, d_old) AS rn
-        |         FROM matched)
-        |SELECT d_new AS doc_id, d_old AS dup_of, jaccard FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "x5_topk_cosine" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
-
-    "x6_ann_bucketed" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
-         |  (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-         |  FROM embeddings),
-         |s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
-         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-
-    "x14_cosine_near_dup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
-         |  FROM embeddings),
-         |s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
-         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT v1, v2, round(sim, 4) AS sim4 FROM s WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin,
-
-    "x15_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |asg AS (SELECT e.vec_id, c.ccid,
-         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-         |                 c.ccid) AS rn
-         |        FROM e CROSS JOIN c),
-         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
-         |s AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
-         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
-         |      FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
-         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-
-    // both leg ranks and the fused tie break to the lower cid; the RRF
-    // sum is two IEEE terms in a fixed order, so both engines agree
-    "x79_rank_fusion" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-         |ov AS (SELECT q.doc_id AS qid, c.doc_id AS cid, count(*)::BIGINT AS overlap
-         |       FROM sh q JOIN sh c ON q.shingle = c.shingle
-         |       WHERE q.doc_id % 10 = 0 AND q.doc_id != c.doc_id
-         |       GROUP BY 1, 2),
-         |lex AS (SELECT qid, cid,
-         |          row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rank_lex
-         |        FROM ov QUALIFY rank_lex <= 20),
-         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |vs AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
-         |vec AS (SELECT qid, cid,
-         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank_vec
-         |        FROM vs QUALIFY rank_vec <= 20),
-         |fused AS (SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.cid, v.cid) AS cid,
-         |                 coalesce(1.0::DOUBLE / (60.0::DOUBLE + rank_lex), 0.0::DOUBLE) +
-         |                 coalesce(1.0::DOUBLE / (60.0::DOUBLE + rank_vec), 0.0::DOUBLE) AS rrf
-         |          FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.cid = v.cid),
-         |r AS (SELECT qid, cid, rrf,
-         |        row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank FROM fused)
-         |SELECT qid AS query_id, rank, cid AS doc_id, round(rrf, 6) AS rrf6
-         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    // x79's two leg CTEs truncated at k=agreementK; the agreement join is
-    // k-bounded; k/queryMod interpolated from the SAME constants as the
-    // Spark call so neither side can drift alone
-    "x103_retriever_agreement" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-         |ov AS (SELECT q.doc_id AS qid, c.doc_id AS cid, count(*)::BIGINT AS overlap
-         |       FROM sh q JOIN sh c ON q.shingle = c.shingle
-         |       WHERE q.doc_id % $agreementQueryMod = 0 AND q.doc_id != c.doc_id
-         |       GROUP BY 1, 2),
-         |lex AS (SELECT qid, cid,
-         |          row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rank_lex
-         |        FROM ov QUALIFY rank_lex <= $agreementK),
-         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $agreementQueryMod = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |vs AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
-         |vec AS (SELECT qid, cid,
-         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank_vec
-         |        FROM vs QUALIFY rank_vec <= $agreementK),
-         |ln AS (SELECT qid, count(*)::BIGINT AS n_lex FROM lex GROUP BY 1),
-         |vn AS (SELECT qid, count(*)::BIGINT AS n_vec FROM vec GROUP BY 1),
-         |cm AS (SELECT l.qid, count(*)::BIGINT AS n_common
-         |       FROM lex l JOIN vec v ON v.qid = l.qid AND v.cid = l.cid GROUP BY 1)
-         |SELECT vn.qid AS query_id, coalesce(n_lex, 0)::BIGINT AS n_lex, n_vec,
-         |       coalesce(n_common, 0)::BIGINT AS n_common,
-         |       coalesce(n_common, 0)::DOUBLE / $agreementK AS overlap_frac
-         |FROM vn LEFT JOIN ln ON ln.qid = vn.qid LEFT JOIN cm ON cm.qid = vn.qid
-         |ORDER BY query_id""".stripMargin,
-
-    // sign-bit signatures packed into two 32-bit halves (bit 63 would
-    // overflow a BIGINT shift); hamming ties at the candidate boundary
-    // and cosine ties in the re-rank both break to the lower cid
-    "x80_hamming_ann" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33),
-         |    i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)),
-         |    (a, b) -> a + b) AS lo,
-         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65),
-         |    i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)),
-         |    (a, b) -> a + b) AS hi
-         |  FROM embeddings),
-         |h AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS ham
-         |      FROM e q JOIN e c ON q.vec_id % 10 = 0 AND q.vec_id != c.vec_id),
-         |cand AS (SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrank
-         |         FROM h QUALIFY hrank <= 20),
-         |s AS (SELECT cand.qid, cand.cid, $dotCte AS sim
-         |      FROM cand JOIN (SELECT vec_id, ed AS qe FROM e) a ON a.vec_id = cand.qid
-         |                JOIN (SELECT vec_id, ed AS ce FROM e) b ON b.vec_id = cand.cid),
-         |r AS (SELECT qid, cid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-
-    "x81_winnow_matches" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |w AS (SELECT doc_id, i::BIGINT AS p,
-        |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
-        |      FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
-        |      WHERE len(ts) >= 8),
-        |s AS (SELECT doc_id, p,
-        |        max(p) OVER (PARTITION BY doc_id) AS maxp,
-        |        min(h) OVER (PARTITION BY doc_id ORDER BY p
-        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
-        |      FROM w),
-        |f AS (SELECT DISTINCT doc_id, minh AS h FROM s WHERE p <= maxp - 3)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
-        |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
-
-    "x82_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id,
-        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT AS h1,
-        |        (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 15))::UBIGINT)::BIGINT AS h2
-        |      FROM t, unnest(range(1, len(ts))) AS r(i)
-        |      WHERE len(ts) >= 2),
-        |bc AS (SELECT h2, count(*)::BIGINT AS cb FROM s GROUP BY 1),
-        |uc AS (SELECT h1, count(*)::BIGINT AS cu FROM s GROUP BY 1),
-        |sc AS (SELECT doc_id, cb, cu, cb::DOUBLE / cu AS condp
-        |       FROM s JOIN bc USING (h2) JOIN uc USING (h1))
-        |SELECT doc_id, count(*)::BIGINT AS n_bigrams, min(condp) AS min_condp,
-        |       sum(cb)::DOUBLE / sum(cu) AS pooled_condp
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    "x83_collocations" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
-        |b AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
-        |      FROM t, unnest(range(1, len(ts))) AS r(i)
-        |      WHERE len(ts) >= 2),
-        |n AS (SELECT count(*)::BIGINT AS nb FROM b),
-        |cxy AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM b GROUP BY 1, 2),
-        |cx AS (SELECT w1, count(*)::BIGINT AS c_x FROM b GROUP BY 1),
-        |cy AS (SELECT w2, count(*)::BIGINT AS c_y FROM b GROUP BY 1)
-        |SELECT w1, w2, c_xy,
-        |       (c_xy::DOUBLE * nb) / (c_x::DOUBLE * c_y) AS assoc
-        |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
-        |WHERE c_xy >= 5
-        |ORDER BY assoc DESC, w1, w2 LIMIT 20""".stripMargin,
-
-    "x84_segment_repair" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |g AS (SELECT doc_id, i::BIGINT AS s,
-        |        array_to_string(list_slice(ts, i, i + 9), ' ') AS seg
-        |      FROM t, unnest(range(1, len(ts) + 1, 10)) AS r(i)),
-        |gh AS (SELECT doc_id, s, seg, md5(seg) AS h FROM g),
-        |boiler AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
-        |                          FROM gh GROUP BY 1) WHERE nd >= 2),
-        |kept AS (SELECT * FROM gh WHERE h NOT IN (SELECT h FROM boiler)),
-        |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
-        |        string_agg(seg, ' ' ORDER BY s) AS repaired
-        |      FROM kept GROUP BY 1),
-        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM gh GROUP BY 1)
-        |SELECT tot.doc_id, tot.n_seg,
-        |       (tot.n_seg - coalesce(r.n_kept, 0))::BIGINT AS n_dropped,
-        |       md5(coalesce(r.repaired, '')) AS repaired_digest
-        |FROM tot LEFT JOIN r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "x85_ppl_buckets" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id, lang,
-        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT AS h1,
-        |        (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 15))::UBIGINT)::BIGINT AS h2
-        |      FROM t, unnest(range(1, len(ts))) AS r(i)
-        |      WHERE len(ts) >= 2),
-        |bc AS (SELECT h2, count(*)::BIGINT AS cb FROM s GROUP BY 1),
-        |uc AS (SELECT h1, count(*)::BIGINT AS cu FROM s GROUP BY 1),
-        |sc AS (SELECT doc_id, lang, cb, cu FROM s JOIN bc USING (h2) JOIN uc USING (h1)),
-        |scored AS (SELECT doc_id, lang, sum(cb)::DOUBLE / sum(cu) AS pooled_condp
-        |           FROM sc GROUP BY 1, 2),
-        |samp AS (SELECT * FROM scored
-        |         WHERE (('0x' || substr(md5('ppl:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT < 40),
-        |rk AS (SELECT lang, pooled_condp,
-        |         row_number() OVER (PARTITION BY lang ORDER BY pooled_condp DESC, doc_id) AS rn,
-        |         count(*) OVER (PARTITION BY lang) AS ns
-        |       FROM samp),
-        |cuts AS (SELECT lang,
-        |           max(CASE WHEN rn = (ns + 2) // 3 THEN pooled_condp END) AS head_min,
-        |           max(CASE WHEN rn = (2 * ns + 2) // 3 THEN pooled_condp END) AS mid_min
-        |         FROM rk GROUP BY 1)
-        |SELECT scored.doc_id, scored.lang, scored.pooled_condp,
-        |       CASE WHEN pooled_condp >= head_min THEN 'head'
-        |            WHEN pooled_condp >= mid_min THEN 'middle'
-        |            ELSE 'tail' END AS ppl_bucket
-        |FROM scored JOIN cuts USING (lang)
-        |ORDER BY doc_id""".stripMargin,
-
-    "x86_event_transitions" ->
-      """WITH o AS (SELECT user_id, event_type,
-        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
-        |      FROM events),
-        |p AS (SELECT event_type AS from_type, nxt AS to_type FROM o WHERE nxt IS NOT NULL),
-        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_trans FROM p GROUP BY 1, 2),
-        |m AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM c GROUP BY 1)
-        |SELECT from_type, to_type, n_trans,
-        |       n_trans::DOUBLE / n_from AS p_trans
-        |FROM c JOIN m USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
-
-    "x88_journey_scores" ->
-      """WITH o AS (SELECT user_id, event_type,
-        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
-        |      FROM events),
-        |p AS (SELECT user_id, event_type AS from_type, nxt AS to_type FROM o WHERE nxt IS NOT NULL),
-        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_trans FROM p GROUP BY 1, 2),
-        |m AS (SELECT from_type, sum(n_trans)::BIGINT AS n_from FROM c GROUP BY 1),
-        |j AS (SELECT user_id, n_trans, n_from, n_trans::DOUBLE / n_from AS pr
-        |      FROM p JOIN c USING (from_type, to_type) JOIN m USING (from_type))
-        |SELECT user_id, count(*)::BIGINT AS n_steps, min(pr) AS min_p,
-        |       sum(n_trans)::DOUBLE / sum(n_from)::DOUBLE AS pooled_p
-        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    "x87_importance_weights" ->
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id, source,
-        |        (('0x' || substr(md5(ts[i]), 1, 15))::UBIGINT)::BIGINT % 65536 AS b
-        |      FROM t, unnest(range(1, len(ts) + 1)) AS r(i)),
-        |rc AS (SELECT b, count(*)::BIGINT AS rc FROM s GROUP BY 1),
-        |tc AS (SELECT b, count(*)::BIGINT AS tc FROM s WHERE source = 'src0' GROUP BY 1),
-        |tot AS (SELECT count(*)::BIGINT AS nr,
-        |               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS nt
-        |        FROM s),
-        |d AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
-        |             sum(coalesce(tc, 0))::BIGINT AS t_mass,
-        |             sum(rc)::BIGINT AS r_mass
-        |      FROM s JOIN rc USING (b) LEFT JOIN tc USING (b) GROUP BY 1)
-        |SELECT doc_id, n_toks, t_mass, r_mass,
-        |       (t_mass::DOUBLE * nr) / (r_mass::DOUBLE * nt) AS importance
-        |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
-
-    "x7_text_stats" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(ts)::BIGINT AS n_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_subtokens,
-        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-        |  list_reduce(list_prepend(0::BIGINT, list_transform(ts, x -> length(x)::BIGINT)), (a, b) -> a + b)::DOUBLE / len(ts) AS avg_tok_len,
-        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
-        |  FROM t)
-        |SELECT doc_id, n_tokens, n_subtokens, ttr, avg_tok_len, stop_ratio,
-        |       ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    "x8_lang_id" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_intersect(ts, ['the','a','of','to','and']))::BIGINT AS s_en,
-        |  len(list_intersect(ts, ['der','die','das','und','ist']))::BIGINT AS s_de,
-        |  len(list_intersect(ts, ['el','la','de','y','es']))::BIGINT AS s_es,
-        |  len(list_intersect(ts, ['le','la','de','et','est']))::BIGINT AS s_fr,
-        |  len(list_intersect(ts, ['的','是','在','有','我']))::BIGINT AS s_zh
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_es >= greatest(s_en, s_de, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr >= greatest(s_en, s_de, s_es, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS predicted_lang,
-        |  greatest(s_en, s_de, s_es, s_fr, s_zh) AS score
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    "x17_lang_id_ngram" ->
-      """WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text)), i -> substr(text, i::INT, 2))) AS grams FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_intersect(grams, ['th','he','in','er','an','re','on','at']))::BIGINT AS g_en,
-        |  len(list_intersect(grams, ['en','er','ch','de','ei','nd','te','ie']))::BIGINT AS g_de,
-        |  len(list_intersect(grams, ['de','en','el','la','os','es','ar','ue']))::BIGINT AS g_es,
-        |  len(list_intersect(grams, ['es','le','de','en','re','nt','on','ou']))::BIGINT AS g_fr,
-        |  len(list_intersect(grams, ['的是','是在','在有','有我','我的','的一','一是','是了']))::BIGINT AS g_zh
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN g_en >= greatest(g_de, g_es, g_fr, g_zh) THEN 'en'
-        |       WHEN g_de >= greatest(g_en, g_es, g_fr, g_zh) THEN 'de'
-        |       WHEN g_es >= greatest(g_en, g_de, g_fr, g_zh) THEN 'es'
-        |       WHEN g_fr >= greatest(g_en, g_de, g_es, g_zh) THEN 'fr'
-        |       ELSE 'zh' END AS predicted_lang,
-        |  greatest(g_en, g_de, g_es, g_fr, g_zh) AS score
-        |FROM s ORDER BY doc_id""".stripMargin,
-
-    "x9_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
-        |              (a, b) -> (a * 31 + b) % 2147483647) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "x10_token_topn" ->
-      """SELECT tok AS token, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
-
-    "x11_json_decode" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
-
-    "x12_event_windows" ->
-      """SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s, event_type,
-        |       count(*) AS n, min(value) AS min_v, max(value) AS max_v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "x13_media_features" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len, sha256(text) AS sha256,
-        |       16 * (1 + ascii(substr(text, 1, 1)) % 64) AS width,
-        |       16 * (1 + ascii(substr(text, 2, 1)) % 64) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "x18_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
-        |       FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
-        |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0)
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM sh JOIN bench USING (gram)
-        |WHERE doc_id % 20 != 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "x19_quality_gate" ->
-      s"""WITH $qualityCte
-         |SELECT doc_id, n_tokens, avg_len, stop_hits, top_tok_frac,
-         |  n_tokens BETWEEN 20 AND 80 AS r_len,
-         |  avg_len BETWEEN 3.0 AND 8.0 AS r_avg,
-         |  stop_hits >= 2 AS r_stop,
-         |  top_tok_frac <= 0.125 AS r_rep,
-         |  ($qualityKeepPred) AS keep
-         |FROM q ORDER BY doc_id""".stripMargin,
-
-    "x20_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |b AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg FROM t),
-        |s AS (SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
-        |  len(list_distinct(bg))::DOUBLE / len(bg) AS distinct_ratio,
-        |  list_aggregate(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g))::BIGINT), 'max')::DOUBLE / len(bg) AS top_bigram_frac
-        |  FROM b WHERE len(bg) > 0)
-        |SELECT doc_id, n_bigrams, distinct_ratio, top_bigram_frac FROM s ORDER BY doc_id""".stripMargin,
-
-    "x92_dup_gram_coverage" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |g AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-        |      FROM t, unnest(range(1, len(ts) - 1)) AS r(i)),
-        |d AS (SELECT doc_id, g, list(i) AS starts FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
-        |c1 AS (SELECT doc_id, unnest(starts) AS s FROM d),
-        |c2 AS (SELECT DISTINCT doc_id, s + o AS pos FROM c1, unnest([0, 1, 2]) AS u(o)),
-        |cv AS (SELECT doc_id, count(*)::BIGINT AS n_cov FROM c2 GROUP BY 1)
-        |SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
-        |       coalesce(n_cov, 0)::BIGINT AS n_cov,
-        |       coalesce(n_cov, 0)::DOUBLE / len(ts) AS cov_frac
-        |FROM t LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "x93_corpus_diff" ->
-      """WITH old AS (SELECT doc_id, source, n_chars, sha256(text) AS digest
-        |             FROM documents WHERE doc_id % 3 <> 0),
-        |neu AS (SELECT doc_id, source, n_chars,
-        |        sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS digest
-        |        FROM documents WHERE doc_id % 3 <> 1)
-        |SELECT coalesce(o.source, n.source) AS source,
-        |       CASE WHEN o.doc_id IS NULL THEN 'added'
-        |            WHEN n.doc_id IS NULL THEN 'removed'
-        |            WHEN o.digest <> n.digest THEN 'changed'
-        |            ELSE 'same' END AS status,
-        |       count(*)::BIGINT AS n_docs,
-        |       sum(coalesce(n.n_chars, o.n_chars))::BIGINT AS total_chars
-        |FROM old o FULL JOIN neu n ON o.doc_id = n.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "x94_dim_audit" ->
-      """WITH v AS (SELECT (i - 1)::BIGINT AS dim, embedding[i] AS v
-        |           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
-        |SELECT dim, count(*)::BIGINT AS n_vals,
-        |       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
-        |       sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-        |       sum(CASE WHEN v < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
-        |       min(v)::DOUBLE AS min_v, max(v)::DOUBLE AS max_v,
-        |       (min(v) = max(v)) AS dead
-        |FROM v GROUP BY dim ORDER BY dim""".stripMargin,
-
-    "x95_gate_attrition" ->
-      s"""WITH $qualityCte,
-         |f AS (SELECT doc_id,
-         |  (n_tokens BETWEEN 20 AND 80) AS r_len,
-         |  (avg_len BETWEEN 3.0 AND 8.0) AS r_avg,
-         |  (stop_hits >= 2) AS r_stop,
-         |  (top_tok_frac <= 0.125) AS r_rep FROM q),
-         |a AS (SELECT count(*)::BIGINT AS n0,
-         |  sum(CASE WHEN r_len THEN 1 ELSE 0 END)::BIGINT AS s1,
-         |  sum(CASE WHEN r_len AND r_avg THEN 1 ELSE 0 END)::BIGINT AS s2,
-         |  sum(CASE WHEN r_len AND r_avg AND r_stop THEN 1 ELSE 0 END)::BIGINT AS s3,
-         |  sum(CASE WHEN r_len AND r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS s4,
-         |  sum(CASE WHEN NOT r_len AND r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b1,
-         |  sum(CASE WHEN r_len AND NOT r_avg AND r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b2,
-         |  sum(CASE WHEN r_len AND r_avg AND NOT r_stop AND r_rep THEN 1 ELSE 0 END)::BIGINT AS b3,
-         |  sum(CASE WHEN r_len AND r_avg AND r_stop AND NOT r_rep THEN 1 ELSE 0 END)::BIGINT AS b4
-         |  FROM f)
-         |SELECT * FROM (
-         |  SELECT 1::BIGINT AS gate, 'len' AS rule, n0 AS n_in,
-         |         (n0 - s1)::BIGINT AS n_dropped, s1 AS n_out, b1 AS n_sole_blocker FROM a
-         |  UNION ALL SELECT 2, 'avg', s1, s1 - s2, s2, b2 FROM a
-         |  UNION ALL SELECT 3, 'stop', s2, s2 - s3, s3, b3 FROM a
-         |  UNION ALL SELECT 4, 'rep', s3, s3 - s4, s4, b4 FROM a)
-         |ORDER BY gate""".stripMargin,
-
-    "x96_distinct_ngrams" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
-        |d1 AS (SELECT source, 1::BIGINT AS n, count(DISTINCT tok)::BIGINT AS n_distinct
-        |       FROM (SELECT source, unnest(ts) AS tok FROM toks) GROUP BY source),
-        |d2 AS (SELECT source, 2::BIGINT AS n, count(DISTINCT g)::BIGINT AS n_distinct
-        |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] AS g
-        |             FROM toks, unnest(range(1, len(ts))) AS t(i)) GROUP BY source),
-        |d3 AS (SELECT source, 3::BIGINT AS n, count(DISTINCT g)::BIGINT AS n_distinct
-        |       FROM (SELECT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-        |             FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)) GROUP BY source),
-        |tot AS (SELECT source, g.n::BIGINT AS n,
-        |               sum(greatest(len(ts) - g.n + 1, 0))::BIGINT AS n_total
-        |        FROM toks, (VALUES (1), (2), (3)) AS g(n) GROUP BY 1, 2),
-        |d AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
-        |SELECT t.source, t.n, t.n_total,
-        |       coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
-        |       CASE WHEN t.n_total = 0 THEN 0.0
-        |            ELSE coalesce(d.n_distinct, 0)::DOUBLE / t.n_total END AS distinct_frac
-        |FROM tot t LEFT JOIN d ON d.source = t.source AND d.n = t.n
-        |ORDER BY t.source, t.n""".stripMargin,
-
-    "x97_domain_caps" ->
-      """WITH c AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY 1),
-        |dr AS (SELECT doc_id, source,
-        |       (('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS draw
-        |       FROM documents)
-        |SELECT d.doc_id, d.source, c.n_source
-        |FROM dr d JOIN c USING (source)
-        |WHERE d.draw < floor(4294967296.0 / sqrt(c.n_source::DOUBLE))::BIGINT
-        |ORDER BY doc_id""".stripMargin,
-
-    "x98_survivor_bias" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |$qualityCte,
-         |coh AS (SELECT d.doc_id,
-         |        CASE WHEN c.cluster IS NOT NULL AND c.cluster <> d.doc_id
-         |             THEN 'removed' ELSE 'kept' END AS cohort,
-         |        d.n_chars, qq.n_tokens,
-         |        ($qualityKeepPred) AS keep
-         |        FROM documents d
-         |        JOIN q qq ON qq.doc_id = d.doc_id
-         |        LEFT JOIN comp c ON c.doc_id = d.doc_id)
-         |SELECT cohort, count(*)::BIGINT AS n_docs,
-         |       sum(n_chars)::BIGINT AS total_chars,
-         |       sum(n_tokens)::BIGINT AS total_tokens,
-         |       sum(n_chars)::DOUBLE / count(*) AS mean_chars,
-         |       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
-         |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*) AS quality_pass_rate
-         |FROM coh GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "x99_bloom_fpr_audit" ->
-      """WITH cd AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0),
-        |bloom AS (SELECT DISTINCT
-        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
-        |          FROM cd, unnest(range(0, 4)) AS t(i)),
-        |nd AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 2 = 1),
-        |np AS (SELECT doc_id,
-        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
-        |       FROM nd, unnest(range(0, 4)) AS t(i)),
-        |hits AS (SELECT np.doc_id, count(b.pos)::BIGINT AS n_hits
-        |         FROM np LEFT JOIN bloom b ON b.pos = np.pos GROUP BY 1),
-        |rel AS (SELECT nd.doc_id, h.n_hits = 4 AS maybe_dup, c.digest IS NOT NULL AS is_dup
-        |        FROM nd JOIN hits h ON h.doc_id = nd.doc_id
-        |        LEFT JOIN cd c ON c.digest = nd.digest)
-        |SELECT count(*)::BIGINT AS n_probes,
-        |       sum(CASE WHEN maybe_dup THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
-        |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_true_dups,
-        |       sum(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
-        |       sum(CASE WHEN is_dup AND NOT maybe_dup THEN 1 ELSE 0 END)::BIGINT AS n_false_neg,
-        |       CASE WHEN count(*) = sum(CASE WHEN is_dup THEN 1 ELSE 0 END) THEN 0.0
-        |            ELSE sum(CASE WHEN maybe_dup AND NOT is_dup THEN 1 ELSE 0 END)::DOUBLE /
-        |                 (count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) END AS fpr,
-        |       (sum(CASE WHEN is_dup AND NOT maybe_dup THEN 1 ELSE 0 END) = 0) AS no_false_negatives
-        |FROM rel""".stripMargin,
-
-    "x100_semantic_packing" ->
-      (kmeansAssignCtes(k = 8, iters = 2) +
-        """,
-          |pt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
-          |pj AS (SELECT af.cid AS cell, pt.doc_id, pt.tok FROM pt JOIN af ON af.vec_id = pt.doc_id),
-          |pw AS (SELECT cell, doc_id, tok,
-          |        sum(tok) OVER (PARTITION BY cell ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-          |      FROM pj)
-          |SELECT cell, ((cum - tok) // 512)::BIGINT AS bin_id,
-          |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
-          |FROM pw GROUP BY 1, 2 ORDER BY cell, bin_id""".stripMargin),
-
-    "x101_disorder_audit" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |w AS (SELECT event_type, ms,
-        |        max(ms) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) - ms AS lag_ms
-        |      FROM e)
-        |SELECT event_type, count(*)::BIGINT AS n_events,
-        |       sum(CASE WHEN lag_ms = 0 THEN 1 ELSE 0 END)::BIGINT AS n_in_order,
-        |       sum(CASE WHEN lag_ms > 0 AND lag_ms < 1000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_1s,
-        |       sum(CASE WHEN lag_ms >= 1000 AND lag_ms < 10000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_10s,
-        |       sum(CASE WHEN lag_ms >= 10000 AND lag_ms < 60000 THEN 1 ELSE 0 END)::BIGINT AS late_lt_60s,
-        |       sum(CASE WHEN lag_ms >= 60000 THEN 1 ELSE 0 END)::BIGINT AS late_ge_60s,
-        |       max(lag_ms)::BIGINT AS max_lag_ms,
-        |       (count(*) - sum(CASE WHEN lag_ms = 0 THEN 1 ELSE 0 END))::DOUBLE / count(*) AS frac_late
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "x102_schema_drift" ->
-      """WITH ev AS (SELECT event_id,
-        |  CASE WHEN event_id % 2 = 0 AND event_id % 7 = 0
-        |         THEN '{"k": 1, "legacy": true}'
-        |       WHEN event_id % 2 = 1 AND event_id % 3 = 0
-        |         THEN '{"v": 1}'
-        |       ELSE props END AS props
-        |  FROM events),
-        |k AS (SELECT event_id % 2 AS snap, unnest(json_keys(props)) AS key FROM ev),
-        |c AS (SELECT key,
-        |        sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old,
-        |        sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new
-        |      FROM k GROUP BY 1),
-        |t AS (SELECT sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS t_old,
-        |             sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS t_new
-        |      FROM ev)
-        |SELECT key, n_old, n_new,
-        |       CASE WHEN n_old = 0 THEN 'new'
-        |            WHEN n_new = 0 THEN 'gone'
-        |            ELSE 'stable' END AS status,
-        |       n_old::DOUBLE / t_old AS rate_old,
-        |       n_new::DOUBLE / t_new AS rate_new,
-        |       (n_new::DOUBLE / t_new) - (n_old::DOUBLE / t_old) AS rate_shift
-        |FROM c CROSS JOIN t ORDER BY key""".stripMargin,
-
-    "x107_blocklist_filter" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |m AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-        |        len(list_filter(ts, x -> x = 'dup'))::BIGINT AS severe_hits,
-        |        len(list_filter(ts, x -> x IN ('slow', 'big')))::BIGINT AS mild_hits
-        |      FROM t)
-        |SELECT doc_id, n_tokens, severe_hits, mild_hits,
-        |       mild_hits::DOUBLE / n_tokens AS mild_rate,
-        |       (severe_hits = 0 AND mild_hits::DOUBLE / n_tokens <= 0.0625) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    "x106_unimax_budget" ->
-      """WITH ps AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-        |            FROM documents GROUP BY 1),
-        |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap_tokens FROM ps),
-        |r AS (SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS i,
-        |        sum(cap_tokens) OVER (ORDER BY cap_tokens, source ROWS UNBOUNDED PRECEDING) AS cum,
-        |        count(*) OVER () AS n_src
-        |      FROM c),
-        |f AS (SELECT *, (cap_tokens * (n_src - i + 1) <= 50000 - (cum - cap_tokens)) AS flag FROM r),
-        |b AS (SELECT min(CASE WHEN NOT flag THEN i END) AS bad FROM f),
-        |g AS (SELECT f.*, b.bad, (b.bad IS NULL OR f.i < b.bad) AS capped FROM f CROSS JOIN b),
-        |m AS (SELECT coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS capped_sum,
-        |             sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS u FROM g),
-        |a AS (SELECT g.source, g.n_tokens, g.cap_tokens, g.capped,
-        |        (CASE WHEN g.capped THEN g.cap_tokens
-        |              ELSE (50000 - m.capped_sum) // m.u
-        |                   + (CASE WHEN g.i - g.bad + 1 <= (50000 - m.capped_sum) % m.u
-        |                      THEN 1 ELSE 0 END)
-        |         END)::BIGINT AS alloc
-        |      FROM g CROSS JOIN m)
-        |SELECT source, n_tokens, cap_tokens, capped, alloc,
-        |       alloc::DOUBLE / n_tokens AS epochs
-        |FROM a ORDER BY source""".stripMargin,
-
-    "x108_contamination_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |pg AS (SELECT doc_id, i AS p,
-        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
-        |       FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
-        |bench AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 20 = 0),
-        |hp AS (SELECT doc_id, p FROM pg JOIN bench USING (gram) WHERE doc_id % 20 != 0),
-        |rr AS (SELECT doc_id, p,
-        |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
-        |              THEN 0 ELSE 1 END AS brk
-        |       FROM hp),
-        |rs AS (SELECT doc_id, p,
-        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id
-        |       FROM rr),
-        |runs AS (SELECT doc_id, run_id, count(*)::BIGINT AS run_len FROM rs GROUP BY 1, 2)
-        |SELECT doc_id, sum(run_len)::BIGINT AS n_hit_positions, count(*)::BIGINT AS n_runs,
-        |       max(run_len)::BIGINT AS max_run, (max(run_len) + 4)::BIGINT AS max_span_tokens
-        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "x109_dim_correlation" ->
-      """WITH qz AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-        |p AS (SELECT i::BIGINT AS d1, j::BIGINT AS d2, sum(qv[i] * qv[j])::BIGINT AS s
-        |      FROM qz, unnest(range(1, 65)) AS a(i), unnest(range(1, 65)) AS b(j)
-        |      WHERE i <= j GROUP BY 1, 2),
-        |d AS (SELECT d1 AS dd, s AS sdd FROM p WHERE d1 = d2)
-        |SELECT p.d1, p.d2, p.s, a.sdd AS s11, b.sdd AS s22,
-        |       CASE WHEN a.sdd::DOUBLE * b.sdd::DOUBLE = 0 THEN NULL
-        |            ELSE (p.s::DOUBLE * p.s::DOUBLE) / (a.sdd::DOUBLE * b.sdd::DOUBLE) END AS r2
-        |FROM p JOIN d a ON a.dd = p.d1 JOIN d b ON b.dd = p.d2
-        |WHERE p.d1 < p.d2
-        |ORDER BY abs(p.s) DESC, p.d1, p.d2 LIMIT 20""".stripMargin,
-
-    "x110_burstiness" ->
-      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT event_type,
-        |        us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS gap_us
-        |      FROM e),
-        |a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
-        |        sum(gap_us)::BIGINT AS sum_gap_us,
-        |        sum(gap_us::HUGEINT * gap_us)::DECIMAL(38,0) AS sum_gap_sq
-        |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
-        |SELECT event_type, n_gaps, sum_gap_us,
-        |       sum_gap_sq::VARCHAR AS sum_gap_sq,
-        |       sum_gap_us::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
-        |       CASE WHEN sum_gap_us = 0 THEN NULL
-        |            ELSE (n_gaps::DOUBLE * sum_gap_sq::DOUBLE
-        |                  - sum_gap_us::DOUBLE * sum_gap_us::DOUBLE)
-        |                 / (sum_gap_us::DOUBLE * sum_gap_us::DOUBLE) END AS cv2
-        |FROM a ORDER BY event_type""".stripMargin,
-
-    "x21_hash_split" ->
-      """WITH b AS (SELECT doc_id,
-        |  (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
-        |  FROM documents)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    "x22_dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte
-         |SELECT doc_id, cluster FROM comp ORDER BY doc_id""".stripMargin,
-
-    "x23_corpus_stats" ->
-      """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-        |       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
-        |       sum(n_chars)::DOUBLE / count(*) AS mean_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "x24_incremental_dedup" ->
-      """WITH corpus AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0)
-        |SELECT doc_id, sha256(text) AS digest FROM documents
-        |WHERE doc_id % 2 = 1 AND sha256(text) NOT IN (SELECT digest FROM corpus)
-        |ORDER BY doc_id""".stripMargin,
-
-    "x25_stratified_sample" ->
-      """WITH b AS (SELECT doc_id, lang,
-        |  (('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
-        |  FROM documents)
-        |SELECT doc_id, lang, bucket FROM b
-        |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 25 END
-        |ORDER BY doc_id""".stripMargin,
-
-    "x29_curated_corpus" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |$qualityCte,
-         |keepq AS (SELECT doc_id FROM q WHERE $qualityKeepPred),
-         |spl AS (SELECT doc_id FROM documents
-         |        WHERE (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 80)
-         |SELECT d.doc_id, d.lang FROM documents d
-         |JOIN keepq k ON k.doc_id = d.doc_id
-         |LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |JOIN spl s ON s.doc_id = d.doc_id
-         |WHERE c.cluster IS NULL OR c.cluster = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "x30_length_histogram" ->
-      """SELECT n_chars // 50 AS bucket, (n_chars // 50) * 50 AS bucket_lo,
-        |       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
-
-    "x32_quantize_embeddings" ->
-      """SELECT vec_id,
-        |  array_to_string(list_transform(embedding, x -> floor(x::DOUBLE * 127.0 + 0.5)::INT), ',') AS q_csv,
-        |  list_aggregate(list_transform(embedding,
-        |    x -> abs(x::DOUBLE - floor(x::DOUBLE * 127.0 + 0.5) / 127.0)), 'max') AS max_err
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-
-    "x31_top_docs_per_lang" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
-        |q AS (SELECT doc_id,
-        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-        |  FROM s),
-        |r AS (SELECT d.lang, q.doc_id, q.quality,
-        |        row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS rank
-        |      FROM q JOIN documents d ON d.doc_id = q.doc_id)
-        |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-
-    "x33_median_chars" ->
-      """WITH r AS (SELECT lang, doc_id, n_chars,
-        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY lang) AS cnt
-        |      FROM documents)
-        |SELECT lang, n_chars AS median_chars, cnt AS n_docs
-        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY lang""".stripMargin,
-
-    "x34_normalize_text" ->
-      """WITH m AS (SELECT doc_id, ' ' || upper(replace(text, ' ', '  ')) || '  ' AS text
-        |           FROM documents),
-        |n AS (SELECT doc_id, text, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
-        |      FROM m)
-        |SELECT doc_id, md5(norm) AS norm_digest,
-        |       (length(text) - length(norm))::BIGINT AS chars_removed
-        |FROM n ORDER BY doc_id""".stripMargin,
-
-    "x37_redact_pii" ->
-      """WITH m AS (SELECT doc_id,
-        |             text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' || doc_id::VARCHAR AS text
-        |           FROM documents),
-        |e AS (SELECT doc_id, text,
-        |        len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
-        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS no_email
-        |      FROM m)
-        |SELECT doc_id, n_emails,
-        |       len(regexp_extract_all(no_email, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]+'))::INT AS n_phones,
-        |       md5(regexp_replace(no_email, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_digest
-        |FROM e ORDER BY doc_id""".stripMargin,
-
-    "x38_chunk_documents" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |c AS (SELECT doc_id, len(ts)::BIGINT AS n, ts, unnest(range(1, len(ts) + 1, 10)) AS chunk_start
-        |      FROM t)
-        |SELECT doc_id, chunk_start::BIGINT AS chunk_start,
-        |       least(20, n - chunk_start + 1)::BIGINT AS n_chunk_tokens,
-        |       md5(array_to_string(list_slice(ts, chunk_start, chunk_start + 19), ' ')) AS chunk_digest
-        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
-
-    "x39_pack_sequences" ->
-      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
-        |w AS (SELECT lang, doc_id, tok,
-        |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |      FROM t)
-        |SELECT lang, ((cum - tok) // 512)::BIGINT AS bin_id,
-        |       count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens
-        |FROM w GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
-
-    "x89_budget_sweep" ->
-      """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
-        |w AS (SELECT lang, doc_id, tok,
-        |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
-        |      FROM t),
-        |s AS (SELECT budget, lang, tok, cum
-        |      FROM w CROSS JOIN (SELECT unnest([32, 64, 128, 256])::BIGINT AS budget)),
-        |dagg AS (SELECT budget, count(*)::BIGINT AS n_docs,
-        |        sum(greatest(budget - tok, 0))::BIGINT AS pad_waste,
-        |        sum(greatest(tok - budget, 0))::BIGINT AS trunc_tokens,
-        |        sum(least(tok, budget))::BIGINT AS used,
-        |        sum(CASE WHEN (cum - tok) // budget != (cum - 1) // budget
-        |                 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
-        |      FROM s GROUP BY 1),
-        |lagg AS (SELECT budget, lang, sum(tok)::BIGINT AS tot FROM s GROUP BY 1, 2),
-        |pagg AS (SELECT budget,
-        |        sum((tot + budget - 1) // budget)::BIGINT AS n_bins,
-        |        sum(((tot + budget - 1) // budget) * budget - tot)::BIGINT AS tail_waste,
-        |        sum(tot)::BIGINT AS tot_all
-        |      FROM lagg GROUP BY 1)
-        |SELECT budget, n_docs, pad_waste, trunc_tokens,
-        |       used::DOUBLE / (n_docs * budget)::DOUBLE AS util_1doc,
-        |       n_split_docs, n_bins, tail_waste,
-        |       tot_all::DOUBLE / (n_bins * budget)::DOUBLE AS util_packed
-        |FROM dagg JOIN pagg USING (budget) ORDER BY budget""".stripMargin,
-
-    "x104_pq_codes" ->
-      s"""WITH $pqCte
-         |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
-         |       sum(d)::BIGINT AS recon_err
-         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-
-    "x105_pq_recall" ->
-      s"""WITH $pqCte,
-         |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
-         |adct AS (SELECT q.qid, g.vec_id AS cid,
-         |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> q.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc)::BIGINT AS d
-         |         FROM qq q JOIN asg g ON g.s = q.s AND g.vec_id != q.qid
-         |              JOIN cbs c ON c.s = g.s AND c.code = g.code
-         |         GROUP BY 1, 2),
-         |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank FROM adct),
-         |pqn AS (SELECT qid, cid FROM rq WHERE rank <= $pqK),
-         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
-         |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
-         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
-         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
-         |hits AS (SELECT ex.qid, count(pqn.cid)::BIGINT AS hits
-         |         FROM ex LEFT JOIN pqn ON pqn.qid = ex.qid AND pqn.cid = ex.cid
-         |         GROUP BY 1)
-         |SELECT qid AS vec_id, hits, hits::DOUBLE / $pqK AS recall
-         |FROM hits ORDER BY vec_id""".stripMargin,
-
-    "x91_quantized_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |qz AS (SELECT vec_id, list_transform(ed, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
-         |qq AS (SELECT vec_id AS qid, qv AS qe FROM qz WHERE vec_id % 10 = 0),
-         |qc AS (SELECT vec_id AS cid, qv AS ce FROM qz),
-         |s_q AS (SELECT qid, cid,
-         |      list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> qe[i] * ce[i])), (a, b) -> a + b) AS sim
-         |      FROM qq CROSS JOIN qc WHERE qid != cid),
-         |r_q AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_q),
-         |qn AS (SELECT qid, cid FROM r_q WHERE rank <= 3),
-         |fq AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id % 10 = 0),
-         |fc AS (SELECT vec_id AS cid, ed AS ce FROM e),
-         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
-         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
-         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
-         |hits AS (SELECT ex.qid, count(qn.cid)::BIGINT AS hits
-         |         FROM ex LEFT JOIN qn ON qn.qid = ex.qid AND qn.cid = ex.cid
-         |         GROUP BY 1)
-         |SELECT qid AS vec_id, hits, hits::DOUBLE / 3 AS recall
-         |FROM hits ORDER BY vec_id""".stripMargin,
-
-    "x90_bpe_pairs" ->
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        |v AS (SELECT word, count(*)::BIGINT AS n_word FROM w
-        |      WHERE length(word) >= 2 GROUP BY 1),
-        |p AS (SELECT substr(word, i, 1) AS left_sym, substr(word, i + 1, 1) AS right_sym, n_word
-        |      FROM v, unnest(range(1, length(word))) AS r(i))
-        |SELECT left_sym, right_sym, sum(n_word)::BIGINT AS n_pairs
-        |FROM p GROUP BY 1, 2
-        |ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 50""".stripMargin,
-
-    "x40_boilerplate_ngrams" -> // reuses the canonical shingle CTEs (pairs/jac unused here)
-      s"""WITH $shinglesCte,
-         |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3)
-         |SELECT s.doc_id, count(*) AS n_boiler,
-         |       count(*)::DOUBLE / any_value(z.n) AS boiler_frac
-         |FROM sh s JOIN hot h ON h.shingle = s.shingle JOIN sizes z ON z.doc_id = s.doc_id
-         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
-
-    "x41_tfidf_terms" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
-        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
-        |             (tf.tf * n.n_docs)::DOUBLE / df.df AS score
-        |      FROM tf JOIN df USING (token) CROSS JOIN n),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s)
-        |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin,
-
-    "x42_bloom_prefilter" ->
-      """WITH cd AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 2 = 0),
-        |bloom AS (SELECT DISTINCT
-        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
-        |          FROM cd, unnest(range(0, 4)) AS t(i)),
-        |nd AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 2 = 1),
-        |np AS (SELECT doc_id,
-        |            (('0x' || substr(md5('bf' || i::VARCHAR || ':' || digest), 1, 8))::UBIGINT % 65536)::BIGINT AS pos
-        |       FROM nd, unnest(range(0, 4)) AS t(i)),
-        |hits AS (SELECT np.doc_id, count(b.pos)::BIGINT AS n_hits
-        |         FROM np LEFT JOIN bloom b ON b.pos = np.pos GROUP BY 1)
-        |SELECT nd.doc_id, h.n_hits, h.n_hits = 4 AS maybe_dup, c.digest IS NOT NULL AS is_dup
-        |FROM nd JOIN hits h ON h.doc_id = nd.doc_id
-        |LEFT JOIN cd c ON c.digest = nd.digest
-        |ORDER BY nd.doc_id""".stripMargin,
-
-    "x43_source_similarity" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |       FROM toks, unnest(range(1, len(ts)-1)) AS t(i)),
-        |ssh AS (SELECT DISTINCT d.source, s.shingle
-        |        FROM sh s JOIN documents d USING (doc_id)),
-        |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-        |mh AS (SELECT source, seed,
-        |              min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-        |       FROM ssh CROSS JOIN seeds GROUP BY 1, 2),
-        |p AS (SELECT a.source AS source_a, b.source AS source_b,
-        |             count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
-        |      FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
-        |      GROUP BY 1, 2)
-        |SELECT source_a, source_b, n_match, n_match::DOUBLE / 16 AS est_jaccard
-        |FROM p ORDER BY source_a, source_b""".stripMargin,
-
-    "x44_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qe
-         |           FROM embeddings WHERE vec_id % 5 = 0),
-         |c AS (SELECT vec_id AS cid, label AS cl, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s AS (SELECT qid, cid, $dotCte AS sim
-         |      FROM q CROSS JOIN c WHERE qid != cid AND ql != cl),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-
-    "x45_weighted_sample" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(ts)::BIGINT AS n_tokens,
-        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
-        |  FROM t),
-        |q AS (SELECT doc_id,
-        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-        |  FROM s),
-        |b AS (SELECT doc_id, quality,
-        |  (('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u,
-        |  floor((0.3 * quality) * 4294967296.0)::BIGINT AS threshold
-        |  FROM q)
-        |SELECT doc_id, quality, u, threshold, u < threshold AS keep
-        |FROM b ORDER BY doc_id""".stripMargin,
-
-    "x47_cluster_reps" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
-         |q AS (SELECT doc_id,
-         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-         |  FROM s),
-         |r AS (SELECT c.cluster, c.doc_id, q.quality,
-         |        row_number() OVER (PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) AS rn,
-         |        count(*) OVER (PARTITION BY c.cluster) AS n_members
-         |      FROM comp c JOIN q ON q.doc_id = c.doc_id)
-         |SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality, n_members
-         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
-
-    "x51_ann_recall" ->
-      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |asg AS (SELECT e.vec_id, c.ccid,
-         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-         |                 c.ccid) AS rn
-         |        FROM e CROSS JOIN c),
-         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
-         |s_ann AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
-         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
-         |      FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
-         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
-         |r_ann AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ann),
-         |ann AS (SELECT qid, cid FROM r_ann WHERE rank <= 3 AND qid % 10 = 0),
-         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         |cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN cc WHERE qid != cid),
-         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
-         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
-         |hits AS (SELECT ex.qid, count(ann.cid)::BIGINT AS hits
-         |         FROM ex LEFT JOIN ann ON ann.qid = ex.qid AND ann.cid = ex.cid
-         |         GROUP BY 1)
-         |SELECT qid AS vec_id, hits, hits::DOUBLE / 3 AS recall
-         |FROM hits ORDER BY vec_id""".stripMargin,
-
-    "x52_lsh_calibration" ->
-      s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mh AS (SELECT doc_id, seed,
-         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
-         |        FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
-         |nm AS (SELECT c.d1, c.d2, count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
-         |       FROM cand c JOIN mh a ON a.doc_id = c.d1
-         |                   JOIN mh b ON b.doc_id = c.d2 AND b.seed = a.seed
-         |       GROUP BY 1, 2)
-         |SELECT n.d1, n.d2, n.n_match, n.n_match::DOUBLE / 16 AS est_jaccard, j.jaccard,
-         |       abs(n.n_match::DOUBLE / 16 - j.jaccard) AS abs_err
-         |FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2
-         |ORDER BY n.d1, n.d2""".stripMargin,
-
-    "x53_dup_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |w AS (SELECT doc_id, i::BIGINT AS p,
-        |             (('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 15))::UBIGINT)::BIGINT AS h
-        |      FROM t, unnest(range(1, len(ts) - 6)) AS r(i)
-        |      WHERE len(ts) >= 8),
-        |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
-        |d AS (SELECT doc_id, p FROM w JOIN hot USING (h)),
-        |m AS (SELECT doc_id, p,
-        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
-        |             THEN 0 ELSE 1 END AS brk
-        |      FROM d),
-        |s AS (SELECT doc_id, p,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
-        |      FROM m)
-        |SELECT doc_id, span_id::BIGINT AS span_id, min(p)::BIGINT AS start_pos,
-        |       (max(p) - min(p) + 8)::BIGINT AS span_tokens
-        |FROM s GROUP BY 1, 2 ORDER BY doc_id, span_id""".stripMargin,
-
-    "x48_mixture_plan" ->
-      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |                  sum(len(string_split(text, ' ')))::BIGINT AS src_tokens
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(src_tokens)::BIGINT AS total, count(*)::BIGINT AS n_sources FROM s)
-        |SELECT source, n_docs, src_tokens,
-        |       src_tokens::DOUBLE / total AS natural_share,
-        |       least(1.0, (1.0 / n_sources) / (src_tokens::DOUBLE / total)) AS rate
-        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
-
-    "x49_contamination_score" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram
-        |      FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0),
-        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY 1),
-        |sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared
-        |       FROM corpus JOIN bench USING (gram) GROUP BY 1)
-        |SELECT s.doc_id, s.n_grams, coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
-        |       coalesce(sh.n_shared, 0)::DOUBLE / s.n_grams AS shared_frac,
-        |       coalesce(sh.n_shared, 0)::DOUBLE / s.n_grams >= 0.1 AS "drop"
-        |FROM sizes s LEFT JOIN sh ON sh.doc_id = s.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
-
-    "x50_dup_degree" ->
-      s"""WITH $simhashPairsCte,
-         |u AS (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)
-         |SELECT doc_id, count(*)::BIGINT AS degree FROM u
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-    "x46_fixed_sample" ->
-      """WITH b AS (SELECT doc_id, lang,
-        |  (('0x' || substr(md5('fsamp:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u
-        |  FROM documents),
-        |r AS (SELECT lang, doc_id, u,
-        |        row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
-        |      FROM b)
-        |SELECT lang, rank, doc_id, u FROM r WHERE rank <= 20
-        |ORDER BY lang, rank""".stripMargin,
-
-    "x26_sessionize" ->
-      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT user_id, ts,
-        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e),
-        |s AS (SELECT user_id, ts,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
-        |      FROM w)
-        |SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
-        |       max(ts) AS session_end, count(*) AS n_events
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "x27_asof_join" ->
-      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-        |     v AS (SELECT * FROM events WHERE event_type = 'view')
-        |SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.ts AS view_ts
-        |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.event_id""".stripMargin,
-
-    "x28_range_join" ->
-      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events)
-        |SELECT a.event_id AS e1, b.event_id AS e2, (b.us - a.us) / 1000000.0 AS delta_s
-        |FROM ev a JOIN ev b ON a.event_id < b.event_id AND abs(a.us - b.us) <= 5000000
-        |ORDER BY e1, e2""".stripMargin,
-
-    "x58_ann_multiprobe" ->
-      s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |asg AS (SELECT e.vec_id, c.ccid,
-         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-         |                 c.ccid) AS rn
-         |        FROM e CROSS JOIN c),
-         |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
-         |probes AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn <= 2),
-         |s AS (SELECT x.vec_id AS qid, y.vec_id AS cid,
-         |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) AS sim
-         |      FROM probes x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
-         |      JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
-         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
-         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
-
-    "x54_semantic_dedup" ->
-      (kmeansAssignCtes(k = 8, iters = 2) +
-        """,
-          |p AS (SELECT x.vec_id AS v1, count(*) AS n_dups
-          |      FROM af x JOIN af y ON x.cid = y.cid AND y.vec_id < x.vec_id
-          |      JOIN e ex ON ex.vec_id = x.vec_id
-          |      JOIN e ey ON ey.vec_id = y.vec_id
-          |      WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex.ed[i] * ey.ed[i])), (a, b) -> a + b) >= 0.4
-          |      GROUP BY 1)
-          |SELECT af.vec_id, af.cid AS cell, coalesce(p.n_dups, 0)::BIGINT AS n_dups,
-          |       coalesce(p.n_dups, 0) = 0 AS is_kept
-          |FROM af LEFT JOIN p ON p.v1 = af.vec_id ORDER BY af.vec_id""".stripMargin),
-
-    "x57_centroid_sim" ->
-      (kmeansAssignCtes(k = 8, iters = 2) +
-        """
-          |SELECT af.vec_id, af.cid AS cell,
-          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
-          |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
-          |FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid
-          |ORDER BY af.vec_id""".stripMargin),
-
-    // x57's prototypicality columns joined to x31's quality formula;
-    // keep = both gates (thresholds are the harness medians)
-    "x75_crossmodal_curation" ->
-      (kmeansAssignCtes(k = 8, iters = 2) +
-        """,
-          |xsim AS (SELECT af.vec_id, af.cid AS cell,
-          |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
-          |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
-          |       FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid),
-          |xt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-          |xs AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-          |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-          |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM xt),
-          |xq AS (SELECT doc_id,
-          |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-          |  FROM xs)
-          |SELECT xq.doc_id, xq.quality, xsim.cell, xsim.cent_sim4,
-          |       (xq.quality >= 0.63 AND xsim.cent_sim4 >= 0.25) AS keep
-          |FROM xq JOIN xsim ON xsim.vec_id = xq.doc_id
-          |ORDER BY xq.doc_id""".stripMargin),
-
-    // sketch_ok is asserted as a CONSTANT: DuckDB recomputes the exact
-    // side; the Spark side computes the verdict from its sketch — a
-    // drifting sketch flips the boolean and fails the hash
-    "x59_cardinality_sketch" ->
-      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |SELECT source, count(*)::BIGINT AS n_tokens,
-        |       count(DISTINCT tok)::BIGINT AS exact_distinct,
-        |       TRUE AS sketch_ok
-        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
-
-    // deflate_ok is theorem-true for any conforming zlib (envelope law);
-    // raw_bytes is the deterministic byte count both engines can compute
-    "x62_compression_ratio" ->
-      """SELECT doc_id, strlen(text)::BIGINT AS raw_bytes,
-        |       CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS deflate_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // round-tripped columns must equal the source; avro_len is the Avro
-    // binary-format arithmetic (zigzag varint + length-prefixed UTF-8 +
-    // 8 IEEE bytes) in exact integer CASE rungs — a pass pins the wire
-    // format, not just decode∘encode = id
-    // varint rungs are spelled as ranges of event_id itself (zigzag(id)
-    // < 2^7k iff id in [-2^(7k-1), 2^(7k-1)-1]) — no 2*id product, so
-    // no BIGINT overflow for ids near 2^63, and the ladder reaches the
-    // full 10-byte unsigned-varint range
-    "x63_avro_roundtrip" ->
-      """WITH z AS (SELECT event_id, event_type, value,
-        |  strlen(event_type)::BIGINT AS tlen FROM events)
-        |SELECT event_id, event_type AS type_rt, value AS value_rt,
-        |  (CASE WHEN event_id BETWEEN -64 AND 63 THEN 1
-        |        WHEN event_id BETWEEN -8192 AND 8191 THEN 2
-        |        WHEN event_id BETWEEN -1048576 AND 1048575 THEN 3
-        |        WHEN event_id BETWEEN -134217728 AND 134217727 THEN 4
-        |        WHEN event_id BETWEEN -17179869184 AND 17179869183 THEN 5
-        |        WHEN event_id BETWEEN -2199023255552 AND 2199023255551 THEN 6
-        |        WHEN event_id BETWEEN -281474976710656 AND 281474976710655 THEN 7
-        |        WHEN event_id BETWEEN -36028797018963968 AND 36028797018963967 THEN 8
-        |        WHEN event_id BETWEEN -4611686018427387904 AND 4611686018427387903 THEN 9
-        |        ELSE 10 END
-        |   + CASE WHEN tlen < 64 THEN 1 WHEN tlen < 8192 THEN 2
-        |          WHEN tlen < 1048576 THEN 3 ELSE 4 END
-        |   + tlen + 8)::BIGINT AS avro_len
-        |FROM z ORDER BY event_id""".stripMargin,
-
-    // exact-integer per-dimension mean shift over the int8 quantization;
-    // same parity-split convention and numerator spelling as x60. The
-    // two same-level unnests zip in DuckDB (list element + its index)
-    "x64_embedding_drift" ->
-      """WITH e AS (SELECT vec_id % 2 AS parity,
-        |  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT))) AS q,
-        |  unnest(range(1, len(embedding) + 1)) AS dim
-        |FROM embeddings)
-        |SELECT dim, n_a, n_b, sum_a, sum_b,
-        |       (sum_a * n_b - sum_b * n_a) AS shift_numer,
-        |       CAST(sum_a * n_b - sum_b * n_a AS DOUBLE) / (n_a * n_b) AS q_shift
-        |FROM (SELECT dim,
-        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
-        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
-        |        sum(CASE WHEN parity = 0 THEN q ELSE 0 END)::BIGINT AS sum_a,
-        |        sum(CASE WHEN parity = 1 THEN q ELSE 0 END)::BIGINT AS sum_b
-        |      FROM e GROUP BY dim)
-        |ORDER BY dim""".stripMargin,
-
-    "x60_token_drift" ->
-      """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c AS (SELECT tok,
-        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS count_a,
-        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS count_b
-        |      FROM toks GROUP BY tok),
-        |t AS (SELECT sum(count_a)::BIGINT AS na, sum(count_b)::BIGINT AS nb FROM c)
-        |SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b,
-        |       sum(abs(c.count_a * t.nb - c.count_b * t.na))::BIGINT AS tv_numer,
-        |       sum(abs(c.count_a * t.nb - c.count_b * t.na))::DOUBLE / (2.0 * t.na * t.nb) AS tv_distance
-        |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin,
-
-    "x61_top_movers" ->
-      """WITH toks AS (SELECT doc_id % 2 AS parity, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c AS (SELECT tok,
-        |        sum(CASE WHEN parity = 0 THEN 1 ELSE 0 END)::BIGINT AS count_a,
-        |        sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END)::BIGINT AS count_b
-        |      FROM toks GROUP BY tok),
-        |t AS (SELECT sum(count_a)::BIGINT AS na, sum(count_b)::BIGINT AS nb FROM c)
-        |SELECT c.tok, c.count_a, c.count_b,
-        |       abs(c.count_a * t.nb - c.count_b * t.na)::BIGINT AS shift_numer
-        |FROM c CROSS JOIN t
-        |ORDER BY shift_numer DESC, tok LIMIT 15""".stripMargin,
-
-    // event_frac is one IEEE division; skew_ratio is one double product
-    // then one division — identical op order in both engines
-    "x65_hot_keys" ->
-      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
-        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
-        |SELECT c.user_id, c.n_events,
-        |       c.n_events::DOUBLE / t.total_events AS event_frac,
-        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio
-        |FROM c CROSS JOIN t
-        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
-
-    "x66_split_leakage" ->
-      s"""WITH $simhashPairsCte,
-         |sp AS (SELECT doc_id,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |    (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS b
-         |    FROM documents))
-         |SELECT p.d1, p.d2, s1.split AS split_1, s2.split AS split_2, p.hamming
-         |FROM nd_pairs p JOIN sp s1 ON s1.doc_id = p.d1 JOIN sp s2 ON s2.doc_id = p.d2
-         |WHERE s1.split <> s2.split
-         |ORDER BY p.d1, p.d2""".stripMargin,
-
-    // x66's pair relation feeding a drop set: the lower-priority member
-    // (train=2 > val=1 > test=0) of each leaking pair loses its row
-    "x71_leakage_repair" ->
-      s"""WITH $simhashPairsCte,
-         |sp AS (SELECT doc_id,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |    (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS b
-         |    FROM documents)),
-         |lk AS (SELECT p.d1, p.d2, s1.split AS split_1, s2.split AS split_2
-         |       FROM nd_pairs p JOIN sp s1 ON s1.doc_id = p.d1 JOIN sp s2 ON s2.doc_id = p.d2
-         |       WHERE s1.split <> s2.split),
-         |pr AS (SELECT *,
-         |         CASE split_1 WHEN 'train' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS p1,
-         |         CASE split_2 WHEN 'train' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS p2
-         |       FROM lk),
-         |drops AS (SELECT DISTINCT CASE WHEN p1 < p2 THEN d1 ELSE d2 END AS doc_id FROM pr)
-         |SELECT sp.doc_id, sp.split, drops.doc_id IS NULL AS kept
-         |FROM sp LEFT JOIN drops ON drops.doc_id = sp.doc_id
-         |ORDER BY sp.doc_id""".stripMargin,
-
-    // Hamilton apportionment in pure BIGINT: floor quotas + the largest
-    // division remainders take the leftover seats (ties to source asc)
-    "x72_budget_allocation" ->
-      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
-        |t AS (SELECT sum(n_docs)::BIGINT AS total FROM s),
-        |b AS (SELECT source, n_docs,
-        |        (100::BIGINT * n_docs) // total AS base,
-        |        (100::BIGINT * n_docs) % total AS rem
-        |      FROM s CROSS JOIN t),
-        |l AS (SELECT (100::BIGINT - sum(base))::BIGINT AS leftover FROM b),
-        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
-        |SELECT source, n_docs, base, rem,
-        |       base + CASE WHEN rk <= leftover THEN 1::BIGINT ELSE 0::BIGINT END AS quota
-        |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
-
-    // x65's exact relation + the CMS law verdicts (x59's audit contract:
-    // the oracle recomputes the deterministic columns and asserts the
-    // verdicts TRUE; the sketch estimate never leaves the plan)
-    "x73_freq_sketch_audit" ->
-      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
-        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
-        |SELECT c.user_id, c.n_events,
-        |       c.n_events::DOUBLE / t.total_events AS event_frac,
-        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio,
-        |       TRUE AS ok_never_under, TRUE AS ok_within_eps
-        |FROM c CROSS JOIN t
-        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
-
-    // x78: the law verdicts are theorem-true (see Skew.heavyHitterAudit);
-    // the deterministic columns are exactly the hot-key relation
-    "x78_heavy_hitter_audit" ->
-      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id),
-        |t AS (SELECT sum(n_events)::BIGINT AS total_events, count(*)::BIGINT AS n_keys FROM c)
-        |SELECT c.user_id, c.n_events,
-        |       c.n_events::DOUBLE / t.total_events AS event_frac,
-        |       c.n_events::DOUBLE * t.n_keys / t.total_events AS skew_ratio,
-        |       TRUE AS ok_never_under, TRUE AS ok_within_err
-        |FROM c CROSS JOIN t
-        |ORDER BY c.n_events DESC, c.user_id LIMIT 15""".stripMargin,
-
-    // x31's quality formula + the split/sampler md5 derivation mod 8,
-    // then best-first rank within each shard
-    "x74_curriculum_shards" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-        |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-        |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
-        |q AS (SELECT doc_id,
-        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-        |  FROM s),
-        |b AS (SELECT doc_id, quality,
-        |  (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::BIGINT AS shard
-        |  FROM q),
-        |r AS (SELECT doc_id, shard, quality,
-        |        row_number() OVER (PARTITION BY shard ORDER BY quality DESC, doc_id) AS position
-        |      FROM b)
-        |SELECT doc_id, shard, position, quality FROM r
-        |ORDER BY shard, position""".stripMargin,
-
-    // the ok_* verdicts are the audit law (sketch rank within ±n/accuracy
-    // of the target — x59's contract); exact_p* are the discrete order
-    // statistics both engines compute in pure integer selection
-    "x67_quantile_audit" ->
-      """WITH r AS (SELECT source, n_chars,
-        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY source) AS cnt
-        |      FROM documents)
-        |SELECT source, max(cnt)::BIGINT AS n_docs,
-        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS exact_p50,
-        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS exact_p90,
-        |  max(CASE WHEN rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS exact_p99,
-        |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
-
-    // x60's parity-snapshot convention; exact distinct-gram counts, the
-    // anti-join spelling of "unseen in the previous snapshot"
-    "x77_gram_novelty" ->
-      """WITH t77 AS (SELECT source, doc_id, string_split(text, ' ') AS ts FROM documents),
-        |g AS (SELECT DISTINCT source, doc_id % 2 AS parity,
-        |        ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
-        |      FROM t77, unnest(range(1, len(ts) - 1)) AS t(i)),
-        |a AS (SELECT source, gram FROM g WHERE parity = 0),
-        |b AS (SELECT source, gram FROM g WHERE parity = 1),
-        |n AS (SELECT source, count(*)::BIGINT AS n_grams_b FROM b GROUP BY 1),
-        |nov AS (SELECT b.source, count(*)::BIGINT AS n_novel
-        |        FROM b ANTI JOIN a USING (source, gram) GROUP BY 1)
-        |SELECT n.source, n.n_grams_b, coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
-        |       coalesce(nov.n_novel, 0)::DOUBLE / n.n_grams_b AS novelty
-        |FROM n LEFT JOIN nov ON nov.source = n.source
-        |ORDER BY n.source""".stripMargin,
-
-    // x12's epoch-aligned window buckets + per-window top-k by (count
-    // desc, user_id) — the row_number spelling of the bounded aggregate
-    "x76_trending_keys" ->
-      """WITH c AS (SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s,
-        |              user_id, count(*)::BIGINT AS n_events
-        |       FROM events GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY window_start_s
-        |                ORDER BY n_events DESC, user_id) AS rank FROM c)
-        |SELECT window_start_s, rank, user_id, n_events FROM r WHERE rank <= 3
-        |ORDER BY window_start_s, rank""".stripMargin,
-
-    // x48's rate CTE verbatim, then the gate: u < floor(rate·2^32) —
-    // the weightedSample threshold spelling, all exactly-rounded IEEE ops
-    "x68_mixture_sample" ->
-      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |                  sum(len(string_split(text, ' ')))::BIGINT AS src_tokens
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(src_tokens)::BIGINT AS total, count(*)::BIGINT AS n_sources FROM s),
-        |p AS (SELECT source,
-        |        least(1.0, (1.0 / n_sources) / (src_tokens::DOUBLE / total)) AS rate
-        |      FROM s CROSS JOIN t),
-        |b AS (SELECT doc_id, source,
-        |        (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS u
-        |      FROM documents)
-        |SELECT b.doc_id, b.source, b.u FROM b JOIN p USING (source)
-        |WHERE b.u < floor(p.rate * 4294967296.0)::BIGINT
-        |ORDER BY b.doc_id""".stripMargin,
-
-    // probe terms are the 10 highest-df tokens of length >= 6; idf is the
-    // log-free rational (N-df+0.5)/(df+0.5); every arithmetic step is
-    // spelled in the same order as the Spark plan (exactly-rounded IEEE
-    // ops are bit-reproducible only when the expression tree matches)
-    "x69_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |q AS (SELECT token, df FROM dfr WHERE length(token) >= 6
-        |      ORDER BY df DESC, token LIMIT 10),
-        |dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
-        |st AS (SELECT count(*)::BIGINT AS n_docs,
-        |              sum(len(string_split(text, ' ')))::BIGINT AS total_toks FROM documents),
-        |sc AS (SELECT tf.token, tf.doc_id,
-        |         ((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5)) *
-        |         ((tf::DOUBLE * (1.2 + 1.0)) /
-        |          (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 *
-        |             (dl::DOUBLE / (total_toks::DOUBLE / n_docs))))) AS score
-        |       FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
-        |r AS (SELECT token, doc_id, score,
-        |        row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT token, rank, doc_id, score FROM r WHERE rank <= 5
-        |ORDER BY token, rank""".stripMargin,
-
-    // pure BIGINT sums (order-insensitive), one IEEE division at the end
-    "x70_rarity_score" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
-        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_toks,
-        |       sum(tf.tf * (n_docs - df))::BIGINT AS rarity_sum,
-        |       sum(tf.tf * (n_docs - df))::DOUBLE / sum(tf.tf) AS mean_rarity
-        |FROM tf JOIN dfr USING (token) CROSS JOIN n
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-
-    "x55_event_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
-        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
-        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY 1)
-        |SELECT 1::BIGINT AS step, 'view' AS step_name, count(*) AS n_users FROM s1
-        |UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
-        |ORDER BY step""".stripMargin,
-
-    "x56_retention_cohorts" ->
-      """WITH ev AS (SELECT DISTINCT user_id,
-        |              (epoch_us(ts) // 86400000000 + 3) // 7 AS wk FROM events),
-        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
-        |SELECT c.cohort_wk, ev.wk - c.cohort_wk AS week_offset, count(*) AS n_users
-        |FROM ev JOIN c ON c.user_id = ev.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // LSH candidates (x2's mh/sig/cand chain) re-scored by DuckDB's
-    // built-in levenshtein — the same dynamic program Spark compiles
-    "x111_edit_dedup" ->
-      s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mh AS (SELECT doc_id, seed,
-         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |               max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-         |               max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
-         |        FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
-         |d AS (SELECT c.d1, c.d2,
-         |             length(ta.text)::BIGINT AS len1, length(tb.text)::BIGINT AS len2,
-         |             levenshtein(ta.text, tb.text)::BIGINT AS dist
-         |      FROM cand c JOIN documents ta ON ta.doc_id = c.d1
-         |                  JOIN documents tb ON tb.doc_id = c.d2),
-         |r AS (SELECT d1, d2, len1, len2, dist,
-         |             round(CASE WHEN greatest(len1, len2) = 0 THEN 1.0
-         |                        ELSE 1.0 - dist::DOUBLE / greatest(len1, len2) END, 4) AS edit_sim4
-         |      FROM d)
-         |SELECT d1, d2, len1, len2, dist, edit_sim4, edit_sim4 >= $editMinSim AS near_dup
-         |FROM r ORDER BY d1, d2""".stripMargin,
-
-    // max cosine vs the benchmark slice; rank on the UNROUNDED sim with
-    // the lower-cid tie-break (presentTopK's struct-max, x58's spelling)
-    "x112_semantic_contamination" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |b AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id % $contamBenchMod = 0),
-         |c AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id % $contamBenchMod != 0),
-         |s AS (SELECT qid, cid, $dotCte AS sim FROM c CROSS JOIN b),
-         |r AS (SELECT qid, cid, sim,
-         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM s)
-         |SELECT qid AS vec_id, cid AS bench_id, round(sim, 4) AS sim4,
-         |       round(sim, 4) >= $contamTau AS contaminated
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "x113_oov_rate" ->
-      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tc AS (SELECT source, token, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
-         |vocab AS (SELECT token FROM (SELECT token, sum(n) AS tot FROM tc GROUP BY 1
-         |                             ORDER BY tot DESC, token LIMIT $oovVocabSize)),
-         |rates AS (SELECT source, sum(n)::BIGINT AS n_tokens,
-         |                 sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE n END)::BIGINT AS n_oov
-         |          FROM tc GROUP BY 1)
-         |SELECT s.source, coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
-         |       coalesce(r.n_oov, 0)::BIGINT AS n_oov,
-         |       CASE WHEN coalesce(r.n_tokens, 0) = 0 THEN NULL
-         |            ELSE coalesce(r.n_oov, 0)::DOUBLE / r.n_tokens END AS oov_rate
-         |FROM (SELECT DISTINCT source FROM documents) s
-         |LEFT JOIN rates r ON r.source = s.source
-         |ORDER BY s.source""".stripMargin,
-
-    // within-cell rank on the ROUNDED cent_sim4 (both engines rank the
-    // identical rounded doubles; vec_id breaks ties deterministically)
-    "x114_cell_outliers" ->
-      (kmeansAssignCtes(k = 8, iters = 2) +
-        s""",
-           |cs AS (SELECT af.vec_id, af.cid AS cell,
-           |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> e.ed[i] * c.cd[i])), (a, b) -> a + b)
-           |             / sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> c.cd[i] * c.cd[i])), (a, b) -> a + b)), 4) AS cent_sim4
-           |       FROM af JOIN e ON e.vec_id = af.vec_id JOIN c2 c ON c.cid = af.cid),
-           |r AS (SELECT vec_id, cell, cent_sim4,
-           |             row_number() OVER (PARTITION BY cell ORDER BY cent_sim4, vec_id)::BIGINT AS rn,
-           |             count(*) OVER (PARTITION BY cell)::BIGINT AS n_cell FROM cs)
-           |SELECT vec_id, cell, cent_sim4, rn, n_cell, rn * $outlierPctDen <= n_cell AS outlier
-           |FROM r ORDER BY vec_id""".stripMargin),
-
-    // both signals ranked on their ROUNDED values with the doc_id
-    // tie-break (each rank a permutation → the classical rho formula);
-    // the denominator keeps the fixed association n*(n*n - 1) in DOUBLE
-    "x115_signal_agreement" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-        |dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
-        |rar AS (SELECT tf.doc_id,
-        |               round(sum(tf.tf * (n_docs - df))::DOUBLE / sum(tf.tf), 4) AS a4
-        |        FROM tf JOIN dfr USING (token) CROSS JOIN nn GROUP BY tf.doc_id),
-        |t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |bgr AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bg FROM t2),
-        |rep AS (SELECT doc_id, round(len(list_distinct(bg))::DOUBLE / len(bg), 4) AS b4
-        |        FROM bgr WHERE len(bg) > 0),
-        |j AS (SELECT d.source, d.doc_id, a4, b4
-        |      FROM documents d JOIN rar ON rar.doc_id = d.doc_id JOIN rep ON rep.doc_id = d.doc_id),
-        |r AS (SELECT source,
-        |             row_number() OVER (PARTITION BY source ORDER BY a4, doc_id)::BIGINT AS ra,
-        |             row_number() OVER (PARTITION BY source ORDER BY b4, doc_id)::BIGINT AS rb
-        |      FROM j),
-        |agg AS (SELECT source, count(*)::BIGINT AS n,
-        |               sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2 FROM r GROUP BY 1)
-        |SELECT source, n, sum_d2,
-        |       CASE WHEN n < 2 THEN NULL
-        |            ELSE 1.0 - 6.0 * sum_d2::DOUBLE / (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0))
-        |       END AS rho
-        |FROM agg ORDER BY source""".stripMargin,
-
-    // the exact all-pairs spelling: DuckDB verifies every pair, the
-    // Spark side's containment-PPJoin prefix filter is lossless for the
-    // c >= t verdict, so the two relations agree exactly
-    "x116_containment" ->
-      s"""WITH $shinglesCte,
-         |c AS (SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d1 ELSE d2 END AS d_small,
-         |             CASE WHEN n1 < n2 OR (n1 = n2 AND d1 < d2) THEN d2 ELSE d1 END AS d_large,
-         |             inter::BIGINT AS inter,
-         |             least(n1, n2)::BIGINT AS n_small, greatest(n1, n2)::BIGINT AS n_large
-         |      FROM jac)
-         |SELECT d_small, d_large, inter, n_small, n_large,
-         |       inter::DOUBLE / n_small AS containment
-         |FROM c WHERE inter::DOUBLE / n_small >= $containTau
-         |ORDER BY d_small, d_large""".stripMargin,
-
-    // per doc only the FIRST bin segment can bleed (later segments start
-    // at in-bin position 0); bleed = min(len1, W-1) iff s_b > 0
-    "x117_pack_bleed" ->
-      s"""WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
-         |w AS (SELECT lang, doc_id, tok,
-         |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
-         |      FROM t),
-         |g AS (SELECT lang, tok, (cum - tok) % $bleedBudget AS sb,
-         |             least(tok, $bleedBudget - ((cum - tok) % $bleedBudget)) AS len1
-         |      FROM w),
-         |s AS (SELECT lang, tok,
-         |             CASE WHEN sb = 0 THEN 0 ELSE least(len1, win - 1) END AS bleed, win
-         |      FROM g CROSS JOIN (SELECT unnest([${bleedWindows.mkString(", ")}]::BIGINT[]) AS win))
-         |SELECT win, lang, count(*)::BIGINT AS n_docs,
-         |       sum(CASE WHEN bleed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bleed_docs,
-         |       sum(bleed)::BIGINT AS bleed_positions,
-         |       sum(tok)::BIGINT AS n_tokens,
-         |       CASE WHEN sum(tok) = 0 THEN NULL
-         |            ELSE sum(bleed)::DOUBLE / sum(tok) END AS bleed_frac
-         |FROM s GROUP BY 1, 2 ORDER BY win, lang""".stripMargin,
-
-    // all-pairs inside each (brand, size) block — the exact spelling of
-    // the blocked candidate space; best match by (sim4 desc, cand asc),
-    // the struct-max order; singleton blocks keep their record with NULLs
-    "x118_entity_resolution" ->
-      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name,
-        |                  length(p_name)::BIGINT AS len FROM part),
-        |scored AS (SELECT a.p_partkey, b.p_partkey AS cand_key,
-        |                  levenshtein(a.p_name, b.p_name)::BIGINT AS dist,
-        |                  round(CASE WHEN greatest(a.len, b.len) = 0 THEN 1.0
-        |                             ELSE 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / greatest(a.len, b.len)
-        |                        END, 4) AS sim4
-        |           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |                            AND a.p_partkey <> b.p_partkey),
-        |r AS (SELECT p_partkey, cand_key, dist, sim4,
-        |             row_number() OVER (PARTITION BY p_partkey ORDER BY sim4 DESC, cand_key) AS rn,
-        |             count(*) OVER (PARTITION BY p_partkey)::BIGINT + 1 AS n_block
-        |      FROM scored)
-        |SELECT p.p_partkey, p.p_brand AS block_brand, p.p_size AS block_size,
-        |       coalesce(r.n_block, 1)::BIGINT AS n_block,
-        |       r.cand_key AS match_key, r.dist, r.sim4
-        |FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON r.p_partkey = p.p_partkey
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    // the NAIVE per-token rank window — the law the Spark side's
-    // count-of-counts contraction must reproduce exactly
-    "x119_vocab_coverage" ->
-      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         |cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY 1),
-         |tot AS (SELECT sum(c)::BIGINT AS total FROM cnt),
-         |r AS (SELECT row_number() OVER (ORDER BY c DESC, token)::BIGINT AS rnk,
-         |             sum(c) OVER (ORDER BY c DESC, token ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
-         |      FROM cnt),
-         |sel AS (SELECT pct, min(rnk)::BIGINT AS vocab_rank
-         |        FROM r CROSS JOIN tot
-         |             CROSS JOIN (SELECT unnest([${coveragePcts.mkString(", ")}]) AS pct)
-         |        WHERE 100 * cum >= pct * total GROUP BY pct)
-         |SELECT sel.pct, sel.vocab_rank, r.cum AS covered_mass, tot.total AS total_mass,
-         |       round(r.cum::DOUBLE / tot.total, 4) AS coverage4
-         |FROM sel JOIN r ON r.rnk = sel.vocab_rank CROSS JOIN tot
-         |ORDER BY sel.pct""".stripMargin,
-
-    "x120_zipf_profile" ->
-      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
-         |cnt AS (SELECT lang, token, count(*)::BIGINT AS freq FROM toks GROUP BY 1, 2),
-         |tot AS (SELECT lang, sum(freq)::BIGINT AS lang_mass FROM cnt GROUP BY 1),
-         |r AS (SELECT lang, token, freq,
-         |             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token)::BIGINT AS rank
-         |      FROM cnt)
-         |SELECT r.lang, rank, token, freq, rank * freq AS zipf_product,
-         |       round(freq::DOUBLE / lang_mass, 4) AS share4
-         |FROM r JOIN tot ON tot.lang = r.lang
-         |WHERE rank IN (${(0 to zipfMaxRankLog2).map(1L << _).mkString(", ")})
-         |ORDER BY r.lang, rank""".stripMargin,
-
-    // x22's component closure + a size histogram; the size-1 bucket is
-    // the unpaired complement (components always have >= 2 members)
-    "x121_cluster_sizes" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1),
-         |hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
-         |clustered AS (SELECT count(*)::BIGINT AS n_clustered FROM comp),
-         |all_h AS (SELECT * FROM hist
-         |          UNION ALL
-         |          SELECT 1::BIGINT, n_total - n_clustered FROM tot CROSS JOIN clustered
-         |          WHERE n_total > n_clustered)
-         |SELECT cluster_size, n_clusters,
-         |       cluster_size * n_clusters AS n_docs,
-         |       round((cluster_size * n_clusters)::DOUBLE / n_total, 4) AS docs_share4
-         |FROM all_h CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
-
-    // dense hour grid (absent hours count 0), scaled-integer deviations
-    // dev = H*c - T, cusum in hour order, peak tie to the earliest hour
-    "x122_cusum_drift" ->
-      """WITH ev AS (SELECT event_type,
-        |                   (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s FROM events),
-        |cells AS (SELECT event_type, hour_s, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
-        |span AS (SELECT min(hour_s) AS h0, max(hour_s) AS h1 FROM cells),
-        |grid AS (SELECT unnest(range(h0, h1 + 3600, 3600)) AS hour_s FROM span),
-        |types AS (SELECT DISTINCT event_type FROM cells),
-        |dense AS (SELECT t.event_type, g.hour_s, coalesce(c.c, 0)::BIGINT AS c
-        |          FROM types t CROSS JOIN grid g
-        |          LEFT JOIN cells c ON c.event_type = t.event_type AND c.hour_s = g.hour_s),
-        |st AS (SELECT event_type, hour_s, c,
-        |              count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours,
-        |              sum(c) OVER (PARTITION BY event_type)::BIGINT AS n_events
-        |       FROM dense),
-        |cu AS (SELECT event_type, hour_s, n_hours, n_events,
-        |              sum(n_hours * c - n_events) OVER (PARTITION BY event_type ORDER BY hour_s
-        |                ROWS UNBOUNDED PRECEDING)::BIGINT AS cusum
-        |       FROM st),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |                 ORDER BY abs(cusum) DESC, hour_s) AS rn FROM cu)
-        |SELECT event_type, n_hours, n_events, hour_s AS peak_hour_s,
-        |       cusum AS peak_cusum, abs(cusum)::BIGINT AS peak_abs
-        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
-
-    // majority pick mirrors max(struct(n_l, lang)): count desc, then
-    // the LEXICALLY GREATER language on ties
-    "x123_lang_purity" ->
-      """WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n_l
-        |               FROM documents GROUP BY 1, 2),
-        |agg AS (SELECT source, sum(n_l)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
-        |               sum(n_l * n_l)::BIGINT AS sum_sq FROM cells GROUP BY 1),
-        |mj AS (SELECT source, lang AS majority_lang, n_l AS mj_n,
-        |              row_number() OVER (PARTITION BY source ORDER BY n_l DESC, lang DESC) AS rn
-        |       FROM cells)
-        |SELECT a.source, n_docs, n_langs, majority_lang,
-        |       round(mj_n::DOUBLE / n_docs, 4) AS majority_share4,
-        |       round((n_docs * n_docs - sum_sq)::DOUBLE / (n_docs * n_docs), 4) AS gini4
-        |FROM agg a JOIN mj ON mj.source = a.source AND rn = 1
-        |ORDER BY a.source""".stripMargin,
-
-    "x124_rare_cell_suppression" ->
-      s"""SELECT lang, source, count(*)::BIGINT AS n_docs,
-         |       count(*) < $kanonK AS suppress,
-         |       (CASE WHEN count(*) < $kanonK THEN 0 ELSE count(*) END)::BIGINT AS kept_docs
-         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // x52's signature/candidate CTEs + x116's canonical orientation; the
-    // derived estimator C-hat = m(n1+n2)/((16+m)·n_small) and the exact
-    // containment are each ONE division of exact BIGINTs
-    "x125_containment_estimate" ->
-      s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, $mh125Hashes)) AS seed),
-         |mh AS (SELECT doc_id, seed,
-         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, (seed // ${mh125Hashes / mh125Bands})::INT AS band,
-         |               max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 0) AS m0, max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 1) AS m1,
-         |               max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 2) AS m2, max(mh) FILTER (seed % ${mh125Hashes / mh125Bands} = 3) AS m3
-         |        FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |                              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
-         |nm AS (SELECT c.d1, c.d2, count(*) FILTER (a.mh = b.mh)::BIGINT AS n_match
-         |       FROM cand c JOIN mh a ON a.doc_id = c.d1
-         |                   JOIN mh b ON b.doc_id = c.d2 AND b.seed = a.seed
-         |       GROUP BY 1, 2),
-         |e AS (SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND j.d1 < j.d2) THEN j.d1 ELSE j.d2 END AS d_small,
-         |             CASE WHEN n1 < n2 OR (n1 = n2 AND j.d1 < j.d2) THEN j.d2 ELSE j.d1 END AS d_large,
-         |             least(n1, n2)::BIGINT AS n_small, greatest(n1, n2)::BIGINT AS n_large,
-         |             n_match,
-         |             (n_match * (n1 + n2))::DOUBLE / (($mh125Hashes + n_match) * least(n1, n2)) AS est_containment,
-         |             inter::DOUBLE / least(n1, n2) AS containment
-         |      FROM nm n JOIN jac j ON j.d1 = n.d1 AND j.d2 = n.d2)
-         |SELECT d_small, d_large, n_small, n_large, n_match,
-         |       est_containment, containment, abs(est_containment - containment) AS abs_err
-         |FROM e ORDER BY d_small, d_large""".stripMargin,
-
-    // the shared CDC chunk CTE + the digest census and per-source fold
-    "x126_cdc_chunk_dedup" ->
-      s"""WITH $cdcChunksCte,
-         |census AS (SELECT digest, count(*)::BIGINT AS n_copies FROM ch GROUP BY 1)
-         |SELECT source, count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS n_chunk_tokens,
-         |       sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
-         |       sum(CASE WHEN n_copies >= 2 THEN n_tokens ELSE 0 END)::BIGINT AS dup_tokens,
-         |       CASE WHEN sum(n_tokens) = 0 THEN NULL
-         |            ELSE round(sum(CASE WHEN n_copies >= 2 THEN n_tokens ELSE 0 END)::DOUBLE / sum(n_tokens), 4)
-         |       END AS dup_frac4
-         |FROM ch JOIN census USING (digest)
-         |GROUP BY source ORDER BY source""".stripMargin,
-
-    // x67's order-statistic rank rule per (side, source); x93's parity
-    // snapshot binding; shifts exact BIGINTs, rel shifts guarded
-    "x127_quantile_drift" ->
-      """WITH d AS (SELECT source, doc_id, n_chars,
-        |                  CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
-        |           FROM documents),
-        |r AS (SELECT source, side, n_chars,
-        |             row_number() OVER (PARTITION BY side, source ORDER BY n_chars, doc_id) AS rn,
-        |             count(*) OVER (PARTITION BY side, source) AS cnt
-        |      FROM d),
-        |a AS (SELECT source,
-        |  max(cnt) FILTER (side = 'old')::BIGINT AS n_old,
-        |  max(cnt) FILTER (side = 'new')::BIGINT AS n_new,
-        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS old_p50,
-        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.5 * cnt)::BIGINT)) THEN n_chars END) AS new_p50,
-        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS old_p90,
-        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.9 * cnt)::BIGINT)) THEN n_chars END) AS new_p90,
-        |  max(CASE WHEN side = 'old' AND rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS old_p99,
-        |  max(CASE WHEN side = 'new' AND rn <= least(cnt, greatest(1, ceil(0.99 * cnt)::BIGINT)) THEN n_chars END) AS new_p99
-        |  FROM r GROUP BY source)
-        |SELECT source, n_old, n_new, old_p50, new_p50, old_p90, new_p90, old_p99, new_p99,
-        |  new_p50 - old_p50 AS shift_p50,
-        |  CASE WHEN old_p50 IS NULL OR new_p50 IS NULL OR old_p50 = 0 THEN NULL
-        |       ELSE round((new_p50 - old_p50)::DOUBLE / old_p50, 4) END AS rel_shift4_p50,
-        |  new_p90 - old_p90 AS shift_p90,
-        |  CASE WHEN old_p90 IS NULL OR new_p90 IS NULL OR old_p90 = 0 THEN NULL
-        |       ELSE round((new_p90 - old_p90)::DOUBLE / old_p90, 4) END AS rel_shift4_p90,
-        |  new_p99 - old_p99 AS shift_p99,
-        |  CASE WHEN old_p99 IS NULL OR new_p99 IS NULL OR old_p99 = 0 THEN NULL
-        |       ELSE round((new_p99 - old_p99)::DOUBLE / old_p99, 4) END AS rel_shift4_p99
-        |FROM a ORDER BY source""".stripMargin,
-
-    // per-source DISTINCT chunk vocabularies self-joined by digest —
-    // each shared digest contributes exactly one intersection unit
-    "x128_source_overlap" ->
-      s"""WITH $cdcChunksCte,
-         |u AS (SELECT DISTINCT source, digest FROM ch),
-         |sz AS (SELECT source, count(*)::BIGINT AS n_distinct FROM u GROUP BY 1),
-         |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS inter
-         |       FROM u a JOIN u b ON a.digest = b.digest AND a.source <> b.source
-         |       GROUP BY 1, 2)
-         |SELECT source_a, source_b, sa.n_distinct AS n_a, sb.n_distinct AS n_b, inter,
-         |       round(inter::DOUBLE / sa.n_distinct, 4) AS containment4
-         |FROM pr JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b
-         |ORDER BY source_a, source_b""".stripMargin,
-
-    // x22's component closure joined to (source, lang); majority source
-    // mirrors max(struct(n_s, source)) — count desc, then source DESC
-    "x129_cluster_purity" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |m AS (SELECT comp.doc_id, cluster, source, lang
-         |      FROM comp JOIN documents ON documents.doc_id = comp.doc_id),
-         |bs AS (SELECT cluster, source, count(*)::BIGINT AS n_s FROM m GROUP BY 1, 2),
-         |mj AS (SELECT cluster, source AS majority_source, n_s,
-         |              row_number() OVER (PARTITION BY cluster ORDER BY n_s DESC, source DESC) AS rn
-         |       FROM bs),
-         |agg AS (SELECT cluster, count(*)::BIGINT AS n_members,
-         |               count(DISTINCT source)::BIGINT AS n_sources,
-         |               count(DISTINCT lang)::BIGINT AS n_langs
-         |        FROM m GROUP BY 1)
-         |SELECT agg.cluster, n_members, n_sources, n_langs, majority_source,
-         |       round(n_s::DOUBLE / n_members, 4) AS majority_share4,
-         |       n_sources > 1 AS cross_source, n_langs > 1 AS cross_lang
-         |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
-         |ORDER BY agg.cluster""".stripMargin,
-
-    // x108's positioned-gram run detection + a covered-position
-    // expansion and the x84 rebuild (anti join + ordered re-concat)
-    "x132_decontamination_repair" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |pos AS (SELECT doc_id, i::BIGINT AS p,
-         |               array_to_string(list_slice(ts, i, i + ${repairK - 1}), ' ') AS gram
-         |        FROM t, unnest(range(1, len(ts) - ${repairK - 2})) AS r(i)
-         |        WHERE len(ts) >= $repairK),
-         |bench AS (SELECT DISTINCT gram FROM pos WHERE doc_id % $repairBenchMod = 0),
-         |hits AS (SELECT doc_id, p FROM pos JOIN bench USING (gram)
-         |         WHERE doc_id % $repairBenchMod <> 0),
-         |m AS (SELECT doc_id, p,
-         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
-         |             THEN 0 ELSE 1 END AS brk
-         |      FROM hits),
-         |s AS (SELECT doc_id, p,
-         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS run_id
-         |      FROM m),
-         |runs AS (SELECT doc_id, run_id, min(p) AS p0, count(*)::BIGINT AS run_len
-         |         FROM s GROUP BY 1, 2 HAVING count(*) >= $repairMinRun),
-         |cov AS (SELECT DISTINCT doc_id, tp
-         |        FROM runs, unnest(range(p0, p0 + run_len + ${repairK - 1})) AS r(tp)),
-         |tok AS (SELECT doc_id, tp::BIGINT AS tp, ts[tp] AS token
-         |        FROM t, unnest(range(1, len(ts) + 1)) AS r(tp)
-         |        WHERE doc_id % $repairBenchMod <> 0),
-         |kept AS (SELECT tok.doc_id, count(*)::BIGINT AS n_kept,
-         |                string_agg(token, ' ' ORDER BY tp) AS text_repaired
-         |         FROM tok ANTI JOIN cov USING (doc_id, tp) GROUP BY 1),
-         |rn AS (SELECT doc_id, count(*)::BIGINT AS n_runs_excised FROM runs GROUP BY 1),
-         |base AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM t
-         |         WHERE doc_id % $repairBenchMod <> 0)
-         |SELECT base.doc_id, n_tokens,
-         |       n_tokens - coalesce(n_kept, 0) AS n_removed,
-         |       coalesce(n_runs_excised, 0)::BIGINT AS n_runs_excised,
-         |       n_tokens = coalesce(n_kept, 0) AS clean,
-         |       coalesce(text_repaired, '') AS text_repaired
-         |FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
-         |          LEFT JOIN rn ON rn.doc_id = base.doc_id
-         |ORDER BY base.doc_id""".stripMargin,
-
-    // jac holds ALL sharing pairs; per-threshold membership is the
-    // integer predicate 100*inter >= pct*union — no float compare
-    "x131_threshold_sweep" ->
-      s"""WITH $shinglesCte,
-         |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
-         |p AS (SELECT d1, d2, inter, n1 + n2 - inter AS un FROM jac),
-         |sw AS (SELECT pct, d1, d2 FROM p
-         |       CROSS JOIN (SELECT unnest([${sweepPcts.mkString(", ")}]) AS pct)
-         |       WHERE inter * 100 >= pct * un),
-         |a AS (SELECT pct, count(*)::BIGINT AS n_pairs,
-         |             count(DISTINCT d2)::BIGINT AS n_dropped FROM sw GROUP BY 1),
-         |t2 AS (SELECT pct, count(DISTINCT doc)::BIGINT AS n_docs_paired FROM (
-         |         SELECT pct, d1 AS doc FROM sw UNION ALL SELECT pct, d2 FROM sw) u
-         |       GROUP BY 1)
-         |SELECT base.pct, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
-         |       coalesce(n_docs_paired, 0)::BIGINT AS n_docs_paired,
-         |       coalesce(n_dropped, 0)::BIGINT AS n_dropped,
-         |       round(coalesce(n_dropped, 0)::DOUBLE / n_total, 4) AS drop_frac4
-         |FROM (SELECT unnest([${sweepPcts.mkString(", ")}]) AS pct) base
-         |LEFT JOIN a ON a.pct = base.pct
-         |LEFT JOIN t2 ON t2.pct = base.pct
-         |CROSS JOIN tot ORDER BY base.pct""".stripMargin,
-
-    // new (odd) docs' distinct chunk digests probed against the corpus
-    // (even) side's distinct set — x24's membership check, kept as a
-    // LEFT join because the per-doc FRACTION is the output
-    "x130_chunk_novelty" ->
-      s"""WITH $cdcChunksCte,
-         |corp AS (SELECT DISTINCT digest FROM ch WHERE doc_id % 2 = 0),
-         |nw AS (SELECT DISTINCT doc_id, digest FROM ch WHERE doc_id % 2 = 1)
-         |SELECT nw.doc_id, count(*)::BIGINT AS n_chunks,
-         |       sum(CASE WHEN corp.digest IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_known,
-         |       round(sum(CASE WHEN corp.digest IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS known_frac4
-         |FROM nw LEFT JOIN corp ON corp.digest = nw.digest
-         |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin,
-
-    // x118's blocked scoring halved to undirected edges at the rounded
-    // sim4 threshold, the x22/x129 recursive-reach components, then the
-    // x129 purity shape over the attributes the block key does NOT pin
-    "x133_entity_clusters" ->
-      s"""WITH RECURSIVE p AS (SELECT p_partkey, p_brand, p_size, p_name,
-         |                  length(p_name)::BIGINT AS len FROM part),
-         |sc AS (SELECT a.p_partkey AS d1, b.p_partkey AS d2
-         |       FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-         |                        AND a.p_partkey < b.p_partkey
-         |       WHERE round(CASE WHEN greatest(a.len, b.len) = 0 THEN 1.0
-         |                        ELSE 1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE / greatest(a.len, b.len)
-         |                   END, 4) >= $entityClusterSim),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM sc UNION ALL SELECT d2, d1 FROM sc),
-         |reach(u, v) AS (SELECT u, v FROM edges
-         |                UNION
-         |                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (SELECT u AS p_partkey, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |m AS (SELECT comp.p_partkey, cluster, p_type, p_retailprice
-         |      FROM comp JOIN part ON part.p_partkey = comp.p_partkey),
-         |bt AS (SELECT cluster, p_type, count(*)::BIGINT AS n_t FROM m GROUP BY 1, 2),
-         |mj AS (SELECT cluster, p_type AS majority_type, n_t,
-         |              row_number() OVER (PARTITION BY cluster ORDER BY n_t DESC, p_type DESC) AS rn
-         |       FROM bt),
-         |agg AS (SELECT cluster, count(*)::BIGINT AS n_members,
-         |               count(DISTINCT p_type)::BIGINT AS n_types,
-         |               round(max(p_retailprice) - min(p_retailprice), 2) AS price_span2
-         |        FROM m GROUP BY 1)
-         |SELECT agg.cluster, n_members, n_types, majority_type,
-         |       round(n_t::DOUBLE / n_members, 4) AS majority_share4,
-         |       n_types > 1 AS cross_type, price_span2
-         |FROM agg JOIN mj ON mj.cluster = agg.cluster AND rn = 1
-         |ORDER BY agg.cluster""".stripMargin,
-
-    // x22's pair graph, ranks in scaled BIGINTs, one unrolled CTE block
-    // per damped power step (the x35 Lloyd convention) — `//` is floor
-    // division, matching Spark's `div` on the same non-negative ints
-    "x134_dup_pagerank" -> {
-      val steps = (1 to prIters).map { i =>
-        s"""r$i AS (SELECT e.v AS node,
-           |        (${15L * prScale / 100L}::BIGINT + (85 * sum(r.rank // d.deg)) // 100)::BIGINT AS rank
-           |        FROM r${i - 1} r JOIN deg d ON d.node = r.node
-           |                         JOIN edges e ON e.u = r.node
-           |        GROUP BY e.v)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $simhashPairsCte,
-         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
-         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
-         |r0 AS (SELECT node, $prScale::BIGINT AS rank FROM deg),
-         |$steps
-         |SELECT d.node AS doc_id, d.deg AS degree, r.rank::BIGINT AS rank_scaled,
-         |       round(r.rank::DOUBLE / $prScale, 4) AS rank4
-         |FROM deg d JOIN r$prIters r ON r.node = d.node
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // dense grid (x122's spelling), lag self-join on the shifted hour,
-    // exact BIGINT Pearson moments, ONE guarded double division
-    "x135_periodicity" ->
-      s"""WITH ev AS (SELECT event_type,
-         |                  (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s FROM events),
-         |cells AS (SELECT event_type, hour_s, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
-         |span AS (SELECT min(hour_s) AS h0, max(hour_s) AS h1 FROM cells),
-         |grid AS (SELECT unnest(range(h0, h1 + 3600, 3600)) AS hour_s FROM span),
-         |types AS (SELECT DISTINCT event_type FROM cells),
-         |dense AS (SELECT t.event_type, g.hour_s, coalesce(c.c, 0)::BIGINT AS c
-         |          FROM types t CROSS JOIN grid g
-         |          LEFT JOIN cells c ON c.event_type = t.event_type AND c.hour_s = g.hour_s),
-         |j AS (SELECT a.event_type, l.lag_hours::BIGINT AS lag_hours, a.c AS cx, b.c AS cy
-         |      FROM dense a
-         |      CROSS JOIN (SELECT unnest([${periodicityLags.mkString(", ")}]) AS lag_hours) l
-         |      JOIN dense b ON b.event_type = a.event_type
-         |                  AND b.hour_s = a.hour_s + l.lag_hours * 3600),
-         |agg AS (SELECT event_type, lag_hours, count(*)::BIGINT AS n_terms,
-         |               sum(cx)::BIGINT AS sx, sum(cy)::BIGINT AS sy,
-         |               sum(cx * cx)::BIGINT AS sxx, sum(cy * cy)::BIGINT AS syy,
-         |               sum(cx * cy)::BIGINT AS sxy
-         |        FROM j GROUP BY 1, 2)
-         |SELECT event_type, lag_hours, n_terms,
-         |       (n_terms * sxy - sx * sy)::BIGINT AS num,
-         |       (n_terms * sxx - sx * sx)::BIGINT AS var_x,
-         |       (n_terms * syy - sy * sy)::BIGINT AS var_y,
-         |       CASE WHEN n_terms * sxx - sx * sx = 0 OR n_terms * syy - sy * sy = 0 THEN NULL
-         |            ELSE round((n_terms * sxy - sx * sy)::DOUBLE /
-         |                       sqrt((n_terms * sxx - sx * sx)::DOUBLE * (n_terms * syy - sy * sy)::DOUBLE), 4)
-         |       END AS corr4
-         |FROM agg ORDER BY event_type, lag_hours""".stripMargin,
-
-    // x5's exact top-k relation folded to the k-occurrence census, the
-    // corpus left join keeping the n_hits = 0 anti-hub class visible
-    "x136_hubness" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s),
-         |occ AS (SELECT cid, count(*)::BIGINT AS hits FROM r WHERE rank <= 5 GROUP BY 1),
-         |n AS (SELECT coalesce(occ.hits, 0)::BIGINT AS n_hits
-         |      FROM c LEFT JOIN occ ON occ.cid = c.cid)
-         |SELECT n_hits, count(*)::BIGINT AS n_vectors FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // x110's moment spelling per 10-minute window (the x12 epoch-second
-    // window convention); gaps never cross a window boundary
-    "x137_windowed_burstiness" ->
-      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
-        |                  (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start_s FROM events),
-        |g AS (SELECT window_start_s, event_type,
-        |        us - lag(us) OVER (PARTITION BY window_start_s, user_id, event_type
-        |                           ORDER BY us, event_id) AS gap_us
-        |      FROM e),
-        |a AS (SELECT window_start_s, event_type, count(*)::BIGINT AS n_gaps,
-        |        sum(gap_us)::BIGINT AS sum_gap_us,
-        |        sum(gap_us::HUGEINT * gap_us)::DECIMAL(38,0) AS sum_gap_sq
-        |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2)
-        |SELECT window_start_s, event_type, n_gaps, sum_gap_us,
-        |       sum_gap_sq::VARCHAR AS sum_gap_sq,
-        |       sum_gap_us::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
-        |       CASE WHEN sum_gap_us = 0 THEN NULL
-        |            ELSE (n_gaps::DOUBLE * sum_gap_sq::DOUBLE
-        |                  - sum_gap_us::DOUBLE * sum_gap_us::DOUBLE)
-        |                 / (sum_gap_us::DOUBLE * sum_gap_us::DOUBLE) END AS cv2
-        |FROM a ORDER BY window_start_s, event_type""".stripMargin,
-
-    // one pass, both conditional maxes; NULL pos/margin/noisy for a
-    // query alone in its label (absence is a finding)
-    "x138_negative_margin" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
-         |           FROM embeddings WHERE vec_id % 5 = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label AS clabel FROM embeddings),
-         |s AS (SELECT qid, qlabel, qlabel = clabel AS same, $dotCte AS sim
-         |      FROM q CROSS JOIN c WHERE qid != cid),
-         |a AS (SELECT qid, qlabel,
-         |             max(CASE WHEN same THEN sim END) AS pos,
-         |             max(CASE WHEN NOT same THEN sim END) AS neg
-         |      FROM s GROUP BY 1, 2)
-         |SELECT qid AS vec_id, qlabel AS label,
-         |       round(pos, 4) AS pos_sim4, round(neg, 4) AS neg_sim4,
-         |       round(pos - neg, 4) AS margin4, neg > pos AS noisy
-         |FROM a ORDER BY vec_id""".stripMargin,
-
-    // five exact keyed folds over the shared chunk / cluster / pack
-    // machinery; the pack tail law (everything at/after the first
-    // deleted doc repacks) mirrors the Spark window spelling
-    "x139_deletion_blast" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |$cdcChunksCte,
-         |d AS (SELECT 'doc' AS artifact,
-         |        sum(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
-         |        count(*)::BIGINT AS n_total FROM documents),
-         |cf AS (SELECT digest,
-         |         max(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END) AS has_del,
-         |         max(CASE WHEN doc_id % $blastDelMod <> 0 THEN 1 ELSE 0 END) AS has_kept
-         |       FROM ch GROUP BY 1),
-         |cagg AS (SELECT 'chunk_digest' AS artifact,
-         |          sum(CASE WHEN has_del = 1 AND has_kept = 0 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
-         |          count(*)::BIGINT AS n_total FROM cf),
-         |pc AS (SELECT cluster,
-         |         max(CASE WHEN doc_id % $blastDelMod = 0 THEN 1 ELSE 0 END) AS has_del,
-         |         count(*)::BIGINT AS n_members,
-         |         sum(CASE WHEN doc_id % $blastDelMod <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept
-         |       FROM comp GROUP BY 1),
-         |clagg AS (SELECT 'cluster' AS artifact,
-         |           sum(CASE WHEN has_del = 1 THEN 1 ELSE 0 END)::BIGINT AS n_affected,
-         |           count(*)::BIGINT AS n_total FROM pc),
-         |coagg AS (SELECT 'co_clustered_doc' AS artifact,
-         |           sum(CASE WHEN has_del = 1 THEN n_kept ELSE 0 END)::BIGINT AS n_affected,
-         |           sum(n_members)::BIGINT AS n_total FROM pc),
-         |pt AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok FROM documents),
-         |pw AS (SELECT lang, doc_id, tok,
-         |         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-         |       FROM pt),
-         |pb AS (SELECT lang, max((cum - tok) // 512) AS max_bin,
-         |         min(CASE WHEN doc_id % $blastDelMod = 0 THEN (cum - tok) // 512 END) AS min_del_bin
-         |       FROM pw GROUP BY 1),
-         |pagg AS (SELECT 'pack_bin' AS artifact,
-         |          sum(CASE WHEN min_del_bin IS NULL THEN 0 ELSE max_bin - min_del_bin + 1 END)::BIGINT AS n_affected,
-         |          sum(max_bin + 1)::BIGINT AS n_total FROM pb),
-         |u AS (SELECT * FROM d UNION ALL SELECT * FROM cagg UNION ALL SELECT * FROM clagg
-         |      UNION ALL SELECT * FROM coagg UNION ALL SELECT * FROM pagg)
-         |SELECT artifact, n_affected, n_total,
-         |       CASE WHEN n_total = 0 THEN NULL
-         |            ELSE round(n_affected::DOUBLE / n_total, 4) END AS affected_frac4
-         |FROM u ORDER BY artifact""".stripMargin,
-
-    // x5's exact top-k joined to labels; majority tie to the GREATER
-    // label (the struct-max spelling); Simpson in exact integers
-    "x140_topk_diversity" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN c WHERE qid != cid),
-         |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s),
-         |t AS (SELECT r.qid, e.label FROM r JOIN embeddings e ON e.vec_id = r.cid WHERE rank <= 5),
-         |lc AS (SELECT qid, label, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
-         |mj AS (SELECT qid, label, c,
-         |              row_number() OVER (PARTITION BY qid ORDER BY c DESC, label DESC) AS rn FROM lc),
-         |a AS (SELECT qid, count(*)::BIGINT AS n_labels,
-         |             sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS kk FROM lc GROUP BY 1)
-         |SELECT a.qid AS vec_id, n_labels, mj.label AS top_label, mj.c AS top_n,
-         |       round(sq::DOUBLE / (kk * kk), 4) AS simpson4
-         |FROM a JOIN mj ON mj.qid = a.qid AND rn = 1
-         |ORDER BY vec_id""".stripMargin,
-
-    // per-doc simhash is corpus-independent, so the even-only corpus's
-    // pair relation is exactly nd_pairs with both endpoints even; the
-    // two component closures feed one contingency pair-count
-    "x141_cluster_stability" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |op AS (SELECT d1, d2 FROM nd_pairs WHERE d1 % 2 = 0 AND d2 % 2 = 0),
-         |oedges AS (SELECT d1 AS u, d2 AS v FROM op UNION ALL SELECT d2, d1 FROM op),
-         |oreach(u, v) AS (SELECT u, v FROM oedges
-         |                 UNION
-         |                 SELECT r.u, e.v FROM oreach r JOIN oedges e ON r.v = e.u),
-         |ocomp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM oreach GROUP BY u),
-         |asg AS (SELECT d.doc_id,
-         |               coalesce(o.cluster, d.doc_id) AS c_old,
-         |               coalesce(n.cluster, d.doc_id) AS c_new
-         |        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
-         |        LEFT JOIN ocomp o ON o.doc_id = d.doc_id
-         |        LEFT JOIN comp n ON n.doc_id = d.doc_id),
-         |cells AS (SELECT c_old, c_new, count(*)::BIGINT AS nij FROM asg GROUP BY 1, 2),
-         |am AS (SELECT sum(nij * (nij - 1) // 2)::BIGINT AS together_both,
-         |              sum(nij)::BIGINT AS n_docs FROM cells),
-         |rm AS (SELECT sum(ni * (ni - 1) // 2)::BIGINT AS old_together
-         |       FROM (SELECT c_old, sum(nij)::BIGINT AS ni FROM cells GROUP BY 1)),
-         |cm AS (SELECT sum(nj * (nj - 1) // 2)::BIGINT AS new_together
-         |       FROM (SELECT c_new, sum(nij)::BIGINT AS nj FROM cells GROUP BY 1))
-         |SELECT n_docs, (n_docs * (n_docs - 1) // 2)::BIGINT AS all_pairs,
-         |       together_both,
-         |       (old_together - together_both)::BIGINT AS split_by_new,
-         |       (new_together - together_both)::BIGINT AS merged_by_new,
-         |       (n_docs * (n_docs - 1) // 2 - old_together - new_together + together_both)::BIGINT AS apart_both,
-         |       CASE WHEN n_docs * (n_docs - 1) // 2 = 0 THEN NULL
-         |            ELSE round((together_both + n_docs * (n_docs - 1) // 2 - old_together
-         |                        - new_together + together_both)::DOUBLE
-         |                       / (n_docs * (n_docs - 1) // 2), 4) END AS rand4
-         |FROM am CROSS JOIN rm CROSS JOIN cm""".stripMargin,
-
-    // the minhash leg re-spells x2 under m-prefixed names (the shared
-    // shingles/simhash CTEs collide on toks/sh/cand); set algebra over
-    // the two verified pair relations is one FULL JOIN + count FILTERs
-    "x142_detector_agreement" ->
-      s"""WITH $simhashPairsCte,
-         |mt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |mshg AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |         FROM mt, unnest(range(1, len(ts)-1)) AS t(i)),
-         |msizes AS (SELECT doc_id, count(*) AS n FROM mshg GROUP BY 1),
-         |mpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |           FROM mshg a JOIN mshg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         |mjac AS (SELECT d1, d2, inter::DOUBLE / (s1.n + s2.n - inter) AS jaccard
-         |         FROM mpairs JOIN msizes s1 ON s1.doc_id = d1 JOIN msizes s2 ON s2.doc_id = d2),
-         |mseeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mmh AS (SELECT doc_id, seed,
-         |               min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |        FROM mshg CROSS JOIN mseeds GROUP BY 1, 2),
-         |msig AS (SELECT doc_id, (seed // 4)::INT AS band,
-         |                max(mh) FILTER (seed % 4 = 0) AS m0, max(mh) FILTER (seed % 4 = 1) AS m1,
-         |                max(mh) FILTER (seed % 4 = 2) AS m2, max(mh) FILTER (seed % 4 = 3) AS m3
-         |         FROM mmh GROUP BY 1, 2),
-         |mcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |          FROM msig a JOIN msig b ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |                               AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
-         |mh_pairs AS (SELECT c.d1, c.d2 FROM mcand c JOIN mjac j ON c.d1 = j.d1 AND c.d2 = j.d2
-         |             WHERE j.jaccard >= 0.8),
-         |lab AS (SELECT (m.d1 IS NOT NULL) AS in_mh, (s.d1 IS NOT NULL) AS in_sh
-         |        FROM mh_pairs m FULL JOIN (SELECT d1, d2 FROM nd_pairs) s
-         |          ON m.d1 = s.d1 AND m.d2 = s.d2),
-         |agg AS (SELECT count(*) FILTER (in_mh)::BIGINT AS n_minhash,
-         |               count(*) FILTER (in_sh)::BIGINT AS n_simhash,
-         |               count(*) FILTER (in_mh AND in_sh)::BIGINT AS n_both,
-         |               count(*) FILTER (in_mh AND NOT in_sh)::BIGINT AS only_minhash,
-         |               count(*) FILTER (NOT in_mh AND in_sh)::BIGINT AS only_simhash,
-         |               count(*)::BIGINT AS n_union FROM lab)
-         |SELECT n_minhash, n_simhash, n_both, only_minhash, only_simhash, n_union,
-         |       CASE WHEN n_union = 0 THEN NULL
-         |            ELSE round(n_both::DOUBLE / n_union, 4) END AS agreement4
-         |FROM agg""".stripMargin,
-
-    // the banding key re-spells x2's fixed 4x4 grouping generically:
-    // band = seed // rowsPerBand, the band tuple string_agg'd in seed
-    // order (injective over BIGINT hash tuples); truth is x3's exact
-    // jac relation at the same threshold
-    "x143_band_sweep" ->
-      s"""WITH $shinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
-         |mh AS (SELECT doc_id, seed,
-         |              min((('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)::BIGINT) AS mh
-         |       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-         |bconfs AS (SELECT unnest([2, 4, 8]) AS bands),
-         |bsig AS (SELECT doc_id, bands, (seed // (16 // bands))::INT AS band,
-         |                string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
-         |         FROM mh CROSS JOIN bconfs GROUP BY 1, 2, 3),
-         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bsig a JOIN bsig b ON a.bands = b.bands AND a.band = b.band
-         |                                AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |ver AS (SELECT c.bands, (j.jaccard >= 0.8) AS ok
-         |        FROM cand c LEFT JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2),
-         |per AS (SELECT bands, count(*)::BIGINT AS n_candidates,
-         |               count(*) FILTER (coalesce(ok, false))::BIGINT AS n_verified
-         |        FROM ver GROUP BY 1),
-         |truth AS (SELECT count(*)::BIGINT AS n_true FROM jac WHERE jaccard >= 0.8)
-         |SELECT b.bands, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
-         |       coalesce(n_verified, 0)::BIGINT AS n_verified, n_true,
-         |       CASE WHEN coalesce(n_candidates, 0) = 0 THEN NULL
-         |            ELSE round(n_verified::DOUBLE / n_candidates, 4) END AS precision4,
-         |       CASE WHEN n_true = 0 THEN NULL
-         |            ELSE round(coalesce(n_verified, 0)::DOUBLE / n_true, 4) END AS recall4
-         |FROM bconfs b LEFT JOIN per ON per.bands = b.bands CROSS JOIN truth
-         |ORDER BY b.bands""".stripMargin,
-
-    // af is the shared trained-centroid assignment; the drift fold is
-    // one |k|-bounded census + a 1-row totals attach, the share/shift
-    // spelling identical to the Spark side (two IEEE divisions, one
-    // difference, one round)
-    "x144_cell_drift" ->
-      s"""${kmeansAssignCtes(8, 2)},
-         |per AS (SELECT cid, count(*) FILTER (vec_id % 2 = 0)::BIGINT AS n_even,
-         |               count(*) FILTER (vec_id % 2 = 1)::BIGINT AS n_odd
-         |        FROM af GROUP BY cid),
-         |tot AS (SELECT sum(n_even)::BIGINT AS t_even, sum(n_odd)::BIGINT AS t_odd FROM per)
-         |SELECT cid, n_even, n_odd,
-         |       CASE WHEN t_even = 0 THEN NULL ELSE round(n_even::DOUBLE / t_even, 4) END AS share_even4,
-         |       CASE WHEN t_odd = 0 THEN NULL ELSE round(n_odd::DOUBLE / t_odd, 4) END AS share_odd4,
-         |       CASE WHEN t_even = 0 OR t_odd = 0 THEN NULL
-         |            ELSE round(n_odd::DOUBLE / t_odd - n_even::DOUBLE / t_even, 4) END AS shift4
-         |FROM per CROSS JOIN tot ORDER BY cid""".stripMargin,
-
-    // degree-ordered orientation makes each triangle {x<y<z} visible
-    // exactly once as the wedge (x->y, x->z) closed by y->z; row-value
-    // comparison mirrors the Spark struct order
-    "x145_triangle_census" ->
-      s"""WITH $simhashPairsCte,
-         |und AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |dg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
-         |ore AS (SELECT CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d1 ELSE p.d2 END AS src,
-         |               CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d2 ELSE p.d1 END AS dst
-         |        FROM nd_pairs p JOIN dg g1 ON g1.node = p.d1 JOIN dg g2 ON g2.node = p.d2),
-         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-         |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst <> e2.dst
-         |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-         |tn AS (SELECT node, count(*)::BIGINT AS n_tri
-         |       FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
-         |             UNION ALL SELECT c FROM tri)
-         |       GROUP BY 1)
-         |SELECT dg.node AS doc_id, dg.deg AS degree,
-         |       coalesce(tn.n_tri, 0)::BIGINT AS n_triangles,
-         |       CASE WHEN dg.deg < 2 THEN NULL
-         |            ELSE round(2.0 * coalesce(tn.n_tri, 0)::DOUBLE
-         |                       / (dg.deg * (dg.deg - 1))::DOUBLE, 4) END AS cc4
-         |FROM dg LEFT JOIN tn ON tn.node = dg.node ORDER BY doc_id""".stripMargin,
-
-    // x145's triangle relation re-read per EDGE: each triangle feeds
-    // its three canonical (min, max) edges into one fold; the left
-    // join back keeps zero-support edges visible
-    "x146_edge_support" ->
-      s"""WITH $simhashPairsCte,
-         |und AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |dg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
-         |ore AS (SELECT CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d1 ELSE p.d2 END AS src,
-         |               CASE WHEN (g1.deg, p.d1) < (g2.deg, p.d2) THEN p.d2 ELSE p.d1 END AS dst
-         |        FROM nd_pairs p JOIN dg g1 ON g1.node = p.d1 JOIN dg g2 ON g2.node = p.d2),
-         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-         |        FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst <> e2.dst
-         |        JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
-         |es AS (SELECT least(a, b) AS d1, greatest(a, b) AS d2 FROM tri
-         |       UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
-         |       UNION ALL SELECT least(b, c), greatest(b, c) FROM tri),
-         |sup AS (SELECT d1, d2, count(*)::BIGINT AS support FROM es GROUP BY 1, 2)
-         |SELECT p.d1, p.d2, coalesce(s.support, 0)::BIGINT AS support,
-         |       (coalesce(s.support, 0) = 0) AS unsupported
-         |FROM nd_pairs p LEFT JOIN sup s ON s.d1 = p.d1 AND s.d2 = p.d2
-         |ORDER BY p.d1, p.d2""".stripMargin,
-
-    // three layer folds over the shared digest/chunk/cluster CTEs,
-    // each joined to one totals row; grouping by text = grouping by
-    // its digest (the x1 spelling)
-    "x147_dedup_savings" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |$cdcChunksCte,
-         |dt AS (SELECT doc_id, text, len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
-         |tot AS (SELECT count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS tok_total FROM dt),
-         |dl AS (SELECT sum(cnt - 1)::BIGINT AS n_dropped, sum((cnt - 1) * nt)::BIGINT AS toks_dropped
-         |       FROM (SELECT count(*) AS cnt, min(n_toks) AS nt FROM dt GROUP BY text)),
-         |chu AS (SELECT count(*)::BIGINT AS n_units FROM ch),
-         |cdrop AS (SELECT sum(cnt - 1)::BIGINT AS n_dropped, sum((cnt - 1) * nt)::BIGINT AS toks_dropped
-         |          FROM (SELECT count(*) AS cnt, min(n_tokens) AS nt FROM ch GROUP BY digest)),
-         |cldrop AS (SELECT count(*)::BIGINT AS n_dropped, sum(dt.n_toks)::BIGINT AS toks_dropped
-         |           FROM comp JOIN dt ON dt.doc_id = comp.doc_id
-         |           WHERE comp.doc_id <> comp.cluster)
-         |SELECT 'doc' AS layer, tot.n_docs AS n_units, coalesce(dl.n_dropped, 0)::BIGINT AS n_dropped,
-         |       tot.tok_total, coalesce(dl.toks_dropped, 0)::BIGINT AS toks_dropped,
-         |       CASE WHEN tot.tok_total = 0 THEN NULL
-         |            ELSE round(coalesce(dl.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END AS savings_frac4
-         |FROM tot CROSS JOIN dl
-         |UNION ALL
-         |SELECT 'chunk', chu.n_units, coalesce(cdrop.n_dropped, 0)::BIGINT,
-         |       tot.tok_total, coalesce(cdrop.toks_dropped, 0)::BIGINT,
-         |       CASE WHEN tot.tok_total = 0 THEN NULL
-         |            ELSE round(coalesce(cdrop.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END
-         |FROM tot CROSS JOIN chu CROSS JOIN cdrop
-         |UNION ALL
-         |SELECT 'cluster', tot.n_docs, coalesce(cldrop.n_dropped, 0)::BIGINT,
-         |       tot.tok_total, coalesce(cldrop.toks_dropped, 0)::BIGINT,
-         |       CASE WHEN tot.tok_total = 0 THEN NULL
-         |            ELSE round(coalesce(cldrop.toks_dropped, 0)::DOUBLE / tot.tok_total, 4) END
-         |FROM tot CROSS JOIN cldrop
-         |ORDER BY layer""".stripMargin,
-
-    // the oracle affords the single global running sum the Spark side
-    // deliberately decomposes; ties order +1 before -1 (closed
-    // intervals), and the per-day max over equal-(us, delta) groups is
-    // permutation-invariant, so both engines agree exactly
-    "x148_peak_concurrency" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT user_id, us,
-        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e),
-        |s AS (SELECT user_id, us,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM w),
-        |sess AS (SELECT user_id, sid, min(us) AS su, max(us) AS eu FROM s GROUP BY 1, 2),
-        |deltas AS (SELECT su AS us, 1::BIGINT AS delta FROM sess
-        |           UNION ALL SELECT eu, -1::BIGINT FROM sess),
-        |run AS (SELECT us, delta, (us // 1000000 // 86400 * 86400)::BIGINT AS day_s,
-        |               sum(delta) OVER (ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
-        |        FROM deltas),
-        |per AS (SELECT day_s, max(conc)::BIGINT AS abs_peak,
-        |               count(*) FILTER (delta = 1)::BIGINT AS n_starts,
-        |               count(*) FILTER (delta = -1)::BIGINT AS n_ends,
-        |               sum(delta)::BIGINT AS net
-        |        FROM run GROUP BY 1)
-        |SELECT day_s, n_starts, n_ends,
-        |       coalesce(sum(net) OVER (ORDER BY day_s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS open_at_start,
-        |       sum(net) OVER (ORDER BY day_s ROWS UNBOUNDED PRECEDING)::BIGINT AS open_at_end,
-        |       abs_peak AS peak_concurrent
-        |FROM per ORDER BY day_s""".stripMargin,
-
-    // deliberately the NAIVE per-token ascending-rank spelling — the
-    // differential proof of the Spark side's count-of-counts
-    // contraction (x119's convention); rank ties broken by token are
-    // contribution-invariant within a frequency class
-    "x149_token_gini" ->
-      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
-        |tc AS (SELECT lang, t, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
-        |rk AS (SELECT lang, cnt,
-        |              row_number() OVER (PARTITION BY lang ORDER BY cnt, t) AS i,
-        |              count(*) OVER (PARTITION BY lang) AS n,
-        |              sum(cnt) OVER (PARTITION BY lang) AS tot
-        |       FROM tc)
-        |SELECT lang, max(n)::BIGINT AS n_types, max(tot)::BIGINT AS n_tokens,
-        |       sum((2 * i - n - 1) * cnt)::BIGINT AS gini_num,
-        |       CASE WHEN max(n) = 0 OR max(tot) = 0 THEN NULL
-        |            ELSE round(sum((2 * i - n - 1) * cnt)::DOUBLE / (max(n) * max(tot)), 4) END AS gini4
-        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // the NAIVE |pos|x|neg| rank-sum comparison — the differential
-    // proof of the Spark side's bucketed two-level class scan; quality
-    // is x7's exact double spelling on both sides, so ties align
-    "x150_quality_auc" ->
-      s"""WITH $simhashPairsCte,
-         |t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
-         |s AS (SELECT doc_id,
-         |  len(ts)::BIGINT AS n_tokens,
-         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
-         |  FROM t),
-         |q AS (SELECT doc_id,
-         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-         |  FROM s),
-         |dd AS (SELECT DISTINCT doc_id FROM
-         |       (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)),
-         |pos AS (SELECT quality FROM q JOIN dd USING (doc_id)),
-         |neg AS (SELECT quality FROM q ANTI JOIN dd USING (doc_id)),
-         |pn AS (SELECT count(*)::BIGINT AS n_pos FROM pos),
-         |ngn AS (SELECT count(*)::BIGINT AS n_neg FROM neg),
-         |u AS (SELECT coalesce(sum(CASE WHEN p.quality > n.quality THEN 2
-         |                               WHEN p.quality = n.quality THEN 1
-         |                               ELSE 0 END), 0)::BIGINT AS u2
-         |      FROM pos p CROSS JOIN neg n)
-         |SELECT n_pos, n_neg, u2,
-         |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-         |            ELSE round(u2::DOUBLE / (2.0 * (n_pos * n_neg)), 4) END AS auc4
-         |FROM pn CROSS JOIN ngn CROSS JOIN u""".stripMargin,
-
-    // x13's payload binding + the deterministic type assignment; the
-    // census is x1's digest fold per MIME type
-    "x151_media_dedup" ->
-      """WITH m AS (SELECT doc_id, sha256(text) AS dg,
-        |                  octet_length(encode(text))::BIGINT AS len,
-        |                  CASE doc_id % 3 WHEN 0 THEN 'image/png'
-        |                                  WHEN 1 THEN 'audio/wav'
-        |                                  ELSE 'video/mp4' END AS media_type
-        |           FROM documents),
-        |g AS (SELECT media_type, dg, count(*)::BIGINT AS c, min(len) AS len
-        |      FROM m GROUP BY 1, 2)
-        |SELECT media_type, sum(c)::BIGINT AS n_files, count(*)::BIGINT AS n_distinct,
-        |       sum(c - 1)::BIGINT AS n_dup_files, sum(c * len)::BIGINT AS bytes_total,
-        |       sum((c - 1) * len)::BIGINT AS bytes_dup,
-        |       CASE WHEN sum(c * len) = 0 THEN NULL
-        |            ELSE round(sum((c - 1) * len)::DOUBLE / sum(c * len), 4) END AS dup_frac4
-        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin,
-
-    // x47's quality-argmax CTEs; the canonical rep is the cluster label
-    // itself (comp labels components by their MIN member id), so both
-    // rep lookups are plain doc_id joins
-    "x152_rep_divergence" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
-         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio FROM t),
-         |q AS (SELECT doc_id,
-         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-         |  FROM s),
-         |r AS (SELECT c.cluster, c.doc_id, q.quality,
-         |        row_number() OVER (PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) AS rn,
-         |        count(*) OVER (PARTITION BY c.cluster) AS n_members
-         |      FROM comp c JOIN q ON q.doc_id = c.doc_id),
-         |rep AS (SELECT cluster, n_members, doc_id AS rep_quality_pick, quality AS q_pick
-         |        FROM r WHERE rn = 1)
-         |SELECT rep.cluster, rep.n_members, rep.rep_quality_pick,
-         |       (rep.rep_quality_pick = rep.cluster) AS same,
-         |       round(rep.q_pick - ql.quality, 4) AS q_gap4,
-         |       (sp.n_tokens - sl.n_tokens)::BIGINT AS tok_delta
-         |FROM rep JOIN q ql ON ql.doc_id = rep.cluster
-         |         JOIN s sl ON sl.doc_id = rep.cluster
-         |         JOIN s sp ON sp.doc_id = rep.rep_quality_pick
-         |ORDER BY rep.cluster""".stripMargin,
-
-    // the wire-length law computed ARITHMETICALLY: 29 scaffolding chars
-    // ({"event_id":  ,"event_type":"  "}) + the id's digits + the type
-    // — certifying Spark's to_json byte-for-byte; an escaped character
-    // in a future corpus breaks this row loudly, by design
-    "x153_json_envelope" ->
-      """SELECT event_id, event_id AS id_rt, event_type AS type_rt,
-        |       (29 + strlen(event_id::VARCHAR) + strlen(event_type))::BIGINT AS line_len
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    // one unrolled peel block per round (the x134 convention): support
-    // via the naive common-neighbor count (the differential oracle of
-    // the Spark side's oriented wedge join), filter at k-2, repeat —
-    // blocks past the fixpoint are identities, and the Spark loop
-    // throws if the fixpoint needs more removal rounds than unrolled
-    "x154_k_truss" -> {
-      val peel = (1 to trussRounds).map { i =>
-        s"""u$i AS (SELECT d1 AS a, d2 AS b FROM e${i - 1} UNION ALL SELECT d2, d1 FROM e${i - 1}),
-           |s$i AS (SELECT e.d1, e.d2, count(*)::BIGINT AS sup
-           |        FROM e${i - 1} e JOIN u$i x ON x.a = e.d1
-           |                         JOIN u$i y ON y.a = e.d2 AND y.b = x.b
-           |        GROUP BY e.d1, e.d2),
-           |e$i AS MATERIALIZED (SELECT d1, d2 FROM s$i WHERE sup >= ${trussK - 2})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $simhashPairsCte,
-         |e0 AS MATERIALIZED (SELECT d1, d2 FROM nd_pairs),
-         |u0 AS (SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0),
-         |s0 AS (SELECT e.d1, e.d2, count(*)::BIGINT AS sup
-         |       FROM e0 e JOIN u0 x ON x.a = e.d1
-         |                 JOIN u0 y ON y.a = e.d2 AND y.b = x.b
-         |       GROUP BY e.d1, e.d2),
-         |$peel
-         |SELECT p.d1, p.d2, coalesce(s0.sup, 0)::BIGINT AS support,
-         |       (t.d1 IS NOT NULL) AS in_truss
-         |FROM nd_pairs p
-         |LEFT JOIN s0 ON s0.d1 = p.d1 AND s0.d2 = p.d2
-         |LEFT JOIN e$trussRounds t ON t.d1 = p.d1 AND t.d2 = p.d2
-         |ORDER BY p.d1, p.d2""".stripMargin
-    },
-
-    // the ONE-SHOT <=4 clustering plus the tight sub-clustering — the
-    // differential proof that the Spark side's incremental merge
-    // (star(tight labels) ∪ delta pairs, re-contracted) reproduces the
-    // batch answer; nd_pairs carries hamming, so both closures read one
-    // pair relation
-    "x155_incremental_clusters" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |edges4 AS (SELECT d1 AS u, d2 AS v FROM nd_pairs UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |reach4(u, v) AS (SELECT u, v FROM edges4
-         |                 UNION
-         |                 SELECT r.u, e.v FROM reach4 r JOIN edges4 e ON r.v = e.u),
-         |comp4 AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach4 GROUP BY u),
-         |tp AS (SELECT d1, d2 FROM nd_pairs WHERE hamming <= $incTight),
-         |edgest AS (SELECT d1 AS u, d2 AS v FROM tp UNION ALL SELECT d2, d1 FROM tp),
-         |reacht(u, v) AS (SELECT u, v FROM edgest
-         |                 UNION
-         |                 SELECT r.u, e.v FROM reacht r JOIN edgest e ON r.v = e.u),
-         |compt AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_tight FROM reacht GROUP BY u)
-         |SELECT c4.doc_id, c4.cluster, ct.cluster_tight,
-         |       (ct.doc_id IS NULL) AS newly_clustered,
-         |       (coalesce(ct.cluster_tight, c4.doc_id) <> c4.cluster) AS relabeled
-         |FROM comp4 c4 LEFT JOIN compt ct ON ct.doc_id = c4.doc_id
-         |ORDER BY c4.doc_id""".stripMargin,
-
-    // one unrolled node-peel block per round (x154's convention, degree
-    // folds instead of triangle counts): nodes below k fall with their
-    // edges, blocks past the fixpoint are identities, the Spark loop
-    // throws if the fixpoint needs more rounds than unrolled
-    "x156_k_core" -> {
-      val peel = (1 to coreRounds).map { i =>
-        s"""u$i AS (SELECT d1 AS a, d2 AS b FROM e${i - 1} UNION ALL SELECT d2, d1 FROM e${i - 1}),
-           |n$i AS (SELECT a AS node FROM u$i GROUP BY a HAVING count(*) >= $coreK),
-           |e$i AS MATERIALIZED (SELECT e.d1, e.d2 FROM e${i - 1} e
-           |                     JOIN n$i x ON x.node = e.d1 JOIN n$i y ON y.node = e.d2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $simhashPairsCte,
-         |e0 AS MATERIALIZED (SELECT d1, d2 FROM nd_pairs),
-         |u0 AS (SELECT d1 AS a, d2 AS b FROM e0 UNION ALL SELECT d2, d1 FROM e0),
-         |d0 AS (SELECT a AS node, count(*)::BIGINT AS degree FROM u0 GROUP BY a),
-         |$peel,
-         |core AS (SELECT DISTINCT a AS node
-         |         FROM (SELECT d1 AS a FROM e$coreRounds UNION ALL SELECT d2 FROM e$coreRounds))
-         |SELECT d0.node AS doc_id, d0.degree, (c.node IS NOT NULL) AS in_kcore
-         |FROM d0 LEFT JOIN core c ON c.node = d0.node
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // frontier expansion unrolled one block per hop (x154's convention):
-    // sources are the cluster canonicals, block i settles exactly the
-    // hop-i ring; blocks past every family's eccentricity are identities
-    "x157_canonical_distance" -> {
-      val blocks = (1 to bfsHops).map { i =>
-        s"""n$i AS (SELECT DISTINCT e.v AS node
-           |        FROM d${i - 1} d JOIN edges e ON e.u = d.node AND d.hops = ${i - 1}
-           |        WHERE e.v NOT IN (SELECT node FROM d${i - 1})),
-           |d$i AS MATERIALIZED (SELECT node, hops FROM d${i - 1}
-           |                     UNION ALL SELECT node, ${i}::BIGINT FROM n$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |d0 AS (SELECT DISTINCT cluster AS node, 0::BIGINT AS hops FROM comp),
-         |$blocks
-         |SELECT c.doc_id, c.cluster, d.hops
-         |FROM comp c JOIN d$bfsHops d ON d.node = c.doc_id
-         |ORDER BY c.doc_id""".stripMargin
-    },
-
-    // one unrolled greedy block per pick (the x35 Lloyd convention):
-    // candidate top-m by (rel desc, cid), then each round folds the
-    // max-sim-to-selected, scores (λ·rel − (100−λ)·msim)/100 in the
-    // identical IEEE expression, and argmaxes by (score, rel, −cid) —
-    // the row_number spelling of the Spark side's struct-max
-    "x158_mmr_rerank" -> {
-      def dotAb(ae: String, be: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
-          s"i -> $ae[i] * $be[i])), (x, y) -> x + y)"
-      val lam = mmrLambdaPct
-      val steps = (2 to mmrK).map { r =>
-        s"""m$r AS (SELECT p.qid, p.c1 AS cid, max(p.s) AS msim
-           |        FROM ps p JOIN sel${r - 1} s ON s.qid = p.qid AND s.cid = p.c2
-           |        GROUP BY 1, 2),
-           |sc$r AS (SELECT c.qid, c.cid, c.rel,
-           |                ($lam * c.rel - ${100 - lam} * m$r.msim) / 100 AS score
-           |         FROM cand c JOIN m$r ON m$r.qid = c.qid AND m$r.cid = c.cid
-           |         WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
-           |                           WHERE z.qid = c.qid AND z.cid = c.cid)),
-           |s$r AS (SELECT qid, cid, rel, $r::INT AS mmr_rank, score
-           |        FROM (SELECT *, row_number() OVER (PARTITION BY qid
-           |                ORDER BY score DESC, rel DESC, cid) AS rn FROM sc$r)
-           |        WHERE rn = 1),
-           |sel$r AS (SELECT qid, cid FROM sel${r - 1} UNION ALL SELECT qid, cid FROM s$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |           WHERE vec_id % $mmrQueryMod = 0),
-         |c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-         |scored AS (SELECT qid, cid, $dotCte AS rel FROM q JOIN c0 ON cid <> qid),
-         |cand AS (SELECT s.qid, s.cid, s.rel, c0.ce
-         |         FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
-         |                 ORDER BY rel DESC, cid) AS rn FROM scored) s
-         |         JOIN c0 ON c0.cid = s.cid
-         |         WHERE s.rn <= $mmrM),
-         |ps AS (SELECT a.qid, a.cid AS c1, b.cid AS c2, ${dotAb("a.ce", "b.ce")} AS s
-         |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
-         |s1 AS (SELECT qid, cid, rel, 1::INT AS mmr_rank, ($lam * rel) / 100 AS score
-         |       FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
-         |               ORDER BY rel DESC, cid) AS rn FROM cand)
-         |       WHERE rn = 1),
-         |sel1 AS (SELECT qid, cid FROM s1),
-         |$steps
-         |SELECT qid AS vec_id, mmr_rank, cid AS neighbor_id,
-         |       round(rel, 4) AS rel4, round(score, 4) AS score4
-         |FROM (${(1 to mmrK).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
-         |ORDER BY vec_id, mmr_rank""".stripMargin
-    },
-
-    // x134's unrolled power steps with the teleport confined to x19's
-    // quality keepers: seeds re-receive the damping base each step,
-    // non-seeds only propagated mass; same scaled-BIGINT arithmetic
-    "x159_trust_rank" -> {
-      val base = 15L * prScale / 100L
-      val steps = (1 to prIters).map { i =>
-        s"""r$i AS (SELECT x.node,
-           |        (CASE WHEN sn.is_seed THEN $base::BIGINT ELSE 0::BIGINT END
-           |         + (85 * x.inc) // 100)::BIGINT AS rank
-           |        FROM (SELECT e.v AS node, sum(r.rank // d.deg) AS inc
-           |              FROM r${i - 1} r JOIN deg d ON d.node = r.node
-           |                               JOIN edges e ON e.u = r.node
-           |              GROUP BY e.v) x JOIN sn ON sn.node = x.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $simhashPairsCte,
-         |$qualityCte,
-         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
-         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |deg AS MATERIALIZED (SELECT u AS node, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
-         |seeds AS (SELECT doc_id FROM q WHERE $qualityKeepPred),
-         |sn AS MATERIALIZED (SELECT d.node, d.deg, (s.doc_id IS NOT NULL) AS is_seed
-         |                    FROM deg d LEFT JOIN seeds s ON s.doc_id = d.node),
-         |r0 AS (SELECT node, CASE WHEN is_seed THEN $prScale::BIGINT ELSE 0::BIGINT END AS rank
-         |       FROM sn),
-         |$steps
-         |SELECT sn.node AS doc_id, sn.deg AS degree, sn.is_seed,
-         |       r.rank::BIGINT AS rank_scaled,
-         |       round(r.rank::DOUBLE / $prScale, 4) AS rank4
-         |FROM sn JOIN r$prIters r ON r.node = sn.node
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // x21's bucket derivation keyed twice — by doc_id and by the
-    // component canonical — then both policies audited over the SAME
-    // pair relation; the cluster rows' leak_pairs = 0 IS the output law
-    "x160_cluster_split" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |assign AS MATERIALIZED (
-         |  SELECT doc_id, n_chars,
-         |    CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val' ELSE 'test' END AS doc_split,
-         |    CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS clu_split
-         |  FROM (SELECT dd.doc_id, dd.n_chars,
-         |          (('0x' || substr(md5('split:' || dd.doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS db,
-         |          (('0x' || substr(md5('split:' || coalesce(c.cluster, dd.doc_id)::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS cb
-         |        FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id)),
-         |per AS (SELECT 'doc' AS policy, doc_split AS split, count(*)::BIGINT AS n_docs,
-         |               sum(n_chars)::BIGINT AS n_chars,
-         |               sum(CASE WHEN doc_split <> clu_split THEN 1 ELSE 0 END)::BIGINT AS moved_docs
-         |        FROM assign GROUP BY 2
-         |        UNION ALL
-         |        SELECT 'cluster', clu_split, count(*)::BIGINT, sum(n_chars)::BIGINT,
-         |               sum(CASE WHEN doc_split <> clu_split THEN 1 ELSE 0 END)::BIGINT
-         |        FROM assign GROUP BY 2),
-         |straddle AS (SELECT a1.doc_split AS s1d, a2.doc_split AS s2d,
-         |                    a1.clu_split AS s1c, a2.clu_split AS s2c
-         |             FROM nd_pairs p JOIN assign a1 ON a1.doc_id = p.d1
-         |                             JOIN assign a2 ON a2.doc_id = p.d2),
-         |leaks AS (SELECT policy, split, count(*)::BIGINT AS leak_pairs FROM (
-         |            SELECT 'doc' AS policy, s1d AS split FROM straddle WHERE s1d <> s2d
-         |            UNION ALL SELECT 'doc', s2d FROM straddle WHERE s1d <> s2d
-         |            UNION ALL SELECT 'cluster', s1c FROM straddle WHERE s1c <> s2c
-         |            UNION ALL SELECT 'cluster', s2c FROM straddle WHERE s1c <> s2c)
-         |          GROUP BY 1, 2)
-         |SELECT per.policy, per.split, per.n_docs, per.n_chars, per.moved_docs,
-         |       coalesce(l.leak_pairs, 0)::BIGINT AS leak_pairs
-         |FROM per LEFT JOIN leaks l ON l.policy = per.policy AND l.split = per.split
-         |ORDER BY per.policy, per.split""".stripMargin,
-
-    // one unrolled synchronous vote block per round (x134's convention):
-    // each round counts neighbor labels per node and argmins
-    // (−count, label) — the row_number spelling of the struct-min
-    "x161_source_communities" -> {
-      val rounds = (1 to lpIters).map { i =>
-        s"""l$i AS MATERIALIZED (SELECT u AS node, label FROM (
-           |  SELECT e.u, l.label, row_number() OVER (PARTITION BY e.u
-           |           ORDER BY count(*) DESC, l.label) AS rn
-           |  FROM edges e JOIN l${i - 1} l ON l.node = e.v GROUP BY e.u, l.label)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $simhashPairsCte,
-         |edges AS MATERIALIZED (SELECT d1 AS u, d2 AS v FROM nd_pairs
-         |                       UNION ALL SELECT d2, d1 FROM nd_pairs),
-         |seeds AS MATERIALIZED (SELECT d.doc_id AS node, d.source AS label
-         |                       FROM documents d JOIN (SELECT DISTINCT u FROM edges) n
-         |                         ON n.u = d.doc_id),
-         |l0 AS (SELECT node, label FROM seeds),
-         |$rounds
-         |SELECT s.node AS doc_id, s.label AS seed_label, l.label AS community,
-         |       (l.label <> s.label) AS changed
-         |FROM seeds s JOIN l$lpIters l ON l.node = s.node
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // x14's bucketed cosine pairs closed transitively (x22's recursive
-    // spelling over vec ids), then a label census with the row_number
-    // spelling of the struct-argmin (count desc, label asc)
-    "x162_semantic_clusters" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS ed, label,
-         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
-         |  FROM embeddings),
-         |p AS MATERIALIZED (SELECT a.vec_id AS d1, b.vec_id AS d2
-         |     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |     WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) >= 0.4),
-         |edges AS (SELECT d1 AS u, d2 AS v FROM p UNION ALL SELECT d2, d1 FROM p),
-         |reach(u, v) AS (SELECT u, v FROM edges
-         |                UNION
-         |                SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |bl AS (SELECT c.cluster, e.label, count(*)::BIGINT AS cnt
-         |       FROM comp c JOIN e ON e.vec_id = c.doc_id GROUP BY 1, 2),
-         |ag AS (SELECT cluster, sum(cnt)::BIGINT AS n_members, count(*)::BIGINT AS n_labels
-         |       FROM bl GROUP BY 1),
-         |mj AS (SELECT cluster, label AS maj_label, cnt FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY cluster
-         |           ORDER BY cnt DESC, label) AS rn FROM bl) WHERE rn = 1)
-         |SELECT ag.cluster, ag.n_members, ag.n_labels, mj.maj_label,
-         |       round(mj.cnt::DOUBLE / ag.n_members, 4) AS maj_frac4
-         |FROM ag JOIN mj ON mj.cluster = ag.cluster
-         |ORDER BY ag.cluster""".stripMargin,
-
-    // the x29 predicates applied cumulatively, folded to one row of
-    // 8 conditional sums, exploded to the 4-stage report
-    "x163_curation_funnel" ->
-      s"""WITH RECURSIVE $simhashPairsCte,
-         |$clusterCte,
-         |$qualityCte,
-         |fl AS (SELECT q.doc_id, q.n_tokens, ($qualityKeepPred) AS keep,
-         |         (c.doc_id IS NOT NULL AND c.cluster <> c.doc_id) AS dup,
-         |         ((('0x' || substr(md5('split:' || q.doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 80) AS train
-         |       FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id),
-         |ag AS (SELECT count(*)::BIGINT AS d1, sum(n_tokens)::BIGINT AS t1,
-         |         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS d2,
-         |         sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS t2,
-         |         sum(CASE WHEN keep AND NOT dup THEN 1 ELSE 0 END)::BIGINT AS d3,
-         |         sum(CASE WHEN keep AND NOT dup THEN n_tokens ELSE 0 END)::BIGINT AS t3,
-         |         sum(CASE WHEN keep AND NOT dup AND train THEN 1 ELSE 0 END)::BIGINT AS d4,
-         |         sum(CASE WHEN keep AND NOT dup AND train THEN n_tokens ELSE 0 END)::BIGINT AS t4
-         |       FROM fl),
-         |st AS (SELECT 1::INT AS stage_ord, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens, d1 AS rd, t1 AS rt FROM ag
-         |       UNION ALL SELECT 2::INT, 'quality', d2, t2, d1, t1 FROM ag
-         |       UNION ALL SELECT 3::INT, 'dedup', d3, t3, d1, t1 FROM ag
-         |       UNION ALL SELECT 4::INT, 'train', d4, t4, d1, t1 FROM ag)
-         |SELECT stage_ord, stage, n_docs, n_tokens,
-         |       round(n_docs::DOUBLE / rd, 4) AS doc_frac4,
-         |       round(n_tokens::DOUBLE / rt, 4) AS tok_frac4
-         |FROM st ORDER BY stage_ord""".stripMargin,
-
-    // share^alpha spelled as NESTED sqrt (IEEE correctly-rounded, so
-    // the un-normalized weights are bit-identical across engines);
-    // per-alpha normalizer over the |sources|-row relation
-    "x164_mixture_temperature" ->
-      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
-        |s AS (SELECT c.source, c.n_docs, c.n_tokens, c.n_tokens::DOUBLE / t.tot AS share FROM c, t),
-        |pa AS (SELECT 100 AS alpha_pct, source, n_docs, n_tokens, share, share AS w_raw FROM s
-        |       UNION ALL SELECT 50, source, n_docs, n_tokens, share, sqrt(share) FROM s
-        |       UNION ALL SELECT 25, source, n_docs, n_tokens, share, sqrt(sqrt(share)) FROM s),
-        |z AS (SELECT alpha_pct, sum(w_raw) AS zn FROM pa GROUP BY 1)
-        |SELECT pa.alpha_pct::INT AS alpha_pct, pa.source, pa.n_docs, pa.n_tokens,
-        |       round(pa.share, 4) AS share4,
-        |       round(pa.w_raw / z.zn, 4) AS weight4,
-        |       round(pa.w_raw / z.zn / pa.share, 4) AS boost4
-        |FROM pa JOIN z ON z.alpha_pct = pa.alpha_pct
-        |ORDER BY alpha_pct, source""".stripMargin,
-
-    // the banded pair evidence tagged with both endpoints' sources,
-    // folded to unordered cells with exact Hamming mass
-    "x165_source_pair_matrix" ->
-      s"""WITH $simhashPairsCte,
-         |tagged AS (SELECT least(a.source, b.source) AS source_a,
-         |                  greatest(a.source, b.source) AS source_b, p.hamming
-         |           FROM nd_pairs p JOIN documents a ON a.doc_id = p.d1
-         |                           JOIN documents b ON b.doc_id = p.d2),
-         |cells AS (SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
-         |                 sum(hamming)::BIGINT AS sum_hamming
-         |          FROM tagged GROUP BY 1, 2),
-         |t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM cells)
-         |SELECT c.source_a, c.source_b, c.n_pairs, c.sum_hamming,
-         |       round(c.n_pairs::DOUBLE / t.tot, 4) AS pair_share4
-         |FROM cells c, t
-         |ORDER BY source_a, source_b""".stripMargin,
-
-    // x14's pair CTE at the loosest tau, labels tagged, then one
-    // row-local re-threshold per tau (sim >= tau/100.0 — the identical
-    // IEEE division/comparison); the tau-list left join keeps
-    // zero-pair thresholds visible
-    "x166_semantic_threshold_sweep" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed, label,
-         |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
-         |  FROM embeddings),
-         |p AS MATERIALIZED (SELECT a.label AS l1, b.label AS l2,
-         |     list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
-         |     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |pairs AS (SELECT sim, (l1 = l2) AS same FROM p WHERE sim >= 40 / 100.0),
-         |taus AS (SELECT unnest([40, 50, 60, 70]) AS tau_pct),
-         |folded AS (SELECT t.tau_pct, count(*)::BIGINT AS n_pairs,
-         |                  sum(CASE WHEN same THEN 1 ELSE 0 END)::BIGINT AS n_same
-         |           FROM pairs p2 JOIN taus t ON p2.sim >= t.tau_pct::DOUBLE / 100.0
-         |           GROUP BY 1)
-         |SELECT t.tau_pct::INT AS tau_pct,
-         |       coalesce(f.n_pairs, 0)::BIGINT AS n_pairs,
-         |       coalesce(f.n_same, 0)::BIGINT AS n_same,
-         |       round(f.n_same::DOUBLE / f.n_pairs, 4) AS coherence4
-         |FROM taus t LEFT JOIN folded f ON f.tau_pct = t.tau_pct
-         |ORDER BY tau_pct""".stripMargin,
-
-    // x164's census + exact-BIGINT budget arithmetic; the only floats
-    // are floor((budget*n)/tot) and the two round(…, 4) divisions
-    "x167_epoch_allocation" ->
-      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM c),
-        |a AS (SELECT source, n_docs, n_tokens,
-        |        CAST(floor((4000000 * n_tokens)::DOUBLE / tot) AS BIGINT) AS alloc
-        |      FROM c, t),
-        |b AS (SELECT *, least(alloc // n_tokens, 4)::BIGINT AS epochs_full,
-        |        least(alloc, 4 * n_tokens)::BIGINT AS effective_tokens FROM a)
-        |SELECT source, n_docs, n_tokens, alloc, epochs_full, effective_tokens,
-        |       (alloc - effective_tokens)::BIGINT AS leftover,
-        |       round(effective_tokens::DOUBLE / n_tokens, 4) AS epochs4,
-        |       CASE WHEN alloc = 0 THEN 1.0
-        |            ELSE round(effective_tokens::DOUBLE / alloc, 4) END AS util4
-        |FROM b ORDER BY source""".stripMargin,
-
-    // x49's gram/benchmark relations re-derived per k, folded to the
-    // |ks|-row tuning table (UNION ALL of one block per gram length)
-    "x168_contamination_k_sweep" -> {
-      def block(k: Int): String = {
-        val gram = (0 until k).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
-        s"""(WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-           |g AS (SELECT DISTINCT doc_id, $gram AS gram
-           |      FROM toks, unnest(range(1, len(ts) - ${k - 2})) AS t(i)),
-           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-           |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0),
-           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM corpus GROUP BY 1),
-           |sh AS (SELECT doc_id, count(*)::BIGINT AS n_shared
-           |       FROM corpus JOIN bench USING (gram) GROUP BY 1),
-           |scored AS (SELECT s.doc_id, s.n_grams, coalesce(sh.n_shared, 0)::BIGINT AS n_shared
-           |           FROM sizes s LEFT JOIN sh ON sh.doc_id = s.doc_id)
-           |SELECT $k::INT AS k, count(*)::BIGINT AS n_docs,
-           |       sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-           |       sum(CASE WHEN n_shared::DOUBLE / n_grams >= 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
-           |       sum(n_grams)::BIGINT AS sum_grams,
-           |       sum(n_shared)::BIGINT AS sum_shared,
-           |       round(sum(CASE WHEN n_shared::DOUBLE / n_grams >= 0.1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS flag_rate4
-           |FROM scored)""".stripMargin
-      }
-      Seq(3, 5, 7).map(block).mkString("", "\nUNION ALL\n", "\nORDER BY k")
-    },
-
-    // x150's quality + dup-label relations, folded to the exact bucket
-    // spelling least(floor(q·10), 9) — the reliability-diagram bins
-    "x169_quality_calibration" ->
-      s"""WITH $simhashPairsCte,
-         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |s AS (SELECT doc_id,
-         |  len(ts)::BIGINT AS n_tokens,
-         |  len(list_distinct(ts))::DOUBLE / len(ts) AS ttr,
-         |  len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE / len(ts) AS stop_ratio
-         |  FROM t),
-         |q AS (SELECT doc_id,
-         |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3 + least(n_tokens::DOUBLE / 100.0, 1.0) * 0.2 AS quality
-         |  FROM s),
-         |dd AS (SELECT DISTINCT doc_id FROM
-         |       (SELECT d1 AS doc_id FROM nd_pairs UNION ALL SELECT d2 FROM nd_pairs)),
-         |binned AS (SELECT least(floor(q.quality * 10), 9)::BIGINT AS bin,
-         |                  (dd.doc_id IS NOT NULL) AS is_dup
-         |           FROM q LEFT JOIN dd ON dd.doc_id = q.doc_id)
-         |SELECT bin, round(bin::DOUBLE / 10, 4) AS bin_lo4,
-         |       count(*)::BIGINT AS n_docs,
-         |       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
-         |       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_rate4
-         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
-
-    // x51's IVF relations with the multi-probe generalization: per
-    // query the top-nprobe cells by the same (dot DESC, ccid ASC)
-    // order, candidates under their single argmax cell, recall folded
-    // against the shared brute truth — one block per nprobe, UNION ALL
-    "x170_ann_nprobe_sweep" -> {
-      val shared =
-        s"""WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
-           |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-           |asg AS (SELECT e.vec_id, c.ccid,
-           |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-           |                 c.ccid) AS rn
-           |        FROM e CROSS JOIN c),
-           |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
-           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 10 = 0),
-           |cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-           |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM q CROSS JOIN cc WHERE qid != cid),
-           |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
-           |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= 3),
-           |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex)""".stripMargin
-      def block(np: Int): String =
-        s"""(SELECT $np::INT AS nprobe, nq.n_queries,
-           |  coalesce((SELECT sum(h)::BIGINT FROM (
-           |    SELECT count(*) AS h
-           |    FROM ex JOIN (
-           |      SELECT x.vec_id AS qid, y.vec_id AS cid,
-           |             row_number() OVER (PARTITION BY x.vec_id ORDER BY
-           |               list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ex2.ed[i] * ey.ed[i])), (x2, y2) -> x2 + y2) DESC,
-           |               y.vec_id) AS rank
-           |      FROM (SELECT vec_id, ccid FROM asg WHERE rn <= $np AND vec_id % 10 = 0) x
-           |      JOIN cells y ON y.cell = x.ccid AND y.vec_id != x.vec_id
-           |      JOIN e ex2 ON ex2.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id
-           |    ) ann ON ann.qid = ex.qid AND ann.cid = ex.cid AND ann.rank <= 3
-           |    GROUP BY ex.qid) hh), 0)::BIGINT AS n_hits
-           |  FROM nq)""".stripMargin
-      shared + "\n,res AS (" + Seq(1, 2, 4, 8).map(block).mkString("\nUNION ALL\n") +
-        ")\nSELECT nprobe, n_queries, n_hits, round(n_hits::DOUBLE / (n_queries * 3), 4) AS recall4 FROM res ORDER BY nprobe"
-    },
-
-    // x14's bucketed cosine pairs + x21's split derivation, leak = the
-    // cross-split subset (doc_id and vec_id are the same key space)
-    "x171_semantic_split_leakage" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
-        |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |sp AS (SELECT doc_id,
-        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
-        |       WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |  FROM documents)
-        |SELECT p.v1, p.v2, s1.split AS split_1, s2.split AS split_2, round(p.sim, 4) AS sim4
-        |FROM p JOIN sp s1 ON s1.doc_id = p.v1 JOIN sp s2 ON s2.doc_id = p.v2
-        |WHERE p.sim >= 0.4 AND s1.split != s2.split
-        |ORDER BY p.v1, p.v2""".stripMargin,
-
-    // x51's cell assignment folded to the census; the range frame keeps
-    // dead cells visible as zero rows
-    "x172_ivf_cell_balance" ->
-      """WITH c AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 16),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-        |asg AS (SELECT e.vec_id, c.ccid,
-        |               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-        |                 c.ccid) AS rn
-        |        FROM e CROSS JOIN c),
-        |cells AS (SELECT a.vec_id, a.ccid AS cell FROM asg a WHERE rn = 1),
-        |census AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM cells GROUP BY 1),
-        |tot AS (SELECT count(*)::BIGINT AS n_total FROM e),
-        |frame AS (SELECT unnest(range(0, 16))::INT AS cell)
-        |SELECT f.cell, coalesce(c.n_vectors, 0)::BIGINT AS n_vectors,
-        |       round(coalesce(c.n_vectors, 0)::DOUBLE / t.n_total, 4) AS share4
-        |FROM frame f LEFT JOIN census c ON c.cell = f.cell CROSS JOIN tot t
-        |ORDER BY f.cell""".stripMargin,
-
-    // the int8 lattice self-dot is exact BIGINT; bin_lo = nq - nq % width
-    "x173_embedding_norm_audit" ->
-      """WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-        |n AS (SELECT list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> qv[i] * qv[i])), (a, b) -> a + b) AS nq FROM q),
-        |b AS (SELECT (nq - (nq % 2048))::BIGINT AS bin_lo FROM n),
-        |tot AS (SELECT count(*)::BIGINT AS n_total FROM q)
-        |SELECT bin_lo, count(*)::BIGINT AS n_vectors,
-        |       round(count(*)::DOUBLE / any_value(t.n_total), 4) AS share4
-        |FROM b CROSS JOIN tot t GROUP BY bin_lo
-        |ORDER BY bin_lo""".stripMargin,
-  )
+  private def oracleBase: Map[String, String] =
+    parityOracles ++ dedupOracles ++ similarityOracles ++ textOracles ++
+      curationOracles ++ temporalOracles ++ miscOracles
 
   /** The `*_indexed` keys are spec-pinned bit-equal to their in-memory
     * twins, so each reuses its twin's oracle VERBATIM — one SQL
