@@ -849,8 +849,16 @@ object Similarity {
         val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq
         idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
       } else idxRaw
-    val idx = idxPruned
-      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    // expansionPartitioned on the streamed index side: a freshly-written
+    // cell-partitioned index is SMALL FILES locally, so the scan arrives
+    // as one partition and a broadcast-joined probe batch then runs the
+    // whole Σ|cell|² expansion + the TopK partial agg in ONE task — the
+    // r13/r14 single-task expansion class, 6th site (found when x175 put
+    // this probe on the slice bench: 46+ min single-task vs minutes
+    // spread). At production scale the pruned cells already arrive as
+    // ≥ parallelism file partitions and this is the identity.
+    val idx = expansionPartitioned(idxPruned
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce")))
     val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)
