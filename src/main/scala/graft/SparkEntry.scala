@@ -408,6 +408,30 @@ object SparkEntry
       Curation.clusterSizesFromIndex(s, ensureClusterIndex(s, dir), dir)),
     "x175_ivf_topk_indexed" -> ((s, dir) =>
       Similarity.ivfTopKFromIndex(s, ensureIvfIndex(s, dir), Tables.embeddings(s, dir))),
+    // IVF-PQ composite serving (FAISS IVFADC): coarse cells bound the
+    // rows scanned, PQ codes bound the bytes per row; ADC distances are
+    // exact BIGINTs and hash-checked themselves
+    "x176_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(s, dir, k = pqK, nCentroids = ivfPqNCent,
+        queryMod = pqQueryMod, nprobe = ivfPqNprobe, m = pqM, ksub = pqKsub,
+        iters = pqIters)),
+    // multimodal frame-sampling plumbing, frames hash-checked as bytes
+    "x177_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s, dir, frameSize = frameSize,
+        stride = frameStride, maxFrames = frameMax)),
+    // stub-downscale byte economics per MIME type (EXT-M2's oracle face)
+    "x178_resize_census" -> ((s, dir) =>
+      Multimodal.resizeCensus(s, dir, targetW = resizeTargetW, targetH = resizeTargetH)),
+    // x176 served from the PERSISTED IVF-PQ index (x174/x175's
+    // write→stamp→probe discipline for the composite): build once per
+    // JVM, probe the sampled query batch, hash-check against x176's oracle
+    "x179_ivfpq_topk_indexed" -> ((s, dir) =>
+      Similarity.ivfPqTopKFromIndex(s, ensureIvfPqIndex(s, dir),
+        Tables.embeddings(s, dir).filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(pqQueryMod)) === 0),
+        k = pqK, nprobe = ivfPqNprobe)),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.
@@ -435,6 +459,9 @@ object SparkEntry
   private def ensureIvfIndex(s: SparkSession, dir: String): String =
     ensureIndex("ivf", dir)(p => Similarity.writeIvfIndex(s, dir, p))
 
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
+    ensureIndex("ivfpq", dir)(p => Similarity.writeIvfPqIndex(s, dir, p))
+
   /** The per-family oracle maps live in `graft.entries` (split at r15:
     * 182 bindings + oracles in one file hit the maintainability wall);
     * this aggregation is still ONE map with the same keys as
@@ -451,5 +478,6 @@ object SparkEntry
     */
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "x174_cluster_sizes_indexed" -> oracleBase("x121_cluster_sizes"),
-    "x175_ivf_topk_indexed" -> oracleBase("x15_ann_ivf"))
+    "x175_ivf_topk_indexed" -> oracleBase("x15_ann_ivf"),
+    "x179_ivfpq_topk_indexed" -> oracleBase("x176_ivfpq_topk"))
 }

@@ -261,6 +261,41 @@ trait MiscOracles {
          |ORDER BY agg.cluster""".stripMargin,
 
 
+    // frame bytes as lowercase hex so the hash pins the SAMPLED BYTES
+    // (offset, stride, truncation), not just the frame count; only full
+    // frames are emitted (len // frameSize), first frameMax of stride
+    "x177_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                  octet_length(encode(text))::BIGINT AS len FROM documents),
+         |f AS (SELECT doc_id, hx, unnest(list_slice(range(0, len // $frameSize, $frameStride), 1, $frameMax)) AS i FROM m)
+         |SELECT doc_id, i::BIGINT AS frame_idx, (i * $frameSize)::BIGINT AS offset,
+         |       lower(substr(hx, (i * ${frameSize * 2} + 1)::INT, ${frameSize * 2})) AS frame_hex
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+
+    // x13's decode spelling (width/height from the first two code
+    // points) + the stub downscale arithmetic: ratio = min(1, target
+    // area / decoded area), out = max(1, floor(len · ratio)) — the
+    // exact truncation rule of Multimodal.resize, aggregated per type
+    "x178_resize_census" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  octet_length(encode(text))::BIGINT AS len,
+         |  16 * (1 + ascii(substr(text, 1, 1)) % 64) AS w,
+         |  16 * (1 + ascii(substr(text, 2, 1)) % 64) AS h,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+         |                  ELSE 'video/mp4' END AS media_type
+         |  FROM documents),
+         |r AS (SELECT doc_id, media_type, len AS bytes_in,
+         |             greatest(1, floor(len * least(1.0, ${resizeTargetW * resizeTargetH}.0 / (w * h)))::BIGINT) AS bytes_out
+         |      FROM m)
+         |SELECT media_type, count(*)::BIGINT AS n_files,
+         |       sum(bytes_in)::BIGINT AS bytes_in, sum(bytes_out)::BIGINT AS bytes_out,
+         |       sum(CASE WHEN bytes_out < bytes_in THEN 1 ELSE 0 END)::BIGINT AS n_shrunk,
+         |       CASE WHEN sum(bytes_in) = 0 THEN NULL
+         |            ELSE round(1 - sum(bytes_out)::DOUBLE / sum(bytes_in), 4) END AS saved_frac4
+         |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin,
+
+
     // x13's payload binding + the deterministic type assignment; the
     // census is x1's digest fold per MIME type
     "x151_media_dedup" ->

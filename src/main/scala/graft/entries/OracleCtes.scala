@@ -183,6 +183,22 @@ private[graft] object OracleCtes {
   val pqQueryMod = 10
   val pqIters = 2
 
+  /** x176 IVF-PQ composite geometry: the coarse quantizer's cell count
+    * and probe width (x58's multiprobe values); the PQ side rides the
+    * x104/x105 constants above. Same no-drift contract.
+    */
+  val ivfPqNCent = 16
+  val ivfPqNprobe = 2
+
+  /** x177 frame-sampling geometry and x178 resize target — the SAME
+    * values feed the Spark calls and the interpolated oracle SQL.
+    */
+  val frameSize = 16
+  val frameStride = 4
+  val frameMax = 8
+  val resizeTargetW = 64
+  val resizeTargetH = 64
+
   /** Shared PQ oracle CTE chain: int8 corpus → seeded codebooks →
     * `pqIters` unrolled Lloyd rounds (the x35 unrolling pattern, in
     * exact BIGINT: order-free integer group sums, one IEEE division +

@@ -159,6 +159,54 @@ object Multimodal {
     }
   }
 
+  /** EXT-M3's oracle face (`x177_frame_sample`) — the
+    * frame-sampling plumbing over the documents-as-media table, frames
+    * presented as lowercase hex so the harness hashes the BYTES sampled,
+    * not just their count: a wrong offset, stride, or truncation rule
+    * changes the hex and fails the row. One row-local flatMap per
+    * payload (bounded ≤ `maxFrames` out-rows per record), no shuffle
+    * before the presentation sort.
+    */
+  def frameSample(spark: SparkSession, dir: String, frameSize: Int = 16,
+      stride: Int = 4, maxFrames: Int = 8): DataFrame =
+    sampleFrames(asMedia(spark, dir), frameSize, stride, maxFrames)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset").cast("long").as("offset"),
+        lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** EXT-M2's oracle face (`x178_resize_census`) — per-MIME-type byte
+    * economics of the (stubbed) downscale to `targetW`×`targetH`: the
+    * capacity question a real media pipeline answers before paying for a
+    * resize pass (how many bytes does the store shed, per type?). The
+    * numbers are REAL outputs of the [[resize]] mapPartitions operator —
+    * the census aggregates what the batch plumbing actually produced, so
+    * a truncation-rule or decode regression moves `bytes_out` and fails
+    * the hash — joined back to input sizes by the narrow doc_id key
+    * (payload bytes never shuffle; only two long columns do).
+    */
+  def resizeCensus(spark: SparkSession, dir: String, targetW: Int = 64,
+      targetH: Int = 64): DataFrame = {
+    val media = asTypedMedia(spark, dir)
+    val out = resize(media, targetW, targetH).toDF()
+      .select(col("doc_id"), col("media_type"),
+        expr("octet_length(payload)").cast("long").as("bytes_out"))
+    val in = media.toDF()
+      .select(col("doc_id"), expr("octet_length(payload)").cast("long").as("bytes_in"))
+    out.join(in, "doc_id")
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("bytes_in").as("bytes_in"),
+        sum("bytes_out").as("bytes_out"),
+        sum(when(col("bytes_out") < col("bytes_in"), 1L).otherwise(0L)).as("n_shrunk"))
+      .withColumn("saved_frac4",
+        when(col("bytes_in") === 0L, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("bytes_out").cast("double") / col("bytes_in"), 4)))
+      .orderBy("media_type")
+  }
+
   /** The media table with a deterministic fake TYPE assignment (doc_id
     * mod 3 → image/audio/video) — the x34/x37 harness-binding pattern:
     * a production corpus carries real MIME types; the binding makes the

@@ -1813,7 +1813,8 @@ object Similarity {
     * (the [[centroidProjection]] train-once/encode-forever contract).
     */
   private[graft] def pqAssign(
-      qv: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int): DataFrame = {
+      qv: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val chosen = cb.indices.map { s =>
       val qsub = slice(col("qv"), s * dsub + 1, dsub)
       val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
@@ -1826,9 +1827,12 @@ object Similarity {
       }: _*)
       array_min(cand)
     }
-    qv.select(col("vec_id"), col("qv"),
+    // passthrough lets a caller ride extra key columns (e.g. the IVF cell
+    // label) through the projection WITHOUT a later re-join — the encode
+    // stays one narrow corpus pass however the codes are keyed downstream
+    qv.select(col("vec_id") +: passthrough.map(col) ++: Seq(col("qv"),
       array(chosen.map(_.getField("code")): _*).as("codes"),
-      chosen.map(_.getField("d")).reduce(_ + _).as("recon_err"))
+      chosen.map(_.getField("d")).reduce(_ + _).as("recon_err")): _*)
   }
 
   /** EXT-S20 (x104) — PQ corpus encoding: every vector compressed to
@@ -1950,6 +1954,77 @@ object Similarity {
     recallTail(exact, approx, k)
   }
 
+  /** EXT-S31 (x176) — IVF-PQ composite serving (the FAISS "IVFADC"
+    * architecture, Jégou et al. PAMI 2011 §IV): the coarse IVF quantizer
+    * restricts each query to its `nprobe` nearest cells, and within the
+    * probed cells candidates are ranked by the exact-integer ADC
+    * distance over their 8-byte PQ codes — never the float vectors.
+    * This is the composition both halves exist for: [[ivfTopK]] bounds
+    * WHICH rows are scanned (nprobe/nCentroids of the corpus),
+    * [[pqTopK]] bounds the BYTES per scanned row (m bytes vs 4·dim) —
+    * multiplied, a 100 TB float corpus serves from a ~(nprobe/nCentroids)
+    * · (m/4dim) slice of its raw size per query batch.
+    *
+    * Plan shape: ONE corpus pass produces (cell, codes) — the IVF argmax
+    * and PQ argmin ride the same projection via [[pqAssign]]'s
+    * passthrough, over the cell-partitioned materialized assignment that
+    * [[annNprobeSweep]] shares — then the query side (sampled, fanned
+    * ×nprobe) meets it in a cell equi-join; ADC scores fold map-side
+    * through the bounded [[presentTopK]] aggregate. Nothing here is
+    * all-pairs and no float vector crosses the wire: the join carries
+    * codes only.
+    *
+    * Output: (vec_id, rank, neighbor_id, adc_dist) — rank by ascending
+    * exact ADC distance, ties to the lowest cid; adc_dist is the exact
+    * BIGINT so the oracle hash-checks the distances themselves, not
+    * just the ordering.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      nCentroids: Int = 16,
+      queryMod: Int = 10,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
+    val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
+    // the one coded-corpus pass: PQ codes projected row-locally over the
+    // cell-labeled assignment, cell label riding through (no re-join)
+    val corpusCoded = pqAssign(
+      withCell.select(col("vec_id"), col("cell"),
+        int8Quantize(col("embedding")).as("qv")),
+      cb, dsub, passthrough = Seq("cell"))
+      .select(col("cell"), col("vec_id").as("cid"), col("codes"))
+    // query side: sample FIRST (unprobed corpus rows never pay the
+    // nprobe-cell sort), keep full int8 precision (asymmetric ADC), fan
+    // out to the nprobe best cells under the ivfProbe tie-break
+    val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+    val q =
+      if (nprobe == 1)
+        qSrc.select(col("vec_id").as("qid"),
+          int8Quantize(col("embedding")).as("qe"), col("cell"))
+      else
+        qSrc.select(col("vec_id").as("qid"),
+          int8Quantize(col("embedding")).as("qe"),
+          explode(transform(
+            slice(reverse(array_sort(scoredCells)), 1, nprobe),
+            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+    // a candidate lives in exactly ONE cell and a query's probe cells
+    // are distinct, so no (qid, cid) pair repeats — no dedup needed
+    val scored = q.join(corpusCoded, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+    presentTopK(scored, k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
+  }
+
   /** EXT-S20b — persisted PQ index: the one expensive corpus pass
     * (encode) written once; every later query batch scans 8-byte code
     * rows plus a ksub·dim codebook table. Layout: `codes/` (vec_id,
@@ -2022,6 +2097,136 @@ object Similarity {
     val codes = spark.read.parquet(s"$indexPath/codes")
       .select(col("vec_id").as("cid"), col("codes"))
     adcTopK(q, codes, cb, dsub, k)
+  }
+
+  /** EXT-S31b — persisted IVF-PQ index (the on-disk FAISS IVFADC
+    * layout): ONE corpus pass assigns the coarse cell and the PQ codes
+    * in the same projection ([[ivfPqTopK]]'s build half) and writes
+    * `cells/` (vec_id, codes) PARTITIONED BY the coarse cell, plus the
+    * two bounded sidecar tables — `centroids/` with the
+    * [[writeIvfIndex]] `n_centroids` stamp and `codebook/` + `meta/`
+    * with the [[writePqIndex]] geometry stamp. No float corpus vector
+    * is written at all: the index IS the (nprobe/nCentroids ×
+    * m/4·dim)-shrunk serving relation, and the only float rows on disk
+    * are the nCentroids coarse centroids.
+    */
+  def writeIvfPqIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): Unit = {
+    import spark.implicits._
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    require(cents.length == nCentroids,
+      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    pqAssign(
+      emb.select(col("vec_id"),
+        (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"),
+        int8Quantize(col("embedding")).as("qv")),
+      cb, dsub, passthrough = Seq("cell"))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
+    cents.toDF("cid", "embedding")
+      .withColumn("n_centroids", lit(nCentroids))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val rows = for {
+      s <- cb.indices; c <- cb(s).indices; d <- cb(s)(c).indices
+    } yield (s, c, d, cb(s)(c)(d))
+    rows.toDF("s", "code", "d", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    spark.range(1)
+      .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** EXT-S31b probe — [[ivfPqTopK]] served from the PERSISTED index:
+    * results spec-pinned identical to the in-memory composite over the
+    * same corpus. Combines the two refusal disciplines of its parents —
+    * the [[ivfTopKFromIndex]] centroid stamp (a corrupt coarse
+    * quantizer must refuse, not mis-route probes) and the
+    * [[pqTopKFromIndex]] measured query width vs the coded dim (a
+    * mismatched batch must refuse, not mis-rank) — and both prune
+    * paths: `staticPrune` pins the batch's distinct probe cells as a
+    * literal partition filter (≤ nCentroids values, the bounded
+    * collect), so the planner guarantees only nprobe/nCentroids of the
+    * code FILES are read, each an 8-byte-per-row scan.
+    */
+  def ivfPqTopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 2,
+      staticPrune: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("embedding"), col("n_centroids"))
+      .as[(Int, Seq[Float], Int)].collect()
+    val stamps = centRows.map(_._3).distinct
+    require(stamps.length == 1 && stamps.head == centRows.length,
+      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
+    val nCentroids = stamps.head
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
+    val metaRows = spark.read.parquet(s"$indexPath/meta")
+      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
+    require(metaRows.length == 1, s"corrupt ivfpq index: ${metaRows.length} meta rows")
+    val (m, ksub, dim) = metaRows.head
+    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
+      .agg(max(col("d"))).head()
+    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
+      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
+        s"does not match the index's coded dim $dim")
+    val dsub = dim / m
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
+    require(cbRows.length == ksub * dim,
+      s"corrupt ivfpq index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
+    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
+    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
+    val cents = centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(nCentroids - 1 - i).as("nk"))
+    }: _*)
+    val q =
+      if (nprobe == 1)
+        queries.select(col("vec_id").as("qid"),
+          int8Quantize(col("embedding")).as("qe"),
+          (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      else
+        queries.select(col("vec_id").as("qid"),
+          int8Quantize(col("embedding")).as("qe"),
+          explode(transform(
+            slice(reverse(array_sort(scoredCells)), 1, nprobe),
+            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+    val idxRaw = spark.read.parquet(s"$indexPath/cells")
+    val idxPruned =
+      if (staticPrune) {
+        val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq
+        idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
+      } else idxRaw
+    // freshly-written cell partitions are small files locally — spread
+    // the probe expansion off the scan's task count (the x175 site)
+    val idx = expansionPartitioned(idxPruned
+      .select(col("cell"), col("vec_id").as("cid"), col("codes")))
+    val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+    presentTopK(scored, k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
   }
 
   /** EXT-S23 (`x112_semantic_contamination`) — SEMANTIC eval-set

@@ -48,6 +48,36 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("frameSample (x177): frame bytes pinned as hex, offsets and truncation exact") {
+    val dir = TestTables.documentsDir(spark, Seq(
+      1L -> ("abcd" * 64), // 256 bytes -> 16 full frames -> idx 0,4,8,12
+      2L -> "tiny"))       // 4 bytes < frameSize -> zero frames
+    val rows = Multimodal.frameSample(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).forall(_ == 1L), "sub-frame payloads emit nothing")
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 4L, 8L, 12L))
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 16) // offset = frame_idx * frameSize
+      // every frame of "abcd"*64 at a 16-byte boundary is "abcdabcdabcdabcd"
+      assert(r.getString(3) == "61626364" * 4)
+    }
+  }
+
+  test("resizeCensus (x178): per-type byte economics, hand-derived") {
+    // decode dims come from the first two code points: '@' (64) -> 64%64=0
+    // -> dim 16; 'a' (97) -> 97%64=33 -> dim 544. Area 16*16=256 <= 4096
+    // keeps every byte (ratio 1); 544*544 shrinks to floor(len*4096/295936)
+    val dir = TestTables.documentsDir(spark, Seq(
+      0L -> ("@@" + "x" * 6),   // image/png: 8 bytes, no shrink
+      1L -> ("aa" + "x" * 98),  // audio/wav: 100 bytes -> floor(1.384) = 1
+      2L -> ("aa" + "x" * 48))) // video/mp4: 50 bytes -> max(1, floor(0.69)) = 1
+    val got = Multimodal.resizeCensus(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("image/png") == ((1L, 8L, 8L, 0L, 0.0)))
+    assert(got("audio/wav") == ((1L, 100L, 1L, 1L, 0.99)))
+    assert(got("video/mp4") == ((1L, 50L, 1L, 1L, 0.98)))
+  }
+
   test("embedBatched: one model call per micro-batch, deterministic vectors") {
     import graft.operators.Multimodal
     val dir = TestTables.documentsDir(spark, (1L to 5L).map(i => i -> s"payload $i"))

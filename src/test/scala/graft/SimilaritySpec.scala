@@ -286,6 +286,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert((p4 & exact).size <= (pAll & exact).size)
   }
 
+  test("ivfPqTopK (x176): equals pqTopK at full probe, ADC recall monotone in nprobe") {
+    val sfDir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // probing every cell makes the coarse quantizer a no-op: the composite
+    // must reproduce pqTopK row for row (same ADC distances, same ties)
+    val full = rows(Similarity.ivfPqTopK(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 16))
+    val pq = rows(Similarity.pqTopK(spark, sfDir, k = 3, queryMod = 25))
+    assert(full == pq)
+    // recall against the full-probe ADC ranking is monotone in nprobe
+    def hits(s: Seq[(Long, Int, Long, Long)]): Set[(Long, Long)] =
+      s.map(t => (t._1, t._3)).toSet
+    val p1 = hits(rows(Similarity.ivfPqTopK(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 1)))
+    val p4 = hits(rows(Similarity.ivfPqTopK(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 4)))
+    val truth = hits(full)
+    assert((p1 & truth).size <= (p4 & truth).size)
+    assert((p4 & truth).size <= truth.size)
+    // same query set at every nprobe (fan-out changes candidates, not queries)
+    assert(p1.map(_._1) == truth.map(_._1))
+  }
+
   test("semanticDedup: lowest id per near-dup group kept, cross-cluster dups invisible") {
     val dir = TestTables.embeddingsDir(spark, Seq(
       0L -> Seq(1f, 0f, 0f, 0f),          // seed centroid 0
@@ -577,6 +601,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       Similarity.pqTopKFromIndex(spark, idxPath, queries)
     }
     assert(e2.getMessage.contains("corrupt pq index"))
+  }
+
+  test("persisted IVF-PQ index (x179): probe equals in-memory ivfPqTopK; refusals inherited") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+    Similarity.writeIvfPqIndex(spark, dir, idxPath, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id", "embedding")
+    for (np <- Seq(1, 2)) {
+      val expect = Similarity.ivfPqTopK(spark, dir, k = 3, nCentroids = 16,
+        queryMod = 10, nprobe = np).collect().map(_.toSeq).toSeq
+      val got = Similarity.ivfPqTopKFromIndex(spark, idxPath, queries,
+        k = 3, nprobe = np).collect().map(_.toSeq).toSeq
+      assert(got == expect, s"nprobe=$np probe diverged from the in-memory composite")
+      assert(got.nonEmpty)
+    }
+    // width mismatch → refusal (the pqTopKFromIndex stamp contract)
+    val wide = graft.operators.Tables.embeddings(spark,
+      TestTables.embeddingsDir(spark, Seq(10L -> Seq.fill(12)(1f))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromIndex(spark, idxPath, wide)
+    }
+    assert(e.getMessage.contains("does not match the index's coded dim"))
+    // corrupt centroid stamp → refusal (the ivfTopKFromIndex contract)
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$idxPath/centroids")
+    cents.withColumn("n_centroids", lit(99)).write.mode("overwrite")
+      .parquet(s"$idxPath/centroids2")
+    spark.read.parquet(s"$idxPath/centroids2").write.mode("overwrite")
+      .parquet(s"$idxPath/centroids")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromIndex(spark, idxPath, queries)
+    }
+    assert(e2.getMessage.contains("corrupt index"))
   }
 
   test("dimCorrelation (x109): duplicated dims score r²=1, dead dims NULL, hand-exact sums") {
