@@ -1994,12 +1994,25 @@ object Similarity {
     val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
     val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
     // the one coded-corpus pass: PQ codes projected row-locally over the
-    // cell-labeled assignment, cell label riding through (no re-join)
+    // cell-labeled assignment, cell label riding through (no re-join).
+    // MATERIALIZED before the scoring join, for two reasons measured at
+    // the 10× slice (119 s -> see BASELINE r15): (a) without a stage
+    // boundary the encode projection (m·ksub inline argmin distances)
+    // FUSES with the ADC scoring projection into one generated method
+    // that exceeds Janino's limit — whole-stage codegen falls back to
+    // interpreted eval for the whole pipeline, the costliest stage of
+    // the query; (b) the assignment's cell-hash partitioning would make
+    // scoring task skew mirror cell-population skew (the x172 census) —
+    // the round-robin spread evens the expansion, and the broadcast
+    // probe join needs no co-location. The checkpoint is the in-memory
+    // twin of what writeIvfPqIndex persists: encode once, probe many.
     val corpusCoded = pqAssign(
       withCell.select(col("vec_id"), col("cell"),
         int8Quantize(col("embedding")).as("qv")),
       cb, dsub, passthrough = Seq("cell"))
       .select(col("cell"), col("vec_id").as("cid"), col("codes"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     // query side: sample FIRST (unprobed corpus rows never pay the
     // nprobe-cell sort), keep full int8 precision (asymmetric ADC), fan
     // out to the nprobe best cells under the ivfProbe tie-break
