@@ -88,6 +88,13 @@ object ServeBench {
     probes("pq_adc") = medianProbe(() =>
       Similarity.pqTopKFromIndex(spark, s"$root/pq", queries))
 
+    // the IVF-PQ composite (x179's probe): static-pruned 8-byte code
+    // scan under the coarse probe fan-out — the cheapest serving path
+    // in the family by construction (cells bound rows, codes bound bytes)
+    builds("ivfpq") = time(Similarity.writeIvfPqIndex(spark, sfDir, s"$root/ivfpq"))
+    probes("ivfpq_nprobe2") = medianProbe(() =>
+      Similarity.ivfPqTopKFromIndex(spark, s"$root/ivfpq", queries, k = 3, nprobe = 2))
+
     // the cluster index (EXT-6aj's batch face): the gate's membership
     // lookup over a doc_id batch (bucket-pruned), plus the two
     // report-every-run consumers the FromIndex adoption serves

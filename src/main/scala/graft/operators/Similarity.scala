@@ -2123,6 +2123,49 @@ object Similarity {
     * m/4·dim)-shrunk serving relation, and the only float rows on disk
     * are the nCentroids coarse centroids.
     */
+  /** The IVF seed centroids as driver literals — bounded by
+    * construction (nCentroids rows), the same collect class as every
+    * centroid table in this file. Shared by the index writer and the
+    * streaming ingest encoder (EXT-6al) so both quantize against the
+    * identical coarse geometry.
+    */
+  def ivfSeedCentroids(
+      spark: SparkSession, dir: String, nCentroids: Int = 16): Seq[(Int, Seq[Float])] = {
+    import spark.implicits._
+    val cents = Tables.embeddings(spark, dir).filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
+    require(cents.length == nCentroids,
+      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
+    cents
+  }
+
+  /** Row-local IVF-PQ assignment over ANY `(vec_id, embedding)` relation
+    * — batch corpus or unbounded stream: per vector its coarse cell
+    * ([[ivfTopK]]'s argmax, same tie-break) AND its PQ codes + exact
+    * reconstruction error ([[pqAssign]]), centroids and codebooks riding
+    * as plan literals. No join, no shuffle, no state — the ingest arm of
+    * [[writeIvfPqIndex]] (EXT-6al's batch face): an arriving vector is
+    * routed and coded the moment it lands, so the composite serving
+    * relation stays current without re-encoding the corpus.
+    */
+  def ivfPqAssignProjection(
+      vecs: DataFrame,
+      cents: Seq[(Int, Seq[Float])],
+      cb: Array[Array[Array[Long]]],
+      dsub: Int): DataFrame = {
+    val n = cents.length
+    val scoredCells = array(cents.map { case (i, c) =>
+      struct(dot(col("embedding"), typedlit(c)).as("s"),
+        lit(n - 1 - i).as("nk"))
+    }: _*)
+    pqAssign(
+      vecs.select(col("vec_id"),
+        (lit(n - 1) - array_max(scoredCells).getField("nk")).as("cell"),
+        int8Quantize(col("embedding")).as("qv")),
+      cb, dsub, passthrough = Seq("cell"))
+  }
+
   def writeIvfPqIndex(
       spark: SparkSession,
       dir: String,
@@ -2133,21 +2176,8 @@ object Similarity {
       iters: Int = 2): Unit = {
     import spark.implicits._
     val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
-    require(cents.length == nCentroids,
-      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
-    pqAssign(
-      emb.select(col("vec_id"),
-        (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"),
-        int8Quantize(col("embedding")).as("qv")),
-      cb, dsub, passthrough = Seq("cell"))
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    ivfPqAssignProjection(Tables.embeddings(spark, dir), cents, cb, dsub)
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
     cents.toDF("cid", "embedding")

@@ -823,6 +823,28 @@ object StreamOps {
         graft.operators.Similarity.int8Quantize(col("embedding")).as("qv")),
       cb, dsub)
 
+  /** EXT-6al — streaming IVF-PQ ingest encoder: route AND compress an
+    * unbounded (vec_id, embedding) stream in one projection — per
+    * arriving vector its coarse IVF cell (the partition of the
+    * persisted composite index it belongs in) plus its 8-byte PQ codes
+    * and exact reconstruction error. The measurement is the ONE batch
+    * definition ([[graft.operators.Similarity.ivfPqAssignProjection]] —
+    * what `writeIvfPqIndex` runs over the corpus) per microbatch
+    * unchanged: centroids and codebooks ride as plan literals, so the
+    * stream never shuffles, never joins, holds NO state and needs no
+    * watermark (EXT-6w's contract extended to the composite). This is
+    * the ingest arm of the x179 index: an arrival lands already routed
+    * to its cell partition and coded for ADC serving — the live feed
+    * that keeps the (nprobe/nCentroids · m/4dim)-shrunk serving
+    * relation current without ever re-encoding the corpus.
+    */
+  def ivfPqEncodeStream(
+      vecs: DataFrame,
+      cents: Seq[(Int, Seq[Float])],
+      cb: Array[Array[Array[Long]]],
+      dsub: Int): DataFrame =
+    graft.operators.Similarity.ivfPqAssignProjection(vecs, cents, cb, dsub)
+
   /** EXT-6x — streaming blocklist gate: the two-tier bad-words verdict
     * (x107) at ingest time. The measurement is the ONE batch definition
     * ([[graft.operators.Curation.blocklistProjection]]) — row-local

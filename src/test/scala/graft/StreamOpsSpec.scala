@@ -992,6 +992,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("ivfPqEncodeStream (EXT-6al): streamed (cell, codes) equal the index writer's rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val (cb, dsub) = graft.operators.Similarity.pqCodebooks(spark, sfDir)
+    val cents = graft.operators.Similarity.ivfSeedCentroids(spark, sfDir)
+    // batch truth: exactly what writeIvfPqIndex persists per vector
+    val batch = graft.operators.Similarity.ivfPqAssignProjection(
+      graft.operators.Tables.embeddings(spark, sfDir), cents, cb, dsub)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cell"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("codes")).as("codes_csv"),
+        org.apache.spark.sql.functions.col("recon_err"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val sample = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.ivfPqEncodeStream(
+      stream.toDF().toDF("vec_id", "embedding"), cents, cb, dsub)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cell"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("codes")).as("codes_csv"),
+        org.apache.spark.sql.functions.col("recon_err"))
+      .writeStream.format("memory").queryName("ivfpq_out").outputMode("append").start()
+    try {
+      // two microbatches with an at-least-once overlap: the stateless
+      // route+encode re-derives identical rows on replay
+      stream.addData(sample.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(sample.drop(15).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("ivfpq_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got.size == 40) // replays collapse to the same (id, cell, codes, err)
+      assert(got.subsetOf(batch))
+      // every streamed cell is a valid coarse partition of the index
+      assert(got.forall(t => t._2 >= 0 && t._2 < cents.length))
+    } finally q.stop()
+  }
+
   test("blocklistGateStream (EXT-6x): streamed verdicts equal the batch gate bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
