@@ -241,6 +241,34 @@ trait SimilarityOracles {
          |FROM rr WHERE rank <= $pqK ORDER BY vec_id, rank""".stripMargin,
 
 
+    // float trained-centroid assignment (af — the x54/x57 spelling) +
+    // int8-lattice margins (x114's exactness device): own-cell dot vs
+    // best other, exact BIGINT folds, two single IEEE divisions; dead
+    // cells as zero rows off the k-row frame (x172's rule)
+    "x180_cluster_separation" ->
+      (kmeansAssignCtes(k = 8, iters = 2) +
+        """,
+          |qz AS (SELECT e.vec_id, list_transform(e.ed, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
+          |cq AS (SELECT cid, list_transform(cd, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS cv FROM c2),
+          |sall AS (SELECT q.vec_id, c.cid,
+          |         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])), (a, b) -> a + b) AS s
+          |         FROM qz q CROSS JOIN cq c),
+          |oth AS (SELECT s2.vec_id, max(s2.s) AS s_other
+          |        FROM sall s2 JOIN af a2 ON a2.vec_id = s2.vec_id AND s2.cid != a2.cid GROUP BY 1),
+          |mg AS (SELECT af.cid AS cell, o.s - oth.s_other AS margin
+          |       FROM af JOIN sall o ON o.vec_id = af.vec_id AND o.cid = af.cid
+          |              JOIN oth ON oth.vec_id = af.vec_id),
+          |agg AS (SELECT cell, count(*)::BIGINT AS n_vectors, sum(margin)::BIGINT AS margin_mass,
+          |        sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END)::BIGINT AS n_misfit FROM mg GROUP BY 1)
+          |SELECT t.cell::BIGINT AS cell, coalesce(n_vectors, 0)::BIGINT AS n_vectors,
+          |       coalesce(margin_mass, 0)::BIGINT AS margin_mass,
+          |       CASE WHEN n_vectors IS NULL THEN NULL ELSE round(margin_mass::DOUBLE / n_vectors, 4) END AS mean_margin4,
+          |       coalesce(n_misfit, 0)::BIGINT AS n_misfit,
+          |       CASE WHEN n_vectors IS NULL THEN NULL ELSE round(n_misfit::DOUBLE / n_vectors, 4) END AS misfit_frac4
+          |FROM (SELECT unnest(range(0, 8)) AS cell) t LEFT JOIN agg ON agg.cell = t.cell
+          |ORDER BY t.cell""".stripMargin),
+
+
     "x91_quantized_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
          |qz AS (SELECT vec_id, list_transform(ed, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),

@@ -1106,6 +1106,73 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** EXT-S32 (`x180_cluster_separation`) — cluster SEPARATION audit
+    * over the trained cells: per vector the exact-integer dot to its
+    * OWN cell's quantized centroid minus the BEST other quantized
+    * centroid (the assignment margin), folded per cell to population,
+    * margin mass, mean margin, and the misfit share (vectors whose
+    * best OTHER centroid beats their own on the int8 lattice). x57
+    * measures cluster TIGHTNESS (own-centroid cosine), x114 flags
+    * within-cell outliers; this measures BETWEEN-cell separation — the
+    * "are these clusters real" go/no-go read before trusting any
+    * cell-scoped consumer (x54's dedup scope, x100's packing cells,
+    * x144's drift cells, x162's label census). A cell with a high
+    * misfit share or near-zero mean margin is two topics fused (or one
+    * split): retrain with a different k before shipping its artifacts.
+    * Dead cells surface as zero rows (x172's absence-is-the-finding
+    * rule).
+    *
+    * Exactness: assignment rides the FLOAT trained-centroid argmax —
+    * the ONE x54/x57 parity spelling ([[cellColumn]]) — while margins
+    * are exact BIGINTs on the int8 lattice (vectors AND centroids
+    * quantized, x114's device), so the per-cell sums are order-free
+    * and the two ratios are single IEEE divisions. A negative margin
+    * is therefore a REAL boundary case: the quantized geometry
+    * disagrees with the float assignment — exactly the vectors int8
+    * serving (x91) will mis-route first.
+    *
+    * Scale: one row-local projection (2k centroid literals — k float
+    * for assignment, k int8 for margins), one |k|-bounded fold, a
+    * k-row frame join. Nothing data-sized shuffles.
+    */
+  def clusterSeparation(
+      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"cluster separation needs k >= 2 cells (got $k)")
+    val e = embDouble(spark, dir)
+    val cents = trainCentroids(e, k, iters, exactMeans = true)
+    val c8 = cents.sortBy(_._1).map { case (_, cd) =>
+      cd.map(v => math.floor(v * 127.0 + 0.5).toLong).toSeq
+    }
+    val withQ = assignCells(e, cents).select(col("cell"),
+      transform(col("ed"), x => floor(x * lit(127.0) + lit(0.5)).cast("long")).as("qv"))
+    val scores = array(c8.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.DotProduct.dot_l(col("qv"), typedlit(c)).as("s"),
+        lit(i).as("cid"))
+    }: _*)
+    val margins = withQ.select(col("cell"), scores.as("sc"))
+      .select(col("cell"),
+        (element_at(col("sc"), col("cell") + 1).getField("s")
+          - array_max(filter(col("sc"), x => x.getField("cid") =!= col("cell")))
+            .getField("s")).as("margin"))
+    val agg0 = margins.groupBy("cell").agg(
+      count(lit(1)).as("n_vectors"),
+      sum("margin").as("margin_mass"),
+      sum(when(col("margin") < 0L, 1L).otherwise(0L)).as("n_misfit"))
+    spark.range(k).select(col("id").cast("int").as("cell"))
+      .join(agg0, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("margin_mass"), lit(0L)).as("margin_mass"),
+        when(col("n_vectors").isNull, lit(null).cast("double"))
+          .otherwise(round(col("margin_mass").cast("double") / col("n_vectors"), 4))
+          .as("mean_margin4"),
+        coalesce(col("n_misfit"), lit(0L)).as("n_misfit"),
+        when(col("n_vectors").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n_misfit").cast("double") / col("n_vectors"), 4))
+          .as("misfit_frac4"))
+      .orderBy("cell")
+  }
+
   /** Train centroids for external consumers (the streaming twin trains
     * on the BATCH corpus, then scores the stream against the result).
     */

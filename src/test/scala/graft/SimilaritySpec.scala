@@ -310,6 +310,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(p1.map(_._1) == truth.map(_._1))
   }
 
+  test("clusterSeparation (x180): hand-exact margins on a 2-cell fixture; identities on harness data") {
+    // k=2, iters=0 keeps the unit seed centroids e_x, e_y; int8 lattice:
+    // c0=(127,0,..), c1=(0,127,..). v2 -> cell 0 (float argmax), margin
+    // = 126*127 - 13*127; v3 -> cell 1, margin = 102*127 - 76*127
+    val dir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.995f, 0.0999f, 0f, 0f),
+      3L -> Seq(0.6f, 0.8f, 0f, 0f)))
+    val got = Similarity.clusterSeparation(spark, dir, k = 2, iters = 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val m0 = 127L * 127          // v0: own 16129, other 0
+    val m2 = 126L * 127 - 13 * 127
+    val m3 = 102L * 127 - 76 * 127
+    assert(got(0L) == ((2L, m0 + m2, (m0 + m2) / 2.0, 0L)))
+    assert(got(1L) == ((2L, m0 + m3, (m0 + m3) / 2.0, 0L)))
+    // harness identities: every corpus vector in exactly one cell, k rows,
+    // misfit share a valid fraction
+    val rows = Similarity.clusterSeparation(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      val frac = r.getDouble(5)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
   test("semanticDedup: lowest id per near-dup group kept, cross-cluster dups invisible") {
     val dir = TestTables.embeddingsDir(spark, Seq(
       0L -> Seq(1f, 0f, 0f, 0f),          // seed centroid 0
