@@ -436,6 +436,12 @@ object SparkEntry
             org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.lit(pqQueryMod)) === 0),
         k = pqK, nprobe = ivfPqNprobe)),
+    // composite recall vs float truth: the x105 tail over x176's ranking —
+    // the delta vs x105 isolates the coarse-cell loss from the coding loss
+    "x181_ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecall(s, dir, k = pqK, nCentroids = ivfPqNCent,
+        queryMod = pqQueryMod, nprobe = ivfPqNprobe, m = pqM, ksub = pqKsub,
+        iters = pqIters)),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.

@@ -246,6 +246,34 @@ private[graft] object OracleCtes {
     (Seq(init) ++ rounds :+ fin).mkString(",\n")
   }
 
+  /** Shared IVF-PQ composite CTE chain (x176/x181): the full PQ chain
+    * ([[pqCte]]) + x58's coarse cells/probes (renamed ivc/ive/iva — the
+    * pq chain owns `asg`) + ADC over the probed candidate set. Ends in
+    * `rr(qid, cid, d, rank)` — rank by ascending exact ADC distance,
+    * ties to the lowest cid.
+    */
+  lazy val ivfPqCtes: String =
+    s"""$pqCte,
+       |ivc AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < $ivfPqNCent),
+       |ive AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |iva AS (SELECT ive.vec_id, ivc.ccid,
+       |               row_number() OVER (PARTITION BY ive.vec_id ORDER BY
+       |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+       |                 ivc.ccid) AS rn
+       |        FROM ive CROSS JOIN ivc),
+       |cells AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn = 1),
+       |probes AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn <= $ivfPqNprobe AND vec_id % $pqQueryMod = 0),
+       |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
+       |cand AS (SELECT p.vec_id AS qid, y.vec_id AS cid
+       |         FROM probes p JOIN cells y ON y.cell = p.cell AND y.vec_id != p.vec_id),
+       |adct AS (SELECT q.qid, cand.cid,
+       |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> q.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc)::BIGINT AS d
+       |         FROM cand JOIN qq q ON q.qid = cand.qid
+       |              JOIN asg g ON g.vec_id = cand.cid AND g.s = q.s
+       |              JOIN cbs c ON c.s = g.s AND c.code = g.code
+       |         GROUP BY 1, 2),
+       |rr AS (SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank FROM adct)""".stripMargin
+
   /** SimHash fingerprints + banded exact Hamming near-dup pairs (shared by
     * x16 and the x22 cluster oracle; ends in relation `nd_pairs(d1, d2,
     * hamming)`).

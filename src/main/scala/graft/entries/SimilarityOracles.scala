@@ -217,28 +217,27 @@ trait SimilarityOracles {
     // the pq chain owns `asg`) restrict the candidate set; x105's exact-
     // BIGINT ADC ranks it; distances themselves are hash-checked
     "x176_ivfpq_topk" ->
-      s"""WITH $pqCte,
-         |ivc AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < $ivfPqNCent),
-         |ive AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |iva AS (SELECT ive.vec_id, ivc.ccid,
-         |               row_number() OVER (PARTITION BY ive.vec_id ORDER BY
-         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-         |                 ivc.ccid) AS rn
-         |        FROM ive CROSS JOIN ivc),
-         |cells AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn = 1),
-         |probes AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn <= $ivfPqNprobe AND vec_id % $pqQueryMod = 0),
-         |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
-         |cand AS (SELECT p.vec_id AS qid, y.vec_id AS cid
-         |         FROM probes p JOIN cells y ON y.cell = p.cell AND y.vec_id != p.vec_id),
-         |adct AS (SELECT q.qid, cand.cid,
-         |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> q.qs[i] * c.cs[i])), (x, y) -> x + y) + c.nc)::BIGINT AS d
-         |         FROM cand JOIN qq q ON q.qid = cand.qid
-         |              JOIN asg g ON g.vec_id = cand.cid AND g.s = q.s
-         |              JOIN cbs c ON c.s = g.s AND c.code = g.code
-         |         GROUP BY 1, 2),
-         |rr AS (SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank FROM adct)
+      s"""WITH $ivfPqCtes
          |SELECT qid AS vec_id, rank, cid AS neighbor_id, d AS adc_dist
          |FROM rr WHERE rank <= $pqK ORDER BY vec_id, rank""".stripMargin,
+
+
+    // x176's ranking measured against the float brute truth with x105's
+    // recall tail: the one extra loss term vs x105 is the coarse cell
+    // restriction — the number that picks nprobe for IVFADC serving
+    "x181_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |ivfpqn AS (SELECT qid, cid FROM rr WHERE rank <= $pqK),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
+         |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
+         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
+         |hits AS (SELECT ex.qid, count(ivfpqn.cid)::BIGINT AS hits
+         |         FROM ex LEFT JOIN ivfpqn ON ivfpqn.qid = ex.qid AND ivfpqn.cid = ex.cid
+         |         GROUP BY 1)
+         |SELECT qid AS vec_id, hits, hits::DOUBLE / $pqK AS recall
+         |FROM hits ORDER BY vec_id""".stripMargin,
 
 
     // float trained-centroid assignment (af — the x54/x57 spelling) +

@@ -2179,6 +2179,35 @@ object Similarity {
     adcTopK(q, codes, cb, dsub, k)
   }
 
+  /** EXT-S31c (`x181_ivfpq_recall`) — composite recall audit:
+    * [[ivfPqTopK]]'s ranking measured against the float brute-force
+    * truth with the shared [[recallTail]]. Read NEXT TO x105 (PQ over
+    * the whole corpus): the recall delta between the two isolates the
+    * COARSE-CELL loss term — queries whose true neighbors live outside
+    * the nprobe probed cells — from x105's coding loss, which is
+    * exactly the decomposition that tunes (nprobe, nCentroids)
+    * separately from (m, ksub) when standing up IVFADC serving. Same
+    * deliberate n·m truth-leg economics as x105 (fixed-|queries| in
+    * production).
+    */
+  def ivfPqRecall(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      nCentroids: Int = 16,
+      queryMod: Int = 10,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed by the query list AND the hit join
+    val approx = ivfPqTopK(spark, dir, k, nCentroids, queryMod, nprobe, m, ksub, iters)
+      .select(col("vec_id"), col("neighbor_id"))
+    recallTail(exact, approx, k)
+  }
+
   /** EXT-S31b — persisted IVF-PQ index (the on-disk FAISS IVFADC
     * layout): ONE corpus pass assigns the coarse cell and the PQ codes
     * in the same projection ([[ivfPqTopK]]'s build half) and writes

@@ -310,6 +310,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(p1.map(_._1) == truth.map(_._1))
   }
 
+  test("ivfPqRecall (x181): equals pqRecall at full probe; bounded and query-stable at nprobe=2") {
+    val sfDir = "/root/testdata/sf0.001"
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // full probe makes the coarse restriction a no-op: recall loss is
+    // pure coding loss, i.e. exactly pqRecall's number per query
+    val full = m(Similarity.ivfPqRecall(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 16))
+    val pq = m(Similarity.pqRecall(spark, sfDir, k = 3, queryMod = 25))
+    assert(full == pq)
+    // at nprobe=2 the cell restriction may add loss but never changes
+    // WHICH queries are audited, and recall stays a valid fraction.
+    // (No per-query monotonicity law: ADC is approximate, so excluding a
+    // cell can evict a coded impostor and RAISE a query's recall.)
+    val p2 = m(Similarity.ivfPqRecall(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 2))
+    assert(p2.keySet == full.keySet)
+    assert(p2.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("clusterSeparation (x180): hand-exact margins on a 2-cell fixture; identities on harness data") {
     // k=2, iters=0 keeps the unit seed centroids e_x, e_y; int8 lattice:
     // c0=(127,0,..), c1=(0,127,..). v2 -> cell 0 (float argmax), margin
