@@ -1135,25 +1135,43 @@ object Similarity {
     * for assignment, k int8 for margins), one |k|-bounded fold, a
     * k-row frame join. Nothing data-sized shuffles.
     */
-  def clusterSeparation(
-      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
-    require(k >= 2, s"cluster separation needs k >= 2 cells (got $k)")
-    val e = embDouble(spark, dir)
-    val cents = trainCentroids(e, k, iters, exactMeans = true)
+  /** The row-local margin projection behind [[clusterSeparation]] —
+    * over ANY `(vec_id, ed: array<double>)` relation, batch or
+    * unbounded stream: per vector its float-argmax cell, its exact
+    * int8 own-vs-best-other margin, and the misfit verdict
+    * (`margin < 0`). Centroids ride as plan literals (k float for the
+    * assignment, k int8 for the margins) — no join, no shuffle, no
+    * state. One definition shared by the batch audit and the EXT-6am
+    * ingest monitor, so the live mis-route flag can never drift from
+    * the per-cell census it is read against.
+    */
+  def separationProjection(
+      relation: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    require(cents.length >= 2,
+      s"cluster separation needs k >= 2 cells (got ${cents.length})")
     val c8 = cents.sortBy(_._1).map { case (_, cd) =>
       cd.map(v => math.floor(v * 127.0 + 0.5).toLong).toSeq
     }
-    val withQ = assignCells(e, cents).select(col("cell"),
+    val withQ = assignCells(relation, cents).select(col("vec_id"), col("cell"),
       transform(col("ed"), x => floor(x * lit(127.0) + lit(0.5)).cast("long")).as("qv"))
     val scores = array(c8.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.DotProduct.dot_l(col("qv"), typedlit(c)).as("s"),
         lit(i).as("cid"))
     }: _*)
-    val margins = withQ.select(col("cell"), scores.as("sc"))
-      .select(col("cell"),
+    withQ.select(col("vec_id"), col("cell"), scores.as("sc"))
+      .select(col("vec_id"), col("cell"),
         (element_at(col("sc"), col("cell") + 1).getField("s")
           - array_max(filter(col("sc"), x => x.getField("cid") =!= col("cell")))
             .getField("s")).as("margin"))
+      .withColumn("misfit", col("margin") < 0L)
+  }
+
+  def clusterSeparation(
+      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"cluster separation needs k >= 2 cells (got $k)")
+    val e = embDouble(spark, dir)
+    val cents = trainCentroids(e, k, iters, exactMeans = true)
+    val margins = separationProjection(e, cents)
     val agg0 = margins.groupBy("cell").agg(
       count(lit(1)).as("n_vectors"),
       sum("margin").as("margin_mass"),

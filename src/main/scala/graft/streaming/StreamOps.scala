@@ -845,6 +845,26 @@ object StreamOps {
       dsub: Int): DataFrame =
     graft.operators.Similarity.ivfPqAssignProjection(vecs, cents, cb, dsub)
 
+  /** EXT-6am — streaming cluster-separation monitor: x180's margin
+    * projection over an unbounded (vec_id, embedding) stream — per
+    * arrival its trained cell, its exact int8 own-vs-best-other margin,
+    * and the misfit verdict. The live MIS-ROUTE detector for int8
+    * serving: a misfit arrival is a vector the quantized geometry
+    * assigns differently than the float argmax — exactly the boundary
+    * case that degrades cell-scoped consumers (x54's dedup scope, the
+    * x179 index's routing) first, flagged at ingest instead of at the
+    * next batch audit. The measurement is the ONE batch definition
+    * ([[graft.operators.Similarity.separationProjection]]) per
+    * microbatch unchanged: centroids ride as plan literals — zero
+    * shuffles, zero joins, ZERO state, no watermark (the EXT-6i
+    * train-once contract; a retrain is a new query).
+    */
+  def separationMonitorStream(
+      vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    graft.operators.Similarity.separationProjection(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("ed")),
+      cents)
+
   /** EXT-6x — streaming blocklist gate: the two-tier bad-words verdict
     * (x107) at ingest time. The measurement is the ONE batch definition
     * ([[graft.operators.Curation.blocklistProjection]]) — row-local

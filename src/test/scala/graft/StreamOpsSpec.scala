@@ -1035,6 +1035,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("separationMonitorStream (EXT-6am): streamed margins equal the batch projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val cents = graft.operators.Similarity.trainedCentroids(spark, sfDir, exactMeans = true)
+    val batch = graft.operators.Similarity.separationProjection(
+      graft.operators.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>").as("ed")),
+      cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    val sample = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.separationMonitorStream(
+      stream.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("sep_out").outputMode("append").start()
+    try {
+      // at-least-once overlap: the stateless projection re-derives rows
+      stream.addData(sample.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(sample.drop(15).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sep_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(got.size == 40)
+      assert(got.subsetOf(batch))
+      // the verdict law: misfit iff the exact margin is negative
+      assert(got.forall(t => t._4 == (t._3 < 0)))
+    } finally q.stop()
+  }
+
   test("blocklistGateStream (EXT-6x): streamed verdicts equal the batch gate bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
