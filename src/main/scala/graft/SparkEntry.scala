@@ -425,7 +425,8 @@ object SparkEntry
     // between-cell separation audit over the trained k-means cells:
     // exact int8 own-vs-best-other margins, per-cell misfit shares —
     // the "are these clusters real" gate before any cell-scoped consumer
-    "x180_cluster_separation" -> ((s, dir) => Similarity.clusterSeparation(s, dir)),
+    "x180_cluster_separation" -> ((s, dir) =>
+      Similarity.clusterSeparation(s, dir, exactMeans = true)),
     // x176 served from the PERSISTED IVF-PQ index (x174/x175's
     // write→stamp→probe discipline for the composite): build once per
     // JVM, probe the sampled query batch, hash-check against x176's oracle

@@ -276,7 +276,10 @@ trait MiscOracles {
     // x13's decode spelling (width/height from the first two code
     // points) + the stub downscale arithmetic: ratio = min(1, target
     // area / decoded area), out = max(1, floor(len · ratio)) — the
-    // exact truncation rule of Multimodal.resize, aggregated per type
+    // exact truncation rule of Multimodal.resize, aggregated per type.
+    // Empty payloads emit 0 bytes (take(1) of an empty array is empty —
+    // the operator's PHYSICAL output, which the census measures), so
+    // the len = 0 rung bypasses the 1-byte floor
     "x178_resize_census" ->
       s"""WITH m AS (SELECT doc_id,
          |  octet_length(encode(text))::BIGINT AS len,
@@ -286,7 +289,9 @@ trait MiscOracles {
          |                  ELSE 'video/mp4' END AS media_type
          |  FROM documents),
          |r AS (SELECT doc_id, media_type, len AS bytes_in,
-         |             greatest(1, floor(len * least(1.0, ${resizeTargetW * resizeTargetH}.0 / (w * h)))::BIGINT) AS bytes_out
+         |             CASE WHEN len = 0 THEN 0
+         |                  ELSE greatest(1, floor(len * least(1.0, ${resizeTargetW * resizeTargetH}.0 / (w * h)))::BIGINT)
+         |             END AS bytes_out
          |      FROM m)
          |SELECT media_type, count(*)::BIGINT AS n_files,
          |       sum(bytes_in)::BIGINT AS bytes_in, sum(bytes_out)::BIGINT AS bytes_out,

@@ -421,14 +421,15 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       k: Int = 3,
-      queryMod: Int = 10): DataFrame = {
+      queryMod: Int = 10,
+      nCentroids: Int = 16): DataFrame = {
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint() // consumed by the query list AND the hit join
     // queryMod pushed INTO the cell join: the index side stays full, but
     // unsampled queries are never scored (a post-hoc filter would pay
     // the whole-corpus top-k first and discard ~90% of it)
-    val ann = ivfTopK(spark, dir, k, queryMod = Some(queryMod))
+    val ann = ivfTopK(spark, dir, k, nCentroids, queryMod = Some(queryMod))
       .select(col("vec_id"), col("neighbor_id"))
     recallTail(exact, ann, k)
   }
@@ -559,26 +560,51 @@ object Similarity {
     * cell-partitioned, materialized corpus plus the argmax expression
     * the query side reuses for multi-probe fan-out.
     */
+  /** The per-row (score, inverted-id) cell-candidate array over an
+    * embedding column — the ONE spelling of the coarse IVF geometry:
+    * argmax via array_max over (score, inverted-id), ties picking the
+    * highest inverted id = LOWEST centroid id, matching the oracle's
+    * ORDER BY score DESC, cid ASC. Shared by every assignment, build,
+    * probe, and stream site so the tie-break cannot drift between the
+    * in-memory, persisted, and composite paths (the spec-pinned
+    * bit-equal laws depend on it).
+    */
+  private[graft] def ivfScoredCells(
+      cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
+    val n = cents.length
+    array(cents.map { case (i, c) =>
+      struct(dot(emb, typedlit(c)).as("s"), lit(n - 1 - i).as("nk"))
+    }: _*)
+  }
+
+  /** The stored argmax cell off [[ivfScoredCells]]. */
+  private def argmaxCell(scoredCells: Column, nCentroids: Int): Column =
+    lit(nCentroids - 1) - array_max(scoredCells).getField("nk")
+
+  /** The nprobe BEST probe cells of a query row as an exploded column —
+    * the ONE multi-probe fan-out spelling (best first; sorting
+    * ascending then reversing puts highest score, then lowest centroid
+    * id, first — the argmax tie-break).
+    */
+  private def probeCellsCol(
+      scoredCells: Column, nCentroids: Int, nprobe: Int): Column =
+    explode(transform(
+      slice(reverse(array_sort(scoredCells)), 1, nprobe),
+      p => lit(nCentroids - 1) - p.getField("nk")))
+
   private def ivfAssignment(
       spark: SparkSession, dir: String, nCentroids: Int): (DataFrame, Column) = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
-    // argmax via array_max over (score, inverted-id): ties pick the
-    // highest inverted id = lowest centroid id, matching the oracle's
-    // ORDER BY score DESC, cid ASC
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
+    // the ONE seed-collect spelling (count-validated — a short corpus
+    // refuses instead of silently building fewer cells)
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
     // materialized once: both join sides consume the assignment, and
     // Spark would otherwise evaluate the nCentroids-dot argmax per side
     // (at 100 TB the assignment is the expensive corpus pass — it is
     // written out once, exactly like a real IVF index build)
     val withCell = emb.select(col("vec_id"), col("embedding"),
-      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      argmaxCell(scoredCells, nCentroids).as("cell"))
       .repartition(col("cell"))
       .localCheckpoint()
     (withCell, scoredCells)
@@ -617,9 +643,7 @@ object Similarity {
         qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
       else
         qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          explode(transform(
-            slice(reverse(array_sort(scoredCells)), 1, nprobe),
-            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val b = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = a.join(b, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
@@ -649,17 +673,13 @@ object Similarity {
       nCentroids: Int = 16): Unit = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
-    require(cents.length == nCentroids,
-      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
     val scoredCells = array(cents.map { case (i, c) =>
       struct(dot(col("embedding"), typedlit(c)).as("s"),
         lit(nCentroids - 1 - i).as("nk"))
     }: _*)
     emb.select(col("vec_id"), col("embedding"),
-      (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      argmaxCell(scoredCells, nCentroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
     cents.toDF("cid", "embedding")
       .withColumn("n_centroids", lit(nCentroids))
@@ -711,19 +731,14 @@ object Similarity {
     */
   def ivfCellBalance(
       spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
-    require(cents.length == nCentroids,
-      s"ivf: seeding needs vectors with vec_id 0..${nCentroids - 1}, found ${cents.length}")
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
     val scoredCells = array(cents.map { case (i, c) =>
       struct(dot(col("embedding"), typedlit(c)).as("s"),
         lit(nCentroids - 1 - i).as("nk"))
     }: _*)
     val census = emb
-      .select((lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+      .select(argmaxCell(scoredCells, nCentroids).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     val total = emb.agg(count(lit(1)).as("n_total"))
     spark.range(nCentroids).select(col("id").cast("int").as("cell"))
@@ -809,6 +824,53 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("nprobe")
   }
 
+  /** Bounded centroid-table read + stamp validation shared by every
+    * persisted-probe path (EXT-S13's refusal contract): nCentroids rows
+    * by construction, returned sorted by cid with the validated count.
+    * A corrupt coarse quantizer must REFUSE, not mis-route probes.
+    */
+  private def loadCoarseCentroids(
+      spark: SparkSession, indexPath: String): (Seq[(Int, Seq[Float])], Int) = {
+    import spark.implicits._
+    val centRows = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid"), col("embedding"), col("n_centroids"))
+      .as[(Int, Seq[Float], Int)].collect()
+    val stamps = centRows.map(_._3).distinct
+    require(stamps.length == 1 && stamps.head == centRows.length,
+      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
+    (centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq, stamps.head)
+  }
+
+  /** Bounded PQ-geometry read shared by the persisted PQ and IVF-PQ
+    * probes (EXT-S20b's refusal contract): the one-row meta stamp, the
+    * measured query-batch width checked against the coded dim (a
+    * mismatched batch must REFUSE, not mis-rank), and the ksub·dim
+    * long-form codebook rebuilt into the plan-literal array. `label`
+    * names the index family in the refusal messages.
+    */
+  private def loadPqGeometry(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      label: String): (Array[Array[Array[Long]]], Int) = {
+    import spark.implicits._
+    val metaRows = spark.read.parquet(s"$indexPath/meta")
+      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
+    require(metaRows.length == 1, s"corrupt $label index: ${metaRows.length} meta rows")
+    val (m, ksub, dim) = metaRows.head
+    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
+      .agg(max(col("d"))).head()
+    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
+      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
+        s"does not match the index's coded dim $dim")
+    val dsub = dim / m
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
+    require(cbRows.length == ksub * dim,
+      s"corrupt $label index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
+    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
+    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
+    (cb, dsub)
+  }
+
   def ivfTopKFromIndex(
       spark: SparkSession,
       indexPath: String,
@@ -817,29 +879,17 @@ object Similarity {
       nprobe: Int = 1,
       staticPrune: Boolean = true): DataFrame = {
     import spark.implicits._
-    val centRows = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("cid"), col("embedding"), col("n_centroids"))
-      .as[(Int, Seq[Float], Int)].collect()
-    val stamps = centRows.map(_._3).distinct
-    require(stamps.length == 1 && stamps.head == centRows.length,
-      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
-    val nCentroids = stamps.head
+    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val cents = centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
     val q =
       if (nprobe == 1)
         queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+          argmaxCell(scoredCells, nCentroids).as("cell"))
       else
         queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          explode(transform(
-            slice(reverse(array_sort(scoredCells)), 1, nprobe),
-            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val idxRaw = spark.read.parquet(s"$indexPath/cells")
     val idxPruned =
       if (staticPrune) {
@@ -1152,8 +1202,10 @@ object Similarity {
     val c8 = cents.sortBy(_._1).map { case (_, cd) =>
       cd.map(v => math.floor(v * 127.0 + 0.5).toLong).toSeq
     }
+    // int8Quantize is the ONE lattice spelling (shared with x32/x91/PQ
+    // serving) — the margins must live on the exact lattice they audit
     val withQ = assignCells(relation, cents).select(col("vec_id"), col("cell"),
-      transform(col("ed"), x => floor(x * lit(127.0) + lit(0.5)).cast("long")).as("qv"))
+      int8Quantize(col("ed")).as("qv"))
     val scores = array(c8.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.DotProduct.dot_l(col("qv"), typedlit(c)).as("s"),
         lit(i).as("cid"))
@@ -1167,10 +1219,14 @@ object Similarity {
   }
 
   def clusterSeparation(
-      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+      spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      exactMeans: Boolean = false): DataFrame = {
     require(k >= 2, s"cluster separation needs k >= 2 cells (got $k)")
     val e = embDouble(spark, dir)
-    val cents = trainCentroids(e, k, iters, exactMeans = true)
+    // exactMeans default false = the production training spelling (the
+    // cellMeans contract its siblings centroidSim/cellDrift follow);
+    // the SparkEntry binding opts into the ordered-fold oracle mode
+    val cents = trainCentroids(e, k, iters, exactMeans)
     val margins = separationProjection(e, cents)
     val agg0 = margins.groupBy("cell").agg(
       count(lit(1)).as("n_vectors"),
@@ -2109,9 +2165,7 @@ object Similarity {
       else
         qSrc.select(col("vec_id").as("qid"),
           int8Quantize(col("embedding")).as("qe"),
-          explode(transform(
-            slice(reverse(array_sort(scoredCells)), 1, nprobe),
-            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     // a candidate lives in exactly ONE cell and a query's probe cells
     // are distinct, so no (qid, cid) pair repeats — no dedup needed
     val scored = q.join(corpusCoded, Seq("cell"))
@@ -2169,23 +2223,7 @@ object Similarity {
       queries: DataFrame,
       k: Int = 3,
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    import spark.implicits._
-    val metaRows = spark.read.parquet(s"$indexPath/meta")
-      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
-    require(metaRows.length == 1, s"corrupt pq index: ${metaRows.length} meta rows")
-    val (m, ksub, dim) = metaRows.head
-    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
-      .agg(max(col("d"))).head()
-    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
-      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
-        s"does not match the index's coded dim $dim")
-    val dsub = dim / m
-    val cbRows = spark.read.parquet(s"$indexPath/codebook")
-      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
-    require(cbRows.length == ksub * dim,
-      s"corrupt pq index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
-    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
-    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
+    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "pq")
     val qRaw = queries
       .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"))
     val q = broadcastIfMeasuredUnder(qRaw,
@@ -2268,14 +2306,10 @@ object Similarity {
       cents: Seq[(Int, Seq[Float])],
       cb: Array[Array[Array[Long]]],
       dsub: Int): DataFrame = {
-    val n = cents.length
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(n - 1 - i).as("nk"))
-    }: _*)
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
     pqAssign(
       vecs.select(col("vec_id"),
-        (lit(n - 1) - array_max(scoredCells).getField("nk")).as("cell"),
+        argmaxCell(scoredCells, cents.length).as("cell"),
         int8Quantize(col("embedding")).as("qv")),
       cb, dsub, passthrough = Seq("cell"))
   }
@@ -2327,47 +2361,20 @@ object Similarity {
       nprobe: Int = 2,
       staticPrune: Boolean = true): DataFrame = {
     import spark.implicits._
-    val centRows = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("cid"), col("embedding"), col("n_centroids"))
-      .as[(Int, Seq[Float], Int)].collect()
-    val stamps = centRows.map(_._3).distinct
-    require(stamps.length == 1 && stamps.head == centRows.length,
-      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
-    val nCentroids = stamps.head
+    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val metaRows = spark.read.parquet(s"$indexPath/meta")
-      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
-    require(metaRows.length == 1, s"corrupt ivfpq index: ${metaRows.length} meta rows")
-    val (m, ksub, dim) = metaRows.head
-    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
-      .agg(max(col("d"))).head()
-    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
-      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
-        s"does not match the index's coded dim $dim")
-    val dsub = dim / m
-    val cbRows = spark.read.parquet(s"$indexPath/codebook")
-      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
-    require(cbRows.length == ksub * dim,
-      s"corrupt ivfpq index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
-    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
-    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
-    val cents = centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
+    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "ivfpq")
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
     val q =
       if (nprobe == 1)
         queries.select(col("vec_id").as("qid"),
           int8Quantize(col("embedding")).as("qe"),
-          (lit(nCentroids - 1) - array_max(scoredCells).getField("nk")).as("cell"))
+          argmaxCell(scoredCells, nCentroids).as("cell"))
       else
         queries.select(col("vec_id").as("qid"),
           int8Quantize(col("embedding")).as("qe"),
-          explode(transform(
-            slice(reverse(array_sort(scoredCells)), 1, nprobe),
-            p => lit(nCentroids - 1) - p.getField("nk"))).as("cell"))
+          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val idxRaw = spark.read.parquet(s"$indexPath/cells")
     val idxPruned =
       if (staticPrune) {

@@ -69,11 +69,14 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     val dir = TestTables.documentsDir(spark, Seq(
       0L -> ("@@" + "x" * 6),   // image/png: 8 bytes, no shrink
       1L -> ("aa" + "x" * 98),  // audio/wav: 100 bytes -> floor(1.384) = 1
-      2L -> ("aa" + "x" * 48))) // video/mp4: 50 bytes -> max(1, floor(0.69)) = 1
+      2L -> ("aa" + "x" * 48),  // video/mp4: 50 bytes -> max(1, floor(0.69)) = 1
+      3L -> ""))                // image/png: EMPTY payload -> 0 bytes out
+    // (the 1-byte floor guards degenerate nonempty shrinks; an empty
+    // payload physically emits nothing — take(1) of an empty array)
     val got = Multimodal.resizeCensus(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5)))).toMap
-    assert(got("image/png") == ((1L, 8L, 8L, 0L, 0.0)))
+    assert(got("image/png") == ((2L, 8L, 8L, 0L, 0.0)))
     assert(got("audio/wav") == ((1L, 100L, 1L, 1L, 0.99)))
     assert(got("video/mp4") == ((1L, 50L, 1L, 1L, 0.98)))
   }

@@ -217,12 +217,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   }
 
   test("annRecall: queries the index returns nothing for survive with recall 0") {
-    // ids < 16 are all centroids -> every vector is alone in its own
-    // cell -> the IVF index returns NO neighbors; exact top-k exists, so
-    // the left-join zero path must report the query with hits = 0
-    val rows = Similarity.annRecall(spark, dir).collect()
+    // every vector its own centroid (nCentroids = corpus size) -> the
+    // IVF index returns NO neighbors; exact top-k exists, so the
+    // left-join zero path must report the query with hits = 0.
+    // Fixture ids are 0..3: the seed contract now REQUIRES vec_id
+    // 0..n-1 to be present — a short or re-keyed corpus REFUSES instead
+    // of silently seeding fewer (or wrongly-numbered) cells, which is
+    // exactly what the old shared 10..13-keyed fixture exploited
+    val soloDir = TestTables.embeddingsDir(spark, Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.999f, 0.04f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f)))
+    val rows = Similarity.annRecall(spark, soloDir, nCentroids = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.toSeq == Seq((10L, 0L, 0.0)))
+    assert(rows.toSeq == Seq((0L, 0L, 0.0)))
+    // the refusal itself: the old sparse-id fixture is now rejected
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annRecall(spark, dir, nCentroids = 4).collect()
+    }
+    assert(e.getMessage.contains("seed rows"))
   }
 
   test("hardNegatives excludes same-label vectors even when they are nearest") {
