@@ -443,6 +443,38 @@ object SparkEntry
       Similarity.ivfPqRecall(s, dir, k = pqK, nCentroids = ivfPqNCent,
         queryMod = pqQueryMod, nprobe = ivfPqNprobe, m = pqM, ksub = pqKsub,
         iters = pqIters)),
+    // IVF-PQ geometry tuning table: the sweep that CHOOSES the composite's
+    // knobs — per ((nCentroids, m, ksub) cell × nprobe) the query census,
+    // scanned-candidate cost, exact hit mass, and recall@k vs float truth
+    "x182_ivfpq_tuning_sweep" -> ((s, dir) =>
+      Similarity.ivfPqTuningSweep(s, dir, geometries = sweepGeoms,
+        nprobes = sweepNprobes, k = pqK, queryMod = pqQueryMod, iters = pqIters)),
+    // x80 served from the PERSISTED sign index (write→stamp→probe as an
+    // oracle key — completes the discipline for the Hamming family)
+    "x183_hamming_topk_indexed" -> ((s, dir) =>
+      Similarity.hammingTopKFromIndex(s, ensureSignIndex(s, dir), dir,
+        Tables.embeddings(s, dir).filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(10)) === 0))),
+    // x69 served from the PERSISTED BM25 index, probe terms derived from
+    // the index's own lexicon by x69's rule — the last of the 6 indexes
+    // to get the oracle-keyed probe
+    "x184_bm25_topk_indexed" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopKFromIndexAuto(s, ensureBm25Index(s, dir))),
+    // the composite with the exact-refine tail (FAISS IndexRefine): ADC
+    // shortlist -> float re-rank over the bounded candidate-id joins —
+    // the stage that takes recall past the coding ceiling (see the
+    // BASELINE r16 geometry note)
+    "x186_ivfpq_refined" -> ((s, dir) =>
+      Similarity.ivfPqTopKRefined(s, dir, k = pqK, nCentroids = ivfPqNCent,
+        queryMod = pqQueryMod, nprobe = ivfPqNprobe, m = pqM, ksub = pqKsub,
+        iters = pqIters, shortlist = refineShortlist)),
+    // perceptual (dHash) media near-dup pairs over x16's Hamming banding
+    // — the re-encoded-copy class byte-level x151 structurally misses;
+    // driven with deterministic re-encode variants (the x34/x37 pattern)
+    "x185_phash_near_dup" -> ((s, dir) =>
+      Multimodal.phashNearDup(Multimodal.mediaWithReencodedVariants(s, dir))),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.
@@ -473,6 +505,12 @@ object SparkEntry
   private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
     ensureIndex("ivfpq", dir)(p => Similarity.writeIvfPqIndex(s, dir, p))
 
+  private def ensureSignIndex(s: SparkSession, dir: String): String =
+    ensureIndex("sign", dir)(p => Similarity.writeSignIndex(s, dir, p))
+
+  private def ensureBm25Index(s: SparkSession, dir: String): String =
+    ensureIndex("bm25", dir)(p => graft.operators.TextAnalysis.writeBm25Index(s, dir, p))
+
   /** The per-family oracle maps live in `graft.entries` (split at r15:
     * 182 bindings + oracles in one file hit the maintainability wall);
     * this aggregation is still ONE map with the same keys as
@@ -490,5 +528,7 @@ object SparkEntry
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "x174_cluster_sizes_indexed" -> oracleBase("x121_cluster_sizes"),
     "x175_ivf_topk_indexed" -> oracleBase("x15_ann_ivf"),
-    "x179_ivfpq_topk_indexed" -> oracleBase("x176_ivfpq_topk"))
+    "x179_ivfpq_topk_indexed" -> oracleBase("x176_ivfpq_topk"),
+    "x183_hamming_topk_indexed" -> oracleBase("x80_hamming_ann"),
+    "x184_bm25_topk_indexed" -> oracleBase("x69_bm25_topk"))
 }

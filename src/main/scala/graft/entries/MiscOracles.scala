@@ -320,6 +320,41 @@ trait MiscOracles {
         |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin,
 
 
+    // the 60-bit dHash recomputed bit-for-bit from the payload hex
+    // (sample grid pos_i = min((i·L)//61, L−1), bit i = s_i > s_{i+1}),
+    // then x16's banding shape (5 × 12-bit bands, exact to hamming 4 by
+    // pigeonhole) and the exact-hamming re-check; byte_equal via the
+    // payload digest so the perceptual-only class is visible. The
+    // variant CTE mirrors mediaWithReencodedVariants (leading-8-char
+    // reversal at doc_id % 7 = 0, re-keyed +1000000)
+    "x185_phash_near_dup" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |               UNION ALL
+        |               SELECT doc_id + 1000000, concat(reverse(substr(text, 1, 8)), substr(text, 9))
+        |               FROM documents WHERE doc_id % 7 = 0),
+        |m AS (SELECT doc_id, md5(text) AS pdigest, hex(encode(text)) AS hx,
+        |             octet_length(encode(text))::BIGINT AS L
+        |      FROM docs2),
+        |h AS (SELECT doc_id, pdigest,
+        |        CASE WHEN L = 0 THEN 0::BIGINT ELSE
+        |          list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), i ->
+        |            CASE WHEN ('0x' || substr(hx, (2 * least((i * L) // 61, L - 1) + 1)::INT, 2))::BIGINT
+        |                    > ('0x' || substr(hx, (2 * least(((i + 1) * L) // 61, L - 1) + 1)::INT, 2))::BIGINT
+        |                 THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END)), (a, b) -> a + b)
+        |        END AS phash
+        |      FROM m),
+        |banded AS (SELECT doc_id, phash, b, (phash >> (b * 12)::INT) & 4095 AS bv
+        |           FROM h, unnest(range(0, 5)) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT c.d1, c.d2,
+        |       bit_count(xor(h1.phash::BIT, h2.phash::BIT))::BIGINT AS hamming,
+        |       (h1.pdigest = h2.pdigest) AS byte_equal
+        |FROM cand c JOIN h h1 ON h1.doc_id = c.d1 JOIN h h2 ON h2.doc_id = c.d2
+        |WHERE bit_count(xor(h1.phash::BIT, h2.phash::BIT)) <= 4
+        |ORDER BY d1, d2""".stripMargin,
+
+
     // the wire-length law computed ARITHMETICALLY: 29 scaffolding chars
     // ({"event_id":  ,"event_type":"  "}) + the id's digits + the type
     // — certifying Spark's to_json byte-for-byte; an escaped character

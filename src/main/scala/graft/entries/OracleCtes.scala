@@ -190,6 +190,24 @@ private[graft] object OracleCtes {
   val ivfPqNCent = 16
   val ivfPqNprobe = 2
 
+  /** x186 exact-refine shortlist width (ADC candidates per query fed to
+    * the float re-rank) — same no-drift contract.
+    */
+  val refineShortlist = 32
+
+  /** x182 IVF-PQ tuning-sweep grid: the geometry cells (nCentroids, m,
+    * ksub) and the probe widths every cell is swept over — the SAME
+    * values feed the Spark call and the generated oracle blocks (the
+    * x103 no-drift contract; the oracle unrolls one PQ chain per cell
+    * and one ranked block per (cell, nprobe), the x170 convention).
+    * All cells share nCentroids = ivfPqNCent so the coarse assignment
+    * (and its oracle CTEs) are built once; the grid varies the CODING
+    * knobs (m, ksub) the x181-vs-x105 decomposition showed dominate at
+    * the gate geometry, and nprobe varies the coarse-loss knob.
+    */
+  val sweepGeoms = Seq((ivfPqNCent, 4, 16), (ivfPqNCent, 8, 16), (ivfPqNCent, 8, 32))
+  val sweepNprobes = Seq(1, 2, 4)
+
   /** x177 frame-sampling geometry and x178 resize target — the SAME
     * values feed the Spark calls and the interpolated oracle SQL.
     */
@@ -199,52 +217,68 @@ private[graft] object OracleCtes {
   val resizeTargetW = 64
   val resizeTargetH = 64
 
-  /** Shared PQ oracle CTE chain: int8 corpus → seeded codebooks →
-    * `pqIters` unrolled Lloyd rounds (the x35 unrolling pattern, in
-    * exact BIGINT: order-free integer group sums, one IEEE division +
-    * floor(x+0.5) per component, empty cells keep their previous
-    * entry) → per-subspace exact squared distances → argmin assignment
-    * (`asg`). `vs` carries each vector's subvectors and their norms
-    * for reuse by x105's ADC.
+  /** The int8-corpus CTE every PQ chain starts from (shared across
+    * geometries in the x182 sweep — it depends on nothing but the
+    * corpus).
     */
-  val pqCte = {
+  val e8Cte =
+    "e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings)"
+
+  /** One parameterized PQ oracle CTE chain (assumes [[e8Cte]] precedes):
+    * seeded codebooks → `iters` unrolled Lloyd rounds (the x35 unrolling
+    * pattern, in exact BIGINT: order-free integer group sums, one IEEE
+    * division + floor(x+0.5) per component, empty cells keep their
+    * previous entry) → per-subspace exact squared distances → argmin
+    * assignment. CTE names carry prefix `p` so multiple geometries
+    * coexist in one query (the x182 sweep); the un-prefixed instance at
+    * the x104/x105 constants is [[pqCte]], whose final names
+    * `vs`/`cbs`/`asg` every existing PQ oracle consumes unchanged.
+    */
+  def pqChain(m: Int, ksub: Int, iters: Int, p: String): String = {
+    require(64 % m == 0, s"pq oracle chain: dim 64 not divisible by m=$m")
+    val dsub = 64 / m
     val sq = (v: String) =>
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $v[i] * $v[i])), (a, b) -> a + b)"
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${dsub + 1}), i -> $v[i] * $v[i])), (a, b) -> a + b)"
     val dotl = (a: String, b: String) =>
-      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${dsub + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     val init =
-      s"""e8 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM embeddings),
-         |sp AS (SELECT unnest(range(0, $pqM))::INT AS s),
-         |cb0 AS (SELECT s, vec_id::INT AS code, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS cs
-         |        FROM e8 CROSS JOIN sp WHERE vec_id < $pqKsub),
-         |vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
-         |       FROM (SELECT vec_id, s, list_slice(qv, s*$pqDsub+1, s*$pqDsub+$pqDsub) AS qs
-         |             FROM e8 CROSS JOIN sp) t)""".stripMargin
-    val rounds = (1 to pqIters).map { t =>
-      val p = t - 1
-      s"""tn$t AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$p),
-         |td$t AS (SELECT v.vec_id, v.s, c.code, v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
-         |         FROM vs v JOIN tn$t c ON c.s = v.s),
-         |ta$t AS (SELECT vec_id, s, code
-         |         FROM (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM td$t) r
+      s"""${p}sp AS (SELECT unnest(range(0, $m))::INT AS s),
+         |${p}cb0 AS (SELECT s, vec_id::INT AS code, list_slice(qv, s*$dsub+1, s*$dsub+$dsub) AS cs
+         |        FROM e8 CROSS JOIN ${p}sp WHERE vec_id < $ksub),
+         |${p}vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
+         |       FROM (SELECT vec_id, s, list_slice(qv, s*$dsub+1, s*$dsub+$dsub) AS qs
+         |             FROM e8 CROSS JOIN ${p}sp) t)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val q = t - 1
+      s"""${p}tn$t AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM ${p}cb$q),
+         |${p}td$t AS (SELECT v.vec_id, v.s, c.code, v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
+         |         FROM ${p}vs v JOIN ${p}tn$t c ON c.s = v.s),
+         |${p}ta$t AS (SELECT vec_id, s, code
+         |         FROM (SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${p}td$t) r
          |         WHERE rn = 1),
-         |tm$t AS (SELECT a.s, a.code, t.dim, CAST(floor(sum(v.qs[t.dim])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
-         |         FROM ta$t a JOIN vs v ON v.vec_id = a.vec_id AND v.s = a.s, unnest(range(1, ${pqDsub + 1})) AS t(dim)
+         |${p}tm$t AS (SELECT a.s, a.code, t.dim, CAST(floor(sum(v.qs[t.dim])::DOUBLE / count(*) + 0.5) AS BIGINT) AS val
+         |         FROM ${p}ta$t a JOIN ${p}vs v ON v.vec_id = a.vec_id AND v.s = a.s, unnest(range(1, ${dsub + 1})) AS t(dim)
          |         GROUP BY 1, 2, 3),
-         |cb$t AS (SELECT p.s, p.code, coalesce(m.cs, p.cs) AS cs
-         |         FROM cb$p p LEFT JOIN (SELECT s, code, list(val ORDER BY dim) AS cs FROM tm$t GROUP BY 1, 2) m
+         |${p}cb$t AS (SELECT p.s, p.code, coalesce(m.cs, p.cs) AS cs
+         |         FROM ${p}cb$q p LEFT JOIN (SELECT s, code, list(val ORDER BY dim) AS cs FROM ${p}tm$t GROUP BY 1, 2) m
          |           ON m.s = p.s AND m.code = p.code)""".stripMargin
     }
     val fin =
-      s"""cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM cb$pqIters),
-         |pqd AS (SELECT v.vec_id, v.s, c.code,
+      s"""${p}cbs AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM ${p}cb$iters),
+         |${p}pqd AS (SELECT v.vec_id, v.s, c.code,
          |        v.nq - 2 * ${dotl("v.qs", "c.cs")} + c.nc AS d
-         |        FROM vs v JOIN cbs c ON c.s = v.s),
-         |asg AS (SELECT vec_id, s, code, d
-         |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pqd) r
+         |        FROM ${p}vs v JOIN ${p}cbs c ON c.s = v.s),
+         |${p}asg AS (SELECT vec_id, s, code, d
+         |        FROM (SELECT vec_id, s, code, d, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM ${p}pqd) r
          |        WHERE rn = 1)""".stripMargin
     (Seq(init) ++ rounds :+ fin).mkString(",\n")
   }
+
+  /** Shared PQ oracle CTE chain at the x104/x105 constants — see
+    * [[pqChain]]. `vs` carries each vector's subvectors and their norms
+    * for reuse by x105's ADC.
+    */
+  val pqCte = e8Cte + ",\n" + pqChain(pqM, pqKsub, pqIters, "")
 
   /** Shared IVF-PQ composite CTE chain (x176/x181): the full PQ chain
     * ([[pqCte]]) + x58's coarse cells/probes (renamed ivc/ive/iva — the

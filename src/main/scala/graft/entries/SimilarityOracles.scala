@@ -222,6 +222,85 @@ trait SimilarityOracles {
          |FROM rr WHERE rank <= $pqK ORDER BY vec_id, rank""".stripMargin,
 
 
+    // the composite + exact-refine tail: x176's ranked relation widened
+    // to the shortlist, then a float re-rank over the shortlisted pairs
+    // only (the bounded candidate-id joins), presented by x5's contract
+    "x186_ivfpq_refined" ->
+      s"""WITH $ivfPqCtes,
+         |sl AS (SELECT qid, cid FROM rr WHERE rank <= $refineShortlist),
+         |fv AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |rs AS (SELECT sl.qid, sl.cid,
+         |       list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> a.ed[i] * b.ed[i])), (x, y) -> x + y) AS sim
+         |       FROM sl JOIN fv a ON a.vec_id = sl.qid JOIN fv b ON b.vec_id = sl.cid),
+         |rr2 AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM rs)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM rr2 WHERE rank <= $pqK ORDER BY vec_id, rank""".stripMargin,
+
+
+    // the IVF-PQ geometry tuning table: one prefixed PQ chain per
+    // (m, ksub) cell (pqChain — the x35/x170 unroll convention), ONE
+    // shared coarse assignment + probe-rank relation (all cells share
+    // nCentroids), one shared brute truth, then one ranked block per
+    // (cell, nprobe) over the prank ≤ np candidate slice — candidate
+    // sets nest by construction, exactly like the Spark side's single
+    // materialized scored relation
+    "x182_ivfpq_tuning_sweep" -> {
+      val maxNp = sweepNprobes.max
+      val prefixed = sweepGeoms.zipWithIndex.map { case (g, i) => (g, s"g${i}_") }
+      val chains = prefixed.map { case ((_, m, ksub), p) =>
+        pqChain(m, ksub, pqIters, p)
+      }.mkString(",\n")
+      val adcts = prefixed.map { case ((_, m, _), p) =>
+        val dsub = 64 / m
+        s"""${p}qq AS (SELECT vec_id AS qid, s, qs, nq FROM ${p}vs WHERE vec_id % $pqQueryMod = 0),
+           |${p}adct AS (SELECT c.qid, c.cid, c.prank,
+           |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${dsub + 1}), i -> q.qs[i] * cb.cs[i])), (x, y) -> x + y) + cb.nc)::BIGINT AS d
+           |         FROM cand c JOIN ${p}qq q ON q.qid = c.qid
+           |              JOIN ${p}asg g ON g.vec_id = c.cid AND g.s = q.s
+           |              JOIN ${p}cbs cb ON cb.s = g.s AND cb.code = g.code
+           |         GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+      val blocks = prefixed.flatMap { case ((nc, m, ksub), p) =>
+        sweepNprobes.map { np =>
+          s"""(SELECT $nc::INT AS n_centroids, $m::INT AS m, $ksub::INT AS ksub, $np::INT AS nprobe,
+             |  nqc.n_queries,
+             |  (SELECT count(*)::BIGINT FROM ${p}adct WHERE prank <= $np) AS n_candidates,
+             |  coalesce((SELECT count(*)::BIGINT FROM ex JOIN (
+             |     SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
+             |     FROM ${p}adct WHERE prank <= $np) a
+             |     ON a.qid = ex.qid AND a.cid = ex.cid AND a.rank <= $pqK), 0)::BIGINT AS n_hits
+             |  FROM nqc)""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $e8Cte,
+         |$chains,
+         |ivc AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < $ivfPqNCent),
+         |ive AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |iva AS (SELECT ive.vec_id, ivc.ccid,
+         |               row_number() OVER (PARTITION BY ive.vec_id ORDER BY
+         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+         |                 ivc.ccid) AS rn
+         |        FROM ive CROSS JOIN ivc),
+         |cells AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn = 1),
+         |probes AS (SELECT vec_id, ccid AS cell, rn FROM iva WHERE rn <= $maxNp AND vec_id % $pqQueryMod = 0),
+         |cand AS (SELECT p.vec_id AS qid, y.vec_id AS cid, p.rn AS prank
+         |         FROM probes p JOIN cells y ON y.cell = p.cell AND y.vec_id != p.vec_id),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
+         |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
+         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
+         |nqc AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex),
+         |$adcts,
+         |res AS (
+         |$blocks
+         |)
+         |SELECT n_centroids, m, ksub, nprobe, n_queries, n_candidates, n_hits,
+         |       round(n_hits::DOUBLE / (n_queries * $pqK), 4) AS recall4
+         |FROM res ORDER BY n_centroids, m, ksub, nprobe""".stripMargin
+    },
+
+
     // x176's ranking measured against the float brute truth with x105's
     // recall tail: the one extra loss term vs x105 is the coarse cell
     // restriction — the number that picks nprobe for IVFADC serving
@@ -241,16 +320,22 @@ trait SimilarityOracles {
 
 
     // float trained-centroid assignment (af — the x54/x57 spelling) +
-    // int8-lattice margins (x114's exactness device): own-cell dot vs
-    // best other, exact BIGINT folds, two single IEEE divisions; dead
-    // cells as zero rows off the k-row frame (x172's rule)
+    // int8-lattice margins (x114's exactness device) scored on the SAME
+    // L2 objective the assignment maximizes (2·qv·c8 − ‖c8‖² — the r15
+    // advisory: a plain dot's margin can reflect the omitted norm term
+    // for unequal-norm trained centroids, not assignment disagreement):
+    // own-cell objective vs best other, exact BIGINT folds, two single
+    // IEEE divisions; dead cells as zero rows off the k-row frame
+    // (x172's rule)
     "x180_cluster_separation" ->
       (kmeansAssignCtes(k = 8, iters = 2) +
         """,
           |qz AS (SELECT e.vec_id, list_transform(e.ed, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
-          |cq AS (SELECT cid, list_transform(cd, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS cv FROM c2),
+          |cq AS (SELECT cid, cv,
+          |       list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> cv[i] * cv[i])), (a, b) -> a + b) AS nc
+          |       FROM (SELECT cid, list_transform(cd, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS cv FROM c2) t),
           |sall AS (SELECT q.vec_id, c.cid,
-          |         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])), (a, b) -> a + b) AS s
+          |         2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])), (a, b) -> a + b) - c.nc AS s
           |         FROM qz q CROSS JOIN cq c),
           |oth AS (SELECT s2.vec_id, max(s2.s) AS s_other
           |        FROM sall s2 JOIN af a2 ON a2.vec_id = s2.vec_id AND s2.cid != a2.cid GROUP BY 1),

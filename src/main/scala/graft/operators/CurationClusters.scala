@@ -142,18 +142,37 @@ private[operators] trait CurationClusters extends CurationQuality {
       maxHamming: Int,
       bands: Int,
       bits: Int): (DataFrame, Int, CorpusStamp) = {
-    val rows = spark.read.parquet(s"$indexPath/meta")
-      .select("max_hamming", "bands", "bits", "n_buckets", "n_docs", "doc_xor", "text_xor")
-      .collect()
-    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
-    val m = rows(0)
-    require(m.getInt(0) == maxHamming && m.getInt(1) == bands && m.getInt(2) == bits,
-      s"cluster index stamped (maxHamming=${m.getInt(0)}, bands=${m.getInt(1)}, " +
-        s"bits=${m.getInt(2)}) but probed with ($maxHamming, $bands, $bits) — " +
+    // meta memoized per (indexPath, listing signature) — the IndexCache
+    // contract; the banding check stays per-call (it depends on the
+    // caller's parameters, not the index)
+    val m = clusterMeta(spark, indexPath)
+    require(m.maxHamming == maxHamming && m.bands == bands && m.bits == bits,
+      s"cluster index stamped (maxHamming=${m.maxHamming}, bands=${m.bands}, " +
+        s"bits=${m.bits}) but probed with ($maxHamming, $bands, $bits) — " +
         "labels from a different banding are not comparable; rebuild the index")
     (readLabels(spark, indexPath).select("doc_id", "cluster"),
-      m.getInt(3), CorpusStamp(m.getLong(4), m.getLong(5), m.getLong(6)))
+      m.nBuckets, m.stamp)
   }
+
+  /** The one-row cluster-index meta stamp, decoded. */
+  private case class ClusterMeta(maxHamming: Int, bands: Int, bits: Int,
+      nBuckets: Int, stamp: CorpusStamp)
+
+  /** The memoized 1-row meta read every cluster-index probe starts from
+    * (the r15 verdict's per-probe driver-overhead ask; the EXT-6aj/6ak
+    * gates pay this per stream START, the foreachBatch serving shape
+    * per MICROBATCH).
+    */
+  private def clusterMeta(spark: SparkSession, indexPath: String): ClusterMeta =
+    IndexCache.cached(spark, s"clustermeta|$indexPath", Seq(s"$indexPath/meta")) {
+      val rows = spark.read.parquet(s"$indexPath/meta")
+        .select("max_hamming", "bands", "bits", "n_buckets", "n_docs", "doc_xor", "text_xor")
+        .collect()
+      require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+      val m = rows(0)
+      ClusterMeta(m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3),
+        CorpusStamp(m.getLong(4), m.getLong(5), m.getLong(6)))
+    }
 
   /** Label read with an EXPLICIT schema: a corpus with zero near-dup
     * pairs writes an empty partitioned relation (no parquet files), and
@@ -206,14 +225,18 @@ private[operators] trait CurationClusters extends CurationQuality {
     * probe touches buckets/n_buckets of the index FILES by the PLANNER,
     * not the pruning heuristic.
     */
+  /** The index's bucket-count stamp — the memoized meta read, exposed
+    * for the streaming gates (EXT-6aj/6ak) so they share the cache.
+    */
+  private[graft] def clusterIndexBuckets(spark: SparkSession, indexPath: String): Int =
+    clusterMeta(spark, indexPath).nBuckets
+
   def lookupClustersFromIndex(
       spark: SparkSession,
       indexPath: String,
       docIds: DataFrame): DataFrame = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
-    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
-    val nBuckets = rows(0).getInt(0)
+    val nBuckets = clusterIndexBuckets(spark, indexPath)
     val q = docIds.select(col("doc_id")).distinct()
       .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint() // consumed by the bucket collect AND the join

@@ -222,6 +222,119 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One perceptual fingerprint row: the 60-bit dHash + the payload's
+    * byte digest (so a pair can be classified byte-identical vs
+    * perceptual-only).
+    */
+  case class PHashRecord(doc_id: Long, phash: Long, pdigest: String)
+
+  /** 60-bit dHash over an opaque payload: 61 bytes sampled on a
+    * length-proportional grid (`pos_i = min(⌊i·L/61⌋, L−1)`, unsigned
+    * values), bit `i` set iff `sample_i > sample_{i+1}` — the
+    * difference-hash shape real image pHash uses over a downscaled
+    * pixel grid, applied to the payload bytes the (stubbed) decoder
+    * would produce. 60 bits, not 64, so the value never touches the
+    * BIGINT sign bit (the x80/x16 oracle convention). A re-encoded or
+    * locally-perturbed copy keeps most grid samples and lands within a
+    * few bits; byte-identical copies collide exactly. Deterministic,
+    * integer-only — the DuckDB oracle recomputes it bit-for-bit from
+    * the payload hex.
+    */
+  private[graft] def dHash60(payload: Array[Byte]): Long = {
+    val L = payload.length
+    if (L == 0) return 0L
+    def sample(i: Int): Int =
+      payload(math.min((i.toLong * L / 61).toInt, L - 1)) & 0xFF
+    var h = 0L
+    var i = 0
+    while (i < 60) {
+      if (sample(i) > sample(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Row-local perceptual fingerprints over a media relation — the
+    * [[extractFeatures]] batch shape (one JVM crossing per partition,
+    * bytes hashed where they live, nothing media-sized ever shuffles).
+    */
+  def phashes(media: Dataset[MediaRecord]): Dataset[PHashRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      batch.map { rec =>
+        digest.reset()
+        val hex = digest.digest(rec.payload).map("%02x".format(_)).mkString
+        PHashRecord(rec.doc_id, dHash60(rec.payload), hex)
+      }
+    }
+  }
+
+  /** EXT-M6 (`x185_phash_near_dup`) — perceptual media NEAR-dup pairs:
+    * [[dHash60]] fingerprints fed through x16's Hamming-band machinery
+    * (5 bands × 12 bits over the 60-bit hash; a pair within
+    * `maxHamming ≤ 4` differs in ≤ 4 bands, so by pigeonhole it shares
+    * at least one — banding is EXACT for the reported radius, x16's
+    * law), with each surviving pair's exact Hamming distance and a
+    * `byte_equal` flag. Pairs with `byte_equal = false` are precisely
+    * the class byte-level x151 structurally misses: re-encoded/
+    * perturbed copies whose content digest differs but whose
+    * perceptual fingerprint survives.
+    *
+    * Scale: fingerprints are row-local (16 bytes of sketch per payload
+    * — payload bytes never shuffle); candidates come only from band
+    *-bucket equi-joins (Σ|bucket|², never all-pairs); the exact
+    * re-check touches two 8-byte hashes per candidate.
+    */
+  def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"banding (5 bands × 12 bits) is exact only to hamming <= 4 (got $maxHamming)")
+    // both pair sides and the re-check read the fingerprints: materialize
+    // the one row-local hashing pass (the x2/x16 signature discipline)
+    val ph = phashes(media).toDF().localCheckpoint()
+    val banded = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 5).map(b =>
+        shiftright(col("phash"), b * 12).bitwiseAND(lit(4095L))): _*))
+        .as(Seq("band", "bv")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("d1"), col("phash").as("p1"),
+        col("pdigest").as("g1")), Seq("d1"))
+      .join(ph.select(col("doc_id").as("d2"), col("phash").as("p2"),
+        col("pdigest").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long").as("hamming"),
+        (col("g1") === col("g2")).as("byte_equal"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** The media table plus deterministic RE-ENCODED variants — the
+    * x34/x37 harness-binding pattern (the corpus has byte-identical
+    * dups but no perceptual-only ones, which would leave x185's
+    * headline class vacuous): every `doc_id % 7 == 0` payload gains a
+    * copy at `doc_id + 1000000` with its leading 8 characters reversed
+    * — a length-preserving LOCAL perturbation standing in for a
+    * re-encode artifact. Byte digests differ (x151 misses the pair);
+    * the dHash grid samples are mostly untouched, so the pair lands
+    * within the banding radius for typical document lengths.
+    */
+  def mediaWithReencodedVariants(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val variants = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .selectExpr("doc_id + 1000000 AS doc_id",
+        "concat(reverse(substring(text, 1, 8)), substring(text, 9)) AS text")
+    docs.unionByName(variants)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("media_type"))
+      .as[MediaRecord]
+  }
+
   /** EXT-M5 (`x151_media_dedup`) — media payload DEDUP census by type:
     * per MIME type the exact file/byte economics of content-hash dedup
     * — files, distinct payloads, duplicate files, total bytes,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * so the DuckDB oracle's explicit `list_reduce` fold computes the same
   * IEEE sum in the same order.
   */
-object Similarity {
+object Similarity extends SimilarityIndexOps {
 
   /** Left-fold double dot product as a native codegen'd Catalyst
     * expression ([[graft.functions.DotProductExpression]]) — a primitive
@@ -39,7 +39,7 @@ object Similarity {
     * |queries|·k rows per partition regardless of corpus size; ranks
     * fall out of the sorted buffer by position.
     */
-  private def presentTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def presentTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = graft.functions.TopK.topk(k)
     scored
       .groupBy(col("qid"))
@@ -77,7 +77,7 @@ object Similarity {
     */
   private val measuredBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def broadcastIfMeasuredUnder(
+  private[operators] def broadcastIfMeasuredUnder(
       df: DataFrame, key: String, estRowBytes: () => Long, maxBytes: Long): DataFrame = {
     if (maxBytes <= 0) return df
     // measure OUTSIDE the map operation: a cluster job must not run
@@ -108,7 +108,7 @@ object Similarity {
     * rows. At production scale the scan already carries ≥ parallelism
     * partitions and this is the identity (no exchange added).
     */
-  private def expansionPartitioned(df: DataFrame): DataFrame = {
+  private[operators] def expansionPartitioned(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -121,7 +121,7 @@ object Similarity {
     * if the sample yields no usable width (empty/null vectors), returns
     * -1 and the guard falls back to no-hint.
     */
-  private def embRowBytes(vecs: DataFrame, vecCol: String): Long = {
+  private[operators] def embRowBytes(vecs: DataFrame, vecCol: String): Long = {
     val d = vecs.select(size(col(vecCol)).as("d")).limit(1024).agg(max(col("d"))).head()
     if (d.isNullAt(0) || d.getInt(0) <= 0) -1L else 4L * d.getInt(0) + 64L
   }
@@ -441,7 +441,7 @@ object Similarity {
     * join. One definition — the audits differ only in which candidate
     * ranking they measure, never in how recall is counted.
     */
-  private def recallTail(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+  private[operators] def recallTail(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
       .groupBy("vec_id").agg(count(lit(1)).as("hits"))
     exact.select("vec_id").distinct()
@@ -578,7 +578,7 @@ object Similarity {
   }
 
   /** The stored argmax cell off [[ivfScoredCells]]. */
-  private def argmaxCell(scoredCells: Column, nCentroids: Int): Column =
+  private[operators] def argmaxCell(scoredCells: Column, nCentroids: Int): Column =
     lit(nCentroids - 1) - array_max(scoredCells).getField("nk")
 
   /** The nprobe BEST probe cells of a query row as an exploded column —
@@ -586,13 +586,13 @@ object Similarity {
     * ascending then reversing puts highest score, then lowest centroid
     * id, first — the argmax tie-break).
     */
-  private def probeCellsCol(
+  private[operators] def probeCellsCol(
       scoredCells: Column, nCentroids: Int, nprobe: Int): Column =
     explode(transform(
       slice(reverse(array_sort(scoredCells)), 1, nprobe),
       p => lit(nCentroids - 1) - p.getField("nk")))
 
-  private def ivfAssignment(
+  private[operators] def ivfAssignment(
       spark: SparkSession, dir: String, nCentroids: Int): (DataFrame, Column) = {
     val emb = Tables.embeddings(spark, dir)
     // the ONE seed-collect spelling (count-validated — a short corpus
@@ -650,69 +650,6 @@ object Similarity {
     presentTopK(scored, k)
   }
 
-  /** EXT-S13 — persist the IVF index: the corpus assignment pass of
-    * [[ivfTopK]] (argmax cell per vector, identical expression and
-    * tie-break) written out cell-PARTITIONED, plus the centroid table
-    * stamped with its `n_centroids` parameter — the "train once, probe
-    * forever" layout. The build is the ONE expensive corpus pass; every
-    * later query batch goes through [[ivfTopKFromIndex]] without
-    * rescanning or re-assigning the corpus.
-    *
-    * `partitionBy("cell")` is the 100 TB point: probing reads only the
-    * cells the query batch fans out to — the cell equi-join against a
-    * broadcast query side triggers dynamic partition pruning, so
-    * nprobe/nCentroids of the index FILES are touched, not all of them.
-    * The parameter stamp follows [[Dedup.bandSignatures]]'s bundling
-    * contract: an index probed with the wrong nCentroids would silently
-    * derive wrong probe cells, so the probe validates the stamp instead.
-    */
-  def writeIvfIndex(
-      spark: SparkSession,
-      dir: String,
-      indexPath: String,
-      nCentroids: Int = 16): Unit = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val cents = ivfSeedCentroids(spark, dir, nCentroids)
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
-    emb.select(col("vec_id"), col("embedding"),
-      argmaxCell(scoredCells, nCentroids).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
-    cents.toDF("cid", "embedding")
-      .withColumn("n_centroids", lit(nCentroids))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids")
-  }
-
-  /** EXT-S13 probe path: top-k cosine neighbors for an arbitrary
-    * `(vec_id, embedding)` query relation against a PERSISTED index —
-    * identical results, tie-breaks, and presentation to running
-    * [[ivfTopK]] over the same corpus (spec-asserted), with the corpus
-    * pass replaced by a pruned read of the probed cells.
-    *
-    * The centroid table is collected driver-side — bounded by
-    * CONSTRUCTION (nCentroids rows, validated against the stamp), the
-    * same bounded-broadcast rule as every centroid literal in this
-    * file. Probe cells are derived on the query side only (nprobe
-    * fan-out); the index side is read already partitioned by cell, so
-    * the equi-join shuffles only the query fan-out at most.
-    *
-    * `staticPrune` (default ON) pins the batch's DISTINCT probe cells —
-    * at most nCentroids values by construction, the legitimate bounded
-    * collect — as a literal partition filter on the index read, so the
-    * pruned scan is guaranteed by the PLANNER (`PartitionFilters` with
-    * `selectedPartitions` resolved before execution), not left to the
-    * dynamic-partition-pruning heuristic (which does not consider an
-    * unfiltered query batch "selective" and would scan every cell).
-    * Cost: one extra narrow pass over the query side to derive the cell
-    * set — for any index big enough to matter, reading
-    * nprobe/nCentroids of the FILES repays it immediately. This is the
-    * per-microbatch serving shape (EXT-6i): train once, probe each
-    * arriving query batch against only the cells it fans out to.
-    */
   /** EXT-S28 (`x172_ivf_cell_balance`) — IVF index HEALTH census: the
     * population of every cell under [[ivfTopK]]'s assignment (same
     * seeded centroids, same argmax, same tie-break), with each cell's
@@ -733,10 +670,7 @@ object Similarity {
       spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cents = ivfSeedCentroids(spark, dir, nCentroids)
-    val scoredCells = array(cents.map { case (i, c) =>
-      struct(dot(col("embedding"), typedlit(c)).as("s"),
-        lit(nCentroids - 1 - i).as("nk"))
-    }: _*)
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
     val census = emb
       .select(argmaxCell(scoredCells, nCentroids).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
@@ -822,96 +756,6 @@ object Similarity {
         .select(lit(np).as("nprobe"), col("n_queries"), col("n_hits"),
           round(col("n_hits").cast("double") / (col("n_queries") * k), 4).as("recall4"))
     }.reduce(_ unionByName _).orderBy("nprobe")
-  }
-
-  /** Bounded centroid-table read + stamp validation shared by every
-    * persisted-probe path (EXT-S13's refusal contract): nCentroids rows
-    * by construction, returned sorted by cid with the validated count.
-    * A corrupt coarse quantizer must REFUSE, not mis-route probes.
-    */
-  private def loadCoarseCentroids(
-      spark: SparkSession, indexPath: String): (Seq[(Int, Seq[Float])], Int) = {
-    import spark.implicits._
-    val centRows = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("cid"), col("embedding"), col("n_centroids"))
-      .as[(Int, Seq[Float], Int)].collect()
-    val stamps = centRows.map(_._3).distinct
-    require(stamps.length == 1 && stamps.head == centRows.length,
-      s"corrupt index: ${centRows.length} centroid rows, stamps ${stamps.mkString(",")}")
-    (centRows.map(t => (t._1, t._2)).sortBy(_._1).toSeq, stamps.head)
-  }
-
-  /** Bounded PQ-geometry read shared by the persisted PQ and IVF-PQ
-    * probes (EXT-S20b's refusal contract): the one-row meta stamp, the
-    * measured query-batch width checked against the coded dim (a
-    * mismatched batch must REFUSE, not mis-rank), and the ksub·dim
-    * long-form codebook rebuilt into the plan-literal array. `label`
-    * names the index family in the refusal messages.
-    */
-  private def loadPqGeometry(
-      spark: SparkSession, indexPath: String, queries: DataFrame,
-      label: String): (Array[Array[Array[Long]]], Int) = {
-    import spark.implicits._
-    val metaRows = spark.read.parquet(s"$indexPath/meta")
-      .select("m", "ksub", "dim").as[(Int, Int, Int)].collect()
-    require(metaRows.length == 1, s"corrupt $label index: ${metaRows.length} meta rows")
-    val (m, ksub, dim) = metaRows.head
-    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
-      .agg(max(col("d"))).head()
-    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
-      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
-        s"does not match the index's coded dim $dim")
-    val dsub = dim / m
-    val cbRows = spark.read.parquet(s"$indexPath/codebook")
-      .select(col("s"), col("code"), col("d"), col("v")).as[(Int, Int, Int, Long)].collect()
-    require(cbRows.length == ksub * dim,
-      s"corrupt $label index: ${cbRows.length} codebook rows, expected ${ksub * dim}")
-    val cb = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(0L)))
-    cbRows.foreach { case (s, c, d, v) => cb(s)(c)(d) = v }
-    (cb, dsub)
-  }
-
-  def ivfTopKFromIndex(
-      spark: SparkSession,
-      indexPath: String,
-      queries: DataFrame,
-      k: Int = 3,
-      nprobe: Int = 1,
-      staticPrune: Boolean = true): DataFrame = {
-    import spark.implicits._
-    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
-    require(nprobe >= 1 && nprobe <= nCentroids,
-      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val scoredCells = ivfScoredCells(cents, col("embedding"))
-    val q =
-      if (nprobe == 1)
-        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          argmaxCell(scoredCells, nCentroids).as("cell"))
-      else
-        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
-    val idxRaw = spark.read.parquet(s"$indexPath/cells")
-    val idxPruned =
-      if (staticPrune) {
-        // distinct probe cells of THIS batch: ≤ nCentroids values by
-        // construction (cells are 0..nCentroids−1), so the collect is
-        // bounded no matter how large the query relation is
-        val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq
-        idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
-      } else idxRaw
-    // expansionPartitioned on the streamed index side: a freshly-written
-    // cell-partitioned index is SMALL FILES locally, so the scan arrives
-    // as one partition and a broadcast-joined probe batch then runs the
-    // whole Σ|cell|² expansion + the TopK partial agg in ONE task — the
-    // r13/r14 single-task expansion class, 6th site (found when x175 put
-    // this probe on the slice bench: 46+ min single-task vs minutes
-    // spread). At production scale the pruned cells already arrive as
-    // ≥ parallelism file partitions and this is the identity.
-    val idx = expansionPartitioned(idxPruned
-      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce")))
-    val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
-    presentTopK(scored, k)
   }
 
   /** EXT-S4 — int8 embedding quantization: `q_i = floor(127·x_i + 0.5)`
@@ -1157,11 +1001,12 @@ object Similarity {
   }
 
   /** EXT-S32 (`x180_cluster_separation`) — cluster SEPARATION audit
-    * over the trained cells: per vector the exact-integer dot to its
-    * OWN cell's quantized centroid minus the BEST other quantized
-    * centroid (the assignment margin), folded per cell to population,
-    * margin mass, mean margin, and the misfit share (vectors whose
-    * best OTHER centroid beats their own on the int8 lattice). x57
+    * over the trained cells: per vector the int8-lattice assignment
+    * OBJECTIVE of its own cell minus the best other cell's — the exact
+    * integer `2·qv·c8 − ‖c8‖²` per centroid, the lattice twin of the
+    * float argmax's `x·c − ‖c‖²/2` — folded per cell to population,
+    * margin mass, mean margin, and the misfit share (vectors the int8
+    * L2-argmax assigns to a DIFFERENT cell than the float argmax). x57
     * measures cluster TIGHTNESS (own-centroid cosine), x114 flags
     * within-cell outliers; this measures BETWEEN-cell separation — the
     * "are these clusters real" go/no-go read before trusting any
@@ -1176,10 +1021,14 @@ object Similarity {
     * the ONE x54/x57 parity spelling ([[cellColumn]]) — while margins
     * are exact BIGINTs on the int8 lattice (vectors AND centroids
     * quantized, x114's device), so the per-cell sums are order-free
-    * and the two ratios are single IEEE divisions. A negative margin
-    * is therefore a REAL boundary case: the quantized geometry
-    * disagrees with the float assignment — exactly the vectors int8
-    * serving (x91) will mis-route first.
+    * and the two ratios are single IEEE divisions. Margins are scored
+    * on the SAME objective the assignment maximizes (`2·qv·c8 − ‖c8‖²`
+    * — for trained centroids with unequal norms a plain dot would rank
+    * cells by centroid norm, not proximity, and a "misfit" could be
+    * the omitted norm term rather than quantization disagreement — the
+    * r15 advisory). A negative margin is therefore a REAL boundary
+    * case: the int8 L2-argmax disagrees with the float assignment —
+    * exactly the vectors a quantized router mis-routes first.
     *
     * Scale: one row-local projection (2k centroid literals — k float
     * for assignment, k int8 for margins), one |k|-bounded fold, a
@@ -1188,12 +1037,13 @@ object Similarity {
   /** The row-local margin projection behind [[clusterSeparation]] —
     * over ANY `(vec_id, ed: array<double>)` relation, batch or
     * unbounded stream: per vector its float-argmax cell, its exact
-    * int8 own-vs-best-other margin, and the misfit verdict
-    * (`margin < 0`). Centroids ride as plan literals (k float for the
-    * assignment, k int8 for the margins) — no join, no shuffle, no
-    * state. One definition shared by the batch audit and the EXT-6am
-    * ingest monitor, so the live mis-route flag can never drift from
-    * the per-cell census it is read against.
+    * int8 own-vs-best-other assignment-objective margin, and the
+    * misfit verdict (`margin < 0` ⟺ the int8 L2-argmax disagrees with
+    * the float assignment). Centroids ride as plan literals (k float
+    * for the assignment, k int8 + their norms for the margins) — no
+    * join, no shuffle, no state. One definition shared by the batch
+    * audit and the EXT-6am ingest monitor, so the live mis-route flag
+    * can never drift from the per-cell census it is read against.
     */
   def separationProjection(
       relation: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
@@ -1203,11 +1053,17 @@ object Similarity {
       cd.map(v => math.floor(v * 127.0 + 0.5).toLong).toSeq
     }
     // int8Quantize is the ONE lattice spelling (shared with x32/x91/PQ
-    // serving) — the margins must live on the exact lattice they audit
+    // serving) — the margins must live on the exact lattice they audit.
+    // Per cell the score is the L2-assignment OBJECTIVE on that lattice
+    // (2·qv·c8 − ‖c8‖², exact BIGINT): the same maximand as the float
+    // argmax, so a margin < 0 is assignment disagreement by definition,
+    // never the norm term a plain dot omits (the r15 advisory)
     val withQ = assignCells(relation, cents).select(col("vec_id"), col("cell"),
       int8Quantize(col("ed")).as("qv"))
     val scores = array(c8.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.DotProduct.dot_l(col("qv"), typedlit(c)).as("s"),
+      val nc = c.foldLeft(0L)((a, v) => a + v * v)
+      struct((lit(2L) * graft.functions.DotProduct.dot_l(col("qv"), typedlit(c))
+        - lit(nc)).as("s"),
         lit(i).as("cid"))
     }: _*)
     withQ.select(col("vec_id"), col("cell"), scores.as("sc"))
@@ -1511,7 +1367,7 @@ object Similarity {
     * position). Shared by the fusion and re-rank pipelines, which need
     * the rank as an INPUT to further scoring rather than as output.
     */
-  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = graft.functions.TopK.topk(k)
     scored
       .groupBy(col("qid"))
@@ -1736,91 +1592,6 @@ object Similarity {
     presentTopK(scored, k)
   }
 
-  /** EXT-S15b build — persist the sign-signature relation: ONE corpus
-    * pass packs each vector's sign bits ([[packSignBits]]) and writes
-    * the 16-byte-per-vector table plus a one-row `meta` stamp carrying
-    * the packed dimension (the [[writeIvfIndex]] parameter-bundling
-    * contract: an index must refuse probes built with different
-    * parameters, here a different dim → different bit layout).
-    *
-    * Scale: the build is the one full-vector pass; every later query
-    * batch scans 16 bytes/vector instead of 4·dim — the 64× first-pass
-    * I/O reduction [[hammingTopK]] computes inline, made durable.
-    */
-  def writeSignIndex(
-      spark: SparkSession,
-      dir: String,
-      indexPath: String,
-      dim: Int = 64): Unit = {
-    val loBits = math.min(32, dim)
-    val hiBits = math.max(0, dim - 32)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        packSignBits(col("embedding"), 0, loBits).as("lo"),
-        (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("hi"))
-      .write.mode("overwrite").parquet(s"$indexPath/signatures")
-    spark.range(1).select(lit(dim).as("dim"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
-  }
-
-  /** EXT-S15b probe — top-k neighbors for an arbitrary
-    * `(vec_id, embedding)` query relation against a PERSISTED signature
-    * index: identical results, tie-breaks, and presentation to running
-    * [[hammingTopK]] over the same corpus (spec-asserted). The first
-    * pass reads SIGNATURES only (never the vector table); full vectors
-    * are touched exclusively by the candidate-id equi-joins — query
-    * vectors from the passed relation, corpus vectors from `corpusDir`
-    * — keeping the index itself 16 bytes/row (production keeps the
-    * primary vector store separate from the sketch, fetched by id).
-    *
-    * The dim stamp is validated against the measured query width
-    * (bounded sample, the [[embRowBytes]] discipline): a query batch
-    * whose vectors do not match the index's packed layout is REFUSED,
-    * not silently mis-ranked.
-    */
-  def hammingTopKFromIndex(
-      spark: SparkSession,
-      indexPath: String,
-      corpusDir: String,
-      queries: DataFrame,
-      candidates: Int = 20,
-      k: Int = 3,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    import spark.implicits._
-    val metaRows = spark.read.parquet(s"$indexPath/meta").select("dim").as[Int].collect()
-    require(metaRows.length == 1, s"corrupt index: ${metaRows.length} meta rows")
-    val dim = metaRows.head
-    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
-      .agg(max(col("d"))).head()
-    require(!qDim.isNullAt(0) && qDim.getInt(0) == dim,
-      s"query width ${if (qDim.isNullAt(0)) "unknown" else qDim.getInt(0)} " +
-        s"does not match the index's packed dim $dim")
-    val loBits = math.min(32, dim)
-    val hiBits = math.max(0, dim - 32)
-    val qRaw = queries.select(col("vec_id").as("qid"),
-      packSignBits(col("embedding"), 0, loBits).as("qlo"),
-      (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("qhi"))
-    val qSig = broadcastIfMeasuredUnder(qRaw,
-      s"$indexPath|qsig|${System.identityHashCode(queries)}",
-      () => 3L * 8 + 64, maxBroadcastBytes)
-    val idx = expansionPartitioned(spark.read.parquet(s"$indexPath/signatures")
-      .select(col("vec_id").as("cid"), col("lo"), col("hi")))
-    val ham = qSig.join(idx, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
-          bit_count(col("qhi").bitwiseXOR(col("hi")))).as("ham"))
-    val cand = rankedTopK(
-      ham.select(col("qid"), col("cid"), (lit(0.0) - col("ham").cast("double")).as("sim")),
-      candidates).select("qid", "cid")
-    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val ce = Tables.embeddings(spark, corpusDir)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val scored = broadcast(cand.join(qe, Seq("qid")))
-      .join(ce, Seq("cid"))
-      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
-    presentTopK(scored, k)
-  }
-
   // ===== Product quantization (EXT-S20 x104 / EXT-S21 x105 / EXT-S20b index) =====
 
   /** The int8 lattice (`floor(127x + 0.5)` as BIGINT — [[quantize]]'s
@@ -1832,566 +1603,9 @@ object Similarity {
     transform(emb, x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("long"))
 
   /** The int8-quantized corpus, the shared entry point of the PQ family. */
-  private def int8Corpus(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def int8Corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), int8Quantize(col("embedding")).as("qv"))
-
-  /** Product-quantization codebooks: the vector space split into `m`
-    * subspaces of `dim/m` dimensions, each with `ksub` int8 code
-    * vectors — seeded from the first `ksub` vectors by id (the
-    * deterministic-seed contract of [[ivfTopK]] applied per subspace)
-    * and then TRAINED with `iters` bounded Lloyd rounds over the int8
-    * sub-vectors. The per-cell mean is the exact-integer twin of
-    * [[kmeansCentroids]]'s `exactMeans` convention: group sums over
-    * BIGINT sub-vector components are order-free and exact, so the
-    * update is one IEEE division + `floor(x + 0.5)` per component —
-    * the DuckDB oracle reproduces the trained codebooks bit-for-bit
-    * (empty cells keep their previous entry, [[trainCentroids]]'s
-    * fallback). `iters = 0` gives the raw seeds.
-    * Int8-lattice codebook entries make every PQ distance an exact
-    * BIGINT: |q−c|² ≤ dim·254², far inside both BIGINT and the double
-    * mantissa, so the ranking is bit-identical in any engine — the
-    * [[quantizedRecall]] exactness argument extended to the coded
-    * domain (the trained means stay on the lattice by the floor).
-    *
-    * Driver footprint: m·ksub·(dim/m) = ksub·dim longs — the k·dim
-    * bounded-collect class of the IVF centroid table. Each Lloyd round
-    * is ONE corpus pass: the row-local [[pqAssign]] argmin (codebooks
-    * as plan literals) into a (s, code, dim)-keyed partial agg that
-    * collapses map-side to ≤ ksub·dim rows per partition — nothing
-    * data-sized shuffles or reaches the driver at any corpus size.
-    */
-  def pqCodebooks(
-      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2): (Array[Array[Array[Long]]], Int) = {
-    require(iters >= 0, s"pq: iters ($iters) must be >= 0")
-    // train-once-per-corpus: the codebooks are a pure deterministic
-    // function of (corpus content, m, ksub, iters), so every consumer
-    // in a session (encode, topK, recall's two legs, the index writer)
-    // shares ONE training run — the production train/serve split. The
-    // cache is validated against a CONTENT stamp (count +
-    // order-insensitive xxhash64 XOR — the writeClusterIndex contract),
-    // not just the path, so a corpus rewritten in place at the same
-    // path retrains instead of silently serving stale codebooks. The
-    // stamp is one narrow two-column scan per call — the price of the
-    // staleness guarantee, and trivially amortized against the
-    // iters-round training pass it guards.
-    val key = s"$dir|pq|$m|$ksub|$iters"
-    val stamp = embStamp(spark, dir)
-    val cached = trainedCodebooks.get(key)
-    if (cached != null && cached._2 == stamp) cached._1
-    else {
-      val trained = trainPqCodebooks(spark, dir, m, ksub, iters)
-      trainedCodebooks.put(key, (trained, stamp))
-      trained
-    }
-  }
-
-  private val trainedCodebooks =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, ((Array[Array[Array[Long]]], Int), (Long, Long))]()
-
-  /** Embedding-corpus identity for the codebook cache: count +
-    * order-insensitive `xxhash64(vec_id, embedding)` XOR — one narrow
-    * scan. Any add/remove/substitute of a vector flips the XOR (up to
-    * collisions, which the count also guards), the same contract as
-    * `CurationClusters.corpusStamp` for the persisted cluster index.
-    */
-  private def embStamp(spark: SparkSession, dir: String): (Long, Long) = {
-    val r = Tables.embeddings(spark, dir)
-      .agg(count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(vec_id, embedding))").as("x")).collect()(0)
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
-
-  /** The uncached training run behind [[pqCodebooks]] — see there for
-    * the algorithm contract.
-    */
-  private[graft] def trainPqCodebooks(
-      spark: SparkSession, dir: String, m: Int, ksub: Int,
-      iters: Int): (Array[Array[Array[Long]]], Int) = {
-    import spark.implicits._
-    val corpus = int8Corpus(spark, dir).localCheckpoint() // seeds + one scan per round
-    val seeds = corpus
-      .filter(col("vec_id") < ksub)
-      .select(col("vec_id").cast("int"), col("qv"))
-      .as[(Int, Seq[Long])].collect().sortBy(_._1)
-    require(seeds.length == ksub,
-      s"pq: seeding needs vectors with vec_id 0..${ksub - 1}, found ${seeds.length} of $ksub")
-    val dim = seeds.head._2.length
-    require(dim % m == 0, s"pq: dim $dim is not divisible by m=$m subspaces")
-    val dsub = dim / m
-    var cb = Array.tabulate(m) { s =>
-      Array.tabulate(ksub) { c => seeds(c)._2.slice(s * dsub, (s + 1) * dsub).toArray }
-    }
-    for (_ <- 1 to iters) {
-      val perDim = pqAssign(corpus, cb, dsub)
-        .select(col("vec_id"), posexplode(array(cb.indices.map { s =>
-          struct(slice(col("qv"), s * dsub + 1, dsub).as("qs"),
-            element_at(col("codes"), s + 1).as("code"))
-        }: _*)).as(Seq("s", "sc")))
-        .select(col("s"), col("sc.code").as("code"),
-          posexplode(col("sc.qs")).as(Seq("d0", "v")))
-      val means = perDim.groupBy("s", "code", "d0")
-        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
-        .select(col("s"), col("code"), col("d0"),
-          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long").as("cv"))
-        .as[(Int, Int, Int, Long)].collect() // ≤ m·ksub·dsub = ksub·dim rows
-        .map { case (s, c, d, v) => (s, c, d) -> v }.toMap
-      cb = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
-        Array.tabulate(dsub)(d => means.getOrElse((s, c, d), cb(s)(c)(d)))))
-    }
-    (cb, dsub)
-  }
-
-  /** Row-local PQ encoding over any `(vec_id, qv: array<bigint>)`
-    * relation: per subspace, the argmin-distance code (exact integer
-    * `‖q‖² − 2q·c + ‖c‖²`, ties to the lowest code id — the struct-min
-    * twin of [[ivfTopK]]'s struct-max), plus the total squared
-    * reconstruction error. The codebooks ride as plan literals, so this
-    * is a narrow projection — no shuffle, no join, no UDF — and the SAME
-    * definition encodes the batch corpus and an unbounded vector stream
-    * (the [[centroidProjection]] train-once/encode-forever contract).
-    */
-  private[graft] def pqAssign(
-      qv: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int,
-      passthrough: Seq[String] = Nil): DataFrame = {
-    val chosen = cb.indices.map { s =>
-      val qsub = slice(col("qv"), s * dsub + 1, dsub)
-      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
-      val cand = array(cb(s).zipWithIndex.map { case (cvec, c) =>
-        val nc = cvec.foldLeft(0L)((a, v) => a + v * v)
-        struct(
-          (nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, typedlit(cvec.toSeq)) + lit(nc))
-            .as("d"),
-          lit(c).as("code"))
-      }: _*)
-      array_min(cand)
-    }
-    // passthrough lets a caller ride extra key columns (e.g. the IVF cell
-    // label) through the projection WITHOUT a later re-join — the encode
-    // stays one narrow corpus pass however the codes are keyed downstream
-    qv.select(col("vec_id") +: passthrough.map(col) ++: Seq(col("qv"),
-      array(chosen.map(_.getField("code")): _*).as("codes"),
-      chosen.map(_.getField("d")).reduce(_ + _).as("recon_err")): _*)
-  }
-
-  /** EXT-S20 (x104) — PQ corpus encoding: every vector compressed to
-    * `m` one-byte codes (m=8 here: 8 bytes/vector vs 256 float bytes —
-    * a 32× compression, 4× beyond int8 and 2× beyond the sign sketch)
-    * plus the exact integer reconstruction error, the quality dial the
-    * (m, ksub) configuration is tuned by. Codes are emitted as their
-    * CSV string so the harness hashes them portably ([[quantize]]'s
-    * x32 convention).
-    *
-    * Scale: ONE narrow corpus pass (the [[pqAssign]] literal-codebook
-    * projection) — zero shuffles beyond the presentation sort at any
-    * corpus size; the codebook build reads `ksub` rows.
-    */
-  def pqCodes(
-      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    pqAssign(int8Corpus(spark, dir), cb, dsub)
-      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("recon_err"))
-      .orderBy("vec_id")
-  }
-
-  /** The ADC distance expression: for a query's int8 vector `qe` and a
-    * corpus row's code array, `Σ_s ‖q_s − cb[s][code_s]‖²` — spelled
-    * per subspace as `‖q_s‖² − 2·q_s·cb + ‖cb‖²` with the codebook
-    * vectors and their norms indexed out of nested plan literals by the
-    * row's code. Exact BIGINT end to end. This is asymmetric distance
-    * (query NOT quantized to a code): the standard ADC fidelity choice
-    * (Jégou et al., PAMI 2011) — the query side keeps full int8
-    * precision, only the corpus pays the 32× compression.
-    */
-  private def adcDist(cb: Array[Array[Array[Long]]], dsub: Int): Column =
-    cb.indices.map { s =>
-      val qsub = slice(col("qe"), s * dsub + 1, dsub)
-      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
-      val codeS = element_at(col("codes"), s + 1)
-      val cbArr = element_at(typedlit(cb(s).map(_.toSeq).toSeq), codeS + 1)
-      val ncS = element_at(
-        typedlit(cb(s).map(_.foldLeft(0L)((a, v) => a + v * v)).toSeq), codeS + 1)
-      nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, cbArr) + ncS
-    }.reduce(_ + _)
-
-  /** The shared ADC top-k plan: queries `(qid, qe: array<bigint>)` ×
-    * codes `(cid, codes: array<int>)` under the caller's broadcast
-    * decision, ranked by ascending exact ADC distance (ties to the
-    * lowest cid), folded map-side by the bounded [[presentTopK]]
-    * aggregate. Consumed by [[pqTopK]] (in-memory legs) and
-    * [[pqTopKFromIndex]] (persisted legs) — the plan shape lives here
-    * exactly once.
-    */
-  private def adcTopK(
-      queries: DataFrame,
-      codes: DataFrame,
-      cb: Array[Array[Array[Long]]],
-      dsub: Int,
-      k: Int): DataFrame = {
-    // the broadcast expansion must not run in the scan's task count (one
-    // task for a single code file): the same single-task fix as the x5
-    // family — measured 1038 s -> (see BASELINE r14L) at the 10x slice
-    val scored = queries.join(expansionPartitioned(codes), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
-    presentTopK(scored, k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"),
-        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
-  }
-
-  /** PQ-coded approximate top-k (ADC serving): the corpus is scanned as
-    * 8-byte code rows — at 100 TB of float vectors the coded relation
-    * is ~3 TB, an order below even the sign-sketch scan — and only the
-    * distance TABLE (ksub·m literal entries) touches real vector
-    * components. The scored stream folds map-side to ≤ |queries|·k rows
-    * per partition before the one exchange ([[presentTopK]]'s plan).
-    * Query side broadcast only under the measured guard.
-    */
-  def pqTopK(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 3,
-      queryMod: Int = 10,
-      m: Int = 8,
-      ksub: Int = 16,
-      maxBroadcastBytes: Long = 64L << 20,
-      iters: Int = 2): DataFrame = {
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    val corpus = int8Corpus(spark, dir)
-    val codes = pqAssign(corpus, cb, dsub).select(col("vec_id").as("cid"), col("codes"))
-    val queriesRaw = corpus.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("qid"), col("qv").as("qe"))
-    val queries = broadcastIfMeasuredUnder(queriesRaw,
-      s"$dir|pqq|mod=$queryMod",
-      () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
-      maxBroadcastBytes)
-    adcTopK(queries, codes, cb, dsub, k)
-  }
-
-  /** EXT-S21 (x105) — PQ recall audit: [[pqTopK]]'s ADC ranking
-    * measured against the float brute-force truth with the shared
-    * [[recallTail]]. THE go/no-go for serving the 32×-compressed code
-    * scan: read next to [[quantizedRecall]] (int8, 4×), the recall-vs-
-    * bytes curve is what picks the serving representation — and because
-    * ADC distances are exact integers, a recall loss here is pure
-    * quantization geometry, never engine float noise.
-    */
-  def pqRecall(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 3,
-      queryMod: Int = 10,
-      m: Int = 8,
-      ksub: Int = 16,
-      maxBroadcastBytes: Long = 64L << 20,
-      iters: Int = 2): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, k, queryMod)
-      .select(col("vec_id"), col("neighbor_id"))
-      .localCheckpoint() // consumed by the query list AND the hit join
-    val approx = pqTopK(spark, dir, k, queryMod, m, ksub, maxBroadcastBytes, iters)
-      .select(col("vec_id"), col("neighbor_id"))
-    recallTail(exact, approx, k)
-  }
-
-  /** EXT-S31 (x176) — IVF-PQ composite serving (the FAISS "IVFADC"
-    * architecture, Jégou et al. PAMI 2011 §IV): the coarse IVF quantizer
-    * restricts each query to its `nprobe` nearest cells, and within the
-    * probed cells candidates are ranked by the exact-integer ADC
-    * distance over their 8-byte PQ codes — never the float vectors.
-    * This is the composition both halves exist for: [[ivfTopK]] bounds
-    * WHICH rows are scanned (nprobe/nCentroids of the corpus),
-    * [[pqTopK]] bounds the BYTES per scanned row (m bytes vs 4·dim) —
-    * multiplied, a 100 TB float corpus serves from a ~(nprobe/nCentroids)
-    * · (m/4dim) slice of its raw size per query batch.
-    *
-    * Plan shape: ONE corpus pass produces (cell, codes) — the IVF argmax
-    * and PQ argmin ride the same projection via [[pqAssign]]'s
-    * passthrough, over the cell-partitioned materialized assignment that
-    * [[annNprobeSweep]] shares — then the query side (sampled, fanned
-    * ×nprobe) meets it in a cell equi-join; ADC scores fold map-side
-    * through the bounded [[presentTopK]] aggregate. Nothing here is
-    * all-pairs and no float vector crosses the wire: the join carries
-    * codes only.
-    *
-    * Output: (vec_id, rank, neighbor_id, adc_dist) — rank by ascending
-    * exact ADC distance, ties to the lowest cid; adc_dist is the exact
-    * BIGINT so the oracle hash-checks the distances themselves, not
-    * just the ordering.
-    */
-  def ivfPqTopK(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 3,
-      nCentroids: Int = 16,
-      queryMod: Int = 10,
-      nprobe: Int = 2,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nCentroids,
-      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
-    // the one coded-corpus pass: PQ codes projected row-locally over the
-    // cell-labeled assignment, cell label riding through (no re-join).
-    // MATERIALIZED before the scoring join, for two reasons measured at
-    // the 10× slice (119 s -> see BASELINE r15): (a) without a stage
-    // boundary the encode projection (m·ksub inline argmin distances)
-    // FUSES with the ADC scoring projection into one generated method
-    // that exceeds Janino's limit — whole-stage codegen falls back to
-    // interpreted eval for the whole pipeline, the costliest stage of
-    // the query; (b) the assignment's cell-hash partitioning would make
-    // scoring task skew mirror cell-population skew (the x172 census) —
-    // the round-robin spread evens the expansion, and the broadcast
-    // probe join needs no co-location. The checkpoint is the in-memory
-    // twin of what writeIvfPqIndex persists: encode once, probe many.
-    val corpusCoded = pqAssign(
-      withCell.select(col("vec_id"), col("cell"),
-        int8Quantize(col("embedding")).as("qv")),
-      cb, dsub, passthrough = Seq("cell"))
-      .select(col("cell"), col("vec_id").as("cid"), col("codes"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
-    // query side: sample FIRST (unprobed corpus rows never pay the
-    // nprobe-cell sort), keep full int8 precision (asymmetric ADC), fan
-    // out to the nprobe best cells under the ivfProbe tie-break
-    val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-    val q =
-      if (nprobe == 1)
-        qSrc.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"), col("cell"))
-      else
-        qSrc.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
-          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
-    // a candidate lives in exactly ONE cell and a query's probe cells
-    // are distinct, so no (qid, cid) pair repeats — no dedup needed
-    val scored = q.join(corpusCoded, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
-    presentTopK(scored, k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"),
-        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
-  }
-
-  /** EXT-S20b — persisted PQ index: the one expensive corpus pass
-    * (encode) written once; every later query batch scans 8-byte code
-    * rows plus a ksub·dim codebook table. Layout: `codes/` (vec_id,
-    * codes), `codebook/` (s, code, d, v — the long form of the driver
-    * literals), `meta/` one (m, ksub, dim) stamp row — the
-    * parameter-bundling contract of [[writeIvfIndex]]/[[writeSignIndex]]:
-    * probes read the geometry from the index itself and REFUSE a
-    * mismatched query batch rather than mis-rank.
-    */
-  def writePqIndex(
-      spark: SparkSession,
-      dir: String,
-      indexPath: String,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2): Unit = {
-    import spark.implicits._
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    pqAssign(int8Corpus(spark, dir), cb, dsub)
-      .select(col("vec_id"), col("codes"))
-      .write.mode("overwrite").parquet(s"$indexPath/codes")
-    val rows = for {
-      s <- cb.indices; c <- cb(s).indices; d <- cb(s)(c).indices
-    } yield (s, c, d, cb(s)(c)(d))
-    rows.toDF("s", "code", "d", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
-    spark.range(1)
-      .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
-  }
-
-  /** EXT-S20b probe — ADC top-k for an arbitrary `(vec_id, embedding)`
-    * query relation against a PERSISTED PQ index: results spec-pinned
-    * identical to [[pqTopK]] over the same corpus. The query batch is
-    * quantized row-locally and checked against the stamped dim (the
-    * measured-width [[hammingTopKFromIndex]] discipline); the codebook
-    * is a bounded read (ksub·dim rows) rebuilt into plan literals, so
-    * the probe plan is exactly [[adcTopK]]'s — the corpus is touched
-    * only through the 8-byte code scan.
-    */
-  def pqTopKFromIndex(
-      spark: SparkSession,
-      indexPath: String,
-      queries: DataFrame,
-      k: Int = 3,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "pq")
-    val qRaw = queries
-      .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"))
-    val q = broadcastIfMeasuredUnder(qRaw,
-      s"$indexPath|pqq|${System.identityHashCode(queries)}",
-      () => { val b = embRowBytes(qRaw, "qe"); if (b < 0) b else b * 2 },
-      maxBroadcastBytes)
-    val codes = spark.read.parquet(s"$indexPath/codes")
-      .select(col("vec_id").as("cid"), col("codes"))
-    adcTopK(q, codes, cb, dsub, k)
-  }
-
-  /** EXT-S31c (`x181_ivfpq_recall`) — composite recall audit:
-    * [[ivfPqTopK]]'s ranking measured against the float brute-force
-    * truth with the shared [[recallTail]]. Read NEXT TO x105 (PQ over
-    * the whole corpus): the recall delta between the two isolates the
-    * COARSE-CELL loss term — queries whose true neighbors live outside
-    * the nprobe probed cells — from x105's coding loss, which is
-    * exactly the decomposition that tunes (nprobe, nCentroids)
-    * separately from (m, ksub) when standing up IVFADC serving. Same
-    * deliberate n·m truth-leg economics as x105 (fixed-|queries| in
-    * production).
-    */
-  def ivfPqRecall(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 3,
-      nCentroids: Int = 16,
-      queryMod: Int = 10,
-      nprobe: Int = 2,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, k, queryMod)
-      .select(col("vec_id"), col("neighbor_id"))
-      .localCheckpoint() // consumed by the query list AND the hit join
-    val approx = ivfPqTopK(spark, dir, k, nCentroids, queryMod, nprobe, m, ksub, iters)
-      .select(col("vec_id"), col("neighbor_id"))
-    recallTail(exact, approx, k)
-  }
-
-  /** EXT-S31b — persisted IVF-PQ index (the on-disk FAISS IVFADC
-    * layout): ONE corpus pass assigns the coarse cell and the PQ codes
-    * in the same projection ([[ivfPqTopK]]'s build half) and writes
-    * `cells/` (vec_id, codes) PARTITIONED BY the coarse cell, plus the
-    * two bounded sidecar tables — `centroids/` with the
-    * [[writeIvfIndex]] `n_centroids` stamp and `codebook/` + `meta/`
-    * with the [[writePqIndex]] geometry stamp. No float corpus vector
-    * is written at all: the index IS the (nprobe/nCentroids ×
-    * m/4·dim)-shrunk serving relation, and the only float rows on disk
-    * are the nCentroids coarse centroids.
-    */
-  /** The IVF seed centroids as driver literals — bounded by
-    * construction (nCentroids rows), the same collect class as every
-    * centroid table in this file. Shared by the index writer and the
-    * streaming ingest encoder (EXT-6al) so both quantize against the
-    * identical coarse geometry.
-    */
-  def ivfSeedCentroids(
-      spark: SparkSession, dir: String, nCentroids: Int = 16): Seq[(Int, Seq[Float])] = {
-    import spark.implicits._
-    val cents = Tables.embeddings(spark, dir).filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1).toSeq
-    require(cents.length == nCentroids,
-      s"corpus has only ${cents.length} seed rows for $nCentroids centroids")
-    cents
-  }
-
-  /** Row-local IVF-PQ assignment over ANY `(vec_id, embedding)` relation
-    * — batch corpus or unbounded stream: per vector its coarse cell
-    * ([[ivfTopK]]'s argmax, same tie-break) AND its PQ codes + exact
-    * reconstruction error ([[pqAssign]]), centroids and codebooks riding
-    * as plan literals. No join, no shuffle, no state — the ingest arm of
-    * [[writeIvfPqIndex]] (EXT-6al's batch face): an arriving vector is
-    * routed and coded the moment it lands, so the composite serving
-    * relation stays current without re-encoding the corpus.
-    */
-  def ivfPqAssignProjection(
-      vecs: DataFrame,
-      cents: Seq[(Int, Seq[Float])],
-      cb: Array[Array[Array[Long]]],
-      dsub: Int): DataFrame = {
-    val scoredCells = ivfScoredCells(cents, col("embedding"))
-    pqAssign(
-      vecs.select(col("vec_id"),
-        argmaxCell(scoredCells, cents.length).as("cell"),
-        int8Quantize(col("embedding")).as("qv")),
-      cb, dsub, passthrough = Seq("cell"))
-  }
-
-  def writeIvfPqIndex(
-      spark: SparkSession,
-      dir: String,
-      indexPath: String,
-      nCentroids: Int = 16,
-      m: Int = 8,
-      ksub: Int = 16,
-      iters: Int = 2): Unit = {
-    import spark.implicits._
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    val cents = ivfSeedCentroids(spark, dir, nCentroids)
-    ivfPqAssignProjection(Tables.embeddings(spark, dir), cents, cb, dsub)
-      .select(col("vec_id"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
-    cents.toDF("cid", "embedding")
-      .withColumn("n_centroids", lit(nCentroids))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val rows = for {
-      s <- cb.indices; c <- cb(s).indices; d <- cb(s)(c).indices
-    } yield (s, c, d, cb(s)(c)(d))
-    rows.toDF("s", "code", "d", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
-    spark.range(1)
-      .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
-  }
-
-  /** EXT-S31b probe — [[ivfPqTopK]] served from the PERSISTED index:
-    * results spec-pinned identical to the in-memory composite over the
-    * same corpus. Combines the two refusal disciplines of its parents —
-    * the [[ivfTopKFromIndex]] centroid stamp (a corrupt coarse
-    * quantizer must refuse, not mis-route probes) and the
-    * [[pqTopKFromIndex]] measured query width vs the coded dim (a
-    * mismatched batch must refuse, not mis-rank) — and both prune
-    * paths: `staticPrune` pins the batch's distinct probe cells as a
-    * literal partition filter (≤ nCentroids values, the bounded
-    * collect), so the planner guarantees only nprobe/nCentroids of the
-    * code FILES are read, each an 8-byte-per-row scan.
-    */
-  def ivfPqTopKFromIndex(
-      spark: SparkSession,
-      indexPath: String,
-      queries: DataFrame,
-      k: Int = 3,
-      nprobe: Int = 2,
-      staticPrune: Boolean = true): DataFrame = {
-    import spark.implicits._
-    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
-    require(nprobe >= 1 && nprobe <= nCentroids,
-      s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "ivfpq")
-    val scoredCells = ivfScoredCells(cents, col("embedding"))
-    val q =
-      if (nprobe == 1)
-        queries.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
-          argmaxCell(scoredCells, nCentroids).as("cell"))
-      else
-        queries.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
-          probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
-    val idxRaw = spark.read.parquet(s"$indexPath/cells")
-    val idxPruned =
-      if (staticPrune) {
-        val cells = q.select(col("cell")).distinct().as[Int].collect().toSeq
-        idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
-      } else idxRaw
-    // freshly-written cell partitions are small files locally — spread
-    // the probe expansion off the scan's task count (the x175 site)
-    val idx = expansionPartitioned(idxPruned
-      .select(col("cell"), col("vec_id").as("cid"), col("codes")))
-    val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
-    presentTopK(scored, k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"),
-        (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
-  }
 
   /** EXT-S23 (`x112_semantic_contamination`) — SEMANTIC eval-set
     * decontamination: every non-benchmark vector scored by its maximum

@@ -417,13 +417,18 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     import spark.implicits._
     require(terms.nonEmpty, "probe term list must be non-empty")
-    val statsRows = spark.read.parquet(s"$indexPath/stats")
-      .select("n_docs", "total_toks", "n_buckets").collect()
-    require(statsRows.length == 1, s"corrupt index: ${statsRows.length} stats rows")
-    val nDocs = statsRows.head.getLong(0)
-    val totToks = statsRows.head.getLong(1)
-    val nBuckets = statsRows.head.getInt(2)
-    require(nBuckets >= 1, s"corrupt index: n_buckets stamp $nBuckets")
+    // memoized per (indexPath, listing signature) — the IndexCache
+    // contract: an unchanged index pays the 1-row stats job once per
+    // session; a rewrite re-reads and re-validates
+    val (nDocs, totToks, nBuckets) = IndexCache.cached(
+        spark, s"bm25stats|$indexPath", Seq(s"$indexPath/stats")) {
+      val statsRows = spark.read.parquet(s"$indexPath/stats")
+        .select("n_docs", "total_toks", "n_buckets").collect()
+      require(statsRows.length == 1, s"corrupt index: ${statsRows.length} stats rows")
+      val nb = statsRows.head.getInt(2)
+      require(nb >= 1, s"corrupt index: n_buckets stamp $nb")
+      (statsRows.head.getLong(0), statsRows.head.getLong(1), nb)
+    }
     val probeRel = terms.distinct.toDF("token")
       .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
     val buckets = probeRel.select("bucket").distinct().as[Int].collect().toSeq
@@ -455,6 +460,39 @@ object TextAnalysis {
       .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
         col("col.cid").as("doc_id"), col("col.sim").as("score"))
       .orderBy("token", "rank")
+  }
+
+  /** EXT-T9c (`x184_bm25_topk_indexed`) — [[bm25TopKFromIndex]] made
+    * self-contained for the oracle gate: the probe TERMS are derived
+    * from the index's own lexicon by exactly [[bm25TopK]]'s data-derived
+    * rule (the `nQueries` highest-df tokens of length ≥ `minTokenLen`,
+    * deterministic ties by token) — the lexicon's df values are the
+    * SAME aggregation the in-memory operator computes, so the derived
+    * terms and the probe results are bit-equal to x69's and it reuses
+    * x69's oracle verbatim (the x174/x175/x179 write→stamp→probe
+    * discipline, completing all 6 persisted indexes).
+    *
+    * The term derivation is a column-pruned TakeOrdered over the
+    * lexicon (driver receives `nQueries` rows — the legitimate bounded
+    * collect; global df order inherently needs the whole lexicon, same
+    * as x69's probe selection over tf); the probe itself is the
+    * bucket-pruned [[bm25TopKFromIndex]] plan unchanged.
+    */
+  def bm25TopKFromIndexAuto(
+      spark: SparkSession,
+      indexPath: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nQueries: Int = 10,
+      k: Int = 5,
+      minTokenLen: Int = 6): DataFrame = {
+    val terms = spark.read.parquet(s"$indexPath/lexicon")
+      .select(col("token"), col("df"))
+      .filter(length(col("token")) >= minTokenLen)
+      .orderBy(col("df").desc, col("token"))
+      .limit(nQueries)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopKFromIndex(spark, indexPath, terms, k1, b, k)
   }
 
   /** EXT-T10 — idf-mass rarity score per document: each token occurrence

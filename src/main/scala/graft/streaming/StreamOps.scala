@@ -1473,8 +1473,10 @@ object StreamOps {
     */
   def clusterGateStream(docs: DataFrame, indexPath: String): DataFrame = {
     val spark = docs.sparkSession
-    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
-    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    // the memoized meta read (IndexCache): validates the index exists and
+    // is well-formed at stream start without paying a parquet job per
+    // start on an unchanged index
+    graft.operators.Curation.clusterIndexBuckets(spark, indexPath)
     val labels = spark.read.schema("doc_id LONG, cluster LONG, bucket INT")
       .parquet(s"$indexPath/labels")
       .select(col("doc_id"), col("cluster").as("_idx_cluster"))
@@ -1517,8 +1519,8 @@ object StreamOps {
     */
   def splitLeakGateStream(docs: DataFrame, indexPath: String): DataFrame = {
     val spark = docs.sparkSession
-    val rows = spark.read.parquet(s"$indexPath/meta").select("n_buckets").collect()
-    require(rows.length == 1, s"corrupt cluster index: ${rows.length} meta rows")
+    // memoized meta read — see clusterGateStream
+    graft.operators.Curation.clusterIndexBuckets(spark, indexPath)
     val labels = spark.read.schema("doc_id LONG, cluster LONG, bucket INT")
       .parquet(s"$indexPath/labels")
       .select(col("doc_id"), col("cluster"))

@@ -194,6 +194,39 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     assert(got("video/mp4") == ((2L, 1L, 1L, 8L, 4L, 0.5)))
   }
 
+  test("dHash60 + phashNearDup (x185): hand-exact fingerprints, pigeonhole candidates, byte_equal classes") {
+    import spark.implicits._
+    // dHash60 unit laws: empty -> 0; a monotonically increasing byte
+    // grid never sets a bit (s_i > s_{i+1} never); a decreasing grid
+    // sets all 60 (and never touches the BIGINT sign bit)
+    assert(Multimodal.dHash60(Array.empty[Byte]) == 0L)
+    assert(Multimodal.dHash60(Array.tabulate(61)(_.toByte)) == 0L)
+    assert(Multimodal.dHash60(Array.tabulate(61)(i => (60 - i).toByte)) == (1L << 60) - 1)
+    // fixture: A (increasing, hash 0), B (constant, hash 0), C
+    // (decreasing, hash 2^60-1), D (byte-exact copy of A). {A,B,D}
+    // collide on every band; C shares no band with them (4095 vs 0
+    // everywhere), so it reaches no candidate pair — the pigeonhole
+    // filter working as the exactness law says it may (ham 60 > 4)
+    val a = Array.tabulate(61)(_.toByte)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, a, "image/png"),
+      Multimodal.MediaRecord(2L, Array.fill(61)(7.toByte), "image/png"),
+      Multimodal.MediaRecord(3L, Array.tabulate(61)(i => (60 - i).toByte), "image/png"),
+      Multimodal.MediaRecord(4L, a.clone(), "image/png")))
+    val got = Multimodal.phashNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, 2L, 0L, false), (1L, 4L, 0L, true), (2L, 4L, 0L, false)))
+    // harness + variants: the driven re-encode copies surface as
+    // PERCEPTUAL-only pairs (byte_equal false — the class x151's
+    // byte-digest census structurally misses)
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.mediaWithReencodedVariants(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(pairs.exists(p => p._2 == p._1 + 1000000L && !p._4),
+      "expected at least one (doc, re-encoded variant) pair within the banding radius")
+    pairs.foreach(p => assert(p._3 <= 4 && p._1 < p._2))
+  }
+
   test("jsonEnvelope (x153): roundtrip identity and the hand-computed wire lengths") {
     val dir = TestTables.eventsDir(spark, Seq(
       (7L, 1000000L, 1L, "click"),   // 29 + 1 digit + 5 = 35

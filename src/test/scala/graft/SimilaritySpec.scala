@@ -346,8 +346,12 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
 
   test("clusterSeparation (x180): hand-exact margins on a 2-cell fixture; identities on harness data") {
     // k=2, iters=0 keeps the unit seed centroids e_x, e_y; int8 lattice:
-    // c0=(127,0,..), c1=(0,127,..). v2 -> cell 0 (float argmax), margin
-    // = 126*127 - 13*127; v3 -> cell 1, margin = 102*127 - 76*127
+    // c0=(127,0,..), c1=(0,127,..), both with ‖c‖² = 127². Margins are
+    // the assignment OBJECTIVE (2·qv·c8 − ‖c8‖²) difference — for these
+    // equal-norm centroids the norm terms cancel, so each margin is
+    // exactly twice the plain-dot difference: v2 -> cell 0 (float
+    // argmax), margin = 2·(126·127 − 13·127); v3 -> cell 1,
+    // margin = 2·(102·127 − 76·127)
     val dir = TestTables.embeddingsDir(spark, Seq(
       0L -> Seq(1f, 0f, 0f, 0f),
       1L -> Seq(0f, 1f, 0f, 0f),
@@ -356,9 +360,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val got = Similarity.clusterSeparation(spark, dir, k = 2, iters = 0).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
       .toMap
-    val m0 = 127L * 127          // v0: own 16129, other 0
-    val m2 = 126L * 127 - 13 * 127
-    val m3 = 102L * 127 - 76 * 127
+    val m0 = 2L * (127L * 127)   // v0: own objective 16129, other -16129
+    val m2 = 2L * (126L * 127 - 13 * 127)
+    val m3 = 2L * (102L * 127 - 76 * 127)
     assert(got(0L) == ((2L, m0 + m2, (m0 + m2) / 2.0, 0L)))
     assert(got(1L) == ((2L, m0 + m3, (m0 + m3) / 2.0, 0L)))
     // harness identities: every corpus vector in exactly one cell, k rows,
@@ -416,6 +420,91 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
         k = 3, nprobe = np).collect().map(_.toString).toSeq
       assert(got == expect, s"nprobe=$np probe diverged from the in-memory index")
     }
+  }
+
+  test("ivfPqTuningSweep (x182): candidates nest in nprobe; full probe IS the full-corpus PQ point") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfPqTuningSweep(spark, sfDir,
+      geometries = Seq((16, 8, 16)), nprobes = Seq(1, 2, 4, 16), k = 3, queryMod = 10)
+      .collect()
+      .map(r => (r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    // one census for the whole table: the sweep varies the probe width,
+    // never WHICH queries are audited
+    assert(rows.map(_._2).distinct.length == 1)
+    // the structural nesting law (the x143 banding argument): probe sets
+    // nest by construction, so scanned-candidate counts strictly rise
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq
+      && rows.map(_._3).distinct.length == 4,
+      s"candidate counts must strictly nest in nprobe: ${rows.map(_._3).toSeq}")
+    // at nprobe = nCentroids the coarse restriction is a no-op: the
+    // sweep point reproduces x105's full-corpus PQ recall aggregate,
+    // and every query scores every other vector exactly once
+    val full = rows.last
+    val pr = Similarity.pqRecall(spark, sfDir, k = 3, queryMod = 10)
+      .agg(count(lit(1)), sum("hits")).head()
+    assert(full._2 == pr.getLong(0) && full._4 == pr.getLong(1),
+      s"full-probe sweep point (${full._2}, ${full._4}) must equal the PQ recall aggregate " +
+        s"(${pr.getLong(0)}, ${pr.getLong(1)})")
+    assert(full._3 == full._2 * 499L,
+      "full probe must score |queries| x (|corpus| - 1) candidates")
+  }
+
+  test("ivfPqTopKRefined (x186): refine never loses hits; degenerates to brute force at full probe + full shortlist") {
+    val sfDir = "/root/testdata/sf0.001"
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hits(Similarity.bruteForceTopK(spark, sfDir, k = 3, queryMod = 25))
+    // the structural law: float order IS the truth order, so a
+    // shortlisted true neighbor can only be displaced by a truer one —
+    // refined hits >= the plain composite's at the same geometry
+    val plain = hits(Similarity.ivfPqTopK(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 2))
+    val refined = hits(Similarity.ivfPqTopKRefined(spark, sfDir, k = 3,
+      nCentroids = 16, queryMod = 25, nprobe = 2, shortlist = 32))
+    assert((refined & exact).size >= (plain & exact).size,
+      s"refine lost hits: ${(refined & exact).size} < ${(plain & exact).size}")
+    // full probe + full shortlist makes both approximations no-ops: the
+    // operator must reproduce bruteForceTopK row for row (same scores,
+    // same ties, same presentation)
+    val full = Similarity.ivfPqTopKRefined(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 25, nprobe = 16, shortlist = 499)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.bruteForceTopK(spark, sfDir, k = 3, queryMod = 25)
+      .collect().map(_.toString).toSeq
+    assert(full == brute)
+  }
+
+  test("persisted-index loader memo: an in-place rewrite is re-read, never served stale") {
+    // the IndexCache law (r16): the sidecar loaders memoize per
+    // (indexPath, filesystem listing signature) — so a REWRITE at the
+    // SAME path with a different geometry must be picked up by the next
+    // probe (a cache keyed on path alone would serve the old centroid
+    // table and silently mis-route), while two probes of an UNCHANGED
+    // index agree trivially (the memo's hit path)
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-memo-ivf").toString
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("vec_id", "embedding")
+    Similarity.writeIvfIndex(spark, dir, indexPath, nCentroids = 4)
+    val at4a = Similarity.ivfTopKFromIndex(spark, indexPath, queries, k = 3)
+      .collect().map(_.toString).toSeq
+    val at4b = Similarity.ivfTopKFromIndex(spark, indexPath, queries, k = 3)
+      .collect().map(_.toString).toSeq
+    assert(at4a == at4b, "unchanged index: repeated probes must agree (memo hit path)")
+    // in-place rewrite with a DIFFERENT coarse geometry at the same path
+    Similarity.writeIvfIndex(spark, dir, indexPath, nCentroids = 8)
+    val at8 = Similarity.ivfTopKFromIndex(spark, indexPath, queries, k = 3)
+      .collect().map(_.toString).toSeq
+    val expect8 = Similarity.ivfTopK(spark, dir, k = 3, nCentroids = 8,
+      queryMod = Some(7)).collect().map(_.toString).toSeq
+    assert(at8 == expect8,
+      "rewritten index served stale centroids — the memo must key on the listing signature")
+    assert(at8 != at4a, "fixture should make the two geometries distinguishable")
   }
 
   test("persisted IVF index: layout is cell-partitioned; a corrupt stamp is rejected") {

@@ -1263,6 +1263,76 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("EXT-6an serving path: streamed query batches probe the PERSISTED IVF-PQ index with pruned code scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-ivfpq-serve").toString
+    // train/encode ONCE; every microbatch below probes the persisted
+    // composite layout (8-byte code rows under the coarse partitioning)
+    graft.operators.Similarity.writeIvfPqIndex(spark, sfDir, indexPath, nCentroids = 16)
+    def parquetFilesUnder(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFilesUnder)
+    }
+    val totalIndexFiles = parquetFilesUnder(new java.io.File(s"$indexPath/cells")).length
+    assert(totalIndexFiles >= 16, s"expected ≥1 file per cell partition, got $totalIndexFiles")
+    val qvecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(qvecs.length >= 4)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val scannedFiles = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = graft.operators.Similarity.ivfPqTopKFromIndex(
+          spark, indexPath, batch, k = 3, nprobe = 1)
+        out.collect().foreach(r => results.add(r.toString))
+        def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            fileScans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            fileScans(s.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            fileScans(r.child)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(fileScans)
+        }
+        val scanned = fileScans(out.queryExecution.executedPlan)
+          .filter(_.metadata.get("Location").exists(_.contains("cells")))
+          .map(_.metrics("numFiles").value).sum
+        scannedFiles.add(scanned)
+        ()
+      }
+      .start()
+    try {
+      stream.addData(qvecs.take(2).toIndexedSeq) // microbatch 1
+      q.processAllAvailable()
+      stream.addData(qvecs.slice(2, 4).toIndexedSeq) // microbatch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    // train-once/probe-forever equivalence: the union of per-microbatch
+    // probes equals the one-shot batch probe over the same queries —
+    // and, by x179's spec-pinned bit-equal law, the in-memory composite
+    val expect = graft.operators.Similarity.ivfPqTopKFromIndex(
+      spark, indexPath, qvecs.take(4).toDF("vec_id", "embedding"), k = 3, nprobe = 1)
+      .collect().map(_.toString).toSet
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == expect && expect.nonEmpty)
+    // the pruned scan: each microbatch fans out to ≤2 query cells of 16,
+    // so it must touch a strict minority of the code files
+    val perBatch = scannedFiles.asScala.toSeq
+    assert(perBatch.length == 2)
+    perBatch.foreach { n =>
+      assert(n > 0 && n <= totalIndexFiles / 4,
+        s"probe scanned $n of $totalIndexFiles code files — partition pruning did not engage")
+    }
+  }
+
   test("EXT-T9b serving path: streamed query batches probe the PERSISTED BM25 index with bucket-pruned scans") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

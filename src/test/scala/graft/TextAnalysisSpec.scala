@@ -220,6 +220,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(TextAnalysis.bm25TopK(spark, d).collect().isEmpty)
   }
 
+  test("bm25TopKFromIndexAuto (x184): index-derived probe terms reproduce bm25TopK bit-exact") {
+    // the indexed key's self-contained form: the probe terms come from
+    // the persisted LEXICON by exactly x69's data-derived rule, so the
+    // whole pipeline (derive -> bucket-pruned probe) must equal the
+    // in-memory operator row for row on the same corpus
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-auto").toString
+    TextAnalysis.writeBm25Index(spark, sfDir, idx)
+    val expected = TextAnalysis.bm25TopK(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    val got = TextAnalysis.bm25TopKFromIndexAuto(spark, idx).collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
   test("persisted BM25 index: probe equals bm25TopK bit-exact; buckets prune; corrupt stats refused") {
     val d = TestTables.documentsDir(spark, Seq(
       1L -> "elephant elephant giraffe",
