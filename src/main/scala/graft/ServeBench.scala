@@ -94,6 +94,12 @@ object ServeBench {
     builds("ivfpq") = time(Similarity.writeIvfPqIndex(spark, sfDir, s"$root/ivfpq"))
     probes("ivfpq_nprobe2") = medianProbe(() =>
       Similarity.ivfPqTopKFromIndex(spark, s"$root/ivfpq", queries, k = 3, nprobe = 2))
+    // the refined serving recipe (EXT-S34b): pruned code-scan shortlist
+    // + the bounded by-id float re-rank — what a recall-budgeted
+    // deployment actually runs
+    probes("ivfpq_refined") = medianProbe(() =>
+      Similarity.ivfPqTopKRefinedFromIndex(spark, s"$root/ivfpq", sfDir, queries,
+        k = 3, nprobe = 2, shortlist = 32))
 
     // the cluster index (EXT-6aj's batch face): the gate's membership
     // lookup over a doc_id batch (bucket-pruned), plus the two

@@ -770,6 +770,41 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     presentTopK(scored, k)
   }
 
+  /** EXT-S34b — [[ivfPqTopKRefined]] served from the PERSISTED IVF-PQ
+    * index: the ADC shortlist comes from [[ivfPqTopKFromIndex]] (static
+    * partition pruning, stamped refusals — the x179 probe unchanged),
+    * and the refine tail fetches float vectors from `corpusDir` BY
+    * CANDIDATE ID only (the [[hammingTopKFromIndex]] separation of
+    * sketch from store: the index holds codes, the primary vector store
+    * is probed by id, never scanned). This is the full production
+    * serving recipe in one call: pruned code scan bounds the bytes,
+    * the shortlist bounds the float fetch, recall rides (nprobe,
+    * shortlist). Spec-pinned equal to the in-memory
+    * [[ivfPqTopKRefined]] over the same corpus and query slice (both
+    * halves are individually bit-equal to their in-memory twins).
+    */
+  def ivfPqTopKRefinedFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      corpusDir: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 2,
+      shortlist: Int = 32,
+      staticPrune: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cand = ivfPqTopKFromIndex(spark, indexPath, queries, shortlist,
+      nprobe, staticPrune)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = Tables.embeddings(spark, corpusDir)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = broadcast(cand.join(qe, Seq("qid")))
+      .join(ce, Seq("cid"))
+      .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
+    presentTopK(scored, k)
+  }
+
   /** EXT-S33 (`x182_ivfpq_tuning_sweep`) — the IVF-PQ GEOMETRY tuning
     * table: the composite's recall/cost knobs swept jointly — one row
     * per ((nCentroids, m, ksub) geometry cell × nprobe) with the exact

@@ -477,6 +477,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(full == brute)
   }
 
+  test("ivfPqTopKRefinedFromIndex: the persisted refined probe equals the in-memory refined composite") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-refined-idx").toString
+    Similarity.writeIvfPqIndex(spark, dir, indexPath, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id", "embedding")
+    val got = Similarity.ivfPqTopKRefinedFromIndex(
+      spark, indexPath, dir, queries, k = 3, nprobe = 2, shortlist = 32)
+      .collect().map(_.toString).toSeq
+    val expect = Similarity.ivfPqTopKRefined(spark, dir, k = 3, nCentroids = 16,
+      queryMod = 10, nprobe = 2, shortlist = 32)
+      .collect().map(_.toString).toSeq
+    assert(got == expect && got.nonEmpty,
+      "persisted refined probe diverged from the in-memory refined composite")
+  }
+
   test("persisted-index loader memo: an in-place rewrite is re-read, never served stale") {
     // the IndexCache law (r16): the sidecar loaders memoize per
     // (indexPath, filesystem listing signature) — so a REWRITE at the
