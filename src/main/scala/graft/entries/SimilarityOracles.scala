@@ -245,6 +245,14 @@ trait SimilarityOracles {
     // sets nest by construction, exactly like the Spark side's single
     // materialized scored relation
     "x182_ivfpq_tuning_sweep" -> {
+      // the oracle builds ONE coarse assignment (at ivfPqNCent) shared
+      // by every geometry block — self-enforce the grid constraint the
+      // Spark side handles per-distinct-nc, so an extended grid fails
+      // HERE with a clear message instead of as a confusing hash
+      // mismatch against the wrong coarse geometry
+      require(sweepGeoms.forall(_._1 == ivfPqNCent),
+        s"x182 oracle shares one coarse assignment at nCentroids=$ivfPqNCent; " +
+          s"grid cells with a different nCentroids need their own iva chain: $sweepGeoms")
       val maxNp = sweepNprobes.max
       val prefixed = sweepGeoms.zipWithIndex.map { case (g, i) => (g, s"g${i}_") }
       val chains = prefixed.map { case ((_, m, ksub), p) =>

@@ -158,6 +158,12 @@ private[operators] trait CurationClusters extends CurationQuality {
   private case class ClusterMeta(maxHamming: Int, bands: Int, bits: Int,
       nBuckets: Int, stamp: CorpusStamp)
 
+  /** The index's bucket-count stamp — the memoized meta read, exposed
+    * for the streaming gates (EXT-6aj/6ak) so they share the cache.
+    */
+  private[graft] def clusterIndexBuckets(spark: SparkSession, indexPath: String): Int =
+    clusterMeta(spark, indexPath).nBuckets
+
   /** The memoized 1-row meta read every cluster-index probe starts from
     * (the r15 verdict's per-probe driver-overhead ask; the EXT-6aj/6ak
     * gates pay this per stream START, the foreachBatch serving shape
@@ -225,12 +231,6 @@ private[operators] trait CurationClusters extends CurationQuality {
     * probe touches buckets/n_buckets of the index FILES by the PLANNER,
     * not the pruning heuristic.
     */
-  /** The index's bucket-count stamp — the memoized meta read, exposed
-    * for the streaming gates (EXT-6aj/6ak) so they share the cache.
-    */
-  private[graft] def clusterIndexBuckets(spark: SparkSession, indexPath: String): Int =
-    clusterMeta(spark, indexPath).nBuckets
-
   def lookupClustersFromIndex(
       spark: SparkSession,
       indexPath: String,

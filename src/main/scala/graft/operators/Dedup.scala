@@ -75,7 +75,7 @@ object Dedup {
     * is mis-sized for the corpus, not that more memory is needed).
     * Spelled as `assert_true` inside a Filter so it cannot be pruned.
     */
-  private def guardBucketSize(grouped: DataFrame, cap: Int, knob: String): DataFrame =
+  private[operators] def guardBucketSize(grouped: DataFrame, cap: Int, knob: String): DataFrame =
     grouped.filter(assert_true(size(col("ds")) <= cap,
       lit(s"bucket saturated (> $cap rows share one group key) — $knob"))
       .isNull)

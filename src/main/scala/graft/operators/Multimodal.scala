@@ -286,30 +286,37 @@ object Multimodal {
     *-bucket equi-joins (Σ|bucket|², never all-pairs); the exact
     * re-check touches two 8-byte hashes per candidate.
     */
-  def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 4): DataFrame = {
+  def phashNearDup(media: Dataset[MediaRecord], maxHamming: Int = 4,
+      maxBucket: Int = 1 << 20): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 4,
       s"banding (5 bands × 12 bits) is exact only to hamming <= 4 (got $maxHamming)")
-    // both pair sides and the re-check read the fingerprints: materialize
-    // the one row-local hashing pass (the x2/x16 signature discipline)
-    val ph = phashes(media).toDF().localCheckpoint()
-    val banded = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 5).map(b =>
-        shiftright(col("phash"), b * 12).bitwiseAND(lit(4095L))): _*))
-        .as(Seq("band", "bv")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(ph.select(col("doc_id").as("d1"), col("phash").as("p1"),
-        col("pdigest").as("g1")), Seq("d1"))
-      .join(ph.select(col("doc_id").as("d2"), col("phash").as("p2"),
-        col("pdigest").as("g2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long").as("hamming"),
-        (col("g1") === col("g2")).as("byte_equal"))
+    // x16's bucket machinery verbatim (the r16 review ask): each
+    // fingerprint row carries (phash, pdigest) INTO its band buckets, so
+    // the pair expansion is the STREAMING chained-explode shape (per-row
+    // memory O(|bucket|), no |bucket|²-row self-join materialization and
+    // no re-join back to the fingerprint table), and the shared
+    // saturation guard converts a degenerate hot bucket — dHash maps
+    // every constant/monotone/empty payload to hash 0, so a corpus of
+    // uniform stubs can put a large fraction of docs in ONE bucket —
+    // into an actionable failure instead of an executor OOM
+    val banded = phashes(media).toDF()
+      .select(struct(col("doc_id"), col("phash"), col("pdigest")).as("rec"),
+        posexplode(array((0 until 5).map(b =>
+          shiftright(col("phash"), b * 12).bitwiseAND(lit(4095L))): _*))
+          .as(Seq("band", "bv")))
+    val grouped = banded.groupBy("band", "bv").agg(collect_list(col("rec")).as("ds"))
+    Dedup.guardBucketSize(grouped, maxBucket,
+      "near-uniform payloads collapse to one dHash bucket — " +
+        "pre-filter degenerate media or raise maxBucket")
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"),
+        (col("a.pdigest") === col("b.pdigest")).as("byte_equal"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("d1", "d2")
   }
 

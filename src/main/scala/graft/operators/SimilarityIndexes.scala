@@ -105,11 +105,16 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     * equal the index's stamped dim — still one bounded aggregate, but a
     * RAGGED batch (whose widest sampled row happens to match) now
     * refuses instead of silently slicing short rows into short
-    * subvectors and mis-ranking them.
+    * subvectors and mis-ranking them. An EMPTY batch passes: in the
+    * per-microbatch serving shape (EXT-6an) an empty trigger is a
+    * normal streaming event whose probe must yield an empty result,
+    * not kill the stream — but a non-empty batch of NULL/empty vectors
+    * still refuses (there is data and its width is wrong).
     */
   private def requireUniformDim(queries: DataFrame, dim: Int, what: String): Unit = {
     val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
-      .agg(min(col("d")).as("mn"), max(col("d")).as("mx")).head()
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"), count(lit(1)).as("n")).head()
+    if (qDim.getLong(2) == 0L) return
     require(!qDim.isNullAt(0) && qDim.getInt(0) == dim && qDim.getInt(1) == dim,
       s"query width ${if (qDim.isNullAt(0)) "unknown"
         else if (qDim.getInt(0) == qDim.getInt(1)) qDim.getInt(1).toString

@@ -492,7 +492,13 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(nQueries)
       .collect().map(_.getString(0)).toSeq
-    bm25TopKFromIndex(spark, indexPath, terms, k1, b, k)
+    if (terms.isEmpty) {
+      // the x69 empty-probe law (spec-pinned on the in-memory twin): a
+      // corpus where no token reaches the probe length yields an EMPTY
+      // result, not a failure — the indexed face must agree
+      import spark.implicits._
+      Seq.empty[(String, Int, Long, Double)].toDF("token", "rank", "doc_id", "score")
+    } else bm25TopKFromIndex(spark, indexPath, terms, k1, b, k)
   }
 
   /** EXT-T10 — idf-mass rarity score per document: each token occurrence

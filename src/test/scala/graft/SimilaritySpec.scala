@@ -495,6 +495,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       "persisted refined probe diverged from the in-memory refined composite")
   }
 
+  test("persisted probes: an EMPTY query batch yields an empty result, not a refusal") {
+    // the EXT-6an serving shape delivers empty microbatches as a normal
+    // streaming event (an empty trigger, a recovery replay) — the probe
+    // must return empty instead of killing the stream on the width
+    // check; a NON-empty batch of wrong width still refuses
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val ivfpqIdx = java.nio.file.Files.createTempDirectory("graft-empty-ivfpq").toString
+    Similarity.writeIvfPqIndex(spark, dir, ivfpqIdx, nCentroids = 16)
+    val signIdx = java.nio.file.Files.createTempDirectory("graft-empty-sign").toString
+    Similarity.writeSignIndex(spark, dir, signIdx)
+    val empty = graft.operators.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 0).select("vec_id", "embedding")
+    assert(Similarity.ivfPqTopKFromIndex(spark, ivfpqIdx, empty, k = 3, nprobe = 2)
+      .collect().isEmpty)
+    assert(Similarity.hammingTopKFromIndex(spark, signIdx, dir, empty)
+      .collect().isEmpty)
+    // wrong width on a NON-empty batch still refuses (the stamp law)
+    val wide = graft.operators.Tables.embeddings(spark,
+      TestTables.embeddingsDir(spark, Seq(10L -> Seq.fill(8)(1f))))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKFromIndex(spark, ivfpqIdx, wide, k = 3, nprobe = 2))
+  }
+
   test("persisted-index loader memo: an in-place rewrite is re-read, never served stale") {
     // the IndexCache law (r16): the sidecar loaders memoize per
     // (indexPath, filesystem listing signature) — so a REWRITE at the

@@ -215,6 +215,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L))) // k=3 of 4 equal scores
   }
 
+  test("bm25TopKFromIndexAuto: no lexicon token reaches the probe length -> empty result, not a failure") {
+    // the x69 empty-probe law must hold on the INDEXED face too (the
+    // r16 review finding: the term-derivation path fed an empty list
+    // into the probe's nonEmpty refusal and crashed where the in-memory
+    // twin and the oracle both yield empty)
+    val d = TestTables.documentsDir(spark, Seq(1L -> "a bb ccc dddd", 2L -> "ee fff g"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-empty").toString
+    TextAnalysis.writeBm25Index(spark, d, idx)
+    val got = TextAnalysis.bm25TopKFromIndexAuto(spark, idx)
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq == Seq("token", "rank", "doc_id", "score"))
+  }
+
   test("bm25TopK: no token reaches the probe length -> empty result, not a failure") {
     val d = TestTables.documentsDir(spark, Seq(1L -> "cat dog", 2L -> "fish bird"))
     assert(TextAnalysis.bm25TopK(spark, d).collect().isEmpty)
