@@ -475,6 +475,27 @@ object SparkEntry
     // driven with deterministic re-encode variants (the x34/x37 pattern)
     "x185_phash_near_dup" -> ((s, dir) =>
       Multimodal.phashNearDup(Multimodal.mediaWithReencodedVariants(s, dir))),
+    // x186 served from the PERSISTED IVF-PQ index — the FULL production
+    // serving recipe (statically-pruned code scan -> bounded float fetch
+    // by candidate id) as an oracle key, completing the write→stamp→probe
+    // discipline for the refined composite the way x183/x184 completed
+    // the other five indexes; spec-pinned bit-equal to x186, so it
+    // reuses x186's oracle verbatim
+    "x188_ivfpq_refined_indexed" -> ((s, dir) =>
+      Similarity.ivfPqTopKRefinedFromIndex(s, ensureIvfPqIndex(s, dir), dir,
+        Tables.embeddings(s, dir).filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(pqQueryMod)) === 0),
+        k = pqK, nprobe = ivfPqNprobe, shortlist = refineShortlist)),
+    // the refined composite's OPERATING-POINT tuning table: per
+    // (nprobe × shortlist) the recall@k vs float truth, the scanned
+    // ADC-candidate cost, and the float-fetch cost — the table that
+    // CHOOSES the serving point x186's BASELINE note hand-picked
+    "x187_refined_tuning_sweep" -> ((s, dir) =>
+      Similarity.refinedTuningSweep(s, dir, nCentroids = ivfPqNCent,
+        m = pqM, ksub = pqKsub, iters = pqIters, nprobes = refinedSweepNprobes,
+        shortlists = refinedSweepShortlists, k = pqK, queryMod = pqQueryMod)),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.
@@ -530,5 +551,6 @@ object SparkEntry
     "x175_ivf_topk_indexed" -> oracleBase("x15_ann_ivf"),
     "x179_ivfpq_topk_indexed" -> oracleBase("x176_ivfpq_topk"),
     "x183_hamming_topk_indexed" -> oracleBase("x80_hamming_ann"),
-    "x184_bm25_topk_indexed" -> oracleBase("x69_bm25_topk"))
+    "x184_bm25_topk_indexed" -> oracleBase("x69_bm25_topk"),
+    "x188_ivfpq_refined_indexed" -> oracleBase("x186_ivfpq_refined"))
 }

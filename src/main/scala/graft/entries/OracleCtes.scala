@@ -195,6 +195,17 @@ private[graft] object OracleCtes {
     */
   val refineShortlist = 32
 
+  /** x187 refined-composite tuning-sweep grid: the (nprobe × shortlist)
+    * operating points swept at the FIXED x176 geometry — the knobs that
+    * actually clear the recall budget (x182's finding: no pure-ADC
+    * geometry reaches 0.9; the refine tail does, and its cost rides
+    * nprobe and shortlist, not m/ksub). The grid includes the x186
+    * point (ivfPqNprobe, refineShortlist), which the spec pins
+    * bit-equal to x186's own hit mass. Same no-drift contract.
+    */
+  val refinedSweepNprobes = Seq(2, 4, 8)
+  val refinedSweepShortlists = Seq(8, 16, 32)
+
   /** x182 IVF-PQ tuning-sweep grid: the geometry cells (nCentroids, m,
     * ksub) and the probe widths every cell is swept over — the SAME
     * values feed the Spark call and the generated oracle blocks (the

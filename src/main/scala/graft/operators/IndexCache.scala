@@ -33,6 +33,17 @@ private[graft] object IndexCache {
   /** The sidecar dirs' listing signature — sorted so iteration order
     * cannot flap the key; an absent dir signs as `absent` (the probe's
     * own read then fails with the engine's normal missing-path error).
+    *
+    * Contract (r16 advisory, kept explicit): the signature is
+    * (path, length, mtime) metadata, NOT content. Spark-style overwrites
+    * always emit fresh part-file names, so every rewrite the framework's
+    * own writers perform is guaranteed to miss the cache; an EXTERNAL
+    * writer that rewrites a sidecar file in place with the same name,
+    * length, and mtime (coarse-mtime filesystems, crafted writes) is
+    * outside the contract and would be served stale. A content checksum
+    * is deliberately not folded in: `getFileChecksum` returns null on
+    * local/many cloud filesystems, and reading bytes to hash them would
+    * cost exactly the parquet job the memo exists to skip.
     */
   private def dirSignature(spark: SparkSession, dirs: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -58,6 +69,17 @@ private[graft] object IndexCache {
     * any map lock (the broadcastIfMeasuredUnder rule — a driver-side
     * Spark job must not run under a ConcurrentHashMap bin lock); a lost
     * race loads twice, which is harmless and idempotent.
+    *
+    * Install-time race guard (r16 advisory): the dirs are RE-LISTED
+    * after `load`, and the entry is installed only when the listing is
+    * unchanged — a rewrite racing the read would otherwise cache
+    * whatever mix of old/new bytes the read happened to see UNDER THE
+    * PRE-REWRITE SIGNATURE, so the next probe of the now-stable index
+    * would serve that torn read instead of re-reading. Skipping the
+    * install on mismatch keeps the racing call's own semantics
+    * unchanged (its value was validated by `load`'s requires or it
+    * threw) while guaranteeing the cache never outlives the listing it
+    * was keyed by.
     */
   def cached[T <: AnyRef](
       spark: SparkSession, key: String, dirs: Seq[String])(load: => T): T = {
@@ -66,7 +88,7 @@ private[graft] object IndexCache {
     if (hit != null && hit._1 == sig) hit._2.asInstanceOf[T]
     else {
       val v = load
-      cache.put(key, (sig, v))
+      if (dirSignature(spark, dirs) == sig) cache.put(key, (sig, v))
       v
     }
   }

@@ -101,18 +101,21 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     }
 
   /** The measured-query-width refusal shared by every persisted-index
-    * probe: min AND max vector width over a bounded sample must both
-    * equal the index's stamped dim — still one bounded aggregate, but a
-    * RAGGED batch (whose widest sampled row happens to match) now
-    * refuses instead of silently slicing short rows into short
-    * subvectors and mis-ranking them. An EMPTY batch passes: in the
-    * per-microbatch serving shape (EXT-6an) an empty trigger is a
-    * normal streaming event whose probe must yield an empty result,
-    * not kill the stream — but a non-empty batch of NULL/empty vectors
-    * still refuses (there is data and its width is wrong).
+    * probe: min AND max vector width over the WHOLE batch must both
+    * equal the index's stamped dim — one narrow column scan (a single
+    * `size` projection folded map-side to three scalars), so a ragged
+    * batch refuses no matter where its odd rows sit. (The r16 advisory:
+    * the earlier 1024-row sample could pass a ragged batch whose
+    * short/long rows all fell outside the sample — the full min/max
+    * aggregate costs one 4-byte-per-row pass and closes the hole.)
+    * An EMPTY batch passes: in the per-microbatch serving shape
+    * (EXT-6an) an empty trigger is a normal streaming event whose probe
+    * must yield an empty result, not kill the stream — but a non-empty
+    * batch of NULL/empty vectors still refuses (there is data and its
+    * width is wrong).
     */
-  private def requireUniformDim(queries: DataFrame, dim: Int, what: String): Unit = {
-    val qDim = queries.select(size(col("embedding")).as("d")).limit(1024)
+  private[graft] def requireUniformDim(queries: DataFrame, dim: Int, what: String): Unit = {
+    val qDim = queries.select(size(col("embedding")).as("d"))
       .agg(min(col("d")).as("mn"), max(col("d")).as("mx"), count(lit(1)).as("n")).head()
     if (qDim.getLong(2) == 0L) return
     require(!qDim.isNullAt(0) && qDim.getInt(0) == dim && qDim.getInt(1) == dim,
@@ -944,6 +947,143 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
             round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _).orderBy("n_centroids", "m", "ksub", "nprobe")
+  }
+
+  /** EXT-S35 (`x187_refined_tuning_sweep`) — the refined composite's
+    * OPERATING-POINT tuning table: per (nprobe × shortlist) point, at a
+    * FIXED (nCentroids, m, ksub) geometry, the exact query census, the
+    * scanned ADC-candidate count (probe cost: code rows scored), the
+    * float-fetch count (refine cost: full vectors touched by candidate
+    * id — ≤ |queries|·shortlist by construction), exact BIGINT hit mass
+    * against the float brute truth, and mean recall@k.
+    *
+    * This is [[ivfPqTuningSweep]]'s discipline applied to the knobs
+    * that actually clear the recall budget: x182 proved no pure-ADC
+    * geometry in the codegen-safe range reaches recall 0.9 on this
+    * corpus (coding loss dominates), and [[ivfPqTopKRefined]] (x186)
+    * proved the exact-refine tail does — but x186's operating point was
+    * hand-measured. This operator emits the table that CHOOSES it: the
+    * cheapest (nprobe, shortlist) clearing a recall budget, with both
+    * cost axes priced (ADC scans scale with nprobe·mean|cell|; float
+    * fetches with shortlist).
+    *
+    * Cost sharing (the x182 economics, one axis deeper):
+    *  - ONE float brute TRUTH leg for the whole table;
+    *  - ONE coarse assignment + ONE coded-corpus pass (fixed geometry);
+    *  - the query fan-out derived once at the WIDEST nprobe with probe
+    *    RANK carried — probe sets nest, so nprobe = np is the
+    *    `prank ≤ np` slice;
+    *  - per nprobe, ONE ADC ranking kept at the WIDEST shortlist:
+    *    shortlists nest as RANK-SLICES of that ranking (the double-
+    *    nesting law, spec-pinned) — and ONE bounded float fetch of that
+    *    widest shortlist, carrying the ADC rank, so every shortlist
+    *    point re-ranks an already-fetched `adc_rank ≤ sl` slice without
+    *    touching the vector store again;
+    *  - the scanned-candidate count comes from the |cells|-row census,
+    *    never a materialized pair relation (x182's OOM lesson); the
+    *    only checkpointed relations are the coded corpus, the
+    *    |queries|·maxNp fan-out, and the |queries|·maxShortlist refine
+    *    slice — all bounded by construction.
+    *
+    * Structural laws (spec-pinned): n_candidates and n_float_fetches
+    * are monotone in their knobs by nesting; per-query hits are
+    * monotone non-decreasing in shortlist at fixed nprobe (float order
+    * IS the truth order — a shortlisted true neighbor can only be
+    * displaced by a truer one, [[ivfPqTopKRefined]]'s law), and the
+    * (nprobe, shortlist) grid point matching x186's defaults carries
+    * exactly x186's hit mass. Recall is NOT claimed monotone in nprobe
+    * (x181's ADC-impostor caveat applies to the shortlist's content).
+    */
+  def refinedTuningSweep(
+      spark: SparkSession,
+      dir: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      nprobes: Seq[Int] = Seq(2, 4, 8),
+      shortlists: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 3,
+      queryMod: Int = 10): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.distinct.size == nprobes.size,
+      s"nprobes must be non-empty and distinct (got ${nprobes.mkString(",")})")
+    require(shortlists.nonEmpty && shortlists.distinct.size == shortlists.size,
+      s"shortlists must be non-empty and distinct (got ${shortlists.mkString(",")})")
+    require(nprobes.forall(p => p >= 1 && p <= nCentroids),
+      s"nprobes (${nprobes.mkString(",")}) must be in [1, nCentroids=$nCentroids]")
+    require(shortlists.forall(_ >= k),
+      s"shortlists (${shortlists.mkString(",")}) must be >= k ($k)")
+    val maxNp = nprobes.max
+    val maxSl = shortlists.max
+    // the one float brute truth leg, shared by every sweep point
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
+    val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
+    // the one coded-corpus pass (x176's build half: cell label rides the
+    // encode projection; spread + pinned — the codegen-fusion/skew note)
+    val corpusCoded = pqAssign(
+      withCell.select(col("vec_id"), col("cell"),
+        int8Quantize(col("embedding")).as("qv")),
+      cb, dsub, passthrough = Seq("cell"))
+      .select(col("cell"), col("vec_id").as("cid"), col("codes"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    // query fan-out once at the widest probe width, probe RANK carried
+    // (the x182 spelling — identical tie-break to probeCellsCol)
+    val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+    val q = qSrc
+      .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"),
+        posexplode(slice(reverse(array_sort(scoredCells)), 1, maxNp)).as(Seq("pr", "pc")))
+      .select(col("qid"), col("qe"), (col("pr") + 1).cast("int").as("prank"),
+        (lit(nCentroids - 1) - col("pc").getField("nk")).as("cell"))
+      .localCheckpoint()
+    // scanned-candidate cost from the |cells|-row census (x182's rule)
+    val cellSizes = corpusCoded.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val qSized = q.select(col("prank"), col("cell"))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .localCheckpoint()
+    val nQ = qSized.filter(col("prank") === 1).count()
+    // the float store, touched ONLY by candidate-id joins in the refine
+    val emb = Tables.embeddings(spark, dir)
+    val fq = emb.select(col("vec_id").as("qid"), col("embedding").as("fqe"))
+    val fc = emb.select(col("vec_id").as("cid"), col("embedding").as("fce"))
+    nprobes.map { np =>
+      // ONE ADC ranking per probe width, re-expanded from the coded
+      // corpus (never a persisted pair relation), kept at the WIDEST
+      // shortlist — every shortlist point is a rank-slice of it
+      val scored = q.filter(col("prank") <= np)
+        .join(corpusCoded, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+      val adcTop = rankedTopK(scored, maxSl)
+        .select(col("qid"), col("cid"), col("rank").as("adc_rank"))
+      // ONE bounded float fetch per probe width (≤ |queries|·maxSl rows
+      // by construction — the repo broadcast rule), ADC rank carried
+      val refScored = broadcast(adcTop.join(fq, Seq("qid")))
+        .join(fc, Seq("cid"))
+        .select(col("qid"), col("cid"), col("adc_rank"),
+          dot(col("fqe"), col("fce")).as("sim"))
+        .localCheckpoint()
+      val candAgg = broadcast(qSized.filter(col("prank") <= np)
+        .agg((sum(col("csz")) - lit(nQ)).as("n_candidates")))
+      shortlists.map { sl =>
+        val slice = refScored.filter(col("adc_rank") <= sl)
+        val approx = rankedTopK(slice.select(col("qid"), col("cid"), col("sim")), k)
+          .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"))
+        recallTail(exact, approx, k)
+          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
+          .crossJoin(candAgg)
+          .crossJoin(broadcast(slice.agg(count(lit(1)).as("n_float_fetches"))))
+          .select(lit(np).as("nprobe"), lit(sl).as("shortlist"),
+            col("n_queries"), col("n_candidates"), col("n_float_fetches"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall4",
+            round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).orderBy("nprobe", "shortlist")
   }
 
   /** EXT-S31b — persisted IVF-PQ index (the on-disk FAISS IVFADC

@@ -452,6 +452,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       "full probe must score |queries| x (|corpus| - 1) candidates")
   }
 
+  test("refinedTuningSweep (x187): costs nest in both knobs; hits monotone in shortlist; the x186 grid point carries x186's hit mass") {
+    val sfDir = "/root/testdata/sf0.001"
+    val nprobes = Seq(2, 4, 16)
+    val shortlists = Seq(8, 32, 499)
+    val rows = Similarity.refinedTuningSweep(spark, sfDir, nCentroids = 16,
+      nprobes = nprobes, shortlists = shortlists, k = 3, queryMod = 10)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.size == nprobes.length * shortlists.length)
+    // one census for the whole table: the sweep varies the serving
+    // knobs, never WHICH queries are audited
+    val nQ = rows.values.head._1
+    assert(rows.values.forall(_._1 == nQ))
+    // scanned-candidate counts strictly nest in nprobe (probe sets nest)
+    // and are flat in shortlist (the refine tail never rescans codes)
+    for (sl <- shortlists) {
+      val cands = nprobes.map(np => rows((np, sl))._2)
+      assert(cands == cands.sorted && cands.distinct.length == nprobes.length,
+        s"candidate counts must strictly nest in nprobe at shortlist=$sl: $cands")
+    }
+    for (np <- nprobes) {
+      assert(shortlists.map(sl => rows((np, sl))._2).distinct.length == 1,
+        s"candidate counts must not vary with shortlist at nprobe=$np")
+      // float fetches: monotone in shortlist, bounded by |queries|·sl
+      // (the refine tail's by-construction bound)
+      val ffs = shortlists.map(sl => rows((np, sl))._3)
+      assert(ffs == ffs.sorted, s"float fetches not monotone at nprobe=$np: $ffs")
+      shortlists.zip(ffs).foreach { case (sl, ff) =>
+        assert(ff <= nQ * sl, s"float fetches $ff exceed |queries|*$sl at nprobe=$np")
+      }
+      // hit mass monotone non-decreasing in shortlist: float order IS
+      // the truth order, so widening the shortlist can only swap a hit
+      // for another hit (x186's displacement argument, per query)
+      val hitRow = shortlists.map(sl => rows((np, sl))._4)
+      assert(hitRow == hitRow.sorted,
+        s"hits not monotone in shortlist at nprobe=$np: $hitRow")
+    }
+    // the x186 grid point carries exactly x186's hit mass — the table
+    // CHOOSES among operating points of the same operator it tabulates
+    val exact = Similarity.bruteForceTopK(spark, sfDir, k = 3, queryMod = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = Similarity.ivfPqTopKRefined(spark, sfDir, k = 3, nCentroids = 16,
+      queryMod = 10, nprobe = 2, shortlist = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows((2, 32))._4 == (refined & exact).size.toLong,
+      "the (nprobe=2, shortlist=32) sweep point must carry exactly x186's hit mass")
+    // full probe + full shortlist clears both loss terms: recall 1
+    assert(rows((16, 499))._4 == nQ * 3,
+      s"full-probe full-shortlist point must be exact: ${rows((16, 499))._4} != ${nQ * 3}")
+  }
+
   test("ivfPqTopKRefined (x186): refine never loses hits; degenerates to brute force at full probe + full shortlist") {
     val sfDir = "/root/testdata/sf0.001"
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

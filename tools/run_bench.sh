@@ -29,7 +29,10 @@ while [ "$i" -le "$ATTEMPTS" ]; do
     echo "[run_bench] attempt $i produced no artifact (build failure?)" >&2
     exit 2
   fi
-  if grep -q '"record_ok": true' "$OUT.attempt$i"; then
+  # parse, don't grep: certification must not couple to the writer's
+  # pretty-print spacing (the r16 advisory — a compact-JSON change would
+  # silently classify every certified run as refused)
+  if python3 -c 'import json, sys; sys.exit(0 if json.load(open(sys.argv[1])).get("record_ok") is True else 1)' "$OUT.attempt$i"; then
     cp "$OUT.attempt$i" "$OUT"
     echo "[run_bench] attempt $i certified (record_ok true) -> $OUT"
     exit 0
