@@ -496,6 +496,11 @@ object SparkEntry
       Similarity.refinedTuningSweep(s, dir, nCentroids = ivfPqNCent,
         m = pqM, ksub = pqKsub, iters = pqIters, nprobes = refinedSweepNprobes,
         shortlists = refinedSweepShortlists, k = pqK, queryMod = pqQueryMod)),
+    // the OPQ-lite decorrelating layout: PQ encode over the exact-Gram
+    // round-robin permutation — the operator the x105/x181 coding-loss
+    // decomposition calls for when x109 flags correlated dimensions
+    "x189_pq_codes_opq" -> ((s, dir) =>
+      Similarity.pqCodesOpq(s, dir, m = pqM, ksub = pqKsub, iters = pqIters)),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.

@@ -245,7 +245,7 @@ private[graft] object OracleCtes {
     * the x104/x105 constants is [[pqCte]], whose final names
     * `vs`/`cbs`/`asg` every existing PQ oracle consumes unchanged.
     */
-  def pqChain(m: Int, ksub: Int, iters: Int, p: String): String = {
+  def pqChain(m: Int, ksub: Int, iters: Int, p: String, src: String = "e8"): String = {
     require(64 % m == 0, s"pq oracle chain: dim 64 not divisible by m=$m")
     val dsub = 64 / m
     val sq = (v: String) =>
@@ -255,10 +255,10 @@ private[graft] object OracleCtes {
     val init =
       s"""${p}sp AS (SELECT unnest(range(0, $m))::INT AS s),
          |${p}cb0 AS (SELECT s, vec_id::INT AS code, list_slice(qv, s*$dsub+1, s*$dsub+$dsub) AS cs
-         |        FROM e8 CROSS JOIN ${p}sp WHERE vec_id < $ksub),
+         |        FROM $src CROSS JOIN ${p}sp WHERE vec_id < $ksub),
          |${p}vs AS (SELECT vec_id, s, qs, ${sq("qs")} AS nq
          |       FROM (SELECT vec_id, s, list_slice(qv, s*$dsub+1, s*$dsub+$dsub) AS qs
-         |             FROM e8 CROSS JOIN ${p}sp) t)""".stripMargin
+         |             FROM $src CROSS JOIN ${p}sp) t)""".stripMargin
     val rounds = (1 to iters).map { t =>
       val q = t - 1
       s"""${p}tn$t AS (SELECT s, code, cs, ${sq("cs")} AS nc FROM ${p}cb$q),

@@ -191,6 +191,30 @@ trait SimilarityOracles {
          |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
 
+    // the OPQ-permuted encode: the exact int8 Gram, each dim's
+    // top-partner strength, the (strength DESC, dim) round-robin deal
+    // into subspaces, then the UNCHANGED pq chain over the permuted
+    // corpus — a wrong gram, rank, deal, or permuted slice all move the
+    // codes and fail the hash. Oracle dims are 1-based (qv[d]); the
+    // rank/deal arithmetic is base-free
+    "x189_pq_codes_opq" ->
+      s"""WITH $e8Cte,
+         |gd AS (SELECT unnest(range(1, 65))::INT AS i),
+         |gp AS (SELECT a.i AS i, b.i AS j FROM gd a JOIN gd b ON b.i > a.i),
+         |gram AS (SELECT gp.i, gp.j, sum(e8.qv[gp.i] * e8.qv[gp.j])::BIGINT AS g
+         |         FROM e8 CROSS JOIN gp GROUP BY 1, 2),
+         |gds AS (SELECT i AS d, abs(g) AS a FROM gram UNION ALL SELECT j AS d, abs(g) AS a FROM gram),
+         |gst AS (SELECT d, max(a) AS strength FROM gds GROUP BY d),
+         |grk AS (SELECT d, (row_number() OVER (ORDER BY strength DESC, d) - 1)::INT AS r FROM gst),
+         |gpm AS (SELECT ((r % $pqM) * $pqDsub + (r // $pqM))::INT AS pos, d FROM grk),
+         |pe8 AS (SELECT e8.vec_id, list(e8.qv[gpm.d] ORDER BY gpm.pos) AS qv
+         |        FROM e8 CROSS JOIN gpm GROUP BY e8.vec_id),
+         |${pqChain(pqM, pqKsub, pqIters, "o_", src = "pe8")}
+         |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
+         |       sum(d)::BIGINT AS recon_err
+         |FROM o_asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+
     "x105_pq_recall" ->
       s"""WITH $pqCte,
          |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),

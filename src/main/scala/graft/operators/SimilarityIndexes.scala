@@ -138,7 +138,20 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // the meta/codebook reads memoize per (indexPath, listing signature)
     // — the per-call check below depends on the QUERY batch, so it can
     // never cache: a ragged or mis-sized batch refuses on every probe
-    val (cb, dim, dsub) = IndexCache.cached(
+    val (cb, dim, dsub) = loadPqMeta(spark, indexPath, label)
+    requireUniformDim(queries, dim, "coded dim")
+    (cb, dsub)
+  }
+
+  /** The cached meta/codebook half of [[loadPqGeometry]] — also the
+    * geometry source for the streaming INGEST side (EXT-6ao encodes
+    * arrivals with the index's own stamped layout), which has no query
+    * batch to width-check at load time.
+    */
+  private def loadPqMeta(
+      spark: SparkSession, indexPath: String,
+      label: String): (Array[Array[Array[Long]]], Int, Int) = {
+    IndexCache.cached(
       spark, s"pqgeom|$label|$indexPath",
       Seq(s"$indexPath/meta", s"$indexPath/codebook")) {
       import spark.implicits._
@@ -155,8 +168,19 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       cbRows.foreach { case (s, c, dd, v) => cbArr(s)(c)(dd) = v }
       (cbArr, d, ds)
     }
-    requireUniformDim(queries, dim, "coded dim")
-    (cb, dsub)
+  }
+
+  /** Both sidecar geometries of a persisted IVF-PQ index in one load —
+    * the streaming maintainer's view (EXT-6ao): coarse centroids +
+    * trained codebooks + stamped dim, all stamp-validated, no query
+    * batch involved.
+    */
+  private[graft] def loadIvfPqGeometry(
+      spark: SparkSession, indexPath: String)
+      : (Seq[(Int, Seq[Float])], Array[Array[Array[Long]]], Int, Int) = {
+    val (cents, _) = loadCoarseCentroids(spark, indexPath)
+    val (cb, dim, dsub) = loadPqMeta(spark, indexPath, "ivfpq")
+    (cents, cb, dim, dsub)
   }
 
   /** The batch's DISTINCT probe cells for a staticPrune literal filter:
@@ -341,12 +365,27 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // stamp is one narrow two-column scan per call — the price of the
     // staleness guarantee, and trivially amortized against the
     // iters-round training pass it guards.
-    val key = s"$dir|pq|$m|$ksub|$iters"
+    pqCodebooksCached(spark, dir, "", m, ksub, iters)(
+      int8Corpus(spark, dir).localCheckpoint())
+  }
+
+  /** The stamp-validated train-once cache shared by the base and the
+    * OPQ-permuted codebooks: `variantKey` distinguishes layouts over
+    * the same corpus (the permutation is itself a pure function of the
+    * corpus content the stamp already guards, so the variant key only
+    * needs to name the layout family, not the permutation). `corpus`
+    * is by-name: a cache hit never materializes it.
+    */
+  private def pqCodebooksCached(
+      spark: SparkSession, dir: String, variantKey: String, m: Int,
+      ksub: Int, iters: Int)(
+      corpus: => DataFrame): (Array[Array[Array[Long]]], Int) = {
+    val key = s"$dir|pq$variantKey|$m|$ksub|$iters"
     val stamp = embStamp(spark, dir)
     val cached = trainedCodebooks.get(key)
     if (cached != null && cached._2 == stamp) cached._1
     else {
-      val trained = trainPqCodebooks(spark, dir, m, ksub, iters)
+      val trained = trainPqCodebooksOn(corpus, m, ksub, iters)
       trainedCodebooks.put(key, (trained, stamp))
       trained
     }
@@ -374,9 +413,21 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     */
   private[graft] def trainPqCodebooks(
       spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int): (Array[Array[Array[Long]]], Int) =
+    trainPqCodebooksOn(
+      int8Corpus(spark, dir).localCheckpoint(), // seeds + one scan per round
+      m, ksub, iters)
+
+  /** [[trainPqCodebooks]] over an ALREADY-MATERIALIZED `(vec_id, qv)`
+    * int8 relation — the shared body, reused by the OPQ-permuted layout
+    * (the permuted corpus trains its own codebooks; geometry contract
+    * identical).
+    */
+  private def trainPqCodebooksOn(
+      corpus: DataFrame, m: Int, ksub: Int,
       iters: Int): (Array[Array[Array[Long]]], Int) = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val corpus = int8Corpus(spark, dir).localCheckpoint() // seeds + one scan per round
     val seeds = corpus
       .filter(col("vec_id") < ksub)
       .select(col("vec_id").cast("int"), col("qv"))
@@ -460,6 +511,175 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     pqAssign(int8Corpus(spark, dir), cb, dsub)
       .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("recon_err"))
       .orderBy("vec_id")
+  }
+
+  /** The exact int8 dimension GRAM: for every dimension pair i < j
+    * (0-based), `Σ_v qv_i·qv_j` over the int8 lattice corpus — the
+    * exact-BIGINT raw-moment form of the correlation evidence
+    * [[dimCorrelation]] (x109) reports normalized. Plan shape: the pair
+    * index rides as ONE literal array and the products expand
+    * row-locally through a `transform` LOOP (codegen iterates the
+    * literal — never inlines dim²/2 expressions, the x182 Janino
+    * lesson), then an (i, j)-keyed partial agg collapses map-side to
+    * ≤ dim²/2 rows per partition. One corpus pass; nothing data-sized
+    * shuffles or reaches the driver.
+    */
+  private[graft] def dimGram(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = int8Corpus(spark, dir)
+    val dims = corpus
+      .agg(min(size(col("qv"))).as("mn"), max(size(col("qv"))).as("mx")).head()
+    require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+      s"dimGram needs a uniform-width corpus (got widths ${dims.get(0)}..${dims.get(1)})")
+    val dim = dims.getInt(0)
+    val pairs = for { i <- 0 until dim; j <- (i + 1) until dim } yield (i, j)
+    corpus
+      .select(explode(transform(typedlit(pairs),
+        p => struct(p.getField("_1").as("i"), p.getField("_2").as("j"),
+          (element_at(col("qv"), p.getField("_1") + 1) *
+            element_at(col("qv"), p.getField("_2") + 1)).as("v")))).as("pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.v").as("v"))
+      .groupBy("i", "j")
+      .agg(sum("v").as("g"))
+  }
+
+  /** EXT-S36 — OPQ-lite decorrelating subspace LAYOUT: a deterministic
+    * permutation of the dimensions, derived from the exact int8 Gram,
+    * that deals correlated dimensions into DIFFERENT PQ subspaces.
+    * Rule: each dimension's `strength` is the largest |Gram| entry it
+    * participates in (its top-partner correlation mass); dimensions are
+    * ranked by (strength desc, dim asc) and DEALT round-robin — rank r
+    * lands in subspace r mod m at position r div m. Mutually-top
+    * correlated pairs carry EQUAL strength, so they rank adjacently and
+    * the deal separates them (whenever their strength tie-block is
+    * shorter than m — for the dominant pairs x109 flags, ties beyond
+    * the pair itself are measure-zero); the deal is exactly balanced by
+    * construction.
+    *
+    * This is the permutation (rotation-free) member of the OPQ family
+    * (Ge et al., CVPR 2013, whose parametric form allocates dimensions
+    * to balance per-subspace variance): `Similarity.scala`'s x109 note
+    * cites re-rotation as what high-r² dimension pairs call for, and a
+    * permutation is the rotation restricted to exact integer arithmetic
+    * — which keeps every downstream distance an exact BIGINT and the
+    * whole layout DuckDB-reproducible (the repo's oracle bar; a dense
+    * rotation would put IEEE matrix products in every distance).
+    *
+    * Driver footprint: |dim| (dim, strength) rows — the bounded-collect
+    * class of the centroid tables. The Gram pass is [[dimGram]]'s one
+    * corpus scan.
+    */
+  def opqPermutation(spark: SparkSession, dir: String, m: Int = 8): Seq[Int] = {
+    import spark.implicits._
+    val strengths = dimGram(spark, dir)
+      .select(explode(array(
+        struct(col("i").as("d"), abs(col("g")).as("a")),
+        struct(col("j").as("d"), abs(col("g")).as("a")))).as("e"))
+      .select(col("e.d").as("d"), col("e.a").as("a"))
+      .groupBy("d").agg(max("a").as("strength"))
+      .as[(Int, Long)].collect() // |dim| rows — bounded by construction
+    val dim = strengths.length
+    require(m >= 1 && dim % m == 0, s"opq: dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val ranked = strengths.sortBy { case (d, s) => (-s, d) }.map(_._1)
+    val perm = Array.fill(dim)(0)
+    for (r <- 0 until dim) perm((r % m) * dsub + (r / m)) = ranked(r)
+    perm.toSeq
+  }
+
+  /** The permuted-vector projection: position p of the output reads
+    * input dimension `perm(p)` — row-local, exact, order fixed by the
+    * permutation literal.
+    */
+  private def permutedVec(qv: Column, perm: Seq[Int]): Column =
+    array(perm.map(d => element_at(qv, lit(d + 1))): _*)
+
+  /** EXT-S36 (`x189_pq_codes_opq`) — PQ corpus encoding under the
+    * [[opqPermutation]] layout: the corpus is permuted row-locally,
+    * codebooks are TRAINED on the permuted corpus (same seeds-by-id +
+    * exact-integer Lloyd contract as [[pqCodebooks]], through the same
+    * stamp-validated train-once cache), and every vector is encoded to
+    * its `m` codes + exact reconstruction error — x104's output
+    * contract over the decorrelated subspace split. Reading this next
+    * to x104 at the same (m, ksub) prices the layout: the recon-err
+    * delta is the coding loss the permutation did (or did not) recover
+    * on this corpus, and [[pqRecallOpq]] prices it in recall terms.
+    *
+    * Invariance law (spec-pinned): at m = 1 the subspace split is the
+    * whole vector, and distances are permutation-invariant when query
+    * and codebook share the permutation — the operator is bit-equal to
+    * [[pqCodes]] there; for m > 1 the split (and hence the coding
+    * geometry) genuinely changes.
+    */
+  def pqCodesOpq(
+      spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (corpusP, cb, dsub) = opqCodedCorpus(spark, dir, m, ksub, iters)
+    pqAssign(corpusP, cb, dsub)
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"), col("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** The shared OPQ build: permuted int8 corpus (materialized — it
+    * feeds training, encoding, and the query side) + its trained
+    * codebooks from the stamp-validated cache.
+    */
+  private def opqCodedCorpus(
+      spark: SparkSession, dir: String, m: Int, ksub: Int,
+      iters: Int): (DataFrame, Array[Array[Array[Long]]], Int) = {
+    val perm = opqPermutation(spark, dir, m)
+    val corpusP = int8Corpus(spark, dir)
+      .select(col("vec_id"), permutedVec(col("qv"), perm).as("qv"))
+      .localCheckpoint()
+    val (cb, dsub) = pqCodebooksCached(spark, dir, "-opq", m, ksub, iters)(corpusP)
+    (corpusP, cb, dsub)
+  }
+
+  /** [[pqTopK]] under the OPQ layout: identical ADC serving plan, the
+    * permuted corpus coded by permuted-trained codebooks, query side
+    * permuted by the same literal (asymmetric ADC unchanged).
+    */
+  def pqTopKOpq(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxBroadcastBytes: Long = 64L << 20,
+      iters: Int = 2): DataFrame = {
+    val (corpusP, cb, dsub) = opqCodedCorpus(spark, dir, m, ksub, iters)
+    val codes = pqAssign(corpusP, cb, dsub).select(col("vec_id").as("cid"), col("codes"))
+    val queriesRaw = corpusP.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"))
+    val queries = broadcastIfMeasuredUnder(queriesRaw,
+      s"$dir|pqopqq|mod=$queryMod",
+      () => { val b = embRowBytes(queriesRaw, "qe"); if (b < 0) b else b * 2 },
+      maxBroadcastBytes)
+    adcTopK(queries, codes, cb, dsub, k)
+  }
+
+  /** [[pqRecall]] under the OPQ layout — the measured answer to "did
+    * decorrelating the subspaces buy ADC recall at this (m, ksub)?".
+    * The truth leg is the UNPERMUTED float brute force: a permutation
+    * shared by query and corpus is cosine-invariant, so the true
+    * neighbor sets are identical and the delta vs [[pqRecall]] is pure
+    * coding-geometry effect.
+    */
+  def pqRecallOpq(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      queryMod: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxBroadcastBytes: Long = 64L << 20,
+      iters: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, queryMod)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed by the query list AND the hit join
+    val approx = pqTopKOpq(spark, dir, k, queryMod, m, ksub, maxBroadcastBytes, iters)
+      .select(col("vec_id"), col("neighbor_id"))
+    recallTail(exact, approx, k)
   }
 
   /** The ADC distance expression: for a query's int8 vector `qe` and a
@@ -1144,12 +1364,50 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       m: Int = 8,
       ksub: Int = 16,
       iters: Int = 2): Unit = {
-    import spark.implicits._
     val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
     val cents = ivfSeedCentroids(spark, dir, nCentroids)
     ivfPqAssignProjection(Tables.embeddings(spark, dir), cents, cb, dsub)
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
+    writeIvfPqSidecars(spark, indexPath, cents, nCentroids, cb, m, dsub)
+  }
+
+  /** EXT-6ao's init half — train the IVF-PQ GEOMETRY on `dir` and write
+    * only the bounded sidecar tables (`centroids/`, `codebook/`,
+    * `meta/`) under `indexPath`, with NO code rows: the code relation
+    * is then populated incrementally by the streaming maintainer
+    * ([[graft.streaming.StreamOps.maintainIvfPqIndex]]), which appends
+    * each arriving microbatch's encoded rows into `gen-<n>/` generation
+    * directories (the EXT-6h lifecycle) instead of a static `cells/`.
+    * Train once, append forever — the layout every later probe and
+    * every ingest encode validates against its stamps.
+    */
+  def initIvfPqIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): Unit = {
+    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    writeIvfPqSidecars(spark, indexPath, cents, nCentroids, cb, m, dsub)
+  }
+
+  /** The bounded sidecar tables of a persisted IVF-PQ index — the one
+    * spelling shared by the static writer and the streaming init (a
+    * drifted stamp layout would make every probe refusal lie).
+    */
+  private def writeIvfPqSidecars(
+      spark: SparkSession,
+      indexPath: String,
+      cents: Seq[(Int, Seq[Float])],
+      nCentroids: Int,
+      cb: Array[Array[Array[Long]]],
+      m: Int,
+      dsub: Int): Unit = {
+    import spark.implicits._
     cents.toDF("cid", "embedding")
       .withColumn("n_centroids", lit(nCentroids))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
@@ -1158,6 +1416,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     } yield (s, c, d, cb(s)(c)(d))
     rows.toDF("s", "code", "d", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val ksub = cb.headOption.map(_.length).getOrElse(0)
     spark.range(1)
       .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
@@ -1181,11 +1440,42 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       queries: DataFrame,
       k: Int = 3,
       nprobe: Int = 2,
-      staticPrune: Boolean = true): DataFrame = {
-    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
+      staticPrune: Boolean = true): DataFrame =
+    ivfPqTopKOverCells(spark, indexPath,
+      spark.read.parquet(s"$indexPath/cells"), queries, k, nprobe,
+      staticPrune, dedupReplays = false)
+
+  /** The composite probe over an EXPLICIT code-row relation — shared by
+    * the static layout ([[ivfPqTopKFromIndex]] reads `cells/`) and the
+    * streaming-maintained layout (EXT-6ao probes the live GENERATION
+    * directory resolved by `StreamOps.ivfPqIndex`). `sidecarPath` is
+    * where the stamped centroids/codebook/meta live — the two layouts
+    * share it.
+    *
+    * `dedupReplays` is the generational layout's replay shield: the
+    * maintainer's at-least-once appends can only duplicate IDENTICAL
+    * (cell, vec_id, codes) rows (the 6h contract — arrivals are new
+    * vec_ids; re-encoding an existing id is out of contract), and a
+    * duplicated code row would duplicate its (qid, cid) scored pair and
+    * eat a top-k slot. `dropDuplicates` over the PRUNED code rows (m
+    * bytes/row, nprobe/nCentroids of the relation) makes the probe
+    * replay-IMMUNE, the winnowCandidates discipline; the static layout
+    * skips it (overwrite semantics cannot duplicate) so x179's
+    * bit-pinned plan is untouched.
+    */
+  private[graft] def ivfPqTopKOverCells(
+      spark: SparkSession,
+      sidecarPath: String,
+      cellRows: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      staticPrune: Boolean,
+      dedupReplays: Boolean): DataFrame = {
+    val (cents, nCentroids) = loadCoarseCentroids(spark, sidecarPath)
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
-    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "ivfpq")
+    val (cb, dsub) = loadPqGeometry(spark, sidecarPath, queries, "ivfpq")
     val scoredCells = ivfScoredCells(cents, col("embedding"))
     val q =
       if (nprobe == 1)
@@ -1196,18 +1486,20 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
         queries.select(col("vec_id").as("qid"),
           int8Quantize(col("embedding")).as("qe"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
-    val idxRaw = spark.read.parquet(s"$indexPath/cells")
     val idxPruned =
       if (staticPrune) {
         // cell-only derivation: the prune pass never re-evaluates the
         // int8 quantize projection the probe side carries
         val cells = distinctProbeCells(queries, scoredCells, nCentroids, nprobe)
-        idxRaw.filter(col("cell").isin(cells.map(Int.box): _*))
-      } else idxRaw
+        cellRows.filter(col("cell").isin(cells.map(Int.box): _*))
+      } else cellRows
+    val idxProjected = idxPruned
+      .select(col("cell"), col("vec_id").as("cid"), col("codes"))
+    val idxDeduped =
+      if (dedupReplays) idxProjected.dropDuplicates("cid") else idxProjected
     // freshly-written cell partitions are small files locally — spread
     // the probe expansion off the scan's task count (the x175 site)
-    val idx = expansionPartitioned(idxPruned
-      .select(col("cell"), col("vec_id").as("cid"), col("codes")))
+    val idx = expansionPartitioned(idxDeduped)
     val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))

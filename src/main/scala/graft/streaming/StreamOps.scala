@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is what makes these viable on unbounded 100 TB/day streams; without
   * them state grows without bound.
   */
-object StreamOps {
+object StreamOps extends StreamIndexOps {
 
   /** One event of the `events` stream shape (TESTDATA.md). */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -143,228 +143,6 @@ object StreamOps {
         graft.operators.Tables.tokens(col("text")), gramK)))
   }
 
-  /** EXT-6h — streaming LSH-index maintenance: append each microbatch's
-    * band signatures ([[graft.operators.Dedup.bandSignatures]] — the
-    * BATCH definition, run per microbatch unchanged) to the persisted
-    * index that [[graft.operators.Dedup.indexCandidates]] probes (the
-    * read half of the loop: fresh batches band-join the index relation
-    * directly — indexed documents are never re-shingled). Together they
-    * close the ingest cycle the batch operator's "built once per corpus,
-    * not per ingest" contract describes.
-    *
-    * `foreachBatch` + parquet APPEND is the right delivery contract
-    * here: a replayed microbatch can only append DUPLICATE signature
-    * rows, and a duplicate signature row only causes a repeated
-    * candidate probe downstream — near-dup candidates are exactly
-    * verified after the index join, so correctness is replay-immune and
-    * the exactly-once machinery (and its latency) is not needed.
-    *
-    * **Compaction is built in** — one appended file set per microbatch
-    * at a 1 s cadence is ~86k file sets/day, and at that point scan
-    * planning (not scanning) dominates every probe. The index lives in
-    * GENERATION directories under `indexDir`:
-    * {{{
-    *   indexDir/gen-<n>/...parquet    appends land in the live generation
-    *   indexDir/gen-<n>/_live         marker: this generation is probe-able
-    * }}}
-    * Every `compactEvery` microbatches the maintainer rolls the live
-    * generation through [[graft.sources.Sources.compactParquet]]'s
-    * new-directory contract into `gen-<n+1>` and cuts over by CREATING
-    * `gen-<n+1>/_live` (a single atomic file create) before retiring
-    * `gen-<n>`'s marker. Probers resolve the live generation at read
-    * time via [[lshIndex]]; mid-compaction they see either the old or
-    * the new generation — both complete, same distinct signature rows —
-    * never a partial directory. Retention lags one generation: `gen-<n>`
-    * keeps its DATA until `gen-<n+2>` exists, so a reader that resolved
-    * it just before cutover has a full compaction period to finish its
-    * scan. Crash safety: a generation directory without `_live` is an
-    * incomplete compaction and is deleted and redone on the next
-    * trigger; a crash between the two marker operations leaves TWO live
-    * markers, and resolution picks the highest (the compacted superset)
-    * and retires the stale one.
-    */
-  def maintainLshIndex(
-      docs: DataFrame,
-      indexDir: String,
-      checkpointLocation: String,
-      compactEvery: Long = 16L,
-      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
-      batch => graft.operators.Dedup.bandSignatures(batch))
-
-  /** EXT-6o — streaming WINNOW-index maintenance: [[maintainLshIndex]]'s
-    * generation lifecycle (append to the live generation, periodic
-    * compaction, atomic `_live` cutover, lag-1 retention — every
-    * property above holds unchanged) applied to
-    * [[graft.operators.Dedup.winnowSignatures]], the span-level
-    * fingerprint unit. Closes the span-copy ingest loop the way EXT-6h
-    * closes the document-near-dup one: arriving documents' winnowed
-    * fingerprints accumulate once, and fresh batches probe via
-    * [[graft.operators.Dedup.winnowCandidates]] without re-winnowing the
-    * corpus. The same at-least-once append contract applies — and the
-    * probe is replay-IMMUNE (not merely tolerant) because
-    * winnowCandidates distincts the indexed side before counting.
-    */
-  def maintainWinnowIndex(
-      docs: DataFrame,
-      indexDir: String,
-      checkpointLocation: String,
-      compactEvery: Long = 16L,
-      targetBytes: Long = 128L * 1024 * 1024,
-      k: Int = 8,
-      wWin: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
-      batch => graft.operators.Dedup.winnowSignatures(batch, k, wWin))
-
-  /** EXT-6p — streaming SEGMENT-index maintenance: the same generation
-    * lifecycle applied to [[graft.operators.Dedup.segmentSignatures]],
-    * the unit of x84's segment-level dedup repair. Closes the
-    * boilerplate-repair ingest loop: arriving documents' segment hashes
-    * accumulate once, and fresh batches are REPAIRED against the
-    * accumulated census via [[graft.operators.Dedup.repairAgainstIndex]]
-    * without rescanning the corpus. The probe's census counts DISTINCT
-    * doc_ids, so the at-least-once append contract needs no
-    * exactly-once machinery — replays are census-invisible.
-    */
-  def maintainSegmentIndex(
-      docs: DataFrame,
-      indexDir: String,
-      checkpointLocation: String,
-      compactEvery: Long = 16L,
-      targetBytes: Long = 128L * 1024 * 1024,
-      segTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainGenerationalIndex(docs, indexDir, checkpointLocation, compactEvery, targetBytes)(
-      batch => graft.operators.Dedup.segmentSignatures(batch, segTokens))
-
-  private def maintainGenerationalIndex(
-      docs: DataFrame,
-      indexDir: String,
-      checkpointLocation: String,
-      compactEvery: Long,
-      targetBytes: Long)(
-      signaturesOf: Dataset[org.apache.spark.sql.Row] => DataFrame)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(compactEvery > 0, "compactEvery must be positive")
-    docs.writeStream
-      .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val (gen, genPath) = liveGeneration(fs, root, retireStale = true).getOrElse {
-          (0L, new org.apache.hadoop.fs.Path(root, "gen-0"))
-        }
-        signaturesOf(batch)
-          .write.mode("append").parquet(genPath.toString)
-        // the marker lands AFTER the generation has data (and heals a
-        // crash between a first append and its marker): a reader must
-        // never resolve a live generation whose directory holds zero
-        // parquet files — spark.read would fail on schema inference
-        // instead of giving the guided "no live generation" error
-        val live = new org.apache.hadoop.fs.Path(genPath, "_live")
-        if (!fs.exists(live)) fs.create(live, true).close()
-        if (batchId > 0 && batchId % compactEvery == 0) {
-          val next = new org.apache.hadoop.fs.Path(root, s"gen-${gen + 1}")
-          // a next-gen dir can only pre-exist from a compaction that
-          // crashed before its _live marker: incomplete, redo from scratch
-          if (fs.exists(next)) fs.delete(next, true)
-          graft.sources.Sources.compactParquet(
-            spark, genPath.toString, next.toString, targetBytes)
-          // cutover: one atomic create, then retire the old marker
-          fs.create(new org.apache.hadoop.fs.Path(next, "_live"), true).close()
-          fs.delete(new org.apache.hadoop.fs.Path(genPath, "_live"), false)
-          // lag-1 retention: no new reader can resolve gen-(n-1), and its
-          // in-flight readers have had a full compaction period to finish
-          if (gen > 0)
-            fs.delete(new org.apache.hadoop.fs.Path(root, s"gen-${gen - 1}"), true)
-        }
-        ()
-      }
-      .start()
-  }
-
-  /** The probe-side resolver for a [[maintainLshIndex]] index: the LIVE
-    * generation's signature relation, suitable for
-    * [[graft.operators.Dedup.indexCandidates]]. A reader racing the
-    * cutover's two marker operations (new `_live` created, then old one
-    * retired) can observe a listing where NEITHER marker is visible yet
-    * — existence checks are per-directory, not atomic over the listing —
-    * so resolution retries a few times before declaring the index
-    * absent; the maintainer's invariant (never zero live markers except
-    * before the first batch) makes one retry sufficient in practice.
-    * Read-only: stale-marker retirement belongs to the MAINTAINER
-    * (racing it from the read path would have two actors deleting
-    * markers concurrently).
-    */
-  def lshIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    liveIndex(spark, indexDir, "LSH")
-
-  /** The probe-side resolver for a [[maintainWinnowIndex]] index — the
-    * live generation's stamped fingerprint relation, suitable for
-    * [[graft.operators.Dedup.winnowCandidates]]. Same resolution (and
-    * cutover-race retry) as [[lshIndex]].
-    */
-  def winnowIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    liveIndex(spark, indexDir, "winnow")
-
-  /** The probe-side resolver for a [[maintainSegmentIndex]] index — the
-    * live generation's stamped segment-hash relation, suitable for
-    * [[graft.operators.Dedup.repairAgainstIndex]]. Same resolution (and
-    * cutover-race retry) as [[lshIndex]].
-    */
-  def segmentIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    liveIndex(spark, indexDir, "segment")
-
-  private def liveIndex(
-      spark: org.apache.spark.sql.SparkSession,
-      indexDir: String,
-      what: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    def genDirsExist: Boolean =
-      fs.exists(root) && fs.listStatus(root).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("gen-"))
-    var live = liveGeneration(fs, root, retireStale = false)
-    var attempt = 0
-    // retry ONLY the actual race (generation directories present but no
-    // marker visible mid-cutover) — a legitimately absent index fails
-    // immediately, without paying the backoff just to raise the error
-    while (live.isEmpty && genDirsExist && attempt < 3) {
-      Thread.sleep(50L << attempt) // 50/100/200 ms: outwait a cutover
-      live = liveGeneration(fs, root, retireStale = false)
-      attempt += 1
-    }
-    val resolved = live.getOrElse(
-      sys.error(s"no live $what index generation under $indexDir — " +
-        "has the index maintainer processed a batch yet?"))
-    spark.read.parquet(resolved._2.toString)
-  }
-
-  /** Highest `gen-<n>` under `root` bearing a `_live` marker. With
-    * `retireStale` (maintainer only), extra markers left by a cutover
-    * crash are deleted; the highest (the compacted superset) wins either
-    * way.
-    */
-  private def liveGeneration(
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path,
-      retireStale: Boolean): Option[(Long, org.apache.hadoop.fs.Path)] = {
-    if (!fs.exists(root)) return None
-    val gens = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("gen-")) name.drop(4).toLongOption.map(_ -> st.getPath)
-        else None
-      }
-      .sortBy(_._1)
-      .filter { case (_, p) => fs.exists(new org.apache.hadoop.fs.Path(p, "_live")) }
-    if (retireStale)
-      gens.dropRight(1).foreach { case (_, p) => // stale markers from a cutover crash
-        fs.delete(new org.apache.hadoop.fs.Path(p, "_live"), false)
-      }
-    gens.lastOption
-  }
 
   /** EXT-6g — streaming Bloom dedup prefilter: flags each incoming
     * document against the corpus Bloom index built by

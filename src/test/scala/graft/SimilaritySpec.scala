@@ -505,6 +505,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"full-probe full-shortlist point must be exact: ${rows((16, 499))._4} != ${nQ * 3}")
   }
 
+  test("opqPermutation / pqCodesOpq (x189): valid balanced deal; strongest mutual pair separated; m=1 is permutation-invariant") {
+    val sfDir = "/root/testdata/sf0.001"
+    val m = 8
+    val perm = Similarity.opqPermutation(spark, sfDir, m)
+    // a permutation: every dim exactly once (the bijection law)
+    assert(perm.sorted == (0 until 64), s"not a permutation: $perm")
+    // the deal is exactly balanced by construction: 8 dims per subspace
+    // is the layout's shape, not a property to test — but the STRONGEST
+    // gram pair must land in different subspaces: its two dims carry the
+    // equal (maximal) strength, so they rank adjacently and the
+    // round-robin deal splits them
+    import spark.implicits.newProductEncoder
+    val gram = Similarity.dimGram(spark, sfDir)
+      .as[(Int, Int, Long)].collect()
+    val (ti, tj, _) = gram.maxBy { case (i, j, g) => (math.abs(g), -i, -j) }
+    def subspace(d: Int): Int = perm.indexOf(d) / (64 / m)
+    assert(subspace(ti) != subspace(tj),
+      s"strongest pair ($ti, $tj) landed in one subspace ${subspace(ti)}")
+    // m = 1 invariance: one subspace means distances are computed over
+    // the WHOLE permuted vector, and a permutation shared by query and
+    // codebook is distance-invariant — codes and recon_err bit-equal to
+    // the unpermuted encode
+    val base = Similarity.pqCodes(spark, sfDir, m = 1, ksub = 16, iters = 2)
+      .collect().map(_.toString).toSeq
+    val opq = Similarity.pqCodesOpq(spark, sfDir, m = 1, ksub = 16, iters = 2)
+      .collect().map(_.toString).toSeq
+    assert(opq == base && opq.nonEmpty,
+      "m=1 OPQ encode must be bit-equal to the unpermuted encode")
+  }
+
   test("ivfPqTopKRefined (x186): refine never loses hits; degenerates to brute force at full probe + full shortlist") {
     val sfDir = "/root/testdata/sf0.001"
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -1333,6 +1333,91 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("EXT-6ao maintainIvfPqIndex: live probe equals the static probe across generations + replays; compaction keeps the pruned-scan minority; wrong-width ingest refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-gen").toString
+    // geometry trained ONCE (sidecars only); code rows arrive by stream
+    graft.operators.Similarity.initIvfPqIndex(spark, sfDir, s"$tmp/index", nCentroids = 16)
+    val vecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.maintainIvfPqIndex(
+      stream.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 2L)
+    try {
+      // 4 corpus batches: compaction fires at batchId 2 (generations
+      // roll under the maintainer) ...
+      vecs.grouped(150).foreach { g =>
+        stream.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      // ... then an at-least-once REPLAY re-appends batch 0's rows
+      // (byte-identical re-encode) and triggers a second compaction
+      stream.addData(vecs.take(150).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // union-of-generations (+ replay, + compactions) probe ≡ the static
+    // index probe over the same corpus — hence, by x179's bit-equal
+    // pin, ≡ the in-memory composite
+    val staticIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-stat").toString
+    graft.operators.Similarity.writeIvfPqIndex(spark, sfDir, staticIdx, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id", "embedding")
+    val live = StreamOps.ivfPqProbeLive(spark, s"$tmp/index", queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val expect = graft.operators.Similarity.ivfPqTopKFromIndex(
+      spark, staticIdx, queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(live == expect && expect.nonEmpty,
+      "live generational probe diverged from the static-index probe")
+    // the compacted live generation keeps the cell directory layout, so
+    // a narrow query batch's probe scans a strict minority of its files
+    def parquetFilesUnder(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFilesUnder)
+    }
+    val genDirs = new java.io.File(s"$tmp/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    val liveGenFiles = genDirs.map(parquetFilesUnder(_).length).max
+    assert(liveGenFiles >= 16, s"expected >=1 file per cell dir, got $liveGenFiles")
+    val narrow = StreamOps.ivfPqProbeLive(spark, s"$tmp/index",
+      queries.limit(2), k = 3, nprobe = 1)
+    narrow.collect()
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        fileScans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scanned = fileScans(narrow.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("gen-")))
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned <= liveGenFiles / 4,
+      s"live probe scanned $scanned of $liveGenFiles generation files — pruning did not survive compaction")
+    // ingest refusal: a wrong-width arrival batch must REFUSE against
+    // the stamped geometry, not be silently mis-coded
+    val stream2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamOps.maintainIvfPqIndex(
+      stream2.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt2")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        stream2.addData((900000L, Seq.fill(32)(0.5f)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(err.getMessage.contains("does not match the index's"),
+      s"expected the stamped-width refusal, got: ${err.getMessage}")
+  }
+
   test("EXT-T9b serving path: streamed query batches probe the PERSISTED BM25 index with bucket-pruned scans") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
