@@ -80,6 +80,26 @@ object Dedup {
       lit(s"bucket saturated (> $cap rows share one group key) — $knob"))
       .isNull)
 
+  /** COUNT-FIRST saturation guard (the r16 audit note on
+    * [[guardBucketSize]]): for a truly degenerate bucket the in-plan
+    * assert evaluates only AFTER `collect_list` has buffered the bucket
+    * — the aggregation can OOM before the assert fires. This variant
+    * runs an EAGER counting pass over the pre-grouped rows first: a
+    * `count` partial agg is map-side bounded at any bucket size, so the
+    * refusal is guaranteed-actionable at any corpus, and only a corpus
+    * that PASSES goes on to pay the collect. Costs one extra narrow
+    * pass over the (sketch-sized) banded relation — callers materialize
+    * it once and feed both passes.
+    */
+  private[operators] def guardBucketCountsEager(
+      banded: DataFrame, keys: Seq[String], cap: Int, knob: String): Unit = {
+    val mx = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) <= cap,
+        s"bucket saturated (${mx.getLong(0)} > $cap rows share one group key) — $knob")
+  }
+
   /** Row-local exact verification of candidate pairs (d1 < d2) against
     * the shingle arrays: Jaccard via `array_intersect`, keeping pairs at
     * `threshold`. The arrays relation is per-doc (small relative to any

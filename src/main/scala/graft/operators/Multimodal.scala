@@ -294,20 +294,25 @@ object Multimodal {
     // fingerprint row carries (phash, pdigest) INTO its band buckets, so
     // the pair expansion is the STREAMING chained-explode shape (per-row
     // memory O(|bucket|), no |bucket|²-row self-join materialization and
-    // no re-join back to the fingerprint table), and the shared
-    // saturation guard converts a degenerate hot bucket — dHash maps
-    // every constant/monotone/empty payload to hash 0, so a corpus of
-    // uniform stubs can put a large fraction of docs in ONE bucket —
-    // into an actionable failure instead of an executor OOM
-    val banded = phashes(media).toDF()
+    // no re-join back to the fingerprint table). The saturation guard is
+    // the COUNT-FIRST eager pass (the r16 audit note): a degenerate hot
+    // bucket — dHash maps every constant/monotone/empty payload to hash
+    // 0, so a corpus of uniform stubs can put a large fraction of docs
+    // in ONE bucket — refuses with the knob named BEFORE any
+    // collect_list buffers it, guaranteed-actionable at any corpus. The
+    // fingerprint relation (16 B of sketch + digest per payload) is
+    // materialized once and feeds the counting pass, the expansion, and
+    // nothing re-hashes payload bytes.
+    val fps = phashes(media).toDF().localCheckpoint()
+    val banded = fps
       .select(struct(col("doc_id"), col("phash"), col("pdigest")).as("rec"),
         posexplode(array((0 until 5).map(b =>
           shiftright(col("phash"), b * 12).bitwiseAND(lit(4095L))): _*))
           .as(Seq("band", "bv")))
-    val grouped = banded.groupBy("band", "bv").agg(collect_list(col("rec")).as("ds"))
-    Dedup.guardBucketSize(grouped, maxBucket,
+    Dedup.guardBucketCountsEager(banded, Seq("band", "bv"), maxBucket,
       "near-uniform payloads collapse to one dHash bucket — " +
         "pre-filter degenerate media or raise maxBucket")
+    banded.groupBy("band", "bv").agg(collect_list(col("rec")).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
@@ -318,6 +323,75 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("d1", "d2")
+  }
+
+  /** The signature unit of the PERSISTED perceptual-fingerprint index
+    * (EXT-6ap — the media-ingest twin of [[Dedup.bandSignatures]]'s
+    * unit): per payload its 60-bit dHash + byte digest, stamped with
+    * the banding geometry the probe's exactness radius depends on (the
+    * winnowSignatures parameter-bundling contract — an index probed
+    * under different banding silently changes which Hamming radius is
+    * EXACT, so the probe validates the stamp instead). Expects
+    * `(doc_id, payload, media_type)` rows — one row-local mapPartitions
+    * pass; 16 B of sketch + a digest per payload, payload bytes never
+    * leave the partition.
+    */
+  def phashSignatures(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    phashes(media.select(col("doc_id"), col("payload"), col("media_type"))
+        .as[MediaRecord]).toDF()
+      .withColumn("n_bands", lit(5))
+      .withColumn("band_bits", lit(12))
+  }
+
+  /** EXT-6ap's probe: perceptual near-dup MATCHES of an arriving media
+    * batch against a persisted fingerprint index ([[phashSignatures]]
+    * rows — static or the live generation of
+    * `StreamOps.maintainPhashIndex`). Arrivals are fingerprinted
+    * row-locally ([[phashes]] — payloads never join or shuffle), bands
+    * derive from the 60-bit hash on BOTH sides (re-banding a hash is a
+    * shift+mask, so the index stores fingerprints once, not 5 band
+    * rows), candidates come only from band-bucket equi-joins, and each
+    * surviving pair carries the exact Hamming distance and the
+    * byte-equal flag — x185's contract served at ingest time.
+    *
+    * Replay-IMMUNE, not merely tolerant: the at-least-once maintainer
+    * can only append byte-identical fingerprint rows (the re-encode is
+    * deterministic), and the output `distinct` collapses both replay
+    * duplicates and multi-band collisions — the winnowCandidates
+    * discipline. A mis-stamped index REFUSES.
+    */
+  def phashCandidates(arrivals: DataFrame, index: DataFrame,
+      maxHamming: Int = 4): DataFrame = {
+    import arrivals.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"banding (5 bands × 12 bits) is exact only to hamming <= 4 (got $maxHamming)")
+    val stamps = index.select(col("n_bands"), col("band_bits"))
+      .distinct().as[(Int, Int)].collect()
+    require(stamps.length == 1 && stamps.head == ((5, 12)),
+      s"index fingerprinted under banding ${stamps.mkString(",")} — " +
+        "this probe is exact only for (5 bands, 12 bits); rebuild or reprobe to match")
+    def bands(rel: DataFrame, hashCol: String): DataFrame = rel
+      .select(col("*"), posexplode(array((0 until 5).map(b =>
+        shiftright(col(hashCol), b * 12).bitwiseAND(lit(4095L))): _*))
+        .as(Seq("band", "bv")))
+    val aFp = bands(
+      phashes(arrivals.select(col("doc_id"), col("payload"), col("media_type"))
+          .as[MediaRecord]).toDF()
+        .select(col("doc_id"), col("phash").as("aph"), col("pdigest").as("adg")),
+      "aph")
+    val iFp = bands(
+      index.select(col("doc_id").as("match_id"), col("phash").as("iph"),
+        col("pdigest").as("idg")),
+      "iph")
+    aFp.join(iFp, Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("match_id"))
+      .select(col("doc_id"), col("match_id"),
+        bit_count(col("aph").bitwiseXOR(col("iph"))).cast("long").as("hamming"),
+        (col("adg") === col("idg")).as("byte_equal"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_id", "match_id")
   }
 
   /** The media table plus deterministic RE-ENCODED variants — the

@@ -335,6 +335,40 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       spark, indexDir, ivfPqIndex(spark, indexDir), queries, k, nprobe,
       staticPrune, dedupReplays = true)
 
+  /** EXT-6ap — streaming perceptual-FINGERPRINT index maintenance: the
+    * generation lifecycle applied to
+    * [[graft.operators.Multimodal.phashSignatures]], the 16-byte dHash
+    * + digest unit of x185's perceptual media dedup. Closes the media
+    * re-hosting ingest loop (the r16 verdict's #4): a re-encoded copy
+    * of an indexed payload is exactly the ingest-time question — its
+    * byte digest differs (x151's loop misses it) but its dHash lands
+    * within the banding radius, and
+    * [[graft.operators.Multimodal.phashCandidates]] probes arriving
+    * payloads against the accumulated fingerprints without re-hashing
+    * the corpus. Expects `(doc_id, payload, media_type)` rows.
+    *
+    * At-least-once appends + a replay-immune probe (the fingerprint is
+    * a pure function of the payload, so replays append byte-identical
+    * rows and the probe's `distinct` collapses them); the banding stamp
+    * rides every row and a mis-stamped index refuses at probe time.
+    */
+  def maintainPhashIndex(
+      media: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(media, indexDir, checkpointLocation, compactEvery, targetBytes)(
+      batch => graft.operators.Multimodal.phashSignatures(batch.toDF()))
+
+  /** The probe-side resolver for a [[maintainPhashIndex]] index — the
+    * live generation's stamped fingerprint relation, suitable for
+    * [[graft.operators.Multimodal.phashCandidates]]. Same resolution
+    * (and cutover-race retry) as [[lshIndex]].
+    */
+  def phashIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    liveIndex(spark, indexDir, "pHash")
+
   /** Highest `gen-<n>` under `root` bearing a `_live` marker. With
     * `retireStale` (maintainer only), extra markers left by a cutover
     * crash are deleted; the highest (the compacted superset) wins either

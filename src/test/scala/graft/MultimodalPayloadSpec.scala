@@ -227,6 +227,54 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSuite {
     pairs.foreach(p => assert(p._3 <= 4 && p._1 < p._2))
   }
 
+  test("phashNearDup: count-first saturation guard refuses a degenerate bucket with the knob named") {
+    import spark.implicits._
+    // constant payloads all hash to 0 — every row lands in ONE bucket
+    // per band; the eager counting pass must refuse BEFORE any
+    // collect_list buffers the bucket (the r16 audit note)
+    val media = spark.createDataset((1L to 6L).map(i =>
+      Multimodal.MediaRecord(i, Array.fill(61)(9.toByte), "image/png")))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(media, maxBucket = 3).collect()
+    }
+    assert(e.getMessage.contains("bucket saturated") &&
+      e.getMessage.contains("maxBucket"), e.getMessage)
+  }
+
+  test("phashCandidates (EXT-6ap probe): exact + re-encoded copies match the index; replay duplicates collapse; mis-stamped index refused") {
+    import spark.implicits._
+    // payloads long enough that an 8-char prefix reversal moves only the
+    // first couple of grid samples — the re-encode class by construction
+    val base = (1 to 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val variant = base.take(8).reverse + base.drop(8)
+    val hamDirect = java.lang.Long.bitCount(
+      Multimodal.dHash60(base.getBytes("UTF-8")) ^
+        Multimodal.dHash60(variant.getBytes("UTF-8")))
+    assert(hamDirect >= 1 && hamDirect <= 4,
+      s"fixture precondition: prefix reversal must stay within the radius (got $hamDirect)")
+    val other = (1 to 300).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    def mediaDf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").selectExpr(
+        "doc_id", "encode(text, 'UTF-8') AS payload", "'text/plain' AS media_type")
+    val index = Multimodal.phashSignatures(mediaDf(1L -> base, 2L -> other))
+    val arrivals = mediaDf(100L -> base, 101L -> variant, 102L -> other.reverse)
+    val got = Multimodal.phashCandidates(arrivals, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // 100 is a byte-exact copy of 1; 101 the perceptual-only re-encode;
+    // 102 (reversed other) shares no banding with anything indexed
+    assert(got == Seq((100L, 1L, 0L, true), (101L, 1L, hamDirect.toLong, false)), got.toString)
+    // replay immunity: duplicated index rows must not duplicate matches
+    val replayed = Multimodal.phashCandidates(arrivals, index.unionAll(index)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(replayed == got, "replay-duplicated index rows inflated the match set")
+    // stamp refusal: an index fingerprinted under different banding
+    val bad = index.withColumn("n_bands", org.apache.spark.sql.functions.lit(4))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashCandidates(arrivals, bad).collect()
+    }
+    assert(e.getMessage.contains("fingerprinted under banding"), e.getMessage)
+  }
+
   test("jsonEnvelope (x153): roundtrip identity and the hand-computed wire lengths") {
     val dir = TestTables.eventsDir(spark, Seq(
       (7L, 1000000L, 1L, "click"),   // 29 + 1 digit + 5 = 35

@@ -1418,6 +1418,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       s"expected the stamped-width refusal, got: ${err.getMessage}")
   }
 
+  test("EXT-6ap maintainPhashIndex: streamed fingerprints equal the batch relation; re-encoded copy caught at ingest; replays collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val other = (1 to 300).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phashidx").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.maintainPhashIndex(
+      stream.toDF().toDF("doc_id", "text").selectExpr(
+        "doc_id", "encode(text, 'UTF-8') AS payload", "'text/plain' AS media_type"),
+      s"$tmp/index", s"$tmp/ckpt")
+    try {
+      stream.addData(1L -> base)
+      q.processAllAvailable()
+      stream.addData(2L -> other) // second microbatch appends, never rewrites
+      q.processAllAvailable()
+      stream.addData(1L -> base) // an at-least-once replay: identical rows
+      q.processAllAvailable()
+    } finally q.stop()
+    def mediaDf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").selectExpr(
+        "doc_id", "encode(text, 'UTF-8') AS payload", "'text/plain' AS media_type")
+    // distinct view of the streamed index equals the batch relation
+    val streamed = StreamOps.phashIndex(spark, s"$tmp/index")
+    assert(streamed.distinct().collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      graft.operators.Multimodal.phashSignatures(mediaDf(1L -> base, 2L -> other))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the ingest question the index exists for: a re-encoded copy of an
+    // indexed payload (digest differs, dHash within the radius) matches
+    // its source at probe time — and the replayed append does not
+    // duplicate the match
+    val variant = base.take(8).reverse + base.drop(8)
+    val cands = graft.operators.Multimodal.phashCandidates(
+      mediaDf(100L -> variant), streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(cands == Seq((100L, 1L, false)),
+      s"expected the perceptual-only ingest match against doc 1, got $cands")
+  }
+
   test("EXT-T9b serving path: streamed query batches probe the PERSISTED BM25 index with bucket-pruned scans") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
