@@ -101,6 +101,25 @@ object ServeBench {
       Similarity.ivfPqTopKRefinedFromIndex(spark, s"$root/ivfpq", sfDir, queries,
         k = 3, nprobe = 2, shortlist = 32))
 
+    // the GENERATIONAL composite layout (EXT-6ao): sidecars stamped by
+    // initIvfPqIndex, code rows appended cell-partitioned into the live
+    // generation (one maintainer "microbatch" covering the corpus), then
+    // probed through the live-generation resolver + replay dedup — the
+    // self-maintaining index's steady-state serving number next to the
+    // static layout's, pricing the dedup pass over the pruned rows
+    builds("ivfpq_gen") = time {
+      Similarity.initIvfPqIndex(spark, sfDir, s"$root/ivfpqgen")
+      val (cents, cb, _, dsub) = Similarity.loadIvfPqGeometry(spark, s"$root/ivfpqgen")
+      Similarity.ivfPqAssignProjection(Tables.embeddings(spark, sfDir), cents, cb, dsub)
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$root/ivfpqgen/gen-0")
+      new java.io.File(s"$root/ivfpqgen/gen-0/_live").createNewFile()
+      ()
+    }
+    probes("ivfpq_live") = medianProbe(() =>
+      graft.streaming.StreamOps.ivfPqProbeLive(
+        spark, s"$root/ivfpqgen", queries, k = 3, nprobe = 2))
+
     // the cluster index (EXT-6aj's batch face): the gate's membership
     // lookup over a doc_id batch (bucket-pruned), plus the two
     // report-every-run consumers the FromIndex adoption serves
