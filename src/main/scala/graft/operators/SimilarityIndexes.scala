@@ -1214,6 +1214,15 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     * exactly x186's hit mass. Recall is NOT claimed monotone in nprobe
     * (x181's ADC-impostor caveat applies to the shortlist's content).
     */
+  /** `opq = true` sweeps the table under the [[opqPermutation]] layout:
+    * the PQ subspace split (codebooks, corpus codes, query subvectors)
+    * moves to the decorrelated deal while the COARSE quantizer, the
+    * truth leg, and the float refine stay in unpermuted space (cosine
+    * is permutation-invariant; only the ADC ranking inside the probed
+    * set changes). The question this knob answers: does a better-coded
+    * shortlist CAPTURE the true neighbors earlier, letting a smaller
+    * shortlist — fewer float fetches — clear the same recall budget?
+    */
   def refinedTuningSweep(
       spark: SparkSession,
       dir: String,
@@ -1224,7 +1233,8 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       nprobes: Seq[Int] = Seq(2, 4, 8),
       shortlists: Seq[Int] = Seq(8, 16, 32),
       k: Int = 3,
-      queryMod: Int = 10): DataFrame = {
+      queryMod: Int = 10,
+      opq: Boolean = false): DataFrame = {
     require(nprobes.nonEmpty && nprobes.distinct.size == nprobes.size,
       s"nprobes must be non-empty and distinct (got ${nprobes.mkString(",")})")
     require(shortlists.nonEmpty && shortlists.distinct.size == shortlists.size,
@@ -1239,13 +1249,22 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint()
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
+    val perm = if (opq) Some(opqPermutation(spark, dir, m)) else None
+    def q8(c: Column): Column =
+      perm.fold(int8Quantize(c))(p => permutedVec(int8Quantize(c), p))
+    val (cb, dsub) = perm match {
+      case None => pqCodebooks(spark, dir, m, ksub, iters)
+      case Some(p) => pqCodebooksCached(spark, dir, "-opq", m, ksub, iters)(
+        int8Corpus(spark, dir)
+          .select(col("vec_id"), permutedVec(col("qv"), p).as("qv"))
+          .localCheckpoint())
+    }
     val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
     // the one coded-corpus pass (x176's build half: cell label rides the
     // encode projection; spread + pinned — the codegen-fusion/skew note)
     val corpusCoded = pqAssign(
       withCell.select(col("vec_id"), col("cell"),
-        int8Quantize(col("embedding")).as("qv")),
+        q8(col("embedding")).as("qv")),
       cb, dsub, passthrough = Seq("cell"))
       .select(col("cell"), col("vec_id").as("cid"), col("codes"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -1254,7 +1273,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // (the x182 spelling — identical tie-break to probeCellsCol)
     val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
     val q = qSrc
-      .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"),
+      .select(col("vec_id").as("qid"), q8(col("embedding")).as("qe"),
         posexplode(slice(reverse(array_sort(scoredCells)), 1, maxNp)).as(Seq("pr", "pc")))
       .select(col("qid"), col("qe"), (col("pr") + 1).cast("int").as("prank"),
         (lit(nCentroids - 1) - col("pc").getField("nk")).as("cell"))

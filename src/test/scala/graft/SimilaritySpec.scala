@@ -503,6 +503,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // full probe + full shortlist clears both loss terms: recall 1
     assert(rows((16, 499))._4 == nQ * 3,
       s"full-probe full-shortlist point must be exact: ${rows((16, 499))._4} != ${nQ * 3}")
+    // and the same exactness holds under the OPQ layout — the refine
+    // tail erases the coding geometry entirely once nothing is pruned
+    // (the permutation moves only the ADC ranking INSIDE the shortlist)
+    val opqFull = Similarity.refinedTuningSweep(spark, sfDir, nCentroids = 16,
+      nprobes = Seq(16), shortlists = Seq(499), k = 3, queryMod = 10, opq = true)
+      .collect().head
+    assert(opqFull.getLong(5) == nQ * 3,
+      s"OPQ full-probe full-shortlist point must be exact: ${opqFull.getLong(5)}")
   }
 
   test("opqPermutation / pqCodesOpq (x189): valid balanced deal; strongest mutual pair separated; m=1 is permutation-invariant") {
