@@ -871,16 +871,37 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     * probes read the geometry from the index itself and REFUSE a
     * mismatched query batch rather than mis-rank.
     */
+  /** `opq = true` persists the index under the [[opqPermutation]]
+    * layout — the deployment the r17 measurement singled out as OPQ's
+    * home: PURE-ADC serving (no float store reachable at query time,
+    * no refine tail to absorb coding error — the +5.6% relative ADC
+    * recall is then end-to-end). The permutation is STAMPED as a
+    * `perm/` sidecar (pos → dim), the [[writeIvfIndex]]
+    * parameter-bundling contract: the probe reads the layout from the
+    * index itself and permutes the query batch identically, so a
+    * query can never be scored against a layout it wasn't projected
+    * into. An index without `perm/` is the legacy identity layout —
+    * every existing index probes unchanged.
+    */
   def writePqIndex(
       spark: SparkSession,
       dir: String,
       indexPath: String,
       m: Int = 8,
       ksub: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2,
+      opq: Boolean = false): Unit = {
     import spark.implicits._
-    val (cb, dsub) = pqCodebooks(spark, dir, m, ksub, iters)
-    pqAssign(int8Corpus(spark, dir), cb, dsub)
+    val perm = if (opq) Some(opqPermutation(spark, dir, m)) else None
+    val corpus = perm.fold(int8Corpus(spark, dir))(p =>
+      int8Corpus(spark, dir)
+        .select(col("vec_id"), permutedVec(col("qv"), p).as("qv"))
+        .localCheckpoint())
+    val (cb, dsub) = perm match {
+      case None => pqCodebooks(spark, dir, m, ksub, iters)
+      case Some(_) => pqCodebooksCached(spark, dir, "-opq", m, ksub, iters)(corpus)
+    }
+    pqAssign(corpus, cb, dsub)
       .select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
     val rows = for {
@@ -891,7 +912,34 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     spark.range(1)
       .select(lit(m).as("m"), lit(ksub).as("ksub"), lit(m * dsub).as("dim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    perm.foreach { p =>
+      p.zipWithIndex.map { case (d, pos) => (pos, d) }.toDF("pos", "d")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/perm")
+    }
   }
+
+  /** The stamped layout permutation of a persisted PQ index, or None
+    * for the legacy identity layout (no `perm/` sidecar). Validated as
+    * a bijection of 0..dim−1 — a corrupt layout stamp must REFUSE, not
+    * silently mis-project every query batch. Memoized like the other
+    * sidecars.
+    */
+  private def loadPqPerm(
+      spark: SparkSession, indexPath: String, dim: Int): Option[Seq[Int]] =
+    IndexCache.cached[Option[Seq[Int]]](
+      spark, s"pqperm|$indexPath", Seq(s"$indexPath/perm")) {
+      import spark.implicits._
+      val path = new org.apache.hadoop.fs.Path(s"$indexPath/perm")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) None
+      else {
+        val rows = spark.read.parquet(s"$indexPath/perm")
+          .select(col("pos"), col("d")).as[(Int, Int)].collect() // dim rows, bounded
+        require(rows.length == dim && rows.map(_._2).sorted.sameElements(0 until dim),
+          s"corrupt perm sidecar: ${rows.length} rows for dim $dim")
+        Some(rows.sortBy(_._1).map(_._2).toSeq)
+      }
+    }
 
   /** EXT-S20b probe — ADC top-k for an arbitrary `(vec_id, embedding)`
     * query relation against a PERSISTED PQ index: results spec-pinned
@@ -908,9 +956,16 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       queries: DataFrame,
       k: Int = 3,
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val (cb, dsub) = loadPqGeometry(spark, indexPath, queries, "pq")
+    val (cb, dim, dsub) = loadPqMeta(spark, indexPath, "pq")
+    requireUniformDim(queries, dim, "coded dim")
+    // the stamped layout: an OPQ index projects the query batch through
+    // its own persisted permutation (identity for legacy layouts) — the
+    // query can never be scored against a layout it wasn't coded in
+    val perm = loadPqPerm(spark, indexPath, dim)
     val qRaw = queries
-      .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"))
+      .select(col("vec_id").as("qid"),
+        perm.fold(int8Quantize(col("embedding")))(p =>
+          permutedVec(int8Quantize(col("embedding")), p)).as("qe"))
     val q = broadcastIfMeasuredUnder(qRaw,
       s"$indexPath|pqq|${System.identityHashCode(queries)}",
       () => { val b = embRowBytes(qRaw, "qe"); if (b < 0) b else b * 2 },

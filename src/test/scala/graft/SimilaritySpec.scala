@@ -888,6 +888,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(e2.getMessage.contains("corrupt pq index"))
   }
 
+  test("persisted PQ index with the OPQ layout: probe equals in-memory pqTopKOpq; legacy layout untouched; corrupt perm refused") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-pqopqidx").toString
+    Similarity.writePqIndex(spark, dir, idxPath, opq = true)
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    // the probe permutes the query batch through the index's OWN stamped
+    // layout — bit-equal to the in-memory OPQ ADC over the same corpus
+    val got = Similarity.pqTopKFromIndex(spark, idxPath, queries, k = 3)
+      .collect().map(_.toString).toSeq
+    val expect = Similarity.pqTopKOpq(spark, dir, k = 3, queryMod = 10)
+      .collect().map(_.toString).toSeq
+    assert(got == expect && got.nonEmpty,
+      "persisted OPQ probe diverged from the in-memory OPQ ADC")
+    // and the layouts genuinely differ: the identity-layout index over
+    // the same corpus ranks differently somewhere (m=8 splits move)
+    val legacyPath = java.nio.file.Files.createTempDirectory("graft-pqlegidx").toString
+    Similarity.writePqIndex(spark, dir, legacyPath)
+    val legacy = Similarity.pqTopKFromIndex(spark, legacyPath, queries, k = 3)
+      .collect().map(_.toString).toSeq
+    assert(legacy == Similarity.pqTopK(spark, dir, k = 3, queryMod = 10)
+      .collect().map(_.toString).toSeq,
+      "legacy identity layout must keep probing exactly as before")
+    assert(legacy != got, "the OPQ layout should change at least one ADC ranking")
+    // a corrupt perm sidecar (not a bijection) must refuse, not mis-rank
+    import spark.implicits._
+    (0 until 64).map(p => (p, 0)).toDF("pos", "d")
+      .write.mode("overwrite").parquet(s"$idxPath/perm")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(spark, idxPath, queries)
+    }
+    assert(e.getMessage.contains("corrupt perm sidecar"), e.getMessage)
+  }
+
   test("persisted IVF-PQ index (x179): probe equals in-memory ivfPqTopK; refusals inherited") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val dir = "/root/testdata/sf0.001"
