@@ -109,10 +109,13 @@ object ServeBench {
     // static layout's, pricing the dedup pass over the pruned rows
     builds("ivfpq_gen") = time {
       Similarity.initIvfPqIndex(spark, sfDir, s"$root/ivfpqgen")
-      val (cents, cb, _, dsub) = Similarity.loadIvfPqGeometry(spark, s"$root/ivfpqgen")
+      val (cents, cb, dim, dsub) = Similarity.loadIvfPqGeometry(spark, s"$root/ivfpqgen")
       Similarity.ivfPqAssignProjection(Tables.embeddings(spark, sfDir), cents, cb, dsub)
         .select(col("vec_id"), col("codes"), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$root/ivfpqgen/gen-0")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/ivfpqgen/gen-0/_geom"),
+        Similarity.ivfPqGeometryStamp(cents, cb, dim).getBytes("UTF-8"))
       new java.io.File(s"$root/ivfpqgen/gen-0/_live").createNewFile()
       ()
     }

@@ -183,6 +183,28 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     (cents, cb, dim, dsub)
   }
 
+  /** A deterministic CONTENT fingerprint of a loaded IVF-PQ geometry
+    * (coarse centroids + codebooks + dim) — the generation-level stamp
+    * EXT-6ao writes next to appended code rows and validates before
+    * every append and probe. Code rows are meaningless without the
+    * exact geometry that produced them, and a RETRAIN over a live
+    * index (sidecars rewritten in place) would otherwise mix old-layout
+    * and new-layout rows in one generation and mis-score every old row:
+    * the stamp turns that into a refusal naming the rebuild. Pure
+    * function of the values (MurmurHash3 over an ordered flattening),
+    * so it is stable across JVMs and sessions.
+    */
+  private[graft] def ivfPqGeometryStamp(
+      cents: Seq[(Int, Seq[Float])],
+      cb: Array[Array[Array[Long]]],
+      dim: Int): String = {
+    val flat = Seq.newBuilder[Any]
+    flat += dim
+    cents.foreach { case (cid, v) => flat += cid; v.foreach(flat += _) }
+    cb.foreach(_.foreach(_.foreach(flat += _)))
+    scala.util.hashing.MurmurHash3.orderedHash(flat.result()).toHexString
+  }
+
   /** The batch's DISTINCT probe cells for a staticPrune literal filter:
     * ≤ nCentroids values by construction (cells are 0..nCentroids−1),
     * so the collect is bounded no matter how large the query relation

@@ -115,7 +115,8 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       checkpointLocation: String,
       compactEvery: Long,
       targetBytes: Long,
-      partitionCols: Seq[String] = Nil)(
+      partitionCols: Seq[String] = Nil,
+      generationStamp: Option[org.apache.spark.sql.SparkSession => String] = None)(
       signaturesOf: Dataset[org.apache.spark.sql.Row] => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, "compactEvery must be positive")
@@ -128,6 +129,12 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
         val (gen, genPath) = liveGeneration(fs, root, retireStale = true).getOrElse {
           (0L, new org.apache.hadoop.fs.Path(root, "gen-0"))
         }
+        // generation-level layout stamp (EXT-6ao): rows produced under
+        // one geometry must never share a generation with rows produced
+        // under another — claim the stamp on first append, REFUSE a
+        // drifted one (a retrain over a live index requires a rebuild)
+        val stampNow = generationStamp.map(_(spark))
+        stampNow.foreach(s => claimOrValidateStamp(fs, genPath, s))
         val writer = signaturesOf(batch).write.mode("append")
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
           .parquet(genPath.toString)
@@ -149,6 +156,8 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
           else
             compactPartitionedParquet(
               spark, genPath.toString, next.toString, targetBytes, partitionCols)
+          // the compacted generation carries the SAME validated stamp
+          stampNow.foreach(s => claimOrValidateStamp(fs, next, s))
           // cutover: one atomic create, then retire the old marker
           fs.create(new org.apache.hadoop.fs.Path(next, "_live"), true).close()
           fs.delete(new org.apache.hadoop.fs.Path(genPath, "_live"), false)
@@ -225,7 +234,17 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
   private def liveIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
-      what: String): DataFrame = {
+      what: String): DataFrame =
+    spark.read.parquet(liveIndexPath(spark, indexDir, what).toString)
+
+  /** The resolved live-generation DIRECTORY (see [[liveIndex]] for the
+    * cutover-race retry) — for probes that also validate per-generation
+    * markers (EXT-6ao's geometry stamp) before reading.
+    */
+  private def liveIndexPath(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      what: String): org.apache.hadoop.fs.Path = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def genDirsExist: Boolean =
@@ -241,10 +260,39 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       live = liveGeneration(fs, root, retireStale = false)
       attempt += 1
     }
-    val resolved = live.getOrElse(
+    live.getOrElse(
       sys.error(s"no live $what index generation under $indexDir — " +
-        "has the index maintainer processed a batch yet?"))
-    spark.read.parquet(resolved._2.toString)
+        "has the index maintainer processed a batch yet?"))._2
+  }
+
+  /** Claim (first append) or validate (every later one) a generation's
+    * layout-stamp marker. The refusal is the EXT-6ao retrain contract:
+    * sidecars rewritten under a live index would otherwise mix rows
+    * coded under DIFFERENT geometries in one generation, and every
+    * old row would silently mis-score against the new codebooks.
+    */
+  private def claimOrValidateStamp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      genPath: org.apache.hadoop.fs.Path,
+      stamp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(genPath, "_geom")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write(stamp.getBytes("UTF-8"))
+      out.close()
+    } else {
+      val have = readStamp(fs, p)
+      require(have == stamp,
+        s"index geometry changed under a live generation ($have -> $stamp): " +
+          "a retrain cannot append into existing code rows — rebuild into a fresh index root")
+    }
+  }
+
+  private def readStamp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
   /** EXT-6ao — streaming IVF-PQ CODE-ROW maintenance: the generation
@@ -289,7 +337,12 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       targetBytes: Long = 128L * 1024 * 1024)
       : org.apache.spark.sql.streaming.StreamingQuery =
     maintainGenerationalIndex(vecs, indexPath, checkpointLocation,
-      compactEvery, targetBytes, partitionCols = Seq("cell")) { batch =>
+      compactEvery, targetBytes, partitionCols = Seq("cell"),
+      generationStamp = Some { spark =>
+        val (cents, cb, dim, _) =
+          graft.operators.Similarity.loadIvfPqGeometry(spark, indexPath)
+        graft.operators.Similarity.ivfPqGeometryStamp(cents, cb, dim)
+      }) { batch =>
       val spark = batch.sparkSession
       val (cents, cb, dim, dsub) =
         graft.operators.Similarity.loadIvfPqGeometry(spark, indexPath)
@@ -330,10 +383,27 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       queries: DataFrame,
       k: Int = 3,
       nprobe: Int = 2,
-      staticPrune: Boolean = true): DataFrame =
+      staticPrune: Boolean = true): DataFrame = {
+    // the probe-side half of the generation stamp: the geometry about
+    // to score these code rows must be the geometry that PRODUCED them
+    // — a retrained sidecar over un-rebuilt generations refuses here
+    // instead of silently mis-scoring every indexed row
+    val (cents, cb, dim, _) =
+      graft.operators.Similarity.loadIvfPqGeometry(spark, indexDir)
+    val expect = graft.operators.Similarity.ivfPqGeometryStamp(cents, cb, dim)
+    val genPath = liveIndexPath(spark, indexDir, "IVF-PQ")
+    val fs = genPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(genPath, "_geom")
+    require(fs.exists(marker),
+      s"live generation $genPath carries no geometry stamp — not a maintainIvfPqIndex index")
+    val have = readStamp(fs, marker)
+    require(have == expect,
+      s"live generation $genPath was coded under geometry $have but the sidecars now " +
+        s"stamp $expect: a retrain requires a rebuild into a fresh index root")
     graft.operators.Similarity.ivfPqTopKOverCells(
-      spark, indexDir, ivfPqIndex(spark, indexDir), queries, k, nprobe,
+      spark, indexDir, spark.read.parquet(genPath.toString), queries, k, nprobe,
       staticPrune, dedupReplays = true)
+  }
 
   /** EXT-6ap — streaming perceptual-FINGERPRINT index maintenance: the
     * generation lifecycle applied to

@@ -1416,6 +1416,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
     assert(err.getMessage.contains("does not match the index's"),
       s"expected the stamped-width refusal, got: ${err.getMessage}")
+    // retrain refusal (the generation geometry stamp): rewriting the
+    // sidecars under a live index must refuse BOTH directions — the
+    // maintainer cannot append new-layout rows next to old-layout ones,
+    // and the probe cannot score old rows with the new codebooks
+    graft.operators.Similarity.initIvfPqIndex(
+      spark, sfDir, s"$tmp/index", nCentroids = 16, ksub = 32)
+    val probeErr = intercept[IllegalArgumentException] {
+      StreamOps.ivfPqProbeLive(spark, s"$tmp/index", queries).collect()
+    }
+    assert(probeErr.getMessage.contains("retrain requires a rebuild"),
+      s"expected the probe-side retrain refusal, got: ${probeErr.getMessage}")
+    val stream3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = StreamOps.maintainIvfPqIndex(
+      stream3.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt3")
+    val appendErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        stream3.addData(vecs.take(2).toIndexedSeq)
+        q3.processAllAvailable()
+      } finally q3.stop()
+    }
+    assert(appendErr.getMessage.contains("rebuild into a fresh index root"),
+      s"expected the append-side retrain refusal, got: ${appendErr.getMessage}")
   }
 
   test("EXT-6ap maintainPhashIndex: streamed fingerprints equal the batch relation; re-encoded copy caught at ingest; replays collapse") {
