@@ -36,20 +36,52 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       dir: String,
       indexPath: String,
       nCentroids: Int = 16): Unit = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     val cents = ivfSeedCentroids(spark, dir, nCentroids)
     // the ONE coarse-geometry spelling (ivfScoredCells): the index WRITER
     // is exactly the site where a drifted tie-break would silently
     // mis-partition cells relative to every probe
-    val scoredCells = ivfScoredCells(cents, col("embedding"))
-    emb.select(col("vec_id"), col("embedding"),
-      argmaxCell(scoredCells, nCentroids).as("cell"))
+    ivfCellProjection(Tables.embeddings(spark, dir), cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/cells")
+    writeIvfCentroids(spark, indexPath, cents, nCentroids)
+  }
+
+  /** EXT-6ar's init half — stamp the float-IVF index's coarse geometry
+    * (`centroids/` with the `n_centroids` stamp, seeded from `dir`) and
+    * NO cell rows: the cell relation is then populated incrementally by
+    * [[graft.streaming.StreamOps.maintainIvfIndex]]. The
+    * [[initIvfPqIndex]] contract for the float layout.
+    */
+  def initIvfIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      nCentroids: Int = 16): Unit =
+    writeIvfCentroids(spark, indexPath,
+      ivfSeedCentroids(spark, dir, nCentroids), nCentroids)
+
+  private def writeIvfCentroids(
+      spark: SparkSession,
+      indexPath: String,
+      cents: Seq[(Int, Seq[Float])],
+      nCentroids: Int): Unit = {
+    import spark.implicits._
     cents.toDF("cid", "embedding")
       .withColumn("n_centroids", lit(nCentroids))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Row-local coarse-cell routing over ANY `(vec_id, embedding)`
+    * relation — the cell half of [[ivfPqAssignProjection]] without the
+    * coding: shared by the static writer and the streaming maintainer
+    * (EXT-6ar), so an arriving vector lands in exactly the cell every
+    * probe will look for it in.
+    */
+  private[graft] def ivfCellProjection(
+      vecs: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scoredCells = ivfScoredCells(cents, col("embedding"))
+    vecs.select(col("vec_id"), col("embedding"),
+      argmaxCell(scoredCells, cents.length).as("cell"))
   }
 
   /** EXT-S13 probe path: top-k cosine neighbors for an arbitrary
@@ -170,6 +202,14 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     }
   }
 
+  /** The stamped coarse-centroid table alone — the float-IVF index's
+    * whole geometry (EXT-6ar's maintainer view; the composite's view is
+    * [[loadIvfPqGeometry]]).
+    */
+  private[graft] def loadIvfCentroids(
+      spark: SparkSession, indexPath: String): Seq[(Int, Seq[Float])] =
+    loadCoarseCentroids(spark, indexPath)._1
+
   /** Both sidecar geometries of a persisted IVF-PQ index in one load —
     * the streaming maintainer's view (EXT-6ao): coarse centroids +
     * trained codebooks + stamped dim, all stamp-validated, no query
@@ -230,8 +270,29 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       queries: DataFrame,
       k: Int = 3,
       nprobe: Int = 1,
-      staticPrune: Boolean = true): DataFrame = {
-    val (cents, nCentroids) = loadCoarseCentroids(spark, indexPath)
+      staticPrune: Boolean = true): DataFrame =
+    ivfTopKOverCells(spark, indexPath,
+      spark.read.parquet(s"$indexPath/cells"), queries, k, nprobe,
+      staticPrune, dedupReplays = false)
+
+  /** The float-IVF probe over an EXPLICIT cell relation — shared by the
+    * static layout (reads `cells/`) and the streaming-maintained one
+    * (EXT-6ar probes the live generation). Same contract as
+    * [[ivfPqTopKOverCells]]: `dedupReplays` shields the generational
+    * layout's at-least-once appends (byte-identical duplicate rows
+    * dropped over the PRUNED minority before scoring); the static path
+    * skips it so x175's bit-pinned plan is untouched.
+    */
+  private[graft] def ivfTopKOverCells(
+      spark: SparkSession,
+      sidecarPath: String,
+      cellRows: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      staticPrune: Boolean,
+      dedupReplays: Boolean): DataFrame = {
+    val (cents, nCentroids) = loadCoarseCentroids(spark, sidecarPath)
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
     val scoredCells = ivfScoredCells(cents, col("embedding"))
@@ -242,7 +303,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       else
         queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
-    val idxRaw = spark.read.parquet(s"$indexPath/cells")
+    val idxRaw = cellRows
     val idxPruned =
       if (staticPrune) {
         val cells = distinctProbeCells(queries, scoredCells, nCentroids, nprobe)
@@ -256,8 +317,10 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // this probe on the slice bench: 46+ min single-task vs minutes
     // spread). At production scale the pruned cells already arrive as
     // ≥ parallelism file partitions and this is the identity.
-    val idx = expansionPartitioned(idxPruned
-      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce")))
+    val idxProjected = idxPruned
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val idx = expansionPartitioned(
+      if (dedupReplays) idxProjected.dropDuplicates("cid") else idxProjected)
     val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot(col("qe"), col("ce")).as("sim"))
     presentTopK(scored, k)
@@ -279,15 +342,39 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       dir: String,
       indexPath: String,
       dim: Int = 64): Unit = {
-    val loBits = math.min(32, dim)
-    val hiBits = math.max(0, dim - 32)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        packSignBits(col("embedding"), 0, loBits).as("lo"),
-        (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("hi"))
+    signSignatureProjection(Tables.embeddings(spark, dir), dim)
       .write.mode("overwrite").parquet(s"$indexPath/signatures")
     spark.range(1).select(lit(dim).as("dim"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** EXT-6aq's init half — stamp the sign index's layout (`meta/` with
+    * the packed dim) and NO signature rows: the signature relation is
+    * then populated incrementally by
+    * [[graft.streaming.StreamOps.maintainSignIndex]], which packs each
+    * arriving microbatch row-locally against this stamp. The
+    * [[initIvfPqIndex]] train-once/append-forever contract, for the
+    * layout that needs no training at all.
+    */
+  def initSignIndex(
+      spark: SparkSession,
+      indexPath: String,
+      dim: Int = 64): Unit =
+    spark.range(1).select(lit(dim).as("dim"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+
+  /** Row-local sign packing over ANY `(vec_id, embedding)` relation —
+    * the ONE spelling shared by the static writer, the streaming
+    * maintainer (EXT-6aq), and [[hammingTopKOverSignatures]]'s query
+    * side (via the same [[packSignBits]] expressions): a drifted bit
+    * layout anywhere would silently wreck every Hamming distance.
+    */
+  private[graft] def signSignatureProjection(vecs: DataFrame, dim: Int): DataFrame = {
+    val loBits = math.min(32, dim)
+    val hiBits = math.max(0, dim - 32)
+    vecs.select(col("vec_id"),
+      packSignBits(col("embedding"), 0, loBits).as("lo"),
+      (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("hi"))
   }
 
   /** EXT-S15b probe — top-k neighbors for an arbitrary
@@ -312,14 +399,42 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       queries: DataFrame,
       candidates: Int = 20,
       k: Int = 3,
-      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+      maxBroadcastBytes: Long = 64L << 20): DataFrame =
+    hammingTopKOverSignatures(spark, indexPath,
+      spark.read.parquet(s"$indexPath/signatures"), corpusDir, queries,
+      candidates, k, maxBroadcastBytes, dedupReplays = false)
+
+  /** The stamped dim of a persisted sign index — shared by the static
+    * probe, the streaming maintainer (EXT-6aq packs arrivals with the
+    * index's own layout), and the live probe.
+    */
+  private[graft] def loadSignDim(spark: SparkSession, indexPath: String): Int = {
     import spark.implicits._
-    val dim: Int = IndexCache.cached[java.lang.Integer](
+    IndexCache.cached[java.lang.Integer](
         spark, s"signmeta|$indexPath", Seq(s"$indexPath/meta")) {
       val metaRows = spark.read.parquet(s"$indexPath/meta").select("dim").as[Int].collect()
       require(metaRows.length == 1, s"corrupt index: ${metaRows.length} meta rows")
       Int.box(metaRows.head)
     }
+  }
+
+  /** The sign-sketch probe over an EXPLICIT signature relation — shared
+    * by the static layout (reads `signatures/`) and the streaming-
+    * maintained one (EXT-6aq probes the live generation; `dedupReplays`
+    * drops at-least-once duplicate signature rows before the Hamming
+    * pass, the [[ivfPqTopKOverCells]] shield).
+    */
+  private[graft] def hammingTopKOverSignatures(
+      spark: SparkSession,
+      sidecarPath: String,
+      sigRows: DataFrame,
+      corpusDir: String,
+      queries: DataFrame,
+      candidates: Int,
+      k: Int,
+      maxBroadcastBytes: Long,
+      dedupReplays: Boolean): DataFrame = {
+    val dim = loadSignDim(spark, sidecarPath)
     requireUniformDim(queries, dim, "packed dim")
     val loBits = math.min(32, dim)
     val hiBits = math.max(0, dim - 32)
@@ -327,10 +442,11 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       packSignBits(col("embedding"), 0, loBits).as("qlo"),
       (if (hiBits > 0) packSignBits(col("embedding"), 32, hiBits) else lit(0L)).as("qhi"))
     val qSig = broadcastIfMeasuredUnder(qRaw,
-      s"$indexPath|qsig|${System.identityHashCode(queries)}",
+      s"$sidecarPath|qsig|${System.identityHashCode(queries)}",
       () => 3L * 8 + 64, maxBroadcastBytes)
-    val idx = expansionPartitioned(spark.read.parquet(s"$indexPath/signatures")
-      .select(col("vec_id").as("cid"), col("lo"), col("hi")))
+    val sigProjected = sigRows.select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val idx = expansionPartitioned(
+      if (dedupReplays) sigProjected.dropDuplicates("cid") else sigProjected)
     val ham = qSig.join(idx, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (bit_count(col("qlo").bitwiseXOR(col("lo"))) +

@@ -390,19 +390,145 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
     // instead of silently mis-scoring every indexed row
     val (cents, cb, dim, _) =
       graft.operators.Similarity.loadIvfPqGeometry(spark, indexDir)
-    val expect = graft.operators.Similarity.ivfPqGeometryStamp(cents, cb, dim)
-    val genPath = liveIndexPath(spark, indexDir, "IVF-PQ")
-    val fs = genPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(genPath, "_geom")
-    require(fs.exists(marker),
-      s"live generation $genPath carries no geometry stamp — not a maintainIvfPqIndex index")
-    val have = readStamp(fs, marker)
-    require(have == expect,
-      s"live generation $genPath was coded under geometry $have but the sidecars now " +
-        s"stamp $expect: a retrain requires a rebuild into a fresh index root")
+    val genPath = validatedLiveGeneration(spark, indexDir, "IVF-PQ",
+      graft.operators.Similarity.ivfPqGeometryStamp(cents, cb, dim))
     graft.operators.Similarity.ivfPqTopKOverCells(
       spark, indexDir, spark.read.parquet(genPath.toString), queries, k, nprobe,
       staticPrune, dedupReplays = true)
+  }
+
+  /** EXT-6aq — streaming SIGN-SIGNATURE index maintenance: the
+    * generation lifecycle applied to the x183 index's 16-byte rows.
+    * Arrivals are packed row-locally against the index's stamped dim
+    * ([[graft.operators.Similarity.initSignIndex]] writes the stamp
+    * once; the packing needs no training at all), appended into live
+    * generations, and served replay-immune by [[hammingProbeLive]].
+    * Completes the self-maintenance story for the row-local-signature
+    * family: every index whose rows are a pure per-row function of the
+    * arrival (LSH bands 6h, winnow 6o, segments 6p, IVF-PQ codes 6ao,
+    * dHash 6ap, sign bits here, float cells 6ar) now maintains itself.
+    */
+  def maintainSignIndex(
+      vecs: DataFrame,
+      indexPath: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(vecs, indexPath, checkpointLocation,
+      compactEvery, targetBytes,
+      generationStamp = Some { spark =>
+        s"dim:${graft.operators.Similarity.loadSignDim(spark, indexPath)}"
+      }) { batch =>
+      val spark = batch.sparkSession
+      val dim = graft.operators.Similarity.loadSignDim(spark, indexPath)
+      graft.operators.Similarity.requireUniformDim(
+        batch.toDF(), dim, "packed dim (streaming ingest)")
+      graft.operators.Similarity.signSignatureProjection(batch.toDF(), dim)
+    }
+
+  /** EXT-6aq's probe: [[graft.operators.Similarity.hammingTopKFromIndex]]
+    * served from the live generation — stamp-validated (the dim the
+    * queries are about to be packed against must be the dim the rows
+    * were packed under), replay-deduped, full vectors fetched from
+    * `corpusDir` by candidate id only.
+    */
+  def hammingProbeLive(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      corpusDir: String,
+      queries: DataFrame,
+      candidates: Int = 20,
+      k: Int = 3,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val dim = graft.operators.Similarity.loadSignDim(spark, indexDir)
+    val genPath = validatedLiveGeneration(spark, indexDir, "sign", s"dim:$dim")
+    graft.operators.Similarity.hammingTopKOverSignatures(
+      spark, indexDir, spark.read.parquet(genPath.toString), corpusDir,
+      queries, candidates, k, maxBroadcastBytes, dedupReplays = true)
+  }
+
+  /** EXT-6ar — streaming FLOAT-IVF index maintenance: the generation
+    * lifecycle applied to the x175 index's cell rows. Arrivals are
+    * routed row-locally to their argmax coarse cell against the stamped
+    * centroid sidecar ([[graft.operators.Similarity.initIvfIndex]]) and
+    * appended CELL-PARTITIONED, so static partition pruning works
+    * inside generations exactly as in the static `cells/` layout;
+    * compaction preserves the partitioning. A retrained centroid
+    * sidecar refuses both directions via the generation geometry stamp
+    * (the EXT-6ao contract — cell rows are meaningless under different
+    * centroids).
+    */
+  def maintainIvfIndex(
+      vecs: DataFrame,
+      indexPath: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalIndex(vecs, indexPath, checkpointLocation,
+      compactEvery, targetBytes, partitionCols = Seq("cell"),
+      generationStamp = Some(spark => ivfStamp(spark, indexPath))) { batch =>
+      val spark = batch.sparkSession
+      val (cents, dim) = ivfCents(spark, indexPath)
+      graft.operators.Similarity.requireUniformDim(
+        batch.toDF(), dim, "centroid dim (streaming ingest)")
+      graft.operators.Similarity.ivfCellProjection(batch.toDF(), cents)
+        .select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("cell"))
+    }
+
+  /** EXT-6ar's probe: [[graft.operators.Similarity.ivfTopKFromIndex]]
+    * served from the live generation — stamp-validated against the
+    * centroid geometry about to route the probes, replay-deduped over
+    * the pruned cells.
+    */
+  def ivfProbeLive(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 1,
+      staticPrune: Boolean = true): DataFrame = {
+    val genPath = validatedLiveGeneration(spark, indexDir, "IVF", ivfStamp(spark, indexDir))
+    graft.operators.Similarity.ivfTopKOverCells(
+      spark, indexDir, spark.read.parquet(genPath.toString), queries, k,
+      nprobe, staticPrune, dedupReplays = true)
+  }
+
+  private def ivfCents(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Seq[(Int, Seq[Float])], Int) = {
+    val cents = graft.operators.Similarity.loadIvfCentroids(spark, indexPath)
+    (cents, cents.head._2.length)
+  }
+
+  private def ivfStamp(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): String = {
+    val (cents, dim) = ivfCents(spark, indexPath)
+    graft.operators.Similarity.ivfPqGeometryStamp(
+      cents, Array.empty[Array[Array[Long]]], dim)
+  }
+
+  /** Resolve the live generation AND validate its `_geom` marker
+    * against the layout about to serve it — the shared probe-side half
+    * of the EXT-6ao retrain contract.
+    */
+  private def validatedLiveGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      what: String,
+      expect: String): org.apache.hadoop.fs.Path = {
+    val genPath = liveIndexPath(spark, indexDir, what)
+    val fs = genPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(genPath, "_geom")
+    require(fs.exists(marker),
+      s"live generation $genPath carries no geometry stamp — not a maintained $what index")
+    val have = readStamp(fs, marker)
+    require(have == expect,
+      s"live generation $genPath was built under layout $have but the sidecars now " +
+        s"stamp $expect: a retrain requires a rebuild into a fresh index root")
+    genPath
   }
 
   /** EXT-6ap — streaming perceptual-FINGERPRINT index maintenance: the

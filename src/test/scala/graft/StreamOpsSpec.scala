@@ -1440,6 +1440,89 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       s"expected the append-side retrain refusal, got: ${appendErr.getMessage}")
   }
 
+  test("EXT-6aq maintainSignIndex: live probe equals the static probe across generations + replays; retrain refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sign-gen").toString
+    graft.operators.Similarity.initSignIndex(spark, s"$tmp/index")
+    val vecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.maintainSignIndex(
+      stream.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 2L)
+    try {
+      vecs.grouped(200).foreach { g =>
+        stream.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      stream.addData(vecs.take(200).toIndexedSeq) // at-least-once replay
+      q.processAllAvailable()
+    } finally q.stop()
+    val staticIdx = java.nio.file.Files.createTempDirectory("graft-sign-stat").toString
+    graft.operators.Similarity.writeSignIndex(spark, sfDir, staticIdx)
+    val queries = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select("vec_id", "embedding")
+    val live = StreamOps.hammingProbeLive(spark, s"$tmp/index", sfDir, queries)
+      .collect().map(_.toString).toSeq
+    val expect = graft.operators.Similarity.hammingTopKFromIndex(
+      spark, staticIdx, sfDir, queries)
+      .collect().map(_.toString).toSeq
+    assert(live == expect && expect.nonEmpty,
+      "live sign probe diverged from the static-index probe")
+    // retrain refusal: re-stamping the layout under live generations
+    // refuses the probe (and would refuse the next append identically)
+    graft.operators.Similarity.initSignIndex(spark, s"$tmp/index", dim = 32)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.hammingProbeLive(spark, s"$tmp/index", sfDir, queries).collect()
+    }
+    assert(e.getMessage.contains("retrain requires a rebuild"), e.getMessage)
+  }
+
+  test("EXT-6ar maintainIvfIndex: live probe equals the static probe across generations + replays; retrain refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString
+    graft.operators.Similarity.initIvfIndex(spark, sfDir, s"$tmp/index", nCentroids = 16)
+    val vecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.maintainIvfIndex(
+      stream.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 2L)
+    try {
+      vecs.grouped(200).foreach { g =>
+        stream.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      stream.addData(vecs.take(200).toIndexedSeq) // at-least-once replay
+      q.processAllAvailable()
+    } finally q.stop()
+    val staticIdx = java.nio.file.Files.createTempDirectory("graft-ivf-stat").toString
+    graft.operators.Similarity.writeIvfIndex(spark, sfDir, staticIdx, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select("vec_id", "embedding")
+    for (np <- Seq(1, 2)) {
+      val live = StreamOps.ivfProbeLive(spark, s"$tmp/index", queries, k = 3, nprobe = np)
+        .collect().map(_.toString).toSeq
+      val expect = graft.operators.Similarity.ivfTopKFromIndex(
+        spark, staticIdx, queries, k = 3, nprobe = np)
+        .collect().map(_.toString).toSeq
+      assert(live == expect && expect.nonEmpty,
+        s"live IVF probe diverged from the static-index probe at nprobe=$np")
+    }
+    // retrain refusal: new coarse geometry over live cell rows
+    graft.operators.Similarity.initIvfIndex(spark, sfDir, s"$tmp/index", nCentroids = 8)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.ivfProbeLive(spark, s"$tmp/index", queries).collect()
+    }
+    assert(e.getMessage.contains("retrain requires a rebuild"), e.getMessage)
+  }
+
   test("EXT-6ap maintainPhashIndex: streamed fingerprints equal the batch relation; re-encoded copy caught at ingest; replays collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
