@@ -101,6 +101,22 @@ object ServeBench {
       Similarity.ivfPqTopKRefinedFromIndex(spark, s"$root/ivfpq", sfDir, queries,
         k = 3, nprobe = 2, shortlist = 32))
 
+    // the TUNED production-geometry index (EXT-S37b/S38): build at
+    // (m 16, ksub 128), tune once (the sweep + selection + stamp — the
+    // amortized half, priced in the build column), then serve at the
+    // stamped point with no hand-carried knobs — the steady-state
+    // latency of the FULL chosen recipe next to the hand-knobbed row
+    builds("ivfpq_tuned") = time {
+      Similarity.writeIvfPqIndex(spark, sfDir, s"$root/ivfpqprod",
+        m = 16, ksub = 128)
+      Similarity.tuneIvfPqIndex(spark, s"$root/ivfpqprod", sfDir,
+        budget = 0.9, nprobes = Seq(2, 4, 8, 12), shortlists = Seq(16, 32, 64))
+      ()
+    }
+    probes("ivfpq_refined_auto") = medianProbe(() =>
+      Similarity.ivfPqTopKRefinedFromIndexAuto(
+        spark, s"$root/ivfpqprod", sfDir, queries, k = 3))
+
     // the GENERATIONAL composite layout (EXT-6ao): sidecars stamped by
     // initIvfPqIndex, code rows appended cell-partitioned into the live
     // generation (one maintainer "microbatch" covering the corpus), then

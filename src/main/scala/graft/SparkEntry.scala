@@ -501,6 +501,27 @@ object SparkEntry
     // decomposition calls for when x109 flags correlated dimensions
     "x189_pq_codes_opq" -> ((s, dir) =>
       Similarity.pqCodesOpq(s, dir, m = pqM, ksub = pqKsub, iters = pqIters)),
+    // the CHOSEN refined-composite operating point, read back from the
+    // sidecar the tuner STAMPED into the persisted index: the sweep
+    // measured (x187's discipline at the wider opp grid), the selection
+    // rule chose (cheapest clearing the budget, max-recall fallback),
+    // and the hash check here proves the persisted choice equals the
+    // oracle's independent sweep+selection
+    "x190_operating_point" -> ((s, dir) =>
+      Similarity.loadOperatingPoint(s, ensureTunedIvfPqIndex(s, dir))
+        .drop("geom_stamp")),
+    // the refined composite served AT the stamped point — no
+    // hand-carried knobs anywhere in the call chain: x182 picked the
+    // geometry, x187/x190 picked the serving point, the index carries
+    // both, and this probe consumes them with the stamp-refusal laws
+    "x191_ivfpq_refined_auto" -> ((s, dir) =>
+      Similarity.ivfPqTopKRefinedFromIndexAuto(s, ensureTunedIvfPqIndex(s, dir),
+        dir,
+        Tables.embeddings(s, dir).filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(pqQueryMod)) === 0),
+        k = pqK)),
   )
 
   /** Build-once-per-JVM persisted-index roots for the `*_indexed` keys.
@@ -536,6 +557,26 @@ object SparkEntry
 
   private def ensureBm25Index(s: SparkSession, dir: String): String =
     ensureIndex("bm25", dir)(p => graft.operators.TextAnalysis.writeBm25Index(s, dir, p))
+
+  /** The PRODUCTION-geometry IVF-PQ index (oppM × oppKsub — NOT the
+    * x179/x188 gate-geometry index: the 0.9 budget is structurally
+    * unattainable there, see [[graft.entries.OracleCtes]]) with the
+    * operating point TUNED AND STAMPED once per (JVM, corpus): build,
+    * then run the sweep + selection + stamp (`tuneIvfPqIndex`) —
+    * x190 reads the stamped row back, x191 serves at it. The tune is
+    * the expensive half (one sweep at the opp grid) and happens once:
+    * memoizing it here is exactly the train-once economics the index
+    * family already applies to builds, and what the bench then
+    * measures per pass is the serving path alone.
+    */
+  private def ensureTunedIvfPqIndex(s: SparkSession, dir: String): String =
+    ensureIndex("ivfpqprod", dir) { p =>
+      Similarity.writeIvfPqIndex(s, dir, p, nCentroids = ivfPqNCent,
+        m = oppM, ksub = oppKsub, iters = pqIters)
+      Similarity.tuneIvfPqIndex(s, p, dir, budget = oppBudget,
+        iters = pqIters, nprobes = oppNprobes, shortlists = oppShortlists,
+        k = pqK, queryMod = pqQueryMod)
+    }
 
   /** The per-family oracle maps live in `graft.entries` (split at r15:
     * 182 bindings + oracles in one file hit the maintainability wall);

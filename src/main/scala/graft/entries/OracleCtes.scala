@@ -206,6 +206,27 @@ private[graft] object OracleCtes {
   val refinedSweepNprobes = Seq(2, 4, 8)
   val refinedSweepShortlists = Seq(8, 16, 32)
 
+  /** x190/x191 operating-point geometry, grid, and recall budget: the
+    * chooser runs at the PRODUCTION geometry (m 16, ksub 128 — the r17
+    * BASELINE table's), not the x104/x187 gate geometry, because that
+    * is where the 0.9 budget is attainable at sf0.1 (gate-geometry
+    * coding loss is too deep for any shortlist to recover: nprobe 12 ×
+    * shortlist 64 reads 0.56 there vs 0.9217 at production), and the
+    * grid extends to nprobe 12 for the same reason (nprobe 8 saturates
+    * at 0.79 — an unprobed cell is unrecoverable). The stamped point
+    * the engine serves at sf0.1 is therefore exactly the one the r17
+    * note hand-picked. Same no-drift contract: these values feed the
+    * Spark tune call AND the generated oracle blocks, and the selection
+    * rule (cheapest clearing the budget, max-recall fallback,
+    * exact-cost tie-breaks) is spelled identically in
+    * `Similarity.selectOperatingPoint` and the x190/x191 oracle SQL.
+    */
+  val oppBudget = 0.9
+  val oppM = 16
+  val oppKsub = 128
+  val oppNprobes = Seq(2, 4, 8, 12)
+  val oppShortlists = Seq(16, 32, 64)
+
   /** x182 IVF-PQ tuning-sweep grid: the geometry cells (nCentroids, m,
     * ksub) and the probe widths every cell is swept over — the SAME
     * values feed the Spark call and the generated oracle blocks (the

@@ -9,6 +9,89 @@ package graft.entries
 trait SimilarityOracles {
   import OracleCtes._
 
+  /** The refined-composite sweep body parameterized by grid — shared by
+    * x187 (the full table), x190 (the chooser's LIMIT-1 fold), and x191
+    * (the probe at the chosen point): ONE pq chain at the fixed x176
+    * geometry, ONE coarse assignment with probe rank carried to the
+    * widest nprobe, ONE shared brute truth (whose all-pairs float sims
+    * double as the refine scores), then one block per grid point — ADC
+    * rank over the prank ≤ np slice, shortlist as the rank ≤ sl slice,
+    * float re-rank, hits vs truth — ending in `tab` (the res blocks +
+    * recall4). Candidate and fetch counts come off the same sliced
+    * relations, mirroring the Spark side's census/nesting exactly;
+    * callers append their own final SELECT over `tab` (x191's probe
+    * tail also reuses `adct`/`s_ex`).
+    */
+  private def refinedSweepCtes(
+      nprobes: Seq[Int], shortlists: Seq[Int],
+      m: Int = pqM, ksub: Int = pqKsub): String = {
+    val maxNp = nprobes.max
+    val dsub = 64 / m
+    val blocks = (for {
+      np <- nprobes; sl <- shortlists
+    } yield
+      s"""(SELECT $np::INT AS nprobe, $sl::INT AS shortlist, nqc.n_queries,
+         |  (SELECT count(*)::BIGINT FROM adct WHERE prank <= $np) AS n_candidates,
+         |  (SELECT count(*)::BIGINT FROM (
+         |     SELECT row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
+         |     FROM adct WHERE prank <= $np) a WHERE a.rank <= $sl) AS n_float_fetches,
+         |  coalesce((SELECT count(*)::BIGINT FROM ex JOIN (
+         |     SELECT t.qid, t.cid,
+         |            row_number() OVER (PARTITION BY t.qid ORDER BY t.fsim DESC, t.cid) AS rank
+         |     FROM (SELECT a.qid, a.cid, se.sim AS fsim
+         |           FROM (SELECT qid, cid,
+         |                        row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
+         |                 FROM adct WHERE prank <= $np) a
+         |           JOIN s_ex se ON se.qid = a.qid AND se.cid = a.cid
+         |           WHERE a.rank <= $sl) t) r
+         |     ON r.qid = ex.qid AND r.cid = ex.cid AND r.rank <= $pqK), 0)::BIGINT AS n_hits
+         |  FROM nqc)""".stripMargin).mkString("\nUNION ALL\n")
+    s"""$e8Cte,
+       |${pqChain(m, ksub, pqIters, "")},
+       |ivc AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < $ivfPqNCent),
+       |ive AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |iva AS (SELECT ive.vec_id, ivc.ccid,
+       |               row_number() OVER (PARTITION BY ive.vec_id ORDER BY
+       |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
+       |                 ivc.ccid) AS rn
+       |        FROM ive CROSS JOIN ivc),
+       |cells AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn = 1),
+       |probes AS (SELECT vec_id, ccid AS cell, rn FROM iva WHERE rn <= $maxNp AND vec_id % $pqQueryMod = 0),
+       |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
+       |cand AS (SELECT p.vec_id AS qid, y.vec_id AS cid, p.rn AS prank
+       |         FROM probes p JOIN cells y ON y.cell = p.cell AND y.vec_id != p.vec_id),
+       |adct AS (SELECT c.qid, c.cid, c.prank,
+       |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${dsub + 1}), i -> q.qs[i] * cb.cs[i])), (x, y) -> x + y) + cb.nc)::BIGINT AS d
+       |         FROM cand c JOIN qq q ON q.qid = c.qid
+       |              JOIN asg g ON g.vec_id = c.cid AND g.s = q.s
+       |              JOIN cbs cb ON cb.s = g.s AND cb.code = g.code
+       |         GROUP BY 1, 2, 3),
+       |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
+       |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+       |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
+       |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
+       |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
+       |nqc AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex),
+       |res AS (
+       |$blocks
+       |),
+       |tab AS (SELECT nprobe, shortlist, n_queries, n_candidates, n_float_fetches, n_hits,
+       |               round(n_hits::DOUBLE / (n_queries * $pqK), 4) AS recall4
+       |        FROM res)""".stripMargin
+  }
+
+  /** `Similarity.selectOperatingPoint`'s rule in SQL (the x190/x191
+    * chooser): cleared points first, cheapest by (ADC scans, float
+    * fetches); if none clears, max recall4 wins; exact-cost then
+    * (nprobe, shortlist) tails make the fold total and deterministic.
+    */
+  private def oppOrderBy: String =
+    s"""ORDER BY (recall4 >= $oppBudget) DESC,
+       |         CASE WHEN recall4 >= $oppBudget THEN n_candidates ELSE -1::BIGINT END,
+       |         CASE WHEN recall4 >= $oppBudget THEN n_float_fetches ELSE -1::BIGINT END,
+       |         recall4 DESC, n_candidates, n_float_fetches, nprobe, shortlist
+       |LIMIT 1""".stripMargin
+
   protected def similarityOracles: Map[String, String] = Map(
     "x35_kmeans_centroids" -> kmeansOracle(k = 8, iters = 2),
 
@@ -333,67 +416,45 @@ trait SimilarityOracles {
     },
 
 
-    // the refined composite's (nprobe × shortlist) tuning table: ONE pq
-    // chain at the fixed x176 geometry, ONE coarse assignment with probe
-    // rank carried to the widest nprobe, ONE shared brute truth (whose
-    // all-pairs float sims double as the refine scores), then one block
-    // per grid point — ADC rank over the prank ≤ np slice, shortlist as
-    // the rank ≤ sl slice, float re-rank, hits vs truth. Candidate and
-    // fetch counts come off the same sliced relations, mirroring the
-    // Spark side's census/nesting exactly
-    "x187_refined_tuning_sweep" -> {
-      val maxNp = refinedSweepNprobes.max
-      val blocks = (for {
-        np <- refinedSweepNprobes; sl <- refinedSweepShortlists
-      } yield
-        s"""(SELECT $np::INT AS nprobe, $sl::INT AS shortlist, nqc.n_queries,
-           |  (SELECT count(*)::BIGINT FROM adct WHERE prank <= $np) AS n_candidates,
-           |  (SELECT count(*)::BIGINT FROM (
-           |     SELECT row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
-           |     FROM adct WHERE prank <= $np) a WHERE a.rank <= $sl) AS n_float_fetches,
-           |  coalesce((SELECT count(*)::BIGINT FROM ex JOIN (
-           |     SELECT t.qid, t.cid,
-           |            row_number() OVER (PARTITION BY t.qid ORDER BY t.fsim DESC, t.cid) AS rank
-           |     FROM (SELECT a.qid, a.cid, se.sim AS fsim
-           |           FROM (SELECT qid, cid,
-           |                        row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
-           |                 FROM adct WHERE prank <= $np) a
-           |           JOIN s_ex se ON se.qid = a.qid AND se.cid = a.cid
-           |           WHERE a.rank <= $sl) t) r
-           |     ON r.qid = ex.qid AND r.cid = ex.cid AND r.rank <= $pqK), 0)::BIGINT AS n_hits
-           |  FROM nqc)""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH $pqCte,
-         |ivc AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < $ivfPqNCent),
-         |ive AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |iva AS (SELECT ive.vec_id, ivc.ccid,
-         |               row_number() OVER (PARTITION BY ive.vec_id ORDER BY
-         |                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ed[i] * ce[i])), (x, y) -> x + y) DESC,
-         |                 ivc.ccid) AS rn
-         |        FROM ive CROSS JOIN ivc),
-         |cells AS (SELECT vec_id, ccid AS cell FROM iva WHERE rn = 1),
-         |probes AS (SELECT vec_id, ccid AS cell, rn FROM iva WHERE rn <= $maxNp AND vec_id % $pqQueryMod = 0),
-         |qq AS (SELECT vec_id AS qid, s, qs, nq FROM vs WHERE vec_id % $pqQueryMod = 0),
-         |cand AS (SELECT p.vec_id AS qid, y.vec_id AS cid, p.rn AS prank
-         |         FROM probes p JOIN cells y ON y.cell = p.cell AND y.vec_id != p.vec_id),
-         |adct AS (SELECT c.qid, c.cid, c.prank,
-         |         sum(q.nq - 2 * list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${pqDsub + 1}), i -> q.qs[i] * cb.cs[i])), (x, y) -> x + y) + cb.nc)::BIGINT AS d
-         |         FROM cand c JOIN qq q ON q.qid = c.qid
-         |              JOIN asg g ON g.vec_id = c.cid AND g.s = q.s
-         |              JOIN cbs cb ON cb.s = g.s AND cb.code = g.code
-         |         GROUP BY 1, 2, 3),
-         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % $pqQueryMod = 0),
-         |fc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
-         |s_ex AS (SELECT qid, cid, $dotCte AS sim FROM fq CROSS JOIN fc WHERE qid != cid),
-         |r_ex AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s_ex),
-         |ex AS (SELECT qid, cid FROM r_ex WHERE rank <= $pqK),
-         |nqc AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM ex),
-         |res AS (
-         |$blocks
-         |)
-         |SELECT nprobe, shortlist, n_queries, n_candidates, n_float_fetches, n_hits,
-         |       round(n_hits::DOUBLE / (n_queries * $pqK), 4) AS recall4
-         |FROM res ORDER BY nprobe, shortlist""".stripMargin
-    },
+    // the refined composite's (nprobe × shortlist) tuning table — the
+    // shared refinedSweepCtes body at the x187 grid, presented in full
+    "x187_refined_tuning_sweep" ->
+      s"""WITH ${refinedSweepCtes(refinedSweepNprobes, refinedSweepShortlists)}
+         |SELECT nprobe, shortlist, n_queries, n_candidates, n_float_fetches, n_hits, recall4
+         |FROM tab ORDER BY nprobe, shortlist""".stripMargin,
+
+
+    // the CHOSEN operating point (the x190 key): the sweep at the
+    // opp grid (wide enough that the 0.9 budget is attainable at
+    // sf0.1) folded to one row by the selection rule — both engines
+    // compute the identical table (x187's law) and apply the identical
+    // deterministic ORDER BY, so the stamped choice is hash-checkable
+    "x190_operating_point" ->
+      s"""WITH ${refinedSweepCtes(oppNprobes, oppShortlists, oppM, oppKsub)}
+         |SELECT nprobe, shortlist, n_queries, n_candidates, n_float_fetches, n_hits, recall4,
+         |       recall4 >= $oppBudget AS cleared, $oppBudget::DOUBLE AS budget
+         |FROM tab
+         |$oppOrderBy""".stripMargin,
+
+
+    // the refined composite served AT the chosen point (the x191 key):
+    // the same sweep + selection as x190 in a CTE, then the probe tail
+    // at the scalar-subquery (nprobe, shortlist) — ADC rank over the
+    // prank ≤ chosen-np slice, shortlist as the rank slice, float
+    // re-rank, x5's presentation. The oracle recomputes the CHOICE and
+    // the SERVE in one statement, so a Spark-side stamp that drifted
+    // from the sweep's own winner fails the hash
+    "x191_ivfpq_refined_auto" ->
+      s"""WITH ${refinedSweepCtes(oppNprobes, oppShortlists, oppM, oppKsub)},
+         |opp AS (SELECT nprobe, shortlist FROM tab
+         |$oppOrderBy),
+         |adcr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rank
+         |         FROM adct WHERE prank <= (SELECT nprobe FROM opp)),
+         |slc AS (SELECT qid, cid FROM adcr WHERE rank <= (SELECT shortlist FROM opp)),
+         |rs AS (SELECT slc.qid, slc.cid, se.sim FROM slc JOIN s_ex se ON se.qid = slc.qid AND se.cid = slc.cid),
+         |rr2 AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM rs)
+         |SELECT qid AS vec_id, rank, cid AS neighbor_id, round(sim, 4) AS sim4
+         |FROM rr2 WHERE rank <= $pqK ORDER BY vec_id, rank""".stripMargin,
 
 
     // x176's ranking measured against the float brute truth with x105's

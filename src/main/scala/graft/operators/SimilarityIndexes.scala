@@ -1217,6 +1217,24 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     val cand = ivfPqTopKFromIndex(spark, indexPath, queries, shortlist,
       nprobe, staticPrune)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"))
+    refineByFloatStore(spark, corpusDir, cand, queries, k)
+  }
+
+  /** The exact-refine tail shared by the persisted serving path and the
+    * streaming live probe (EXT-6as): re-rank a bounded (qid, cid)
+    * candidate relation by the exact float dot, corpus vectors fetched
+    * BY CANDIDATE ID from `corpusDir` — the sketch/store separation
+    * ([[hammingTopKFromIndex]]'s contract: the candidate relation is
+    * ≤ |queries|·shortlist rows by construction, so its broadcast is
+    * sound at any corpus size and the primary vector store is probed by
+    * id, never scanned).
+    */
+  private[graft] def refineByFloatStore(
+      spark: SparkSession,
+      corpusDir: String,
+      cand: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val ce = Tables.embeddings(spark, corpusDir)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -1718,5 +1736,174 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     presentTopK(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
+  }
+
+  /** The operating-point SELECTION rule over a [[refinedTuningSweep]]
+    * table (EXT-S37's chooser half, shared with the x190 oracle's SQL
+    * spelling): among points clearing `budget` (recall4 ≥ budget), the
+    * CHEAPEST — scanned ADC candidates first (the probe cost that
+    * scales with the corpus), float fetches second (the refine cost
+    * bounded by |queries|·shortlist), then (nprobe, shortlist) as the
+    * deterministic tail. If NO point clears, the rule degrades
+    * honestly instead of failing: the max-recall point wins (cheapest
+    * among recall ties), and the emitted `cleared` flag says so — the
+    * consumer decides whether an unmet budget is an error, the chooser
+    * never hides it. Total and deterministic on any sweep table: every
+    * comparison is on exact BIGINTs or the bit-reproducible recall4.
+    */
+  private[graft] def selectOperatingPoint(
+      sweep: DataFrame, budget: Double): DataFrame = {
+    require(budget > 0.0 && budget <= 1.0,
+      s"recall budget ($budget) must be in (0, 1]")
+    val cleared = col("recall4") >= lit(budget)
+    sweep
+      .withColumn("cleared", cleared)
+      .withColumn("budget", lit(budget))
+      .orderBy(col("cleared").desc,
+        when(col("cleared"), col("n_candidates")).otherwise(lit(-1L)),
+        when(col("cleared"), col("n_float_fetches")).otherwise(lit(-1L)),
+        col("recall4").desc,
+        col("n_candidates"), col("n_float_fetches"),
+        col("nprobe"), col("shortlist"))
+      .limit(1)
+  }
+
+  /** EXT-S37 (`x190_operating_point`) — the refined composite's CHOSEN
+    * serving point: [[refinedTuningSweep]]'s table folded through
+    * [[selectOperatingPoint]] to ONE row — (nprobe, shortlist) plus the
+    * evidence it was chosen on (census, both cost axes, hit mass,
+    * recall4, the `cleared` verdict against `budget`).
+    *
+    * This is the step after x182 (chooses the geometry) and x187
+    * (tabulates the serving points): the table stops being something a
+    * human reads and becomes something the engine ACTS on — see
+    * [[tuneIvfPqIndex]], which stamps this row into the persisted index
+    * so the serving path probes at it with no hand-carried knobs.
+    */
+  def chooseOperatingPoint(
+      spark: SparkSession,
+      dir: String,
+      budget: Double = 0.9,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      nprobes: Seq[Int] = Seq(2, 4, 8),
+      shortlists: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 3,
+      queryMod: Int = 10,
+      opq: Boolean = false): DataFrame =
+    selectOperatingPoint(
+      refinedTuningSweep(spark, dir, nCentroids, m, ksub, iters, nprobes,
+        shortlists, k, queryMod, opq),
+      budget)
+
+  /** EXT-S37b — tune a PERSISTED IVF-PQ index: run the operating-point
+    * sweep against `corpusDir` UNDER THE INDEX'S OWN GEOMETRY, choose
+    * per [[selectOperatingPoint]], and stamp the winning row into the
+    * index as the bounded 1-row `opp/` sidecar together with the
+    * [[ivfPqGeometryStamp]] it was measured under.
+    *
+    * Geometry binding, refused not assumed: the sweep re-derives the
+    * (coarse centroids, codebooks) from `corpusDir` with the index's
+    * stamped (nCentroids, m, ksub) and REFUSES if the derived geometry's
+    * stamp differs from the index's — an operating point measured under
+    * a different quantizer than the one serving would make every recall
+    * number in the sidecar a lie (a retrained index, a different
+    * training corpus, a different `iters`). The same stamp rides in
+    * `opp/` so the PROBE side re-checks it on every load
+    * ([[loadOperatingPoint]]): tune-then-retrain refuses at serve time
+    * exactly like retrain-then-append does in the generational
+    * maintainer (EXT-6ao's law, applied to the tuning sidecar).
+    */
+  def tuneIvfPqIndex(
+      spark: SparkSession,
+      indexPath: String,
+      corpusDir: String,
+      budget: Double = 0.9,
+      iters: Int = 2,
+      nprobes: Seq[Int] = Seq(2, 4, 8),
+      shortlists: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 3,
+      queryMod: Int = 10): DataFrame = {
+    val (cents, cb, dim, _) = loadIvfPqGeometry(spark, indexPath)
+    val stamp = ivfPqGeometryStamp(cents, cb, dim)
+    val nCentroids = cents.length
+    val m = cb.length
+    val ksub = cb.headOption.map(_.length).getOrElse(0)
+    val (cbDerived, _) = pqCodebooks(spark, corpusDir, m, ksub, iters)
+    val derivedStamp = ivfPqGeometryStamp(
+      ivfSeedCentroids(spark, corpusDir, nCentroids), cbDerived, dim)
+    require(derivedStamp == stamp,
+      s"refusing to tune: corpus at $corpusDir derives geometry $derivedStamp " +
+        s"but the index at $indexPath serves $stamp — the sweep would measure " +
+        "a different quantizer than the one serving (retrained index, wrong " +
+        "corpus, or wrong iters)")
+    val point = chooseOperatingPoint(spark, corpusDir, budget, nCentroids,
+      m, ksub, iters, nprobes, shortlists, k, queryMod)
+      .withColumn("geom_stamp", lit(stamp))
+    point.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/opp")
+    spark.read.parquet(s"$indexPath/opp")
+  }
+
+  /** The stamped operating point of a tuned IVF-PQ index — the 1-row
+    * `opp/` sidecar, validated before every serve: an UNTUNED index
+    * refuses naming the fix ([[tuneIvfPqIndex]]), and a geometry stamp
+    * that no longer matches the index's current sidecars refuses too —
+    * the index was RETRAINED after tuning, so the stamped (nprobe,
+    * shortlist) was chosen on recall numbers the new quantizer never
+    * produced. The row read memoizes per listing signature (the
+    * [[IndexCache]] contract); the stamp check re-derives from the
+    * geometry loaders' own memos, so an unchanged index validates with
+    * zero extra jobs.
+    */
+  def loadOperatingPoint(spark: SparkSession, indexPath: String): DataFrame = {
+    val oppPath = new org.apache.hadoop.fs.Path(s"$indexPath/opp")
+    val fs = oppPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(oppPath),
+      s"ivfpq index at $indexPath has no stamped operating point — run " +
+        "tuneIvfPqIndex(indexPath, corpusDir, budget) first")
+    val row = IndexCache.cached(
+      spark, s"ivfpqopp|$indexPath", Seq(s"$indexPath/opp")) {
+      val rows = spark.read.parquet(s"$indexPath/opp").collect()
+      require(rows.length == 1,
+        s"corrupt opp sidecar at $indexPath: ${rows.length} rows")
+      rows.head
+    }
+    val (cents, cb, dim, _) = loadIvfPqGeometry(spark, indexPath)
+    val current = ivfPqGeometryStamp(cents, cb, dim)
+    val tuned = row.getAs[String]("geom_stamp")
+    require(tuned == current,
+      s"stamped operating point at $indexPath was tuned under geometry " +
+        s"$tuned but the index now serves $current — the index was " +
+        "retrained after tuning; re-run tuneIvfPqIndex")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, row.schema)
+  }
+
+  /** EXT-S38 (`x191_ivfpq_refined_auto`) — the refined composite served
+    * AT THE STAMPED OPERATING POINT: [[loadOperatingPoint]]'s validated
+    * (nprobe, shortlist) drives [[ivfPqTopKRefinedFromIndex]], so the
+    * production serving call carries NO hand-picked knobs — the sweep
+    * measured, the chooser chose, the tuner stamped, and this probes.
+    * Completes the arc the tuning family opened: x182 picks the
+    * geometry, x187 tabulates the serving points, x190 picks one, and
+    * the serve path consumes the pick with the same refusal discipline
+    * as every other stamped sidecar (untuned → refuse naming the fix;
+    * retrained since tuning → refuse; the underlying probe's own width/
+    * stamp refusals unchanged).
+    */
+  def ivfPqTopKRefinedFromIndexAuto(
+      spark: SparkSession,
+      indexPath: String,
+      corpusDir: String,
+      queries: DataFrame,
+      k: Int = 3,
+      staticPrune: Boolean = true): DataFrame = {
+    val point = loadOperatingPoint(spark, indexPath)
+      .select("nprobe", "shortlist").collect().head
+    ivfPqTopKRefinedFromIndex(spark, indexPath, corpusDir, queries, k,
+      nprobe = point.getInt(0), shortlist = point.getInt(1),
+      staticPrune = staticPrune)
   }
 }

@@ -397,6 +397,42 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       staticPrune, dedupReplays = true)
   }
 
+  /** EXT-6as — the full production serving call on a STREAMING-
+    * MAINTAINED composite index, at the STAMPED operating point: the
+    * validated (nprobe, shortlist) from the index's `opp/` sidecar
+    * ([[graft.operators.Similarity.loadOperatingPoint]] — untuned
+    * refuses naming the fix, retrained-since-tuning refuses) drives the
+    * live-generation ADC shortlist ([[ivfPqProbeLive]] — generation
+    * stamp, static pruning, replay dedup unchanged) and the exact-refine
+    * tail fetches float vectors from `corpusDir` by candidate id only
+    * (the shared [[graft.operators.Similarity.refineByFloatStore]]).
+    * The serving loop a production stream runs: geometry trained once,
+    * code rows appended forever, the operating point chosen by the
+    * sweep and stamped — every knob in the probe call is the index's
+    * own. Law (spec-pinned): once the maintainer has ingested exactly a
+    * corpus and the index is tuned, this equals
+    * `ivfPqTopKRefinedFromIndexAuto` over the static index of that
+    * corpus tuned with the same grid/budget.
+    */
+  def ivfPqRefinedProbeLiveAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      corpusDir: String,
+      queries: DataFrame,
+      k: Int = 3,
+      staticPrune: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val point = graft.operators.Similarity.loadOperatingPoint(spark, indexDir)
+      .select("nprobe", "shortlist").collect().head
+    val (nprobe, shortlist) = (point.getInt(0), point.getInt(1))
+    require(shortlist >= k, s"stamped shortlist ($shortlist) must be >= k ($k)")
+    val cand = ivfPqProbeLive(spark, indexDir, queries, k = shortlist,
+      nprobe = nprobe, staticPrune = staticPrune)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"))
+    graft.operators.Similarity.refineByFloatStore(spark, corpusDir, cand,
+      queries, k)
+  }
+
   /** EXT-6aq — streaming SIGN-SIGNATURE index maintenance: the
     * generation lifecycle applied to the x183 index's 16-byte rows.
     * Arrivals are packed row-locally against the index's stamped dim

@@ -586,6 +586,87 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       "persisted refined probe diverged from the in-memory refined composite")
   }
 
+  test("selectOperatingPoint (x190): cheapest clearing point wins; max-recall fallback when none clears; ties break on cost then knobs") {
+    import spark.implicits._
+    def table(rows: Seq[(Int, Int, Long, Long, Long, Long, Double)]) =
+      rows.toDF("nprobe", "shortlist", "n_queries", "n_candidates",
+        "n_float_fetches", "n_hits", "recall4")
+    def pick(rows: Seq[(Int, Int, Long, Long, Long, Long, Double)], budget: Double) = {
+      val r = Similarity.selectOperatingPoint(table(rows), budget).collect()
+      assert(r.length == 1)
+      (r.head.getInt(0), r.head.getInt(1), r.head.getAs[Boolean]("cleared"),
+        r.head.getAs[Double]("budget"))
+    }
+    // the cheaper CLEARING point wins even with lower recall — the rule
+    // optimizes cost subject to the budget, never recall beyond it
+    assert(pick(Seq(
+      (2, 16, 50L, 100L, 800L, 140L, 0.93),
+      (4, 16, 50L, 200L, 800L, 150L, 0.99),
+      (2, 8, 50L, 100L, 400L, 120L, 0.80)), 0.9) == (2, 16, true, 0.9))
+    // equal scan cost -> fewer float fetches wins
+    assert(pick(Seq(
+      (2, 32, 50L, 100L, 1600L, 141L, 0.94),
+      (2, 16, 50L, 100L, 800L, 140L, 0.93)), 0.9)._2 == 16)
+    // nothing clears -> the max-recall point, flagged honestly
+    assert(pick(Seq(
+      (2, 16, 50L, 100L, 800L, 100L, 0.67),
+      (4, 32, 50L, 200L, 1600L, 120L, 0.80)), 0.9) == (4, 32, false, 0.9))
+    // recall tie among non-clearing points -> cheapest wins
+    assert(pick(Seq(
+      (4, 32, 50L, 200L, 1600L, 120L, 0.80),
+      (2, 32, 50L, 100L, 1600L, 120L, 0.80)), 0.9)._1 == 2)
+    // the budget domain is (0, 1]
+    intercept[IllegalArgumentException](
+      Similarity.selectOperatingPoint(table(Seq((2, 16, 50L, 100L, 800L, 140L, 0.93))), 0.0))
+  }
+
+  test("tuneIvfPqIndex + ivfPqTopKRefinedFromIndexAuto (x190/x191): stamped point serves bit-equal; untuned and retrained indexes refuse") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-tuned-idx").toString
+    Similarity.writeIvfPqIndex(spark, dir, indexPath, nCentroids = 16)
+    val queries = graft.operators.Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id", "embedding")
+    // an UNTUNED index refuses the auto probe naming the fix
+    val untuned = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKRefinedFromIndexAuto(spark, indexPath, dir, queries))
+    assert(untuned.getMessage.contains("tuneIvfPqIndex"))
+    // tuning under a geometry the corpus does NOT derive refuses: the
+    // sweep would measure a different quantizer than the one serving
+    val wrongIters = intercept[IllegalArgumentException](
+      Similarity.tuneIvfPqIndex(spark, indexPath, dir, budget = 0.5,
+        iters = 1, nprobes = Seq(2), shortlists = Seq(8)))
+    assert(wrongIters.getMessage.contains("refusing to tune"))
+    // tune, then: the stamped point is the selection over the sweep, and
+    // the auto probe serves bit-equal to the manual probe at that point
+    val stamped = Similarity.tuneIvfPqIndex(spark, indexPath, dir,
+      budget = 0.5, nprobes = Seq(2, 4), shortlists = Seq(8, 16)).collect()
+    assert(stamped.length == 1)
+    val expectPoint = Similarity.selectOperatingPoint(
+      Similarity.refinedTuningSweep(spark, dir, nCentroids = 16,
+        nprobes = Seq(2, 4), shortlists = Seq(8, 16)), budget = 0.5)
+      .collect().head
+    val sp = stamped.head
+    assert((sp.getAs[Int]("nprobe"), sp.getAs[Int]("shortlist")) ==
+      (expectPoint.getInt(0), expectPoint.getInt(1)),
+      "stamped point diverged from the selection over the sweep")
+    val got = Similarity.ivfPqTopKRefinedFromIndexAuto(
+      spark, indexPath, dir, queries).collect().map(_.toString).toSeq
+    val manual = Similarity.ivfPqTopKRefinedFromIndex(
+      spark, indexPath, dir, queries,
+      nprobe = sp.getAs[Int]("nprobe"), shortlist = sp.getAs[Int]("shortlist"))
+      .collect().map(_.toString).toSeq
+    assert(got == manual && got.nonEmpty,
+      "auto probe diverged from the manual probe at the stamped point")
+    // RETRAIN after tuning refuses: the stamped point was chosen on
+    // recall numbers the new quantizer never produced
+    Similarity.writeIvfPqIndex(spark, dir, indexPath, nCentroids = 16, m = 4)
+    val retrained = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKRefinedFromIndexAuto(spark, indexPath, dir, queries))
+    assert(retrained.getMessage.contains("retrained"))
+  }
+
   test("persisted probes: an EMPTY query batch yields an empty result, not a refusal") {
     // the EXT-6an serving shape delivers empty microbatches as a normal
     // streaming event (an empty trigger, a recovery replay) — the probe

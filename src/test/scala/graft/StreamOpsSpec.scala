@@ -1440,6 +1440,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       s"expected the append-side retrain refusal, got: ${appendErr.getMessage}")
   }
 
+  test("EXT-6as ivfPqRefinedProbeLiveAuto: the live serving call at the stamped point equals the static auto probe; untuned index refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-auto").toString
+    graft.operators.Similarity.initIvfPqIndex(spark, sfDir, s"$tmp/index", nCentroids = 16)
+    val vecs = graft.operators.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.maintainIvfPqIndex(
+      stream.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 2L)
+    try {
+      vecs.grouped(200).foreach { g =>
+        stream.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = graft.operators.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select("vec_id", "embedding")
+    // UNTUNED: the live serving call refuses naming the fix — it must
+    // never fall back to a default knob the sweep didn't choose
+    val untuned = intercept[IllegalArgumentException](
+      StreamOps.ivfPqRefinedProbeLiveAuto(spark, s"$tmp/index", sfDir, queries))
+    assert(untuned.getMessage.contains("tuneIvfPqIndex"))
+    // tune the LIVE index (the generational sidecars share the static
+    // layout, so the tuner's geometry re-derivation binds identically)
+    graft.operators.Similarity.tuneIvfPqIndex(spark, s"$tmp/index", sfDir,
+      budget = 0.5, nprobes = Seq(2, 4), shortlists = Seq(8, 16))
+    // the static twin: same corpus, same grid, same budget
+    val staticIdx = java.nio.file.Files.createTempDirectory("graft-ivfpq-auto-st").toString
+    graft.operators.Similarity.writeIvfPqIndex(spark, sfDir, staticIdx, nCentroids = 16)
+    graft.operators.Similarity.tuneIvfPqIndex(spark, staticIdx, sfDir,
+      budget = 0.5, nprobes = Seq(2, 4), shortlists = Seq(8, 16))
+    val live = StreamOps.ivfPqRefinedProbeLiveAuto(
+      spark, s"$tmp/index", sfDir, queries).collect().map(_.toString).toSeq
+    val expect = graft.operators.Similarity.ivfPqTopKRefinedFromIndexAuto(
+      spark, staticIdx, sfDir, queries).collect().map(_.toString).toSeq
+    assert(live == expect && expect.nonEmpty,
+      "live auto serving call diverged from the static auto probe")
+  }
+
   test("EXT-6aq maintainSignIndex: live probe equals the static probe across generations + replays; retrain refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
