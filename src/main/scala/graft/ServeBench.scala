@@ -84,6 +84,31 @@ object ServeBench {
     probes("bm25_top5") = medianProbe(() =>
       TextAnalysis.bm25TopKFromIndex(spark, s"$root/bm25", terms))
 
+    // the GENERATIONAL BM25 layout (EXT-6at): meta stamped, postings +
+    // doclens appended as one maintainer "microbatch" covering the
+    // corpus, then the live probe deriving df/n_docs/avgdl exactly from
+    // the generational rows — the derive-at-probe tax next to the
+    // static layout's baked-stats row
+    builds("bm25_gen") = time {
+      TextAnalysis.initBm25Index(spark, s"$root/bm25gen")
+      val nb = 64
+      val docs = Tables.documents(spark, sfDir)
+      val tf = TextAnalysis.termFreq(docs)
+      docs.select(col("doc_id"))
+        .join(tf.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+        .write.mode("append").parquet(s"$root/bm25gen/gen-0/doclens")
+      tf.withColumn("bucket", TextAnalysis.bm25Bucket(col("token"), nb))
+        .write.mode("append").partitionBy("bucket").parquet(s"$root/bm25gen/gen-0/postings")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/bm25gen/gen-0/_geom"),
+        s"bm25:nbuckets=$nb".getBytes("UTF-8"))
+      new java.io.File(s"$root/bm25gen/gen-0/_live").createNewFile()
+      ()
+    }
+    probes("bm25_live") = medianProbe(() =>
+      graft.streaming.StreamOps.bm25ProbeLive(spark, s"$root/bm25gen", terms))
+
     builds("pq") = time(Similarity.writePqIndex(spark, sfDir, s"$root/pq"))
     probes("pq_adc") = medianProbe(() =>
       Similarity.pqTopKFromIndex(spark, s"$root/pq", queries))

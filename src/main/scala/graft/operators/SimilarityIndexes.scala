@@ -610,24 +610,24 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
   private[graft] def pqAssign(
       qv: DataFrame, cb: Array[Array[Array[Long]]], dsub: Int,
       passthrough: Seq[String] = Nil): DataFrame = {
-    val chosen = cb.indices.map { s =>
-      val qsub = slice(col("qv"), s * dsub + 1, dsub)
-      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
-      val cand = array(cb(s).zipWithIndex.map { case (cvec, c) =>
-        val nc = cvec.foldLeft(0L)((a, v) => a + v * v)
-        struct(
-          (nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, typedlit(cvec.toSeq)) + lit(nc))
-            .as("d"),
-          lit(c).as("code"))
-      }: _*)
-      array_min(cand)
-    }
+    // ONE codegen'd kernel ([[graft.functions.PqOps.pq_encode]]) in
+    // place of the declarative spellings that both failed at the
+    // production geometry (m 16 × ksub 128): ksub inlined dot
+    // expressions blew the generated-method size (the x182 Janino
+    // lesson), and the transform/zip_with loop form evaluates its
+    // lambdas INTERPRETED per element (higher-order functions have no
+    // doGenCode) — the measured single-task wall that kept the
+    // 60k-vector slice encode from finishing. The kernel's
+    // `Σ_d (q−c)²` is integer-identical to the `‖q‖² − 2q·c + ‖c‖²`
+    // expansion, ties to the lowest code — codes and recon_err are
+    // bit-unchanged (oracle-verified).
+    val enc = graft.functions.PqOps.pq_encode(col("qv"), cb)
     // passthrough lets a caller ride extra key columns (e.g. the IVF cell
     // label) through the projection WITHOUT a later re-join — the encode
     // stays one narrow corpus pass however the codes are keyed downstream
     qv.select(col("vec_id") +: passthrough.map(col) ++: Seq(col("qv"),
-      array(chosen.map(_.getField("code")): _*).as("codes"),
-      chosen.map(_.getField("d")).reduce(_ + _).as("recon_err")): _*)
+      enc.getField("codes").as("codes"),
+      enc.getField("recon_err").as("recon_err")): _*)
   }
 
   /** EXT-S20 (x104) — PQ corpus encoding: every vector compressed to
@@ -820,24 +820,37 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     recallTail(exact, approx, k)
   }
 
-  /** The ADC distance expression: for a query's int8 vector `qe` and a
-    * corpus row's code array, `Σ_s ‖q_s − cb[s][code_s]‖²` — spelled
-    * per subspace as `‖q_s‖² − 2·q_s·cb + ‖cb‖²` with the codebook
-    * vectors and their norms indexed out of nested plan literals by the
-    * row's code. Exact BIGINT end to end. This is asymmetric distance
-    * (query NOT quantized to a code): the standard ADC fidelity choice
-    * (Jégou et al., PAMI 2011) — the query side keeps full int8
-    * precision, only the corpus pays the 32× compression.
+  /** Per-query ADC distance TABLE (Jégou et al., PAMI 2011 — asymmetric
+    * distance computation served as the LUT the paper actually
+    * prescribes): for an int8 query vector `qe`, entry
+    * `[s][c] = ‖q_s‖² − 2·q_s·cb[s][c] + ‖cb[s][c]‖²` — m·ksub exact
+    * BIGINTs computed ONCE per query row, so every scored pair
+    * afterwards costs m array lookups ([[adcDistFromTable]]). The
+    * query side keeps full int8 precision; only the corpus pays the
+    * compression. This replaced a per-PAIR spelling (each candidate
+    * re-sliced the query and re-dotted it against code-indexed codebook
+    * literals) that measured ~10× slower per pair at the production
+    * geometry (m 16, ksub 128) — the allocation + re-dot cost per
+    * CANDIDATE is exactly what the LUT amortizes per QUERY. Spelled as
+    * transform LOOPS over the codebook literals (constant codegen size
+    * in ksub — the pqAssign lesson). Callers must MATERIALIZE the
+    * column on the query side of the candidate join (an exchange,
+    * broadcast, or checkpoint boundary — every call site guarantees
+    * one); the table is |queries|·m·ksub-bounded, never corpus-sized.
     */
-  private def adcDist(cb: Array[Array[Array[Long]]], dsub: Int): Column =
-    cb.indices.map { s =>
-      val qsub = slice(col("qe"), s * dsub + 1, dsub)
-      val nq = graft.functions.DotProduct.dot_l(qsub, qsub)
-      val codeS = element_at(col("codes"), s + 1)
-      val cbArr = element_at(typedlit(cb(s).map(_.toSeq).toSeq), codeS + 1)
-      val ncS = element_at(
-        typedlit(cb(s).map(_.foldLeft(0L)((a, v) => a + v * v)).toSeq), codeS + 1)
-      nq - lit(2L) * graft.functions.DotProduct.dot_l(qsub, cbArr) + ncS
+  private def adcTableCol(
+      qe: Column, cb: Array[Array[Array[Long]]], dsub: Int): Column =
+    graft.functions.PqOps.adc_table(qe, cb)
+
+  /** The pair-side ADC distance off a [[adcTableCol]] column `dtab`:
+    * Σ_s dtab[s][codes_s] — the same exact BIGINT terms [[adcDist]]
+    * computes, summed in the same subspace order, so rankings and
+    * emitted distances are bit-identical.
+    */
+  private def adcDistFromTable(m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(col("dtab"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
 
   /** The shared ADC top-k plan: queries `(qid, qe: array<bigint>)` ×
@@ -856,9 +869,14 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       k: Int): DataFrame = {
     // the broadcast expansion must not run in the scan's task count (one
     // task for a single code file): the same single-task fix as the x5
-    // family — measured 1038 s -> (see BASELINE r14L) at the 10x slice
-    val scored = queries.join(expansionPartitioned(codes), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+    // family — measured 1038 s -> (see BASELINE r14L) at the 10x slice.
+    // The query side carries its ADC distance TABLE (materialized by the
+    // join's own broadcast/exchange of that side — never recomputed per
+    // pair), so the expansion stream pays m lookups per candidate.
+    val q = queries.withColumn("dtab", adcTableCol(col("qe"), cb, dsub))
+    val scored = q.join(expansionPartitioned(codes), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
     presentTopK(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
@@ -984,17 +1002,18 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     val q =
       if (nprobe == 1)
         qSrc.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"), col("cell"))
+          adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
+          col("cell"))
       else
         qSrc.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
+          adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     // a candidate lives in exactly ONE cell and a query's probe cells
     // are distinct, so no (qid, cid) pair repeats — no dedup needed
     val scored = q.join(corpusCoded, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+        (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
     presentTopK(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))
@@ -1343,9 +1362,10 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       // sweep point's join AND the candidate-cost census
       val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       val q = qSrc
-        .select(col("vec_id").as("qid"), int8Quantize(col("embedding")).as("qe"),
+        .select(col("vec_id").as("qid"),
+          adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           posexplode(slice(reverse(array_sort(scoredCells)), 1, maxNp)).as(Seq("pr", "pc")))
-        .select(col("qid"), col("qe"), (col("pr") + 1).cast("int").as("prank"),
+        .select(col("qid"), col("dtab"), (col("pr") + 1).cast("int").as("prank"),
           (lit(nc - 1) - col("pc").getField("nk")).as("cell"))
         .localCheckpoint()
       // scanned-candidate cost from the |cells|-row census — never from
@@ -1364,7 +1384,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
           .join(corpusCoded, Seq("cell"))
           .filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"),
-            (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+            (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
         val approx = presentTopK(scored, k)
           .select(col("vec_id"), col("neighbor_id"))
         recallTail(exact, approx, k)
@@ -1481,12 +1501,17 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     // query fan-out once at the widest probe width, probe RANK carried
-    // (the x182 spelling — identical tie-break to probeCellsCol)
+    // (the x182 spelling — identical tie-break to probeCellsCol); the
+    // fan-out rows carry the per-query ADC distance TABLE in place of
+    // the raw int8 query (the checkpoint materializes it once per
+    // (query, probe-cell) row — |queries|·maxNp·m·ksub-bounded), so
+    // every per-nprobe re-scan pays m lookups per candidate
     val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
     val q = qSrc
-      .select(col("vec_id").as("qid"), q8(col("embedding")).as("qe"),
+      .select(col("vec_id").as("qid"),
+        adcTableCol(q8(col("embedding")), cb, dsub).as("dtab"),
         posexplode(slice(reverse(array_sort(scoredCells)), 1, maxNp)).as(Seq("pr", "pc")))
-      .select(col("qid"), col("qe"), (col("pr") + 1).cast("int").as("prank"),
+      .select(col("qid"), col("dtab"), (col("pr") + 1).cast("int").as("prank"),
         (lit(nCentroids - 1) - col("pc").getField("nk")).as("cell"))
       .localCheckpoint()
     // scanned-candidate cost from the |cells|-row census (x182's rule)
@@ -1507,7 +1532,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
         .join(corpusCoded, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+          (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
       val adcTop = rankedTopK(scored, maxSl)
         .select(col("qid"), col("cid"), col("rank").as("adc_rank"))
       // ONE bounded float fetch per probe width (≤ |queries|·maxSl rows
@@ -1707,14 +1732,18 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
     val (cb, dsub) = loadPqGeometry(spark, sidecarPath, queries, "ivfpq")
     val scoredCells = ivfScoredCells(cents, col("embedding"))
+    // the probe side carries its ADC distance TABLE (adcTableCol) in
+    // place of the raw int8 query: the cell equi-join's exchange (or
+    // broadcast) materializes it once per (query, probe-cell) row, and
+    // the candidate stream pays m lookups per code row
     val q =
       if (nprobe == 1)
         queries.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
+          adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           argmaxCell(scoredCells, nCentroids).as("cell"))
       else
         queries.select(col("vec_id").as("qid"),
-          int8Quantize(col("embedding")).as("qe"),
+          adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val idxPruned =
       if (staticPrune) {
@@ -1732,7 +1761,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     val idx = expansionPartitioned(idxDeduped)
     val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (lit(0L) - adcDist(cb, dsub)).cast("double").as("sim"))
+        (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
     presentTopK(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (lit(0.0) - col("sim4")).cast("bigint").as("adc_dist"))

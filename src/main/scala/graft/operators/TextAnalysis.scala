@@ -263,12 +263,51 @@ object TextAnalysis {
     * reads it again — without the checkpoint Spark re-runs the
     * explode+groupBy once per consumer).
     */
-  private def termFreq(docs: DataFrame): DataFrame =
+  private[graft] def termFreq(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(Tables.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+
+  /** The ONE token-bucket spelling (build, static probe, and the
+    * EXT-6at streaming maintainer/probe all derive buckets through this
+    * expression — hash drift between writer and prober would silently
+    * read the wrong partitions).
+    */
+  private[graft] def bm25Bucket(token: Column, nBuckets: Int): Column =
+    pmod(hash(token), lit(nBuckets)).cast("int")
+
+  /** The ONE BM25 scoring + presentation tail, shared by the in-memory
+    * operator, the static-index probe, and the EXT-6at live-generation
+    * probe: `cand` carries (token, doc_id, tf, df, dl, n_docs,
+    * total_toks) — integers exact however they were derived — and the
+    * tail applies the log-free rational idf, the length-normalized tf,
+    * and the map-side bounded top-k fold. One spelling means the three
+    * serving paths cannot drift in the IEEE arithmetic the oracle
+    * hash-checks.
+    */
+  private[graft] def bm25ScoreTail(
+      cand: DataFrame, k1: Double, b: Double, k: Int): DataFrame = {
+    val scored = cand
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tf_norm",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") / (col("total_toks").cast("double") / col("n_docs"))))))
+      .withColumn("score", col("idf") * col("tf_norm"))
+    val agg = graft.functions.TopK.topk(k)
+    scored
+      .groupBy("token")
+      .agg(agg(col("score"), col("doc_id")).as("sel"))
+      .select(col("token"), posexplode(col("sel.entries")))
+      .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.cid").as("doc_id"), col("col.sim").as("score"))
+      .orderBy("token", "rank")
+  }
 
   /** EXT-T9 — BM25 top-k retrieval: the k most relevant documents per
     * probe term, under the BM25 weighting `idf · tf·(k1+1) / (tf + k1·(1
@@ -325,28 +364,12 @@ object TextAnalysis {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val totToks = tf.agg(sum("tf").as("total_toks"))
-    val scored = tf
-      .join(broadcast(probes), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(nDocs))
-      .crossJoin(broadcast(totToks))
-      .withColumn("idf",
-        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      .withColumn("tf_norm",
-        (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) *
-              (col("dl").cast("double") / (col("total_toks").cast("double") / col("n_docs"))))))
-      .withColumn("score", col("idf") * col("tf_norm"))
-    val agg = graft.functions.TopK.topk(k)
-    scored
-      .groupBy("token")
-      .agg(agg(col("score"), col("doc_id")).as("sel"))
-      .select(col("token"), posexplode(col("sel.entries")))
-      .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.cid").as("doc_id"), col("col.sim").as("score"))
-      .orderBy("token", "rank")
+    bm25ScoreTail(
+      tf.join(broadcast(probes), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(totToks)),
+      k1, b, k)
   }
 
   /** EXT-T9b build — persist the BM25 inverted index: [[termFreq]]'s
@@ -377,10 +400,10 @@ object TextAnalysis {
     require(nBuckets >= 1, s"nBuckets ($nBuckets) must be positive")
     val docs = Tables.documents(spark, dir)
     val tf = termFreq(docs)
-    tf.withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+    tf.withColumn("bucket", bm25Bucket(col("token"), nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+      .withColumn("bucket", bm25Bucket(col("token"), nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/lexicon")
     tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       .write.mode("overwrite").parquet(s"$indexPath/doclens")
@@ -389,6 +412,43 @@ object TextAnalysis {
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
+
+  /** EXT-6at's init half — stamp the BM25 layout (`meta/` with the ONE
+    * row a probe must agree with the maintainer on: `n_buckets`) and
+    * nothing else: postings and doc-length rows are then populated
+    * incrementally by the streaming maintainer
+    * ([[graft.streaming.StreamOps.maintainBm25Index]]) — unlike the
+    * vector indexes there is NO training step at all, so the composite
+    * "train once" here is just the bucket-count contract. The corpus
+    * stats the static layout bakes into `stats/` are deliberately NOT
+    * stamped: df, n_docs, and total_toks CHANGE with every arrival, and
+    * the live probe derives them exactly from the generational rows
+    * instead of trusting a stamp that is stale the moment it is written.
+    */
+  def initBm25Index(
+      spark: SparkSession, indexPath: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be positive")
+    spark.range(1).select(lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** The stamped bucket count of an EXT-6at maintained BM25 index —
+    * shared by the maintainer's ingest projection and the live probe
+    * (the [[bm25Bucket]] one-spelling contract needs both sides to read
+    * the same stamp). Memoized per listing signature (the
+    * [[IndexCache]] contract); a corrupt stamp refuses on every read.
+    */
+  private[graft] def loadBm25NBuckets(
+      spark: SparkSession, indexPath: String): Int =
+    IndexCache.cached(
+      spark, s"bm25meta|$indexPath", Seq(s"$indexPath/meta")) {
+      val rows = spark.read.parquet(s"$indexPath/meta")
+        .select("n_buckets").collect()
+      require(rows.length == 1, s"corrupt bm25 index meta: ${rows.length} rows")
+      val nb = rows.head.getInt(0)
+      require(nb >= 1, s"corrupt bm25 index meta: n_buckets $nb")
+      Integer.valueOf(nb)
+    }.intValue()
 
   /** EXT-T9b probe — BM25 top-k documents for a caller-supplied term
     * list against a PERSISTED index: identical scores, tie-breaks, and
@@ -430,7 +490,7 @@ object TextAnalysis {
       (statsRows.head.getLong(0), statsRows.head.getLong(1), nb)
     }
     val probeRel = terms.distinct.toDF("token")
-      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)).cast("int"))
+      .withColumn("bucket", bm25Bucket(col("token"), nBuckets))
     val buckets = probeRel.select("bucket").distinct().as[Int].collect().toSeq
     val lexicon = spark.read.parquet(s"$indexPath/lexicon")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
@@ -440,26 +500,13 @@ object TextAnalysis {
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .select("token", "doc_id", "tf")
     val dl = spark.read.parquet(s"$indexPath/doclens")
-    val scored = postings
-      .join(broadcast(probes), "token")
-      .join(dl, "doc_id")
-      .withColumn("idf",
-        (lit(nDocs).cast("double") - col("df") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      .withColumn("tf_norm",
-        (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) *
-              (col("dl").cast("double") / (lit(totToks).cast("double") / lit(nDocs))))))
-      .withColumn("score", col("idf") * col("tf_norm"))
-    val agg = graft.functions.TopK.topk(k)
-    scored
-      .groupBy("token")
-      .agg(agg(col("score"), col("doc_id")).as("sel"))
-      .select(col("token"), posexplode(col("sel.entries")))
-      .select(col("token"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.cid").as("doc_id"), col("col.sim").as("score"))
-      .orderBy("token", "rank")
+    bm25ScoreTail(
+      postings
+        .join(broadcast(probes), "token")
+        .join(dl, "doc_id")
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("total_toks", lit(totToks)),
+      k1, b, k)
   }
 
   /** EXT-T9c (`x184_bm25_topk_indexed`) — [[bm25TopKFromIndex]] made

@@ -118,8 +118,38 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       partitionCols: Seq[String] = Nil,
       generationStamp: Option[org.apache.spark.sql.SparkSession => String] = None)(
       signaturesOf: Dataset[org.apache.spark.sql.Row] => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGenerationalRelations(docs, indexDir, checkpointLocation,
+      compactEvery, targetBytes, generationStamp,
+      Seq(GenRelation("", partitionCols, signaturesOf)))
+
+  /** One sub-relation of a generational index: `subdir` inside each
+    * `gen-<n>/` ("" = the generation root, every single-relation
+    * maintainer's layout — unchanged on disk), its partition columns,
+    * and the per-microbatch row derivation. EXT-6at introduced the
+    * multi-relation form: a BM25 generation carries bucket-partitioned
+    * postings AND flat doc-length rows, compacted together and cut over
+    * by the ONE `_live` marker so a probe never sees them split across
+    * generations.
+    */
+  private case class GenRelation(
+      subdir: String,
+      partitionCols: Seq[String],
+      rows: Dataset[org.apache.spark.sql.Row] => DataFrame)
+
+  private def maintainGenerationalRelations(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointLocation: String,
+      compactEvery: Long,
+      targetBytes: Long,
+      generationStamp: Option[org.apache.spark.sql.SparkSession => String],
+      relations: Seq[GenRelation])
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery > 0, "compactEvery must be positive")
+    require(relations.nonEmpty, "a generational index needs >= 1 relation")
+    def sub(base: org.apache.hadoop.fs.Path, r: GenRelation): org.apache.hadoop.fs.Path =
+      if (r.subdir.isEmpty) base else new org.apache.hadoop.fs.Path(base, r.subdir)
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -135,9 +165,15 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
         // drifted one (a retrain over a live index requires a rebuild)
         val stampNow = generationStamp.map(_(spark))
         stampNow.foreach(s => claimOrValidateStamp(fs, genPath, s))
-        val writer = signaturesOf(batch).write.mode("append")
-        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-          .parquet(genPath.toString)
+        // multi-relation appends are ordered as declared; a crash
+        // between them leaves a partial batch whose replay re-appends
+        // byte-identical rows (the at-least-once contract the probes'
+        // distincts already absorb)
+        relations.foreach { r =>
+          val writer = r.rows(batch).write.mode("append")
+          (if (r.partitionCols.nonEmpty) writer.partitionBy(r.partitionCols: _*)
+           else writer).parquet(sub(genPath, r).toString)
+        }
         // the marker lands AFTER the generation has data (and heals a
         // crash between a first append and its marker): a reader must
         // never resolve a live generation whose directory holds zero
@@ -150,12 +186,15 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
           // a next-gen dir can only pre-exist from a compaction that
           // crashed before its _live marker: incomplete, redo from scratch
           if (fs.exists(next)) fs.delete(next, true)
-          if (partitionCols.isEmpty)
-            graft.sources.Sources.compactParquet(
-              spark, genPath.toString, next.toString, targetBytes)
-          else
-            compactPartitionedParquet(
-              spark, genPath.toString, next.toString, targetBytes, partitionCols)
+          relations.foreach { r =>
+            if (r.partitionCols.isEmpty)
+              graft.sources.Sources.compactParquet(
+                spark, sub(genPath, r).toString, sub(next, r).toString, targetBytes)
+            else
+              compactPartitionedParquet(
+                spark, sub(genPath, r).toString, sub(next, r).toString,
+                targetBytes, r.partitionCols)
+          }
           // the compacted generation carries the SAME validated stamp
           stampNow.foreach(s => claimOrValidateStamp(fs, next, s))
           // cutover: one atomic create, then retire the old marker
@@ -600,6 +639,117 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
     */
   def phashIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
     liveIndex(spark, indexDir, "pHash")
+
+  /** EXT-6at — streaming BM25 index maintenance: the generation
+    * lifecycle applied to the LEXICAL index, the one family the "pure
+    * per-row function" completion argument (6h/6o/6p/6ao/6ap/6aq/6ar)
+    * deliberately carved out — BM25's df / n_docs / avgdl are
+    * corpus-GLOBAL, so no stamp written at build time stays true under
+    * arrivals. The resolution: the generation stores only ADDITIVE,
+    * row-local relations — bucket-partitioned postings `(token, doc_id,
+    * tf)` via the batch's own [[graft.operators.TextAnalysis.termFreq]]
+    * pass, and per-document lengths `(doc_id, dl)` (dl = 0 for docs the
+    * tokenizer cannot see, so n_docs counts EVERY arrival exactly like
+    * the static builder's `count(*)` over documents) — and the PROBE
+    * derives every global exactly from them ([[bm25ProbeLive]]). The
+    * only stamped contract is `n_buckets`
+    * ([[graft.operators.TextAnalysis.initBm25Index]]'s `meta/`): buckets
+    * are the one thing writer and prober must agree on BEFORE the data
+    * exists, and the generation's `_geom` marker carries it so a
+    * re-init under live generations refuses both directions.
+    *
+    * At-least-once appends suffice: a replayed batch re-derives
+    * byte-identical postings and doclens rows (termFreq is
+    * deterministic), and the probe distincts both relations before any
+    * aggregate — replay-IMMUNE, the 6ao argument. Doclens append FIRST:
+    * a crash between the two appends then leaves docs that are counted
+    * in n_docs but match no terms (a doc whose tokens are pending),
+    * never phantom postings scored against an undercounted corpus; the
+    * replay heals either way. Expects `(doc_id, text)` rows.
+    */
+  def maintainBm25Index(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointLocation: String,
+      compactEvery: Long = 16L,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    def tf(batch: Dataset[org.apache.spark.sql.Row]): DataFrame =
+      graft.operators.TextAnalysis.termFreq(batch.toDF())
+    maintainGenerationalRelations(docs, indexPath, checkpointLocation,
+      compactEvery, targetBytes,
+      generationStamp = Some { spark =>
+        s"bm25:nbuckets=${graft.operators.TextAnalysis.loadBm25NBuckets(spark, indexPath)}"
+      },
+      relations = Seq(
+        GenRelation("doclens", Nil, { batch =>
+          batch.toDF().select(col("doc_id"))
+            .join(tf(batch).groupBy("doc_id").agg(sum("tf").as("dl")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+        }),
+        GenRelation("postings", Seq("bucket"), { batch =>
+          val spark = batch.sparkSession
+          val nBuckets =
+            graft.operators.TextAnalysis.loadBm25NBuckets(spark, indexPath)
+          tf(batch).withColumn("bucket",
+            graft.operators.TextAnalysis.bm25Bucket(col("token"), nBuckets))
+        })))
+  }
+
+  /** EXT-6at's probe: BM25 top-k served from the LIVE GENERATION of a
+    * streaming-maintained index, every corpus global derived EXACTLY
+    * from the generational rows at probe time — df per probed term from
+    * the bucket-pruned, replay-deduped postings (the same rows the
+    * scoring reads; terms outside the probe never pay), n_docs and
+    * total_toks from the distinct doc-length relation (BIGINT count and
+    * sum — order-insensitive, so generations and replays cannot move
+    * them). The scoring/presentation tail is the ONE shared spelling
+    * ([[graft.operators.TextAnalysis.bm25ScoreTail]]), so live scores
+    * are bit-equal to the static probe's over the same corpus — the law
+    * the spec pins across generations, replays, and compactions. The
+    * honest cost note: the doc-length aggregate scans the full 16-byte
+    * doclens relation per probe (the sign-index full-scan class, linear
+    * in docs, not tokens); a serving loop amortizes it per microbatch,
+    * and bucket pruning still bounds the postings bytes — the relation
+    * that scales with corpus TOKENS.
+    */
+  def bm25ProbeLive(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    require(terms.nonEmpty, "probe term list must be non-empty")
+    val nBuckets = graft.operators.TextAnalysis.loadBm25NBuckets(spark, indexDir)
+    val genPath = validatedLiveGeneration(spark, indexDir, "BM25",
+      s"bm25:nbuckets=$nBuckets")
+    val probeRel = terms.distinct.toDF("token")
+      .withColumn("bucket",
+        graft.operators.TextAnalysis.bm25Bucket(col("token"), nBuckets))
+    val buckets = probeRel.select("bucket").distinct().as[Int].collect().toSeq
+    // replay shield: byte-identical re-appends collapse BEFORE df or
+    // scoring sees them — over the PRUNED rows only, the 6ao discipline
+    val postings = spark.read.parquet(s"$genPath/postings")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .select("token", "doc_id", "tf")
+      .dropDuplicates("token", "doc_id")
+    val cand = postings.join(broadcast(probeRel.select("token")), "token")
+      .localCheckpoint()
+    val dfRel = cand.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$genPath/doclens").dropDuplicates("doc_id")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_toks"))
+    graft.operators.TextAnalysis.bm25ScoreTail(
+      cand
+        .join(broadcast(dfRel), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats)),
+      k1, b, k)
+  }
 
   /** Highest `gen-<n>` under `root` bearing a `_live` marker. With
     * `retireStale` (maintainer only), extra markers left by a cutover

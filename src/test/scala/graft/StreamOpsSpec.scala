@@ -1483,6 +1483,63 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       "live auto serving call diverged from the static auto probe")
   }
 
+  test("EXT-6at maintainBm25Index: live probe equals the static probe across generations + replays; re-stamped bucket count refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, length, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-gen").toString
+    // the only stamped contract: the bucket count (no training at all —
+    // every corpus global is derived from the generational rows)
+    graft.operators.TextAnalysis.initBm25Index(spark, s"$tmp/index", nBuckets = 64)
+    val docs = graft.operators.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.maintainBm25Index(
+      stream.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/ckpt",
+      compactEvery = 2L)
+    try {
+      // several batches so compaction fires mid-ingest, then an
+      // at-least-once REPLAY of batch 0 (byte-identical re-derivation)
+      docs.grouped((docs.length + 2) / 3).foreach { g =>
+        stream.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+      stream.addData(docs.take((docs.length + 2) / 3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the static twin over the same corpus; probe terms by the x69/x184
+    // rule (top-df content words) read off the static lexicon
+    val staticIdx = java.nio.file.Files.createTempDirectory("graft-bm25-stat").toString
+    graft.operators.TextAnalysis.writeBm25Index(spark, sfDir, staticIdx)
+    val terms = spark.read.parquet(s"$staticIdx/lexicon")
+      .filter(length(col("token")) >= 6)
+      .orderBy(col("df").desc, col("token")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    assert(terms.nonEmpty)
+    val live = StreamOps.bm25ProbeLive(spark, s"$tmp/index", terms)
+      .collect().map(_.toString).toSeq
+    val expect = graft.operators.TextAnalysis.bm25TopKFromIndex(
+      spark, staticIdx, terms)
+      .collect().map(_.toString).toSeq
+    assert(live == expect && expect.nonEmpty,
+      "live BM25 probe diverged from the static-index probe")
+    // the derived globals are exact: n_docs counts EVERY arrived doc
+    // once (replays invisible), matching the static builder's count(*)
+    val liveGen = new java.io.File(s"$tmp/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .filter(f => new java.io.File(f, "_live").exists())
+      .maxBy(_.getName.drop(4).toLong)
+    val genDl = spark.read.parquet(s"${liveGen.getAbsolutePath}/doclens")
+    assert(genDl.dropDuplicates("doc_id").count() == docs.length.toLong)
+    // re-stamping the bucket count under live generations refuses the
+    // probe (bucket pruning would read the wrong partitions)
+    graft.operators.TextAnalysis.initBm25Index(spark, s"$tmp/index", nBuckets = 8)
+    val err = intercept[IllegalArgumentException](
+      StreamOps.bm25ProbeLive(spark, s"$tmp/index", terms).collect())
+    assert(err.getMessage.contains("rebuild"),
+      s"expected the re-stamp refusal, got: ${err.getMessage}")
+  }
+
   test("EXT-6aq maintainSignIndex: live probe equals the static probe across generations + replays; retrain refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
