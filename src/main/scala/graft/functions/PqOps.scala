@@ -164,7 +164,7 @@ case class PqEncodeExpression(
     })
   }
 
-  override protected def withNewChildrenInternal(newChild: Expression): PqEncodeExpression =
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpression =
     copy(child = newChild)
 }
 
@@ -249,6 +249,6 @@ case class AdcTableExpression(
     })
   }
 
-  override protected def withNewChildrenInternal(newChild: Expression): AdcTableExpression =
+  override protected def withNewChildInternal(newChild: Expression): AdcTableExpression =
     copy(child = newChild)
 }
