@@ -93,6 +93,15 @@ case class PqEncodeExpression(
     if (q.numElements() != m * dsub)
       throw new IllegalArgumentException(
         s"pq_encode: vector width ${q.numElements()} does not match m*dsub = ${m * dsub}")
+    // r18 (ADVICE): a null element would read as garbage through
+    // getLong — refuse loudly, the width-mismatch style. One O(dim)
+    // pre-pass, negligible against the m·ksub·dsub main loop.
+    var i = 0
+    while (i < m * dsub) {
+      if (q.isNullAt(i))
+        throw new IllegalArgumentException(s"pq_encode: null element at index $i")
+      i += 1
+    }
     val codes = new Array[Int](m)
     var err = 0L
     var s = 0
@@ -138,6 +147,11 @@ case class PqEncodeExpression(
          |if ($q.numElements() != ${m * dsub}) {
          |  throw new IllegalArgumentException("pq_encode: vector width " +
          |    $q.numElements() + " does not match m*dsub = ${m * dsub}");
+         |}
+         |for (int $d = 0; $d < ${m * dsub}; $d++) {
+         |  if ($q.isNullAt($d)) {
+         |    throw new IllegalArgumentException("pq_encode: null element at index " + $d);
+         |  }
          |}
          |int[] $codes = new int[$m];
          |long $err = 0L;
@@ -190,6 +204,13 @@ case class AdcTableExpression(
     if (q.numElements() != m * dsub)
       throw new IllegalArgumentException(
         s"adc_table: query width ${q.numElements()} does not match m*dsub = ${m * dsub}")
+    // r18 (ADVICE): refuse null elements loudly — see PqEncodeExpression
+    var i = 0
+    while (i < m * dsub) {
+      if (q.isNullAt(i))
+        throw new IllegalArgumentException(s"adc_table: null element at index $i")
+      i += 1
+    }
     val subs = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -229,6 +250,11 @@ case class AdcTableExpression(
          |if ($q.numElements() != ${m * dsub}) {
          |  throw new IllegalArgumentException("adc_table: query width " +
          |    $q.numElements() + " does not match m*dsub = ${m * dsub}");
+         |}
+         |for (int $d = 0; $d < ${m * dsub}; $d++) {
+         |  if ($q.isNullAt($d)) {
+         |    throw new IllegalArgumentException("adc_table: null element at index " + $d);
+         |  }
          |}
          |Object[] $subs = new Object[$m];
          |for (int $s = 0; $s < $m; $s++) {

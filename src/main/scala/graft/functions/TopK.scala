@@ -1,8 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
 
 /** One scored candidate flowing into the top-k accumulator. */
 final case class TopKEntry(sim: Double, cid: Long)
@@ -86,10 +92,144 @@ final class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
 }
 
+/** The NATIVE spelling of [[TopKAggregator]] — a
+  * `TypedImperativeAggregate` whose `update` reads (sim, cid) straight
+  * off the bound input row and whose buffer is the same primitive-array
+  * [[TopKBuf]]. Same ordering contract ((sim desc, cid asc), IEEE `==`
+  * ties), same `struct<entries: array<struct<sim, cid>>>` result — the
+  * per-group top-k SETS are bit-identical to the udaf's.
+  *
+  * Exists for a measured r18 reason: the `udaf(Aggregator)` wrapper
+  * (ScalaAggregator) pays an encoder round-trip PER INPUT ROW — on the
+  * 400k-pair sf0.1 brute-force expansion the top-k partial aggregation
+  * cost ~0.5 s wall / ~15 s CPU over 32 cores (~30 µs/row) against
+  * ~0.2 s for the identical expansion folding through a built-in sum;
+  * this expression's update is two bound-reference reads + the O(1)
+  * reject/O(k) insert, with serialization only at the per-(group,
+  * partition) shuffle boundary. The aggregation sits under EVERY
+  * ANN/top-k query (presentTopK/rankedTopK — the x5 family, the PQ/IVF
+  * family, BM25, trending keys), so the wrapper tax was paid on every
+  * scored pair the engine produces. [[TopKAggregator]] stays as the
+  * spec-pinned reference implementation the property tests exercise
+  * reduce/merge laws against.
+  */
+case class TopKExpression(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuf] with BinaryLike[Expression] {
+
+  require(k > 0, s"top-k requires k > 0, got $k")
+
+  @inline private def better(aSim: Double, aCid: Long, bSim: Double, bCid: Long): Boolean =
+    if (aSim == bSim) aCid < bCid else aSim > bSim
+
+  override def createAggregationBuffer(): TopKBuf =
+    TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+
+  override def update(b: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = left.eval(input)
+    val c = right.eval(input)
+    if (s == null || c == null) return b // null-ignoring, the SQL agg norm
+    val sim = s.asInstanceOf[Double]
+    val cid = c.asInstanceOf[Long]
+    if (b.n < k || better(sim, cid, b.sims(b.n - 1), b.cids(b.n - 1))) {
+      var i = math.min(b.n, k - 1)
+      while (i > 0 && better(sim, cid, b.sims(i - 1), b.cids(i - 1))) {
+        b.sims(i) = b.sims(i - 1); b.cids(i) = b.cids(i - 1); i -= 1
+      }
+      b.sims(i) = sim; b.cids(i) = cid
+      if (b.n < k) b.n += 1
+    }
+    b
+  }
+
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    if (b2.n == 0) return b1
+    if (b1.n == 0) return b2
+    val out = createAggregationBuffer()
+    var i = 0; var j = 0
+    while (out.n < k && (i < b1.n || j < b2.n)) {
+      val takeLeft = j >= b2.n ||
+        (i < b1.n && better(b1.sims(i), b1.cids(i), b2.sims(j), b2.cids(j)))
+      if (takeLeft) { out.sims(out.n) = b1.sims(i); out.cids(out.n) = b1.cids(i); i += 1 }
+      else { out.sims(out.n) = b2.sims(j); out.cids(out.n) = b2.cids(j); j += 1 }
+      out.n += 1
+    }
+    out
+  }
+
+  override def eval(b: TopKBuf): Any = {
+    val entries = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      entries(i) = new GenericInternalRow(Array[Any](b.sims(i), b.cids(i)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(entries)))
+  }
+
+  override def serialize(b: TopKBuf): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + b.n * 16)
+    buf.putInt(b.n)
+    var i = 0
+    while (i < b.n) { buf.putDouble(b.sims(i)); buf.putLong(b.cids(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val out = createAggregationBuffer()
+    var i = 0
+    while (i < n) { out.sims(i) = buf.getDouble; out.cids(i) = buf.getLong; i += 1 }
+    out.n = n
+    out
+  }
+
+  override def dataType: DataType = TopKExpression.resultType
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk expects (double, bigint), got (${l.sql}, ${r.sql})")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKExpression =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKExpression =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKExpression {
+  /** Identical to the udaf result shape (`Encoders.product[TopKResult]`):
+    * downstream code reads `nb.entries` and the per-entry `sim`/`cid`.
+    */
+  val resultType: StructType = StructType(Seq(
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("sim", DoubleType, nullable = false),
+      StructField("cid", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+}
+
 object TopK {
   /** The aggregate as a two-column function: `topk(k)(sim, cid)` returns
-    * `struct<entries: array<struct<sim, cid>>>` sorted best-first.
+    * `struct<entries: array<struct<sim, cid>>>` sorted best-first. Backed
+    * by the native [[TopKExpression]] (r18); inputs are coerced to
+    * (double, bigint) exactly as the previous udaf's input encoder did.
     */
-  def topk(k: Int): UserDefinedFunction =
-    udaf(new TopKAggregator(k), Encoders.product[TopKEntry])
+  def topk(k: Int): (Column, Column) => Column = (sim, cid) =>
+    shim.column(TopKExpression(
+      shim.expression(sim.cast("double")), shim.expression(cid.cast("long")),
+      k).toAggregateExpression())
 }

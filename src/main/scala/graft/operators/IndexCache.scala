@@ -45,7 +45,7 @@ private[graft] object IndexCache {
     * local/many cloud filesystems, and reading bytes to hash them would
     * cost exactly the parquet job the memo exists to skip.
     */
-  private def dirSignature(spark: SparkSession, dirs: Seq[String]): String = {
+  private[graft] def dirSignature(spark: SparkSession, dirs: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     dirs.sorted.map { d =>
       val path = new org.apache.hadoop.fs.Path(d)

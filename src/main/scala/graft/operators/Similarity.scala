@@ -742,20 +742,58 @@ object Similarity extends SimilarityIndexOps {
       s"nprobes (${nprobes.mkString(",")}) must be in [1, nCentroids=$nCentroids]")
     require(nprobes.distinct.size == nprobes.size,
       s"nprobes (${nprobes.mkString(",")}) contains duplicates")
+    import spark.implicits._
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
       .localCheckpoint() // the one expensive truth leg, shared by every sweep point
     // the cell assignment is the OTHER shared expensive pass: built once
     // here, each sweep point varies only the query-side probe fan-out
     val (withCell, scoredCells) = ivfAssignment(spark, dir, nCentroids)
-    nprobes.map { np =>
-      val approx = ivfProbe(withCell, scoredCells, nCentroids, k, Some(queryMod), np)
-        .select(col("vec_id"), col("neighbor_id"))
-      recallTail(exact, approx, k)
-        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
-        .select(lit(np).as("nprobe"), col("n_queries"), col("n_hits"),
-          round(col("n_hits").cast("double") / (col("n_queries") * k), 4).as("recall4"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    // r18 (guide §2.4, one pass instead of |nprobes|): probe sets NEST,
+    // so the whole sweep is served by ONE fan-out at the widest nprobe
+    // with the probe RANK carried (x182's fan-out discipline — same
+    // best-first tie-break as probeCellsCol), ONE cell-join scoring
+    // pass, and ONE bounded TopK aggregation keyed by (np, qid): each
+    // scored pair is dealt row-locally to every sweep point with
+    // np >= its probe rank. The previous per-point union re-ran the
+    // corpus-expansion join and its exchanges |nprobes| times (4 probe
+    // joins + 4 TopK shuffles + 4 recall joins -> 1 + 1 + 1); the
+    // per-point top-k sets are unchanged because the prank <= np slice
+    // IS that point's candidate set, scored by the same dot.
+    val maxNp = nprobes.max
+    val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+    val qFan =
+      if (maxNp == 1)
+        qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          lit(1).as("prank"), col("cell"))
+      else
+        qSrc.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          posexplode(slice(reverse(array_sort(scoredCells)), 1, maxNp)).as(Seq("pr", "pc")))
+          .select(col("qid"), col("qe"), (col("pr") + 1).cast("int").as("prank"),
+            (lit(nCentroids - 1) - col("pc").getField("nk")).as("cell"))
+    val idx = withCell.select(col("cell"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scoredAll = qFan.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("prank"), dot(col("qe"), col("ce")).as("sim"))
+    val topkAgg = graft.functions.TopK.topk(k)
+    val byNp = scoredAll
+      .select(col("qid"), col("sim"), col("cid"),
+        explode(filter(typedlit(nprobes), n => n >= col("prank"))).as("np"))
+      .groupBy(col("np"), col("qid"))
+      .agg(topkAgg(col("sim"), col("cid")).as("nb"))
+      .select(col("np"), col("qid").as("vec_id"), explode(col("nb.entries")).as("e"))
+      .select(col("np"), col("vec_id"), col("e.cid").as("neighbor_id"))
+    val hitsByNp = byNp.join(exact, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_hits"))
+    val nQueries = exact.select("vec_id").distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    nprobes.toDF("np")
+      .join(hitsByNp, Seq("np"), "left")
+      .crossJoin(broadcast(nQueries)) // 1-row totals join
+      .select(col("np").as("nprobe"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / (col("n_queries") * k), 4)
+          .as("recall4"))
+      .orderBy("nprobe")
   }
 
   /** EXT-S4 — int8 embedding quantization: `q_i = floor(127·x_i + 0.5)`

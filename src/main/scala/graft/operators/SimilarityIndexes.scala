@@ -296,12 +296,20 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     require(nprobe >= 1 && nprobe <= nCentroids,
       s"nprobe ($nprobe) must be in [1, nCentroids=$nCentroids]")
     val scoredCells = ivfScoredCells(cents, col("embedding"))
+    // spread the QUERY side too (r18): a single-file query batch arrives
+    // as ONE scan partition, and when the planner broadcasts the (often
+    // smaller) index side the whole Σ|cell| expansion + dot + TopK
+    // partial agg runs in that one task — measured on x175 (full-corpus
+    // query batch): one 3.8–4.3 s single-task stage was the entire
+    // query. The spread moves only the narrow query rows; identity once
+    // the batch arrives with ≥ parallelism partitions.
+    val qSpread = expansionPartitioned(queries)
     val q =
       if (nprobe == 1)
-        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        qSpread.select(col("vec_id").as("qid"), col("embedding").as("qe"),
           argmaxCell(scoredCells, nCentroids).as("cell"))
       else
-        queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        qSpread.select(col("vec_id").as("qid"), col("embedding").as("qe"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val idxRaw = cellRows
     val idxPruned =
@@ -496,13 +504,18 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // function of (corpus content, m, ksub, iters), so every consumer
     // in a session (encode, topK, recall's two legs, the index writer)
     // shares ONE training run — the production train/serve split. The
-    // cache is validated against a CONTENT stamp (count +
-    // order-insensitive xxhash64 XOR — the writeClusterIndex contract),
-    // not just the path, so a corpus rewritten in place at the same
-    // path retrains instead of silently serving stale codebooks. The
-    // stamp is one narrow two-column scan per call — the price of the
-    // staleness guarantee, and trivially amortized against the
-    // iters-round training pass it guards.
+    // cache is validated against the corpus file's FILESYSTEM signature
+    // (sorted path/length/mtime listing — [[IndexCache.dirSignature]]'s
+    // documented contract: every Spark-style rewrite emits fresh part
+    // names and misses the cache; an external in-place same-name-same-
+    // mtime rewrite is outside the contract), so a corpus rewritten at
+    // the same path retrains instead of silently serving stale
+    // codebooks. r18: this replaced a per-call CONTENT stamp (count +
+    // xxhash64-XOR scan) — every PQ-family query paid one full-corpus
+    // Spark job per pqCodebooks call just to re-validate an unchanged
+    // cache (x182 paid three); the listing is a metadata call with no
+    // job at all, the exact trade IndexCache already documents for the
+    // sidecar loads.
     pqCodebooksCached(spark, dir, "", m, ksub, iters)(
       int8Corpus(spark, dir).localCheckpoint())
   }
@@ -519,7 +532,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       ksub: Int, iters: Int)(
       corpus: => DataFrame): (Array[Array[Array[Long]]], Int) = {
     val key = s"$dir|pq$variantKey|$m|$ksub|$iters"
-    val stamp = embStamp(spark, dir)
+    val stamp = embSig(spark, dir)
     val cached = trainedCodebooks.get(key)
     if (cached != null && cached._2 == stamp) cached._1
     else {
@@ -531,20 +544,15 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
 
   private val trainedCodebooks =
     new java.util.concurrent.ConcurrentHashMap[
-      String, ((Array[Array[Array[Long]]], Int), (Long, Long))]()
+      String, ((Array[Array[Array[Long]]], Int), String)]()
 
-  /** Embedding-corpus identity for the codebook cache: count +
-    * order-insensitive `xxhash64(vec_id, embedding)` XOR — one narrow
-    * scan. Any add/remove/substitute of a vector flips the XOR (up to
-    * collisions, which the count also guards), the same contract as
-    * `CurationClusters.corpusStamp` for the persisted cluster index.
+  /** Embedding-corpus identity for the codebook cache: the corpus
+    * file's filesystem listing signature ([[IndexCache.dirSignature]] —
+    * path/length/mtime, a metadata call, no Spark job). Same staleness
+    * contract as every sidecar load in [[IndexCache]].
     */
-  private def embStamp(spark: SparkSession, dir: String): (Long, Long) = {
-    val r = Tables.embeddings(spark, dir)
-      .agg(count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(vec_id, embedding))").as("x")).collect()(0)
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private def embSig(spark: SparkSession, dir: String): String =
+    IndexCache.dirSignature(spark, Seq(s"$dir/embeddings.parquet"))
 
   /** The uncached training run behind [[pqCodebooks]] — see there for
     * the algorithm contract.
@@ -1333,7 +1341,9 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
         s"nprobes (${nprobes.mkString(",")}) must be in [1, nCentroids=$nc]")
       require(m >= 1 && ksub >= 1, s"degenerate geometry ($nc, $m, $ksub)")
     }
+    import spark.implicits._
     val maxNp = nprobes.max
+    val npArr = typedlit(nprobes)
     // the one float brute truth leg, shared by every sweep cell
     val exact = bruteForceTopK(spark, dir, k, queryMod)
       .select(col("vec_id"), col("neighbor_id"))
@@ -1358,8 +1368,8 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       // query fan-out ONCE at the widest probe width, probe RANK carried
       // (posexplode over the same best-first slice as probeCellsCol —
       // identical tie-break): nprobe = np is the prank ≤ np slice.
-      // Materialized: |queries|·maxNp narrow rows, consumed by every
-      // sweep point's join AND the candidate-cost census
+      // Materialized: |queries|·maxNp narrow rows, consumed by the one
+      // scoring pass AND the candidate-cost census
       val qSrc = withCell.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       val q = qSrc
         .select(col("vec_id").as("qid"),
@@ -1370,33 +1380,61 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
         .localCheckpoint()
       // scanned-candidate cost from the |cells|-row census — never from
       // a materialized pair relation: Σ probed |cell|, minus the one
-      // self-pair each query sheds in its (always-probed) argmax cell
+      // self-pair each query sheds in its (always-probed) argmax cell.
+      // r18: EVERY sweep point's census comes out of ONE bounded
+      // aggregation — each (prank, csz) row is dealt row-locally to the
+      // points with np >= prank and folded by np; the prank = 1 count
+      // recovers the per-query self-pair correction (every np probes
+      // rank 1, so the group count at any np IS |queries|). This
+      // replaces a per-point filter+agg over a checkpointed qSized
+      // relation plus a driver-side count() job.
       val cellSizes = corpusCoded.groupBy("cell").agg(count(lit(1)).as("csz"))
-      val qSized = q.select(col("prank"), col("cell"))
+      val candByNp = q.select(col("prank"), col("cell"))
         .join(broadcast(cellSizes), Seq("cell"))
-        .localCheckpoint() // |queries|·maxNp rows, re-filtered per sweep point
-      val nQ = qSized.filter(col("prank") === 1).count()
-      nprobes.map { np =>
-        // each point re-expands from the checkpointed CODED corpus (m
-        // bytes/row) instead of persisting candidate pairs — see the
-        // scaladoc's OOM note
-        val scored = q.filter(col("prank") <= np)
-          .join(corpusCoded, Seq("cell"))
-          .filter(col("qid") =!= col("cid"))
-          .select(col("qid"), col("cid"),
-            (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
-        val approx = presentTopK(scored, k)
-          .select(col("vec_id"), col("neighbor_id"))
-        recallTail(exact, approx, k)
-          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
-          .crossJoin(broadcast(qSized.filter(col("prank") <= np)
-            .agg((sum(col("csz")) - lit(nQ)).as("n_candidates"))))
-          .select(lit(nc).as("n_centroids"), lit(m).as("m"), lit(ksub).as("ksub"),
-            lit(np).as("nprobe"), col("n_queries"), col("n_candidates"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .withColumn("recall4",
-            round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
-      }.reduce(_ unionByName _)
+        .select(col("csz"), col("prank"),
+          explode(filter(npArr, n => n >= col("prank"))).as("np"))
+        .groupBy("np")
+        .agg(sum(col("csz")).as("cand_sum"),
+          sum(when(col("prank") === 1, lit(1L)).otherwise(lit(0L))).as("nq"))
+      // r18 (guide §2.4): ONE ADC expansion at the widest probe width
+      // replaces the per-point re-expansion — the coded-corpus join, the
+      // m-lookup ADC scoring, and the bounded TopK exchange each ran
+      // |nprobes| times over nested candidate sets (the prank <= np
+      // slices); now each pair is scored once and dealt row-locally to
+      // every point with np >= its probe rank, and ONE TopK aggregation
+      // keyed by (np, qid) folds all sweep points map-side. Top-k sets
+      // per point are unchanged: the np slice of the deal IS the
+      // prank <= np candidate set under the same sim and tie-break.
+      val scoredAll = q.join(corpusCoded, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("prank"),
+          (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
+      val topkAgg = graft.functions.TopK.topk(k)
+      val byNp = scoredAll
+        .select(col("qid"), col("sim"), col("cid"),
+          explode(filter(npArr, n => n >= col("prank"))).as("np"))
+        .groupBy(col("np"), col("qid"))
+        .agg(topkAgg(col("sim"), col("cid")).as("nb"))
+        .select(col("np"), col("qid").as("vec_id"), explode(col("nb.entries")).as("e"))
+        .select(col("np"), col("vec_id"), col("e.cid").as("neighbor_id"))
+      // recall hits for every point in one semi-join + one fold (the
+      // recallTail algebra aggregated: n_hits = |approx ∩ exact| pairs,
+      // n_queries = |distinct exact queries| — identical by uniqueness
+      // of both pair relations on (vec_id, neighbor_id) within a point)
+      val hitsByNp = byNp.join(exact, Seq("vec_id", "neighbor_id"), "left_semi")
+        .groupBy("np").agg(count(lit(1)).as("n_hits"))
+      val nQueries = exact.select("vec_id").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      nprobes.toDF("np")
+        .join(candByNp, Seq("np"), "left")
+        .join(hitsByNp, Seq("np"), "left")
+        .crossJoin(broadcast(nQueries)) // 1-row totals join
+        .select(lit(nc).as("n_centroids"), lit(m).as("m"), lit(ksub).as("ksub"),
+          col("np").as("nprobe"), col("n_queries"),
+          (col("cand_sum") - col("nq")).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall4",
+          round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
     }.reduce(_ unionByName _).orderBy("n_centroids", "m", "ksub", "nprobe")
   }
 
@@ -1474,6 +1512,7 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       s"nprobes (${nprobes.mkString(",")}) must be in [1, nCentroids=$nCentroids]")
     require(shortlists.forall(_ >= k),
       s"shortlists (${shortlists.mkString(",")}) must be >= k ($k)")
+    import spark.implicits._
     val maxNp = nprobes.max
     val maxSl = shortlists.max
     // the one float brute truth leg, shared by every sweep point
@@ -1514,51 +1553,86 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       .select(col("qid"), col("dtab"), (col("pr") + 1).cast("int").as("prank"),
         (lit(nCentroids - 1) - col("pc").getField("nk")).as("cell"))
       .localCheckpoint()
-    // scanned-candidate cost from the |cells|-row census (x182's rule)
+    // scanned-candidate cost from the |cells|-row census (x182's rule,
+    // r18: one bounded aggregation serves every probe width — see
+    // ivfPqTuningSweep's census note; nq recovers |queries| from the
+    // always-probed rank-1 rows, replacing the checkpointed qSized
+    // relation and its driver-side count() job)
+    val npArr = typedlit(nprobes)
+    val slArr = typedlit(shortlists)
     val cellSizes = corpusCoded.groupBy("cell").agg(count(lit(1)).as("csz"))
-    val qSized = q.select(col("prank"), col("cell"))
+    val candByNp = q.select(col("prank"), col("cell"))
       .join(broadcast(cellSizes), Seq("cell"))
-      .localCheckpoint()
-    val nQ = qSized.filter(col("prank") === 1).count()
+      .select(col("csz"), col("prank"),
+        explode(filter(npArr, n => n >= col("prank"))).as("np"))
+      .groupBy("np")
+      .agg(sum(col("csz")).as("cand_sum"),
+        sum(when(col("prank") === 1, lit(1L)).otherwise(lit(0L))).as("nq"))
     // the float store, touched ONLY by candidate-id joins in the refine
     val emb = Tables.embeddings(spark, dir)
     val fq = emb.select(col("vec_id").as("qid"), col("embedding").as("fqe"))
     val fc = emb.select(col("vec_id").as("cid"), col("embedding").as("fce"))
-    nprobes.map { np =>
-      // ONE ADC ranking per probe width, re-expanded from the coded
-      // corpus (never a persisted pair relation), kept at the WIDEST
-      // shortlist — every shortlist point is a rank-slice of it
-      val scored = q.filter(col("prank") <= np)
-        .join(corpusCoded, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
-      val adcTop = rankedTopK(scored, maxSl)
-        .select(col("qid"), col("cid"), col("rank").as("adc_rank"))
-      // ONE bounded float fetch per probe width (≤ |queries|·maxSl rows
-      // by construction — the repo broadcast rule), ADC rank carried
-      val refScored = broadcast(adcTop.join(fq, Seq("qid")))
-        .join(fc, Seq("cid"))
-        .select(col("qid"), col("cid"), col("adc_rank"),
-          dot(col("fqe"), col("fce")).as("sim"))
-        .localCheckpoint()
-      val candAgg = broadcast(qSized.filter(col("prank") <= np)
-        .agg((sum(col("csz")) - lit(nQ)).as("n_candidates")))
-      shortlists.map { sl =>
-        val slice = refScored.filter(col("adc_rank") <= sl)
-        val approx = rankedTopK(slice.select(col("qid"), col("cid"), col("sim")), k)
-          .select(col("qid").as("vec_id"), col("cid").as("neighbor_id"))
-        recallTail(exact, approx, k)
-          .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"))
-          .crossJoin(candAgg)
-          .crossJoin(broadcast(slice.agg(count(lit(1)).as("n_float_fetches"))))
-          .select(lit(np).as("nprobe"), lit(sl).as("shortlist"),
-            col("n_queries"), col("n_candidates"), col("n_float_fetches"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .withColumn("recall4",
-            round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
-      }.reduce(_ unionByName _)
-    }.reduce(_ unionByName _).orderBy("nprobe", "shortlist")
+    // r18 (guide §2.4): ONE ADC expansion + ONE (np, qid)-keyed TopK at
+    // the widest shortlist replaces the per-probe-width re-expansion —
+    // the coded-corpus join and the bounded TopK exchange ran |nprobes|
+    // times over nested prank <= np slices; each pair is now scored
+    // once and dealt row-locally to every width with np >= its probe
+    // rank. Rankings per width are unchanged (same candidate set, same
+    // sim, same tie-break), so every shortlist rank-slice is unchanged.
+    val scoredAll = q.join(corpusCoded, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("prank"),
+        (lit(0L) - adcDistFromTable(cb.length)).cast("double").as("sim"))
+    val topMax = graft.functions.TopK.topk(maxSl)
+    val adcTopAll = scoredAll
+      .select(col("qid"), col("sim"), col("cid"),
+        explode(filter(npArr, n => n >= col("prank"))).as("np"))
+      .groupBy(col("np"), col("qid"))
+      .agg(topMax(col("sim"), col("cid")).as("nb"))
+      .select(col("np"), col("qid"), posexplode(col("nb.entries")).as(Seq("pos", "e")))
+      .select(col("np"), col("qid"), col("e.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("adc_rank"))
+    // ONE bounded float fetch for ALL (np, shortlist) points
+    // (≤ |queries|·maxSl·|nprobes| rows by construction — the repo
+    // broadcast rule; was one fetch + checkpoint PER probe width), ADC
+    // rank carried so every point re-ranks an already-fetched
+    // adc_rank <= sl slice without touching the vector store again
+    val refScoredAll = broadcast(adcTopAll.join(fq, Seq("qid")))
+      .join(fc, Seq("cid"))
+      .select(col("np"), col("qid"), col("cid"), col("adc_rank"),
+        dot(col("fqe"), col("fce")).as("sim"))
+      .localCheckpoint() // consumed by the refine TopK AND the fetch census
+    val topkAgg = graft.functions.TopK.topk(k)
+    val refTop = refScoredAll
+      .select(col("np"), col("qid"), col("cid"), col("sim"),
+        explode(filter(slArr, s => s >= col("adc_rank"))).as("sl"))
+      .groupBy(col("np"), col("sl"), col("qid"))
+      .agg(topkAgg(col("sim"), col("cid")).as("nb"))
+      .select(col("np"), col("sl"), col("qid").as("vec_id"),
+        explode(col("nb.entries")).as("e"))
+      .select(col("np"), col("sl"), col("vec_id"), col("e.cid").as("neighbor_id"))
+    // recall hits for every grid point in one semi-join + one fold (the
+    // recallTail algebra aggregated — ivfPqTuningSweep's note)
+    val hitRows = refTop.join(exact, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("np", "sl").agg(count(lit(1)).as("n_hits"))
+    val ffRows = refScoredAll
+      .select(col("np"), explode(filter(slArr, s => s >= col("adc_rank"))).as("sl"))
+      .groupBy("np", "sl").agg(count(lit(1)).as("n_float_fetches"))
+    val nQueries = exact.select("vec_id").distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    nprobes.flatMap(np => shortlists.map(sl => (np, sl))).toDF("np", "sl")
+      .join(candByNp, Seq("np"), "left")
+      .join(hitRows, Seq("np", "sl"), "left")
+      .join(ffRows, Seq("np", "sl"), "left")
+      .crossJoin(broadcast(nQueries)) // 1-row totals join
+      .select(col("np").as("nprobe"), col("sl").as("shortlist"),
+        col("n_queries"),
+        (col("cand_sum") - col("nq")).as("n_candidates"),
+        coalesce(col("n_float_fetches"), lit(0L)).as("n_float_fetches"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall4",
+        round(col("n_hits").cast("double") / (col("n_queries") * k), 4))
+      .orderBy("nprobe", "shortlist")
   }
 
   /** EXT-S31b — persisted IVF-PQ index (the on-disk FAISS IVFADC
@@ -1735,14 +1809,19 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // the probe side carries its ADC distance TABLE (adcTableCol) in
     // place of the raw int8 query: the cell equi-join's exchange (or
     // broadcast) materializes it once per (query, probe-cell) row, and
-    // the candidate stream pays m lookups per code row
+    // the candidate stream pays m lookups per code row.
+    // expansionPartitioned (r18): the ivfTopKOverCells query-side
+    // single-task note applies identically — a one-file query batch
+    // otherwise runs the whole pruned-code expansion in one task
+    // whenever the planner broadcasts the index side.
+    val qSpread = expansionPartitioned(queries)
     val q =
       if (nprobe == 1)
-        queries.select(col("vec_id").as("qid"),
+        qSpread.select(col("vec_id").as("qid"),
           adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           argmaxCell(scoredCells, nCentroids).as("cell"))
       else
-        queries.select(col("vec_id").as("qid"),
+        qSpread.select(col("vec_id").as("qid"),
           adcTableCol(int8Quantize(col("embedding")), cb, dsub).as("dtab"),
           probeCellsCol(scoredCells, nCentroids, nprobe).as("cell"))
     val idxPruned =
@@ -1931,6 +2010,14 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       staticPrune: Boolean = true): DataFrame = {
     val point = loadOperatingPoint(spark, indexPath)
       .select("nprobe", "shortlist").collect().head
+    // r18 (ADVICE): the stamped shortlist must cover the serve call's k
+    // — the streaming twin (ivfPqRefinedProbeLiveAuto) already refuses;
+    // without this, an index tuned for a smaller k silently returns
+    // under-filled top-k rows instead of naming the fix
+    require(point.getInt(1) >= k,
+      s"stamped operating point at $indexPath has shortlist " +
+        s"${point.getInt(1)} < requested k ($k) — the index was tuned " +
+        "for a smaller k; re-run tuneIvfPqIndex with k >= the serve k")
     ivfPqTopKRefinedFromIndex(spark, indexPath, corpusDir, queries, k,
       nprobe = point.getInt(0), shortlist = point.getInt(1),
       staticPrune = staticPrune)

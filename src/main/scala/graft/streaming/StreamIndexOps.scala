@@ -675,8 +675,24 @@ private[streaming] trait StreamIndexOps { self: StreamOps.type =>
       targetBytes: Long = 128L * 1024 * 1024)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
-    def tf(batch: Dataset[org.apache.spark.sql.Row]): DataFrame =
-      graft.operators.TextAnalysis.termFreq(batch.toDF())
+    // r18 (ADVICE): ONE checkpointed termFreq pass per microbatch,
+    // shared by the doclens aggregation and the postings projection —
+    // the two relation lambdas previously each re-ran the tokenize +
+    // explode + groupBy pass (and its checkpoint job) on the same
+    // batch. Single-slot identity memo is safe: foreachBatch hands the
+    // relations the same Dataset object within one batch, and batches
+    // are processed one at a time per query.
+    val tfSlot = new java.util.concurrent.atomic.AtomicReference[
+      (Dataset[org.apache.spark.sql.Row], DataFrame)]()
+    def tf(batch: Dataset[org.apache.spark.sql.Row]): DataFrame = {
+      val hit = tfSlot.get()
+      if (hit != null && (hit._1 eq batch)) hit._2
+      else {
+        val computed = graft.operators.TextAnalysis.termFreq(batch.toDF())
+        tfSlot.set((batch, computed))
+        computed
+      }
+    }
     maintainGenerationalRelations(docs, indexPath, checkpointLocation,
       compactEvery, targetBytes,
       generationStamp = Some { spark =>
