@@ -181,8 +181,20 @@ object Dedup {
       lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))
     val overlapNeed =
       (col("x.n") + col("y.n")) * (threshold / (1 + threshold)) - lit(1e-9)
+    // r18: both the pair EXPANSION and the verify run downstream of
+    // byte-tiny exchanges (grouped posting lists; distinct (d1,d2)
+    // pairs), and AQE's byte-based coalescing folded each to ONE
+    // partition while the per-row cost is quadratic (|bucket|² explode)
+    // or array-sized (intersectSize per pair) — measured on x131's
+    // t=0.6 pair pass: two 1.1 s single-task stages. Spelling the
+    // aggregation/distinct keys through exact-N repartitions keeps the
+    // SAME exchanges (the aggregation reuses the partitioning — no new
+    // shuffle) but pins their width to the session's parallelism, the
+    // expansionPartitioned doctrine applied to post-shuffle stages.
+    val par = spark.sparkContext.defaultParallelism
     val candidates = guardBucketSize(
       pref
+        .repartition(par, col("shingle"))
         .groupBy("shingle")
         .agg(collect_list(struct(col("doc_id"), col("n"), col("pos"))).as("ds")),
       maxBucket, "a posting list this hot means a near-universal shingle — " +
@@ -195,6 +207,7 @@ object Dedup {
         col("y.n") >= ceil(col("x.n") * threshold - 1e-9) &&
         overlapBound >= overlapNeed)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .repartition(par, col("d1"), col("d2"))
       .distinct()
     verifyJaccard(candidates, arr, threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
@@ -1031,7 +1044,13 @@ object Dedup {
       arr.select(col("doc_id"),
         graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh")),
       bands, rowsPerBand)
+    // spread the verify (r18): bandCandidates' distinct output is a
+    // byte-tiny AQE-coalesced exchange, but each surviving pair pays an
+    // O(len²) levenshtein — the whole verify otherwise runs in one
+    // task. The repartition moves only (d1, d2) pairs; bandCandidates
+    // itself (shared with the x52 canary) is untouched.
     val cand = bandCandidates(sig, rowsPerBand, maxBucket)
+      .repartition(spark.sparkContext.defaultParallelism)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
     val g = greatest(col("len1"), col("len2"))
@@ -1095,8 +1114,14 @@ object Dedup {
     // x is the PROBE (the smaller side, ties by id — each unordered pair
     // is generated in exactly one role); y ranges over the FULL posting
     // list, so the large side needs no prefix at all
+    // exact-N keyed repartitions (r18): same post-shuffle AQE-collapse
+    // fix as ngramJaccard — the pair expansion and the IntersectSize
+    // verify otherwise run single-task downstream of byte-tiny
+    // exchanges; the aggregation/distinct reuse the partitioning, so no
+    // exchange is added
+    val par = spark.sparkContext.defaultParallelism
     val candidates = guardBucketSize(
-      ranked.groupBy("shingle")
+      ranked.repartition(par, col("shingle")).groupBy("shingle")
         .agg(collect_list(struct(col("doc_id"), col("n"), col("in_prefix"))).as("ds")),
       maxBucket, "a posting list this hot means a near-universal shingle — " +
         "raise the threshold or maxBucket")
@@ -1107,6 +1132,7 @@ object Dedup {
       .filter(col("x.n") < col("y.n") ||
         (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id")))
       .select(col("x.doc_id").as("d_small"), col("y.doc_id").as("d_large"))
+      .repartition(par, col("d_small"), col("d_large"))
       .distinct()
     candidates
       .join(arr.select(col("doc_id").as("d_small"), col("shs").as("sh1"),

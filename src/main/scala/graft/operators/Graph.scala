@@ -448,15 +448,31 @@ object Graph {
     val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint()
-    var dist = sources.select(col("node")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint()
-    var frontier = dist.select("node")
+    val ring0 = sources.select(col("node")).distinct().localCheckpoint()
+    // r18: per ring, anti-join the TWO most recent rings instead of the
+    // whole accumulated distance relation. Sound on an UNDIRECTED pair
+    // graph (sym is symmetric by construction): neighbors of a ring-k
+    // node sit at multi-source distance k−1, k, or k+1, so every
+    // already-settled neighbor is in ring k or ring k−1 — subtracting
+    // those two removes exactly N(F_k) ∩ settled. This drops the
+    // per-ring accumulator UNION + checkpoint job (the old loop paid
+    // materialize-next + isEmpty + materialize-dist = ~3 jobs/ring; BFS
+    // depth on chain-stitched near-dup families runs to ~10 rings, and
+    // x157's profile showed the query is pure job-count overhead — no
+    // stage over 0.3 s). The rings union once at the END, each leg
+    // already materialized. (An earlier r-round note measured a k-way
+    // anti-join-against-all-rings variant SLOWER — this is not that:
+    // the anti-join target here is two bounded rings, never the union.)
+    var rings = List(ring0.withColumn("hops", lit(0L)))
+    var frontier = ring0
+    var prev: Option[DataFrame] = None
     var hops = 0L
     var converged = false
     while (!converged) {
-      val next = sym.join(frontier.withColumnRenamed("node", "u"), "u")
+      val expanded = sym.join(frontier.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(frontier, Seq("node"), "left_anti")
+      val next = prev.fold(expanded)(p => expanded.join(p, Seq("node"), "left_anti"))
         .localCheckpoint()
       if (next.isEmpty) converged = true
       else if (hops >= maxHops)
@@ -466,16 +482,12 @@ object Graph {
             "raise maxHops")
       else {
         hops += 1
-        // the accumulator IS checkpointed each ring: the tempting
-        // union-of-checkpointed-legs alternative (skip this one) was
-        // MEASURED SLOWER at sf0.1 (8.6 s vs 5.9 s on x157) — the
-        // per-round anti-join then re-plans and re-exchanges the whole
-        // k-way union, costing more than the one materialization saved
-        dist = dist.union(next.withColumn("hops", lit(hops))).localCheckpoint()
+        rings ::= next.withColumn("hops", lit(hops))
+        prev = Some(frontier)
         frontier = next
       }
     }
-    dist
+    rings.reduce(_ union _)
   }
 
   /** SYNCHRONOUS label propagation — the fourth generic engine shape:

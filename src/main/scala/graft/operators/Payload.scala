@@ -21,8 +21,19 @@ object Payload {
     * (not inferred) the plan needs no extra pass over the data — at
     * 100 TB schema inference is a full scan you don't get back.
     */
+  /** The codec operators below spread the scan before their row-local
+    * work (r18): the fixture parquet is ONE row group, so the scan is
+    * one task no matter the split config, and the per-row codec CPU
+    * (Jackson parse/format, Avro encode/decode) ran single-core — worse,
+    * the presentation `orderBy`'s range sampling EXECUTES the child a
+    * second time, doubling the single-task work (measured on x153: two
+    * equal 0.38 s one-task stages were most of the query). The spread is
+    * [[Similarity.expansionPartitioned]]'s identity-at-scale guard: only
+    * a scan with fewer partitions than the session's parallelism pays
+    * the (narrow) exchange.
+    */
   def jsonDecode(spark: SparkSession, dir: String): DataFrame =
-    Replication.events(spark, dir)
+    Similarity.expansionPartitioned(Replication.events(spark, dir))
       .select(col("event_id"),
         from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("p"))
       .select(col("event_id"), col("p.k").as("k"))
@@ -225,7 +236,7 @@ object Payload {
     */
   def jsonEnvelope(spark: SparkSession, dir: String): DataFrame = {
     val schema = "event_id BIGINT, event_type STRING"
-    Replication.events(spark, dir)
+    Similarity.expansionPartitioned(Replication.events(spark, dir))
       .select(col("event_id"), col("event_type"))
       .withColumn("line", to_json(struct(col("event_id"), col("event_type"))))
       .select(col("event_id"),

@@ -677,15 +677,21 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
       s"dimGram needs a uniform-width corpus (got widths ${dims.get(0)}..${dims.get(1)})")
     val dim = dims.getInt(0)
+    // r18: ONE native dim²/2-slot fold ([[graft.functions.GramUpper]])
+    // in place of the exploded per-pair relation — the transform lambda
+    // ran interpreted per element (4M struct allocations + a 4M-row
+    // exchange at sf0.1); the aggregate's update is the bare multiply-
+    // add loop and the shuffle carries one buffer per partition. The
+    // (i, j) frame re-attaches row-locally over the ONE result row;
+    // per-pair sums are bit-identical (order-free integer adds).
     val pairs = for { i <- 0 until dim; j <- (i + 1) until dim } yield (i, j)
     corpus
-      .select(explode(transform(typedlit(pairs),
-        p => struct(p.getField("_1").as("i"), p.getField("_2").as("j"),
-          (element_at(col("qv"), p.getField("_1") + 1) *
-            element_at(col("qv"), p.getField("_2") + 1)).as("v")))).as("pr"))
-      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.v").as("v"))
-      .groupBy("i", "j")
-      .agg(sum("v").as("g"))
+      .agg(graft.functions.GramUpper.gram_upper(col("qv"), dim).as("gram"))
+      .select(posexplode(col("gram")).as(Seq("t", "g")))
+      .select(
+        element_at(typedlit(pairs), col("t") + 1).getField("_1").as("i"),
+        element_at(typedlit(pairs), col("t") + 1).getField("_2").as("j"),
+        col("g"))
   }
 
   /** EXT-S36 — OPQ-lite decorrelating subspace LAYOUT: a deterministic
