@@ -734,10 +734,21 @@ object Curation extends CurationClusters {
     * totals broadcast; nothing pairwise beyond x22's banded pairs.
     */
   def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
-    val withToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
-      .localCheckpoint() // consumed by all three layers + the totals
+    // r19 (guide §2.6): the token pass, the CDC chunk pass and the x22
+    // contraction loop are INDEPENDENT materializations — overlap the
+    // contraction (a latency-bound driver loop) with the two scans
+    // instead of paying them back to back.
+    val ((withToks, chunks), clusterLabels) = Par.both(
+      {
+        val wt = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"),
+            size(Tables.tokens(col("text"))).cast("long").as("n_toks"))
+          .localCheckpoint() // consumed by all three layers + the totals
+        val ch = Dedup.cdcChunks(Tables.documents(spark, dir))
+          .select("digest", "n_tokens").localCheckpoint()
+        (wt, ch)
+      },
+      dedupClusters(spark, dir))
     val totals = withToks.agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tok_total"))
     def summarize(layer: String, units: DataFrame, dropped: DataFrame): DataFrame =
       units.crossJoin(broadcast(dropped)).crossJoin(broadcast(totals))
@@ -758,8 +769,6 @@ object Curation extends CurationClusters {
         .agg(sum(col("c") - 1L).as("n_dropped"),
           sum((col("c") - 1L) * col("nt")).as("toks_dropped")))
     // chunk: digest census over CDC chunk instances
-    val chunks = Dedup.cdcChunks(Tables.documents(spark, dir))
-      .select("digest", "n_tokens").localCheckpoint()
     val chunkLayer = summarize("chunk",
       chunks.agg(count(lit(1)).as("n_units")),
       chunks.groupBy("digest")
@@ -770,7 +779,7 @@ object Curation extends CurationClusters {
     // drop at their OWN token counts (near-copies differ in length)
     val clusterLayer = summarize("cluster",
       totals.select(col("n_docs").as("n_units")),
-      dedupClusters(spark, dir)
+      clusterLabels
         .filter(col("doc_id") =!= col("cluster"))
         .join(withToks.select("doc_id", "n_toks"), "doc_id")
         .agg(count(lit(1)).as("n_dropped"), sum("n_toks").as("toks_dropped")))
@@ -1397,9 +1406,21 @@ object Curation extends CurationClusters {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
     val bench = positioned.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select("gram").distinct()
+    // r19 (guide §2.5 — the x131/x3 AQE-collapse class, VERDICT r18
+    // task 4): the hit stream entering the run-detection window and the
+    // token stream entering the rebuild fold are byte-tiny after their
+    // exchanges, so AQE coalesced each to ONE partition while the
+    // per-row work (window + per-doc collect_list/array_sort) is
+    // array-sized — JobProfile showed two 0.3–0.5 s single-task stages.
+    // An exact-N keyed repartition pins the width WITHOUT adding an
+    // exchange: the window's partitionBy("doc_id") and the rebuild's
+    // groupBy("doc_id") requirements are satisfied by
+    // hashpartitioning(doc_id, N), so the planner reuses it.
+    val par = spark.sparkContext.defaultParallelism
     val hits = positioned.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
       .join(broadcast(bench), "gram")
       .select("doc_id", "p")
+      .repartition(par, col("doc_id"))
     val w = Window.partitionBy("doc_id").orderBy("p")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val runs = hits
@@ -1419,6 +1440,7 @@ object Curation extends CurationClusters {
       .select(col("doc_id"), posexplode(col("toks")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("tp"), col("col").as("token"))
     val kept = toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .repartition(par, col("doc_id"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_kept"),

@@ -791,12 +791,17 @@ private[operators] trait CurationClusters extends CurationQuality {
   def clusterStability(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame = {
     val pairs = Dedup.simhashNearDupPairs(spark, dir)
       .select(col("d1"), col("d2")).localCheckpoint()
-    val newC = Graph.connectedComponents(pairs, maxRounds)
-      .withColumnRenamed("cluster", "c_new")
-    val oldC = Graph.connectedComponents(
+    // r19 (guide §2.6): the two contractions are INDEPENDENT driver
+    // loops over the shared checkpointed pair relation — running them
+    // concurrently interleaves their (latency-bound) round jobs instead
+    // of paying the two loops back to back.
+    val (newC0, oldC0) = Par.bothDF(
+      Graph.connectedComponents(pairs, maxRounds),
+      Graph.connectedComponents(
         pairs.filter(pmod(col("d1"), lit(2)) === 0 && pmod(col("d2"), lit(2)) === 0),
-        maxRounds)
-      .withColumnRenamed("cluster", "c_old")
+        maxRounds))
+    val newC = newC0.withColumnRenamed("cluster", "c_new")
+    val oldC = oldC0.withColumnRenamed("cluster", "c_old")
     val asg = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
       .join(oldC, Seq("doc_id"), "left")
@@ -916,7 +921,15 @@ private[operators] trait CurationClusters extends CurationQuality {
     * text or grows past |clusters| rows.
     */
   def clusterSizes(spark: SparkSession, dir: String, maxRounds: Int = 30): DataFrame =
-    clusterSizesOf(dedupClusters(spark, dir, maxRounds), spark, dir)
+    // x121 is the bench's contraction-family load CANARY (and mid-run
+    // probe): it runs on the PINNED r18 contraction so its recorded
+    // load-gate baseline stays calibrated while every other consumer
+    // gets the r19 loop. Labels are bit-identical (see the pinned
+    // copy's scaladoc), so the histogram is unchanged.
+    clusterSizesOf(
+      Graph.connectedComponentsPinned(
+        Dedup.simhashNearDupPairs(spark, dir).select(col("d1"), col("d2")), maxRounds),
+      spark, dir)
 
   /** EXT-C41 over the PERSISTED index ([[clustersFromIndex]] — stamp-
     * and corpus-validated): bit-equal to [[clusterSizes]] with the

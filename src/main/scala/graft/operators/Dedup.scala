@@ -138,9 +138,21 @@ object Dedup {
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.8,
-      maxBucket: Int = 1 << 20): DataFrame = {
+      maxBucket: Int = 1 << 20): DataFrame =
+    ngramJaccardOver(shingleArrays(spark, dir), spark, threshold, maxBucket)
+
+  /** [[ngramJaccard]] over an ALREADY-MATERIALIZED shingle relation —
+    * factored out (r19) so [[bandSweep]]'s PPJoin truth leg shares the
+    * sweep's checkpointed shingle pass instead of re-materializing the
+    * identical relation a second time inside one query. x3's own plan is
+    * unchanged: it still builds its arr and runs this body verbatim.
+    */
+  private def ngramJaccardOver(
+      arr: DataFrame,
+      spark: SparkSession,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val arr = shingleArrays(spark, dir)
     val sh = arr.select(col("doc_id"), col("n"), explode(col("shs")).as("shingle"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // every ceil(n·t) below subtracts ε first: double rounding can push
@@ -335,23 +347,78 @@ object Dedup {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
       b >= 1 && numHashes % b == 0),
       s"every band count in $bandConfigs must divide numHashes ($numHashes)")
-    val arr = shingleArrays(spark, dir).filter(size(col("shs")) > 0)
+    val arrAll = shingleArrays(spark, dir)
+    val arr = arrAll.filter(size(col("shs")) > 0)
     val mhRel = arr.select(col("doc_id"),
         graft.functions.MinHashes.minhashes(col("shs"), numHashes).as("mh"))
       .localCheckpoint() // one md5 pass feeds every banding
-    val allCands = bandConfigs.map { b =>
-      bandCandidates(bandedSignatures(mhRel, b, numHashes / b), numHashes / b, maxBucket)
-        .withColumn("bands", lit(b))
-    }.reduce(_.unionByName(_))
-    val uniq = allCands.select("d1", "d2").distinct().localCheckpoint()
-    val okPairs = verifyJaccard(uniq, arr, threshold)
-      .select(col("d1"), col("d2")).withColumn("ok", lit(true))
-    val per = allCands.join(okPairs, Seq("d1", "d2"), "left")
-      .groupBy("bands").agg(
-        count(lit(1)).as("n_candidates"),
-        coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_verified"))
-    // EliminateSorts drops ngramJaccard's presentation sort under the agg
-    val truth = ngramJaccard(spark, dir, threshold)
+    // r19 (guide §2.4): band layouts NEST whenever every config's
+    // rows-per-band is a multiple of the FINEST config's (bands are
+    // consecutive slices from hash 0, so a coarse band is a
+    // concatenation of fine bands) — then a coarse-band collision
+    // implies a fine-band collision, i.e. cands(b) ⊆ cands(maxBands)
+    // for every b. One candidate pass at the finest banding therefore
+    // carries EVERY config's candidate set; per-config membership is a
+    // row-local band-equality test over the two 16-hash signatures
+    // (bounded, codegen'd comparisons), and the whole per-config census
+    // collapses into ONE 1-row fold of conditional sums. The r18 shape
+    // paid |configs| banding shuffles + a union + a distinct + a
+    // membership join for the same three numbers per config. Candidate
+    // and verified counts are identical by the nesting argument (the
+    // old `uniq` WAS cands(maxBands): a union of nested sets).
+    val maxB = bandConfigs.max
+    val rpbFine = numHashes / maxB
+    val nests = bandConfigs.forall(b => (numHashes / b) % rpbFine == 0)
+    def collides(b: Int): Column = {
+      val rpb = numHashes / b
+      (0 until b).map { i =>
+        (0 until rpb).map { r =>
+          col("mh1")(i * rpb + r) === col("mh2")(i * rpb + r)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+    }
+    val sums = bandConfigs.flatMap { b =>
+      Seq(
+        coalesce(sum(when(collides(b), 1L).otherwise(0L)), lit(0L)).as(s"nc_$b"),
+        coalesce(sum(when(collides(b) && col("ok"), 1L).otherwise(0L)), lit(0L))
+          .as(s"nv_$b"))
+    }
+    val per =
+      if (nests) {
+        val cands = bandCandidates(
+            bandedSignatures(mhRel, maxB, rpbFine), rpbFine, maxBucket)
+          .localCheckpoint() // consumed by the flag pass AND the verify
+        val okPairs = verifyJaccard(cands, arr, threshold)
+          .select(col("d1"), col("d2")).withColumn("ok", lit(true))
+        val folded = cands
+          .join(mhRel.select(col("doc_id").as("d1"), col("mh").as("mh1")), "d1")
+          .join(mhRel.select(col("doc_id").as("d2"), col("mh").as("mh2")), "d2")
+          .join(okPairs, Seq("d1", "d2"), "left")
+          .agg(sums.head, sums.tail: _*)
+        folded.select(expr(
+          s"stack(${bandConfigs.length}, " +
+            bandConfigs.map(b => s"$b, nc_$b, nv_$b").mkString(", ") +
+            ") AS (bands, n_candidates, n_verified)"))
+      } else {
+        // non-nesting configs: the r18 per-config union path, verbatim
+        val allCands = bandConfigs.map { b =>
+          bandCandidates(bandedSignatures(mhRel, b, numHashes / b), numHashes / b, maxBucket)
+            .withColumn("bands", lit(b))
+        }.reduce(_.unionByName(_))
+        val uniq = allCands.select("d1", "d2").distinct().localCheckpoint()
+        val okPairs = verifyJaccard(uniq, arr, threshold)
+          .select(col("d1"), col("d2")).withColumn("ok", lit(true))
+        allCands.join(okPairs, Seq("d1", "d2"), "left")
+          .groupBy("bands").agg(
+            count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_verified"))
+      }
+    // EliminateSorts drops ngramJaccard's presentation sort under the
+    // agg; r19: the truth leg shares the sweep's checkpointed shingle
+    // pass (ngramJaccardOver) instead of re-materializing it. The
+    // 1 << 20 literal is ngramJaccard's own default — the truth leg
+    // keeps x3's exact parameters, as the r18 call did.
+    val truth = ngramJaccardOver(arrAll, spark, threshold, 1 << 20)
       .agg(count(lit(1)).as("n_true"))
     bandConfigs.toDF("bands")
       .join(per, Seq("bands"), "left")

@@ -45,9 +45,82 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // contracted graph: the fixed original edges with both endpoints
-      // rewritten to their current labels (joining the ORIGINAL list
-      // every round keeps edges and labels consistent by construction)
+      // r19 (guide §2.4): the min-step `f` is computed DIRECTLY from the
+      // label-rewritten edge stream — the r18 loop materialized the
+      // contracted edge list first (`distinct` + checkpoint) and then
+      // re-derived the same groupBy from it THREE times inside the
+      // relabel job. `min` over the non-distinct multiset equals `min`
+      // over the distinct set, so the distinct exchange was pure
+      // overhead, and `f` is empty exactly iff the contracted relation
+      // was (groupBy of an empty input has no groups) — the convergence
+      // test is unchanged. Per round this drops one checkpoint job, its
+      // distinct exchange, and two recomputations of the min fold; the
+      // labels are bit-identical round for round.
+      val f = edges
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") =!= col("lv"))
+        .groupBy(col("lu").as("old")).agg(min("lv").as("m"))
+        .select(col("old"), least(col("old"), col("m")).as("nw"))
+        .localCheckpoint()
+      if (f.isEmpty) converged = true
+      else {
+        // g(a) = f(labels(f(a))) — min-step, node-level jump, min-step,
+        // fused into one tiny label-keyed map (each hop falls back to
+        // identity where undefined). The node-level hop is an INNER join
+        // so the planner can build/broadcast whichever side is small
+        // (usually f) and stream the other — a left join here would
+        // force building the full node table, which is exactly the
+        // per-round exchange this fusion exists to avoid; the left-join
+        // fallback then runs on the tiny (f ⋈ mid) relations only.
+        val mid = labels.select(col("node").as("h1n"), col("label").as("h2"))
+          .join(f.select(col("old"), col("nw")), col("h1n") === col("nw"))
+          .select(col("old"), col("h2"))
+        val g = f
+          .join(mid.withColumnRenamed("h2", "h2m"), Seq("old"), "left")
+          .select(col("old"), coalesce(col("h2m"), col("nw")).as("h2v"))
+          .join(f.select(col("old").as("fo"), col("nw").as("h3")),
+            col("h2v") === col("fo"), "left")
+          .select(col("old"), coalesce(col("h3"), col("h2v")).as("nw"))
+        labels = labels
+          .join(g, labels("label") === g("old"), "left")
+          .select(labels("node"), coalesce(g("nw"), labels("label")).as("label"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxRounds rounds — labels would be wrong")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** The r18 contraction VERBATIM, kept exclusively for the bench's
+    * contraction-family load canary (`x121_cluster_sizes` — canary AND
+    * mid-run probe in `graft.Bench`): its recorded BASELINE.md column
+    * (3.03 s) calibrates the session load gate, so the code under it
+    * must stay frozen while [[connectedComponents]] gets faster — a
+    * faster canary would read a genuinely loaded session as quiet,
+    * which inverts the canary's job (the r19 VERDICT task 3 ask,
+    * spelled there as "move the canary to a pinned copy of the old
+    * code path"). Labels are bit-identical to [[connectedComponents]]
+    * by the r19 argument above (the optimization only removed a
+    * distinct and recomputation, never changed a label), so x121's
+    * RESULT is unchanged — only its cost model is pinned.
+    * Do not optimize this copy; do not route anything else through it.
+    */
+  private[operators] def connectedComponentsPinned(
+      pairRelation: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val pairs = pairRelation.localCheckpoint()
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("u").as("node")).agg(min("v").as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       val ledges = edges
         .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
         .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
@@ -57,19 +130,8 @@ object Graph {
         .localCheckpoint()
       if (ledges.isEmpty) converged = true
       else {
-        // label-level min-step over the contracted neighborhood; both
-        // uses below re-derive it from the MATERIALIZED ledges (one
-        // small groupBy each — cheaper than another checkpoint job)
         def f = ledges.groupBy(col("u").as("old")).agg(min("v").as("m"))
           .select(col("old"), least(col("old"), col("m")).as("nw"))
-        // g(a) = f(labels(f(a))) — min-step, node-level jump, min-step,
-        // fused into one tiny label-keyed map (each hop falls back to
-        // identity where undefined). The node-level hop is an INNER join
-        // so the planner can build/broadcast whichever side is small
-        // (usually f) and stream the other — a left join here would
-        // force building the full node table, which is exactly the
-        // per-round exchange this fusion exists to avoid; the left-join
-        // fallback then runs on the tiny (f ⋈ mid) relations only.
         val mid = labels.select(col("node").as("h1n"), col("label").as("h2"))
           .join(f.select(col("old"), col("nw")), col("h1n") === col("nw"))
           .select(col("old"), col("h2"))
@@ -399,24 +461,31 @@ object Graph {
     val deg0 = pairDegrees(pairs)
     var edges = pairs
     var deg = deg0
-    var nNodes = deg.count()
     var converged = false
     var round = 0
     while (!converged) {
-      val keep = deg.filter(col("deg") >= k).select("node").localCheckpoint()
-      val nKeep = keep.count()
+      // r19 (guide §2.4 / job-count): BOTH convergence counts come from
+      // ONE 1-row fold over the checkpointed degree relation — the r18
+      // round paid a `keep` checkpoint job + keep.count + deg.count
+      // (three driver actions) for the same two numbers. The surviving
+      // node set is re-derived lazily from the cached `deg` where the
+      // edge restriction consumes it; identical relations, same rounds.
+      val counts = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L)).as("nk")).head()
+      val nNodes = counts.getLong(0)
+      val nKeep = counts.getLong(1)
       if (nKeep == nNodes) converged = true
       else if (round >= maxRounds)
         throw new IllegalStateException(
           s"kCore(k=$k) did not reach the peel fixpoint within $maxRounds rounds " +
             s"($nNodes -> $nKeep nodes still falling) — raise maxRounds")
       else {
+        val keep = deg.filter(col("deg") >= k)
         edges = edges
           .join(keep.select(col("node").as("d1")), "d1")
           .join(keep.select(col("node").as("d2")), "d2")
           .localCheckpoint()
         deg = pairDegrees(edges)
-        nNodes = deg.count()
         round += 1
       }
     }
@@ -521,7 +590,10 @@ object Graph {
     val sym = pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint()
-    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    // r19: the node relation is consumed exactly once (by the seed
+    // join), so checkpointing it separately paid a whole job for
+    // nothing — it folds into the `seeded` checkpoint's plan.
+    val nodes = sym.select(col("u").as("node")).distinct()
     val seeded = nodes
       .join(seeds.select(col("node"), col("label").as("seed_label")), Seq("node"), "left")
       .localCheckpoint()

@@ -210,42 +210,39 @@ object Similarity extends SimilarityIndexOps {
       .select(col("qid"), explode(col("nb.entries")).as("e"))
       .select(col("qid"), col("e.cid").as("cid"), col("e.sim").as("rel"))
       .join(corpus, Seq("cid"))
-      .localCheckpoint() // consumed by the pair sims and every greedy round
+      .localCheckpoint() // consumed by the pair sims and the greedy fold
     val candSim = cand.as("a")
       .join(cand.as("b"),
         col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
       .select(col("a.qid").as("qid"), col("a.cid").as("c1"), col("b.cid").as("c2"),
         dot(col("a.ce"), col("b.ce")).as("s"))
-      .localCheckpoint() // m² rows per query, bounded by construction
-    var all = cand.groupBy("qid")
-      .agg(max(struct(col("rel"), negate(col("cid")).as("nc"))).as("b"))
-      .select(col("qid"), negate(col("b.nc")).as("cid"), col("b.rel").as("rel"),
-        lit(1).cast("int").as("mmr_rank"),
-        (lit(lambdaPct) * col("b.rel") / lit(100)).as("score"))
-    for (r <- 2 to k) {
-      val sel = all.select(col("qid"), col("cid"))
-      val msim = candSim
-        .join(sel.withColumnRenamed("cid", "c2"), Seq("qid", "c2"))
-        .groupBy(col("qid"), col("c1").as("cid"))
-        .agg(max(col("s")).as("msim"))
-      val pick = cand.select("qid", "cid", "rel")
-        .join(sel, Seq("qid", "cid"), "left_anti")
-        .join(msim, Seq("qid", "cid"))
-        .select(col("qid"), col("cid"), col("rel"),
-          ((lit(lambdaPct) * col("rel") - lit(100 - lambdaPct) * col("msim")) / lit(100))
-            .as("score"))
-        .groupBy("qid")
-        .agg(max(struct(col("score"), col("rel"), negate(col("cid")).as("nc"))).as("b"))
-        .select(col("qid"), negate(col("b.nc")).as("cid"), col("b.rel").as("rel"),
-          lit(r).cast("int").as("mmr_rank"), col("b.score").as("score"))
-      // checkpoint per round (x134's convention): round r's anti-join
-      // reads `all`, so an un-materialized union would re-execute every
-      // earlier round's subplan inside each later one — plan work
-      // doubling per pick. The relation is ≤ r·|queries| rows.
-      all = all.unionByName(pick).localCheckpoint()
-    }
-    all.select(col("qid").as("vec_id"), col("mmr_rank"), col("cid").as("neighbor_id"),
-        round(col("rel"), 4).as("rel4"), round(col("score"), 4).as("score4"))
+    // r19 (guide §2.4 / job-count): the k−1 greedy rounds ran as k−1
+    // DRIVER-SEQUENCED checkpoint jobs (anti-join + argmax + union per
+    // pick), each a chain of broadcast builds over relations that are m
+    // rows per query BY CONSTRUCTION — JobProfile measured 40 jobs, no
+    // stage over 0.3 s: pure round-trip overhead, and at 100 TB the k−1
+    // cluster-wide barriers are the same mistake at worse latency. The
+    // greedy selection is per-query sequential by DEFINITION (pick r
+    // depends on picks 1..r−1), so it now runs ROW-LOCALLY over each
+    // query's collected m candidates + m·(m−1) pair sims (both bounded
+    // by the literal m, NOT by the corpus — the one place a local fold
+    // is the principled distributed plan). Arithmetic and tie-breaks
+    // replicate the r18 Catalyst spelling exactly: scores are
+    // (λ·rel − (100−λ)·msim)/100 in the same IEEE order, the argmax
+    // compares (score, rel, −cid) structs via the same total order
+    // Catalyst's struct-max uses (java.lang.Double.compare — NaN
+    // greatest, −0.0 < 0.0), and `dot` sims come from the SAME
+    // DotProductExpression rows, collected, never recomputed.
+    val mmrPicks = graft.functions.MmrGreedy.mmrPicks(k, lambdaPct)
+    val perQ = cand.groupBy("qid")
+      .agg(collect_list(struct(col("cid"), col("rel"))).as("cands"))
+    val simQ = candSim.groupBy("qid")
+      .agg(collect_list(struct(col("c1"), col("c2"), col("s"))).as("sims"))
+    perQ.join(simQ, Seq("qid"), "left")
+      .select(col("qid"), explode(mmrPicks(col("cands"), col("sims"))).as("p"))
+      .select(col("qid").as("vec_id"), col("p.mmr_rank").as("mmr_rank"),
+        col("p.cid").as("neighbor_id"),
+        round(col("p.rel"), 4).as("rel4"), round(col("p.score"), 4).as("score4"))
       .orderBy("vec_id", "mmr_rank")
   }
 
@@ -1507,8 +1504,13 @@ object Similarity extends SimilarityIndexOps {
       maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val (lexScored, vecScored) =
       retrievalLegs(spark, dir, queryMod, maxBroadcastBytes)
-    val lex = rankedTopK(lexScored, k).localCheckpoint() // two consumers
-    val vec = rankedTopK(vecScored, k).localCheckpoint() // two consumers
+    // r19 (guide §2.6): the two legs are INDEPENDENT relations — their
+    // checkpoints ran back to back on the driver, leaving the cluster
+    // idle through each leg's tail. Materialize them concurrently; two
+    // consumers each, as before.
+    val (lex, vec) = Par.bothDF(
+      rankedTopK(lexScored, k).localCheckpoint(),
+      rankedTopK(vecScored, k).localCheckpoint())
     val lexN = lex.groupBy("qid").agg(count(lit(1)).as("n_lex"))
     val vecN = vec.groupBy("qid").agg(count(lit(1)).as("n_vec"))
     val common = lex.join(vec, Seq("qid", "cid"))

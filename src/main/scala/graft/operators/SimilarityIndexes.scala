@@ -1509,7 +1509,33 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       shortlists: Seq[Int] = Seq(8, 16, 32),
       k: Int = 3,
       queryMod: Int = 10,
-      opq: Boolean = false): DataFrame = {
+      opq: Boolean = false): DataFrame =
+    refinedTuningSweepBounded(spark, dir, nCentroids, m, ksub, iters,
+      nprobes, shortlists, k, queryMod, opq)
+
+  /** [[refinedTuningSweep]] with the float-fetch broadcast bound
+    * exposed (r19, the r18 ADVICE item): the fused fetch relation
+    * carries |queries|·maxSl·|nprobes| rows WITH float embeddings —
+    * |nprobes|× more than the r18 per-width loop broadcast — so the
+    * hint now rides a MEASURED bound (|queries| counted from the
+    * cached fan-out, the rest literals) instead of unconditionally:
+    * past the bound the join degrades to the planner's keyed shuffle,
+    * the correct 100 TB fallback. Package-private so the spec can
+    * force a tiny bound and pin the no-hint fallback.
+    */
+  private[graft] def refinedTuningSweepBounded(
+      spark: SparkSession,
+      dir: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      nprobes: Seq[Int] = Seq(2, 4, 8),
+      shortlists: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 3,
+      queryMod: Int = 10,
+      opq: Boolean = false,
+      maxFetchBroadcastBytes: Long = 64L << 20): DataFrame = {
     require(nprobes.nonEmpty && nprobes.distinct.size == nprobes.size,
       s"nprobes must be non-empty and distinct (got ${nprobes.mkString(",")})")
     require(shortlists.nonEmpty && shortlists.distinct.size == shortlists.size,
@@ -1599,12 +1625,22 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
       .select(col("np"), col("qid"), col("e.cid").as("cid"),
         (col("pos") + 1).cast("int").as("adc_rank"))
     // ONE bounded float fetch for ALL (np, shortlist) points
-    // (≤ |queries|·maxSl·|nprobes| rows by construction — the repo
-    // broadcast rule; was one fetch + checkpoint PER probe width), ADC
-    // rank carried so every point re-ranks an already-fetched
-    // adc_rank <= sl slice without touching the vector store again
-    val refScoredAll = broadcast(adcTopAll.join(fq, Seq("qid")))
-      .join(fc, Seq("cid"))
+    // (≤ |queries|·maxSl·|nprobes| rows — was one fetch + checkpoint
+    // PER probe width), ADC rank carried so every point re-ranks an
+    // already-fetched adc_rank <= sl slice without touching the vector
+    // store again. r19: the hint is GUARDED by the measured-size rule
+    // (the repo's broadcastIfMeasuredUnder principle — |queries|
+    // counted from the cached fan-out, row width from the coded
+    // geometry m·dsub): the fused relation is |nprobes|× the r18
+    // per-width broadcast, so an unconditional hint would be the first
+    // thing to hit the 8 GB broadcast wall at a production query
+    // batch. Past the bound the planner keeps its keyed shuffle join.
+    val nQ = q.filter(col("prank") === 1).count() // one cheap cached job
+    val fetchEstBytes = nQ * maxSl * nprobes.length * (4L * m * dsub + 96L)
+    val fetchRel = adcTopAll.join(fq, Seq("qid"))
+    val refScoredAll =
+      (if (fetchEstBytes <= maxFetchBroadcastBytes) broadcast(fetchRel) else fetchRel)
+        .join(fc, Seq("cid"))
       .select(col("np"), col("qid"), col("cid"), col("adc_rank"),
         dot(col("fqe"), col("fce")).as("sim"))
       .localCheckpoint() // consumed by the refine TopK AND the fetch census
@@ -1816,11 +1852,23 @@ private[operators] trait SimilarityIndexOps { self: Similarity.type =>
     // place of the raw int8 query: the cell equi-join's exchange (or
     // broadcast) materializes it once per (query, probe-cell) row, and
     // the candidate stream pays m lookups per code row.
-    // expansionPartitioned (r18): the ivfTopKOverCells query-side
-    // single-task note applies identically — a one-file query batch
-    // otherwise runs the whole pruned-code expansion in one task
-    // whenever the planner broadcasts the index side.
-    val qSpread = expansionPartitioned(queries)
+    // r19 (VERDICT r18 task 2): the r18 query-side spread is REMOVED on
+    // this path — the driver measured it regressing the queries it was
+    // meant to help (x179 1.26→1.54 s, x191 2.53→2.82 s vs the pre-opt
+    // base) and a same-session A/B this round confirmed it (see
+    // OPTIMIZATION_r19.md). The float path (ivfTopKOverCells) keeps its
+    // spread: there the per-pair work is a dim-wide dot product and the
+    // one-task expansion measured 3.8–4.3 s (x175); here it is m table
+    // lookups over ALREADY-PRUNED code rows, so the added exchange (and
+    // its extra AQE stage) costs more than the parallelism buys.
+    // Scale-safety without the spread: a single-partition query batch
+    // only serializes the expansion when the planner BROADCASTS the
+    // index side, which it does only when the pruned code relation is
+    // under the broadcast threshold — and a sub-threshold code relation
+    // bounds the expansion to |q|·(small) cheap ADC lookups. A larger
+    // pruned index plans a shuffle join, whose exchange spreads the
+    // query side anyway.
+    val qSpread = queries
     val q =
       if (nprobe == 1)
         qSpread.select(col("vec_id").as("qid"),

@@ -636,4 +636,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "truth is x3's exact relation at the same threshold")
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
   }
+
+  test("bandSweep: the r19 single-pass nested-band census equals the per-config union path") {
+    // numHashes=12 admits a NON-nesting config pair (rows-per-band 4 vs
+    // 3), which routes through the r18 per-config union fallback; the
+    // nesting singleton Seq(4) routes through the r19 single-pass
+    // census. The bands=4 row must be identical in both tables — the
+    // two paths are the same operator.
+    val sfDir = "/root/testdata/sf0.001"
+    val viaFallback = Dedup.bandSweep(spark, sfDir, numHashes = 12,
+      bandConfigs = Seq(3, 4)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val viaNested = Dedup.bandSweep(spark, sfDir, numHashes = 12,
+      bandConfigs = Seq(2, 4)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaFallback(4) == viaNested(4),
+      s"bands=4 census must agree across paths: ${viaFallback(4)} vs ${viaNested(4)}")
+  }
 }

@@ -163,4 +163,76 @@ class ExpressionPropertySpec extends AnyFunSuite {
       graft.operators.Curation.BloomHash.pos(digest, i, m) == expected
     })
   }
+
+  test("MmrGreedyUtil.picks matches a reference greedy MMR under the Catalyst double order") {
+    // the r19 row-local kernel replaced k-1 driver-sequenced argmax
+    // rounds; this pins the kernel against an independently-spelled
+    // reference greedy (same λ arithmetic, (score, rel, -cid) argmax
+    // with SQLOrderingUtil's double order), including the
+    // fewer-than-k-candidates tail
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val genCand = for {
+      cid <- Gen.chooseNum(0L, 6L) // small id space forces rel ties
+      rel <- Gen.oneOf(Gen.chooseNum(-5, 5).map(_ / 4.0), Gen.const(0.0), Gen.const(-0.0))
+    } yield (cid, rel)
+    val genCands = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, genCand).map(_.distinctBy(_._1)))
+    val genK = Gen.chooseNum(1, 5)
+    val genLam = Gen.oneOf(0, 30, 70, 100)
+    check(Prop.forAll(genCands, genK, genLam) { (cands, k, lam) =>
+      // complete symmetric pair sims, deterministic from the ids
+      val sims = for {
+        (c1, _) <- cands; (c2, _) <- cands if c1 != c2
+      } yield (c1, c2, ((c1 * 31 + c2 * 17) % 7 - 3) / 3.0)
+      val simMap = sims.map(s => (s._1, s._2) -> s._3).toMap
+      def cmpD(x: Double, y: Double): Int =
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      // reference greedy, spelled independently
+      var picked = List.empty[(Long, Double, Double)] // (cid, rel, score)
+      var remaining = cands
+      var r = 0
+      while (r < k && remaining.nonEmpty) {
+        val scored = remaining.map { case (cid, rel) =>
+          val score =
+            if (r == 0) lam.toDouble * rel / 100.0
+            else {
+              val msim = picked.map(p => simMap((cid, p._1))).reduce((a, b) =>
+                if (cmpD(a, b) >= 0) a else b)
+              (lam.toDouble * rel - (100 - lam).toDouble * msim) / 100.0
+            }
+          (cid, rel, score)
+        }
+        val best = scored.reduce { (a, b) =>
+          val c1 = cmpD(a._3, b._3)
+          if (c1 != 0) { if (c1 > 0) a else b }
+          else {
+            val c2 = cmpD(a._2, b._2)
+            if (c2 != 0) { if (c2 > 0) a else b }
+            else if (a._1 < b._1) a else b
+          }
+        }
+        picked = picked :+ best
+        remaining = remaining.filterNot(_._1 == best._1)
+        r += 1
+      }
+      // kernel inputs as Catalyst rows
+      val candArr = new GenericArrayData(cands.map { case (cid, rel) =>
+        new GenericInternalRow(Array[Any](cid, rel))
+      }.toArray[Any])
+      val simArr =
+        if (sims.isEmpty) null
+        else new GenericArrayData(sims.map { case (c1, c2, s) =>
+          new GenericInternalRow(Array[Any](c1, c2, s))
+        }.toArray[Any])
+      val got = graft.functions.MmrGreedyUtil.picks(candArr, simArr, k, lam)
+      val gotList = (0 until got.numElements()).map { i =>
+        val row = got.getStruct(i, 4)
+        (row.getInt(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      }.toList
+      val expList = picked.zipWithIndex.map { case ((cid, rel, score), i) =>
+        (i + 1, cid, rel, score)
+      }
+      gotList == expList
+    })
+  }
 }

@@ -513,6 +513,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"OPQ full-probe full-shortlist point must be exact: ${opqFull.getLong(5)}")
   }
 
+  test("refinedTuningSweep (x187): the float-fetch broadcast guard's no-hint fallback is exact") {
+    // r19: the fused fetch relation's broadcast hint rides a measured
+    // bound. Force the bound to zero — the planner must fall back to
+    // its own (keyed shuffle) strategy — and the table must be
+    // bit-identical to the hinted plan's: the guard changes the join
+    // STRATEGY, never the relation.
+    val sfDir = "/root/testdata/sf0.001"
+    val hinted = Similarity.refinedTuningSweep(spark, sfDir, nCentroids = 16,
+      nprobes = Seq(2, 4), shortlists = Seq(8, 16), k = 3, queryMod = 10)
+      .collect().map(_.toSeq).toSeq
+    val unhinted = Similarity.refinedTuningSweepBounded(spark, sfDir, nCentroids = 16,
+      nprobes = Seq(2, 4), shortlists = Seq(8, 16), k = 3, queryMod = 10,
+      maxFetchBroadcastBytes = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(hinted == unhinted,
+      s"guarded fallback must reproduce the hinted table exactly:\n$hinted\nvs\n$unhinted")
+  }
+
   test("opqPermutation / pqCodesOpq (x189): valid balanced deal; strongest mutual pair separated; m=1 is permutation-invariant") {
     val sfDir = "/root/testdata/sf0.001"
     val m = 8
